@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship SCD2 latest-state query (the reference's
+core query semantic, README.md:57) on sf0.001. ``queries()`` exposes every
+implemented operator from SURVEY.md §2; ``oracle_sql()`` the DuckDB twins.
 """
 
 from __future__ import annotations
@@ -13,26 +11,64 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cdc_streamming___v2_spark.session import configure_existing
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from cdc_streamming___v2_spark.operators.scd2_queries import scd2_latest_state
+
+    configure_existing(spark)
+    return scd2_latest_state(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> tuple[dict, dict]:
+    from cdc_streamming___v2_spark.operators import relational, scd2_queries
+
+    modules = [scd2_queries, relational]
+    try:  # optional modules appear as they land
+        from cdc_streamming___v2_spark.operators import dedup as _dedup
+
+        modules.append(_dedup)
+    except ImportError:
+        pass
+    try:
+        from cdc_streamming___v2_spark.operators import similarity as _sim
+
+        modules.append(_sim)
+    except ImportError:
+        pass
+    try:
+        from cdc_streamming___v2_spark.operators import text_analysis as _text
+
+        modules.append(_text)
+    except ImportError:
+        pass
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for m in modules:
+        queries.update(getattr(m, "QUERIES", {}))
+        oracles.update(getattr(m, "ORACLES", {}))
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    q, _ = _registry()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_existing(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        return run
+
+    return {name: _wrap(fn) for name, fn in q.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query; omitted => rows-only check."""
+    _, o = _registry()
+    return o

@@ -1,0 +1,53 @@
+"""Batch table loaders for the driver's parquet testdata.
+
+Scans are plain ``spark.read.parquet`` so Catalyst gets full predicate
+pushdown / column pruning / row-group skipping for free (SURVEY.md §4).
+At cluster scale the same call reads a partitioned parquet/Delta layout;
+nothing here assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import TABLES
+
+# Tables small enough to broadcast at ANY scale factor (dimension tables whose
+# cardinality is fixed or near-fixed: 5 regions, 25 nations). Used by operators
+# to hint broadcast joins explicitly rather than trusting the size estimator.
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark reads it only as a
+        # nanosecond long (spark.sql.legacy.parquet.nanosAsLong, set by
+        # session.configure_existing). Truncate to micros — same precision
+        # DuckDB's TIMESTAMP uses, so oracle parity holds.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each table as a temp view for the SQL API surface."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,63 @@
+"""SCD2 semantics golden tests (reference README.md:57 behavior)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from cdc_streamming___v2_spark.operators.history import as_of, history_of, latest_state
+
+
+def _history(spark):
+    t = dt.datetime
+    rows = [
+        # key 1: insert -> update -> update  (alive, v3 current)
+        Row(id=1, name="a1", action="INSERT", update_date=t(2024, 1, 1)),
+        Row(id=1, name="a2", action="UPDATE-INSERT", update_date=t(2024, 1, 2)),
+        Row(id=1, name="a3", action="UPDATE-INSERT", update_date=t(2024, 1, 3)),
+        # key 2: insert -> delete (dead; blank-row delete carries nulls)
+        Row(id=2, name="b1", action="INSERT", update_date=t(2024, 1, 1)),
+        Row(id=2, name=None, action="DELETE", update_date=t(2024, 1, 4)),
+        # key 3: insert only
+        Row(id=3, name="c1", action="INSERT", update_date=t(2024, 1, 2)),
+        # key 4: insert -> delete -> re-insert (resurrection)
+        Row(id=4, name="d1", action="INSERT", update_date=t(2024, 1, 1)),
+        Row(id=4, name=None, action="DELETE", update_date=t(2024, 1, 2)),
+        Row(id=4, name="d2", action="INSERT", update_date=t(2024, 1, 5)),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_latest_state_picks_newest_and_hides_deleted(spark):
+    out = latest_state(_history(spark), keys=["id"]).collect()
+    state = {r.id: r.name for r in out}
+    assert state == {1: "a3", 3: "c1", 4: "d2"}  # id=2 deleted → hidden
+
+
+def test_as_of_point_in_time(spark):
+    h = _history(spark)
+    # on Jan 2: 1→a2, 2→b1 (delete not yet), 3→c1, 4 deleted that day
+    out = as_of(h, keys=["id"], ts=dt.datetime(2024, 1, 2))
+    state = {r.id: r.name for r in out.collect()}
+    assert state == {1: "a2", 2: "b1", 3: "c1"}
+    # on Jan 4: 2 now deleted, 4 still deleted
+    out = as_of(h, keys=["id"], ts=dt.datetime(2024, 1, 4))
+    state = {r.id: r.name for r in out.collect()}
+    assert state == {1: "a3", 3: "c1"}
+
+
+def test_history_of_full_chain(spark):
+    rows = history_of(_history(spark), keys=["id"], key_values=[4]).collect()
+    assert [r.action for r in rows] == ["INSERT", "DELETE", "INSERT"]
+
+
+def test_latest_state_tiebreaker_deterministic(spark):
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(id=1, seq=1, name="x", action="INSERT", update_date=t),
+        Row(id=1, seq=2, name="y", action="UPDATE-INSERT", update_date=t),
+    ]
+    df = spark.createDataFrame(rows)
+    out = latest_state(df, keys=["id"], tiebreakers=["seq"]).collect()
+    assert len(out) == 1 and out[0].name == "y"
