@@ -1,0 +1,165 @@
+"""CDC ingest: Structured Streaming re-expression of the reference pipeline.
+
+Reference graph (src/dataflow-cdc-stream.py:135-150):
+    Pub/Sub notification -> decode -> json.loads -> build gs:// path ->
+    ReadAllFromText -> per-record: parse envelope, enrich action/update_date,
+    registry lookup (GCS download per record!), nested single-row Beam
+    pipeline -> BigQuery WRITE_APPEND; unmapped objects -> console print.
+
+Spark-first replacement (SURVEY.md §2.A ops 1-12):
+    Structured Streaming FILE SOURCE on the log directory (subsumes the
+    Pub/Sub notification hop — the file source's listing loop IS "notice new
+    object, read it"; GZIP NDJSON decodes transparently) ->
+    parse envelope JVM-side (get_json_object; payload kept as raw JSON) ->
+    one append writeStream per registered table: filter on object, from_json
+    with that table's registry schema, enrich action/update_date ->
+    parquet history table (append-only = the reference's WRITE_APPEND) ->
+    plus one dead-letter stream for unmapped/corrupt lines (strictly better
+    than the reference's print/raise, py:96-100).
+
+Delivery: checkpointed file sink = exactly-once per sink, upgrading the
+reference's at-least-once (SURVEY.md §4).
+
+Scale: the whole pipeline is narrow (no shuffle) — it scales linearly with
+executors. History tables are written partitioned by ``update_day`` so
+point-in-time reads prune partitions before the SCD2 window shuffle
+(operators/history.py). maxFilesPerTrigger bounds micro-batch size for
+backpressure at high log rates.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.cdc_schema import parse_envelope, update_date_expr
+from ..sources.registry import ENGINE_COLUMNS, SchemaRegistry, TableSpec
+
+
+@dataclass
+class CdcIngest:
+    """One CDC ingest job: log directory -> per-table history sinks."""
+
+    spark: SparkSession
+    registry: SchemaRegistry
+    input_dir: str
+    output_dir: str
+    checkpoint_dir: str
+    max_files_per_trigger: int | None = None
+    partition_by_day: bool = True
+    _queries: list[StreamingQuery] = field(default_factory=list)
+
+    # -- plan construction (shared by batch and streaming) -------------------
+
+    def _read_stream(self) -> DataFrame:
+        reader = self.spark.readStream.format("text")
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return parse_envelope(reader.load(self.input_dir))
+
+    def _route_table(self, env: DataFrame, spec: TableSpec) -> DataFrame:
+        """Envelope rows for one object -> typed history rows.
+
+        Null-stripping (reference py:68) needs no operator here: absent/null
+        payload fields simply parse to NULL against the fixed schema — the
+        same "blank row" the reference produces for DELETEs (README.md:57).
+        """
+        routed = env.filter(F.col("object") == spec.object_name)
+        payload = F.from_json(F.col("payload_json"), spec.payload_schema)
+        cols = [payload.getField(f.name).alias(f.name) for f in spec.payload_schema]
+        for name in ENGINE_COLUMNS:
+            sink_field = spec.schema[name]
+            if name == "action":
+                cols.append(F.col("action").cast(sink_field.dataType).alias("action"))
+            else:
+                cols.append(update_date_expr(sink_field.dataType).alias(name))
+        out = routed.select(*cols)
+        if self.partition_by_day:
+            out = out.withColumn(
+                "update_day",
+                F.to_date(F.to_timestamp(F.col("update_date").cast("string"))),
+            )
+        return out
+
+    def _dead_letters(self, env: DataFrame) -> DataFrame:
+        """Unmapped objects + corrupt lines, with the raw line preserved."""
+        known = list(self.registry.object_names)
+        return env.filter(
+            F.col("object").isNull() | ~F.col("object").isin(known)
+        ).select(
+            F.col("object"),
+            F.col("raw"),
+            F.current_timestamp().alias("dead_letter_at"),
+        )
+
+    # -- streaming execution -------------------------------------------------
+
+    def start(self, available_now: bool = False) -> list[StreamingQuery]:
+        """Start one append writeStream per registered table + dead-letter."""
+        env = self._read_stream()
+        for spec in self.registry:
+            sink = os.path.join(self.output_dir, spec.table_name)
+            ckpt = os.path.join(self.checkpoint_dir, spec.table_name)
+            writer = (
+                self._route_table(env, spec)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+            )
+            if self.partition_by_day:
+                writer = writer.partitionBy("update_day")
+            if available_now:
+                writer = writer.trigger(availableNow=True)
+            self._queries.append(writer.start())
+
+        dl_writer = (
+            self._dead_letters(env)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(self.output_dir, "_dead_letter"))
+            .option("checkpointLocation", os.path.join(self.checkpoint_dir, "_dead_letter"))
+            .outputMode("append")
+        )
+        if available_now:
+            dl_writer = dl_writer.trigger(availableNow=True)
+        self._queries.append(dl_writer.start())
+        return self._queries
+
+    def run_available(self) -> None:
+        """Process everything currently in input_dir, then stop (for tests
+        and batch-style backfills; the reference's backfill_all analogue)."""
+        for q in self.start(available_now=True):
+            q.awaitTermination()
+        self._queries.clear()
+
+    def stop(self) -> None:
+        for q in self._queries:
+            q.stop()
+        self._queries.clear()
+
+    # -- reads ---------------------------------------------------------------
+
+    def history(self, object_name: str) -> DataFrame:
+        spec = self.registry.get(object_name)
+        if spec is None:
+            raise KeyError(object_name)
+        return self.spark.read.schema(
+            _with_partition_col(spec, self.partition_by_day)
+        ).parquet(os.path.join(self.output_dir, spec.table_name))
+
+    def dead_letter(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.output_dir, "_dead_letter"))
+
+
+def _with_partition_col(spec: TableSpec, partitioned: bool):
+    from pyspark.sql import types as T
+
+    if not partitioned:
+        return spec.schema
+    return T.StructType(
+        list(spec.schema.fields) + [T.StructField("update_day", T.DateType(), True)]
+    )

@@ -1,0 +1,160 @@
+"""End-to-end CDC streaming tests: envelope NDJSON -> routed history tables
+-> SCD2 resolution, including delete-as-blank-row, dead-letter, gzip input,
+and the registry's STRING-vs-TIMESTAMP update_date quirk."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from cdc_streamming___v2_spark.operators.history import as_of, latest_state
+from cdc_streamming___v2_spark.sources.registry import SchemaRegistry
+from cdc_streamming___v2_spark.streaming.ingest import CdcIngest
+
+REGISTRY_DOC = {
+    # mirrors /root/reference/src/data-stream.json: update_date STRING here...
+    "olist_produtos": {
+        "table_name": "produtos_cdc",
+        "schema": {
+            "fields": [
+                {"name": "product_id", "type": "STRING"},
+                {"name": "product_category_name", "type": "STRING"},
+                {"name": "product_photos_qty", "type": "INT64"},
+                {"name": "product_weight_g", "type": "FLOAT"},
+                {"name": "action", "type": "STRING"},
+                {"name": "update_date", "type": "STRING"},
+            ]
+        },
+    },
+    # ...and TIMESTAMP here (the reference's intentional divergence)
+    "olist_users": {
+        "table_name": "users_cdc",
+        "schema": {
+            "fields": [
+                {"name": "first_name", "type": "STRING"},
+                {"name": "email", "type": "STRING"},
+                {"name": "action", "type": "STRING"},
+                {"name": "update_date", "type": "TIMESTAMP"},
+            ]
+        },
+    },
+}
+
+
+def _env(obj, ts, action, payload):
+    return json.dumps(
+        {
+            "object": obj,
+            "source_timestamp": ts,
+            "source_metadata": {"change_type": action},
+            "payload": payload,
+        }
+    )
+
+
+LINES = [
+    _env("olist_produtos", "2024-01-01T00:00:00Z", "INSERT",
+         {"product_id": "p1", "product_category_name": "toys",
+          "product_photos_qty": 2, "product_weight_g": 100.0}),
+    _env("olist_produtos", "2024-01-02T00:00:00Z", "UPDATE-INSERT",
+         {"product_id": "p1", "product_category_name": "games",
+          "product_photos_qty": 3, "product_weight_g": 120.0}),
+    # DELETE: blank row — payload carries only the key (reference py:68)
+    _env("olist_produtos", "2024-01-03T00:00:00Z", "DELETE",
+         {"product_id": "p2"}),
+    _env("olist_produtos", "2024-01-01T12:00:00Z", "INSERT",
+         {"product_id": "p2", "product_category_name": "books",
+          "product_photos_qty": 1, "product_weight_g": 80.0}),
+    _env("olist_users", "2024-01-05T08:30:00Z", "INSERT",
+         {"first_name": "ana", "email": "a@x.com"}),
+    # unmapped object -> dead letter (reference py:96-97 just prints)
+    _env("mystery_table", "2024-01-05T00:00:00Z", "INSERT", {"x": 1}),
+    "{this is not json",  # corrupt -> dead letter
+]
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    # first file plain, second gzipped (Datastream logs are GZIP NDJSON,
+    # build/stream/stream.tf:148-151)
+    with open(os.path.join(in_dir, "batch1.jsonl"), "w") as f:
+        f.write("\n".join(LINES[:4]) + "\n")
+    with gzip.open(os.path.join(in_dir, "batch2.jsonl.gz"), "wt") as f:
+        f.write("\n".join(LINES[4:]) + "\n")
+
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+    )
+    ing.run_available()
+    return ing
+
+
+def test_history_append_only(ingested):
+    hist = ingested.history("olist_produtos")
+    assert hist.count() == 4  # every change is a new row
+    assert set(hist.columns) == {
+        "product_id", "product_category_name", "product_photos_qty",
+        "product_weight_g", "action", "update_date", "update_day",
+    }
+
+
+def test_delete_is_blank_row(ingested):
+    rows = ingested.history("olist_produtos").filter("action = 'DELETE'").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.product_id == "p2"
+    assert r.product_category_name is None and r.product_weight_g is None
+
+
+def test_update_date_type_quirk(ingested):
+    # produtos: STRING (data-stream.json:17); users: TIMESTAMP (:31)
+    produtos = ingested.history("olist_produtos")
+    users = ingested.history("olist_users")
+    assert dict(produtos.dtypes)["update_date"] == "string"
+    assert dict(users.dtypes)["update_date"] == "timestamp"
+    assert users.first().update_date.year == 2024
+
+
+def test_scd2_latest_state_over_history(ingested):
+    hist = ingested.history("olist_produtos")
+    state = latest_state(hist, keys=["product_id"], order_col="update_date")
+    rows = {r.product_id: r for r in state.collect()}
+    assert set(rows) == {"p1"}  # p2 deleted
+    assert rows["p1"].product_category_name == "games"
+
+
+def test_scd2_as_of_over_history(ingested):
+    hist = ingested.history("olist_produtos")
+    # before the delete and before p1's update
+    state = as_of(hist, keys=["product_id"], ts="2024-01-01T23:59:59Z",
+                  order_col="update_date")
+    rows = {r.product_id: r.product_category_name for r in state.collect()}
+    assert rows == {"p1": "toys", "p2": "books"}
+
+
+def test_dead_letter_captures_unmapped_and_corrupt(ingested):
+    dl = ingested.dead_letter().collect()
+    assert len(dl) == 2
+    objs = {r.object for r in dl}
+    assert "mystery_table" in objs and None in objs
+    raws = {r.raw for r in dl}
+    assert "{this is not json" in raws
+
+
+def test_incremental_second_run_exactly_once(spark, ingested):
+    # re-running with no new files must not duplicate history rows
+    before = ingested.history("olist_produtos").count()
+    ingested.run_available()
+    assert ingested.history("olist_produtos").count() == before
