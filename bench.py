@@ -30,8 +30,11 @@ HEADLINE = [
     "json_funcs",
     "dedup_exact",
     "minhash_near_dup",
+    "simhash_fingerprint",
     "cosine_topk",
+    "ann_lsh_topk",
     "token_count",
+    "text_quality",
 ]
 
 

@@ -1,0 +1,147 @@
+"""Dedup / similarity / text-analysis behavioral tests (value parity with
+DuckDB is covered by tools/check_correctness.py; these pin semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_streamming___v2_spark.functions.texts import md5_hash_long, word_shingles
+from cdc_streamming___v2_spark.operators import dedup as D
+from cdc_streamming___v2_spark.operators import similarity as S
+from cdc_streamming___v2_spark.operators import text_analysis as T
+
+from .conftest import SF_SMALL
+
+
+def test_exact_dedup_groups_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hello  world"),
+            Row(doc_id=2, text="Hello World"),  # same after normalization
+            Row(doc_id=3, text="different"),
+        ]
+    )
+    from cdc_streamming___v2_spark.functions.texts import normalized
+
+    out = (
+        df.select("doc_id", F.md5(normalized(F.col("text"))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .collect()
+    )
+    by_keep = {r.keep_id: r.n_copies for r in out}
+    assert by_keep == {1: 2, 3: 1}
+
+
+def test_minhash_agrees_with_exact_jaccard_on_testdata(spark):
+    """LSH banding at these parameters must catch every planted near-dup
+    (their jaccard is ~0.9 ⇒ band-collision probability ≈ 1)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in D.minhash_near_dup(spark, SF_SMALL).collect()
+    }
+    assert lsh <= exact  # verification step guarantees no false positives
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9
+
+
+def test_word_shingles_short_text_no_negative_sequence(spark):
+    df = spark.createDataFrame([Row(text="one two")])  # < n words
+    out = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert out[0].s == []
+
+
+def test_md5_hash_long_deterministic(spark):
+    df = spark.createDataFrame([Row(s="abc")])
+    a = df.select(md5_hash_long(F.col("s"), "1|").alias("h")).first().h
+    b = df.select(md5_hash_long(F.col("s"), "1|").alias("h")).first().h
+    assert a == b and isinstance(a, int) and a >= 0
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.ann_lsh_topk(spark, SF_SMALL).collect()
+    }
+    # random near-orthogonal embeddings are the adversarial case for ANN;
+    # expected recall at H=6 planes, <=2-bit probes is ~0.5-0.6 here
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.ann_ivf_topk(spark, SF_SMALL).collect()
+    }
+    # labels are random for these vectors → recall ≈ probes/cells (5/10)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_topk_exactly_k_per_query(spark):
+    rows = S.cosine_topk(spark, SF_SMALL).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, 11))
+
+
+def test_simhash_similar_docs_close(spark):
+    """Near-identical documents must land on nearby simhashes (small
+    hamming distance); unrelated vocab far away is not guaranteed, so we
+    only assert the positive direction."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark join filter window group sort merge"),
+            Row(doc_id=2, text="spark join filter window group sort scan"),
+        ]
+    )
+    from cdc_streamming___v2_spark.functions.texts import words
+
+    wdf = df.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    wdf = wdf.withColumn("h", md5_hash_long(F.col("w")))
+    import functools
+
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(D.SIMHASH_BITS)
+    ]
+    sig = wdf.groupBy("doc_id").agg(*aggs)
+    sim = sig.select(
+        "doc_id",
+        functools.reduce(
+            lambda acc, b: acc
+            + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
+            range(1, D.SIMHASH_BITS),
+            F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
+        ).alias("sh"),
+    ).collect()
+    h = {r.doc_id: r.sh for r in sim}
+    hamming = bin(h[1] ^ h[2]).count("1")
+    assert hamming <= 6
+
+
+def test_lang_id_schema_and_determinism(spark):
+    a = T.lang_id(spark, SF_SMALL).collect()
+    b = T.lang_id(spark, SF_SMALL).collect()
+    assert {r.doc_id: r.predicted_lang for r in a} == {
+        r.doc_id: r.predicted_lang for r in b
+    }
