@@ -44,6 +44,12 @@ def _registry() -> tuple[dict, dict]:
         modules.append(_text)
     except ImportError:
         pass
+    try:
+        from cdc_streamming___v2_spark.operators import event_windows as _ew
+
+        modules.append(_ew)
+    except ImportError:
+        pass
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

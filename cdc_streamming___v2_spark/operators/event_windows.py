@@ -1,0 +1,143 @@
+"""Batch twins of the streaming window operators (oracle-checkable).
+
+Same window semantics as streaming/windows.py, computed over the batch
+``events`` table so DuckDB can verify values: tumbling via F.window ≡
+time_bucket, sliding via the 2-offset expansion, sessionization via the
+lag/gaps-and-islands construction (identical window-function SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour tumbling windows: counts + sums per event_type.
+
+    Spark's window() aligns to the 1970 epoch; DuckDB's time_bucket to
+    2000-01-01 — identical boundaries for divisors of 24h.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12h windows sliding every 6h (each event lands in exactly 2)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "12 hours", "6 hours"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gaps-and-islands with a 30-minute idle gap.
+
+    lag(ts) per user -> new-session flag -> running sum = session id ->
+    per-session aggregates. Identical construction in the SQL oracle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_s = SESSION_GAP_MIN * 60
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLES = {
+    "tumbling_window_agg": """
+        SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP) AS win_start,
+               event_type,
+               count(*)              AS n_events,
+               round(sum(value), 2)  AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "sliding_window_agg": """
+        WITH expanded AS (
+            SELECT CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP)
+                       - k * INTERVAL '6 hours' AS win_start,
+                   value
+            FROM events, unnest([0, 1]) AS t(k)
+        )
+        SELECT win_start,
+               win_start + INTERVAL '12 hours' AS win_end,
+               count(*)             AS n_events,
+               round(avg(value), 2) AS avg_value
+        FROM expanded
+        GROUP BY win_start
+    """,
+    "session_agg": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w
+                             > {SESSION_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+               min(ts)              AS sess_start,
+               max(ts)              AS sess_end,
+               count(*)             AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM sess
+        GROUP BY user_id, sess_id
+    """,
+}
+
+QUERIES = {
+    "tumbling_window_agg": tumbling_window_agg,
+    "sliding_window_agg": sliding_window_agg,
+    "session_agg": session_agg,
+}

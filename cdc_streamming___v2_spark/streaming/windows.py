@@ -1,0 +1,135 @@
+"""Streaming windowed / stateful operators over an events stream.
+
+The reference IMPORTS Beam's windowing-and-trigger machinery but never uses
+it (src/dataflow-cdc-stream.py:2,7 — AfterWatermark, AfterProcessingTime,
+AccumulationMode, AfterCount, Repeatedly, window are all dead imports; see
+SURVEY.md §2.A "unused streaming machinery"). This module makes that
+gestured-at surface real on Structured Streaming.
+
+Every function takes an events streaming DataFrame
+(event_id, ts:timestamp, user_id, event_type, value, props) and returns a
+transformed streaming DataFrame — composition stays declarative so the
+incremental planner handles state stores, watermark advancement, and late
+data. Batch twins with DuckDB oracles live in operators/event_windows.py.
+
+Scale: windowed aggs shuffle on (window, key) into the state store; the
+watermark bounds state size — without it a 100 TB stream's state grows
+unboundedly. session_window + flatMapGroupsWithState shard by key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window event counts + value sums per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    width: str = "12 hours",
+    slide: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window rolling average of event values."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` idle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """At-least-once -> effectively-once: drop replayed event_ids within the
+    watermark horizon (bounded state). This is the dedup the reference's
+    WRITE_APPEND path lacks (SURVEY.md §4 'delivery semantics')."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+RUNNING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total, emitted every micro-batch (update mode)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -1,0 +1,174 @@
+"""Streaming window/stateful operator tests: drive each streaming query to
+completion with availableNow + memory sink and compare against the batch
+equivalent computed on the same data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_streamming___v2_spark.sources.tables import load_table
+from cdc_streamming___v2_spark.streaming import windows as W
+
+from .conftest import SF_SMALL
+
+_qname_counter = [0]
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """File streaming source needs a directory: symlink events.parquet in."""
+    d = tmp_path_factory.mktemp("events_stream")
+    os.symlink(
+        os.path.join(SF_SMALL, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return str(d)
+
+
+def _stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    s = spark.readStream.schema(schema).parquet(events_dir)
+    return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run(df, mode="append"):
+    _qname_counter[0] += 1
+    name = f"out_{_qname_counter[0]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def _batch_events(spark):
+    return load_table(spark, SF_SMALL, "events")
+
+
+def test_tumbling_counts_matches_batch(spark, events_dir):
+    name = _run(W.tumbling_counts(_stream(spark, events_dir)))
+    got = {
+        (r.win_start, r.event_type): (r.n_events, round(r.sum_value, 2))
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    # append mode emits only windows SEALED by the final watermark
+    # (max_ts - 1h); later windows correctly remain in state
+    import datetime as dt
+
+    max_ts = _batch_events(spark).agg(F.max("ts")).first()[0]
+    horizon = max_ts - dt.timedelta(hours=1)
+    want = {
+        (r.start, r.event_type): (r.n, round(r.s, 2))
+        for r in _batch_events(spark)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .select(
+            F.col("w.start").alias("start"),
+            F.col("w.end").alias("end"),
+            "event_type",
+            "n",
+            "s",
+        )
+        .collect()
+        if r.end <= horizon
+    }
+    assert got == want and len(got) > 0
+
+
+def _horizon(spark, wm_hours=1):
+    import datetime as dt
+
+    max_ts = _batch_events(spark).agg(F.max("ts")).first()[0]
+    return max_ts - dt.timedelta(hours=wm_hours)
+
+
+def test_sliding_avg_two_windows_per_event(spark, events_dir):
+    name = _run(W.sliding_avg(_stream(spark, events_dir)))
+    rows = spark.sql(f"select * from {name}").collect()
+    horizon = _horizon(spark)
+    # every emitted window is sealed, and every event in a sealed window is
+    # counted twice (12h window, 6h slide)
+    assert len(rows) > 0
+    assert all(r.win_end <= horizon for r in rows)
+    # sanity: counts are consistent with batch for one fully-covered window
+    w0 = min(rows, key=lambda r: r.win_start)
+    batch_n = (
+        _batch_events(spark)
+        .filter((F.col("ts") >= w0.win_start) & (F.col("ts") < w0.win_end))
+        .count()
+    )
+    assert w0.n_events == batch_n
+
+
+def test_session_counts_streaming(spark, events_dir):
+    name = _run(W.session_counts(_stream(spark, events_dir)))
+    rows = spark.sql(f"select * from {name}").collect()
+    assert len(rows) > 0
+    horizon = _horizon(spark)
+    # only sealed sessions are emitted, bounds consistent, no user twice
+    # for overlapping spans
+    for r in rows:
+        assert r.sess_start <= r.sess_end <= horizon
+    # emitted sessions match the batch gaps-and-islands construction
+    from cdc_streamming___v2_spark.operators.event_windows import session_agg
+
+    import datetime as dt
+
+    gap = dt.timedelta(minutes=30)
+    batch = {
+        (r.user_id, r.sess_start, r.n_events, round(r.sum_value, 2))
+        for r in session_agg(spark, SF_SMALL).collect()
+        if r.sess_end + gap <= horizon
+    }
+    got = {
+        (r.user_id, r.sess_start, r.n_events, round(r.sum_value, 2))
+        for r in rows
+    }
+    assert got == batch
+
+
+def test_dedup_stream_drops_replays(spark, tmp_path, events_dir):
+    """Write the same file twice under different names -> replayed ids must
+    be dropped by dropDuplicatesWithinWatermark."""
+    import shutil
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    src = os.path.join(SF_SMALL, "events.parquet")
+    # materialize the symlink target as real files so both copies differ by name
+    shutil.copyfile(src, d / "a.parquet")
+    shutil.copyfile(src, d / "b.parquet")
+    schema = spark.read.parquet(str(d)).schema
+    s = (
+        spark.readStream.schema(schema)
+        .parquet(str(d))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    name = _run(W.dedup_stream(s))
+    n = spark.sql(f"select count(distinct event_id) c, count(*) n from {name}").first()
+    total = _batch_events(spark).count()
+    assert n.n == total  # each id exactly once despite double input
+    assert n.c == total
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    name = _run(W.running_user_totals(_stream(spark, events_dir)), mode="update")
+    rows = spark.sql(
+        f"select user_id, max(n_events) n, max(total_value) t from {name} group by user_id"
+    ).collect()
+    batch = {
+        r.user_id: (r.n, round(r.t, 2))
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    got = {r.user_id: (r.n, round(r.t, 2)) for r in rows}
+    assert got == batch
