@@ -27,6 +27,12 @@ def _registry() -> tuple[dict, dict]:
 
     modules = [scd2_queries, relational]
     try:  # optional modules appear as they land
+        from cdc_streamming___v2_spark.operators import relational_ext as _rext
+
+        modules.append(_rext)
+    except ImportError:
+        pass
+    try:
         from cdc_streamming___v2_spark.operators import dedup as _dedup
 
         modules.append(_dedup)

@@ -1,0 +1,600 @@
+"""Extended relational surface: adapted TPC-H shapes + scalar-function tiers.
+
+Continues operators/relational.py (same parity discipline: identical aliases,
+round() on float aggregates, BIGINT casts, deterministic LIMIT orders). The
+testdata is trimmed TPC-H (no partsupp, no comment/commitdate/shipmode
+columns — FIXTURES.md), so the classic queries are adapted to the columns
+that exist while keeping their plan shapes: correlated EXISTS (q4), 2-nation
+volume join (q7), top-k join agg (q10), outer-join distribution (q13),
+conditional-ratio agg (q14), correlated scalar subquery (q17), HAVING on a
+fact rollup (q18), disjunctive join predicates (q19), scalar subquery +
+anti join (q22), plus CUBE / GROUPING SETS / PIVOT and the math / array
+scalar-function tiers (SURVEY.md §2.B rows "math", "array/map").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, dot
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- adapted TPC-H join/subquery shapes --------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: orders (1996 H1) with a lineitem shipped >60 days
+    after the order date, counted by priority.
+
+    Scale: left-semi join shuffles both sides on orderkey once; the date
+    predicate rides inside the join condition so no second pass.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-nation bidirectional volume: revenue between NATION_1 and NATION_2
+    by (supp_nation, cust_nation, ship year).
+
+    Scale: nation is broadcast twice under different aliases; the 3 fact
+    joins shuffle on orderkey/custkey/suppkey; the disjunctive nation-pair
+    predicate is applied post-join on broadcast columns (cheap).
+    """
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by lost revenue on returned items (flag 'R') for
+    orders placed in 1996 Q1, with nation name.
+
+    Scale: TakeOrderedAndProject for the limit; nation broadcast; filters
+    pushed below both shuffle joins.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # exact decimal sum + explicit round(): order-independent and
+            # half-up on the true value in both engines (a decimal downcast
+            # would truncate in DuckDB but round in Spark)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count distribution: for each order count, how many customers
+    have it (customers with zero orders included via LEFT join).
+
+    Scale: two aggregations; the first shuffles on custkey, the second on
+    the (tiny-cardinality) count value — AQE coalesces its partitions.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_custs"))
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share (conditional-sum ratio) for Jan 1996 shipments."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                2,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: yearly revenue lost to small orders —
+    lineitems of Brand#11 parts with quantity < 20% of that part's average.
+
+    Scale: expressed as per-part agg + equi-join (the decorrelated plan a
+    good optimizer produces); both sides shuffle on partkey once.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li = _t(spark, sf_dir, "lineitem")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING on a fact rollup: orders whose total quantity exceeds 300,
+    with customer and order attributes.
+
+    Scale: the HAVING agg collapses lineitem before the joins — the join
+    input is only the qualifying orderkeys (tiny), which AQE then
+    broadcasts.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of conjunctive brand/size/quantity bands over the
+    part-lineitem join (Catalyst extracts the common partkey equi-key;
+    the OR residual evaluates post-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bands)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + anti join: customers with above-average (positive)
+    balance and no orders in 1997 Q1, summarized per market segment.
+    (The synthetic data gives every customer lifetime orders, so the anti
+    join is date-restricted to stay a meaningful shape.)
+
+    Scale: the scalar average is a 1-row agg broadcast into the filter;
+    the anti join shuffles on custkey, with the date filter pushed to the
+    orders scan so the build side is one quarter of the fact.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# --- grouping-sets machinery -------------------------------------------------
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations of (status, priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: (flag), (status), () — sub-cube selection."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: quantity sums per linestatus with returnflag as columns
+    (explicit value list keeps the schema static for planning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"A": "qty_a", "N": "qty_n", "R": "qty_r"})
+    )
+
+
+# --- scalar function tiers ---------------------------------------------------
+
+
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/sqrt/floor/ceil/mod/ln over supplier balances."""
+    s = _t(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.round(F.abs(bal), 2).alias("abs_bal"),
+        F.round(F.sqrt(F.abs(bal)), 4).alias("sqrt_bal"),
+        F.floor(bal).cast("long").alias("floor_bal"),
+        F.ceil(bal).cast("long").alias("ceil_bal"),
+        (F.col("s_suppkey") % 7).cast("long").alias("mod7"),
+        F.round(F.log(F.lit(1.0) + F.abs(bal)), 4).alias("ln_bal"),
+    )
+
+
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over embeddings: size / element_at / aggregate-based
+    L2 norm / array_max — all JVM-side lambda expressions, no UDF."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(v, 1), 4).alias("first_val"),
+        F.round(F.sqrt(dot(v, v)), 4).alias("l2_norm"),
+        F.round(F.array_max(v), 4).alias("max_val"),
+    )
+
+
+def union_all_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two heterogeneous projections + downstream agg."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").alias("bal"), F.lit("customer").alias("role")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("bal"), F.lit("supplier").alias("role")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("role")
+        .agg(
+            F.count("*").alias("n_accounts"),
+            F.round(F.sum("bal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# --- embedding near-dup (dedup tier, embedding-cosine variant) ---------------
+
+NEAR_DUP_THRESHOLD = 0.40
+NEAR_DUP_MAX_ID = 500  # self-join restricted to a fixed prefix of the corpus
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.40) over the first
+    500 vectors.
+
+    Scale: the demo bound keeps the O(N^2) self-join testable; the scale
+    path for the full corpus is the LSH bucketing in similarity.py
+    (ann_lsh_topk) — bucket-equi-join instead of cross join, identical
+    scoring expression.
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < NEAR_DUP_MAX_ID)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+    )
+    b = e.select(F.col("vec_id").alias("vec_id2"), F.col("v").alias("v2"))
+    return (
+        e.join(F.broadcast(b), F.col("vec_id") < F.col("vec_id2"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v"), F.col("v2")), 4))
+        .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+        .select("vec_id", "vec_id2", "cos_sim")
+    )
+
+
+# --- registries --------------------------------------------------------------
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_effect": q14_promo_effect,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_join": q19_disjunctive_join,
+    "q22_prospect_customers": q22_prospect_customers,
+    "cube_agg": cube_agg,
+    "grouping_sets_agg": grouping_sets_agg,
+    "pivot_agg": pivot_agg,
+    "math_funcs": math_funcs,
+    "array_funcs": array_funcs,
+    "union_all_agg": union_all_agg,
+    "embedding_near_dup": embedding_near_dup,
+}
+
+ORACLES = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL '60 days')
+        GROUP BY o_orderpriority
+    """,
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue,
+               round(max(c_acctbal), 2) AS c_acctbal
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q13_customer_distribution": """
+        SELECT n_orders, count(*) AS n_custs
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY n_orders
+    """,
+    "q14_promo_effect": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+    "q17_small_qty_revenue": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part ON l.l_partkey = p_partkey
+        WHERE p_brand = 'Brand#11'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM lineitem li
+              WHERE li.l_partkey = l.l_partkey)
+    """,
+    "q18_large_orders": """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 300
+        )
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_disjunctive_join": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_prospect_customers": """
+        SELECT c_mktsegment,
+               count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= TIMESTAMP '1997-01-01'
+                            AND o_orderdate <  TIMESTAMP '1997-04-01')
+        GROUP BY c_mktsegment
+    """,
+    "cube_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "grouping_sets_agg": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "pivot_agg": """
+        SELECT l_linestatus,
+               round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+               round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+               round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+    "math_funcs": """
+        SELECT s_suppkey,
+               round(abs(s_acctbal), 2)            AS abs_bal,
+               round(sqrt(abs(s_acctbal)), 4)      AS sqrt_bal,
+               CAST(floor(s_acctbal) AS BIGINT)    AS floor_bal,
+               CAST(ceil(s_acctbal)  AS BIGINT)    AS ceil_bal,
+               CAST(s_suppkey % 7    AS BIGINT)    AS mod7,
+               round(ln(1.0 + abs(s_acctbal)), 4)  AS ln_bal
+        FROM supplier
+    """,
+    "array_funcs": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id,
+               CAST(len(v) AS BIGINT)  AS dim,
+               round(v[1], 4)          AS first_val,
+               round(sqrt(list_dot_product(v, v)), 4) AS l2_norm,
+               round(list_max(v), 4)   AS max_val
+        FROM e
+    """,
+    "union_all_agg": """
+        SELECT role, count(*) AS n_accounts, round(sum(bal), 2) AS total_bal
+        FROM (
+            SELECT c_acctbal AS bal, 'customer' AS role FROM customer
+            UNION ALL
+            SELECT s_acctbal AS bal, 'supplier' AS role FROM supplier
+        )
+        GROUP BY role
+    """,
+    "embedding_near_dup": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE vec_id < {NEAR_DUP_MAX_ID})
+        SELECT a.vec_id, b.vec_id AS vec_id2,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 4)
+              >= {NEAR_DUP_THRESHOLD}
+    """,
+}
