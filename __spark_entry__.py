@@ -33,6 +33,12 @@ def _registry() -> tuple[dict, dict]:
     except ImportError:
         pass
     try:
+        from cdc_streamming___v2_spark.operators import temporal as _temporal
+
+        modules.append(_temporal)
+    except ImportError:
+        pass
+    try:
         from cdc_streamming___v2_spark.operators import dedup as _dedup
 
         modules.append(_dedup)

@@ -1,0 +1,228 @@
+"""Temporal join operators + statistics tier (SURVEY.md §2.B additions).
+
+Spark has no native AS-OF or interval-range join, so both are built from
+shuffle-friendly primitives (the "custom operator as a composition of
+DataFrame ops" path):
+
+* **as-of join** — the union+window construction: tag both sides, union,
+  one window per key ordered by (ts, side), ``last(..., ignorenulls)``
+  carries the most recent right-side row forward. ONE shuffle on the key,
+  no range explosion, no skew amplification — this is the plan that holds
+  at 100 TB (both sides hash-partition on user_id once; the window sort is
+  per-partition).
+* **range join** — coarse time-bucketing: each probe row explodes to the
+  2 buckets its window can touch, equi-join on (key, bucket), exact range
+  predicate as a residual filter. Turns an O(N·M) theta join into an
+  equi-join Catalyst can hash — the standard interval-join decomposition
+  (same trick Flink's interval join and DuckDB's ASOF planner use).
+
+The reference has no joins at all (SURVEY.md §2.B "Joins: Absent"); these
+are [DRIVER]-tier operators over the ``events`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+RANGE_BUCKET_S = 600  # 10-minute buckets == the range width (2-bucket probe)
+
+
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF LEFT JOIN: each ``purchase`` event paired with the same user's
+    most recent ``view`` event at-or-before it (inclusive, DuckDB ASOF
+    semantics).
+
+    Right side is first deduped to one row per (user_id, ts) keeping the
+    max event_id, so ties are deterministic in both engines. At equal
+    timestamps the view sorts before the purchase (is_left ASC) to honor
+    the inclusive bound.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+
+    left = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        "event_id",
+        "value",
+        F.lit(None).cast("long").alias("v_id"),
+        F.lit(None).cast("double").alias("v_value"),
+    )
+    right = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("event_id").alias("v_id"),
+        F.col("value").alias("v_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        left.unionByName(right)
+        .withColumn("view_event_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn(
+            "view_ts",
+            F.last(
+                F.when(F.col("is_left") == 0, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .withColumn("view_value", F.last("v_value", ignorenulls=True).over(w))
+    )
+    return filled.filter(F.col("is_left") == 1).select(
+        "event_id", "user_id", "ts", "value", "view_event_id", "view_ts", "view_value"
+    )
+
+
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-range join: per ``error`` event, the count of the same
+    user's ``click`` events in the preceding 10 minutes ``[ts-10m, ts)``.
+
+    Probe side explodes to the 2 coarse buckets its window spans; build
+    side keeps its single bucket, so the match is a plain equi-join on
+    (user_id, bucket) with the exact range as a residual — and no click
+    can match twice (one bucket per click). Zero-match errors are kept by
+    a final left join against the probe table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    b0 = F.floor(F.col("ts").cast("double") / RANGE_BUCKET_S).cast("long")
+    probe = errors.withColumn("bucket", F.explode(F.array(b0 - 1, b0)))
+    build = clicks.withColumn(
+        "bucket", F.floor(F.col("c_ts").cast("double") / RANGE_BUCKET_S).cast("long")
+    )
+    matched = (
+        probe.join(build, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") < F.col("ts"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return errors.join(matched, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_clicks_10m"),
+    )
+
+
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate tier per return flag: sample stddev/variance,
+    correlation, sample covariance, exact interpolated percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+SAMPLE_MOD = 20  # 5% systematic sample
+
+
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-20 systematic sample of orders (key mod 20) with
+    a Horvitz-Thompson-style scaled revenue estimate per status.
+
+    Key-mod sampling is reproducible across engines and cluster sizes
+    (unlike TABLESAMPLE, whose row selection is partition-dependent);
+    the predicate pushes to the parquet scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % SAMPLE_MOD == 0
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 2).alias("sample_revenue"),
+        F.round(F.sum("o_totalprice") * SAMPLE_MOD, 2).alias("est_revenue"),
+    )
+
+
+QUERIES = {
+    "asof_join_purchase_view": asof_join_purchase_view,
+    "range_join_error_clicks": range_join_error_clicks,
+    "stats_agg": stats_agg,
+    "systematic_sample": systematic_sample,
+}
+
+ORACLES = {
+    "asof_join_purchase_view": """
+        WITH v AS (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view'
+        ),
+        vd AS (SELECT user_id, ts, event_id, value FROM v WHERE rn = 1),
+        p AS (SELECT event_id, user_id, ts, value
+              FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               vd.event_id AS view_event_id,
+               vd.ts       AS view_ts,
+               vd.value    AS view_value
+        FROM p ASOF LEFT JOIN vd
+          ON p.user_id = vd.user_id AND p.ts >= vd.ts
+    """,
+    "range_join_error_clicks": """
+        WITH a AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'error'),
+             b AS (SELECT user_id, ts AS c_ts FROM events
+                   WHERE event_type = 'click')
+        SELECT a.event_id, a.user_id, a.ts,
+               count(b.c_ts) AS n_clicks_10m
+        FROM a LEFT JOIN b
+          ON a.user_id = b.user_id
+         AND b.c_ts >= a.ts - INTERVAL '10 minutes'
+         AND b.c_ts <  a.ts
+        GROUP BY a.event_id, a.user_id, a.ts
+    """,
+    "stats_agg": """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(stddev_samp(l_quantity), 4)  AS std_qty,
+               round(var_samp(l_quantity), 4)     AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               round(quantile_cont(l_quantity, 0.5), 4)          AS median_qty,
+               round(quantile_cont(l_extendedprice, 0.95), 4)    AS p95_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "systematic_sample": f"""
+        SELECT o_orderstatus,
+               count(*) AS n_sampled,
+               round(sum(o_totalprice), 2) AS sample_revenue,
+               round(sum(o_totalprice) * {SAMPLE_MOD}, 2) AS est_revenue
+        FROM orders
+        WHERE o_orderkey % {SAMPLE_MOD} = 0
+        GROUP BY o_orderstatus
+    """,
+}
