@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.texts import md5_hash_long, normalized, word_shingles, words
 from ..functions.vectors import as_double, cosine
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 
 MINHASH_K = 16
 MINHASH_BANDS = 4
@@ -72,7 +72,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: ~50 shingle hashes per doc serialise on one core otherwise
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
     )
@@ -163,31 +164,25 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify ONLY candidate pairs (never all-pairs — that's the point of
-    # the banding): shingle sets are joined through the candidate list.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
-    common = (
-        cand.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("s_a") == F.col("s_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
+    # the banding): per-doc shingle SETS joined to the candidate list, with
+    # the intersection computed JVM-side via array_intersect. One agg + two
+    # doc-keyed joins, vs. re-exploding shingles into a pairwise shuffle
+    # join — far fewer shuffled rows when candidates ≪ shingles.
+    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
     verified = (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a")),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b")),
             "doc_b",
         )
+        .withColumn("common", F.size(F.array_intersect("ss_a", "ss_b")))
         .withColumn(
             "jaccard",
-            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+            F.col("common")
+            / (F.size("ss_a") + F.size("ss_b") - F.col("common")),
         )
     )
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(

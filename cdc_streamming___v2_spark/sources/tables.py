@@ -20,6 +20,7 @@ from .. import TABLES
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -36,6 +37,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small single-file scan across the cluster before per-row
+    compute that dwarfs the scan cost (shingling: ~50 hashes/row).
+
+    A tiny parquet file arrives as ONE partition, serializing downstream
+    work onto one core. Gate on scan-reported input files/size so the
+    repartition only fires for under-partitioned scans — at real scale the
+    scan already carries >= parallelism splits and this is a no-op (no
+    extra shuffle on the 100 TB path).
+    """
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files and len(files) < max(2, parallelism // 4):
+        return df.repartition(parallelism)
     return df
 
 
