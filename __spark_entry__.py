@@ -22,46 +22,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return scd2_latest_state(spark, "/root/testdata/sf0.001")
 
 
+_OPTIONAL_MODULES = (
+    "relational_ext",
+    "temporal",
+    "dedup",
+    "similarity",
+    "text_analysis",
+    "event_windows",
+    "multimodal",
+)
+
+
 def _registry() -> tuple[dict, dict]:
+    import importlib
+
     from cdc_streamming___v2_spark.operators import relational, scd2_queries
 
     modules = [scd2_queries, relational]
-    try:  # optional modules appear as they land
-        from cdc_streamming___v2_spark.operators import relational_ext as _rext
-
-        modules.append(_rext)
-    except ImportError:
-        pass
-    try:
-        from cdc_streamming___v2_spark.operators import temporal as _temporal
-
-        modules.append(_temporal)
-    except ImportError:
-        pass
-    try:
-        from cdc_streamming___v2_spark.operators import dedup as _dedup
-
-        modules.append(_dedup)
-    except ImportError:
-        pass
-    try:
-        from cdc_streamming___v2_spark.operators import similarity as _sim
-
-        modules.append(_sim)
-    except ImportError:
-        pass
-    try:
-        from cdc_streamming___v2_spark.operators import text_analysis as _text
-
-        modules.append(_text)
-    except ImportError:
-        pass
-    try:
-        from cdc_streamming___v2_spark.operators import event_windows as _ew
-
-        modules.append(_ew)
-    except ImportError:
-        pass
+    for name in _OPTIONAL_MODULES:  # optional modules appear as they land
+        try:
+            modules.append(
+                importlib.import_module(
+                    f"cdc_streamming___v2_spark.operators.{name}"
+                )
+            )
+        except ImportError:
+            pass
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}

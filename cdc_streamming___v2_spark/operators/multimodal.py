@@ -142,3 +142,76 @@ def sample_frames(decoded: DataFrame, every_nth: int = 5) -> DataFrame:
         decoded.filter(F.col("kind") == "video")
         .select("media_id", F.explode(frames).alias("frame_idx"))
     )
+
+
+# --- driver-surface query (oracle-checked end to end) ------------------------
+
+
+def multimodal_decode(spark, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline as one plan: synthesize binary media from
+    documents -> Arrow-batched mapInPandas decode -> resize plan ->
+    frame-sampling counts.
+
+    Oracle-checkable because the fake decoder is sha256-byte arithmetic,
+    which DuckDB reproduces exactly — so the mapInPandas plumbing (schema,
+    Arrow batch shapes, binary columns) is verified by value, not just
+    smoke-tested.
+    """
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = decode_media(synthesize_media(docs), "fake")
+    rs = resize_spec(dec, 64)
+    frames = (
+        sample_frames(dec, 5)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_kept_frames"))
+    )
+    return (
+        dec.select(
+            "media_id",
+            "kind",
+            "width",
+            "height",
+            "n_frames",
+            F.size("features").alias("n_features"),
+        )
+        .join(rs.select("media_id", "scale", "out_width", "out_height"), "media_id")
+        .join(frames, "media_id", "left")
+        .withColumn(
+            "n_kept_frames", F.coalesce("n_kept_frames", F.lit(0)).cast("long")
+        )
+    )
+
+
+ORACLES = {
+    "multimodal_decode": f"""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+                   sha256(text) AS hx
+            FROM documents
+        ),
+        d AS (
+            SELECT media_id, kind,
+                   16 + CAST('0x' || substr(hx, 1, 2) AS INT) % 240 AS width,
+                   16 + CAST('0x' || substr(hx, 3, 2) AS INT) % 240 AS height,
+                   1  + CAST('0x' || substr(hx, 5, 2) AS INT) % 30  AS n_frames
+            FROM m
+        )
+        SELECT media_id, kind, width, height, n_frames,
+               CAST({FEATURE_DIM} AS INT) AS n_features,
+               round(least(1.0, 64.0 / greatest(width, height)), 4) AS scale,
+               CAST(ceil(width  * least(1.0, 64.0 / greatest(width, height)))
+                    AS INT) AS out_width,
+               CAST(ceil(height * least(1.0, 64.0 / greatest(width, height)))
+                    AS INT) AS out_height,
+               CAST(CASE WHEN kind = 'video' THEN (n_frames - 1) // 5 + 1
+                         ELSE 0 END AS BIGINT) AS n_kept_frames
+        FROM d
+    """,
+}
+
+QUERIES = {
+    "multimodal_decode": multimodal_decode,
+}

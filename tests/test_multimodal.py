@@ -62,3 +62,17 @@ def test_sample_frames_only_videos(spark):
     kinds = dec.filter(F.col("kind") == "video").count()
     assert frames.select("media_id").distinct().count() == kinds
     assert frames.filter(F.col("frame_idx") % 5 != 0).count() == 0
+
+
+def test_multimodal_decode_query(spark):
+    from .conftest import SF_SMALL
+
+    rows = M.multimodal_decode(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert r.n_features == M.FEATURE_DIM
+        assert max(r.out_width, r.out_height) <= 64
+        if r.kind == "video":
+            assert r.n_kept_frames == (r.n_frames - 1) // 5 + 1
+        else:
+            assert r.n_kept_frames == 0
