@@ -376,6 +376,40 @@ def union_all_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended window-function tier: ntile quartiles, percent_rank,
+    cume_dist, lead, and a 3-row moving average — one window spec, unique
+    total order (acctbal, custkey) so every engine agrees on frames."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.lead("c_acctbal", 1).over(w), 2).alias("next_bal"),
+        F.round(F.avg("c_acctbal").over(w.rowsBetween(-2, 0)), 2).alias("mavg3"),
+    )
+
+
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + string-manipulation tier over part attributes."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), r"^(\S+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("no_vowels"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse(F.col("p_brand")).alias("rev_brand"),
+        F.instr(F.col("p_name"), "o").cast("long").alias("pos_o"),
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+    )
+
+
 # --- embedding near-dup (dedup tier, embedding-cosine variant) ---------------
 
 NEAR_DUP_THRESHOLD = 0.40
@@ -424,6 +458,8 @@ QUERIES = {
     "array_funcs": array_funcs,
     "union_all_agg": union_all_agg,
     "embedding_near_dup": embedding_near_dup,
+    "window_ntile_dist": window_ntile_dist,
+    "regex_funcs": regex_funcs,
 }
 
 ORACLES = {
@@ -583,6 +619,31 @@ ORACLES = {
             SELECT s_acctbal AS bal, 'supplier' AS role FROM supplier
         )
         GROUP BY role
+    """,
+    "window_ntile_dist": """
+        SELECT c_custkey, c_mktsegment,
+               round(c_acctbal, 2) AS acctbal,
+               ntile(4)       OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist()    OVER w, 6) AS cume,
+               round(lead(c_acctbal, 1) OVER w, 2) AS next_bal,
+               round(avg(c_acctbal) OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_acctbal ASC, c_custkey ASC
+                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                     2) AS mavg3
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    "regex_funcs": """
+        SELECT p_partkey,
+               regexp_extract(p_name, '^(\\S+)', 1)          AS first_word,
+               regexp_replace(p_name, '[aeiou]', '', 'g')    AS no_vowels,
+               lpad(CAST(p_partkey AS VARCHAR), 8, '0')      AS key_padded,
+               reverse(p_brand)                              AS rev_brand,
+               CAST(strpos(p_name, 'o') AS BIGINT)           AS pos_o,
+               starts_with(p_type, 'PROMO')                  AS is_promo
+        FROM part
     """,
     "embedding_near_dup": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
