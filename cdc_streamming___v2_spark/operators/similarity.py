@@ -175,6 +175,85 @@ _COS = (
     "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))"
 )
 
+_TOPK_TAIL = f"""
+        SELECT query_id, vec_id, cos_sim, rank FROM (
+            SELECT query_id, vec_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+            FROM pairs
+        ) WHERE rank <= {TOP_K}
+"""
+
+
+def _lsh_oracle() -> str:
+    """The LSH pipeline in SQL: same hyperplane literals, same bit/bucket
+    arithmetic, same multi-probe XOR neighborhood — the approximate path is
+    deterministic, so it hash-checks like an exact query."""
+    planes = _hyperplanes(LSH_PLANES, EMBED_DIM)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p!r}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    masks = _probe_masks(LSH_PLANES, LSH_PROBE_BITS)
+    probes = ", ".join(f"xor(qbucket, {m})" for m in masks)
+    return f"""
+        WITH eb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   {bucket} AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv,
+                   unnest([{probes}]) AS bucket
+            FROM (SELECT vec_id, v, bucket AS qbucket FROM eb
+                  WHERE vec_id < {N_QUERIES})
+        ),
+        pairs AS (
+            SELECT DISTINCT q.query_id, e.vec_id, round({_COS}, 4) AS cos_sim
+            FROM eb e JOIN q ON e.bucket = q.bucket
+            WHERE e.vec_id <> q.query_id
+        )
+        {_TOPK_TAIL}
+    """
+
+
+def _ivf_oracle() -> str:
+    """IVF in SQL: per-label element-wise-mean centroids, nearest-cell
+    ranking, probe top cells, exact scoring inside probed cells."""
+    ccos = (
+        "list_dot_product(q.qv, c.cv) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        cent AS (
+            SELECT label, list(cx ORDER BY dim) AS cv
+            FROM (SELECT label, i AS dim, avg(v[i]) AS cx
+                  FROM e, generate_series(1, {EMBED_DIM}) AS t(i)
+                  GROUP BY label, i)
+            GROUP BY label
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < {N_QUERIES}),
+        qc AS (
+            SELECT query_id, qv, label FROM (
+                SELECT q.query_id, q.qv, c.label,
+                       row_number() OVER (PARTITION BY q.query_id
+                                          ORDER BY {ccos} DESC, c.label ASC)
+                           AS crank
+                FROM q CROSS JOIN cent c
+            ) WHERE crank <= {IVF_PROBES}
+        ),
+        pairs AS (
+            SELECT q.query_id, e.vec_id, round({_COS}, 4) AS cos_sim
+            FROM e JOIN qc q ON e.label = q.label
+            WHERE e.vec_id <> q.query_id
+        )
+        {_TOPK_TAIL}
+    """
+
+
 ORACLES = {
     "cosine_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -184,15 +263,10 @@ ORACLES = {
             FROM e CROSS JOIN q
             WHERE e.vec_id <> q.query_id
         )
-        SELECT query_id, vec_id, cos_sim, rank FROM (
-            SELECT query_id, vec_id, cos_sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos_sim DESC, vec_id ASC) AS rank
-            FROM pairs
-        ) WHERE rank <= {TOP_K}
+        {_TOPK_TAIL}
     """,
-    # ann_lsh_topk / ann_ivf_topk: approximate → no SQL oracle (rows-only);
-    # recall vs the exact result is asserted in tests/test_similarity.py.
+    "ann_lsh_topk": _lsh_oracle(),
+    "ann_ivf_topk": _ivf_oracle(),
 }
 
 QUERIES = {
