@@ -30,6 +30,7 @@ _OPTIONAL_MODULES = (
     "text_analysis",
     "event_windows",
     "multimodal",
+    "cdc_batch",
 )
 
 

@@ -1,0 +1,138 @@
+"""Batch-mode, oracle-checked exercises of the CDC envelope path and the
+SQL entry point.
+
+``cdc_envelope_roundtrip`` drives the SAME parse machinery the streaming
+ingest uses (sources/cdc_schema.parse_envelope — get_json_object envelope
+extraction, per-route from_json payload decode, reference ops 6-8 of
+SURVEY.md §2.A) but synthesizes the envelope lines in-plan with to_json,
+so the whole serialize -> parse -> route -> aggregate pipeline is one
+DataFrame plan DuckDB can verify: the oracle computes the expected result
+straight from the source table, which checks parse(serialize(x)) == x by
+value. DELETE rows carry a blanked payload (key only), reproducing the
+reference's blank-row delete semantics (src/dataflow-cdc-stream.py:68,
+README.md:57).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.cdc_schema import parse_envelope
+from ..sources.tables import load_table, register_views
+
+_ACTIONS = ("INSERT", "UPDATE-INSERT", "DELETE")
+
+_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> Datastream envelope JSON lines -> parse_envelope ->
+    routed payload decode -> per-action rollup.
+
+    Action is derived from the key (okey % 3) so the synthesis is
+    deterministic; DELETE payloads are blanked to the key column only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    action = F.element_at(
+        F.array(*[F.lit(a) for a in _ACTIONS]),
+        (F.col("o_orderkey") % 3 + 1).cast("int"),
+    )
+    is_delete = F.col("o_orderkey") % 3 == 2
+    blank = F.lit(None)
+    lines = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("orders_feed").alias("object"),
+                F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ssXXX").alias(
+                    "source_timestamp"
+                ),
+                F.struct(action.alias("change_type")).alias("source_metadata"),
+                F.struct(
+                    F.col("o_orderkey"),
+                    F.when(is_delete, blank).otherwise(F.col("o_custkey")).alias(
+                        "o_custkey"
+                    ),
+                    F.when(is_delete, blank)
+                    .otherwise(F.col("o_orderstatus"))
+                    .alias("o_orderstatus"),
+                    F.when(is_delete, blank)
+                    .otherwise(F.col("o_totalprice"))
+                    .alias("o_totalprice"),
+                ).alias("payload"),
+            )
+        ).alias("value")
+    )
+    parsed = parse_envelope(lines)
+    routed = parsed.filter(F.col("object") == "orders_feed").select(
+        "action",
+        F.to_timestamp("update_date_raw").alias("update_date"),
+        F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
+def sql_api_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: identical relational engine via spark.sql over
+    registered views (CTE + outer join + agg), proving the surface is not
+    DataFrame-API-only."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH cnt AS (
+            SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(sum(coalesce(n, 0)) AS BIGINT) AS total_orders,
+               count(*) AS n_custs
+        FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+QUERIES = {
+    "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
+    "sql_api_cte": sql_api_cte,
+}
+
+ORACLES = {
+    # ground truth straight from the source table — verifies that the JSON
+    # serialize->parse->route pipeline preserved every value exactly
+    "cdc_envelope_roundtrip": """
+        SELECT ['INSERT','UPDATE-INSERT','DELETE'][CAST(o_orderkey % 3 AS INT) + 1]
+                   AS action,
+               count(*) AS n_rows,
+               count(CASE WHEN o_orderkey % 3 <> 2 THEN o_custkey END)
+                   AS n_custkeys,
+               round(sum(CASE WHEN o_orderkey % 3 <> 2 THEN o_totalprice END), 2)
+                   AS revenue,
+               max(o_orderdate) AS last_update
+        FROM orders
+        GROUP BY 1
+    """,
+    "sql_api_cte": """
+        WITH cnt AS (
+            SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+        )
+        SELECT c_mktsegment,
+               CAST(sum(coalesce(n, 0)) AS BIGINT) AS total_orders,
+               count(*) AS n_custs
+        FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+}
