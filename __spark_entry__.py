@@ -31,6 +31,7 @@ _OPTIONAL_MODULES = (
     "event_windows",
     "multimodal",
     "cdc_batch",
+    "merge_ops",
 )
 
 
