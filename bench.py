@@ -25,9 +25,16 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q10_returned_items",
     "top_customers",
     "window_rank_lag",
     "json_funcs",
+    "asof_join_purchase_view",
+    "range_join_error_clicks",
+    "cdc_envelope_roundtrip",
+    "cdc_merge_apply",
+    "skew_salted_join",
+    "multimodal_decode",
     "dedup_exact",
     "minhash_near_dup",
     "simhash_fingerprint",
