@@ -410,6 +410,53 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per nation, the sorted list of its supplier keys
+    plus count — sort_array makes the collected order deterministic."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_suppkey")).alias("supp_keys"),
+        F.count("*").alias("n_suppliers"),
+    )
+
+
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: build a map per row, extract by key, count keys
+    (scalar outputs only, so both engines compare values not map reprs)."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "priority").alias("priority_val"),
+        F.size(m).cast("long").alias("n_keys"),
+    )
+
+
+WORD_TOP_N = 25
+
+
+def word_freq_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode word count: top-25 most frequent words across the
+    corpus (deterministic ties via word asc). The classic explode ->
+    groupBy -> TakeOrdered pipeline; partial aggregation keeps the shuffle
+    at distinct-word cardinality, not token count."""
+    from ..functions.texts import words
+    from ..sources.tables import fan_out
+
+    d = fan_out(_t(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(WORD_TOP_N)
+    )
+
+
 # --- embedding near-dup (dedup tier, embedding-cosine variant) ---------------
 
 NEAR_DUP_THRESHOLD = 0.40
@@ -460,6 +507,9 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "window_ntile_dist": window_ntile_dist,
     "regex_funcs": regex_funcs,
+    "array_agg_sorted": array_agg_sorted,
+    "map_funcs": map_funcs,
+    "word_freq_topn": word_freq_topn,
 }
 
 ORACLES = {
@@ -644,6 +694,28 @@ ORACLES = {
                CAST(strpos(p_name, 'o') AS BIGINT)           AS pos_o,
                starts_with(p_type, 'PROMO')                  AS is_promo
         FROM part
+    """,
+    "array_agg_sorted": """
+        SELECT s_nationkey,
+               list_sort(list(s_suppkey)) AS supp_keys,
+               count(*) AS n_suppliers
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+    "map_funcs": """
+        SELECT o_orderkey,
+               o_orderstatus   AS status_val,
+               o_orderpriority AS priority_val,
+               CAST(2 AS BIGINT) AS n_keys
+        FROM orders
+    """,
+    "word_freq_topn": f"""
+        SELECT w, count(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents)
+        GROUP BY w
+        ORDER BY n DESC, w ASC
+        LIMIT {WORD_TOP_N}
     """,
     "embedding_near_dup": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

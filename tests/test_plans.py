@@ -1,0 +1,78 @@
+"""Physical-plan audits: lock in the scale-critical plan properties so a
+refactor that silently drops pushdown, broadcasts, or top-k pushdown fails
+CI — the plan IS the product at 100 TB, not just the row values.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_streamming___v2_spark.operators import relational as R
+from cdc_streamming___v2_spark.operators import relational_ext as RX
+from cdc_streamming___v2_spark.operators import similarity as S
+
+from .conftest import SF_SMALL
+
+
+def _plan(spark, df) -> str:
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def test_q3_filters_reach_scans_and_dims_broadcast(spark):
+    p = _plan(spark, R.q3_shipping_priority(spark, SF_SMALL))
+    # the segment predicate must be INSIDE the parquet scan, not a post-filter
+    assert "PushedFilters" in p and "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q3_column_pruning(spark):
+    p = _plan(spark, R.q3_shipping_priority(spark, SF_SMALL))
+    # customer scan must not read untouched wide columns
+    assert "c_name" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q10_date_range_pushed_and_topk(spark):
+    p = _plan(spark, RX.q10_returned_items(spark, SF_SMALL))
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "TakeOrderedAndProject" in p  # limit+order fused, no global sort
+
+
+def test_topk_never_global_sorts(spark):
+    p = _plan(spark, R.top_customers(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    p = _plan(spark, S.cosine_topk(spark, SF_SMALL))
+    # tiny query side broadcast: corpus must NOT shuffle for the pairing
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_lsh_candidates_are_equi_join(spark):
+    p = _plan(spark, S.ann_lsh_topk(spark, SF_SMALL))
+    # bucketing must produce a hashable equi-join, never a cross product
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # map-side combine: every groupBy must plan partial_* functions below
+    # the exchange (the shuffle carries group cardinality, not row count)
+    for fn in (R.q1_pricing_summary, RX.q13_customer_distribution):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "partial_" in p, fn.__name__
+
+
+def test_scd2_single_shuffle(spark):
+    from cdc_streamming___v2_spark.operators import scd2_queries as SQ
+
+    p = _plan(spark, SQ.scd2_latest_state(spark, SF_SMALL))
+    # one window over one key = exactly one exchange; a second would mean
+    # the filter or projection broke partitioning reuse
+    assert p.count("+- Exchange") + p.count(":- Exchange") == 1
