@@ -45,6 +45,79 @@ HEADLINE = [
 ]
 
 
+def _bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end CDC ingest throughput: envelope NDJSON (synthesized from
+    orders, written untimed) -> streaming parse/route/append via CdcIngest
+    with availableNow. Returns (wall seconds, rows ingested). The reference
+    pays >= 1 GCS schema download + 1 single-row BigQuery load job PER
+    RECORD here (SURVEY.md §4) — this is the headline CDC comparison."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_streamming___v2_spark.sources.registry import SchemaRegistry
+    from cdc_streamming___v2_spark.sources.tables import load_table
+    from cdc_streamming___v2_spark.streaming.ingest import CdcIngest
+
+    registry = SchemaRegistry.from_dict(
+        {
+            "orders_feed": {
+                "table_name": "orders_cdc",
+                "schema": {
+                    "fields": [
+                        {"name": "o_orderkey", "type": "INT64"},
+                        {"name": "o_custkey", "type": "INT64"},
+                        {"name": "o_orderstatus", "type": "STRING"},
+                        {"name": "o_totalprice", "type": "FLOAT"},
+                        {"name": "action", "type": "STRING"},
+                        {"name": "update_date", "type": "TIMESTAMP"},
+                    ]
+                },
+            }
+        }
+    )
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        in_dir = os.path.join(work, "in")
+        o = load_table(spark, sf_dir, "orders")
+        action = F.element_at(
+            F.array(F.lit("INSERT"), F.lit("UPDATE-INSERT"), F.lit("DELETE")),
+            (F.col("o_orderkey") % 3 + 1).cast("int"),
+        )
+        lines = o.select(
+            F.to_json(
+                F.struct(
+                    F.lit("orders_feed").alias("object"),
+                    F.date_format(
+                        "o_orderdate", "yyyy-MM-dd'T'HH:mm:ssXXX"
+                    ).alias("source_timestamp"),
+                    F.struct(action.alias("change_type")).alias("source_metadata"),
+                    F.struct(
+                        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+                    ).alias("payload"),
+                )
+            ).alias("value")
+        )
+        n_rows = lines.count()
+        lines.write.mode("overwrite").text(in_dir)  # untimed setup
+
+        ingest = CdcIngest(
+            spark,
+            registry,
+            input_dir=in_dir,
+            output_dir=os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        t0 = time.time()
+        ingest.run_available()
+        wall = time.time() - t0
+        assert ingest.history("orders_feed").count() == n_rows
+        return wall, n_rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -62,6 +135,8 @@ def main() -> None:
         per_query[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_all, 3)
 
+    cdc_wall, cdc_rows = _bench_cdc_ingest(spark, sf_dir)
+
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     print(
         json.dumps(
@@ -71,6 +146,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "cdc_ingest": {
+                    "rows": cdc_rows,
+                    "wall_s": round(cdc_wall, 3),
+                    "rows_per_s": round(cdc_rows / cdc_wall),
+                },
             }
         )
     )

@@ -83,6 +83,12 @@ class CdcIngest:
                 "update_day",
                 F.to_date(F.to_timestamp(F.col("update_date").cast("string"))),
             )
+            # co-locate each partition value before the partitioned write:
+            # without this, every write task emits a file into every day dir
+            # it sees (tasks x days tiny files — a backfill spanning years
+            # grinds on file creation); with it, a day's rows land in one
+            # task = one file per day per trigger
+            out = out.repartition(F.col("update_day"))
         return out
 
     def _dead_letters(self, env: DataFrame) -> DataFrame:
