@@ -457,6 +457,58 @@ def word_freq_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def except_all_bags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL: per-status order-date multiset minus the
+    high-value subset — duplicates preserved (vs set-semantics subtract)."""
+    o = _t(spark, sf_dir, "orders")
+    all_rows = o.select("o_orderstatus", F.year("o_orderdate").alias("yr"))
+    rich = o.filter(F.col("o_totalprice") > 200000.0).select(
+        "o_orderstatus", F.year("o_orderdate").alias("yr")
+    )
+    return (
+        all_rows.exceptAll(rich)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_remaining"))
+    )
+
+
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics tier: nullif/coalesce/null-aware equality and
+    NULLS FIRST ordering, over a derived nullable column."""
+    o = _t(spark, sf_dir, "orders")
+    maybe = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.select(
+            "o_orderkey",
+            maybe.alias("status_or_null"),
+            F.coalesce(maybe, F.lit("OPEN")).alias("status_filled"),
+            maybe.eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: wide per-flag aggregate -> long (flag, metric, value) rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # --- embedding near-dup (dedup tier, embedding-cosine variant) ---------------
 
 NEAR_DUP_THRESHOLD = 0.40
@@ -510,6 +562,9 @@ QUERIES = {
     "array_agg_sorted": array_agg_sorted,
     "map_funcs": map_funcs,
     "word_freq_topn": word_freq_topn,
+    "except_all_bags": except_all_bags,
+    "null_handling": null_handling,
+    "unpivot_metrics": unpivot_metrics,
 }
 
 ORACLES = {
@@ -716,6 +771,39 @@ ORACLES = {
         GROUP BY w
         ORDER BY n DESC, w ASC
         LIMIT {WORD_TOP_N}
+    """,
+    "except_all_bags": """
+        SELECT o_orderstatus, count(*) AS n_remaining
+        FROM (
+            SELECT o_orderstatus, year(o_orderdate) AS yr FROM orders
+            EXCEPT ALL
+            SELECT o_orderstatus, year(o_orderdate) AS yr FROM orders
+            WHERE o_totalprice > 200000.0
+        )
+        GROUP BY o_orderstatus
+    """,
+    "null_handling": """
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'O')                    AS status_or_null,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN')  AS status_filled,
+               nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F'
+                                                             AS is_f_nullsafe,
+               o_totalprice AS price
+        FROM orders
+        ORDER BY status_or_null ASC NULLS FIRST, o_orderkey ASC
+        LIMIT 100
+    """,
+    "unpivot_metrics": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2)      AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(avg(l_discount), 4)      AS avg_disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, metric, value
+        FROM wide
+        UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
     """,
     "embedding_near_dup": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
