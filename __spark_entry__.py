@@ -32,6 +32,7 @@ _OPTIONAL_MODULES = (
     "multimodal",
     "cdc_batch",
     "merge_ops",
+    "analytics",
 )
 
 
