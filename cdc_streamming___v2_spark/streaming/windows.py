@@ -85,6 +85,46 @@ def session_counts(
     )
 
 
+def interval_join_streams(
+    errors: DataFrame,
+    clicks: DataFrame,
+    window_minutes: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each error event paired with the same
+    user's click events from the preceding ``window_minutes``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store can evict rows once the watermark passes
+    — bounded state, the requirement for an unbounded 100 TB stream.
+    Batch twin (oracle-checked): operators/temporal.range_join_error_clicks.
+    """
+    e = (
+        errors.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    return e.join(c, cond).select(
+        F.col("e_user").alias("user_id"), "error_id", "e_ts", "click_id", "c_ts"
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """At-least-once -> effectively-once: drop replayed event_ids within the
     watermark horizon (bounded state). This is the dedup the reference's

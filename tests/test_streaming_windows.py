@@ -172,3 +172,27 @@ def test_running_user_totals_stateful(spark, events_dir):
     }
     got = {r.user_id: (r.n, round(r.t, 2)) for r in rows}
     assert got == batch
+
+
+def test_interval_join_streams_matches_batch(spark, events_dir):
+    """Stream-stream interval join totals must equal the oracle-checked
+    batch range join (operators/temporal.range_join_error_clicks)."""
+    from cdc_streamming___v2_spark.operators.temporal import range_join_error_clicks
+
+    s = _stream(spark, events_dir)
+    errors = s.filter(F.col("event_type") == "error")
+    clicks = s.filter(F.col("event_type") == "click")
+    name = _run(W.interval_join_streams(errors, clicks))
+    got = (
+        spark.table(name)
+        .groupBy("error_id")
+        .count()
+        .collect()
+    )
+    got_counts = {r.error_id: r["count"] for r in got}
+    want = {
+        r.event_id: r.n_clicks_10m
+        for r in range_join_error_clicks(spark, SF_SMALL).collect()
+        if r.n_clicks_10m > 0
+    }
+    assert got_counts == want
