@@ -24,6 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _OPTIONAL_MODULES = (
     "relational_ext",
+    "tpch_extra",
     "temporal",
     "dedup",
     "similarity",
