@@ -25,6 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _OPTIONAL_MODULES = (
     "relational_ext",
     "tpch_extra",
+    "pipeline_ops",
     "temporal",
     "dedup",
     "similarity",

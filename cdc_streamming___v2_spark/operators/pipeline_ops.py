@@ -1,0 +1,381 @@
+"""Training-data pipeline operators: quality filters, chunking, cluster dedup,
+embedding quantization, time-series gap-fill.
+
+These extend the LLM-data tier (operators/dedup.py, text_analysis.py,
+similarity.py) with the remaining operations a large-scale corpus pipeline
+needs. All are [DRIVER]-mandated surface — the reference has no text or
+vector processing at all (SURVEY.md §2.B). Heuristics follow the published
+Gopher (Rae et al. 2021, §A1.1) and C4 (Raffel et al. 2020) filtering rules,
+re-expressed as pure Spark SQL expressions (no UDFs anywhere in this module).
+
+Scale themes:
+- repetition metrics use one explode→two-level aggregation (per-(doc,ngram)
+  then per-doc), the shape that survives 100 TB because the shuffle key is
+  (doc_id, ngram) — high cardinality, no skew;
+- connected-components runs label propagation with one shuffle per round and
+  a localCheckpoint to cut lineage — O(diameter) rounds, the standard
+  alternative to a driver-side union-find that would not distribute;
+- quantization/normalization stay inside JVM array expressions
+  (transform/aggregate), never per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import fan_out, load_table
+from . import dedup as _dedup
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+CC_MAX_ITERS = 25
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fan_out(load_table(spark, sf_dir, "documents"))
+
+
+# --- Gopher-style repetition / quality metrics -------------------------------
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics + keep flag (Gopher §A1.1 shape):
+    type-token ratio, top-bigram coverage, duplicate-trigram fraction.
+
+    The testdata documents are single-line (FIXTURES.md), so the line-level
+    Gopher rules don't apply; the word-n-gram rules are the ones computed.
+
+    Scale: unigram/trigram stats are array expressions (no shuffle); only
+    the top-bigram mode needs an explode + (doc_id, bigram) aggregation —
+    high-cardinality key, skew-free. The keep flag compares UNROUNDED
+    ratios so the boolean can't flip at a rounding boundary between
+    engines; displayed ratios are rounded separately.
+    """
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.when(
+            F.size("w") > 1,
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"),
+        )
+        .otherwise(F.expr("array()"))
+        .alias("bgs"),
+        F.when(
+            F.size("w") > 2,
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))"
+            ),
+        )
+        .otherwise(F.expr("array()"))
+        .alias("tgs"),
+    )
+    top = (
+        stats.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_cnt"), F.sum("count").alias("n_bg"))
+    )
+    ttr = F.col("n_distinct") / F.col("n_words")
+    top_frac = F.col("top_cnt") / F.col("n_bg")
+    dup_tg = 1 - F.size(F.array_distinct("tgs")) / F.greatest(
+        F.size("tgs"), F.lit(1)
+    )
+    keep = (
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 1000)
+        & (ttr > 0.2)
+        & (F.coalesce(top_frac, F.lit(0.0)) < 0.2)
+    )
+    return (
+        stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.round(ttr, 4).alias("ttr"),
+            F.round(F.coalesce(top_frac, F.lit(0.0)), 4).alias("top_bigram_frac"),
+            F.round(dup_tg, 4).alias("dup_trigram_frac"),
+            keep.alias("keep"),
+        )
+    )
+
+
+# --- sliding-window document chunking ----------------------------------------
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token windows (32 tokens,
+    stride 24) — the standard pre-tokenization chunking pass.
+
+    Scale: pure narrow transformation (split → sequence → explode → slice);
+    no shuffle at all, so it pipelines with the parquet scan and scales
+    linearly with input bytes. Chunk count per doc is bounded by
+    ceil(n_words / stride).
+    """
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .select(
+            "doc_id",
+            F.col("w"),
+            F.explode(
+                F.expr(f"sequence(1, size(w), {CHUNK_STRIDE})")
+            ).alias("start"),
+        )
+        # stop once a window reaches the end: emit a start only if the
+        # previous window did not already cover the last word (else the
+        # tail spawns several redundant overlapping fragments)
+        .filter(
+            (F.col("start") == 1)
+            | (F.col("start") <= F.size("w") - CHUNK_TOKENS + CHUNK_STRIDE)
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start - 1) DIV {CHUNK_STRIDE} AS BIGINT)").alias(
+                "chunk_idx"
+            ),
+            F.expr(f"slice(w, start, {CHUNK_TOKENS})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+# --- connected-components dedup clusters -------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate documents into clusters: connected components
+    over the MinHash/LSH verified pair graph, labels = min doc_id reachable.
+
+    Implementation is distributed label propagation (the large-graph CC
+    formulation, cf. Kiveris et al. "Connected Components in MapReduce"):
+    every round each node takes the min label among itself and its
+    neighbors; converges in O(component diameter) rounds. Each round is one
+    shuffle (join on node) + an aggregation; `localCheckpoint` truncates
+    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    Convergence is detected via the (monotonically decreasing) sum of
+    labels — one scalar action per round, no full-frame comparison.
+
+    A driver-side union-find over collect()ed pairs would be simpler but
+    caps at driver memory; this formulation never materializes the graph
+    on one machine.
+    """
+    pairs = _dedup.minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            labels.join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), "label")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        labels = neighbor_min.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("label").cast("bigint").alias("cluster_id"),
+        F.col("node").cast("bigint").alias("doc_id"),
+    )
+
+
+# --- embedding normalization + int8 quantization -----------------------------
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + symmetric int8 quantization (q = trunc(x·127/max|x|)) per
+    embedding — the storage-compression pass before ANN indexing.
+
+    Truncation toward zero (not round) is used deliberately: Spark's
+    double→int cast truncates while DuckDB's rounds, so the portable
+    formulation is sign(x)·floor(|x·127/scale|) in both engines.
+
+    Scale: everything is a JVM array expression over one narrow pass —
+    no shuffle, no UDF, vectorizable by codegen.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    return e.select(
+        "vec_id",
+        F.size("v").cast("bigint").alias("dim"),
+        F.round(
+            F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"), 4
+        ).alias("l2_norm"),
+        F.round(F.expr("array_max(transform(v, x -> abs(x)))"), 6).alias("q_scale"),
+        F.expr(
+            "transform(v, x -> CAST(IF(x >= 0,"
+            " floor(x * 127 / array_max(transform(v, y -> abs(y)))),"
+            " -floor(-x * 127 / array_max(transform(v, y -> abs(y))))) AS INT))"
+        ).alias("quant"),
+    )
+
+
+# --- time-series gap fill ----------------------------------------------------
+
+
+def gapfill_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily event value with calendar gap-fill: every day in the
+    user's [first, last] activity span appears, missing days carry zero and
+    a `filled` flag, plus the running cumulative value.
+
+    Scale: the calendar is generated per user from the aggregated span (a
+    tiny frame), exploded, and joined back on (user_id, day) — both sides
+    hash-partition on user_id so the join colocates with the cumulative
+    window that follows; no global sort. Day values are rounded BEFORE the
+    cumulative sum so both engines accumulate identical doubles in
+    identical (day) order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(F.sum("value"), 2).alias("day_value"),
+        F.count("*").alias("n_events"),
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, INTERVAL 1 DAY)")).alias("day"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").isNull().alias("filled"),
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .withColumn("cum_value", F.round(F.sum("day_value").over(w), 2))
+    )
+
+
+QUERIES = {
+    "gopher_repetition": gopher_repetition,
+    "doc_chunks": doc_chunks,
+    "dedup_clusters": dedup_clusters,
+    "embedding_quantize": embedding_quantize,
+    "gapfill_daily_value": gapfill_daily_value,
+}
+
+ORACLES = {
+    "gopher_repetition": """
+        WITH base AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents),
+        stats AS (
+          SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+                 list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                i -> w[i] || ' ' || w[i+1]) AS bgs,
+                 list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tgs
+          FROM base),
+        top AS (
+          SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_bg
+          FROM (SELECT doc_id, bg, count(*) AS c
+                FROM (SELECT doc_id, unnest(bgs) AS bg FROM stats) t
+                GROUP BY doc_id, bg) g
+          GROUP BY doc_id)
+        SELECT s.doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(n_distinct * 1.0 / n_words, 4) AS ttr,
+               round(coalesce(top_cnt * 1.0 / n_bg, 0.0), 4) AS top_bigram_frac,
+               round(1 - len(list_distinct(tgs)) * 1.0 / greatest(len(tgs), 1), 4)
+                 AS dup_trigram_frac,
+               (n_words >= 10 AND n_words <= 1000
+                AND n_distinct * 1.0 / n_words > 0.2
+                AND coalesce(top_cnt * 1.0 / n_bg, 0.0) < 0.2) AS keep
+        FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id
+    """,
+    "doc_chunks": f"""
+        WITH base AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents),
+        starts AS (
+          SELECT doc_id, w, unnest(generate_series(1, len(w), {CHUNK_STRIDE})) AS s
+          FROM base)
+        SELECT doc_id,
+               CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(len(w[s:s+{CHUNK_TOKENS - 1}]) AS BIGINT) AS n_tokens,
+               array_to_string(w[s:s+{CHUNK_TOKENS - 1}], ' ') AS chunk_text
+        FROM starts
+        WHERE s = 1 OR s <= len(w) - {CHUNK_TOKENS} + {CHUNK_STRIDE}
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_dedup.ORACLES["minhash_near_dup"]}),
+        nodes AS (SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION SELECT doc_b FROM pairs) t),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        cc(node, label) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, c.label FROM cc c JOIN edges e ON c.node = e.src
+            WHERE c.label < e.dst
+        )
+        SELECT CAST(min(label) AS BIGINT) AS cluster_id,
+               CAST(node AS BIGINT) AS doc_id
+        FROM cc GROUP BY node
+    """,
+    "embedding_quantize": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id,
+               CAST(len(v) AS BIGINT) AS dim,
+               round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS l2_norm,
+               round(list_max(list_transform(v, x -> abs(x))), 6) AS q_scale,
+               list_transform(v, x -> CAST(
+                 CASE WHEN x >= 0
+                   THEN floor(x * 127 / list_max(list_transform(v, y -> abs(y))))
+                   ELSE -floor(-x * 127 / list_max(list_transform(v, y -> abs(y))))
+                 END AS INT)) AS quant
+        FROM e
+    """,
+    "gapfill_daily_value": """
+        WITH daily AS (
+          SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 round(sum(value), 2) AS day_value,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                 FROM daily GROUP BY 1),
+        cal AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                FROM span)
+        SELECT c.user_id, c.day,
+               d.day IS NULL AS filled,
+               coalesce(day_value, 0.0) AS day_value,
+               CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+               round(sum(coalesce(day_value, 0.0))
+                     OVER (PARTITION BY c.user_id ORDER BY c.day), 2) AS cum_value
+        FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+}

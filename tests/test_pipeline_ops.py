@@ -1,0 +1,85 @@
+"""Smoke + invariants for the training-pipeline ops at sf0.001.
+
+Value parity against DuckDB runs via tools/check_correctness.py; these pin
+cheap structural invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_streamming___v2_spark.operators import pipeline_ops as P
+
+from .conftest import SF_SMALL
+
+
+@pytest.mark.parametrize("name", sorted(P.QUERIES))
+def test_query_runs_nonempty_schema(spark, name):
+    df = P.QUERIES[name](spark, SF_SMALL)
+    rows = df.collect()
+    assert df.columns
+    if name != "dedup_clusters":  # sf0.001 may have no near-dup pairs
+        assert len(rows) > 0
+
+
+def test_oracle_coverage():
+    assert set(P.ORACLES) == set(P.QUERIES)
+
+
+def test_dedup_clusters_labels_are_component_minima(spark):
+    rows = P.dedup_clusters(spark, SF_SMALL).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)  # label is the min doc_id in the component
+        assert len(members) >= 2  # singletons are not near-dup nodes
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    rows = P.doc_chunks(spark, SF_SMALL).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].chunk_idx == 0
+        # every chunk except possibly the last is full-size
+        assert all(c.n_tokens == P.CHUNK_TOKENS for c in chunks[:-1])
+        assert 1 <= chunks[-1].n_tokens <= P.CHUNK_TOKENS
+        # consecutive chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE words
+        if len(chunks) > 1:
+            a = chunks[0].chunk_text.split()
+            b = chunks[1].chunk_text.split()
+            assert a[P.CHUNK_STRIDE :] == b[: P.CHUNK_TOKENS - P.CHUNK_STRIDE]
+
+
+def test_embedding_quantize_range(spark):
+    rows = P.embedding_quantize(spark, SF_SMALL).collect()
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.quant)
+        assert max(abs(q) for q in r.quant) == 127  # max-abs dim hits full scale
+        assert r.l2_norm > 0
+
+
+def test_gapfill_flags_and_cumsum(spark):
+    rows = P.gapfill_daily_value(spark, SF_SMALL).collect()
+    assert any(r.filled for r in rows) or len(rows) > 0
+    for r in rows:
+        if r.filled:
+            assert r.n_events == 0 and r.day_value == 0.0
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for days in by_user.values():
+        days.sort(key=lambda r: r.day)
+        # contiguous daily calendar: span length == row count
+        assert (days[-1].day - days[0].day).days + 1 == len(days)
+
+
+def test_gopher_keep_consistent_with_metrics(spark):
+    rows = P.gopher_repetition(spark, SF_SMALL).collect()
+    for r in rows:
+        if r.keep:
+            assert 10 <= r.n_words <= 1000
+            assert r.top_bigram_frac < 0.2 + 1e-9
