@@ -33,12 +33,21 @@ def parse_envelope(raw_lines: DataFrame, line_col: str = "value") -> DataFrame:
     (src/dataflow-cdc-stream.py:99-100); dead-lettering is strictly better.
     """
     line = F.col(line_col)
+    # json_tuple parses the line ONCE for all four top-level fields (vs one
+    # full re-parse per get_json_object call); nested objects come out as
+    # their raw JSON text, which is exactly what the routing design needs
+    # for payload. Only source_metadata (a tiny string) needs a second
+    # parse for change_type. Malformed lines yield nulls all the way.
     return raw_lines.select(
-        F.get_json_object(line, "$.object").alias("object"),
-        F.get_json_object(line, "$.source_metadata.change_type").alias("action"),
-        F.get_json_object(line, "$.source_timestamp").alias("update_date_raw"),
-        F.get_json_object(line, "$.payload").alias("payload_json"),
+        F.json_tuple(line, "object", "source_timestamp", "source_metadata", "payload")
+        .alias("object", "update_date_raw", "meta_json", "payload_json"),
         line.alias("raw"),
+    ).select(
+        "object",
+        F.get_json_object(F.col("meta_json"), "$.change_type").alias("action"),
+        "update_date_raw",
+        "payload_json",
+        "raw",
     )
 
 

@@ -158,3 +158,49 @@ def test_incremental_second_run_exactly_once(spark, ingested):
     before = ingested.history("olist_produtos").count()
     ingested.run_available()
     assert ingested.history("olist_produtos").count() == before
+
+
+@pytest.fixture(scope="module")
+def ingested_single_pass(spark, tmp_path_factory):
+    """Same corpus through the one-scan foreachBatch mode, month partitions."""
+    root = tmp_path_factory.mktemp("cdc_sp")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "batch1.jsonl"), "w") as f:
+        f.write("\n".join(LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        partition_granularity="month",
+    )
+    ing.run_available_single_pass()
+    return ing
+
+
+def test_single_pass_matches_per_table_mode(ingested, ingested_single_pass):
+    for obj in ("olist_produtos", "olist_users"):
+        a = ingested.history(obj).drop("update_day").collect()
+        b = ingested_single_pass.history(obj).drop("update_month").collect()
+        key = lambda r: tuple(str(v) for v in r)
+        assert sorted(map(key, a)) == sorted(map(key, b))
+    assert ingested_single_pass.dead_letter().count() == 2
+
+
+def test_single_pass_month_partition_dirs(ingested_single_pass):
+    import glob
+    dirs = glob.glob(
+        os.path.join(ingested_single_pass.output_dir, "produtos_cdc", "update_month=*")
+    )
+    assert dirs, "expected hive-style month partition directories"
+
+
+def test_single_pass_rerun_skips_completed_batches(spark, ingested_single_pass):
+    ing = ingested_single_pass
+    before = ing.history("olist_produtos").count()
+    ing.run_available_single_pass()  # no new files -> no new batch
+    assert ing.history("olist_produtos").count() == before
