@@ -235,6 +235,38 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic stratified sampling ---------------------------------------
+
+SAMPLE_BUCKETS = 256
+SAMPLE_KEEP = 51  # ~20%
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) stratum: deterministic ~20% document sample via an
+    md5(doc_id) bucket threshold, with Horvitz-Thompson scale-up of total
+    chars. Hash-threshold sampling is reproducible across engines, runs,
+    and cluster sizes (TABLESAMPLE is partition-dependent), and the sample
+    membership is computable per-row with no shuffle — the stratum
+    aggregation is the only exchange.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    sel = bucket < SAMPLE_KEEP
+    scale = F.lit(SAMPLE_BUCKETS) / F.lit(SAMPLE_KEEP)
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_pop"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("n_sample"),
+        F.round(F.avg(F.when(sel, F.col("n_chars"))), 2).alias("sample_mean_chars"),
+        F.round(F.sum(F.when(sel, F.col("n_chars")).otherwise(0)) * scale, 2).alias(
+            "est_total_chars"
+        ),
+    )
+
+
 # --- time-series gap fill ----------------------------------------------------
 
 
@@ -284,6 +316,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "dedup_clusters": dedup_clusters,
     "embedding_quantize": embedding_quantize,
+    "stratified_sample": stratified_sample,
     "gapfill_daily_value": gapfill_daily_value,
 }
 
@@ -359,6 +392,19 @@ ORACLES = {
                    ELSE -floor(-x * 127 / list_max(list_transform(v, y -> abs(y))))
                  END AS INT)) AS quant
         FROM e
+    """,
+    "stratified_sample": f"""
+        SELECT lang, source,
+               count(*) AS n_pop,
+               CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+                                  < {SAMPLE_KEEP} THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+               round(avg(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+                                   < {SAMPLE_KEEP} THEN n_chars END), 2) AS sample_mean_chars,
+               round(sum(CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT)
+                                   < {SAMPLE_KEEP} THEN n_chars ELSE 0 END)
+                     * {SAMPLE_BUCKETS} / {SAMPLE_KEEP}.0, 2) AS est_total_chars
+        FROM documents
+        GROUP BY lang, source
     """,
     "gapfill_daily_value": """
         WITH daily AS (
