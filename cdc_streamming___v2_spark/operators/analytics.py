@@ -10,7 +10,7 @@ reduced frame — never a self-join of the raw log.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -70,9 +70,121 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour moving average of event value — a RANGE
+    frame over event time (not a ROWS frame: the window is defined by the
+    clock, so bursts widen the row count and quiet hours shrink it).
+
+    Both engines order by epoch SECONDS so frame membership (including
+    same-second peers, which RANGE includes wholesale) is identical.
+
+    Scale: one shuffle on user_id; the ordered frame is computed by a
+    single sort within each partition — no self-join expansion of the
+    "events within the last hour" predicate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").alias("epoch_s")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch_s"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select("user_id", "event_id", "ts", "value", epoch).select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("trailing_1h_avg"),
+        F.count("*").over(w).alias("n_in_window"),
+    )
+
+
+def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: every event row carries the value
+    of the user's most recent *purchase* at or before it (NULL until the
+    first purchase) — the IGNORE NULLS window idiom used to forward-fill
+    sparse readings over a dense event stream.
+
+    Scale: single shuffle on user_id + ordered scan; no join of the sparse
+    series against itself.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.last(purchase_val, ignorenulls=True).over(w), 4).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+HIST_BIN = 25000.0
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of order totals in fixed-width bins (floor division — no
+    width_bucket dependency), with per-bin share of orders.
+
+    Scale: binning is a narrow map; the aggregation shuffles only
+    n_bins rows after map-side partials; the share denominator is a
+    broadcast one-row crossJoin, not a single-partition window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.floor(F.col("o_totalprice") / HIST_BIN).cast("bigint").alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(F.count("*").alias("n_orders"))
+    total = per_bin.agg(F.sum("n_orders").cast("double").alias("n_total"))
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            (F.col("bin") * HIST_BIN).alias("bin_low"),
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("n_total"), 4).alias("share"),
+        )
+        .orderBy("bin")
+    )
+
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: event value totals at
+    (year, month, day), (year, month), (year), and grand-total levels in
+    one pass via ROLLUP.
+
+    Scale: Catalyst expands rollup into a single Expand + one aggregation
+    — the fact is scanned once, not once per level.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.year("ts").cast("bigint").alias("y"),
+            F.month("ts").cast("bigint").alias("m"),
+            F.dayofmonth("ts").cast("bigint").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
+    "time_range_moving_avg": time_range_moving_avg,
+    "locf_fill": locf_fill,
+    "price_histogram": price_histogram,
+    "time_rollup": time_rollup,
 }
 
 ORACLES = {
@@ -114,5 +226,44 @@ ORACLES = {
                count(*) AS n_active_users
         FROM activity JOIN first_seen USING (user_id)
         GROUP BY cohort_week, weeks_since
+    """,
+    "time_range_moving_avg": """
+        SELECT user_id, event_id,
+               round(avg(value) OVER w, 4) AS trailing_1h_avg,
+               count(*) OVER w AS n_in_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "locf_fill": """
+        SELECT user_id, event_id, event_type,
+               round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                                IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     4) AS last_purchase_value
+        FROM events
+    """,
+    "price_histogram": f"""
+        WITH per_bin AS (
+            SELECT CAST(floor(o_totalprice / {HIST_BIN}) AS BIGINT) AS bin,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1)
+        SELECT bin, bin * {HIST_BIN} AS bin_low, n_orders,
+               round(n_orders / (SELECT CAST(sum(n_orders) AS DOUBLE) FROM per_bin),
+                     4) AS share
+        FROM per_bin
+        ORDER BY bin
+    """,
+    "time_rollup": """
+        SELECT CAST(year(ts) AS BIGINT) AS y,
+               CAST(month(ts) AS BIGINT) AS m,
+               CAST(day(ts) AS BIGINT) AS d,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events
+        GROUP BY ROLLUP (y, m, d)
     """,
 }

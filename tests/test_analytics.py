@@ -29,3 +29,34 @@ def test_retention_cohort_week0_complete(spark):
 
 def test_oracle_coverage():
     assert set(A.ORACLES) == set(A.QUERIES)
+
+
+def test_time_range_moving_avg_window_counts(spark):
+    from cdc_streamming___v2_spark.operators.analytics import time_range_moving_avg
+    rows = time_range_moving_avg(spark, SF_SMALL).collect()
+    assert all(r.n_in_window >= 1 for r in rows)  # frame always includes self
+
+
+def test_locf_null_until_first_purchase(spark):
+    from cdc_streamming___v2_spark.operators.analytics import locf_fill
+    rows = locf_fill(spark, SF_SMALL).collect()
+    assert any(r.last_purchase_value is None for r in rows)
+    for r in rows:
+        if r.event_type == "purchase":
+            assert r.last_purchase_value is not None
+
+
+def test_price_histogram_shares_sum_to_one(spark):
+    from cdc_streamming___v2_spark.operators.analytics import price_histogram
+    rows = price_histogram(spark, SF_SMALL).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.01
+    assert sorted(r.bin for r in rows) == [r.bin for r in rows]
+
+
+def test_time_rollup_grand_total(spark):
+    from cdc_streamming___v2_spark.operators.analytics import time_rollup
+    rows = time_rollup(spark, SF_SMALL).collect()
+    grand = [r for r in rows if r.y is None and r.m is None and r.d is None]
+    assert len(grand) == 1
+    leaf_sum = sum(r.n_events for r in rows if r.d is not None)
+    assert grand[0].n_events == leaf_sum
