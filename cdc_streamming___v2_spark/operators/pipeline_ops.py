@@ -170,6 +170,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     A driver-side union-find over collect()ed pairs would be simpler but
     caps at driver memory; this formulation never materializes the graph
     on one machine.
+
+    The per-round join/agg strategy is chosen from the MEASURED edge count
+    (the count is free — edges are already checkpointed). AQE makes the
+    same runtime decisions within one query, but each round here is a
+    separate job rooted at a checkpointed RDD, so stats don't flow across
+    rounds on their own: a small graph would otherwise pay
+    ``spark.sql.shuffle.partitions`` sort-merge tasks per round for a few
+    hundred rows. Small graph → broadcast the edges (no shuffle in the
+    join) and a handful of agg partitions; huge graph → same code with
+    shuffle joins and edge-count-proportional partitions.
     """
     pairs = _dedup.minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
@@ -177,26 +187,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(CC_MAX_ITERS):
-        neighbor_min = (
-            labels.join(edges, F.col("node") == F.col("src"))
-            .select(F.col("dst").alias("node"), "label")
-            .union(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+    n_edges = edges.count()
+    # ~2M edges per reduce partition, floor 2 — at 100 TB this grows into
+    # the thousands; at bench scale it stays tiny so a round is ~2 tasks.
+    n_part = int(max(2, min(2000, n_edges // 2_000_000 + 1)))
+    join_edges = F.broadcast(edges) if n_edges <= 5_000_000 else edges
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint(eager=True)
         )
-        labels = neighbor_min.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(CC_MAX_ITERS):
+            neighbor_min = (
+                labels.join(join_edges, F.col("node") == F.col("src"))
+                .select(F.col("dst").alias("node"), "label")
+                .union(labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            labels = neighbor_min.localCheckpoint(eager=True)
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return labels.select(
         F.col("label").cast("bigint").alias("cluster_id"),
         F.col("node").cast("bigint").alias("doc_id"),
