@@ -35,6 +35,7 @@ _OPTIONAL_MODULES = (
     "cdc_batch",
     "merge_ops",
     "analytics",
+    "sketches",
 )
 
 

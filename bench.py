@@ -50,6 +50,9 @@ HEADLINE = [
     "dedup_clusters",
     "embedding_quantize",
     "gapfill_daily_value",
+    "kmv_distinct",
+    "countmin_freq",
+    "bloom_prefilter",
 ]
 
 

@@ -1,0 +1,330 @@
+"""Deterministic sketch operators (DRIVER surface): KMV distinct-count,
+Count-Min frequency, Bloom-filter pre-filter join.
+
+The reference has no sketches or approximate aggregation of any kind
+(SURVEY.md §2.B — no Combine/GroupByKey at all); these are the approximate
+primitives a 100 TB pipeline leans on when exact distinct/frequency state
+no longer fits. Spark's built-ins (approx_count_distinct = HLL++,
+count_min_sketch) use engine-private seeds, so their outputs can't be
+value-checked against another engine. These formulations instead build the
+classic sketches from the portable md5 hash family
+(functions.texts.md5_hash_long), which DuckDB reproduces bit-for-bit —
+so even the APPROXIMATE paths are full value-parity checked, including the
+estimation error itself.
+
+Scale design:
+- KMV: the sketch is "k smallest distinct hash values per group" — a
+  per-group top-k, computed as distinct → windowed rank → filter. The
+  shuffle key is the group; state per group is k doubles regardless of
+  cardinality. (At extreme per-group cardinality replace the single sort
+  with salted partial top-k then merge — the estimator is unchanged
+  because min-k of a union is min-k of the partial min-k's.)
+- Count-Min: the sketch is a d×w counter grid — the explode is narrow
+  (d rows per input), the aggregation collapses to d*w cells, and the
+  point-query join touches only d cells per key. Grid size is independent
+  of input cardinality: this is the frequency structure that fits in
+  memory at any scale.
+- Bloom: the bit set built from the dim side is tiny (≤ m distinct bit
+  positions) and broadcast; the fact side probes it with an equi-join per
+  hash — exactly how runtime row-group filters work in production engines.
+  The query reports the false-positive count, which is deterministic here
+  and therefore asserted, not just sampled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.texts import md5_hash_long
+from ..sources.tables import load_table
+
+KMV_K = 64
+CM_D = 4  # count-min hash rows
+CM_W = 512  # counters per row
+CM_QUERY_KEYS = 10
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hashes per key
+HASH_RANGE = 2.0**32  # md5_hash_long is uniform on [0, 2^32)
+
+
+# --- KMV distinct-count ------------------------------------------------------
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count estimate of users per event_type,
+    next to the exact count and the realized relative error.
+
+    Estimator (Bar-Yossef et al. 2002): hash values to uniform (0,1); if
+    the k-th smallest distinct hash is u_k, distinct ≈ (k-1)/u_k; groups
+    with fewer than k distinct hashes are exact.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    u = (
+        md5_hash_long(F.col("user_id").cast("string"), "kmv") / F.lit(HASH_RANGE)
+    ).alias("u")
+    du = e.select("event_type", u).distinct()
+    w = Window.partitionBy("event_type").orderBy("u")
+    mins = du.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KMV_K)
+    sk = mins.groupBy("event_type").agg(
+        F.count("*").alias("n_mins"), F.max("u").alias("u_k")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_mins") < KMV_K, F.col("n_mins").cast("double")
+    ).otherwise((KMV_K - 1) / F.col("u_k"))
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(est, 2).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_err"),
+        )
+    )
+
+
+# --- Count-Min frequency -----------------------------------------------------
+
+
+def _cm_idx(key: F.Column, row: int) -> F.Column:
+    return (md5_hash_long(key, f"cm{row}") % CM_W).cast("int")
+
+
+def countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point queries: estimated vs exact order count for the
+    CM_QUERY_KEYS smallest customer keys, plus the (non-negative)
+    overestimate — CMS can only err upward, and the test asserts it.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("key")
+    )
+    # build the d x w grid: d narrow rows per input, then d*w cells
+    cell_rows = [
+        o.select(F.lit(r).alias("row"), _cm_idx(F.col("key"), r).alias("idx"))
+        for r in range(CM_D)
+    ]
+    grid_in = cell_rows[0]
+    for cr in cell_rows[1:]:
+        grid_in = grid_in.union(cr)
+    grid = grid_in.groupBy("row", "idx").agg(F.count("*").alias("c"))
+
+    keys = (
+        o.select(F.col("key").cast("long").alias("custkey"))
+        .distinct()
+        .orderBy("custkey")
+        .limit(CM_QUERY_KEYS)
+        .select("custkey", F.col("custkey").cast("string").alias("key"))
+    )
+    probes = keys.select(
+        "custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _cm_idx(F.col("key"), r).alias("idx")
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("custkey", F.col("p.row").alias("row"), F.col("p.idx").alias("idx"))
+    est = (
+        F.broadcast(probes)
+        .join(grid, ["row", "idx"])
+        .groupBy("custkey")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = (
+        o.select(F.col("key").cast("long").alias("custkey"))
+        .groupBy("custkey")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "custkey")
+        .select(
+            "custkey",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+    )
+
+
+# --- Bloom-filter pre-filter join --------------------------------------------
+
+
+def _bloom_bits(key: F.Column) -> F.Column:
+    return F.array(
+        *[
+            (md5_hash_long(key, f"bf{i}") % BLOOM_M).cast("int")
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pre-filter: bits built from high-balance
+    customers, probed by every order. One summary row: orders passing the
+    filter, orders truly matching, and the deterministic false-positive
+    count (pass − true ≥ 0, the Bloom guarantee of no false negatives).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").cast("string").alias("key")
+    )
+    bits = (
+        dim.select(F.explode(_bloom_bits(F.col("key"))).alias("bit")).distinct()
+    )
+    probed = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("key"),
+        F.explode(_bloom_bits(F.col("o_custkey").cast("string"))).alias("bit"),
+    )
+    # an order passes iff all BLOOM_K probe rows find their bit set
+    passing = (
+        probed.join(F.broadcast(bits), "bit")
+        .groupBy("o_orderkey", "key")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+    )
+    n_pass = passing.agg(F.count("*").alias("n_bloom_pass"))
+    n_true = (
+        o.join(
+            dim.select(F.col("key").cast("long").alias("o_custkey")),
+            "o_custkey",
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_true_match"))
+    )
+    # two one-row aggregates combined lazily — no driver-side collect
+    return n_pass.crossJoin(F.broadcast(n_true)).select(
+        "n_bloom_pass",
+        "n_true_match",
+        (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_pos"),
+    )
+
+
+# --- oracles -----------------------------------------------------------------
+
+
+def _h(expr: str, salt: str) -> str:
+    return f"CAST('0x' || substr(md5('{salt}' || {expr}), 1, 8) AS BIGINT)"
+
+
+def _cm_idx_sql(expr: str, row: int) -> str:
+    return f"CAST({_h(expr, f'cm{row}')} % {CM_W} AS INT)"
+
+
+def _cm_grid_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT {r} AS row, {_cm_idx_sql('o_custkey::VARCHAR', r)} AS idx"
+        " FROM orders"
+        for r in range(CM_D)
+    )
+
+
+def _cm_probe_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT custkey, {r} AS row, {_cm_idx_sql('custkey::VARCHAR', r)} AS idx"
+        " FROM keys"
+        for r in range(CM_D)
+    )
+
+
+def _bloom_bits_sql(expr: str) -> str:
+    return ", ".join(
+        f"CAST({_h(expr, f'bf{i}')} % {BLOOM_M} AS INT)" for i in range(BLOOM_K)
+    )
+
+
+ORACLES = {
+    "kmv_distinct": f"""
+        WITH du AS (
+            SELECT DISTINCT event_type,
+                   {_h("user_id::VARCHAR", "kmv")} / {HASH_RANGE} AS u
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk
+            FROM du
+        ),
+        sk AS (
+            SELECT event_type, count(*) AS n_mins, max(u) AS u_k
+            FROM ranked WHERE rk <= {KMV_K} GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY event_type
+        )
+        SELECT s.event_type,
+               round(CASE WHEN n_mins < {KMV_K} THEN n_mins * 1.0
+                          ELSE ({KMV_K} - 1) / u_k END, 2) AS est_distinct,
+               exact_distinct,
+               round(abs(CASE WHEN n_mins < {KMV_K} THEN n_mins * 1.0
+                              ELSE ({KMV_K} - 1) / u_k END - exact_distinct)
+                     / exact_distinct, 4) AS rel_err
+        FROM sk s JOIN exact e ON s.event_type = e.event_type
+    """,
+    "countmin_freq": f"""
+        WITH grid AS (
+            SELECT row, idx, count(*) AS c
+            FROM ({_cm_grid_sql()}) GROUP BY row, idx
+        ),
+        keys AS (
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            ORDER BY custkey LIMIT {CM_QUERY_KEYS}
+        ),
+        probes AS ({_cm_probe_sql()}),
+        est AS (
+            SELECT custkey, min(c) AS est_count
+            FROM probes JOIN grid USING (row, idx)
+            GROUP BY custkey
+        ),
+        exact AS (
+            SELECT o_custkey AS custkey, count(*) AS exact_count
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT custkey, est_count, exact_count,
+               est_count - exact_count AS overestimate
+        FROM est JOIN exact USING (custkey)
+    """,
+    "bloom_prefilter": f"""
+        WITH dim AS (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        ),
+        bits AS (
+            SELECT DISTINCT unnest([{_bloom_bits_sql('c_custkey::VARCHAR')}]) AS bit
+            FROM dim
+        ),
+        probed AS (
+            SELECT o_orderkey,
+                   unnest([{_bloom_bits_sql('o_custkey::VARCHAR')}]) AS bit
+            FROM orders
+        ),
+        passing AS (
+            SELECT o_orderkey
+            FROM probed JOIN bits USING (bit)
+            GROUP BY o_orderkey
+            HAVING count(*) = {BLOOM_K}
+        )
+        SELECT (SELECT count(*) FROM passing) AS n_bloom_pass,
+               (SELECT count(*) FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM dim)) AS n_true_match,
+               (SELECT count(*) FROM passing)
+               - (SELECT count(*) FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM dim)) AS n_false_pos
+    """,
+}
+
+QUERIES = {
+    "kmv_distinct": kmv_distinct,
+    "countmin_freq": countmin_freq,
+    "bloom_prefilter": bloom_prefilter,
+}
