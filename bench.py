@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_clusters",
     "embedding_quantize",
     "gapfill_daily_value",
+    "pii_scrub",
+    "dataset_split",
     "kmv_distinct",
     "countmin_freq",
     "bloom_prefilter",

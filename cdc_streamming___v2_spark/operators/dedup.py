@@ -214,6 +214,58 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
+SIMHASH_BANDS_N = 4  # 4 bands x 4 bits over the 16-bit fingerprint
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= SIMHASH_HAMMING_MAX,
+    found the scalable way: band the fingerprint (pigeonhole — any pair
+    within distance d < bands must agree on at least one band exactly),
+    equi-join on (band, band_value) for candidates, then verify with a
+    JVM-side popcount. Never an all-pairs comparison.
+
+    Scale: candidate volume is governed by band width; the verify step is
+    two integer ops per candidate. At 100 TB you widen the fingerprint
+    (64/128 bits) and the bands with it — same plan shape.
+    """
+    sig = simhash_fingerprint(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 4 * j).bitwiseAND(F.lit(15))
+                    for j in range(SIMHASH_BANDS_N)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # --- embedding cosine --------------------------------------------------------
 
 
@@ -352,6 +404,23 @@ ORACLES = {
         WHERE j.jaccard >= {JACCARD_THRESHOLD}
     """,
     "simhash_fingerprint": _simhash_sql(),
+    "simhash_hamming_pairs": f"""
+        WITH sim AS ({_simhash_sql()}),
+        bands AS (
+            SELECT doc_id, simhash, j AS band,
+                   (simhash >> (4 * j)) & 15 AS bv
+            FROM sim, generate_series(0, {SIMHASH_BANDS_N - 1}) AS t(j)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAMMING_MAX}
+    """,
     "embedding_near_dup": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -367,5 +436,6 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_near_dup": minhash_near_dup,
     "simhash_fingerprint": simhash_fingerprint,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
     "embedding_near_dup": embedding_near_dup,
 }

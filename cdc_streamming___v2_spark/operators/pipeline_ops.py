@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.texts import md5_hash_long
 from ..sources.tables import fan_out, load_table
 from . import dedup as _dedup
 
@@ -331,6 +332,88 @@ def gapfill_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PII scrubbing -----------------------------------------------------------
+
+# Java regex and DuckDB RE2 agree on this subset (char classes, +, {m,},
+# alternation) — keep patterns inside it.
+PII_URL = r"https?://[^\s]+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9-]{7,}[0-9]"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (C4-style cleaning pass): URL → <URL>,
+    email → <EMAIL>, phone → <PHONE>, with per-doc match counts.
+
+    The synthetic corpus contains no organic PII, so — as with the
+    multimodal tier's fake media — deterministic PII is synthesized onto
+    each document first (email/phone/url derived from doc_id); the scrub
+    then provably finds and removes it, and the redacted text hash-checks
+    against the oracle. Redaction order URL → EMAIL → PHONE is fixed so
+    both engines resolve overlaps identically.
+
+    Scale: pure narrow select — regex evaluation pipelines with the scan,
+    no shuffle, no UDF.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-0199 see https://docs.example.com/d/"),
+        F.col("doc_id"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(synth, PII_URL, "<URL>"), PII_EMAIL, "<EMAIL>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select("doc_id", scrubbed.alias("clean_text")).select(
+        "doc_id",
+        "clean_text",
+        (F.size(F.split("clean_text", "<URL>", -1)) - 1)
+        .cast("bigint")
+        .alias("n_urls_redacted"),
+        (F.size(F.split("clean_text", "<EMAIL>", -1)) - 1)
+        .cast("bigint")
+        .alias("n_emails_redacted"),
+        (F.size(F.split("clean_text", "<PHONE>", -1)) - 1)
+        .cast("bigint")
+        .alias("n_phones_redacted"),
+    )
+
+
+# --- deterministic train/val/test split --------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document to train/val/test by hashed-id bucket
+    (80/10/10). Hash-bucket assignment is the production pattern: stable
+    under reruns, cluster resizes, and incremental arrivals (a new doc
+    never moves an old one between splits), unlike randomSplit which is
+    partition-dependent.
+
+    Scale: per-row hash, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (md5_hash_long(F.col("doc_id").cast("string"), "split") % 100).cast(
+        "int"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
 QUERIES = {
     "gopher_repetition": gopher_repetition,
     "doc_chunks": doc_chunks,
@@ -338,6 +421,8 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "stratified_sample": stratified_sample,
     "gapfill_daily_value": gapfill_daily_value,
+    "pii_scrub": pii_scrub,
+    "dataset_split": dataset_split,
 }
 
 ORACLES = {
@@ -443,5 +528,45 @@ ORACLES = {
                round(sum(coalesce(day_value, 0.0))
                      OVER (PARTITION BY c.user_id ORDER BY c.day), 2) AS cum_value
         FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+    """,
+    "pii_scrub": f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id
+                        || '@example.com or +1-555-'
+                        || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                        || '-0199 see https://docs.example.com/d/' || doc_id
+                       AS raw_text
+            FROM documents
+        ),
+        clean AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(raw_text, '{PII_URL}', '<URL>', 'g'),
+                           '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g') AS clean_text
+            FROM synth
+        )
+        SELECT doc_id, clean_text,
+               CAST(len(string_split(clean_text, '<URL>')) - 1 AS BIGINT)
+                   AS n_urls_redacted,
+               CAST(len(string_split(clean_text, '<EMAIL>')) - 1 AS BIGINT)
+                   AS n_emails_redacted,
+               CAST(len(string_split(clean_text, '<PHONE>')) - 1 AS BIGINT)
+                   AS n_phones_redacted
+        FROM clean
+    """,
+    "dataset_split": f"""
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8)
+                         AS BIGINT) % 100 AS INT) AS bucket,
+               CASE WHEN CAST('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8)
+                         AS BIGINT) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN CAST('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8)
+                         AS BIGINT) % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT}
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """,
 }

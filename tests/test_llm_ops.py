@@ -145,3 +145,16 @@ def test_lang_id_schema_and_determinism(spark):
     assert {r.doc_id: r.predicted_lang for r in a} == {
         r.doc_id: r.predicted_lang for r in b
     }
+
+
+def test_simhash_hamming_pairs_bounded_and_banded(spark):
+    pairs = D.simhash_hamming_pairs(spark, SF_SMALL).collect()
+    assert pairs
+    fp = {
+        r.doc_id: r.simhash
+        for r in D.simhash_fingerprint(spark, SF_SMALL).collect()
+    }
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert r.hamming <= D.SIMHASH_HAMMING_MAX
+        assert bin(fp[r.doc_a] ^ fp[r.doc_b]).count("1") == r.hamming

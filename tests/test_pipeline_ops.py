@@ -83,3 +83,27 @@ def test_gopher_keep_consistent_with_metrics(spark):
         if r.keep:
             assert 10 <= r.n_words <= 1000
             assert r.top_bigram_frac < 0.2 + 1e-9
+
+
+def test_pii_scrub_redacts_synthesized_pii(spark):
+    rows = P.pii_scrub(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # exactly one of each synthesized PII item per doc, fully redacted
+        assert r.n_urls_redacted == 1
+        assert r.n_emails_redacted == 1
+        assert r.n_phones_redacted == 1
+        assert "@" not in r.clean_text
+        assert "http" not in r.clean_text
+        assert "555" not in r.clean_text
+
+
+def test_dataset_split_stable_and_proportional(spark):
+    rows = P.dataset_split(spark, SF_SMALL).collect()
+    n = len(rows)
+    frac = {s: sum(1 for r in rows if r.split == s) / n for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.8) < 0.1
+    assert abs(frac["val"] - 0.1) < 0.07
+    assert abs(frac["test"] - 0.1) < 0.07
+    again = {r.doc_id: r.split for r in P.dataset_split(spark, SF_SMALL).collect()}
+    assert again == {r.doc_id: r.split for r in rows}
