@@ -125,6 +125,22 @@ def interval_join_streams(
     )
 
 
+def enrich_stream_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a batch dim
+    table (the relational form of the reference's per-record registry
+    lookup, src/dataflow-cdc-stream.py:69–76 — which paid one remote fetch
+    per record; here the dim is planned once per micro-batch and broadcast
+    when small).
+
+    Stream-static joins need no watermark: the static side is re-resolved
+    each micro-batch, so slowly-changing dims pick up updates on the next
+    trigger. At 100 TB the dim side stays a broadcast while the stream
+    never shuffles — append-only output preserves exactly-once through the
+    sink checkpoint.
+    """
+    return stream.join(F.broadcast(dim), on, "left")
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """At-least-once -> effectively-once: drop replayed event_ids within the
     watermark horizon (bounded state). This is the dedup the reference's

@@ -196,3 +196,29 @@ def test_interval_join_streams_matches_batch(spark, events_dir):
         if r.n_clicks_10m > 0
     }
     assert got_counts == want
+
+
+def test_enrich_stream_static_matches_batch_join(spark, events_dir):
+    # dim: per-user first event type from the batch table (any static frame)
+    dim = (
+        _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.min("event_type").alias("first_type"))
+    )
+    enriched = W.enrich_stream_static(
+        _stream(spark, events_dir).select("event_id", "user_id"), dim, "user_id"
+    )
+    name = _run(enriched)
+    got = {
+        r.event_id: r.first_type
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    want = {
+        r.event_id: r.first_type
+        for r in _batch_events(spark)
+        .select("event_id", "user_id")
+        .join(dim, "user_id", "left")
+        .collect()
+    }
+    assert got == want
+    assert len(got) == _batch_events(spark).count()
