@@ -189,3 +189,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("mins", T.ArrayType(T.DoubleType()))]
+)
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("est_distinct", T.DoubleType()),
+        T.StructField("n_mins", T.LongType()),
+    ]
+)
+
+
+def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming KMV distinct-user estimate per event_type — the batch
+    sketch (operators/sketches.kmv_distinct) as a stateful operator.
+
+    KMV merges trivially (min-k of a union == min-k of the partial min-k's),
+    so per-key state is a bounded sorted list of <= k doubles regardless of
+    stream length — the property that makes streaming COUNT(DISTINCT)
+    feasible at all. Hashing happens JVM-side before the state operator;
+    Python only merges the k-minimum sets, so an identical estimate to the
+    batch query falls out at every emission.
+    """
+    from ..functions.texts import md5_hash_long
+
+    hashed = events.select(
+        "event_type",
+        (
+            md5_hash_long(F.col("user_id").cast("string"), "kmv")
+            / F.lit(2.0**32)
+        ).alias("u"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        mins = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            mins.update(float(x) for x in pdf["u"])
+        top = sorted(mins)[:k]
+        state.update((top,))
+        est = float(len(top)) if len(top) < k else (k - 1) / top[-1]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "est_distinct": [round(est, 2)],
+                "n_mins": [len(top)],
+            }
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -222,3 +222,18 @@ def test_enrich_stream_static_matches_batch_join(spark, events_dir):
     }
     assert got == want
     assert len(got) == _batch_events(spark).count()
+
+
+def test_kmv_stream_matches_batch_sketch(spark, events_dir):
+    from cdc_streamming___v2_spark.operators import sketches as S
+
+    name = _run(W.kmv_distinct_stream(_stream(spark, events_dir)), mode="update")
+    got = {
+        r.event_type: r.est_distinct
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    want = {
+        r.event_type: r.est_distinct
+        for r in S.kmv_distinct(spark, SF_SMALL).collect()
+    }
+    assert got == want
