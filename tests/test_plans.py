@@ -76,3 +76,27 @@ def test_scd2_single_shuffle(spark):
     # one window over one key = exactly one exchange; a second would mean
     # the filter or projection broke partitioning reuse
     assert p.count("+- Exchange") + p.count(":- Exchange") == 1
+
+
+def test_sketch_probe_sides_broadcast(spark):
+    from cdc_streamming___v2_spark.operators import sketches as K
+
+    # CMS: the d-cells-per-key probe frame must broadcast against the grid
+    p = _plan(spark, K.countmin_freq(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # Bloom: the bit set (<= m distinct ints) must broadcast, never shuffle
+    # the fact side against it
+    p = _plan(spark, K.bloom_prefilter(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pii_scrub_is_scan_local(spark):
+    from cdc_streamming___v2_spark.operators import pipeline_ops as P
+
+    # narrow cleaning pass: no exchange of any kind in the plan
+    p = _plan(spark, P.pii_scrub(spark, SF_SMALL))
+    assert "Exchange" not in p
+    p = _plan(spark, P.dataset_split(spark, SF_SMALL))
+    assert "Exchange" not in p
