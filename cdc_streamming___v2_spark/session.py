@@ -61,6 +61,9 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # testdata events.parquet stores TIMESTAMP(NANOS); Spark only reads it
     # as a long (sources.tables.load_table converts to micros timestamp).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
