@@ -52,6 +52,7 @@ HEADLINE = [
     "gapfill_daily_value",
     "pii_scrub",
     "dataset_split",
+    "priority_sample",
     "kmv_distinct",
     "countmin_freq",
     "bloom_prefilter",

@@ -414,6 +414,49 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
 
 
+# --- weighted priority sampling ----------------------------------------------
+
+PRIORITY_K = 64
+
+
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of documents by priority sampling (Duffield, Lund &
+    Thorup): priority = weight / u with u uniform from the hashed id; the k
+    highest-priority items form a sample where inclusion probability is
+    proportional to weight, and tau (the (k+1)-th priority) gives the
+    Horvitz-Thompson estimator weight max(w, tau). The training-data use:
+    quality-weighted corpus subsampling that is reproducible run to run.
+
+    Chosen over Efraimidis-Spirakis (u^(1/w) keys) deliberately: w/u is a
+    single IEEE-exact division, so ranking is bit-identical across engines,
+    while pow() may differ in the last ulp between libm implementations.
+
+    Scale: per-row hash + a global top-(k+1) — TakeOrderedAndProject, no
+    global sort; weights and priorities never shuffle more than k+1 rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("w")
+    )
+    u = (md5_hash_long(F.col("doc_id").cast("string"), "ps") + 1) / F.lit(
+        2.0**32
+    )
+    pri = d.select("doc_id", "w", (F.col("w") / u).alias("priority"))
+    topk1 = pri.orderBy(F.col("priority").desc(), F.col("doc_id")).limit(
+        PRIORITY_K + 1
+    )
+    tau = topk1.agg(F.min("priority").alias("tau"))
+    return (
+        topk1.crossJoin(F.broadcast(tau))
+        .filter(F.col("priority") > F.col("tau"))
+        .select(
+            "doc_id",
+            "w",
+            F.round("priority", 4).alias("priority"),
+            F.round(F.greatest("w", "tau"), 4).alias("ht_weight"),
+        )
+    )
+
+
 QUERIES = {
     "gopher_repetition": gopher_repetition,
     "doc_chunks": doc_chunks,
@@ -423,6 +466,7 @@ QUERIES = {
     "gapfill_daily_value": gapfill_daily_value,
     "pii_scrub": pii_scrub,
     "dataset_split": dataset_split,
+    "priority_sample": priority_sample,
 }
 
 ORACLES = {
@@ -568,5 +612,23 @@ ORACLES = {
                         THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+    """,
+    "priority_sample": f"""
+        WITH pri AS (
+            SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+                   CAST(n_chars AS DOUBLE)
+                   / ((CAST('0x' || substr(md5('ps' || doc_id::VARCHAR), 1, 8)
+                            AS BIGINT) + 1) / 4294967296.0) AS priority
+            FROM documents
+        ),
+        topk1 AS (
+            SELECT * FROM pri
+            ORDER BY priority DESC, doc_id LIMIT {PRIORITY_K + 1}
+        ),
+        tau AS (SELECT min(priority) AS tau FROM topk1)
+        SELECT doc_id, w, round(priority, 4) AS priority,
+               round(greatest(w, tau), 4) AS ht_weight
+        FROM topk1, tau
+        WHERE priority > tau
     """,
 }

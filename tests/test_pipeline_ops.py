@@ -107,3 +107,15 @@ def test_dataset_split_stable_and_proportional(spark):
     assert abs(frac["test"] - 0.1) < 0.07
     again = {r.doc_id: r.split for r in P.dataset_split(spark, SF_SMALL).collect()}
     assert again == {r.doc_id: r.split for r in rows}
+
+
+def test_priority_sample_k_rows_weighted(spark):
+    rows = P.priority_sample(spark, SF_SMALL).collect()
+    assert len(rows) == P.PRIORITY_K
+    for r in rows:
+        # HT weight is never below the raw weight, and priority >= weight
+        # (u <= 1 implies w/u >= w)
+        assert r.ht_weight >= r.w
+        assert r.priority >= r.w
+    again = P.priority_sample(spark, SF_SMALL).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in rows}
