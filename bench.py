@@ -56,6 +56,7 @@ HEADLINE = [
     "kmv_distinct",
     "countmin_freq",
     "bloom_prefilter",
+    "quantile_sketch",
 ]
 
 

@@ -210,6 +210,97 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- histogram quantile sketch -----------------------------------------------
+
+QS_BINS = 128
+QS_PROBES = (0.5, 0.9, 0.99)
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of event value from a fixed-width histogram
+    (the mergeable fixed-size structure behind approximate percentiles),
+    with linear interpolation inside the hit bin — reported next to the
+    exact percentile and the realized error.
+
+    Spark's approx_percentile (KLL-like) is seeded engine-side and can't be
+    cross-checked by value; a histogram sketch is deterministic, mergeable
+    (bin counts add), and O(bins) state — the same scalability story.
+
+    Scale: one min/max pass, one bin aggregation (128 cells after map-side
+    partials), then driver-sized frames; the exact percentile alongside is
+    the expensive sort-based op the sketch replaces at 100 TB.
+    """
+    v = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("value").cast("double").alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
+    stats = v.agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count("*").alias("n"),
+        *[
+            F.round(F.expr(f"percentile(x, {p})"), 4).alias(f"exact_{i}")
+            for i, p in enumerate(QS_PROBES)
+        ],
+    )
+    width = (F.col("hi") - F.col("lo")) / QS_BINS
+    idx = F.least(
+        F.floor((F.col("x") - F.col("lo")) / width), F.lit(QS_BINS - 1)
+    ).cast("int")
+    bins = (
+        v.crossJoin(F.broadcast(stats))
+        .select(idx.alias("idx"), "lo", "hi", "n")
+        .groupBy("idx", "lo", "hi", "n")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("cnt").over(wcum))
+    probes = spark.range(len(QS_PROBES)).select(
+        F.col("id").cast("int").alias("pi"),
+        F.element_at(
+            F.array(*[F.lit(float(p)) for p in QS_PROBES]),
+            F.col("id").cast("int") + 1,
+        ).alias("p"),
+    )
+    hit = (
+        probes.crossJoin(cum)
+        .filter(F.col("cum") >= F.col("p") * F.col("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("pi").orderBy("idx")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    w = (F.col("hi") - F.col("lo")) / QS_BINS
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo")
+        + F.col("idx") * w
+        + (F.col("p") * F.col("n") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+        * w
+    )
+    exact = F.element_at(
+        F.array(*[F.col(f"exact_{i}") for i in range(len(QS_PROBES))]),
+        F.col("pi") + 1,
+    )
+    return (
+        hit.crossJoin(
+            F.broadcast(
+                stats.select(*[f"exact_{i}" for i in range(len(QS_PROBES))])
+            )
+        )
+        .select(
+            "p",
+            F.round(est, 4).alias("est_q"),
+            exact.alias("exact_q"),
+            F.round(F.abs(est - exact) / F.abs(exact), 4).alias("rel_err"),
+        )
+    )
+
+
 # --- oracles -----------------------------------------------------------------
 
 
@@ -323,8 +414,55 @@ ORACLES = {
     """,
 }
 
+_QS_EXACTS = ",\n                   ".join(
+    f"round(quantile_cont(x, CAST({p} AS DOUBLE)), 4) AS exact_{i}"
+    for i, p in enumerate(QS_PROBES)
+)
+_QS_PROBE_ROWS = " UNION ALL ".join(
+    f"SELECT {i} AS pi, CAST({p} AS DOUBLE) AS p" for i, p in enumerate(QS_PROBES)
+)
+_QS_EXACT_CASE = " ".join(
+    f"WHEN pi = {i} THEN exact_{i}" for i in range(len(QS_PROBES))
+)
+_QS_W = f"(hi - lo) / {QS_BINS}"
+_QS_EST = (
+    f"CASE WHEN hi = lo THEN lo ELSE lo + idx * ({_QS_W})"
+    f" + (p * n - (cum - cnt)) / cnt * ({_QS_W}) END"
+)
+
+ORACLES["quantile_sketch"] = f"""
+    WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+               WHERE value IS NOT NULL),
+    stats AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n,
+                   {_QS_EXACTS}
+              FROM v),
+    bins AS (
+        SELECT CAST(least(floor((x - lo) / ({_QS_W})), {QS_BINS - 1}) AS INT)
+                   AS idx,
+               count(*) AS cnt
+        FROM v, stats GROUP BY 1
+    ),
+    cum AS (SELECT idx, cnt, sum(cnt) OVER (ORDER BY idx) AS cum FROM bins),
+    probes AS ({_QS_PROBE_ROWS}),
+    hit AS (
+        SELECT pi, p, idx, cnt, cum, n, lo, hi,
+               row_number() OVER (PARTITION BY pi ORDER BY idx) AS rk
+        FROM probes, cum, stats
+        WHERE cum >= p * n
+    )
+    SELECT p,
+           round({_QS_EST}, 4) AS est_q,
+           CASE {_QS_EXACT_CASE} END AS exact_q,
+           round(abs(({_QS_EST}) - CASE {_QS_EXACT_CASE} END)
+                 / abs(CASE {_QS_EXACT_CASE} END), 4) AS rel_err
+    FROM hit, (SELECT {", ".join(f"exact_{i}" for i in range(len(QS_PROBES)))}
+               FROM stats) s
+    WHERE rk = 1
+"""
+
 QUERIES = {
     "kmv_distinct": kmv_distinct,
     "countmin_freq": countmin_freq,
     "bloom_prefilter": bloom_prefilter,
+    "quantile_sketch": quantile_sketch,
 }

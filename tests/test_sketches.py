@@ -39,3 +39,14 @@ def test_bloom_no_false_negatives(spark):
     assert r.n_false_pos >= 0
     assert r.n_bloom_pass == r.n_true_match + r.n_false_pos
     assert r.n_true_match > 0
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark):
+    rows = S.quantile_sketch(spark, SF_SMALL).collect()
+    assert len(rows) == len(S.QS_PROBES)
+    assert {r.p for r in rows} == set(S.QS_PROBES)
+    for r in rows:
+        # histogram interpolation is off by at most ~one bin width around
+        # the true quantile; generous multiple guards distribution shape
+        assert r.rel_err < 0.25
+        assert r.est_q is not None and r.exact_q is not None
