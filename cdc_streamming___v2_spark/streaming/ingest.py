@@ -42,13 +42,26 @@ from ..sources.registry import ENGINE_COLUMNS, SchemaRegistry, TableSpec
 
 @dataclass
 class CdcIngest:
-    """One CDC ingest job: log directory -> per-table history sinks."""
+    """One CDC ingest job: log directory (or Kafka topic) -> per-table
+    history sinks.
+
+    ``source_format="file"`` (default) tails ``input_dir`` with the file
+    source. ``source_format="kafka"`` reads the same NDJSON envelope lines
+    from a broker (``kafka_options`` must carry at least
+    ``kafka.bootstrap.servers`` and ``subscribe``); the Kafka record value
+    is decoded bytes->string exactly like the reference's Pub/Sub decode
+    hop (src/dataflow-cdc-stream.py:139), and everything downstream —
+    parse, route, enrich, sinks — is the identical plan. Requires the
+    spark-sql-kafka connector on the classpath at ``start()`` time.
+    """
 
     spark: SparkSession
     registry: SchemaRegistry
     input_dir: str
     output_dir: str
     checkpoint_dir: str
+    source_format: str = "file"
+    kafka_options: dict[str, str] = field(default_factory=dict)
     max_files_per_trigger: int | None = None
     partition_by_day: bool = True
     # "day" | "month": pick so a partition holds file-sized row counts.
@@ -67,10 +80,32 @@ class CdcIngest:
     # -- plan construction (shared by batch and streaming) -------------------
 
     def _read_stream(self) -> DataFrame:
+        return parse_envelope(self._raw_lines())
+
+    def _raw_lines(self) -> DataFrame:
+        """One NDJSON envelope line per row, column ``value: string``.
+
+        Both sources land on the same shape, so the entire downstream plan
+        (parse -> route -> enrich -> sinks) is source-agnostic.
+        """
+        if self.source_format == "kafka":
+            reader = self.spark.readStream.format("kafka")
+            for k, v in self.kafka_options.items():
+                reader = reader.option(k, v)
+            if self.max_files_per_trigger:
+                # the Kafka analogue of maxFilesPerTrigger: bound each
+                # micro-batch for backpressure (records, not files)
+                reader = reader.option(
+                    "maxOffsetsPerTrigger", str(self.max_files_per_trigger)
+                )
+            # bytes -> UTF-8 string: the reference's decode hop (py:139)
+            return reader.load().select(F.col("value").cast("string").alias("value"))
+        if self.source_format != "file":
+            raise ValueError(f"unknown source_format: {self.source_format!r}")
         reader = self.spark.readStream.format("text")
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        return parse_envelope(reader.load(self.input_dir))
+        return reader.load(self.input_dir)
 
     def _route_table(self, env: DataFrame, spec: TableSpec) -> DataFrame:
         """Envelope rows for one object -> typed history rows.
