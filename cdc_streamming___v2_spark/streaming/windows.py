@@ -249,3 +249,93 @@ def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+QSK_STATE_SCHEMA = T.StructType(
+    [T.StructField("counts", T.ArrayType(T.LongType()))]
+)
+
+QSK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("est_q", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def quantile_sketch_stream(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    probes: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Streaming percentiles of event value per event_type — the batch
+    histogram sketch (operators/sketches.quantile_sketch) as a stateful
+    operator.
+
+    Histogram bin counts merge by addition, so per-key state is a fixed
+    array of ``bins`` longs regardless of stream length (the same bounded-
+    state property as KMV). A stream can't take the batch sketch's first
+    min/max pass, so the value range is DECLARED up front — the standard
+    streaming-histogram contract; out-of-range values clamp into the edge
+    bins. Binning runs JVM-side; Python only adds count vectors and
+    interpolates the probe quantiles, identically to the batch estimator,
+    so with ``lo``/``hi`` set to the data's true min/max the emissions
+    match the batch sketch exactly at every micro-batch boundary.
+    """
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+    idx = (
+        F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.lit(float(lo))) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        )
+    ).cast("int")
+    binned = (
+        events.select(
+            "event_type", F.col("value").cast("double").alias("x")
+        )
+        .filter(F.col("x").isNotNull())
+        .select("event_type", idx.alias("idx"))
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counts = list(state.get[0]) if state.exists else [0] * bins
+        for pdf in pdfs:
+            for i, c in pdf["idx"].value_counts().items():
+                counts[int(i)] += int(c)
+        state.update((counts,))
+        n = sum(counts)
+        if n == 0:
+            return
+        out = {"event_type": [], "p": [], "est_q": [], "n": []}
+        for p in probes:
+            target = p * n
+            running = 0
+            for i, c in enumerate(counts):
+                running += c
+                if c > 0 and running >= target:
+                    est = lo + i * width + (target - (running - c)) / c * width
+                    break
+            out["event_type"].append(key[0])
+            out["p"].append(float(p))
+            out["est_q"].append(float(est))
+            out["n"].append(n)
+        yield pd.DataFrame(out)
+
+    return binned.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=QSK_OUTPUT_SCHEMA,
+        stateStructType=QSK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

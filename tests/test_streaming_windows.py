@@ -237,3 +237,74 @@ def test_kmv_stream_matches_batch_sketch(spark, events_dir):
         for r in S.kmv_distinct(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_quantile_sketch_stream_merges_across_batches(spark, tmp_path):
+    """Split events into two files -> two micro-batches; the final emission
+    per event_type must equal an exact replica of the histogram estimator
+    computed over ALL the data (bin counts merged by addition), and an
+    intermediate emission with smaller n must exist (proof of statefulness).
+    """
+    ev = _batch_events(spark).select("event_id", "ts", "event_type", "value")
+    d = str(tmp_path / "split")
+    ev.filter("event_id % 2 = 0").write.parquet(os.path.join(d, "a.parquet"))
+    ev.filter("event_id % 2 = 1").write.parquet(os.path.join(d, "b.parquet"))
+
+    lo, hi = ev.agg(
+        F.min(F.col("value").cast("double")), F.max(F.col("value").cast("double"))
+    ).first()
+    bins, probes = 128, (0.5, 0.9, 0.99)
+
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    name = _run(
+        W.quantile_sketch_stream(stream, lo=lo, hi=hi, bins=bins, probes=probes),
+        mode="update",
+    )
+    rows = spark.sql(f"select * from {name}").collect()
+
+    # exact replica over all data
+    width = (hi - lo) / bins
+    want = {}
+    by_type = {}
+    for r in ev.select("event_type", F.col("value").cast("double")).collect():
+        if r[1] is not None:
+            by_type.setdefault(r[0], []).append(float(r[1]))
+    for et, xs in by_type.items():
+        counts = [0] * bins
+        for x in xs:
+            counts[min(max(int((x - lo) // width), 0), bins - 1)] += 1
+        n = len(xs)
+        for p in probes:
+            target, running = p * n, 0
+            for i, c in enumerate(counts):
+                running += c
+                if c > 0 and running >= target:
+                    want[(et, p)] = (
+                        lo + i * width + (target - (running - c)) / c * width,
+                        n,
+                    )
+                    break
+
+    # final emission per key = the one with the largest n
+    got = {}
+    for r in rows:
+        k = (r.event_type, r.p)
+        if k not in got or r.n > got[k][1]:
+            got[k] = (r.est_q, r.n)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert got[k][0] == pytest.approx(want[k][0], rel=1e-9)
+    # two micro-batches -> an earlier, smaller-n emission exists per type
+    assert any(r.n < got[(r.event_type, r.p)][1] for r in rows)
+
+
+def test_quantile_sketch_stream_rejects_bad_range(spark, events_dir):
+    with pytest.raises(ValueError, match="hi > lo"):
+        W.quantile_sketch_stream(_stream(spark, events_dir), lo=5.0, hi=5.0)
