@@ -37,33 +37,39 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _topk(pairs: DataFrame) -> DataFrame:
+def _topk(pairs: DataFrame, top_k: int = TOP_K) -> DataFrame:
     """Deterministic top-k per query: rank on rounded sim + id tiebreak."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
 
 
-def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force top-k neighbors for each query vector.
+def cosine_topk_frame(
+    e: DataFrame, n_queries: int = N_QUERIES, top_k: int = TOP_K
+) -> DataFrame:
+    """Exact brute-force top-k over any (vec_id, label, v) frame.
 
-    The query side is tiny (N_QUERIES rows) — broadcast it so the corpus
+    The query side is tiny (n_queries rows) — broadcast it so the corpus
     never shuffles; Catalyst turns this into BroadcastNestedLoopJoin.
     """
-    e = _embeddings(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     pairs = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4))
     )
-    return _topk(pairs)
+    return _topk(pairs, top_k)
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k neighbors for each query vector."""
+    return cosine_topk_frame(_embeddings(spark, sf_dir))
 
 
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -79,8 +85,8 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def _bucketed(e: DataFrame, n_planes: int) -> DataFrame:
-    planes = _hyperplanes(n_planes, EMBED_DIM)
+def _bucketed(e: DataFrame, n_planes: int, dim: int = EMBED_DIM) -> DataFrame:
+    planes = _hyperplanes(n_planes, dim)
     bits = []
     for i, p in enumerate(planes):
         pc = F.array(*[F.lit(v) for v in p])
@@ -96,19 +102,33 @@ def _probe_masks(n_planes: int, max_bits: int) -> list[int]:
     return [m for m in range(1 << n_planes) if bin(m).count("1") <= max_bits]
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH with multi-probe.
+def lsh_topk_frame(
+    e: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_planes: int = LSH_PLANES,
+    probe_bits: int = LSH_PROBE_BITS,
+    dim: int = EMBED_DIM,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH with multi-probe, over
+    any (vec_id, label, v) frame.
 
-    Candidates = corpus vectors whose bucket is within LSH_PROBE_BITS
+    Candidates = corpus vectors whose bucket is within ``probe_bits``
     hamming distance of the query bucket — candidate fraction ≈
     Σ C(H,k)/2^H for k<=probe_bits (~34% at H=6,k<=2), vs 100% for brute
-    force. Note: the driver's synthetic embeddings are random (near-
-    orthogonal, top-neighbor cosine ~0.4-0.5), the hardest case for any
-    ANN — recall here is data-bound, not a bug; on clustered real
-    embeddings the same operator's recall rises sharply.
+    force. ``n_planes``/``probe_bits`` are the recall/cost knobs: more
+    planes → smaller buckets (cheaper, lower recall), more probe bits →
+    more buckets scanned (pricier, higher recall). Tune per corpus size:
+    planes ~ log2(N / desired-candidates-per-bucket).
+
+    Note: the driver's synthetic embeddings are random (near-orthogonal,
+    top-neighbor cosine ~0.4-0.5), the hardest case for any ANN — recall
+    there is data-bound, not a bug; on clustered embeddings the same
+    operator's recall rises sharply (asserted in tests on a planted
+    clustered fixture).
     """
-    e = _bucketed(_embeddings(spark, sf_dir), LSH_PLANES)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    e = _bucketed(e, n_planes, dim)
+    q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
@@ -116,7 +136,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = F.array(
         *[
             F.col("qbucket").bitwiseXOR(F.lit(m))
-            for m in _probe_masks(LSH_PLANES, LSH_PROBE_BITS)
+            for m in _probe_masks(n_planes, probe_bits)
         ]
     )
     q = q.withColumn("bucket", F.explode(probes))
@@ -125,14 +145,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4))
     )
-    return _topk(pairs)
+    return _topk(pairs, top_k)
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse cells = per-label centroids (k-means stand-in
-    computed as a groupBy mean); each query probes its IVF_PROBES nearest
-    cells and ranks only those cells' vectors."""
-    e = _embeddings(spark, sf_dir)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via LSH over the driver embeddings table."""
+    return lsh_topk_frame(_embeddings(spark, sf_dir))
+
+
+def ivf_topk_frame(
+    e: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_probes: int = IVF_PROBES,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """IVF-style ANN over any (vec_id, label, v) frame: coarse cells =
+    per-label centroids (k-means stand-in computed as a groupBy mean); each
+    query probes its ``n_probes`` nearest cells and ranks only those cells'
+    vectors. ``n_probes`` is the recall/cost knob: candidates ≈
+    N * n_probes / n_cells."""
     # centroid per label: element-wise mean via posexplode + groupBy
     cent = (
         e.select("label", F.posexplode("v").alias("dim", "x"))
@@ -144,7 +175,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.transform("pairs", lambda p: p.getField("cx")).alias("cv")
         )
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     # nearest cells per query
@@ -159,7 +190,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .filter(F.col("crank") <= IVF_PROBES)
+        .filter(F.col("crank") <= n_probes)
         .select("query_id", "qv", "label")
     )
     pairs = (
@@ -167,7 +198,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4))
     )
-    return _topk(pairs)
+    return _topk(pairs, top_k)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN over the driver embeddings table."""
+    return ivf_topk_frame(_embeddings(spark, sf_dir))
 
 
 _COS = (
