@@ -62,6 +62,10 @@ class CdcIngest:
     checkpoint_dir: str
     source_format: str = "file"
     kafka_options: dict[str, str] = field(default_factory=dict)
+    # single-pass mode only: publish each (table, micro-batch) atomically
+    # via staging-dir rename, closing the crash window between the first
+    # table write and the batch marker (see start_single_pass)
+    transactional: bool = False
     max_files_per_trigger: int | None = None
     partition_by_day: bool = True
     # "day" | "month": pick so a partition holds file-sized row counts.
@@ -204,13 +208,53 @@ class CdcIngest:
         registry is wide (many source tables per log stream).
 
         Delivery: a batch-id marker commits each micro-batch after all
-        sinks are written, so replays after a crash skip completed batches
-        (duplicates are only possible if the crash lands between the first
-        table write and the marker — sink-level atomicity across N
-        directories needs a transactional table format, which plain parquet
-        does not provide; the per-table mode keeps exactly-once per sink).
+        sinks are written, so replays after a crash skip completed batches.
+        With ``transactional=False`` duplicates are possible if the crash
+        lands between the first table write and the marker. With
+        ``transactional=True`` each (table, batch) is staged into a hidden
+        ``_staging`` directory and PUBLISHED by one atomic rename into a
+        ``batch=<id>`` partition directory; a replayed batch skips tables
+        whose batch directory already exists, so every (table, batch) lands
+        exactly once no matter where a crash falls — readers never see
+        partial files (underscore paths are invisible to Spark scans).
+        This is the manifest-free core of what a transactional table format
+        provides; on a rename-less object store, swap the rename for a
+        manifest write (same idempotence argument).
         """
         env = self._read_stream()
+
+        def _append_plain(batch: DataFrame, spec: TableSpec | None) -> None:
+            if spec is None:
+                self._dead_letters(batch).write.mode("append").parquet(
+                    os.path.join(self.output_dir, "_dead_letter")
+                )
+                return
+            self._route_table(batch, spec).write.mode("append").partitionBy(
+                *([self._partition_col] if self.partition_by_day else [])
+            ).parquet(os.path.join(self.output_dir, spec.table_name))
+
+        def _publish_atomic(
+            batch: DataFrame, spec: TableSpec | None, batch_id: int
+        ) -> None:
+            table = spec.table_name if spec is not None else "_dead_letter"
+            sink = os.path.join(self.output_dir, table)
+            final = os.path.join(sink, f"batch={batch_id}")
+            if os.path.exists(final):
+                return  # this (table, batch) already published — replay
+            staging = os.path.join(sink, f"_staging_{batch_id}")
+            routed = (
+                self._dead_letters(batch)
+                if spec is None
+                else self._route_table(batch, spec)
+            )
+            routed.write.mode("overwrite").partitionBy(
+                *(
+                    [self._partition_col]
+                    if self.partition_by_day and spec is not None
+                    else []
+                )
+            ).parquet(staging)
+            os.rename(staging, final)
 
         def _write_batch(batch: DataFrame, batch_id: int) -> None:
             marker = os.path.join(self.checkpoint_dir, "_batches", str(batch_id))
@@ -218,14 +262,11 @@ class CdcIngest:
                 return
             batch.persist()
             try:
-                for spec in self.registry:
-                    sink = os.path.join(self.output_dir, spec.table_name)
-                    self._route_table(batch, spec).write.mode("append").partitionBy(
-                        *([self._partition_col] if self.partition_by_day else [])
-                    ).parquet(sink)
-                self._dead_letters(batch).write.mode("append").parquet(
-                    os.path.join(self.output_dir, "_dead_letter")
-                )
+                for spec in [*self.registry, None]:  # None = dead-letter sink
+                    if self.transactional:
+                        _publish_atomic(batch, spec, batch_id)
+                    else:
+                        _append_plain(batch, spec)
             finally:
                 batch.unpersist()
             os.makedirs(os.path.dirname(marker), exist_ok=True)
@@ -258,21 +299,28 @@ class CdcIngest:
         spec = self.registry.get(object_name)
         if spec is None:
             raise KeyError(object_name)
-        return self.spark.read.schema(
+        df = self.spark.read.schema(
             _with_partition_col(
-                spec, self._partition_col if self.partition_by_day else None
+                spec,
+                self._partition_col if self.partition_by_day else None,
+                batch_col=self.transactional,
             )
         ).parquet(os.path.join(self.output_dir, spec.table_name))
+        return df.drop("batch") if self.transactional else df
 
     def dead_letter(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.output_dir, "_dead_letter"))
+        df = self.spark.read.parquet(os.path.join(self.output_dir, "_dead_letter"))
+        return df.drop("batch") if self.transactional else df
 
 
-def _with_partition_col(spec: TableSpec, partition_col: str | None):
+def _with_partition_col(
+    spec: TableSpec, partition_col: str | None, batch_col: bool = False
+):
     from pyspark.sql import types as T
 
-    if partition_col is None:
-        return spec.schema
-    return T.StructType(
-        list(spec.schema.fields) + [T.StructField(partition_col, T.DateType(), True)]
-    )
+    fields = list(spec.schema.fields)
+    if batch_col:
+        fields.append(T.StructField("batch", T.LongType(), True))
+    if partition_col is not None:
+        fields.append(T.StructField(partition_col, T.DateType(), True))
+    return T.StructType(fields)

@@ -264,3 +264,67 @@ def test_unknown_source_format_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="source_format"):
         ing._read_stream()
+
+
+# --- transactional single-pass publish ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ingested_txn(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc_txn")
+    in_dir = str(root / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "batch1.jsonl"), "w") as f:
+        f.write("\n".join(LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=str(root / "out"),
+        checkpoint_dir=str(root / "ck"),
+        transactional=True,
+    )
+    ing.run_available_single_pass()
+    return ing
+
+
+def test_txn_matches_per_table_mode(ingested, ingested_txn):
+    for obj in ("olist_produtos", "olist_users"):
+        a = ingested.history(obj).drop("update_day").collect()
+        b = ingested_txn.history(obj).drop("update_day").collect()
+        key = lambda r: tuple(str(v) for v in r)
+        assert sorted(map(key, a)) == sorted(map(key, b))
+    assert ingested_txn.dead_letter().count() == 2
+
+
+def test_txn_publishes_batch_dirs_no_staging_left(ingested_txn):
+    import glob
+    assert glob.glob(
+        os.path.join(ingested_txn.output_dir, "produtos_cdc", "batch=*")
+    ), "expected batch=<id> partition directories"
+    assert not glob.glob(
+        os.path.join(ingested_txn.output_dir, "*", "_staging_*")
+    ), "staging dirs must not survive a successful publish"
+
+
+def test_txn_replay_after_lost_marker_is_exactly_once(spark, ingested_txn):
+    """Simulate the worst crash window: all sinks published but the batch
+    marker never written. The replayed batch must skip every already-
+    published (table, batch) directory -> zero duplicate rows."""
+    import glob
+    import shutil
+
+    ing = ingested_txn
+    before = {
+        obj: ing.history(obj).count() for obj in ("olist_produtos", "olist_users")
+    }
+    for marker in glob.glob(os.path.join(ing.checkpoint_dir, "_batches", "*")):
+        os.remove(marker)
+    # also clear the stream checkpoint so the source re-offers the same file
+    shutil.rmtree(os.path.join(ing.checkpoint_dir, "_single_pass"))
+    ing.run_available_single_pass()
+    after = {
+        obj: ing.history(obj).count() for obj in ("olist_produtos", "olist_users")
+    }
+    assert after == before
+    assert ing.dead_letter().count() == 2
