@@ -4,6 +4,11 @@ and prints ONE JSON line with per-query wall seconds.
 
 Each query executes as ``count()`` over the result (forces the full plan
 without driver-side collect of wide rows; limits/top-k still materialize).
+
+Iterative / collect-heavy queries (multi-job DAGs rooted at checkpoints)
+show up-to-7x single-run outliers from JVM compilation landing mid-query;
+those run 3x and report the median. Every other query runs once, cold —
+the headline total is the sum of recorded per-query seconds.
 """
 
 from __future__ import annotations
@@ -148,13 +153,19 @@ def main() -> None:
     # warm the JVM + file metadata cache once (not timed)
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
+    # median-of-3 for the measured outlier-prone entries (iterative or
+    # candidate-explosion DAGs); single cold run for everything else
+    spiky = {"dedup_clusters", "minhash_near_dup", "ann_lsh_topk"}
+
     per_query: dict[str, float] = {}
-    t_all = time.time()
     for name in run:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        per_query[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+        times = []
+        for _ in range(3 if name in spiky else 1):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            times.append(time.time() - t0)
+        per_query[name] = round(sorted(times)[len(times) // 2], 3)
+    total = round(sum(per_query.values()), 3)
 
     cdc_wall, cdc_rows = _bench_cdc_ingest(spark, sf_dir)
 
