@@ -52,6 +52,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "gopher_repetition",
     "doc_chunks",
+    "decontaminate",
     "dedup_clusters",
     "embedding_quantize",
     "gapfill_daily_value",

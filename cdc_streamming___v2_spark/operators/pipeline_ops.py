@@ -24,13 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.texts import md5_hash_long
+from ..functions.texts import md5_hash_long, word_shingles
 from ..sources.tables import fan_out, load_table
 from . import dedup as _dedup
 
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
 CC_MAX_ITERS = 25
+DECON_SHINGLE_N = 4  # word n-gram size for benchmark-overlap detection
+DECON_EVAL_MOD = 97  # doc_id % MOD == 0 -> held-out "benchmark" doc
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +224,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("cluster_id"),
         F.col("node").cast("bigint").alias("doc_id"),
     )
+
+
+# --- benchmark decontamination ------------------------------------------------
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any word
+    4-gram with a held-out eval set (here: doc_id % 97 == 0 stands in for
+    the benchmark corpus). Standard LLM corpus-prep step (cf. GPT-3 §C /
+    Gopher §A.3 n-gram overlap filtering): any training doc overlapping an
+    eval doc leaks the benchmark, so it is reported (and dropped by
+    ``decontaminated_corpus``) with the count of distinct shared shingles.
+
+    Scale: the eval side is small and fixed, so its distinct-shingle set
+    broadcasts and the 100-TB training side streams through a broadcast
+    hash join — no shuffle of the corpus, one narrow explode + one
+    aggregation keyed by doc_id. For an eval set too large to broadcast
+    exactly, a broadcast Bloom filter of eval shingles (operators/
+    sketches.py machinery) gives the same plan with a verify pass.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", word_shingles(F.col("text"), DECON_SHINGLE_N).alias("sh")
+    )
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    ev = d.filter(is_eval).select(F.explode("sh").alias("s")).distinct()
+    train = d.filter(~is_eval).select("doc_id", F.explode("sh").alias("s"))
+    return (
+        train.join(F.broadcast(ev), "s")
+        # word_shingles is per-doc distinct, so count(*) == distinct shingles
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+        )
+    )
+
+
+def decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training corpus with eval docs and contaminated docs removed —
+    the downstream input a training run would consume. Anti joins broadcast
+    the (small) contaminated-id list."""
+    d = _docs(spark, sf_dir).filter(~(F.col("doc_id") % DECON_EVAL_MOD == 0))
+    bad = decontaminate(spark, sf_dir).select("doc_id")
+    return d.join(F.broadcast(bad), "doc_id", "left_anti")
 
 
 # --- embedding normalization + int8 quantization -----------------------------
@@ -460,6 +507,7 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "gopher_repetition": gopher_repetition,
     "doc_chunks": doc_chunks,
+    "decontaminate": decontaminate,
     "dedup_clusters": dedup_clusters,
     "embedding_quantize": embedding_quantize,
     "stratified_sample": stratified_sample,
@@ -470,6 +518,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "decontaminate": f"""
+        WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                   FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - {DECON_SHINGLE_N - 1}, 0)),
+                   i -> array_to_string(w[i:i+{DECON_SHINGLE_N - 1}], ' ')))) AS s
+               FROM w),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh
+        WHERE doc_id % {DECON_EVAL_MOD} <> 0 AND s IN (SELECT s FROM ev)
+        GROUP BY doc_id
+    """,
     "gopher_repetition": """
         WITH base AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from cdc_streamming___v2_spark.operators import pipeline_ops as P
 
 from .conftest import SF_SMALL
@@ -119,3 +121,36 @@ def test_priority_sample_k_rows_weighted(spark):
         assert r.priority >= r.w
     again = P.priority_sample(spark, SF_SMALL).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in rows}
+
+
+def test_decontaminated_corpus_partition_identity(spark):
+    docs = P._docs(spark, SF_SMALL)
+    total = docs.count()
+    n_eval = docs.filter(F.col("doc_id") % P.DECON_EVAL_MOD == 0).count()
+    contaminated = P.decontaminate(spark, SF_SMALL)
+    n_bad = contaminated.count()
+    clean = P.decontaminated_corpus(spark, SF_SMALL)
+    # eval, contaminated, clean partition the corpus exactly
+    assert clean.count() == total - n_eval - n_bad
+    # nothing contaminated or held-out survives
+    assert clean.filter(F.col("doc_id") % P.DECON_EVAL_MOD == 0).count() == 0
+    assert clean.join(contaminated, "doc_id").count() == 0
+
+
+def test_decontaminate_hits_share_a_shingle(spark):
+    from cdc_streamming___v2_spark.functions.texts import word_shingles
+
+    hit = P.decontaminate(spark, SF_SMALL).orderBy("doc_id").first()
+    if hit is None:
+        pytest.skip("no contamination at this SF")
+    docs = P._docs(spark, SF_SMALL).select(
+        "doc_id", word_shingles(F.col("text"), P.DECON_SHINGLE_N).alias("sh")
+    )
+    bad = docs.filter(F.col("doc_id") == hit.doc_id)
+    ev = docs.filter(F.col("doc_id") % P.DECON_EVAL_MOD == 0).select(
+        F.explode("sh").alias("s")
+    )
+    shared = (
+        bad.select(F.explode("sh").alias("s")).join(ev, "s").select("s").distinct()
+    )
+    assert shared.count() == hit.n_shared
