@@ -96,3 +96,46 @@ class SchemaRegistry:
     @property
     def object_names(self) -> list[str]:
         return list(self._tables)
+
+    def check_evolution(self, new: "SchemaRegistry") -> None:
+        """Validate that ``new`` is a safe successor registry for history
+        tables already written under ``self`` (the ALTER TABLE story the
+        reference's static registry has no answer to).
+
+        Safe evolution for an append-only parquet history read with an
+        explicit schema:
+        - add a table (new object) — trivially safe;
+        - add a column — old files simply project NULL for it (the same
+          "absent field" semantics the CDC envelope already has);
+        - anything else — dropping a table/column, changing a column's
+          type, or renaming a sink table — would silently corrupt or
+          orphan existing history, so it is rejected here, BEFORE a
+          stream restart starts writing mixed-schema files.
+
+        Raises ``ValueError`` listing every violation.
+        """
+        problems: list[str] = []
+        for obj, old_spec in self._tables.items():
+            new_spec = new.get(obj)
+            if new_spec is None:
+                problems.append(f"{obj}: table dropped")
+                continue
+            if new_spec.table_name != old_spec.table_name:
+                problems.append(
+                    f"{obj}: sink renamed {old_spec.table_name!r} -> "
+                    f"{new_spec.table_name!r} (orphans existing history)"
+                )
+            new_fields = {f.name: f.dataType for f in new_spec.schema.fields}
+            for f in old_spec.schema.fields:
+                if f.name not in new_fields:
+                    problems.append(f"{obj}.{f.name}: column dropped")
+                elif new_fields[f.name] != f.dataType:
+                    problems.append(
+                        f"{obj}.{f.name}: type changed "
+                        f"{f.dataType.simpleString()} -> "
+                        f"{new_fields[f.name].simpleString()}"
+                    )
+        if problems:
+            raise ValueError(
+                "unsafe registry evolution: " + "; ".join(problems)
+            )

@@ -328,3 +328,76 @@ def test_txn_replay_after_lost_marker_is_exactly_once(spark, ingested_txn):
     }
     assert after == before
     assert ing.dead_letter().count() == 2
+
+
+# --- registry schema evolution ------------------------------------------------
+
+
+def _evolved_registry():
+    import copy
+    doc = copy.deepcopy(REGISTRY_DOC)
+    doc["olist_produtos"]["schema"]["fields"].insert(
+        4, {"name": "product_height_cm", "type": "FLOAT"}
+    )
+    return doc
+
+
+def test_registry_evolution_add_column_end_to_end(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN mid-stream: ingest under registry v1, restart
+    under v2 (one added nullable column), ingest more. Old history rows
+    project NULL for the new column; new rows carry it — no rewrite of
+    existing files."""
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "v1.jsonl"), "w") as f:
+        f.write("\n".join(LINES[:4]) + "\n")
+    v1 = SchemaRegistry.from_dict(REGISTRY_DOC)
+    CdcIngest(spark, v1, in_dir, out_dir, ck_dir).run_available()
+
+    v2 = SchemaRegistry.from_dict(_evolved_registry())
+    v1.check_evolution(v2)  # safe: add-column only
+    with open(os.path.join(in_dir, "v2.jsonl"), "w") as f:
+        f.write(_env("olist_produtos", "2024-02-01T00:00:00Z", "INSERT",
+                     {"product_id": "p9", "product_category_name": "tall",
+                      "product_photos_qty": 1, "product_height_cm": 42.5,
+                      "product_weight_g": 500.0}) + "\n")
+    ing2 = CdcIngest(spark, v2, in_dir, out_dir, ck_dir)
+    ing2.run_available()
+
+    hist = ing2.history("olist_produtos")
+    assert hist.count() == 5
+    assert hist.filter("product_height_cm IS NOT NULL").count() == 1
+    assert (
+        hist.filter("product_id = 'p9'").first().product_height_cm == 42.5
+    )
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda d: d.pop("olist_users"), "table dropped"),
+        (
+            lambda d: d["olist_produtos"]["schema"]["fields"].pop(0),
+            "column dropped",
+        ),
+        (
+            lambda d: d["olist_produtos"]["schema"]["fields"][0].update(
+                {"type": "INT64"}
+            ),
+            "type changed",
+        ),
+        (
+            lambda d: d["olist_users"].update({"table_name": "users_v2"}),
+            "sink renamed",
+        ),
+    ],
+)
+def test_registry_evolution_rejects_unsafe(mutate, msg):
+    import copy
+    old = SchemaRegistry.from_dict(REGISTRY_DOC)
+    doc = copy.deepcopy(REGISTRY_DOC)
+    mutate(doc)
+    with pytest.raises(ValueError, match=msg):
+        old.check_evolution(SchemaRegistry.from_dict(doc))
