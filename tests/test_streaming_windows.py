@@ -308,3 +308,38 @@ def test_quantile_sketch_stream_merges_across_batches(spark, tmp_path):
 def test_quantile_sketch_stream_rejects_bad_range(spark, events_dir):
     with pytest.raises(ValueError, match="hi > lo"):
         W.quantile_sketch_stream(_stream(spark, events_dir), lo=5.0, hi=5.0)
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """Stream the documents table through the stream-static decontamination
+    plan; flagged docs and their shared counts must equal the batch
+    operator, and the clean stream must equal decontaminated_corpus."""
+    from cdc_streamming___v2_spark.operators import pipeline_ops as P
+    from cdc_streamming___v2_spark.streaming import corpus as C
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    is_eval = F.col("doc_id") % P.DECON_EVAL_MOD == 0
+    d = str(tmp_path / "docs")
+    docs.filter(~is_eval).write.parquet(d)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+    flagged = C.decontaminate_stream(stream, docs.filter(is_eval))
+    name = _run(flagged)
+    out = spark.sql(f"select doc_id, n_shared from {name}")
+
+    want_bad = {
+        (r.doc_id, r.n_shared)
+        for r in P.decontaminate(spark, SF_SMALL).collect()
+    }
+    got_bad = {
+        (r.doc_id, r.n_shared) for r in out.filter("n_shared > 0").collect()
+    }
+    assert got_bad == want_bad
+
+    want_clean = {
+        r.doc_id for r in P.decontaminated_corpus(spark, SF_SMALL).collect()
+    }
+    got_clean = {r.doc_id for r in out.filter("n_shared = 0").collect()}
+    assert got_clean == want_clean
