@@ -45,6 +45,7 @@ HEADLINE = [
     "simhash_fingerprint",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_kmeans_topk",
     "token_count",
     "text_quality",
     "q8_market_share",

@@ -206,6 +206,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_frame(_embeddings(spark, sf_dir))
 
 
+IVFK_K = 8  # k-means cells
+IVFK_ITERS = 2  # Lloyd iterations (fixed -> deterministic, SQL-replicable)
+
+
+def kmeans_relabel(
+    e: DataFrame, k: int = IVFK_K, iters: int = IVFK_ITERS
+) -> DataFrame:
+    """Replace the label column with k-means cell assignments: seeds =
+    the first ``k`` vectors, then ``iters`` Lloyd rounds (assign to the
+    nearest centroid by cosine, recompute element-wise means), then a
+    final assignment. Fully deterministic — no RNG, ties broken by cell
+    id — so the whole iteration chain hash-checks against a SQL oracle.
+
+    Scale: each round is one broadcast cross join (k centroid rows)
+    + a vec_id-partitioned argmax window + a (cell, dim)-keyed mean —
+    the corpus shuffles on vec_id once per round, never on data size
+    × k. k and iters are fixed plan constants, so the lineage is a
+    static iters-deep DAG (no driver feedback loop, no checkpoints
+    needed at this depth).
+    """
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+    assign = None
+    for _ in range(iters + 1):  # +1: final assignment to the last centroids
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("cell").asc()
+        )
+        assign = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("csim", cosine(F.col("v"), F.col("cv")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cell", "v")
+        )
+        cent = (
+            assign.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+            .select(
+                "cell", F.transform("pairs", lambda p: p.getField("cx")).alias("cv")
+            )
+        )
+    return assign.select("vec_id", F.col("cell").alias("label"), "v")
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over LEARNED cells: k-means relabel, then the standard IVF
+    probe/rank tail. On data whose labels don't align with geometry (the
+    driver's random labels), learned cells put genuinely-near vectors in
+    the probed cells, lifting recall over label-cells at identical probe
+    cost (asserted in tests)."""
+    return ivf_topk_frame(kmeans_relabel(_embeddings(spark, sf_dir)))
+
+
 _COS = (
     "list_dot_product(q.qv, e.v) / "
     "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))"
@@ -253,24 +310,23 @@ def _lsh_oracle() -> str:
     """
 
 
-def _ivf_oracle() -> str:
-    """IVF in SQL: per-label element-wise-mean centroids, nearest-cell
-    ranking, probe top cells, exact scoring inside probed cells."""
+def _ivf_cells_sql(src: str) -> str:
+    """The IVF tail CTEs over any source CTE providing (vec_id, label, v):
+    per-label element-wise-mean centroids, nearest-cell ranking, probe top
+    cells, exact scoring inside probed cells."""
     ccos = (
         "list_dot_product(q.qv, c.cv) / "
         "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv)))"
     )
     return f"""
-        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                   FROM embeddings),
         cent AS (
             SELECT label, list(cx ORDER BY dim) AS cv
             FROM (SELECT label, i AS dim, avg(v[i]) AS cx
-                  FROM e, generate_series(1, {EMBED_DIM}) AS t(i)
+                  FROM {src}, generate_series(1, {EMBED_DIM}) AS t(i)
                   GROUP BY label, i)
             GROUP BY label
         ),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        q AS (SELECT vec_id AS query_id, v AS qv FROM {src}
               WHERE vec_id < {N_QUERIES}),
         qc AS (
             SELECT query_id, qv, label FROM (
@@ -283,9 +339,57 @@ def _ivf_oracle() -> str:
         ),
         pairs AS (
             SELECT q.query_id, e.vec_id, round({_COS}, 4) AS cos_sim
-            FROM e JOIN qc q ON e.label = q.label
+            FROM {src} e JOIN qc q ON e.label = q.label
             WHERE e.vec_id <> q.query_id
         )
+    """
+
+
+def _ivf_oracle() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        {_ivf_cells_sql("e")}
+        {_TOPK_TAIL}
+    """
+
+
+def _ivf_kmeans_oracle() -> str:
+    """The Lloyd iteration chain in SQL: seeds -> (assign, means) x ITERS
+    -> final assign -> relabeled corpus -> the shared IVF tail. Same tie
+    breaks (cell asc) and the same avg-of-doubles centroid arithmetic the
+    base IVF oracle already hash-matches."""
+    acos = (
+        "list_dot_product(e.v, c.cv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    ctes = [
+        "e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cell, v AS cv FROM e0 WHERE vec_id < {IVFK_K})",
+    ]
+    for j in range(1, IVFK_ITERS + 2):
+        ctes.append(f"""a{j} AS (
+            SELECT vec_id, cell, v FROM (
+                SELECT e.vec_id, c.cell, e.v,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {acos} DESC, c.cell ASC) AS rk
+                FROM e0 e CROSS JOIN cent{j - 1} c
+            ) WHERE rk = 1
+        )""")
+        if j <= IVFK_ITERS:
+            ctes.append(f"""cent{j} AS (
+                SELECT cell, list(cx ORDER BY dim) AS cv
+                FROM (SELECT cell, i AS dim, avg(v[i]) AS cx
+                      FROM a{j}, generate_series(1, {EMBED_DIM}) AS t(i)
+                      GROUP BY cell, i)
+                GROUP BY cell
+            )""")
+    ctes.append(
+        f"relab AS (SELECT vec_id, cell AS label, v FROM a{IVFK_ITERS + 1})"
+    )
+    return f"""
+        WITH {",".join(ctes)},
+        {_ivf_cells_sql("relab")}
         {_TOPK_TAIL}
     """
 
@@ -303,10 +407,12 @@ ORACLES = {
     """,
     "ann_lsh_topk": _lsh_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
+    "ann_ivf_kmeans_topk": _ivf_kmeans_oracle(),
 }
 
 QUERIES = {
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
 }

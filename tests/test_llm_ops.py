@@ -199,3 +199,20 @@ def test_ann_recall_on_planted_clustered_corpus(spark):
     # weaker than multi-probe — the knob is doing its job
     r0 = len(lsh_noprobe & exact) / len(exact)
     assert 0.7 <= r0 <= len(lsh & exact) / len(exact)
+
+
+def test_kmeans_ivf_beats_label_cells_on_random_corpus(spark):
+    """The driver's labels are random, so label-cell IVF recall is bounded
+    by probes/cells (~0.5). k-means cells align with geometry, so at the
+    same probe count the learned-cell IVF must recover (nearly) everything.
+    Deterministic seeds + fixed iterations -> stable numbers."""
+    def pairs(df):
+        return {(r.query_id, r.vec_id) for r in df.collect()}
+
+    exact = pairs(S.cosine_topk(spark, SF_SMALL))
+    label_recall = len(pairs(S.ann_ivf_topk(spark, SF_SMALL)) & exact) / len(exact)
+    km_recall = (
+        len(pairs(S.ann_ivf_kmeans_topk(spark, SF_SMALL)) & exact) / len(exact)
+    )
+    assert km_recall >= 0.9
+    assert km_recall > label_recall
