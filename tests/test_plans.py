@@ -100,3 +100,42 @@ def test_pii_scrub_is_scan_local(spark):
     assert "Exchange" not in p
     p = _plan(spark, P.dataset_split(spark, SF_SMALL))
     assert "Exchange" not in p
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    """The training corpus must stream through a broadcast hash join on the
+    (tiny) eval shingle set — a shuffled join here would reshuffle 100 TB
+    of corpus by shingle."""
+    from cdc_streamming___v2_spark.operators import pipeline_ops as P
+
+    p = _plan(spark, P.decontaminate(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_kmeans_ivf_centroids_broadcast_every_round(spark):
+    """Every Lloyd round joins the corpus against k centroid rows — all of
+    them must be broadcast nested-loop/cross joins (k rows), never a
+    corpus-sized shuffle join; the only exchanges keyed by data size are
+    the vec_id argmax windows and (cell, dim) means."""
+    p = _plan(spark, S.ann_ivf_kmeans_topk(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_stream_decontaminate_static_side_single_row_broadcast(spark):
+    """Batch twin of the stream-static plan: the eval side collapses to one
+    array row and broadcasts; the doc side must carry no join-key shuffle."""
+    from cdc_streamming___v2_spark.sources.tables import load_table
+    from cdc_streamming___v2_spark.streaming import corpus as C
+    from cdc_streamming___v2_spark.operators import pipeline_ops as P
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    is_eval = F.col("doc_id") % P.DECON_EVAL_MOD == 0
+    p = _plan(
+        spark, C.decontaminate_stream(docs.filter(~is_eval), docs.filter(is_eval))
+    )
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
