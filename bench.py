@@ -61,6 +61,7 @@ HEADLINE = [
     "dataset_split",
     "priority_sample",
     "kmv_distinct",
+    "table_stats",
     "countmin_freq",
     "bloom_prefilter",
     "quantile_sketch",

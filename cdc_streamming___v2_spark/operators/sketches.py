@@ -212,6 +212,79 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- histogram quantile sketch -----------------------------------------------
 
+# --- ANALYZE-style table statistics ------------------------------------------
+
+# (column, is_numeric) — the per-column stats surface over lineitem
+STATS_COLS = (
+    ("l_orderkey", True),
+    ("l_partkey", True),
+    ("l_suppkey", True),
+    ("l_returnflag", False),
+    ("l_linestatus", False),
+)
+
+
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics in two scan-free-after-unpivot
+    passes: row count, null count, exact NDV, KMV NDV estimate, and numeric
+    min/max for each profiled column — the stats a cost-based optimizer
+    feeds on (ndv -> join cardinality, min/max -> range pruning).
+
+    Shape: one ``stack`` unpivot (narrow, no shuffle) to (col_name, value)
+    grain, then a col_name-keyed aggregation. Everything is mergeable
+    (counts add, min/max combine, KMV min-k unions), so at 100 TB this
+    runs as map-side partials + a k-row final — no per-column table scans
+    the way naive ANALYZE loops do it. The KMV estimate deliberately sits
+    NEXT to the exact NDV so the realized error is a checked value, not a
+    claim (same discipline as kmv_distinct).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for name, numeric in STATS_COLS:
+        num = f"CAST({name} AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(f"'{name}', CAST({name} AS STRING), {num}")
+    long_df = li.select(
+        F.expr(
+            f"stack({len(STATS_COLS)}, {', '.join(parts)}) "
+            "AS (col_name, val_str, num_val)"
+        )
+    )
+    base = long_df.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("val_str").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.countDistinct("val_str").alias("ndv_exact"),
+        F.round(F.min("num_val"), 4).alias("min_num"),
+        F.round(F.max("num_val"), 4).alias("max_num"),
+    )
+    u = (md5_hash_long(F.col("val_str"), "ts") / F.lit(HASH_RANGE)).alias("u")
+    du = (
+        long_df.filter(F.col("val_str").isNotNull())
+        .select("col_name", u)
+        .distinct()
+    )
+    w = Window.partitionBy("col_name").orderBy("u")
+    sk = (
+        du.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("col_name")
+        .agg(F.count("*").alias("n_mins"), F.max("u").alias("u_k"))
+    )
+    est = F.when(
+        F.col("n_mins") < KMV_K, F.col("n_mins").cast("double")
+    ).otherwise((KMV_K - 1) / F.col("u_k"))
+    return base.join(sk, "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "ndv_exact",
+        F.round(est, 2).alias("ndv_kmv_est"),
+        "min_num",
+        "max_num",
+    )
+
+
 QS_BINS = 128
 QS_PROBES = (0.5, 0.9, 0.99)
 
@@ -335,6 +408,42 @@ def _bloom_bits_sql(expr: str) -> str:
 
 
 ORACLES = {
+    "table_stats": f"""
+        WITH long AS ({" UNION ALL ".join(
+            f"SELECT '{name}' AS col_name, CAST({name} AS VARCHAR) AS val_str, "
+            + (f"CAST({name} AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)")
+            + " AS num_val FROM lineitem"
+            for name, numeric in STATS_COLS
+        )}),
+        base AS (
+            SELECT col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (val_str IS NULL) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT val_str) AS BIGINT) AS ndv_exact,
+                   round(min(num_val), 4) AS min_num,
+                   round(max(num_val), 4) AS max_num
+            FROM long GROUP BY col_name
+        ),
+        du AS (
+            SELECT DISTINCT col_name,
+                   {_h("val_str", "ts")} / {HASH_RANGE} AS u
+            FROM long WHERE val_str IS NOT NULL
+        ),
+        ranked AS (
+            SELECT col_name, u,
+                   row_number() OVER (PARTITION BY col_name ORDER BY u) AS rk
+            FROM du
+        ),
+        sk AS (
+            SELECT col_name, count(*) AS n_mins, max(u) AS u_k
+            FROM ranked WHERE rk <= {KMV_K} GROUP BY col_name
+        )
+        SELECT b.col_name, n_rows, n_null, ndv_exact,
+               round(CASE WHEN n_mins < {KMV_K} THEN n_mins * 1.0
+                          ELSE ({KMV_K} - 1) / u_k END, 2) AS ndv_kmv_est,
+               min_num, max_num
+        FROM base b JOIN sk s ON b.col_name = s.col_name
+    """,
     "kmv_distinct": f"""
         WITH du AS (
             SELECT DISTINCT event_type,
@@ -461,6 +570,7 @@ ORACLES["quantile_sketch"] = f"""
 """
 
 QUERIES = {
+    "table_stats": table_stats,
     "kmv_distinct": kmv_distinct,
     "countmin_freq": countmin_freq,
     "bloom_prefilter": bloom_prefilter,

@@ -50,3 +50,31 @@ def test_quantile_sketch_error_bounded_by_bin_width(spark):
         # the true quantile; generous multiple guards distribution shape
         assert r.rel_err < 0.25
         assert r.est_q is not None and r.exact_q is not None
+
+
+def test_table_stats_values_and_kmv_error(spark):
+    from cdc_streamming___v2_spark.operators.sketches import KMV_K, table_stats
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    rows = {r.col_name: r for r in table_stats(spark, SF_SMALL).collect()}
+    li = load_table(spark, SF_SMALL, "lineitem")
+    n = li.count()
+    assert set(rows) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus",
+    }
+    for r in rows.values():
+        assert r.n_rows == n
+        # KMV is exact below k, ~1/sqrt(k) (~12.5% at k=64) above it
+        if r.ndv_exact < KMV_K:
+            assert r.ndv_kmv_est == r.ndv_exact
+        else:
+            assert abs(r.ndv_kmv_est - r.ndv_exact) / r.ndv_exact < 0.35
+    ok = rows["l_orderkey"]
+    exact_min, exact_max, exact_ndv = li.selectExpr(
+        "min(l_orderkey)", "max(l_orderkey)", "count(distinct l_orderkey)"
+    ).first()
+    assert (ok.min_num, ok.max_num, ok.ndv_exact) == (
+        float(exact_min), float(exact_max), exact_ndv,
+    )
+    # string columns carry no numeric range
+    assert rows["l_returnflag"].min_num is None
