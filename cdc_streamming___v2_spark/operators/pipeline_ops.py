@@ -303,6 +303,47 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cluster-balanced (diversity) sampling -----------------------------------
+
+CBS_TARGET = 40  # target sample size per embedding cluster
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling over the embedding space: k-means-cluster the
+    corpus, then sample each cluster down to ~CBS_TARGET vectors with a
+    deterministic hash threshold (keep iff u * n_cluster < target, i.e.
+    p = min(1, target/n)) — the curation step that stops a crawl's dominant
+    mode from swamping the training mix, reported per cluster with the
+    realized Horvitz-Thompson weight.
+
+    Scale: cluster sizes are k rows (broadcast); membership is decided
+    per-row from the hash — no shuffle beyond kmeans_relabel's own and the
+    k-row summary agg. Fully deterministic: same corpus -> same sample on
+    any cluster size, any run.
+    """
+    from . import similarity as _sim
+
+    e = _sim.kmeans_relabel(_sim._embeddings(spark, sf_dir))
+    sizes = e.groupBy("label").agg(F.count("*").alias("n_cluster"))
+    u = md5_hash_long(F.col("vec_id").cast("string"), "cbs") / F.lit(2.0**32)
+    kept = (
+        e.join(F.broadcast(sizes), "label")
+        .withColumn("u", u)
+        .filter(F.col("u") * F.col("n_cluster") < F.lit(float(CBS_TARGET)))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return sizes.join(kept, "label").select(
+        F.col("label").cast("int").alias("cluster_id"),
+        F.col("n_cluster").cast("bigint").alias("n_cluster"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.round(
+            F.least(F.lit(1.0), F.lit(float(CBS_TARGET)) / F.col("n_cluster")), 4
+        ).alias("sample_rate"),
+        F.round(F.col("n_cluster") / F.col("n_kept"), 4).alias("ht_weight"),
+    )
+
+
 # --- deterministic stratified sampling ---------------------------------------
 
 SAMPLE_BUCKETS = 256
@@ -508,6 +549,7 @@ QUERIES = {
     "gopher_repetition": gopher_repetition,
     "doc_chunks": doc_chunks,
     "decontaminate": decontaminate,
+    "cluster_balanced_sample": cluster_balanced_sample,
     "dedup_clusters": dedup_clusters,
     "embedding_quantize": embedding_quantize,
     "stratified_sample": stratified_sample,
@@ -517,7 +559,31 @@ QUERIES = {
     "priority_sample": priority_sample,
 }
 
+def _cbs_oracle() -> str:
+    from .similarity import _kmeans_ctes
+
+    h = "CAST('0x' || substr(md5('cbs' || r.vec_id::VARCHAR), 1, 8) AS BIGINT)"
+    return f"""
+        WITH {_kmeans_ctes()},
+        sizes AS (SELECT label, count(*) AS n_cluster FROM relab GROUP BY label),
+        kept AS (
+            SELECT r.label, count(*) AS n_kept
+            FROM relab r JOIN sizes s ON r.label = s.label
+            WHERE ({h} / {2.0**32}) * s.n_cluster < {float(CBS_TARGET)}
+            GROUP BY r.label
+        )
+        SELECT CAST(s.label AS INT) AS cluster_id,
+               CAST(s.n_cluster AS BIGINT) AS n_cluster,
+               CAST(k.n_kept AS BIGINT) AS n_kept,
+               round(least(1.0, {float(CBS_TARGET)} / s.n_cluster), 4)
+                   AS sample_rate,
+               round(s.n_cluster * 1.0 / k.n_kept, 4) AS ht_weight
+        FROM sizes s JOIN kept k ON s.label = k.label
+    """
+
+
 ORACLES = {
+    "cluster_balanced_sample": _cbs_oracle(),
     "decontaminate": f"""
         WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
                    FROM documents),

@@ -354,9 +354,9 @@ def _ivf_oracle() -> str:
     """
 
 
-def _ivf_kmeans_oracle() -> str:
+def _kmeans_ctes() -> str:
     """The Lloyd iteration chain in SQL: seeds -> (assign, means) x ITERS
-    -> final assign -> relabeled corpus -> the shared IVF tail. Same tie
+    -> final assign -> ``relab`` CTE holding (vec_id, label, v). Same tie
     breaks (cell asc) and the same avg-of-doubles centroid arithmetic the
     base IVF oracle already hash-matches."""
     acos = (
@@ -387,8 +387,12 @@ def _ivf_kmeans_oracle() -> str:
     ctes.append(
         f"relab AS (SELECT vec_id, cell AS label, v FROM a{IVFK_ITERS + 1})"
     )
+    return ",".join(ctes)
+
+
+def _ivf_kmeans_oracle() -> str:
     return f"""
-        WITH {",".join(ctes)},
+        WITH {_kmeans_ctes()},
         {_ivf_cells_sql("relab")}
         {_TOPK_TAIL}
     """

@@ -154,3 +154,14 @@ def test_decontaminate_hits_share_a_shingle(spark):
         bad.select(F.explode("sh").alias("s")).join(ev, "s").select("s").distinct()
     )
     assert shared.count() == hit.n_shared
+
+
+def test_cluster_balanced_sample_rates(spark):
+    rows = P.cluster_balanced_sample(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_cluster
+        # realized kept count concentrates around target*rate
+        expect = min(P.CBS_TARGET, r.n_cluster)
+        assert abs(r.n_kept - expect) <= max(6, 0.6 * expect)
+        assert r.ht_weight >= 1.0
