@@ -66,3 +66,48 @@ def test_csv_gzip_files_on_disk(spark, tmp_path):
     path = str(tmp_path / "csvgz")
     FMT.write_csv(src, path)
     assert glob.glob(os.path.join(path, "*.csv.gz"))
+
+
+def test_partition_pruning_via_join_static_and_dynamic(spark, tmp_path):
+    """Star-schema scan viability at scale: fact partitions implied only by
+    a join must still prune. Two regimes, both pinned:
+    - dim filtered on the JOIN KEY itself -> Catalyst constant-propagates
+      the literal through the equi-join and prunes STATICALLY (no DPP
+      needed, strictly better);
+    - dim filtered on an unrelated column -> partition keys are runtime
+      values, so the scan must carry a dynamicpruningexpression (DPP) fed
+      by the reused broadcast of the dim."""
+    fact = load_table(spark, SF_SMALL, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "dpp_fact")
+    FMT.write_parquet(fact, path, partition_cols=["ship_year"])
+
+    dim_on_key = (
+        load_table(spark, SF_SMALL, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .filter(F.col("o_year") == 1996)
+        .select("o_orderkey", "o_year")
+    )
+    q1 = (
+        spark.read.parquet(path)
+        .join(dim_on_key, F.col("ship_year") == F.col("o_year"))
+        .select("l_orderkey")
+    )
+    p1 = q1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [(ship_year" in p1  # static literal pruning
+
+    dim_runtime = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .select("o_orderkey", "o_year")
+    )
+    q2 = (
+        spark.read.parquet(path)
+        .join(dim_runtime, F.col("ship_year") == F.col("o_year"))
+        .select("l_orderkey")
+    )
+    p2 = q2._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in p2, p2[:2000]
+    assert q2.count() > 0
