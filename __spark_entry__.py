@@ -26,6 +26,7 @@ _OPTIONAL_MODULES = (
     "relational_ext",
     "tpch_extra",
     "pipeline_ops",
+    "corpus_ops",
     "temporal",
     "dedup",
     "similarity",

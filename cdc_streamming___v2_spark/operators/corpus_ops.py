@@ -1,0 +1,374 @@
+"""Corpus-construction operators: sequence packing, TF-IDF term ranking,
+inverted index, per-domain caps, and SemDeDup-style semantic dedup.
+
+Second wave of the training-data tier ([DRIVER] surface — the reference has
+no text/vector processing, SURVEY.md §2.B). Each operator is the shape a
+100 TB corpus pipeline needs, proven at small SF against a DuckDB oracle:
+
+- ``seq_packing``      — GPT-style document packing: a global token prefix
+                         sum maps every doc to its packed-sequence span.
+                         The operator uses the DISTRIBUTED two-pass prefix
+                         sum (per-bucket cumsum + tiny bucket-offset join);
+                         the oracle is the naive single global window — the
+                         equivalence IS the scale proof (a global
+                         non-partitioned window would put 100 TB through
+                         one task).
+- ``tfidf_top_terms``  — explode/agg TF-IDF with an integer-rational idf
+                         (tf*N/df — one IEEE division, bit-identical across
+                         engines; ln() is libm-dependent and is deliberately
+                         avoided).
+- ``inverted_index``   — token -> posting-list build, two-level agg.
+- ``domain_cap``       — per-domain document cap (Common-Crawl-style
+                         host balancing) via hash-ranked row_number.
+- ``semantic_dedup``   — SemDeDup (Abbas et al. 2023) shape: k-means cells
+                         bound the pairwise-cosine candidate set; a doc is
+                         dropped when an earlier-id cell-mate is more
+                         similar than the threshold. Reuses the
+                         deterministic Lloyd chain from similarity.py, so
+                         the whole thing hash-checks.
+
+No UDFs anywhere; every op is exploded/aggregated JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.texts import md5_hash_long, words
+from ..functions.vectors import cosine
+from ..sources.tables import fan_out, load_table
+from .similarity import IVFK_ITERS, _embeddings, _kmeans_ctes, kmeans_relabel
+
+SEQ_LEN = 512  # tokens per packed training sequence
+PACK_BUCKET = 64  # docs per prefix-sum bucket (scale: ~10k at 100 TB)
+TOP_TERMS = 3
+POSTINGS_CAP = 20
+DOMAIN_CAP = 10
+SEMDEDUP_TH = 0.30  # drop when an earlier cell-mate is more similar
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fan_out(load_table(spark, sf_dir, "documents"))
+
+
+# --- GPT-style sequence packing via distributed prefix sum -------------------
+
+
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map each doc (ordered by doc_id) to its span of fixed-length packed
+    sequences: concatenate all tokens in doc order, cut every SEQ_LEN.
+
+    Scale: a naive ``sum() over (order by doc_id)`` has no PARTITION BY —
+    Spark executes that in ONE task. Instead: cumsum within doc_id-range
+    buckets (parallel, partitioned by bucket), then add per-bucket offsets
+    computed from the tiny bucket-total frame (rows = n_docs/PACK_BUCKET)
+    joined back broadcast. Two narrow shuffles, both parallel. The oracle
+    runs the naive global window — equivalence proves the decomposition.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bkt"),
+    )
+    in_bucket = F.sum("n_tokens").over(
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = toks.withColumn("local_off", F.coalesce(in_bucket, F.lit(0)))
+    bucket_offsets = (
+        toks.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .withColumn(
+            "bkt_off",
+            F.coalesce(
+                F.sum("bt").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "bkt_off")
+    )
+    packed = (
+        local.join(F.broadcast(bucket_offsets), "bkt")
+        .withColumn("start_off", F.col("local_off") + F.col("bkt_off"))
+        .withColumn("first_seq", (F.col("start_off") / SEQ_LEN).cast("long"))
+        .withColumn(
+            "last_seq",
+            F.when(F.col("n_tokens") > 0,
+                   ((F.col("start_off") + F.col("n_tokens") - 1) / SEQ_LEN)
+                   .cast("long"))
+            .otherwise((F.col("start_off") / SEQ_LEN).cast("long")),
+        )
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        "first_seq",
+        "last_seq",
+        (F.col("last_seq") - F.col("first_seq") + 1).alias("n_seqs"),
+    )
+
+
+# --- TF-IDF top terms per document ------------------------------------------
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TOP_TERMS terms per doc by tf-idf with idf = N/df (an integer
+    rational — tf*N is exact in a double, then ONE IEEE division, so the
+    score is bit-identical in Spark and DuckDB; ln()'s last-ulp varies by
+    libm and would make ranks engine-dependent at ties).
+
+    Scale: (doc_id, term) then (term) aggregations — both high-cardinality
+    skew-free keys; the doc-count scalar and per-term df frame broadcast.
+    """
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 4).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+# --- Inverted index ----------------------------------------------------------
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> (df, total_tf, capped sorted posting list). Two-level agg:
+    per-(term, doc) tf first (so the second level's count(*) IS the df),
+    then per-term rollup. Posting lists cap at POSTINGS_CAP ids — at scale
+    the full list would be stored exploded (term, doc_id), never as one
+    array; the cap keeps the demo row bounded and the cap itself is the
+    realistic "head of postings" access pattern.
+    """
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+# --- Per-domain document cap -------------------------------------------------
+
+
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-balancing cap: keep at most DOMAIN_CAP docs per domain, chosen
+    by salted-hash rank (deterministic, unbiased — not "first N by id",
+    which would bias toward old crawl segments). URLs are synthesized
+    deterministically from (source, lang, doc_id) since the corpus has no
+    url column (synthesized-fixture pattern; identical expression in the
+    oracle). Scale: one window partitioned by domain — the cap bounds
+    output per key, and hash ranking needs no global sort.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    d = d.withColumn(
+        "domain", F.regexp_extract(F.col("url"), r"https://([^/]+)/", 1)
+    )
+    w = Window.partitionBy("domain").orderBy(
+        md5_hash_long(F.col("doc_id").cast("string"), "cap").asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= DOMAIN_CAP)
+        .select("doc_id", "url", "domain", "rank")
+    )
+
+
+# --- SemDeDup: semantic dedup within k-means cells ---------------------------
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup shape (Abbas et al. 2023): cluster embeddings (deterministic
+    Lloyd chain, similarity.py), then within each cell drop any vector
+    whose cosine to an EARLIER-id cell-mate exceeds SEMDEDUP_TH — earlier
+    id = the kept representative, so the rule is one pass, not iterative.
+
+    Scale: the O(n²) pairwise cosine is confined within cells (the whole
+    point of SemDeDup) — the self-join key is the cell id, so each task
+    handles one cell's quadratic block; cells are size-bounded by k.
+    Emits every vec with its cell, max-prior-similarity and keep flag
+    (threshold compared on the UNROUNDED sim; both engines compute the
+    identical left-to-right IEEE dot product).
+    """
+    cells = kmeans_relabel(_embeddings(spark, sf_dir)).select(
+        "vec_id", F.col("label").alias("cell"), "v"
+    )
+    a = cells.alias("a")
+    b = cells.select(
+        F.col("cell").alias("b_cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+    ).alias("b")
+    prior = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b_cell"))
+            & (F.col("b_id") < F.col("a.vec_id")),
+        )
+        .withColumn("sim", cosine(F.col("a.v"), F.col("bv")))
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.max("sim").alias("max_prior_sim"))
+    )
+    return (
+        cells.join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.round("max_prior_sim", 6).alias("max_prior_sim"),
+            (
+                F.coalesce(F.col("max_prior_sim"), F.lit(-1.0)) <= SEMDEDUP_TH
+            ).alias("kept"),
+        )
+    )
+
+
+# --- Oracles -----------------------------------------------------------------
+
+_W = "regexp_split_to_array(trim(text), '\\s+')"
+
+ORACLES = {
+    "seq_packing": f"""
+        WITH toks AS (
+          SELECT doc_id, CAST(len({_W}) AS BIGINT) AS n_tokens
+          FROM documents),
+        pre AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_off
+          FROM toks)
+        SELECT doc_id, n_tokens, start_off,
+               CAST(start_off // {SEQ_LEN} AS BIGINT) AS first_seq,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (start_off + n_tokens - 1) // {SEQ_LEN}
+                    ELSE start_off // {SEQ_LEN} END AS BIGINT) AS last_seq,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (start_off + n_tokens - 1) // {SEQ_LEN}
+                    ELSE start_off // {SEQ_LEN} END
+                    - start_off // {SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+        FROM pre
+    """,
+    "tfidf_top_terms": f"""
+        WITH tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest({_W}) AS term FROM documents) t
+          GROUP BY doc_id, term),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 tf.tf * (SELECT count(*) FROM documents) / df.df AS score
+          FROM tf JOIN df USING (term))
+        SELECT doc_id, term, tf, df, round(score, 4) AS tfidf,
+               CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term ASC) AS rank
+              FROM scored) r
+        WHERE rank <= {TOP_TERMS}
+    """,
+    "inverted_index": f"""
+        WITH tf AS (
+          SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest({_W}) AS term FROM documents) t
+          GROUP BY term, doc_id)
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS total_tf,
+               array_to_string(list_transform(
+                   (list(doc_id ORDER BY doc_id))[1:{POSTINGS_CAP}],
+                   x -> CAST(x AS VARCHAR)), ',') AS postings
+        FROM tf GROUP BY term
+    """,
+    "domain_cap": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.com/' || lang || '/'
+                   || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        x AS (
+          SELECT doc_id, url,
+                 regexp_extract(url, 'https://([^/]+)/', 1) AS domain
+          FROM d)
+        SELECT doc_id, url, domain, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY domain
+                  ORDER BY CAST('0x' || substr(md5('cap' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) ASC,
+                  doc_id ASC) AS rank
+              FROM x) r
+        WHERE rank <= {DOMAIN_CAP}
+    """,
+    "semantic_dedup": f"""
+        WITH {_kmeans_ctes()},
+        prior AS (
+          SELECT a.vec_id,
+                 max(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v)))) AS max_prior_sim
+          FROM relab a JOIN relab b
+            ON a.label = b.label AND b.vec_id < a.vec_id
+          GROUP BY a.vec_id)
+        SELECT c.vec_id, CAST(c.label AS INTEGER) AS cell,
+               round(p.max_prior_sim, 6) AS max_prior_sim,
+               coalesce(p.max_prior_sim, -1.0) <= {SEMDEDUP_TH} AS kept
+        FROM relab c LEFT JOIN prior p ON c.vec_id = p.vec_id
+    """,
+}
+
+QUERIES = {
+    "seq_packing": seq_packing,
+    "tfidf_top_terms": tfidf_top_terms,
+    "inverted_index": inverted_index,
+    "domain_cap": domain_cap,
+    "semantic_dedup": semantic_dedup,
+}

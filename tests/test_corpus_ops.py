@@ -1,0 +1,71 @@
+"""Behavioral tests for the corpus-construction tier (operators/corpus_ops).
+
+Value parity with DuckDB is covered by tools/check_correctness.py; these pin
+the semantics: prefix-sum contiguity, cap enforcement, dedup monotonicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_streamming___v2_spark.operators import corpus_ops as C
+
+from .conftest import SF_SMALL
+
+
+def test_seq_packing_prefix_sum_is_contiguous(spark):
+    rows = sorted(
+        C.seq_packing(spark, SF_SMALL).collect(), key=lambda r: r.doc_id
+    )
+    assert rows[0].start_off == 0
+    off = 0
+    for r in rows:
+        assert r.start_off == off, f"gap at doc {r.doc_id}"
+        assert r.first_seq == r.start_off // C.SEQ_LEN
+        assert r.n_seqs >= 1
+        off += r.n_tokens
+    # distributed two-pass result crosses bucket boundaries seamlessly:
+    assert len(rows) > C.PACK_BUCKET  # at least one boundary exercised
+
+
+def test_tfidf_rare_term_beats_common_term(spark):
+    out = C.tfidf_top_terms(spark, SF_SMALL)
+    assert out.filter(F.col("rank") > C.TOP_TERMS).count() == 0
+    # within one doc, ranks are ordered by score
+    all_rows = out.collect()
+    first_doc = all_rows[0].doc_id
+    rows = [r for r in all_rows if r.doc_id == first_doc]
+    scores = [r.tfidf for r in sorted(rows, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_inverted_index_df_matches_postings(spark):
+    for r in C.inverted_index(spark, SF_SMALL).collect():
+        ids = [int(x) for x in r.postings.split(",") if x]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r.df, C.POSTINGS_CAP)
+        assert r.total_tf >= r.df
+
+
+def test_domain_cap_enforced(spark):
+    out = C.domain_cap(spark, SF_SMALL)
+    per = out.groupBy("domain").count().collect()
+    assert all(r["count"] <= C.DOMAIN_CAP for r in per)
+    assert out.filter(~F.col("url").startswith("https://")).count() == 0
+
+
+def test_semantic_dedup_keeps_first_of_each_cell(spark):
+    out = C.semantic_dedup(spark, SF_SMALL)
+    # the smallest vec_id in every cell has no earlier mate -> always kept
+    firsts = (
+        out.groupBy("cell").agg(F.min("vec_id").alias("vec_id")).join(
+            out, ["cell", "vec_id"]
+        )
+    )
+    assert firsts.filter(~F.col("kept")).count() == 0
+    assert firsts.filter(F.col("max_prior_sim").isNotNull()).count() == 0
+    # dropped rows must carry a sim above the threshold
+    bad = out.filter(
+        (~F.col("kept")) & (F.col("max_prior_sim") <= C.SEMDEDUP_TH)
+    )
+    assert bad.count() == 0
