@@ -66,6 +66,11 @@ class CdcIngest:
     # via staging-dir rename, closing the crash window between the first
     # table write and the batch marker (see start_single_pass)
     transactional: bool = False
+    # single-pass mode only: exactly-once via the manifest commit log
+    # (streaming/commitlog.py) instead of directory renames — the
+    # object-store-portable variant; readers resolve files through the log,
+    # uncommitted data is invisible, replays are txn-id no-ops.
+    commit_log: bool = False
     max_files_per_trigger: int | None = None
     partition_by_day: bool = True
     # "day" | "month": pick so a partition holds file-sized row counts.
@@ -256,6 +261,24 @@ class CdcIngest:
             ).parquet(staging)
             os.rename(staging, final)
 
+        def _publish_commit_log(
+            batch: DataFrame, spec: TableSpec | None, batch_id: int
+        ) -> None:
+            from .commitlog import CommitLogTable
+
+            table = spec.table_name if spec is not None else "_dead_letter"
+            routed = (
+                self._dead_letters(batch)
+                if spec is None
+                else self._route_table(batch, spec)
+            )
+            # partition column rides as a normal column here: commit-log
+            # tables skip hive-style dirs (file pruning would come from
+            # per-file stats in the manifest, the Delta/Iceberg approach)
+            CommitLogTable(
+                self.spark, os.path.join(self.output_dir, table)
+            ).write_append(routed, txn=f"batch-{batch_id}")
+
         def _write_batch(batch: DataFrame, batch_id: int) -> None:
             marker = os.path.join(self.checkpoint_dir, "_batches", str(batch_id))
             if os.path.exists(marker):
@@ -263,7 +286,9 @@ class CdcIngest:
             batch.persist()
             try:
                 for spec in [*self.registry, None]:  # None = dead-letter sink
-                    if self.transactional:
+                    if self.commit_log:
+                        _publish_commit_log(batch, spec, batch_id)
+                    elif self.transactional:
                         _publish_atomic(batch, spec, batch_id)
                     else:
                         _append_plain(batch, spec)
@@ -299,6 +324,17 @@ class CdcIngest:
         spec = self.registry.get(object_name)
         if spec is None:
             raise KeyError(object_name)
+        if self.commit_log:
+            from .commitlog import CommitLogTable
+
+            return CommitLogTable(
+                self.spark, os.path.join(self.output_dir, spec.table_name)
+            ).read(
+                _with_partition_col(
+                    spec,
+                    self._partition_col if self.partition_by_day else None,
+                )
+            )
         df = self.spark.read.schema(
             _with_partition_col(
                 spec,
@@ -309,6 +345,12 @@ class CdcIngest:
         return df.drop("batch") if self.transactional else df
 
     def dead_letter(self) -> DataFrame:
+        if self.commit_log:
+            from .commitlog import CommitLogTable
+
+            return CommitLogTable(
+                self.spark, os.path.join(self.output_dir, "_dead_letter")
+            ).read()
         df = self.spark.read.parquet(os.path.join(self.output_dir, "_dead_letter"))
         return df.drop("batch") if self.transactional else df
 

@@ -1,0 +1,128 @@
+"""Manifest commit-log tests: invisibility of uncommitted data, txn
+idempotence across crash windows, compaction + time travel, and the
+CdcIngest commit-log mode matching the per-table sink output."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from cdc_streamming___v2_spark.sources.registry import SchemaRegistry
+from cdc_streamming___v2_spark.streaming.commitlog import (
+    DATA_DIR,
+    LOG_DIR,
+    CommitLogTable,
+)
+from cdc_streamming___v2_spark.streaming.ingest import CdcIngest
+
+from .test_cdc_ingest import LINES, REGISTRY_DOC
+
+
+def _frame(spark, lo, hi):
+    return spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(lo, hi)])
+
+
+def test_append_read_and_uncommitted_invisible(spark, tmp_path):
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    assert t.write_append(_frame(spark, 0, 5), txn="b0")
+    assert t.read().count() == 5
+    # data written WITHOUT a commit must be invisible to readers
+    _frame(spark, 100, 200).write.parquet(
+        os.path.join(t.path, DATA_DIR, "orphan")
+    )
+    assert t.read().count() == 5
+    assert t.version() == 0
+
+
+def test_txn_replay_is_noop(spark, tmp_path):
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    assert t.write_append(_frame(spark, 0, 5), txn="b0")
+    # crash-replay: same txn id again — no new rows, no new version
+    assert not t.write_append(_frame(spark, 0, 5), txn="b0")
+    assert t.read().count() == 5
+    assert t.version() == 0
+
+
+def test_torn_write_then_replay_exactly_once(spark, tmp_path):
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    # simulate a crash AFTER data files landed but BEFORE the commit:
+    _frame(spark, 0, 5).write.parquet(os.path.join(t.path, DATA_DIR, "b0"))
+    with pytest.raises(ValueError):
+        t.read()  # nothing committed, schema unknown
+    # replay of the same transaction overwrites its scratch dir + commits
+    assert t.write_append(_frame(spark, 0, 5), txn="b0")
+    assert t.read().count() == 5
+
+
+def test_compaction_and_time_travel(spark, tmp_path):
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.write_append(_frame(spark, 0, 5).repartition(4), txn="b0")
+    t.write_append(_frame(spark, 5, 9).repartition(4), txn="b1")
+    files_before = t.snapshot_files()
+    assert len(files_before) > 2
+    assert t.compact(txn="opt-1")
+    assert len(t.snapshot_files()) == 1
+    # same rows after the swap
+    assert sorted(r.k for r in t.read().collect()) == list(range(9))
+    # time travel: version 0 = first append only; version 1 = pre-compaction
+    assert t.read(version=0).count() == 5
+    assert sorted(f for f in t.snapshot_files(version=1)) == sorted(files_before)
+    # compaction replay is a no-op too
+    assert not t.compact(txn="opt-1")
+
+
+def test_concurrent_commit_race_detected(spark, tmp_path):
+    t1 = CommitLogTable(spark, str(tmp_path / "t"))
+    t2 = CommitLogTable(spark, str(tmp_path / "t"))
+    t1.write_append(_frame(spark, 0, 3), txn="a")
+    t2.write_append(_frame(spark, 3, 6), txn="b")  # sees v0, claims v1
+    assert t1.version() == 1
+    assert t1.read().count() == 6
+    assert {c.txn for c in t1.commits()} == {"a", "b"}
+
+
+@pytest.fixture(scope="module")
+def ingested_commit_log(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc_cl")
+    in_dir = str(root / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "batch1.jsonl"), "w") as f:
+        f.write("\n".join(LINES[:4]) + "\n")
+    with gzip.open(os.path.join(in_dir, "batch2.jsonl.gz"), "wt") as f:
+        f.write("\n".join(LINES[4:]) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=str(root / "out"),
+        checkpoint_dir=str(root / "ck"),
+        commit_log=True,
+    )
+    ing.run_available_single_pass()
+    return ing
+
+
+def test_commit_log_ingest_matches_per_table_history(ingested_commit_log):
+    hist = ingested_commit_log.history("olist_produtos")
+    assert hist.count() == 4
+    by_key = {
+        (r.product_id, r.action): r for r in hist.collect()
+    }
+    assert by_key[("p2", "DELETE")].product_category_name is None
+    assert ingested_commit_log.history("olist_users").count() == 1
+    dl = ingested_commit_log.dead_letter()
+    assert dl.count() == 2  # unmapped object + corrupt line
+
+
+def test_commit_log_ingest_layout(ingested_commit_log):
+    table_dir = os.path.join(ingested_commit_log.output_dir, "produtos_cdc")
+    assert os.path.isdir(os.path.join(table_dir, LOG_DIR))
+    t = CommitLogTable(ingested_commit_log.spark, table_dir)
+    assert {c.txn for c in t.commits()} <= {"batch-0", "batch-1"}
+    # every live file is under data/ and actually exists
+    for f in t.snapshot_files():
+        assert f.startswith(DATA_DIR)
+        assert os.path.exists(os.path.join(table_dir, f))
