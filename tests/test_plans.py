@@ -139,3 +139,39 @@ def test_stream_decontaminate_static_side_single_row_broadcast(spark):
     )
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
+
+
+def test_seq_packing_no_global_window(spark):
+    """The whole point of the two-pass prefix sum: no empty-partition-key
+    window over the full corpus (which Spark executes in ONE task)."""
+    from cdc_streamming___v2_spark.operators import corpus_ops as C
+
+    p = _plan(spark, C.seq_packing(spark, SF_SMALL))
+    # doc-level cumsum window must carry the bucket partition key; the only
+    # unpartitioned window runs over the tiny bucket-totals frame
+    # (rows = n_docs/PACK_BUCKET), never over doc-level rows
+    doc_window = next(
+        line for line in p.splitlines() if "sum(n_tokens" in line
+    )
+    assert "windowspecdefinition(bkt" in doc_window
+    assert "BroadcastHashJoin" in p  # bucket offsets join back broadcast
+
+
+def test_tfidf_df_and_count_broadcast(spark):
+    from cdc_streamming___v2_spark.operators import corpus_ops as C
+
+    p = _plan(spark, C.tfidf_top_terms(spark, SF_SMALL))
+    # per-term df frame and the scalar doc count both broadcast: the big
+    # exploded token frame never shuffles for the joins (only for its agg)
+    assert p.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_semantic_dedup_cell_join_not_cartesian(spark):
+    from cdc_streamming___v2_spark.operators import corpus_ops as C
+
+    p = _plan(spark, C.semantic_dedup(spark, SF_SMALL))
+    # within-cell pairing must be an equi-join on the cell id (quadratic
+    # only inside a cell), never a corpus-wide cartesian product
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
