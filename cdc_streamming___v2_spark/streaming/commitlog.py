@@ -26,6 +26,17 @@ Scale: the log is O(commits) tiny JSON files read once on the driver;
 data-file IO is fully parallel Spark. Snapshot reconstruction is a replay
 of add/remove sets — checkpointing that into a single manifest parquet
 every N commits is the standard growth fix and slots in here unchanged.
+
+Data skipping (zone maps): every ``add`` entry carries per-file column
+min/max/null-count stats harvested from the parquet footer at commit time
+(footer-only read — no data pages touched; at cluster scale the footer
+reads run on the executors that just wrote the files). ``read(where=...)``
+prunes files whose [min, max] envelope cannot satisfy the predicate BEFORE
+Spark ever lists them — on a 100 TB table a selective key predicate turns
+a full scan into a handful of file reads, which is the same mechanism
+Delta/Iceberg use on top of parquet's own row-group skipping. ``compact``
+optionally Z-orders the rewrite (bit-interleaved range buckets) so
+min/max envelopes stay tight on MULTIPLE columns at once.
 """
 
 from __future__ import annotations
@@ -34,8 +45,10 @@ import json
 import os
 import re
 from dataclasses import dataclass
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 LOG_DIR = "_commit_log"
@@ -49,6 +62,8 @@ class Commit:
     txn: str
     add: list[str]
     remove: list[str]
+    # per added file: {column: {"min": x, "max": x, "nulls": n, "rows": n}}
+    stats: dict[str, dict]
 
 
 class CommitLogTable:
@@ -81,6 +96,7 @@ class CommitLogTable:
                     txn=d["txn"],
                     add=d.get("add", []),
                     remove=d.get("remove", []),
+                    stats=d.get("stats", {}),
                 )
             )
         return out
@@ -92,13 +108,15 @@ class CommitLogTable:
     def committed_txns(self) -> set[str]:
         return {c.txn for c in self.commits()}
 
-    def _try_commit(self, txn: str, add: list[str], remove: list[str]) -> bool:
+    def _try_commit(
+        self, txn: str, add: list[str], remove: list[str], stats: dict
+    ) -> bool:
         """One optimistic attempt: claim version v+1 with an O_EXCL create
         (object-store equivalent: put-if-absent). False = lost the race;
         caller refreshes the log and retries or discovers its txn landed."""
         v = self.version() + 1
         target = os.path.join(self.path, LOG_DIR, f"{v:0{_VERSION_W}d}.json")
-        body = json.dumps({"txn": txn, "add": add, "remove": remove})
+        body = json.dumps({"txn": txn, "add": add, "remove": remove, "stats": stats})
         try:
             fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
@@ -107,16 +125,71 @@ class CommitLogTable:
             f.write(body)
         return True
 
-    def _commit(self, txn: str, add: list[str], remove: list[str]) -> bool:
+    def _commit(
+        self,
+        txn: str,
+        add: list[str],
+        remove: list[str],
+        stats: dict | None = None,
+    ) -> bool:
         """Commit with idempotence: returns False iff ``txn`` already
         committed (replay). Loops only while losing create races."""
+        stats = stats if stats is not None else self._collect_stats(add)
         while True:
             if txn in self.committed_txns():
                 return False
-            if self._try_commit(txn, add, remove):
+            if self._try_commit(txn, add, remove, stats):
                 return True
 
     # -- writes --------------------------------------------------------------
+
+    def _collect_stats(self, rel_files: list[str]) -> dict[str, dict]:
+        """Per-file zone maps from parquet footers (no data pages read).
+
+        Driver-side here because local commits are small; at cluster scale
+        the executors that wrote each file return the same footer digest
+        with the write status, so the commit never re-reads remotely.
+        Only int / float / string / timestamp leaves are recorded — a
+        column without usable footer stats is simply absent, which the
+        pruner treats as "cannot prune on this column".
+        """
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for rel in rel_files:
+            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            cols: dict[str, dict] = {}
+            bad: set[str] = set()  # stats missing in ANY row group → unusable
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for c_i in range(rg.num_columns):
+                    col = rg.column(c_i)
+                    name = col.path_in_schema
+                    if "." in name or name in bad:  # nested leaf / no stats
+                        continue
+                    st = col.statistics
+                    mn = _json_scalar(st.min) if st and st.has_min_max else None
+                    mx = _json_scalar(st.max) if st and st.has_min_max else None
+                    if mn is None or mx is None:
+                        bad.add(name)
+                        cols.pop(name, None)
+                        continue
+                    nulls = st.null_count if st.has_null_count else 0
+                    prev = cols.get(name)
+                    if prev is None:
+                        cols[name] = {
+                            "min": mn,
+                            "max": mx,
+                            "nulls": nulls,
+                            "rows": rg.num_rows,
+                        }
+                    else:
+                        prev["min"] = min(prev["min"], mn)
+                        prev["max"] = max(prev["max"], mx)
+                        prev["nulls"] += nulls
+                        prev["rows"] += rg.num_rows
+            out[rel] = cols
+        return out
 
     def _data_files(self, subdir: str) -> list[str]:
         root = os.path.join(self.path, subdir)
@@ -139,13 +212,24 @@ class CommitLogTable:
         df.write.mode("overwrite").parquet(os.path.join(self.path, subdir))
         return self._commit(txn, add=self._data_files(subdir), remove=[])
 
-    def compact(self, txn: str, target_partitions: int = 1) -> bool:
+    def compact(
+        self,
+        txn: str,
+        target_partitions: int = 1,
+        zorder_by: list[str] | None = None,
+    ) -> bool:
         """OPTIMIZE: rewrite the current snapshot into ``target_partitions``
         files and swap them in atomically (add new + remove old in ONE
         commit). Readers before the commit see old files, after it new ones
         — never a mix. Removed files stay on disk for time travel; a VACUUM
         that deletes unreferenced files after a retention window is the
-        standard companion (not needed at test scale)."""
+        standard companion (not needed at test scale).
+
+        ``zorder_by`` clusters the rewrite on a Z-value (bit-interleaved
+        per-column range buckets, computed JVM-side) before range-
+        partitioning, so every output file covers a tight min/max envelope
+        on EVERY listed column — multi-column data skipping, where a plain
+        sort only tightens the leading column."""
         if txn in self.committed_txns():
             return False
         live = self.snapshot_files()
@@ -155,26 +239,55 @@ class CommitLogTable:
         df = self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in live]
         )
-        df.coalesce(target_partitions).write.mode("overwrite").parquet(
-            os.path.join(self.path, subdir)
-        )
+        if zorder_by:
+            z = _zvalue(df, zorder_by)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(target_partitions, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.coalesce(target_partitions)
+        df.write.mode("overwrite").parquet(os.path.join(self.path, subdir))
         return self._commit(txn, add=self._data_files(subdir), remove=live)
 
     # -- reads ---------------------------------------------------------------
 
     def snapshot_files(self, version: int | None = None) -> list[str]:
-        files: list[str] = []
+        return [p for p, _ in self.snapshot_entries(version)]
+
+    def snapshot_entries(
+        self, version: int | None = None
+    ) -> list[tuple[str, dict]]:
+        """Live (path, column-stats) pairs at ``version`` (default: latest)."""
+        entries: list[tuple[str, dict]] = []
         for c in self.commits():
             if version is not None and c.version > version:
                 break
-            files = [f for f in files if f not in set(c.remove)]
-            files.extend(c.add)
-        return files
+            removed = set(c.remove)
+            entries = [(p, s) for p, s in entries if p not in removed]
+            entries.extend((p, c.stats.get(p, {})) for p in c.add)
+        return entries
 
     def read(
-        self, schema: T.StructType | None = None, version: int | None = None
+        self,
+        schema: T.StructType | None = None,
+        version: int | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
-        files = self.snapshot_files(version)
+        """Snapshot read; ``where`` is a list of simple conjunctive
+        predicates ``(col, op, value)`` with op in ``= < <= > >= between``
+        (``between`` takes a ``(lo, hi)`` value). Files whose zone map
+        proves no row can match are never handed to Spark; the predicate is
+        then applied as a real filter too, so pruning is purely a physical
+        optimization — results are identical with or without stats."""
+        entries = self.snapshot_entries(version)
+        if where:
+            entries = [
+                (p, s) for p, s in entries if _file_may_match(s, where)
+            ]
+        files = [p for p, _ in entries]
         if not files:
             if schema is None:
                 raise ValueError(f"empty table at {self.path} needs a schema")
@@ -182,8 +295,151 @@ class CommitLogTable:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*[os.path.join(self.path, f) for f in files])
+        df = reader.parquet(*[os.path.join(self.path, f) for f in files])
+        if where:
+            df = df.filter(_where_column(where))
+        return df
+
+    def files_scanned(
+        self, where: list[tuple] | None = None, version: int | None = None
+    ) -> tuple[int, int]:
+        """(files after pruning, total live files) — observability hook the
+        tests and EXPLAIN-style tooling use to prove skipping happened."""
+        entries = self.snapshot_entries(version)
+        kept = [
+            e for e in entries if not where or _file_may_match(e[1], where)
+        ]
+        return len(kept), len(entries)
 
 
 def _safe(txn: str) -> str:
     return re.sub(r"[^A-Za-z0-9_.-]", "_", txn)
+
+
+def _json_scalar(v):
+    """Footer stat → JSON-comparable scalar, or None if not representable.
+
+    bytes decode as UTF-8 (parquet string stats arrive as bytes from some
+    writers); datetimes serialize to ISO-8601, which compares in the same
+    order as the timestamps themselves, so range pruning stays valid as a
+    plain string comparison."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # boolean zone maps are useless (2 values) — skip
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return None
+
+
+def _coerce_bound(value, bound):
+    """Make a user predicate value comparable with a stored bound."""
+    import datetime
+
+    if isinstance(value, datetime.datetime) and isinstance(bound, str):
+        return value.isoformat(), bound
+    if isinstance(value, (int, float)) and isinstance(bound, (int, float)):
+        return value, bound
+    if isinstance(value, str) and isinstance(bound, str):
+        return value, bound
+    return None, None  # incomparable → caller must not prune
+
+
+def _file_may_match(stats: dict, where: list[tuple]) -> bool:
+    """True unless the zone map PROVES no row satisfies the conjunction.
+    Missing stats for a column → that predicate cannot prune this file.
+    All ops are null-rejecting, so an all-null column also prunes."""
+    for col, op, value in where:
+        st = stats.get(col)
+        if not st:
+            continue
+        if st.get("rows") and st.get("nulls") == st.get("rows"):
+            return False  # every value NULL → null-rejecting op matches none
+        lo, hi = st["min"], st["max"]
+        if op == "between":
+            a, lo_c = _coerce_bound(value[0], hi)
+            b, hi_c = _coerce_bound(value[1], lo)
+            if a is not None and a > lo_c:
+                return False  # range entirely above file max
+            if b is not None and b < hi_c:
+                return False  # range entirely below file min
+            continue
+        v_hi, hi_c = _coerce_bound(value, hi)
+        v_lo, lo_c = _coerce_bound(value, lo)
+        if v_hi is None or v_lo is None:
+            continue
+        if op == "=" and (v_lo < lo_c or v_hi > hi_c):
+            return False
+        if op in ("<", "<=") and (v_lo < lo_c or (op == "<" and v_lo == lo_c)):
+            return False
+        if op in (">", ">=") and (v_hi > hi_c or (op == ">" and v_hi == hi_c)):
+            return False
+    return True
+
+
+def _where_column(where: list[tuple]) -> Column:
+    """The same conjunction as a real Spark filter (pruning is advisory)."""
+    ops = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "between": lambda c, v: c.between(v[0], v[1]),
+    }
+    conds = [ops[op](F.col(col), value) for col, op, value in where]
+    return reduce(lambda a, b: a & b, conds)
+
+
+_Z_BITS = 16  # per-column bucket resolution (65536 range buckets)
+
+
+def _zvalue(df: DataFrame, cols: list[str]) -> Column:
+    """Bit-interleaved Z-value over width-bucketed columns, all JVM-side.
+
+    Each (numeric or timestamp) column maps to a 16-bit bucket with
+    ``width_bucket`` over its global [min, max] — ONE tiny all-column
+    aggregate on the driver, then pure narrow per-row arithmetic; no
+    global window, no extra shuffle beyond the repartitionByRange the
+    compaction does anyway. A deliberately simpler bucketing than Delta's
+    rank-space range IDs: uniform widths lose skipping power on heavily
+    skewed columns (upgrade path: approxQuantile boundaries), but never
+    affect correctness — the zone maps stay exact either way."""
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"lo_{c}"), F.max(v).alias(f"hi_{c}")]
+    bounds = df.agg(*aggs).first()
+
+    n_buckets = 1 << _Z_BITS
+    buckets = []
+    for c in cols:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        v = F.col(c).cast("double")
+        if lo is None or hi is None or lo == hi:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        wb = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(n_buckets))
+        buckets.append(
+            F.coalesce(
+                F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), wb - 1)),
+                F.lit(0),
+            ).cast("long")
+        )
+    n = len(buckets)
+    terms = []
+    for bit in range(_Z_BITS):
+        for ci, b in enumerate(buckets):
+            # source bit `bit` of column ci → interleaved position
+            pos = bit * n + (n - 1 - ci)
+            terms.append(
+                F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)), pos)
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)

@@ -74,6 +74,77 @@ def test_compaction_and_time_travel(spark, tmp_path):
     assert not t.compact(txn="opt-1")
 
 
+def test_data_skipping_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """Zone-map pruning: disjoint key ranges per commit → a selective
+    predicate reads a strict subset of files, same rows as a full scan."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.write_append(
+            _frame(spark, i * 100, i * 100 + 100).coalesce(1), txn=f"b{i}"
+        )
+    where = [("k", "between", (120, 180))]
+    kept, total = t.files_scanned(where)
+    assert total == 4 and kept == 1
+    got = sorted(r.k for r in t.read(where=where).collect())
+    want = sorted(
+        r.k for r in t.read().filter("k between 120 and 180").collect()
+    )
+    assert got == want and got[0] == 120 and got[-1] == 180
+    # equality / inequality ops prune too
+    assert t.files_scanned([("k", "=", 250)]) == (1, 4)
+    assert t.files_scanned([("k", "<", 100)]) == (1, 4)
+    assert t.files_scanned([("k", ">=", 300)]) == (1, 4)
+    # conjunction with an unsatisfiable combination prunes everything
+    assert t.files_scanned([("k", ">", 150), ("k", "<", 40)])[0] <= 2
+    # string column stats prune as well
+    assert t.files_scanned([("v", "=", "v0")])[0] == 1
+
+
+def test_data_skipping_is_advisory_not_semantic(spark, tmp_path):
+    """A commit written WITHOUT stats (older log format) still reads and
+    filters correctly — pruning just degrades to scanning everything."""
+    import json
+
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.write_append(_frame(spark, 0, 50).coalesce(1), txn="b0")
+    # strip the stats from the commit file, simulating a legacy writer
+    log = os.path.join(t.path, LOG_DIR)
+    name = sorted(os.listdir(log))[0]
+    with open(os.path.join(log, name)) as f:
+        d = json.load(f)
+    d.pop("stats")
+    with open(os.path.join(log, name), "w") as f:
+        json.dump(d, f)
+    where = [("k", "between", (10, 19))]
+    assert t.files_scanned(where) == (1, 1)  # nothing prunable
+    assert t.read(where=where).count() == 10  # ...but the filter still runs
+
+
+def test_zorder_compaction_skips_on_every_clustered_column(spark, tmp_path):
+    """Append order correlates with x only, so y predicates can't skip.
+    After a Z-ordered rewrite on (x, y), BOTH columns prune files."""
+    rows = [Row(x=i, y=(i * striped) % 1000) for striped in (7,) for i in range(1000)]
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.write_append(
+            spark.createDataFrame(rows[i * 250 : (i + 1) * 250]).coalesce(1),
+            txn=f"b{i}",
+        )
+    assert t.files_scanned([("y", "between", (0, 99))]) == (4, 4)  # no luck
+    before = {(r.x, r.y) for r in t.read().collect()}
+    assert t.compact(txn="z1", target_partitions=8, zorder_by=["x", "y"])
+    kept_x, total = t.files_scanned([("x", "between", (0, 99))])
+    kept_y, _ = t.files_scanned([("y", "between", (0, 99))])
+    assert total == 8
+    assert kept_x < total and kept_y < total  # both dimensions skip now
+    # the rewrite is a pure layout change
+    assert {(r.x, r.y) for r in t.read().collect()} == before
+    got = {
+        (r.x, r.y) for r in t.read(where=[("y", "<=", 99)]).collect()
+    }
+    assert got == {p for p in before if p[1] <= 99}
+
+
 def test_concurrent_commit_race_detected(spark, tmp_path):
     t1 = CommitLogTable(spark, str(tmp_path / "t"))
     t2 = CommitLogTable(spark, str(tmp_path / "t"))
