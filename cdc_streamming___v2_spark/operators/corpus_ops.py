@@ -274,11 +274,90 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Exact duplicate-span detection (substring-level dedup) ------------------
+
+SPAN_W = 8  # tokens per span (the "50-token" unit of Lee et al., scaled to SF)
+SPAN_MIN_DOCS = 2  # a span counts as duplicated when ≥ this many docs share it
+
+
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication profile, the token-window
+    approximation of suffix-array dedup ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022): every SPAN_W-token
+    sliding window is a span; a span appearing in ≥ SPAN_MIN_DOCS distinct
+    docs is duplicated text. Per doc: distinct spans, duplicated spans,
+    duplicated share — the removal decision a cleaning pipeline thresholds.
+
+    Scale shape: spans are built with transform/slice INSIDE the row (no
+    self-join, no window — pure narrow fan-out of ~n_tokens rows per doc),
+    then grouped by the 128-bit md5 of the span so the shuffle carries
+    32-byte keys instead of raw text. Both aggregations are partial-agg
+    friendly; the spans⋈span-counts join is co-partitioned on the same key
+    (AQE reuses the exchange). The reference has no text ops at all
+    ([DRIVER] surface, SURVEY.md §2.B).
+    """
+    docs = _docs(spark, sf_dir)
+    w = words(F.col("text"))
+    spans = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(w) >= SPAN_W,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(w) - SPAN_W),
+                        lambda i: F.array_join(
+                            F.slice(w, i + F.lit(1), SPAN_W), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("span"),
+        )
+        .select("doc_id", F.md5("span").alias("h"))
+        .distinct()
+    )
+    per_span = spans.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    dup = F.when(F.col("n_docs") >= SPAN_MIN_DOCS, 1).otherwise(0)
+    return (
+        spans.join(per_span, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_share", F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)
+        )
+    )
+
+
 # --- Oracles -----------------------------------------------------------------
 
 _W = "regexp_split_to_array(trim(text), '\\s+')"
 
 ORACLES = {
+    "dup_spans": f"""
+        WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+        pos AS (
+          SELECT doc_id, ws, unnest(generate_series(0, len(ws) - {SPAN_W})) AS i
+          FROM w WHERE len(ws) >= {SPAN_W}),
+        spans AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(ws[i + 1 : i + {SPAN_W}], ' ')) AS h
+          FROM pos),
+        counts AS (
+          SELECT h, count(DISTINCT doc_id) AS n_docs FROM spans GROUP BY h)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN c.n_docs >= {SPAN_MIN_DOCS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_spans,
+               round(sum(CASE WHEN c.n_docs >= {SPAN_MIN_DOCS} THEN 1.0 ELSE 0.0 END)
+                     / count(*), 4) AS dup_share
+        FROM spans s JOIN counts c USING (h)
+        GROUP BY s.doc_id
+    """,
     "seq_packing": f"""
         WITH toks AS (
           SELECT doc_id, CAST(len({_W}) AS BIGINT) AS n_tokens
@@ -366,6 +445,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "dup_spans": dup_spans,
     "seq_packing": seq_packing,
     "tfidf_top_terms": tfidf_top_terms,
     "inverted_index": inverted_index,

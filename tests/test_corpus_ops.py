@@ -69,3 +69,29 @@ def test_semantic_dedup_keeps_first_of_each_cell(spark):
         (~F.col("kept")) & (F.col("max_prior_sim") <= C.SEMDEDUP_TH)
     )
     assert bad.count() == 0
+
+
+def test_dup_spans_flags_shared_windows_only(spark):
+    out = {r.doc_id: r for r in C.dup_spans(spark, SF_SMALL).collect()}
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    # recompute one doc's span set naively and compare the counts
+    by_id = {r.doc_id: r.text.split() for r in docs}
+    spans = {
+        d: {
+            " ".join(t[i : i + C.SPAN_W])
+            for i in range(len(t) - C.SPAN_W + 1)
+        }
+        for d, t in by_id.items()
+        if len(t) >= C.SPAN_W
+    }
+    assert set(out) == set(spans)  # short docs excluded, others present
+    some = sorted(spans)[0]
+    others = set().union(*(s for d, s in spans.items() if d != some))
+    n_dup = len(spans[some] & others)
+    assert out[some].n_spans == len(spans[some])
+    assert out[some].n_dup_spans == n_dup
+    assert 0.0 <= out[some].dup_share <= 1.0
