@@ -58,6 +58,7 @@ HEADLINE = [
     "embedding_quantize",
     "gapfill_daily_value",
     "pii_scrub",
+    "dup_spans",
     "dataset_split",
     "priority_sample",
     "kmv_distinct",
@@ -158,7 +159,12 @@ def main() -> None:
 
     # median-of-3 for the measured outlier-prone entries (iterative or
     # candidate-explosion DAGs); single cold run for everything else
-    spiky = {"dedup_clusters", "minhash_near_dup", "ann_lsh_topk"}
+    spiky = {
+        "dedup_clusters",
+        "minhash_near_dup",
+        "ann_lsh_topk",
+        "ann_ivf_kmeans_topk",  # Lloyd-iteration DAG: 3-9x cold-JIT outliers
+    }
 
     per_query: dict[str, float] = {}
     for name in run:

@@ -55,8 +55,23 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles.
     DuckDB: list_distinct(list_transform(generate_series(1, len(w)-(n-1)),
     i -> array_to_string(w[i:i+n-1], ' '))) — note DuckDB list slices are
-    1-based inclusive, Spark F.slice is 1-based (start, length)."""
-    w = words(text)
+    1-based inclusive, Spark F.slice is 1-based (start, length).
+
+    PERF: the tokenizing `words()` expression is duplicated into every
+    lambda invocation (one regex split per shingle index — O(tokens²) regex
+    work per row), and any filter Catalyst derives from a later explode
+    drags the whole expression below the fan-out exchange onto the raw
+    scan's few partitions. For corpus-sized inputs use
+    ``sources.tables.exploded_shingles``, which materializes the token
+    array behind an exchange barrier; this column form is fine for small
+    frames (streaming micro-batches, eval sets)."""
+    return shingles_of_words(words(text), n)
+
+
+def shingles_of_words(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column — evaluates ``w`` once per row instead of once per lambda
+    invocation when ``w`` is a plain attribute reference."""
     # Spark's sequence(1, 0) auto-steps DOWN (yields [1,0]) instead of an
     # empty range, so short texts must be guarded explicitly.
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))

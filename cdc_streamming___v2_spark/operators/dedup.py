@@ -27,9 +27,9 @@ import functools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.texts import md5_hash_long, normalized, word_shingles, words
+from ..functions.texts import md5_hash_long, normalized, words
 from ..functions.vectors import as_double, cosine
-from ..sources.tables import fan_out, load_table
+from ..sources.tables import exploded_shingles, fan_out, load_table
 
 MINHASH_K = 16
 MINHASH_BANDS = 4
@@ -72,11 +72,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: ~50 shingle hashes per doc serialise on one core otherwise
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
-    )
+    # exploded_shingles: tokens materialized behind the fan-out exchange --
+    # inline shingling re-splits the text per shingle index and lets the
+    # explode-derived filter sink below the exchange (see tables.py)
+    return exploded_shingles(load_table(spark, sf_dir, "documents"), 3)
 
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:

@@ -24,8 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.texts import md5_hash_long, word_shingles
-from ..sources.tables import fan_out, load_table
+from ..functions.texts import md5_hash_long
+from ..sources.tables import exploded_shingles, fan_out, load_table
 from . import dedup as _dedup
 
 CHUNK_TOKENS = 32
@@ -244,12 +244,12 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, a broadcast Bloom filter of eval shingles (operators/
     sketches.py machinery) gives the same plan with a verify pass.
     """
-    d = _docs(spark, sf_dir).select(
-        "doc_id", word_shingles(F.col("text"), DECON_SHINGLE_N).alias("sh")
+    d = exploded_shingles(
+        load_table(spark, sf_dir, "documents"), DECON_SHINGLE_N
     )
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
-    ev = d.filter(is_eval).select(F.explode("sh").alias("s")).distinct()
-    train = d.filter(~is_eval).select("doc_id", F.explode("sh").alias("s"))
+    ev = d.filter(is_eval).select("s").distinct()
+    train = d.filter(~is_eval)
     return (
         train.join(F.broadcast(ev), "s")
         # word_shingles is per-doc distinct, so count(*) == distinct shingles
