@@ -54,6 +54,7 @@ from pyspark.sql import types as T
 LOG_DIR = "_commit_log"
 DATA_DIR = "data"
 _VERSION_W = 20  # zero-padded width -> lexicographic == numeric order
+CKPT_SUFFIX = ".checkpoint.json"
 
 
 @dataclass
@@ -75,24 +76,51 @@ class CommitLogTable:
     crash-replays in practice.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_every: int = 10,
+    ):
         self.spark = spark
         self.path = path
+        self.checkpoint_every = checkpoint_every
         os.makedirs(os.path.join(path, LOG_DIR), exist_ok=True)
 
     # -- log primitives ------------------------------------------------------
 
-    def commits(self) -> list[Commit]:
-        log = os.path.join(self.path, LOG_DIR)
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, LOG_DIR)
+
+    def _commit_versions(self) -> list[int]:
+        return sorted(
+            int(n[: -len(".json")])
+            for n in os.listdir(self._log_dir())
+            if n.endswith(".json") and not n.endswith(CKPT_SUFFIX)
+        )
+
+    def _checkpoint_versions(self) -> list[int]:
+        return sorted(
+            int(n[: -len(CKPT_SUFFIX)])
+            for n in os.listdir(self._log_dir())
+            if n.endswith(CKPT_SUFFIX)
+        )
+
+    def commits(self, after: int = -1) -> list[Commit]:
+        """Commits with version > ``after``, ascending. With checkpoints,
+        callers replay only the suffix — O(commits since checkpoint), not
+        O(table lifetime)."""
         out: list[Commit] = []
-        for name in sorted(os.listdir(log)):
-            if not name.endswith(".json"):
+        for v in self._commit_versions():
+            if v <= after:
                 continue
-            with open(os.path.join(log, name)) as f:
+            with open(
+                os.path.join(self._log_dir(), f"{v:0{_VERSION_W}d}.json")
+            ) as f:
                 d = json.load(f)
             out.append(
                 Commit(
-                    version=int(name[: -len(".json")]),
+                    version=v,
                     txn=d["txn"],
                     add=d.get("add", []),
                     remove=d.get("remove", []),
@@ -102,11 +130,80 @@ class CommitLogTable:
         return out
 
     def version(self) -> int:
-        cs = self.commits()
-        return cs[-1].version if cs else -1
+        vs = self._commit_versions() + self._checkpoint_versions()
+        return max(vs) if vs else -1
 
     def committed_txns(self) -> set[str]:
-        return {c.txn for c in self.commits()}
+        cp = self._latest_checkpoint()
+        if cp is None:
+            return {c.txn for c in self.commits()}
+        v, body = cp
+        return set(body["txns"]) | {c.txn for c in self.commits(after=v)}
+
+    # -- checkpoints ---------------------------------------------------------
+
+    def _latest_checkpoint(
+        self, max_version: int | None = None
+    ) -> tuple[int, dict] | None:
+        """(version, body) of the newest checkpoint at or below
+        ``max_version`` (latest overall when None)."""
+        usable = [
+            v
+            for v in self._checkpoint_versions()
+            if max_version is None or v <= max_version
+        ]
+        if not usable:
+            return None
+        v = usable[-1]
+        with open(
+            os.path.join(self._log_dir(), f"{v:0{_VERSION_W}d}{CKPT_SUFFIX}")
+        ) as f:
+            return v, json.load(f)
+
+    def _maybe_checkpoint(self) -> None:
+        """Write a full-snapshot checkpoint every ``checkpoint_every``
+        commits: live (file, stats) entries + the complete txn set, so both
+        snapshot reads AND idempotence survive a later log vacuum. Written
+        with put-if-absent; losing a race or crashing mid-write is harmless
+        (readers fall back to older checkpoints / raw commits — the
+        replayed state is identical, just slower to assemble)."""
+        v = self.version()
+        if v < 0 or (v + 1) % self.checkpoint_every != 0:
+            return
+        body = json.dumps(
+            {
+                "version": v,
+                "entries": self._entries_from_log(v),
+                "txns": sorted(self.committed_txns()),
+            }
+        )
+        target = os.path.join(
+            self._log_dir(), f"{v:0{_VERSION_W}d}{CKPT_SUFFIX}"
+        )
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return
+        with os.fdopen(fd, "w") as f:
+            f.write(body)
+
+    def vacuum_log(self) -> int:
+        """Delete commit files already folded into the newest checkpoint.
+        Time travel to versions >= that checkpoint (and txn idempotence)
+        are unaffected; older versions become unreachable — the same
+        retention trade Delta's log cleanup makes. Returns files removed."""
+        cp = self._latest_checkpoint()
+        if cp is None:
+            return 0
+        v, _ = cp
+        n = 0
+        for cv in self._commit_versions():
+            if cv <= v:
+                os.remove(
+                    os.path.join(self._log_dir(), f"{cv:0{_VERSION_W}d}.json")
+                )
+                n += 1
+        return n
 
     def _try_commit(
         self, txn: str, add: list[str], remove: list[str], stats: dict
@@ -139,6 +236,7 @@ class CommitLogTable:
             if txn in self.committed_txns():
                 return False
             if self._try_commit(txn, add, remove, stats):
+                self._maybe_checkpoint()
                 return True
 
     # -- writes --------------------------------------------------------------
@@ -260,15 +358,32 @@ class CommitLogTable:
     def snapshot_entries(
         self, version: int | None = None
     ) -> list[tuple[str, dict]]:
-        """Live (path, column-stats) pairs at ``version`` (default: latest)."""
-        entries: list[tuple[str, dict]] = []
-        for c in self.commits():
+        """Live (path, column-stats) pairs at ``version`` (default: latest).
+        Starts from the newest checkpoint at/below the target and replays
+        only the commits after it."""
+        cp = self._latest_checkpoint(version)
+        if cp is not None:
+            base_v, body = cp
+            entries = [(p, s) for p, s in body["entries"]]
+        else:
+            base_v = -1
+            entries = []
+            cvs = self._commit_versions()
+            if cvs and cvs[0] != 0:
+                raise ValueError(
+                    f"commit log vacuumed before version {cvs[0]} and no "
+                    f"checkpoint at/below version {version} — unreachable"
+                )
+        for c in self.commits(after=base_v):
             if version is not None and c.version > version:
                 break
             removed = set(c.remove)
             entries = [(p, s) for p, s in entries if p not in removed]
             entries.extend((p, c.stats.get(p, {})) for p in c.add)
         return entries
+
+    def _entries_from_log(self, version: int) -> list[list]:
+        return [[p, s] for p, s in self.snapshot_entries(version)]
 
     def read(
         self,

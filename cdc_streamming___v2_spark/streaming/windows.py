@@ -90,6 +90,7 @@ def interval_join_streams(
     clicks: DataFrame,
     window_minutes: int = 10,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each error event paired with the same
     user's click events from the preceding ``window_minutes``.
@@ -98,6 +99,13 @@ def interval_join_streams(
     distance, so the state store can evict rows once the watermark passes
     — bounded state, the requirement for an unbounded 100 TB stream.
     Batch twin (oracle-checked): operators/temporal.range_join_error_clicks.
+
+    ``how="leftOuter"`` keeps errors with NO click in the window: the
+    engine can only emit the null-padded row once the click-side watermark
+    passes the end of that error's interval (before that, a matching click
+    might still arrive), so outer results trail the inner ones by up to
+    the watermark delay — correctness over latency, resolved per event as
+    soon as the stream itself proves no match can appear.
     """
     e = (
         errors.withWatermark("ts", watermark)
@@ -120,7 +128,7 @@ def interval_join_streams(
         & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
         & (F.col("c_ts") < F.col("e_ts"))
     )
-    return e.join(c, cond).select(
+    return e.join(c, cond, how).select(
         F.col("e_user").alias("user_id"), "error_id", "e_ts", "click_id", "c_ts"
     )
 

@@ -197,3 +197,45 @@ def test_commit_log_ingest_layout(ingested_commit_log):
     for f in t.snapshot_files():
         assert f.startswith(DATA_DIR)
         assert os.path.exists(os.path.join(table_dir, f))
+
+
+def test_checkpoint_folds_log_and_survives_vacuum(spark, tmp_path):
+    """Every Nth commit writes a full-snapshot checkpoint; vacuuming the
+    folded commit files keeps reads, stats pruning, txn idempotence, and
+    post-checkpoint time travel intact."""
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_every=3)
+    for i in range(7):  # versions 0..6 -> checkpoints at v2 and v5
+        t.write_append(_frame(spark, i * 10, i * 10 + 10).coalesce(1), txn=f"b{i}")
+    log = os.path.join(t.path, LOG_DIR)
+    ckpts = [n for n in os.listdir(log) if n.endswith(".checkpoint.json")]
+    assert len(ckpts) == 2
+    before = sorted(r.k for r in t.read().collect())
+
+    removed = t.vacuum_log()
+    assert removed == 6  # commits 0..5 folded into the v5 checkpoint
+    # snapshot, pruning, and version() all still work from checkpoint + tail
+    assert sorted(r.k for r in t.read().collect()) == before
+    assert t.version() == 6
+    kept, total = t.files_scanned([("k", "between", (0, 9))])
+    assert (kept, total) == (1, 7)
+    # replayed txn from the vacuumed range is still a no-op
+    assert not t.write_append(_frame(spark, 0, 10), txn="b3")
+    assert t.version() == 6
+    # time travel: >= newest checkpoint works, older is explicitly refused
+    assert t.read(version=5).count() == 60
+    assert t.read(version=6).count() == 70
+    with pytest.raises(ValueError, match="unreachable"):
+        t.read(version=1)
+
+
+def test_checkpoint_read_matches_raw_replay(spark, tmp_path):
+    """With all commit files still present, checkpointed and raw replay
+    agree at every version (the checkpoint is a pure accelerator)."""
+    t = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_every=2)
+    for i in range(5):
+        t.write_append(_frame(spark, i * 5, i * 5 + 5).coalesce(1), txn=f"b{i}")
+    t.compact(txn="opt", target_partitions=1)  # version 5 rewrites the table
+    raw = CommitLogTable(spark, str(tmp_path / "t"), checkpoint_every=10**9)
+    for v in range(6):
+        assert sorted(t.snapshot_files(v)) == sorted(raw.snapshot_files(v))
+    assert t.read(version=5).count() == 25

@@ -343,3 +343,67 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
     }
     got_clean = {r.doc_id for r in out.filter("n_shared = 0").collect()}
     assert got_clean == want_clean
+
+
+@pytest.fixture(scope="module")
+def events_dir_two_files(spark, tmp_path_factory):
+    """Two time-ordered files: batch 2's start watermark (from batch 1's
+    max ts) is what licenses outer-join null emission for early rows."""
+    import glob
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream2f")
+    ev = _batch_events(spark)
+    mid = ev.selectExpr("percentile(cast(ts as double), 0.5) p").first().p
+    for name, part in (
+        ("a", ev.filter(F.col("ts").cast("double") <= mid)),
+        ("b", ev.filter(F.col("ts").cast("double") > mid)),
+    ):
+        tmp = str(d / f"_stage_{name}")
+        part.coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(src, str(d / f"{name}.parquet"))
+        shutil.rmtree(tmp)
+    return str(d)
+
+
+def test_interval_join_left_outer_flushes_unmatched_errors(
+    spark, events_dir_two_files
+):
+    """leftOuter stream-stream join: matched pairs equal the inner join;
+    null-padded rows appear only for errors the batch oracle says have no
+    click in the window, and only once the watermark seals their interval."""
+    from cdc_streamming___v2_spark.operators.temporal import (
+        range_join_error_clicks,
+    )
+
+    # the fixture rewrote events through load_table, so ts is already a
+    # micros TIMESTAMP — no nanos conversion here, unlike _stream()
+    schema = spark.read.parquet(events_dir_two_files).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir_two_files)
+    )
+    errors = s.filter(F.col("event_type") == "error")
+    clicks = s.filter(F.col("event_type") == "click")
+    name = _run(
+        W.interval_join_streams(errors, clicks, how="leftOuter"),
+        mode="append",
+    )
+    rows = spark.sql(f"select * from {name}").collect()
+    matched: dict = {}
+    for r in rows:
+        if r.click_id is not None:
+            matched[r.error_id] = matched.get(r.error_id, 0) + 1
+    nulls = {r.error_id for r in rows if r.click_id is None}
+    oracle = {
+        r.event_id: r.n_clicks_10m
+        for r in range_join_error_clicks(spark, SF_SMALL).collect()
+    }
+    # matched side must agree exactly with the inner-join semantics
+    assert matched == {k: v for k, v in oracle.items() if v > 0}
+    # null rows: only zero-click errors, sealed ones flushed, no overlap
+    assert nulls, "watermark from batch 2 should flush early unmatched errors"
+    assert nulls <= {k for k, v in oracle.items() if v == 0}
+    assert not (nulls & set(matched))
