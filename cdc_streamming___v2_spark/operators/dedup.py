@@ -35,6 +35,7 @@ MINHASH_K = 16
 MINHASH_BANDS = 4
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 JACCARD_THRESHOLD = 0.5
+FUZZY_MAX_DIST = 2  # max edit distance to call two names the same entity
 SIMHASH_BITS = 16
 COSINE_DUP_THRESHOLD = 0.45  # testdata has no planted vector dups; exercises op
 
@@ -367,6 +368,19 @@ _COS = (
 )
 
 ORACLES = {
+    "fuzzy_match_parts": f"""
+        SELECT a.p_brand AS brand,
+               CAST(a.p_partkey AS BIGINT) AS part_a,
+               CAST(b.p_partkey AS BIGINT) AS part_b,
+               a.p_name AS name_a,
+               b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM part a
+        JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_MAX_DIST}
+          AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
     "dedup_exact": """
         SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS text_hash,
                min(doc_id) AS keep_id,
@@ -429,8 +443,65 @@ ORACLES = {
     """,
 }
 
+# --- blocked fuzzy matching (entity resolution) ------------------------------
+
+
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: part-name pairs within FUZZY_MAX_DIST edits,
+    candidate-generated by a blocking key — the standard record-linkage
+    decomposition (block on a cheap equality key, run the expensive
+    similarity kernel only inside blocks).
+
+    Scale: the self-join is an EQUI-join on the blocking key (p_brand), so
+    candidate pairs grow with block size squared, never corpus squared —
+    at 100 TB you block on (brand, name-length bucket) to keep blocks
+    bounded and the join stays a hash/SMJ shuffle Spark can partition.
+    Inside a block, a |length delta| <= d pre-filter (a Levenshtein lower
+    bound) rejects most pairs before the O(len^2) edit-distance kernel,
+    and p_a < p_b halves the space. All JVM-side: F.levenshtein is a
+    codegen'd built-in, no UDF. At 100 TB the single blocking key is too
+    coarse (block sizes grow with the table) — compose it with a
+    name-length bucket or first-token key so block cardinality, not block
+    size, absorbs the growth.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(
+            F.abs(F.length("a.p_name") - F.length("b.p_name"))
+            <= FUZZY_MAX_DIST
+        )
+        # bounded kernel: 3-arg levenshtein early-exits past the threshold
+        # (returns -1), ~2x over the unbounded kernel at sf0.1; for kept
+        # pairs the returned distance is exact, so oracle parity holds
+        .withColumn(
+            "dist",
+            F.levenshtein(
+                F.col("a.p_name"), F.col("b.p_name"), FUZZY_MAX_DIST
+            ),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= FUZZY_MAX_DIST))
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_partkey").cast("bigint").alias("part_a"),
+            F.col("b.p_partkey").cast("bigint").alias("part_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "fuzzy_match_parts": fuzzy_match_parts,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_near_dup": minhash_near_dup,
