@@ -51,6 +51,37 @@ HASH_RANGE = 2.0**32  # md5_hash_long is uniform on [0, 2^32)
 # --- KMV distinct-count ------------------------------------------------------
 
 
+def _min_k_by(du: DataFrame, key: str, k: int = KMV_K) -> DataFrame:
+    """(key, n_mins, u_k): the k smallest distinct u values per key via a
+    two-level min-k merge — per-input-partition sorted top-k arrays, then
+    one k-bounded merge per key. Replaces row_number() over a per-key
+    global sort: sort input drops from ALL distinct values to
+    partitions x k rows (5x at sf0.1, unbounded at 100 TB, where a per-key
+    global sort serializes millions of rows through one task per key).
+    Exact and partition-independent — min-k over distinct hashes does not
+    depend on how rows are split — so the SQL oracle keeps the simple
+    window formulation and still value-matches.
+    """
+    per_part = (
+        du.withColumn("pid", F.spark_partition_id())
+        .groupBy(key, "pid")
+        .agg(F.slice(F.array_sort(F.collect_list("u")), 1, k).alias("mins"))
+    )
+    return (
+        per_part.groupBy(key)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("mins"))), 1, k
+            ).alias("mins")
+        )
+        .select(
+            key,
+            F.size("mins").cast("bigint").alias("n_mins"),
+            F.element_at("mins", F.size("mins")).alias("u_k"),
+        )
+    )
+
+
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-count estimate of users per event_type,
     next to the exact count and the realized relative error.
@@ -64,11 +95,7 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_hash_long(F.col("user_id").cast("string"), "kmv") / F.lit(HASH_RANGE)
     ).alias("u")
     du = e.select("event_type", u).distinct()
-    w = Window.partitionBy("event_type").orderBy("u")
-    mins = du.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KMV_K)
-    sk = mins.groupBy("event_type").agg(
-        F.count("*").alias("n_mins"), F.max("u").alias("u_k")
-    )
+    sk = _min_k_by(du, "event_type")
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
@@ -264,13 +291,7 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_name", u)
         .distinct()
     )
-    w = Window.partitionBy("col_name").orderBy("u")
-    sk = (
-        du.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= KMV_K)
-        .groupBy("col_name")
-        .agg(F.count("*").alias("n_mins"), F.max("u").alias("u_k"))
-    )
+    sk = _min_k_by(du, "col_name")
     est = F.when(
         F.col("n_mins") < KMV_K, F.col("n_mins").cast("double")
     ).otherwise((KMV_K - 1) / F.col("u_k"))
