@@ -396,6 +396,72 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_frame_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-boundary window tier: first_value / last_value / nth_value
+    over explicit ROWS frames per customer's orders. The growing frame
+    (unbounded preceding .. current) vs the full frame (unbounded ..
+    unbounded) distinction is the classic last_value gotcha this pins.
+    Unique total order (o_orderdate, o_orderkey) so engines agree."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    grow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.round(F.first_value("o_totalprice").over(grow), 2).alias(
+            "first_price"
+        ),
+        F.round(F.last_value("o_totalprice").over(grow), 2).alias(
+            "running_last_price"
+        ),
+        F.round(F.last_value("o_totalprice").over(full), 2).alias(
+            "final_price"
+        ),
+        F.round(F.nth_value("o_totalprice", 2).over(full), 2).alias(
+            "second_price"
+        ),
+        F.count(F.lit(1)).over(full).cast("bigint").alias("n_orders"),
+    )
+
+
+def central_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / mode / mean per group. Mode is built explicitly —
+    count per (group, value), then rank by (count DESC, value ASC) — because
+    the built-in mode() breaks ties arbitrarily in both engines; the
+    explicit tie-break makes it deterministic and portable.
+
+    Scale: the (group, value) pre-aggregation is the whole trick — the
+    ranking window runs over distinct values per group, not rows. Exact
+    interpolated median does need a per-group sort (percentile); at 100 TB
+    swap in the mergeable histogram sketch (quantile_sketch) — same
+    output contract, bounded state."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").cast("bigint").alias("mode_n"),
+        )
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return med.join(mode, "l_returnflag")
+
+
 def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex + string-manipulation tier over part attributes."""
     p = _t(spark, sf_dir, "part")
@@ -558,6 +624,8 @@ QUERIES = {
     "union_all_agg": union_all_agg,
     "embedding_near_dup": embedding_near_dup,
     "window_ntile_dist": window_ntile_dist,
+    "window_frame_funcs": window_frame_funcs,
+    "central_tendency": central_tendency,
     "regex_funcs": regex_funcs,
     "array_agg_sorted": array_agg_sorted,
     "map_funcs": map_funcs,
@@ -739,6 +807,44 @@ ORACLES = {
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment
                      ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    "window_frame_funcs": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_custkey AS BIGINT) AS o_custkey,
+               round(first_value(o_totalprice) OVER grow, 2) AS first_price,
+               round(last_value(o_totalprice)  OVER grow, 2) AS running_last_price,
+               round(last_value(o_totalprice)  OVER whole, 2) AS final_price,
+               round(nth_value(o_totalprice, 2) OVER whole, 2) AS second_price,
+               CAST(count(*) OVER whole AS BIGINT) AS n_orders
+        FROM orders
+        WINDOW grow AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               whole AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)
+    """,
+    "central_tendency": """
+        WITH counts AS (
+          SELECT l_returnflag, l_quantity, count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        md AS (
+          SELECT l_returnflag, l_quantity AS mode_qty,
+                 CAST(cnt AS BIGINT) AS mode_n
+          FROM (SELECT *, row_number() OVER (
+                    PARTITION BY l_returnflag
+                    ORDER BY cnt DESC, l_quantity ASC) AS rk
+                FROM counts) r
+          WHERE rk = 1),
+        med AS (
+          SELECT l_returnflag,
+                 round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+                 round(avg(l_quantity), 4) AS avg_qty,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1)
+        SELECT med.l_returnflag, median_qty, avg_qty, n, mode_qty, mode_n
+        FROM med JOIN md USING (l_returnflag)
     """,
     "regex_funcs": """
         SELECT p_partkey,
