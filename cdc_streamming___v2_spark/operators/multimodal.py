@@ -161,26 +161,37 @@ def multimodal_decode(spark, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     dec = decode_media(synthesize_media(docs), "fake")
-    rs = resize_spec(dec, 64)
-    frames = (
-        sample_frames(dec, 5)
-        .groupBy("media_id")
-        .agg(F.count("*").alias("n_kept_frames"))
+    # ONE Python stage, zero self-joins: the earlier formulation referenced
+    # `dec` from three subtrees (select + resize join + frame-count join),
+    # so Spark executed the mapInPandas decode three times and shuffled the
+    # results back together on media_id. The resize plan is 1:1 column
+    # math (resize_spec's expressions inline here) and the kept-frame count
+    # of sample_frames' every-nth sequence has the closed form
+    # (n_frames-1) div nth + 1 — both fuse into the decode projection.
+    # resize_spec / sample_frames stay as the per-op APIs for pipelines
+    # that need the exploded rows (tests/test_multimodal.py).
+    scale = F.least(
+        F.lit(1.0), F.lit(64) / F.greatest(F.col("width"), F.col("height"))
     )
-    return (
-        dec.select(
-            "media_id",
-            "kind",
-            "width",
-            "height",
-            "n_frames",
-            F.size("features").alias("n_features"),
+    kept = (
+        F.when(
+            F.col("kind") == "video",
+            F.floor((F.col("n_frames") - 1) / 5) + 1,
         )
-        .join(rs.select("media_id", "scale", "out_width", "out_height"), "media_id")
-        .join(frames, "media_id", "left")
-        .withColumn(
-            "n_kept_frames", F.coalesce("n_kept_frames", F.lit(0)).cast("long")
-        )
+        .otherwise(0)
+        .cast("long")
+    )
+    return dec.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+        F.size("features").alias("n_features"),
+        F.round(scale, 4).alias("scale"),
+        F.ceil(F.col("width") * scale).cast("int").alias("out_width"),
+        F.ceil(F.col("height") * scale).cast("int").alias("out_height"),
+        kept.alias("n_kept_frames"),
     )
 
 
