@@ -66,6 +66,9 @@ HEADLINE = [
     "countmin_freq",
     "bloom_prefilter",
     "quantile_sketch",
+    "hll_distinct",
+    "pareto_frontier",
+    "peak_concurrency",
 ]
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .event_windows import SESSION_GAP_MIN
 
 FUNNEL = ("signup", "click", "purchase")
 
@@ -178,6 +179,174 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARETO_BUCKET = 100.0  # price-bucket width for the distributed prefix-max
+
+
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts not dominated on (price low, size high) — B
+    dominates A iff B is no worse on both axes and strictly better on one.
+
+    Scale: the naive formulation is a quadratic self-join (the oracle runs
+    exactly that NOT EXISTS). This operator instead uses the 2-D sweep:
+    reduce to per-price best size (one shuffle with map-side partials),
+    then a prefix-max over strictly-cheaper prices decides domination.
+    The prefix-max itself is distributed the same way as seq_packing's
+    prefix sum: in-bucket cummax partitioned by a price bucket, plus a
+    broadcast per-bucket offset frame — never a single-task global window,
+    never an O(n^2) join. Frontier rows join back broadcast (a frontier is
+    tiny relative to its input).
+    """
+    p = load_table(spark, sf_dir, "part")
+    per_price = (
+        p.groupBy("p_retailprice")
+        .agg(F.max("p_size").alias("best_size"))
+        .withColumn(
+            "bkt", F.floor(F.col("p_retailprice") / PARETO_BUCKET).cast("long")
+        )
+    )
+    in_bucket = F.max("best_size").over(
+        Window.partitionBy("bkt")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = per_price.withColumn("local_max", in_bucket)
+    bucket_max = (
+        per_price.groupBy("bkt")
+        .agg(F.max("best_size").alias("bm"))
+        .withColumn(
+            "prev_max",
+            F.max("bm").over(
+                Window.orderBy("bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("bkt", "prev_max")
+    )
+    frontier_prices = (
+        local.join(F.broadcast(bucket_max), "bkt")
+        .withColumn(
+            "strict_cummax",
+            F.greatest(
+                F.coalesce(F.col("local_max"), F.lit(-1)),
+                F.coalesce(F.col("prev_max"), F.lit(-1)),
+            ),
+        )
+        .filter(F.col("best_size") > F.col("strict_cummax"))
+        .select("p_retailprice", "best_size")
+    )
+    return (
+        p.join(F.broadcast(frontier_prices), "p_retailprice")
+        .filter(F.col("p_size") == F.col("best_size"))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the gaps-and-islands
+    idiom (day minus dense row number anchors each run).
+
+    Scale: distinct (user, day) first (map-side partial), then two windows
+    both partitioned by user — no global window, no self-join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    streaks = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("anchor", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.count("*").alias("streak_days"),
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "streak_days", "streak_start", "streak_end")
+    )
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum overlap: peak number of concurrently-open user
+    sessions (30-min-gap sessions, closed intervals), with the first
+    instant the peak is reached and the total session count.
+
+    Scale: intervals become +1/-1 boundary points, reduced per distinct
+    timestamp FIRST (so tie ordering is aggregated away, not window-order
+    dependent); the running balance uses the bucketed two-pass prefix sum
+    (per-day partitions + broadcast day offsets) — the naive global-window
+    formulation the oracle runs would serialize 100 TB of boundaries
+    through one task. Ends at exactly t do not close before starts at t
+    (closed intervals): active(t) = starts(<=t) - ends(<t).
+    """
+    from .event_windows import session_agg
+
+    sess = session_agg(spark, sf_dir).select("sess_start", "sess_end")
+    pts = sess.select(
+        F.col("sess_start").alias("t"), F.lit(1).alias("d")
+    ).unionAll(sess.select(F.col("sess_end").alias("t"), F.lit(0).alias("d")))
+    per_t = (
+        pts.groupBy("t")
+        .agg(
+            F.sum("d").cast("long").alias("n_starts"),
+            F.sum(F.lit(1) - F.col("d")).cast("long").alias("n_ends"),
+        )
+        .withColumn("day", F.to_date("t"))
+    )
+    wday = Window.partitionBy("day").orderBy("t")
+    local = per_t.withColumn(
+        "c_starts",
+        F.sum("n_starts").over(wday.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        "c_ends_prev",
+        F.coalesce(
+            F.sum("n_ends").over(
+                wday.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        per_t.groupBy("day")
+        .agg(F.sum("n_starts").alias("ds"), F.sum("n_ends").alias("de"))
+        .select(
+            "day",
+            F.coalesce(F.sum("ds").over(wd), F.lit(0)).alias("start_off"),
+            F.coalesce(F.sum("de").over(wd), F.lit(0)).alias("end_off"),
+        )
+    )
+    act = local.join(F.broadcast(offs), "day").select(
+        "t",
+        (
+            F.col("start_off")
+            + F.col("c_starts")
+            - F.col("end_off")
+            - F.col("c_ends_prev")
+        ).alias("active"),
+    )
+    peak = act.agg(F.max("active").alias("peak_concurrency"))
+    n_sess = sess.agg(F.count("*").alias("n_sessions"))
+    return (
+        act.crossJoin(F.broadcast(peak))
+        .filter(F.col("active") == F.col("peak_concurrency"))
+        .groupBy("peak_concurrency")
+        .agg(F.min("t").alias("t_at_peak"))
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            F.col("peak_concurrency").cast("bigint").alias("peak_concurrency"),
+            "t_at_peak",
+            "n_sessions",
+        )
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -185,9 +354,95 @@ QUERIES = {
     "locf_fill": locf_fill,
     "price_histogram": price_histogram,
     "time_rollup": time_rollup,
+    "pareto_frontier": pareto_frontier,
+    "activity_streaks": activity_streaks,
+    "peak_concurrency": peak_concurrency,
 }
 
 ORACLES = {
+    "pareto_frontier": """
+        SELECT a.p_partkey, a.p_retailprice, a.p_size
+        FROM part a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part b
+            WHERE b.p_retailprice <= a.p_retailprice
+              AND b.p_size >= a.p_size
+              AND (b.p_retailprice < a.p_retailprice
+                   OR b.p_size > a.p_size)
+        )
+    """,
+    "activity_streaks": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        isl AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY day) AS INT)
+                       AS anchor
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, anchor, count(*) AS streak_days,
+                   min(day) AS streak_start, max(day) AS streak_end
+            FROM isl GROUP BY user_id, anchor
+        )
+        SELECT user_id, streak_days, streak_start, streak_end
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY streak_days DESC,
+                                                    streak_start ASC) AS rk
+              FROM streaks)
+        WHERE rk = 1
+    """,
+    "peak_concurrency": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w
+                             > {SESSION_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sess_id
+            FROM flagged
+        ),
+        sessions AS (
+            SELECT user_id, sess_id,
+                   min(ts) AS sess_start, max(ts) AS sess_end
+            FROM sess GROUP BY user_id, sess_id
+        ),
+        pts AS (
+            SELECT sess_start AS t, 1 AS d FROM sessions
+            UNION ALL
+            SELECT sess_end AS t, 0 AS d FROM sessions
+        ),
+        per_t AS (
+            SELECT t, CAST(sum(d) AS BIGINT) AS n_starts,
+                   CAST(sum(1 - d) AS BIGINT) AS n_ends
+            FROM pts GROUP BY t
+        ),
+        act AS (
+            SELECT t,
+                   sum(n_starts) OVER (ORDER BY t
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                   - coalesce(sum(n_ends) OVER (ORDER BY t
+                                                ROWS BETWEEN UNBOUNDED
+                                                PRECEDING AND 1 PRECEDING),
+                              0) AS active
+            FROM per_t
+        )
+        SELECT CAST((SELECT max(active) FROM act) AS BIGINT)
+                   AS peak_concurrency,
+               (SELECT min(t) FROM act
+                WHERE active = (SELECT max(active) FROM act)) AS t_at_peak,
+               (SELECT count(*) FROM sessions) AS n_sessions
+    """,
     "funnel_conversion": """
         WITH s1 AS (
             SELECT user_id, min(ts) AS t1 FROM events

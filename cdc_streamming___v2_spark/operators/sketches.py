@@ -395,6 +395,79 @@ def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HyperLogLog distinct-count ----------------------------------------------
+
+HLL_P = 8  # bucket bits
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_VBITS = 24  # rho is measured on the low 24 hash bits
+HLL_VRANGE = 1 << HLL_VBITS
+# alpha_m * m^2 * 2^25 precomputed in Python; repr() round-trips the exact
+# double into both engines so the single final division is bit-identical.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_EST_NUM = HLL_ALPHA * float(HLL_M) * float(HLL_M) * float(2 * HLL_VRANGE)
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count of orders per return flag (Flajolet et al.
+    2007), next to the exact count and the realized relative error.
+
+    Register build: bucket = top 8 bits of the portable md5 hash, rho =
+    leading-zero count + 1 of the low 24 bits (computed exactly via the
+    length of ``bin()``, which both engines implement — no floating log).
+    The estimate's harmonic mean is kept in EXACT integer arithmetic:
+    sum(2^-rho_j) is accumulated as sum(2^(25-rho_j)) — every term and every
+    partial sum is an integer < 2^53, so the result is addition-order
+    independent and the DuckDB twin value-matches bit-for-bit, including
+    the realized error. The small-range linear-counting correction (which
+    needs ln()) is deliberately not applied — n >> 2.5m here; the zero-
+    register count is emitted so a caller could apply it.
+
+    Scale: the sketch state is <= 256 (bucket, max-rho) rows per group
+    regardless of input cardinality, built by a map-side-partial max —
+    the canonical mergeable distinct sketch for 100 TB inputs. (The exact
+    count alongside is for error reporting only.)
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey"
+    )
+    h = md5_hash_long(F.col("l_orderkey").cast("string"), "hll")
+    v = h % HLL_VRANGE
+    regs = (
+        li.select(
+            "l_returnflag",
+            F.floor(h / HLL_VRANGE).cast("int").alias("bucket"),
+            F.when(v == 0, HLL_VBITS + 1)
+            .otherwise(F.lit(HLL_VBITS + 1) - F.length(F.bin(v)))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    g = regs.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), F.lit(HLL_VBITS + 1) - F.col("mj")))
+        .cast("long")
+        .alias("s_present"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_regs")
+    s = F.col("s_present") + zeros * F.lit(2 * HLL_VRANGE)
+    est = F.lit(HLL_EST_NUM) / s
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return g.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        F.col("n_regs").cast("bigint").alias("n_regs"),
+        zeros.cast("bigint").alias("n_zero_regs"),
+        F.round(est, 2).alias("hll_est"),
+        "exact_distinct",
+        F.round(
+            F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+        ).alias("rel_err"),
+    )
+
+
 # --- oracles -----------------------------------------------------------------
 
 
@@ -590,10 +663,48 @@ ORACLES["quantile_sketch"] = f"""
     WHERE rk = 1
 """
 
+ORACLES["hll_distinct"] = f"""
+    WITH h AS (
+        SELECT l_returnflag, {_h("l_orderkey::VARCHAR", "hll")} AS hv
+        FROM lineitem
+    ),
+    regs AS (
+        SELECT l_returnflag,
+               CAST(floor(hv / {HLL_VRANGE}) AS INT) AS bucket,
+               max(CASE WHEN hv % {HLL_VRANGE} = 0 THEN {HLL_VBITS + 1}
+                        ELSE {HLL_VBITS + 1} - length(bin(hv % {HLL_VRANGE}))
+                   END) AS mj
+        FROM h GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT l_returnflag, count(*) AS n_regs,
+               CAST(sum(power(2.0, {HLL_VBITS + 1} - mj)) AS BIGINT)
+                   AS s_present
+        FROM regs GROUP BY 1
+    ),
+    ex AS (
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+        FROM lineitem GROUP BY 1
+    )
+    SELECT g.l_returnflag,
+           CAST(n_regs AS BIGINT) AS n_regs,
+           CAST({HLL_M} - n_regs AS BIGINT) AS n_zero_regs,
+           round({HLL_EST_NUM!r}
+                 / (s_present + ({HLL_M} - n_regs) * {2 * HLL_VRANGE}), 2)
+               AS hll_est,
+           exact_distinct,
+           round(abs({HLL_EST_NUM!r}
+                     / (s_present + ({HLL_M} - n_regs) * {2 * HLL_VRANGE})
+                     - exact_distinct) / exact_distinct, 4) AS rel_err
+    FROM g JOIN ex USING (l_returnflag)
+"""
+
 QUERIES = {
     "table_stats": table_stats,
     "kmv_distinct": kmv_distinct,
     "countmin_freq": countmin_freq,
     "bloom_prefilter": bloom_prefilter,
     "quantile_sketch": quantile_sketch,
+    "hll_distinct": hll_distinct,
 }

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from cdc_streamming___v2_spark.operators import sketches as S
 
-from .conftest import SF_SMALL
+from .conftest import SF_MED, SF_SMALL
 
 
 def test_oracle_coverage():
@@ -78,3 +78,15 @@ def test_table_stats_values_and_kmv_error(spark):
     )
     # string columns carry no numeric range
     assert rows["l_returnflag"].min_num is None
+
+
+def test_hll_registers_bounded_and_estimate_close(spark):
+    from cdc_streamming___v2_spark.operators.sketches import HLL_M, hll_distinct
+
+    rows = hll_distinct(spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_regs <= HLL_M
+        assert r.n_regs + r.n_zero_regs == HLL_M
+        # m=256 -> rse ~ 1.04/sqrt(m) ~ 6.5%; allow 4 sigma
+        assert r.rel_err < 0.26
