@@ -32,6 +32,7 @@ _OPTIONAL_MODULES = (
     "similarity",
     "text_analysis",
     "event_windows",
+    "behavior",
     "multimodal",
     "cdc_batch",
     "merge_ops",
@@ -59,7 +60,11 @@ def _registry() -> tuple[dict, dict]:
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for m in modules:
-        queries.update(getattr(m, "QUERIES", {}))
+        mq = getattr(m, "QUERIES", {})
+        dupes = set(mq) & set(queries)
+        if dupes:  # silent shadowing would corrupt the correctness gate
+            raise ValueError(f"duplicate query keys {sorted(dupes)} in {m.__name__}")
+        queries.update(mq)
         oracles.update(getattr(m, "ORACLES", {}))
     return queries, oracles
 

@@ -577,31 +577,6 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding near-dup (dedup tier, embedding-cosine variant) ---------------
 
-NEAR_DUP_THRESHOLD = 0.40
-NEAR_DUP_MAX_ID = 500  # self-join restricted to a fixed prefix of the corpus
-
-
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.40) over the first
-    500 vectors.
-
-    Scale: the demo bound keeps the O(N^2) self-join testable; the scale
-    path for the full corpus is the LSH bucketing in similarity.py
-    (ann_lsh_topk) — bucket-equi-join instead of cross join, identical
-    scoring expression.
-    """
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < NEAR_DUP_MAX_ID)
-        .select("vec_id", as_double(F.col("embedding")).alias("v"))
-    )
-    b = e.select(F.col("vec_id").alias("vec_id2"), F.col("v").alias("v2"))
-    return (
-        e.join(F.broadcast(b), F.col("vec_id") < F.col("vec_id2"))
-        .withColumn("cos_sim", F.round(cosine(F.col("v"), F.col("v2")), 4))
-        .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
-        .select("vec_id", "vec_id2", "cos_sim")
-    )
 
 
 # --- registries --------------------------------------------------------------
@@ -622,7 +597,6 @@ QUERIES = {
     "math_funcs": math_funcs,
     "array_funcs": array_funcs,
     "union_all_agg": union_all_agg,
-    "embedding_near_dup": embedding_near_dup,
     "window_ntile_dist": window_ntile_dist,
     "window_frame_funcs": window_frame_funcs,
     "central_tendency": central_tendency,
@@ -910,18 +884,5 @@ ORACLES = {
         SELECT l_returnflag, metric, value
         FROM wide
         UNPIVOT (value FOR metric IN (sum_qty, sum_price, avg_disc))
-    """,
-    "embedding_near_dup": f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-                   WHERE vec_id < {NEAR_DUP_MAX_ID})
-        SELECT a.vec_id, b.vec_id AS vec_id2,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v)
-                    / (sqrt(list_dot_product(a.v, a.v))
-                       * sqrt(list_dot_product(b.v, b.v))), 4)
-              >= {NEAR_DUP_THRESHOLD}
     """,
 }

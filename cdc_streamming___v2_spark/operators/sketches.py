@@ -700,6 +700,155 @@ ORACLES["hll_distinct"] = f"""
     FROM g JOIN ex USING (l_returnflag)
 """
 
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV theta-sketch SET OPERATIONS: union / intersection / Jaccard
+    estimates between per-event-type distinct-user sketches, with the exact
+    values and realized error alongside.
+
+    This is the capability that makes KMV sketches worth shipping at 100 TB:
+    two min-k sketches built independently (e.g. on different days, different
+    clusters) combine WITHOUT rescanning the base data — union = min-k of the
+    merged hash lists; Jaccard = fraction of the union's k smallest hashes
+    present in both sketches (Beyer et al., SIGMOD'07); intersection =
+    Jaccard x union. Per-pair work is O(k log k) on arrays of 64 doubles —
+    driver-trivial next to the one distinct-shuffle that builds the sketches.
+
+    The brute pairwise-exact comparison frame is the oracle's check that the
+    estimates land; at scale only the sketch path runs.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    u = (
+        md5_hash_long(F.col("user_id").cast("string"), "kmv") / F.lit(HASH_RANGE)
+    ).alias("u")
+    du = e.select("event_type", u).distinct()
+    per_part = (
+        du.withColumn("pid", F.spark_partition_id())
+        .groupBy("event_type", "pid")
+        .agg(F.slice(F.array_sort(F.collect_list("u")), 1, KMV_K).alias("mins"))
+    )
+    sk = per_part.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K).alias(
+            "mins"
+        )
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("mins").alias("mins_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("mins").alias("mins_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("mins_a"), F.col("mins_b")))),
+        1,
+        KMV_K,
+    )
+    calc = pairs.select(
+        "type_a",
+        "type_b",
+        F.size(merged).alias("un"),
+        F.element_at(merged, F.size(merged)).alias("u_k"),
+        F.size(
+            F.filter(
+                merged,
+                lambda x: F.array_contains(F.col("mins_a"), x)
+                & F.array_contains(F.col("mins_b"), x),
+            )
+        ).alias("in_both"),
+    )
+    est_union = F.when(F.col("un") < KMV_K, F.col("un").cast("double")).otherwise(
+        (KMV_K - 1) / F.col("u_k")
+    )
+    est_jacc = F.col("in_both") / F.col("un")
+    exact_n = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n"))
+    d2 = e.distinct()
+    exact_i = (
+        d2.alias("x")
+        .join(d2.alias("y"), (F.col("x.user_id") == F.col("y.user_id"))
+              & (F.col("x.event_type") < F.col("y.event_type")))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    exact_union = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        calc.join(exact_i, ["type_a", "type_b"])
+        .join(
+            F.broadcast(exact_n.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(exact_n.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.round(est_union, 2).alias("est_union"),
+            F.round(est_jacc, 4).alias("est_jaccard"),
+            F.round(est_jacc * est_union, 2).alias("est_inter"),
+            exact_union.alias("exact_union"),
+            F.round(F.col("inter") / exact_union, 4).alias("exact_jaccard"),
+        )
+    )
+
+
+
+_KMV_SET_OPS_SQL = f"""
+    WITH du AS (
+        SELECT DISTINCT event_type,
+               {_h("user_id::VARCHAR", "kmv")} / {HASH_RANGE} AS u
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, u,
+               row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk
+        FROM du
+    ),
+    sk AS (
+        SELECT event_type, list(u ORDER BY u) AS mins
+        FROM ranked WHERE rk <= {KMV_K} GROUP BY event_type
+    ),
+    m AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.mins AS mins_a, b.mins AS mins_b,
+               list_sort(list_distinct(list_concat(a.mins, b.mins)))[1:{KMV_K}]
+                   AS merged
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    calc AS (
+        SELECT type_a, type_b, len(merged) AS un, merged[len(merged)] AS u_k,
+               len(list_filter(merged,
+                   x -> list_contains(mins_a, x) AND list_contains(mins_b, x)))
+                   AS in_both
+        FROM m
+    ),
+    exact_n AS (
+        SELECT event_type, count(DISTINCT user_id) AS n
+        FROM events GROUP BY event_type
+    ),
+    d2 AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact_i AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               count(*) AS inter
+        FROM d2 x JOIN d2 y ON x.user_id = y.user_id
+                  AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    )
+    SELECT c.type_a, c.type_b,
+           round(CASE WHEN un < {KMV_K} THEN un * 1.0
+                      ELSE ({KMV_K} - 1) / u_k END, 2) AS est_union,
+           round(in_both / un, 4) AS est_jaccard,
+           round((in_both / un)
+                 * CASE WHEN un < {KMV_K} THEN un * 1.0
+                        ELSE ({KMV_K} - 1) / u_k END, 2) AS est_inter,
+           CAST(na.n + nb.n - xi.inter AS BIGINT) AS exact_union,
+           round(xi.inter / (na.n + nb.n - xi.inter), 4) AS exact_jaccard
+    FROM calc c
+    JOIN exact_i xi ON c.type_a = xi.type_a AND c.type_b = xi.type_b
+    JOIN exact_n na ON na.event_type = c.type_a
+    JOIN exact_n nb ON nb.event_type = c.type_b
+"""
+
 QUERIES = {
     "table_stats": table_stats,
     "kmv_distinct": kmv_distinct,
@@ -707,4 +856,7 @@ QUERIES = {
     "bloom_prefilter": bloom_prefilter,
     "quantile_sketch": quantile_sketch,
     "hll_distinct": hll_distinct,
+    "kmv_set_ops": kmv_set_ops,
 }
+
+ORACLES["kmv_set_ops"] = _KMV_SET_OPS_SQL

@@ -43,6 +43,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -67,4 +68,9 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     # testdata events.parquet stores TIMESTAMP(NANOS); Spark only reads it
     # as a long (sources.tables.load_table converts to micros timestamp).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # tz-less parquet TIMESTAMP(MICROS) must read as LTZ, not NTZ: the whole
+    # operator surface (casts to double, window ranges, date arithmetic) and
+    # the DuckDB oracle parity assume epoch-based LTZ under the UTC session
+    # timezone. Same raw micros either way — only the Spark-side type changes.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

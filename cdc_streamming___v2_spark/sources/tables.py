@@ -26,18 +26,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce an events frame's ts to TIMESTAMP(MICROS) regardless of how the
+    parquet encoded it.
+
+    Generations of the driver testdata have stored ts as TIMESTAMP(NANOS)
+    (Spark reads it only as a nanosecond long under
+    spark.sql.legacy.parquet.nanosAsLong) and as tz-less TIMESTAMP(MICROS)
+    (reads directly as TimestampType with inferTimestampNTZ disabled —
+    session.configure_existing). Micros is DuckDB's TIMESTAMP precision, so
+    oracle parity holds either way.
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark reads it only as a
-        # nanosecond long (spark.sql.legacy.parquet.nanosAsLong, set by
-        # session.configure_existing). Truncate to micros — same precision
-        # DuckDB's TIMESTAMP uses, so oracle parity holds.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

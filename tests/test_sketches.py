@@ -90,3 +90,18 @@ def test_hll_registers_bounded_and_estimate_close(spark):
         assert r.n_regs + r.n_zero_regs == HLL_M
         # m=256 -> rse ~ 1.04/sqrt(m) ~ 6.5%; allow 4 sigma
         assert r.rel_err < 0.26
+
+
+def test_kmv_set_ops_estimates_close_and_consistent(spark):
+    from cdc_streamming___v2_spark.operators.sketches import kmv_set_ops
+
+    rows = kmv_set_ops(spark, SF_MED).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs, all intersecting
+    for r in rows:
+        # estimates are positive and Jaccard is a proper fraction
+        assert 0.0 < r.est_jaccard <= 1.0
+        assert r.est_union > 0 and r.est_inter >= 0
+        # KMV k=64 -> rse ~ 1/sqrt(62) ~ 13%; allow ~4 sigma on union
+        assert abs(r.est_union - r.exact_union) / r.exact_union < 0.5
+        # jaccard estimate within an additive 0.35 of exact at k=64
+        assert abs(r.est_jaccard - r.exact_jaccard) < 0.35

@@ -10,7 +10,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from cdc_streamming___v2_spark.sources.tables import load_table
+from cdc_streamming___v2_spark.sources.tables import load_table, normalize_event_ts
 from cdc_streamming___v2_spark.streaming import windows as W
 
 from .conftest import SF_SMALL
@@ -31,7 +31,7 @@ def events_dir(spark, tmp_path_factory):
 def _stream(spark, events_dir):
     schema = spark.read.parquet(events_dir).schema
     s = spark.readStream.schema(schema).parquet(events_dir)
-    return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(s)
 
 
 def _run(df, mode="append"):
@@ -146,11 +146,7 @@ def test_dedup_stream_drops_replays(spark, tmp_path, events_dir):
     shutil.copyfile(src, d / "a.parquet")
     shutil.copyfile(src, d / "b.parquet")
     schema = spark.read.parquet(str(d)).schema
-    s = (
-        spark.readStream.schema(schema)
-        .parquet(str(d))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    s = normalize_event_ts(spark.readStream.schema(schema).parquet(str(d)))
     name = _run(W.dedup_stream(s))
     n = spark.sql(f"select count(distinct event_id) c, count(*) n from {name}").first()
     total = _batch_events(spark).count()
