@@ -22,14 +22,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return scd2_latest_state(spark, "/root/testdata/sf0.001")
 
 
+# Registration order IS evaluation order for the driver's correctness gate,
+# and a truncated run proves only a prefix.  The LLM-data-pipeline, sketch,
+# temporal, and streaming tiers therefore register FIRST (they are the
+# brief's first-class operators); the relational/TPC-H tail — fully proven
+# green in round 1 — registers last so a truncated round still adds new
+# coverage instead of re-proving the same prefix.
 _OPTIONAL_MODULES = (
-    "relational_ext",
-    "tpch_extra",
+    "dedup",
+    "similarity",
+    "sketches",
     "pipeline_ops",
     "corpus_ops",
     "temporal",
-    "dedup",
-    "similarity",
     "text_analysis",
     "event_windows",
     "behavior",
@@ -37,16 +42,18 @@ _OPTIONAL_MODULES = (
     "cdc_batch",
     "merge_ops",
     "analytics",
-    "sketches",
+    "relational",
+    "relational_ext",
+    "tpch_extra",
 )
 
 
 def _registry() -> tuple[dict, dict]:
     import importlib
 
-    from cdc_streamming___v2_spark.operators import relational, scd2_queries
+    from cdc_streamming___v2_spark.operators import scd2_queries
 
-    modules = [scd2_queries, relational]
+    modules = [scd2_queries]
     for name in _OPTIONAL_MODULES:  # optional modules appear as they land
         try:
             modules.append(
@@ -65,7 +72,14 @@ def _registry() -> tuple[dict, dict]:
         if dupes:  # silent shadowing would corrupt the correctness gate
             raise ValueError(f"duplicate query keys {sorted(dupes)} in {m.__name__}")
         queries.update(mq)
-        oracles.update(getattr(m, "ORACLES", {}))
+        mo = getattr(m, "ORACLES", {})
+        odupes = set(mo) & set(oracles)
+        if odupes:  # same guard for oracles: silent overwrite hides bugs
+            raise ValueError(f"duplicate oracle keys {sorted(odupes)} in {m.__name__}")
+        stray = set(mo) - set(queries)
+        if stray:  # an oracle with no query is dead weight or a typo
+            raise ValueError(f"oracles without queries {sorted(stray)} in {m.__name__}")
+        oracles.update(mo)
     return queries, oracles
 
 

@@ -478,10 +478,21 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per nation, the sorted list of its supplier keys
-    plus count — sort_array makes the collected order deterministic."""
+    plus count — sort_array makes the collected order deterministic.
+
+    Output contract: the sorted keys are emitted as a comma-joined STRING
+    (not a raw array column) so a harness that canonicalizes results via
+    pandas sorting never sees an unhashable list cell; the array semantics
+    are unchanged (numeric sort happens before the join)."""
     s = _t(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list("s_suppkey")).alias("supp_keys"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("s_suppkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("supp_keys"),
         F.count("*").alias("n_suppliers"),
     )
 
@@ -832,7 +843,7 @@ ORACLES = {
     """,
     "array_agg_sorted": """
         SELECT s_nationkey,
-               list_sort(list(s_suppkey)) AS supp_keys,
+               array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys,
                count(*) AS n_suppliers
         FROM supplier
         GROUP BY s_nationkey
