@@ -201,6 +201,121 @@ def test_ann_recall_on_planted_clustered_corpus(spark):
     assert 0.7 <= r0 <= len(lsh & exact) / len(exact)
 
 
+def test_symmetric_delete_blocking_is_lossless(spark):
+    """The SymSpell guarantee in practice: every pair within lev <= 2 must
+    share a <=2-deletion variant, so blocking on the variant loses no pair
+    that brute-force lev-filtering keeps — including insert/delete/replace
+    mixes and short strings near the guard boundaries."""
+    from itertools import combinations
+
+    from cdc_streamming___v2_spark.operators import dedup as D
+
+    names = [
+        "hot bolt", "hot bolts", "hod bolt", "cold plate", "old plate",
+        "olden plate", "blue ring", "bluf rink", "ring", "rig", "ab", "b",
+        "completely different thing",
+    ]
+    df = spark.createDataFrame(
+        [Row(p_partkey=i, p_name=n, p_brand="B") for i, n in enumerate(names)]
+    )
+    ex = df.select(
+        "p_partkey", F.explode(D._deletion_variants(F.col("p_name"))).alias("s")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    blocked = {
+        (r.ka, r.kb)
+        for r in a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(F.col("a.p_partkey").alias("ka"), F.col("b.p_partkey").alias("kb"))
+        .distinct()
+        .collect()
+    }
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy))
+                )
+            prev = cur
+        return prev[-1]
+
+    true_pairs = {
+        (i, j)
+        for (i, x), (j, y) in combinations(enumerate(names), 2)
+        if lev(x, y) <= D.FUZZY_MAX_DIST
+    }
+    assert true_pairs  # fixture actually exercises the bound
+    assert true_pairs <= blocked  # losslessness: no true pair escapes a block
+
+
+def test_jaccard_df_cap_defuses_hub_shingles(spark):
+    """One stop-phrase shingle shared by every document turns the shingle
+    self-join into an O(N^2) hub. The DF cap must (a) drop the hub from the
+    pair generation entirely, (b) leave genuine near-dup pairs — documents
+    sharing discriminative shingles — intact with their capped-universe
+    jaccard."""
+    from cdc_streamming___v2_spark.operators import dedup as D
+
+    N = 30
+    rows = []
+    for i in range(N):
+        rows.append(Row(doc_id=i, s="click here to"))  # the hub (df = N)
+        rows.append(Row(doc_id=i, s=f"unique shingle {i}"))
+    # docs 0 and 1 share two discriminative shingles -> jaccard 2/4 = 0.5
+    for i in (0, 1):
+        rows.append(Row(doc_id=i, s="rare alpha beta"))
+        rows.append(Row(doc_id=i, s="rare gamma delta"))
+    sh = spark.createDataFrame(rows)
+
+    capped = D._jaccard_pairs(D._df_capped(sh, df_cap=5))
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped.collect()}
+    # only the genuinely-similar pair survives; every hub-only pair is gone
+    assert set(got) == {(0, 1)}
+    assert abs(got[(0, 1)] - 2 / 4) < 1e-9
+    # uncapped baseline: the hub manufactures all N*(N-1)/2 pairs
+    assert D._jaccard_pairs(sh).count() == N * (N - 1) // 2
+
+
+def test_embedding_near_dup_banded_finds_planted_duplicates(spark):
+    """The banded-fingerprint near-dup must recover every PLANTED duplicate
+    (cosine ~1 -> expected fingerprint hamming << bands, so the pigeonhole
+    banding always surfaces the pair) that the O(N^2) brute-force kernel
+    finds — the quadratic form exists only to prove this, never to run at
+    scale. Deterministic fixture -> stable assert."""
+    from cdc_streamming___v2_spark.operators import dedup as D
+
+    DIM, N, DUPS = 64, 120, 15
+
+    def h(i, j, salt):
+        return ((i * 2654435761 + j * 40503 + salt * 97) % 65536) / 65536.0 * 2 - 1
+
+    rows = [Row(vec_id=i, v=[h(i, j, 3) for j in range(DIM)]) for i in range(N)]
+    # plant near-exact duplicates of the first DUPS vectors (0.3% noise)
+    rows += [
+        Row(
+            vec_id=N + i,
+            v=[rows[i].v[j] + 0.003 * h(N + i, j, 11) for j in range(DIM)],
+        )
+        for i in range(DUPS)
+    ]
+    e = spark.createDataFrame(rows)
+
+    def pairs(df):
+        return {(r.vec_a, r.vec_b) for r in df.collect()}
+
+    brute = pairs(D.embedding_near_dup_bruteforce(e, threshold=0.98))
+    banded = pairs(D.embedding_near_dup_frame(e, threshold=0.98))
+    planted = {(i, N + i) for i in range(DUPS)}
+    assert planted <= brute  # fixture sanity: dups really are near-identical
+    assert banded == brute  # banding loses nothing at duplicate similarity
+
+
 def test_kmeans_ivf_beats_label_cells_on_random_corpus(spark):
     """The driver's labels are random, so label-cell IVF recall is bounded
     by probes/cells (~0.5). k-means cells align with geometry, so at the

@@ -61,6 +61,17 @@ def test_lsh_candidates_are_equi_join(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
 
 
+def test_embedding_near_dup_banded_not_cartesian(spark):
+    """The near-dup candidate step must be an equi-join on the fingerprint
+    band — an all-pairs cross join here is O(N^2) at corpus scale."""
+    from cdc_streamming___v2_spark.operators import dedup as D
+
+    p = _plan(spark, D.embedding_near_dup(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
 def test_partial_aggregation_before_shuffle(spark):
     # map-side combine: every groupBy must plan partial_* functions below
     # the exchange (the shuffle carries group cardinality, not row count)

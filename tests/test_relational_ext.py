@@ -17,7 +17,6 @@ MAY_BE_EMPTY = {
     "q7_volume_shipping",  # the 2-nation pair has no trades at sf0.001
     "q17_small_qty_revenue",
     "q18_large_orders",
-    "embedding_near_dup",
 }
 
 
