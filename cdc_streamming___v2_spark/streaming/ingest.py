@@ -71,6 +71,17 @@ class CdcIngest:
     # object-store-portable variant; readers resolve files through the log,
     # uncommitted data is invisible, replays are txn-id no-ops.
     commit_log: bool = False
+    # single-pass mode only: re-stat ``registry_path`` once per micro-batch
+    # and hot-swap the registry when the file changes, after validating the
+    # evolution is safe (SchemaRegistry.check_evolution). This reproduces
+    # the reference's observable behavior — registry edits take effect
+    # mid-stream (it re-downloads data-stream.json per RECORD,
+    # src/dataflow-cdc-stream.py:71-76) — at one stat() per micro-batch
+    # instead of one GCS download per record. New tables begin routing from
+    # the next micro-batch; rows for them that arrived earlier are already
+    # in the dead-letter sink (append-only semantics, nothing re-routes).
+    registry_path: str | None = None
+    hot_reload: bool = False
     max_files_per_trigger: int | None = None
     partition_by_day: bool = True
     # "day" | "month": pick so a partition holds file-sized row counts.
@@ -81,6 +92,7 @@ class CdcIngest:
     # month partitioning for identical data).
     partition_granularity: str = "day"
     _queries: list[StreamingQuery] = field(default_factory=list)
+    _registry_mtime: int | None = field(default=None, repr=False)
 
     @property
     def _partition_col(self) -> str:
@@ -280,6 +292,7 @@ class CdcIngest:
             ).write_append(routed, txn=f"batch-{batch_id}")
 
         def _write_batch(batch: DataFrame, batch_id: int) -> None:
+            self._maybe_reload_registry()
             marker = os.path.join(self.checkpoint_dir, "_batches", str(batch_id))
             if os.path.exists(marker):
                 return
@@ -312,6 +325,20 @@ class CdcIngest:
         q = self.start_single_pass(available_now=True)
         q.awaitTermination()
         self._queries.clear()
+
+    def _maybe_reload_registry(self) -> None:
+        """Hot-swap the registry when its backing file changed (driver-side,
+        once per micro-batch). Unsafe evolutions raise — failing the stream
+        beats silently corrupting history tables mid-flight."""
+        if not self.hot_reload or not self.registry_path:
+            return
+        mtime = os.stat(self.registry_path).st_mtime_ns
+        if mtime == self._registry_mtime:
+            return
+        new = SchemaRegistry.from_file(self.registry_path)
+        self.registry.check_evolution(new)  # raises on unsafe change
+        self.registry = new
+        self._registry_mtime = mtime
 
     def stop(self) -> None:
         for q in self._queries:
@@ -355,6 +382,111 @@ class CdcIngest:
         return df.drop("batch") if self.transactional else df
 
 
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry point for the ingest job — the engine's analogue of the
+    reference's argparse surface (src/dataflow-cdc-stream.py:152-177,
+    src/metadata.json:4-61), with local/cluster paths standing in for the
+    GCP resources (pubsub topic -> --input-dir, schema bucket/path ->
+    --registry, BigQuery dataset -> --output-dir, staging/temp locations ->
+    --checkpoint-dir):
+
+        python -m cdc_streamming___v2_spark.streaming.ingest \\
+            --input-dir /logs --registry data-stream.json \\
+            --output-dir /history [--trigger available-now] ...
+    """
+    import argparse
+
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(
+        prog="python -m cdc_streamming___v2_spark.streaming.ingest",
+        description="CDC log ingest: NDJSON envelope stream -> per-table "
+        "append-only history tables + dead-letter sink.",
+    )
+    p.add_argument("--input-dir", required=True,
+                   help="directory of (optionally gzipped) NDJSON CDC logs")
+    p.add_argument("--registry", required=True,
+                   help="path to a data-stream.json-style schema registry")
+    p.add_argument("--output-dir", required=True,
+                   help="root directory for history tables + dead letter")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="stream checkpoint root (default: OUTPUT/_checkpoints)")
+    p.add_argument("--mode", choices=["single-pass", "per-table"],
+                   default="single-pass",
+                   help="single-pass: one scan feeds all tables per batch; "
+                   "per-table: one independent writeStream per table")
+    p.add_argument("--trigger", choices=["stream", "available-now"],
+                   default="stream",
+                   help="stream: run until interrupted; available-now: "
+                   "drain current input, then exit (backfill_all analogue)")
+    p.add_argument("--source-format", choices=["file", "kafka"], default="file")
+    p.add_argument("--kafka-option", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="repeatable; e.g. kafka.bootstrap.servers=..., "
+                   "subscribe=topic (kafka source only)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="micro-batch backpressure bound (files, or records "
+                   "for kafka)")
+    p.add_argument("--partition-granularity", choices=["day", "month"],
+                   default="day")
+    p.add_argument("--no-partition", action="store_true",
+                   help="write history tables unpartitioned")
+    p.add_argument("--transactional", action="store_true",
+                   help="single-pass: atomic batch-dir publication")
+    p.add_argument("--commit-log", action="store_true",
+                   help="single-pass: manifest commit-log sinks")
+    p.add_argument("--hot-reload", action="store_true",
+                   help="single-pass: pick up registry file edits (new "
+                   "tables / added columns) mid-stream")
+    p.add_argument("--cpus", default=None,
+                   help="local[N] cores (default: SPARK_GRAFT_CPUS or all)")
+    args = p.parse_args(argv)
+
+    kafka_options = {}
+    for kv in args.kafka_option:
+        k, sep, v = kv.partition("=")
+        if not sep:
+            p.error(f"--kafka-option needs KEY=VALUE, got {kv!r}")
+        kafka_options[k] = v
+    if args.mode == "per-table" and (
+        args.transactional or args.commit_log or args.hot_reload
+    ):
+        p.error("--transactional/--commit-log/--hot-reload need "
+                "--mode single-pass")
+
+    spark = get_spark("cdc-ingest", cpus=args.cpus)
+    ingest = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_file(args.registry),
+        input_dir=args.input_dir,
+        output_dir=args.output_dir,
+        checkpoint_dir=args.checkpoint_dir
+        or os.path.join(args.output_dir, "_checkpoints"),
+        source_format=args.source_format,
+        kafka_options=kafka_options,
+        transactional=args.transactional,
+        commit_log=args.commit_log,
+        max_files_per_trigger=args.max_files_per_trigger,
+        partition_by_day=not args.no_partition,
+        partition_granularity=args.partition_granularity,
+        registry_path=args.registry,
+        hot_reload=args.hot_reload,
+    )
+    if args.trigger == "available-now":
+        if args.mode == "single-pass":
+            ingest.run_available_single_pass()
+        else:
+            ingest.run_available()
+        return 0
+    if args.mode == "single-pass":
+        q = ingest.start_single_pass()
+        q.awaitTermination()
+    else:
+        for q in ingest.start():
+            q.awaitTermination()
+    return 0
+
+
 def _with_partition_col(
     spec: TableSpec, partition_col: str | None, batch_col: bool = False
 ):
@@ -366,3 +498,7 @@ def _with_partition_col(
     if partition_col is not None:
         fields.append(T.StructField(partition_col, T.DateType(), True))
     return T.StructType(fields)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

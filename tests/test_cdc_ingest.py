@@ -401,3 +401,150 @@ def test_registry_evolution_rejects_unsafe(mutate, msg):
     mutate(doc)
     with pytest.raises(ValueError, match=msg):
         old.check_evolution(SchemaRegistry.from_dict(doc))
+
+
+def test_registry_hot_reload_new_table_mid_stream(spark, tmp_path):
+    """The reference re-reads data-stream.json per record, so registry edits
+    take effect mid-stream (src/dataflow-cdc-stream.py:71-76). Hot reload
+    reproduces that observable behavior at one stat() per micro-batch:
+    a table added to the registry FILE while the stream is running begins
+    routing on the next micro-batch — no restart."""
+    import copy
+
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    os.makedirs(in_dir)
+    reg_path = str(tmp_path / "data-stream.json")
+    with open(reg_path, "w") as f:
+        json.dump(REGISTRY_DOC, f)
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write("\n".join(LINES[:4]) + "\n")
+        # pedidos is not registered yet -> this row must dead-letter
+        f.write(_env("olist_pedidos", "2024-03-01T00:00:00Z", "INSERT",
+                     {"order_id": "o1", "status": "shipped"}) + "\n")
+
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_file(reg_path),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        registry_path=reg_path,
+        hot_reload=True,
+    )
+    q = ing.start_single_pass()
+    try:
+        q.processAllAvailable()
+        dead = {r.object for r in ing.dead_letter().collect()}
+        assert "olist_pedidos" in dead
+
+        # add the new table to the registry FILE while the stream runs
+        doc = copy.deepcopy(REGISTRY_DOC)
+        doc["olist_pedidos"] = {
+            "table_name": "pedidos_cdc",
+            "schema": {"fields": [
+                {"name": "order_id", "type": "STRING"},
+                {"name": "status", "type": "STRING"},
+                {"name": "action", "type": "STRING"},
+                {"name": "update_date", "type": "TIMESTAMP"},
+            ]},
+        }
+        with open(reg_path, "w") as f:
+            json.dump(doc, f)
+        with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+            f.write(_env("olist_pedidos", "2024-03-02T00:00:00Z", "INSERT",
+                         {"order_id": "o2", "status": "created"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        ing.stop()
+
+    hist = ing.history("olist_pedidos")
+    assert [r.order_id for r in hist.collect()] == ["o2"]
+    # pre-reload rows for the new table stay in the dead letter (append-only:
+    # nothing re-routes), and the original tables were unaffected
+    assert ing.history("olist_produtos").count() == 4
+
+
+def test_hot_reload_rejects_unsafe_edit_mid_stream(spark, tmp_path):
+    """An unsafe registry edit (type change) must FAIL the stream rather
+    than silently write mixed-schema history files."""
+    import copy
+
+    in_dir, out_dir, ck_dir = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    os.makedirs(in_dir)
+    reg_path = str(tmp_path / "data-stream.json")
+    with open(reg_path, "w") as f:
+        json.dump(REGISTRY_DOC, f)
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write("\n".join(LINES[:4]) + "\n")
+
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_file(reg_path),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        registry_path=reg_path,
+        hot_reload=True,
+    )
+    q = ing.start_single_pass()
+    try:
+        q.processAllAvailable()
+        doc = copy.deepcopy(REGISTRY_DOC)
+        doc["olist_produtos"]["schema"]["fields"][0]["type"] = "INT64"
+        with open(reg_path, "w") as f:
+            json.dump(doc, f)
+        with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+            f.write("\n".join(LINES[:1]) + "\n")
+        with pytest.raises(Exception, match="type changed"):
+            q.processAllAvailable()
+            q.awaitTermination(60)
+    finally:
+        ing.stop()
+
+
+def test_cli_runner_end_to_end(tmp_path):
+    """python -m cdc_streamming___v2_spark.streaming.ingest — the job is
+    launchable as a CLI with paths for the reference's 8 GCP parameters
+    (src/dataflow-cdc-stream.py:152-177); available-now trigger drains the
+    input and exits 0 with history tables on disk."""
+    from cdc_streamming___v2_spark.streaming.ingest import main
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    reg_path = str(tmp_path / "data-stream.json")
+    with open(reg_path, "w") as f:
+        json.dump(REGISTRY_DOC, f)
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write("\n".join(LINES) + "\n")
+
+    rc = main([
+        "--input-dir", in_dir,
+        "--registry", reg_path,
+        "--output-dir", out_dir,
+        "--trigger", "available-now",
+        "--hot-reload",
+    ])
+    assert rc == 0
+
+    import glob
+    produtos = glob.glob(os.path.join(out_dir, "produtos_cdc", "**", "*.parquet"),
+                         recursive=True)
+    users = glob.glob(os.path.join(out_dir, "users_cdc", "**", "*.parquet"),
+                      recursive=True)
+    dead = glob.glob(os.path.join(out_dir, "_dead_letter", "**", "*.parquet"),
+                     recursive=True)
+    assert produtos and users and dead
+
+
+def test_cli_rejects_bad_flag_combo(tmp_path):
+    from cdc_streamming___v2_spark.streaming.ingest import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--input-dir", "x", "--registry", "y", "--output-dir", "z",
+            "--mode", "per-table", "--hot-reload",
+        ])
