@@ -48,6 +48,30 @@ _OPTIONAL_MODULES = (
 )
 
 
+def _merge_registries(modules) -> tuple[dict, dict]:
+    """Merge per-module QUERIES/ORACLES dicts, rejecting silent shadowing:
+    duplicate query keys, duplicate oracle keys, and oracles that have no
+    matching query all raise (a colliding key would otherwise corrupt the
+    correctness gate by testing one implementation under two names)."""
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for m in modules:
+        mq = getattr(m, "QUERIES", {})
+        dupes = set(mq) & set(queries)
+        if dupes:
+            raise ValueError(f"duplicate query keys {sorted(dupes)} in {m.__name__}")
+        queries.update(mq)
+        mo = getattr(m, "ORACLES", {})
+        odupes = set(mo) & set(oracles)
+        if odupes:
+            raise ValueError(f"duplicate oracle keys {sorted(odupes)} in {m.__name__}")
+        stray = set(mo) - set(queries)
+        if stray:  # an oracle with no query is dead weight or a typo
+            raise ValueError(f"oracles without queries {sorted(stray)} in {m.__name__}")
+        oracles.update(mo)
+    return queries, oracles
+
+
 def _registry() -> tuple[dict, dict]:
     import importlib
 
@@ -63,24 +87,7 @@ def _registry() -> tuple[dict, dict]:
             )
         except ImportError:
             pass
-
-    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    oracles: dict[str, str] = {}
-    for m in modules:
-        mq = getattr(m, "QUERIES", {})
-        dupes = set(mq) & set(queries)
-        if dupes:  # silent shadowing would corrupt the correctness gate
-            raise ValueError(f"duplicate query keys {sorted(dupes)} in {m.__name__}")
-        queries.update(mq)
-        mo = getattr(m, "ORACLES", {})
-        odupes = set(mo) & set(oracles)
-        if odupes:  # same guard for oracles: silent overwrite hides bugs
-            raise ValueError(f"duplicate oracle keys {sorted(odupes)} in {m.__name__}")
-        stray = set(mo) - set(queries)
-        if stray:  # an oracle with no query is dead weight or a typo
-            raise ValueError(f"oracles without queries {sorted(stray)} in {m.__name__}")
-        oracles.update(mo)
-    return queries, oracles
+    return _merge_registries(modules)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

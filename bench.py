@@ -67,8 +67,26 @@ HEADLINE = [
     "bloom_prefilter",
     "quantile_sketch",
     "hll_distinct",
+    "kmv_set_ops",
     "pareto_frontier",
     "peak_concurrency",
+    # behavior / event-window / corpus tiers (round-2 additions: every tier
+    # with a green oracle should have at least one bench sentinel so a perf
+    # regression there is mechanically visible)
+    "markov_transitions",
+    "market_basket",
+    "funnel_conversion",
+    "retention_cohorts",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_agg",
+    "activity_streaks",
+    "embedding_near_dup",
+    "fuzzy_match_parts",
+    "ngram_jaccard_pairs",
+    "seq_packing",
+    "tfidf_top_terms",
+    "semantic_dedup",
 ]
 
 

@@ -769,9 +769,13 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("inter"))
     )
-    exact_union = F.col("na") + F.col("nb") - F.col("inter")
+    # LEFT join + coalesce: a pair whose exact intersection is empty must
+    # still appear (inter = 0, jaccard = 0) — an inner join would silently
+    # drop disjoint event-type pairs from the "all pairs" contract
+    inter0 = F.coalesce(F.col("inter"), F.lit(0))
+    exact_union = F.col("na") + F.col("nb") - inter0
     return (
-        calc.join(exact_i, ["type_a", "type_b"])
+        calc.join(exact_i, ["type_a", "type_b"], "left")
         .join(
             F.broadcast(exact_n.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))),
             "type_a",
@@ -787,7 +791,7 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est_jacc, 4).alias("est_jaccard"),
             F.round(est_jacc * est_union, 2).alias("est_inter"),
             exact_union.alias("exact_union"),
-            F.round(F.col("inter") / exact_union, 4).alias("exact_jaccard"),
+            F.round(inter0 / exact_union, 4).alias("exact_jaccard"),
         )
     )
 
@@ -841,10 +845,11 @@ _KMV_SET_OPS_SQL = f"""
            round((in_both / un)
                  * CASE WHEN un < {KMV_K} THEN un * 1.0
                         ELSE ({KMV_K} - 1) / u_k END, 2) AS est_inter,
-           CAST(na.n + nb.n - xi.inter AS BIGINT) AS exact_union,
-           round(xi.inter / (na.n + nb.n - xi.inter), 4) AS exact_jaccard
+           CAST(na.n + nb.n - coalesce(xi.inter, 0) AS BIGINT) AS exact_union,
+           round(coalesce(xi.inter, 0)
+                 / (na.n + nb.n - coalesce(xi.inter, 0)), 4) AS exact_jaccard
     FROM calc c
-    JOIN exact_i xi ON c.type_a = xi.type_a AND c.type_b = xi.type_b
+    LEFT JOIN exact_i xi ON c.type_a = xi.type_a AND c.type_b = xi.type_b
     JOIN exact_n na ON na.event_type = c.type_a
     JOIN exact_n nb ON nb.event_type = c.type_b
 """

@@ -48,8 +48,34 @@ def test_market_basket_broadcasts_dimensions(spark):
 
 
 def test_registry_rejects_duplicate_keys():
-    # the guard that caught behavior.py's original funnel/retention collision
+    # the guard that caught behavior.py's original funnel/retention collision:
+    # a module re-defining an existing query/oracle key must raise, never
+    # silently shadow the first implementation
+    import types
+
+    import pytest
+
     import __spark_entry__ as entry
 
     q = entry.queries()
     assert "markov_transitions" in q and "market_basket" in q
+
+    base = types.SimpleNamespace(
+        __name__="base", QUERIES={"dup": lambda s, d: None}, ORACLES={"dup": "SELECT 1"}
+    )
+    clash_q = types.SimpleNamespace(
+        __name__="clash_q", QUERIES={"dup": lambda s, d: None}, ORACLES={}
+    )
+    with pytest.raises(ValueError, match="duplicate query keys"):
+        entry._merge_registries([base, clash_q])
+    clash_o = types.SimpleNamespace(
+        __name__="clash_o", QUERIES={"other": lambda s, d: None},
+        ORACLES={"dup": "SELECT 2"},
+    )
+    with pytest.raises(ValueError, match="duplicate oracle keys"):
+        entry._merge_registries([base, clash_o])
+    stray = types.SimpleNamespace(
+        __name__="stray", QUERIES={}, ORACLES={"nosuch": "SELECT 3"}
+    )
+    with pytest.raises(ValueError, match="oracles without queries"):
+        entry._merge_registries([base, stray])
