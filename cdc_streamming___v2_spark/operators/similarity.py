@@ -49,6 +49,23 @@ def _topk(pairs: DataFrame, top_k: int = TOP_K) -> DataFrame:
     )
 
 
+def _with_norm(e: DataFrame) -> DataFrame:
+    """Precompute each vector's L2 norm ONCE before any pair join: the
+    scoring kernel then costs one dot product per pair instead of three
+    fold passes. Same arithmetic (sqrt of the same left-to-right fold), so
+    oracle parity is unaffected."""
+    from ..functions.vectors import norm
+
+    return e.withColumn("nrm", norm(F.col("v")))
+
+
+def _pair_sim() -> F.Column:
+    """dot(qv, v) / (qn * nrm) over pre-normed pair columns, rounded."""
+    return F.round(
+        dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 4
+    )
+
+
 def cosine_topk_frame(
     e: DataFrame, n_queries: int = N_QUERIES, top_k: int = TOP_K
 ) -> DataFrame:
@@ -57,12 +74,15 @@ def cosine_topk_frame(
     The query side is tiny (n_queries rows) — broadcast it so the corpus
     never shuffles; Catalyst turns this into BroadcastNestedLoopJoin.
     """
+    e = _with_norm(e)
     q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     pairs = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4))
+        .withColumn("cos_sim", _pair_sim())
     )
     return _topk(pairs, top_k)
 
@@ -127,10 +147,11 @@ def lsh_topk_frame(
     operator's recall rises sharply (asserted in tests on a planted
     clustered fixture).
     """
-    e = _bucketed(e, n_planes, dim)
+    e = _bucketed(_with_norm(e), n_planes, dim)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         F.col("bucket").alias("qbucket"),
     )
     probes = F.array(
@@ -143,7 +164,7 @@ def lsh_topk_frame(
     pairs = (
         e.join(F.broadcast(q), ["bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4))
+        .withColumn("cos_sim", _pair_sim())
     )
     return _topk(pairs, top_k)
 
@@ -175,8 +196,10 @@ def ivf_topk_frame(
             "label", F.transform("pairs", lambda p: p.getField("cx")).alias("cv")
         )
     )
-    q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    q = _with_norm(e).filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     # nearest cells per query
     qc = (
@@ -191,12 +214,13 @@ def ivf_topk_frame(
             ),
         )
         .filter(F.col("crank") <= n_probes)
-        .select("query_id", "qv", "label")
+        .select("query_id", "qv", "qn", "label")
     )
     pairs = (
-        e.join(F.broadcast(qc), ["label"])
+        _with_norm(e)
+        .join(F.broadcast(qc), ["label"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("v")), 4))
+        .withColumn("cos_sim", _pair_sim())
     )
     return _topk(pairs, top_k)
 
@@ -226,9 +250,15 @@ def kmeans_relabel(
     static iters-deep DAG (no driver feedback loop, no checkpoints
     needed at this depth).
     """
+    from ..functions.vectors import norm
+
+    e = _with_norm(e)  # corpus norms once, reused across every round
     cent = e.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("ncv"),
     )
+    csim = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("ncv"))
     assign = None
     for _ in range(iters + 1):  # +1: final assignment to the last centroids
         w = Window.partitionBy("vec_id").orderBy(
@@ -236,10 +266,10 @@ def kmeans_relabel(
         )
         assign = (
             e.crossJoin(F.broadcast(cent))
-            .withColumn("csim", cosine(F.col("v"), F.col("cv")))
+            .withColumn("csim", csim)
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
-            .select("vec_id", "cell", "v")
+            .select("vec_id", "cell", "v", "nrm")
         )
         cent = (
             assign.select("cell", F.posexplode("v").alias("dim", "x"))
@@ -250,6 +280,7 @@ def kmeans_relabel(
             .select(
                 "cell", F.transform("pairs", lambda p: p.getField("cx")).alias("cv")
             )
+            .withColumn("ncv", norm(F.col("cv")))  # k rows — trivial
         )
     return assign.select("vec_id", F.col("cell").alias("label"), "v")
 
