@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _OPTIONAL_MODULES = (
     "dedup",
     "similarity",
+    "graph",
     "sketches",
     "pipeline_ops",
     "corpus_ops",

@@ -87,6 +87,9 @@ HEADLINE = [
     "seq_packing",
     "tfidf_top_terms",
     "semantic_dedup",
+    "incremental_near_dup",
+    "random_projection",
+    "pagerank_nations",
 ]
 
 

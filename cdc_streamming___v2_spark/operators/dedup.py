@@ -222,6 +222,71 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental near-dup (index reuse) --------------------------------------
+
+INCR_MOD = 10  # doc_id % INCR_MOD == 0 plays the "newly arrived batch"
+
+
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup check of a NEW document batch against an EXISTING corpus —
+    the shape dedup actually runs in a production ingestion pipeline: the
+    corpus's MinHash band index already exists; only the new batch is
+    shingled/signed, and candidates come from probing the new bands against
+    the corpus band index (equi-join), never from re-pairing the corpus
+    with itself.
+
+    Here the "new batch" is the deterministic slice doc_id % INCR_MOD == 0
+    and the corpus index is computed in-plan (the driver testdata has no
+    second arrival); in deployment the corpus band frame is a materialized
+    table that this plan reads instead of computing — the join and verify
+    stages are unchanged, which is the point: per-arrival work scales with
+    BATCH size, plus one probe join into an index of corpus-band
+    cardinality.  Output: (new_id, corpus_id, jaccard >= threshold), exact
+    jaccard verified on candidate pairs only, same contract as
+    minhash_near_dup.
+    """
+    from pyspark import StorageLevel
+
+    sh = _shingles(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    sh_new, sh_old = sh.filter(is_new), sh.filter(~is_new)
+    index = _minhash_bands(_signatures_from_shingles(sh_old))  # corpus index
+    probe = _minhash_bands(_signatures_from_shingles(sh_new))
+    cand = (
+        probe.alias("n")
+        .join(
+            index.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.bh") == F.col("o.bh")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("o.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    sets_new = sh_new.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    sets_old = sh_old.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    verified = (
+        cand.join(
+            sets_new.select(F.col("doc_id").alias("new_id"), F.col("ss").alias("ss_n")),
+            "new_id",
+        )
+        .join(
+            sets_old.select(
+                F.col("doc_id").alias("corpus_id"), F.col("ss").alias("ss_o")
+            ),
+            "corpus_id",
+        )
+        .withColumn("common", F.size(F.array_intersect("ss_n", "ss_o")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("ss_n") + F.size("ss_o") - F.col("common")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 
@@ -512,14 +577,14 @@ def _minhash_sig_cols() -> str:
     )
 
 
-def _band_selects() -> str:
+def _band_selects(src: str = "sig") -> str:
     parts = []
     for j in range(MINHASH_BANDS):
         cols = " || ',' || ".join(
             f"m{j * MINHASH_ROWS + r}::VARCHAR" for r in range(MINHASH_ROWS)
         )
         parts.append(
-            f"SELECT doc_id, {j} AS band, md5({cols}) AS bh FROM sig"
+            f"SELECT doc_id, {j} AS band, md5({cols}) AS bh FROM {src}"
         )
     return " UNION ALL ".join(parts)
 
@@ -633,6 +698,33 @@ ORACLES = {
         SELECT j.doc_a, j.doc_b, round(j.jaccard, 4) AS jaccard
         FROM jac j JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
         WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "incremental_near_dup": f"""
+        WITH {_SHINGLES_CTE},
+        shn AS (SELECT * FROM sh WHERE doc_id % {INCR_MOD} = 0),
+        sho AS (SELECT * FROM sh WHERE doc_id % {INCR_MOD} <> 0),
+        sign AS (SELECT doc_id, {_minhash_sig_cols()} FROM shn GROUP BY doc_id),
+        sigo AS (SELECT doc_id, {_minhash_sig_cols()} FROM sho GROUP BY doc_id),
+        bn AS ({_band_selects("sign")}),
+        bo AS ({_band_selects("sigo")}),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+            FROM bn n JOIN bo o ON n.band = o.band AND n.bh = o.bh
+        ),
+        sizes_n AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+        sizes_o AS (SELECT doc_id, count(*) AS n FROM sho GROUP BY doc_id),
+        cm AS (
+            SELECT n.doc_id AS new_id, o.doc_id AS corpus_id, count(*) AS common
+            FROM shn n JOIN sho o ON n.s = o.s
+            GROUP BY 1, 2
+        )
+        SELECT c.new_id, c.corpus_id,
+               round(cm.common * 1.0 / (sn.n + so.n - cm.common), 4) AS jaccard
+        FROM cand c
+        JOIN cm ON c.new_id = cm.new_id AND c.corpus_id = cm.corpus_id
+        JOIN sizes_n sn ON c.new_id = sn.doc_id
+        JOIN sizes_o so ON c.corpus_id = so.doc_id
+        WHERE cm.common * 1.0 / (sn.n + so.n - cm.common) >= {JACCARD_THRESHOLD}
     """,
     "simhash_fingerprint": _simhash_sql(),
     "simhash_hamming_pairs": f"""
@@ -790,6 +882,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_near_dup": minhash_near_dup,
+    "incremental_near_dup": incremental_near_dup,
     "simhash_fingerprint": simhash_fingerprint,
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "embedding_near_dup": embedding_near_dup,

@@ -1,0 +1,159 @@
+"""Graph analytics over the relational testdata (DRIVER surface).
+
+``pagerank_nations``: weighted PageRank over the nation->nation trade
+graph (supplier nation -> customer nation, edge weight = lineitem count
+between them).  Complements the iterative tier (k-means lineage in
+operators/similarity.py, label propagation in operators/pipeline_ops.py)
+with the third classic fixed-point shape: power iteration over an edge
+list.
+
+Scale design: the expensive part is building the WEIGHTED EDGE LIST — a
+lineitem-sized multi-join that Catalyst plans with broadcast dims (nation,
+supplier, customer) and one shuffle agg down to edge cardinality.  Each
+power-iteration round is then one equi-join of the edge list against the
+rank vector plus a groupBy-sum at node cardinality — at 100 TB the edge
+list is hash-partitioned by src once and every round reuses that
+partitioning; rank/dangling terms are node-sized (broadcast).  Iteration
+count is a fixed plan constant (no driver feedback loop), so the lineage
+is a static ITERS-deep DAG, same pattern the deterministic k-means chain
+uses.  Dangling mass (nations with no outgoing trade) is redistributed
+uniformly — the standard correction — via a 1-row aggregate joined back
+broadcast.
+
+Float parity: sums reassociate under partitioning, but reassociation noise
+(~1e-16 relative) sits far below the round(6) output contract; the DuckDB
+oracle replicates the exact iteration chain (unrolled CTEs, same damping
+arithmetic), as with the k-means oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_N = 25  # nations are a fixed-cardinality dimension (TPC-H invariant)
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_nation, dst_nation, w): supplier nation -> customer nation,
+    weighted by the number of lineitems shipped between them."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping PR_DAMPING, PR_ITERS fixed rounds) over
+    the nation trade graph; returns (nationkey, n_name, pagerank) rounded
+    to 6 — nations that absorb trade from many well-connected exporters
+    rank highest."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = _trade_edges(spark, sf_dir)
+    # transition probability: edge weight / source out-weight
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ep = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    r = nodes.withColumn("r", F.lit(1.0 / PR_N))
+    for _ in range(PR_ITERS):
+        contrib = (
+            ep.join(r, ep.src == r.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("r")).alias("c"))
+        )
+        # dangling mass: rank sitting on nodes with no outgoing edges
+        dangle = (
+            r.join(outw, r.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        )
+        r = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangle))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - PR_DAMPING) / PR_N)
+                    + F.lit(PR_DAMPING)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / PR_N)
+                ).alias("r"),
+            )
+        )
+    return (
+        r.join(n, r.node == n.n_nationkey)
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("nationkey"),
+            "n_name",
+            F.round("r", 6).alias("pagerank"),
+        )
+    )
+
+
+def _pr_oracle() -> str:
+    ctes = [
+        """edges AS (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   count(*) AS w
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        )""",
+        """outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)""",
+        """ep AS (SELECT e.src, e.dst, e.w * 1.0 / o.ow AS p
+                  FROM edges e JOIN outw o ON e.src = o.src)""",
+        """nodes AS (SELECT n_nationkey AS node FROM nation)""",
+        f"""r0 AS (SELECT node, 1.0 / {PR_N} AS r FROM nodes)""",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        prev = f"r{i - 1}"
+        ctes.append(f"""c{i} AS (
+            SELECT ep.dst, sum(ep.p * r.r) AS c
+            FROM ep JOIN {prev} r ON ep.src = r.node
+            GROUP BY ep.dst
+        )""")
+        ctes.append(f"""d{i} AS (
+            SELECT coalesce(sum(r.r), 0.0) AS dm
+            FROM {prev} r
+            WHERE r.node NOT IN (SELECT src FROM outw)
+        )""")
+        ctes.append(f"""r{i} AS (
+            SELECT n.node,
+                   {(1.0 - PR_DAMPING) / PR_N!r}
+                   + {PR_DAMPING!r} * (coalesce(c.c, 0.0) + d.dm / {PR_N})
+                       AS r
+            FROM nodes n
+            LEFT JOIN c{i} c ON n.node = c.dst
+            CROSS JOIN d{i} d
+        )""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name,
+               round(r.r, 6) AS pagerank
+        FROM r{PR_ITERS} r JOIN nation n ON r.node = n.n_nationkey
+    """
+
+
+QUERIES = {
+    "pagerank_nations": pagerank_nations,
+}
+
+ORACLES = {
+    "pagerank_nations": _pr_oracle(),
+}

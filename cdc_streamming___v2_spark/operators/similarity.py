@@ -294,6 +294,74 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_frame(kmeans_relabel(_embeddings(spark, sf_dir)))
 
 
+RP_DIM = 16  # Johnson-Lindenstrauss target dimensionality
+
+
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection dimensionality reduction:
+    64-d embeddings -> RP_DIM-d via the deterministic hyperplane matrix
+    (scaled 1/sqrt(k)), reporting per-vector norm preservation — the JL
+    property that makes the reduced space usable for distance work
+    downstream (cluster assignment, ANN probing) at k/64 the compute.
+
+    Output is scalar-only (orig_norm, proj_norm, ratio) so result
+    canonicalization never handles raw array cells; the projected vector
+    itself is an intermediate column downstream ops would keep.
+
+    Scale: one narrow map over the scan — no shuffle at all; the plane
+    matrix is a plan literal (k x dim floats), never broadcast state.
+    """
+    e = _embeddings(spark, sf_dir)
+    planes = _hyperplanes(RP_DIM, EMBED_DIM)
+    inv = (3.0 / RP_DIM) ** 0.5  # entries ~ U[-1,1]: Var=1/3, so scale sqrt(3/k)
+    mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
+    proj = F.transform(
+        mat,
+        lambda p: F.aggregate(
+            F.zip_with(F.col("v"), p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * F.lit(inv),
+    )
+    proj_norm = F.sqrt(
+        F.aggregate(proj, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    orig_norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return e.select(
+        "vec_id",
+        F.round(orig_norm, 4).alias("orig_norm"),
+        F.round(proj_norm, 4).alias("proj_norm"),
+        F.round(proj_norm / orig_norm, 4).alias("norm_ratio"),
+    )
+
+
+def _rp_oracle() -> str:
+    planes = _hyperplanes(RP_DIM, EMBED_DIM)
+    inv = (3.0 / RP_DIM) ** 0.5  # entries ~ U[-1,1]: Var=1/3, so scale sqrt(3/k)
+    # identical fold order: ((0 + p0^2) + p1^2) + ... left-to-right
+    sq_chain = "0.0"
+    for p in planes:
+        sq_chain = (
+            f"({sq_chain} + pow(list_dot_product(v, {p!r}) * {inv!r}, 2))"
+        )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT vec_id,
+               round(sqrt(list_dot_product(v, v)), 4) AS orig_norm,
+               round(sqrt({sq_chain}), 4) AS proj_norm,
+               round(sqrt({sq_chain}) / sqrt(list_dot_product(v, v)), 4)
+                   AS norm_ratio
+        FROM e
+    """
+
+
 _COS = (
     "list_dot_product(q.qv, e.v) / "
     "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))"
@@ -443,6 +511,7 @@ ORACLES = {
     "ann_lsh_topk": _lsh_oracle(),
     "ann_ivf_topk": _ivf_oracle(),
     "ann_ivf_kmeans_topk": _ivf_kmeans_oracle(),
+    "random_projection": _rp_oracle(),
 }
 
 QUERIES = {
@@ -450,4 +519,5 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
+    "random_projection": random_projection,
 }

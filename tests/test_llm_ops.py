@@ -331,3 +331,53 @@ def test_kmeans_ivf_beats_label_cells_on_random_corpus(spark):
     )
     assert km_recall >= 0.9
     assert km_recall > label_recall
+
+
+def test_incremental_near_dup_matches_exact_cross_side_pairs(spark):
+    """Index-probe dedup must find exactly the cross-side pairs that exact
+    jaccard keeps AND the banding surfaces — and every reported jaccard
+    must equal the exact value over the full shingle sets."""
+    from cdc_streamming___v2_spark.operators import dedup as D
+
+    inc = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in D.incremental_near_dup(spark, SF_SMALL).collect()
+    }
+    exact = {
+        tuple(sorted((r.doc_a, r.doc_b))): r.jaccard
+        for r in D._jaccard_pairs(D._shingles(spark, SF_SMALL))
+        .filter(F.col("jaccard") >= D.JACCARD_THRESHOLD)
+        .collect()
+    }
+    for (new_id, corpus_id), j in inc.items():
+        assert new_id % D.INCR_MOD == 0
+        assert corpus_id % D.INCR_MOD != 0
+        key = tuple(sorted((new_id, corpus_id)))
+        assert key in exact
+        # operator reports round(jaccard, 4); exact reference is unrounded
+        assert abs(exact[key] - j) < 5.1e-5
+
+
+def test_random_projection_preserves_norms(spark):
+    """JL property on the driver embeddings: projected/original norm ratios
+    concentrate near 1 (loose bounds — k=16 from 64 dims)."""
+    from cdc_streamming___v2_spark.operators import similarity as S2
+
+    rows = S2.random_projection(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    ratios = [r.norm_ratio for r in rows]
+    # k=16 from 64 dims: individual ratios spread wide (sd ~ 1/sqrt(2k))
+    # but must stay bounded, and the mean must sit near 1
+    assert all(0.3 <= x <= 2.2 for x in ratios)
+    assert 0.85 <= sum(ratios) / len(ratios) <= 1.15
+
+
+def test_pagerank_nations_is_a_distribution(spark):
+    from cdc_streamming___v2_spark.operators import graph as G
+
+    rows = G.pagerank_nations(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    total = sum(r.pagerank for r in rows)
+    # damping + dangling redistribution conserve total rank mass
+    assert abs(total - 1.0) < 1e-3
+    assert all(r.pagerank > 0 for r in rows)
