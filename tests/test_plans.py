@@ -72,6 +72,18 @@ def test_embedding_near_dup_banded_not_cartesian(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
 
 
+def test_pagerank_edge_build_broadcasts_dims(spark):
+    """The lineitem-sized edge build must broadcast the fixed-cardinality
+    supplier/customer key maps; power-iteration rounds must never plan a
+    corpus-sized cartesian (the only cross join is the 1-row dangling-mass
+    scalar)."""
+    from cdc_streamming___v2_spark.operators import graph as G
+
+    p = _plan(spark, G.pagerank_nations(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_partial_aggregation_before_shuffle(spark):
     # map-side combine: every groupBy must plan partial_* functions below
     # the exchange (the shuffle carries group cardinality, not row count)
