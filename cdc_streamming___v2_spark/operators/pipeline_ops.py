@@ -295,10 +295,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"), 4
         ).alias("l2_norm"),
         F.round(F.expr("array_max(transform(v, x -> abs(x)))"), 6).alias("q_scale"),
+        # comma-joined STRING, not array<int>: harnesses that canonicalize
+        # via pandas sorting can't hash raw array cells (same contract fix
+        # as array_agg_sorted); the int8 codes themselves are unchanged
         F.expr(
-            "transform(v, x -> CAST(IF(x >= 0,"
+            "array_join(transform(v, x -> CAST(IF(x >= 0,"
             " floor(x * 127 / array_max(transform(v, y -> abs(y)))),"
-            " -floor(-x * 127 / array_max(transform(v, y -> abs(y))))) AS INT))"
+            " -floor(-x * 127 / array_max(transform(v, y -> abs(y))))) AS INT)), ',')"
         ).alias("quant"),
     )
 
@@ -663,11 +666,11 @@ ORACLES = {
                CAST(len(v) AS BIGINT) AS dim,
                round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS l2_norm,
                round(list_max(list_transform(v, x -> abs(x))), 6) AS q_scale,
-               list_transform(v, x -> CAST(
+               array_to_string(list_transform(v, x -> CAST(
                  CASE WHEN x >= 0
                    THEN floor(x * 127 / list_max(list_transform(v, y -> abs(y))))
                    ELSE -floor(-x * 127 / list_max(list_transform(v, y -> abs(y))))
-                 END AS INT)) AS quant
+                 END AS INT)), ',') AS quant
         FROM e
     """,
     "stratified_sample": f"""

@@ -59,8 +59,9 @@ def test_doc_chunks_cover_and_overlap(spark):
 def test_embedding_quantize_range(spark):
     rows = P.embedding_quantize(spark, SF_SMALL).collect()
     for r in rows:
-        assert all(-127 <= q <= 127 for q in r.quant)
-        assert max(abs(q) for q in r.quant) == 127  # max-abs dim hits full scale
+        codes = [int(q) for q in r.quant.split(",")]  # comma-joined int8 codes
+        assert all(-127 <= q <= 127 for q in codes)
+        assert max(abs(q) for q in codes) == 127  # max-abs dim hits full scale
         assert r.l2_norm > 0
 
 
