@@ -90,6 +90,7 @@ HEADLINE = [
     "incremental_near_dup",
     "random_projection",
     "pagerank_nations",
+    "dedup_keepers",
 ]
 
 

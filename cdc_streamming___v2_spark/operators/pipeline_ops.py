@@ -24,9 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.texts import md5_hash_long
+from ..functions.texts import EN_STOPWORDS, md5_hash_long
 from ..sources.tables import exploded_shingles, fan_out, load_table
 from . import dedup as _dedup
+from .text_analysis import _WORDS as _TA_WORDS
+from .text_analysis import _sw_hits as _ta_sw_hits
+
+_TA_SW_HITS = _ta_sw_hits(_TA_WORDS, EN_STOPWORDS)
 
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
@@ -223,6 +227,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("label").cast("bigint").alias("cluster_id"),
         F.col("node").cast("bigint").alias("doc_id"),
+    )
+
+
+def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: for every near-dup cluster, keep the
+    highest-quality member — the step that actually SHRINKS a training
+    corpus after clustering (near-dup graph -> connected components ->
+    quality-ranked keeper per component).
+
+    Keeper rule: max quality_score (text_analysis.text_quality, already
+    deterministic at 4 decimals), ties to the lowest doc_id.  Output per
+    cluster: keeper id, member count, best/worst quality — the summary a
+    pipeline logs when it drops n_docs - 1 members per cluster.
+
+    Scale: reuses dedup_clusters' distributed label propagation (never
+    materializes the graph on one machine) and the narrow quality pass;
+    the ranking is one window partitioned by cluster_id — shuffle keyed on
+    cluster cardinality, not corpus size.
+    """
+    from .text_analysis import text_quality
+
+    clusters = dedup_clusters(spark, sf_dir)
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.max("quality_score"), 4).alias("best_quality"),
+            F.round(F.min("quality_score"), 4).alias("worst_quality"),
+        )
     )
 
 
@@ -554,6 +594,7 @@ QUERIES = {
     "decontaminate": decontaminate,
     "cluster_balanced_sample": cluster_balanced_sample,
     "dedup_clusters": dedup_clusters,
+    "dedup_keepers": dedup_keepers,
     "embedding_quantize": embedding_quantize,
     "stratified_sample": stratified_sample,
     "gapfill_daily_value": gapfill_daily_value,
@@ -659,6 +700,49 @@ ORACLES = {
         SELECT CAST(min(label) AS BIGINT) AS cluster_id,
                CAST(node AS BIGINT) AS doc_id
         FROM cc GROUP BY node
+    """,
+    "dedup_keepers": f"""
+        WITH RECURSIVE pairs AS ({_dedup.ORACLES["minhash_near_dup"]}),
+        nodes AS (SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION SELECT doc_b FROM pairs) t),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        cc(node, label) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, c.label FROM cc c JOIN edges e ON c.node = e.src
+            WHERE c.label < e.dst
+        ),
+        clusters AS (
+            SELECT CAST(min(label) AS BIGINT) AS cluster_id,
+                   CAST(node AS BIGINT) AS doc_id
+            FROM cc GROUP BY node
+        ),
+        q AS (
+            SELECT doc_id,
+                   round(least(len({_TA_WORDS}) / 50.0, 1.0) * 0.4
+                         + least({_TA_SW_HITS} * 1.0 / len({_TA_WORDS}) * 5,
+                                 1.0) * 0.4
+                         + (1 - least(length(regexp_replace(text,
+                                      '[^.,!?;:]', '', 'g'))
+                                      * 1.0 / length(text) * 10, 1.0)) * 0.2,
+                         4) AS quality_score
+            FROM documents
+        ),
+        ranked AS (
+            SELECT c.cluster_id, c.doc_id, q.quality_score,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY q.quality_score DESC,
+                                               c.doc_id ASC) AS rk
+            FROM clusters c JOIN q ON c.doc_id = q.doc_id
+        )
+        SELECT cluster_id,
+               CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(max(quality_score), 4) AS best_quality,
+               round(min(quality_score), 4) AS worst_quality
+        FROM ranked GROUP BY cluster_id
     """,
     "embedding_quantize": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -166,3 +166,27 @@ def test_cluster_balanced_sample_rates(spark):
         expect = min(P.CBS_TARGET, r.n_cluster)
         assert abs(r.n_kept - expect) <= max(6, 0.6 * expect)
         assert r.ht_weight >= 1.0
+
+
+def test_dedup_keepers_pick_best_member(spark):
+    """Every cluster's keeper must be one of its members and carry the
+    cluster's max quality score; member counts must cover all clustered
+    docs exactly once."""
+    from cdc_streamming___v2_spark.operators.text_analysis import text_quality
+
+    clusters = {r.doc_id: r.cluster_id
+                for r in P.dedup_clusters(spark, SF_SMALL).collect()}
+    quality = {r.doc_id: r.quality_score
+               for r in text_quality(spark, SF_SMALL).collect()}
+    keepers = P.dedup_keepers(spark, SF_SMALL).collect()
+    assert keepers
+    seen_members = 0
+    for r in keepers:
+        assert clusters[r.keep_id] == r.cluster_id
+        members = [d for d, c in clusters.items() if c == r.cluster_id]
+        assert len(members) == r.n_docs
+        seen_members += r.n_docs
+        best = max(quality[d] for d in members)
+        assert abs(best - r.best_quality) < 1e-9
+        assert quality[r.keep_id] == best
+    assert seen_members == len(clusters)
