@@ -91,6 +91,7 @@ HEADLINE = [
     "random_projection",
     "pagerank_nations",
     "dedup_keepers",
+    "lm_bigram_quality",
 ]
 
 

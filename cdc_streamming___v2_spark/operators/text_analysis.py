@@ -60,6 +60,59 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality filter: per-document cross-entropy
+    under an add-one-smoothed BIGRAM model trained on the corpus itself.
+    Documents whose token transitions look unlike the corpus (boilerplate,
+    shuffled text, wrong language) score high and get filtered.
+
+    score = -(1/n) * sum log2( (c(w1,w2)+1) / (c(w1)+V) ) over the doc's
+    bigrams; perplexity = 2^score.  Reported rounded (sum reassociation
+    noise ~1e-15 sits far below 4 decimals).
+
+    Scale: bigram extraction is one lag window per doc partition (a single
+    doc_id-keyed shuffle); the count model is two groupBy aggs (bigram- and
+    unigram-cardinality shuffles); scoring joins the doc bigrams against
+    the model on the bigram key — all hash-partitionable, vocabulary V is
+    a 1-row broadcast.  No UDF anywhere.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.tables import fan_out
+    from ..functions.texts import words
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
+    )
+    c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    c_ug = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cug"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    logp = F.log2((F.col("cbg") + 1) / (F.col("cug") + F.col("v")))
+    return (
+        bg.join(c_bg, ["w1", "w2"])
+        .join(c_ug, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (-F.avg(logp)).alias("xent"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("xent", 4).alias("cross_entropy_bits"),
+            F.round(F.pow(F.lit(2.0), F.col("xent")), 2).alias("perplexity"),
+        )
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language heuristic: argmax of per-language hit counts
     with fixed precedence (en > fr > de > es, ties to earlier)."""
@@ -152,6 +205,34 @@ ORACLES = {
                    AS quality_score
         FROM documents
     """,
+    "lm_bigram_quality": f"""
+        WITH base AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 1, 0)),
+                       i -> ws[i])) AS w1,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 1, 0)),
+                       i -> ws[i + 1])) AS w2
+            FROM base
+        ),
+        cbg AS (SELECT w1, w2, count(*) AS cbg FROM bg GROUP BY 1, 2),
+        cug AS (SELECT w1, count(*) AS cug FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(ws) AS w FROM base))
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(-avg(log2((c.cbg + 1.0) / (u.cug + v.v))), 4)
+                   AS cross_entropy_bits,
+               round(pow(2.0, -avg(log2((c.cbg + 1.0) / (u.cug + v.v)))), 2)
+                   AS perplexity
+        FROM bg b
+        JOIN cbg c ON b.w1 = c.w1 AND b.w2 = c.w2
+        JOIN cug u ON b.w1 = u.w1
+        CROSS JOIN v
+        GROUP BY b.doc_id
+    """,
     "lang_id": _lang_id_sql(),
     "doc_fingerprint": """
         SELECT doc_id,
@@ -167,6 +248,7 @@ ORACLES = {
 QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
+    "lm_bigram_quality": lm_bigram_quality,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
 }

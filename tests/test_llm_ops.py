@@ -381,3 +381,16 @@ def test_pagerank_nations_is_a_distribution(spark):
     # damping + dangling redistribution conserve total rank mass
     assert abs(total - 1.0) < 1e-3
     assert all(r.pagerank > 0 for r in rows)
+
+
+def test_lm_bigram_quality_consistency(spark):
+    """Cross-entropy must be positive (probabilities < 1 under add-one
+    smoothing), perplexity must equal 2^entropy, and every doc must carry
+    exactly n_tokens - 1 bigrams."""
+    ent = {r.doc_id: r for r in T.lm_bigram_quality(spark, SF_SMALL).collect()}
+    toks = {r.doc_id: r.n_tokens_ws for r in T.token_count(spark, SF_SMALL).collect()}
+    assert ent
+    for doc_id, r in ent.items():
+        assert r.cross_entropy_bits > 0
+        assert abs(r.perplexity - 2 ** r.cross_entropy_bits) <= 0.01 * r.perplexity
+        assert r.n_bigrams == toks[doc_id] - 1
