@@ -403,3 +403,42 @@ def test_interval_join_left_outer_flushes_unmatched_errors(
     assert nulls, "watermark from batch 2 should flush early unmatched errors"
     assert nulls <= {k for k, v in oracle.items() if v == 0}
     assert not (nulls & set(matched))
+
+
+def test_near_dup_stream_matches_batch_incremental(spark, tmp_path):
+    """Stream the 'new batch' slice (doc_id % INCR_MOD == 0) through the
+    foreachBatch near-dup runner in TWO micro-batch files against the
+    static corpus index; the sink must equal the batch
+    incremental_near_dup operator exactly (ids and jaccard values)."""
+    from cdc_streamming___v2_spark.operators import dedup as D
+    from cdc_streamming___v2_spark.streaming import corpus as C
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    is_new = F.col("doc_id") % D.INCR_MOD == 0
+    new_docs, corpus = docs.filter(is_new), docs.filter(~is_new)
+
+    d = str(tmp_path / "newdocs")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    new_docs.filter(F.col("doc_id") % 20 == 0).write.parquet(d + "/a.parquet")
+    new_docs.filter(F.col("doc_id") % 20 != 0).write.parquet(d + "/b.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    q = C.near_dup_stream(stream, corpus, sink, ck, available_now=True)
+    q.awaitTermination()
+
+    got = {
+        (r.doc_id, r.corpus_id, r.jaccard)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.new_id, r.corpus_id, r.jaccard)
+        for r in D.incremental_near_dup(spark, SF_SMALL).collect()
+    }
+    assert want  # fixture really exercises the check (10 pairs at sf0.001)
+    assert got == want
