@@ -701,6 +701,115 @@ ORACLES["hll_distinct"] = f"""
 """
 
 
+ORACLES["hll_merge_groups"] = f"""
+    WITH h AS (
+        SELECT event_type, {_h("user_id::VARCHAR", "hllg")} AS hv
+        FROM events
+    ),
+    regs AS (
+        SELECT event_type,
+               CAST(floor(hv / {HLL_VRANGE}) AS INT) AS bucket,
+               max(CASE WHEN hv % {HLL_VRANGE} = 0 THEN {HLL_VBITS + 1}
+                        ELSE {HLL_VBITS + 1} - length(bin(hv % {HLL_VRANGE}))
+                   END) AS mj
+        FROM h GROUP BY 1, 2
+    ),
+    allregs AS (
+        SELECT event_type, bucket, mj FROM regs
+        UNION ALL
+        SELECT '__all__', bucket, max(mj) FROM regs GROUP BY 2
+    ),
+    g AS (
+        SELECT event_type, count(*) AS n_regs,
+               CAST(sum(power(2.0, {HLL_VBITS + 1} - mj)) AS BIGINT)
+                   AS s_present
+        FROM allregs GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+    )
+    SELECT g.event_type,
+           round({HLL_EST_NUM!r}
+                 / (s_present + ({HLL_M} - n_regs) * {2 * HLL_VRANGE}), 2)
+               AS hll_est,
+           exact_distinct,
+           round(abs({HLL_EST_NUM!r}
+                     / (s_present + ({HLL_M} - n_regs) * {2 * HLL_VRANGE})
+                     - exact_distinct) / exact_distinct, 4) AS rel_err
+    FROM g JOIN ex USING (event_type)
+"""
+
+
+def hll_merge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY in-plan: per-event-type sketches of distinct users,
+    PLUS a ``__all__`` row whose estimate comes from MERGING the per-group
+    registers (bucket-wise max) — never from rescanning the data.
+
+    This is the pre-aggregate pattern that pays at 100 TB: persist one
+    256-row register set per partition/day/group, answer global distinct
+    questions later by register max-merge at query time. The merged
+    estimate is mathematically identical to a sketch built directly over
+    the union (max is associative/commutative), which the test asserts.
+
+    Same exact-integer harmonic-mean arithmetic as hll_distinct, so both
+    engines value-match bit-for-bit including realized error.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = md5_hash_long(F.col("user_id").cast("string"), "hllg")
+    v = h % HLL_VRANGE
+    base = e.select(
+        "event_type",
+        F.floor(h / HLL_VRANGE).cast("int").alias("bucket"),
+        F.when(v == 0, HLL_VBITS + 1)
+        .otherwise(F.lit(HLL_VBITS + 1) - F.length(F.bin(v)))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = base.groupBy("event_type", "bucket").agg(F.max("rho").alias("mj"))
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("mj").alias("mj"))
+        .withColumn("event_type", F.lit("__all__"))
+    )
+
+    def _est(grouped: DataFrame) -> DataFrame:
+        g = grouped.groupBy("event_type").agg(
+            F.count("*").alias("n_regs"),
+            F.sum(F.pow(F.lit(2.0), F.lit(HLL_VBITS + 1) - F.col("mj")))
+            .cast("long")
+            .alias("s_present"),
+        )
+        zeros = F.lit(HLL_M) - F.col("n_regs")
+        s = F.col("s_present") + zeros * F.lit(2 * HLL_VRANGE)
+        return g.select(
+            "event_type", (F.lit(HLL_EST_NUM) / s).alias("est")
+        )
+    ests = _est(regs).unionByName(_est(merged))
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .unionByName(
+            e.agg(
+                F.countDistinct("user_id").alias("exact_distinct")
+            ).withColumn("event_type", F.lit("__all__"))
+        )
+    )
+    return ests.join(exact, "event_type").select(
+        "event_type",
+        F.round("est", 2).alias("hll_est"),
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV theta-sketch SET OPERATIONS: union / intersection / Jaccard
     estimates between per-event-type distinct-user sketches, with the exact
@@ -861,6 +970,7 @@ QUERIES = {
     "bloom_prefilter": bloom_prefilter,
     "quantile_sketch": quantile_sketch,
     "hll_distinct": hll_distinct,
+    "hll_merge_groups": hll_merge_groups,
     "kmv_set_ops": kmv_set_ops,
 }
 

@@ -105,3 +105,43 @@ def test_kmv_set_ops_estimates_close_and_consistent(spark):
         assert abs(r.est_union - r.exact_union) / r.exact_union < 0.5
         # jaccard estimate within an additive 0.35 of exact at k=64
         assert abs(r.est_jaccard - r.exact_jaccard) < 0.35
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """The '__all__' row comes from max-merging per-group registers; it
+    must equal a sketch built directly over the ungrouped data (max is
+    associative/commutative), and per-group rows must match hll-estimating
+    each group alone."""
+    from pyspark.sql import functions as F
+
+    from cdc_streamming___v2_spark.functions.texts import md5_hash_long
+    from cdc_streamming___v2_spark.operators import sketches as K
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    rows = {r.event_type: r for r in K.hll_merge_groups(spark, SF_SMALL).collect()}
+    assert "__all__" in rows and len(rows) > 2
+
+    # direct (ungrouped) sketch over the same hash family
+    e = load_table(spark, SF_SMALL, "events").select("user_id")
+    h = md5_hash_long(F.col("user_id").cast("string"), "hllg")
+    v = h % K.HLL_VRANGE
+    regs = (
+        e.select(
+            F.floor(h / K.HLL_VRANGE).cast("int").alias("bucket"),
+            F.when(v == 0, K.HLL_VBITS + 1)
+            .otherwise(F.lit(K.HLL_VBITS + 1) - F.length(F.bin(v)))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    g = regs.agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), F.lit(K.HLL_VBITS + 1) - F.col("mj")))
+        .cast("long")
+        .alias("s_present"),
+    ).first()
+    s = g.s_present + (K.HLL_M - g.n_regs) * (2 * K.HLL_VRANGE)
+    direct = round(K.HLL_EST_NUM / s, 2)
+    assert rows["__all__"].hll_est == direct
