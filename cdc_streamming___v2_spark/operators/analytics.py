@@ -347,6 +347,80 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality validation in one pass per table: the
+    constraint report a pipeline gates on before shipping data downstream.
+
+    Checks: completeness (non-null fraction), key uniqueness (distinct /
+    total), value bounds (fraction inside the domain), and referential
+    integrity (fraction of orders whose customer exists).  Output one row
+    per check: (check_name, metric, passed).
+
+    Scale: each table contributes ONE aggregation pass (all its metrics
+    are conditional aggregates in the same groupBy-less agg — no per-check
+    rescans); referential integrity is a broadcast-dim left-anti count.
+    The union of per-check rows is constant-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    li_m = li.agg(
+        (F.count("l_quantity") / F.count(F.lit(1))).alias("qty_complete"),
+        F.avg(
+            F.col("l_discount").between(0.0, 0.1).cast("double")
+        ).alias("discount_in_bounds"),
+        F.avg(
+            (F.col("l_extendedprice") > 0).cast("double")
+        ).alias("price_positive"),
+    )
+    o_m = o.agg(
+        (F.countDistinct("o_orderkey") / F.count(F.lit(1))).alias("key_unique"),
+        (F.count("o_orderdate") / F.count(F.lit(1))).alias("date_complete"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_orphans"))
+        .crossJoin(o.agg(F.count(F.lit(1)).cast("double").alias("n_orders")))
+        .select((1.0 - F.col("n_orphans") / F.col("n_orders")).alias("ref_ok"))
+    )
+
+    def row(name: str, metric, threshold: float):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.round(metric, 6).alias("metric"),
+            (metric >= threshold).alias("passed"),
+        )
+
+    li_rows = li_m.select(
+        F.explode(
+            F.array(
+                row("lineitem.l_quantity.completeness", F.col("qty_complete"), 1.0),
+                row("lineitem.l_discount.in_bounds", F.col("discount_in_bounds"), 1.0),
+                row("lineitem.l_extendedprice.positive", F.col("price_positive"), 1.0),
+            )
+        ).alias("r")
+    )
+    o_rows = o_m.select(
+        F.explode(
+            F.array(
+                row("orders.o_orderkey.unique", F.col("key_unique"), 1.0),
+                row("orders.o_orderdate.completeness", F.col("date_complete"), 1.0),
+            )
+        ).alias("r")
+    )
+    ref_rows = orphans.select(
+        F.explode(
+            F.array(row("orders.o_custkey.ref_customer", F.col("ref_ok"), 1.0))
+        ).alias("r")
+    )
+    return (
+        li_rows.unionByName(o_rows)
+        .unionByName(ref_rows)
+        .select("r.check_name", "r.metric", "r.passed")
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -357,9 +431,49 @@ QUERIES = {
     "pareto_frontier": pareto_frontier,
     "activity_streaks": activity_streaks,
     "peak_concurrency": peak_concurrency,
+    "data_quality_checks": data_quality_checks,
 }
 
 ORACLES = {
+    "data_quality_checks": """
+        WITH li AS (
+            SELECT count(l_quantity) * 1.0 / count(*) AS qty_complete,
+                   avg(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+                            THEN 1.0 ELSE 0.0 END) AS discount_in_bounds,
+                   avg(CASE WHEN l_extendedprice > 0
+                            THEN 1.0 ELSE 0.0 END) AS price_positive
+            FROM lineitem
+        ),
+        o AS (
+            SELECT count(DISTINCT o_orderkey) * 1.0 / count(*) AS key_unique,
+                   count(o_orderdate) * 1.0 / count(*) AS date_complete
+            FROM orders
+        ),
+        ref AS (
+            SELECT 1.0 - (SELECT count(*) * 1.0 FROM orders
+                          WHERE o_custkey NOT IN
+                                (SELECT c_custkey FROM customer))
+                       / (SELECT count(*) * 1.0 FROM orders) AS ref_ok
+        )
+        SELECT 'lineitem.l_quantity.completeness' AS check_name,
+               round(qty_complete, 6) AS metric, qty_complete >= 1.0 AS passed
+        FROM li
+        UNION ALL
+        SELECT 'lineitem.l_discount.in_bounds',
+               round(discount_in_bounds, 6), discount_in_bounds >= 1.0 FROM li
+        UNION ALL
+        SELECT 'lineitem.l_extendedprice.positive',
+               round(price_positive, 6), price_positive >= 1.0 FROM li
+        UNION ALL
+        SELECT 'orders.o_orderkey.unique',
+               round(key_unique, 6), key_unique >= 1.0 FROM o
+        UNION ALL
+        SELECT 'orders.o_orderdate.completeness',
+               round(date_complete, 6), date_complete >= 1.0 FROM o
+        UNION ALL
+        SELECT 'orders.o_custkey.ref_customer',
+               round(ref_ok, 6), ref_ok >= 1.0 FROM ref
+    """,
     "pareto_frontier": """
         SELECT a.p_partkey, a.p_retailprice, a.p_size
         FROM part a

@@ -108,3 +108,13 @@ def test_peak_concurrency_matches_naive_scan(spark):
     )
     assert got.peak_concurrency == peak
     assert got.n_sessions == len(sess)
+
+
+def test_data_quality_checks_all_pass_on_clean_testdata(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = {r.check_name: r for r in A.data_quality_checks(spark, SF_SMALL).collect()}
+    assert len(rows) == 6
+    for name, r in rows.items():
+        assert 0.0 <= r.metric <= 1.0
+        assert r.passed, f"{name} failed on clean testdata: {r.metric}"
