@@ -92,6 +92,9 @@ HEADLINE = [
     "pagerank_nations",
     "dedup_keepers",
     "lm_bigram_quality",
+    "hll_merge_groups",
+    "data_quality_checks",
+    "ewma_user_value",
 ]
 
 

@@ -347,6 +347,44 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.5  # (1-alpha)^j = 2^-j: exact binary fractions, bit-portable
+EWMA_K = 8  # trailing terms
+
+
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event value per user —
+    the time-decay smoother monitoring pipelines keep per entity.
+
+    Finite form: ewma_t = sum_j w_j x_(t-j) / sum_j w_j over the trailing
+    EWMA_K events (w_j = (1-alpha)^j), normalized over the terms that
+    exist so the series start is unbiased.  An explicit lag chain (fixed
+    evaluation order, exact 2^-j weights at alpha = .5) rather than a
+    recursive state — bit-portable across engines, and each row costs K
+    fused lag reads inside ONE user-partitioned sort window: one shuffle
+    on user_id total, no self-join, no iterative pass.
+
+    Total order: (epoch seconds, event_id) — same tiebreak both engines,
+    so lag contents are identical.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts"), F.col("event_id")
+    )
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(EWMA_K):
+        wj = (1.0 - EWMA_ALPHA) ** j
+        xj = F.lag("value", j).over(w)
+        num = num + F.coalesce(xj * F.lit(wj), F.lit(0.0))
+        den = den + F.when(xj.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value"), 4).alias("value"),
+        F.round((num / den), 4).alias("ewma"),
+    )
+
+
 def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality validation in one pass per table: the
     constraint report a pipeline gates on before shipping data downstream.
@@ -432,9 +470,28 @@ QUERIES = {
     "activity_streaks": activity_streaks,
     "peak_concurrency": peak_concurrency,
     "data_quality_checks": data_quality_checks,
+    "ewma_user_value": ewma_user_value,
 }
 
+def _ewma_oracle() -> str:
+    num, den = "0.0", "0.0"
+    for j in range(EWMA_K):
+        wj = repr((1.0 - EWMA_ALPHA) ** j)
+        lj = f"lag(value, {j}) OVER w"
+        num = f"({num} + coalesce({lj} * {wj}, 0.0))"
+        den = f"({den} + CASE WHEN {lj} IS NOT NULL THEN {wj} ELSE 0.0 END)"
+    return f"""
+        SELECT user_id, event_id,
+               round(value, 4) AS value,
+               round({num} / {den}, 4) AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(epoch(ts) AS BIGINT), event_id)
+    """
+
+
 ORACLES = {
+    "ewma_user_value": _ewma_oracle(),
     "data_quality_checks": """
         WITH li AS (
             SELECT count(l_quantity) * 1.0 / count(*) AS qty_complete,

@@ -118,3 +118,19 @@ def test_data_quality_checks_all_pass_on_clean_testdata(spark):
     for name, r in rows.items():
         assert 0.0 <= r.metric <= 1.0
         assert r.passed, f"{name} failed on clean testdata: {r.metric}"
+
+
+def test_ewma_decay_and_bounds(spark):
+    """EWMA must sit inside the min/max of its inputs, equal the raw value
+    on a user's first event, and weight recent values more than old ones
+    (a jump moves the ewma more than half-way after one step at alpha=.5)."""
+    rows = A.ewma_user_value(spark, SF_SMALL).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    vals = [r.value for r in rows]
+    assert min(vals) - 1e-9 <= min(r.ewma for r in rows)
+    assert max(r.ewma for r in rows) <= max(vals) + 1e-9
+    # series starts exist where the window holds a single term
+    assert any(abs(r.ewma - r.value) < 1e-6 for r in rows)
