@@ -95,6 +95,7 @@ HEADLINE = [
     "hll_merge_groups",
     "data_quality_checks",
     "ewma_user_value",
+    "jaccard_prefix_join",
 ]
 
 

@@ -394,3 +394,22 @@ def test_lm_bigram_quality_consistency(spark):
         assert r.cross_entropy_bits > 0
         assert abs(r.perplexity - 2 ** r.cross_entropy_bits) <= 0.01 * r.perplexity
         assert r.n_bigrams == toks[doc_id] - 1
+
+
+def test_prefix_join_exactly_matches_uncapped_bruteforce(spark):
+    """Prefix filtering is EXACT: its output must equal brute-force
+    jaccard over the full (uncapped) shingle universe — unlike banding
+    (probabilistic recall) or the DF cap (changed universe)."""
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D._jaccard_pairs(D._shingles(spark, SF_SMALL))
+        .filter(F.col("jaccard") >= D.JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.jaccard_prefix_join(spark, SF_SMALL).collect()
+    }
+    assert want  # non-vacuous at sf0.001
+    assert got == want
