@@ -96,6 +96,8 @@ HEADLINE = [
     "data_quality_checks",
     "ewma_user_value",
     "jaccard_prefix_join",
+    "triangle_count",
+    "anomaly_days",
 ]
 
 

@@ -385,6 +385,36 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_Z = 2.0
+
+
+def anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection on daily event volume per event type:
+    days whose count deviates from the type's own mean by more than
+    ANOMALY_Z sample standard deviations are flagged — the monitoring
+    primitive behind volume alerts.
+
+    Scale: one (type, day) count agg, then mean/std per type computed over
+    the (small) daily frame via a window — the raw events shuffle once;
+    every later step is day-cardinality sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_samp(
+        "n_events"
+    ).over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+    )
+
+
 def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality validation in one pass per table: the
     constraint report a pipeline gates on before shipping data downstream.
@@ -471,6 +501,7 @@ QUERIES = {
     "peak_concurrency": peak_concurrency,
     "data_quality_checks": data_quality_checks,
     "ewma_user_value": ewma_user_value,
+    "anomaly_days": anomaly_days,
 }
 
 def _ewma_oracle() -> str:
@@ -491,6 +522,22 @@ def _ewma_oracle() -> str:
 
 
 ORACLES = {
+    "anomaly_days": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day,
+               CAST(n_events AS BIGINT) AS n_events,
+               round((n_events - avg(n_events) OVER w)
+                     / stddev_samp(n_events) OVER w, 4) AS z_score,
+               abs((n_events - avg(n_events) OVER w)
+                   / stddev_samp(n_events) OVER w) >= {ANOMALY_Z}
+                   AS is_anomaly
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type)
+    """,
     "ewma_user_value": _ewma_oracle(),
     "data_quality_checks": """
         WITH li AS (

@@ -150,10 +150,107 @@ def _pr_oracle() -> str:
     """
 
 
+TRIANGLE_MIN_W = 50  # edge weight floor: keep the graph non-trivial
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the (undirected) nation trade graph — the
+    classic clustering-coefficient building block, computed the
+    distributed way: orient every edge low->high, then join twice so each
+    triangle {a<b<c} is generated EXACTLY once as (a-b) x (b-c) checked
+    against (a-c).  Never enumerates all 3-paths of the undirected graph
+    (which would count each triangle 6x and explode on high-degree hubs).
+
+    Only edges with weight >= TRIANGLE_MIN_W participate (a thresholded
+    co-trade graph; on the dense nation graph this is what leaves
+    structure).  Output: per-nation triangle membership count + the global
+    triangle total alongside.
+
+    Scale: two hash joins on node keys over the oriented edge list; the
+    standard hub mitigation (orient by degree instead of id) drops in
+    without changing the plan shape.
+    """
+    e = _trade_edges(spark, sf_dir).filter(F.col("w") >= TRIANGLE_MIN_W)
+    # undirected edge set, oriented low -> high, deduped
+    und = (
+        e.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("nationkey"))
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    total = tri.agg(F.count(F.lit(1)).cast("bigint").alias("total_triangles"))
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_node.join(n, per_node.nationkey == n.n_nationkey)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("nationkey").cast("bigint").alias("nationkey"),
+            "n_name",
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            "total_triangles",
+        )
+    )
+
+
+def _tri_oracle() -> str:
+    return f"""
+        WITH edges AS (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges WHERE src <> dst AND w >= {TRIANGLE_MIN_W}
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e1.v = e2.u
+            JOIN und e3 ON e1.u = e3.u AND e2.v = e3.v
+        ),
+        pn AS (
+            SELECT nationkey, count(*) AS n_triangles
+            FROM (SELECT a AS nationkey FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total_triangles FROM tri)
+        SELECT CAST(pn.nationkey AS BIGINT) AS nationkey, n.n_name,
+               CAST(pn.n_triangles AS BIGINT) AS n_triangles,
+               tot.total_triangles
+        FROM pn JOIN nation n ON pn.nationkey = n.n_nationkey
+        CROSS JOIN tot
+    """
+
+
 QUERIES = {
     "pagerank_nations": pagerank_nations,
+    "triangle_count": triangle_count,
 }
 
 ORACLES = {
     "pagerank_nations": _pr_oracle(),
+    "triangle_count": _tri_oracle(),
 }

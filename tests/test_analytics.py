@@ -134,3 +134,17 @@ def test_ewma_decay_and_bounds(spark):
     assert max(r.ewma for r in rows) <= max(vals) + 1e-9
     # series starts exist where the window holds a single term
     assert any(abs(r.ewma - r.value) < 1e-6 for r in rows)
+
+
+def test_anomaly_days_zscores_are_standardized(spark):
+    rows = A.anomaly_days(spark, SF_SMALL).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        zs = [r.z_score for r in rs]
+        # standardized scores: mean ~0, and flags match the threshold
+        assert abs(sum(zs) / len(zs)) < 0.01
+        for r in rs:
+            assert r.is_anomaly == (abs(r.z_score) >= A.ANOMALY_Z)

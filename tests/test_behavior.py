@@ -79,3 +79,15 @@ def test_registry_rejects_duplicate_keys():
     )
     with pytest.raises(ValueError, match="oracles without queries"):
         entry._merge_registries([base, stray])
+
+
+def test_triangle_membership_consistency(spark):
+    """Each triangle contributes exactly 3 memberships, so per-node counts
+    must sum to 3x the global total."""
+    from cdc_streamming___v2_spark.operators import graph as G
+
+    rows = G.triangle_count(spark, SF_DIR).collect()
+    assert rows
+    total = rows[0].total_triangles
+    assert all(r.total_triangles == total for r in rows)
+    assert sum(r.n_triangles for r in rows) == 3 * total
