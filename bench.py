@@ -98,6 +98,7 @@ HEADLINE = [
     "jaccard_prefix_join",
     "triangle_count",
     "anomaly_days",
+    "rolling_distinct_users",
 ]
 
 

@@ -810,6 +810,92 @@ def hll_merge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_DAYS = 7
+
+
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the sliding-DISTINCT problem
+    (non-associative, so no partial agg helps the exact path) solved twice:
+
+    - EXACT: each (day, user) pair contributes to its day and the 6
+      following days (a 7x explode), then count distinct per target day.
+      At 100 TB this shuffles 7x the distinct (day, user) volume — the
+      cost that motivates the sketch path.
+    - HLL: per-day registers (<= 256 rows/day regardless of volume)
+      explode 7x and bucket-wise max-merge per target day — the window
+      state is constant-size, which is how production metrics pipelines
+      actually compute rolling uniques.
+
+    Output: (day, exact_7d, hll_7d, rel_err), realized error included —
+    both paths fully value-checked against DuckDB.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    days = e.select("day").distinct()
+    offs = F.explode(F.sequence(F.lit(0), F.lit(ROLL_DAYS - 1))).alias("off")
+
+    du = e.distinct()
+    exact = (
+        du.select("day", "user_id", offs)
+        .select(F.date_add("day", F.col("off")).alias("day"), "user_id")
+        .join(days, "day")  # drop target days past the calendar
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_7d"))
+    )
+
+    h = md5_hash_long(F.col("user_id").cast("string"), "hllr")
+    v = h % HLL_VRANGE
+    regs = (
+        e.select(
+            "day",
+            F.floor(h / HLL_VRANGE).cast("int").alias("bucket"),
+            F.when(v == 0, HLL_VBITS + 1)
+            .otherwise(F.lit(HLL_VBITS + 1) - F.length(F.bin(v)))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    merged = (
+        regs.select("day", "bucket", "mj", offs)
+        .select(F.date_add("day", F.col("off")).alias("day"), "bucket", "mj")
+        .join(days, "day")
+        .groupBy("day", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    g = merged.groupBy("day").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), F.lit(HLL_VBITS + 1) - F.col("mj")))
+        .cast("long")
+        .alias("s_present"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_regs")
+    s = F.col("s_present") + zeros * F.lit(2 * HLL_VRANGE)
+    raw = F.lit(HLL_EST_NUM) / s
+    # small-range (linear counting) correction: rolling windows can hold
+    # few distinct users, where the raw harmonic estimate biases high —
+    # unlike hll_distinct (n >> 2.5m by construction), this op must be
+    # correct across regimes. ln() evaluates identically in both engines
+    # under the round(2) output contract (same libm doubles).
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return (
+        exact.join(g, "day")
+        .select(
+            "day",
+            "exact_7d",
+            F.round(est, 2).alias("hll_7d"),
+            F.round(F.abs(est - F.col("exact_7d")) / F.col("exact_7d"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
 def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV theta-sketch SET OPERATIONS: union / intersection / Jaccard
     estimates between per-event-type distinct-user sketches, with the exact
@@ -971,7 +1057,66 @@ QUERIES = {
     "quantile_sketch": quantile_sketch,
     "hll_distinct": hll_distinct,
     "hll_merge_groups": hll_merge_groups,
+    "rolling_distinct_users": rolling_distinct_users,
     "kmv_set_ops": kmv_set_ops,
 }
 
 ORACLES["kmv_set_ops"] = _KMV_SET_OPS_SQL
+
+ORACLES["rolling_distinct_users"] = f"""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM e),
+    du AS (SELECT DISTINCT day, user_id FROM e),
+    ex AS (
+        SELECT t.day, count(DISTINCT d.user_id) AS exact_7d
+        FROM (SELECT du.day + CAST(o AS INT) AS day, du.user_id
+              FROM du, generate_series(0, {ROLL_DAYS - 1}) AS g(o)) d
+        JOIN days t ON d.day = t.day
+        GROUP BY t.day
+    ),
+    h AS (
+        SELECT day, {_h("user_id::VARCHAR", "hllr")} AS hv FROM e
+    ),
+    regs AS (
+        SELECT day,
+               CAST(floor(hv / {HLL_VRANGE}) AS INT) AS bucket,
+               max(CASE WHEN hv % {HLL_VRANGE} = 0 THEN {HLL_VBITS + 1}
+                        ELSE {HLL_VBITS + 1} - length(bin(hv % {HLL_VRANGE}))
+                   END) AS mj
+        FROM h GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT t.day, r.bucket, max(r.mj) AS mj
+        FROM (SELECT regs.day + CAST(o AS INT) AS day, bucket, mj
+              FROM regs, generate_series(0, {ROLL_DAYS - 1}) AS g(o)) r
+        JOIN days t ON r.day = t.day
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT day, count(*) AS n_regs,
+               CAST(sum(power(2.0, {HLL_VBITS + 1} - mj)) AS BIGINT)
+                   AS s_present
+        FROM merged GROUP BY 1
+    )
+    , est AS (
+        SELECT day,
+               {HLL_EST_NUM!r}
+                   / (s_present + ({HLL_M} - n_regs) * {2 * HLL_VRANGE}) AS raw,
+               {HLL_M} - n_regs AS zeros
+        FROM g
+    ),
+    corrected AS (
+        SELECT day,
+               CASE WHEN raw <= 2.5 * {HLL_M} AND zeros > 0
+                    THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / zeros)
+                    ELSE raw END AS est
+        FROM est
+    )
+    SELECT ex.day,
+           CAST(exact_7d AS BIGINT) AS exact_7d,
+           round(est, 2) AS hll_7d,
+           round(abs(est - exact_7d) / exact_7d, 4) AS rel_err
+    FROM ex JOIN corrected USING (day)
+"""

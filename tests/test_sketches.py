@@ -145,3 +145,34 @@ def test_hll_merge_equals_direct_sketch(spark):
     s = g.s_present + (K.HLL_M - g.n_regs) * (2 * K.HLL_VRANGE)
     direct = round(K.HLL_EST_NUM / s, 2)
     assert rows["__all__"].hll_est == direct
+
+
+def test_rolling_distinct_window_dominates_daily(spark):
+    """The trailing-7-day distinct count must be >= any single day's
+    distinct count inside the window, and the HLL estimate must track the
+    exact value (256 registers -> ~7% typical error)."""
+    from pyspark.sql import functions as F
+
+    from cdc_streamming___v2_spark.operators import sketches as K
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    rows = {r.day: r for r in K.rolling_distinct_users(spark, SF_SMALL).collect()}
+    assert rows
+    daily = {
+        r.day: r.n
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    import datetime
+
+    for day, r in rows.items():
+        assert r.exact_7d >= daily[day]
+        window_days = [
+            day - datetime.timedelta(days=j)
+            for j in range(K.ROLL_DAYS)
+            if day - datetime.timedelta(days=j) in daily
+        ]
+        assert r.exact_7d >= max(daily[d] for d in window_days)
+        assert r.rel_err <= 0.25  # 256-register HLL stays in its error band
