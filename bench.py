@@ -99,6 +99,7 @@ HEADLINE = [
     "triangle_count",
     "anomaly_days",
     "rolling_distinct_users",
+    "equi_depth_histogram",
 ]
 
 

@@ -385,6 +385,32 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUI_DEPTH_BUCKETS = 16
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: ntile over a total order
+    (price, orderkey tiebreak) gives buckets of near-equal row count with
+    data-driven boundaries — the histogram optimizers keep for selectivity
+    estimation (complements the fixed-WIDTH price_histogram).
+
+    Scale: ntile needs a global sort — fine for building a stats sketch
+    off a sample; at full volume swap in the mergeable quantile sketch
+    (quantile_sketch) for the boundaries and keep this exact form as the
+    oracle, the same exact/approx pairing the sketch tier uses throughout.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.select(
+        "o_totalprice", F.ntile(EQUI_DEPTH_BUCKETS).over(w).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
 ANOMALY_Z = 2.0
 
 
@@ -502,6 +528,7 @@ QUERIES = {
     "data_quality_checks": data_quality_checks,
     "ewma_user_value": ewma_user_value,
     "anomaly_days": anomaly_days,
+    "equi_depth_histogram": equi_depth_histogram,
 }
 
 def _ewma_oracle() -> str:
@@ -522,6 +549,19 @@ def _ewma_oracle() -> str:
 
 
 ORACLES = {
+    "equi_depth_histogram": f"""
+        WITH b AS (
+            SELECT o_totalprice,
+                   ntile({EQUI_DEPTH_BUCKETS}) OVER (
+                       ORDER BY o_totalprice, o_orderkey) AS bucket
+            FROM orders
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM b GROUP BY bucket
+    """,
     "anomaly_days": f"""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day,

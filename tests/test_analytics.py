@@ -148,3 +148,13 @@ def test_anomaly_days_zscores_are_standardized(spark):
         assert abs(sum(zs) / len(zs)) < 0.01
         for r in rs:
             assert r.is_anomaly == (abs(r.z_score) >= A.ANOMALY_Z)
+
+
+def test_equi_depth_buckets_balanced_and_ordered(spark):
+    rows = sorted(A.equi_depth_histogram(spark, SF_SMALL).collect(),
+                  key=lambda r: r.bucket)
+    assert len(rows) == A.EQUI_DEPTH_BUCKETS
+    counts = [r.n_rows for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile depth balance
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi <= cur.lo + 1e-9  # boundaries ascend
