@@ -26,6 +26,7 @@ from cdc_streamming___v2_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "scd2_latest_state",
     "scd2_as_of",
+    "scd2_join_as_of",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

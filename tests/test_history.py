@@ -61,3 +61,34 @@ def test_latest_state_tiebreaker_deterministic(spark):
     df = spark.createDataFrame(rows)
     out = latest_state(df, keys=["id"], tiebreakers=["seq"]).collect()
     assert len(out) == 1 and out[0].name == "y"
+
+
+def test_scd2_join_as_of_is_time_consistent(spark):
+    """Every output pair must be each stream's own as-of state: both sides
+    at or before the cut, neither side tombstoned, and exactly the newest
+    row of its verb set per user."""
+    from cdc_streamming___v2_spark.operators import scd2_queries as SQ
+    from cdc_streamming___v2_spark.sources.tables import load_table
+    import datetime
+
+    rows = SQ.scd2_join_as_of(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    cut = datetime.datetime.fromisoformat(SQ.AS_OF_TS)
+    e = load_table(spark, "/root/testdata/sf0.001", "events").collect()
+    by_user: dict[int, list] = {}
+    for r in e:
+        by_user.setdefault(r.user_id, []).append(r)
+    for r in rows:
+        assert r.a_ts <= cut and r.b_ts <= cut
+        assert r.a_type in SQ._STREAM_A and r.b_type in SQ._STREAM_B
+        # newest eligible row of each verb set (incl. tombstones) wins
+        for verbs, (eid, ts) in (
+            (SQ._STREAM_A, (r.a_event_id, r.a_ts)),
+            (SQ._STREAM_B, (r.b_event_id, r.b_ts)),
+        ):
+            elig = [
+                x for x in by_user[r.user_id]
+                if x.ts <= cut and x.event_type in verbs + SQ._TOMBSTONE
+            ]
+            newest = max(elig, key=lambda x: (x.ts, x.event_id))
+            assert (newest.event_id, newest.ts) == (eid, ts)
