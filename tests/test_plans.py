@@ -72,6 +72,33 @@ def test_embedding_near_dup_banded_not_cartesian(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
 
 
+def test_round2_ops_never_plan_cartesian(spark):
+    """Blanket plan audit for the round-2 operators: none may contain a
+    CartesianProduct node (the 1-row scalar broadcasts plan as BNLJ, which
+    is fine and excluded from this check)."""
+    from cdc_streamming___v2_spark.operators import analytics as A2
+    from cdc_streamming___v2_spark.operators import dedup as D2
+    from cdc_streamming___v2_spark.operators import graph as G2
+    from cdc_streamming___v2_spark.operators import scd2_queries as SQ2
+    from cdc_streamming___v2_spark.operators import sketches as K2
+    from cdc_streamming___v2_spark.operators import text_analysis as T2
+
+    for fn in (
+        D2.jaccard_prefix_join,
+        D2.incremental_near_dup,
+        G2.triangle_count,
+        T2.lm_bigram_quality,
+        K2.hll_merge_groups,
+        K2.rolling_distinct_users,
+        A2.anomaly_days,
+        A2.data_quality_checks,
+        A2.ewma_user_value,
+        SQ2.scd2_join_as_of,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
 def test_pagerank_edge_build_broadcasts_dims(spark):
     """The lineitem-sized edge build must broadcast the fixed-cardinality
     supplier/customer key maps; power-iteration rounds must never plan a
