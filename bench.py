@@ -101,6 +101,7 @@ HEADLINE = [
     "anomaly_days",
     "rolling_distinct_users",
     "equi_depth_histogram",
+    "interarrival_gaps",
 ]
 
 

@@ -385,6 +385,40 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: the lag between a
+    user's consecutive events of each type, summarized as exact p50/p90/
+    p99 plus mean — the load model capacity planning reads off a stream.
+
+    Scale: one (type, user)-partitioned sort window computes the lags;
+    the percentile agg shuffles gap rows at (type) cardinality with
+    map-side partial aggregation. At extreme volume the exact percentile
+    swaps for the mergeable histogram sketch (quantile_sketch) — same
+    exact/approx pairing the sketch tier documents.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        F.col("es"), F.col("event_id")
+    )
+    gaps = (
+        e.select(
+            "event_type",
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("es"),
+        )
+        .withColumn("gap_s", F.col("es") - F.lag("es").over(w))
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_s"),
+        F.round(F.expr("percentile(gap_s, 0.99)"), 2).alias("p99_s"),
+        F.round(F.avg("gap_s"), 2).alias("mean_s"),
+    )
+
+
 EQUI_DEPTH_BUCKETS = 16
 
 
@@ -529,6 +563,7 @@ QUERIES = {
     "ewma_user_value": ewma_user_value,
     "anomaly_days": anomaly_days,
     "equi_depth_histogram": equi_depth_histogram,
+    "interarrival_gaps": interarrival_gaps,
 }
 
 def _ewma_oracle() -> str:
@@ -549,6 +584,25 @@ def _ewma_oracle() -> str:
 
 
 ORACLES = {
+    "interarrival_gaps": """
+        WITH g AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY event_type, user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+                       AS gap_s
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               round(quantile_cont(gap_s, 0.5), 2) AS p50_s,
+               round(quantile_cont(gap_s, 0.9), 2) AS p90_s,
+               round(quantile_cont(gap_s, 0.99), 2) AS p99_s,
+               round(avg(gap_s), 2) AS mean_s
+        FROM g WHERE gap_s IS NOT NULL
+        GROUP BY event_type
+    """,
     "equi_depth_histogram": f"""
         WITH b AS (
             SELECT o_totalprice,

@@ -158,3 +158,12 @@ def test_equi_depth_buckets_balanced_and_ordered(spark):
     assert max(counts) - min(counts) <= 1  # ntile depth balance
     for prev, cur in zip(rows, rows[1:]):
         assert prev.hi <= cur.lo + 1e-9  # boundaries ascend
+
+
+def test_interarrival_gap_percentiles_ordered(spark):
+    rows = A.interarrival_gaps(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps > 0
+        assert 0 <= r.p50_s <= r.p90_s <= r.p99_s
+        assert r.mean_s > 0
