@@ -102,6 +102,7 @@ HEADLINE = [
     "rolling_distinct_users",
     "equi_depth_histogram",
     "interarrival_gaps",
+    "revenue_gini",
 ]
 
 

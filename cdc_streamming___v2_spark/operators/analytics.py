@@ -385,6 +385,71 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GINI_BUCKET = 25000.0  # revenue-bucket width for the distributed rank
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    concentration measure behind "top x% of customers drive y% of
+    revenue" analyses.  G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n with x
+    ascending, which needs every customer's GLOBAL rank within its
+    segment.
+
+    The rank is computed the scale-safe way (same two-pass decomposition
+    as peak_concurrency / pareto_frontier): in-bucket row_number
+    partitioned by (segment, revenue bucket), plus per-bucket cumulative
+    offsets from a bucket-cardinality frame — never a one-task
+    whole-segment sort window.  The oracle runs exactly that naive
+    per-segment window, so the hash match is the equivalence proof.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "c_custkey", "rev")
+    )
+    b = rev.withColumn(
+        "bkt", F.floor(F.col("rev") / GINI_BUCKET).cast("long")
+    )
+    win_in = Window.partitionBy("c_mktsegment", "bkt").orderBy(
+        "rev", "c_custkey"
+    )
+    in_rank = b.withColumn("r_in", F.row_number().over(win_in))
+    counts = b.groupBy("c_mktsegment", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("c_mktsegment", "bkt", "off")
+    ranked = in_rank.join(F.broadcast(offsets), ["c_mktsegment", "bkt"]).select(
+        "c_mktsegment", "rev", (F.col("off") + F.col("r_in")).alias("rk")
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("rev"), 2).alias("total_revenue"),
+            F.sum(F.col("rk") * F.col("rev")).alias("wsum"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "total_revenue",
+            F.round(
+                2.0 * F.col("wsum")
+                / (F.col("n_customers") * F.col("total_revenue"))
+                - (F.col("n_customers") + 1) / F.col("n_customers"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
 def interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival-time distribution per event type: the lag between a
     user's consecutive events of each type, summarized as exact p50/p90/
@@ -564,6 +629,7 @@ QUERIES = {
     "anomaly_days": anomaly_days,
     "equi_depth_histogram": equi_depth_histogram,
     "interarrival_gaps": interarrival_gaps,
+    "revenue_gini": revenue_gini,
 }
 
 def _ewma_oracle() -> str:
@@ -584,6 +650,27 @@ def _ewma_oracle() -> str:
 
 
 ORACLES = {
+    "revenue_gini": """
+        WITH rev AS (
+            SELECT c.c_mktsegment, c.c_custkey,
+                   round(sum(o.o_totalprice), 2) AS rev
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT c_mktsegment, rev,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY rev, c_custkey) AS rk
+            FROM rev
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(rev), 2) AS total_revenue,
+               round(2.0 * sum(rk * rev) / (count(*) * round(sum(rev), 2))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM ranked
+        GROUP BY c_mktsegment
+    """,
     "interarrival_gaps": """
         WITH g AS (
             SELECT event_type,
