@@ -103,6 +103,7 @@ HEADLINE = [
     "equi_depth_histogram",
     "interarrival_gaps",
     "revenue_gini",
+    "doc_novelty",
 ]
 
 

@@ -113,6 +113,36 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty/diversity signal: the fraction of a document's word
+    trigrams that appear NOWHERE else in the corpus (df = 1), plus the
+    mean document frequency of its shingles — boilerplate scores low
+    novelty / high mean-df, original text the reverse.  The selection
+    signal diversity-aware corpus builders rank on next to quality.
+
+    Scale: one shingle-cardinality df agg joined back to the exploded
+    shingle frame (equi-join on the shingle), then a per-doc agg — the
+    same two-shuffle shape as tfidf_top_terms.
+    """
+    from ..sources.tables import exploded_shingles
+    from ..sources.tables import load_table as _lt
+
+    sh = exploded_shingles(_lt(spark, sf_dir, "documents"))
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).cast("bigint").alias("n_unique"),
+            F.round(
+                F.sum((F.col("df") == 1).cast("long")) / F.count(F.lit(1)), 4
+            ).alias("novelty"),
+            F.round(F.avg("df"), 4).alias("mean_df"),
+        )
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language heuristic: argmax of per-language hit counts
     with fixed precedence (en > fr > de > es, ties to earlier)."""
@@ -233,6 +263,25 @@ ORACLES = {
         CROSS JOIN v
         GROUP BY b.doc_id
     """,
+    "doc_novelty": """
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> array_to_string(w[i:i+2], ' ')))) AS s
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents)
+        ),
+        dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS novelty,
+               round(avg(df), 4) AS mean_df
+        FROM sh JOIN dfc USING (s)
+        GROUP BY doc_id
+    """,
     "lang_id": _lang_id_sql(),
     "doc_fingerprint": """
         SELECT doc_id,
@@ -249,6 +298,7 @@ QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
     "lm_bigram_quality": lm_bigram_quality,
+    "doc_novelty": doc_novelty,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
 }

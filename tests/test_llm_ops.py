@@ -413,3 +413,16 @@ def test_prefix_join_exactly_matches_uncapped_bruteforce(spark):
     }
     assert want  # non-vacuous at sf0.001
     assert got == want
+
+
+def test_doc_novelty_consistent_with_df(spark):
+    """novelty = n_unique/n_shingles, and mean_df >= 1 with equality only
+    when every shingle is unique (then novelty == 1)."""
+    rows = T.doc_novelty(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert abs(r.novelty - round(r.n_unique / r.n_shingles, 4)) < 1e-9
+        assert r.mean_df >= 1.0
+        if r.mean_df == 1.0:
+            assert r.novelty == 1.0
