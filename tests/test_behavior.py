@@ -81,6 +81,26 @@ def test_registry_rejects_duplicate_keys():
         entry._merge_registries([base, stray])
 
 
+def test_registry_gate_order_and_floor():
+    """Registration order IS the driver's evaluation order: the never-
+    driver-checked queries (VERDICT r2 #1) must lead, the registry must
+    not silently shrink, and every query keeps an oracle twin."""
+    import __spark_entry__ as entry
+
+    q, o = entry._registry()
+    names = list(q)
+    assert names[: len(entry._GATE_PRIORITY)] == list(entry._GATE_PRIORITY)
+    assert len(names) >= entry._MIN_QUERIES
+    assert set(o) == set(names)  # zero rows-only checks
+
+    # hard failure (not silent shrink) when a priority name disappears
+    import pytest
+
+    trimmed = {k: v for k, v in q.items() if k != entry._GATE_PRIORITY[0]}
+    with pytest.raises(ValueError, match="unknown queries"):
+        entry._gate_order(trimmed)
+
+
 def test_triangle_membership_consistency(spark):
     """Each triangle contributes exactly 3 memberships, so per-node counts
     must sum to 3x the global total."""
