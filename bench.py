@@ -107,12 +107,18 @@ HEADLINE = [
 ]
 
 
-def _bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, int]:
+def _bench_cdc_ingest(
+    spark, sf_dir: str, source_format: str = "file"
+) -> tuple[float, int]:
     """End-to-end CDC ingest throughput: envelope NDJSON (synthesized from
     orders, written untimed) -> streaming parse/route/append via CdcIngest
     with availableNow. Returns (wall seconds, rows ingested). The reference
     pays >= 1 GCS schema download + 1 single-row BigQuery load job PER
-    RECORD here (SURVEY.md §4) — this is the headline CDC comparison."""
+    RECORD here (SURVEY.md §4) — this is the headline CDC comparison.
+
+    ``source_format="kafka-mock"`` measures the Kafka-format twin: the same
+    files presented as Kafka-shaped binary record values, through the
+    identical bytes->string decode hop (no broker in this container)."""
     import shutil
     import tempfile
 
@@ -176,6 +182,7 @@ def _bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, int]:
             output_dir=os.path.join(work, "out"),
             checkpoint_dir=os.path.join(work, "ckpt"),
             partition_granularity="month",
+            source_format=source_format,
         )
         t0 = time.time()
         ingest.run_available_single_pass()
@@ -184,6 +191,18 @@ def _bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, int]:
         return wall, n_rows
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _bench_cdc_ingest_kafka_format(spark, sf_dir: str) -> dict:
+    """Kafka-format ingest twin (VERDICT r2 #8): same envelopes, presented
+    as Kafka record values (binary) through the identical decode+parse+route
+    plan, via the broker-less kafka-mock source."""
+    wall, rows = _bench_cdc_ingest(spark, sf_dir, source_format="kafka-mock")
+    return {
+        "rows": rows,
+        "wall_s": round(wall, 3),
+        "rows_per_s": round(rows / wall),
+    }
 
 
 def main() -> None:
@@ -215,24 +234,32 @@ def main() -> None:
     total = round(sum(per_query.values()), 3)
 
     cdc_wall, cdc_rows = _bench_cdc_ingest(spark, sf_dir)
+    cdc_kafka = _bench_cdc_ingest_kafka_format(spark, sf_dir)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "cdc_ingest": {
-                    "rows": cdc_rows,
-                    "wall_s": round(cdc_wall, 3),
-                    "rows_per_s": round(cdc_rows / cdc_wall),
-                },
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cdc_ingest": {
+            "rows": cdc_rows,
+            "wall_s": round(cdc_wall, 3),
+            "rows_per_s": round(cdc_rows / cdc_wall),
+        },
+        "cdc_ingest_kafka_format": cdc_kafka,
+    }
+    line = json.dumps(result)
+    # The driver scrapes a (possibly truncated) stdout tail; BENCH_r02 came
+    # back "parsed: null" because Spark progress output swamped it. Belt and
+    # braces: persist the JSON next to the script AND print it as the final
+    # stdout line, flushed.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_results.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -121,6 +121,24 @@ class CdcIngest:
                 )
             # bytes -> UTF-8 string: the reference's decode hop (py:139)
             return reader.load().select(F.col("value").cast("string").alias("value"))
+        if self.source_format == "kafka-mock":
+            # Broker-less stand-in for the Kafka path: stream the same NDJSON
+            # files but present each record as a Kafka-shaped binary ``value``
+            # and run the identical bytes -> UTF-8 decode hop. Exists so the
+            # Kafka-format plan has a measurable throughput twin (bench.py)
+            # in environments without a broker/connector; everything from the
+            # decode on is byte-for-byte the kafka branch above.
+            reader = self.spark.readStream.format("text")
+            if self.max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+            kafka_shaped = reader.load(self.input_dir).select(
+                F.encode(F.col("value"), "UTF-8").alias("value")
+            )
+            return kafka_shaped.select(
+                F.col("value").cast("string").alias("value")
+            )
         if self.source_format != "file":
             raise ValueError(f"unknown source_format: {self.source_format!r}")
         reader = self.spark.readStream.format("text")
@@ -419,7 +437,8 @@ def main(argv: list[str] | None = None) -> int:
                    default="stream",
                    help="stream: run until interrupted; available-now: "
                    "drain current input, then exit (backfill_all analogue)")
-    p.add_argument("--source-format", choices=["file", "kafka"], default="file")
+    p.add_argument("--source-format", choices=["file", "kafka", "kafka-mock"],
+                   default="file")
     p.add_argument("--kafka-option", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="repeatable; e.g. kafka.bootstrap.servers=..., "

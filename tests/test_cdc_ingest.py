@@ -230,6 +230,32 @@ def test_kafka_batch_twin_matches_file_source(spark, ingested):
     assert got == want
 
 
+def test_kafka_mock_e2e_matches_file_source(spark, ingested, tmp_path):
+    """kafka-mock streams the same files but presents each record as a
+    Kafka-shaped binary value through the real decode hop; e2e history
+    must equal the file-source ingest exactly."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "batch1.jsonl"), "w") as f:
+        f.write("\n".join(LINES[:4]) + "\n")
+    with gzip.open(os.path.join(in_dir, "batch2.jsonl.gz"), "wt") as f:
+        f.write("\n".join(LINES[4:]) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        source_format="kafka-mock",
+    )
+    ing.run_available()
+    for obj in ("olist_produtos", "olist_users"):
+        key = lambda r: tuple(str(v) for v in r)
+        got = sorted(map(key, ing.history(obj).collect()))
+        want = sorted(map(key, ingested.history(obj).collect()))
+        assert got == want
+
+
 def test_kafka_reader_gated_on_connector(spark, tmp_path):
     """With source_format='kafka' the reader builds the standard Kafka source;
     in this container the connector jar is absent, so materializing the plan
