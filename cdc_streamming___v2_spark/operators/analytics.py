@@ -485,28 +485,66 @@ def interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EQUI_DEPTH_BUCKETS = 16
+EQUI_DEPTH_RANGE_BUCKET = 25000.0  # price-range width for the two-pass rank
 
 
 def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram of order totals: ntile over a total order
-    (price, orderkey tiebreak) gives buckets of near-equal row count with
-    data-driven boundaries — the histogram optimizers keep for selectivity
-    estimation (complements the fixed-WIDTH price_histogram).
+    """Equi-DEPTH histogram of order totals: ntile semantics over a total
+    order (price, orderkey tiebreak) gives buckets of near-equal row count
+    with data-driven boundaries — the histogram optimizers keep for
+    selectivity estimation (complements the fixed-WIDTH price_histogram).
 
-    Scale: ntile needs a global sort — fine for building a stats sketch
-    off a sample; at full volume swap in the mergeable quantile sketch
-    (quantile_sketch) for the boundaries and keep this exact form as the
-    oracle, the same exact/approx pairing the sketch tier uses throughout.
+    Scale (VERDICT r2 #3 de-weakening): NO global ntile window — the global
+    rank comes from the same two-pass decomposition as revenue_gini /
+    peak_concurrency: in-bucket row_number partitioned by a fixed price
+    range bucket, plus broadcast per-bucket cumulative offsets from a
+    bucket-cardinality frame. ntile's exact fill rule (first N mod B
+    buckets take one extra row) is then per-row arithmetic on the rank.
+    The oracle runs the naive global ntile, so the hash match is the
+    equivalence proof. Under extreme price skew the fixed-width range
+    bucketing degrades; the adaptive fix is seeding range boundaries from
+    the mergeable quantile_sketch (operators/sketches.py) — bucketing
+    choice only affects partition balance, never the result.
     """
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    b = o.select(
-        "o_totalprice", F.ntile(EQUI_DEPTH_BUCKETS).over(w).alias("bucket")
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    b = o.withColumn(
+        "rbkt", F.floor(F.col("o_totalprice") / EQUI_DEPTH_RANGE_BUCKET).cast("long")
     )
-    return b.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.round(F.min("o_totalprice"), 2).alias("lo"),
-        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    win_in = Window.partitionBy("rbkt").orderBy("o_totalprice", "o_orderkey")
+    in_rank = b.withColumn("r_in", F.row_number().over(win_in))
+    counts = b.groupBy("rbkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("rbkt").rowsBetween(Window.unboundedPreceding, -1)
+    # offsets/total live on the bucket-cardinality frame (dozens of rows)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("rbkt", "off")
+    total = counts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    ranked = (
+        in_rank.join(F.broadcast(offsets), "rbkt")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_totalprice",
+            "n_total",
+            (F.col("off") + F.col("r_in")).alias("rk"),
+        )
+    )
+    # ntile(B): q = N div B rows everywhere, first m = N mod B buckets get
+    # one extra; rank -> bucket is closed-form on those scalars
+    B = EQUI_DEPTH_BUCKETS
+    q = (F.col("n_total") / B).cast("long")
+    m = F.col("n_total") % B
+    big = m * (q + 1)  # rows living in the size-(q+1) head buckets
+    bucket = F.when(
+        F.col("rk") <= big, ((F.col("rk") - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(m + ((F.col("rk") - big - 1) / q).cast("long") + 1)
+    return (
+        ranked.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
     )
 
 
