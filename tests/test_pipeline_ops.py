@@ -38,6 +38,24 @@ def test_dedup_clusters_labels_are_component_minima(spark):
         assert len(members) >= 2  # singletons are not near-dup nodes
 
 
+def test_connected_components_logarithmic_rounds(spark):
+    """VERDICT r2 #4: pointer-doubling bounds CC rounds at O(log diameter).
+    A 64-node path graph has diameter 63 — plain label propagation needs 63
+    rounds; with the shortcut the fixpoint (plus its one detection round)
+    must land within ceil(log2 n) + 1."""
+    import math
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = P.connected_components(spark, pairs)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.label == 0 for r in rows)  # one component, min node 0
+    assert rounds <= math.ceil(math.log2(n)) + 1
+
+
 def test_doc_chunks_cover_and_overlap(spark):
     rows = P.doc_chunks(spark, SF_SMALL).collect()
     by_doc: dict[int, list] = {}
