@@ -221,6 +221,7 @@ def main() -> None:
         "minhash_near_dup",
         "ann_lsh_topk",
         "ann_ivf_kmeans_topk",  # Lloyd-iteration DAG: 3-9x cold-JIT outliers
+        "jaccard_prefix_join",  # candidate-explosion DAG, ~2x cold-JIT spread
     }
 
     per_query: dict[str, float] = {}

@@ -152,31 +152,73 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix (except for degenerate tiny sets) — hub fan-out dies without
     giving up exactness.  Costs one df agg (shuffle at distinct-shingle
     cardinality), one per-doc sort window, the prefix equi-join, and a
-    candidate-only verify, all hash-partitionable.  Measured at sf0.01:
-    11,533 distinct candidate pairs from the full shingle self-join vs
-    977 via the prefix filter (11.8x fewer), identical 25-row result.
+    candidate-only verify, all hash-partitionable.
+
+    On top of the prefix filter, the PPJoin LENGTH and POSITION filters
+    (VERDICT r2 #5) prune candidates before the verify join:
+    - length: jaccard >= t forces t*na <= nb <= na/t, a join-time predicate
+      on the two set sizes;
+    - position: for the FIRST joint-prefix common token at ranks (i, j),
+      no common token precedes it on either side (both lists sort by the
+      same (df, s) total order, so an earlier common token would itself be
+      an earlier joint-prefix match), hence overlap <= 1 + min(na-i, nb-j);
+      requiring that bound >= ceil(t/(1+t)*(na+nb)) per matching token is
+      therefore lossless under the join's existential semantics.
+    Both bounds relax by 1e-9 before ceil/floor so float noise on exact
+    integers can never round a true pair out.  The oracle stays plain
+    brute-force jaccard — the hash match proves losslessness end-to-end.
+    Measured at sf0.01: 11,533 distinct candidate pairs from the full
+    shingle self-join vs 977 via the prefix filter alone vs 27 with the
+    length+position filters (the true result has 25 pairs — the filters
+    leave almost nothing for the verify join), identical 25-row result.
+
+    Physical notes: shingles key to 64-bit md5 longs up front (8-byte join
+    keys and long-array intersects instead of ~30-char strings; a key
+    collision needs ~2^32 distinct shingles to become likely, and even at
+    corpus scales where a handful occur the effect is one candidate pair's
+    overlap count off by one — swap in a dictionary id for strict
+    exactness there). The plan is deliberately LAZY end-to-end: no
+    persist/checkpoint barriers, so AQE schedules the whole DAG in one
+    query and nothing is left cached behind the returned frame. The rank
+    and set-size windows share one doc_id exchange; the verify set frame
+    is corpus-wide but array-valued, joined by doc id — every step
+    hash-partitionable, no driver-side state.
     """
-    sh = _shingles(spark, sf_dir)
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(df_counts, "s").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "s")
-        ),
+    t = JACCARD_THRESHOLD
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", md5_hash_long(F.col("s")).alias("s")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    prefix_len = F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
-    prefix = (
-        ranked.join(sizes, "doc_id")
-        .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "s")
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # rank and set size from ONE doc_id-partitioned window pass (the count
+    # rides the same exchange as the sort), not a separate sizes agg + join
+    w_rk = Window.partitionBy("doc_id").orderBy("df", "s")
+    w_n = Window.partitionBy("doc_id")
+    ranked = sh.join(df_counts, "s").select(
+        "doc_id",
+        "s",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select(
+        "doc_id", "s", "rk", "n"
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    # minimum shared-shingle count for jaccard >= t (1e-9: never round up
+    # past an exactly-representable integer product)
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (na + nb) - F.lit(1e-9))
+    length_ok = (nb >= F.ceil(F.lit(t) * na - F.lit(1e-9))) & (
+        nb <= F.floor(na / F.lit(t) + F.lit(1e-9))
+    )
+    position_ok = 1 + F.least(na - F.col("a.rk"), nb - F.col("b.rk")) >= alpha
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_ok
+            & position_ok,
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
