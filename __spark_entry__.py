@@ -165,6 +165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure_existing(spark)
+            # the DataFrame-returning contract has no per-query teardown, so
+            # frames a previous query persisted (e.g. minhash's DISK_ONLY
+            # shingle spill) would accumulate for the session lifetime when
+            # the driver runs the whole registry in one session (ADVICE r2);
+            # evict them before each fresh build
+            spark.catalog.clearCache()
             return fn(spark, sf_dir)
 
         run.__name__ = fn.__name__

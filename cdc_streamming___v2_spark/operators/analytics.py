@@ -683,7 +683,7 @@ def _ewma_oracle() -> str:
                round({num} / {den}, 4) AS ewma
         FROM events
         WINDOW w AS (PARTITION BY user_id
-                     ORDER BY CAST(epoch(ts) AS BIGINT), event_id)
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
     """
 
 

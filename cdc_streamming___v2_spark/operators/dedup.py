@@ -880,10 +880,15 @@ def _deletion_variants(s) -> F.Column:
     Guarantee (standard symmetric-delete result): lev(a, b) <= 2 implies
     the two variant sets intersect — align the edits, delete each
     substituted position from both strings and each inserted character from
-    its own string; <= 2 deletions per side reach a common string."""
+    its own string; <= 2 deletions per side reach a common string.  The
+    empty string PARTICIPATES as a variant (deleting a 1-char string once,
+    or a 2-char string twice), so the guarantee holds for arbitrarily short
+    inputs too — 'a'~'b' (lev 1) and 'ab'~'cd' (lev 2) meet at "" (ADVICE
+    r2); short strings therefore block together via "", which only adds
+    candidates the bounded-lev kernel verifies away."""
     L = F.length(s)
     d1 = F.when(
-        L >= 2,
+        L >= 1,
         F.transform(
             F.sequence(F.lit(1), L),
             lambda i: F.concat(
@@ -891,8 +896,10 @@ def _deletion_variants(s) -> F.Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # L >= 2 guard also keeps sequence(i+1, L) ascending (Spark's sequence
+    # runs DESCENDING when start > stop, which would fabricate variants)
     d2 = F.when(
-        L >= 3,
+        L >= 2,
         F.flatten(
             F.transform(
                 F.sequence(F.lit(1), L - 1),

@@ -213,6 +213,9 @@ def test_symmetric_delete_blocking_is_lossless(spark):
     names = [
         "hot bolt", "hot bolts", "hod bolt", "cold plate", "old plate",
         "olden plate", "blue ring", "bluf rink", "ring", "rig", "ab", "b",
+        # the shapes whose alignment deletes down to "" (ADVICE r2):
+        # 'a'~'b' is lev 1, 'ab'~'cd' is lev 2 — both must block via ""
+        "a", "cd",
         "completely different thing",
     ]
     df = spark.createDataFrame(
