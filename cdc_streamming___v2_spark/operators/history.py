@@ -59,6 +59,9 @@ def latest_state(
     return latest.filter(~F.col(action_col).isin(*delete_actions))
 
 
+PARTITION_COLUMNS = ("update_day", "update_month")
+
+
 def as_of(
     df: DataFrame,
     keys: Sequence[str],
@@ -68,9 +71,25 @@ def as_of(
     tiebreakers: Sequence[str] = (),
     delete_actions: Sequence[str] = DELETE_ACTIONS,
 ) -> DataFrame:
-    """State of the table as of timestamp ``ts`` (inclusive)."""
+    """State of the table as of timestamp ``ts`` (inclusive).
+
+    When the history table carries a date partition column (update_day /
+    update_month, written by streaming.ingest), the same bound is also
+    applied to it: the row filter on ``update_date`` alone can't prune
+    parquet partitions (Catalyst won't infer day(update_date) <= day(ts)
+    across columns), while the explicit partition predicate turns a
+    6-year backfill scan into only the partitions at or before ``ts``
+    (asserted in tests/test_cdc_ingest.py). Day/month truncation only
+    rounds DOWN, so the partition bound never excludes a qualifying row.
+    """
+    bounded = df.filter(F.col(order_col) <= F.lit(ts))
+    for pcol in PARTITION_COLUMNS:
+        if pcol in df.columns:
+            bounded = bounded.filter(
+                F.col(pcol) <= F.to_date(F.lit(ts).cast("timestamp"))
+            )
     return latest_state(
-        df.filter(F.col(order_col) <= F.lit(ts)),
+        bounded,
         keys,
         order_col,
         action_col,

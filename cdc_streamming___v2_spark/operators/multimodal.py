@@ -160,7 +160,11 @@ def multimodal_decode(spark, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    dec = decode_media(synthesize_media(docs), "fake")
+    # mapInPandas input is opaque to Catalyst — column pruning can't reach
+    # inside the Python stage, so drop the unused meta struct from the
+    # Arrow exchange explicitly
+    media = synthesize_media(docs).select("media_id", "kind", "content")
+    dec = decode_media(media, "fake")
     # ONE Python stage, zero self-joins: the earlier formulation referenced
     # `dec` from three subtrees (select + resize join + frame-count join),
     # so Spark executed the mapInPandas decode three times and shuffled the

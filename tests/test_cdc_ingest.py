@@ -230,6 +230,22 @@ def test_kafka_batch_twin_matches_file_source(spark, ingested):
     assert got == want
 
 
+def test_as_of_prunes_history_partitions(ingested):
+    """VERDICT r2 #9: the SCD2 as_of path must reach the parquet scan as a
+    PARTITION filter on update_day (not just a row filter on update_date),
+    so a point-in-time query over a years-long partitioned history reads
+    only the partitions at or before the requested timestamp."""
+    hist = ingested.history("olist_produtos")
+    view = as_of(hist, ["product_id"], "2024-01-02T00:00:00Z")
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    scan = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "update_day" in scan.split("PartitionFilters", 1)[1][:200]
+    # and the filter actually prunes: the 2024-01-03 DELETE partition is
+    # not read, so p2 stays visible as of the 2nd
+    ids = {r.product_id for r in view.collect()}
+    assert ids == {"p1", "p2"}
+
+
 def test_kafka_mock_e2e_matches_file_source(spark, ingested, tmp_path):
     """kafka-mock streams the same files but presents each record as a
     Kafka-shaped binary value through the real decode hop; e2e history
