@@ -41,6 +41,7 @@ _MODULES = (
     "multimodal",
     "cdc_batch",
     "merge_ops",
+    "maintenance",
     "analytics",
     "relational",
     "relational_ext",
@@ -99,6 +100,8 @@ _GATE_PRIORITY = (
     "minhash_near_dup",
     "incremental_near_dup",
     # -- new round-3 operators append here as they land --
+    "incremental_agg_maintain",
+    "zorder_layout",
 )
 
 

@@ -1,0 +1,207 @@
+"""Warehouse-maintenance operators: incremental aggregate-view refresh and
+z-order data layout.
+
+These are the two table-maintenance jobs a CDC warehouse (the reference's
+deployment target — src/dataflow-cdc-stream.py writes append logs that
+downstream marts aggregate, README.md:57) runs on a schedule, expressed the
+way a 1000-executor cluster runs them:
+
+* ``incremental_agg_maintain`` — refresh a per-group aggregate
+  materialized view from yesterday's MV + today's delta batch, NEVER
+  rescanning the fact log. All maintained aggregates are mergeable
+  (count/sum/min/max; avg derived from sum/count), so refresh cost is
+  O(delta) + one join at touched-group cardinality. The oracle is the
+  full-log re-aggregation — equality proves the incremental algebra.
+* ``zorder_layout`` — multi-dimensional data clustering: interleave the
+  bits of two quantized dimensions (customer key x order date) into a
+  Z-value and pack rows into files by Z-range. Each file then covers a
+  small RECTANGLE in (custkey, date) space, so a scan filtered on EITHER
+  dimension prunes most files — the layout trick Delta/Iceberg OPTIMIZE
+  ZORDER runs. Output is the per-file extent report (the thing min/max
+  file statistics store); the oracle recomputes the same integer bit
+  arithmetic in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+MV_SPLIT_TS = "2024-01-20 00:00:00"  # base snapshot | delta batch boundary
+
+def _mv_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh the (user_id, event_type) aggregate MV incrementally: merge
+    the stored base aggregates (events up to MV_SPLIT_TS) with the delta
+    batch's aggregates (events after it) via a full-outer group join and
+    mergeable combine rules — count/sum add, min/max fold, avg re-derives.
+
+    At 100 TB the base agg IS the stored MV (group-cardinality-sized, not
+    fact-sized): the refresh scans only the delta partition (partition
+    pruning on ts), shuffles delta-group-cardinality rows, and the merge
+    join is keyed by group — the fact log is never re-read. The oracle
+    aggregates the full log directly; equality proves the merge algebra.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = _mv_agg(e.filter(F.col("ts") <= F.lit(MV_SPLIT_TS)))
+    delta = _mv_agg(e.filter(F.col("ts") > F.lit(MV_SPLIT_TS)))
+
+    keys = ["user_id", "event_type"]
+    b = base.select(*keys, *[F.col(c).alias(f"b_{c}") for c in
+                             ("n_events", "sum_value", "min_value", "max_value")])
+    d = delta.select(*keys, *[F.col(c).alias(f"d_{c}") for c in
+                              ("n_events", "sum_value", "min_value", "max_value")])
+    z = F.lit(0).cast("bigint")
+    merged = b.join(d, keys, "full").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        (F.coalesce("b_n_events", z) + F.coalesce("d_n_events", z))
+        .cast("bigint").alias("n_events"),
+        (F.coalesce("b_sum_value", F.lit(0.0))
+         + F.coalesce("d_sum_value", F.lit(0.0))).alias("sv"),
+        F.least("b_min_value", "d_min_value").alias("lo"),
+        F.greatest("b_max_value", "d_max_value").alias("hi"),
+    )
+    # least/greatest skip NULLs in both Spark and DuckDB, so a group seen
+    # on only one side folds correctly without special-casing
+    return merged.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round("sv", 2).alias("sum_value"),
+        F.round(F.col("sv") / F.col("n_events"), 6).alias("avg_value"),
+        F.round("lo", 2).alias("min_value"),
+        F.round("hi", 2).alias("max_value"),
+    )
+
+
+_MV_ORACLE = f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(sum(value) / count(*), 6) AS avg_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+
+Z_BITS = 4          # bits per dimension -> 16x16 grid, 256 Z-cells
+Z_CELLS_PER_FILE = 4  # file_id = z div 4 -> 64 target files
+
+
+def _interleave_expr(bx: str, by: str) -> str:
+    """SQL for the bit-interleaved Z-value — built once, shared verbatim by
+    the Spark plan and the DuckDB oracle so the arithmetic cannot drift.
+    Pure integer div/mod, exact in both engines."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({bx} div {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({by} div {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering report for orders over (o_custkey, o_orderdate):
+    quantize each dimension to 2^Z_BITS range buckets, interleave the bits
+    into a Z-value, assign files by Z-range, and report each file's row
+    count and per-dimension bucket extent. Low per-file extents are the
+    point: a predicate on either dimension alone prunes most files.
+
+    Scale: the quantization bounds come from one tiny agg (broadcast); the
+    Z-value is a narrow per-row map; the report is one shuffle at file
+    cardinality. The real write path is
+    ``df.repartitionByRange(N, "z").sortWithinPartitions("z").write`` —
+    range partitioning by Z is what produces the packed files; the report
+    here is the min/max statistics a lakehouse stores per file.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    bounds = o.agg(
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min("o_orderdate").alias("min_d"),
+        F.max("o_orderdate").alias("max_d"),
+    )
+    g = 1 << Z_BITS
+    q = o.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"(o_custkey - min_ck) * {g} div (max_ck - min_ck + 1)"
+        ).alias("bx"),
+        F.expr(
+            f"datediff(o_orderdate, min_d) * {g}"
+            f" div (datediff(max_d, min_d) + 1)"
+        ).alias("by"),
+    )
+    z = q.withColumn("z", F.expr(_interleave_expr("bx", "by")))
+    return (
+        z.withColumn("file_id", F.expr(f"z div {Z_CELLS_PER_FILE}").cast("int"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("bx").cast("int").alias("min_bx"),
+            F.max("bx").cast("int").alias("max_bx"),
+            F.min("by").cast("int").alias("min_by"),
+            F.max("by").cast("int").alias("max_by"),
+        )
+        .withColumn(
+            "extent_cells",
+            (
+                (F.col("max_bx") - F.col("min_bx") + 1)
+                * (F.col("max_by") - F.col("min_by") + 1)
+            ).cast("int"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    g = 1 << Z_BITS
+    # DuckDB: integer // is div; date_diff gives the day index
+    inter = _interleave_expr("bx", "by").replace(" div ", " // ")
+    return f"""
+        WITH bounds AS (
+            SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+                   min(o_orderdate) AS min_d, max(o_orderdate) AS max_d
+            FROM orders
+        ),
+        q AS (
+            SELECT (o_custkey - min_ck) * {g} // (max_ck - min_ck + 1) AS bx,
+                   date_diff('day', min_d, o_orderdate) * {g}
+                       // (date_diff('day', min_d, max_d) + 1) AS by
+            FROM orders, bounds
+        ),
+        zv AS (SELECT bx, by, {inter} AS z FROM q)
+        SELECT CAST(z // {Z_CELLS_PER_FILE} AS INT) AS file_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(bx) AS INT) AS min_bx, CAST(max(bx) AS INT) AS max_bx,
+               CAST(min(by) AS INT) AS min_by, CAST(max(by) AS INT) AS max_by,
+               CAST((max(bx) - min(bx) + 1) * (max(by) - min(by) + 1) AS INT)
+                   AS extent_cells
+        FROM zv
+        GROUP BY 1
+    """
+
+
+QUERIES = {
+    "incremental_agg_maintain": incremental_agg_maintain,
+    "zorder_layout": zorder_layout,
+}
+
+ORACLES = {
+    "incremental_agg_maintain": _MV_ORACLE,
+    "zorder_layout": _zorder_oracle(),
+}
