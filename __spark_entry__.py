@@ -102,6 +102,11 @@ _GATE_PRIORITY = (
     # -- new round-3 operators append here as they land --
     "incremental_agg_maintain",
     "zorder_layout",
+    "attribution_credit",
+    "trend_fit",
+    "mutual_information",
+    "winsorized_stats",
+    "bfs_hops",
 )
 
 

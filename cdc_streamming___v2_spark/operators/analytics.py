@@ -652,6 +652,182 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREND_EPOCH = "2024-01-01"  # day-index origin for the regression x axis
+
+
+def trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-volume trend line: OLS fit of daily event count
+    (and daily mean value) against the day index, via the closed-form
+    regression aggregates (regr_slope / regr_intercept / regr_r2) — the
+    capacity-forecast primitive ("is error volume growing?").
+
+    Scale: daily rollup is one shuffle with map-side partial aggregation
+    down to (type x day) cardinality; the regression aggregates then reduce
+    that tiny frame. regr_* are single-pass mergeable sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) — the textbook distributed-OLS decomposition, so the
+    same plan holds at any fact size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(TREND_EPOCH)).alias("day_x"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("y_cnt"),
+            F.avg("value").alias("y_val"),
+        )
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.regr_slope("y_cnt", F.col("day_x").cast("double")), 6).alias(
+            "cnt_slope"
+        ),
+        F.round(
+            F.regr_intercept("y_cnt", F.col("day_x").cast("double")), 6
+        ).alias("cnt_intercept"),
+        F.round(F.regr_r2("y_cnt", F.col("day_x").cast("double")), 6).alias(
+            "cnt_r2"
+        ),
+        F.round(F.regr_slope("y_val", F.col("day_x").cast("double")), 6).alias(
+            "val_slope"
+        ),
+    )
+
+
+MI_HOUR_BUCKET = 6  # joint distribution: event_type x 6-hour time-of-day band
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and time-of-day band (bits):
+    the feature-selection / drift-detection primitive — how much does WHEN
+    an event happens tell you WHAT it is? Emits each event type's partial
+    MI contribution plus the '__all__' total row.
+
+    Scale: one shuffle to the (type x band) joint-count table (map-side
+    combine; ~20 cells); marginals re-aggregate the joint table itself —
+    the fact log is scanned exactly once. Everything after the first agg
+    is broadcast-joined cell arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    joint = (
+        e.groupBy(
+            "event_type",
+            (F.hour("ts") / MI_HOUR_BUCKET).cast("int").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("nxy"))
+    )
+    mx = joint.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("band").agg(F.sum("nxy").alias("ny"))
+    nt = joint.agg(F.sum("nxy").alias("n"))
+    cells = (
+        joint.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "band")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "event_type",
+            (
+                (F.col("nxy") / F.col("n"))
+                * F.log2(F.col("nxy") * F.col("n") / (F.col("nx") * F.col("ny")))
+            ).alias("mi_term"),
+            (F.col("nxy") / F.col("n")).alias("pxy"),
+        )
+    )
+    per_type = cells.groupBy("event_type").agg(
+        F.round(F.sum("mi_term"), 6).alias("mi_bits"),
+        F.round(F.sum("pxy"), 6).alias("p_x"),
+    )
+    total = cells.agg(
+        F.round(F.sum("mi_term"), 6).alias("mi_bits"),
+        F.round(F.sum("pxy"), 6).alias("p_x"),
+    ).select(F.lit("__all__").alias("event_type"), "mi_bits", "p_x")
+    return per_type.unionByName(total)
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+WINSOR_BUCKET = 10.0  # value-range width for the two-pass rank
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: exact p05/p95 value boundaries per
+    event type, then mean/stddev of values clipped to [p05, p95] plus clip
+    counts — the outlier-robust summary a metrics pipeline publishes.
+
+    Scale: exact per-group quantiles WITHOUT a whole-group sort window or
+    an in-memory percentile agg — the same two-pass global-rank
+    decomposition as equi_depth_histogram (in-bucket row_number within
+    fixed value-range buckets + broadcast cumulative bucket offsets), then
+    only the 2 boundary-adjacent rows per quantile leave the executors.
+    Boundaries broadcast back for the clipped re-aggregation (one more
+    map-side-combined pass). The oracle is DuckDB's quantile_cont — the
+    naive in-memory formulation — so the hash match proves the rank
+    decomposition reproduces interpolated quantiles exactly.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    b = e.withColumn("rbkt", F.floor(F.col("value") / WINSOR_BUCKET).cast("long"))
+    win_in = Window.partitionBy("event_type", "rbkt").orderBy("value", "event_id")
+    in_rank = b.withColumn("r_in", F.row_number().over(win_in))
+    counts = b.groupBy("event_type", "rbkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("rbkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("event_type", "rbkt", "off")
+    totals = counts.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    ranked = (
+        in_rank.join(F.broadcast(offsets), ["event_type", "rbkt"])
+        .join(F.broadcast(totals), "event_type")
+        .select("event_type", "value", "n", (F.col("off") + F.col("r_in")).alias("rk"))
+    )
+    # interpolated quantile q: 1-based position k = 1 + q*(n-1); only the
+    # floor(k)/ceil(k) rows matter — one filter keeps the (at most 4)
+    # boundary rows per group, one agg pivots and interpolates
+    k05 = 1 + F.lit(WINSOR_LO) * (F.col("n") - 1)
+    k95 = 1 + F.lit(WINSOR_HI) * (F.col("n") - 1)
+    kb = ranked.withColumn("k05", k05).withColumn("k95", k95)
+
+    def _interp(kcol: str) -> F.Column:
+        vlo = F.max(F.when(F.col("rk") == F.floor(F.col(kcol)), F.col("value")))
+        vhi = F.max(F.when(F.col("rk") == F.ceil(F.col(kcol)), F.col("value")))
+        frac = (F.first(kcol) - F.floor(F.first(kcol))).cast("double")
+        return F.round(vlo + frac * (vhi - vlo), 6)
+
+    bounds = (
+        kb.filter(
+            (F.col("rk") == F.floor(k05))
+            | (F.col("rk") == F.ceil(k05))
+            | (F.col("rk") == F.floor(k95))
+            | (F.col("rk") == F.ceil(k95))
+        )
+        .groupBy("event_type")
+        .agg(_interp("k05").alias("p05"), _interp("k95").alias("p95"))
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("cv"),
+        (F.col("value") < F.col("p05")).cast("long").alias("clip_lo"),
+        (F.col("value") > F.col("p95")).cast("long").alias("clip_hi"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.first("p05").alias("p05"),
+        F.first("p95").alias("p95"),
+        F.round(F.avg("cv"), 6).alias("winsor_mean"),
+        F.round(F.stddev("cv"), 6).alias("winsor_std"),
+        F.sum("clip_lo").cast("bigint").alias("n_clipped_lo"),
+        F.sum("clip_hi").cast("bigint").alias("n_clipped_hi"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -668,6 +844,9 @@ QUERIES = {
     "equi_depth_histogram": equi_depth_histogram,
     "interarrival_gaps": interarrival_gaps,
     "revenue_gini": revenue_gini,
+    "trend_fit": trend_fit,
+    "mutual_information": mutual_information,
+    "winsorized_stats": winsorized_stats,
 }
 
 def _ewma_oracle() -> str:
@@ -688,6 +867,69 @@ def _ewma_oracle() -> str:
 
 
 ORACLES = {
+    "trend_fit": f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '{TREND_EPOCH}',
+                             CAST(ts AS DATE)) AS day_x,
+                   CAST(count(*) AS DOUBLE) AS y_cnt,
+                   avg(value) AS y_val
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(regr_slope(y_cnt, CAST(day_x AS DOUBLE)), 6) AS cnt_slope,
+               round(regr_intercept(y_cnt, CAST(day_x AS DOUBLE)), 6)
+                   AS cnt_intercept,
+               round(regr_r2(y_cnt, CAST(day_x AS DOUBLE)), 6) AS cnt_r2,
+               round(regr_slope(y_val, CAST(day_x AS DOUBLE)), 6) AS val_slope
+        FROM daily GROUP BY 1
+    """,
+    "mutual_information": f"""
+        WITH joint AS (
+            SELECT event_type, hour(ts) // {MI_HOUR_BUCKET} AS band,
+                   CAST(count(*) AS DOUBLE) AS nxy
+            FROM events GROUP BY 1, 2
+        ),
+        marg_x AS (SELECT event_type, sum(nxy) AS nx FROM joint GROUP BY 1),
+        marg_y AS (SELECT band, sum(nxy) AS ny FROM joint GROUP BY 1),
+        tot AS (SELECT sum(nxy) AS n FROM joint),
+        cells AS (
+            SELECT j.event_type,
+                   (nxy / n) * log2(nxy * n / (nx * ny)) AS mi_term,
+                   nxy / n AS pxy
+            FROM joint j
+            JOIN marg_x USING (event_type)
+            JOIN marg_y USING (band)
+            CROSS JOIN tot
+        )
+        SELECT event_type, round(sum(mi_term), 6) AS mi_bits,
+               round(sum(pxy), 6) AS p_x
+        FROM cells GROUP BY 1
+        UNION ALL
+        SELECT '__all__', round(sum(mi_term), 6), round(sum(pxy), 6)
+        FROM cells
+    """,
+    "winsorized_stats": f"""
+        WITH b AS (
+            SELECT event_type,
+                   round(quantile_cont(value, {WINSOR_LO}), 6) AS p05,
+                   round(quantile_cont(value, {WINSOR_HI}), 6) AS p95
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(p05) AS p05,
+               min(p95) AS p95,
+               round(avg(least(greatest(value, p05), p95)), 6) AS winsor_mean,
+               round(stddev(least(greatest(value, p05), p95)), 6) AS winsor_std,
+               CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_lo,
+               CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_hi
+        FROM events e JOIN b USING (event_type)
+        GROUP BY 1
+    """,
     "revenue_gini": """
         WITH rev AS (
             SELECT c.c_mktsegment, c.c_custkey,

@@ -103,7 +103,102 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_TOUCH_TYPES = ("click", "view", "signup")  # attributable marketing touches
+
+
+def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch purchase attribution: for every purchase,
+    the earliest and the most recent preceding touch event (click / view /
+    signup) in the user's history decide which channel gets credit; credit
+    and revenue are then rolled up per channel. Purchases with no prior
+    touch land in the '(none)' bucket — the direct-traffic line every
+    attribution report carries.
+
+    Plan: ONE user-partitioned sort window computes both touches via
+    first/last(ignorenulls) over an unbounded-preceding-to-previous-row
+    frame (no self-join against the touch history); the two per-channel
+    rollups are channel-cardinality-sized and merge with a tiny full-outer
+    join. At 100 TB the only wide shuffle is the window's
+    partitionBy(user_id) — same key the funnel/markov tier shuffles on.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type"))
+    purchases = (
+        e.withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce("first_touch", F.lit("(none)")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("(none)")).alias("last_touch"),
+            "value",
+        )
+    )
+    ft = purchases.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("first_touch_purchases"),
+        F.round(F.sum("value"), 2).alias("first_touch_revenue"),
+    )
+    lt = purchases.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("last_touch_purchases"),
+        F.round(F.sum("value"), 2).alias("last_touch_revenue"),
+    )
+    zl = F.lit(0).cast("bigint")
+    return ft.join(lt, "channel", "full").select(
+        "channel",
+        F.coalesce("first_touch_purchases", zl).alias("first_touch_purchases"),
+        F.coalesce("first_touch_revenue", F.lit(0.0)).alias("first_touch_revenue"),
+        F.coalesce("last_touch_purchases", zl).alias("last_touch_purchases"),
+        F.coalesce("last_touch_revenue", F.lit(0.0)).alias("last_touch_revenue"),
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+    WITH touched AS (
+        SELECT event_type, value,
+               first_value(CASE WHEN event_type IN ('click','view','signup')
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS first_touch,
+               last_value(CASE WHEN event_type IN ('click','view','signup')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch
+        FROM events
+    ),
+    p AS (
+        SELECT coalesce(first_touch, '(none)') AS first_touch,
+               coalesce(last_touch, '(none)') AS last_touch, value
+        FROM touched WHERE event_type = 'purchase'
+    ),
+    ft AS (
+        SELECT first_touch AS channel,
+               CAST(count(*) AS BIGINT) AS first_touch_purchases,
+               round(sum(value), 2) AS first_touch_revenue
+        FROM p GROUP BY 1
+    ),
+    lt AS (
+        SELECT last_touch AS channel,
+               CAST(count(*) AS BIGINT) AS last_touch_purchases,
+               round(sum(value), 2) AS last_touch_revenue
+        FROM p GROUP BY 1
+    )
+    SELECT coalesce(ft.channel, lt.channel) AS channel,
+           coalesce(first_touch_purchases, 0) AS first_touch_purchases,
+           coalesce(first_touch_revenue, 0.0) AS first_touch_revenue,
+           coalesce(last_touch_purchases, 0) AS last_touch_purchases,
+           coalesce(last_touch_revenue, 0.0) AS last_touch_revenue
+    FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+"""
+
+
 ORACLES = {
+    "attribution_credit": _ATTRIBUTION_ORACLE,
     "markov_transitions": """
         WITH seq AS (
             SELECT user_id, event_type AS dst,
@@ -151,4 +246,5 @@ ORACLES = {
 QUERIES = {
     "markov_transitions": markov_transitions,
     "market_basket": market_basket,
+    "attribution_credit": attribution_credit,
 }

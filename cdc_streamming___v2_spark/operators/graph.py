@@ -245,12 +245,113 @@ def _tri_oracle() -> str:
     """
 
 
+BFS_SOURCE = 0        # start nation (ALGERIA)
+BFS_ROUNDS = 3        # fixed frontier-expansion rounds (static DAG depth)
+BFS_THR_DIVISOR = 500  # edge weight floor = lineitem_count / divisor
+
+
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distance over the thresholded undirected trade
+    graph — the reachability primitive (supply-chain blast radius: how many
+    trade hops from nation BFS_SOURCE is everyone?).
+
+    The edge-weight floor scales with the data (total lineitems /
+    BFS_THR_DIVISOR) so the graph keeps comparable sparsity at every SF.
+    BFS as BFS is run on a cluster: a dist vector (node, d), BFS_ROUNDS
+    relaxation rounds of join-edges + groupBy-min — each round one equi-join
+    partitioned by node, edge list hash-partitioned once and reused, rank
+    vector node-sized. Fixed round count keeps the lineage a static DAG
+    (same pattern as pagerank); unreached nodes after BFS_ROUNDS are
+    reported hop = -1 (the "beyond horizon" marker). Oracle: recursive CTE
+    enumerating paths up to BFS_ROUNDS, min hop per node.
+    """
+    li_n = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    thr = li_n.agg(
+        F.floor(F.count(F.lit(1)) / BFS_THR_DIVISOR).cast("long").alias("thr")
+    )
+    e = (
+        _trade_edges(spark, sf_dir)
+        .crossJoin(F.broadcast(thr))
+        .filter((F.col("w") >= F.col("thr")) & (F.col("src") != F.col("dst")))
+    )
+    und = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dist = n.select(
+        F.col("n_nationkey").alias("node"),
+        F.when(F.col("n_nationkey") == BFS_SOURCE, F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("d"),
+    )
+    for _ in range(BFS_ROUNDS):
+        relaxed = (
+            und.join(dist, und.src == dist.node)
+            .filter(F.col("d").isNotNull())
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("d") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "left")
+            .select("node", F.least("d", "nd").cast("int").alias("d"))
+        )
+    return (
+        dist.join(n, dist.node == n.n_nationkey)
+        .select(
+            F.col("node").cast("bigint").alias("nationkey"),
+            "n_name",
+            F.coalesce("d", F.lit(-1)).cast("int").alias("hops"),
+        )
+    )
+
+
+def _bfs_oracle() -> str:
+    return f"""
+        WITH RECURSIVE edges0 AS (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        thr AS (
+            SELECT count(*) // {BFS_THR_DIVISOR} AS thr FROM lineitem
+        ),
+        und AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM edges0, thr
+                WHERE w >= thr.thr AND src <> dst
+                UNION ALL
+                SELECT dst, src FROM edges0, thr
+                WHERE w >= thr.thr AND src <> dst
+            )
+        ),
+        walk(node, hops) AS (
+            SELECT {BFS_SOURCE}, 0
+            UNION ALL
+            SELECT e.dst, w.hops + 1
+            FROM walk w JOIN und e ON e.src = w.node
+            WHERE w.hops < {BFS_ROUNDS}
+        ),
+        reach AS (SELECT node, min(hops) AS hops FROM walk GROUP BY node)
+        SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name,
+               CAST(coalesce(r.hops, -1) AS INT) AS hops
+        FROM nation n LEFT JOIN reach r ON n.n_nationkey = r.node
+    """
+
+
 QUERIES = {
     "pagerank_nations": pagerank_nations,
     "triangle_count": triangle_count,
+    "bfs_hops": bfs_hops,
 }
 
 ORACLES = {
     "pagerank_nations": _pr_oracle(),
     "triangle_count": _tri_oracle(),
+    "bfs_hops": _bfs_oracle(),
 }

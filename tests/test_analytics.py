@@ -3,6 +3,8 @@ tools/check_correctness.py)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cdc_streamming___v2_spark.operators import analytics as A
 
 from .conftest import SF_SMALL
@@ -199,3 +201,50 @@ def test_revenue_gini_in_unit_range_and_bucketed_rank_exact(spark):
     wsum = sum((i + 1) * v for i, (v, _) in enumerate(rev))
     gini = round(2 * wsum / (n * total) - (n + 1) / n, 6)
     assert abs(gini - ref.gini) < 1e-4
+
+
+def test_trend_fit_reproduces_closed_form(spark):
+    """regr_slope must equal the hand-computed OLS slope on the daily
+    rollup (cov/var closed form)."""
+    import statistics
+
+    from cdc_streamming___v2_spark.operators import analytics as A
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    out = {r.event_type: r for r in A.trend_fit(spark, SF_SMALL).collect()}
+    e = load_table(spark, SF_SMALL, "events")
+    daily = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.datediff(F.to_date("ts"), F.lit(A.TREND_EPOCH)).alias("x"))
+        .count()
+        .collect()
+    )
+    xs = [r.x for r in daily]
+    ys = [float(r["count"]) for r in daily]
+    mx, my = statistics.fmean(xs), statistics.fmean(ys)
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert abs(out["click"].cnt_slope - slope) < 1e-4
+    assert out["click"].n_days == len(xs)
+
+
+def test_mutual_information_nonnegative_and_additive(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = {r.event_type: r for r in A.mutual_information(spark, SF_SMALL).collect()}
+    allr = rows.pop("__all__")
+    assert allr.mi_bits >= 0  # MI of the full joint is >= 0
+    assert abs(sum(r.p_x for r in rows.values()) - 1.0) < 1e-4
+    assert abs(sum(r.mi_bits for r in rows.values()) - allr.mi_bits) < 1e-4
+
+
+def test_winsorized_stats_bounds_and_clip_rate(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    for r in A.winsorized_stats(spark, SF_SMALL).collect():
+        assert r.p05 <= r.p95
+        assert r.p05 <= r.winsor_mean <= r.p95
+        # ~5% clipped each side (interpolated quantile; +-2 rows slack)
+        assert abs(r.n_clipped_lo - 0.05 * r.n_events) <= 2
+        assert abs(r.n_clipped_hi - 0.05 * r.n_events) <= 2

@@ -111,3 +111,30 @@ def test_triangle_membership_consistency(spark):
     total = rows[0].total_triangles
     assert all(r.total_triangles == total for r in rows)
     assert sum(r.n_triangles for r in rows) == 3 * total
+
+
+def test_attribution_totals_match_purchase_count(spark):
+    """Every purchase gets exactly one first-touch and one last-touch
+    credit, so both channel columns must sum to the purchase count."""
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    rows = behavior.attribution_credit(spark, SF_DIR).collect()
+    n_purchases = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.first_touch_purchases for r in rows) == n_purchases
+    assert sum(r.last_touch_purchases for r in rows) == n_purchases
+    channels = {r.channel for r in rows}
+    assert channels <= set(behavior._TOUCH_TYPES) | {"(none)"}
+
+
+def test_bfs_source_zero_and_bounded(spark):
+    from cdc_streamming___v2_spark.operators import graph as G
+
+    rows = {r.nationkey: r.hops for r in G.bfs_hops(spark, SF_DIR).collect()}
+    assert rows[G.BFS_SOURCE] == 0
+    assert all(-1 <= h <= G.BFS_ROUNDS for h in rows.values())
+    # somebody besides the source must be reachable on the trade graph
+    assert sum(1 for h in rows.values() if h > 0) > 0
