@@ -107,6 +107,7 @@ _GATE_PRIORITY = (
     "mutual_information",
     "winsorized_stats",
     "bfs_hops",
+    "ann_pq_topk",
 )
 
 

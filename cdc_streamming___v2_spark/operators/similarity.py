@@ -497,7 +497,191 @@ def _ivf_kmeans_oracle() -> str:
     """
 
 
+PQ_M = 4        # subspaces (64 dims -> 4 x 16)
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_K = 8        # centroids per subspace codebook
+PQ_ITERS = 1    # Lloyd rounds per codebook (fixed -> SQL-replicable)
+
+
+def pq_topk_frame(
+    e: DataFrame, n_queries: int = N_QUERIES, top_k: int = TOP_K
+) -> DataFrame:
+    """Product-quantization ANN: train one PQ_K-entry codebook per
+    PQ_SUBDIM-wide subspace (deterministic Lloyd, seeds = first PQ_K
+    vectors), encode every vector as PQ_M one-byte codes, then answer
+    queries by asymmetric distance (ADC): per query, a PQ_M x PQ_K lookup
+    table of exact query-to-centroid distances, and each corpus vector
+    costs PQ_M table lookups + adds instead of an EMBED_DIM-wide kernel.
+    """
+    subs = (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("m", "sv"),
+        )
+        .withColumn("sx", dot(F.col("sv"), F.col("sv")))
+    )
+    cent = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m",
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("sv").alias("cv"),
+        F.col("sx").alias("cc"),
+    )
+    d2 = F.col("sx") - 2 * dot(F.col("sv"), F.col("cv")) + F.col("cc")
+    codes = None
+    for j in range(PQ_ITERS + 1):  # +1: final encode against last codebook
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            F.col("d2").asc(), F.col("cell").asc()
+        )
+        codes = (
+            subs.join(F.broadcast(cent), "m")
+            .withColumn("d2", d2)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "m", "cell", "sv", "sx")
+        )
+        if j < PQ_ITERS:
+            cent = (
+                codes.select("m", "cell", F.posexplode("sv").alias("dim", "x"))
+                .groupBy("m", "cell", "dim")
+                .agg(F.avg("x").alias("cx"))
+                .groupBy("m", "cell")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "cx"))
+                    ).alias("pairs")
+                )
+                .select(
+                    "m",
+                    "cell",
+                    F.transform("pairs", lambda p: p.getField("cx")).alias("cv"),
+                )
+                .withColumn("cc", dot(F.col("cv"), F.col("cv")))
+            )
+    # ADC lookup table: exact distance from each query SUBVECTOR to every
+    # centroid of its subspace — n_queries x PQ_M x PQ_K rows, broadcast
+    lut = (
+        subs.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            F.col("sv").alias("qsv"),
+            F.col("sx").alias("qsx"),
+        )
+        .join(F.broadcast(cent), "m")
+        .select(
+            "query_id",
+            "m",
+            "cell",
+            (
+                F.col("qsx") - 2 * dot(F.col("qsv"), F.col("cv")) + F.col("cc")
+            ).alias("d2q"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "vec_id", F.round("adc", 4).alias("adc_dist"), "rank")
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate nearest neighbors over the embeddings table.
+
+    Scale: codes are PQ_M small ints per vector (16x narrower than the
+    raw embedding), the codebook and the per-query lookup tables are
+    broadcast-sized at ANY corpus size, and the per-vector scoring cost is
+    PQ_M lookups — the compressed-domain scan every billion-vector ANN
+    system (FAISS IVFPQ lineage) runs. Codebook training shuffles
+    (vec_id, m)-keyed rows through fixed-depth Lloyd rounds — the same
+    static-DAG k-means shape as ann_ivf_kmeans. Recall vs brute force is
+    asserted in tests; the oracle replicates codebook + encode + ADC
+    exactly, so the hash match proves the whole chain.
+    """
+    return pq_topk_frame(_embeddings(spark, sf_dir))
+
+
+def _pq_oracle() -> str:
+    ldp = "list_dot_product"
+    ctes = [
+        "e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""subs AS (
+            SELECT vec_id, t.m,
+                   list_slice(v, t.m * {PQ_SUBDIM} + 1,
+                              t.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+            FROM e0, generate_series(0, {PQ_M - 1}) AS t(m)
+        )""",
+        f"""subx AS (SELECT vec_id, m, sv, {ldp}(sv, sv) AS sx FROM subs)""",
+        f"""cent0 AS (
+            SELECT m, CAST(vec_id AS INT) AS cell, sv AS cv, sx AS cc
+            FROM subx WHERE vec_id < {PQ_K}
+        )""",
+    ]
+    for j in range(1, PQ_ITERS + 2):
+        prev = f"cent{j - 1}"
+        ctes.append(f"""a{j} AS (
+            SELECT vec_id, m, cell, sv, sx FROM (
+                SELECT s.vec_id, s.m, c.cell, s.sv, s.sx,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY s.sx - 2 * {ldp}(s.sv, c.cv) + c.cc ASC,
+                                    c.cell ASC) AS rk
+                FROM subx s JOIN {prev} c ON s.m = c.m
+            ) WHERE rk = 1
+        )""")
+        if j <= PQ_ITERS:
+            ctes.append(f"""cent{j} AS (
+                SELECT m, cell, cv, {ldp}(cv, cv) AS cc FROM (
+                    SELECT m, cell, list(cx ORDER BY dim) AS cv
+                    FROM (SELECT m, cell, i AS dim, avg(sv[i]) AS cx
+                          FROM a{j}, generate_series(1, {PQ_SUBDIM}) AS t(i)
+                          GROUP BY m, cell, i)
+                    GROUP BY m, cell)
+            )""")
+    final_cent = f"cent{PQ_ITERS}"
+    final_codes = f"a{PQ_ITERS + 1}"
+    ctes.append(f"""lut AS (
+        SELECT s.vec_id AS query_id, s.m, c.cell,
+               s.sx - 2 * {ldp}(s.sv, c.cv) + c.cc AS d2q
+        FROM subx s JOIN {final_cent} c ON s.m = c.m
+        WHERE s.vec_id < {N_QUERIES}
+    )""")
+    ctes.append(f"""adc AS (
+        SELECT l.query_id, a.vec_id, sum(l.d2q) AS adc
+        FROM {final_codes} a
+        JOIN lut l ON a.m = l.m AND a.cell = l.cell
+        WHERE a.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT query_id, vec_id, round(adc, 4) AS adc_dist, rank FROM (
+            SELECT query_id, vec_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc ASC, vec_id ASC) AS rank
+            FROM adc
+        ) WHERE rank <= {TOP_K}
+    """
+
+
 ORACLES = {
+    "ann_pq_topk": _pq_oracle(),
     "cosine_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
@@ -519,5 +703,6 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
+    "ann_pq_topk": ann_pq_topk,
     "random_projection": random_projection,
 }
