@@ -108,6 +108,9 @@ _GATE_PRIORITY = (
     "winsorized_stats",
     "bfs_hops",
     "ann_pq_topk",
+    "k_anonymity",
+    "seasonality_strength",
+    "cusum_changepoint",
 )
 
 

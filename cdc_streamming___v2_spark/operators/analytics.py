@@ -828,6 +828,122 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KANON_K = 5          # minimum safe equivalence-class size
+KANON_BAL_BUCKET = 1000.0  # acctbal quantization for the quasi-identifier
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment, account-balance bucket): per nation, how many
+    equivalence classes exist, how many fall below KANON_K members, and how
+    many customers those risky classes expose — the pre-release privacy
+    check a data-sharing pipeline runs (pairs with pii_scrub, which handles
+    direct identifiers).
+
+    Scale: one map-side-combined groupBy to QI-class cardinality, then a
+    re-aggregation at nation cardinality. No windows, no joins.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / KANON_BAL_BUCKET).cast("long").alias("bal_b"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.min("sz").cast("bigint").alias("k_min"),
+        F.sum((F.col("sz") < KANON_K).cast("long"))
+        .cast("bigint")
+        .alias("n_small_classes"),
+        F.sum(F.when(F.col("sz") < KANON_K, F.col("sz")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+    )
+
+
+def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per event type: the share of
+    daily-volume variance explained by the weekly profile,
+    1 - var(residual)/var(daily), where the residual removes each
+    day-of-week's mean — the decomposition a forecasting pipeline uses to
+    decide whether a series needs a seasonal model.
+
+    Scale: the fact log collapses to (type x day) in one map-side-combined
+    shuffle; everything after runs on that bounded frame (weekly profile is
+    a 7-row broadcast per type). var_pop is a mergeable single-pass
+    aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .withColumn("dow", F.dayofweek("d"))
+    )
+    prof = daily.groupBy("event_type", "dow").agg(F.avg("cnt").alias("dow_mean"))
+    j = daily.join(F.broadcast(prof), ["event_type", "dow"])
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.var_pop("cnt").alias("vt"),
+            F.var_pop(F.col("cnt") - F.col("dow_mean")).alias("vr"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round("vt", 4).alias("var_daily"),
+            F.round(1 - F.col("vr") / F.col("vt"), 6).alias("strength"),
+        )
+    )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: cumulative sum of
+    deviations of daily volume from the series mean; the day where |CUSUM|
+    peaks is the most likely level-shift point — the classic drift detector
+    for monitoring ingestion volume.
+
+    Scale: daily rollup first (one shuffle, map-side combine); the
+    cumulative window then runs over per-day aggregates — bounded
+    cardinality per type, the same day-frame pattern peak_concurrency
+    uses, never a fact-sized window. The CUSUM is an ORDERED prefix sum, so
+    both engines fold identical doubles in identical order (no
+    reassociation noise).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    means = daily.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = (
+        daily.join(F.broadcast(means), "event_type")
+        .withColumn("cusum", F.sum(F.col("cnt") - F.col("mu")).over(w))
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs("cusum").desc(), F.col("d").asc()
+    )
+    return (
+        cs.withColumn("r", F.row_number().over(rk))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_day"),
+            F.round(F.abs("cusum"), 4).alias("max_abs_cusum"),
+            "n_days",
+        )
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -847,6 +963,9 @@ QUERIES = {
     "trend_fit": trend_fit,
     "mutual_information": mutual_information,
     "winsorized_stats": winsorized_stats,
+    "k_anonymity": k_anonymity,
+    "seasonality_strength": seasonality_strength,
+    "cusum_changepoint": cusum_changepoint,
 }
 
 def _ewma_oracle() -> str:
@@ -867,6 +986,69 @@ def _ewma_oracle() -> str:
 
 
 ORACLES = {
+    "k_anonymity": f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / {KANON_BAL_BUCKET}) AS BIGINT)
+                       AS bal_b,
+                   count(*) AS sz
+            FROM customer GROUP BY 1, 2, 3
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(sz) AS BIGINT) AS n_rows,
+               CAST(min(sz) AS BIGINT) AS k_min,
+               CAST(sum(CASE WHEN sz < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_small_classes,
+               CAST(sum(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+                   AS n_rows_at_risk
+        FROM classes GROUP BY 1
+    """,
+    "seasonality_strength": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS DOUBLE) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        dw AS (SELECT event_type, d, cnt, dayofweek(d) AS dow FROM daily),
+        prof AS (
+            SELECT event_type, dow, avg(cnt) AS dow_mean
+            FROM dw GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(var_pop(cnt), 4) AS var_daily,
+               round(1 - var_pop(cnt - dow_mean) / var_pop(cnt), 6) AS strength
+        FROM dw JOIN prof USING (event_type, dow)
+        GROUP BY 1
+    """,
+    "cusum_changepoint": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS DOUBLE) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type, avg(cnt) AS mu,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1
+        ),
+        cs AS (
+            SELECT d.event_type, d.d, m.n_days,
+                   sum(d.cnt - m.mu)
+                       OVER (PARTITION BY d.event_type ORDER BY d.d
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cusum
+            FROM daily d JOIN m USING (event_type)
+        )
+        SELECT event_type, d AS changepoint_day,
+               round(abs(cusum), 4) AS max_abs_cusum, n_days
+        FROM (SELECT *, row_number()
+                     OVER (PARTITION BY event_type
+                           ORDER BY abs(cusum) DESC, d ASC) AS r
+              FROM cs)
+        WHERE r = 1
+    """,
     "trend_fit": f"""
         WITH daily AS (
             SELECT event_type,

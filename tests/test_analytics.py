@@ -248,3 +248,53 @@ def test_winsorized_stats_bounds_and_clip_rate(spark):
         # ~5% clipped each side (interpolated quantile; +-2 rows slack)
         assert abs(r.n_clipped_lo - 0.05 * r.n_events) <= 2
         assert abs(r.n_clipped_hi - 0.05 * r.n_events) <= 2
+
+
+def test_k_anonymity_invariants(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    rows = A.k_anonymity(spark, SF_SMALL).collect()
+    n_cust = load_table(spark, SF_SMALL, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_cust
+    for r in rows:
+        assert r.n_rows_at_risk <= r.n_rows
+        assert r.n_small_classes <= r.n_classes
+        assert r.k_min >= 1
+        # every risky class has < K members
+        assert r.n_rows_at_risk < A.KANON_K * max(r.n_small_classes, 1) + 1
+
+
+def test_seasonality_strength_bounded(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    for r in A.seasonality_strength(spark, SF_SMALL).collect():
+        # 1 - vr/vt <= 1 always; can dip below 0 only by dof artifacts
+        assert r.strength <= 1.0 + 1e-9
+        assert r.var_daily >= 0
+        assert r.n_days > 0
+
+
+def test_cusum_changepoint_is_argmax(spark):
+    """The reported day must carry the max |cusum| over a hand-computed
+    prefix sum for one event type."""
+    from cdc_streamming___v2_spark.operators import analytics as A
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    out = {r.event_type: r for r in A.cusum_changepoint(spark, SF_SMALL).collect()}
+    e = load_table(spark, SF_SMALL, "events")
+    daily = sorted(
+        (r.d, r.c)
+        for r in e.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    mu = sum(c for _, c in daily) / len(daily)
+    cs, best = 0.0, (None, -1.0)
+    for d, c in daily:
+        cs += c - mu
+        if abs(cs) > best[1] + 1e-12:
+            best = (d, abs(cs))
+    assert out["click"].changepoint_day == best[0]
+    assert abs(out["click"].max_abs_cusum - best[1]) < 1e-3
