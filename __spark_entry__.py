@@ -111,6 +111,8 @@ _GATE_PRIORITY = (
     "k_anonymity",
     "seasonality_strength",
     "cusum_changepoint",
+    "scd2_snapshot_diff",
+    "sorted_neighborhood_pairs",
 )
 
 

@@ -765,7 +765,21 @@ def _emb_near_dup_oracle() -> str:
         WHERE round({cos}, 4) >= {COSINE_DUP_THRESHOLD}
     """
 
+SNM_WINDOW = 5   # neighbors compared after the sort
+SNM_MAX_LEV = 4  # edit-distance match threshold
+
+_SNM_ORACLE = f"""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    r AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rk FROM n)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+    FROM r a JOIN r b
+      ON b.rk - a.rk BETWEEN 1 AND {SNM_WINDOW}
+    WHERE levenshtein(a.p_name, b.p_name) <= {SNM_MAX_LEV}
+"""
+
 ORACLES = {
+    "sorted_neighborhood_pairs": _SNM_ORACLE,
     "fuzzy_match_parts": f"""
         SELECT a.p_brand AS brand,
                CAST(a.p_partkey AS BIGINT) AS part_a,
@@ -1005,7 +1019,63 @@ def fuzzy_name_relation(names: DataFrame) -> DataFrame:
     )
 
 
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage over the distinct part-name
+    dictionary: sort the names, compare each against its next SNM_WINDOW
+    successors, keep pairs within SNM_MAX_LEV edits — the third classic
+    blocking scheme in this module (SymSpell variants in
+    fuzzy_match_parts, prefix filtering in jaccard_prefix_join; SNM is
+    the one that exploits a SORT ORDER instead of a key).
+
+    Scale: the global sort rank comes from the usual two-pass
+    decomposition (in-bucket row_number by first-letter bucket + broadcast
+    cumulative offsets), NOT a one-task global window; the neighborhood
+    join is an equi-join on rank-band (each left row probes its own and
+    the next band), so comparisons are exactly N x SNM_WINDOW — never a
+    name x name cross join. The oracle runs the naive global-window
+    formulation, proving the decomposition exact.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("bkt", F.substring("p_name", 1, 1))
+    )
+    win_in = Window.partitionBy("bkt").orderBy("p_name")
+    in_rank = names.withColumn("r_in", F.row_number().over(win_in))
+    counts = names.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("bkt", "off")
+    ranked = in_rank.join(F.broadcast(offsets), "bkt").select(
+        "p_name", (F.col("off") + F.col("r_in")).alias("rk")
+    )
+    band = (F.col("rk") / (SNM_WINDOW + 1)).cast("long")
+    left = ranked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("rk").alias("rk_a"),
+        F.explode(F.array(band, band + 1)).alias("band"),
+    )
+    right = ranked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("rk").alias("rk_b"),
+        band.alias("band"),
+    )
+    return (
+        left.join(right, "band")
+        .filter(
+            (F.col("rk_b") - F.col("rk_a") >= 1)
+            & (F.col("rk_b") - F.col("rk_a") <= SNM_WINDOW)
+        )
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= SNM_MAX_LEV)
+        .select("name_a", "name_b", F.col("lev").cast("int").alias("lev"))
+    )
+
+
 QUERIES = {
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "dedup_exact": dedup_exact,
     "fuzzy_match_parts": fuzzy_match_parts,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,

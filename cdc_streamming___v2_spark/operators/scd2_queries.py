@@ -114,10 +114,71 @@ def scd2_join_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "user_id")
 
 
+DIFF_T1 = "2024-01-15 00:00:00"
+DIFF_T2 = "2024-01-25 00:00:00"
+
+
+def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two point-in-time reads of the history table: which keys were
+    INSERTed, DELETEd (tombstoned/removed), or UPDATEd between the state
+    as of DIFF_T1 and as of DIFF_T2 — the audit query behind "what changed
+    since yesterday's extract" and the generator of a downstream change
+    feed from any two snapshots (README.md:57's time-dependent read, taken
+    twice and compared).
+
+    Scale: each as-of state is one user-partitioned window (partition
+    pruning at real layouts caps the scan at ts <= T2); the diff is a
+    full-outer equi-join of two STATE-sized frames, never history-sized.
+    Unchanged keys drop out, so output is delta-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def state(ts: str, prefix: str) -> DataFrame:
+        return as_of(
+            e,
+            keys=["user_id"],
+            ts=ts,
+            order_col="ts",
+            action_col="event_type",
+            tiebreakers=["event_id"],
+            delete_actions=_TOMBSTONE,
+        ).select(
+            "user_id",
+            F.col("event_id").alias(f"{prefix}_event_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("value").alias(f"{prefix}_value"),
+        )
+
+    old = state(DIFF_T1, "old")
+    new = state(DIFF_T2, "new")
+    d = old.join(new, "user_id", "full")
+    change = (
+        F.when(F.col("old_event_id").isNull(), F.lit("INSERT"))
+        .when(F.col("new_event_id").isNull(), F.lit("DELETE"))
+        .when(F.col("old_event_id") != F.col("new_event_id"), F.lit("UPDATE"))
+    )
+    return (
+        d.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "user_id",
+            "change_type",
+            "old_event_id",
+            "new_event_id",
+            "old_ts",
+            "new_ts",
+            F.round(F.col("new_value") - F.col("old_value"), 2).alias(
+                "value_delta"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "scd2_latest_state": scd2_latest_state,
     "scd2_as_of": scd2_as_of,
     "scd2_join_as_of": scd2_join_as_of,
+    "scd2_snapshot_diff": scd2_snapshot_diff,
 }
 
 def _stream_state_sql(verbs: tuple, prefix: str) -> str:
@@ -151,5 +212,41 @@ ORACLES = {
         SELECT a.user_id, a_event_id, a_type, a_ts, a_value,
                b_event_id, b_type, b_ts, b_value
         FROM a JOIN b ON a.user_id = b.user_id
+    """,
+    "scd2_snapshot_diff": f"""
+        WITH old_s AS (
+            SELECT user_id, event_id AS old_event_id, ts AS old_ts,
+                   value AS old_value
+            FROM (
+                SELECT user_id, event_id, ts, value, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events WHERE ts <= TIMESTAMP '{DIFF_T1}'
+            ) WHERE rn = 1 AND event_type <> 'error'
+        ),
+        new_s AS (
+            SELECT user_id, event_id AS new_event_id, ts AS new_ts,
+                   value AS new_value
+            FROM (
+                SELECT user_id, event_id, ts, value, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events WHERE ts <= TIMESTAMP '{DIFF_T2}'
+            ) WHERE rn = 1 AND event_type <> 'error'
+        )
+        SELECT coalesce(o.user_id, n.user_id) AS user_id,
+               CASE WHEN o.old_event_id IS NULL THEN 'INSERT'
+                    WHEN n.new_event_id IS NULL THEN 'DELETE'
+                    WHEN o.old_event_id <> n.new_event_id THEN 'UPDATE'
+               END AS change_type,
+               o.old_event_id, n.new_event_id, o.old_ts, n.new_ts,
+               round(n.new_value - o.old_value, 2) AS value_delta
+        FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+        WHERE CASE WHEN o.old_event_id IS NULL THEN 'INSERT'
+                   WHEN n.new_event_id IS NULL THEN 'DELETE'
+                   WHEN o.old_event_id <> n.new_event_id THEN 'UPDATE'
+              END IS NOT NULL
     """,
 }

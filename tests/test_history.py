@@ -92,3 +92,40 @@ def test_scd2_join_as_of_is_time_consistent(spark):
             ]
             newest = max(elig, key=lambda x: (x.ts, x.event_id))
             assert (newest.event_id, newest.ts) == (eid, ts)
+
+
+def test_snapshot_diff_classifies_against_bruteforce(spark):
+    """Recompute both as-of states driver-side and check every diff row's
+    classification."""
+    from cdc_streamming___v2_spark.operators import scd2_queries as SQ
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").collect()
+
+    def state(ts):
+        best = {}
+        for r in events:
+            if str(r.ts) <= ts:
+                k = (str(r.ts), r.event_id)
+                if r.user_id not in best or k > best[r.user_id][0]:
+                    best[r.user_id] = (k, r)
+        return {
+            u: r for u, (_, r) in best.items() if r.event_type != "error"
+        }
+
+    old = state(SQ.DIFF_T1)
+    new = state(SQ.DIFF_T2)
+    want = {}
+    for u in set(old) | set(new):
+        if u not in old:
+            want[u] = "INSERT"
+        elif u not in new:
+            want[u] = "DELETE"
+        elif old[u].event_id != new[u].event_id:
+            want[u] = "UPDATE"
+    got = {
+        r.user_id: r.change_type
+        for r in SQ.scd2_snapshot_diff(spark, sf).collect()
+    }
+    assert got == want

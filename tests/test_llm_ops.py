@@ -482,3 +482,15 @@ def test_pq_codes_bounded(spark):
         per_q.setdefault(r.query_id, set()).add(r.vec_id)
     assert all(len(v) == 10 for v in per_q.values())
     assert all(r.adc_dist >= -1e-9 for r in out)  # squared distances
+
+
+def test_sorted_neighborhood_no_cartesian_and_window_bound(spark):
+    from .test_plans import _plan
+
+    df = D.sorted_neighborhood_pairs(spark, SF_SMALL)
+    p = _plan(spark, df)
+    assert "CartesianProduct" not in p
+    rows = df.collect()
+    # symmetric-free: each pair emitted once, a before b in sort order
+    assert all(r.name_a < r.name_b or r.lev > 0 for r in rows)
+    assert all(r.lev <= D.SNM_MAX_LEV for r in rows)
