@@ -93,13 +93,8 @@ _GATE_PRIORITY = (
     "q16_supplier_part_count",
     "q20_supply_threshold",
     "q21_waiting_suppliers",
-    # -- round-3 modified implementations (re-proof wanted) --
-    "jaccard_prefix_join",
-    "dedup_clusters",
-    "dedup_keepers",
-    "minhash_near_dup",
-    "incremental_near_dup",
-    # -- new round-3 operators append here as they land --
+    # -- new round-3 operators (never driver-checked; they must land inside
+    #    the ~50-query window, so they precede the re-proof block) --
     "incremental_agg_maintain",
     "zorder_layout",
     "attribution_credit",
@@ -113,6 +108,16 @@ _GATE_PRIORITY = (
     "cusum_changepoint",
     "scd2_snapshot_diff",
     "sorted_neighborhood_pairs",
+    "session_path_analysis",
+    "chi2_drift",
+    "silhouette_score",
+    # -- round-3 modified implementations (re-proof wanted; judge can also
+    #    verify, so they sit after the never-checked tiers) --
+    "jaccard_prefix_join",
+    "dedup_clusters",
+    "dedup_keepers",
+    "minhash_near_dup",
+    "incremental_near_dup",
 )
 
 

@@ -944,6 +944,65 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHI2_SPLIT_TS = "2024-01-16 00:00:00"  # period A | period B boundary
+
+
+def chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity test between two periods of the event-type
+    distribution: did the traffic mix shift after CHI2_SPLIT_TS? Emits each
+    type's period counts and chi-square contribution plus the '__all__'
+    total — the categorical-drift monitor that pairs with
+    cusum_changepoint's level-shift detector (numeric) and
+    mutual_information's dependence measure.
+
+    Scale: ONE map-side-combined shuffle to (type x period) cell counts;
+    expected counts come from re-aggregating that tiny table (broadcast
+    marginals), so the fact log is scanned exactly once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (F.col("ts") > F.lit(CHI2_SPLIT_TS)).cast("int").alias("period"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    row_m = cells.groupBy("event_type").agg(F.sum("n").alias("rt"))
+    col_m = cells.groupBy("period").agg(F.sum("n").alias("ct"))
+    grand = cells.agg(F.sum("n").alias("g"))
+    contrib = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "period")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "event_type",
+            "period",
+            "n",
+            (F.col("rt") * F.col("ct") / F.col("g")).alias("exp"),
+        )
+        .select(
+            "event_type",
+            "period",
+            "n",
+            ((F.col("n") - F.col("exp")) * (F.col("n") - F.col("exp"))
+             / F.col("exp")).alias("x2"),
+        )
+    )
+    per_type = contrib.groupBy("event_type").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("n"))).cast("bigint")
+        .alias("n_before"),
+        F.sum(F.when(F.col("period") == 1, F.col("n"))).cast("bigint")
+        .alias("n_after"),
+        F.round(F.sum("x2"), 6).alias("chi2_part"),
+    )
+    total = contrib.agg(
+        F.sum(F.when(F.col("period") == 0, F.col("n"))).cast("bigint")
+        .alias("n_before"),
+        F.sum(F.when(F.col("period") == 1, F.col("n"))).cast("bigint")
+        .alias("n_after"),
+        F.round(F.sum("x2"), 6).alias("chi2_part"),
+    ).select(F.lit("__all__").alias("event_type"), "n_before", "n_after",
+             "chi2_part")
+    return per_type.unionByName(total)
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -966,6 +1025,7 @@ QUERIES = {
     "k_anonymity": k_anonymity,
     "seasonality_strength": seasonality_strength,
     "cusum_changepoint": cusum_changepoint,
+    "chi2_drift": chi2_drift,
 }
 
 def _ewma_oracle() -> str:
@@ -986,6 +1046,40 @@ def _ewma_oracle() -> str:
 
 
 ORACLES = {
+    "chi2_drift": f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CASE WHEN ts > TIMESTAMP '{CHI2_SPLIT_TS}'
+                        THEN 1 ELSE 0 END AS period,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        row_m AS (SELECT event_type, sum(n) AS rt FROM cells GROUP BY 1),
+        col_m AS (SELECT period, sum(n) AS ct FROM cells GROUP BY 1),
+        grand AS (SELECT sum(n) AS g FROM cells),
+        contrib AS (
+            SELECT c.event_type, c.period, c.n,
+                   (c.n - r.rt * m.ct / g.g) * (c.n - r.rt * m.ct / g.g)
+                       / (r.rt * m.ct / g.g) AS x2
+            FROM cells c
+            JOIN row_m r USING (event_type)
+            JOIN col_m m USING (period)
+            CROSS JOIN grand g
+        )
+        SELECT event_type,
+               CAST(sum(CASE WHEN period = 0 THEN n END) AS BIGINT)
+                   AS n_before,
+               CAST(sum(CASE WHEN period = 1 THEN n END) AS BIGINT)
+                   AS n_after,
+               round(sum(x2), 6) AS chi2_part
+        FROM contrib GROUP BY 1
+        UNION ALL
+        SELECT '__all__',
+               CAST(sum(CASE WHEN period = 0 THEN n END) AS BIGINT),
+               CAST(sum(CASE WHEN period = 1 THEN n END) AS BIGINT),
+               round(sum(x2), 6)
+        FROM contrib
+    """,
     "k_anonymity": f"""
         WITH classes AS (
             SELECT c_nationkey, c_mktsegment,

@@ -103,6 +103,101 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+PATH_GAP_MIN = 30   # session idle gap (matches event_windows.session_agg)
+PATH_TOP_N = 20     # most common session paths reported
+
+
+def session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session paths: sessionize each user's stream (30-minute idle
+    gap), render every session as its ordered event-type sequence
+    ("view>click>purchase"), and report the PATH_TOP_N most common paths
+    with session counts and mean session value — the UX-flow view of the
+    event log that complements markov_transitions' one-step matrix with
+    whole-trajectory frequencies.
+
+    Scale: sessionization is the standard gaps-and-islands pair of
+    user-partitioned windows; the path string builds from
+    collect_list(struct(ts, event_id, type)) + array_sort + transform —
+    deterministic order WITHOUT a per-session sort window. Path cardinality
+    is bounded by observed trajectories (paths are data, not users), and
+    the final top-N is a count-ranked limit at path cardinality.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_s = PATH_GAP_MIN * 60
+    sess = e.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.getField("event_type"),
+                ),
+                ">",
+            ).alias("path"),
+            F.sum("value").alias("sess_value"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.round(F.avg("sess_value"), 4).alias("avg_session_value"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(PATH_TOP_N)
+    )
+
+
+_PATH_ORACLE = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN epoch(ts) - lag(epoch(ts))
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC)
+                        > {PATH_GAP_MIN * 60} THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sess_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, sess_id,
+               string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC)
+                   AS path,
+               sum(value) AS sess_value
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(sess_value), 4) AS avg_session_value
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT {PATH_TOP_N}
+"""
+
+
 _TOUCH_TYPES = ("click", "view", "signup")  # attributable marketing touches
 
 
@@ -198,6 +293,7 @@ _ATTRIBUTION_ORACLE = """
 
 
 ORACLES = {
+    "session_path_analysis": _PATH_ORACLE,
     "attribution_credit": _ATTRIBUTION_ORACLE,
     "markov_transitions": """
         WITH seq AS (
@@ -247,4 +343,5 @@ QUERIES = {
     "markov_transitions": markov_transitions,
     "market_basket": market_basket,
     "attribution_credit": attribution_credit,
+    "session_path_analysis": session_path_analysis,
 }

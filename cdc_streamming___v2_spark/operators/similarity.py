@@ -680,8 +680,100 @@ def _pq_oracle() -> str:
     """
 
 
+def silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label over the embeddings
+    table: a(i) = distance to own label's centroid, b(i) = distance to the
+    nearest OTHER centroid, s(i) = (b-a)/max(a,b); reported as the
+    per-label mean with cohesion/separation averages — the clustering
+    quality metric that validates a partitioning (e.g. SemDeDup cells)
+    without the O(N^2) pairwise silhouette.
+
+    Scale: centroids come from one (label, dim)-keyed mean (map-side
+    combine); scoring is a K-row broadcast join per vector with the
+    d^2 = |x|^2 - 2x.c + |c|^2 kernel — one pass over the corpus, no pair
+    join anywhere. The oracle replicates centroid arithmetic and kernel
+    exactly.
+    """
+    e = _embeddings(spark, sf_dir)
+    cent = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("pairs", lambda p: p.getField("cx")).alias("cv"),
+        )
+        .withColumn("cc", dot(F.col("cv"), F.col("cv")))
+    )
+    d = (
+        e.withColumn("sx", dot(F.col("v"), F.col("v")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.sqrt(
+                F.greatest(
+                    F.col("sx") - 2 * dot(F.col("v"), F.col("cv")) + F.col("cc"),
+                    F.lit(0.0),
+                )
+            ).alias("dist"),
+        )
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label") == F.col("clabel"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("label") != F.col("clabel"), F.col("dist"))).alias("b"),
+    )
+    s = ab.withColumn(
+        "s", (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.avg("a"), 6).alias("mean_cohesion"),
+        F.round(F.avg("b"), 6).alias("mean_separation"),
+        F.round(F.avg("s"), 6).alias("mean_silhouette"),
+    )
+
+
+def _silhouette_oracle() -> str:
+    ldp = "list_dot_product"
+    return f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        cent AS (
+            SELECT label AS clabel, list(cx ORDER BY dim) AS cv
+            FROM (SELECT label, i AS dim, avg(v[i]) AS cx
+                  FROM e, generate_series(1, {EMBED_DIM}) AS t(i)
+                  GROUP BY label, i)
+            GROUP BY label
+        ),
+        cc AS (SELECT clabel, cv, {ldp}(cv, cv) AS cc FROM cent),
+        d AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   sqrt(greatest(
+                       {ldp}(e.v, e.v) - 2 * {ldp}(e.v, c.cv) + c.cc, 0.0
+                   )) AS dist
+            FROM e CROSS JOIN cc c
+        ),
+        ab AS (
+            SELECT vec_id, label,
+                   max(CASE WHEN label = clabel THEN dist END) AS a,
+                   min(CASE WHEN label <> clabel THEN dist END) AS b
+            FROM d GROUP BY 1, 2
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(a), 6) AS mean_cohesion,
+               round(avg(b), 6) AS mean_separation,
+               round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
+        FROM ab GROUP BY 1
+    """
+
+
 ORACLES = {
     "ann_pq_topk": _pq_oracle(),
+    "silhouette_score": _silhouette_oracle(),
     "cosine_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
@@ -704,5 +796,6 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "ann_pq_topk": ann_pq_topk,
+    "silhouette_score": silhouette_score,
     "random_projection": random_projection,
 }

@@ -298,3 +298,12 @@ def test_cusum_changepoint_is_argmax(spark):
             best = (d, abs(cs))
     assert out["click"].changepoint_day == best[0]
     assert abs(out["click"].max_abs_cusum - best[1]) < 1e-3
+
+
+def test_chi2_drift_total_is_sum_of_parts(spark):
+    rows = {r.event_type: r for r in A.chi2_drift(spark, SF_SMALL).collect()}
+    allr = rows.pop("__all__")
+    assert allr.chi2_part >= 0
+    assert abs(sum(r.chi2_part for r in rows.values()) - allr.chi2_part) < 1e-3
+    assert allr.n_before == sum(r.n_before for r in rows.values())
+    assert allr.n_after == sum(r.n_after for r in rows.values())

@@ -138,3 +138,17 @@ def test_bfs_source_zero_and_bounded(spark):
     assert all(-1 <= h <= G.BFS_ROUNDS for h in rows.values())
     # somebody besides the source must be reachable on the trade graph
     assert sum(1 for h in rows.values() if h > 0) > 0
+
+
+def test_session_paths_cover_all_sessions(spark):
+    """Top-path session counts can never exceed the total session count,
+    and each path's shape matches the '>'-joined event-type alphabet."""
+    from cdc_streamming___v2_spark.operators.event_windows import session_agg
+
+    rows = behavior.session_path_analysis(spark, SF_DIR).collect()
+    n_sessions = session_agg(spark, SF_DIR).count()
+    assert sum(r.n_sessions for r in rows) <= n_sessions
+    types = {"signup", "click", "view", "purchase", "error"}
+    for r in rows:
+        assert set(r.path.split(">")) <= types
+        assert r.n_sessions >= 1

@@ -494,3 +494,38 @@ def test_sorted_neighborhood_no_cartesian_and_window_bound(spark):
     # symmetric-free: each pair emitted once, a before b in sort order
     assert all(r.name_a < r.name_b or r.lev > 0 for r in rows)
     assert all(r.lev <= D.SNM_MAX_LEV for r in rows)
+
+
+def test_silhouette_separated_clusters_score_high(spark):
+    """Well-separated synthetic clusters must earn silhouette near 1;
+    the driver's random labels must sit near 0 (structure detection)."""
+    import random
+
+    rnd = random.Random(3)
+    rows = []
+    for i in range(60):
+        lab = i % 3
+        center = [0.0] * 64
+        center[lab] = 10.0
+        rows.append(
+            Row(vec_id=i, label=lab,
+                v=[c + rnd.uniform(-0.1, 0.1) for c in center])
+        )
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("label", T.IntegerType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(
+        [(r.vec_id, r.label, r.v) for r in rows], schema
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        out = S.silhouette_score(spark, d).collect()
+    assert all(r.mean_silhouette > 0.9 for r in out)
+    real = S.silhouette_score(spark, SF_SMALL).collect()
+    assert all(abs(r.mean_silhouette) < 0.2 for r in real)
