@@ -113,6 +113,14 @@ HEADLINE = [
     "mutual_information",
     "winsorized_stats",
     "bfs_hops",
+    "k_anonymity",
+    "seasonality_strength",
+    "cusum_changepoint",
+    "chi2_drift",
+    "scd2_snapshot_diff",
+    "sorted_neighborhood_pairs",
+    "session_path_analysis",
+    "silhouette_score",
 ]
 
 

@@ -27,7 +27,7 @@ import functools
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.texts import md5_hash_long, normalized, words
+from ..functions.texts import md5_hash_long, normalized, shingles_of_words, words
 from ..functions.vectors import as_double, cosine
 from ..sources.tables import exploded_shingles, fan_out, load_table
 
@@ -260,9 +260,114 @@ def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sa): the distinct shingle ARRAY per document, built
+    row-locally behind the fan-out exchange — the un-exploded twin of
+    ``_shingles``. Documents too short to shingle are dropped (same
+    population the exploded path yields)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = fan_out(d.select("doc_id", words(F.col("text")).alias("__w")))
+    return toks.select(
+        "doc_id", shingles_of_words(F.col("__w"), 3).alias("sa")
+    ).filter(F.size("sa") > 0)
+
+
+def _signatures_from_sets(sets: DataFrame) -> DataFrame:
+    """MinHash signatures computed ROW-LOCALLY from the shingle-array frame:
+    hash the array once, then each of the K permutations is an array_min
+    over a transform — zero shuffle, versus the exploded path's
+    corpus×shingle groupBy. Same (a*h+b) % P arithmetic and the same
+    min-over-distinct-shingles semantics, so outputs are bit-identical to
+    ``_signatures_from_shingles`` (the oracle's formulation)."""
+    ha = sets.withColumn(
+        "__ha", F.transform("sa", lambda s: md5_hash_long(s))
+    )
+    return ha.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    "__ha", lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+                )
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ],
+    )
+
+
+def _minhash_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sa, m0..m{K-1}) in ONE Arrow-batched pass: shingling, md5
+    hashing, and all K permutation minima vectorized per batch
+    (hashlib + numpy), replacing an interpreted higher-order-function
+    chain measured ~10x slower (Spark HOFs don't enter codegen, so each
+    of the ~150 shingle slices and K x 150 modular ops per document paid
+    interpreted-lambda overhead).
+
+    Exact-parity contract with the JVM/SQL formulation (asserted in
+    tests/test_llm_ops.py::test_minhash_kernel_matches_jvm_formulation and
+    by the DuckDB oracle): tokens = regex \\s+ split of trimmed text,
+    shingle = space-joined word 3-gram, first-occurrence-distinct; hash =
+    first 8 md5 hex chars as int; min over (a*h + b) % P with a*h < 2^63
+    (no int64 overflow, so numpy == JVM long == SQL hugeint arithmetic).
+
+    Scale: mapInPandas is a narrow map over the fanned-out corpus scan —
+    no shuffle, batch-sized memory, and the kernel cost is ~linear in
+    corpus bytes. The shingle array rides along so the near-dup verify
+    step reuses this single pass.
+    """
+    import pandas as pd
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ab = list(MINHASH_AB)
+    p = MINHASH_P
+    n = 3
+    cols = ["doc_id", "sa", *[f"m{i}" for i in range(len(ab))]]
+    schema = "doc_id long, sa array<string>, " + ", ".join(
+        f"m{i} long" for i in range(len(ab))
+    )
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        rx = re.compile(r"\s+")
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = rx.split(text.strip()) if text and text.strip() else []
+                if len(w) < n:
+                    continue
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+                    )
+                )
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                mins = [int(((a * hs + b) % p).min()) for a, b in ab]
+                rows.append((int(doc_id), sh, *mins))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(gen, schema)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K minhash values per document (portable universal-hash family)."""
-    return _signatures_from_shingles(_shingles(spark, sf_dir))
+    """K minhash values per document (portable universal-hash family).
+
+    Computed via the vectorized Arrow kernel (``_minhash_kernel``) — one
+    narrow pass over the corpus, no exploded-shingle shuffle; the DuckDB
+    oracle runs the exploded groupBy-min formulation, so the hash match
+    proves the kernel equivalent."""
+    k = _minhash_kernel(spark, sf_dir)
+    return k.select("doc_id", *[f"m{i}" for i in range(MINHASH_K)])
 
 
 def _minhash_bands(sig: DataFrame) -> DataFrame:
@@ -289,16 +394,17 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same output contract as ngram_jaccard_pairs but computed the scalable
     way: equi-join on (band, band_hash) generates candidates instead of the
     quadratic shingle self-join; only candidates are verified.
-    """
-    # shingles feed both the signatures and the verification join — persist
-    # the exploded frame so the split/slice work happens once.  DISK_ONLY,
-    # not MEMORY: the exploded shingle frame is a multiple of corpus size,
-    # so a memory persist is an executor-OOM cliff at real scale, while
-    # spilled parquet-ish blocks stream back fine for both consumers
-    from pyspark import StorageLevel
 
-    sh = _shingles(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
-    bands = _minhash_bands(_signatures_from_shingles(sh))
+    Both the signatures and the verification sets come from the ROW-LOCAL
+    shingle-array path (``_shingle_sets``): signatures are array_min
+    transforms (zero shuffle — the former exploded groupBy-min paid a
+    corpus×shingles exchange plus a DISK_ONLY persist to amortize it;
+    dropped entirely), and the verify step array_intersects the per-doc
+    arrays joined to candidates only.
+    """
+    kernel = _minhash_kernel(spark, sf_dir)
+    sets = kernel.select("doc_id", "sa")
+    bands = _minhash_bands(kernel)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -311,18 +417,15 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify ONLY candidate pairs (never all-pairs — that's the point of
-    # the banding): per-doc shingle SETS joined to the candidate list, with
-    # the intersection computed JVM-side via array_intersect. One agg + two
-    # doc-keyed joins, vs. re-exploding shingles into a pairwise shuffle
-    # join — far fewer shuffled rows when candidates ≪ shingles.
-    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    # the banding): per-doc shingle arrays joined to the candidate list,
+    # intersection computed JVM-side via array_intersect
     verified = (
         cand.join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a")),
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sa").alias("ss_a")),
             "doc_a",
         )
         .join(
-            sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b")),
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sa").alias("ss_b")),
             "doc_b",
         )
         .withColumn("common", F.size(F.array_intersect("ss_a", "ss_b")))
@@ -360,13 +463,13 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard verified on candidate pairs only, same contract as
     minhash_near_dup.
     """
-    from pyspark import StorageLevel
-
-    sh = _shingles(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    kernel = _minhash_kernel(spark, sf_dir)
     is_new = F.col("doc_id") % INCR_MOD == 0
-    sh_new, sh_old = sh.filter(is_new), sh.filter(~is_new)
-    index = _minhash_bands(_signatures_from_shingles(sh_old))  # corpus index
-    probe = _minhash_bands(_signatures_from_shingles(sh_new))
+    k_new, k_old = kernel.filter(is_new), kernel.filter(~is_new)
+    sets_n = k_new.select("doc_id", "sa")
+    sets_o = k_old.select("doc_id", "sa")
+    index = _minhash_bands(k_old)  # corpus index
+    probe = _minhash_bands(k_new)
     cand = (
         probe.alias("n")
         .join(
@@ -378,16 +481,14 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sets_new = sh_new.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
-    sets_old = sh_old.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
     verified = (
         cand.join(
-            sets_new.select(F.col("doc_id").alias("new_id"), F.col("ss").alias("ss_n")),
+            sets_n.select(F.col("doc_id").alias("new_id"), F.col("sa").alias("ss_n")),
             "new_id",
         )
         .join(
-            sets_old.select(
-                F.col("doc_id").alias("corpus_id"), F.col("ss").alias("ss_o")
+            sets_o.select(
+                F.col("doc_id").alias("corpus_id"), F.col("sa").alias("ss_o")
             ),
             "corpus_id",
         )

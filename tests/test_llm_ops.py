@@ -529,3 +529,22 @@ def test_silhouette_separated_clusters_score_high(spark):
     assert all(r.mean_silhouette > 0.9 for r in out)
     real = S.silhouette_score(spark, SF_SMALL).collect()
     assert all(abs(r.mean_silhouette) < 0.2 for r in real)
+
+
+def test_minhash_kernel_matches_jvm_formulation(spark):
+    """The vectorized Arrow kernel must produce bit-identical signatures
+    and identical shingle sets to the pure-JVM built-in formulation."""
+    jvm = {
+        r.doc_id: tuple(r[f"m{i}"] for i in range(D.MINHASH_K))
+        for r in D._signatures_from_sets(
+            D._shingle_sets(spark, SF_SMALL)
+        ).collect()
+    }
+    ker = D._minhash_kernel(spark, SF_SMALL).collect()
+    got = {r.doc_id: tuple(r[f"m{i}"] for i in range(D.MINHASH_K)) for r in ker}
+    assert got == jvm
+    jvm_sets = {
+        r.doc_id: set(r.sa)
+        for r in D._shingle_sets(spark, SF_SMALL).collect()
+    }
+    assert {r.doc_id: set(r.sa) for r in ker} == jvm_sets
