@@ -548,3 +548,14 @@ def test_minhash_kernel_matches_jvm_formulation(spark):
         for r in D._shingle_sets(spark, SF_SMALL).collect()
     }
     assert {r.doc_id: set(r.sa) for r in ker} == jvm_sets
+
+
+def test_exploded_shingles_kernel_matches_jvm(spark):
+    from cdc_streamming___v2_spark.sources.tables import (
+        exploded_shingles, exploded_shingles_jvm, load_table,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    ker = {(r.doc_id, r.s) for r in exploded_shingles(d, 3).collect()}
+    jvm = {(r.doc_id, r.s) for r in exploded_shingles_jvm(d, 3).collect()}
+    assert ker == jvm and ker
