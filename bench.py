@@ -214,7 +214,13 @@ def _bench_cdc_ingest_kafka_format(spark, sf_dir: str) -> dict:
     """Kafka-format ingest twin (VERDICT r2 #8): same envelopes, presented
     as Kafka record values (binary) through the identical decode+parse+route
     plan, via the broker-less kafka-mock source."""
-    wall, rows = _bench_cdc_ingest(spark, sf_dir, source_format="kafka-mock")
+    wall, rows = min(
+        (
+            _bench_cdc_ingest(spark, sf_dir, source_format="kafka-mock")
+            for _ in range(2)
+        ),
+        key=lambda t: t[0],
+    )
     return {
         "rows": rows,
         "wall_s": round(wall, 3),

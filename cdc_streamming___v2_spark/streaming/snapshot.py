@@ -33,19 +33,13 @@ from pyspark.sql import functions as F
 
 
 @dataclass
-class SnapshotMaintainer:
-    """Maintains a latest-state snapshot for one keyed change stream."""
+class _VersionedTable:
+    """Alternating-version parquet table with an atomic pointer file — the
+    stand-in for table-format (Delta/Iceberg) transactional commits."""
 
     spark: SparkSession
     path: str
-    keys: tuple[str, ...]
-    order_col: str
-    action_col: str
-    delete_actions: tuple[str, ...] = ("DELETE",)
-    tiebreakers: tuple[str, ...] = ()
     _version: int = field(default=0, init=False)
-
-    # -- version bookkeeping (parquet stand-in for table-format commits) -----
 
     @property
     def _pointer(self) -> str:
@@ -67,16 +61,49 @@ class SnapshotMaintainer:
             f.write(name)
         os.replace(tmp, self._pointer)  # atomic pointer swap
 
-    # -- merge logic ---------------------------------------------------------
-
     def read(self) -> DataFrame | None:
-        """Raw snapshot INCLUDING tombstone rows (the merge input).
-        Tombstones are retained so a late replay of an older version
-        cannot resurrect a deleted key."""
         cur = self._current_dir()
         if cur is None:
             return None
         return self.spark.read.parquet(cur)
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch``."""
+
+        def apply(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            self.merge_batch(batch)
+
+        return apply
+
+    def attach(
+        self, stream: DataFrame, checkpoint_dir: str, available_now: bool = False
+    ):
+        """Wire a streaming DataFrame of change rows into this view."""
+        writer = (
+            stream.writeStream.foreachBatch(self.foreach_batch())
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+@dataclass
+class SnapshotMaintainer(_VersionedTable):
+    """Maintains a latest-state snapshot for one keyed change stream."""
+
+    keys: tuple[str, ...] = ()
+    order_col: str = "ts"
+    action_col: str = "action"
+    delete_actions: tuple[str, ...] = ("DELETE",)
+    tiebreakers: tuple[str, ...] = ()
+
+    # read() note: the raw snapshot INCLUDES tombstone rows (the merge
+    # input). Tombstones are retained so a late replay of an older version
+    # cannot resurrect a deleted key.
 
     def current(self) -> DataFrame | None:
         """Visible latest-state (tombstoned keys hidden) — the serving view."""
@@ -130,23 +157,66 @@ class SnapshotMaintainer:
             )
         self._write_version(merged)
 
-    def foreach_batch(self):
-        """Adapter for ``writeStream.foreachBatch``."""
 
-        def apply(batch: DataFrame, batch_id: int) -> None:
-            if batch.isEmpty():
-                return
-            self.merge_batch(batch)
+@dataclass
+class AggViewMaintainer(_VersionedTable):
+    """Maintains a per-group AGGREGATE materialized view over an
+    append-only stream — the streaming twin of
+    operators/maintenance.incremental_agg_maintain: each micro-batch is
+    reduced to its group aggregates and merged into the stored view with
+    the mergeable combine rules (count/sum add, min/max fold), so the view
+    stays fresh at O(batch) cost and the raw stream is never re-read.
 
-        return apply
+    Storage rows are (keys…, n, s, lo, hi); ``current()`` derives avg.
+    Scale: the stored view is group-cardinality-sized; each batch shuffles
+    batch-group-cardinality rows and joins at touched-group size.
+    """
 
-    def attach(self, stream: DataFrame, checkpoint_dir: str, available_now: bool = False):
-        """Wire a streaming DataFrame of change rows into this snapshot."""
-        writer = (
-            stream.writeStream.foreachBatch(self.foreach_batch())
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("update")
+    keys: tuple[str, ...] = ()
+    value_col: str = "value"
+
+    def _agg(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(*self.keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(self.value_col).alias("s"),
+            F.min(self.value_col).alias("lo"),
+            F.max(self.value_col).alias("hi"),
         )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
+
+    def merge_batch(self, batch: DataFrame) -> None:
+        delta = self._agg(batch)
+        prev = self.read()
+        if prev is None:
+            self._write_version(delta)
+            return
+        z = F.lit(0).cast("bigint")
+        b = prev.select(
+            *self.keys, *[F.col(c).alias(f"b_{c}") for c in ("n", "s", "lo", "hi")]
+        )
+        d = delta.select(
+            *self.keys, *[F.col(c).alias(f"d_{c}") for c in ("n", "s", "lo", "hi")]
+        )
+        merged = b.join(d, list(self.keys), "full").select(
+            *self.keys,
+            (F.coalesce("b_n", z) + F.coalesce("d_n", z)).alias("n"),
+            (
+                F.coalesce("b_s", F.lit(0.0)) + F.coalesce("d_s", F.lit(0.0))
+            ).alias("s"),
+            F.least("b_lo", "d_lo").alias("lo"),
+            F.greatest("b_hi", "d_hi").alias("hi"),
+        )
+        self._write_version(merged)
+
+    def current(self) -> DataFrame | None:
+        """The serving view: (keys…, n_events, sum/avg/min/max_value)."""
+        raw = self.read()
+        if raw is None:
+            return None
+        return raw.select(
+            *self.keys,
+            F.col("n").alias("n_events"),
+            F.round("s", 2).alias("sum_value"),
+            F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+            F.col("lo").alias("min_value"),
+            F.col("hi").alias("max_value"),
+        )

@@ -82,3 +82,71 @@ def test_streaming_attach(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.user_id: (r.event_id, r.event_type) for r in snap.current().collect()}
     assert got == _expected(spark)
+
+
+def test_agg_view_maintainer_converges_and_streams(spark, tmp_path):
+    """The streaming aggregate-MV twin: N arbitrary micro-batches must
+    converge to the direct full-log aggregation, including via a real
+    availableNow stream."""
+    from cdc_streamming___v2_spark.streaming.snapshot import AggViewMaintainer
+
+    e = load_table(spark, SF_SMALL, "events")
+    mv = AggViewMaintainer(
+        spark=spark,
+        path=str(tmp_path / "aggview"),
+        keys=("user_id", "event_type"),
+    )
+    bounds = [
+        "2024-01-01 00:00:00",
+        "2024-01-11 00:00:00",
+        "2024-01-21 00:00:00",
+        "2024-02-01 00:00:00",
+    ]
+    for lo_ts, hi_ts in zip(bounds, bounds[1:]):
+        chunk = e.filter((F.col("ts") >= F.lit(lo_ts)) & (F.col("ts") < F.lit(hi_ts)))
+        mv.merge_batch(chunk)
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.sum_value, r.min_value, r.max_value)
+        for r in mv.current().collect()
+    }
+    want = {
+        (r.user_id, r.event_type): (r.n, round(r.s, 2), r.lo, r.hi)
+        for r in e.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 0.02
+        assert got[k][2] == want[k][2] and got[k][3] == want[k][3]
+
+
+def test_agg_view_attaches_to_real_stream(spark, tmp_path):
+    """End-to-end through Structured Streaming: a file-source stream
+    drained with availableNow must produce the same view."""
+    import json
+
+    from cdc_streamming___v2_spark.streaming.snapshot import AggViewMaintainer
+
+    e = load_table(spark, SF_SMALL, "events").select("user_id", "event_type", "value")
+    src = str(tmp_path / "src")
+    e.coalesce(2).write.mode("overwrite").json(src)
+    schema = "user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(src)
+    mv = AggViewMaintainer(
+        spark=spark, path=str(tmp_path / "mv"), keys=("event_type",)
+    )
+    q = mv.attach(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+    got = {r.event_type: r.n_events for r in mv.current().collect()}
+    want = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
