@@ -111,6 +111,7 @@ _GATE_PRIORITY = (
     "session_path_analysis",
     "chi2_drift",
     "silhouette_score",
+    "mmr_diverse_topk",
     # -- round-3 modified implementations (re-proof wanted; judge can also
     #    verify, so they sit after the never-checked tiers) --
     "jaccard_prefix_join",

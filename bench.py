@@ -121,6 +121,7 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "session_path_analysis",
     "silhouette_score",
+    "mmr_diverse_topk",
 ]
 
 

