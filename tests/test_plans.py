@@ -280,3 +280,50 @@ def test_semantic_dedup_cell_join_not_cartesian(spark):
     # only inside a cell), never a corpus-wide cartesian product
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_round3_ops_never_plan_cartesian(spark):
+    """Blanket plan audit for every round-3 operator: no CartesianProduct
+    anywhere (1-row scalar broadcasts plan as BNLJ and are fine; the MMR
+    pool's intentional query-broadcast BNLJ likewise)."""
+    from cdc_streamming___v2_spark.operators import analytics as A3
+    from cdc_streamming___v2_spark.operators import behavior as B3
+    from cdc_streamming___v2_spark.operators import dedup as D3
+    from cdc_streamming___v2_spark.operators import graph as G3
+    from cdc_streamming___v2_spark.operators import maintenance as MT3
+    from cdc_streamming___v2_spark.operators import scd2_queries as SQ3
+    from cdc_streamming___v2_spark.operators import similarity as S3
+
+    for fn in (
+        MT3.incremental_agg_maintain,
+        MT3.zorder_layout,
+        B3.attribution_credit,
+        B3.session_path_analysis,
+        A3.trend_fit,
+        A3.mutual_information,
+        A3.winsorized_stats,
+        A3.k_anonymity,
+        A3.seasonality_strength,
+        A3.cusum_changepoint,
+        A3.chi2_drift,
+        G3.bfs_hops,
+        S3.ann_pq_topk,
+        S3.silhouette_score,
+        S3.mmr_diverse_topk,
+        SQ3.scd2_snapshot_diff,
+        D3.sorted_neighborhood_pairs,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_zorder_quantization_is_single_scan_plus_broadcast(spark):
+    """The z-value compute must be a narrow map over ONE orders scan with
+    the bounds row broadcast — no re-scan per dimension, no sort."""
+    from cdc_streamming___v2_spark.operators import maintenance as MT3
+
+    p = _plan(spark, MT3.zorder_layout(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    # orders appears once for the main pass plus the bounds-agg side
+    # (up to two per branch before exchange reuse kicks in)
+    assert p.count("Scan parquet") <= 4
