@@ -112,6 +112,7 @@ _GATE_PRIORITY = (
     "chi2_drift",
     "silhouette_score",
     "mmr_diverse_topk",
+    "blocking_quality",
     # -- round-3 modified implementations (re-proof wanted; judge can also
     #    verify, so they sit after the never-checked tiers) --
     "jaccard_prefix_join",

@@ -879,8 +879,50 @@ _SNM_ORACLE = f"""
     WHERE levenshtein(a.p_name, b.p_name) <= {SNM_MAX_LEV}
 """
 
+_BLOCKING_QUALITY_ORACLE = f"""
+    WITH n0 AS (SELECT DISTINCT p_name FROM part),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM n0),
+    lb AS (SELECT p_name,
+                  CAST(length(p_name) // {SNM_MAX_LEV + 1} AS BIGINT) AS lb
+           FROM n0),
+    probe AS (
+        SELECT p_name AS name_a, lb + d AS lb
+        FROM lb, (SELECT unnest([-1, 0, 1]) AS d)
+    ),
+    truth AS (
+        SELECT DISTINCT p.name_a, b.p_name AS name_b
+        FROM probe p JOIN lb b ON p.lb = b.lb
+        WHERE p.name_a < b.p_name
+          AND levenshtein(p.name_a, b.p_name) <= {SNM_MAX_LEV}
+    ),
+    r AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rk FROM n0),
+    cand AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND {SNM_WINDOW}
+    ),
+    f AS (SELECT count(*) AS n_found
+          FROM cand c JOIN truth t
+            ON c.name_a = t.name_a AND c.name_b = t.name_b),
+    counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+               (SELECT CAST(n_found AS BIGINT) FROM f) AS n_found
+    )
+    SELECT tot.n AS n_names,
+           CAST(tot.n * (tot.n - 1) / 2 AS BIGINT) AS n_all_pairs,
+           n_cand AS n_candidates,
+           n_true AS n_true_matches,
+           n_found,
+           round(1 - n_cand / (tot.n * (tot.n - 1) / 2.0), 6)
+               AS reduction_ratio,
+           round(n_found * 1.0 / n_true, 6) AS pairs_completeness
+    FROM tot, counts
+"""
+
+
 ORACLES = {
     "sorted_neighborhood_pairs": _SNM_ORACLE,
+    "blocking_quality": _BLOCKING_QUALITY_ORACLE,
     "fuzzy_match_parts": f"""
         SELECT a.p_brand AS brand,
                CAST(a.p_partkey AS BIGINT) AS part_a,
@@ -1175,8 +1217,110 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation for the record-linkage tier: how good is
+    sorted-neighborhood blocking at finding the true edit-distance matches?
+    Reports the two standard metrics — reduction ratio (fraction of the
+    all-pairs comparison space pruned away) and pairs completeness
+    (fraction of TRUE matches the blocking retains) — plus the raw counts.
+
+    Ground truth comes from a LENGTH-BANDED exact sweep: lev(a,b) <= D
+    implies |len(a)-len(b)| <= D, so joining length-buckets +-1 provably
+    contains every true match while staying an equi-join (never a name x
+    name cartesian). The SNM candidate set is the rank-band join from
+    ``sorted_neighborhood_pairs`` BEFORE the edit-distance filter.
+
+    Scale: both sides operate on the distinct-name dictionary (bounded by
+    the name vocabulary, orders below row count); the all-pairs DENOMINATOR
+    is computed arithmetically (n*(n-1)/2), never materialized.
+    """
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    n_total = names.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    # --- ground truth: length-banded lev sweep ---
+    lb = names.withColumn(
+        "lb", (F.length("p_name") / (SNM_MAX_LEV + 1)).cast("long")
+    )
+    probe = lb.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
+        ).alias("lb"),
+    )
+    truth = (
+        probe.join(
+            lb.select(F.col("p_name").alias("name_b"), "lb"), "lb"
+        )
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= SNM_MAX_LEV)
+        .select("name_a", "name_b")
+        .distinct()
+    )
+
+    # --- SNM candidates: the rank-band join, pre-lev filter ---
+    nb = names.withColumn("bkt", F.substring("p_name", 1, 1))
+    win_in = Window.partitionBy("bkt").orderBy("p_name")
+    in_rank = nb.withColumn("r_in", F.row_number().over(win_in))
+    counts = nb.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("bkt", "off")
+    ranked = in_rank.join(F.broadcast(offsets), "bkt").select(
+        "p_name", (F.col("off") + F.col("r_in")).alias("rk")
+    )
+    band = (F.col("rk") / (SNM_WINDOW + 1)).cast("long")
+    left = ranked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("rk").alias("rk_a"),
+        F.explode(F.array(band, band + 1)).alias("band"),
+    )
+    right = ranked.select(
+        F.col("p_name").alias("name_b"), F.col("rk").alias("rk_b"),
+        band.alias("band"),
+    )
+    cand = (
+        left.join(right, "band")
+        .filter(
+            (F.col("rk_b") - F.col("rk_a") >= 1)
+            & (F.col("rk_b") - F.col("rk_a") <= SNM_WINDOW)
+        )
+        .select("name_a", "name_b")
+    )
+
+    found = cand.join(truth, ["name_a", "name_b"])
+    stats = (
+        n_total.crossJoin(
+            F.broadcast(cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand")))
+        )
+        .crossJoin(
+            F.broadcast(truth.agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+        )
+        .crossJoin(
+            F.broadcast(found.agg(F.count(F.lit(1)).cast("long").alias("n_found")))
+        )
+    )
+    all_pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return stats.select(
+        F.col("n").alias("n_names"),
+        all_pairs.alias("n_all_pairs"),
+        F.col("n_cand").alias("n_candidates"),
+        F.col("n_true").alias("n_true_matches"),
+        F.col("n_found").alias("n_found"),
+        F.round(1 - F.col("n_cand") / all_pairs, 6).alias("reduction_ratio"),
+        F.round(F.col("n_found") / F.col("n_true"), 6).alias(
+            "pairs_completeness"
+        ),
+    )
+
+
+
+
 QUERIES = {
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
+    "blocking_quality": blocking_quality,
     "dedup_exact": dedup_exact,
     "fuzzy_match_parts": fuzzy_match_parts,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,

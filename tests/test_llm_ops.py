@@ -579,3 +579,14 @@ def test_mmr_first_pick_is_top_cosine_and_diversity_improves(spark):
     assert all(
         len(v) == S.MMR_K and len(set(v)) == S.MMR_K for v in per_q.values()
     )
+
+
+def test_blocking_quality_metrics_consistent(spark):
+    r = D.blocking_quality(spark, SF_SMALL).collect()[0]
+    assert r.n_all_pairs == r.n_names * (r.n_names - 1) // 2
+    assert 0 <= r.n_found <= r.n_true_matches
+    assert r.n_candidates <= r.n_all_pairs
+    assert 0.0 <= r.pairs_completeness <= 1.0
+    assert 0.0 <= r.reduction_ratio < 1.0
+    # SNM with window 5 on a 64-name dictionary prunes hard
+    assert r.reduction_ratio > 0.8
