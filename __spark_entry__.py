@@ -156,9 +156,9 @@ def _gate_order(queries: dict) -> list[str]:
     return list(_GATE_PRIORITY) + tail
 
 
-# Round-2 shipped 134 proven queries; the registry shrinking below that
+# Round-3 shipped 152 proven queries; the registry shrinking below that
 # means a module import silently lost surface — fail loudly (ADVICE r2).
-_MIN_QUERIES = 134
+_MIN_QUERIES = 152
 
 
 def _registry() -> tuple[dict, dict]:
