@@ -113,6 +113,7 @@ _GATE_PRIORITY = (
     "silhouette_score",
     "mmr_diverse_topk",
     "blocking_quality",
+    "funnel_windowed",
     # -- round-3 modified implementations (re-proof wanted; judge can also
     #    verify, so they sit after the never-checked tiers) --
     "jaccard_prefix_join",

@@ -944,6 +944,91 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound conversion funnel: of users whose journey starts with a
+    signup, how many purchase within 1 day / 7 days / 30 days of their
+    FIRST signup? The windowed companion to funnel_conversion's unbounded
+    stage counts — the growth metric a "D7 conversion" dashboard shows.
+
+    Scale: two filtered aggregations keyed by user (map-side combine) and
+    one state-sized join; the conversion flags are timestamp interval
+    arithmetic (identical semantics in both engines), then a single-row
+    rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    # first purchase STRICTLY AFTER the signup
+    purchases_after = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    j = signups.join(purchases_after.select("user_id", "tp"), "user_id", "left")
+    flags = j.select(
+        "user_id",
+        (F.col("tp") <= F.col("t0") + F.expr("INTERVAL 1 DAY"))
+        .cast("long").alias("c1"),
+        (F.col("tp") <= F.col("t0") + F.expr("INTERVAL 7 DAY"))
+        .cast("long").alias("c7"),
+        (F.col("tp") <= F.col("t0") + F.expr("INTERVAL 30 DAY"))
+        .cast("long").alias("c30"),
+    )
+    z = F.lit(0).cast("bigint")
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signup_users"),
+        F.coalesce(F.sum("c1"), z).cast("bigint").alias("n_conv_1d"),
+        F.coalesce(F.sum("c7"), z).cast("bigint").alias("n_conv_7d"),
+        F.coalesce(F.sum("c30"), z).cast("bigint").alias("n_conv_30d"),
+    )
+    return agg.select(
+        "n_signup_users",
+        "n_conv_1d",
+        "n_conv_7d",
+        "n_conv_30d",
+        F.round(F.col("n_conv_1d") / F.col("n_signup_users"), 6).alias("rate_1d"),
+        F.round(F.col("n_conv_7d") / F.col("n_signup_users"), 6).alias("rate_7d"),
+        F.round(F.col("n_conv_30d") / F.col("n_signup_users"), 6).alias(
+            "rate_30d"
+        ),
+    )
+
+
+_FUNNEL_WINDOWED_ORACLE = """
+    WITH s AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS tp
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.t0
+        GROUP BY 1
+    ),
+    flags AS (
+        SELECT s.user_id,
+               CASE WHEN p.tp <= s.t0 + INTERVAL 1 DAY THEN 1 ELSE 0 END AS c1,
+               CASE WHEN p.tp <= s.t0 + INTERVAL 7 DAY THEN 1 ELSE 0 END AS c7,
+               CASE WHEN p.tp <= s.t0 + INTERVAL 30 DAY THEN 1 ELSE 0 END
+                   AS c30
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+           CAST(sum(c1) AS BIGINT) AS n_conv_1d,
+           CAST(sum(c7) AS BIGINT) AS n_conv_7d,
+           CAST(sum(c30) AS BIGINT) AS n_conv_30d,
+           round(sum(c1) * 1.0 / count(*), 6) AS rate_1d,
+           round(sum(c7) * 1.0 / count(*), 6) AS rate_7d,
+           round(sum(c30) * 1.0 / count(*), 6) AS rate_30d
+    FROM flags
+"""
+
+
 CHI2_SPLIT_TS = "2024-01-16 00:00:00"  # period A | period B boundary
 
 
@@ -1026,6 +1111,7 @@ QUERIES = {
     "seasonality_strength": seasonality_strength,
     "cusum_changepoint": cusum_changepoint,
     "chi2_drift": chi2_drift,
+    "funnel_windowed": funnel_windowed,
 }
 
 def _ewma_oracle() -> str:
@@ -1046,6 +1132,7 @@ def _ewma_oracle() -> str:
 
 
 ORACLES = {
+    "funnel_windowed": _FUNNEL_WINDOWED_ORACLE,
     "chi2_drift": f"""
         WITH cells AS (
             SELECT event_type,

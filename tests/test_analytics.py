@@ -307,3 +307,10 @@ def test_chi2_drift_total_is_sum_of_parts(spark):
     assert abs(sum(r.chi2_part for r in rows.values()) - allr.chi2_part) < 1e-3
     assert allr.n_before == sum(r.n_before for r in rows.values())
     assert allr.n_after == sum(r.n_after for r in rows.values())
+
+
+def test_funnel_windowed_monotone_in_window(spark):
+    r = A.funnel_windowed(spark, SF_SMALL).collect()[0]
+    assert r.n_conv_1d <= r.n_conv_7d <= r.n_conv_30d <= r.n_signup_users
+    assert 0 <= r.rate_1d <= r.rate_7d <= r.rate_30d <= 1
+    assert r.n_signup_users > 0
