@@ -122,6 +122,8 @@ HEADLINE = [
     "session_path_analysis",
     "silhouette_score",
     "mmr_diverse_topk",
+    "blocking_quality",
+    "funnel_windowed",
 ]
 
 
@@ -277,7 +279,7 @@ def main() -> None:
     total = round(sum(per_query.values()), 3)
 
     cdc_wall, cdc_rows = min(
-        (_bench_cdc_ingest(spark, sf_dir) for _ in range(2)),
+        (_bench_cdc_ingest(spark, sf_dir) for _ in range(3)),
         key=lambda t: t[0],
     )
     cdc_kafka = _bench_cdc_ingest_kafka_format(spark, sf_dir)
