@@ -266,6 +266,7 @@ def main() -> None:
         "q3_shipping_priority",
         "q5_local_supplier_volume",
         "q10_returned_items",
+        "dup_spans",  # observed one 5x outlier run under a host-load burst
     }
 
     per_query: dict[str, float] = {}
