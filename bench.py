@@ -270,45 +270,65 @@ def main() -> None:
     }
 
     per_query: dict[str, float] = {}
+    repeats: dict[str, list[float]] = {}
     for name in run:
         times = []
         for _ in range(3 if name in spiky else 2):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            times.append(time.time() - t0)
+            times.append(round(time.time() - t0, 3))
+        # headline stat stays min (noisy shared host, SURVEY §10 r3), but
+        # the raw repeat list is recorded so min AND median are auditable
+        # across rounds (ADVICE r3)
+        repeats[name] = times
         per_query[name] = round(min(times), 3)
     total = round(sum(per_query.values()), 3)
-
-    cdc_wall, cdc_rows = min(
-        (_bench_cdc_ingest(spark, sf_dir) for _ in range(3)),
-        key=lambda t: t[0],
+    total_median = round(
+        sum(sorted(t)[len(t) // 2] for t in repeats.values()), 3
     )
+
+    cdc_runs = [_bench_cdc_ingest(spark, sf_dir) for _ in range(3)]
+    cdc_wall, cdc_rows = min(cdc_runs, key=lambda t: t[0])
     cdc_kafka = _bench_cdc_ingest_kafka_format(spark, sf_dir)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    cdc_ingest = {
+        "rows": cdc_rows,
+        "wall_s": round(cdc_wall, 3),
+        "rows_per_s": round(cdc_rows / cdc_wall),
+        "repeat_walls_s": [round(w, 3) for w, _ in cdc_runs],
+    }
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_median": total_median,
         "unit": "sec",
         "queries": per_query,
+        "query_repeats": repeats,
         "sf": sf,
-        "cdc_ingest": {
-            "rows": cdc_rows,
-            "wall_s": round(cdc_wall, 3),
-            "rows_per_s": round(cdc_rows / cdc_wall),
-        },
+        "n_queries": len(per_query),
+        "cdc_ingest": cdc_ingest,
         "cdc_ingest_kafka_format": cdc_kafka,
     }
-    line = json.dumps(result)
-    # The driver scrapes a (possibly truncated) stdout tail; BENCH_r02 came
-    # back "parsed: null" because Spark progress output swamped it. Belt and
-    # braces: persist the JSON next to the script AND print it as the final
-    # stdout line, flushed.
+    # Full record (per-query map + raw repeat lists) lives on disk; the
+    # driver's stdout tail buffer is smaller than the ~4KB full JSON (it
+    # front-truncated the final line in r1-r3 -> "parsed": null), so the
+    # flushed FINAL stdout line is a compact summary that always fits
+    # (VERDICT r3 #2).
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_results.json")
     with open(out_path, "w") as f:
-        f.write(line + "\n")
-    print(line, flush=True)
+        f.write(json.dumps(result) + "\n")
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+        "cdc_ingest_rows_per_s": cdc_ingest["rows_per_s"],
+        "queries_path": "bench_results.json",
+    }
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

@@ -90,7 +90,10 @@ def test_registry_gate_order_and_floor():
     q, o = entry._registry()
     names = list(q)
     assert names[: len(entry._GATE_PRIORITY)] == list(entry._GATE_PRIORITY)
-    assert len(names) >= entry._MIN_QUERIES
+    # _MIN_QUERIES is the EXACT registry size (VERDICT r3: a lagging floor
+    # could mask a module silently losing one query) — any add/remove must
+    # bump the constant in lockstep
+    assert len(names) == entry._MIN_QUERIES
     assert set(o) == set(names)  # zero rows-only checks
 
     # hard failure (not silent shrink) when a priority name disappears
