@@ -332,11 +332,16 @@ def _minhash_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import numpy as np
 
-        rx = re.compile(r"\s+")
+        # Exact JVM/DuckDB parity (ADVICE r3): match F.split(F.trim(x),
+        # "\\s+") — trim strips ONLY ' '; \s is the ASCII class (Python's
+        # Unicode str.strip()/\s would diverge on tabs/newlines/U+00A0 at
+        # the text edges).
+        rx = re.compile(r"[ \t\n\x0b\f\r]+")
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                w = rx.split(text.strip()) if text and text.strip() else []
+                t = text.strip(" ") if text else ""
+                w = rx.split(t) if t else []
                 if len(w) < n:
                     continue
                 sh = list(

@@ -32,9 +32,14 @@ from ..sources.tables import load_table
 MV_SPLIT_TS = "2024-01-20 00:00:00"  # base snapshot | delta batch boundary
 
 def _mv_agg(df: DataFrame) -> DataFrame:
+    # sum over DECIMAL, not DOUBLE: decimal addition is exact and
+    # associative, so base_sum + delta_sum is bit-identical to the oracle's
+    # one-pass full-log sum regardless of grouping or order — double
+    # addition is not, and round(±ulp) could flip at a rounding boundary
+    # (ADVICE r3). min/max/count are order-insensitive already.
     return df.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum("value").alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
@@ -62,35 +67,41 @@ def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = delta.select(*keys, *[F.col(c).alias(f"d_{c}") for c in
                               ("n_events", "sum_value", "min_value", "max_value")])
     z = F.lit(0).cast("bigint")
+    zd = F.lit(0).cast("decimal(20,6)")
     merged = b.join(d, keys, "full").select(
         F.col("user_id").cast("bigint").alias("user_id"),
         "event_type",
         (F.coalesce("b_n_events", z) + F.coalesce("d_n_events", z))
         .cast("bigint").alias("n_events"),
-        (F.coalesce("b_sum_value", F.lit(0.0))
-         + F.coalesce("d_sum_value", F.lit(0.0))).alias("sv"),
+        (F.coalesce("b_sum_value", zd)
+         + F.coalesce("d_sum_value", zd)).alias("sv"),
         F.least("b_min_value", "d_min_value").alias("lo"),
         F.greatest("b_max_value", "d_max_value").alias("hi"),
     )
     # least/greatest skip NULLs in both Spark and DuckDB, so a group seen
-    # on only one side folds correctly without special-casing
+    # on only one side folds correctly without special-casing.  sv is exact
+    # decimal by here; cast to double only at presentation so the final
+    # round() sees the identical value the oracle's one-pass sum produces.
+    sv = F.col("sv").cast("double")
     return merged.select(
         "user_id",
         "event_type",
         "n_events",
-        F.round("sv", 2).alias("sum_value"),
-        F.round(F.col("sv") / F.col("n_events"), 6).alias("avg_value"),
+        F.round(sv, 2).alias("sum_value"),
+        F.round(sv / F.col("n_events"), 6).alias("avg_value"),
         F.round("lo", 2).alias("min_value"),
         F.round("hi", 2).alias("max_value"),
     )
 
 
-_MV_ORACLE = f"""
+_MV_ORACLE = """
     SELECT CAST(user_id AS BIGINT) AS user_id,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value,
-           round(sum(value) / count(*), 6) AS avg_value,
+           round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2)
+               AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_value,
            round(min(value), 2) AS min_value,
            round(max(value), 2) AS max_value
     FROM events

@@ -101,13 +101,20 @@ def exploded_shingles(
     def gen(batches):
         import re
 
-        rx = re.compile(r"\s+")
+        # Exact JVM/DuckDB parity (ADVICE r3): the twin expression is
+        # F.split(F.trim(text), "\\s+") — Spark trim strips ONLY ' ' and
+        # Java/RE2 \s is the ASCII class, while Python str.strip()/\s are
+        # Unicode-aware (e.g. they'd eat U+00A0 and leading tabs).  Strip
+        # ' ' only and split on the explicit ASCII class so '\tfoo bar'
+        # yields ['', 'foo', 'bar'] on every engine.
+        rx = re.compile(r"[ \t\n\x0b\f\r]+")
         for pdf in batches:
             out = {k: [] for k in kl}
             ss = []
             for vals in zip(*(pdf[k] for k in kl), pdf["__t"]):
                 text = vals[-1]
-                w = rx.split(text.strip()) if text and text.strip() else []
+                t = text.strip(" ") if text else ""
+                w = rx.split(t) if t else []
                 if len(w) < n:
                     continue
                 sh = dict.fromkeys(

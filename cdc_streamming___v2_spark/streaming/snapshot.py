@@ -101,6 +101,16 @@ class SnapshotMaintainer(_VersionedTable):
     delete_actions: tuple[str, ...] = ("DELETE",)
     tiebreakers: tuple[str, ...] = ()
 
+    def __post_init__(self) -> None:
+        # keys defaults to () only because dataclass inheritance forces a
+        # default once the base has one — an empty key set would merge every
+        # row into one group and degrade silently, so fail at construction
+        # (ADVICE r3)
+        if not self.keys:
+            raise ValueError(
+                f"{type(self).__name__} requires a non-empty `keys` tuple"
+            )
+
     # read() note: the raw snapshot INCLUDES tombstone rows (the merge
     # input). Tombstones are retained so a late replay of an older version
     # cannot resurrect a deleted key.
@@ -174,6 +184,12 @@ class AggViewMaintainer(_VersionedTable):
 
     keys: tuple[str, ...] = ()
     value_col: str = "value"
+
+    def __post_init__(self) -> None:
+        if not self.keys:  # see SnapshotMaintainer.__post_init__
+            raise ValueError(
+                f"{type(self).__name__} requires a non-empty `keys` tuple"
+            )
 
     def _agg(self, df: DataFrame) -> DataFrame:
         return df.groupBy(*self.keys).agg(

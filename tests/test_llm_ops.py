@@ -561,6 +561,60 @@ def test_exploded_shingles_kernel_matches_jvm(spark):
     assert ker == jvm and ker
 
 
+# Edge-whitespace torture set (ADVICE r3): Spark trim strips only ' ' and
+# Java \s is ASCII, while Python str.strip()/\s are Unicode-aware — the
+# kernels must match the JVM on leading tabs ('' token survives), embedded
+# newlines/CRs (ASCII \s splits), U+00A0 and U+2028 (NOT whitespace on the
+# JVM: they stay inside tokens), and trailing whitespace runs.
+_DIRTY_TEXTS = [
+    "\talpha beta gamma delta",          # leading tab -> leading '' token
+    "alpha beta gamma delta echo",  # NBSP glues 'alpha\xa0beta'
+    "one two\nthree\rfour five",         # embedded newline/CR split
+    "  padded start and end  ",          # ' '-only trim both sides
+    "x\u2028y line separator a b c",     # U+2028 stays inside a token
+    "tab\tsep\ttokens here now",
+    "trailing newline run a b c\n\n",
+    None,
+    "",
+    "   ",                               # spaces only -> [''] on JVM
+    "short one",                         # < n tokens
+]
+
+
+def test_kernel_tokenization_matches_jvm_on_dirty_whitespace(spark, tmp_path):
+    from cdc_streamming___v2_spark.sources.tables import (
+        exploded_shingles, exploded_shingles_jvm,
+    )
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_DIRTY_TEXTS)], "doc_id long, text string"
+    )
+    ker = {(r.doc_id, r.s) for r in exploded_shingles(d, 3).collect()}
+    jvm = {(r.doc_id, r.s) for r in exploded_shingles_jvm(d, 3).collect()}
+    assert ker == jvm and ker
+    # the NBSP doc must produce a glued token, proving ASCII (not Unicode)
+    # split semantics on both sides
+    assert any("alpha beta" in s for _, s in ker)
+
+    # minhash kernel parity on the same dirty corpus (written as a
+    # documents table because the kernel loads from an sf_dir)
+    sf = str(tmp_path)
+    d.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text").cast("long")).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    jvm_sig = {
+        r.doc_id: tuple(r[f"m{i}"] for i in range(D.MINHASH_K))
+        for r in D._signatures_from_sets(D._shingle_sets(spark, sf)).collect()
+    }
+    ker_sig = {
+        r.doc_id: tuple(r[f"m{i}"] for i in range(D.MINHASH_K))
+        for r in D._minhash_kernel(spark, sf).collect()
+    }
+    assert ker_sig == jvm_sig and ker_sig
+
+
 def test_mmr_first_pick_is_top_cosine_and_diversity_improves(spark):
     """Round 1 has no diversity penalty, so the rank-1 pick must equal the
     exact cosine top-1; and the mean pairwise similarity among MMR's

@@ -150,3 +150,19 @@ def test_agg_view_attaches_to_real_stream(spark, tmp_path):
         for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_maintainers_reject_empty_keys(spark, tmp_path):
+    """Construction without keys must raise, not degrade into a single
+    all-rows group later (ADVICE r3: the _VersionedTable refactor forced a
+    () default onto previously-required fields)."""
+    import pytest
+
+    from cdc_streamming___v2_spark.streaming.snapshot import (
+        AggViewMaintainer, SnapshotMaintainer,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        SnapshotMaintainer(spark=spark, path=str(tmp_path / "a"))
+    with pytest.raises(ValueError, match="non-empty"):
+        AggViewMaintainer(spark=spark, path=str(tmp_path / "b"))
