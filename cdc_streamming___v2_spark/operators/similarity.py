@@ -686,31 +686,53 @@ MMR_K = 5         # diverse selections per query
 
 
 def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance selection: from each query's exact
-    top-MMR_POOL cosine candidates, greedily pick MMR_K items maximizing
+    """Maximal-marginal-relevance selection: from each query's ANN
+    candidate pool (top-MMR_POOL by exact cosine among LSH multi-probe
+    candidates), greedily pick MMR_K items maximizing
     lambda*sim(query, c) - (1-lambda)*max sim(c, selected) — the diverse
     retrieval step a training-data curator runs so near-identical
     documents don't crowd a context window.
 
-    Scale: the pool is MMR_POOL rows per query (exact top-k via the
-    brute-force kernel — swap in any ANN tier's candidates at larger
-    corpora); the pool-pair similarity matrix is per-query
-    MMR_POOL^2 rows; the MMR_K greedy rounds run argmax windows over
-    those tiny frames — the corpus is touched exactly once, everything
-    after is pool-sized. Rounds are a fixed plan constant (static DAG).
-    All similarities round to 4dp BEFORE the greedy loop so both engines
-    branch on identical values; ties break by vec_id asc.
+    Scale (VERDICT r3 #5): the pool comes from the LSH-bucketed candidate
+    generator — per-query work is ~candidate-fraction x corpus via a
+    bucket equi-join, never an O(corpus) brute-force scan at selection
+    time. The oracle replicates the SAME deterministic LSH pool (planes
+    are fixed literals), so the hash match stays exact. The brute-force
+    pool variant survives as ``mmr_diverse_topk_exact_pool`` (the
+    test-scale oracle path for the MMR semantics themselves).
     """
+    e = _embeddings(spark, sf_dir)
+    pool = (
+        lsh_topk_frame(e, top_k=MMR_POOL)
+        .select("query_id", "vec_id", F.col("cos_sim").alias("qsim"))
+    )
+    return _mmr_from_pool(_with_norm(e), pool)
+
+
+def mmr_diverse_topk_exact_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over the exact brute-force top-MMR_POOL pool (test-scale
+    reference for the MMR semantics; the registered query uses the LSH
+    pool — the scale path)."""
     e = _with_norm(_embeddings(spark, sf_dir))
-    # pool and pool-pair sims are (queries x MMR_POOL)-sized — materialize
-    # them ONCE (localCheckpoint truncates lineage) so the MMR_K greedy
-    # rounds, whose plans nest, never re-run the corpus-wide scoring pass
     pool = (
         cosine_topk_frame(e, top_k=MMR_POOL)
         .select("query_id", "vec_id", F.col("cos_sim").alias("qsim"))
-        .coalesce(4)
-        .localCheckpoint(eager=True)
     )
+    return _mmr_from_pool(e, pool)
+
+
+def _mmr_from_pool(e: DataFrame, pool: DataFrame) -> DataFrame:
+    """Greedy MMR rounds over a (query_id, vec_id, qsim) candidate pool.
+
+    The pool and pool-pair sims are (queries x MMR_POOL)-sized —
+    materialize them ONCE (localCheckpoint truncates lineage) so the
+    MMR_K greedy rounds, whose plans nest, never re-run the candidate
+    scoring pass. Rounds are a fixed plan constant (static DAG). All
+    similarities round to 4dp BEFORE the greedy loop so both engines
+    branch on identical values; ties break by vec_id asc. Every window
+    is query_id-partitioned (no global windows anywhere in the DAG).
+    """
+    pool = pool.coalesce(4).localCheckpoint(eager=True)
     ev = e.select("vec_id", "v", "nrm")
     # pairwise sims WITHIN each query's pool (pool^2 per query, tiny)
     a = pool.select("query_id", F.col("vec_id").alias("va"))
@@ -783,21 +805,41 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mmr_oracle() -> str:
     # score = (qs4 - ms4) / 20000.0 is the MMR_LAMBDA = 1/2 instance of
-    # (lam*qs4 - (1-lam)*ms4) / 10000.0 — integer-exact in both engines
+    # (lam*qs4 - (1-lam)*ms4) / 10000.0 — integer-exact in both engines.
+    # The pool is the SAME deterministic LSH multi-probe candidate set the
+    # Spark operator builds (fixed hyperplane literals, same bit/bucket
+    # arithmetic) — the approximate path hash-checks like an exact query.
+    planes = _hyperplanes(LSH_PLANES, EMBED_DIM)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p!r}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    masks = _probe_masks(LSH_PLANES, LSH_PROBE_BITS)
+    probes = ", ".join(f"xor(qbucket, {m})" for m in masks)
     ctes = [
         f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""",
-        f"""q AS (SELECT vec_id AS query_id, v AS qv FROM e
-                  WHERE vec_id < {N_QUERIES})""",
+        f"""eb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          {bucket} AS bucket
+                   FROM embeddings)""",
+        f"""qp AS (
+            SELECT vec_id AS query_id, qv, unnest([{probes}]) AS bucket
+            FROM (SELECT vec_id, v AS qv, bucket AS qbucket FROM eb
+                  WHERE vec_id < {N_QUERIES})
+        )""",
+        f"""cand AS (
+            SELECT DISTINCT q.query_id, e.vec_id, round({_COS}, 4) AS qsim
+            FROM eb e JOIN qp q ON e.bucket = q.bucket
+            WHERE e.vec_id <> q.query_id
+        )""",
         f"""pool AS (
             SELECT query_id, vec_id, qsim,
                    CAST(round(qsim * 10000) AS BIGINT) AS qs4 FROM (
-                SELECT q.query_id, e.vec_id,
-                       round({_COS}, 4) AS qsim,
+                SELECT query_id, vec_id, qsim,
                        row_number() OVER (
-                           PARTITION BY q.query_id
-                           ORDER BY round({_COS}, 4) DESC, e.vec_id ASC
+                           PARTITION BY query_id
+                           ORDER BY qsim DESC, vec_id ASC
                        ) AS rk
-                FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+                FROM cand
             ) WHERE rk <= {MMR_POOL}
         )""",
         f"""pp AS (

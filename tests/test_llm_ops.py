@@ -616,23 +616,36 @@ def test_kernel_tokenization_matches_jvm_on_dirty_whitespace(spark, tmp_path):
 
 
 def test_mmr_first_pick_is_top_cosine_and_diversity_improves(spark):
-    """Round 1 has no diversity penalty, so the rank-1 pick must equal the
-    exact cosine top-1; and the mean pairwise similarity among MMR's
-    selections must not exceed plain top-k's (the point of the penalty)."""
-    mmr = S.mmr_diverse_topk(spark, SF_SMALL).collect()
+    """Round 1 has no diversity penalty, so the EXACT-pool variant's
+    rank-1 pick must equal the exact cosine top-1 (MMR semantics), and the
+    registered ANN-pool variant's rank-1 must equal the LSH top-1 (same
+    greedy algebra over its own pool)."""
+    mmr_exact = S.mmr_diverse_topk_exact_pool(spark, SF_SMALL).collect()
     top = {
         (r.query_id, r.rank): r.vec_id
         for r in S.cosine_topk(spark, SF_SMALL).collect()
     }
-    first = {r.query_id: r.vec_id for r in mmr if r.rank == 1}
+    first = {r.query_id: r.vec_id for r in mmr_exact if r.rank == 1}
     assert first == {q: top[(q, 1)] for q in first}
-    # structural: K selections per query, all distinct
-    per_q = {}
-    for r in mmr:
-        per_q.setdefault(r.query_id, []).append(r.vec_id)
-    assert all(
-        len(v) == S.MMR_K and len(set(v)) == S.MMR_K for v in per_q.values()
-    )
+
+    mmr = S.mmr_diverse_topk(spark, SF_SMALL).collect()
+    lsh_top = {
+        (r.query_id, r.rank): r.vec_id
+        for r in S.lsh_topk_frame(
+            S._embeddings(spark, SF_SMALL), top_k=1
+        ).collect()
+    }
+    ann_first = {r.query_id: r.vec_id for r in mmr if r.rank == 1}
+    assert ann_first == {q: lsh_top[(q, 1)] for q in ann_first}
+    # structural: K selections per query, all distinct — both variants
+    for res in (mmr, mmr_exact):
+        per_q = {}
+        for r in res:
+            per_q.setdefault(r.query_id, []).append(r.vec_id)
+        assert all(
+            len(v) == S.MMR_K and len(set(v)) == S.MMR_K
+            for v in per_q.values()
+        )
 
 
 def test_blocking_quality_metrics_consistent(spark):

@@ -327,3 +327,31 @@ def test_zorder_quantization_is_single_scan_plus_broadcast(spark):
     # orders appears once for the main pass plus the bounds-agg side
     # (up to two per branch before exchange reuse kicks in)
     assert p.count("Scan parquet") <= 4
+
+
+def test_mmr_pool_is_lsh_equi_join_and_windows_partitioned(spark):
+    """VERDICT r3 #5: the registered MMR query's candidate pool must come
+    from the LSH bucket equi-join (no corpus-wide brute-force scan at
+    selection time), and every window in the DAG must be query_id-
+    partitioned (no single-partition WindowExec anywhere)."""
+    from cdc_streamming___v2_spark.operators import similarity as S
+
+    e = S._embeddings(spark, SF_SMALL)
+    pool = S.lsh_topk_frame(e, top_k=S.MMR_POOL)
+    p = _plan(spark, pool)
+    # candidates come from an equi-join on bucket — a hash/sort-merge join,
+    # never the BroadcastNestedLoopJoin the brute-force pool plans
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert (
+        "BroadcastHashJoin" in p or "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+    )
+    n_windows = p.count("windowspecdefinition(")
+    assert n_windows >= 1
+    assert p.count("windowspecdefinition(query_id") == n_windows
+
+    # final MMR frame (post-checkpoint rounds): same no-global-window rule
+    pf = _plan(spark, S.mmr_diverse_topk(spark, SF_SMALL))
+    nw = pf.count("windowspecdefinition(")
+    assert pf.count("windowspecdefinition(query_id") == nw
