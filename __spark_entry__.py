@@ -65,6 +65,8 @@ _GATE_PRIORITY = (
     "mmr_diverse_topk",
     "chi2_drift",
     "funnel_windowed",
+    # -- round-4 new operators (first driver proof wanted) --
+    "commitlog_changes",
     # -- the 36 queries first driver-checked in r3 (previously judge-only) --
     "systematic_sample",
     "token_count",
@@ -165,7 +167,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 153
+_MIN_QUERIES = 154
 
 
 def _registry() -> tuple[dict, dict]:

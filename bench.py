@@ -124,6 +124,8 @@ HEADLINE = [
     "mmr_diverse_topk",
     "blocking_quality",
     "funnel_windowed",
+    # round-4 additions
+    "commitlog_changes",
 ]
 
 

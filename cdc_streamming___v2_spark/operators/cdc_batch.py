@@ -105,9 +105,48 @@ def sql_api_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def commitlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read over the manifest commit log (Delta CDF
+    analogue, streaming/commitlog.py:read_changes): build a 3-commit table
+    in a scratch dir — base append (version 0), delta append (version 1),
+    full compaction (version 2) — then read the feed from version 0 to
+    latest. The feed must be EXACTLY the delta append as inserts: the
+    compaction rewrote every row into new files, but identical rows cancel
+    in the bag diff, so file churn produces no phantom changes. The oracle
+    computes the same delta straight from orders.
+
+    Scale: only files added/removed between the versions are read; the
+    exceptAll pair shuffles changed-file rows only (delta+compaction-
+    sized), never the table.
+    """
+    import tempfile
+
+    from ..streaming.commitlog import CommitLogTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # scratch dir intentionally not deleted here: the returned frame is
+    # lazy and still reads these files when the caller materializes it
+    t = CommitLogTable(spark, tempfile.mkdtemp(prefix="commitlog_changes_"))
+    t.write_append(o.filter(F.col("o_orderkey") % 5 != 0).repartition(4), "base")
+    t.write_append(o.filter(F.col("o_orderkey") % 5 == 0).repartition(2), "delta")
+    t.compact("opt", target_partitions=2)
+    ch = t.read_changes(from_version=0)
+    return ch.groupBy("_change_type").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.max("_commit_version").alias("feed_version"),
+    )
+
+
 QUERIES = {
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "sql_api_cte": sql_api_cte,
+    "commitlog_changes": commitlog_changes,
 }
 
 ORACLES = {
@@ -134,5 +173,19 @@ ORACLES = {
                count(*) AS n_custs
         FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
         GROUP BY c_mktsegment
+    """,
+    # the feed between v0 and latest must be exactly the delta append as
+    # inserts (compaction churn cancels in the bag diff) — ground truth is
+    # the same % 5 == 0 slice straight from orders
+    "commitlog_changes": """
+        SELECT 'insert' AS _change_type,
+               count(*) AS n_rows,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+               round(sum(o_totalprice), 2) AS revenue,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key,
+               CAST(2 AS BIGINT) AS feed_version
+        FROM orders
+        WHERE o_orderkey % 5 = 0
     """,
 }

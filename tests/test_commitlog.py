@@ -239,3 +239,61 @@ def test_checkpoint_read_matches_raw_replay(spark, tmp_path):
     for v in range(6):
         assert sorted(t.snapshot_files(v)) == sorted(raw.snapshot_files(v))
     assert t.read(version=5).count() == 25
+
+
+def test_read_changes_feed_replays_to_latest_snapshot(spark, tmp_path):
+    """CDF (VERDICT r3 #8): the feed between two versions, applied to the
+    older snapshot (union inserts, exceptAll deletes), must reconstruct
+    the newer snapshot exactly — across appends AND a compaction, whose
+    file churn must net to zero changes."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    assert t.write_append(_frame(spark, 0, 5), txn="b0")       # v0
+    assert t.write_append(_frame(spark, 5, 12), txn="b1")      # v1
+    assert t.compact(txn="opt", target_partitions=2)           # v2
+    assert t.write_append(_frame(spark, 12, 15), txn="b2")     # v3
+    assert t.version() == 3
+
+    # compaction alone: empty feed (identical rows cancel in the bag diff)
+    assert t.read_changes(1, 2).count() == 0
+
+    # full feed v0 -> latest = exactly the rows appended after v0
+    feed = t.read_changes(0)
+    ins = feed.filter(feed._change_type == "insert").select("k", "v")
+    dels = feed.filter(feed._change_type == "delete").select("k", "v")
+    assert dels.count() == 0
+    assert sorted(r.k for r in ins.collect()) == list(range(5, 15))
+    assert set(r._commit_version for r in feed.select("_commit_version")
+               .distinct().collect()) == {3}
+
+    # replay: snapshot(v0) + feed == snapshot(latest), bag-exact
+    base = t.read(version=0).select("k", "v")
+    replayed = base.unionByName(ins).exceptAll(dels)
+    latest = t.read().select("k", "v")
+    assert replayed.exceptAll(latest).count() == 0
+    assert latest.exceptAll(replayed).count() == 0
+
+    # deletes appear when a compaction is not value-neutral: simulate a
+    # shrink by compacting a FILTERED snapshot through the public API?
+    # (compact preserves rows by design) — instead diff in reverse
+    # direction guard: from > to raises
+    with pytest.raises(ValueError, match="from_version"):
+        t.read_changes(3, 1)
+
+
+def test_read_changes_reports_deletes_on_remove_commit(spark, tmp_path):
+    """A commit that removes rows (here: a compaction after which we diff
+    FROM a version whose rows were later dropped via an explicit remove
+    commit) must surface delete rows."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    assert t.write_append(_frame(spark, 0, 6), txn="b0")       # v0
+    assert t.write_append(_frame(spark, 6, 9), txn="b1")       # v1
+    # drop b1's files via the commit primitive (a retention/GDPR-style
+    # file-level delete)
+    live_b1 = [f for f in t.snapshot_files() if "/b1/" in f or "b1" in f]
+    assert live_b1
+    assert t._commit("drop_b1", add=[], remove=live_b1)        # v2
+    feed = t.read_changes(1, 2)
+    assert feed.filter(feed._change_type == "insert").count() == 0
+    assert sorted(
+        r.k for r in feed.filter(feed._change_type == "delete").collect()
+    ) == [6, 7, 8]
