@@ -67,6 +67,10 @@ _GATE_PRIORITY = (
     "funnel_windowed",
     # -- round-4 new operators (first driver proof wanted) --
     "commitlog_changes",
+    "bpe_pair_counts",
+    "quality_logit_score",
+    "bm25_topk",
+    "mixture_weights",
     # -- the 36 queries first driver-checked in r3 (previously judge-only) --
     "systematic_sample",
     "token_count",
@@ -167,7 +171,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 154
+_MIN_QUERIES = 158
 
 
 def _registry() -> tuple[dict, dict]:

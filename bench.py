@@ -126,6 +126,10 @@ HEADLINE = [
     "funnel_windowed",
     # round-4 additions
     "commitlog_changes",
+    "bpe_pair_counts",
+    "quality_logit_score",
+    "bm25_topk",
+    "mixture_weights",
 ]
 
 

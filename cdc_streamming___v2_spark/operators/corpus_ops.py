@@ -335,6 +335,81 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Oracles -----------------------------------------------------------------
 
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck-Jones, the Lucene default) for a
+    fixed query-term set over the documents corpus: per-(doc, term) tf,
+    per-term df, doc length normalization against the corpus avgdl, and
+    idf = log2(1 + (N - df + 0.5)/(df + 0.5)); top-BM25_TOP docs.
+
+    Determinism: each (doc, term) contribution is computed as a pure
+    scalar expression, rounded to 1e-4 and cast to an INTEGER micro-score
+    BEFORE the per-doc sum, so the cross-term addition is exact integer
+    arithmetic in both engines (double addition is order-sensitive; the
+    engines aggregate in different orders).
+
+    Scale: term filter pushes into the exploded-token stream (only query
+    terms survive the explode), df/stats are tiny broadcasts, scoring is
+    a doc_id-keyed join, and the final top-k is orderBy+limit — Spark
+    plans TakeOrderedAndProject (per-partition heaps + driver merge of
+    k-row heads), never a global sort; the rank window then runs on the
+    k-row result.
+    """
+    from ..functions.texts import n_tokens_ws
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dl = d.select("doc_id", n_tokens_ws(F.col("text")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    toks = fan_out(d).select(
+        "doc_id", F.explode(words(F.col("text"))).alias("w")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    j = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log2(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfc = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tfc * 10000).cast("long")
+    scored = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        (F.sum(contrib) / 10000.0).alias("score_raw"),
+    )
+    top = scored.orderBy(
+        F.col("score_raw").desc(), F.col("doc_id").asc()
+    ).limit(BM25_TOP)
+    w = Window.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            F.round("score_raw", 4).alias("bm25"),
+            "rank",
+        )
+    )
+
+
 _W = "regexp_split_to_array(trim(text), '\\s+')"
 
 ORACLES = {
@@ -444,6 +519,42 @@ ORACLES = {
     """,
 }
 
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+ORACLES["bm25_topk"] = f"""
+    WITH d AS (SELECT doc_id, {_W} AS ws FROM documents),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+    tf AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+        WHERE w IN ({_BM25_TERM_LIST})
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_terms_hit,
+               sum(CAST(round(
+                   log2(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+                   * (t.tf * ({BM25_K1} + 1)) / (t.tf + {BM25_K1}
+                      * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+                   * 10000) AS BIGINT)) / 10000.0 AS score_raw
+        FROM tf t
+        JOIN dfq q USING (w)
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_terms_hit, round(score_raw, 4) AS bm25, rank FROM (
+        SELECT doc_id, n_terms_hit, score_raw,
+               row_number() OVER (ORDER BY score_raw DESC, doc_id ASC)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= {BM25_TOP}
+"""
+
 QUERIES = {
     "dup_spans": dup_spans,
     "seq_packing": seq_packing,
@@ -451,4 +562,5 @@ QUERIES = {
     "inverted_index": inverted_index,
     "domain_cap": domain_cap,
     "semantic_dedup": semantic_dedup,
+    "bm25_topk": bm25_topk,
 }

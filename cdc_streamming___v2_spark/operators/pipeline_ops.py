@@ -631,6 +631,50 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.3  # sampling temperature (the multilingual-mixing exponent)
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing weights: per-source token counts scaled by the
+    sampling-temperature exponent ``alpha`` and normalized — the
+    p_s ∝ n_s^alpha upweighting of small sources used by public
+    multilingual / multi-corpus training recipes (alpha < 1 flattens the
+    source distribution; alpha=1 is proportional sampling).
+
+    Scale: one source-keyed aggregate over the corpus (map-side combine),
+    then a 1-row broadcast of the normalizer — source cardinality frames
+    only; the corpus is scanned once.
+    """
+    from ..functions.texts import n_tokens_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_tokens_ws(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    scaled = per_src.withColumn(
+        "scaled", F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+    )
+    z = scaled.agg(
+        F.sum("scaled").alias("z"),
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+    )
+    return (
+        scaled.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("scaled") / F.col("z"), 6).alias("mix_weight"),
+            F.round(
+                (F.col("scaled") / F.col("z"))
+                / (F.col("n_tokens") / F.col("tot_tokens")),
+                4,
+            ).alias("upweight_vs_proportional"),
+        )
+    )
+
+
 QUERIES = {
     "gopher_repetition": gopher_repetition,
     "doc_chunks": doc_chunks,
@@ -644,6 +688,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "dataset_split": dataset_split,
     "priority_sample": priority_sample,
+    "mixture_weights": mixture_weights,
 }
 
 def _cbs_oracle() -> str:
@@ -890,3 +935,22 @@ ORACLES = {
         WHERE priority > tau
     """,
 }
+
+ORACLES["mixture_weights"] = f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    sc AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) AS scaled
+           FROM per_src),
+    z AS (SELECT sum(scaled) AS z, CAST(sum(n_tokens) AS BIGINT) AS tot
+          FROM sc)
+    SELECT source, n_docs, n_tokens,
+           round(scaled / z.z, 6) AS mix_weight,
+           round((scaled / z.z) / (n_tokens * 1.0 / z.tot), 4)
+               AS upweight_vs_proportional
+    FROM sc, z
+"""

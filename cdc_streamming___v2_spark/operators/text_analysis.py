@@ -176,6 +176,82 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration over the corpus: count adjacent
+    character pairs inside words and rank the merge candidates — the core
+    counting step a distributed tokenizer trainer (BPE / WordPiece) runs
+    per merge round (Sennrich et al. 2016, public algorithm).
+
+    Scale: explode words -> explode the length-1 character pair windows
+    (narrow maps over the fanned-out scan) -> one pair-keyed groupBy with
+    map-side combine. The ranking window runs over the AGGREGATED pair
+    vocabulary, bounded by |alphabet|^2 rows regardless of corpus size —
+    the bounded-cardinality global-window case, not a data-sized sort.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.texts import words
+    from ..sources.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select(F.explode(words(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP)
+        .select("pair", "n_occurrences", "rank")
+    )
+
+
+# fixed public-style logistic weights over the quality features — a stand-in
+# for a fastText/logreg quality classifier with published coefficients; the
+# Spark plan and the oracle share the exact arithmetic
+_QL_W = {"bias": -1.0, "n_words": 0.04, "sw_ratio": 3.0, "punct": -8.0}
+
+
+def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality scorer: sigmoid over fixed-weight text features
+    (length, stopword ratio, punctuation density) with a keep/drop flag at
+    0.5 — the classifier-based document filter of public pipeline recipes
+    (CCNet / Gopher-style), with the model weights frozen as literals so
+    both engines compute bit-identical scores.
+
+    Scale: pure column expressions inside the scan stage — no shuffle, no
+    Python; throughput is scan-bound like the rest of this module.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = n_tokens_ws(t)
+    sw_ratio = stopword_hits(t, EN_STOPWORDS) / n_words
+    pr = punct_ratio(t)
+    z = (
+        F.lit(_QL_W["bias"])
+        + F.lit(_QL_W["n_words"]) * n_words
+        + F.lit(_QL_W["sw_ratio"]) * sw_ratio
+        + F.lit(_QL_W["punct"]) * pr
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(z, 4).alias("logit"),
+        F.round(prob, 4).alias("prob_keep"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
 # --- oracles -----------------------------------------------------------------
 
 _WORDS = "regexp_split_to_array(trim(text), '\\s+')"
@@ -294,6 +370,42 @@ ORACLES = {
     """,
 }
 
+ORACLES["bpe_pair_counts"] = f"""
+    WITH w AS (
+        SELECT unnest({_WORDS}) AS w FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_transform(
+            generate_series(1, len(w) - 1), i -> substr(w, i, 2))) AS pair
+        FROM w WHERE length(w) >= 2
+    ),
+    c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM p GROUP BY 1)
+    SELECT pair, n_occurrences, rank FROM (
+        SELECT pair, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, pair ASC)
+                   AS rank
+        FROM c
+    ) WHERE rank <= {BPE_TOP}
+"""
+
+ORACLES["quality_logit_score"] = f"""
+    SELECT doc_id,
+           round(z, 4) AS logit,
+           round(1.0 / (1.0 + exp(-z)), 4) AS prob_keep,
+           (1.0 / (1.0 + exp(-z))) >= 0.5 AS keep
+    FROM (
+        SELECT doc_id,
+               {_QL_W["bias"]}
+               + {_QL_W["n_words"]} * len({_WORDS})
+               + {_QL_W["sw_ratio"]} * ({_sw_hits(_WORDS, EN_STOPWORDS)} * 1.0
+                                        / len({_WORDS}))
+               + ({_QL_W["punct"]}) * (length(regexp_replace(text,
+                       '[^.,!?;:]', '', 'g')) * 1.0 / length(text)) AS z
+        FROM documents
+    )
+"""
+
 QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
@@ -301,4 +413,6 @@ QUERIES = {
     "doc_novelty": doc_novelty,
     "lang_id": lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "bpe_pair_counts": bpe_pair_counts,
+    "quality_logit_score": quality_logit_score,
 }

@@ -1,0 +1,163 @@
+"""Scale-up evidence run (VERDICT r3 #6): synthesize a 10x corpus
+(documents + embeddings) from sf0.1 and measure the dedup/ANN tier at both
+scales, asserting ~linear growth for the banded/blocked operators.
+
+Corpus construction keeps the workload SHAPE honest at 10x:
+
+- documents: 10 replicas; every token in replica k gets a ``_k`` suffix,
+  so replicas are mutually shingle-disjoint shards that each preserve the
+  original within-shard near-duplicate structure exactly. Pair candidates
+  therefore grow ~linearly (10x the within-shard pairs) — the expected
+  behavior for a banded pipeline on 10x more data — instead of the
+  quadratic 10-clique explosion naive replication would plant.
+- embeddings: 10 replicas with a tiny per-replica additive offset
+  (k * 0.0017) so no cross-replica exact ties; ids offset by 10M per
+  replica. Query vectors (vec_id < N_QUERIES) stay the replica-0
+  originals, so per-query candidate work scales with corpus size.
+
+Other tables are symlinked from sf0.1 — the timed queries only read
+documents/embeddings.
+
+Usage: python tools/scale_evidence.py  [--rebuild]
+Writes bench_sf1.json at the repo root; bench.py folds it into
+bench_results.json as the "bench_sf1" section when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SRC = "/root/testdata/sf0.1"
+SCALE_DIR = os.path.join(ROOT, ".scale", "sf1x10")
+REPLICAS = 10
+
+# the corpus-bound tier (documents/embeddings only) — the queries whose
+# 100-TB claims rest on banding/blocking/prefix-filtering
+QUERIES = [
+    "minhash_signatures",
+    "minhash_near_dup",
+    "incremental_near_dup",
+    "dedup_clusters",
+    "dedup_keepers",
+    "ngram_jaccard_pairs",
+    "jaccard_prefix_join",
+    "simhash_fingerprint",
+    "embedding_near_dup",
+    "semantic_dedup",
+    "ann_lsh_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_topk",
+    "mmr_diverse_topk",
+    "tfidf_top_terms",
+    "dedup_exact",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(os.path.dirname(SCALE_DIR), exist_ok=True)
+    if os.path.exists(SCALE_DIR):
+        shutil.rmtree(SCALE_DIR)
+    os.makedirs(SCALE_DIR)
+    for name in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        os.symlink(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(SCALE_DIR, f"{name}.parquet"),
+        )
+
+    reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("k")
+    d = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    scaled_docs = (
+        d.select("*", reps)
+        .select(
+            (F.col("doc_id") + F.col("k") * F.lit(10_000_000)).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.trim("text"), r"\s+"),
+                    lambda w: F.concat(w, F.lit("_"), F.col("k").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    scaled_docs.repartition(16).write.parquet(
+        os.path.join(SCALE_DIR, "documents.parquet")
+    )
+
+    e = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    scaled_emb = e.select("*", reps).select(
+        (F.col("vec_id") + F.col("k") * F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x + F.col("k").cast("float") * F.lit(0.0017)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+        "label",
+    )
+    scaled_emb.repartition(8).write.parquet(
+        os.path.join(SCALE_DIR, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from cdc_streamming___v2_spark.session import get_spark
+
+    spark = get_spark("scale_evidence")
+    if "--rebuild" in sys.argv or not os.path.exists(SCALE_DIR):
+        build(spark)
+        print("scaled corpus built at", SCALE_DIR, flush=True)
+
+    qs = entrymod.queries()
+    # warm JVM + python worker pool (same policy as bench.py)
+    import pandas as _pd  # noqa: F401
+
+    spark.range(1024).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    qs["minhash_signatures"](spark, SRC).count()
+
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        rec: dict[str, float] = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1x10", SCALE_DIR)):
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                times.append(round(time.time() - t0, 3))
+            rec[label] = min(times)
+            rec[f"{label}_repeats"] = times
+        rec["ratio"] = (
+            round(rec["sf1x10"] / rec["sf0.1"], 2) if rec["sf0.1"] > 0 else None
+        )
+        out[name] = rec
+        print(json.dumps({name: rec}), flush=True)
+
+    result = {
+        "replicas": REPLICAS,
+        "corpus_docs": {"sf0.1": 5000, "sf1x10": 5000 * REPLICAS},
+        "corpus_vecs": {"sf0.1": 2000, "sf1x10": 2000 * REPLICAS},
+        "queries": out,
+    }
+    with open(os.path.join(ROOT, "bench_sf1.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print("WROTE bench_sf1.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()
