@@ -71,6 +71,8 @@ _GATE_PRIORITY = (
     "quality_logit_score",
     "bm25_topk",
     "mixture_weights",
+    "robust_mad_outliers",
+    "source_boilerplate",
     # -- the 36 queries first driver-checked in r3 (previously judge-only) --
     "systematic_sample",
     "token_count",
@@ -171,7 +173,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 158
+_MIN_QUERIES = 160
 
 
 def _registry() -> tuple[dict, dict]:

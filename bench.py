@@ -130,6 +130,8 @@ HEADLINE = [
     "quality_logit_score",
     "bm25_topk",
     "mixture_weights",
+    "robust_mad_outliers",
+    "source_boilerplate",
 ]
 
 

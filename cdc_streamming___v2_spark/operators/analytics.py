@@ -944,6 +944,48 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 3.0          # robust z threshold
+MAD_SCALE = 1.4826   # MAD -> sigma consistency constant (normal dist.)
+
+
+def robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier report per event type — the robust twin of
+    ``anomaly_days``: mean/std break down when the outliers themselves
+    inflate sigma, so monitoring uses median absolute deviation
+    (|x - med| > K * 1.4826 * MAD) which tolerates up to 50% contamination.
+
+    Scale: one (type, day) rollup (map-side combine), then two exact
+    per-type medians over the day-cardinality frame (bounded rows per
+    type — never fact-sized), one broadcast join each. Counts are small
+    integers, so the median interpolation (a + (b-a)*0.5) is exact in
+    both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("cnt", 0.5).alias("med"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_outlier", F.col("adev") > MAD_K * MAD_SCALE * F.col("mad")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.round(F.max("med"), 2).alias("median_daily"),
+        F.round(F.max("mad"), 2).alias("mad"),
+        F.sum(F.col("is_outlier").cast("long")).cast("bigint").alias(
+            "n_outliers"
+        ),
+        F.round(F.max("adev"), 2).alias("max_abs_dev"),
+    )
+
+
 def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bound conversion funnel: of users whose journey starts with a
     signup, how many purchase within 1 day / 7 days / 30 days of their
@@ -1112,6 +1154,7 @@ QUERIES = {
     "cusum_changepoint": cusum_changepoint,
     "chi2_drift": chi2_drift,
     "funnel_windowed": funnel_windowed,
+    "robust_mad_outliers": robust_mad_outliers,
 }
 
 def _ewma_oracle() -> str:
@@ -1564,3 +1607,33 @@ ORACLES = {
         GROUP BY ROLLUP (y, m, d)
     """,
 }
+
+ORACLES["robust_mad_outliers"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(cnt, 0.5) AS med,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.event_type, abs(d.cnt - m.med) AS adev, m.med, m.n_days
+        FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           max(d.n_days) AS n_days,
+           round(max(d.med), 2) AS median_daily,
+           round(max(m.mad), 2) AS mad,
+           CAST(sum(CASE WHEN d.adev > {MAD_K} * {MAD_SCALE} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(d.adev), 2) AS max_abs_dev
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+"""

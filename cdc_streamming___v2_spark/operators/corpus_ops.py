@@ -519,6 +519,46 @@ ORACLES = {
     """,
 }
 
+BOILER_MIN_DOCS = 2  # shingle shared by >= this many docs of one source
+
+
+def source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate signal: the fraction of a doc's trigram
+    shingles that ALSO appear in other documents of the SAME source — the
+    CCNet/RefinedWeb-style template/boilerplate detector (site headers,
+    navigation, legal footers repeat within a host, not across hosts).
+    Complements ``doc_novelty`` (corpus-wide df) with the within-source
+    df that actually isolates templating.
+
+    Scale: shingles explode via the Arrow kernel (narrow map); the
+    within-source df is one (source, shingle)-keyed aggregation — high
+    cardinality, skew-free — joined back on the same key. Same two-shuffle
+    shape as tfidf/doc_novelty.
+    """
+    from ..sources.tables import exploded_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(d, 3, keys=("doc_id", "source"))
+    df_src = sh.groupBy("source", "s").agg(
+        F.count(F.lit(1)).alias("df_src")  # shingles are per-doc distinct
+    )
+    return (
+        sh.join(df_src, ["source", "s"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df_src") >= BOILER_MIN_DOCS).cast("long"))
+            .cast("bigint")
+            .alias("n_boiler"),
+            F.round(
+                F.sum((F.col("df_src") >= BOILER_MIN_DOCS).cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
 _BM25_TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 ORACLES["bm25_topk"] = f"""
@@ -555,6 +595,24 @@ ORACLES["bm25_topk"] = f"""
     ) WHERE rank <= {BM25_TOP}
 """
 
+ORACLES["source_boilerplate"] = f"""
+    WITH sh AS (
+        SELECT doc_id, source, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS s
+        FROM (SELECT doc_id, source, {_W} AS w FROM documents)
+    ),
+    dfs AS (SELECT source, s, count(*) AS df_src FROM sh GROUP BY 1, 2)
+    SELECT doc_id, source,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df_src >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           round(sum(CASE WHEN df_src >= {BOILER_MIN_DOCS} THEN 1.0
+                          ELSE 0.0 END) / count(*), 4) AS boiler_frac
+    FROM sh JOIN dfs USING (source, s)
+    GROUP BY 1, 2
+"""
+
 QUERIES = {
     "dup_spans": dup_spans,
     "seq_packing": seq_packing,
@@ -563,4 +621,5 @@ QUERIES = {
     "domain_cap": domain_cap,
     "semantic_dedup": semantic_dedup,
     "bm25_topk": bm25_topk,
+    "source_boilerplate": source_boilerplate,
 }

@@ -88,3 +88,22 @@ def test_quality_logit_monotone_in_stopword_ratio(spark):
             and fa.stopword_ratio > fb.stopword_ratio
         ):
             assert rows[a].logit >= rows[b].logit
+
+
+def test_robust_mad_outliers_tolerates_contamination(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.robust_mad_outliers(spark, SF_SMALL).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.mad >= 0 and r.n_outliers <= r.n_days
+        # outlier days must actually deviate beyond the threshold
+        if r.n_outliers > 0:
+            assert r.max_abs_dev > A.MAD_K * A.MAD_SCALE * r.mad
+
+
+def test_source_boilerplate_bounds_and_shared_exists(spark):
+    rows = C.source_boilerplate(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    assert all(0 <= r.n_boiler <= r.n_shingles for r in rows)
+    assert all(0.0 <= r.boiler_frac <= 1.0 for r in rows)
