@@ -73,6 +73,10 @@ _GATE_PRIORITY = (
     "mixture_weights",
     "robust_mad_outliers",
     "source_boilerplate",
+    # -- round-4 modified (sf0.1 full-gate caught scale-dependent parity
+    #    bugs: epoch rounding / negative zero; re-proof wanted) --
+    "time_range_moving_avg",
+    "array_funcs",
     # -- the 36 queries first driver-checked in r3 (previously judge-only) --
     "systematic_sample",
     "token_count",
@@ -93,7 +97,6 @@ _GATE_PRIORITY = (
     "skew_salted_join",
     "funnel_conversion",
     "retention_cohorts",
-    "time_range_moving_avg",
     "locf_fill",
     "price_histogram",
     "time_rollup",

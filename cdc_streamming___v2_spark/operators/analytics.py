@@ -1573,7 +1573,8 @@ ORACLES = {
                count(*) OVER w AS n_in_window
         FROM events
         WINDOW w AS (PARTITION BY user_id
-                     ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                     ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                                   AS BIGINT)
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     "locf_fill": """

@@ -349,10 +349,14 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     L2 norm / array_max — all JVM-side lambda expressions, no UDF."""
     e = _t(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
+    # + 0.0 canonicalizes IEEE negative zero: round(-1e-5, 4) yields -0.0
+    # in DuckDB but +0.0 in Spark, and the hash compare distinguishes them
+    # (first caught at sf0.1, where a tiny-negative leading component
+    # exists). -0.0 + 0.0 == +0.0 under round-to-nearest in both engines.
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.element_at(v, 1), 4).alias("first_val"),
+        (F.round(F.element_at(v, 1), 4) + F.lit(0.0)).alias("first_val"),
         F.round(F.sqrt(dot(v, v)), 4).alias("l2_norm"),
         F.round(F.array_max(v), 4).alias("max_val"),
     )
@@ -764,7 +768,7 @@ ORACLES = {
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         SELECT vec_id,
                CAST(len(v) AS BIGINT)  AS dim,
-               round(v[1], 4)          AS first_val,
+               round(v[1], 4) + 0.0    AS first_val,
                round(sqrt(list_dot_product(v, v)), 4) AS l2_norm,
                round(list_max(v), 4)   AS max_val
         FROM e
