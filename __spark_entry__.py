@@ -73,6 +73,11 @@ _GATE_PRIORITY = (
     "mixture_weights",
     "robust_mad_outliers",
     "source_boilerplate",
+    "ks_drift",
+    "wow_growth",
+    "char_entropy",
+    "hybrid_rrf_topk",
+    "dsir_importance_weights",
     # -- round-4 modified (sf0.1 full-gate caught scale-dependent parity
     #    bugs: epoch rounding / negative zero; re-proof wanted) --
     "time_range_moving_avg",
@@ -176,7 +181,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 160
+_MIN_QUERIES = 165
 
 
 def _registry() -> tuple[dict, dict]:

@@ -1130,6 +1130,128 @@ def chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(total)
 
 
+KS_RANGE_BUCKET = 25.0  # purchase-value range width for the two-pass rank
+
+
+def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase-value
+    distributions before/after CHI2_SPLIT_TS — the CONTINUOUS drift monitor
+    that pairs with chi2_drift's categorical test: D = max over v of
+    |ECDF_before(v) - ECDF_after(v)|, reported with the (smallest) value
+    where the supremum is attained.
+
+    Scale: the raw log collapses to (value -> before/after counts) cells in
+    ONE map-side-combined shuffle; the two ECDFs are prefix sums over the
+    sorted cells, computed with the same two-pass decomposition as
+    equi_depth_histogram — in-bucket running sums partitioned by a fixed
+    value-range bucket plus broadcast per-bucket offsets from the tiny
+    bucket-cardinality frame. No global-ordering window ever sees the
+    cell-cardinality frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") <= F.lit(CHI2_SPLIT_TS), 1).otherwise(0)
+            ).cast("double").alias("n1"),
+            F.sum(
+                F.when(F.col("ts") > F.lit(CHI2_SPLIT_TS), 1).otherwise(0)
+            ).cast("double").alias("n2"),
+        )
+        .withColumn(
+            "rbkt", F.floor(F.col("value") / KS_RANGE_BUCKET).cast("long")
+        )
+    )
+    w_in = (
+        Window.partitionBy("rbkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_cum = cells.select(
+        "rbkt",
+        "value",
+        F.sum("n1").over(w_in).alias("c1_in"),
+        F.sum("n2").over(w_in).alias("c2_in"),
+    )
+    btot = cells.groupBy("rbkt").agg(
+        F.sum("n1").alias("b1"), F.sum("n2").alias("b2")
+    )
+    w_off = Window.orderBy("rbkt").rowsBetween(Window.unboundedPreceding, -1)
+    # offsets live on the bucket-cardinality frame (a few dozen rows)
+    offsets = btot.select(
+        "rbkt",
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0.0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(w_off), F.lit(0.0)).alias("o2"),
+    )
+    totals = cells.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    d = (
+        in_cum.join(F.broadcast(offsets), "rbkt")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "value",
+            "t1",
+            "t2",
+            F.abs(
+                (F.col("o1") + F.col("c1_in")) / F.col("t1")
+                - (F.col("o2") + F.col("c2_in")) / F.col("t2")
+            ).alias("d"),
+        )
+    )
+    # argmax with min-value tie-break via a single struct max (no re-scan)
+    best = d.agg(
+        F.max(F.struct(F.col("d"), (-F.col("value")).alias("nv"))).alias("m"),
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+    )
+    return best.select(
+        F.col("t1").cast("bigint").alias("n_before"),
+        F.col("t2").cast("bigint").alias("n_after"),
+        F.round(F.col("m.d"), 6).alias("ks_stat"),
+        F.round(-F.col("m.nv"), 2).alias("at_value"),
+    )
+
+
+def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per event type: weekly totals (exact
+    decimal sums), previous week via lag, percent change on the rounded
+    weekly figures — the period-over-period trend report every history
+    table feeds.
+
+    Scale: one shuffle to (type x week) cells with map-side combine; the
+    lag window runs on the tiny aggregated frame, partitioned by type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    return weekly.select(
+        "event_type",
+        "week_start",
+        "n_events",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w) * 100.0,
+            4,
+        ).alias("growth_pct"),
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -1155,6 +1277,8 @@ QUERIES = {
     "chi2_drift": chi2_drift,
     "funnel_windowed": funnel_windowed,
     "robust_mad_outliers": robust_mad_outliers,
+    "ks_drift": ks_drift,
+    "wow_growth": wow_growth,
 }
 
 def _ewma_oracle() -> str:
@@ -1637,4 +1761,51 @@ ORACLES["robust_mad_outliers"] = f"""
            round(max(d.adev), 2) AS max_abs_dev
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY 1
+"""
+
+ORACLES["ks_drift"] = f"""
+    WITH cells AS (
+        SELECT value,
+               CAST(sum(CASE WHEN ts <= TIMESTAMP '{CHI2_SPLIT_TS}'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+               CAST(sum(CASE WHEN ts > TIMESTAMP '{CHI2_SPLIT_TS}'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+        FROM events WHERE event_type = 'purchase' GROUP BY value
+    ),
+    tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM cells),
+    cum AS (
+        SELECT value,
+               sum(n1) OVER (ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS c1,
+               sum(n2) OVER (ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS c2
+        FROM cells
+    ),
+    d AS (
+        SELECT value, abs(c1 / t.t1 - c2 / t.t2) AS d
+        FROM cum CROSS JOIN tot t
+    )
+    SELECT CAST(t.t1 AS BIGINT) AS n_before,
+           CAST(t.t2 AS BIGINT) AS n_after,
+           round((SELECT max(d) FROM d), 6) AS ks_stat,
+           round((SELECT min(value) FROM d
+                  WHERE d = (SELECT max(d) FROM d)), 2) AS at_value
+    FROM tot t
+"""
+
+ORACLES["wow_growth"] = """
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS revenue
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_start, n_events, revenue,
+           lag(revenue) OVER w AS prev_revenue,
+           round((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w * 100.0, 4) AS growth_pct
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
 """

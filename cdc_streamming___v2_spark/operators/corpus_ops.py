@@ -335,17 +335,18 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Oracles -----------------------------------------------------------------
 
-BM25_TERMS = ("spark", "join", "window")
-BM25_K1 = 1.2
-BM25_B = 0.75
-BM25_TOP = 20
+from ..functions.retrieval import (  # noqa: E402  (re-export for callers)
+    BM25_B,
+    BM25_K1,
+    BM25_SCORED_CTE,
+    BM25_TERMS,
+    BM25_TOP,
+)
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval (Robertson/Sparck-Jones, the Lucene default) for a
-    fixed query-term set over the documents corpus: per-(doc, term) tf,
-    per-term df, doc length normalization against the corpus avgdl, and
-    idf = log2(1 + (N - df + 0.5)/(df + 0.5)); top-BM25_TOP docs.
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scored frame (doc_id, n_terms_hit, score_raw) for BM25_TERMS —
+    shared by ``bm25_topk`` and the hybrid-RRF fusion in similarity.py.
 
     Determinism: each (doc, term) contribution is computed as a pure
     scalar expression, rounded to 1e-4 and cast to an INTEGER micro-score
@@ -355,10 +356,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: term filter pushes into the exploded-token stream (only query
     terms survive the explode), df/stats are tiny broadcasts, scoring is
-    a doc_id-keyed join, and the final top-k is orderBy+limit — Spark
-    plans TakeOrderedAndProject (per-partition heaps + driver merge of
-    k-row heads), never a global sort; the rank window then runs on the
-    k-row result.
+    a doc_id-keyed join.
     """
     from ..functions.texts import n_tokens_ws
 
@@ -391,10 +389,24 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
     contrib = F.round(idf * tfc * 10000).cast("long")
-    scored = j.groupBy("doc_id").agg(
+    return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
         (F.sum(contrib) / 10000.0).alias("score_raw"),
     )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck-Jones, the Lucene default) for a
+    fixed query-term set over the documents corpus: per-(doc, term) tf,
+    per-term df, doc length normalization against the corpus avgdl, and
+    idf = log2(1 + (N - df + 0.5)/(df + 0.5)); top-BM25_TOP docs.
+
+    Scale: the final top-k is orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition heaps + driver merge of k-row
+    heads), never a global sort; the rank window then runs on the k-row
+    result.
+    """
+    scored = bm25_scored(spark, sf_dir)
     top = scored.orderBy(
         F.col("score_raw").desc(), F.col("doc_id").asc()
     ).limit(BM25_TOP)
@@ -559,34 +571,8 @@ def source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
-
 ORACLES["bm25_topk"] = f"""
-    WITH d AS (SELECT doc_id, {_W} AS ws FROM documents),
-    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d),
-    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
-              FROM dl),
-    tf AS (
-        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-        FROM (SELECT doc_id, unnest(ws) AS w FROM d)
-        WHERE w IN ({_BM25_TERM_LIST})
-        GROUP BY 1, 2
-    ),
-    dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-    scored AS (
-        SELECT t.doc_id,
-               CAST(count(*) AS BIGINT) AS n_terms_hit,
-               sum(CAST(round(
-                   log2(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
-                   * (t.tf * ({BM25_K1} + 1)) / (t.tf + {BM25_K1}
-                      * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
-                   * 10000) AS BIGINT)) / 10000.0 AS score_raw
-        FROM tf t
-        JOIN dfq q USING (w)
-        JOIN dl l ON l.doc_id = t.doc_id
-        CROSS JOIN stats s
-        GROUP BY t.doc_id
-    )
+    WITH {BM25_SCORED_CTE}
     SELECT doc_id, n_terms_hit, round(score_raw, 4) AS bm25, rank FROM (
         SELECT doc_id, n_terms_hit, score_raw,
                row_number() OVER (ORDER BY score_raw DESC, doc_id ASC)

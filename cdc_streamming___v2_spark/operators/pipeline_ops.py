@@ -675,6 +675,88 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., DSIR): score
+    every document by the log-likelihood ratio of a hashed-unigram bag
+    model fit on the TARGET slice (lang = 'en') vs the RAW corpus —
+    logw(doc) = Σ_w [log2 p_target(h(w)) - log2 p_raw(h(w))] with
+    add-one smoothing over DSIR_BUCKETS hashed feature buckets. Docs with
+    positive logw look more target-like than the corpus average and get
+    upweighted when resampling a pretraining mixture.
+
+    Determinism: per-bucket log-ratios are rounded to 1e-6 micro-units and
+    carried as INTEGERS through the per-doc sum (tf x contrib), so the
+    order-sensitive double addition never crosses engines (same trick as
+    bm25_topk).
+
+    Scale: one token explode reduced to (doc, bucket) tf cells keyed by
+    doc; the bucket model is a DSIR_BUCKETS-row frame (broadcast); the
+    final per-doc aggregate is map-side combinable. The corpus is scanned
+    once; nothing global beyond the 1024-row model.
+    """
+    from ..functions.texts import words
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tb = fan_out(d).select(
+        "doc_id",
+        "lang",
+        F.explode(words(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        (md5_hash_long(F.col("w")) % DSIR_BUCKETS).alias("b"),
+    )
+    tf = tb.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cr"))
+    tgt = (
+        tb.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    totals = tb.agg(
+        F.count(F.lit(1)).cast("double").alias("nr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("double").alias("nt"),
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"ct": 0.0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log2((F.col("ct") + 1.0) / (F.col("nt") + DSIR_BUCKETS))
+                    - F.log2((F.col("cr") + 1.0) / (F.col("nr") + DSIR_BUCKETS))
+                )
+                * 1000000.0
+            ).cast("long").alias("contrib"),
+        )
+    )
+    per_doc = (
+        tf.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("contrib")).cast("bigint").alias("micro"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.col("micro") / 1000000.0, 4).alias("logw_bits"),
+        (F.col("micro") > 0).alias("target_like"),
+    )
+
+
 QUERIES = {
     "gopher_repetition": gopher_repetition,
     "doc_chunks": doc_chunks,
@@ -689,6 +771,7 @@ QUERIES = {
     "dataset_split": dataset_split,
     "priority_sample": priority_sample,
     "mixture_weights": mixture_weights,
+    "dsir_importance_weights": dsir_importance_weights,
 }
 
 def _cbs_oracle() -> str:
@@ -953,4 +1036,41 @@ ORACLES["mixture_weights"] = f"""
            round((scaled / z.z) / (n_tokens * 1.0 / z.tot), 4)
                AS upweight_vs_proportional
     FROM sc, z
+"""
+
+ORACLES["dsir_importance_weights"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(unnest(
+                   regexp_split_to_array(trim(text), '\\s+'))), 1, 8)
+                   AS BIGINT) % {DSIR_BUCKETS} AS b
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM toks GROUP BY 1),
+    tgt AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM toks
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+    totals AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nr,
+               CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+        FROM toks
+    ),
+    model AS (
+        SELECT r.b,
+               CAST(round((log2((coalesce(t.ct, 0.0) + 1.0)
+                                / (s.nt + {DSIR_BUCKETS}))
+                           - log2((r.cr + 1.0) / (s.nr + {DSIR_BUCKETS})))
+                          * 1000000.0) AS BIGINT) AS contrib
+        FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN totals s
+    )
+    SELECT f.doc_id, f.lang,
+           CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+           round(sum(f.tf * m.contrib) / 1000000.0, 4) AS logw_bits,
+           sum(f.tf * m.contrib) > 0 AS target_like
+    FROM tf f JOIN model m ON f.b = m.b
+    GROUP BY 1, 2
 """

@@ -362,6 +362,66 @@ def _rp_oracle() -> str:
     """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 50  # per-ranker candidate pool depth
+RRF_TOP = 20
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.):
+    fuse a LEXICAL ranking (BM25 over the documents corpus for
+    corpus_ops.BM25_TERMS) with a SEMANTIC ranking (cosine similarity to
+    query vector vec_id=0 over the embeddings corpus, ids aligned with
+    doc_ids in the synthetic testdata) by
+    rrf = 1/(K + r_lex) + 1/(K + r_sem), each side contributing 0 when the
+    doc is outside its RRF_POOL — the standard hybrid-search fusion that
+    needs no score calibration across rankers.
+
+    Float parity: the two addends are exact reciprocals of small integers
+    combined in a fixed written order, so the double result is identical
+    on both engines; ranks themselves come from deterministic
+    (score, id) orderings.
+
+    Scale: each ranker reduces to a RRF_POOL-row frame via
+    TakeOrderedAndProject before any window runs; the fusion is a
+    full-outer join of two 50-row frames. The ranker inputs are the
+    already-scale-safe bm25_scored (token-filtered explode) and
+    cosine_topk_frame (broadcast single query).
+    """
+    from .corpus_ops import bm25_scored
+
+    lex_top = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
+        .limit(RRF_POOL)
+    )
+    w_lex = Window.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).cast("bigint").alias("r_lex")
+    )
+    sem = cosine_topk_frame(
+        _embeddings(spark, sf_dir), n_queries=1, top_k=RRF_POOL
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").cast("bigint").alias("r_sem"))
+    fused = lex.join(sem, "doc_id", "outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(RRF_TOP)
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        F.round("rrf", 6).alias("rrf_score"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
 _COS = (
     "list_dot_product(q.qv, e.v) / "
     "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))"
@@ -989,6 +1049,45 @@ def _silhouette_oracle() -> str:
     """
 
 
+def _hybrid_rrf_oracle() -> str:
+    from ..functions.retrieval import BM25_SCORED_CTE
+
+    return f"""
+    WITH {BM25_SCORED_CTE},
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_raw DESC, doc_id ASC)
+                   AS r_lex
+        FROM scored
+        QUALIFY r_lex <= {RRF_POOL}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 1),
+    pairs AS (
+        SELECT e.vec_id, round({_COS}, 4) AS cos_sim
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    sem AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+                   AS r_sem
+        FROM pairs
+        QUALIFY r_sem <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+               coalesce(1.0 / ({RRF_K} + l.r_lex), 0.0)
+               + coalesce(1.0 / ({RRF_K} + s.r_sem), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, r_lex, r_sem, round(rrf, 6) AS rrf_score, rank FROM (
+        SELECT doc_id, r_lex, r_sem, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+        FROM fused
+    ) WHERE rank <= {RRF_TOP}
+    """
+
+
 ORACLES = {
     "ann_pq_topk": _pq_oracle(),
     "silhouette_score": _silhouette_oracle(),
@@ -1007,6 +1106,7 @@ ORACLES = {
     "ann_ivf_topk": _ivf_oracle(),
     "ann_ivf_kmeans_topk": _ivf_kmeans_oracle(),
     "random_projection": _rp_oracle(),
+    "hybrid_rrf_topk": _hybrid_rrf_oracle(),
 }
 
 QUERIES = {
@@ -1018,4 +1118,5 @@ QUERIES = {
     "silhouette_score": silhouette_score,
     "mmr_diverse_topk": mmr_diverse_topk,
     "random_projection": random_projection,
+    "hybrid_rrf_topk": hybrid_rrf_topk,
 }

@@ -406,6 +406,46 @@ ORACLES["quality_logit_score"] = f"""
     )
 """
 
+ENTROPY_LOW_BITS = 3.0  # below ~3 bits/char a doc is repetitive junk
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    classic cheap junk filter: base64 blobs, repeated padding, and
+    single-character spam all sit far below natural-language entropy
+    (~4 bits/char for English), so `low_entropy` flags removal candidates.
+
+    Scale: chars explode then reduce back keyed by (doc_id, char) with
+    map-side combine — shuffle volume is per-doc DISTINCT chars (≤ ~100
+    cells/doc regardless of length), then one more per-doc combine. No
+    Python, no global state; throughput stays scan-bound.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    # H = log2(n) - sum(c*log2(c))/n — one aggregation, no per-row p column
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    h = F.log2("n") - F.col("s") / F.col("n")
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars_actual"),
+        "n_distinct_chars",
+        F.round(h, 4).alias("entropy_bits"),
+        (h < F.lit(ENTROPY_LOW_BITS)).alias("low_entropy"),
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
@@ -415,4 +455,30 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "bpe_pair_counts": bpe_pair_counts,
     "quality_logit_score": quality_logit_score,
+    "char_entropy": char_entropy,
 }
+
+ORACLES["char_entropy"] = f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text)),
+                                     i -> substr(text, i, 1))) AS ch
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        FROM chars GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id, sum(c) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               sum(c * log2(c)) AS s
+        FROM counts GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars_actual,
+           n_distinct_chars,
+           round(log2(n) - s / n, 4) AS entropy_bits,
+           (log2(n) - s / n) < {ENTROPY_LOW_BITS} AS low_entropy
+    FROM per_doc
+"""

@@ -107,3 +107,79 @@ def test_source_boilerplate_bounds_and_shared_exists(spark):
     assert len(rows) > 0
     assert all(0 <= r.n_boiler <= r.n_shingles for r in rows)
     assert all(0.0 <= r.boiler_frac <= 1.0 for r in rows)
+
+
+def test_ks_drift_bounds_and_counts(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.ks_drift(spark, SF_SMALL).first()
+    assert 0.0 <= r.ks_stat <= 1.0
+    purchases = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert r.n_before + r.n_after == purchases
+    assert r.n_before > 0 and r.n_after > 0
+
+
+def test_wow_growth_matches_recomputation(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.wow_growth(spark, SF_SMALL).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.week_start)
+        assert series[0].prev_revenue is None
+        for prev, cur in zip(series, series[1:]):
+            assert cur.prev_revenue == prev.revenue
+            expect = round(
+                (cur.revenue - prev.revenue) / prev.revenue * 100.0, 4
+            )
+            assert cur.growth_pct == expect
+
+
+def test_char_entropy_bounds(spark):
+    import math
+
+    rows = TA.char_entropy(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert -1e-9 <= r.entropy_bits
+        assert r.entropy_bits <= math.log2(r.n_distinct_chars) + 1e-6
+        assert r.low_entropy == (r.entropy_bits < TA.ENTROPY_LOW_BITS) or abs(
+            r.entropy_bits - TA.ENTROPY_LOW_BITS
+        ) < 1e-3
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    from cdc_streamming___v2_spark.operators import similarity as S
+
+    rows = S.hybrid_rrf_topk(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= S.RRF_TOP
+    rows.sort(key=lambda r: r.rank)
+    for r in rows:
+        assert r.r_lex is not None or r.r_sem is not None
+        expect = 0.0
+        if r.r_lex is not None:
+            expect += 1.0 / (S.RRF_K + r.r_lex)
+        if r.r_sem is not None:
+            expect += 1.0 / (S.RRF_K + r.r_sem)
+        assert abs(r.rrf_score - expect) < 1e-6
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # fusion must actually draw from both rankers somewhere in the top
+    assert any(r.r_lex is not None for r in rows)
+    assert any(r.r_sem is not None for r in rows)
+
+
+def test_dsir_separates_target_language(spark):
+    rows = P.dsir_importance_weights(spark, SF_SMALL).collect()
+    en = [r.logw_bits for r in rows if r.lang == P.DSIR_TARGET_LANG]
+    other = [r.logw_bits for r in rows if r.lang != P.DSIR_TARGET_LANG]
+    assert en and other
+    # the target-language model must score its own language higher on
+    # average — the whole point of importance resampling
+    assert sum(en) / len(en) > sum(other) / len(other)
