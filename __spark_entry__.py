@@ -78,6 +78,9 @@ _GATE_PRIORITY = (
     "char_entropy",
     "hybrid_rrf_topk",
     "dsir_importance_weights",
+    "holt_forecast",
+    "acf_daily_revenue",
+    "benford_deviation",
     # -- round-4 modified (sf0.1 full-gate caught scale-dependent parity
     #    bugs: epoch rounding / negative zero; re-proof wanted) --
     "time_range_moving_avg",
@@ -181,7 +184,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 165
+_MIN_QUERIES = 168
 
 
 def _registry() -> tuple[dict, dict]:

@@ -318,6 +318,14 @@ def main() -> None:
         "cdc_ingest": cdc_ingest,
         "cdc_ingest_kafka_format": cdc_kafka,
     }
+    # fold in the 10x scale-evidence record when tools/scale_evidence.py
+    # has been run (VERDICT r3 #6) so bench_results.json carries both
+    sf1_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_sf1.json"
+    )
+    if os.path.exists(sf1_path):
+        with open(sf1_path) as f:
+            result["bench_sf1"] = json.load(f)
     # Full record (per-query map + raw repeat lists) lives on disk; the
     # driver's stdout tail buffer is smaller than the ~4KB full JSON (it
     # front-truncated the final line in r1-r3 -> "parsed": null), so the

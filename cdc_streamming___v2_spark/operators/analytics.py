@@ -1130,6 +1130,65 @@ def chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(total)
 
 
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_HORIZON = 7
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over the daily
+    revenue series of each event type, with an HOLT_HORIZON-day-ahead
+    linear forecast — the classic short-range forecaster one step up from
+    q6's naive projection. L_t = αy_t + (1-α)(L_{t-1}+T_{t-1});
+    T_t = β(L_t-L_{t-1}) + (1-β)T_{t-1}; init L_1=y_1, T_1=y_2-y_1.
+
+    The recurrence is inherently sequential PER SERIES — exactly the case
+    the guide reserves for applyInPandas: the daily frame reduces to
+    (type x day) cells first (map-side combined shuffle), then each
+    series' O(n_days) loop runs as one Arrow batch per key. At 100 TB the
+    raw log is still scanned once; Python only ever sees the
+    series-cardinality frame (days x types), never raw events. The oracle
+    is a DuckDB recursive CTE over the identical IEEE expression order, so
+    the hash match proves the loop bit-for-bit.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("y")
+        )
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d")
+        ys = [float(v) for v in pdf["y"]]
+        lvl = ys[0]
+        trd = (ys[1] - ys[0]) if len(ys) > 1 else 0.0
+        for y in ys[1:]:
+            new_lvl = HOLT_ALPHA * y + (1.0 - HOLT_ALPHA) * (lvl + trd)
+            trd = HOLT_BETA * (new_lvl - lvl) + (1.0 - HOLT_BETA) * trd
+            lvl = new_lvl
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(ys)],
+                "level": [round(lvl, 4)],
+                "trend": [round(trd, 4)],
+                "forecast": [round(lvl + HOLT_HORIZON * trd, 4)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        _holt,
+        schema="event_type string, n_days long, level double, "
+        "trend double, forecast double",
+    )
+
+
 KS_RANGE_BUCKET = 25.0  # purchase-value range width for the two-pass rank
 
 
@@ -1252,6 +1311,95 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACF_LAGS = (1, 2, 3)
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-3) of each event type's daily
+    revenue series — the seasonality/memory diagnostic that tells a
+    forecaster (holt_forecast) whether yesterday predicts today:
+    r_k = Σ(y_t-ȳ)(y_{t-k}-ȳ) / Σ(y_t-ȳ)².
+
+    Scale: the log reduces to (type x day) cells once; the mean is a
+    type-cardinality broadcast; lags come from one per-type window over
+    the tiny daily frame; one final per-type aggregate. The raw event log
+    is scanned exactly once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("y")
+        )
+    )
+    means = daily.groupBy("event_type").agg(
+        F.avg("y").alias("ybar"), F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.join(F.broadcast(means), "event_type").select(
+        "event_type",
+        "n_days",
+        (F.col("y") - F.col("ybar")).alias("dy"),
+        *[
+            (F.lag("y", k).over(w) - F.col("ybar")).alias(f"dy{k}")
+            for k in ACF_LAGS
+        ],
+    )
+    return lagged.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        *[
+            F.round(
+                F.sum(F.col("dy") * F.col(f"dy{k}")) / F.sum(F.col("dy") * F.col("dy")),
+                4,
+            ).alias(f"acf{k}")
+            for k in ACF_LAGS
+        ],
+    )
+
+
+# Benford first-digit expectations, precomputed in Python and inlined as
+# literals on BOTH engines so no libm log10 ever runs engine-side.
+import math as _math  # noqa: E402
+
+BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic bulk data-quality / fabrication screen. Digit
+    extraction goes through an exact DECIMAL(18,2) string (prices are
+    always >= 1), never floating log10, so both engines bin identically.
+
+    Scale: one map-side-combined aggregate to 9 digit cells; the share
+    normalizer is a broadcast scalar.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    cells = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.agg(F.sum("n").cast("double").alias("tot"))
+    expected = F.create_map(
+        *[x for d, p in BENFORD.items() for x in (F.lit(d), F.lit(p))]
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("obs_share"),
+            F.round(expected[F.col("digit")], 6).alias("benford_share"),
+            F.round(
+                F.col("n") / F.col("tot") - expected[F.col("digit")], 6
+            ).alias("deviation"),
+        )
+    )
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "retention_cohorts": retention_cohorts,
@@ -1279,6 +1427,9 @@ QUERIES = {
     "robust_mad_outliers": robust_mad_outliers,
     "ks_drift": ks_drift,
     "wow_growth": wow_growth,
+    "holt_forecast": holt_forecast,
+    "acf_daily_revenue": acf_daily_revenue,
+    "benford_deviation": benford_deviation,
 }
 
 def _ewma_oracle() -> str:
@@ -1808,4 +1959,89 @@ ORACLES["wow_growth"] = """
                  / lag(revenue) OVER w * 100.0, 4) AS growth_pct
     FROM weekly
     WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+"""
+
+ORACLES["holt_forecast"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    rec(event_type, rn, l, t) AS (
+        SELECT i.event_type, 1, i.y,
+               coalesce(i2.y - i.y, 0.0)
+        FROM idx i LEFT JOIN idx i2
+            ON i2.event_type = i.event_type AND i2.rn = 2
+        WHERE i.rn = 1
+        UNION ALL
+        SELECT r.event_type, i.rn,
+               {HOLT_ALPHA} * i.y + (1.0 - {HOLT_ALPHA}) * (r.l + r.t),
+               {HOLT_BETA} * (({HOLT_ALPHA} * i.y
+                               + (1.0 - {HOLT_ALPHA}) * (r.l + r.t)) - r.l)
+               + (1.0 - {HOLT_BETA}) * r.t
+        FROM rec r JOIN idx i
+            ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    )
+    SELECT r.event_type,
+           CAST(r.rn AS BIGINT) AS n_days,
+           round(r.l, 4) AS level,
+           round(r.t, 4) AS trend,
+           round(r.l + {HOLT_HORIZON} * r.t, 4) AS forecast
+    FROM rec r
+    JOIN (SELECT event_type, max(rn) AS mr FROM rec GROUP BY 1) m
+        ON r.event_type = m.event_type AND r.rn = m.mr
+"""
+
+ORACLES["acf_daily_revenue"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS y
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, avg(y) AS ybar,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    lagged AS (
+        SELECT d.event_type, m.n_days,
+               d.y - m.ybar AS dy,
+               lag(d.y, 1) OVER w - m.ybar AS dy1,
+               lag(d.y, 2) OVER w - m.ybar AS dy2,
+               lag(d.y, 3) OVER w - m.ybar AS dy3
+        FROM daily d JOIN m USING (event_type)
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY d.d)
+    )
+    SELECT event_type, max(n_days) AS n_days,
+           round(sum(dy * dy1) / sum(dy * dy), 4) AS acf1,
+           round(sum(dy * dy2) / sum(dy * dy), 4) AS acf2,
+           round(sum(dy * dy3) / sum(dy * dy), 4) AS acf3
+    FROM lagged GROUP BY 1
+"""
+
+_BENFORD_MAP = " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in BENFORD.items()
+)
+
+ORACLES["benford_deviation"] = f"""
+    WITH cells AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM cells)
+    SELECT digit, n,
+           round(n / t.tot, 6) AS obs_share,
+           round(CAST(CASE digit {_BENFORD_MAP} END AS DOUBLE), 6)
+               AS benford_share,
+           round(n / t.tot - CASE digit {_BENFORD_MAP} END, 6) AS deviation
+    FROM cells CROSS JOIN tot t
 """

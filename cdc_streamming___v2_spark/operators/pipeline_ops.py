@@ -752,7 +752,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_tokens",
-        F.round(F.col("micro") / 1000000.0, 4).alias("logw_bits"),
+        (F.col("micro") / 1000000.0).alias("logw_bits"),
         (F.col("micro") > 0).alias("target_like"),
     )
 
@@ -1069,7 +1069,7 @@ ORACLES["dsir_importance_weights"] = f"""
     )
     SELECT f.doc_id, f.lang,
            CAST(sum(f.tf) AS BIGINT) AS n_tokens,
-           round(sum(f.tf * m.contrib) / 1000000.0, 4) AS logw_bits,
+           sum(f.tf * m.contrib) / 1000000.0 AS logw_bits,
            sum(f.tf * m.contrib) > 0 AS target_like
     FROM tf f JOIN model m ON f.b = m.b
     GROUP BY 1, 2

@@ -183,3 +183,45 @@ def test_dsir_separates_target_language(spark):
     # the target-language model must score its own language higher on
     # average — the whole point of importance resampling
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_holt_forecast_tracks_linear_series(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.holt_forecast(spark, SF_SMALL).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.n_days >= 1
+        # forecast is level + HORIZON*trend (values rounded independently,
+        # so allow the compounded rounding slack)
+        assert abs(r.forecast - (r.level + A.HOLT_HORIZON * r.trend)) < 1e-3
+    # on a pure linear series, the recurrence converges to the exact line
+    ys = [100.0 + 5.0 * i for i in range(20)]
+    lvl, trd = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        nl = A.HOLT_ALPHA * y + (1 - A.HOLT_ALPHA) * (lvl + trd)
+        trd = A.HOLT_BETA * (nl - lvl) + (1 - A.HOLT_BETA) * trd
+        lvl = nl
+    assert abs(lvl - ys[-1]) < 1.0 and abs(trd - 5.0) < 0.5
+
+
+def test_acf_bounds(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.acf_daily_revenue(spark, SF_SMALL).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        for k in A.ACF_LAGS:
+            v = getattr(r, f"acf{k}")
+            assert -1.1 <= v <= 1.1
+
+
+def test_benford_shares_sum_to_one(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.benford_deviation(spark, SF_SMALL).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert abs(r.deviation - round(r.obs_share - r.benford_share, 4)) < 2e-4
