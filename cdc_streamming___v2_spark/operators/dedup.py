@@ -1222,6 +1222,88 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi-Sunter m/u probabilities per comparison field: m = P(agree |
+# same entity), u = P(agree | different entities). Log-weights are
+# precomputed in PYTHON and inlined as integer micro-units on both engines
+# — the whole score is then exact integer arithmetic, no libm anywhere.
+import math as _math  # noqa: E402
+
+FS_M_U = {
+    "p_brand": (0.95, 0.04),
+    "p_type": (0.90, 1.0 / 150.0),
+    "p_size": (0.85, 0.02),
+    "price_band": (0.80, 0.01),
+}
+FS_W = {
+    f: (
+        int(round(_math.log2(m / u) * 1_000_000)),
+        int(round(_math.log2((1.0 - m) / (1.0 - u)) * 1_000_000)),
+    )
+    for f, (m, u) in FS_M_U.items()
+}
+
+
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record-linkage scoring (Fellegi & Sunter 1969) over
+    the sorted-neighborhood candidate pairs: each pair of name-similar
+    part records is scored by summing per-field agreement log-weights
+    (log2 m/u on agreement, log2 (1-m)/(1-u) on disagreement) across
+    brand / type / size / price-band; positive total = probable same
+    entity. This is the classic decision layer on top of blocking —
+    SNM proposes, Fellegi-Sunter disposes.
+
+    Each name's attribute representative is its min-partkey record
+    (deterministic on both engines).
+
+    Scale: candidates come from the already-linear SNM rank-band join;
+    scoring is two broadcast-joinable attribute lookups plus pure integer
+    arithmetic per candidate — no new shuffle shape beyond SNM itself.
+    """
+    pairs = sorted_neighborhood_pairs(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part")
+    rep = (
+        p.groupBy(F.col("p_name").alias("rep_name"))
+        .agg(F.min("p_partkey").alias("repkey"))
+        .join(p, F.col("repkey") == F.col("p_partkey"))
+        .drop("rep_name")
+        .select(
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.floor(F.col("p_retailprice") / 100.0).cast("long").alias("price_band"),
+        )
+    )
+    a = rep.select(
+        F.col("p_name").alias("name_a"),
+        *[F.col(f).alias(f"{f}_a") for f in FS_M_U],
+    )
+    b = rep.select(
+        F.col("p_name").alias("name_b"),
+        *[F.col(f).alias(f"{f}_b") for f in FS_M_U],
+    )
+    scored = pairs.join(a, "name_a").join(b, "name_b")
+    agree = [
+        (F.col(f"{f}_a") == F.col(f"{f}_b")).cast("int") for f in FS_M_U
+    ]
+    n_agree = agree[0]
+    for x in agree[1:]:
+        n_agree = n_agree + x
+    micro = F.lit(0).cast("long")
+    for f, (aw, dw) in FS_W.items():
+        micro = micro + F.when(
+            F.col(f"{f}_a") == F.col(f"{f}_b"), F.lit(aw)
+        ).otherwise(F.lit(dw))
+    return scored.select(
+        "name_a",
+        "name_b",
+        "lev",
+        n_agree.cast("int").alias("n_agree"),
+        (micro / 1000000.0).alias("fs_score"),
+        (micro > 0).alias("is_match"),
+    )
+
+
 def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-scheme evaluation for the record-linkage tier: how good is
     sorted-neighborhood blocking at finding the true edit-distance matches?
@@ -1337,3 +1419,48 @@ QUERIES = {
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "embedding_near_dup": embedding_near_dup,
 }
+
+def _fs_oracle() -> str:
+    fields_sql = {
+        "p_brand": ("a.p_brand", "b.p_brand"),
+        "p_type": ("a.p_type", "b.p_type"),
+        "p_size": ("a.p_size", "b.p_size"),
+        "price_band": ("a.price_band", "b.price_band"),
+    }
+    n_agree = " + ".join(
+        f"CASE WHEN {l} = {r} THEN 1 ELSE 0 END"
+        for l, r in fields_sql.values()
+    )
+    micro = " + ".join(
+        f"CASE WHEN {fields_sql[f][0]} = {fields_sql[f][1]} "
+        f"THEN {aw} ELSE {dw} END"
+        for f, (aw, dw) in FS_W.items()
+    )
+    return f"""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    r AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rk FROM n),
+    pairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+        FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND {SNM_WINDOW}
+        WHERE levenshtein(a.p_name, b.p_name) <= {SNM_MAX_LEV}
+    ),
+    rep AS (
+        SELECT p.p_name, p.p_brand, p.p_type, p.p_size,
+               CAST(floor(p.p_retailprice / 100.0) AS BIGINT) AS price_band
+        FROM part p
+        JOIN (SELECT p_name, min(p_partkey) AS mk FROM part GROUP BY 1) m
+          ON p.p_partkey = m.mk
+    )
+    SELECT pr.name_a, pr.name_b, pr.lev,
+           CAST({n_agree} AS INT) AS n_agree,
+           ({micro}) / 1000000.0 AS fs_score,
+           ({micro}) > 0 AS is_match
+    FROM pairs pr
+    JOIN rep a ON pr.name_a = a.p_name
+    JOIN rep b ON pr.name_b = b.p_name
+    """
+
+
+ORACLES["fellegi_sunter_linkage"] = _fs_oracle()
+QUERIES["fellegi_sunter_linkage"] = fellegi_sunter_linkage

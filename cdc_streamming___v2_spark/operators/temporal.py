@@ -166,8 +166,39 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_S = 1800  # max staleness: 30 minutes
+
+
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF LEFT JOIN WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``
+    semantics): each purchase pairs with the same user's most recent view
+    at-or-before it ONLY if that view is within ASOF_TOLERANCE_S seconds;
+    staler matches fall back to NULL, exactly as if no view existed.
+
+    Built on the same union+window construction as
+    ``asof_join_purchase_view`` — the tolerance is a pure post-filter on
+    the carried-forward columns (NULL-out when too old), so the 100-TB
+    plan is identical: one hash shuffle on user_id, per-partition sort,
+    no range explosion.
+    """
+    base = asof_join_purchase_view(spark, sf_dir)
+    stale = F.col("ts").cast("double") - F.col("view_ts").cast("double")
+    ok = F.col("view_ts").isNotNull() & (stale <= ASOF_TOLERANCE_S)
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(ok, F.col("view_event_id")).alias("view_event_id"),
+        F.when(ok, F.col("view_ts")).alias("view_ts"),
+        F.when(ok, F.col("view_value")).alias("view_value"),
+        F.when(ok, F.round(stale, 3)).alias("staleness_s"),
+    )
+
+
 QUERIES = {
     "asof_join_purchase_view": asof_join_purchase_view,
+    "asof_tolerance_join": asof_tolerance_join,
     "range_join_error_clicks": range_join_error_clicks,
     "stats_agg": stats_agg,
     "systematic_sample": systematic_sample,
@@ -190,6 +221,36 @@ ORACLES = {
                vd.value    AS view_value
         FROM p ASOF LEFT JOIN vd
           ON p.user_id = vd.user_id AND p.ts >= vd.ts
+    """,
+    "asof_tolerance_join": f"""
+        WITH v AS (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view'
+        ),
+        vd AS (SELECT user_id, ts, event_id, value FROM v WHERE rn = 1),
+        p AS (SELECT event_id, user_id, ts, value
+              FROM events WHERE event_type = 'purchase'),
+        base AS (
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   vd.event_id AS view_event_id,
+                   vd.ts       AS view_ts,
+                   vd.value    AS view_value,
+                   epoch(p.ts) - epoch(vd.ts) AS stale
+            FROM p ASOF LEFT JOIN vd
+              ON p.user_id = vd.user_id AND p.ts >= vd.ts
+        )
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN stale <= {ASOF_TOLERANCE_S}
+                    THEN view_event_id END AS view_event_id,
+               CASE WHEN stale <= {ASOF_TOLERANCE_S}
+                    THEN view_ts END AS view_ts,
+               CASE WHEN stale <= {ASOF_TOLERANCE_S}
+                    THEN view_value END AS view_value,
+               CASE WHEN stale <= {ASOF_TOLERANCE_S}
+                    THEN round(stale, 3) END AS staleness_s
+        FROM base
     """,
     "range_join_error_clicks": """
         WITH a AS (SELECT event_id, user_id, ts FROM events

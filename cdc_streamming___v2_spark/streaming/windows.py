@@ -199,6 +199,53 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` re-expressed on Spark 4's transformWithState
+    API (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState with explicit state variables, TTL support, and
+    timers. Same semantics as the GroupState version (a cross-API
+    equivalence test pins them row-for-row), so the engine offers BOTH
+    stateful surfaces a production pipeline might target.
+
+    NOTE: the transformWithState Python worker speaks a protobuf-based
+    state-server protocol — it requires the ``protobuf`` package at
+    runtime (standard in any real Spark 4 deployment; absent in this
+    sandbox, where the equivalence test auto-skips).
+
+    Scale: identical to the GroupState twin — state shards by user_id in
+    the state store (RocksDB-capable, see tests/test_rocksdb_state.py);
+    per-batch work is one Arrow batch per active key.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            prev = self._totals.get() if self._totals.exists() else None
+            n, total = (prev[0], prev[1]) if prev else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 KMV_STATE_SCHEMA = T.StructType(
     [T.StructField("mins", T.ArrayType(T.DoubleType()))]
 )

@@ -442,3 +442,38 @@ def test_near_dup_stream_matches_batch_incremental(spark, tmp_path):
     }
     assert want  # fixture really exercises the check (10 pairs at sf0.001)
     assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's python state-server protocol needs protobuf "
+    "(standard in real Spark 4 deployments; absent in this sandbox)",
+)
+def test_transform_with_state_matches_group_state_twin(spark, events_dir):
+    """Spark 4 transformWithStateInPandas twin must reproduce the
+    applyInPandasWithState operator's final per-user totals exactly."""
+    name = _run(
+        W.running_user_totals_tws(_stream(spark, events_dir)), mode="update"
+    )
+    rows = spark.sql(
+        f"select user_id, max(n_events) n, max(total_value) t from {name} "
+        "group by user_id"
+    ).collect()
+    batch = {
+        r.user_id: (r.n, round(r.t, 2))
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    got = {r.user_id: (r.n, round(r.t, 2)) for r in rows}
+    assert got == batch
