@@ -83,6 +83,9 @@ _GATE_PRIORITY = (
     "benford_deviation",
     "fellegi_sunter_linkage",
     "asof_tolerance_join",
+    "quantile_normalize",
+    "correlation_matrix",
+    "degree_assortativity",
     # -- round-4 modified (sf0.1 full-gate caught scale-dependent parity
     #    bugs: epoch rounding / negative zero; re-proof wanted) --
     "time_range_moving_avg",
@@ -186,7 +189,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 170
+_MIN_QUERIES = 173
 
 
 def _registry() -> tuple[dict, dict]:

@@ -132,6 +132,16 @@ HEADLINE = [
     "mixture_weights",
     "robust_mad_outliers",
     "source_boilerplate",
+    "ks_drift",
+    "wow_growth",
+    "char_entropy",
+    "hybrid_rrf_topk",
+    "dsir_importance_weights",
+    "holt_forecast",
+    "acf_daily_revenue",
+    "benford_deviation",
+    "fellegi_sunter_linkage",
+    "asof_tolerance_join",
 ]
 
 

@@ -1311,6 +1311,73 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of order totals to [0, 1]:
+    q = (rank-1)/(n-1) with deterministic (price, orderkey) ordering — the
+    standard heavy-tail-robust feature transform before model training.
+
+    Scale: the global rank reuses the two-pass decomposition
+    (equi_depth_histogram): in-bucket row_number partitioned by a fixed
+    price-range bucket + broadcast per-bucket cumulative offsets from the
+    bucket-cardinality frame. No single-task global window anywhere; the
+    oracle runs the naive global row_number, so the hash match proves the
+    decomposition.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = o.withColumn(
+        "rbkt", F.floor(F.col("o_totalprice") / EQUI_DEPTH_RANGE_BUCKET).cast("long")
+    )
+    win_in = Window.partitionBy("rbkt").orderBy("o_totalprice", "o_orderkey")
+    in_rank = b.withColumn("r_in", F.row_number().over(win_in))
+    counts = b.groupBy("rbkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("rbkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("rbkt", "off")
+    total = counts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    return (
+        in_rank.join(F.broadcast(offsets), "rbkt")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("off") + F.col("r_in")).cast("bigint").alias("rank"),
+            F.round(
+                (F.col("off") + F.col("r_in") - 1)
+                / (F.col("n_total") - 1),
+                6,
+            ).alias("q_norm"),
+        )
+    )
+
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations among the lineitem numeric columns,
+    in long format — the feature-selection screen run before any model
+    training. One pass over the fact table computes all 6 pairs at once
+    (multi-aggregate, map-side combined); no per-pair rescans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, CORR_COLS[j])
+        for i, a in enumerate(CORR_COLS)
+        for j in range(i + 1, len(CORR_COLS))
+    ]
+    aggs = [
+        F.round(F.corr(a, b), 4).alias(f"{a}__{b}") for a, b in pairs
+    ]
+    wide = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"), *aggs)
+    # unpivot to long format engine-side (stack), keeping n on every row
+    stack_expr = ", ".join(f"'{a}', '{b}', {a}__{b}" for a, b in pairs)
+    return wide.selectExpr(
+        "n",
+        f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, pearson_r)",
+    ).select("col_a", "col_b", "n", "pearson_r")
+
+
 ACF_LAGS = (1, 2, 3)
 
 
@@ -1430,6 +1497,8 @@ QUERIES = {
     "holt_forecast": holt_forecast,
     "acf_daily_revenue": acf_daily_revenue,
     "benford_deviation": benford_deviation,
+    "quantile_normalize": quantile_normalize,
+    "correlation_matrix": correlation_matrix,
 }
 
 def _ewma_oracle() -> str:
@@ -2044,4 +2113,36 @@ ORACLES["benford_deviation"] = f"""
                AS benford_share,
            round(n / t.tot - CASE digit {_BENFORD_MAP} END, 6) AS deviation
     FROM cells CROSS JOIN tot t
+"""
+
+ORACLES["quantile_normalize"] = """
+    WITH r AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS BIGINT) AS rank,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, rank,
+           round((rank - 1) * 1.0 / (n - 1), 6) AS q_norm
+    FROM r
+"""
+
+_CORR_PAIRS_SQL = " UNION ALL ".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, {a}__{b} AS pearson_r FROM w"
+    for i, a in enumerate(CORR_COLS)
+    for b in CORR_COLS[i + 1:]
+)
+_CORR_AGGS_SQL = ", ".join(
+    f"round(corr({a}, {b}), 4) AS {a}__{b}"
+    for i, a in enumerate(CORR_COLS)
+    for b in CORR_COLS[i + 1:]
+)
+
+ORACLES["correlation_matrix"] = f"""
+    WITH w AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, {_CORR_AGGS_SQL}
+        FROM lineitem
+    )
+    {_CORR_PAIRS_SQL}
 """

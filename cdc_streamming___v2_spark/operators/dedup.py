@@ -592,7 +592,7 @@ EMB_FP_BAND_BITS = EMB_FP_BITS // EMB_FP_BANDS
 EMB_DIM = 64
 
 
-def _emb_fingerprint(v) -> F.Column:
+def _emb_fingerprint(v, n_bits: int = EMB_FP_BITS) -> F.Column:
     """Sign-bit fingerprint over the deterministic hyperplane family shared
     with operators.similarity (golden-ratio pseudo-random, engine-portable).
 
@@ -603,10 +603,10 @@ def _emb_fingerprint(v) -> F.Column:
     oracle's per-plane list_dot_product still bit-matches."""
     from .similarity import _hyperplanes
 
-    planes = _hyperplanes(EMB_FP_BITS, EMB_DIM)
+    planes = _hyperplanes(n_bits, EMB_DIM)
     mat = F.array(*[F.array(*[F.lit(float(x)) for x in p]) for p in planes])
     weights = F.array(
-        *[F.lit(1 << i).cast("long") for i in range(EMB_FP_BITS)]
+        *[F.lit(1 << i).cast("long") for i in range(n_bits)]
     )
     bits = F.zip_with(
         mat,
@@ -651,28 +651,40 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_frame(
-    e: DataFrame, threshold: float = COSINE_DUP_THRESHOLD
+    e: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    n_bits: int = EMB_FP_BITS,
+    n_bands: int = EMB_FP_BANDS,
 ) -> DataFrame:
     """Banded-fingerprint near-dup over any (vec_id, v) frame (see
     embedding_near_dup for the contract and scale notes).
+
+    ``n_bits``/``n_bands`` are THE scale knobs: per-bucket collision
+    probability for unrelated vectors is ~2^-(n_bits/n_bands), so
+    candidate volume ~ N^2 * n_bands / 2^(n_bits/n_bands) — grow the band
+    width with log2(N) to hold candidates ~linear (the 10x scale-evidence
+    run demonstrates exactly this: defaults curve quadratically at 10x,
+    24 bits x 4 bands restores ~linear; recall on planted duplicates is
+    unaffected because true near-dups have fingerprint hamming << bands).
 
     Norms are computed ONCE per vector before the pair join (the verify
     kernel then costs one dot product per candidate instead of three fold
     passes) — same arithmetic, so oracle parity is unaffected."""
     from ..functions.vectors import norm
 
+    band_bits = n_bits // n_bands
     e = e.withColumn("nrm", norm(F.col("v")))
-    eb = e.withColumn("fp", _emb_fingerprint(F.col("v")))
-    band_mask = (1 << EMB_FP_BAND_BITS) - 1
+    eb = e.withColumn("fp", _emb_fingerprint(F.col("v"), n_bits))
+    band_mask = (1 << band_bits) - 1
     bands = eb.select(
         "vec_id",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("fp"), EMB_FP_BAND_BITS * j).bitwiseAND(
+                    F.shiftright(F.col("fp"), band_bits * j).bitwiseAND(
                         F.lit(band_mask)
                     )
-                    for j in range(EMB_FP_BANDS)
+                    for j in range(n_bands)
                 ]
             )
         ).alias("band", "bv"),

@@ -344,14 +344,76 @@ def _bfs_oracle() -> str:
     """
 
 
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the nation trade graph (Newman 2002): the
+    Pearson correlation between source out-degree and destination
+    in-degree across directed edges, plus the degree-distribution moments
+    — do high-degree trade hubs ship to other hubs, or to the periphery?
+
+    Scale: degrees are two tiny per-node aggregates of the edge list
+    (broadcast back onto edges); the correlation is one map-side-combined
+    aggregate over edges. The edge list itself comes from the same
+    aggregated join pipeline as pagerank (never the raw fact table twice).
+    """
+    e = _trade_edges(spark, sf_dir)
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("kout"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).cast("double").alias("kin"))
+    j = e.join(F.broadcast(outd), "src").join(F.broadcast(ind), "dst")
+    # the nation graph can be COMPLETE (every nation trades with every
+    # other) — degrees are then constant and Pearson r is undefined;
+    # try_divide yields NULL there (ANSI-safe), matching DuckDB's corr
+    r = F.expr(
+        "try_divide(covar_samp(kout, kin),"
+        " stddev_samp(kout) * stddev_samp(kin))"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.round(r, 4).alias("assortativity"),
+        F.round(F.avg("kout"), 4).alias("mean_out_degree"),
+        F.round(F.max("kout"), 4).alias("max_out_degree"),
+        F.round(F.avg("kin"), 4).alias("mean_in_degree"),
+        F.round(F.max("kin"), 4).alias("max_in_degree"),
+    )
+
+
+_EDGES_SQL = """
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+"""
+
+
+def _assort_oracle() -> str:
+    return f"""
+    WITH e AS ({_EDGES_SQL}),
+    outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS kout FROM e GROUP BY 1),
+    ind AS (SELECT dst, CAST(count(*) AS DOUBLE) AS kin FROM e GROUP BY 1),
+    j AS (SELECT o.kout, i.kin FROM e
+          JOIN outd o USING (src) JOIN ind i USING (dst))
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           round(corr(kout, kin), 4) AS assortativity,
+           round(avg(kout), 4) AS mean_out_degree,
+           round(max(kout), 4) AS max_out_degree,
+           round(avg(kin), 4) AS mean_in_degree,
+           round(max(kin), 4) AS max_in_degree
+    FROM j
+    """
+
+
 QUERIES = {
     "pagerank_nations": pagerank_nations,
     "triangle_count": triangle_count,
     "bfs_hops": bfs_hops,
+    "degree_assortativity": degree_assortativity,
 }
 
 ORACLES = {
     "pagerank_nations": _pr_oracle(),
     "triangle_count": _tri_oracle(),
     "bfs_hops": _bfs_oracle(),
+    "degree_assortativity": _assort_oracle(),
 }

@@ -225,3 +225,41 @@ def test_benford_shares_sum_to_one(spark):
     assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-3
     for r in rows:
         assert abs(r.deviation - round(r.obs_share - r.benford_share, 4)) < 2e-4
+
+
+def test_quantile_normalize_uniform_and_ordered(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.quantile_normalize(spark, SF_SMALL).collect()
+    n = len(rows)
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, n + 1))  # a true permutation
+    rows.sort(key=lambda r: r.rank)
+    assert rows[0].q_norm == 0.0 and rows[-1].q_norm == 1.0
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices)
+
+
+def test_correlation_matrix_bounds_and_known_pair(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.correlation_matrix(spark, SF_SMALL).collect()
+    assert len(rows) == 6
+    seen = set()
+    for r in rows:
+        assert -1.0 <= r.pearson_r <= 1.0
+        assert r.col_a != r.col_b
+        seen.add((r.col_a, r.col_b))
+    assert len(seen) == 6  # every unordered pair exactly once
+
+
+def test_degree_assortativity_complete_graph_null(spark):
+    from cdc_streamming___v2_spark.operators import graph as G
+
+    r = G.degree_assortativity(spark, SF_SMALL).first()
+    assert r.n_edges > 0
+    # on a complete trade graph degrees are constant -> r undefined (NULL);
+    # otherwise it must be a valid correlation
+    if r.assortativity is not None:
+        assert -1.0 <= r.assortativity <= 1.0
+    assert r.max_out_degree >= r.mean_out_degree
