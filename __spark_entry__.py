@@ -86,6 +86,7 @@ _GATE_PRIORITY = (
     "quantile_normalize",
     "correlation_matrix",
     "degree_assortativity",
+    "pca_top_component",
     # -- round-4 modified (sf0.1 full-gate caught scale-dependent parity
     #    bugs: epoch rounding / negative zero; re-proof wanted) --
     "time_range_moving_avg",
@@ -189,7 +190,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 173
+_MIN_QUERIES = 174
 
 
 def _registry() -> tuple[dict, dict]:

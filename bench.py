@@ -142,6 +142,10 @@ HEADLINE = [
     "benford_deviation",
     "fellegi_sunter_linkage",
     "asof_tolerance_join",
+    "quantile_normalize",
+    "correlation_matrix",
+    "degree_assortativity",
+    "pca_top_component",
 ]
 
 

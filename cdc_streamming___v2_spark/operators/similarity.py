@@ -362,6 +362,155 @@ def _rp_oracle() -> str:
     """
 
 
+PCA_ITERS = 150
+PCA_QUANT = 1_000_000  # integer micro-units for the exact Gram sums
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power iteration,
+    and every vector's projection onto it — the first step of embedding
+    whitening / spectrum analysis (e.g. detecting a dominant "rogue
+    dimension" before cosine retrieval).
+
+    Determinism strategy: components quantize to integer micro-units, so
+    the d x d Gram matrix is EXACT INTEGER sums (decimal accumulation —
+    no float order sensitivity, no overflow). The power iteration then
+    runs on that exact matrix with per-step infinity-norm scaling (max
+    is order-independent, so no float-order sensitivity), left-to-right
+    fold dots on both engines; the
+    oracle replays it as a DuckDB recursive CTE over LIST columns.
+
+    Scale: the Gram reduction is the tall-skinny pattern (Spark MLlib
+    RowMatrix.computeGramianMatrix): one map-side-combined shuffle to d^2
+    = 4096 cells regardless of N — the 100-TB axis is N, never d, so the
+    d^2 collect is scalar-sized by construction. The iteration is O(d^2)
+    driver work; the projection pass broadcasts the unit vector back over
+    the corpus (one narrow map).
+    """
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.select(
+        F.expr(
+            f"transform(v, x -> CAST(round(x * {PCA_QUANT}) AS BIGINT))"
+        ).alias("q")
+    )
+    cells = (
+        q.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(q) - 1), i ->"
+                    " transform(sequence(0, size(q) - 1), j ->"
+                    " struct(i AS i, j AS j, q[i] * q[j] AS p))))"
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
+    )
+    mat: dict[tuple[int, int], float] = {
+        (r["i"], r["j"]): float(r["s"]) for r in cells.collect()
+    }
+    d = EMBED_DIM
+    a = [[mat[(i, j)] for j in range(d)] for i in range(d)]
+    v = [1.0] * d
+    for _ in range(PCA_ITERS):
+        u = [_ltr_dot(a[i], v) for i in range(d)]
+        mx = max(abs(x) for x in u)  # inf-norm: order-independent
+        v = [x / mx for x in u]
+    nrm = math.sqrt(_ltr_dot(v, v))
+    vhat = [x / nrm for x in v]
+    lam = _ltr_dot(vhat, [_ltr_dot(a[i], vhat) for i in range(d)])
+    vc = F.array(*[F.lit(x) for x in vhat])
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(vc, F.col("v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("pc1_score"),
+        F.round(F.lit(lam / 1.0e12), 2).alias(
+            "eigenvalue"
+        ),
+    )
+
+
+def _ltr_dot(xs: list[float], ys: list[float]) -> float:
+    """Strict left-to-right fold — mirrors Spark F.aggregate and DuckDB
+    list_dot_product so all three agree bit-for-bit (same add order)."""
+    acc = 0.0
+    for x, y in zip(xs, ys):
+        acc += x * y
+    return acc
+
+
+
+def _pca_oracle() -> str:
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+        SELECT list_transform(v, x ->
+                   CAST(round(x * {PCA_QUANT}) AS BIGINT)) AS q
+        FROM e
+    ),
+    raw AS (
+        SELECT unnest(flatten(list_transform(range(len(q)), i ->
+                   list_transform(range(len(q)), j ->
+                       {{'i': i, 'j': j, 'p': q[i + 1] * q[j + 1]}})))) AS c
+        FROM q
+    ),
+    cells AS (
+        SELECT c.i AS i, c.j AS j, sum(CAST(c.p AS DECIMAL(38,0))) AS s
+        FROM raw GROUP BY 1, 2
+    ),
+    arow AS MATERIALIZED (
+        SELECT i, list(CAST(s AS DOUBLE) ORDER BY j) AS cells
+        FROM cells GROUP BY i
+    ),
+    apack AS MATERIALIZED (
+        SELECT list(cells ORDER BY i) AS m FROM arow
+    ),
+    rec(t, v) AS (
+        SELECT 0, list_transform(range({EMBED_DIM}),
+                                 x -> CAST(1.0 AS DOUBLE))
+        UNION ALL
+        SELECT r.t + 1,
+               list_transform(
+                   list_transform(p.m, row -> list_dot_product(row, r.v)),
+                   x -> x / list_max(list_transform(
+                            list_transform(p.m,
+                                row2 -> list_dot_product(row2, r.v)),
+                            y -> abs(y))))
+        FROM rec r, apack p WHERE r.t < {PCA_ITERS}
+    ),
+    vfin AS (SELECT v FROM rec WHERE t = {PCA_ITERS}),
+    vhat AS (
+        SELECT list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   AS vh
+        FROM vfin
+    ),
+    avh AS (
+        SELECT list(list_dot_product(a.cells, h.vh) ORDER BY a.i) AS av
+        FROM arow a, vhat h
+    ),
+    lam AS (
+        SELECT list_dot_product(h.vh, w.av) AS l FROM vhat h, avh w
+    )
+    SELECT e.vec_id,
+           round(list_dot_product(h.vh, e.v), 6) AS pc1_score,
+           round(m.l / 1000000000000.0, 2) AS eigenvalue
+    FROM e, vhat h, lam m
+    """
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 RRF_POOL = 50  # per-ranker candidate pool depth
 RRF_TOP = 20
@@ -1107,6 +1256,7 @@ ORACLES = {
     "ann_ivf_kmeans_topk": _ivf_kmeans_oracle(),
     "random_projection": _rp_oracle(),
     "hybrid_rrf_topk": _hybrid_rrf_oracle(),
+    "pca_top_component": _pca_oracle(),
 }
 
 QUERIES = {
@@ -1119,4 +1269,5 @@ QUERIES = {
     "mmr_diverse_topk": mmr_diverse_topk,
     "random_projection": random_projection,
     "hybrid_rrf_topk": hybrid_rrf_topk,
+    "pca_top_component": pca_top_component,
 }

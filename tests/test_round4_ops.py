@@ -263,3 +263,35 @@ def test_degree_assortativity_complete_graph_null(spark):
     if r.assortativity is not None:
         assert -1.0 <= r.assortativity <= 1.0
     assert r.max_out_degree >= r.mean_out_degree
+
+
+def test_pca_matches_numpy_eigenvector(spark):
+    """The distributed integer-Gram power iteration must agree with
+    numpy's eigendecomposition of the same quantized Gram matrix."""
+    import numpy as np
+    from cdc_streamming___v2_spark.operators import similarity as S
+
+    out = S.pca_top_component(spark, SF_SMALL).collect()
+    emb = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r.vec_id for r in emb]
+    X = np.array([[float(x) for x in r.embedding] for r in emb])
+    Q = np.round(X * 1e6)
+    A = Q.T @ Q
+    w, v = np.linalg.eigh(A)
+    top = v[:, -1]
+    proj_np = X @ (top / np.linalg.norm(top))
+    proj = {r.vec_id: r.pc1_score for r in out}
+    got = np.array([proj[i] for i in ids])
+    # sign of the eigenvector is arbitrary in numpy; align before compare
+    if np.dot(got, proj_np) < 0:
+        proj_np = -proj_np
+    cos = np.dot(got, proj_np) / (
+        np.linalg.norm(got) * np.linalg.norm(proj_np)
+    )
+    assert cos > 0.9999
+    lam = out[0].eigenvalue
+    assert abs(lam - w[-1] / 1e12) / max(w[-1] / 1e12, 1e-9) < 1e-3
