@@ -87,6 +87,7 @@ _GATE_PRIORITY = (
     "correlation_matrix",
     "degree_assortativity",
     "pca_top_component",
+    "entity_resolution",
     # -- round-4 modified (sf0.1 full-gate caught scale-dependent parity
     #    bugs: epoch rounding / negative zero; re-proof wanted) --
     "time_range_moving_avg",
@@ -190,7 +191,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 174
+_MIN_QUERIES = 175
 
 
 def _registry() -> tuple[dict, dict]:

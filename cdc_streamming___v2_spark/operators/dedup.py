@@ -1432,7 +1432,10 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
 }
 
-def _fs_oracle() -> str:
+def _fs_cte() -> str:
+    """CTE chain ending at ``fs`` (scored candidate pairs with integer
+    micro score), shared by the fellegi_sunter_linkage and
+    entity_resolution oracles."""
     fields_sql = {
         "p_brand": ("a.p_brand", "b.p_brand"),
         "p_type": ("a.p_type", "b.p_type"),
@@ -1449,7 +1452,7 @@ def _fs_oracle() -> str:
         for f, (aw, dw) in FS_W.items()
     )
     return f"""
-    WITH n AS (SELECT DISTINCT p_name FROM part),
+    n AS (SELECT DISTINCT p_name FROM part),
     r AS (SELECT p_name, row_number() OVER (ORDER BY p_name) AS rk FROM n),
     pairs AS (
         SELECT a.p_name AS name_a, b.p_name AS name_b,
@@ -1463,16 +1466,130 @@ def _fs_oracle() -> str:
         FROM part p
         JOIN (SELECT p_name, min(p_partkey) AS mk FROM part GROUP BY 1) m
           ON p.p_partkey = m.mk
+    ),
+    fs AS (
+        SELECT pr.name_a, pr.name_b, pr.lev,
+               CAST({n_agree} AS INT) AS n_agree,
+               ({micro}) AS micro
+        FROM pairs pr
+        JOIN rep a ON pr.name_a = a.p_name
+        JOIN rep b ON pr.name_b = b.p_name
     )
-    SELECT pr.name_a, pr.name_b, pr.lev,
-           CAST({n_agree} AS INT) AS n_agree,
-           ({micro}) / 1000000.0 AS fs_score,
-           ({micro}) > 0 AS is_match
-    FROM pairs pr
-    JOIN rep a ON pr.name_a = a.p_name
-    JOIN rep b ON pr.name_b = b.p_name
+    """
+
+
+def _fs_oracle() -> str:
+    return f"""
+    WITH {_fs_cte()}
+    SELECT name_a, name_b, lev, n_agree,
+           micro / 1000000.0 AS fs_score,
+           micro > 0 AS is_match
+    FROM fs
     """
 
 
 ORACLES["fellegi_sunter_linkage"] = _fs_oracle()
 QUERIES["fellegi_sunter_linkage"] = fellegi_sunter_linkage
+
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the part-name dictionary: SNM
+    blocking proposes candidates, Fellegi-Sunter scoring accepts matches,
+    and distributed connected components (pointer-doubling label
+    propagation, operators/pipeline_ops.connected_components) groups the
+    accepted matches into entities. Every name gets a canonical
+    ``entity`` (the lexicographically smallest member) and the entity's
+    member count — singletons resolve to themselves.
+
+    Scale: names map to dense global ranks via the same two-pass
+    decomposition as sorted_neighborhood_pairs (no one-task window);
+    components run O(log diameter) rounds over the match-edge list; the
+    final label->name joins are broadcast (entity dictionary << corpus).
+    The oracle is a recursive-CTE transitive closure, so the hash match
+    proves blocking + scoring + clustering end to end.
+    """
+    from .pipeline_ops import connected_components
+
+    matches = fellegi_sunter_linkage(spark, sf_dir).filter(
+        F.col("is_match")
+    ).select("name_a", "name_b")
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("bkt", F.substring("p_name", 1, 1))
+    )
+    win_in = Window.partitionBy("bkt").orderBy("p_name")
+    in_rank = names.withColumn("r_in", F.row_number().over(win_in))
+    counts = names.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("bkt", "off")
+    ranked = in_rank.join(F.broadcast(offsets), "bkt").select(
+        "p_name", (F.col("off") + F.col("r_in")).alias("rk")
+    )
+
+    edges = (
+        matches.join(
+            F.broadcast(ranked.select(F.col("p_name").alias("name_a"),
+                                      F.col("rk").alias("doc_a"))),
+            "name_a",
+        )
+        .join(
+            F.broadcast(ranked.select(F.col("p_name").alias("name_b"),
+                                      F.col("rk").alias("doc_b"))),
+            "name_b",
+        )
+        .select("doc_a", "doc_b")
+    )
+    labels, _ = connected_components(spark, edges)
+    ent = (
+        labels.join(
+            F.broadcast(ranked.select(F.col("rk").alias("node"),
+                                      F.col("p_name").alias("member"))),
+            "node",
+        )
+        .join(
+            F.broadcast(ranked.select(F.col("rk").alias("label"),
+                                      F.col("p_name").alias("entity"))),
+            "label",
+        )
+        .select("member", "entity")
+    )
+    # singletons (names untouched by any match) resolve to themselves
+    full = (
+        ranked.select(F.col("p_name").alias("member"))
+        .join(ent, "member", "left")
+        .select(
+            "member",
+            F.coalesce("entity", "member").alias("entity"),
+        )
+    )
+    sizes = full.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return full.join(F.broadcast(sizes), "entity").select(
+        F.col("member").alias("name"), "entity", "n_members"
+    )
+
+
+ORACLES["entity_resolution"] = f"""
+    WITH RECURSIVE {_fs_cte().strip().rstrip()},
+    edges AS (
+        SELECT name_a AS a, name_b AS b FROM fs WHERE micro > 0
+        UNION ALL
+        SELECT name_b AS a, name_a AS b FROM fs WHERE micro > 0
+    ),
+    reach(a, b) AS (
+        SELECT p_name, p_name FROM n
+        UNION
+        SELECT r0.a, e.b FROM reach r0 JOIN edges e ON r0.b = e.a
+    ),
+    lab AS (SELECT a AS name, min(b) AS entity FROM reach GROUP BY a),
+    sz AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_members
+           FROM lab GROUP BY 1)
+    SELECT l.name, l.entity, s.n_members
+    FROM lab l JOIN sz s USING (entity)
+"""
+QUERIES["entity_resolution"] = entity_resolution

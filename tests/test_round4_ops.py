@@ -295,3 +295,26 @@ def test_pca_matches_numpy_eigenvector(spark):
     assert cos > 0.9999
     lam = out[0].eigenvalue
     assert abs(lam - w[-1] / 1e12) / max(w[-1] / 1e12, 1e-9) < 1e-3
+
+
+def test_entity_resolution_is_consistent_partition(spark):
+    from cdc_streamming___v2_spark.operators import dedup as D
+
+    rows = D.entity_resolution(spark, SF_SMALL).collect()
+    names = {r.name for r in rows}
+    all_names = {
+        r.p_name
+        for r in load_table(spark, SF_SMALL, "part").select("p_name").distinct().collect()
+    }
+    assert names == all_names  # every name resolved exactly once
+    by_entity = {}
+    for r in rows:
+        assert r.entity <= r.name  # canonical = lexicographic min member
+        by_entity.setdefault(r.entity, []).append(r)
+    for ent, members in by_entity.items():
+        assert all(m.n_members == len(members) for m in members)
+        assert min(m.name for m in members) == ent
+    # every accepted FS match pair must land in the same entity
+    ent_of = {r.name: r.entity for r in rows}
+    for m in D.fellegi_sunter_linkage(spark, SF_SMALL).filter("is_match").collect():
+        assert ent_of[m.name_a] == ent_of[m.name_b]
