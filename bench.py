@@ -146,6 +146,9 @@ HEADLINE = [
     "correlation_matrix",
     "degree_assortativity",
     "pca_top_component",
+    "entity_resolution",
+    "kaplan_meier",
+    "ab_test_lift",
 ]
 
 

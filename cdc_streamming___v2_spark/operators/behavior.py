@@ -292,6 +292,151 @@ _ATTRIBUTION_ORACLE = """
 """
 
 
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup -> first-purchase time:
+    S(t) = prod over event days t_i <= t of (1 - d_i / n_i), with users
+    who never purchase right-censored at the end of the observation
+    window — the standard time-to-event estimator (churn, activation,
+    time-to-convert) that a naive "average days to purchase" gets wrong
+    by dropping the censored mass.
+
+    Determinism: the cumulative product is exp of an ORDERED cumulative
+    sum of logs — window running sums evaluate in frame order on both
+    engines, so the fold order is pinned; ln/exp on identical doubles
+    agree (last-ulp differences are absorbed by the 4dp rounding).
+
+    Scale: the raw log reduces to one row per user (two min-aggregates),
+    then to one row per distinct duration day; the risk-set cumsum runs
+    on that day-cardinality frame (bounded by the observation window,
+    ~30 rows) — the same tiny-frame global window the bucket-offset
+    pattern uses everywhere else.
+    """
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    per_user = (
+        signups.join(purchases, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.datediff(F.col("p_ts").cast("date"), F.col("s_ts").cast("date")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("s_ts").cast("date")))
+            .cast("long")
+            .alias("dur"),
+            F.col("p_ts").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    exits = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        F.sum("observed").cast("double").alias("d"),
+    )
+    total = exits.agg(F.sum("x").alias("n_total"))
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    # day-cardinality frame: the global windows see <= observation-window
+    # rows, never the user or event frame
+    curve = (
+        exits.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk", F.col("n_total") - F.coalesce(F.sum("x").over(w_prev), F.lit(0.0))
+        )
+        .filter(F.col("d") > 0)
+        # when the final risk set fully converts (d == n), survival hits
+        # exactly 0; ln(0) is a domain error, so carry a cumulative
+        # zero flag and emit 0.0 there (only ever the last event row)
+        .withColumn("hit_zero", F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(w_cum))
+        .withColumn(
+            "surv",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("d") < F.col("n_risk"),
+                            F.log(1.0 - F.col("d") / F.col("n_risk")),
+                        ).otherwise(F.lit(0.0))
+                    ).over(w_cum)
+                )
+            ),
+        )
+    )
+    return curve.select(
+        F.col("dur").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.round("surv", 4).alias("survival"),
+    )
+
+
+AB_VALUE_THRESHOLD = 48.0  # ~median per-user mean purchase value
+
+
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout: users split into arms by user_id
+    parity (the deterministic stand-in for an assignment table),
+    conversion = the user's mean purchase value exceeds
+    AB_VALUE_THRESHOLD (a non-saturated outcome on this corpus — every
+    user "ever purchases", so the raw flag would be degenerate);
+    reports per-arm rates, absolute and relative lift, and the pooled
+    two-proportion z statistic. Degenerate slices (all/none converting)
+    yield NULL lift/z via try_divide instead of a runtime error.
+
+    Determinism: rates are exact integer ratios; sqrt is IEEE-exact, so
+    the z-score is bit-identical across engines — no tolerance needed.
+
+    Scale: two map-side-combined aggregates over the log (per-user then
+    per-arm); the final arithmetic is on a 2-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (F.avg("value") > AB_VALUE_THRESHOLD).cast("int").alias("conv")
+        )
+    )
+    arms = per_user.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("conv").cast("double").alias("c"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("c_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return j.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_a").cast("bigint").alias("conv_a"),
+        F.col("c_b").cast("bigint").alias("conv_b"),
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_b - p_a, 6).alias("abs_lift"),
+        F.round(F.try_divide(p_b, p_a) - 1.0, 6).alias("rel_lift"),
+        F.round(F.try_divide(p_b - p_a, se), 4).alias("z_score"),
+    )
+
+
 ORACLES = {
     "session_path_analysis": _PATH_ORACLE,
     "attribution_credit": _ATTRIBUTION_ORACLE,
@@ -345,3 +490,91 @@ QUERIES = {
     "attribution_credit": attribution_credit,
     "session_path_analysis": session_path_analysis,
 }
+
+ORACLES["kaplan_meier"] = """
+    WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    s AS (SELECT user_id, min(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+          GROUP BY 1),
+    per_user AS (
+        SELECT CAST(CASE WHEN p.p_ts IS NOT NULL
+                    THEN date_diff('day', CAST(s.s_ts AS DATE),
+                                   CAST(p.p_ts AS DATE))
+                    ELSE date_diff('day', CAST(s.s_ts AS DATE),
+                                   (SELECT h FROM h)) END AS BIGINT) AS dur,
+               CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ),
+    exits AS (
+        SELECT dur, CAST(count(*) AS DOUBLE) AS x,
+               CAST(sum(observed) AS DOUBLE) AS d
+        FROM per_user GROUP BY 1
+    ),
+    tot AS (SELECT sum(x) AS n_total FROM exits),
+    risk AS (
+        SELECT dur, x, d,
+               t.n_total - coalesce(sum(x) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0.0) AS n_risk
+        FROM exits CROSS JOIN tot t
+    ),
+    curve AS (
+        SELECT dur, n_risk, d,
+               CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                        OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) = 1
+                    THEN 0.0
+                    ELSE exp(sum(CASE WHEN d < n_risk
+                                      THEN ln(1.0 - d / n_risk)
+                                      ELSE 0.0 END)
+                             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW)) END AS surv
+        FROM risk WHERE d > 0
+    )
+    SELECT dur AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           round(surv, 4) AS survival
+    FROM curve
+"""
+QUERIES["kaplan_meier"] = kaplan_meier
+
+ORACLES["ab_test_lift"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN avg(value) > 48.0 THEN 1 ELSE 0 END AS conv
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    arms AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(conv) AS DOUBLE) AS c
+        FROM per_user GROUP BY 1
+    ),
+    j AS (
+        SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+        FROM (SELECT n, c FROM arms WHERE arm = 0) a
+        CROSS JOIN (SELECT n, c FROM arms WHERE arm = 1) b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(c_a AS BIGINT) AS conv_a,
+           CAST(c_b AS BIGINT) AS conv_b,
+           round(c_a / n_a, 6) AS rate_a,
+           round(c_b / n_b, 6) AS rate_b,
+           round(c_b / n_b - c_a / n_a, 6) AS abs_lift,
+           round(CASE WHEN c_a > 0
+                      THEN (c_b / n_b) / (c_a / n_a) - 1.0 END, 6)
+               AS rel_lift,
+           round(CASE WHEN (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b)
+                      THEN (c_b / n_b - c_a / n_a)
+                           / sqrt((c_a + c_b) / (n_a + n_b)
+                                  * (1.0 - (c_a + c_b) / (n_a + n_b))
+                                  * (1.0 / n_a + 1.0 / n_b)) END, 4)
+               AS z_score
+    FROM j
+"""
+QUERIES["ab_test_lift"] = ab_test_lift

@@ -355,3 +355,43 @@ def test_mmr_pool_is_lsh_equi_join_and_windows_partitioned(spark):
     pf = _plan(spark, S.mmr_diverse_topk(spark, SF_SMALL))
     nw = pf.count("windowspecdefinition(")
     assert pf.count("windowspecdefinition(query_id") == nw
+
+
+def test_round4_ops_never_plan_cartesian(spark):
+    """Blanket plan audit for every round-4 operator: no CartesianProduct
+    anywhere (1-row scalar broadcasts plan as BNLJ and are fine, as is
+    the cosine pool's intentional query-broadcast BNLJ)."""
+    from cdc_streamming___v2_spark.operators import analytics as A4
+    from cdc_streamming___v2_spark.operators import corpus_ops as C4
+    from cdc_streamming___v2_spark.operators import dedup as D4
+    from cdc_streamming___v2_spark.operators import graph as G4
+    from cdc_streamming___v2_spark.operators import pipeline_ops as P4
+    from cdc_streamming___v2_spark.operators import similarity as S4
+    from cdc_streamming___v2_spark.operators import temporal as T4
+    from cdc_streamming___v2_spark.operators import text_analysis as TA4
+
+    for fn in (
+        C4.bm25_topk,
+        C4.source_boilerplate,
+        TA4.bpe_pair_counts,
+        TA4.quality_logit_score,
+        TA4.char_entropy,
+        P4.mixture_weights,
+        P4.dsir_importance_weights,
+        A4.robust_mad_outliers,
+        A4.ks_drift,
+        A4.wow_growth,
+        A4.holt_forecast,
+        A4.acf_daily_revenue,
+        A4.benford_deviation,
+        A4.quantile_normalize,
+        A4.correlation_matrix,
+        S4.hybrid_rrf_topk,
+        S4.pca_top_component,
+        G4.degree_assortativity,
+        T4.asof_tolerance_join,
+        D4.fellegi_sunter_linkage,
+        D4.entity_resolution,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__

@@ -318,3 +318,33 @@ def test_entity_resolution_is_consistent_partition(spark):
     ent_of = {r.name: r.entity for r in rows}
     for m in D.fellegi_sunter_linkage(spark, SF_SMALL).filter("is_match").collect():
         assert ent_of[m.name_a] == ent_of[m.name_b]
+
+
+def test_kaplan_meier_monotone_and_bounded(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    rows = B.kaplan_meier(spark, SF_SMALL).collect()
+    assert len(rows) >= 1
+    rows.sort(key=lambda r: r.t_days)
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= prev + 1e-9  # survival never increases
+        assert 0 < r.d_events <= r.n_risk
+        prev = r.survival
+    # risk sets shrink over time
+    risks = [r.n_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_ab_test_lift_consistent(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    r = B.ab_test_lift(spark, SF_SMALL).first()
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    assert abs(r.rate_a - r.conv_a / r.n_a) < 1e-5
+    assert abs(r.abs_lift - (r.rate_b - r.rate_a)) < 1e-5
+    if r.z_score is not None and r.abs_lift != 0:
+        # z has the sign of the lift
+        assert (r.z_score > 0) == (r.abs_lift > 0)
