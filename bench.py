@@ -149,6 +149,9 @@ HEADLINE = [
     "entity_resolution",
     "kaplan_meier",
     "ab_test_lift",
+    "feature_matrix_daily",
+    "target_encoding",
+    "bootstrap_mean_ci",
 ]
 
 

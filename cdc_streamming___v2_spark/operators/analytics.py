@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.texts import md5_hash_long
 from ..sources.tables import load_table
 from .event_windows import SESSION_GAP_MIN
 
@@ -1378,6 +1379,134 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("col_a", "col_b", "n", "pearson_r")
 
 
+def feature_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature matrix for daily revenue forecasting:
+    per (event_type, day) the target y plus lag-1/lag-7 values, 7-day
+    trailing mean, day-of-week, and weekend flag — the standard
+    windowed feature-engineering pass that feeds a gradient-boosted
+    forecaster. Leading rows keep NULL lags (the consumer decides
+    whether to drop or impute).
+
+    Scale: one shuffle to (type x day) cells; every feature comes from
+    ONE type-partitioned window over the tiny daily frame (shared sort).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")), 2
+        ).cast("double").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    w7 = w.rowsBetween(-6, 0)
+    dow = F.dayofweek("d").cast("int")
+    return daily.select(
+        "event_type",
+        "d",
+        "y",
+        F.lag("y", 1).over(w).alias("lag1"),
+        F.lag("y", 7).over(w).alias("lag7"),
+        F.round(F.avg("y").over(w7), 4).alias("mean7"),
+        dow.alias("dow"),
+        dow.isin(1, 7).alias("is_weekend"),
+    )
+
+
+TE_SMOOTHING = 20.0  # pseudo-count prior toward the global mean
+
+
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of customer market segment against order
+    totals: enc(seg) = (sum_seg + m * global_mean) / (n_seg + m) — the
+    leakage-resistant categorical encoder (m pseudo-observations of the
+    global mean shrink rare categories).
+
+    Determinism: per-segment and global sums are exact DECIMAL; the
+    smoothing arithmetic is written identically on both engines.
+
+    Scale: fact scan -> one broadcast join to the customer dim -> one
+    segment-keyed aggregate; the global mean is a 1-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    seg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+    )
+    g = seg.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("gmean")
+    )
+    return (
+        seg.crossJoin(F.broadcast(g))
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("s").cast("double") / F.col("n"), 4).alias("seg_mean"),
+            F.round(
+                (F.col("s").cast("double") + TE_SMOOTHING * F.col("gmean"))
+                / (F.col("n") + TE_SMOOTHING),
+                4,
+            ).alias("encoded"),
+        )
+    )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative P(X<=k), k=0..4) —
+# precomputed in Python, inlined on both engines.
+BOOT_B = 32
+_POIS = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+         0.9810118431238462, 0.9963401531726563]
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value: each of
+    BOOT_B resamples weights every row by a deterministic hash-derived
+    Poisson(1) draw (the streaming-friendly bootstrap — no global
+    resampling pass, weights are computed row-locally), then the CI comes
+    from the p05/p95 of the B resample means.
+
+    Scale: the fan-out is B weights per row computed INSIDE the per-row
+    projection (no explode of the fact table — the aggregate combines
+    B partial sums per partition); the quantile runs on a B-row frame.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    aggs = []
+    for b in range(BOOT_B):
+        u = (
+            md5_hash_long(F.concat(F.col("o_orderkey").cast("string"),
+                                   F.lit(f"#b{b}")))
+            / F.lit(4294967296.0)
+        )
+        w = (
+            F.when(u < _POIS[0], 0)
+            .when(u < _POIS[1], 1)
+            .when(u < _POIS[2], 2)
+            .when(u < _POIS[3], 3)
+            .when(u < _POIS[4], 4)
+            .otherwise(5)
+        )
+        aggs.append(
+            (
+                F.sum((w * F.col("o_totalprice")).cast("decimal(28,2)"))
+                .cast("double")
+                / F.sum(w).cast("double")
+            ).alias(f"m{b}")
+        )
+    wide = o.agg(*aggs)
+    stack = ", ".join(f"{b}, m{b}" for b in range(BOOT_B))
+    means = wide.selectExpr(
+        f"stack({BOOT_B}, {stack}) AS (b, m)"
+    ).select(F.col("m").cast("double").alias("m"))
+    return means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_resamples"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.expr("percentile(m, 0.05)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.95)"), 4).alias("ci_hi"),
+    )
+
+
 ACF_LAGS = (1, 2, 3)
 
 
@@ -1499,6 +1628,9 @@ QUERIES = {
     "benford_deviation": benford_deviation,
     "quantile_normalize": quantile_normalize,
     "correlation_matrix": correlation_matrix,
+    "feature_matrix_daily": feature_matrix_daily,
+    "target_encoding": target_encoding,
+    "bootstrap_mean_ci": bootstrap_mean_ci,
 }
 
 def _ewma_oracle() -> str:
@@ -2146,3 +2278,78 @@ ORACLES["correlation_matrix"] = f"""
     )
     {_CORR_PAIRS_SQL}
 """
+
+ORACLES["feature_matrix_daily"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS y
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, y,
+           lag(y, 1) OVER w AS lag1,
+           lag(y, 7) OVER w AS lag7,
+           round(avg(y) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS mean7,
+           CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
+           (dayofweek(d) + 1) IN (1, 7) AS is_weekend
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+"""
+
+ORACLES["target_encoding"] = f"""
+    WITH j AS (
+        SELECT c.c_mktsegment, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        FROM j GROUP BY 1
+    ),
+    g AS (SELECT CAST(sum(s) AS DOUBLE) / sum(n) AS gmean FROM seg)
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS n_orders,
+           round(CAST(s AS DOUBLE) / n, 4) AS seg_mean,
+           round((CAST(s AS DOUBLE) + {TE_SMOOTHING} * g.gmean)
+                 / (n + {TE_SMOOTHING}), 4) AS encoded
+    FROM seg CROSS JOIN g
+"""
+
+
+def _boot_oracle() -> str:
+    cols = []
+    for b in range(BOOT_B):
+        u = (
+            f"CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) "
+            f"|| '#b{b}'), 1, 8) AS BIGINT) / 4294967296.0"
+        )
+        w = (
+            f"CASE WHEN {u} < {_POIS[0]!r} THEN 0"
+            f" WHEN {u} < {_POIS[1]!r} THEN 1"
+            f" WHEN {u} < {_POIS[2]!r} THEN 2"
+            f" WHEN {u} < {_POIS[3]!r} THEN 3"
+            f" WHEN {u} < {_POIS[4]!r} THEN 4 ELSE 5 END"
+        )
+        cols.append(
+            f"CAST(sum(CAST({w} * o_totalprice AS DECIMAL(28,2))) AS DOUBLE)"
+            f" / CAST(sum({w}) AS DOUBLE) AS m{b}"
+        )
+    sel = ", ".join(cols)
+    un = " UNION ALL ".join(
+        f"SELECT CAST(m{b} AS DOUBLE) AS m FROM wide" for b in range(BOOT_B)
+    )
+    return f"""
+    WITH wide AS (SELECT {sel} FROM orders),
+    means AS ({un})
+    SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+           round(avg(m), 4) AS boot_mean,
+           round(quantile_cont(m, 0.05), 4) AS ci_lo,
+           round(quantile_cont(m, 0.95), 4) AS ci_hi
+    FROM means
+"""
+
+
+ORACLES["bootstrap_mean_ci"] = _boot_oracle()

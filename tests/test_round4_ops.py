@@ -348,3 +348,53 @@ def test_ab_test_lift_consistent(spark):
     if r.z_score is not None and r.abs_lift != 0:
         # z has the sign of the lift
         assert (r.z_score > 0) == (r.abs_lift > 0)
+
+
+def test_feature_matrix_lags_consistent(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.feature_matrix_daily(spark, SF_SMALL).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.d)
+        assert series[0].lag1 is None
+        for prev, cur in zip(series, series[1:]):
+            assert cur.lag1 == prev.y
+        for i, r in enumerate(series):
+            window = [s.y for s in series[max(0, i - 6): i + 1]]
+            assert abs(r.mean7 - sum(window) / len(window)) < 1e-3
+            assert r.is_weekend == (r.dow in (1, 7))
+
+
+def test_target_encoding_shrinks_toward_global(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.target_encoding(spark, SF_SMALL).collect()
+    total_n = sum(r.n_orders for r in rows)
+    gmean = sum(r.seg_mean * r.n_orders for r in rows) / total_n
+    for r in rows:
+        lo, hi = sorted((r.seg_mean, gmean))
+        # encoded value lies strictly between the segment and global means
+        assert lo - 0.01 <= r.encoded <= hi + 0.01
+        # heavier segments shrink less
+        expect = (r.seg_mean * r.n_orders + A.TE_SMOOTHING * gmean) / (
+            r.n_orders + A.TE_SMOOTHING
+        )
+        assert abs(r.encoded - expect) < 0.51  # gmean here is approximate
+
+
+def test_bootstrap_ci_brackets_sample_mean(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.bootstrap_mean_ci(spark, SF_SMALL).first()
+    assert r.n_resamples == A.BOOT_B
+    sample_mean = (
+        load_table(spark, SF_SMALL, "orders")
+        .agg(F.avg("o_totalprice"))
+        .first()[0]
+    )
+    assert r.ci_lo <= r.boot_mean <= r.ci_hi
+    # the CI must cover the plain sample mean (B=32, 5-95%)
+    assert r.ci_lo <= sample_mean <= r.ci_hi
