@@ -152,6 +152,8 @@ HEADLINE = [
     "feature_matrix_daily",
     "target_encoding",
     "bootstrap_mean_ci",
+    "theil_sen_trend",
+    "rolling_correlation",
 ]
 
 

@@ -1507,6 +1507,84 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes of the daily-revenue series — up to ~29% outlier days cannot
+    move it, unlike trend_fit's OLS slope (its complement, same series).
+
+    Scale: pairwise slopes are a self-join of the (type x day) frame —
+    quadratic in DAYS, not rows: the day frame is bounded by the
+    observation window (~30 rows/type here; a year is 365), so the pair
+    frame stays thousands of rows regardless of corpus size. The median
+    uses the exact percentile aggregate on that tiny frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")), 2
+        ).cast("double").alias("y")
+    ).withColumn("t", F.datediff(F.col("d"), F.lit("2024-01-01")).cast("double"))
+    a = daily.select("event_type", F.col("t").alias("t1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("t").alias("t2"), F.col("y").alias("y2"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("t2") > F.col("t1"))
+        .select(
+            "event_type",
+            ((F.col("y2") - F.col("y1")) / (F.col("t2") - F.col("t1"))).alias(
+                "slope"
+            ),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("ts_slope"),
+        F.round(F.expr("percentile(slope, 0.25)"), 4).alias("slope_q1"),
+        F.round(F.expr("percentile(slope, 0.75)"), 4).alias("slope_q3"),
+    )
+
+
+ROLLCORR_PAIR = ("purchase", "click")
+
+
+def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between the purchase and click
+    daily-revenue series — the co-movement monitor that catches a channel
+    decoupling (ads still clicking, purchases gone) days before either
+    univariate monitor fires.
+
+    Scale: the log reduces to one row per day (two conditional decimal
+    sums); the corr window runs on that day-cardinality frame (bounded by
+    the observation window — the tiny-frame global window pattern).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        *[
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == t,
+                        F.col("value").cast("decimal(18,4)"),
+                    )
+                ),
+                2,
+            ).cast("double").alias(f"rev_{t}")
+            for t in ROLLCORR_PAIR
+        ]
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    c1, c2 = (f"rev_{t}" for t in ROLLCORR_PAIR)
+    return daily.select(
+        "d",
+        c1,
+        c2,
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_window"),
+        F.round(F.corr(c1, c2).over(w), 4).alias("corr7"),
+    )
+
+
 ACF_LAGS = (1, 2, 3)
 
 
@@ -1631,6 +1709,8 @@ QUERIES = {
     "feature_matrix_daily": feature_matrix_daily,
     "target_encoding": target_encoding,
     "bootstrap_mean_ci": bootstrap_mean_ci,
+    "theil_sen_trend": theil_sen_trend,
+    "rolling_correlation": rolling_correlation,
 }
 
 def _ewma_oracle() -> str:
@@ -2353,3 +2433,43 @@ def _boot_oracle() -> str:
 
 
 ORACLES["bootstrap_mean_ci"] = _boot_oracle()
+
+ORACLES["theil_sen_trend"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS y,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS DOUBLE) AS t
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type, (b.y - a.y) / (b.t - a.t) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.t > a.t
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 4) AS ts_slope,
+           round(quantile_cont(slope, 0.25), 4) AS slope_q1,
+           round(quantile_cont(slope, 0.75), 4) AS slope_q3
+    FROM slopes GROUP BY 1
+"""
+
+ORACLES["rolling_correlation"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(round(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+                   AS rev_purchase,
+               CAST(round(sum(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+                   AS rev_click
+        FROM events GROUP BY 1
+    )
+    SELECT d, rev_purchase, rev_click,
+           CAST(count(*) OVER w AS BIGINT) AS n_window,
+           round(corr(rev_purchase, rev_click) OVER w, 4) AS corr7
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""

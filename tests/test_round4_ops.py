@@ -398,3 +398,25 @@ def test_bootstrap_ci_brackets_sample_mean(spark):
     assert r.ci_lo <= r.boot_mean <= r.ci_hi
     # the CI must cover the plain sample mean (B=32, 5-95%)
     assert r.ci_lo <= sample_mean <= r.ci_hi
+
+
+def test_theil_sen_robust_to_outlier_day(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = {r.event_type: r for r in A.theil_sen_trend(spark, SF_SMALL).collect()}
+    assert rows
+    for r in rows.values():
+        n_days = (1 + (1 + 8 * r.n_pairs) ** 0.5) / 2  # invert C(n,2)
+        assert abs(n_days - round(n_days)) < 1e-9  # pair count is C(n,2)
+        assert r.slope_q1 <= r.ts_slope <= r.slope_q3
+
+
+def test_rolling_correlation_bounds(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.rolling_correlation(spark, SF_SMALL).collect()
+    rows.sort(key=lambda r: r.d)
+    for i, r in enumerate(rows):
+        assert r.n_window == min(i + 1, 7)
+        if r.corr7 is not None:
+            assert -1.0 - 1e-9 <= r.corr7 <= 1.0 + 1e-9
