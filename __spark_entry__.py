@@ -95,6 +95,8 @@ _GATE_PRIORITY = (
     "bootstrap_mean_ci",
     "theil_sen_trend",
     "rolling_correlation",
+    "recursive_reachability",
+    "variant_props_stats",
     # -- round-4 modified (sf0.1 full-gate caught scale-dependent parity
     #    bugs: epoch rounding / negative zero; re-proof wanted) --
     "time_range_moving_avg",
@@ -198,7 +200,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 182
+_MIN_QUERIES = 184
 
 
 def _registry() -> tuple[dict, dict]:

@@ -154,6 +154,8 @@ HEADLINE = [
     "bootstrap_mean_ci",
     "theil_sen_trend",
     "rolling_correlation",
+    "recursive_reachability",
+    "variant_props_stats",
 ]
 
 

@@ -404,11 +404,100 @@ def _assort_oracle() -> str:
     """
 
 
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source reachability via Spark 4's NATIVE recursive CTE
+    (``WITH RECURSIVE`` / UnionLoop) over the thresholded trade graph:
+    min hop distance AND walk count within BFS_ROUNDS hops per nation —
+    the SQL-surface twin of bfs_hops' DataFrame relaxation loop, proving
+    the engine's SQL entry point covers iterative queries too.
+
+    Scale note: recursive-CTE path enumeration is exponential in dense
+    graphs — it is the right tool for dimension-sized graphs reached
+    from SQL (this one is nation-cardinality); the DataFrame loop in
+    bfs_hops (per-round join + groupBy-min) remains the 100-TB path.
+    """
+    li_n = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    thr = li_n.agg(
+        F.floor(F.count(F.lit(1)) / BFS_THR_DIVISOR).cast("long").alias("thr")
+    )
+    e = (
+        _trade_edges(spark, sf_dir)
+        .crossJoin(F.broadcast(thr))
+        .filter((F.col("w") >= F.col("thr")) & (F.col("src") != F.col("dst")))
+    )
+    und = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    und.createOrReplaceTempView("recur_reach_edges")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n.createOrReplaceTempView("recur_reach_nations")
+    return spark.sql(f"""
+        WITH RECURSIVE walk(node, hops) AS (
+            SELECT CAST({BFS_SOURCE} AS BIGINT), 0
+            UNION ALL
+            SELECT CAST(e.dst AS BIGINT), w.hops + 1
+            FROM walk w JOIN recur_reach_edges e ON e.src = w.node
+            WHERE w.hops < {BFS_ROUNDS}
+        ),
+        reach AS (
+            SELECT node, MIN(hops) AS hops,
+                   CAST(COUNT(*) AS BIGINT) AS n_walks
+            FROM walk GROUP BY node
+        )
+        SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name,
+               CAST(COALESCE(r.hops, -1) AS INT) AS hops,
+               COALESCE(r.n_walks, CAST(0 AS BIGINT)) AS n_walks
+        FROM recur_reach_nations n LEFT JOIN reach r ON n.n_nationkey = r.node
+    """)
+
+
+def _recursive_reach_oracle() -> str:
+    return f"""
+        WITH RECURSIVE edges0 AS (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        thr AS (
+            SELECT count(*) // {BFS_THR_DIVISOR} AS thr FROM lineitem
+        ),
+        und AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM edges0, thr
+                WHERE w >= thr.thr AND src <> dst
+                UNION ALL
+                SELECT dst, src FROM edges0, thr
+                WHERE w >= thr.thr AND src <> dst
+            )
+        ),
+        walk(node, hops) AS (
+            SELECT CAST({BFS_SOURCE} AS BIGINT), 0
+            UNION ALL
+            SELECT CAST(e.dst AS BIGINT), w.hops + 1
+            FROM walk w JOIN und e ON e.src = w.node
+            WHERE w.hops < {BFS_ROUNDS}
+        ),
+        reach AS (SELECT node, min(hops) AS hops,
+                         CAST(count(*) AS BIGINT) AS n_walks
+                  FROM walk GROUP BY node)
+        SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name,
+               CAST(coalesce(r.hops, -1) AS INT) AS hops,
+               coalesce(r.n_walks, 0) AS n_walks
+        FROM nation n LEFT JOIN reach r ON n.n_nationkey = r.node
+    """
+
+
 QUERIES = {
     "pagerank_nations": pagerank_nations,
     "triangle_count": triangle_count,
     "bfs_hops": bfs_hops,
     "degree_assortativity": degree_assortativity,
+    "recursive_reachability": recursive_reachability,
 }
 
 ORACLES = {
@@ -416,4 +505,5 @@ ORACLES = {
     "triangle_count": _tri_oracle(),
     "bfs_hops": _bfs_oracle(),
     "degree_assortativity": _assort_oracle(),
+    "recursive_reachability": _recursive_reach_oracle(),
 }

@@ -596,7 +596,39 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- registries --------------------------------------------------------------
 
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type: the
+    ``props`` JSON column parses once to VARIANT (binary, shreddable —
+    the modern path that replaces per-access get_json_object string
+    re-parsing), ``variant_get`` extracts the typed field, then plain
+    typed aggregation per event type.
+
+    Scale: parse_json + variant_get pipeline inside the scan stage (no
+    shuffle before the per-type combine); at 100 TB VARIANT's binary
+    encoding avoids N re-parses of the same JSON string per field.
+    """
+    from ..sources.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 4).alias(
+                "avg_k"
+            ),
+            F.count_distinct("k").cast("bigint").alias("n_distinct_k"),
+        )
+    )
+
+
 QUERIES = {
+    "variant_props_stats": variant_props_stats,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
@@ -625,6 +657,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "variant_props_stats": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(k) AS BIGINT) AS n_with_k,
+               CAST(min(k) AS INT) AS min_k,
+               CAST(max(k) AS INT) AS max_k,
+               round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS avg_k,
+               CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        GROUP BY event_type
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders o

@@ -420,3 +420,26 @@ def test_rolling_correlation_bounds(spark):
         assert r.n_window == min(i + 1, 7)
         if r.corr7 is not None:
             assert -1.0 - 1e-9 <= r.corr7 <= 1.0 + 1e-9
+
+
+def test_recursive_reachability_agrees_with_bfs(spark):
+    from cdc_streamming___v2_spark.operators import graph as G
+
+    rec = {r.nationkey: r for r in G.recursive_reachability(spark, SF_SMALL).collect()}
+    bfs = {r.nationkey: r.hops for r in G.bfs_hops(spark, SF_SMALL).collect()}
+    assert set(rec) == set(bfs)
+    for k, r in rec.items():
+        assert r.hops == bfs[k]  # native recursive CTE == DataFrame loop
+        assert (r.hops == -1) == (r.n_walks == 0)
+
+
+def test_variant_props_stats_bounds(spark):
+    from cdc_streamming___v2_spark.operators import relational_ext as RX
+
+    rows = RX.variant_props_stats(spark, SF_SMALL).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert 0 <= r.n_with_k <= r.n
+        if r.n_with_k:
+            assert r.min_k <= r.avg_k <= r.max_k
+            assert r.n_distinct_k <= r.max_k - r.min_k + 1
