@@ -156,6 +156,10 @@ HEADLINE = [
     "rolling_correlation",
     "recursive_reachability",
     "variant_props_stats",
+    "zipf_fit",
+    "vocab_overlap_sources",
+    "dup_size_profile",
+    "burstiness",
 ]
 
 

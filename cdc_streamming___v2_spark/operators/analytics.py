@@ -2473,3 +2473,45 @@ ORACLES["rolling_correlation"] = """
     FROM daily
     WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
+
+def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type over daily counts: the Fano
+    factor (var/mean — 1 for a Poisson process, higher = bursty) and the
+    Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) in [-1, 1] —
+    the capacity-planning signal that says whether daily volume is steady
+    or spike-driven.
+
+    Scale: one shuffle to (type x day) counts; moments are a per-type
+    aggregate of that tiny frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    mu = F.avg("c")
+    sd = F.stddev_samp("c")
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(mu, 4).alias("mean_daily"),
+        F.round(sd, 4).alias("std_daily"),
+        F.round(F.var_samp("c") / mu, 4).alias("fano"),
+        F.round((sd - mu) / (sd + mu), 4).alias("burstiness"),
+    )
+
+
+ORACLES["burstiness"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(c), 4) AS mean_daily,
+           round(stddev_samp(c), 4) AS std_daily,
+           round(var_samp(c) / avg(c), 4) AS fano,
+           round((stddev_samp(c) - avg(c)) / (stddev_samp(c) + avg(c)), 4)
+               AS burstiness
+    FROM daily GROUP BY 1
+"""
+QUERIES["burstiness"] = burstiness

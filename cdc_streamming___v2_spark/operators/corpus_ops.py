@@ -609,3 +609,135 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "source_boilerplate": source_boilerplate,
 }
+
+ZIPF_TOP = 200
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of log2(freq)
+    on log2(rank) across the top ZIPF_TOP words (natural language sits
+    near -1; a corpus of boilerplate or generated spam drifts off) plus
+    fit quality — the one-row corpus-health fingerprint.
+
+    Scale: word counts are one (token)-keyed aggregate; the top-N cut is
+    TakeOrderedAndProject (per-partition heaps), so the rank window and
+    the regression run on a ZIPF_TOP-row frame regardless of vocabulary
+    size.
+    """
+    toks = _docs(spark, sf_dir).select(
+        F.explode(words(F.col("text"))).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    vocab = freq.agg(F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
+    top = freq.orderBy(F.col("f").desc(), F.col("w").asc()).limit(ZIPF_TOP)
+    w_rank = Window.orderBy(F.col("f").desc(), F.col("w").asc())
+    ranked = top.select(
+        F.log2(F.row_number().over(w_rank).cast("double")).alias("lr"),
+        F.log2(F.col("f").cast("double")).alias("lf"),
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_top"),
+            F.round(F.expr("regr_slope(lf, lr)"), 4).alias("zipf_slope"),
+            F.round(F.expr("regr_r2(lf, lr)"), 4).alias("r2"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select("n_vocab", "n_top", "zipf_slope", "r2")
+    )
+
+
+def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources (Jaccard over distinct
+    word sets) — the corpus-mixing diagnostic that shows which sources
+    are lexically redundant before weighting them (mixture_weights'
+    companion).
+
+    Scale: the corpus reduces to distinct (source, word) once; the pair
+    join is word-keyed (vocabulary cardinality, skew-free) and emits one
+    row per source pair — source cardinality is dimension-sized.
+    """
+    sw = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(words(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    sizes = sw.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    a = sw.select(F.col("source").alias("source_a"), "w")
+    b = sw.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("v").alias("v_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("v").alias("v_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "v_a",
+            "v_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLES["zipf_fit"] = f"""
+    WITH toks AS (
+        SELECT unnest({_W}) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS f FROM toks GROUP BY 1),
+    vocab AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM freq),
+    top AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS rk
+        FROM freq
+        QUALIFY rk <= {ZIPF_TOP}
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_top,
+               round(regr_slope(log2(CAST(f AS DOUBLE)),
+                                log2(CAST(rk AS DOUBLE))), 4) AS zipf_slope,
+               round(regr_r2(log2(CAST(f AS DOUBLE)),
+                             log2(CAST(rk AS DOUBLE))), 4) AS r2
+        FROM top
+    )
+    SELECT v.n_vocab, fit.n_top, fit.zipf_slope, fit.r2
+    FROM fit CROSS JOIN vocab v
+"""
+QUERIES["zipf_fit"] = zipf_fit
+
+ORACLES["vocab_overlap_sources"] = f"""
+    WITH sw AS (
+        SELECT DISTINCT source, unnest({_W}) AS w FROM documents
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+              FROM sw GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           sa.v AS v_a, sb.v AS v_b, i.n_common,
+           round(i.n_common * 1.0 / (sa.v + sb.v - i.n_common), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.source
+    JOIN sizes sb ON i.source_b = sb.source
+"""
+QUERIES["vocab_overlap_sources"] = vocab_overlap_sources

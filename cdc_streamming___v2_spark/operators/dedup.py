@@ -1593,3 +1593,51 @@ ORACLES["entity_resolution"] = f"""
     FROM lab l JOIN sz s USING (entity)
 """
 QUERIES["entity_resolution"] = entity_resolution
+
+def dup_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram from exact dedup: for each cluster
+    size, how many clusters and what share of all documents they hold —
+    the one-glance answer to "how duplicated is this corpus?" that decides
+    whether near-dup passes are even worth their cost.
+
+    Scale: composes dedup_exact's hash-keyed aggregate with a second
+    size-keyed aggregate (size cardinality is tiny); the share normalizer
+    is a 1-row broadcast.
+    """
+    clusters = dedup_exact(spark, sf_dir)
+    prof = clusters.groupBy(F.col("n_copies").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    tot = prof.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters")).cast("double").alias("n_docs")
+    )
+    return prof.crossJoin(F.broadcast(tot)).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs_in"),
+        F.round(
+            F.col("cluster_size") * F.col("n_clusters") / F.col("n_docs"), 6
+        ).alias("doc_share"),
+    )
+
+
+ORACLES["dup_size_profile"] = """
+    WITH clusters AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS text_hash,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    ),
+    prof AS (
+        SELECT CAST(n_copies AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM clusters GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cluster_size * n_clusters) AS DOUBLE)
+                AS n_docs FROM prof)
+    SELECT cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs_in,
+           round(cluster_size * n_clusters / t.n_docs, 6) AS doc_share
+    FROM prof CROSS JOIN tot t
+"""
+QUERIES["dup_size_profile"] = dup_size_profile

@@ -389,20 +389,24 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
+    from ..sources.tables import fan_out
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    q = e.select(
+    q = fan_out(e).select(
         F.expr(
             f"transform(v, x -> CAST(round(x * {PCA_QUANT}) AS BIGINT))"
         ).alias("q")
     )
+    # upper triangle only (the Gram is symmetric) — halves the explode
+    # and shuffle volume; the mirror is restored on the collected cells
     cells = (
         q.select(
             F.explode(
                 F.expr(
                     "flatten(transform(sequence(0, size(q) - 1), i ->"
-                    " transform(sequence(0, size(q) - 1), j ->"
+                    " transform(sequence(i, size(q) - 1), j ->"
                     " struct(i AS i, j AS j, q[i] * q[j] AS p))))"
                 )
             ).alias("c")
@@ -411,9 +415,10 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
     )
-    mat: dict[tuple[int, int], float] = {
-        (r["i"], r["j"]): float(r["s"]) for r in cells.collect()
-    }
+    mat: dict[tuple[int, int], float] = {}
+    for r in cells.collect():
+        mat[(r["i"], r["j"])] = float(r["s"])
+        mat[(r["j"], r["i"])] = float(r["s"])
     d = EMBED_DIM
     a = [[mat[(i, j)] for j in range(d)] for i in range(d)]
     v = [1.0] * d

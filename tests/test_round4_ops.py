@@ -443,3 +443,36 @@ def test_variant_props_stats_bounds(spark):
         if r.n_with_k:
             assert r.min_k <= r.avg_k <= r.max_k
             assert r.n_distinct_k <= r.max_k - r.min_k + 1
+
+
+def test_zipf_slope_negative_and_fit_reasonable(spark):
+    r = C.zipf_fit(spark, SF_SMALL).first()
+    assert r.n_vocab > 0 and r.n_top <= C.ZIPF_TOP
+    assert r.zipf_slope < 0  # frequency falls with rank, always
+    assert 0.0 <= r.r2 <= 1.0
+
+
+def test_vocab_overlap_symmetric_bounds(spark):
+    rows = C.vocab_overlap_sources(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_common <= min(r.v_a, r.v_b)
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_dup_size_profile_accounts_for_all_docs(spark):
+    from cdc_streamming___v2_spark.operators import dedup as D
+
+    rows = D.dup_size_profile(spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs_in for r in rows) == n_docs
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-3
+
+
+def test_burstiness_bounds(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.burstiness(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r.fano >= 0
+        assert -1.0 <= r.burstiness <= 1.0
