@@ -1456,6 +1456,14 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Poisson(1) inverse-CDF thresholds (cumulative P(X<=k), k=0..4) —
 # precomputed in Python, inlined on both engines.
 BOOT_B = 32
+BOOT_P = 4294967311  # first prime > 2^32 (same family as dedup's minhash)
+BOOT_AC = [
+    (
+        ((1103515245 * (b + 77) + 12345) % 2147483647) | 1,
+        (69069 * (b + 77) + 1234567) % 2147483647,
+    )
+    for b in range(BOOT_B)
+]
 _POIS = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
          0.9810118431238462, 0.9963401531726563]
 
@@ -1471,14 +1479,23 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (no explode of the fact table — the aggregate combines
     B partial sums per partition); the quantile runs on a B-row frame.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    from ..sources.tables import fan_out
+
+    # the per-row work (B case-chains) dwarfs the scan; spread the
+    # single-file scan before it (fan_out no-ops at real scale)
+    o = fan_out(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey",
+        "o_totalprice",
+        # ONE md5 per row; the B uniform draws come from a universal hash
+        # family over it (the minhash trick — B md5 calls measured ~6x
+        # slower end-to-end): u_b = ((a_b*h + c_b) mod P) / P, exact
+        # 64-bit integer arithmetic on both engines
+        md5_hash_long(F.col("o_orderkey").cast("string")).alias("h"),
+    )
     aggs = []
     for b in range(BOOT_B):
-        u = (
-            md5_hash_long(F.concat(F.col("o_orderkey").cast("string"),
-                                   F.lit(f"#b{b}")))
-            / F.lit(4294967296.0)
-        )
+        a_b, c_b = BOOT_AC[b]
+        u = ((F.col("h") * a_b + c_b) % BOOT_P) / F.lit(float(BOOT_P))
         w = (
             F.when(u < _POIS[0], 0)
             .when(u < _POIS[1], 1)
@@ -1489,11 +1506,15 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         aggs.append(
             (
-                F.sum((w * F.col("o_totalprice")).cast("decimal(28,2)"))
-                .cast("double")
+                (F.sum(w * F.col("cents")).cast("double") / 100.0)
                 / F.sum(w).cast("double")
             ).alias(f"m{b}")
         )
+    # exact integer cents: the 32 resample sums are plain LONG aggregates
+    # (a decimal(28,2) sum per resample measured ~3x slower end-to-end)
+    o = o.withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100.0).cast("long")
+    )
     wide = o.agg(*aggs)
     stack = ", ".join(f"{b}, m{b}" for b in range(BOOT_B))
     means = wide.selectExpr(
@@ -2402,9 +2423,10 @@ ORACLES["target_encoding"] = f"""
 def _boot_oracle() -> str:
     cols = []
     for b in range(BOOT_B):
+        a_b, c_b = BOOT_AC[b]
         u = (
-            f"CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) "
-            f"|| '#b{b}'), 1, 8) AS BIGINT) / 4294967296.0"
+            f"((CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) "
+            f"AS BIGINT) * {a_b} + {c_b}) % {BOOT_P}) / {BOOT_P}.0"
         )
         w = (
             f"CASE WHEN {u} < {_POIS[0]!r} THEN 0"
@@ -2414,7 +2436,8 @@ def _boot_oracle() -> str:
             f" WHEN {u} < {_POIS[4]!r} THEN 4 ELSE 5 END"
         )
         cols.append(
-            f"CAST(sum(CAST({w} * o_totalprice AS DECIMAL(28,2))) AS DOUBLE)"
+            f"(CAST(sum(({w}) * CAST(round(o_totalprice * 100.0) AS BIGINT))"
+            f" AS DOUBLE) / 100.0)"
             f" / CAST(sum({w}) AS DOUBLE) AS m{b}"
         )
     sel = ", ".join(cols)
