@@ -101,6 +101,8 @@ _GATE_PRIORITY = (
     "vocab_overlap_sources",
     "dup_size_profile",
     "burstiness",
+    "rfm_segmentation",
+    "cohort_ltv",
     # -- round-4 modified (sf0.1 full-gate caught scale-dependent parity
     #    bugs: epoch rounding / negative zero; re-proof wanted) --
     "time_range_moving_avg",
@@ -204,7 +206,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 188
+_MIN_QUERIES = 190
 
 
 def _registry() -> tuple[dict, dict]:

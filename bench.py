@@ -160,6 +160,8 @@ HEADLINE = [
     "vocab_overlap_sources",
     "dup_size_profile",
     "burstiness",
+    "rfm_segmentation",
+    "cohort_ltv",
 ]
 
 

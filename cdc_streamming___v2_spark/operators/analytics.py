@@ -2538,3 +2538,136 @@ ORACLES["burstiness"] = """
     FROM daily GROUP BY 1
 """
 QUERIES["burstiness"] = burstiness
+
+RFM_R_BUCKET_DAYS = 90.0
+RFM_M_BUCKET = 100000.0
+
+
+def _two_pass_rank(df, bucket, order_cols, out="rk"):
+    """Global dense row_number via the bucket decomposition (in-bucket
+    row_number + broadcast cumulative offsets) — the no-one-task-window
+    rank used across this module. ``bucket`` must be monotone in the
+    ``order_cols`` ordering."""
+    b = df.withColumn("_b", bucket)
+    win_in = Window.partitionBy("_b").orderBy(*order_cols)
+    in_rank = b.withColumn("_ri", F.row_number().over(win_in))
+    counts = b.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_b", "_off")
+    return (
+        in_rank.join(F.broadcast(offsets), "_b")
+        .withColumn(out, (F.col("_off") + F.col("_ri")).cast("bigint"))
+        .drop("_b", "_ri", "_off")
+    )
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer the Recency (days since
+    last order), Frequency (order count), Monetary (total spend) plus
+    1-5 quintile scores per dimension and the concatenated RFM segment
+    code — the classic warehouse segmentation every CRM export wants.
+
+    Scoring rule: rank each dimension best-first with a deterministic
+    custkey tiebreak, then score = 6 - ceil(5*rank/n) (pure integer
+    arithmetic — no engine-dependent ntile fill semantics).
+
+    Scale: orders collapse to one row per customer (map-side combine);
+    the three global ranks use the bucket decomposition (_two_pass_rank)
+    — recency bucketed by quarter, frequency by its own (small-integer)
+    value, monetary by fixed spend bands — so no window ever sees the
+    customer frame in one task.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("h"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            ).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("h"), F.col("last_d")).cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    n = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = _two_pass_rank(
+        per_cust,
+        F.floor(F.col("recency_days") / RFM_R_BUCKET_DAYS).cast("long"),
+        [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        out="r_rk",
+    )
+    f = _two_pass_rank(
+        r,
+        (-F.col("frequency")).cast("long"),
+        [F.col("frequency").desc(), F.col("o_custkey").asc()],
+        out="f_rk",
+    )
+    m = _two_pass_rank(
+        f,
+        (-F.floor(F.col("monetary") / RFM_M_BUCKET)).cast("long"),
+        [F.col("monetary").desc(), F.col("o_custkey").asc()],
+        out="m_rk",
+    )
+    def score(col_name):
+        # 6 - ceil(5*rk/n) via exact INTEGER division (DIV == DuckDB //)
+        return F.expr(f"CAST(6 - (({col_name} * 5 + n - 1) DIV n) AS INT)")
+
+    return m.crossJoin(F.broadcast(n)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("r_rk").alias("r_score"),
+        score("f_rk").alias("f_score"),
+        score("m_rk").alias("m_score"),
+        F.concat(
+            score("r_rk").cast("string"),
+            score("f_rk").cast("string"),
+            score("m_rk").cast("string"),
+        ).alias("rfm"),
+    )
+
+
+ORACLES["rfm_segmentation"] = """
+    WITH h AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                              (SELECT h FROM h)) AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust),
+    ranked AS (
+        SELECT p.*,
+               row_number() OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                   AS r_rk,
+               row_number() OVER (ORDER BY frequency DESC, o_custkey ASC)
+                   AS f_rk,
+               row_number() OVER (ORDER BY monetary DESC, o_custkey ASC)
+                   AS m_rk
+        FROM per_cust p
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(6 - ((r_rk * 5 + n.n - 1) // n.n) AS INT) AS r_score,
+           CAST(6 - ((f_rk * 5 + n.n - 1) // n.n) AS INT) AS f_score,
+           CAST(6 - ((m_rk * 5 + n.n - 1) // n.n) AS INT) AS m_score,
+           CAST(6 - ((r_rk * 5 + n.n - 1) // n.n) AS VARCHAR)
+           || CAST(6 - ((f_rk * 5 + n.n - 1) // n.n) AS VARCHAR)
+           || CAST(6 - ((m_rk * 5 + n.n - 1) // n.n) AS VARCHAR) AS rfm
+    FROM ranked CROSS JOIN n
+"""
+QUERIES["rfm_segmentation"] = rfm_segmentation

@@ -578,3 +578,92 @@ ORACLES["ab_test_lift"] = """
     FROM j
 """
 QUERIES["ab_test_lift"] = ab_test_lift
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by signup week, and
+    for each (cohort, weeks-since-signup) the CUMULATIVE purchase revenue
+    per cohort member — the retention_cohorts companion that tracks money
+    instead of presence (the payback-period readout).
+
+    Scale: one pass to per-user signup weeks, one purchase-side join on
+    user_id (broadcastable dictionary at dimension scale, hash join
+    otherwise), one shuffle to (cohort x week) cells with exact decimal
+    sums; the cumulative window runs per cohort on the tiny cell frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("s_ts")).cast("date").alias("cohort"),
+            "s_ts",
+        )
+    )
+    sizes = signups.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    cells = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("s_ts").cast("date"))
+                / 7
+            ).cast("bigint").alias("week_n"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("rev"),
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        )
+    )
+    w = Window.partitionBy("cohort").orderBy("week_n").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.withColumn("cum_rev", F.sum("rev").over(w))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_n",
+            "cohort_users",
+            "n_purchases",
+            F.round(F.col("rev"), 2).cast("double").alias("week_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("cohort_users"), 4
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+ORACLES["cohort_ltv"] = """
+    WITH signups AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort,
+               min(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+              FROM signups GROUP BY 1),
+    cells AS (
+        SELECT s.cohort,
+               CAST(date_diff('day', CAST(s.s_ts AS DATE),
+                              CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_n,
+               sum(CAST(e.value AS DECIMAL(18,4))) AS rev,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM events e JOIN signups s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort, c.week_n, z.cohort_users, c.n_purchases,
+           CAST(round(c.rev, 2) AS DOUBLE) AS week_revenue,
+           round(CAST(sum(c.rev) OVER (PARTITION BY c.cohort
+                      ORDER BY c.week_n ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS DOUBLE) / z.cohort_users, 4)
+               AS ltv_per_user
+    FROM cells c JOIN sizes z USING (cohort)
+"""
+QUERIES["cohort_ltv"] = cohort_ltv

@@ -476,3 +476,37 @@ def test_burstiness_bounds(spark):
     for r in rows:
         assert r.fano >= 0
         assert -1.0 <= r.burstiness <= 1.0
+
+
+def test_rfm_scores_quintile_balanced(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.rfm_segmentation(spark, SF_SMALL).collect()
+    n = len(rows)
+    for dim in ("r_score", "f_score", "m_score"):
+        vals = [getattr(r, dim) for r in rows]
+        assert all(1 <= v <= 5 for v in vals)
+        from collections import Counter
+
+        c = Counter(vals)
+        # quintiles balanced to within one rounding unit
+        assert max(c.values()) - min(c.values()) <= (n // 5) + 1
+    for r in rows:
+        assert r.rfm == f"{r.r_score}{r.f_score}{r.m_score}"
+    # best monetary customer scores m=5
+    top_m = max(rows, key=lambda r: r.monetary)
+    assert top_m.m_score == 5
+
+
+def test_cohort_ltv_monotone_cumulative(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    rows = B.cohort_ltv(spark, SF_SMALL).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for series in by_cohort.values():
+        series.sort(key=lambda r: r.week_n)
+        ltvs = [r.ltv_per_user for r in series]
+        assert ltvs == sorted(ltvs)  # cumulative per-user LTV never falls
+        assert all(r.cohort_users > 0 and r.week_revenue >= 0 for r in series)
