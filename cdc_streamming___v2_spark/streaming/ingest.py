@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..sources.cdc_schema import parse_envelope, update_date_expr
+from ..sources.cdc_schema import (
+    parse_envelope,
+    parse_envelope_auto,
+    parse_envelope_debezium,
+    update_date_expr,
+)
 from ..sources.registry import ENGINE_COLUMNS, SchemaRegistry, TableSpec
 
 
@@ -61,6 +66,12 @@ class CdcIngest:
     output_dir: str
     checkpoint_dir: str
     source_format: str = "file"
+    # "datastream" (the reference's envelope), "debezium" (op c/u/d/r +
+    # before/after images + ts_ms + source.table), or "auto" (per-line
+    # dispatch for mixed streams). Everything downstream of the parse —
+    # registry route, payload decode, enrich, sinks, dead-letter — is
+    # envelope-agnostic (sources/cdc_schema.py).
+    envelope_format: str = "datastream"
     kafka_options: dict[str, str] = field(default_factory=dict)
     # single-pass mode only: publish each (table, micro-batch) atomically
     # via staging-dir rename, closing the crash window between the first
@@ -101,7 +112,16 @@ class CdcIngest:
     # -- plan construction (shared by batch and streaming) -------------------
 
     def _read_stream(self) -> DataFrame:
-        return parse_envelope(self._raw_lines())
+        raw = self._raw_lines()
+        if self.envelope_format == "debezium":
+            return parse_envelope_debezium(raw)
+        if self.envelope_format == "auto":
+            return parse_envelope_auto(raw)
+        if self.envelope_format != "datastream":
+            raise ValueError(
+                f"unknown envelope_format: {self.envelope_format!r}"
+            )
+        return parse_envelope(raw)
 
     def _raw_lines(self) -> DataFrame:
         """One NDJSON envelope line per row, column ``value: string``.
@@ -153,7 +173,11 @@ class CdcIngest:
         payload fields simply parse to NULL against the fixed schema — the
         same "blank row" the reference produces for DELETEs (README.md:57).
         """
-        routed = env.filter(F.col("object") == spec.object_name)
+        # action IS NULL = unparseable change type (e.g. an unknown Debezium
+        # op code) — those rows belong to the dead-letter sink, not history
+        routed = env.filter(
+            (F.col("object") == spec.object_name) & F.col("action").isNotNull()
+        )
         payload = F.from_json(F.col("payload_json"), spec.payload_schema)
         cols = [payload.getField(f.name).alias(f.name) for f in spec.payload_schema]
         for name in ENGINE_COLUMNS:
@@ -183,7 +207,9 @@ class CdcIngest:
         """Unmapped objects + corrupt lines, with the raw line preserved."""
         known = list(self.registry.object_names)
         return env.filter(
-            F.col("object").isNull() | ~F.col("object").isin(known)
+            F.col("object").isNull()
+            | ~F.col("object").isin(known)
+            | F.col("action").isNull()
         ).select(
             F.col("object"),
             F.col("raw"),
@@ -439,6 +465,12 @@ def main(argv: list[str] | None = None) -> int:
                    "drain current input, then exit (backfill_all analogue)")
     p.add_argument("--source-format", choices=["file", "kafka", "kafka-mock"],
                    default="file")
+    p.add_argument("--envelope-format",
+                   choices=["datastream", "debezium", "auto"],
+                   default="datastream",
+                   help="CDC record envelope: datastream (reference style), "
+                   "debezium (op/before/after/ts_ms/source.table), or auto "
+                   "(per-line dispatch for mixed streams)")
     p.add_argument("--kafka-option", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="repeatable; e.g. kafka.bootstrap.servers=..., "
@@ -482,6 +514,7 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_dir=args.checkpoint_dir
         or os.path.join(args.output_dir, "_checkpoints"),
         source_format=args.source_format,
+        envelope_format=args.envelope_format,
         kafka_options=kafka_options,
         transactional=args.transactional,
         commit_log=args.commit_log,
