@@ -492,12 +492,330 @@ def _recursive_reach_oracle() -> str:
     """
 
 
+# --- round-5 graph additions -------------------------------------------------
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation over the thresholded trade
+    graph (same TRIANGLE_MIN_W universe as triangle_count): cc(v) =
+    2 * triangles(v) / (deg(v) * (deg(v) - 1)), 0 where degree < 2 — the
+    per-node "how clique-like is my neighborhood" score that triangle
+    counting exists to feed.
+
+    Scale: reuses the oriented two-join triangle enumeration (each
+    triangle generated once, no 6x 3-path blowup) plus one degree
+    aggregate; everything joins on node keys. All 25 nations appear (zero
+    rows for isolated nodes), so the output is dimension-sized.
+    """
+    e = _trade_edges(spark, sf_dir).filter(F.col("w") >= TRIANGLE_MIN_W)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nb = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = nb.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        n.join(deg, n.n_nationkey == deg.node, "left")
+        .join(per_node, n.n_nationkey == per_node.node, "left")
+    )
+    d = F.coalesce(F.col("deg"), F.lit(0))
+    t = F.coalesce(F.col("t"), F.lit(0))
+    cc = F.when(d >= 2, 2.0 * t / (d * (d - 1))).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("n_nationkey").cast("bigint").alias("nationkey"),
+        "n_name",
+        d.cast("bigint").alias("degree"),
+        t.cast("bigint").alias("n_triangles"),
+        F.round(cc, 6).alias("local_cc"),
+    )
+
+
+def _cc_oracle() -> str:
+    return f"""
+        WITH edges AS ({_EDGES_SQL}),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges WHERE src <> dst AND w >= {TRIANGLE_MIN_W}
+        ),
+        nb AS (SELECT u AS node, v AS nbr FROM und
+               UNION ALL SELECT v, u FROM und),
+        deg AS (SELECT node, count(*) AS deg FROM nb GROUP BY node),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM und e1
+            JOIN und e2 ON e1.v = e2.u
+            JOIN und e3 ON e1.u = e3.u AND e2.v = e3.v
+        ),
+        pn AS (
+            SELECT node, count(*) AS t
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY node
+        )
+        SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name,
+               CAST(coalesce(d.deg, 0) AS BIGINT) AS degree,
+               CAST(coalesce(p.t, 0) AS BIGINT) AS n_triangles,
+               round(CASE WHEN coalesce(d.deg, 0) >= 2
+                          THEN 2.0 * coalesce(p.t, 0)
+                               / (d.deg * (d.deg - 1))
+                          ELSE 0.0 END, 6) AS local_cc
+        FROM nation n
+        LEFT JOIN deg d ON n.n_nationkey = d.node
+        LEFT JOIN pn p  ON n.n_nationkey = p.node
+    """
+
+
+def _scaled_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected trade graph at the SF-scaled weight floor (the bfs_hops
+    threshold: total lineitems / BFS_THR_DIVISOR) — keeps comparable
+    sparsity at every scale factor."""
+    li_n = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    thr = li_n.agg(
+        F.floor(F.count(F.lit(1)) / BFS_THR_DIVISOR).cast("long").alias("thr")
+    )
+    e = (
+        _trade_edges(spark, sf_dir)
+        .crossJoin(F.broadcast(thr))
+        .filter((F.col("w") >= F.col("thr")) & (F.col("src") != F.col("dst")))
+    )
+    return (
+        e.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+
+
+_SCALED_UND_SQL = f"""
+        edges0 AS ({_EDGES_SQL}),
+        thr AS (SELECT count(*) // {BFS_THR_DIVISOR} AS thr FROM lineitem),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM edges0, thr WHERE w >= thr.thr AND src <> dst
+        ),
+        nb AS (SELECT u AS node, v AS nbr FROM und
+               UNION ALL SELECT v, u FROM und)
+"""
+
+
+def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the trade graph: for every
+    NON-adjacent nation pair sharing at least one trade partner, score =
+    sum over common neighbors z of 1/ln(deg(z)) — the classic
+    common-neighbor predictor where rare intermediaries count more
+    (Adamic & Adar 2003, public algorithm).
+
+    deg(z) >= 2 for every common neighbor by construction (z neighbors
+    both endpoints), so 1/ln(deg) is always finite — no epsilon needed.
+
+    Scale: candidates come from the neighbor-list self-join keyed on the
+    shared neighbor — volume is sum(deg(z)^2), governed by hub degree, the
+    same quantity every production link-predictor caps (drop
+    super-connector intermediaries above a degree ceiling, which only
+    removes near-zero score terms); never an all-pairs product.  The
+    existing-edge exclusion is a broadcast anti-join on the oriented edge
+    list.
+    """
+    und = _scaled_und(spark, sf_dir)
+    nb = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = nb.groupBy("nbr").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("nbr").alias("z"), "deg"
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    cand = (
+        a.join(b, (F.col("a.nbr") == F.col("b.nbr"))
+               & (F.col("a.node") < F.col("b.node")))
+        .join(F.broadcast(deg), F.col("a.nbr") == F.col("z"))
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(1.0 / F.log(F.col("deg"))).alias("aa"),
+        )
+    )
+    non_edges = cand.join(und, ["u", "v"], "left_anti")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("u"), F.col("n_name").alias("nation_u")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("v"), F.col("n_name").alias("nation_v")
+    )
+    return (
+        non_edges.join(F.broadcast(n1), "u")
+        .join(F.broadcast(n2), "v")
+        .select(
+            F.col("u").cast("bigint").alias("u"),
+            F.col("v").cast("bigint").alias("v"),
+            "nation_u",
+            "nation_v",
+            "n_common",
+            F.round("aa", 6).alias("aa_score"),
+        )
+    )
+
+
+def _aa_oracle() -> str:
+    return f"""
+        WITH {_SCALED_UND_SQL},
+        deg AS (SELECT nbr, count(*) AS deg FROM nb GROUP BY nbr),
+        cand AS (
+            SELECT a.node AS u, b.node AS v,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   sum(1.0 / ln(d.deg)) AS aa
+            FROM nb a
+            JOIN nb b ON a.nbr = b.nbr AND a.node < b.node
+            JOIN deg d ON a.nbr = d.nbr
+            GROUP BY 1, 2
+        ),
+        non_edges AS (
+            SELECT c.* FROM cand c
+            LEFT JOIN und e ON c.u = e.u AND c.v = e.v
+            WHERE e.u IS NULL
+        )
+        SELECT CAST(ne.u AS BIGINT) AS u, CAST(ne.v AS BIGINT) AS v,
+               nu.n_name AS nation_u, nv.n_name AS nation_v,
+               ne.n_common, round(ne.aa, 6) AS aa_score
+        FROM non_edges ne
+        JOIN nation nu ON ne.u = nu.n_nationkey
+        JOIN nation nv ON ne.v = nv.n_nationkey
+    """
+
+
+LPA_ITERS = 3
+
+
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (synchronous, LPA_ITERS fixed
+    rounds) over the SF-thresholded trade graph: every node starts as its
+    own community; each round it adopts the most frequent label among its
+    neighbors, ties broken by smallest label — fully deterministic, unlike
+    the textbook's random tie-breaks, so the oracle replicates it exactly.
+    Complements connected components (pipeline_ops pointer-doubling):
+    LPA splits dense graphs into communities where CC would return one
+    blob.
+
+    Scale: each round is one edge-list join against the node-sized label
+    frame + a (node, label)-keyed count + an argmax — the argmax is
+    max(struct(cnt, -label)) inside the SAME groupBy (no second shuffle,
+    no per-node window).  Fixed round count = static DAG, the
+    pagerank/k-means lineage pattern.
+    """
+    und = _scaled_und(spark, sf_dir)
+    nb = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nodes = n.select(F.col("n_nationkey").cast("long").alias("node"))
+    lab = nodes.withColumn("label", F.col("node"))
+    for _ in range(LPA_ITERS):
+        votes = (
+            nb.join(lab.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        picked = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+                 .alias("m"))
+            .select("node", (-F.col("m.nl")).alias("new_label"))
+        )
+        lab = (
+            nodes.join(picked, "node", "left")
+            .join(lab, "node")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+    size = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return (
+        lab.join(n, lab.node == n.n_nationkey)
+        .join(size, "label")
+        .select(
+            F.col("node").cast("bigint").alias("nationkey"),
+            "n_name",
+            F.col("label").cast("bigint").alias("community"),
+            "community_size",
+        )
+    )
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        _SCALED_UND_SQL.strip(),
+        "nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        prev = f"l{i - 1}"
+        ctes.append(f"""v{i} AS (
+            SELECT nb.node, l.label, count(*) AS cnt
+            FROM nb JOIN {prev} l ON nb.nbr = l.node
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""p{i} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label ASC) AS rn
+                FROM v{i}) WHERE rn = 1
+        )""")
+        ctes.append(f"""l{i} AS (
+            SELECT n.node, coalesce(p.label, l.label) AS label
+            FROM nodes n
+            LEFT JOIN p{i} p ON n.node = p.node
+            JOIN {prev} l ON n.node = l.node
+        )""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined},
+        size AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+                 FROM l{LPA_ITERS} GROUP BY label)
+        SELECT CAST(l.node AS BIGINT) AS nationkey, n.n_name,
+               CAST(l.label AS BIGINT) AS community, s.community_size
+        FROM l{LPA_ITERS} l
+        JOIN nation n ON l.node = n.n_nationkey
+        JOIN size s ON l.label = s.label
+    """
+
+
 QUERIES = {
     "pagerank_nations": pagerank_nations,
     "triangle_count": triangle_count,
     "bfs_hops": bfs_hops,
     "degree_assortativity": degree_assortativity,
     "recursive_reachability": recursive_reachability,
+    "clustering_coefficient": clustering_coefficient,
+    "adamic_adar_linkpred": adamic_adar_linkpred,
+    "lpa_communities": lpa_communities,
 }
 
 ORACLES = {
@@ -506,4 +824,7 @@ ORACLES = {
     "bfs_hops": _bfs_oracle(),
     "degree_assortativity": _assort_oracle(),
     "recursive_reachability": _recursive_reach_oracle(),
+    "clustering_coefficient": _cc_oracle(),
+    "adamic_adar_linkpred": _aa_oracle(),
+    "lpa_communities": _lpa_oracle(),
 }

@@ -103,13 +103,13 @@ def build(spark) -> None:
     KEY_OFF = 1_000_000_000
     o = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
     o.select("*", reps).withColumn(
-        "o_orderkey", F.col("o_orderkey") + F.col("k") * F.lit(KEY_OFF)
+        "o_orderkey", F.col("o_orderkey") + F.col("k").cast("long") * F.lit(KEY_OFF)
     ).drop("k").repartition(32).write.parquet(
         os.path.join(SCALE_DIR, "orders.parquet")
     )
     li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
     li.select("*", reps).withColumn(
-        "l_orderkey", F.col("l_orderkey") + F.col("k") * F.lit(KEY_OFF)
+        "l_orderkey", F.col("l_orderkey") + F.col("k").cast("long") * F.lit(KEY_OFF)
     ).drop("k").repartition(32).write.parquet(
         os.path.join(SCALE_DIR, "lineitem.parquet")
     )
