@@ -1,0 +1,498 @@
+"""Classic-ML training primitives as relational plans (DRIVER surface,
+round 5): the supervised/feature-engineering tier a training-data platform
+runs next to its dedup/similarity/quality tiers — all expressed as
+aggregations and joins (zero iterative Python, zero row-at-a-time UDFs),
+each with a DuckDB oracle twin.
+
+Operators:
+- ``naive_bayes_lang``: multinomial Naive Bayes (train + predict in ONE
+  plan) over the documents corpus — class priors and Laplace-smoothed token
+  likelihoods are aggregations; scoring is a token-likelihood join;
+  the confusion matrix is the output contract.
+- ``knn_label_predict``: exact k-NN majority-vote label prediction over the
+  embeddings table (the evaluation-time twin of the ANN tier's candidate
+  generators).
+- ``feature_hashing``: the hashing trick — sparse bucket-count feature
+  vectors via an engine-portable md5 bucket hash.
+- ``chi2_feature_select``: per-source top-k discriminative tokens by the
+  chi-square statistic over doc-level presence contingency tables.
+- ``heavy_hitters_topfreq``: EXACT frequent-item mining via the mergeable
+  two-pass pattern (per-partition Misra-Gries candidate summaries ->
+  exact recount of the candidate union) — the 100-TB shape for "what are
+  the >0.1% tokens" questions.
+
+Scale notes per operator inline.  Reference parity: the reference
+(a 176-line Beam CDC pipeline) has no ML surface; these extend the
+[DRIVER]-mandated training-pipeline tier (SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.texts import md5_hash_long, words
+from ..sources.tables import load_table
+
+# --- naive bayes -------------------------------------------------------------
+
+NB_ROUND = 6  # argmax runs on scores rounded here — cross-engine stable
+
+_WORDS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND applied in
+    one DataFrame plan: P(c) from document counts, P(w|c) with Laplace
+    smoothing from token counts, per-doc class score = log prior + sum of
+    per-occurrence log likelihoods, argmax -> confusion matrix against the
+    declared ``lang`` column.
+
+    Determinism: the argmax compares round(score, NB_ROUND) with lang-name
+    tie-break, so float reassociation noise (~1e-13 on hundred-term log
+    sums) cannot flip predictions between engines.
+
+    Scale: training is two token-keyed aggregations (map-side combined);
+    scoring joins each token OCCURRENCE against the (token, class)
+    likelihood table — |tokens| x |classes| rows, linear in corpus size
+    with class count a small constant; unseen (token, class) pairs take
+    the broadcast per-class smoothing default.  The confusion matrix is a
+    class^2-sized final aggregate.  No driver loops: "training" IS the
+    aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id", "lang", F.explode(words(F.col("text"))).alias("w")
+    )
+    classes = d.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("n_docs_c")
+    )
+    n_docs = d.count()
+    vocab_n = toks.select("w").distinct().count()
+    # token counts per (class, token) and totals per class
+    wc = toks.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot_c = wc.groupBy("c").agg(F.sum("cnt").alias("tok_c"))
+    ll = (
+        wc.join(tot_c, "c")
+        .select(
+            "c",
+            "w",
+            F.log((F.col("cnt") + 1.0) / (F.col("tok_c") + F.lit(float(vocab_n))))
+            .alias("ll"),
+        )
+    )
+    # per-class smoothing default for unseen tokens + log prior
+    cls = (
+        classes.join(tot_c, classes.c == tot_c.c, "left")
+        .select(
+            classes.c.alias("c"),
+            F.log(F.col("n_docs_c") / F.lit(float(n_docs))).alias("log_prior"),
+            (-F.log(F.coalesce(F.col("tok_c"), F.lit(0)) + F.lit(float(vocab_n))))
+            .alias("ll_default"),
+        )
+    )
+    scored = (
+        toks.select("doc_id", F.col("lang").alias("declared"), "w")
+        .crossJoin(F.broadcast(cls))
+        .join(ll, ["c", "w"], "left")
+        .groupBy("doc_id", "declared", "c", "log_prior")
+        .agg(F.sum(F.coalesce(F.col("ll"), F.col("ll_default"))).alias("s"))
+        .select(
+            "doc_id",
+            "declared",
+            "c",
+            F.round(F.col("log_prior") + F.col("s"), NB_ROUND).alias("score"),
+        )
+    )
+    pred = (
+        scored.groupBy("doc_id", "declared")
+        .agg(
+            # max of (score, c) struct == ORDER BY score DESC, c DESC pick —
+            # exactly the oracle's row_number ordering
+            F.max_by(
+                F.col("c"), F.struct(F.col("score"), F.col("c"))
+            ).alias("predicted")
+        )
+    )
+    return pred.groupBy(
+        F.col("declared").alias("declared_lang"),
+        F.col("predicted").alias("predicted_lang"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+
+def _nb_oracle() -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, lang, text FROM documents),
+        toks AS (
+            SELECT doc_id, lang, unnest({_WORDS_SQL}) AS w FROM d
+        ),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d),
+        vn AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+        classes AS (SELECT lang AS c, count(*) AS n_docs_c FROM d GROUP BY 1),
+        wc AS (SELECT lang AS c, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        tot_c AS (SELECT c, sum(cnt) AS tok_c FROM wc GROUP BY c),
+        ll AS (
+            SELECT wc.c, wc.w, ln((wc.cnt + 1.0) / (t.tok_c + vn.v)) AS ll
+            FROM wc JOIN tot_c t ON wc.c = t.c CROSS JOIN vn
+        ),
+        cls AS (
+            SELECT cl.c, ln(cl.n_docs_c / nd.n_docs) AS log_prior,
+                   -ln(coalesce(t.tok_c, 0) + vn.v) AS ll_default
+            FROM classes cl
+            LEFT JOIN tot_c t ON cl.c = t.c
+            CROSS JOIN nd CROSS JOIN vn
+        ),
+        scored AS (
+            SELECT tk.doc_id, tk.lang AS declared, cls.c,
+                   round(cls.log_prior
+                         + sum(coalesce(ll.ll, cls.ll_default)), {NB_ROUND})
+                       AS score
+            FROM toks tk
+            CROSS JOIN cls
+            LEFT JOIN ll ON ll.c = cls.c AND ll.w = tk.w
+            GROUP BY tk.doc_id, tk.lang, cls.c, cls.log_prior
+        ),
+        pred AS (
+            SELECT doc_id, declared, c AS predicted FROM (
+                SELECT doc_id, declared, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, c DESC) AS rn
+                FROM scored) WHERE rn = 1
+        )
+        SELECT declared AS declared_lang, predicted AS predicted_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2
+    """
+
+
+# --- knn ---------------------------------------------------------------------
+
+KNN_K = 10
+
+
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN majority-vote label prediction for the query vectors
+    (vec_id < N_QUERIES, the similarity module's query convention): find
+    the KNN_K cosine-nearest OTHER vectors, vote by their ``label`` with
+    (count desc, label asc) tie-break.
+
+    Scale: reuses the broadcast-query brute-force kernel
+    (similarity.cosine_topk_frame: query side broadcast, corpus never
+    shuffles, per-query TakeOrdered) — the evaluation-time exact scorer;
+    swap in any ANN candidate generator from the similarity module for
+    the approximate production path without touching the vote.
+    """
+    from .similarity import N_QUERIES, cosine_topk_frame, _embeddings
+
+    e = _embeddings(spark, sf_dir)
+    topk = cosine_topk_frame(e, n_queries=N_QUERIES, top_k=KNN_K)
+    votes = (
+        topk.join(
+            e.select(F.col("vec_id"), F.col("label")), "vec_id"
+        )
+        .groupBy("query_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"),
+            F.max("cos_sim").alias("best_sim"),
+        )
+    )
+    pick = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("label").cast("bigint").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            F.col("best_sim").alias("best_sim"),
+        )
+    )
+
+
+def _knn_oracle() -> str:
+    from .similarity import N_QUERIES
+
+    cos = (
+        "list_dot_product(q.qv, e.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product(e.v, e.v)))"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e
+              WHERE vec_id < {N_QUERIES}),
+        pairs AS (
+            SELECT q.query_id, e.vec_id, e.label,
+                   round({cos}, 4) AS cos_sim
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        ),
+        topk AS (
+            SELECT query_id, vec_id, label, cos_sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id ASC) AS rank
+                FROM pairs) WHERE rank <= {KNN_K}
+        ),
+        votes AS (
+            SELECT query_id, label, count(*) AS n_votes,
+                   max(cos_sim) AS best_sim
+            FROM topk GROUP BY 1, 2
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(label AS BIGINT) AS predicted_label,
+               CAST(n_votes AS BIGINT) AS n_votes, best_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY n_votes DESC, label ASC) AS rn
+              FROM votes) WHERE rn = 1
+    """
+
+
+# --- feature hashing ---------------------------------------------------------
+
+FH_BUCKETS = 64
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): token -> bucket =
+    md5_hash mod FH_BUCKETS; per-document SPARSE feature vector as
+    (doc_id, bucket, count) rows — the storage format a downstream trainer
+    consumes, with no vocabulary dictionary to build or broadcast.
+
+    Scale: one narrow projection (hash + mod inside the scan stage) and
+    one (doc_id, bucket)-keyed aggregation with map-side combine; output
+    cardinality <= docs x FH_BUCKETS.  The engine-portable md5 bucket hash
+    makes the vectors reproducible across engines and runs — the property
+    that lets a 100-TB featurization job resume/backfill safely.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+    return (
+        toks.select(
+            "doc_id",
+            F.pmod(md5_hash_long(F.col("w")), F.lit(FH_BUCKETS)).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+_FH_ORACLE = f"""
+    SELECT doc_id,
+           CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {FH_BUCKETS}
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents)
+    GROUP BY 1, 2
+"""
+
+
+# --- chi-square feature selection --------------------------------------------
+
+CHI2_TOP = 10
+
+
+def chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-CHI2_TOP discriminative tokens by the chi-square
+    statistic over doc-level presence (one-vs-rest contingency table per
+    (source, token)): the classic supervised vocabulary-selection step
+    before training a per-domain classifier.
+
+    All four contingency cells derive from two aggregates (doc-term
+    presence counts per source, term totals) plus broadcast class sizes —
+    integer arithmetic into one double division, so both engines compute
+    bit-identical statistics and the rank tie-break (chi2 desc, token asc)
+    is exact.
+
+    Scale: presence is a distinct doc-term aggregate (corpus-sized
+    shuffle, the unavoidable one); everything after runs at vocabulary x
+    sources cardinality.  The rank window partitions by source — parallel
+    across classes, each over a vocab-sized frame.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    present = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(words(F.col("text")))).alias("w")
+    ).distinct()
+    n_total = d.count()
+    src_sizes = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    a = present.groupBy("source", "w").agg(F.count(F.lit(1)).alias("a"))
+    term_tot = present.groupBy("w").agg(F.count(F.lit(1)).alias("t"))
+    cells = (
+        a.join(term_tot, "w")
+        .join(F.broadcast(src_sizes), "source")
+        .select(
+            "source",
+            "w",
+            F.col("a").cast("long").alias("a"),
+            (F.col("t") - F.col("a")).cast("long").alias("b"),
+            (F.col("n_src") - F.col("a")).cast("long").alias("c"),
+            (F.lit(n_total) - F.col("n_src") - F.col("t") + F.col("a"))
+            .cast("long")
+            .alias("dd"),
+        )
+    )
+    num = F.lit(float(n_total)) * F.pow(
+        F.col("a") * F.col("dd") - F.col("b") * F.col("c"), F.lit(2.0)
+    )
+    den = (
+        (F.col("a") + F.col("b"))
+        * (F.col("c") + F.col("dd"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("dd"))
+    ).cast("double")
+    chi = cells.select(
+        "source",
+        "w",
+        "a",
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4
+        ).alias("chi2"),
+    )
+    rank = Window.partitionBy("source").orderBy(
+        F.col("chi2").desc(), F.col("w").asc()
+    )
+    return (
+        chi.withColumn("rank", F.row_number().over(rank))
+        .filter(F.col("rank") <= CHI2_TOP)
+        .select(
+            "source",
+            F.col("w").alias("token"),
+            F.col("a").alias("n_docs_with"),
+            "chi2",
+            "rank",
+        )
+    )
+
+
+def _chi2_oracle() -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, source, text FROM documents),
+        present AS (
+            SELECT DISTINCT doc_id, source, w
+            FROM (SELECT doc_id, source, unnest({_WORDS_SQL}) AS w FROM d)
+        ),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        ss AS (SELECT source, count(*) AS n_src FROM d GROUP BY 1),
+        aa AS (SELECT source, w, CAST(count(*) AS BIGINT) AS a
+               FROM present GROUP BY 1, 2),
+        tt AS (SELECT w, count(*) AS t FROM present GROUP BY 1),
+        cells AS (
+            SELECT aa.source, aa.w, aa.a,
+                   CAST(tt.t - aa.a AS BIGINT) AS b,
+                   CAST(ss.n_src - aa.a AS BIGINT) AS c,
+                   CAST(nt.n - ss.n_src - tt.t + aa.a AS BIGINT) AS dd
+            FROM aa JOIN tt ON aa.w = tt.w
+            JOIN ss ON aa.source = ss.source
+            CROSS JOIN nt
+        ),
+        chi AS (
+            SELECT source, w, a,
+                   round(CASE WHEN (a+b)*(c+dd)*(a+c)*(b+dd) > 0
+                              THEN nt.n * pow(a*dd - b*c, 2.0)
+                                   / CAST((a+b)*(c+dd)*(a+c)*(b+dd) AS DOUBLE)
+                              ELSE 0.0 END, 4) AS chi2
+            FROM cells CROSS JOIN nt
+        )
+        SELECT source, w AS token, a AS n_docs_with, chi2, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                          ORDER BY chi2 DESC, w ASC) AS rank
+            FROM chi) WHERE rank <= {CHI2_TOP}
+    """
+
+
+# --- exact heavy hitters via mergeable candidates ----------------------------
+
+HH_K = 200  # report tokens with frequency > N / HH_K
+
+
+def heavy_hitters_topfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with count * HH_K > N) by the mergeable
+    two-pass pattern:
+
+    pass 1 — per-partition Misra-Gries summaries (HH_K counters each,
+    Arrow-batched mapPartitions via mapInPandas, NO shuffle): the MG
+    guarantee says any token with global frequency > N/HH_K survives in at
+    least one partition's summary, so the union of summaries is a
+    candidate SUPERSET — this is the sketch a 1000-executor job would
+    ship to the driver (bytes: partitions x HH_K tokens).
+
+    pass 2 — exact recount of candidates only: semi-join the token stream
+    against the (tiny, broadcast) candidate set, count, and keep
+    count * HH_K > N with INTEGER arithmetic — exact, engine-portable, no
+    float threshold.
+
+    The output is therefore EXACTLY the true heavy-hitter set with exact
+    counts — partitioning changes the intermediate candidate set but never
+    the result (the property the oracle's plain GROUP BY ... HAVING
+    verifies).  Scale: pass 1 narrow; pass 2 shuffles only candidate-
+    matching rows (<= partitions x HH_K distinct tokens).
+    """
+    d = load_table(spark, sf_dir, "documents").select("text")
+    toks = d.select(F.explode(words(F.col("text"))).alias("w"))
+    n_total = toks.count()
+
+    k = HH_K
+
+    def mg_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in it:
+            for w in pdf["w"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < k:
+                    counters[w] = 1
+                else:  # decrement-all step (batched as dict rebuild)
+                    counters = {
+                        t: c - 1 for t, c in counters.items() if c > 1
+                    }
+        yield pd.DataFrame({"w": list(counters.keys())})
+
+    candidates = (
+        toks.mapInPandas(
+            mg_partition, schema=T.StructType([T.StructField("w", T.StringType())])
+        )
+        .distinct()
+    )
+    return (
+        toks.join(F.broadcast(candidates), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * k > n_total)
+        .select(F.col("w").alias("token"), "n_occurrences")
+    )
+
+
+_HH_ORACLE = f"""
+    WITH toks AS (SELECT unnest({_WORDS_SQL}) AS w FROM documents),
+    nt AS (SELECT count(*) AS n FROM toks)
+    SELECT w AS token, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM toks CROSS JOIN nt
+    GROUP BY w, nt.n
+    HAVING count(*) * {HH_K} > nt.n
+"""
+
+
+QUERIES = {
+    "naive_bayes_lang": naive_bayes_lang,
+    "knn_label_predict": knn_label_predict,
+    "feature_hashing": feature_hashing,
+    "chi2_feature_select": chi2_feature_select,
+    "heavy_hitters_topfreq": heavy_hitters_topfreq,
+}
+
+ORACLES = {
+    "naive_bayes_lang": _nb_oracle(),
+    "knn_label_predict": _knn_oracle(),
+    "feature_hashing": _FH_ORACLE,
+    "chi2_feature_select": _chi2_oracle(),
+    "heavy_hitters_topfreq": _HH_ORACLE,
+}
