@@ -741,3 +741,179 @@ ORACLES["vocab_overlap_sources"] = f"""
     JOIN sizes sb ON i.source_b = sb.source
 """
 QUERIES["vocab_overlap_sources"] = vocab_overlap_sources
+
+
+# --- round-5 additions -------------------------------------------------------
+
+PMI_WINDOW = 4  # skip-gram co-occurrence window (positions)
+PMI_MIN_CO = 5  # minimum windowed co-occurrence count for a reported pair
+PMI_TOP = 50
+
+
+def word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI collocations by WINDOWED (skip-gram) co-occurrence: for
+    every token position i, the pairs (w_i, w_j) with j in (i, i+PMI_WINDOW]
+    count as one co-occurrence (orientation-normalized least/greatest);
+    PMI = ln(p(w1,w2) / (p(w1) p(w2))) with p over pair draws / token
+    draws — the word2vec-era collocation statistic (Church & Hanks 1990;
+    Levy & Goldberg 2014's PMI matrix), and the right unit for a dense
+    small-vocabulary corpus where doc-level presence saturates.
+
+    Determinism: every input to the ln() is an integer count, so both
+    engines compute bit-identical statistics; the ratio is evaluated in a
+    FIXED division order ((c12*Tt)/Tp * (Tt/c1) / c2) replicated verbatim
+    in the oracle — no bigint overflow at any SF (Tt^2 never materializes
+    as an integer).
+
+    Scale: pair generation is a pure nested array transform INSIDE the
+    scan stage (zero joins — each token row emits <= PMI_WINDOW pairs);
+    the only shuffle is the (w1,w2)-keyed count, bounded by vocabulary^2;
+    top-k is TakeOrderedAndProject.
+    """
+    d = _docs(spark, sf_dir)
+    arr = d.select(words(F.col("text")).alias("a")).filter(F.size("a") >= 2)
+    pair_expr = F.expr(f"""
+        flatten(transform(sequence(1, size(a) - 1), i ->
+            transform(sequence(i + 1, least(i + {PMI_WINDOW}, size(a))), j ->
+                struct(least(element_at(a, i), element_at(a, j)) AS w1,
+                       greatest(element_at(a, i), element_at(a, j)) AS w2))))
+    """)
+    pairs = arr.select(F.explode(pair_expr).alias("p")).select("p.w1", "p.w2")
+    co = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_CO)
+    )
+    toks = d.select(F.explode(words(F.col("text"))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = co.agg(F.sum("c12").cast("double").alias("tp")).crossJoin(
+        toks.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    )
+    pmi_val = F.log(
+        (F.col("c12") * F.col("tt") / F.col("tp"))
+        * (F.col("tt") / F.col("c1"))
+        / F.col("c2")
+    )
+    pmi = (
+        co.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                .withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_cooc"),
+            F.round(pmi_val, 4).alias("pmi"),
+        )
+    )
+    top = pmi.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(PMI_TOP)
+    w_rank = Window.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w_rank))
+
+
+ORACLES["word_pmi_pairs"] = f"""
+    WITH arr AS (
+        SELECT {_W} AS a FROM documents WHERE len({_W}) >= 2
+    ),
+    pairs AS (
+        SELECT unnest(flatten(list_transform(generate_series(1, len(a) - 1),
+                   i -> list_transform(
+                       generate_series(i + 1, least(i + {PMI_WINDOW}, len(a))),
+                       j -> struct_pack(w1 := least(a[i], a[j]),
+                                        w2 := greatest(a[i], a[j])))))) AS p
+        FROM arr
+    ),
+    co AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c12
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_CO}
+    ),
+    toks AS (SELECT unnest({_W}) AS w FROM documents),
+    uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    totals AS (
+        SELECT (SELECT CAST(sum(c12) AS DOUBLE) FROM co) AS tp,
+               (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS tt
+    ),
+    pmi AS (
+        SELECT co.w1, co.w2, CAST(co.c12 AS BIGINT) AS n_cooc,
+               round(ln((co.c12 * t.tt / t.tp)
+                        * (t.tt / u1.c) / u2.c), 4) AS pmi
+        FROM co
+        JOIN uni u1 ON co.w1 = u1.w
+        JOIN uni u2 ON co.w2 = u2.w
+        CROSS JOIN totals t
+    )
+    SELECT w1, w2, n_cooc, pmi, rank FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)
+                      AS rank
+        FROM pmi) WHERE rank <= {PMI_TOP}
+"""
+QUERIES["word_pmi_pairs"] = word_pmi_pairs
+
+
+VOCAB_V = 500  # tokenizer vocabulary size (top-V corpus words)
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: build the top-VOCAB_V word vocabulary
+    from corpus frequency (the unigram tokenizer-training step), then
+    report per-source token coverage and mean per-document OOV rate — the
+    go/no-go metric before freezing a tokenizer on a new corpus mix.
+
+    Scale: vocabulary = one token-keyed count + TakeOrderedAndProject;
+    coverage = broadcast (V-row) left-semi flag + two-level aggregation
+    (doc, then source) — no shuffle beyond the token count.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "source", F.explode(words(F.col("text"))).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), F.col("w").asc())
+        .limit(VOCAB_V)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "w", "left")
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("n_cov"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_cov") / F.sum("n_toks"), 6).alias("token_coverage"),
+            F.round(
+                F.avg(1.0 - F.col("n_cov") / F.col("n_toks")), 6
+            ).alias("mean_doc_oov_rate"),
+        )
+    )
+
+
+ORACLES["tokenizer_vocab_coverage"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest({_W}) AS w FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS f FROM toks GROUP BY w
+            ORDER BY f DESC, w ASC LIMIT {VOCAB_V})
+    ),
+    per_doc AS (
+        SELECT t.doc_id, t.source, count(*) AS n_toks,
+               sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS n_cov
+        FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY 1, 2
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           round(sum(n_cov) * 1.0 / sum(n_toks), 6) AS token_coverage,
+           round(avg(1.0 - n_cov * 1.0 / n_toks), 6) AS mean_doc_oov_rate
+    FROM per_doc GROUP BY source
+"""
+QUERIES["tokenizer_vocab_coverage"] = tokenizer_vocab_coverage

@@ -484,3 +484,134 @@ ORACLES["char_entropy"] = f"""
            (log2(n) - s / n) < {ENTROPY_LOW_BITS} AS low_entropy
     FROM per_doc
 """
+
+
+# --- round-5: iterative BPE merge training -----------------------------------
+
+BPE_MERGE_ROUNDS = 3
+
+
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE_MERGE_ROUNDS iterations of actual BPE training — pick the
+    most-frequent adjacent symbol pair, MERGE it throughout the corpus,
+    recount, repeat (Sennrich et al. 2016) — where bpe_pair_counts is one
+    round's counting step, this runs the full train loop with the merges
+    applied, returning the learned merge table (round, merged symbol,
+    occurrence count at selection time).
+
+    Representation: each word is a pipe-delimited symbol string
+    ("|h|e|l|l|o|"); a merge of (a,b) is the LITERAL string replace of
+    "|a|b|" with "|ab|" — left-to-right non-overlapping in both engines
+    (Spark StringReplace == DuckDB replace), which is exactly BPE's
+    left-to-right merge order, and the delimiters make multi-character
+    symbols unambiguous (no lookbehind regex, which RE2/DuckDB lacks).
+
+    Scale: each round is (a) a narrow symbol-pair explode + one
+    pair-keyed count with map-side combine, (b) a 1-row argmax broadcast,
+    (c) a narrow string replace — a static 3-round DAG with per-round
+    shuffles bounded by the symbol-pair vocabulary, never data-sized
+    sorts.  The tie-break (max count, then lexicographically smallest
+    pair) is deterministic, so the oracle unrolls the identical rounds.
+    """
+    from ..functions.texts import words
+    from ..sources.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select(F.explode(words(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    s = toks.select(
+        F.concat(
+            F.regexp_replace(F.col("w"), "(.)", r"|$1"), F.lit("|")
+        ).alias("s")
+    )
+    merges = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        pairs = (
+            s.select(F.split(F.col("s"), r"\|").alias("a"))
+            .filter(F.size("a") >= 4)  # >= 2 symbols (split adds '' ends)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(2, size(a) - 2), i -> "
+                        "concat('|', element_at(a, i), '|', "
+                        "element_at(a, i + 1), '|'))"
+                    )
+                ).alias("pair")
+            )
+        )
+        pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+        top1 = pc.agg(
+            F.min_by(
+                F.struct(F.col("pair"), F.col("cnt")),
+                F.struct((-F.col("cnt")).alias("nc"), F.col("pair")),
+            ).alias("m")
+        ).select(F.col("m.pair").alias("pair"), F.col("m.cnt").alias("cnt"))
+        merges.append(
+            top1.select(
+                F.lit(r).cast("int").alias("merge_round"),
+                F.replace(F.col("pair"), F.lit("|"), F.lit("")).alias(
+                    "merged_symbol"
+                ),
+                F.col("cnt").cast("bigint").alias("n_occurrences"),
+            )
+        )
+        merged_repl = F.concat(
+            F.lit("|"),
+            F.replace(F.col("pair"), F.lit("|"), F.lit("")),
+            F.lit("|"),
+        )
+        s = (
+            s.crossJoin(F.broadcast(top1))
+            .select(F.replace(F.col("s"), F.col("pair"), merged_repl).alias("s"))
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_merge_oracle() -> str:
+    w_sql = "regexp_split_to_array(trim(text), '\\s+')"
+    ctes = [
+        f"""s0 AS (
+            SELECT regexp_replace(w, '(.)', '|\\1', 'g') || '|' AS s
+            FROM (SELECT unnest({w_sql}) AS w FROM documents)
+            WHERE length(w) >= 2
+        )"""
+    ]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        prev = f"s{r - 1}"
+        ctes.append(f"""pc{r} AS (
+            SELECT pr AS pair, count(*) AS cnt FROM (
+                SELECT unnest(list_transform(
+                           generate_series(2, len(a) - 2),
+                           i -> '|' || a[i] || '|' || a[i + 1] || '|')) AS pr
+                FROM (SELECT string_split(s, '|') AS a FROM {prev})
+                WHERE len(a) >= 4)
+            GROUP BY pr
+        )""")
+        ctes.append(f"""m{r} AS (
+            SELECT pair, cnt FROM pc{r}
+            ORDER BY cnt DESC, pair ASC LIMIT 1
+        )""")
+        ctes.append(f"""s{r} AS (
+            SELECT replace(s, m.pair,
+                           '|' || replace(m.pair, '|', '') || '|') AS s
+            FROM {prev}, m{r} m
+        )""")
+    joined = ",\n        ".join(ctes)
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, "
+        f"replace(pair, '|', '') AS merged_symbol, "
+        f"CAST(cnt AS BIGINT) AS n_occurrences FROM m{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return f"""
+        WITH {joined}
+        {rows}
+    """
+
+
+ORACLES["bpe_merge_rounds"] = _bpe_merge_oracle()
+QUERIES["bpe_merge_rounds"] = bpe_merge_rounds
