@@ -2671,3 +2671,386 @@ ORACLES["rfm_segmentation"] = """
     FROM ranked CROSS JOIN n
 """
 QUERIES["rfm_segmentation"] = rfm_segmentation
+
+
+# --- round-5: privacy, spatial, downsampling ---------------------------------
+
+LDIV_L = 3  # minimum distinct sensitive values per QI class
+
+
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the k-anonymity follow-up (Machanavajjhala et
+    al. 2007): a QI class can be k-anonymous yet leak the sensitive
+    attribute if all members SHARE it.  Quasi-identifier = (nation,
+    acctbal bucket), sensitive attribute = market segment; per nation:
+    class count, worst-class diversity, classes below LDIV_L distinct
+    segments and the rows they expose.
+
+    Scale: one (QI, sensitive)-keyed count, a re-agg to QI-class
+    diversity, a re-agg to nation — three shrinking map-side-combined
+    aggregations, no joins or windows (the k_anonymity shape plus one
+    level).
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / KANON_BAL_BUCKET).cast("long").alias("bal_b"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    classes = cells.groupBy("c_nationkey", "bal_b").agg(
+        F.count(F.lit(1)).alias("l_div"),
+        F.sum("n").alias("sz"),
+    )
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l_div").cast("bigint").alias("min_l"),
+        F.sum((F.col("l_div") < LDIV_L).cast("long"))
+        .cast("bigint")
+        .alias("n_low_diversity"),
+        F.sum(F.when(F.col("l_div") < LDIV_L, F.col("sz")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+    )
+
+
+ORACLES["l_diversity"] = f"""
+    WITH cells AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / {KANON_BAL_BUCKET}) AS BIGINT) AS bal_b,
+               c_mktsegment, count(*) AS n
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    classes AS (
+        SELECT c_nationkey, bal_b, count(*) AS l_div, sum(n) AS sz
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(l_div) AS BIGINT) AS min_l,
+           CAST(sum(CASE WHEN l_div < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_diversity,
+           CAST(sum(CASE WHEN l_div < {LDIV_L} THEN sz ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk
+    FROM classes GROUP BY 1
+"""
+QUERIES["l_diversity"] = l_diversity
+
+
+DP_EPS = 1.0
+DP_U_GRID = 100000  # uniform grid for the seeded noise draw
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts per (nation, segment) — the
+    differential-privacy release shape (sensitivity 1 count query, noise
+    scale 1/epsilon), with the noise draw DERIVED from an md5 hash of the
+    group key over a {DP_U_GRID}-point uniform grid instead of an RNG.
+
+    Honest caveat (documented contract): seeded noise makes the release
+    REPRODUCIBLE — the right property for testing the mechanism's
+    plumbing and calibrating utility, and exactly the wrong one for a
+    production privacy guarantee (real DP requires fresh secret
+    randomness; swap the hash for an RNG draw at release time).  The
+    inverse-CDF transform, clipping, and rounding are the production
+    arithmetic verified here.
+
+    Scale: one map-side-combined groupBy; the noise is a pure column
+    expression over the group key — no second pass, no driver state.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    key = F.concat(
+        F.col("c_nationkey").cast("string"), F.lit("|"), F.col("c_mktsegment")
+    )
+    u = (
+        F.pmod(md5_hash_long(key, "dpnoise"), F.lit(DP_U_GRID))
+        + F.lit(0.5)
+    ) / F.lit(float(DP_U_GRID))
+    centered = u - F.lit(0.5)
+    lap = (
+        -F.lit(1.0 / DP_EPS)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("true_n") + lap, 2).alias("noisy_count"),
+        F.lit(DP_EPS).alias("epsilon"),
+    )
+
+
+ORACLES["dp_noisy_counts"] = f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS true_n
+        FROM customer GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT *,
+               (CAST('0x' || substr(md5('dpnoise' || c_nationkey || '|'
+                                        || c_mktsegment), 1, 8) AS BIGINT)
+                % {DP_U_GRID} + 0.5) / {float(DP_U_GRID)} AS u
+        FROM g
+    )
+    SELECT c_nationkey, c_mktsegment,
+           round(true_n + (-{1.0 / DP_EPS}) * sign(u - 0.5)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)), 2) AS noisy_count,
+           {DP_EPS} AS epsilon
+    FROM u
+"""
+QUERIES["dp_noisy_counts"] = dp_noisy_counts
+
+
+LTTB_BUCKETS = 30
+
+
+def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    the daily-revenue series to LTTB_BUCKETS points — the standard
+    shape-preserving decimation for charting long series.  This is the
+    PARALLEL variant: each bucket's pick maximizes the triangle area
+    against the NEIGHBOR BUCKET AVERAGES (the sequential original anchors
+    on the previously selected point — an inherently serial chain;
+    anchoring on bucket means is the decomposition that drops into a
+    distributed plan, and empirically tracks the sequential pick).  First
+    and last points are always kept, per the algorithm.
+
+    Determinism: x is the integer epoch day, y the 2-rounded daily sum;
+    bucket means round to 6 before the area arithmetic, so both engines
+    feed IDENTICAL doubles into the argmax — no cross-engine ULP flips.
+
+    Scale: daily rollup is the only data-sized aggregation; everything
+    after runs on the day-cardinality frame (bounded by the calendar, the
+    documented theil_sen-class exception), with bucket ids from one
+    global row_number and the argmax inside the bucket-keyed groupBy.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    n = daily.count()
+    w = Window.orderBy("d")
+    pts = daily.withColumn("rn", F.row_number().over(w)).select(
+        "d",
+        "rev",
+        # integer floor-div: DuckDB CAST(double AS BIGINT) ROUNDS, so both
+        # sides must floor explicitly
+        F.floor((F.col("rn") - 1) * LTTB_BUCKETS / F.lit(n))
+        .cast("long")
+        .alias("b"),
+        F.unix_date(F.col("d")).cast("double").alias("x"),
+        F.col("rev").cast("double").alias("y"),
+        F.col("rn"),
+    )
+    means = pts.groupBy("b").agg(
+        F.round(F.avg("x"), 6).alias("mx"), F.round(F.avg("y"), 6).alias("my")
+    )
+    wb = Window.orderBy("b")
+    ctx = means.select(
+        "b",
+        F.lag("mx").over(wb).alias("px"),
+        F.lag("my").over(wb).alias("py"),
+        F.lead("mx").over(wb).alias("nx"),
+        F.lead("my").over(wb).alias("ny"),
+    )
+    area = F.abs(
+        (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+        - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+    )
+    inner = (
+        pts.join(F.broadcast(ctx), "b")
+        .filter((F.col("b") > 0) & (F.col("b") < LTTB_BUCKETS - 1))
+        .withColumn("area", area)
+        .groupBy("b")
+        .agg(
+            F.min_by(
+                F.struct(F.col("d"), F.col("rev")),
+                F.struct((-F.col("area")).alias("na"), F.col("d")),
+            ).alias("m")
+        )
+        .select("b", F.col("m.d").alias("d"), F.col("m.rev").alias("rev"))
+    )
+    first = pts.filter(F.col("rn") == 1).select("b", "d", "rev")
+    last = pts.filter(F.col("rn") == n).select("b", "d", "rev")
+    return (
+        first.unionByName(inner)
+        .unionByName(last)
+        .select(
+            F.col("b").cast("int").alias("bucket"),
+            F.col("d").alias("day"),
+            F.col("rev").alias("revenue"),
+        )
+    )
+
+
+ORACLES["lttb_downsample"] = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n FROM daily),
+    pts AS (
+        SELECT d, rev,
+               CAST(floor((row_number() OVER (ORDER BY d) - 1)
+                    * {LTTB_BUCKETS} / n.n) AS BIGINT) AS b,
+               CAST(datediff('day', DATE '1970-01-01', d) AS DOUBLE) AS x,
+               CAST(rev AS DOUBLE) AS y,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM daily CROSS JOIN n
+    ),
+    means AS (
+        SELECT b, round(avg(x), 6) AS mx, round(avg(y), 6) AS my
+        FROM pts GROUP BY b
+    ),
+    ctx AS (
+        SELECT b,
+               lag(mx) OVER (ORDER BY b) AS px,
+               lag(my) OVER (ORDER BY b) AS py,
+               lead(mx) OVER (ORDER BY b) AS nx,
+               lead(my) OVER (ORDER BY b) AS ny
+        FROM means
+    ),
+    inner_pick AS (
+        SELECT b, d, rev FROM (
+            SELECT p.b, p.d, p.rev,
+                   row_number() OVER (
+                       PARTITION BY p.b
+                       ORDER BY abs((c.px - c.nx) * (p.y - c.py)
+                                    - (c.px - p.x) * (c.ny - c.py)) DESC,
+                                p.d ASC) AS rk
+            FROM pts p JOIN ctx c ON p.b = c.b
+            WHERE p.b > 0 AND p.b < {LTTB_BUCKETS} - 1)
+        WHERE rk = 1
+    ),
+    ends AS (
+        SELECT b, d, rev FROM pts, n WHERE rn = 1 OR rn = n.n
+    )
+    SELECT CAST(b AS INT) AS bucket, d AS day, rev AS revenue
+    FROM (SELECT * FROM ends UNION ALL SELECT * FROM inner_pick)
+"""
+QUERIES["lttb_downsample"] = lttb_downsample
+
+
+GEO_RADIUS_KM = 50.0
+GEO_CELL_DEG = 0.5   # >= RADIUS/111.045 km-per-degree: all pairs in 3x3
+GEO_EARTH_KM = 6371.0
+GEO_COORD_GRID = 10000  # 1e-4-degree synthetic coordinate grid
+
+
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join: customer pairs within GEO_RADIUS_KM kilometers
+    by haversine distance, WITHOUT a cross join — each point lands in a
+    GEO_CELL_DEG grid cell; the probe side explodes to its 3x3 cell
+    neighborhood and pairs come from a plain equi-join on the cell id
+    (the cell width exceeds the radius in degrees, so no qualifying pair
+    can escape the neighborhood).  The standard geospatial blocking that
+    replaces KNN cross products at scale; the haversine verify runs on
+    candidates only.
+
+    Coordinates are SYNTHESIZED deterministically from the customer key
+    (md5 -> 1e-4-degree grid, lat in [-60, 60), lon in [-180, 180)) —
+    the engine-portable stand-in for a real location column, replicated
+    exactly in the oracle.
+
+    Each unordered pair is generated at most once: the build side keeps
+    its single true cell, the probe visits each neighbor cell once, and
+    the key inequality orients the pair.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    key = F.col("c_custkey").cast("string")
+    lat = (
+        F.pmod(md5_hash_long(key, "lat"), F.lit(120 * GEO_COORD_GRID))
+        / F.lit(float(GEO_COORD_GRID))
+        - 60.0
+    )
+    lon = (
+        F.pmod(md5_hash_long(key, "lon"), F.lit(360 * GEO_COORD_GRID))
+        / F.lit(float(GEO_COORD_GRID))
+        - 180.0
+    )
+    pts = c.select(
+        "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.floor(lat / GEO_CELL_DEG).cast("long").alias("cy"),
+        F.floor(lon / GEO_CELL_DEG).cast("long").alias("cx"),
+    )
+    probe = pts.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.expr("flatten(transform(sequence(-1, 1), dy -> "
+                   "transform(sequence(-1, 1), dx -> "
+                   "struct(cy + dy AS cy, cx + dx AS cx))))")
+        ).alias("cell"),
+    ).select("cust_a", "lat_a", "lon_a", "cell.cy", "cell.cx")
+    build = pts.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cy",
+        "cx",
+    )
+    cand = probe.join(build, ["cy", "cx"]).filter(
+        F.col("cust_a") < F.col("cust_b")
+    )
+    la, lb = F.radians("lat_a"), F.radians("lat_b")
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2
+    h = F.pow(F.sin(dlat), 2) + F.cos(la) * F.cos(lb) * F.pow(F.sin(dlon), 2)
+    dist = 2 * GEO_EARTH_KM * F.asin(F.sqrt(h))
+    return (
+        cand.withColumn("dist_km", F.round(dist, 3))
+        .filter(F.col("dist_km") <= GEO_RADIUS_KM)
+        .select("cust_a", "cust_b", "dist_km")
+    )
+
+
+ORACLES["geo_grid_join"] = f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (CAST('0x' || substr(md5('lat' || c_custkey), 1, 8) AS BIGINT)
+                % {120 * GEO_COORD_GRID}) / {float(GEO_COORD_GRID)} - 60.0
+                   AS lat,
+               (CAST('0x' || substr(md5('lon' || c_custkey), 1, 8) AS BIGINT)
+                % {360 * GEO_COORD_GRID}) / {float(GEO_COORD_GRID)} - 180.0
+                   AS lon
+        FROM customer
+    ),
+    cells AS (
+        SELECT *, CAST(floor(lat / {GEO_CELL_DEG}) AS BIGINT) AS cy,
+                  CAST(floor(lon / {GEO_CELL_DEG}) AS BIGINT) AS cx
+        FROM pts
+    ),
+    probe AS (
+        SELECT c_custkey AS cust_a, lat AS lat_a, lon AS lon_a,
+               cy + dy AS cy, cx + dx AS cx
+        FROM cells,
+             (SELECT unnest([-1, 0, 1]) AS dy),
+             (SELECT unnest([-1, 0, 1]) AS dx)
+    ),
+    cand AS (
+        SELECT p.cust_a, p.lat_a, p.lon_a,
+               b.c_custkey AS cust_b, b.lat AS lat_b, b.lon AS lon_b
+        FROM probe p JOIN cells b ON p.cy = b.cy AND p.cx = b.cx
+        WHERE p.cust_a < b.c_custkey
+    )
+    SELECT cust_a, cust_b,
+           round(2 * {GEO_EARTH_KM} * asin(sqrt(
+               pow(sin(radians(lat_b - lat_a) / 2), 2)
+               + cos(radians(lat_a)) * cos(radians(lat_b))
+                 * pow(sin(radians(lon_b - lon_a) / 2), 2))), 3) AS dist_km
+    FROM cand
+    WHERE round(2 * {GEO_EARTH_KM} * asin(sqrt(
+              pow(sin(radians(lat_b - lat_a) / 2), 2)
+              + cos(radians(lat_a)) * cos(radians(lat_b))
+                * pow(sin(radians(lon_b - lon_a) / 2), 2))), 3)
+          <= {GEO_RADIUS_KM}
+"""
+QUERIES["geo_grid_join"] = geo_grid_join

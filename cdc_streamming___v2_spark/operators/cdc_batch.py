@@ -154,6 +154,62 @@ def debezium_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit over a CDC stream: per (object, payload key),
+    how many records carry the key and its first/last event time — the
+    report an operator reads before approving a registry evolution
+    (pairs with SchemaRegistry.check_evolution, which enforces it).
+
+    Drift is synthesized deterministically from order age: records before
+    1995 ship a v1 payload (no o_totalprice — the column didn't exist
+    yet); 1995-96 ship v2; 1997+ add o_orderpriority (v3).  ``to_json``
+    omits null struct fields, so the conditional columns vanish from old
+    records exactly like a producer-side schema change.  The parse side
+    reads ONLY the raw JSON text via json_object_keys — schema-on-read
+    over heterogeneous payloads, no registry needed.
+
+    Scale: serialize and key-explode are narrow; the report is one
+    (object, key)-aggregation with map-side combine.  On a real stream
+    this runs over the dead-letter + history sample, never full history.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    v2 = year >= 1995
+    v3 = year >= 1997
+    lines = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("orders_feed").alias("object"),
+                F.date_format(
+                    "o_orderdate", "yyyy-MM-dd'T'HH:mm:ssXXX"
+                ).alias("source_timestamp"),
+                F.struct(F.lit("INSERT").alias("change_type")).alias(
+                    "source_metadata"
+                ),
+                F.struct(
+                    F.col("o_orderkey"),
+                    F.col("o_custkey"),
+                    F.when(v2, F.col("o_totalprice")).alias("o_totalprice"),
+                    F.when(v3, F.col("o_orderpriority")).alias(
+                        "o_orderpriority"
+                    ),
+                ).alias("payload"),
+            )
+        ).alias("value")
+    )
+    env = parse_envelope(lines)
+    keys = env.select(
+        "object",
+        F.to_timestamp("update_date_raw").alias("ts"),
+        F.explode(F.json_object_keys(F.col("payload_json"))).alias("key"),
+    )
+    return keys.groupBy("object", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
 def sql_api_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry point: identical relational engine via spark.sql over
     registered views (CTE + outer join + agg), proving the surface is not
@@ -214,6 +270,7 @@ def commitlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "debezium_envelope_roundtrip": debezium_envelope_roundtrip,
+    "cdc_schema_drift_report": cdc_schema_drift_report,
     "sql_api_cte": sql_api_cte,
     "commitlog_changes": commitlog_changes,
 }
@@ -248,6 +305,28 @@ ORACLES = {
                max(o_orderdate) AS last_update
         FROM orders
         GROUP BY 1
+    """,
+    # ground truth from order-age conditions — which keys exist per schema
+    # era and their first/last timestamps
+    "cdc_schema_drift_report": """
+        WITH eras AS (
+            SELECT o_orderdate AS ts,
+                   year(o_orderdate) >= 1995 AS v2,
+                   year(o_orderdate) >= 1997 AS v3
+            FROM orders
+        ),
+        keys AS (
+            SELECT 'orders_feed' AS object, 'o_orderkey' AS key, ts FROM eras
+            UNION ALL
+            SELECT 'orders_feed', 'o_custkey', ts FROM eras
+            UNION ALL
+            SELECT 'orders_feed', 'o_totalprice', ts FROM eras WHERE v2
+            UNION ALL
+            SELECT 'orders_feed', 'o_orderpriority', ts FROM eras WHERE v3
+        )
+        SELECT object, key, CAST(count(*) AS BIGINT) AS n_records,
+               min(ts) AS first_seen, max(ts) AS last_seen
+        FROM keys GROUP BY 1, 2
     """,
     "sql_api_cte": """
         WITH cnt AS (

@@ -196,7 +196,82 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+IOJ_ERR_US = 10 * 60 * 1_000_000  # error interval length: 10 min in micros
+IOJ_BUCKET_US = 10 * 60 * 1_000_000  # time-chunk width for the equi-join
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join (the general form of the
+    point-in-interval range join above): per user, pair every ``error``
+    interval [ts, ts+10m] with every overlapping ``purchase`` interval
+    [ts, ts + value minutes], reporting the overlap duration.
+
+    All time arithmetic runs on INTEGER epoch-microseconds (unix_micros /
+    epoch_us) — bucket ids, the overlap predicate, and the overlap length
+    are integer-exact in both engines; only the final seconds conversion
+    divides.
+
+    Scale: each interval explodes to the IOJ_BUCKET_US-wide chunks it
+    covers (sequence over floor-div bucket ids — intervals here span <= a
+    few chunks), then a plain equi-join on (user_id, bucket).  A pair
+    spanning several shared chunks matches once per chunk, so a distinct
+    on the id pair dedupes BEFORE the verify predicate.  This is the
+    standard shuffle-friendly decomposition of an interval join: chunk
+    width trades fan-out (duplicated interval rows) against per-bucket
+    join density, and partitioning is (user, time-chunk) — exactly how a
+    100-TB session/outage correlation join is laid out.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        us.alias("e_start"),
+        (us + F.lit(IOJ_ERR_US)).alias("e_end"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        "user_id",
+        us.alias("p_start"),
+        (us + (F.col("value") * 60e6).cast("long")).alias("p_end"),
+    )
+
+    def bucketed(df, s, epts):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / IOJ_BUCKET_US).cast("long"),
+                    F.floor(F.col(epts) / IOJ_BUCKET_US).cast("long"),
+                )
+            ),
+        )
+
+    cand = (
+        bucketed(errors, "e_start", "e_end")
+        .join(bucketed(purchases, "p_start", "p_end"), ["user_id", "bucket"])
+        .select("user_id", "err_id", "pur_id", "e_start", "e_end",
+                "p_start", "p_end")
+        .distinct()
+    )
+    overlap_us = F.least("e_end", "p_end") - F.greatest("e_start", "p_start")
+    return (
+        cand.filter(
+            (F.col("e_start") < F.col("p_end"))
+            & (F.col("p_start") < F.col("e_end"))
+        )
+        .select(
+            "user_id",
+            "err_id",
+            "pur_id",
+            F.round(overlap_us / 1e6, 3).alias("overlap_seconds"),
+        )
+    )
+
+
 QUERIES = {
+    "interval_overlap_join": interval_overlap_join,
     "asof_join_purchase_view": asof_join_purchase_view,
     "asof_tolerance_join": asof_tolerance_join,
     "range_join_error_clicks": range_join_error_clicks,
@@ -205,6 +280,38 @@ QUERIES = {
 }
 
 ORACLES = {
+
+    "interval_overlap_join": f"""
+        WITH e AS (
+            SELECT event_id AS err_id, user_id,
+                   epoch_us(ts) AS e_start,
+                   epoch_us(ts) + {IOJ_ERR_US} AS e_end
+            FROM events WHERE event_type = 'error'
+        ),
+        p AS (
+            SELECT event_id AS pur_id, user_id,
+                   epoch_us(ts) AS p_start,
+                   epoch_us(ts) + CAST(value * 60e6 AS BIGINT) AS p_end
+            FROM events WHERE event_type = 'purchase'
+        ),
+        eb AS (SELECT *, unnest(generate_series(e_start // {IOJ_BUCKET_US},
+                                                e_end // {IOJ_BUCKET_US})) AS bucket
+               FROM e),
+        pb AS (SELECT *, unnest(generate_series(p_start // {IOJ_BUCKET_US},
+                                                p_end // {IOJ_BUCKET_US})) AS bucket
+               FROM p),
+        cand AS (
+            SELECT DISTINCT eb.user_id, err_id, pur_id,
+                            e_start, e_end, p_start, p_end
+            FROM eb JOIN pb ON eb.user_id = pb.user_id
+                           AND eb.bucket = pb.bucket
+        )
+        SELECT user_id, err_id, pur_id,
+               round((least(e_end, p_end) - greatest(e_start, p_start))
+                     / 1e6, 3) AS overlap_seconds
+        FROM cand
+        WHERE e_start < p_end AND p_start < e_end
+    """,
     "asof_join_purchase_view": """
         WITH v AS (
             SELECT user_id, ts, event_id, value,
