@@ -162,6 +162,25 @@ HEADLINE = [
     "burstiness",
     "rfm_segmentation",
     "cohort_ltv",
+    # round-5 additions
+    "debezium_envelope_roundtrip",
+    "cdc_schema_drift_report",
+    "clustering_coefficient",
+    "adamic_adar_linkpred",
+    "lpa_communities",
+    "naive_bayes_lang",
+    "knn_label_predict",
+    "feature_hashing",
+    "chi2_feature_select",
+    "heavy_hitters_topfreq",
+    "word_pmi_pairs",
+    "tokenizer_vocab_coverage",
+    "bpe_merge_rounds",
+    "l_diversity",
+    "dp_noisy_counts",
+    "lttb_downsample",
+    "geo_grid_join",
+    "interval_overlap_join",
 ]
 
 
