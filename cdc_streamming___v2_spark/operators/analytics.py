@@ -3054,3 +3054,373 @@ ORACLES["geo_grid_join"] = f"""
           <= {GEO_RADIUS_KM}
 """
 QUERIES["geo_grid_join"] = geo_grid_join
+
+
+# --- round-5 wave 2: statistics and operational analytics --------------------
+
+
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean order value between
+    every pair of customer market segments: t statistic and
+    Welch-Satterthwaite degrees of freedom per segment pair — the robust
+    two-sample test an experimentation platform defaults to (ab_test_lift
+    covers proportions; this covers means).
+
+    Scale: one (segment)-keyed moment aggregation (count/mean/variance
+    are mergeable single-pass aggregates), then a broadcast self-join of
+    the segment-cardinality frame — fact data is read once.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    m = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("o_totalprice").alias("mean"),
+        F.var_samp("o_totalprice").alias("var"),
+    )
+    a = m.select(
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("n").alias("na"),
+        F.col("mean").alias("ma"),
+        F.col("var").alias("va"),
+    )
+    b = m.select(
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("n").alias("nb"),
+        F.col("mean").alias("mb"),
+        F.col("var").alias("vb"),
+    )
+    sa, sb = F.col("va") / F.col("na"), F.col("vb") / F.col("nb")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb)
+    df = F.pow(sa + sb, 2) / (
+        F.pow(sa, 2) / (F.col("na") - 1) + F.pow(sb, 2) / (F.col("nb") - 1)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .select(
+            "seg_a",
+            "seg_b",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round(F.col("ma") - F.col("mb"), 2).alias("mean_diff"),
+            F.round(t, 4).alias("t_stat"),
+            F.round(df, 1).alias("welch_df"),
+        )
+    )
+
+
+ORACLES["welch_t_test"] = """
+    WITH m AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS DOUBLE) AS n,
+               avg(o_totalprice) AS mean,
+               var_samp(o_totalprice) AS var
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    )
+    SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.mean - b.mean, 2) AS mean_diff,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat,
+           round(pow(a.var / a.n + b.var / b.n, 2)
+                 / (pow(a.var / a.n, 2) / (a.n - 1)
+                    + pow(b.var / b.n, 2) / (b.n - 1)), 1) AS welch_df
+    FROM m a CROSS JOIN m b
+    WHERE a.c_mktsegment < b.c_mktsegment
+"""
+QUERIES["welch_t_test"] = welch_t_test
+
+
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's ``value``
+    holds (LOCF) until the user's next event; the average weights each
+    reading by its holding duration over the user's observation span —
+    the correct aggregate for irregularly-sampled series (finance TWAP,
+    sensor means), where the plain avg() over-weights bursts.
+
+    Durations are integer epoch-microsecond differences (exact in both
+    engines); users with a single event have zero span and are excluded.
+
+    Scale: one lead() window per user partition (a single user-keyed
+    shuffle), then a per-user aggregation — the locf_fill shape plus a
+    weighted mean.
+    """
+    from ..sources.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "value")
+    spans = e.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(F.col("value") * (F.col("next_us") - F.col("us"))).alias("wsum"),
+            F.sum(F.col("next_us") - F.col("us")).alias("span_us"),
+            F.avg("value").alias("plain_avg"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(F.col("wsum") / F.col("span_us"), 4).alias("twap"),
+            F.round("plain_avg", 4).alias("naive_avg"),
+            F.round(F.col("span_us") / 3.6e9, 2).alias("span_hours"),
+        )
+    )
+
+
+ORACLES["twap_user_value"] = """
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ),
+    spans AS (
+        SELECT user_id, us, value,
+               lead(us) OVER (PARTITION BY user_id
+                              ORDER BY us, value) AS next_us
+        FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(sum(value * (next_us - us)) / sum(next_us - us), 4) AS twap,
+           round(avg(value), 4) AS naive_avg,
+           round(sum(next_us - us) / 3.6e9, 2) AS span_hours
+    FROM spans WHERE next_us IS NOT NULL
+    GROUP BY user_id
+"""
+QUERIES["twap_user_value"] = twap_user_value
+
+
+CLAMP_MIN_MOVES = 20  # report parts with at least this many movements
+
+
+def inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running inventory balance per part — shipments of
+    return-flagged lines add stock, normal lines remove it, and the
+    balance can never go negative (you can't ship what you don't have).
+    The clamped prefix sum LOOKS inherently sequential, but has the
+    closed window form  b_t = s_t - least(0, min_{k<=t} s_k)  (plain
+    running sum corrected by the running minimum), so it runs as two
+    frame-accumulating window passes per part partition — the trick that
+    turns an "imperative" scan into a distributed plan.
+
+    Scale: both windows share ONE part-keyed exchange; per-part sequences
+    are bounded (movements per part), no global window anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        .otherwise(-F.col("l_quantity"))
+        .alias("delta"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    run = li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("delta").over(w).alias("s"),
+    ).withColumn("b", F.col("s") - F.least(F.lit(0.0), F.min("s").over(w)))
+    return (
+        run.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+            F.round(F.max("b"), 2).alias("peak_balance"),
+            F.round(F.min("b"), 2).alias("min_balance"),
+        )
+        .filter(F.col("n_moves") >= CLAMP_MIN_MOVES)
+    )
+
+
+ORACLES["inventory_clamped_balance"] = f"""
+    WITH li AS (
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+               CASE WHEN l_returnflag = 'R' THEN l_quantity
+                    ELSE -l_quantity END AS delta
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+               sum(delta) OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber) AS s
+        FROM li
+    ),
+    run AS (
+        SELECT l_partkey,
+               s - least(0.0, min(s) OVER (PARTITION BY l_partkey
+                                           ORDER BY l_shipdate, l_orderkey,
+                                                    l_linenumber)) AS b
+        FROM sums
+    )
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_moves,
+           round(max(b), 2) AS peak_balance,
+           round(min(b), 2) AS min_balance
+    FROM run GROUP BY 1
+    HAVING count(*) >= {CLAMP_MIN_MOVES}
+"""
+QUERIES["inventory_clamped_balance"] = inventory_clamped_balance
+
+
+def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for the two hottest fact keys (lineitem join
+    key l_orderkey, orders distribution key o_custkey): per-key-count
+    distribution stats — max/mean ratio, p99, and the share of rows held
+    by the single hottest key.  This is the diagnostic that decides
+    between a plain shuffle join, AQE skew splitting, and manual salting
+    (skew_salted_join implements the remedy; this measures the disease).
+
+    Scale: one count-per-key aggregation per fact column, then stats over
+    the key-cardinality frame — percentile runs on counts, not rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_orderkey").alias("key_col"),
+        F.col("l_orderkey").cast("string").alias("k"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders.o_custkey").alias("key_col"),
+        F.col("o_custkey").cast("string").alias("k"),
+    )
+    counts = (
+        li.unionByName(o)
+        .groupBy("key_col", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("key_col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.round(F.max("c") / F.avg("c"), 4).alias("max_over_mean"),
+        F.expr("CAST(percentile(c, 0.99) AS DOUBLE)").alias("p99_raw"),
+    ).select(
+        "key_col",
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "max_over_mean",
+        F.round("p99_raw", 2).alias("p99_key_rows"),
+    )
+
+
+ORACLES["skew_diagnostics"] = """
+    WITH facts AS (
+        SELECT 'lineitem.l_orderkey' AS key_col,
+               CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ),
+    counts AS (
+        SELECT key_col, k, count(*) AS c FROM facts GROUP BY 1, 2
+    )
+    SELECT key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           round(max(c) / avg(c), 4) AS max_over_mean,
+           round(quantile_cont(c, 0.99), 2) AS p99_key_rows
+    FROM counts GROUP BY 1
+"""
+QUERIES["skew_diagnostics"] = skew_diagnostics
+
+
+def ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature OLS (normal equations on CENTERED data):
+    fit l_extendedprice ~ l_quantity + l_discount over lineitem and
+    report coefficients, intercept and R^2 — multiple regression as two
+    aggregation passes (means, then centered cross-moments) and a 2x2
+    Cramer solve, the distributed-friendly closed form (no gradient
+    loop, no driver iteration).
+
+    Centering before the moment sums keeps the Cramer determinant away
+    from catastrophic cancellation, so the 4-decimal rounding sits far
+    above cross-engine float-reassociation noise.
+
+    Scale: two map-side-combined full-table aggregates (the second takes
+    the 1-row means frame as a broadcast) — the same shape at any data
+    size; d features would need d^2 moment columns, still one pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    means = li.agg(
+        F.avg("x1").alias("m1"), F.avg("x2").alias("m2"), F.avg("y").alias("my")
+    )
+    c = li.crossJoin(F.broadcast(means))
+    d1, d2, dy = (
+        F.col("x1") - F.col("m1"),
+        F.col("x2") - F.col("m2"),
+        F.col("y") - F.col("my"),
+    )
+    mom = c.agg(
+        F.sum(d1 * d1).alias("s11"),
+        F.sum(d1 * d2).alias("s12"),
+        F.sum(d2 * d2).alias("s22"),
+        F.sum(d1 * dy).alias("s1y"),
+        F.sum(d2 * dy).alias("s2y"),
+        F.sum(dy * dy).alias("syy"),
+        F.first("m1").alias("m1"),
+        F.first("m2").alias("m2"),
+        F.first("my").alias("my"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    b2 = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    ess = b1 * F.col("s1y") + b2 * F.col("s2y")
+    return mom.select(
+        F.col("n"),
+        F.round(b1, 4).alias("beta_quantity"),
+        F.round(b2, 4).alias("beta_discount"),
+        F.round(F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 4).alias(
+            "intercept"
+        ),
+        F.round(ess / F.col("syy"), 6).alias("r2"),
+    )
+
+
+ORACLES["ols_two_feature"] = """
+    WITH li AS (
+        SELECT l_quantity AS x1, l_discount AS x2, l_extendedprice AS y
+        FROM lineitem
+    ),
+    means AS (
+        SELECT avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my FROM li
+    ),
+    mom AS (
+        SELECT sum((x1 - m1) * (x1 - m1)) AS s11,
+               sum((x1 - m1) * (x2 - m2)) AS s12,
+               sum((x2 - m2) * (x2 - m2)) AS s22,
+               sum((x1 - m1) * (y - my)) AS s1y,
+               sum((x2 - m2) * (y - my)) AS s2y,
+               sum((y - my) * (y - my)) AS syy,
+               any_value(m1) AS m1, any_value(m2) AS m2,
+               any_value(my) AS my,
+               CAST(count(*) AS BIGINT) AS n
+        FROM li CROSS JOIN means
+    )
+    SELECT n,
+           round((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12), 4)
+               AS beta_quantity,
+           round((s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12), 4)
+               AS beta_discount,
+           round(my - (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) * m1
+                    - (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) * m2,
+                 4) AS intercept,
+           round(((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) * s1y
+                  + (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) * s2y)
+                 / syy, 6) AS r2
+    FROM mom
+"""
+QUERIES["ols_two_feature"] = ols_two_feature
