@@ -807,6 +807,118 @@ def _lpa_oracle() -> str:
     """
 
 
+
+BF_ROUNDS = 3  # synchronous relaxation rounds (static DAG depth)
+
+
+def bellman_ford_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source cheapest path (Bellman-Ford, BF_ROUNDS
+    synchronous relaxation rounds) from nation BFS_SOURCE over the trade
+    graph — bfs_hops counts hops; this minimizes an additive edge cost.
+    Edge cost is INTEGER ceil(1e9 / lineitem_count) — heavier trade =
+    cheaper hop — so every path cost is an exact bigint in both engines
+    (min-plus over floats would be ULP-tie territory).
+
+    Scale: each round is one equi-join of the edge list against the
+    node-sized distance vector + a groupBy-min — the exact relaxation a
+    Pregel/GraphFrames BFS runs, expressed relationally; the edge list
+    partitioning by src is reused across rounds.  Unreachable (within
+    BF_ROUNDS hops) nations report cost -1.
+    """
+    und = _scaled_und(spark, sf_dir)
+    e = _trade_edges(spark, sf_dir).select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+        F.col("w"),
+    ).groupBy("u", "v").agg(F.sum("w").alias("w")).join(und, ["u", "v"])
+    cost = F.ceil(F.lit(1_000_000_000) / F.col("w")).cast("long")
+    edges = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                 cost.alias("cost"))
+        .union(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"),
+                     cost.alias("cost"))
+        )
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nodes = n.select(F.col("n_nationkey").cast("long").alias("node"))
+    dist = nodes.withColumn(
+        "d",
+        F.when(F.col("node") == BFS_SOURCE, F.lit(0).cast("long")).otherwise(
+            F.lit(None).cast("long")
+        ),
+    )
+    for _ in range(BF_ROUNDS):
+        relaxed = (
+            edges.join(
+                dist.filter(F.col("d").isNotNull())
+                .withColumnRenamed("node", "src")
+                .withColumnRenamed("d", "ds"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("ds") + F.col("cost")).alias("dr"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "left")
+            .select("node", F.least("d", "dr").alias("d"))
+        )
+    return (
+        dist.join(n, dist.node == n.n_nationkey)
+        .select(
+            F.col("node").cast("bigint").alias("nationkey"),
+            "n_name",
+            F.coalesce(F.col("d"), F.lit(-1)).cast("bigint").alias("min_cost"),
+        )
+    )
+
+
+def _bf_oracle() -> str:
+    ctes = [
+        _SCALED_UND_SQL.strip(),
+        f"""wsum AS (
+            SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+                   sum(w) AS w
+            FROM edges0 GROUP BY 1, 2
+        )""",
+        """ecost AS (
+            SELECT ws.u, ws.v,
+                   CAST(ceil(1000000000.0 / ws.w) AS BIGINT) AS cost
+            FROM wsum ws JOIN und ON ws.u = und.u AND ws.v = und.v
+        )""",
+        """edges AS (
+            SELECT u AS src, v AS dst, cost FROM ecost
+            UNION ALL SELECT v, u, cost FROM ecost
+        )""",
+        "nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation)",
+        f"""d0 AS (
+            SELECT node,
+                   CASE WHEN node = {BFS_SOURCE}
+                        THEN CAST(0 AS BIGINT) END AS d
+            FROM nodes
+        )""",
+    ]
+    for i in range(1, BF_ROUNDS + 1):
+        prev = f"d{i - 1}"
+        ctes.append(f"""r{i} AS (
+            SELECT e.dst AS node, min(p.d + e.cost) AS dr
+            FROM edges e JOIN {prev} p ON e.src = p.node
+            WHERE p.d IS NOT NULL
+            GROUP BY e.dst
+        )""")
+        ctes.append(f"""d{i} AS (
+            SELECT p.node, least(p.d, r.dr) AS d
+            FROM {prev} p LEFT JOIN r{i} r ON p.node = r.node
+        )""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT CAST(d.node AS BIGINT) AS nationkey, n.n_name,
+               CAST(coalesce(d.d, -1) AS BIGINT) AS min_cost
+        FROM d{BF_ROUNDS} d JOIN nation n ON d.node = n.n_nationkey
+    """
+
+
 QUERIES = {
     "pagerank_nations": pagerank_nations,
     "triangle_count": triangle_count,
@@ -816,6 +928,7 @@ QUERIES = {
     "clustering_coefficient": clustering_coefficient,
     "adamic_adar_linkpred": adamic_adar_linkpred,
     "lpa_communities": lpa_communities,
+    "bellman_ford_cheapest": bellman_ford_cheapest,
 }
 
 ORACLES = {
@@ -827,4 +940,5 @@ ORACLES = {
     "clustering_coefficient": _cc_oracle(),
     "adamic_adar_linkpred": _aa_oracle(),
     "lpa_communities": _lpa_oracle(),
+    "bellman_ford_cheapest": _bf_oracle(),
 }

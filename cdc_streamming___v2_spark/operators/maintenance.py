@@ -207,12 +207,88 @@ def _zorder_oracle() -> str:
     """
 
 
+
+def incremental_join_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view — the delta-join
+    algebra (Blakeley et al. 1986's counting method, aggregate form): for
+    V = orders |><| customer aggregated to (segment, n_orders, revenue),
+    when BOTH sides receive deltas the refresh is
+
+        V_new = V_old + agg(dO |><| C_old) + agg(O_old |><| dC)
+                      + agg(dO |><| dC)
+
+    because the four join terms partition the new pair set exactly.  Here
+    orders AND customers split into old/delta slices (key mod 4 / mod 3),
+    the view is maintained through the three delta joins, and the oracle
+    recomputes the full join directly — equality proves the algebra, which
+    is what lets a 100-TB MV refresh scan only the arriving slices plus
+    the (dimension-sized) other side instead of re-joining history.
+
+    Sums run over DECIMAL (exact, associative) so base+delta equals the
+    oracle's one-pass sum bit-for-bit; counts merge additively.
+
+    Scale: each delta join shuffles delta-sized rows against a broadcast
+    or co-partitioned other side; V_old is group-cardinality-sized.  The
+    final merge is a segment-keyed union+sum over 4 tiny aggregates.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o_old = o.filter(F.col("o_orderkey") % 4 != 0)
+    o_new = o.filter(F.col("o_orderkey") % 4 == 0)
+    c_old = c.filter(F.col("c_custkey") % 3 != 0)
+    c_new = c.filter(F.col("c_custkey") % 3 == 0)
+
+    def view(orders, custs):
+        return (
+            orders.join(F.broadcast(custs), orders.o_custkey == custs.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("rev"),
+            )
+        )
+
+    v_old = view(o_old, c_old)            # the stored MV
+    d1 = view(o_new, c_old)               # dO |><| C_old
+    d2 = view(o_old, c_new)               # O_old |><| dC
+    d3 = view(o_new, c_new)               # dO |><| dC
+    merged = (
+        v_old.unionByName(d1).unionByName(d2).unionByName(d3)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("rev").alias("rev"),
+        )
+    )
+    return merged.select(
+        "c_mktsegment",
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+    )
+
+
+_MV_JOIN_ORACLE = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2)
+               AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+"""
+
+
 QUERIES = {
+    "incremental_join_maintain": incremental_join_maintain,
     "incremental_agg_maintain": incremental_agg_maintain,
     "zorder_layout": zorder_layout,
 }
 
 ORACLES = {
+    "incremental_join_maintain": _MV_JOIN_ORACLE,
     "incremental_agg_maintain": _MV_ORACLE,
     "zorder_layout": _zorder_oracle(),
 }
