@@ -80,6 +80,13 @@ _GATE_PRIORITY = (
     "lttb_downsample",
     "geo_grid_join",
     "interval_overlap_join",
+    "welch_t_test",
+    "twap_user_value",
+    "inventory_clamped_balance",
+    "skew_diagnostics",
+    "ols_two_feature",
+    "incremental_join_maintain",
+    "bellman_ford_cheapest",
     # -- (3) round-5 modified implementations (re-proof wanted) --
     "ngram_jaccard_pairs",
     "bpe_pair_counts",

@@ -181,6 +181,13 @@ HEADLINE = [
     "lttb_downsample",
     "geo_grid_join",
     "interval_overlap_join",
+    "welch_t_test",
+    "twap_user_value",
+    "inventory_clamped_balance",
+    "skew_diagnostics",
+    "ols_two_feature",
+    "incremental_join_maintain",
+    "bellman_ford_cheapest",
 ]
 
 
