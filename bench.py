@@ -188,6 +188,8 @@ HEADLINE = [
     "ols_two_feature",
     "incremental_join_maintain",
     "bellman_ford_cheapest",
+    "weighted_median_price",
+    "golden_record",
 ]
 
 

@@ -3096,7 +3096,9 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(sa, 2) / (F.col("na") - 1) + F.pow(sb, 2) / (F.col("nb") - 1)
     )
     return (
-        a.crossJoin(b)
+        # segment-cardinality sides: broadcast the pairing (BNLJ on a
+        # 5-row frame), never a CartesianProduct shuffle
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("seg_a") < F.col("seg_b"))
         .select(
             "seg_a",
@@ -3424,3 +3426,86 @@ ORACLES["ols_two_feature"] = """
     FROM mom
 """
 QUERIES["ols_two_feature"] = ols_two_feature
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median (and p25/p75) of extended price per brand:
+    the weighted-percentile primitive (each row counts l_quantity times)
+    computed WITHOUT expanding rows by weight — a cumulative-weight window
+    per group picks the first row whose running weight crosses half the
+    total.  Weights are integer-valued quantities, so the crossing test
+    (2*cumw >= totw, integer cross-multiply) is exact in both engines.
+
+    Scale: one brand-partitioned sort window + a group total join — the
+    weighted generalization of exact median, same two-shuffle shape; no
+    explode by weight (a 100-TB anti-pattern when weights are large).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", F.col("l_quantity").cast("long").alias("q")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    w = Window.partitionBy("p_brand").orderBy("l_extendedprice", "l_partkey")
+    cum = j.select(
+        "p_brand",
+        "l_extendedprice",
+        F.sum("q").over(w).alias("cumw"),
+    )
+    tot = j.groupBy("p_brand").agg(
+        F.sum("q").alias("totw"), F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    c = cum.join(F.broadcast(tot.select("p_brand", "totw")), "p_brand")
+
+    def pick(mult: int, frac_num: int):
+        # first price whose cumulative weight reaches frac of total:
+        # cumw * mult >= totw * frac_num   (integer cross-multiply)
+        return F.min(
+            F.when(
+                F.col("cumw") * mult >= F.col("totw") * frac_num,
+                F.col("l_extendedprice"),
+            )
+        )
+
+    agg = c.groupBy("p_brand").agg(
+        pick(4, 1).alias("wp25"),
+        pick(2, 1).alias("wmedian"),
+        pick(4, 3).alias("wp75"),
+    )
+    return agg.join(F.broadcast(tot), "p_brand").select(
+        "p_brand",
+        "n_lines",
+        F.col("totw").cast("bigint").alias("total_qty"),
+        F.round("wp25", 2).alias("wp25"),
+        F.round("wmedian", 2).alias("wmedian"),
+        F.round("wp75", 2).alias("wp75"),
+    )
+
+
+ORACLES["weighted_median_price"] = """
+    WITH j AS (
+        SELECT p_brand, l_extendedprice, CAST(l_quantity AS BIGINT) AS q,
+               l_partkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    cum AS (
+        SELECT p_brand, l_extendedprice,
+               sum(q) OVER (PARTITION BY p_brand
+                            ORDER BY l_extendedprice, l_partkey) AS cumw
+        FROM j
+    ),
+    tot AS (
+        SELECT p_brand, sum(q) AS totw,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM j GROUP BY 1
+    )
+    SELECT c.p_brand, t.n_lines, CAST(t.totw AS BIGINT) AS total_qty,
+           round(min(CASE WHEN c.cumw * 4 >= t.totw * 1
+                          THEN c.l_extendedprice END), 2) AS wp25,
+           round(min(CASE WHEN c.cumw * 2 >= t.totw * 1
+                          THEN c.l_extendedprice END), 2) AS wmedian,
+           round(min(CASE WHEN c.cumw * 4 >= t.totw * 3
+                          THEN c.l_extendedprice END), 2) AS wp75
+    FROM cum c JOIN tot t ON c.p_brand = t.p_brand
+    GROUP BY c.p_brand, t.n_lines, t.totw
+"""
+QUERIES["weighted_median_price"] = weighted_median_price

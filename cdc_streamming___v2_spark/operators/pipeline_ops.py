@@ -1074,3 +1074,91 @@ ORACLES["dsir_importance_weights"] = f"""
     FROM tf f JOIN model m ON f.b = m.b
     GROUP BY 1, 2
 """
+
+
+def golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship: collapse each exact-duplicate document cluster
+    (same normalized text hash — the dedup_exact universe) into ONE
+    golden record with per-attribute survival rules: smallest id wins
+    identity, the longest raw text survives, the most frequent
+    lang/source win with lexicographic tie-break, and lineage keeps the
+    member count — the "merge" step every entity-resolution pipeline
+    runs after clustering (dedup_exact/entity_resolution pick members;
+    this builds the record).
+
+    Scale: one cluster-keyed aggregation; the frequency-vote rules are
+    (cluster, value)-counts reduced by max_by(struct) — two map-side-
+    combined shuffles, no windows, no joins back to the fact table.
+    """
+    from ..functions.texts import normalized
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(
+        F.md5(normalized(F.col("text"))).alias("cluster"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    votes_lang = (
+        c.groupBy("cluster", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("cluster")
+        .agg(
+            F.max_by(
+                F.col("lang"), F.struct(F.col("n"), F.col("lang"))
+            ).alias("golden_lang")
+        )
+    )
+    votes_src = (
+        c.groupBy("cluster", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("cluster")
+        .agg(
+            F.max_by(
+                F.col("source"), F.struct(F.col("n"), F.col("source"))
+            ).alias("golden_source")
+        )
+    )
+    base = c.groupBy("cluster").agg(
+        F.min("doc_id").cast("bigint").alias("golden_id"),
+        F.max("n_chars").cast("bigint").alias("golden_n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    return base.join(votes_lang, "cluster").join(votes_src, "cluster")
+
+
+ORACLES["golden_record"] = """
+    WITH c AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS cluster,
+               doc_id, lang, source, n_chars
+        FROM documents
+    ),
+    vl AS (
+        SELECT cluster, lang AS golden_lang FROM (
+            SELECT cluster, lang,
+                   row_number() OVER (PARTITION BY cluster
+                       ORDER BY count(*) DESC, lang DESC) AS rn
+            FROM c GROUP BY cluster, lang) WHERE rn = 1
+    ),
+    vs AS (
+        SELECT cluster, source AS golden_source FROM (
+            SELECT cluster, source,
+                   row_number() OVER (PARTITION BY cluster
+                       ORDER BY count(*) DESC, source DESC) AS rn
+            FROM c GROUP BY cluster, source) WHERE rn = 1
+    ),
+    base AS (
+        SELECT cluster,
+               CAST(min(doc_id) AS BIGINT) AS golden_id,
+               CAST(max(n_chars) AS BIGINT) AS golden_n_chars,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM c GROUP BY cluster
+    )
+    SELECT b.cluster, b.golden_id, b.golden_n_chars, b.n_members,
+           vl.golden_lang, vs.golden_source
+    FROM base b JOIN vl ON b.cluster = vl.cluster
+    JOIN vs ON b.cluster = vs.cluster
+"""
+QUERIES["golden_record"] = golden_record

@@ -417,3 +417,44 @@ def test_ngram_jaccard_shuffles_hashed_shingle_keys(spark):
     # the hashed key expression must appear in the plan; conv(substring(
     # md5(...))) is the md5_hash_long lowering
     assert "md5" in p and "conv" in p
+
+
+def test_round5_ops_never_plan_cartesian(spark):
+    """Blanket physical audit for the round-5 additions: everything must
+    plan equi-joins/broadcasts — the only sanctioned non-equi plan is
+    knn's 5-row broadcast NLJ (covered in test_ml_ops)."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+    from cdc_streamming___v2_spark.operators import cdc_batch as C5
+    from cdc_streamming___v2_spark.operators import corpus_ops as CO5
+    from cdc_streamming___v2_spark.operators import graph as G5
+    from cdc_streamming___v2_spark.operators import maintenance as M5
+    from cdc_streamming___v2_spark.operators import pipeline_ops as P5
+    from cdc_streamming___v2_spark.operators import temporal as T5
+    from cdc_streamming___v2_spark.operators import text_analysis as TA5
+
+    for fn in (
+        C5.debezium_envelope_roundtrip,
+        C5.cdc_schema_drift_report,
+        G5.clustering_coefficient,
+        G5.adamic_adar_linkpred,
+        G5.lpa_communities,
+        G5.bellman_ford_cheapest,
+        CO5.word_pmi_pairs,
+        CO5.tokenizer_vocab_coverage,
+        TA5.bpe_merge_rounds,
+        A5.l_diversity,
+        A5.dp_noisy_counts,
+        A5.lttb_downsample,
+        A5.geo_grid_join,
+        A5.welch_t_test,
+        A5.twap_user_value,
+        A5.inventory_clamped_balance,
+        A5.skew_diagnostics,
+        A5.ols_two_feature,
+        A5.weighted_median_price,
+        T5.interval_overlap_join,
+        M5.incremental_join_maintain,
+        P5.golden_record,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
