@@ -194,7 +194,8 @@ HEADLINE = [
 
 
 def _bench_cdc_ingest(
-    spark, sf_dir: str, source_format: str = "file"
+    spark, sf_dir: str, source_format: str = "file",
+    envelope_format: str = "datastream",
 ) -> tuple[float, int]:
     """End-to-end CDC ingest throughput: envelope NDJSON (synthesized from
     orders, written untimed) -> streaming parse/route/append via CdcIngest
@@ -253,6 +254,34 @@ def _bench_cdc_ingest(
                 )
             ).alias("value")
         )
+        if envelope_format == "debezium":
+            # the same rows as Debezium change records: op c/u/d from the
+            # key, full after image (before for deletes), ts_ms epoch
+            # millis, source.table routing — through the SAME registry
+            op = F.element_at(
+                F.array(F.lit("c"), F.lit("u"), F.lit("d")),
+                (F.col("o_orderkey") % 3 + 1).cast("int"),
+            )
+            image = F.struct(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+            is_del = F.col("o_orderkey") % 3 == 2
+            lines = o.select(
+                F.to_json(
+                    F.struct(
+                        op.alias("op"),
+                        F.unix_millis(F.to_timestamp("o_orderdate")).alias(
+                            "ts_ms"
+                        ),
+                        F.when(is_del, image).alias("before"),
+                        F.when(~is_del, image).alias("after"),
+                        F.struct(
+                            F.lit("bench").alias("db"),
+                            F.lit("orders_feed").alias("table"),
+                        ).alias("source"),
+                    )
+                ).alias("value")
+            )
         n_rows = lines.count()
         lines.write.mode("overwrite").text(in_dir)  # untimed setup
 
@@ -269,6 +298,7 @@ def _bench_cdc_ingest(
             checkpoint_dir=os.path.join(work, "ckpt"),
             partition_granularity="month",
             source_format=source_format,
+            envelope_format=envelope_format,
         )
         t0 = time.time()
         ingest.run_available_single_pass()
@@ -277,6 +307,24 @@ def _bench_cdc_ingest(
         return wall, n_rows
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _bench_cdc_ingest_debezium(spark, sf_dir: str) -> dict:
+    """Debezium-envelope ingest twin (VERDICT r4 #1): the same change
+    rows as Debezium records (op/before/after/ts_ms/source.table) through
+    the identical parse/route/sink path."""
+    wall, rows = min(
+        (
+            _bench_cdc_ingest(spark, sf_dir, envelope_format="debezium")
+            for _ in range(2)
+        ),
+        key=lambda t: t[0],
+    )
+    return {
+        "rows": rows,
+        "wall_s": round(wall, 3),
+        "rows_per_s": round(rows / wall),
+    }
 
 
 def _bench_cdc_ingest_kafka_format(spark, sf_dir: str) -> dict:
@@ -333,6 +381,9 @@ def main() -> None:
         "q5_local_supplier_volume",
         "q10_returned_items",
         "dup_spans",  # observed one 5x outlier run under a host-load burst
+        # 6x in-bench outlier in r5 (1.2s both repeats vs 0.39-0.49s warm
+        # isolated x6) — cold-context spike, so give it a third repeat
+        "rolling_correlation",
     }
 
     per_query: dict[str, float] = {}
@@ -356,6 +407,7 @@ def main() -> None:
     cdc_runs = [_bench_cdc_ingest(spark, sf_dir) for _ in range(3)]
     cdc_wall, cdc_rows = min(cdc_runs, key=lambda t: t[0])
     cdc_kafka = _bench_cdc_ingest_kafka_format(spark, sf_dir)
+    cdc_debezium = _bench_cdc_ingest_debezium(spark, sf_dir)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     cdc_ingest = {
@@ -375,6 +427,7 @@ def main() -> None:
         "n_queries": len(per_query),
         "cdc_ingest": cdc_ingest,
         "cdc_ingest_kafka_format": cdc_kafka,
+        "cdc_ingest_debezium": cdc_debezium,
     }
     # fold in the 10x scale-evidence record when tools/scale_evidence.py
     # has been run (VERDICT r3 #6) so bench_results.json carries both
