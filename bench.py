@@ -384,6 +384,11 @@ def main() -> None:
         # 6x in-bench outlier in r5 (1.2s both repeats vs 0.39-0.49s warm
         # isolated x6) — cold-context spike, so give it a third repeat
         "rolling_correlation",
+        # same pattern observed r5: 3.8s/2.4s in-bench vs ~0.95s isolated
+        # (4-table edge-list build / iterative Gram chain — wide codegen
+        # paying JIT + host-load bursts)
+        "degree_assortativity",
+        "pca_top_component",
     }
 
     per_query: dict[str, float] = {}
