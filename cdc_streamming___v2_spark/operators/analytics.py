@@ -3509,3 +3509,287 @@ ORACLES["weighted_median_price"] = """
     GROUP BY c.p_brand, t.n_lines, t.totw
 """
 QUERIES["weighted_median_price"] = weighted_median_price
+
+
+# --- max drawdown ------------------------------------------------------------
+
+
+def max_drawdown_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's running balance — the classic
+    risk/monitoring statistic (largest peak-to-trough drop).  Purchases
+    debit the balance, every other event credits it, so the cumulative
+    series actually goes up AND down.
+
+    Construction: running balance = ordered prefix sum per user; running
+    peak = prefix max of the balance; drawdown = peak - balance; answer =
+    max drawdown.  Three stacked windows, all partitioned by user_id and
+    ordered by (ts, event_id) — ONE shuffle at 100 TB, no self-join.
+    Float parity: prefix sums are evaluated in the explicit window order
+    on both engines (sequential association, not reassociating partials),
+    so the doubles match bit-for-bit; outputs still round defensively.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("flow"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    b = e.withColumn("bal", F.sum("flow").over(run)).withColumn(
+        "peak", F.max("bal").over(run)
+    )
+    return b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.max(F.col("peak") - F.col("bal")), 4).alias("max_drawdown"),
+        F.round(F.sum("flow"), 4).alias("final_balance"),
+    )
+
+
+ORACLES["max_drawdown_user"] = """
+    WITH flows AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase' THEN -value
+                    ELSE value END AS flow
+        FROM events
+    ),
+    bals AS (
+        SELECT user_id, ts, event_id, flow,
+               sum(flow) OVER w AS bal
+        FROM flows
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    run AS (
+        SELECT user_id, flow, bal,
+               max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+        FROM bals
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(peak - bal), 4) AS max_drawdown,
+           round(sum(flow), 4) AS final_balance
+    FROM run GROUP BY 1
+"""
+QUERIES["max_drawdown_user"] = max_drawdown_user
+
+
+# --- STL-lite seasonal decomposition -----------------------------------------
+
+STL_HALF = 3  # centered moving-average half-width -> 7-day trend window
+
+
+def stl_lite_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of daily order
+    revenue (classical decomposition — the moving-average core of STL
+    without the loess refinements): trend = centered 7-day moving average,
+    seasonal = mean detrended value per weekday, residual = the rest.
+    Only interior days (full 7-day window) are emitted.
+
+    Exactness: revenue becomes integer cents BEFORE any aggregation, so
+    daily totals and the 7-day window sums are exact integers; the trend
+    is one division of exact integers (identical doubles on both engines).
+    The per-weekday seasonal mean reassociates (~1e-16 relative), rounded
+    far above the noise.
+
+    Scale: one groupBy to day cardinality (map-side combined), then every
+    window runs on the day-level frame — bounded by the calendar (~2.5 k
+    rows for 7 years) regardless of corpus size, the same bounded-frame
+    argument as the score-grid AUC.  Weekday index is Monday=0 in both
+    engines (Spark dayofweek is Sun=1..Sat=7, DuckDB Sun=0..Sat=6).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-STL_HALF, STL_HALF)
+    t = (
+        daily.withColumn("n_win", F.count(F.lit(1)).over(w7))
+        .withColumn("win_cents", F.sum("cents").over(w7))
+        .filter(F.col("n_win") == 2 * STL_HALF + 1)
+        .withColumn("trend_c", F.col("win_cents") / (2 * STL_HALF + 1))
+        .withColumn("wd", (F.dayofweek("day") + 5) % 7)
+        .withColumn("detr", F.col("cents") - F.col("trend_c"))
+    )
+    seas = t.groupBy("wd").agg(F.avg("detr").alias("seas_c"))
+    return (
+        t.join(F.broadcast(seas), "wd")
+        .select(
+            "day",
+            F.col("wd").cast("bigint").alias("weekday"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("trend_c") / 100.0, 2).alias("trend"),
+            F.round(F.col("seas_c") / 100.0, 2).alias("seasonal"),
+            F.round(
+                (F.col("detr") - F.col("seas_c")) / 100.0, 2
+            ).alias("residual"),
+        )
+    )
+
+
+ORACLES["stl_lite_decompose"] = f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT day, cents,
+               count(*) OVER w AS n_win,
+               sum(cents) OVER w AS win_cents
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN {STL_HALF} PRECEDING
+                     AND {STL_HALF} FOLLOWING)
+    ),
+    interior AS (
+        SELECT day, cents,
+               win_cents / {2 * STL_HALF + 1} AS trend_c,
+               (dayofweek(day) + 6) % 7 AS wd,
+               cents - win_cents / {2 * STL_HALF + 1} AS detr
+        FROM t WHERE n_win = {2 * STL_HALF + 1}
+    ),
+    seas AS (SELECT wd, avg(detr) AS seas_c FROM interior GROUP BY 1)
+    SELECT i.day,
+           CAST(i.wd AS BIGINT) AS weekday,
+           round(i.cents / 100.0, 2) AS revenue,
+           round(i.trend_c / 100.0, 2) AS trend,
+           round(s.seas_c / 100.0, 2) AS seasonal,
+           round((i.detr - s.seas_c) / 100.0, 2) AS residual
+    FROM interior i JOIN seas s ON i.wd = s.wd
+"""
+QUERIES["stl_lite_decompose"] = stl_lite_decompose
+
+
+# --- HHI market concentration ------------------------------------------------
+
+
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier-nation revenue concentration
+    within each region (share-squared sum scaled to the antitrust 0-10000
+    convention) — the concentration screen next to revenue_gini.
+
+    Exactness: per-lineitem revenue becomes integer cents in the scan
+    (one rounding of identical doubles), nation/region totals are exact
+    integer sums, each share is ONE division of exact integers; the <= 25
+    share-squared terms reassociate below the rounding contract.
+    Scale: one lineitem-sized agg to nation cardinality with broadcast
+    dims — map-side combined, no extra shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_nationkey")
+        .agg(F.sum("cents").alias("nat_cents"))
+    )
+    reg = nat.groupBy("r_name").agg(F.sum("nat_cents").alias("reg_cents"))
+    share = nat.join(reg, "r_name").withColumn(
+        "sh", F.col("nat_cents") / F.col("reg_cents")
+    )
+    return share.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.round(F.sum(F.col("sh") * F.col("sh")) * 10000, 4).alias("hhi"),
+    )
+
+
+ORACLES["hhi_concentration"] = """
+    WITH nat AS (
+        SELECT r.r_name, n.n_nationkey,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100,
+                              0) AS BIGINT)) AS nat_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ),
+    reg AS (SELECT r_name, sum(nat_cents) AS reg_cents FROM nat GROUP BY 1)
+    SELECT n.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           round(sum((n.nat_cents * 1.0 / g.reg_cents)
+                     * (n.nat_cents * 1.0 / g.reg_cents)) * 10000, 4) AS hhi
+    FROM nat n JOIN reg g ON n.r_name = g.r_name
+    GROUP BY 1
+"""
+QUERIES["hhi_concentration"] = hhi_concentration
+
+
+# --- functional-dependency audit ---------------------------------------------
+
+# candidate determinancies a profiler would screen: (table, lhs, rhs)
+FD_CANDIDATES = (
+    ("documents", "source", "lang"),
+    ("events", "user_id", "event_type"),
+    ("part", "p_brand", "p_type"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (the data-profiling check next to
+    data_quality_checks): for each candidate ``lhs -> rhs`` dependency,
+    count the lhs groups, the groups that VIOLATE the dependency (more
+    than one distinct rhs), and the worst fan-out — the evidence a schema
+    profiler uses to decide whether a column is derivable.
+
+    Scale: each candidate is one exact groupBy-countDistinct at lhs
+    cardinality followed by a 3-value rollup; candidates union into one
+    result frame.  All counts are exact integers.
+    """
+    parts = []
+    for table, lhs, rhs in FD_CANDIDATES:
+        per = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(lhs).cast("string").alias("k"))
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        parts.append(
+            per.agg(
+                F.lit(f"{table}.{lhs} -> {rhs}").alias("dependency"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("n_rhs").cast("bigint").alias("max_fanout"),
+            ).withColumn("holds", F.col("n_violating") == 0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _fd_oracle() -> str:
+    sels = []
+    for table, lhs, rhs in FD_CANDIDATES:
+        sels.append(f"""
+        SELECT '{table}.{lhs} -> {rhs}' AS dependency,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(max(n_rhs) AS BIGINT) AS max_fanout,
+               sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (SELECT CAST({lhs} AS VARCHAR) AS k,
+                     count(DISTINCT {rhs}) AS n_rhs
+              FROM {table} GROUP BY 1)""")
+    return " UNION ALL ".join(sels)
+
+
+ORACLES["fd_violations"] = _fd_oracle()
+QUERIES["fd_violations"] = fd_violations

@@ -1698,3 +1698,84 @@ ORACLES["dup_size_profile"] = """
     FROM prof CROSS JOIN tot t
 """
 QUERIES["dup_size_profile"] = dup_size_profile
+
+
+# --- asymmetric containment --------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.6
+CONTAINMENT_MIN_SHINGLES = 5
+
+
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: cont(a in b) = |A n B| / |A| —
+    the quote/subset detector Jaccard misses (a short doc fully embedded in
+    a long one has high containment but low Jaccard; Broder's original
+    resemblance-vs-containment distinction).  Ordered pairs in BOTH
+    directions over the df-capped shingle universe (same universe contract
+    as ngram_jaccard_pairs), probe sets required to have at least
+    CONTAINMENT_MIN_SHINGLES capped shingles so trivial tiny sets don't
+    flood the result.
+
+    Scale: identical physics to the jaccard pair join — 64-bit hashed
+    shingle keys, df-capped fan-out (<= DF_CAP^2 rows per shingle), one
+    pair-keyed agg; the containment division is one exact-integer op.
+    """
+    hashed = _shingles(spark, sf_dir).select(
+        "doc_id", md5_hash_long(F.col("s")).alias("s")
+    )
+    capped = _df_capped(hashed)
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.col("na") >= CONTAINMENT_MIN_SHINGLES)
+        .withColumn("containment", F.col("common") / F.col("na"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            F.col("common").cast("bigint").alias("common"),
+            F.round("containment", 4).alias("containment"),
+        )
+    )
+
+
+QUERIES["containment_near_dup"] = containment_near_dup
+ORACLES["containment_near_dup"] = f"""
+    WITH {_SHINGLES_CTE},
+    shc AS (
+        SELECT sh.doc_id, sh.s
+        FROM sh JOIN (SELECT s FROM sh GROUP BY s
+                      HAVING count(*) <= {JACCARD_DF_CAP}) k USING (s)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(sa.n AS BIGINT) AS na,
+           CAST(sb.n AS BIGINT) AS nb,
+           CAST(p.common AS BIGINT) AS common,
+           round(p.common * 1.0 / sa.n, 4) AS containment
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE sa.n >= {CONTAINMENT_MIN_SHINGLES}
+      AND p.common * 1.0 / sa.n >= {CONTAINMENT_THRESHOLD}
+"""

@@ -919,6 +919,82 @@ def _bf_oracle() -> str:
     """
 
 
+KCORE_K = 6
+KCORE_ROUNDS = 4
+
+
+def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core extraction (k = KCORE_K) over the SF-thresholded undirected
+    trade graph by bulk-synchronous peeling: each round recomputes degrees
+    over the surviving subgraph and drops every node with degree < k —
+    the standard distributed k-core algorithm (Montresor et al.,
+    "Distributed k-core decomposition", public).  KCORE_ROUNDS is a fixed
+    plan constant (the pagerank/LPA static-DAG pattern): each peel is one
+    map-side-combined degree aggregation plus two node-keyed semi-joins,
+    so total cost is O(rounds * |E|) with no driver feedback loop, and
+    the oracle unrolls the identical rounds so the result hash-checks
+    even on graphs where peeling hasn't fully converged.
+
+    Returns the surviving nodes with their residual in-core degree.
+    The core can legitimately be EMPTY when the thresholded graph has no
+    dense club (the sf0.1 testdata graph is hub-and-spoke: its 6-core is
+    empty, and the oracle agrees) — emptiness is an answer, not a failure.
+    """
+    und = _scaled_und(spark, sf_dir)
+    edges = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+        )
+        edges = edges.join(keep, "node").join(
+            keep.withColumnRenamed("node", "nbr"), "nbr"
+        )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        edges.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .join(F.broadcast(n), F.col("node") == F.col("n_nationkey"))
+        .select(
+            F.col("node").cast("bigint").alias("nationkey"),
+            "n_name",
+            "core_degree",
+        )
+    )
+
+
+def _kcore_oracle() -> str:
+    # every e_i is referenced 3x by round i+1 (degree agg + two key joins):
+    # MATERIALIZED stops DuckDB from inlining the chain, which would expand
+    # the lineitem edge build 3^rounds times and OOM at sf0.1
+    ctes = [f"e0 AS MATERIALIZED (SELECT node, nbr FROM nb)"]
+    for i in range(1, KCORE_ROUNDS + 1):
+        prev = f"e{i - 1}"
+        ctes.append(f"""k{i} AS MATERIALIZED (
+            SELECT node FROM (SELECT node, count(*) AS deg
+                              FROM {prev} GROUP BY node)
+            WHERE deg >= {KCORE_K}
+        )""")
+        ctes.append(f"""e{i} AS MATERIALIZED (
+            SELECT e.node, e.nbr FROM {prev} e
+            JOIN k{i} a ON e.node = a.node
+            JOIN k{i} b ON e.nbr = b.node
+        )""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {_SCALED_UND_SQL},
+        {joined}
+        SELECT CAST(e.node AS BIGINT) AS nationkey, n.n_name,
+               CAST(count(*) AS BIGINT) AS core_degree
+        FROM e{KCORE_ROUNDS} e JOIN nation n ON e.node = n.n_nationkey
+        GROUP BY 1, 2
+    """
+
+
 QUERIES = {
     "pagerank_nations": pagerank_nations,
     "triangle_count": triangle_count,
@@ -929,6 +1005,7 @@ QUERIES = {
     "adamic_adar_linkpred": adamic_adar_linkpred,
     "lpa_communities": lpa_communities,
     "bellman_ford_cheapest": bellman_ford_cheapest,
+    "k_core_peel": k_core_peel,
 }
 
 ORACLES = {
@@ -941,4 +1018,5 @@ ORACLES = {
     "adamic_adar_linkpred": _aa_oracle(),
     "lpa_communities": _lpa_oracle(),
     "bellman_ford_cheapest": _bf_oracle(),
+    "k_core_peel": _kcore_oracle(),
 }

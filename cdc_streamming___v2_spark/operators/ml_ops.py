@@ -496,3 +496,87 @@ ORACLES = {
     "chi2_feature_select": _chi2_oracle(),
     "heavy_hitters_topfreq": _HH_ORACLE,
 }
+
+
+# --- nearest-centroid classifier ---------------------------------------------
+
+NC_SCALE = 1000  # fixed-point quantization: 3 decimals per element
+
+
+def nearest_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over the embeddings table:
+    train on even vec_ids (per-label mean vector), classify the odd half by
+    smallest squared Euclidean distance, ties to the smaller label.  The
+    third classifier shape next to Naive Bayes (generative) and kNN
+    (instance-based): one broadcast-sized model, one scan to score.
+
+    Exactness: elements quantize to integer thousandths in the scan, so
+    centroid numerators/counts are exact integers and each centroid
+    coordinate is ONE division (bit-identical doubles both engines); the
+    distance sum reassociates at ~1e-16 relative, rounded at 6 far above
+    the noise, and the argmin breaks ties deterministically by label.
+
+    Scale: the centroid frame is (labels x dims) — broadcast; scoring is
+    scan + explode + one (vec, label)-keyed map-side-combined agg; no
+    shuffle of the raw vectors beyond the explode's doc-keyed reduce.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * NC_SCALE).cast("long").alias("xi"),
+    )
+    tr = ex.filter(F.col("vec_id") % 2 == 0)
+    te = ex.filter(F.col("vec_id") % 2 == 1)
+    cent = tr.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.sum("xi").alias("num"), F.count(F.lit(1)).alias("cnt")
+    )
+    diff = F.col("xi") - F.col("num") / F.col("cnt")
+    dist = (
+        te.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "clabel")
+        .agg(F.round(F.sum(diff * diff), 6).alias("d"))
+    )
+    pick = dist.groupBy("vec_id", "true_label").agg(
+        F.min(F.struct(F.col("d"), F.col("clabel"))).alias("m")
+    )
+    return pick.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("true_label").cast("bigint").alias("true_label"),
+        F.col("m.clabel").cast("bigint").alias("pred_label"),
+        (F.col("true_label") == F.col("m.clabel")).alias("correct"),
+    )
+
+
+QUERIES["nearest_centroid_classify"] = nearest_centroid_classify
+ORACLES["nearest_centroid_classify"] = f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(list_transform(embedding::DOUBLE[],
+                      x -> CAST(round(x * {NC_SCALE}, 0) AS BIGINT))) AS xi
+        FROM embeddings
+    ),
+    tr AS (SELECT * FROM ex WHERE vec_id % 2 = 0),
+    te AS (SELECT * FROM ex WHERE vec_id % 2 = 1),
+    cent AS (SELECT label AS clabel, pos, sum(xi) AS num, count(*) AS cnt
+             FROM tr GROUP BY 1, 2),
+    dist AS (
+        SELECT t.vec_id, t.label AS true_label, c.clabel,
+               round(sum((t.xi - c.num * 1.0 / c.cnt)
+                         * (t.xi - c.num * 1.0 / c.cnt)), 6) AS d
+        FROM te t JOIN cent c ON t.pos = c.pos
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d, clabel) AS rk
+               FROM dist)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(clabel AS BIGINT) AS pred_label,
+           true_label = clabel AS correct
+    FROM ranked WHERE rk = 1
+"""

@@ -270,7 +270,57 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ISLAND_PAD_US = 5 * 60 * 1_000_000  # each event covers [ts, ts + 5 min)
+
+
+def interval_coalesce_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (the SQL gaps-and-islands problem): every event
+    spans [ts, ts + ISLAND_PAD_US); overlapping or touching spans of the
+    same user merge into maximal "islands" of continuous activity.  Output
+    per user: island count, events, total covered time, longest island —
+    the activity-coverage rollup a sessionizer or SLA monitor computes.
+
+    Construction: per user ordered by (ts, event_id), a span starts a new
+    island iff its start exceeds the running max end of ALL previous spans
+    (max-end window over UNBOUNDED PRECEDING .. 1 PRECEDING — NOT lag(end),
+    which breaks when an earlier long span swallows a later short one);
+    the island id is the running sum of start flags.  Two windows and two
+    aggregations, all partitioned by user_id — one shuffle at 100 TB, no
+    self-join.  All arithmetic on integer epoch-micros: zero float risk.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("s")
+    )
+    e = e.withColumn("t", F.col("s") + ISLAND_PAD_US)
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = order.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = e.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("t").over(prev_max), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island", F.sum("new_island").over(order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"),
+        F.max("t").alias("i_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias(
+            "covered_us"
+        ),
+        F.max(F.col("i_end") - F.col("i_start")).cast("bigint").alias(
+            "max_island_us"
+        ),
+    )
+
+
 QUERIES = {
+    "interval_coalesce_islands": interval_coalesce_islands,
     "interval_overlap_join": interval_overlap_join,
     "asof_join_purchase_view": asof_join_purchase_view,
     "asof_tolerance_join": asof_tolerance_join,
@@ -280,6 +330,42 @@ QUERIES = {
 }
 
 ORACLES = {
+
+    "interval_coalesce_islands": f"""
+        WITH spans AS (
+            SELECT user_id, event_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {ISLAND_PAD_US} AS t
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, s, t,
+                   CASE WHEN s > coalesce(max(t) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM spans
+        ),
+        numbered AS (
+            SELECT user_id, s, t,
+                   sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM flagged
+        ),
+        islands AS (
+            SELECT user_id, island, min(s) AS i_start, max(t) AS i_end,
+                   count(*) AS n_events
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+               CAST(max(i_end - i_start) AS BIGINT) AS max_island_us
+        FROM islands GROUP BY 1
+    """,
 
     "interval_overlap_join": f"""
         WITH e AS (
