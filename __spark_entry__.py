@@ -90,6 +90,20 @@ _GATE_PRIORITY = (
     "bellman_ford_cheapest",
     "weighted_median_price",
     "golden_record",
+    # -- (2b) round-5 wave-3 operators (added after the first r5 sessions;
+    #    first driver proof wanted) --
+    "classifier_eval_langid",
+    "auc_roc_quality",
+    "calibration_bins",
+    "psi_drift",
+    "k_core_peel",
+    "interval_coalesce_islands",
+    "max_drawdown_user",
+    "stl_lite_decompose",
+    "hhi_concentration",
+    "fd_violations",
+    "containment_near_dup",
+    "nearest_centroid_classify",
     # -- (3) round-5 modified implementations (re-proof wanted) --
     "ngram_jaccard_pairs",
     "bpe_pair_counts",

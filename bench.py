@@ -190,6 +190,19 @@ HEADLINE = [
     "bellman_ford_cheapest",
     "weighted_median_price",
     "golden_record",
+    # round-5 wave-3 additions (model-eval / graph / temporal / profiling)
+    "classifier_eval_langid",
+    "auc_roc_quality",
+    "calibration_bins",
+    "psi_drift",
+    "k_core_peel",
+    "interval_coalesce_islands",
+    "max_drawdown_user",
+    "stl_lite_decompose",
+    "hhi_concentration",
+    "fd_violations",
+    "containment_near_dup",
+    "nearest_centroid_classify",
 ]
 
 

@@ -1,0 +1,139 @@
+"""Round-5 wave-3 operators: semantic invariants beyond oracle parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_streamming___v2_spark.operators import analytics as A
+from cdc_streamming___v2_spark.operators import dedup as D
+from cdc_streamming___v2_spark.operators import graph as G
+from cdc_streamming___v2_spark.operators import ml_eval as ME
+from cdc_streamming___v2_spark.operators import ml_ops as ML
+from cdc_streamming___v2_spark.operators import temporal as TP
+from cdc_streamming___v2_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_classifier_eval_counts_are_consistent(spark):
+    rows = ME.classifier_eval_langid(spark, SF_SMALL).collect()
+    assert rows
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_true"] for r in rows) == n_docs
+    assert sum(r["n_pred"] for r in rows) == n_docs
+    for r in rows:
+        assert r["tp"] + r["fn"] == r["n_true"]
+        assert r["tp"] + r["fp"] == r["n_pred"]
+        for m in ("precision", "recall", "f1"):
+            assert 0.0 <= r[m] <= 1.0
+
+
+def test_auc_bounds_and_class_totals(spark):
+    r = ME.auc_roc_quality(spark, SF_SMALL).collect()[0]
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert r["n_pos"] + r["n_neg"] == n_docs
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    rows = ME.calibration_bins(spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["bin"] < ME.CAL_BINS
+        assert 0.0 <= r["obs_rate"] <= 1.0
+        # mean predicted prob sits inside (or at the clamped edge of) its bin
+        assert r["bin"] / 10.0 - 1e-9 <= r["avg_pred"]
+        if r["bin"] < ME.CAL_BINS - 1:
+            assert r["avg_pred"] <= (r["bin"] + 1) / 10.0 + 1e-9
+
+
+def test_psi_aa_split_is_stable(spark):
+    rows = ME.psi_drift(spark, SF_SMALL).collect()
+    assert len(rows) == ME.PSI_BINS
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["ref_n"] + r["cur_n"] for r in rows) == n_events
+    total = sum(r["psi_term"] for r in rows)
+    assert total >= 0.0  # PSI terms sum non-negative (KL-symmetrized form)
+    assert total < 0.5  # an even/odd A/A split must not look like drift
+
+
+def test_k_core_survivors_had_degree_at_least_k(spark):
+    core = {r["nationkey"]: r["core_degree"]
+            for r in G.k_core_peel(spark, SF_SMALL).collect()}
+    und = G._scaled_und(spark, SF_SMALL).collect()
+    deg: dict[int, int] = {}
+    for e in und:
+        deg[e["u"]] = deg.get(e["u"], 0) + 1
+        deg[e["v"]] = deg.get(e["v"], 0) + 1
+    for node, cdeg in core.items():
+        assert deg[node] >= G.KCORE_K  # peeling never keeps a low-deg node
+        assert 1 <= cdeg <= deg[node]
+
+
+def test_islands_bounds(spark):
+    rows = TP.interval_coalesce_islands(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_islands"] <= r["n_events"]
+        assert r["max_island_us"] >= TP.ISLAND_PAD_US
+        assert r["covered_us"] <= r["n_events"] * TP.ISLAND_PAD_US
+        assert r["covered_us"] >= r["max_island_us"]
+
+
+def test_max_drawdown_non_negative(spark):
+    rows = A.max_drawdown_user(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_events"] > 0
+        assert r["max_drawdown"] >= 0.0
+
+
+def test_stl_components_add_back_up(spark):
+    rows = A.stl_lite_decompose(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["weekday"] <= 6
+        # additivity holds up to the independent 2-decimal roundings
+        assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])) < 0.03
+
+
+def test_hhi_within_theoretical_range(spark):
+    rows = A.hhi_concentration(spark, SF_SMALL).collect()
+    assert len(rows) == 5  # one row per region
+    for r in rows:
+        assert 10000.0 / r["n_nations"] - 1e-6 <= r["hhi"] <= 10000.0 + 1e-6
+
+
+def test_fd_audit_flags_match_counts(spark):
+    rows = A.fd_violations(spark, SF_SMALL).collect()
+    assert len(rows) == len(A.FD_CANDIDATES)
+    for r in rows:
+        assert 0 <= r["n_violating"] <= r["n_groups"]
+        assert r["holds"] == (r["n_violating"] == 0)
+        assert r["max_fanout"] >= 1
+
+
+def test_containment_dominates_jaccard(spark):
+    cont = D.containment_near_dup(spark, SF_SMALL).collect()
+    assert cont
+    for r in cont:
+        assert r["common"] <= min(r["na"], r["nb"])
+        assert r["containment"] >= D.CONTAINMENT_THRESHOLD
+        # containment >= jaccard for the same (universe-capped) pair
+        jac = r["common"] / (r["na"] + r["nb"] - r["common"])
+        # containment is published rounded to 4 decimals; allow that slack
+        assert r["containment"] >= jac - 5.1e-5
+
+
+def test_nearest_centroid_outputs_one_row_per_test_vector(spark):
+    out = ML.nearest_centroid_classify(spark, SF_SMALL)
+    rows = out.collect()
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n_test = emb.filter(F.col("vec_id") % 2 == 1).count()
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert len(rows) == n_test
+    for r in rows:
+        assert r["pred_label"] in labels
+        assert r["correct"] == (r["true_label"] == r["pred_label"])
