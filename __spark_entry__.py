@@ -104,6 +104,10 @@ _GATE_PRIORITY = (
     "fd_violations",
     "containment_near_dup",
     "nearest_centroid_classify",
+    "winnowing_pairs",
+    "spearman_daily",
+    "quality_ensemble_vote",
+    "compaction_bin_packing",
     # -- (3) round-5 modified implementations (re-proof wanted) --
     "ngram_jaccard_pairs",
     "bpe_pair_counts",
@@ -198,7 +202,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 229
+_MIN_QUERIES = 233
 
 
 def _registry() -> tuple[dict, dict]:

@@ -203,6 +203,10 @@ HEADLINE = [
     "fd_violations",
     "containment_near_dup",
     "nearest_centroid_classify",
+    "winnowing_pairs",
+    "spearman_daily",
+    "quality_ensemble_vote",
+    "compaction_bin_packing",
 ]
 
 

@@ -3793,3 +3793,80 @@ def _fd_oracle() -> str:
 
 ORACLES["fd_violations"] = _fd_oracle()
 QUERIES["fd_violations"] = fd_violations
+
+
+# --- Spearman rank correlation -----------------------------------------------
+
+
+def spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order revenue and daily
+    order COUNT — the robust (monotonic, outlier-proof) companion to the
+    Pearson correlation_matrix tier, with exact tie handling via average
+    ranks.
+
+    Exactness: revenue is integer cents, counts are integers; average
+    ranks are half-integers kept DOUBLED (always integers), so every sum
+    in the Pearson-on-ranks closed form is an exact integer (decimal(38)
+    / hugeint) and the final statistic is a handful of identical float
+    ops.  Scale: one groupBy to day cardinality; the rank windows run on
+    the calendar-bounded day frame (the STL/AUC bounded-frame argument).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # doubled average rank: 2*rank + (#ties - 1) -- rank() is the group's
+    # min rank, so avg = rank + (cnt-1)/2
+    def r2(col: str) -> F.Column:
+        w = Window.orderBy(col)
+        cnt = Window.partitionBy(col)
+        return (
+            2 * F.rank().over(w) + F.count(F.lit(1)).over(cnt) - 1
+        ).cast("decimal(38,0)")
+
+    ranked = daily.select(r2("rev").alias("rx"), r2("n").alias("ry"))
+    t = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return t.select(
+        F.col("m").cast("bigint").alias("n_days"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("spearman"),
+    )
+
+
+ORACLES["spearman_daily"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT 2 * rank() OVER (ORDER BY rev)
+                   + count(*) OVER (PARTITION BY rev) - 1 AS rx,
+               2 * rank() OVER (ORDER BY n)
+                   + count(*) OVER (PARTITION BY n) - 1 AS ry
+        FROM daily
+    ),
+    t AS (
+        SELECT count(*) AS m, sum(rx) AS sx, sum(ry) AS sy,
+               sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+               sum(rx * ry) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(m AS BIGINT) AS n_days,
+           round(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE)), 6) AS spearman
+    FROM t
+"""
+QUERIES["spearman_daily"] = spearman_daily

@@ -917,3 +917,67 @@ ORACLES["tokenizer_vocab_coverage"] = f"""
     FROM per_doc GROUP BY source
 """
 QUERIES["tokenizer_vocab_coverage"] = tokenizer_vocab_coverage
+
+
+# --- compaction bin packing --------------------------------------------------
+
+COMPACT_TARGET_CHARS = 16_384  # target "file" size per compaction bin
+
+
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: treat each document as a small file and
+    pack them into ~COMPACT_TARGET_CHARS output bins per source via the
+    deterministic NEXT-FIT rule — a doc opens a new bin when the running
+    total BEFORE it crosses a target multiple (bin = cum_before // target).
+    This is the planner shape a lakehouse compactor runs over file-level
+    metadata (the commitlog tier's physical twin), expressed as one
+    ordered prefix sum — no driver loop, no greedy state.
+
+    Scale: the window is per-source ordered by doc_id (one shuffle);
+    output is bin-level. All integer arithmetic.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("sz")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = d.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("sz").over(w), F.lit(0)) / COMPACT_TARGET_CHARS
+        ).cast("bigint"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("sz").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLES["compaction_bin_packing"] = f"""
+    WITH d AS (
+        SELECT doc_id, source, CAST(length(text) AS BIGINT) AS sz
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, source, sz,
+               coalesce(sum(sz) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)
+                   // {COMPACT_TARGET_CHARS} AS bin
+        FROM d
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(sz) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM binned GROUP BY 1, 2
+"""
+QUERIES["compaction_bin_packing"] = compaction_bin_packing

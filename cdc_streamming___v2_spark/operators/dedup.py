@@ -1779,3 +1779,110 @@ ORACLES["containment_near_dup"] = f"""
     WHERE sa.n >= {CONTAINMENT_MIN_SHINGLES}
       AND p.common * 1.0 / sa.n >= {CONTAINMENT_THRESHOLD}
 """
+
+
+# --- winnowing fingerprints --------------------------------------------------
+
+WINNOW_W = 4  # winnowing window: guarantee threshold t = W + k - 1 shingles
+WINNOW_MIN_SHARED = 2
+
+
+def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-pair matching via WINNOWING fingerprints (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash every
+    positioned word trigram, keep a shingle iff its hash is the minimum of
+    the trailing WINNOW_W-window (the local-minima selection variant, same
+    guarantee direction: any shared run of >= W+k-1 tokens shares a
+    fingerprint), then match documents on shared selected fingerprints.
+    Complements minhash (probabilistic global resemblance) with the
+    position-robust LOCAL match detector used for plagiarism/clone
+    detection.
+
+    Scale: selection is a per-doc ordered window (one doc-keyed shuffle);
+    selected fingerprints are a small fraction (~2/W) of shingles; the
+    pair join runs on the df-capped fingerprint key exactly like the
+    jaccard joins (hub fan-out bounded by DF_CAP^2).  Integer hashes
+    end-to-end: zero float risk.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # guard BEFORE sequence(): Spark's sequence(0, n) runs DESCENDING for
+    # n < 0 (it would fabricate junk shingles for <3-word docs, where
+    # DuckDB's generate_series is empty)
+    docs_w = d.select("doc_id", words(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    sh = docs_w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("pos", "s"),
+    ).select("doc_id", "pos", md5_hash_long(F.col("s")).alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    picked = (
+        sh.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    capped = _df_capped(picked.withColumnRenamed("h", "s"))
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+QUERIES["winnowing_pairs"] = winnowing_pairs
+ORACLES["winnowing_pairs"] = f"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    pos_sh AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(w) - 3)) AS pos,
+               unnest(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> array_to_string(w[i:i+2], ' '))) AS s
+        FROM base WHERE len(w) >= 3
+    ),
+    hashed AS (
+        SELECT doc_id, pos,
+               CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h
+        FROM pos_sh
+    ),
+    picked AS (
+        SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id, h,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                AND CURRENT ROW) AS wmin
+            FROM hashed
+        ) WHERE h = wmin
+    ),
+    capped AS (
+        SELECT p.doc_id, p.h
+        FROM picked p JOIN (SELECT h FROM picked GROUP BY h
+                            HAVING count(*) <= {JACCARD_DF_CAP}) k USING (h)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""

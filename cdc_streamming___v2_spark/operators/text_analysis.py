@@ -615,3 +615,85 @@ def _bpe_merge_oracle() -> str:
 
 ORACLES["bpe_merge_rounds"] = _bpe_merge_oracle()
 QUERIES["bpe_merge_rounds"] = bpe_merge_rounds
+
+
+# --- ensemble quality vote ---------------------------------------------------
+
+ENSEMBLE_MIN_WORDS = 20
+
+
+def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble document filter: the production pattern of AND-ing several
+    independent cheap screens instead of trusting one — (1) length floor,
+    (2) logistic quality probability >= 0.5, (3) the lang-id marker
+    heuristic recognizes SOME language.  Emits each vote plus the final
+    keep flag and a bitmask for drop-reason analytics.
+
+    Scale: pure column expressions (the lang-id hits, the logit, the word
+    count all inline into one projection) — runs entirely inside the scan
+    stage like the rest of this module; no shuffle, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = n_tokens_ws(t)
+    sw_ratio = stopword_hits(t, EN_STOPWORDS) / n_words
+    z = (
+        F.lit(_QL_W["bias"])
+        + F.lit(_QL_W["n_words"]) * n_words
+        + F.lit(_QL_W["sw_ratio"]) * sw_ratio
+        + F.lit(_QL_W["punct"]) * punct_ratio(t)
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    any_lang = F.greatest(
+        *[stopword_hits(t, mk) for mk in LANG_MARKERS.values()]
+    ) > 0
+    v_len = n_words >= ENSEMBLE_MIN_WORDS
+    v_quality = prob >= 0.5
+    return d.select(
+        "doc_id",
+        v_len.alias("vote_length"),
+        v_quality.alias("vote_quality"),
+        any_lang.alias("vote_lang"),
+        (v_len & v_quality & any_lang).alias("keep"),
+        (
+            F.when(v_len, 0).otherwise(1)
+            + F.when(v_quality, 0).otherwise(2)
+            + F.when(any_lang, 0).otherwise(4)
+        ).cast("bigint").alias("drop_mask"),
+    )
+
+
+def _ensemble_oracle() -> str:
+    any_lang = (
+        "greatest("
+        + ", ".join(_sw_hits(_WORDS, mk) for mk in LANG_MARKERS.values())
+        + ") > 0"
+    )
+    z = f"""{_QL_W["bias"]}
+            + {_QL_W["n_words"]} * len({_WORDS})
+            + {_QL_W["sw_ratio"]} * ({_sw_hits(_WORDS, EN_STOPWORDS)} * 1.0
+                                     / len({_WORDS}))
+            + ({_QL_W["punct"]}) * (length(regexp_replace(text,
+                    '[^.,!?;:]', '', 'g')) * 1.0 / length(text))"""
+    return f"""
+        SELECT doc_id,
+               v_len AS vote_length,
+               v_quality AS vote_quality,
+               v_lang AS vote_lang,
+               v_len AND v_quality AND v_lang AS keep,
+               CAST((CASE WHEN v_len THEN 0 ELSE 1 END)
+                    + (CASE WHEN v_quality THEN 0 ELSE 2 END)
+                    + (CASE WHEN v_lang THEN 0 ELSE 4 END) AS BIGINT)
+                   AS drop_mask
+        FROM (
+            SELECT doc_id,
+                   len({_WORDS}) >= {ENSEMBLE_MIN_WORDS} AS v_len,
+                   1.0 / (1.0 + exp(-({z}))) >= 0.5 AS v_quality,
+                   {any_lang} AS v_lang
+            FROM documents
+        )
+    """
+
+
+ORACLES["quality_ensemble_vote"] = _ensemble_oracle()
+QUERIES["quality_ensemble_vote"] = quality_ensemble_vote
