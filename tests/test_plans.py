@@ -458,3 +458,51 @@ def test_round5_ops_never_plan_cartesian(spark):
     ):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_round5_wave34_ops_never_plan_cartesian(spark):
+    """Blanket plan audit for the round-5 wave-3/4 operators: none may
+    contain a CartesianProduct node; the shingle/fingerprint pair joins
+    must be hash or sort-merge equi-joins (an all-pairs product there is
+    O(N^2) at corpus scale). 1-row scalar broadcasts (PSI min/max frame)
+    plan as BNLJ and are excluded, as in the earlier blanket audits."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+    from cdc_streamming___v2_spark.operators import corpus_ops as C5
+    from cdc_streamming___v2_spark.operators import dedup as D5
+    from cdc_streamming___v2_spark.operators import graph as G5
+    from cdc_streamming___v2_spark.operators import ml_eval as ME5
+    from cdc_streamming___v2_spark.operators import ml_ops as ML5
+    from cdc_streamming___v2_spark.operators import temporal as TP5
+    from cdc_streamming___v2_spark.operators import text_analysis as TA5
+
+    for fn in (
+        ME5.classifier_eval_langid,
+        ME5.auc_roc_quality,
+        ME5.calibration_bins,
+        ME5.psi_drift,
+        G5.k_core_peel,
+        TP5.interval_coalesce_islands,
+        A5.max_drawdown_user,
+        A5.stl_lite_decompose,
+        A5.hhi_concentration,
+        A5.fd_violations,
+        A5.spearman_daily,
+        D5.containment_near_dup,
+        D5.winnowing_pairs,
+        ML5.nearest_centroid_classify,
+        TA5.quality_ensemble_vote,
+        C5.compaction_bin_packing,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_pair_join_ops_use_equi_joins(spark):
+    """containment/winnowing candidate generation must join on the shingle
+    or fingerprint KEY (hash/sort-merge), exactly like the jaccard tier."""
+    from cdc_streamming___v2_spark.operators import dedup as D5
+
+    for fn in (D5.containment_near_dup, D5.winnowing_pairs):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+        assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, fn.__name__
