@@ -207,6 +207,9 @@ HEADLINE = [
     "spearman_daily",
     "quality_ensemble_vote",
     "compaction_bin_packing",
+    "event_run_lengths",
+    "fifo_payment_allocation",
+    "harmonic_centrality",
 ]
 
 

@@ -3870,3 +3870,94 @@ ORACLES["spearman_daily"] = """
     FROM t
 """
 QUERIES["spearman_daily"] = spearman_daily
+
+
+# --- FIFO payment allocation -------------------------------------------------
+
+
+def fifo_payment_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO allocation waterfall: each customer's payment pool (the sum of
+    their purchase-event values; events.user_id is the customer key in
+    this testdata) is applied to their invoices (orders) oldest-first.
+    Per invoice: paid = clamp(pool - cum_due_before, 0, amount) — the
+    closed-form waterfall, no loop, no recursion.  The classic AR/ledger
+    operator, same window algebra as inventory_clamped_balance.
+
+    Exactness: invoice amounts and payments become integer cents in the
+    scan; the prefix sum and both clamps are integer ops; output stays in
+    cents.  Scale: one customer-keyed window over orders plus one
+    events-sized agg joined on the customer key — two shuffles total.
+    """
+    pay = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("custkey"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("pool_c")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("amount_c"),
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    alloc = (
+        o.join(pay, "custkey")
+        .withColumn("cum_before", F.coalesce(F.sum("amount_c").over(w), F.lit(0)))
+        .withColumn(
+            "paid_c",
+            F.least(
+                F.greatest(F.col("pool_c") - F.col("cum_before"), F.lit(0)),
+                F.col("amount_c"),
+            ),
+        )
+    )
+    return alloc.select(
+        "custkey",
+        "o_orderkey",
+        "amount_c",
+        "paid_c",
+        F.when(F.col("paid_c") == F.col("amount_c"), "paid")
+        .when(F.col("paid_c") > 0, "partial")
+        .otherwise("unpaid")
+        .alias("status"),
+    )
+
+
+ORACLES["fifo_payment_allocation"] = """
+    WITH pay AS (
+        SELECT user_id AS custkey,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS pool_c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    o AS (
+        SELECT o_custkey AS custkey, o_orderkey, o_orderdate,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amount_c
+        FROM orders
+    ),
+    alloc AS (
+        SELECT o.custkey, o.o_orderkey, o.amount_c, p.pool_c,
+               coalesce(sum(o.amount_c) OVER (
+                   PARTITION BY o.custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM o JOIN pay p ON o.custkey = p.custkey
+    )
+    SELECT custkey, o_orderkey, amount_c,
+           least(greatest(pool_c - cum_before, 0), amount_c) AS paid_c,
+           CASE WHEN least(greatest(pool_c - cum_before, 0), amount_c)
+                     = amount_c THEN 'paid'
+                WHEN least(greatest(pool_c - cum_before, 0), amount_c) > 0
+                     THEN 'partial'
+                ELSE 'unpaid' END AS status
+    FROM alloc
+"""
+QUERIES["fifo_payment_allocation"] = fifo_payment_allocation

@@ -667,3 +667,73 @@ ORACLES["cohort_ltv"] = """
     FROM cells c JOIN sizes z USING (cohort)
 """
 QUERIES["cohort_ltv"] = cohort_ltv
+
+
+# --- run-length encoding of event sequences ----------------------------------
+
+
+def event_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length profile of each user's event stream: consecutive
+    same-type events collapse into runs (the categorical gaps-and-islands
+    twin of interval_coalesce_islands) — the sequence-compression view
+    behind "user fired 7 clicks in a row" anomaly rules and session
+    pattern mining.
+
+    Construction: run starts where the type differs from the previous
+    event (lag); run id = prefix sum of start flags; two aggregations
+    reduce runs to a per-(user, type) profile.  One user-keyed shuffle,
+    all-integer arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = e.withColumn(
+        "start",
+        F.when(
+            F.lag("event_type").over(order).isNull()
+            | (F.lag("event_type").over(order) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn("run_id", F.sum("start").over(run))
+    runs = flagged.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("max_run_len"),
+        F.sum("run_len").cast("bigint").alias("n_events"),
+    )
+
+
+ORACLES["event_run_lengths"] = """
+    WITH flagged AS (
+        SELECT user_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS start,
+               ts, event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_type,
+               sum(start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, run_id, event_type, count(*) AS run_len
+        FROM numbered GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS max_run_len,
+           CAST(sum(run_len) AS BIGINT) AS n_events
+    FROM runs GROUP BY 1, 2
+"""
+QUERIES["event_run_lengths"] = event_run_lengths

@@ -995,6 +995,92 @@ def _kcore_oracle() -> str:
     """
 
 
+HARMONIC_HOPS = 3
+
+
+def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality within HARMONIC_HOPS hops over the thresholded
+    undirected trade graph: C_H(u) = sum over v != u reachable in <= R
+    hops of 1/dist(u, v) — the centrality that, unlike closeness, stays
+    well-defined on disconnected graphs (Boldi & Vigna, "Axioms for
+    centrality").  Bounded-radius truncation is the standard large-graph
+    variant (hyperball-style); R is a plan constant.
+
+    Construction: R rounds of frontier relaxation over the (node-pair,
+    dist) frame — each round one edge join + a min-agg, the BFS/Bellman
+    pattern.  The pair frame is bounded by nodes^2 of the
+    fixed-cardinality nation dimension; on an unbounded graph this tier
+    switches to sketched neighborhood counts (the HLL/hyperball path, see
+    operators/sketches.py for the mergeable-HLL machinery).
+    """
+    und = _scaled_und(spark, sf_dir)
+    nb = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    nodes = (
+        nb.select("node").distinct()
+    )
+    dist = nodes.select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    ).withColumn("d", F.lit(0))
+    for _ in range(HARMONIC_HOPS):
+        step = (
+            dist.join(nb, dist.dst == nb.node)
+            .select("src", F.col("nbr").alias("dst"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("src", "dst")
+            .agg(F.min("d").alias("d"))
+        )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dist.filter(F.col("d") > 0)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("d")), 6).alias("harmonic"),
+        )
+        .join(F.broadcast(n), F.col("src") == F.col("n_nationkey"))
+        .select(
+            F.col("src").cast("bigint").alias("nationkey"),
+            "n_name",
+            "n_reached",
+            "harmonic",
+        )
+    )
+
+
+def _harmonic_oracle() -> str:
+    ctes = [
+        """nodes AS MATERIALIZED (SELECT DISTINCT node FROM nb)""",
+        """d0 AS MATERIALIZED (SELECT node AS src, node AS dst, 0 AS d
+                               FROM nodes)""",
+    ]
+    for i in range(1, HARMONIC_HOPS + 1):
+        prev = f"d{i - 1}"
+        ctes.append(f"""d{i} AS MATERIALIZED (
+            SELECT src, dst, min(d) AS d FROM (
+                SELECT src, dst, d FROM {prev}
+                UNION ALL
+                SELECT p.src, nb.nbr AS dst, p.d + 1 AS d
+                FROM {prev} p JOIN nb ON p.dst = nb.node
+            ) GROUP BY 1, 2
+        )""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {_SCALED_UND_SQL},
+        {joined}
+        SELECT CAST(t.src AS BIGINT) AS nationkey, n.n_name,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               round(sum(1.0 / t.d), 6) AS harmonic
+        FROM d{HARMONIC_HOPS} t JOIN nation n ON t.src = n.n_nationkey
+        WHERE t.d > 0
+        GROUP BY 1, 2
+    """
+
+
+
 QUERIES = {
     "pagerank_nations": pagerank_nations,
     "triangle_count": triangle_count,
@@ -1006,6 +1092,7 @@ QUERIES = {
     "lpa_communities": lpa_communities,
     "bellman_ford_cheapest": bellman_ford_cheapest,
     "k_core_peel": k_core_peel,
+    "harmonic_centrality": harmonic_centrality,
 }
 
 ORACLES = {
@@ -1019,4 +1106,5 @@ ORACLES = {
     "lpa_communities": _lpa_oracle(),
     "bellman_ford_cheapest": _bf_oracle(),
     "k_core_peel": _kcore_oracle(),
+    "harmonic_centrality": _harmonic_oracle(),
 }

@@ -225,3 +225,45 @@ def test_compaction_bins_respect_next_fit(spark):
         # next one opens (next-fit invariant: cum_before >= bin * target)
         for r in bins:
             assert r["n_docs"] >= 1 and r["total_chars"] > 0
+
+
+# --- wave 5 ------------------------------------------------------------------
+
+
+def test_event_run_lengths_partition_events(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    rows = B.event_run_lengths(spark, SF_SMALL).collect()
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert 1 <= r["n_runs"] <= r["n_events"]
+        assert 1 <= r["max_run_len"] <= r["n_events"]
+
+
+def test_fifo_allocation_waterfall_invariants(spark):
+    rows = A.fifo_payment_allocation(spark, SF_SMALL).collect()
+    assert rows
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["paid_c"] <= r["amount_c"]
+        assert r["status"] in ("paid", "partial", "unpaid")
+        by_cust.setdefault(r["custkey"], []).append(r)
+    partial_seen = 0
+    for rs in by_cust.values():
+        # at most one partial invoice per customer, and the waterfall is
+        # monotone: once an invoice is unpaid, everything after it is too
+        statuses = [r["status"] for r in rs]
+        assert statuses.count("partial") <= 1
+        partial_seen += statuses.count("partial")
+    assert partial_seen >= 0
+
+
+def test_harmonic_centrality_bounds(spark):
+    rows = G.harmonic_centrality(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_reached"] <= 24
+        # each reached node contributes between 1/R and 1
+        assert r["n_reached"] / G.HARMONIC_HOPS - 1e-9 <= r["harmonic"]
+        assert r["harmonic"] <= r["n_reached"] + 1e-9

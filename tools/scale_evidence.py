@@ -69,6 +69,23 @@ QUERIES = [
     "mmr_diverse_topk",
     "tfidf_top_terms",
     "dedup_exact",
+    # round-5 wave-3/4 corpus-bound additions
+    "containment_near_dup",
+    "winnowing_pairs",
+    "quality_ensemble_vote",
+    "classifier_eval_langid",
+    "auc_roc_quality",
+    "nearest_centroid_classify",
+    "compaction_bin_packing",
+]
+
+# the event-log tier (round-5 wave 3): per-user ordered-window operators
+# against 10x events (user ids offset per replica, so every user window
+# stays within its replica -> linear growth is the correct expectation)
+EVENT_QUERIES = [
+    "interval_coalesce_islands",
+    "max_drawdown_user",
+    "psi_drift",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
@@ -90,7 +107,7 @@ def build(spark) -> None:
     if os.path.exists(SCALE_DIR):
         shutil.rmtree(SCALE_DIR)
     os.makedirs(SCALE_DIR)
-    for name in "region nation customer supplier part events".split():
+    for name in "region nation customer supplier part".split():
         os.symlink(
             os.path.join(SRC, f"{name}.parquet"),
             os.path.join(SCALE_DIR, f"{name}.parquet"),
@@ -113,6 +130,20 @@ def build(spark) -> None:
     ).drop("k").repartition(32).write.parquet(
         os.path.join(SCALE_DIR, "lineitem.parquet")
     )
+    # 10x events: user ids offset per replica (per-user windows stay within
+    # replica -> linear), event ids offset by an EVEN constant so the
+    # even/odd A/A split of psi_drift keeps its balance
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    ev.select("*", reps).withColumn(
+        "event_id",
+        F.col("event_id") + F.col("k").cast("long") * F.lit(KEY_OFF),
+    ).withColumn(
+        "user_id",
+        F.col("user_id") + F.col("k").cast("long") * F.lit(10_000_000),
+    ).drop("k").repartition(16).write.parquet(
+        os.path.join(SCALE_DIR, "events.parquet")
+    )
+
     d = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     scaled_docs = (
         d.select("*", reps)
@@ -169,7 +200,7 @@ def main() -> None:
     qs["minhash_signatures"](spark, SRC).count()
 
     out: dict[str, dict] = {}
-    for name in QUERIES + RELATIONAL_QUERIES:
+    for name in QUERIES + RELATIONAL_QUERIES + EVENT_QUERIES:
         rec: dict[str, float] = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1x10", SCALE_DIR)):
             times = []
