@@ -210,6 +210,8 @@ HEADLINE = [
     "event_run_lengths",
     "fifo_payment_allocation",
     "harmonic_centrality",
+    "maxwell_envelope_roundtrip",
+    "canal_envelope_roundtrip",
 ]
 
 

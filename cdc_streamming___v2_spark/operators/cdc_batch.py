@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.cdc_schema import parse_envelope, parse_envelope_debezium
+from ..sources.cdc_schema import (
+    parse_envelope,
+    parse_envelope_canal,
+    parse_envelope_debezium,
+    parse_envelope_maxwell,
+)
 from ..sources.tables import load_table, register_views
 
 _ACTIONS = ("INSERT", "UPDATE-INSERT", "DELETE")
@@ -154,6 +159,117 @@ def debezium_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def maxwell_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> Maxwell daemon JSON lines -> parse_envelope_maxwell ->
+    routed payload decode -> per-action rollup.
+
+    Covers all four mapped type codes (okey % 4 -> insert / update /
+    delete / bootstrap-insert, with bootstrap-insert folding into the
+    INSERT group), the full-row ``data`` image on deletes (Maxwell's
+    contract — no before-image fallback), and the epoch-SECONDS ``ts``
+    roundtrip (update_date truncates to second precision, mirrored in the
+    oracle's date_trunc).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mtype = F.element_at(
+        F.array(
+            F.lit("insert"), F.lit("update"), F.lit("delete"),
+            F.lit("bootstrap-insert"),
+        ),
+        (F.col("o_orderkey") % 4 + 1).cast("int"),
+    )
+    lines = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("bench_db").alias("database"),
+                F.lit("orders_feed").alias("table"),
+                mtype.alias("type"),
+                F.unix_timestamp(F.col("o_orderdate")).alias("ts"),
+                F.struct(
+                    F.col("o_orderkey"),
+                    F.col("o_custkey"),
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice"),
+                ).alias("data"),
+            )
+        ).alias("value")
+    )
+    parsed = parse_envelope_maxwell(lines)
+    routed = parsed.filter(F.col("object") == "orders_feed").select(
+        "action",
+        F.to_timestamp("update_date_raw").alias("update_date"),
+        F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
+def canal_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> Canal flat-message JSON (rows BATCHED pairwise into the
+    ``data`` array) -> parse_envelope_canal -> routed payload decode ->
+    per-action rollup.
+
+    Exercises the batching contract: each wire message carries up to two
+    row images under one type/es/table header (group = okey div 2, sorted
+    image array for determinism), so a correct adapter must fan each
+    message back out to per-row envelope rows; es is the max order date
+    of the group in epoch millis, roundtripped through update_date — the
+    oracle recomputes the same per-group timestamp from the source table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    g = F.expr("o_orderkey div 2")
+    ctype = F.element_at(
+        F.array(F.lit("INSERT"), F.lit("UPDATE"), F.lit("DELETE")),
+        (g % 3 + 1).cast("int"),
+    )
+    image = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    grouped = o.groupBy(g.alias("gid")).agg(
+        F.sort_array(F.collect_list(image)).alias("data"),
+        F.max(F.unix_millis(F.col("o_orderdate"))).alias("es"),
+    )
+    lines = grouped.select(
+        F.to_json(
+            F.struct(
+                F.lit("bench_db").alias("database"),
+                F.lit("orders_feed").alias("table"),
+                F.element_at(
+                    F.array(
+                        F.lit("INSERT"), F.lit("UPDATE"), F.lit("DELETE")
+                    ),
+                    (F.col("gid") % 3 + 1).cast("int"),
+                ).alias("type"),
+                F.col("es"),
+                F.lit(False).alias("isDdl"),
+                F.col("data"),
+            )
+        ).alias("value")
+    )
+    parsed = parse_envelope_canal(lines)
+    routed = parsed.filter(F.col("object") == "orders_feed").select(
+        "action",
+        F.to_timestamp("update_date_raw").alias("update_date"),
+        F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
 def cdc_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-drift audit over a CDC stream: per (object, payload key),
     how many records carry the key and its first/last event time — the
@@ -270,6 +386,8 @@ def commitlog_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cdc_envelope_roundtrip": cdc_envelope_roundtrip,
     "debezium_envelope_roundtrip": debezium_envelope_roundtrip,
+    "maxwell_envelope_roundtrip": maxwell_envelope_roundtrip,
+    "canal_envelope_roundtrip": canal_envelope_roundtrip,
     "cdc_schema_drift_report": cdc_schema_drift_report,
     "sql_api_cte": sql_api_cte,
     "commitlog_changes": commitlog_changes,
@@ -353,3 +471,36 @@ ORACLES = {
         WHERE o_orderkey % 5 = 0
     """,
 }
+
+ORACLES["maxwell_envelope_roundtrip"] = """
+    SELECT CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 'INSERT'
+               WHEN 1 THEN 'UPDATE-INSERT'
+               WHEN 2 THEN 'DELETE'
+               ELSE 'INSERT' END AS action,
+           count(*) AS n_rows,
+           count(o_custkey) AS n_custkeys,
+           round(sum(o_totalprice), 2) AS revenue,
+           max(date_trunc('second', o_orderdate)) AS last_update
+    FROM orders
+    GROUP BY 1
+"""
+
+ORACLES["canal_envelope_roundtrip"] = """
+    WITH g AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+               o_orderkey // 2 AS gid
+        FROM orders
+    ),
+    gm AS (SELECT gid, max(o_orderdate) AS gdate FROM g GROUP BY 1)
+    SELECT CASE CAST(g.gid % 3 AS INT)
+               WHEN 0 THEN 'INSERT'
+               WHEN 1 THEN 'UPDATE-INSERT'
+               ELSE 'DELETE' END AS action,
+           count(*) AS n_rows,
+           count(o_custkey) AS n_custkeys,
+           round(sum(o_totalprice), 2) AS revenue,
+           max(gm.gdate) AS last_update
+    FROM g JOIN gm ON g.gid = gm.gid
+    GROUP BY 1
+"""

@@ -124,28 +124,154 @@ def parse_envelope_debezium(
     )
 
 
+# Maxwell type values -> canonical actions.  bootstrap-insert is the
+# initial-load insert; bootstrap-start/complete markers carry no data and
+# fall through to a NULL action (dead-letter), as do DDL rows.
+MAXWELL_ACTIONS = (
+    ("insert", "INSERT"),
+    ("update", "UPDATE-INSERT"),
+    ("delete", "DELETE"),
+    ("bootstrap-insert", "INSERT"),
+)
+
+
+def parse_envelope_maxwell(
+    raw_lines: DataFrame, line_col: str = "value"
+) -> DataFrame:
+    """Maxwell's daemon change records (the third major OSS CDC producer)
+    -> the SAME canonical envelope columns as ``parse_envelope``.
+
+    Field mapping (Maxwell's public JSON format: ``type`` in
+    insert/update/delete/bootstrap-*, ``data`` full row image, ``old``
+    changed-column before image, ``ts`` epoch SECONDS, ``table``):
+
+    - ``type`` insert/update/delete/bootstrap-insert -> INSERT /
+      UPDATE-INSERT / DELETE / INSERT; anything else (bootstrap-start,
+      DDL) yields NULL action -> dead-letter.
+    - payload = ``data`` — Maxwell puts the FULL row image there for
+      deletes too, so no before-image fallback is needed.
+    - ``ts`` -> update_date_raw as a UTC ``yyyy-MM-dd HH:mm:ss`` string
+      (second precision is Maxwell's contract).
+    - ``table`` -> object (registry routing key).
+    """
+    line = F.col(line_col)
+    parsed = raw_lines.select(
+        F.json_tuple(line, "table", "type", "ts", "data").alias(
+            "object", "mtype", "ts_s", "payload_json"
+        ),
+        line.alias("raw"),
+    )
+    action: Column = F.lit(None).cast("string")
+    for code, act in MAXWELL_ACTIONS:
+        action = F.when(F.col("mtype") == code, F.lit(act)).otherwise(action)
+    update_raw = F.date_format(
+        F.timestamp_seconds(F.col("ts_s").cast("long")),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return parsed.select(
+        "object",
+        action.alias("action"),
+        update_raw.alias("update_date_raw"),
+        "payload_json",
+        "raw",
+    )
+
+
+CANAL_ACTIONS = (
+    ("INSERT", "INSERT"),
+    ("UPDATE", "UPDATE-INSERT"),
+    ("DELETE", "DELETE"),
+)
+
+
+def parse_envelope_canal(
+    raw_lines: DataFrame, line_col: str = "value"
+) -> DataFrame:
+    """Alibaba Canal flat-JSON change records -> the canonical envelope.
+
+    Canal BATCHES row images: ``data`` is an ARRAY of row objects sharing
+    one ``type``/``es``/``table`` header, so one wire message fans out to
+    one canonical-envelope row per element.  ``from_json(.., array<string>)``
+    keeps each element as its RAW JSON text (the routing design's payload
+    contract) and ``explode_outer`` preserves malformed/DDL lines (null or
+    empty ``data``) as null-payload rows that dead-letter downstream
+    instead of vanishing.
+
+    Field mapping (Canal's public flat-message format): ``type``
+    INSERT/UPDATE/DELETE (DDL types like CREATE/ALTER -> NULL action ->
+    dead-letter), ``data[i]`` -> payload, ``es`` epoch millis (the source
+    db execute time; ``ts`` is only Canal's processing time) ->
+    update_date_raw, ``table`` -> object.
+    """
+    line = F.col(line_col)
+    parsed = raw_lines.select(
+        F.json_tuple(line, "table", "type", "es", "data").alias(
+            "object", "ctype", "es_ms", "data_raw"
+        ),
+        line.alias("raw"),
+    )
+    action: Column = F.lit(None).cast("string")
+    for code, act in CANAL_ACTIONS:
+        action = F.when(F.col("ctype") == code, F.lit(act)).otherwise(action)
+    update_raw = F.date_format(
+        F.timestamp_millis(F.col("es_ms").cast("long")),
+        "yyyy-MM-dd HH:mm:ss.SSS",
+    )
+    return parsed.select(
+        "object",
+        action.alias("action"),
+        update_raw.alias("update_date_raw"),
+        F.explode_outer(F.from_json(F.col("data_raw"), "array<string>")).alias(
+            "payload_json"
+        ),
+        "raw",
+    )
+
+
 def parse_envelope_auto(
     raw_lines: DataFrame, line_col: str = "value"
 ) -> DataFrame:
     """Per-LINE envelope dispatch for mixed streams: a topic/directory
-    carrying BOTH Datastream-style and Debezium records parses into one
-    canonical envelope frame.  A line is Debezium iff it has an ``op``
-    field (bare or under ``$.payload``); everything else takes the
-    Datastream path (whose unknown-field lines null out and dead-letter).
+    carrying any mix of Datastream, Debezium, Maxwell, and Canal records
+    parses into one canonical envelope frame.  Detection probes, in
+    precedence order:
 
-    Plan shape: two filtered narrow projections of the same source,
+    - Debezium iff the line has an ``op`` field (bare or under
+      ``$.payload``);
+    - Canal iff it has a ``type`` field AND ``$.data[0]`` resolves (data
+      is an ARRAY — get_json_object's [0] path is null on objects);
+    - Maxwell iff it has ``type`` + object-shaped ``data``;
+    - everything else takes the Datastream path (whose unknown-field
+      lines null out and dead-letter).
+
+    Plan shape: four filtered narrow projections of the same source,
     unioned — no shuffle, no join; each row is json-parsed by exactly one
-    branch plus the two cheap ``op`` probes.  In single-pass ingest the
-    downstream per-table routing persists the unioned envelope batch, so
-    the source is still scanned once per micro-batch."""
+    branch plus the cheap probes.  In single-pass ingest the downstream
+    per-table routing persists the unioned envelope batch, so the source
+    is still scanned once per micro-batch."""
     line = F.col(line_col)
     is_dbz = (
         F.get_json_object(line, "$.op").isNotNull()
         | F.get_json_object(line, "$.payload.op").isNotNull()
     )
-    ds = parse_envelope(raw_lines.filter(~is_dbz), line_col)
+    has_type = F.get_json_object(line, "$.type").isNotNull()
+    is_canal = (
+        ~is_dbz
+        & has_type
+        & F.get_json_object(line, "$.data[0]").isNotNull()
+    )
+    is_maxwell = (
+        ~is_dbz
+        & ~is_canal
+        & has_type
+        & F.get_json_object(line, "$.data").isNotNull()
+    )
+    is_ds = ~is_dbz & ~is_canal & ~is_maxwell
+    ds = parse_envelope(raw_lines.filter(is_ds), line_col)
     dz = parse_envelope_debezium(raw_lines.filter(is_dbz), line_col)
-    return ds.unionByName(dz)
+    mx = parse_envelope_maxwell(raw_lines.filter(is_maxwell), line_col)
+    cn = parse_envelope_canal(raw_lines.filter(is_canal), line_col)
+    return ds.unionByName(dz).unionByName(mx).unionByName(cn)
 
 
 def update_date_expr(spark_type) -> Column:

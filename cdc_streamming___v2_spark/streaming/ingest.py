@@ -39,7 +39,9 @@ from pyspark.sql.streaming import StreamingQuery
 from ..sources.cdc_schema import (
     parse_envelope,
     parse_envelope_auto,
+    parse_envelope_canal,
     parse_envelope_debezium,
+    parse_envelope_maxwell,
     update_date_expr,
 )
 from ..sources.registry import ENGINE_COLUMNS, SchemaRegistry, TableSpec
@@ -67,10 +69,11 @@ class CdcIngest:
     checkpoint_dir: str
     source_format: str = "file"
     # "datastream" (the reference's envelope), "debezium" (op c/u/d/r +
-    # before/after images + ts_ms + source.table), or "auto" (per-line
-    # dispatch for mixed streams). Everything downstream of the parse —
-    # registry route, payload decode, enrich, sinks, dead-letter — is
-    # envelope-agnostic (sources/cdc_schema.py).
+    # before/after images + ts_ms + source.table), "maxwell" (type +
+    # data/old + ts + table), "canal" (type + batched data[] + es +
+    # table), or "auto" (per-line dispatch for mixed streams). Everything
+    # downstream of the parse — registry route, payload decode, enrich,
+    # sinks, dead-letter — is envelope-agnostic (sources/cdc_schema.py).
     envelope_format: str = "datastream"
     kafka_options: dict[str, str] = field(default_factory=dict)
     # single-pass mode only: publish each (table, micro-batch) atomically
@@ -115,6 +118,10 @@ class CdcIngest:
         raw = self._raw_lines()
         if self.envelope_format == "debezium":
             return parse_envelope_debezium(raw)
+        if self.envelope_format == "maxwell":
+            return parse_envelope_maxwell(raw)
+        if self.envelope_format == "canal":
+            return parse_envelope_canal(raw)
         if self.envelope_format == "auto":
             return parse_envelope_auto(raw)
         if self.envelope_format != "datastream":
@@ -466,7 +473,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source-format", choices=["file", "kafka", "kafka-mock"],
                    default="file")
     p.add_argument("--envelope-format",
-                   choices=["datastream", "debezium", "auto"],
+                   choices=["datastream", "debezium", "maxwell", "canal",
+                            "auto"],
                    default="datastream",
                    help="CDC record envelope: datastream (reference style), "
                    "debezium (op/before/after/ts_ms/source.table), or auto "

@@ -707,3 +707,152 @@ def test_mixed_stream_unifies_both_envelopes(mixed_ingested):
     }
     # p1/p2 arrived via Datastream, p3 via Debezium — one unified table
     assert set(by_product) == {"p1", "p2", "p3"}
+
+
+# --- Maxwell / Canal envelope adapters ---------------------------------------
+
+
+def _mxw(table, mtype, ts_s, data=None):
+    return json.dumps({
+        "database": "olist", "table": table, "type": mtype, "ts": ts_s,
+        "data": data, "old": None,
+    })
+
+
+MXW_LINES = [
+    _mxw("olist_produtos", "insert", 1704672000, data=P3),
+    _mxw("olist_produtos", "update", 1704758400, data=P3_V2),
+    _mxw("olist_produtos", "delete", 1704844800, data=P3_V2),
+    _mxw("olist_users", "bootstrap-insert", 1704931200,
+         data={"first_name": "bea", "email": "b@x.com"}),
+    _mxw("olist_produtos", "bootstrap-start", 1704931200),  # marker -> DL
+]
+
+
+def _cnl(table, ctype, es_ms, data_rows):
+    return json.dumps({
+        "database": "olist", "table": table, "type": ctype, "es": es_ms,
+        "ts": es_ms + 500, "isDdl": False, "data": data_rows,
+        "old": None, "pkNames": ["product_id"],
+    })
+
+
+P4 = {"product_id": "p4", "product_category_name": "garden",
+      "product_photos_qty": 2, "product_weight_g": 100.0}
+
+CNL_LINES = [
+    # one message, TWO batched row images -> must fan out to two rows
+    _cnl("olist_produtos", "INSERT", 1704672000000, [P3, P4]),
+    _cnl("olist_produtos", "UPDATE", 1704758400000, [P3_V2]),
+    _cnl("olist_produtos", "DELETE", 1704844800000, [P4]),
+    # DDL record: data null, type not in the DML vocabulary -> dead-letter
+    _cnl("olist_produtos", "CREATE", 1704931200000, None),
+]
+
+
+@pytest.fixture(scope="module")
+def mxw_ingested(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc_mxw")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "mxw1.jsonl"), "w") as f:
+        f.write("\n".join(MXW_LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="maxwell",
+    )
+    ing.run_available_single_pass()
+    return ing
+
+
+def test_maxwell_routes_all_types(mxw_ingested):
+    hist = mxw_ingested.history("olist_produtos")
+    rows = {r["action"]: r for r in hist.collect()}
+    assert len(rows) == 3
+    assert rows["INSERT"]["product_category_name"] == "tools"
+    assert rows["UPDATE-INSERT"]["product_category_name"] == "hardware"
+    # Maxwell deletes carry the full row image in `data`
+    assert rows["DELETE"]["product_weight_g"] == pytest.approx(260.0)
+    # epoch-seconds ts roundtrips at second precision
+    assert rows["INSERT"]["update_date"] == "2024-01-08 00:00:00"
+
+
+def test_maxwell_bootstrap_semantics(mxw_ingested):
+    import datetime
+
+    users = mxw_ingested.history("olist_users").collect()
+    assert len(users) == 1 and users[0]["action"] == "INSERT"
+    assert users[0]["update_date"] == datetime.datetime(2024, 1, 11)
+    dl = mxw_ingested.dead_letter().collect()
+    assert len(dl) == 1 and "bootstrap-start" in dl[0]["raw"]
+
+
+@pytest.fixture(scope="module")
+def cnl_ingested(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc_cnl")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "cnl1.jsonl"), "w") as f:
+        f.write("\n".join(CNL_LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="canal",
+    )
+    ing.run_available_single_pass()
+    return ing
+
+
+def test_canal_batched_data_fans_out(cnl_ingested):
+    hist = cnl_ingested.history("olist_produtos")
+    rows = hist.collect()
+    assert len(rows) == 4  # 2 batched inserts + 1 update + 1 delete
+    inserts = {r["product_id"] for r in rows if r["action"] == "INSERT"}
+    assert inserts == {"p3", "p4"}  # one wire message -> two envelope rows
+    # es (source execute time, millis) roundtrips on the shared header
+    ins_dates = {r["update_date"] for r in rows if r["action"] == "INSERT"}
+    assert ins_dates == {"2024-01-08 00:00:00.000"}
+
+
+def test_canal_ddl_dead_letters(cnl_ingested):
+    dl = cnl_ingested.dead_letter().collect()
+    assert len(dl) == 1 and '"CREATE"' in dl[0]["raw"]
+
+
+def test_auto_dispatch_unifies_all_four_envelopes(spark, tmp_path_factory):
+    """One directory mixing Datastream, Debezium, Maxwell AND Canal lines
+    parses into one unified history under envelope_format='auto'."""
+    root = tmp_path_factory.mktemp("cdc_mixed4")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "all.jsonl"), "w") as f:
+        f.write("\n".join(
+            [LINES[0], DBZ_LINES[0], MXW_LINES[0], CNL_LINES[0]]
+        ) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="auto",
+    )
+    ing.run_available_single_pass()
+    hist = ing.history("olist_produtos")
+    rows = hist.collect()
+    # 1 datastream + 1 dbz insert + 1 maxwell insert + 2 canal batched
+    assert len(rows) == 5
+    assert {r["product_id"] for r in rows} >= {"p3", "p4"}
