@@ -939,24 +939,43 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     The core can legitimately be EMPTY when the thresholded graph has no
     dense club (the sf0.1 testdata graph is hub-and-spoke: its 6-core is
     empty, and the oracle agrees) — emptiness is an answer, not a failure.
+
+    Physical formulation: the edge list stays STATIC and only the
+    node-sized ALIVE set evolves (deg_i = degree of the subgraph induced
+    by alive_i — identical peel semantics).  An earlier draft filtered the
+    edge frame itself each round; its lineage referenced the previous
+    round's edges 3x (degree agg + two key joins), so both engines
+    expanded the expensive lineitem edge build 3^rounds times (Spark ran
+    it 7.6 s; DuckDB OOM'd at sf0.1 before MATERIALIZED hints).  The
+    static-edges/evolving-set shape keeps every round one pass over the
+    same base frame; the base frame is materialized ONCE via
+    localCheckpoint (the connected-components / mmr house pattern —
+    without it both engines re-executed the lineitem edge build per
+    reference: Spark 7.5 s, and DuckDB needed MATERIALIZED hints), so the
+    rounds run on the node-cardinality frame alone.
     """
     und = _scaled_und(spark, sf_dir)
-    edges = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
-        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    nb = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
+    alive = nb.select("node").distinct()
     for _ in range(KCORE_ROUNDS):
-        keep = (
-            edges.groupBy("node")
+        alive = (
+            nb.join(alive, "node")
+            .join(alive.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select("node")
         )
-        edges = edges.join(keep, "node").join(
-            keep.withColumnRenamed("node", "nbr"), "nbr"
-        )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        edges.groupBy("node")
+        nb.join(alive, "node")
+        .join(alive.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .join(F.broadcast(n), F.col("node") == F.col("n_nationkey"))
         .select(
@@ -968,21 +987,20 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle() -> str:
-    # every e_i is referenced 3x by round i+1 (degree agg + two key joins):
-    # MATERIALIZED stops DuckDB from inlining the chain, which would expand
-    # the lineitem edge build 3^rounds times and OOM at sf0.1
-    ctes = [f"e0 AS MATERIALIZED (SELECT node, nbr FROM nb)"]
+    # static edges + evolving alive set (see k_core_peel); MATERIALIZED on
+    # the node-sized alive CTEs stops DuckDB from inlining the chain
+    ctes = ["e0 AS MATERIALIZED (SELECT node, nbr FROM nb)",
+            "a0 AS MATERIALIZED (SELECT DISTINCT node FROM e0)"]
     for i in range(1, KCORE_ROUNDS + 1):
-        prev = f"e{i - 1}"
-        ctes.append(f"""k{i} AS MATERIALIZED (
-            SELECT node FROM (SELECT node, count(*) AS deg
-                              FROM {prev} GROUP BY node)
+        prev = f"a{i - 1}"
+        ctes.append(f"""a{i} AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT e.node, count(*) AS deg
+                FROM e0 e
+                JOIN {prev} x ON e.node = x.node
+                JOIN {prev} y ON e.nbr = y.node
+                GROUP BY e.node)
             WHERE deg >= {KCORE_K}
-        )""")
-        ctes.append(f"""e{i} AS MATERIALIZED (
-            SELECT e.node, e.nbr FROM {prev} e
-            JOIN k{i} a ON e.node = a.node
-            JOIN k{i} b ON e.nbr = b.node
         )""")
     joined = ",\n        ".join(ctes)
     return f"""
@@ -990,7 +1008,10 @@ def _kcore_oracle() -> str:
         {joined}
         SELECT CAST(e.node AS BIGINT) AS nationkey, n.n_name,
                CAST(count(*) AS BIGINT) AS core_degree
-        FROM e{KCORE_ROUNDS} e JOIN nation n ON e.node = n.n_nationkey
+        FROM e0 e
+        JOIN a{KCORE_ROUNDS} x ON e.node = x.node
+        JOIN a{KCORE_ROUNDS} y ON e.nbr = y.node
+        JOIN nation n ON e.node = n.n_nationkey
         GROUP BY 1, 2
     """
 
@@ -1012,10 +1033,17 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-cardinality nation dimension; on an unbounded graph this tier
     switches to sketched neighborhood counts (the HLL/hyperball path, see
     operators/sketches.py for the mergeable-HLL machinery).
+
+    The edge frame is materialized once (localCheckpoint, the iterative-op
+    house pattern) so the R relaxation rounds reference the tiny edge
+    list, not R copies of the lineitem edge-build plan.
     """
     und = _scaled_und(spark, sf_dir)
-    nb = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
-        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    nb = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         nb.select("node").distinct()
