@@ -212,6 +212,8 @@ HEADLINE = [
     "harmonic_centrality",
     "maxwell_envelope_roundtrip",
     "canal_envelope_roundtrip",
+    "decision_stump_train",
+    "readability_scores",
 ]
 
 

@@ -580,3 +580,108 @@ ORACLES["nearest_centroid_classify"] = f"""
            true_label = clabel AS correct
     FROM ranked WHERE rk = 1
 """
+
+
+# --- decision stump ----------------------------------------------------------
+
+
+def decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decision-stump training (the depth-1 CART split; Breiman et
+    al., public): find the threshold t on the word-count feature that
+    minimizes weighted Gini impurity of the split ``n_words <= t`` for the
+    binary label ``lang == 'en'`` — the boosting/tree-ensemble base
+    learner, trained as pure relational algebra.
+
+    Construction: one corpus aggregation to the distinct-feature-value
+    frame (bounded by the feature's value grid, NOT the corpus — the
+    AUC/STL bounded-frame argument), cumulative class counts via one
+    ordered window, the Gini of every candidate split as exact-integer
+    divisions, and an argmin.  No per-candidate pass over the data: every
+    candidate is scored from the same cumulative frame.
+
+    Exactness: class counts are integers; each impurity term is division/
+    multiplication of identical exact operands on both engines; the argmin
+    compares 6-rounded impurity with a threshold tie-break.
+    """
+    from ..functions.texts import n_tokens_ws
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        n_tokens_ws(F.col("text")).alias("x"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    g = scored.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = g.withColumn("cn", F.sum("n").over(w)).withColumn(
+        "cp", F.sum("pos").over(w)
+    )
+    # grand totals as unbounded windows over the bounded value-grid frame
+    # (a crossJoin against an agg of the same frame trips Spark's
+    # self-join ambiguity resolver)
+    c = (
+        cum.withColumn("N", F.max("cn").over(wall))
+        .withColumn("P", F.max("cp").over(wall))
+        .filter(F.col("cn") < F.col("N"))
+    )
+    pl = F.col("cp") / F.col("cn")
+    ql = (F.col("cn") - F.col("cp")) / F.col("cn")
+    nr = F.col("N") - F.col("cn")
+    pr = (F.col("P") - F.col("cp")) / nr
+    qr = (nr - (F.col("P") - F.col("cp"))) / nr
+    gini = (
+        F.col("cn") * (F.lit(1.0) - pl * pl - ql * ql)
+        + nr * (F.lit(1.0) - pr * pr - qr * qr)
+    ) / F.col("N")
+    ranked = c.select(
+        F.col("x").alias("threshold"),
+        F.round(gini, 6).alias("gini"),
+        F.col("cn").cast("bigint").alias("n_left"),
+        nr.cast("bigint").alias("n_right"),
+        F.col("cp").cast("bigint").alias("pos_left"),
+        (F.col("P") - F.col("cp")).cast("bigint").alias("pos_right"),
+    )
+    return ranked.orderBy(F.col("gini").asc(), F.col("threshold").asc()).limit(1)
+
+
+ORACLES["decision_stump_train"] = """
+    WITH scored AS (
+        SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS x,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    g AS (SELECT x, count(*) AS n, sum(y) AS pos FROM scored GROUP BY 1),
+    cum AS (
+        SELECT x,
+               sum(n) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cn,
+               sum(pos) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cp
+        FROM g
+    ),
+    tot AS (SELECT max(cn) AS N, max(cp) AS P FROM cum),
+    c AS (SELECT cum.*, tot.N, tot.P FROM cum, tot WHERE cn < N),
+    ranked AS (
+        SELECT CAST(x AS BIGINT) AS threshold,
+               round((cn * (1.0 - (cp * 1.0 / cn) * (cp * 1.0 / cn)
+                            - ((cn - cp) * 1.0 / cn) * ((cn - cp) * 1.0 / cn))
+                      + (N - cn) * (1.0
+                            - ((P - cp) * 1.0 / (N - cn))
+                              * ((P - cp) * 1.0 / (N - cn))
+                            - (((N - cn) - (P - cp)) * 1.0 / (N - cn))
+                              * (((N - cn) - (P - cp)) * 1.0 / (N - cn))))
+                     / N, 6) AS gini,
+               CAST(cn AS BIGINT) AS n_left,
+               CAST(N - cn AS BIGINT) AS n_right,
+               CAST(cp AS BIGINT) AS pos_left,
+               CAST(P - cp AS BIGINT) AS pos_right
+        FROM c
+    )
+    SELECT * FROM ranked ORDER BY gini ASC, threshold ASC LIMIT 1
+"""
+QUERIES["decision_stump_train"] = decision_stump_train

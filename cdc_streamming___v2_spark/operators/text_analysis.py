@@ -697,3 +697,86 @@ def _ensemble_oracle() -> str:
 
 ORACLES["quality_ensemble_vote"] = _ensemble_oracle()
 QUERIES["quality_ensemble_vote"] = quality_ensemble_vote
+
+
+# --- readability -------------------------------------------------------------
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document from the
+    classic published formulas (Flesch 1948 / Kincaid 1975), with the
+    standard cheap approximations: sentences = '.!?' runs, syllables =
+    vowel-group runs.  The readability screen sits next to the quality
+    ensemble: very low ease flags legalese/boilerplate, impossible values
+    flag non-text.
+
+    Parity notes: both engines count pattern occurrences as
+    ``len(split(text, pattern)) - 1`` — Spark's Java split and DuckDB's
+    RE2 split both keep empty segments, so segment count minus one IS the
+    match count.  The scores are computed over a COMMON INTEGER
+    NUMERATOR (ease*1000*s*w and grade*100*s*w are exact bigints), so
+    each published value is one division of exact integers + one
+    half-away-from-zero integer round — engine round(x, k) on doubles
+    diverges at decimal boundaries (Spark BigDecimal HALF_UP vs DuckDB
+    multiply-based), and these formulas' small-denominator rationals land
+    on those boundaries constantly; integer-numerator arithmetic
+    sidesteps the divergence entirely.  Pure scan-stage expressions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = n_tokens_ws(t)
+    n_sent = F.greatest(
+        F.size(F.split(t, r"[.!?]+")) - 1, F.lit(1)
+    ).cast("long")
+    n_syl = F.greatest(
+        F.size(F.split(F.lower(t), "[aeiouy]+")) - 1, F.lit(1)
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        n_words.alias("w"),
+        n_sent.alias("s"),
+        n_syl.alias("syl"),
+    )
+    den = F.col("s") * F.col("w")
+    ease_num = (
+        F.lit(206835) * den
+        - F.lit(1015) * F.col("w") * F.col("w")
+        - F.lit(84600) * F.col("syl") * F.col("s")
+    )
+    grade_num = (
+        F.lit(39) * F.col("w") * F.col("w")
+        + F.lit(1180) * F.col("syl") * F.col("s")
+        - F.lit(1559) * den
+    )
+    return base.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("syl").alias("n_syllables"),
+        (F.round(ease_num / den) / 1000.0).alias("flesch_ease"),
+        (F.round(grade_num / den) / 100.0).alias("fk_grade"),
+    )
+
+
+ORACLES["readability_scores"] = f"""
+    SELECT doc_id,
+           n_words, n_sentences, n_syllables,
+           round((206835 * (n_sentences * n_words)
+                  - 1015 * n_words * n_words
+                  - 84600 * n_syllables * n_sentences) * 1.0
+                 / (n_sentences * n_words)) / 1000.0 AS flesch_ease,
+           round((39 * n_words * n_words
+                  + 1180 * n_syllables * n_sentences
+                  - 1559 * (n_sentences * n_words)) * 1.0
+                 / (n_sentences * n_words)) / 100.0 AS fk_grade
+    FROM (
+        SELECT doc_id,
+               CAST(len({_WORDS}) AS BIGINT) AS n_words,
+               CAST(greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1,
+                             1) AS BIGINT) AS n_sentences,
+               CAST(greatest(len(regexp_split_to_array(lower(text),
+                             '[aeiouy]+')) - 1, 1) AS BIGINT) AS n_syllables
+        FROM documents
+    )
+"""
+QUERIES["readability_scores"] = readability_scores

@@ -267,3 +267,35 @@ def test_harmonic_centrality_bounds(spark):
         # each reached node contributes between 1/R and 1
         assert r["n_reached"] / G.HARMONIC_HOPS - 1e-9 <= r["harmonic"]
         assert r["harmonic"] <= r["n_reached"] + 1e-9
+
+
+# --- wave 7 ------------------------------------------------------------------
+
+
+def test_decision_stump_beats_or_ties_trivial_split(spark):
+    r = ML.decision_stump_train(spark, SF_SMALL).collect()[0]
+    assert r["n_left"] >= 1 and r["n_right"] >= 1
+    assert 0.0 <= r["gini"] <= 0.5 + 1e-9  # binary gini upper bound
+    assert r["pos_left"] <= r["n_left"] and r["pos_right"] <= r["n_right"]
+    # the chosen split's impurity can't exceed the unsplit baseline
+    n = r["n_left"] + r["n_right"]
+    p = (r["pos_left"] + r["pos_right"]) / n
+    baseline = 1.0 - p * p - (1 - p) * (1 - p)
+    assert r["gini"] <= baseline + 1e-6
+
+
+def test_readability_counts_and_formula(spark):
+    from cdc_streamming___v2_spark.operators import text_analysis as TA
+
+    rows = TA.readability_scores(spark, SF_SMALL).collect()
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["n_words"] >= 1 and r["n_sentences"] >= 1
+        assert r["n_syllables"] >= 1
+        wps = r["n_words"] / r["n_sentences"]
+        spw = r["n_syllables"] / r["n_words"]
+        expect = 206.835 - 1.015 * wps - 84.6 * spw
+        # published value is the exact-numerator milli-round of the same
+        # formula
+        assert abs(r["flesch_ease"] - expect) < 0.002
