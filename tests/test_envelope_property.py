@@ -152,3 +152,166 @@ def test_envelope_parse_matches_python_model(spark, lines):
     want_rows, want_dead = _model(lines)
     assert Counter(map(_key, got)) == Counter(map(_key, want_rows))
     assert dead == want_dead
+
+
+# --- Maxwell / Canal adapter properties --------------------------------------
+
+from datetime import datetime, timezone  # noqa: E402
+
+from cdc_streamming___v2_spark.sources.cdc_schema import (  # noqa: E402
+    CANAL_ACTIONS,
+    MAXWELL_ACTIONS,
+    parse_envelope_canal,
+    parse_envelope_maxwell,
+)
+
+_MXW_MAP = dict(MAXWELL_ACTIONS)
+_CNL_MAP = dict(CANAL_ACTIONS)
+
+_row_obj = st.fixed_dictionaries(
+    {}, optional={"id": st.none() | _text, "qty": st.integers(-100, 100)}
+)
+_mxw_record = st.fixed_dictionaries(
+    {},
+    optional={
+        "table": st.sampled_from(["t1", "ghost"]),
+        "type": st.sampled_from(
+            ["insert", "update", "delete", "bootstrap-insert",
+             "bootstrap-start", "table-create", "WEIRD"]
+        ),
+        "ts": st.none() | st.integers(0, 4_000_000_000),
+        "data": st.none() | _row_obj,
+    },
+)
+_mxw_line = st.one_of(
+    _mxw_record.map(json.dumps), st.just("{bad"), _text
+)
+
+
+def _mxw_model(lines):
+    out = []
+    for line in lines:
+        try:
+            d = json.loads(line)
+        except (ValueError, TypeError):
+            out.append((None, None, None, None))
+            continue
+        if not isinstance(d, dict):
+            out.append((None, None, None, None))
+            continue
+        ts = d.get("ts")
+        raw = (
+            datetime.fromtimestamp(ts, tz=timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            if isinstance(ts, int)
+            else None
+        )
+        data = d.get("data")
+        out.append(
+            (
+                d.get("table"),
+                _MXW_MAP.get(d.get("type")),
+                raw,
+                json.dumps(data, sort_keys=True)
+                if isinstance(data, dict)
+                else None,
+            )
+        )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(_mxw_line, min_size=1, max_size=8))
+def test_maxwell_parse_matches_python_model(spark, lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    env = parse_envelope_maxwell(df).collect()
+    got = Counter(
+        (
+            r["object"],
+            r["action"],
+            r["update_date_raw"],
+            json.dumps(json.loads(r["payload_json"]), sort_keys=True)
+            if r["payload_json"] is not None
+            else None,
+        )
+        for r in env
+    )
+    want = Counter(_mxw_model(lines))
+    assert got == want
+
+
+_cnl_record = st.fixed_dictionaries(
+    {},
+    optional={
+        "table": st.sampled_from(["t1", "ghost"]),
+        "type": st.sampled_from(
+            ["INSERT", "UPDATE", "DELETE", "CREATE", "ALTER", "noise"]
+        ),
+        "es": st.none() | st.integers(0, 4_000_000_000_000),
+        "data": st.none() | st.lists(_row_obj, max_size=3),
+    },
+)
+_cnl_line = st.one_of(_cnl_record.map(json.dumps), st.just("{bad"), _text)
+
+
+def _cnl_model(lines):
+    out = []
+    for line in lines:
+        try:
+            d = json.loads(line)
+        except (ValueError, TypeError):
+            out.append((None, None, None, None))
+            continue
+        if not isinstance(d, dict):
+            out.append((None, None, None, None))
+            continue
+        es = d.get("es")
+        raw = (
+            datetime.fromtimestamp(es / 1000.0, tz=timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S."
+            )
+            + f"{es % 1000:03d}"
+            if isinstance(es, int)
+            else None
+        )
+        obj, act = d.get("table"), _CNL_MAP.get(d.get("type"))
+        data = d.get("data")
+        if isinstance(data, list) and data:
+            for el in data:
+                out.append(
+                    (obj, act, raw, json.dumps(el, sort_keys=True))
+                )
+        else:
+            # null / absent / empty / non-array data -> one null-payload
+            # row (explode_outer keeps the line for dead-lettering)
+            out.append((obj, act, raw, None))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(_cnl_line, min_size=1, max_size=8))
+def test_canal_parse_matches_python_model(spark, lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    env = parse_envelope_canal(df).collect()
+    got = Counter(
+        (
+            r["object"],
+            r["action"],
+            r["update_date_raw"],
+            json.dumps(json.loads(r["payload_json"]), sort_keys=True)
+            if r["payload_json"] is not None
+            else None,
+        )
+        for r in env
+    )
+    want = Counter(_cnl_model(lines))
+    assert got == want
