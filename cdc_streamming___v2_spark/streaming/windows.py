@@ -394,3 +394,67 @@ def quantile_sketch_stream(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+RUN_ENC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_type", T.StringType()),
+        T.StructField("run_len", T.LongType()),
+        T.StructField("run_start", T.LongType()),
+    ]
+)
+
+RUN_ENC_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("run_len", T.LongType()),
+        T.StructField("start_event_id", T.LongType()),
+    ]
+)
+
+
+def event_run_encoder(events: DataFrame) -> DataFrame:
+    """Streaming run-length encoder (the stateful twin of the batch
+    ``event_run_lengths`` operator): per-user state carries the OPEN run
+    (last type, length, first event id); each arriving event either
+    extends it or CLOSES it — closed runs emit immediately (append mode),
+    the open run stays in state across micro-batches.  The sequence-
+    compression / consecutive-anomaly detector as an incremental operator:
+    state is O(1) per active user, per-batch work is one Arrow batch per
+    user.
+
+    Rows are processed in (ts, event_id) order within each batch; streams
+    that can re-order across batches should front a watermark sort (the
+    standard caveat for any order-sensitive stateful operator).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_type, run_len, run_start = (
+            state.get if state.exists else (None, 0, None)
+        )
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for et, eid in zip(pdf["event_type"], pdf["event_id"]):
+                if last_type is None:
+                    last_type, run_len, run_start = et, 1, int(eid)
+                elif et == last_type:
+                    run_len += 1
+                else:
+                    out.append((key[0], last_type, run_len, run_start))
+                    last_type, run_len, run_start = et, 1, int(eid)
+        state.update((last_type, run_len, run_start))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_type", "run_len", "start_event_id"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUN_ENC_OUTPUT_SCHEMA,
+        stateStructType=RUN_ENC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

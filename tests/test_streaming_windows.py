@@ -483,3 +483,32 @@ def test_transform_with_state_matches_group_state_twin(spark, events_dir):
     }
     got = {r.user_id: (r.n, round(r.t, 2)) for r in rows}
     assert got == batch
+
+
+def test_event_run_encoder_matches_python_runs(spark, events_dir):
+    """Closed runs emitted by the stateful encoder == the batch run
+    decomposition minus each user's final (still-open) run."""
+    name = _run(W.event_run_encoder(_stream(spark, events_dir)))
+    got = sorted(
+        (r.user_id, r.event_type, r.run_len, r.start_event_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in sorted(
+        _batch_events(spark).collect(), key=lambda r: (r.ts, r.event_id)
+    ):
+        seqs[r.user_id].append((r.event_type, r.event_id))
+    want = []
+    for uid, evs in seqs.items():
+        runs = []
+        for et, eid in evs:
+            if runs and runs[-1][0] == et:
+                runs[-1][1] += 1
+            else:
+                runs.append([et, 1, eid])
+        for et, n, start in runs[:-1]:  # last run per user is still open
+            want.append((uid, et, n, start))
+    assert got == sorted(want)
