@@ -214,6 +214,7 @@ HEADLINE = [
     "canal_envelope_roundtrip",
     "decision_stump_train",
     "readability_scores",
+    "asof_nearest_join",
 ]
 
 

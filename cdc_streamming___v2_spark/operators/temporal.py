@@ -480,3 +480,111 @@ ORACLES = {
         GROUP BY o_orderstatus
     """,
 }
+
+
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join, NEAREST direction (pandas ``merge_asof
+    direction='nearest'`` semantics): each purchase pairs with the same
+    user's view event closest in time on EITHER side, ties to the
+    backward (at-or-before) candidate.  Completes the as-of family next
+    to the backward and tolerance variants.
+
+    Construction: the same union+window trick as the backward as-of, run
+    in both directions over ONE user-keyed sort — ``last(ignorenulls)``
+    over the preceding frame gives the backward candidate (views sort
+    before purchases at equal ts, so equal-ts is inclusive-backward),
+    ``first(ignorenulls)`` over the following frame gives the strictly-
+    forward candidate; a final projection picks the smaller absolute
+    delta.  ONE shuffle on user_id, no range explosion; right side is
+    deduped to (user, ts)-unique keeping max event_id so ties are
+    deterministic in both engines.  The oracle is the brute-force ranked
+    join over the same deduped views — the hash match proves the
+    two-window construction loses nothing.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    left = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        "event_id",
+        F.lit(None).cast("long").alias("v_id"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+    )
+    right = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    base = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("is_left").asc(), F.col("v_id").asc()
+    )
+    back = base.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    u = (
+        left.unionByName(right)
+        .withColumn("b_id", F.last("v_id", ignorenulls=True).over(back))
+        .withColumn("b_ts", F.last("v_ts", ignorenulls=True).over(back))
+        .withColumn("f_id", F.first("v_id", ignorenulls=True).over(fwd))
+        .withColumn("f_ts", F.first("v_ts", ignorenulls=True).over(fwd))
+        .filter(F.col("is_left") == 1)
+    )
+    db = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    df_ = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    take_back = F.col("f_ts").isNull() | (
+        F.col("b_ts").isNotNull() & (db <= df_)
+    )
+    return u.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "view_id"
+        ),
+        F.when(take_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "view_ts"
+        ),
+        F.when(take_back, -db).otherwise(df_).cast("long").alias("delta_us"),
+    )
+
+
+QUERIES["asof_nearest_join"] = asof_nearest_join
+ORACLES["asof_nearest_join"] = """
+    WITH views AS (
+        SELECT user_id, ts, max(event_id) AS v_id
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               v.v_id AS view_id, v.ts AS view_ts,
+               epoch_us(v.ts) - epoch_us(p.purchase_ts) AS delta_us,
+               row_number() OVER (
+                   PARTITION BY p.purchase_id
+                   ORDER BY abs(epoch_us(v.ts) - epoch_us(p.purchase_ts)),
+                            CASE WHEN epoch_us(v.ts)
+                                      <= epoch_us(p.purchase_ts)
+                                 THEN 0 ELSE 1 END
+               ) AS rk
+        FROM purchases p JOIN views v ON p.user_id = v.user_id
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           c.view_id, c.view_ts, CAST(c.delta_us AS BIGINT) AS delta_us
+    FROM purchases p
+    LEFT JOIN cand c ON p.purchase_id = c.purchase_id AND c.rk = 1
+"""
