@@ -215,6 +215,8 @@ HEADLINE = [
     "decision_stump_train",
     "readability_scores",
     "asof_nearest_join",
+    "ranking_eval_bm25",
+    "bcubed_cluster_eval",
 ]
 
 

@@ -981,3 +981,117 @@ ORACLES["compaction_bin_packing"] = f"""
     FROM binned GROUP BY 1, 2
 """
 QUERIES["compaction_bin_packing"] = compaction_bin_packing
+
+
+# --- ranking evaluation ------------------------------------------------------
+
+RANK_EVAL_K = 10
+RANK_REL_MIN = 2  # binary-relevance floor: doc must hit >= 2 query terms
+
+
+def ranking_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics for the BM25 ranking against a
+    deterministic graded relevance (rel = number of distinct query terms
+    the doc contains): NDCG@K with the standard (2^rel - 1)/log2(rank+1)
+    gains, MRR@K over binary relevance (rel >= RANK_REL_MIN), and
+    recall@K — the ranking-eval tier next to the classification AUC /
+    calibration operators.
+
+    Scale: both the system and ideal top-K are orderBy+limit
+    (TakeOrderedAndProject); every metric then reduces K-row frames and
+    one corpus-level relevant-count aggregate.  Gains/log discounts are
+    identical float expressions on exact integers.
+    """
+    from ..functions.retrieval import BM25_TOP  # noqa: F401 (doc anchor)
+
+    scored = bm25_scored(spark, sf_dir)
+    w = Window.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
+    top = (
+        scored.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
+        .limit(RANK_EVAL_K)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    gain = (F.pow(F.lit(2.0), F.col("n_terms_hit")) - 1) / F.log2(
+        F.col("rank") + 1
+    )
+    dcg = top.agg(
+        F.sum(gain).alias("dcg"),
+        F.min(
+            F.when(F.col("n_terms_hit") >= RANK_REL_MIN, F.col("rank"))
+        ).alias("first_rel_rank"),
+        F.sum((F.col("n_terms_hit") >= RANK_REL_MIN).cast("long")).alias(
+            "rel_in_topk"
+        ),
+    )
+    iw = Window.orderBy(F.col("n_terms_hit").desc(), F.col("doc_id").asc())
+    ideal = (
+        scored.orderBy(F.col("n_terms_hit").desc(), F.col("doc_id").asc())
+        .limit(RANK_EVAL_K)
+        .withColumn("rank", F.row_number().over(iw))
+    )
+    idcg = ideal.agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("n_terms_hit")) - 1)
+            / F.log2(F.col("rank") + 1)
+        ).alias("idcg")
+    )
+    nrel = scored.agg(
+        F.sum((F.col("n_terms_hit") >= RANK_REL_MIN).cast("long")).alias(
+            "n_relevant"
+        )
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(nrel))
+        .select(
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0)), 6
+            ).alias("mrr_at_k"),
+            F.round(F.col("rel_in_topk") / F.col("n_relevant"), 6).alias(
+                "recall_at_k"
+            ),
+            F.col("n_relevant").cast("bigint").alias("n_relevant"),
+        )
+    )
+
+
+ORACLES["ranking_eval_bm25"] = f"""
+    WITH {BM25_SCORED_CTE},
+    ranked AS (
+        SELECT doc_id, n_terms_hit,
+               row_number() OVER (ORDER BY score_raw DESC, doc_id ASC)
+                   AS rank
+        FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= {RANK_EVAL_K}),
+    dcg AS (
+        SELECT sum((pow(2.0, n_terms_hit) - 1) / log2(rank + 1)) AS dcg,
+               min(CASE WHEN n_terms_hit >= {RANK_REL_MIN} THEN rank END)
+                   AS first_rel_rank,
+               sum(CASE WHEN n_terms_hit >= {RANK_REL_MIN} THEN 1
+                        ELSE 0 END) AS rel_in_topk
+        FROM top
+    ),
+    iranked AS (
+        SELECT n_terms_hit,
+               row_number() OVER (ORDER BY n_terms_hit DESC, doc_id ASC)
+                   AS rank
+        FROM scored
+    ),
+    idcg AS (
+        SELECT sum((pow(2.0, n_terms_hit) - 1) / log2(rank + 1)) AS idcg
+        FROM iranked WHERE rank <= {RANK_EVAL_K}
+    ),
+    nrel AS (
+        SELECT sum(CASE WHEN n_terms_hit >= {RANK_REL_MIN} THEN 1
+                   ELSE 0 END) AS n_relevant
+        FROM scored
+    )
+    SELECT round(dcg.dcg / idcg.idcg, 6) AS ndcg_at_k,
+           round(coalesce(1.0 / dcg.first_rel_rank, 0.0), 6) AS mrr_at_k,
+           round(dcg.rel_in_topk * 1.0 / nrel.n_relevant, 6) AS recall_at_k,
+           CAST(nrel.n_relevant AS BIGINT) AS n_relevant
+    FROM dcg, idcg, nrel
+"""
+QUERIES["ranking_eval_bm25"] = ranking_eval_bm25

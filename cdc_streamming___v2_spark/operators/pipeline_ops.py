@@ -1162,3 +1162,103 @@ ORACLES["golden_record"] = """
     JOIN vs ON b.cluster = vs.cluster
 """
 QUERIES["golden_record"] = golden_record
+
+
+# --- B-cubed cluster evaluation ----------------------------------------------
+
+
+def bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998, the standard
+    clustering-evaluation metric for dedup/coreference) of the MinHash
+    near-dup clusters against exact-duplicate ground truth (md5 of
+    normalized text): per item, precision = the fraction of its cluster
+    sharing its class, recall = the fraction of its class sharing its
+    cluster; averages over all documents.  Documents the LSH clustering
+    leaves unpaired count as singleton clusters — exactly how a
+    production dedup audit scores its pipeline.
+
+    Scale: the metric reduces to the (cluster, class) contingency cells —
+    one groupBy at cell cardinality plus two marginal aggs; per-cell
+    contributions are n^2/size with exact-integer operands.
+    """
+    from ..functions.texts import normalized
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalized(F.col("text"))).alias("cls")
+    )
+    clusters = dedup_clusters(spark, sf_dir)
+    asg = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "cls",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cl"),
+    )
+    cell = asg.groupBy("cl", "cls").agg(F.count(F.lit(1)).alias("n"))
+    cs = cell.groupBy("cl").agg(F.sum("n").alias("nc"))
+    ls = cell.groupBy("cls").agg(F.sum("n").alias("nl"))
+    t = (
+        cell.join(cs, "cl")
+        .join(ls, "cls")
+        .agg(
+            F.sum(F.col("n") * F.col("n") / F.col("nc")).alias("ps"),
+            F.sum(F.col("n") * F.col("n") / F.col("nl")).alias("rs"),
+            F.sum("n").alias("N"),
+        )
+    )
+    p = F.col("ps") / F.col("N")
+    r = F.col("rs") / F.col("N")
+    return t.select(
+        F.col("N").cast("bigint").alias("n_docs"),
+        F.round(p, 6).alias("bcubed_precision"),
+        F.round(r, 6).alias("bcubed_recall"),
+        F.round(F.lit(2.0) * p * r / (p + r), 6).alias("bcubed_f1"),
+    )
+
+
+ORACLES["bcubed_cluster_eval"] = f"""
+    WITH RECURSIVE pairs AS ({_dedup.ORACLES["minhash_near_dup"]}),
+    nodes AS (SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b FROM pairs) t),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    cc(node, label) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, c.label FROM cc c JOIN edges e ON c.node = e.src
+        WHERE c.label < e.dst
+    ),
+    clusters AS (
+        SELECT CAST(min(label) AS BIGINT) AS cluster_id,
+               CAST(node AS BIGINT) AS doc_id
+        FROM cc GROUP BY node
+    ),
+    docs AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS cls
+        FROM documents
+    ),
+    asg AS (
+        SELECT d.doc_id, d.cls,
+               coalesce(c.cluster_id, d.doc_id) AS cl
+        FROM docs d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    ),
+    cell AS (SELECT cl, cls, count(*) AS n FROM asg GROUP BY 1, 2),
+    cs AS (SELECT cl, sum(n) AS nc FROM cell GROUP BY 1),
+    ls AS (SELECT cls, sum(n) AS nl FROM cell GROUP BY 1),
+    t AS (
+        SELECT sum(cell.n * cell.n / cs.nc) AS ps,
+               sum(cell.n * cell.n / ls.nl) AS rs,
+               sum(cell.n) AS N
+        FROM cell
+        JOIN cs ON cell.cl = cs.cl
+        JOIN ls ON cell.cls = ls.cls
+    )
+    SELECT CAST(N AS BIGINT) AS n_docs,
+           round(ps / N, 6) AS bcubed_precision,
+           round(rs / N, 6) AS bcubed_recall,
+           round(2.0 * (ps / N) * (rs / N) / ((ps / N) + (rs / N)), 6)
+               AS bcubed_f1
+    FROM t
+"""
+QUERIES["bcubed_cluster_eval"] = bcubed_cluster_eval
