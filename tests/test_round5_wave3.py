@@ -299,3 +299,54 @@ def test_readability_counts_and_formula(spark):
         # published value is the exact-numerator milli-round of the same
         # formula
         assert abs(r["flesch_ease"] - expect) < 0.002
+
+
+# --- wave 8 (temporal + evaluation) ------------------------------------------
+
+
+def test_asof_nearest_dominates_backward(spark):
+    """Nearest-match distance is never worse than the backward as-of
+    match, and the delta sign matches the chosen side."""
+    nearest = {
+        r["purchase_id"]: r
+        for r in TP.asof_nearest_join(spark, SF_SMALL).collect()
+    }
+    backward = {
+        r["event_id"]: r
+        for r in TP.asof_join_purchase_view(spark, SF_SMALL).collect()
+    }
+    assert set(nearest) == set(backward)
+    for pid, n in nearest.items():
+        b = backward[pid]
+        if b["view_ts"] is not None:
+            assert n["view_ts"] is not None
+            back_delta = (b["ts"] - b["view_ts"]).total_seconds() * 1e6
+            assert abs(n["delta_us"]) <= back_delta + 1.0  # total_seconds() float slop
+        if n["view_ts"] is not None:
+            if n["delta_us"] <= 0:
+                assert n["view_ts"] <= n["purchase_ts"]
+            else:
+                assert n["view_ts"] > n["purchase_ts"]
+
+
+def test_ranking_eval_bounds(spark):
+    from cdc_streamming___v2_spark.operators import corpus_ops as CO
+
+    r = CO.ranking_eval_bm25(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r["ndcg_at_k"] <= 1.0
+    assert 0.0 <= r["mrr_at_k"] <= 1.0
+    assert 0.0 <= r["recall_at_k"] <= 1.0
+    assert r["n_relevant"] >= 0
+
+
+def test_bcubed_bounds_and_perfect_on_exact(spark):
+    from cdc_streamming___v2_spark.operators import pipeline_ops as PO
+
+    r = PO.bcubed_cluster_eval(spark, SF_SMALL).collect()[0]
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert r["n_docs"] == n_docs
+    for m in ("bcubed_precision", "bcubed_recall", "bcubed_f1"):
+        assert 0.0 < r[m] <= 1.0
+    # near-dup clustering must RECALL exact duplicates near-perfectly
+    # (exact dups share all shingles -> same minhash bands)
+    assert r["bcubed_recall"] > 0.95
