@@ -727,8 +727,14 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank/k-means lineage pattern.
     """
     und = _scaled_und(spark, sf_dir)
-    nb = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
-        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    nb = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        # one-shot materialization: each LPA round references the tiny
+        # edge frame, not a re-executed lineitem edge build (house
+        # pattern, see k_core_peel)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nodes = n.select(F.col("n_nationkey").cast("long").alias("node"))
@@ -839,6 +845,11 @@ def bellman_ford_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.select(F.col("v").alias("src"), F.col("u").alias("dst"),
                      cost.alias("cost"))
         )
+        # materialize the node-cardinality edge list ONCE (the k-core /
+        # CC house pattern) so each relaxation round references the tiny
+        # frame, not a fresh copy of the lineitem edge-build plan
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nodes = n.select(F.col("n_nationkey").cast("long").alias("node"))
