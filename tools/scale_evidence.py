@@ -77,6 +77,8 @@ QUERIES = [
     "auc_roc_quality",
     "nearest_centroid_classify",
     "compaction_bin_packing",
+    "readability_scores",
+    "decision_stump_train",
 ]
 
 # the event-log tier (round-5 wave 3): per-user ordered-window operators
@@ -86,6 +88,9 @@ EVENT_QUERIES = [
     "interval_coalesce_islands",
     "max_drawdown_user",
     "psi_drift",
+    "event_run_lengths",
+    "asof_nearest_join",
+    "fifo_payment_allocation",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
