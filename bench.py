@@ -217,6 +217,7 @@ HEADLINE = [
     "asof_nearest_join",
     "ranking_eval_bm25",
     "bcubed_cluster_eval",
+    "anderson_darling_drift",
 ]
 
 

@@ -3961,3 +3961,151 @@ ORACLES["fifo_payment_allocation"] = """
     FROM alloc
 """
 QUERIES["fifo_payment_allocation"] = fifo_payment_allocation
+
+
+# --- Anderson-Darling drift --------------------------------------------------
+
+
+def anderson_darling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (Scholz & Stephens 1987,
+    midrank/tie-corrected A2akN form, k = 2) between the purchase-value
+    distributions before/after CHI2_SPLIT_TS — the TAIL-WEIGHTED drift
+    monitor next to ks_drift (KS is blind to tail divergence; AD weights
+    the ECDF gap by 1/(F(1-F))).
+
+    Scale: identical physics to ks_drift — one map-side-combined shuffle
+    to (value -> before/after count) cells, prefix sums via the two-pass
+    in-bucket + broadcast-offset decomposition (no global-ordering window
+    ever sees the cell-cardinality frame), then one aggregation of the
+    per-cell terms.
+
+    Parity: counts are integer-valued doubles (exact far past corpus
+    sizes), midranks are exact halves, every per-cell term is the same
+    IEEE expression on identical operands in both engines; only the final
+    term sum reassociates (~1e-16), rounded at 6.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") <= F.lit(CHI2_SPLIT_TS), 1).otherwise(0)
+            ).cast("double").alias("n1"),
+            F.sum(
+                F.when(F.col("ts") > F.lit(CHI2_SPLIT_TS), 1).otherwise(0)
+            ).cast("double").alias("n2"),
+        )
+        .withColumn(
+            "rbkt", F.floor(F.col("value") / KS_RANGE_BUCKET).cast("long")
+        )
+    )
+    w_in = (
+        Window.partitionBy("rbkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_cum = cells.select(
+        "rbkt",
+        "value",
+        "n1",
+        "n2",
+        F.sum("n1").over(w_in).alias("c1_in"),
+        F.sum("n2").over(w_in).alias("c2_in"),
+    )
+    btot = cells.groupBy("rbkt").agg(
+        F.sum("n1").alias("b1"), F.sum("n2").alias("b2")
+    )
+    w_off = Window.orderBy("rbkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "rbkt",
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0.0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(w_off), F.lit(0.0)).alias("o2"),
+    )
+    totals = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    l = F.col("n1") + F.col("n2")
+    c1 = F.col("o1") + F.col("c1_in")
+    c2 = F.col("o2") + F.col("c2_in")
+    big_n = F.col("t1") + F.col("t2")
+    m1 = c1 - F.col("n1") / 2
+    m2 = c2 - F.col("n2") / 2
+    lmid = (c1 + c2) - l / 2
+    denom = lmid * (big_n - lmid) - big_n * l / 4
+    num1 = big_n * m1 - F.col("t1") * lmid
+    num2 = big_n * m2 - F.col("t2") * lmid
+    term = F.when(
+        denom > 0,
+        (l / big_n)
+        * (
+            (num1 * num1) / (F.col("t1") * denom)
+            + (num2 * num2) / (F.col("t2") * denom)
+        ),
+    ).otherwise(F.lit(0.0))
+    t = (
+        in_cum.join(F.broadcast(offsets), "rbkt")
+        .crossJoin(F.broadcast(totals))
+        .agg(
+            F.sum(term).alias("s"),
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+        )
+    )
+    return t.select(
+        F.col("t1").cast("bigint").alias("n_before"),
+        F.col("t2").cast("bigint").alias("n_after"),
+        F.round(
+            ((F.col("t1") + F.col("t2") - 1) / (F.col("t1") + F.col("t2")))
+            * F.col("s"),
+            6,
+        ).alias("ad_stat"),
+    )
+
+
+ORACLES["anderson_darling_drift"] = f"""
+    WITH cells AS (
+        SELECT value,
+               CAST(sum(CASE WHEN ts <= TIMESTAMP '{CHI2_SPLIT_TS}'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+               CAST(sum(CASE WHEN ts > TIMESTAMP '{CHI2_SPLIT_TS}'
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT value, n1, n2,
+               sum(n1) OVER w AS c1, sum(n2) OVER w AS c2
+        FROM cells
+        WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM cells),
+    terms AS (
+        SELECT t1, t2,
+               CASE WHEN ((c1 + c2) - (n1 + n2) / 2)
+                         * ((t1 + t2) - ((c1 + c2) - (n1 + n2) / 2))
+                         - (t1 + t2) * (n1 + n2) / 4 > 0
+               THEN ((n1 + n2) / (t1 + t2))
+                    * ((((t1 + t2) * (c1 - n1 / 2)
+                         - t1 * ((c1 + c2) - (n1 + n2) / 2))
+                        * ((t1 + t2) * (c1 - n1 / 2)
+                           - t1 * ((c1 + c2) - (n1 + n2) / 2)))
+                       / (t1 * (((c1 + c2) - (n1 + n2) / 2)
+                                * ((t1 + t2) - ((c1 + c2) - (n1 + n2) / 2))
+                                - (t1 + t2) * (n1 + n2) / 4))
+                       + (((t1 + t2) * (c2 - n2 / 2)
+                           - t2 * ((c1 + c2) - (n1 + n2) / 2))
+                          * ((t1 + t2) * (c2 - n2 / 2)
+                             - t2 * ((c1 + c2) - (n1 + n2) / 2)))
+                         / (t2 * (((c1 + c2) - (n1 + n2) / 2)
+                                  * ((t1 + t2) - ((c1 + c2) - (n1 + n2) / 2))
+                                  - (t1 + t2) * (n1 + n2) / 4)))
+               ELSE 0.0 END AS term
+        FROM cum, tot
+    )
+    SELECT CAST(max(t1) AS BIGINT) AS n_before,
+           CAST(max(t2) AS BIGINT) AS n_after,
+           round(((max(t1) + max(t2) - 1) / (max(t1) + max(t2)))
+                 * sum(term), 6) AS ad_stat
+    FROM terms
+"""
+QUERIES["anderson_darling_drift"] = anderson_darling_drift

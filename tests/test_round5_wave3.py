@@ -350,3 +350,9 @@ def test_bcubed_bounds_and_perfect_on_exact(spark):
     # near-dup clustering must RECALL exact duplicates near-perfectly
     # (exact dups share all shingles -> same minhash bands)
     assert r["bcubed_recall"] > 0.95
+
+
+def test_anderson_darling_nonnegative_and_counts(spark):
+    r = A.anderson_darling_drift(spark, SF_SMALL).collect()[0]
+    assert r["n_before"] > 0 and r["n_after"] > 0
+    assert r["ad_stat"] >= 0.0
