@@ -119,6 +119,7 @@ _GATE_PRIORITY = (
     "ranking_eval_bm25",
     "bcubed_cluster_eval",
     "anderson_darling_drift",
+    "rake_keywords",
     # -- (3) round-5 modified implementations (re-proof wanted) --
     "ngram_jaccard_pairs",
     "bpe_pair_counts",
@@ -213,7 +214,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 244
+_MIN_QUERIES = 245
 
 
 def _registry() -> tuple[dict, dict]:

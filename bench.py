@@ -218,6 +218,7 @@ HEADLINE = [
     "ranking_eval_bm25",
     "bcubed_cluster_eval",
     "anderson_darling_drift",
+    "rake_keywords",
 ]
 
 

@@ -780,3 +780,157 @@ ORACLES["readability_scores"] = f"""
     )
 """
 QUERIES["readability_scores"] = readability_scores
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+RAKE_TOP = 30
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public): candidate
+    phrases are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = sum of the lengths of the phrases it
+    appears in), a phrase scores the sum of its word scores; report the
+    top-RAKE_TOP phrases corpus-wide.
+
+    Determinism: word scores become integer MICRO-scores via one exact
+    division + round (identical bigints in both engines), so phrase
+    scores are EXACT integer sums and the top-k ordering can never flip
+    on float noise.  Scale: phrase segmentation is the gaps-and-islands
+    window per doc (one doc-keyed shuffle); word stats are two
+    vocabulary-sized aggs; the final cut is orderBy+limit
+    (TakeOrderedAndProject).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.texts import words
+    from ..sources.tables import fan_out
+
+    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select(
+        "doc_id",
+        F.posexplode(words(F.lower(F.col("text")))).alias("pos", "w"),
+    ).filter(
+        (~F.array_contains(sw, F.col("w"))) & (F.length("w") >= 2)
+    )
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ph = toks.withColumn(
+        "start",
+        F.when(
+            F.lag("pos").over(order).isNull()
+            | (F.col("pos") - F.lag("pos").over(order) > 1),
+            1,
+        ).otherwise(0),
+    ).withColumn("phrase_id", F.sum("start").over(run))
+    phrases = ph.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "w")))
+                    .getField("w")).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    occ = ph.join(phrases, ["doc_id", "phrase_id"]).select("w", "plen")
+    wstats = occ.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    )
+    wscore = wstats.select(
+        "w",
+        F.round(F.col("degree") * 1_000_000 / F.col("freq"))
+        .cast("long")
+        .alias("ws_micro"),
+    )
+    # phrase score = sum of word micro-scores over one occurrence; the
+    # same phrase text always has the same words, hence the same score
+    one = (
+        ph.join(phrases, ["doc_id", "phrase_id"])
+        .join(wscore, "w")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(F.sum("ws_micro").alias("score_micro"))
+    )
+    agg = one.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("score_micro").cast("bigint").alias("score_micro"),
+    )
+    w_rank = Window.orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    )
+    top = agg.orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    ).limit(RAKE_TOP)
+    return top.withColumn("rank", F.row_number().over(w_rank)).select(
+        "phrase", "n_occurrences", "score_micro", "rank"
+    )
+
+
+def _rake_oracle() -> str:
+    sw_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, pos, w FROM (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(ws))) AS pos,
+                   unnest(ws) AS w
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\\s+')
+                             AS ws
+                  FROM documents)
+        ) WHERE NOT list_contains([{sw_list}], w) AND length(w) >= 2
+    ),
+    flagged AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN lag(pos) OVER dw IS NULL
+                         OR pos - lag(pos) OVER dw > 1
+                    THEN 1 ELSE 0 END AS start
+        FROM toks
+        WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    ph AS (
+        SELECT doc_id, pos, w,
+               sum(start) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS phrase_id
+        FROM flagged
+    ),
+    phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               count(*) AS plen
+        FROM ph GROUP BY 1, 2
+    ),
+    wstats AS (
+        SELECT p.w, count(*) AS freq, sum(ps.plen) AS degree
+        FROM ph p JOIN phrases ps USING (doc_id, phrase_id)
+        GROUP BY 1
+    ),
+    wscore AS (
+        SELECT w, CAST(round(degree * 1000000.0 / freq, 0) AS BIGINT)
+                      AS ws_micro
+        FROM wstats
+    ),
+    one AS (
+        SELECT p.doc_id, p.phrase_id, ps.phrase,
+               sum(s.ws_micro) AS score_micro
+        FROM ph p
+        JOIN phrases ps USING (doc_id, phrase_id)
+        JOIN wscore s ON p.w = s.w
+        GROUP BY 1, 2, 3
+    ),
+    agg AS (
+        SELECT phrase,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(max(score_micro) AS BIGINT) AS score_micro
+        FROM one GROUP BY 1
+    )
+    SELECT phrase, n_occurrences, score_micro, rank FROM (
+        SELECT *, row_number() OVER (ORDER BY score_micro DESC,
+                                     phrase ASC) AS rank
+        FROM agg
+    ) WHERE rank <= {RAKE_TOP}
+    """
+
+
+ORACLES["rake_keywords"] = _rake_oracle()
+QUERIES["rake_keywords"] = rake_keywords

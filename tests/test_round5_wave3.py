@@ -356,3 +356,17 @@ def test_anderson_darling_nonnegative_and_counts(spark):
     r = A.anderson_darling_drift(spark, SF_SMALL).collect()[0]
     assert r["n_before"] > 0 and r["n_after"] > 0
     assert r["ad_stat"] >= 0.0
+
+
+def test_rake_phrases_contain_no_stopwords(spark):
+    from cdc_streamming___v2_spark.functions.texts import EN_STOPWORDS
+    from cdc_streamming___v2_spark.operators import text_analysis as TA
+
+    rows = TA.rake_keywords(spark, SF_SMALL).collect()
+    assert len(rows) == TA.RAKE_TOP
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, TA.RAKE_TOP + 1))
+    for r in rows:
+        assert r["n_occurrences"] >= 1 and r["score_micro"] > 0
+        for w in r["phrase"].split(" "):
+            assert w not in EN_STOPWORDS and len(w) >= 2
