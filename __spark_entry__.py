@@ -46,6 +46,7 @@ _MODULES = (
     "relational",
     "ml_ops",
     "ml_eval",
+    "stats_ext",
     "relational_ext",
     "tpch_extra",
 )
@@ -62,6 +63,13 @@ _MODULES = (
 _GATE_PRIORITY = (
     # -- (1) stale-error refresh: fixed r2, driver-proof still the r1 error
     "array_agg_sorted",
+    # -- (0) round-5 restarted-session additions (newest, zero prior proof) --
+    "mann_whitney_u",
+    "kruskal_wallis",
+    "mann_kendall_trend",
+    "log_rank_test",
+    "t_closeness",
+    "js_divergence_sources",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -214,7 +222,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 245
+_MIN_QUERIES = 251
 
 
 def _registry() -> tuple[dict, dict]:

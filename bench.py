@@ -219,6 +219,12 @@ HEADLINE = [
     "bcubed_cluster_eval",
     "anderson_darling_drift",
     "rake_keywords",
+    "mann_whitney_u",
+    "kruskal_wallis",
+    "mann_kendall_trend",
+    "log_rank_test",
+    "t_closeness",
+    "js_divergence_sources",
 ]
 
 

@@ -1,0 +1,849 @@
+"""Nonparametric / distributional statistical-test tier (DRIVER surface).
+
+The engine already ships moment-based tests (welch_t_test, ab_test_lift),
+drift monitors (ks_drift, psi_drift, chi2_drift, anderson_darling_drift)
+and survival estimation (kaplan_meier).  This module completes the classic
+inference toolkit a data platform exposes next to them:
+
+- ``mann_whitney_u``: rank-sum test for every event-type pair.  Ranks are
+  computed from the 2-decimal ``value`` grid (range-bounded: the distinct
+  cent-value frame is <= ~33k rows AT ANY corpus size, the auc_roc_quality
+  argument), with tie-corrected variance.  Rank sums and tie cubes
+  accumulate in decimal(38,0), so the statistic is exact past 2^53 rows;
+  the z formula is a single scalar expression over exact integers.
+- ``kruskal_wallis``: the k-group extension — ONE pooled midrank frame on
+  the same bounded value grid, per-group doubled rank sums, tie-corrected
+  H.
+- ``mann_kendall_trend``: the nonparametric trend test on the daily
+  revenue series.  Pairs are day x day on the observation-window frame
+  (the theil_sen_trend bound: quadratic in DAYS, never in rows); S and
+  the tie-corrected variance are exact integers, z applies the standard
+  continuity correction.
+- ``log_rank_test``: two-cohort survival comparison (even/odd user_id)
+  over the signup -> first-purchase durations of kaplan_meier; risk sets
+  come from day-frame cumulative sums, per-day expectation/variance terms
+  are folded with an ORDER-PINNED cumulative sum (the kaplan_meier
+  determinism pattern) so both engines add in the same sequence.
+- ``t_closeness``: the ordinal-EMD privacy audit that completes the
+  k_anonymity / l_diversity trio: per QI group, Earth-Mover distance
+  between the group's order-priority distribution and the global one,
+  with exact integer numerators |cumP*N - cumQ*n_g|.
+- ``js_divergence_sources``: pairwise Jensen-Shannon divergence between
+  source word distributions — the probabilistic companion of the set-based
+  vocab_overlap_sources.  The pair join is word-keyed (vocabulary
+  cardinality); one-sided mass is handled in closed form so only the
+  shared-word join is materialized.
+
+Scale: every operator reduces the fact table ONCE to a bounded frame
+(value grid, day grid, QI x level grid, vocabulary) before any window or
+pair join runs; all joins are equi-joins or broadcast of dimension-sized
+frames.  Reference parity: the reference pipeline (src/dataflow-cdc-stream
+.py) has no analytics surface — this tier is driver-mandated
+(large-scale training-data pipeline operations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_DEC = "decimal(38,0)"
+
+
+# --------------------------------------------------------------------------
+# mann_whitney_u
+# --------------------------------------------------------------------------
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test of ``events.value`` between
+    every unordered pair of event types: U statistic and tie-corrected
+    normal-approximation z.
+
+    Exactness: values land on their integer-cent grid, per-(pair, cent)
+    counts are pooled, and the doubled midrank 2r = 2*cum - n_t + 1 keeps
+    every rank integral.  U1 and the variance numerator are exact
+    decimal(38,0) integers; the only float ops are the final division and
+    sqrt (single scalar expression, identical on both engines).
+
+    Scale: one groupBy to the (event_type, cent) grid; the pair explosion
+    is a broadcast of a 10-row membership frame; the rank window runs
+    per-pair on the range-bounded cent grid (<= ~33k rows each at any SF).
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    types = g.select("event_type").distinct()
+    a = types.select(F.col("event_type").alias("ta"))
+    b = types.select(F.col("event_type").alias("tb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("ta") < F.col("tb"))
+    mem = pairs.select(
+        "ta",
+        "tb",
+        F.explode(
+            F.array(
+                F.struct(F.col("ta").alias("t"), F.lit("a").alias("side")),
+                F.struct(F.col("tb").alias("t"), F.lit("b").alias("side")),
+            )
+        ).alias("m"),
+    ).select("ta", "tb", F.col("m.t").alias("t"), F.col("m.side").alias("side"))
+    j = g.join(F.broadcast(mem), g.event_type == mem.t)
+    pv = j.groupBy("ta", "tb", "cv").agg(
+        F.sum(F.when(F.col("side") == "a", F.col("cnt")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == "b", F.col("cnt")).otherwise(0)).alias("nb"),
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("cv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nt = F.col("na") + F.col("nb")
+    r = pv.withColumn("nt", nt).withColumn(
+        "rank2", F.lit(2) * F.sum("nt").over(w) - F.col("nt") + F.lit(1)
+    )
+    s = r.groupBy("ta", "tb").agg(
+        F.sum("na").alias("n1"),
+        F.sum("nb").alias("n2"),
+        F.sum(F.col("na").cast(_DEC) * F.col("rank2").cast(_DEC)).alias("r12"),
+        F.sum(
+            (
+                F.col("nt").cast(_DEC) * F.col("nt").cast(_DEC) * F.col("nt").cast(_DEC)
+                - F.col("nt").cast(_DEC)
+            )
+        ).alias("tsum"),
+    )
+    n1, n2 = F.col("n1").cast(_DEC), F.col("n2").cast(_DEC)
+    n = n1 + n2
+    # doubled centered statistic: 2*(U1 - n1*n2/2) = r12 - n1*(n1+1) - n1*n2
+    num2 = (F.col("r12") - n1 * (n1 + 1) - n1 * n2).cast("double")
+    # Var(U) = n1*n2*((N+1)*N*(N-1) - T) / (12*N*(N-1))
+    var_num = (n1 * n2).cast("double") * (
+        ((n + 1) * n * (n - 1)).cast("double") - F.col("tsum").cast("double")
+    )
+    var_u = var_num / (F.lit(12.0) * n.cast("double") * (n - 1).cast("double"))
+    u1 = (F.col("r12") - n1 * (n1 + 1)).cast("double") / F.lit(2.0)
+    return s.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n1").cast("bigint").alias("n_a"),
+        F.col("n2").cast("bigint").alias("n_b"),
+        F.round(u1, 1).alias("u_stat"),
+        F.round(num2 / (F.lit(2.0) * F.sqrt(var_u)), 4).alias("z_stat"),
+    )
+
+
+ORACLES["mann_whitney_u"] = """
+    WITH g AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM g),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM types a, types b WHERE a.event_type < b.event_type
+    ),
+    mem AS (
+        SELECT ta, tb, ta AS t, 'a' AS side FROM pairs
+        UNION ALL
+        SELECT ta, tb, tb AS t, 'b' AS side FROM pairs
+    ),
+    pv AS (
+        SELECT m.ta, m.tb, g.cv,
+               sum(CASE WHEN m.side = 'a' THEN g.cnt ELSE 0 END) AS na,
+               sum(CASE WHEN m.side = 'b' THEN g.cnt ELSE 0 END) AS nb
+        FROM g JOIN mem m ON g.event_type = m.t
+        GROUP BY 1, 2, 3
+    ),
+    r AS (
+        SELECT ta, tb, na, nb, na + nb AS nt,
+               2 * sum(na + nb) OVER (PARTITION BY ta, tb ORDER BY cv
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                 - (na + nb) + 1 AS rank2
+        FROM pv
+    ),
+    s AS (
+        SELECT ta, tb, sum(na) AS n1, sum(nb) AS n2,
+               sum(na * rank2) AS r12,
+               sum(nt * nt * nt - nt) AS tsum
+        FROM r GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           round(CAST(r12 - n1 * (n1 + 1) AS DOUBLE) / 2.0, 1) AS u_stat,
+           round(CAST(r12 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                 / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                     * (CAST((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1)
+                             AS DOUBLE) - CAST(tsum AS DOUBLE))
+                     / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                        * CAST(n1 + n2 - 1 AS DOUBLE)))), 4) AS z_stat
+    FROM s
+"""
+QUERIES["mann_whitney_u"] = mann_whitney_u
+
+
+# --------------------------------------------------------------------------
+# kruskal_wallis
+# --------------------------------------------------------------------------
+
+
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does ``events.value`` differ across the five
+    event types?  One pooled midrank frame on the cent grid; per-group
+    doubled rank sums R2_g stay exact integers, H uses the doubled-rank
+    identity H = 3/(N(N+1)) * sum R2_g^2/n_g - 3(N+1), and the tie
+    correction divides by 1 - sum(t^3 - t)/(N^3 - N).
+
+    Scale: the pooled rank window runs ONCE on the range-bounded cent grid
+    (not per pair); group count is event-type cardinality (5), so the
+    final reduction is a 5-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pooled = g.groupBy("cv").agg(F.sum("cnt").alias("nt"))
+    w = Window.orderBy("cv").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = pooled.withColumn(
+        "rank2", F.lit(2) * F.sum("nt").over(w) - F.col("nt") + F.lit(1)
+    )
+    per_group = (
+        g.join(ranked.select("cv", "rank2"), "cv")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("ng"),
+            F.sum(F.col("cnt").cast(_DEC) * F.col("rank2").cast(_DEC)).alias("r2g"),
+        )
+    )
+    ties = pooled.agg(
+        F.sum(
+            F.col("nt").cast(_DEC) * F.col("nt").cast(_DEC) * F.col("nt").cast(_DEC)
+            - F.col("nt").cast(_DEC)
+        ).alias("tsum")
+    )
+    # sum over the 5-row group frame; R2_g^2/n_g is a per-row scalar from
+    # exact integers, the cross-group sum is order-pinned by the orderBy
+    # cumsum (take the last row) so both engines fold identically
+    wg = Window.orderBy("event_type").rowsBetween(Window.unboundedPreceding, 0)
+    folded = (
+        per_group.withColumn(
+            "term",
+            F.col("r2g").cast("double")
+            * F.col("r2g").cast("double")
+            / F.col("ng").cast("double"),
+        )
+        .withColumn("cum_term", F.sum("term").over(wg))
+        .withColumn("cum_n", F.sum("ng").over(wg))
+        .withColumn("k_seen", F.count(F.lit(1)).over(wg))
+    )
+    total = folded.orderBy(F.col("k_seen").desc()).limit(1)
+    n = F.col("cum_n").cast("double")
+    h = F.lit(3.0) * F.col("cum_term") / (n * (n + 1)) - F.lit(3.0) * (n + 1)
+    c = F.lit(1.0) - F.col("tsum").cast("double") / (n * n * n - n)
+    return total.crossJoin(F.broadcast(ties)).select(
+        F.col("cum_n").cast("bigint").alias("n_total"),
+        (F.col("k_seen") - 1).cast("int").alias("df"),
+        F.round(h, 4).alias("h_stat"),
+        F.round(h / c, 4).alias("h_tie_corrected"),
+    )
+
+
+ORACLES["kruskal_wallis"] = """
+    WITH g AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    pooled AS (SELECT cv, sum(cnt) AS nt FROM g GROUP BY 1),
+    ranked AS (
+        SELECT cv, nt,
+               2 * sum(nt) OVER (ORDER BY cv ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) - nt + 1 AS rank2
+        FROM pooled
+    ),
+    pg AS (
+        SELECT g.event_type, sum(g.cnt) AS ng, sum(g.cnt * r.rank2) AS r2g
+        FROM g JOIN ranked r ON g.cv = r.cv
+        GROUP BY 1
+    ),
+    ties AS (SELECT sum(nt * nt * nt - nt) AS tsum FROM pooled),
+    folded AS (
+        SELECT sum(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                   / CAST(ng AS DOUBLE))
+                 OVER (ORDER BY event_type ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_term,
+               sum(ng) OVER (ORDER BY event_type ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum_n,
+               count(*) OVER (ORDER BY event_type ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS k_seen
+        FROM pg
+    ),
+    total AS (
+        SELECT * FROM folded ORDER BY k_seen DESC LIMIT 1
+    )
+    SELECT CAST(cum_n AS BIGINT) AS n_total,
+           CAST(k_seen - 1 AS INT) AS df,
+           round(3.0 * cum_term / (CAST(cum_n AS DOUBLE)
+                                   * (CAST(cum_n AS DOUBLE) + 1))
+                 - 3.0 * (CAST(cum_n AS DOUBLE) + 1), 4) AS h_stat,
+           round((3.0 * cum_term / (CAST(cum_n AS DOUBLE)
+                                    * (CAST(cum_n AS DOUBLE) + 1))
+                  - 3.0 * (CAST(cum_n AS DOUBLE) + 1))
+                 / (1.0 - CAST(tsum AS DOUBLE)
+                    / (CAST(cum_n AS DOUBLE) * CAST(cum_n AS DOUBLE)
+                       * CAST(cum_n AS DOUBLE) - CAST(cum_n AS DOUBLE))),
+                 4) AS h_tie_corrected
+    FROM total, ties
+"""
+QUERIES["kruskal_wallis"] = kruskal_wallis
+
+
+# --------------------------------------------------------------------------
+# mann_kendall_trend
+# --------------------------------------------------------------------------
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily revenue series
+    (sum of purchase values per day): S = sum of pairwise signs, exact
+    tie-corrected variance, z with the standard continuity correction —
+    the distribution-free twin of theil_sen_trend's slope.
+
+    Exactness: daily revenue is an exact integer-cent sum; S and Var(S)
+    are integer arithmetic; z is one scalar float expression.
+
+    Scale: quadratic in DAYS (observation window), never in events — the
+    theil_sen_trend bound.  The day frame is broadcast against itself.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev"))
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("day").alias("db"), F.col("rev").alias("rb"))
+    s = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("da") < F.col("db"))
+        .agg(F.sum(F.signum(F.col("rb") - F.col("ra")).cast("long")).alias("s"))
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = daily.groupBy("rev").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+        ).alias("tcorr")
+    )
+    n = F.col("n").cast("double")
+    var_s = (
+        n * (n - 1) * (F.lit(2.0) * n + 5) - F.col("tcorr").cast("double")
+    ) / F.lit(18.0)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("s").cast("bigint").alias("s_stat"),
+            F.round(var_s, 1).alias("var_s"),
+            F.round(z, 4).alias("z_stat"),
+            F.when(F.col("s") > 0, F.lit("increasing"))
+            .when(F.col("s") < 0, F.lit("decreasing"))
+            .otherwise(F.lit("no-trend"))
+            .alias("trend"),
+        )
+    )
+
+
+ORACLES["mann_kendall_trend"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS rev
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    s AS (
+        SELECT sum(CAST(sign(b.rev - a.rev) AS BIGINT)) AS s
+        FROM daily a, daily b WHERE a.day < b.day
+    ),
+    nd AS (SELECT count(*) AS n FROM daily),
+    ties AS (
+        SELECT sum(t * (t - 1) * (2 * t + 5)) AS tcorr
+        FROM (SELECT count(*) AS t FROM daily GROUP BY rev)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s_stat,
+           round((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                  * (2.0 * CAST(n AS DOUBLE) + 5)
+                  - CAST(tcorr AS DOUBLE)) / 18.0, 1) AS var_s,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(
+                     (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                      * (2.0 * CAST(n AS DOUBLE) + 5)
+                      - CAST(tcorr AS DOUBLE)) / 18.0)
+                 WHEN s < 0 THEN (s + 1) / sqrt(
+                     (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                      * (2.0 * CAST(n AS DOUBLE) + 5)
+                      - CAST(tcorr AS DOUBLE)) / 18.0)
+                 ELSE 0.0 END, 4) AS z_stat,
+           CASE WHEN s > 0 THEN 'increasing'
+                WHEN s < 0 THEN 'decreasing'
+                ELSE 'no-trend' END AS trend
+    FROM s, nd, ties
+"""
+QUERIES["mann_kendall_trend"] = mann_kendall_trend
+
+
+# --------------------------------------------------------------------------
+# log_rank_test
+# --------------------------------------------------------------------------
+
+
+def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing signup -> first-purchase survival between
+    the even- and odd-``user_id`` cohorts (the deterministic A/A-style
+    split): chi-square = (O1 - E1)^2 / V with hypergeometric per-day
+    variance — the standard two-curve comparison over kaplan_meier's
+    duration construction.
+
+    Determinism: per-day E/V terms are doubles, folded with an ORDERED
+    cumulative sum over the day frame (kaplan_meier pattern) so both
+    engines add in the same sequence; O1 and the risk-set counts are exact
+    integers.
+
+    Scale: the event log reduces to one row per user (two min-aggregates),
+    then to the duration-day frame; every window runs on that bounded
+    frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    per_user = (
+        signups.join(purchases, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("grp"),
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.datediff(F.col("p_ts").cast("date"), F.col("s_ts").cast("date")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("s_ts").cast("date")))
+            .cast("long")
+            .alias("dur"),
+            F.col("p_ts").isNotNull().cast("long").alias("observed"),
+        )
+    )
+    day = per_user.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("x0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("observed")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("observed")).otherwise(0)).alias("d1"),
+    )
+    totals = day.agg(
+        F.sum("x0").alias("t0"), F.sum("x1").alias("t1")
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        day.crossJoin(F.broadcast(totals))
+        .withColumn("n0", F.col("t0") - F.coalesce(F.sum("x0").over(w_prev), F.lit(0)))
+        .withColumn("n1", F.col("t1") - F.coalesce(F.sum("x1").over(w_prev), F.lit(0)))
+        .withColumn("nt", F.col("n0") + F.col("n1"))
+        .withColumn("dt", F.col("d0") + F.col("d1"))
+        .filter(F.col("dt") > 0)
+    )
+    ntd, n1d, n0d, dtd = (
+        F.col("nt").cast("double"),
+        F.col("n1").cast("double"),
+        F.col("n0").cast("double"),
+        F.col("dt").cast("double"),
+    )
+    e1 = dtd * n1d / ntd
+    v = F.when(
+        F.col("nt") > 1,
+        dtd * (n1d / ntd) * (n0d / ntd) * (ntd - dtd) / (ntd - 1),
+    ).otherwise(F.lit(0.0))
+    folded = (
+        risk.withColumn("cum_e1", F.sum(e1).over(w_cum))
+        .withColumn("cum_v", F.sum(v).over(w_cum))
+        .withColumn("cum_o1", F.sum("d1").over(w_cum))
+        .withColumn("rows_seen", F.count(F.lit(1)).over(w_cum))
+    )
+    last = folded.orderBy(F.col("rows_seen").desc()).limit(1)
+    chi2 = (
+        (F.col("cum_o1").cast("double") - F.col("cum_e1"))
+        * (F.col("cum_o1").cast("double") - F.col("cum_e1"))
+        / F.col("cum_v")
+    )
+    return last.select(
+        F.col("t0").cast("bigint").alias("n_even"),
+        F.col("t1").cast("bigint").alias("n_odd"),
+        F.col("cum_o1").cast("bigint").alias("observed_odd"),
+        F.round("cum_e1", 4).alias("expected_odd"),
+        F.round("cum_v", 4).alias("variance"),
+        F.round(chi2, 4).alias("chi2"),
+    )
+
+
+ORACLES["log_rank_test"] = """
+    WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    signups AS (
+        SELECT user_id, min(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    purchases AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN signups s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+        GROUP BY 1
+    ),
+    per_user AS (
+        SELECT CAST(s.user_id % 2 AS INT) AS grp,
+               CAST(CASE WHEN p.p_ts IS NOT NULL
+                    THEN date_diff('day', CAST(s.s_ts AS DATE),
+                                   CAST(p.p_ts AS DATE))
+                    ELSE date_diff('day', CAST(s.s_ts AS DATE), h.h)
+               END AS BIGINT) AS dur,
+               CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM signups s LEFT JOIN purchases p ON s.user_id = p.user_id
+        CROSS JOIN horizon h
+    ),
+    day AS (
+        SELECT dur,
+               sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS x0,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS x1,
+               sum(CASE WHEN grp = 0 THEN observed ELSE 0 END) AS d0,
+               sum(CASE WHEN grp = 1 THEN observed ELSE 0 END) AS d1
+        FROM per_user GROUP BY 1
+    ),
+    totals AS (SELECT sum(x0) AS t0, sum(x1) AS t1 FROM day),
+    risk AS (
+        SELECT day.*, totals.t0, totals.t1,
+               t0 - COALESCE(sum(x0) OVER (ORDER BY dur ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+               t1 - COALESCE(sum(x1) OVER (ORDER BY dur ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+        FROM day, totals
+    ),
+    terms AS (
+        SELECT *, n0 + n1 AS nt, d0 + d1 AS dt FROM risk
+        WHERE d0 + d1 > 0
+    ),
+    folded AS (
+        SELECT t0, t1,
+               sum(CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / CAST(nt AS DOUBLE))
+                 OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_e1,
+               sum(CASE WHEN nt > 1 THEN CAST(dt AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * (CAST(n0 AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+                        / (CAST(nt AS DOUBLE) - 1)
+                   ELSE 0.0 END)
+                 OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum_v,
+               sum(d1) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_o1,
+               count(*) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS rows_seen
+        FROM terms
+    ),
+    last AS (SELECT * FROM folded ORDER BY rows_seen DESC LIMIT 1)
+    SELECT CAST(t0 AS BIGINT) AS n_even, CAST(t1 AS BIGINT) AS n_odd,
+           CAST(cum_o1 AS BIGINT) AS observed_odd,
+           round(cum_e1, 4) AS expected_odd,
+           round(cum_v, 4) AS variance,
+           round((CAST(cum_o1 AS DOUBLE) - cum_e1)
+                 * (CAST(cum_o1 AS DOUBLE) - cum_e1) / cum_v, 4) AS chi2
+    FROM last
+"""
+QUERIES["log_rank_test"] = log_rank_test
+
+
+# --------------------------------------------------------------------------
+# t_closeness
+# --------------------------------------------------------------------------
+
+T_CLOSE_THRESHOLD = 0.2
+
+
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the k_anonymity / l_diversity trio:
+    for each quasi-identifier group (market segment x nation), the
+    Earth-Mover distance between the group's order-priority distribution
+    and the global one, over the ordinal priority scale ('1-URGENT' <
+    ... < '5-LOW', equal spacing).
+
+    Ordinal EMD = sum_i |cumP_i - cumQ_i| / (m - 1).  Numerators are the
+    exact integers |cum_g * N - cum_glob * n_g|; one final division.
+
+    Scale: the fact join reduces to the (QI x priority) grid; the grid is
+    completed by a broadcast cross of QI groups x priority levels so empty
+    cells participate; every window runs per group on an m-row frame.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    cell = j.groupBy("c_mktsegment", "c_nationkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    groups = cell.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("cnt").alias("n_g")
+    )
+    levels = cell.select("o_orderpriority").distinct()
+    wl = Window.orderBy("o_orderpriority").rowsBetween(Window.unboundedPreceding, 0)
+    glob = (
+        cell.groupBy("o_orderpriority")
+        .agg(F.sum("cnt").alias("n_pr"))
+        .withColumn("cum_glob", F.sum("n_pr").over(wl))
+    )
+    n_total = cell.agg(F.sum("cnt").alias("n_tot"))
+    m_levels = levels.agg(F.count(F.lit(1)).alias("m"))
+    grid = (
+        groups.crossJoin(F.broadcast(levels))
+        .join(cell, ["c_mktsegment", "c_nationkey", "o_orderpriority"], "left")
+        .withColumn("c", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    wg = (
+        Window.partitionBy("c_mktsegment", "c_nationkey")
+        .orderBy("o_orderpriority")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    emd = (
+        grid.withColumn("cum_g", F.sum("c").over(wg))
+        .join(F.broadcast(glob.select("o_orderpriority", "cum_glob")),
+              "o_orderpriority")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "term",
+            F.abs(
+                F.col("cum_g").cast(_DEC) * F.col("n_tot").cast(_DEC)
+                - F.col("cum_glob").cast(_DEC) * F.col("n_g").cast(_DEC)
+            ),
+        )
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.first("n_g").alias("n_g"),
+            F.first("n_tot").alias("n_tot"),
+            F.sum("term").alias("terms"),
+        )
+    )
+    t = F.col("terms").cast("double") / (
+        F.col("n_g").cast("double")
+        * F.col("n_tot").cast("double")
+        * (F.col("m").cast("double") - 1)
+    )
+    return emd.crossJoin(F.broadcast(m_levels)).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.col("n_g").cast("bigint").alias("n_orders"),
+        F.round(t, 4).alias("t_close"),
+        (t > T_CLOSE_THRESHOLD).alias("breach"),
+    )
+
+
+ORACLES["t_closeness"] = f"""
+    WITH j AS (
+        SELECT c_mktsegment, c_nationkey, o_orderpriority
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cell AS (
+        SELECT c_mktsegment, c_nationkey, o_orderpriority, count(*) AS cnt
+        FROM j GROUP BY 1, 2, 3
+    ),
+    groups AS (
+        SELECT c_mktsegment, c_nationkey, sum(cnt) AS n_g
+        FROM cell GROUP BY 1, 2
+    ),
+    levels AS (SELECT DISTINCT o_orderpriority FROM cell),
+    gdist AS (
+        SELECT o_orderpriority,
+               sum(sum(cnt)) OVER (ORDER BY o_orderpriority ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_glob
+        FROM cell GROUP BY 1
+    ),
+    n_total AS (SELECT sum(cnt) AS n_tot FROM cell),
+    m_levels AS (SELECT count(*) AS m FROM levels),
+    grid AS (
+        SELECT g.c_mktsegment, g.c_nationkey, g.n_g, l.o_orderpriority,
+               COALESCE(c.cnt, 0) AS c
+        FROM groups g CROSS JOIN levels l
+        LEFT JOIN cell c ON c.c_mktsegment = g.c_mktsegment
+                        AND c.c_nationkey = g.c_nationkey
+                        AND c.o_orderpriority = l.o_orderpriority
+    ),
+    emd AS (
+        SELECT c_mktsegment, c_nationkey,
+               any_value(n_g) AS n_g, any_value(n_tot) AS n_tot,
+               sum(abs(cum_g * n_tot - cum_glob * n_g)) AS terms
+        FROM (
+            SELECT grid.*, n_total.n_tot, gdist.cum_glob,
+                   sum(c) OVER (PARTITION BY grid.c_mktsegment,
+                                grid.c_nationkey
+                                ORDER BY grid.o_orderpriority
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_g
+            FROM grid
+            JOIN gdist ON grid.o_orderpriority = gdist.o_orderpriority
+            CROSS JOIN n_total
+        )
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(n_g AS BIGINT) AS n_orders,
+           round(CAST(terms AS DOUBLE)
+                 / (CAST(n_g AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                    * (CAST(m AS DOUBLE) - 1)), 4) AS t_close,
+           CAST(terms AS DOUBLE)
+             / (CAST(n_g AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                * (CAST(m AS DOUBLE) - 1)) > {T_CLOSE_THRESHOLD} AS breach
+    FROM emd, m_levels
+"""
+QUERIES["t_closeness"] = t_closeness
+
+
+# --------------------------------------------------------------------------
+# js_divergence_sources
+# --------------------------------------------------------------------------
+
+
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source word
+    distributions — the probabilistic redundancy measure next to the
+    set-based vocab_overlap_sources (two sources can share 100% of their
+    vocabulary yet have very different usage frequencies).
+
+    Closed-form one-sided mass: only the shared-word join materializes;
+    for words present in one source only, sum p*ln(2p/(p+0)) = p*ln 2, so
+    JS = 0.5 * [sum_shared terms + (1 - P_shared)*ln 2 +
+    (1 - Q_shared)*ln 2].  Per-word probabilities are single exact
+    divisions; the per-pair sum is floats rounded to 4 (welch_t_test
+    float-parity precedent).
+
+    Scale: word counts reduce to the (source, word) grid once; the pair
+    join is word-keyed over the vocabulary; output is one row per source
+    pair.
+    """
+    from ..functions.texts import words
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = wc.groupBy("source").agg(F.sum("c").alias("n"))
+    a = wc.join(F.broadcast(tot), "source").select(
+        F.col("source").alias("sa"), "w", F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    b = wc.join(F.broadcast(tot), "source").select(
+        F.col("source").alias("sb"), "w", F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    shared = (
+        a.join(b, "w")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                p * F.log(F.lit(2.0) * p / (p + q))
+                + q * F.log(F.lit(2.0) * q / (p + q))
+            ).alias("ts"),
+            F.sum(p).alias("pb"),
+            F.sum(q).alias("qb"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        )
+    )
+    ta = tot.select(F.col("source").alias("sa"))
+    tb = tot.select(F.col("source").alias("sb"))
+    pairs = ta.crossJoin(F.broadcast(tb)).filter(F.col("sa") < F.col("sb"))
+    full = (
+        pairs.join(shared, ["sa", "sb"], "left")
+        .withColumn("ts", F.coalesce(F.col("ts"), F.lit(0.0)))
+        .withColumn("pb", F.coalesce(F.col("pb"), F.lit(0.0)))
+        .withColumn("qb", F.coalesce(F.col("qb"), F.lit(0.0)))
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+    )
+    ln2 = 0.6931471805599453
+    js = F.lit(0.5) * (
+        F.col("ts")
+        + (F.lit(1.0) - F.col("pb")) * F.lit(ln2)
+        + (F.lit(1.0) - F.col("qb")) * F.lit(ln2)
+    )
+    return full.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("n_shared").cast("bigint").alias("n_shared_words"),
+        F.round(js, 4).alias("js_divergence"),
+        F.round(js / F.lit(ln2), 4).alias("js_normalized"),
+    )
+
+
+_W = "regexp_split_to_array(trim(text), '\\s+')"
+
+ORACLES["js_divergence_sources"] = f"""
+    WITH wc AS (
+        SELECT source, w, count(*) AS c
+        FROM (SELECT source, unnest({_W}) AS w FROM documents)
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(c) AS n FROM wc GROUP BY 1),
+    shared AS (
+        SELECT a.source AS sa, b.source AS sb,
+               sum((CAST(a.c AS DOUBLE) / ta.n)
+                   * ln(2.0 * (CAST(a.c AS DOUBLE) / ta.n)
+                        / (CAST(a.c AS DOUBLE) / ta.n
+                           + CAST(b.c AS DOUBLE) / tb.n))
+                 + (CAST(b.c AS DOUBLE) / tb.n)
+                   * ln(2.0 * (CAST(b.c AS DOUBLE) / tb.n)
+                        / (CAST(a.c AS DOUBLE) / ta.n
+                           + CAST(b.c AS DOUBLE) / tb.n))) AS ts,
+               sum(CAST(a.c AS DOUBLE) / ta.n) AS pb,
+               sum(CAST(b.c AS DOUBLE) / tb.n) AS qb,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM wc a
+        JOIN wc b ON a.w = b.w AND a.source < b.source
+        JOIN tot ta ON ta.source = a.source
+        JOIN tot tb ON tb.source = b.source
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM tot a, tot b WHERE a.source < b.source
+    )
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared_words,
+           round(0.5 * (COALESCE(s.ts, 0)
+                 + (1.0 - COALESCE(s.pb, 0)) * ln(2.0)
+                 + (1.0 - COALESCE(s.qb, 0)) * ln(2.0)), 4) AS js_divergence,
+           round(0.5 * (COALESCE(s.ts, 0)
+                 + (1.0 - COALESCE(s.pb, 0)) * ln(2.0)
+                 + (1.0 - COALESCE(s.qb, 0)) * ln(2.0)) / ln(2.0),
+                 4) AS js_normalized
+    FROM pairs p LEFT JOIN shared s ON p.sa = s.sa AND p.sb = s.sb
+"""
+QUERIES["js_divergence_sources"] = js_divergence_sources

@@ -1,0 +1,107 @@
+"""Semantic invariants for the statistical-test tier (stats_ext) beyond
+DuckDB-oracle parity: classical identities the statistics must satisfy on
+any data."""
+
+from __future__ import annotations
+
+import math
+
+from cdc_streamming___v2_spark.operators import stats_ext as SX
+from cdc_streamming___v2_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_mann_whitney_pairs_and_bounds(spark):
+    rows = SX.mann_whitney_u(spark, SF_SMALL).collect()
+    types = [
+        r["event_type"]
+        for r in load_table(spark, SF_SMALL, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    ]
+    k = len(types)
+    assert len(rows) == k * (k - 1) // 2
+    counts = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg({"*": "count"})
+        .withColumnRenamed("count(1)", "n")
+        .collect()
+    }
+    for r in rows:
+        assert r["n_a"] == counts[r["type_a"]]
+        assert r["n_b"] == counts[r["type_b"]]
+        # U is bounded by n_a * n_b, and the rank construction keeps it
+        # on the half-integer grid
+        assert 0.0 <= r["u_stat"] <= r["n_a"] * r["n_b"]
+        assert abs(r["u_stat"] * 2 - round(r["u_stat"] * 2)) < 1e-9
+        assert math.isfinite(r["z_stat"])
+
+
+def test_kruskal_wallis_identity(spark):
+    r = SX.kruskal_wallis(spark, SF_SMALL).collect()[0]
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert r["n_total"] == n_events
+    assert r["df"] == 4  # five event types
+    assert r["h_stat"] >= 0.0
+    # the tie correction factor C <= 1, so H/C >= H
+    assert r["h_tie_corrected"] >= r["h_stat"] - 1e-9
+
+
+def test_mann_kendall_bounds(spark):
+    r = SX.mann_kendall_trend(spark, SF_SMALL).collect()[0]
+    n = r["n_days"]
+    assert abs(r["s_stat"]) <= n * (n - 1) // 2
+    assert r["var_s"] > 0
+    assert math.isfinite(r["z_stat"])
+    expect = (
+        "increasing" if r["s_stat"] > 0
+        else "decreasing" if r["s_stat"] < 0
+        else "no-trend"
+    )
+    assert r["trend"] == expect
+
+
+def test_log_rank_aa_split_is_calm(spark):
+    r = SX.log_rank_test(spark, SF_SMALL).collect()[0]
+    # cohorts partition the signup population
+    assert r["n_even"] > 0 and r["n_odd"] > 0
+    assert 0 <= r["observed_odd"] <= r["n_odd"]
+    assert r["variance"] > 0.0
+    assert r["chi2"] >= 0.0
+    # even/odd user_id is an A/A split of a synthetic corpus: the test
+    # must not report a wildly significant difference
+    assert r["chi2"] < 15.0
+
+
+def test_t_closeness_bounds_and_partition(spark):
+    rows = SX.t_closeness(spark, SF_SMALL).collect()
+    n_orders = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    for r in rows:
+        assert 0.0 <= r["t_close"] <= 1.0 + 1e-9
+        assert r["breach"] == (r["t_close"] > SX.T_CLOSE_THRESHOLD) or (
+            # rounding of t_close happens after the breach comparison, so a
+            # value rounding across the threshold may disagree with the
+            # rounded column by at most the rounding step
+            abs(r["t_close"] - SX.T_CLOSE_THRESHOLD) < 5e-4
+        )
+
+
+def test_js_divergence_bounds(spark):
+    rows = SX.js_divergence_sources(spark, SF_SMALL).collect()
+    n_src = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2
+    ln2 = math.log(2.0)
+    for r in rows:
+        assert -1e-9 <= r["js_divergence"] <= ln2 + 1e-9
+        assert -1e-9 <= r["js_normalized"] <= 1.0 + 1e-9
+        assert r["n_shared_words"] >= 0
