@@ -70,6 +70,10 @@ _GATE_PRIORITY = (
     "log_rank_test",
     "t_closeness",
     "js_divergence_sources",
+    "average_precision_quality",
+    "cohens_kappa_langid",
+    "mcnemar_quality_filters",
+    "isotonic_calibration",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -222,7 +226,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 251
+_MIN_QUERIES = 255
 
 
 def _registry() -> tuple[dict, dict]:

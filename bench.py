@@ -225,6 +225,10 @@ HEADLINE = [
     "log_rank_test",
     "t_closeness",
     "js_divergence_sources",
+    "average_precision_quality",
+    "cohens_kappa_langid",
+    "mcnemar_quality_filters",
+    "isotonic_calibration",
 ]
 
 

@@ -398,3 +398,377 @@ ORACLES = {
     "calibration_bins": _CAL_ORACLE,
     "psi_drift": _PSI_ORACLE,
 }
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session wave B: PR metrics, agreement tests, isotonic
+# --------------------------------------------------------------------------
+
+
+def average_precision_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve by the
+    step rule) of the quality-logit probability as a ranker of
+    ``lang == POS_LANG`` — the imbalanced-class companion of
+    auc_roc_quality: AP = sum over descending score groups of
+    (delta recall) * precision-at-threshold.
+
+    Exactness: the score grid argument of auc_roc_quality bounds the
+    group frame (<= 10,001 rows at ANY corpus size); TP/FP cumulatives
+    are exact integers; per-group term floats fold via an ORDER-PINNED
+    cumulative sum (kaplan_meier pattern).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.round(_prob_keep(F.col("text")), 4).alias("score"),
+        (F.col("lang") == POS_LANG).cast("long").alias("y"),
+    )
+    g = scored.groupBy("score").agg(
+        F.sum("y").alias("npos"), F.count(F.lit(1)).alias("ntot")
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = g.agg(F.sum("npos").alias("p"), F.sum("ntot").alias("n"))
+    folded = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("cumpos", F.sum("npos").over(w))
+        .withColumn("cumtot", F.sum("ntot").over(w))
+        .withColumn(
+            "term",
+            F.col("npos").cast("double")
+            / F.col("p").cast("double")
+            * (F.col("cumpos").cast("double") / F.col("cumtot").cast("double")),
+        )
+        .withColumn("ap", F.sum("term").over(w))
+        .withColumn("rows_seen", F.count(F.lit(1)).over(w))
+    )
+    last = folded.orderBy(F.col("rows_seen").desc()).limit(1)
+    return last.select(
+        F.col("p").cast("bigint").alias("n_pos"),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.round(F.col("p").cast("double") / F.col("n").cast("double"), 4).alias(
+            "prevalence"
+        ),
+        F.round("ap", 4).alias("average_precision"),
+    )
+
+
+_AP_ORACLE = f"""
+    WITH scored AS (
+        SELECT round(1.0 / (1.0 + exp(-z)), 4) AS score,
+               CASE WHEN lang = '{POS_LANG}' THEN 1 ELSE 0 END AS y
+        FROM (SELECT lang, {_Z_SQL} AS z FROM documents)
+    ),
+    g AS (SELECT score, sum(y) AS npos, count(*) AS ntot
+          FROM scored GROUP BY 1),
+    tot AS (SELECT sum(npos) AS p, sum(ntot) AS n FROM g),
+    terms AS (
+        SELECT score, p, n,
+               CAST(npos AS DOUBLE) / CAST(p AS DOUBLE)
+                 * (CAST(sum(npos) OVER wd AS DOUBLE)
+                    / CAST(sum(ntot) OVER wd AS DOUBLE)) AS term
+        FROM g, tot
+        WINDOW wd AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    ),
+    folded AS (
+        SELECT p, n,
+               sum(term) OVER wd AS ap,
+               count(*) OVER wd AS rows_seen
+        FROM terms
+        WINDOW wd AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    ),
+    last AS (SELECT * FROM folded ORDER BY rows_seen DESC LIMIT 1)
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_total,
+           round(CAST(p AS DOUBLE) / CAST(n AS DOUBLE), 4) AS prevalence,
+           round(ap, 4) AS average_precision
+    FROM last
+"""
+
+
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the lang_id heuristic and the declared
+    language — chance-corrected agreement over the confusion matrix:
+    kappa = (N * sum tp - sum n_true*n_pred) / (N^2 - sum n_true*n_pred).
+
+    Exactness: both numerator and denominator are exact decimal(38,0)
+    integers from the n_classes^2 cell frame; one final division.
+    """
+    conf = (
+        lang_id(spark, sf_dir)
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tt = conf.groupBy(F.col("declared_lang").alias("cls")).agg(
+        F.sum("n").alias("n_true")
+    )
+    pt = conf.groupBy(F.col("predicted_lang").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    classes = tt.select("cls").union(pt.select("cls")).distinct()
+    marg = (
+        classes.join(tt, "cls", "left")
+        .join(pt, "cls", "left")
+        .agg(
+            F.sum(
+                F.coalesce("n_true", F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce("n_pred", F.lit(0)).cast("decimal(38,0)")
+            ).alias("chance")
+        )
+    )
+    agree = conf.agg(
+        F.sum(
+            F.when(F.col("declared_lang") == F.col("predicted_lang"), F.col("n"))
+            .otherwise(0)
+        ).alias("n_agree"),
+        F.sum("n").alias("n"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    kappa = (
+        (n * F.col("n_agree").cast("decimal(38,0)") - F.col("chance")).cast("double")
+        / (n * n - F.col("chance")).cast("double")
+    )
+    return agree.crossJoin(F.broadcast(marg)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n_agree").cast("bigint").alias("n_agree"),
+        F.round(F.col("n_agree").cast("double") / F.col("n").cast("double"), 4)
+        .alias("observed_agreement"),
+        F.round(F.col("chance").cast("double") / (n * n).cast("double"), 4)
+        .alias("chance_agreement"),
+        F.round(kappa, 4).alias("kappa"),
+    )
+
+
+def _kappa_oracle() -> str:
+    return f"""
+        WITH pred AS ({_lang_id_sql()}),
+        conf AS (SELECT declared_lang, predicted_lang, count(*) AS n
+                 FROM pred GROUP BY 1, 2),
+        tt AS (SELECT declared_lang AS cls, sum(n) AS n_true
+               FROM conf GROUP BY 1),
+        pt AS (SELECT predicted_lang AS cls, sum(n) AS n_pred
+               FROM conf GROUP BY 1),
+        cls AS (SELECT cls FROM tt UNION SELECT cls FROM pt),
+        marg AS (
+            SELECT sum(coalesce(n_true, 0) * coalesce(n_pred, 0)) AS chance
+            FROM cls c LEFT JOIN tt ON c.cls = tt.cls
+            LEFT JOIN pt ON c.cls = pt.cls
+        ),
+        agree AS (
+            SELECT sum(CASE WHEN declared_lang = predicted_lang THEN n
+                            ELSE 0 END) AS n_agree,
+                   sum(n) AS n
+            FROM conf
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(n_agree AS BIGINT) AS n_agree,
+               round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 4)
+                 AS observed_agreement,
+               round(CAST(chance AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)
+                 AS chance_agreement,
+               round(CAST(n * n_agree - chance AS DOUBLE)
+                     / CAST(n * n - chance AS DOUBLE), 4) AS kappa
+        FROM agree, marg
+    """
+
+
+def mcnemar_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) comparing two binary quality
+    filters on the same documents against the ``lang == POS_LANG`` truth:
+    filter A keeps when the quality logit is non-negative (prob >= 0.5
+    <=> z >= 0); filter B keeps when the stopword ratio >= 0.3.  The test
+    uses only the discordant counts b (A right, B wrong) and c (A wrong,
+    B right): chi2 = (|b - c| - 1)^2 / (b + c).
+
+    Exactness: both decision thresholds are exact-integer comparisons
+    (z >= 0 on identical doubles; hits*10 >= 3*n_words), so b and c are
+    exact counts; the statistic is one scalar expression.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = n_tokens_ws(t)
+    z = (
+        F.lit(_QL_W["bias"])
+        + F.lit(_QL_W["n_words"]) * n_words
+        + F.lit(_QL_W["sw_ratio"]) * (stopword_hits(t, EN_STOPWORDS) / n_words)
+        + F.lit(_QL_W["punct"]) * punct_ratio(t)
+    )
+    scored = d.select(
+        (F.col("lang") == POS_LANG).alias("truth"),
+        (z >= 0).alias("pa"),
+        (stopword_hits(t, EN_STOPWORDS) * 10 >= 3 * n_words).alias("pb"),
+    )
+    cnt = scored.agg(
+        F.sum(
+            F.when((F.col("pa") == F.col("truth")) & (F.col("pb") != F.col("truth")),
+                   1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("pa") != F.col("truth")) & (F.col("pb") == F.col("truth")),
+                   1).otherwise(0)
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bd, cd = F.col("b").cast("double"), F.col("c").cast("double")
+    chi2 = F.when(
+        F.col("b") + F.col("c") > 0,
+        (F.abs(bd - cd) - 1) * (F.abs(bd - cd) - 1) / (bd + cd),
+    ).otherwise(F.lit(0.0))
+    return cnt.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("b").cast("bigint").alias("a_only_right"),
+        F.col("c").cast("bigint").alias("b_only_right"),
+        F.round(chi2, 4).alias("chi2"),
+    )
+
+
+_MCNEMAR_ORACLE = f"""
+    WITH scored AS (
+        SELECT lang = '{POS_LANG}' AS truth,
+               z >= 0 AS pa,
+               {_sw_hits(_WORDS, EN_STOPWORDS)} * 10
+                 >= 3 * len({_WORDS}) AS pb
+        FROM (SELECT lang, text, {_Z_SQL} AS z FROM documents)
+    ),
+    cnt AS (
+        SELECT sum(CASE WHEN pa = truth AND pb != truth THEN 1 ELSE 0 END)
+                 AS b,
+               sum(CASE WHEN pa != truth AND pb = truth THEN 1 ELSE 0 END)
+                 AS c,
+               count(*) AS n
+        FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(b AS BIGINT) AS a_only_right,
+           CAST(c AS BIGINT) AS b_only_right,
+           round(CASE WHEN b + c > 0
+                 THEN (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1)
+                      * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1)
+                      / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))
+                 ELSE 0.0 END, 4) AS chi2
+    FROM cnt
+"""
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) recalibration of the reliability diagram: the
+    monotone fit over calibration_bins' observed rates via the exact
+    minimax identity fit_b = max_{i<=b} min_{j>=b} avg(y over bins i..j)
+    — the closed form of pool-adjacent-violators, computable as a
+    triangular join over the CAL_BINS-row frame (never over documents).
+
+    Exactness: interval averages are single divisions of exact integer
+    cumulatives; min/max over those doubles are order-free.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p4 = F.round(_prob_keep(F.col("text")), 4)
+    scored = d.select(
+        F.round(p4 * 10000).cast("long").alias("pi"),
+        (F.col("lang") == POS_LANG).cast("long").alias("y"),
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.least(F.floor(F.col("pi") / (10000 / CAL_BINS)), F.lit(CAL_BINS - 1))
+        .cast("bigint"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.withColumn("cn", F.sum("n").over(wb)).withColumn(
+        "cs", F.sum("sy").over(wb)
+    )
+    lo = cum.select(
+        F.col("bin").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("cs") - F.col("sy")).alias("cs_lo"),
+    )
+    hi = cum.select(
+        F.col("bin").alias("j"), F.col("cn").alias("cn_hi"),
+        F.col("cs").alias("cs_hi"),
+    )
+    # bin-frame triangular join: CAL_BINS^3 candidate rows at most (~1000)
+    spans = (
+        lo.crossJoin(F.broadcast(hi))
+        .filter(F.col("i") <= F.col("j"))
+        .withColumn(
+            "avg_ij",
+            (F.col("cs_hi") - F.col("cs_lo")).cast("double")
+            / (F.col("cn_hi") - F.col("cn_lo")).cast("double"),
+        )
+    )
+    b = cum.select(F.col("bin").alias("b"), "n", "sy")
+    fit = (
+        b.join(
+            F.broadcast(spans),
+            (F.col("i") <= F.col("b")) & (F.col("b") <= F.col("j")),
+        )
+        .groupBy("b", "i")
+        .agg(F.first("n").alias("n"), F.first("sy").alias("sy"),
+             F.min("avg_ij").alias("min_j"))
+        .groupBy("b")
+        .agg(F.first("n").alias("n"), F.first("sy").alias("sy"),
+             F.max("min_j").alias("iso"))
+    )
+    return fit.select(
+        F.col("b").cast("bigint").alias("bin"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("sy").cast("double") / F.col("n").cast("double"), 4)
+        .alias("raw_rate"),
+        F.round("iso", 4).alias("iso_rate"),
+    )
+
+
+_ISO_ORACLE = f"""
+    WITH scored AS (
+        SELECT CAST(round(round(1.0 / (1.0 + exp(-z)), 4) * 10000, 0)
+                    AS BIGINT) AS pi,
+               CASE WHEN lang = '{POS_LANG}' THEN 1 ELSE 0 END AS y
+        FROM (SELECT lang, {_Z_SQL} AS z FROM documents)
+    ),
+    g AS (
+        SELECT least(pi // (10000 // {CAL_BINS}), {CAL_BINS - 1}) AS bin,
+               count(*) AS n, sum(y) AS sy
+        FROM scored GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, n, sy,
+               sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cn,
+               sum(sy) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cs
+        FROM g
+    ),
+    spans AS (
+        SELECT lo.bin AS i, hi.bin AS j,
+               CAST(hi.cs - (lo.cs - lo.sy) AS DOUBLE)
+               / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS avg_ij
+        FROM cum lo, cum hi WHERE lo.bin <= hi.bin
+    ),
+    fit AS (
+        SELECT b.bin AS b, any_value(b.n) AS n, any_value(b.sy) AS sy,
+               max(min_j) AS iso
+        FROM (
+            SELECT c.bin, c.n, c.sy, s.i, min(s.avg_ij) AS min_j
+            FROM cum c JOIN spans s ON s.i <= c.bin AND c.bin <= s.j
+            GROUP BY 1, 2, 3, 4
+        ) b
+        GROUP BY 1
+    )
+    SELECT CAST(b AS BIGINT) AS bin, CAST(n AS BIGINT) AS n_docs,
+           round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4) AS raw_rate,
+           round(iso, 4) AS iso_rate
+    FROM fit
+"""
+
+
+QUERIES["average_precision_quality"] = average_precision_quality
+QUERIES["cohens_kappa_langid"] = cohens_kappa_langid
+QUERIES["mcnemar_quality_filters"] = mcnemar_quality_filters
+QUERIES["isotonic_calibration"] = isotonic_calibration
+ORACLES["average_precision_quality"] = _AP_ORACLE
+ORACLES["cohens_kappa_langid"] = _kappa_oracle()
+ORACLES["mcnemar_quality_filters"] = _MCNEMAR_ORACLE
+ORACLES["isotonic_calibration"] = _ISO_ORACLE

@@ -105,3 +105,62 @@ def test_js_divergence_bounds(spark):
         assert -1e-9 <= r["js_divergence"] <= ln2 + 1e-9
         assert -1e-9 <= r["js_normalized"] <= 1.0 + 1e-9
         assert r["n_shared_words"] >= 0
+
+
+# --- wave B: PR metrics, agreement, isotonic (ml_eval additions) ----------
+
+
+def test_average_precision_at_least_prevalence(spark):
+    from cdc_streamming___v2_spark.operators import ml_eval as ME
+
+    r = ME.average_precision_quality(spark, SF_SMALL).collect()[0]
+    # a random ranker scores AP ~= prevalence; any informative ranker more.
+    # Lower bound is prevalence * (P/N monotonicity not guaranteed for a
+    # bad ranker), so only assert bounds and internal consistency here.
+    assert 0.0 <= r["average_precision"] <= 1.0
+    assert 0.0 < r["prevalence"] < 1.0
+    assert r["n_pos"] > 0 and r["n_pos"] < r["n_total"]
+
+
+def test_cohens_kappa_range_and_identity(spark):
+    from cdc_streamming___v2_spark.operators import ml_eval as ME
+
+    r = ME.cohens_kappa_langid(spark, SF_SMALL).collect()[0]
+    assert -1.0 <= r["kappa"] <= 1.0
+    assert 0.0 <= r["chance_agreement"] <= 1.0
+    assert 0.0 <= r["observed_agreement"] <= 1.0
+    # kappa identity on the rounded components (loose tolerance: the
+    # columns are rounded independently)
+    approx = (r["observed_agreement"] - r["chance_agreement"]) / (
+        1.0 - r["chance_agreement"]
+    )
+    assert abs(approx - r["kappa"]) < 2e-3
+
+
+def test_mcnemar_discordant_counts(spark):
+    from cdc_streamming___v2_spark.operators import ml_eval as ME
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    r = ME.mcnemar_quality_filters(spark, SF_SMALL).collect()[0]
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert r["n_docs"] == n_docs
+    assert r["a_only_right"] + r["b_only_right"] <= n_docs
+    assert r["chi2"] >= 0.0
+
+
+def test_isotonic_fit_is_monotone_and_pooled(spark):
+    from cdc_streamming___v2_spark.operators import ml_eval as ME
+
+    rows = sorted(
+        ME.isotonic_calibration(spark, SF_SMALL).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows
+    # PAVA output is non-decreasing in the bin (score) order
+    for a, b in zip(rows, rows[1:]):
+        assert a["iso_rate"] <= b["iso_rate"] + 1e-9
+    # pooled fit preserves the weighted mean of the observed rates
+    tot = sum(r["n_docs"] for r in rows)
+    raw_mean = sum(r["raw_rate"] * r["n_docs"] for r in rows) / tot
+    iso_mean = sum(r["iso_rate"] * r["n_docs"] for r in rows) / tot
+    assert abs(raw_mean - iso_mean) < 1e-3
