@@ -229,6 +229,9 @@ HEADLINE = [
     "cohens_kappa_langid",
     "mcnemar_quality_filters",
     "isotonic_calibration",
+    "ohlc_bars",
+    "sax_symbols",
+    "seasonal_naive_mase",
 ]
 
 

@@ -1,0 +1,263 @@
+"""Time-series resampling / symbolization / forecast-audit tier (DRIVER
+surface).
+
+Completes the series toolkit around holt_forecast / acf_daily_revenue /
+stl_lite_decompose / lttb_downsample:
+
+- ``ohlc_bars``: candlestick resampling of the event value stream — per
+  (event_type, day): open / high / low / close / volume / vwap.  Open and
+  close come from a (ts, event_id)-ordered window WITHIN the (type, day)
+  partition (a key-partitioned window, scale-safe); high/low/volume/vwap
+  are plain aggregates.  VWAP divides exact integer cents.
+- ``sax_symbols``: Symbolic Aggregate approXimation of the daily revenue
+  series per event type — PAA over fixed 5-day segments of the exact
+  integer-cent daily sums, z-scored against per-type segment moments
+  (exact integer sums, one sqrt), then mapped to a 4-letter alphabet at
+  the standard Gaussian quartile breakpoints (-0.6745, 0, 0.6745).  The
+  z-score is rounded to 6 decimals BEFORE the breakpoint comparison so
+  the symbol can never flip on last-ulp noise.
+- ``seasonal_naive_mase``: forecast-quality audit — the Mean Absolute
+  Scaled Error of the weekly seasonal-naive forecast (x[d-7]) against the
+  one-step naive baseline (x[d-1]) on the daily revenue series.  Both
+  error sums are exact integer cents; MASE is one final division.
+
+Scale: all three reduce events to the (type, day) or day grid first;
+windows then run on observation-window-bounded frames (the
+theil_sen_trend / kaplan_meier bound), except ohlc's intraday window
+which is partitioned by its (type, day) grouping key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlesticks of ``events.value`` per event type."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    withoc = e.withColumn("open_v", F.first("value").over(w)).withColumn(
+        "close_v", F.last("value").over(w)
+    )
+    return (
+        withoc.groupBy("event_type", "day")
+        .agg(
+            F.min("open_v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min("close_v").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+            F.sum("cents").alias("sc"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            # exact half-up rounding of the rational sc/(100*volume) to 4
+            # decimals via integer arithmetic (the readability_scores
+            # boundary-proof pattern): micro = floor((200*sc + v) / (2*v))
+            (
+                F.floor(
+                    (F.lit(200) * F.col("sc") + F.col("volume"))
+                    / (F.lit(2) * F.col("volume"))
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("vwap"),
+        )
+    )
+
+
+ORACLES["ohlc_bars"] = """
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    oc AS (
+        SELECT *,
+               first_value(value) OVER w AS open_v,
+               last_value(value) OVER w AS close_v
+        FROM e
+        WINDOW w AS (PARTITION BY event_type, day ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           min(open_v) AS open, max(value) AS high, min(value) AS low,
+           min(close_v) AS close,
+           CAST(count(*) AS BIGINT) AS volume,
+           CAST((200 * sum(cents) + count(*)) // (2 * count(*))
+                AS DOUBLE) / 10000.0 AS vwap
+    FROM oc GROUP BY 1, 2
+"""
+QUERIES["ohlc_bars"] = ohlc_bars
+
+
+SAX_SEG_DAYS = 5
+# standard Gaussian quartile breakpoints for a 4-symbol alphabet
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+def sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the per-type daily revenue series (PAA over
+    5-day segments, z-scored per type, 4-letter alphabet)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    day0 = daily.agg(F.min("day").alias("d0"))
+    seg = (
+        daily.crossJoin(F.broadcast(day0))
+        .withColumn(
+            "seg",
+            (F.datediff(F.col("day"), F.col("d0")) / SAX_SEG_DAYS).cast("int"),
+        )
+        .groupBy("event_type", "seg")
+        .agg(F.sum("cents").alias("sc"))
+    )
+    stats = seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sc").alias("s1"),
+        F.sum(F.col("sc") * F.col("sc")).alias("s2"),
+    )
+    j = seg.join(F.broadcast(stats), "event_type")
+    kd = F.col("k").cast("double")
+    mean = F.col("s1").cast("double") / kd
+    # sample variance from exact integer sums: (s2 - s1^2/k) / (k - 1)
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / kd
+    ) / (kd - 1)
+    z = F.round((F.col("sc").cast("double") - mean) / F.sqrt(var), 6)
+    sym = (
+        F.when(z < _SAX_BREAKS[0], F.lit("a"))
+        .when(z < _SAX_BREAKS[1], F.lit("b"))
+        .when(z < _SAX_BREAKS[2], F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return j.select(
+        "event_type",
+        F.col("seg").cast("int").alias("segment"),
+        F.round(F.col("sc").cast("double") / 100.0, 2).alias("seg_revenue"),
+        F.round(z, 4).alias("z"),
+        sym.alias("symbol"),
+    )
+
+
+ORACLES["sax_symbols"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    day0 AS (SELECT min(day) AS d0 FROM daily),
+    seg AS (
+        SELECT event_type,
+               CAST(date_diff('day', d0, day) // {SAX_SEG_DAYS} AS INT)
+                 AS seg,
+               sum(cents) AS sc
+        FROM daily, day0 GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, count(*) AS k, sum(sc) AS s1,
+               sum(sc * sc) AS s2
+        FROM seg GROUP BY 1
+    ),
+    z AS (
+        SELECT seg.event_type, seg.seg, seg.sc,
+               round((CAST(sc AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+                     / sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k)
+                            / (k - 1)), 6) AS zv
+        FROM seg JOIN stats ON seg.event_type = stats.event_type
+    )
+    SELECT event_type, CAST(seg AS INT) AS segment,
+           round(CAST(sc AS DOUBLE) / 100.0, 2) AS seg_revenue,
+           round(zv, 4) AS z,
+           CASE WHEN zv < {_SAX_BREAKS[0]} THEN 'a'
+                WHEN zv < {_SAX_BREAKS[1]} THEN 'b'
+                WHEN zv < {_SAX_BREAKS[2]} THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z
+"""
+QUERIES["sax_symbols"] = sax_symbols
+
+
+SEASON_LAG = 7
+
+
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the weekly seasonal-naive forecast vs the one-step naive
+    baseline on daily total revenue."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.withColumn("l1", F.lag("cents", 1).over(w)).withColumn(
+        "l7", F.lag("cents", SEASON_LAG).over(w)
+    )
+    scored = lagged.filter(F.col("l7").isNotNull())
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.sum(F.abs(F.col("cents") - F.col("l7"))).alias("e7"),
+        F.sum(F.abs(F.col("cents") - F.col("l1"))).alias("e1"),
+    )
+    nd = F.col("n_days_scored").cast("double")
+    return agg.select(
+        "n_days_scored",
+        F.round(F.col("e7").cast("double") / (100.0 * nd), 2).alias(
+            "mae_seasonal"
+        ),
+        F.round(F.col("e1").cast("double") / (100.0 * nd), 2).alias("mae_naive"),
+        F.round(F.col("e7").cast("double") / F.col("e1").cast("double"), 4).alias(
+            "mase"
+        ),
+    )
+
+
+ORACLES["seasonal_naive_mase"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT cents,
+               lag(cents, 1) OVER (ORDER BY day) AS l1,
+               lag(cents, {SEASON_LAG}) OVER (ORDER BY day) AS l7
+        FROM daily
+    ),
+    agg AS (
+        SELECT count(*) AS n, sum(abs(cents - l7)) AS e7,
+               sum(abs(cents - l1)) AS e1
+        FROM lagged WHERE l7 IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_days_scored,
+           round(CAST(e7 AS DOUBLE) / (100.0 * n), 2) AS mae_seasonal,
+           round(CAST(e1 AS DOUBLE) / (100.0 * n), 2) AS mae_naive,
+           round(CAST(e7 AS DOUBLE) / CAST(e1 AS DOUBLE), 4) AS mase
+    FROM agg
+"""
+QUERIES["seasonal_naive_mase"] = seasonal_naive_mase

@@ -164,3 +164,43 @@ def test_isotonic_fit_is_monotone_and_pooled(spark):
     raw_mean = sum(r["raw_rate"] * r["n_docs"] for r in rows) / tot
     iso_mean = sum(r["iso_rate"] * r["n_docs"] for r in rows) / tot
     assert abs(raw_mean - iso_mean) < 1e-3
+
+
+# --- wave C: time-series tier (timeseries_ext) ----------------------------
+
+
+def test_ohlc_bounds_and_volume_partition(spark):
+    from cdc_streamming___v2_spark.operators import timeseries_ext as TS
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    rows = TS.ohlc_bars(spark, SF_SMALL).collect()
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["volume"] for r in rows) == n_events
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["low"] <= r["vwap"] <= r["high"] + 1e-9
+
+
+def test_sax_symbols_alphabet_and_znorm(spark):
+    from cdc_streamming___v2_spark.operators import timeseries_ext as TS
+
+    rows = TS.sax_symbols(spark, SF_SMALL).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        assert r["symbol"] in ("a", "b", "c", "d")
+        by_type.setdefault(r["event_type"], []).append(r["z"])
+    for zs in by_type.values():
+        # z-scores are standardized per type: mean ~ 0
+        assert abs(sum(zs) / len(zs)) < 1e-3
+
+
+def test_seasonal_naive_mase_consistency(spark):
+    from cdc_streamming___v2_spark.operators import timeseries_ext as TS
+
+    r = TS.seasonal_naive_mase(spark, SF_SMALL).collect()[0]
+    assert r["n_days_scored"] > 0
+    assert r["mae_seasonal"] >= 0 and r["mae_naive"] >= 0
+    if r["mae_naive"] > 0:
+        assert abs(r["mase"] - r["mae_seasonal"] / r["mae_naive"]) < 5e-3
