@@ -232,6 +232,8 @@ HEADLINE = [
     "ohlc_bars",
     "sax_symbols",
     "seasonal_naive_mase",
+    "ams_f2_sketch",
+    "grid_dbscan_clusters",
 ]
 
 

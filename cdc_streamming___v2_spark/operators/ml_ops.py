@@ -685,3 +685,200 @@ ORACLES["decision_stump_train"] = """
     SELECT * FROM ranked ORDER BY gini ASC, threshold ASC LIMIT 1
 """
 QUERIES["decision_stump_train"] = decision_stump_train
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session: grid-density (DBSCAN-style) clustering
+# --------------------------------------------------------------------------
+
+GRID_EPS = 0.02    # cell width on the first two embedding dimensions
+GRID_MINPTS = 6    # 3x3-neighborhood density threshold for a core cell
+
+
+def grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (cell-granularity DBSCAN) of the embeddings
+    projected onto their first two dimensions: a cell is CORE when its
+    3x3 neighborhood holds >= GRID_MINPTS points; clusters are connected
+    components of adjacent core cells; points in core cells join their
+    cell's cluster, points in non-core cells adjacent to a core cell are
+    border members (min neighboring cluster id), the rest are noise
+    (cluster -1).  This is the standard at-scale DBSCAN surrogate: the
+    eps-neighborhood is approximated by the 3x3 cell block, so every step
+    is a bounded-grid equi-join, never a point-to-point distance join.
+
+    Scale: points reduce to the cell grid ONCE (grid cardinality is
+    bounded by the value range / eps, independent of corpus size);
+    density is a 9-offset equi-join on that bounded frame; connected
+    components run on the core-cell graph (pointer-doubling, O(log
+    diameter) rounds) — all component machinery reused from
+    pipeline_ops.connected_components.
+    """
+    from .pipeline_ops import connected_components
+    from .similarity import _embeddings
+
+    e = _embeddings(spark, sf_dir)
+    pts = e.select(
+        "vec_id",
+        F.floor(F.element_at("v", 1) / GRID_EPS).cast("long").alias("cx"),
+        F.floor(F.element_at("v", 2) / GRID_EPS).cast("long").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    # each cell contributes its count to all 9 neighbors; density(cell) =
+    # sum of contributions landing on it (geo_grid_join offset pattern)
+    contrib = cells.crossJoin(F.broadcast(offs)).select(
+        (F.col("cx") + F.col("dx")).alias("tx"),
+        (F.col("cy") + F.col("dy")).alias("ty"),
+        "n",
+    )
+    dens = contrib.groupBy("tx", "ty").agg(F.sum("n").alias("density"))
+    key = ((F.col("cx") + 1000) * 100000 + (F.col("cy") + 1000)).alias("k")
+    core = (
+        cells.join(
+            dens, (cells.cx == dens.tx) & (cells.cy == dens.ty)
+        )
+        .filter(F.col("density") >= GRID_MINPTS)
+        .select("cx", "cy", key, "n")
+        .localCheckpoint(eager=True)
+    )
+    shifted = core.crossJoin(F.broadcast(offs)).select(
+        F.col("k").alias("doc_a"),
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        (F.col("cy") + F.col("dy")).alias("ny"),
+    )
+    edges = shifted.join(
+        core.select(
+            F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+            F.col("k").alias("doc_b"),
+        ),
+        ["nx", "ny"],
+    ).select("doc_a", "doc_b")
+    labels, _rounds = connected_components(spark, edges)
+    core_lab = core.join(
+        labels.select(F.col("node").alias("k"), F.col("label").alias("cluster")),
+        "k",
+    )
+    n_cells = core_lab.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_cells")
+    )
+    core_pts = pts.join(
+        core_lab.select("cx", "cy", "cluster"), ["cx", "cy"]
+    ).select("vec_id", "cluster")
+    non_core_pts = pts.join(
+        core.select("cx", "cy", F.lit(1).alias("is_core")), ["cx", "cy"], "left"
+    ).filter(F.col("is_core").isNull()).select("vec_id", "cx", "cy")
+    border_pts = (
+        non_core_pts.crossJoin(F.broadcast(offs))
+        .select(
+            "vec_id",
+            (F.col("cx") + F.col("dx")).alias("nx"),
+            (F.col("cy") + F.col("dy")).alias("ny"),
+        )
+        .join(
+            core_lab.select(
+                F.col("cx").alias("nx"), F.col("cy").alias("ny"), "cluster"
+            ),
+            ["nx", "ny"],
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    assigned = core_pts.union(border_pts.select("vec_id", "cluster"))
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    clusters = n_cells.join(sizes, "cluster", "left").select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "n_core_cells",
+        F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
+    )
+    totals = pts.agg(F.count(F.lit(1)).alias("n_all")).crossJoin(
+        assigned.agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+    noise = totals.select(
+        F.lit(-1).cast("bigint").alias("cluster"),
+        F.lit(0).cast("bigint").alias("n_core_cells"),
+        (F.col("n_all") - F.col("n_assigned")).cast("bigint").alias("n_points"),
+    )
+    return clusters.union(noise)
+
+
+ORACLES["grid_dbscan_clusters"] = f"""
+    WITH RECURSIVE pts AS (
+        SELECT vec_id,
+               CAST(floor(embedding[1] / {GRID_EPS}) AS BIGINT) AS cx,
+               CAST(floor(embedding[2] / {GRID_EPS}) AS BIGINT) AS cy
+        FROM embeddings
+    ),
+    cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY 1, 2),
+    dens AS (
+        SELECT c.cx, c.cy, c.n, sum(c2.n) AS density
+        FROM cells c JOIN cells c2
+          ON c2.cx BETWEEN c.cx - 1 AND c.cx + 1
+         AND c2.cy BETWEEN c.cy - 1 AND c.cy + 1
+        GROUP BY 1, 2, 3
+    ),
+    core AS (
+        SELECT cx, cy, (cx + 1000) * 100000 + (cy + 1000) AS k, n
+        FROM dens WHERE density >= {GRID_MINPTS}
+    ),
+    edges AS (
+        SELECT a.k AS s, b.k AS d
+        FROM core a JOIN core b
+          ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+    ),
+    reach(s, d) AS (
+        SELECT k, k FROM core
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    lab AS (SELECT s AS k, min(d) AS cluster FROM reach GROUP BY 1),
+    core_lab AS (
+        SELECT c.cx, c.cy, c.k, l.cluster
+        FROM core c JOIN lab l ON c.k = l.k
+    ),
+    n_cells AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_core_cells
+        FROM core_lab GROUP BY 1
+    ),
+    core_pts AS (
+        SELECT p.vec_id, cl.cluster
+        FROM pts p JOIN core_lab cl ON p.cx = cl.cx AND p.cy = cl.cy
+    ),
+    border_pts AS (
+        SELECT p.vec_id, min(cl.cluster) AS cluster
+        FROM pts p
+        LEFT JOIN core pc ON p.cx = pc.cx AND p.cy = pc.cy
+        JOIN core_lab cl
+          ON cl.cx BETWEEN p.cx - 1 AND p.cx + 1
+         AND cl.cy BETWEEN p.cy - 1 AND p.cy + 1
+        WHERE pc.k IS NULL
+        GROUP BY 1
+    ),
+    assigned AS (
+        SELECT vec_id, cluster FROM core_pts
+        UNION ALL
+        SELECT vec_id, cluster FROM border_pts
+    ),
+    sizes AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_points
+        FROM assigned GROUP BY 1
+    ),
+    totals AS (
+        SELECT (SELECT count(*) FROM pts) AS n_all,
+               (SELECT count(*) FROM assigned) AS n_assigned
+    )
+    SELECT CAST(n.cluster AS BIGINT) AS cluster, n.n_core_cells,
+           CAST(COALESCE(s.n_points, 0) AS BIGINT) AS n_points
+    FROM n_cells n LEFT JOIN sizes s ON n.cluster = s.cluster
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(n_all - n_assigned AS BIGINT)
+    FROM totals
+"""
+QUERIES["grid_dbscan_clusters"] = grid_dbscan_clusters

@@ -1120,3 +1120,118 @@ ORACLES["rolling_distinct_users"] = f"""
            round(abs(est - exact_7d) / exact_7d, 4) AS rel_err
     FROM ex JOIN corrected USING (day)
 """
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session: AMS F2 (second frequency moment) sketch
+# --------------------------------------------------------------------------
+
+AMS_R = 64       # independent sign hashes
+AMS_GROUPS = 8   # median-of-means groups (8 means of 8)
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) sketch of the second frequency moment F2
+    of the ``events.user_id`` stream — the self-join-size / repeat-rate
+    estimator: S_r = sum_x sign_r(x) * f_x for AMS_R portable md5 sign
+    hashes, E[S_r^2] = F2; the estimate is the median of AMS_GROUPS group
+    means (median-of-means variance reduction), reported next to exact F2.
+
+    Mergeability (the 100-TB shape): each S_r is a plain linear sum, so
+    per-partition/per-day sketches merge by ADDING the 64 counters —
+    constant state, one pass, no rescan.
+
+    Exactness: sign hashes, S_r, S_r^2 and group sums are exact integers
+    (decimal(38,0) for the squares); the group mean is one exact division;
+    the median of the 8 means is the average of the two middle order
+    statistics on a deterministic (mean, group) ordering.
+
+    Scale: the stream reduces to the distinct-user frequency frame first,
+    so the 64-way explode runs over distinct keys, not raw events.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    freq = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    exact = freq.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)"))
+        .alias("f2_exact")
+    )
+    rep = freq.select(
+        "user_id", "c", F.explode(F.sequence(F.lit(0), F.lit(AMS_R - 1))).alias("r")
+    )
+    h = md5_hash_long(
+        F.concat(
+            F.lit("ams"), F.col("r").cast("string"), F.lit("|"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    signed = rep.withColumn(
+        "s", F.when(h % 2 == 0, F.col("c")).otherwise(-F.col("c"))
+    )
+    s_r = signed.groupBy("r").agg(F.sum("s").alias("sr"))
+    grouped = s_r.groupBy((F.col("r") % AMS_GROUPS).alias("g")).agg(
+        F.sum(F.col("sr").cast("decimal(38,0)") * F.col("sr").cast("decimal(38,0)"))
+        .alias("ssum"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    means = grouped.select(
+        "g", (F.col("ssum").cast("double") / F.col("k").cast("double")).alias("m")
+    )
+    w = Window.orderBy("m", "g")
+    ranked = means.withColumn("rn", F.row_number().over(w))
+    med = ranked.filter(
+        F.col("rn").isin(AMS_GROUPS // 2, AMS_GROUPS // 2 + 1)
+    ).agg(F.avg("m").alias("est"))
+    return med.crossJoin(F.broadcast(exact)).select(
+        F.col("f2_exact").cast("bigint").alias("exact_f2"),
+        F.round("est", 2).alias("est_f2"),
+        F.round(
+            F.abs(F.col("est") - F.col("f2_exact").cast("double"))
+            / F.col("f2_exact").cast("double"),
+            4,
+        ).alias("rel_err"),
+        F.lit(AMS_R).cast("int").alias("n_hashes"),
+    )
+
+
+ORACLES["ams_f2_sketch"] = f"""
+    WITH freq AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY 1
+    ),
+    exact AS (SELECT sum(c * c) AS f2_exact FROM freq),
+    rep AS (
+        SELECT user_id, c, r
+        FROM freq, (SELECT unnest(generate_series(0, {AMS_R - 1})) AS r)
+    ),
+    signed AS (
+        SELECT r,
+               CASE WHEN CAST('0x' || substr(md5('ams' || r || '|'
+                        || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                        % 2 = 0
+                    THEN c ELSE -c END AS s
+        FROM rep
+    ),
+    s_r AS (SELECT r, sum(s) AS sr FROM signed GROUP BY 1),
+    grouped AS (
+        SELECT r % {AMS_GROUPS} AS g, sum(sr * sr) AS ssum,
+               count(*) AS k
+        FROM s_r GROUP BY 1
+    ),
+    means AS (
+        SELECT g, CAST(ssum AS DOUBLE) / CAST(k AS DOUBLE) AS m
+        FROM grouped
+    ),
+    ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, g) AS rn FROM means
+    ),
+    med AS (
+        SELECT avg(m) AS est FROM ranked
+        WHERE rn IN ({AMS_GROUPS // 2}, {AMS_GROUPS // 2 + 1})
+    )
+    SELECT CAST(f2_exact AS BIGINT) AS exact_f2,
+           round(est, 2) AS est_f2,
+           round(abs(est - CAST(f2_exact AS DOUBLE))
+                 / CAST(f2_exact AS DOUBLE), 4) AS rel_err,
+           CAST({AMS_R} AS INT) AS n_hashes
+    FROM med, exact
+"""
+QUERIES["ams_f2_sketch"] = ams_f2_sketch

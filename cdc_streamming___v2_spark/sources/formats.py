@@ -1,4 +1,4 @@
-"""Batch file-format IO: CSV, ORC, NDJSON (plain or gzip), Parquet.
+"""Batch file-format IO: CSV, ORC, NDJSON (plain or gzip), Parquet, XML.
 
 The reference's only formats are GZIP NDJSON in (Datastream logs,
 build/stream/stream.tf:148-151) and BigQuery out; this module gives the
@@ -101,9 +101,36 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType) -> DataFr
     return spark.read.schema(schema).parquet(path)
 
 
+def write_xml(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> None:
+    """Spark 4 native XML writer (rowTag records); timestamps use the same
+    round-trippable pattern as CSV."""
+    w = (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "row")
+        .option("timestampFormat", _TS_FMT)
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .format("xml")
+        .option("rowTag", "row")
+        .option("timestampFormat", _TS_FMT)
+        .load(path)
+    )
+
+
 FORMATS = {
     "csv": (write_csv, read_csv),
     "orc": (write_orc, read_orc),
     "json": (write_ndjson, read_ndjson),
     "parquet": (write_parquet, read_parquet),
+    "xml": (write_xml, read_xml),
 }

@@ -204,3 +204,41 @@ def test_seasonal_naive_mase_consistency(spark):
     assert r["mae_seasonal"] >= 0 and r["mae_naive"] >= 0
     if r["mae_naive"] > 0:
         assert abs(r["mase"] - r["mae_seasonal"] / r["mae_naive"]) < 5e-3
+
+
+# --- wave D: AMS F2 sketch + grid-density clustering ----------------------
+
+
+def test_ams_f2_estimate_quality(spark):
+    from cdc_streamming___v2_spark.operators import sketches as SK
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    r = SK.ams_f2_sketch(spark, SF_SMALL).collect()[0]
+    # exact F2 equals sum of squared user frequencies
+    freq = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    exact = sum(x["count"] ** 2 for x in freq)
+    assert r["exact_f2"] == exact
+    assert r["n_hashes"] == SK.AMS_R
+    # median-of-means with 64 hashes: well within 50% of truth on this data
+    assert r["rel_err"] < 0.5
+
+
+def test_grid_dbscan_partitions_points(spark):
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    rows = ML.grid_dbscan_clusters(spark, SF_SMALL).collect()
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    assert sum(r["n_points"] for r in rows) == n_vecs
+    noise = [r for r in rows if r["cluster"] == -1]
+    assert len(noise) == 1 and noise[0]["n_core_cells"] == 0
+    real = [r for r in rows if r["cluster"] != -1]
+    assert len(real) >= 1
+    for r in real:
+        assert r["n_core_cells"] >= 1
+        assert r["n_points"] >= 1
