@@ -80,6 +80,10 @@ _GATE_PRIORITY = (
     "seasonal_naive_mase",
     "ams_f2_sketch",
     "grid_dbscan_clusters",
+    "rapid_repeat_purchases",
+    "market_beta_types",
+    "srm_check",
+    "heaps_law_fit",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -232,7 +236,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 260
+_MIN_QUERIES = 264
 
 
 def _registry() -> tuple[dict, dict]:

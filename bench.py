@@ -234,6 +234,10 @@ HEADLINE = [
     "seasonal_naive_mase",
     "ams_f2_sketch",
     "grid_dbscan_clusters",
+    "rapid_repeat_purchases",
+    "market_beta_types",
+    "srm_check",
+    "heaps_law_fit",
 ]
 
 

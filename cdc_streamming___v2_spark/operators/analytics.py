@@ -4109,3 +4109,205 @@ ORACLES["anderson_darling_drift"] = f"""
     FROM terms
 """
 QUERIES["anderson_darling_drift"] = anderson_darling_drift
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session wave E: operational-analytics additions
+# --------------------------------------------------------------------------
+
+RAPID_REPEAT_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def rapid_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat-purchase audit: pairs of purchases by the SAME user
+    within ten minutes — the double-submit / double-charge finance
+    control (amount equality is reported, not required, because a
+    double-submit after an edit changes the amount slightly).
+
+    Scale: the pair join is a user_id equi-join; candidates are per-user
+    purchase pairs and the 10-minute predicate filters inside the join
+    partitions — never a global time cross join.  Deterministic pair
+    orientation: earlier (ts, event_id) first.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    a = e.select(
+        "user_id", F.col("cents").alias("cents_a"),
+        F.col("us").alias("us_a"), F.col("event_id").alias("event_a"),
+    )
+    b = e.select(
+        "user_id", F.col("cents").alias("cents_b"),
+        F.col("us").alias("us_b"), F.col("event_id").alias("event_b"),
+    )
+    pairs = a.join(b, "user_id").filter(
+        (
+            (F.col("us_a") < F.col("us_b"))
+            | ((F.col("us_a") == F.col("us_b"))
+               & (F.col("event_a") < F.col("event_b")))
+        )
+        & (F.col("us_b") - F.col("us_a") <= RAPID_REPEAT_WINDOW_US)
+    )
+    return pairs.select(
+        "user_id",
+        "event_a",
+        "event_b",
+        F.round(F.col("cents_a").cast("double") / 100.0, 2).alias("amount_a"),
+        F.round(F.col("cents_b").cast("double") / 100.0, 2).alias("amount_b"),
+        (F.col("cents_a") == F.col("cents_b")).alias("same_amount"),
+        # exact integer rounding of the gap to 2dp minutes
+        (
+            F.floor(
+                (F.col("us_b") - F.col("us_a") + F.lit(300_000))
+                / F.lit(600_000)
+            ).cast("double")
+            / 100.0
+        ).alias("gap_min"),
+    )
+
+
+ORACLES["rapid_repeat_purchases"] = f"""
+    WITH e AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS us, event_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+           round(CAST(a.cents AS DOUBLE) / 100.0, 2) AS amount_a,
+           round(CAST(b.cents AS DOUBLE) / 100.0, 2) AS amount_b,
+           a.cents = b.cents AS same_amount,
+           CAST((b.us - a.us + 300000) // 600000 AS DOUBLE) / 100.0
+             AS gap_min
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+     AND b.us - a.us <= {RAPID_REPEAT_WINDOW_US}
+"""
+QUERIES["rapid_repeat_purchases"] = rapid_repeat_purchases
+
+
+def market_beta_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type market beta: OLS of each type's daily revenue series
+    against the all-types market series — beta, alpha, and R^2 from the
+    closed normal-equation forms over exact integer-cent sums (the
+    ols_two_feature exactness pattern on the day-bounded frame).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    market = daily.groupBy("day").agg(F.sum("y").alias("x"))
+    j = daily.join(market, "day")
+    d = "decimal(38,0)"
+    sums = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(d)).alias("sx"),
+        F.sum(F.col("y").cast(d)).alias("sy"),
+        F.sum(F.col("x").cast(d) * F.col("y").cast(d)).alias("sxy"),
+        F.sum(F.col("x").cast(d) * F.col("x").cast(d)).alias("sxx"),
+        F.sum(F.col("y").cast(d) * F.col("y").cast(d)).alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = kd * sxy - sx * sy
+    varx_n = kd * sxx - sx * sx
+    vary_n = kd * syy - sy * sy
+    beta = cov_n / varx_n
+    alpha_cents = (sy - beta * sx) / kd
+    return sums.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_days"),
+        F.round(beta, 6).alias("beta"),
+        F.round(alpha_cents / 100.0, 2).alias("alpha"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 4).alias("r2"),
+    )
+
+
+ORACLES["market_beta_types"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    market AS (SELECT day, sum(y) AS x FROM daily GROUP BY 1),
+    sums AS (
+        SELECT event_type, count(*) AS k,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM daily JOIN market USING (day)
+        GROUP BY 1
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS n_days,
+           round((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE))
+                 / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)), 6) AS beta,
+           round((CAST(sy AS DOUBLE)
+                  - ((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sy AS DOUBLE))
+                     / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                 / k / 100.0, 2) AS alpha,
+           round((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE))
+                 * (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE))
+                 / ((k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))
+                    * (k * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE))), 4) AS r2
+    FROM sums
+"""
+QUERIES["market_beta_types"] = market_beta_types
+
+
+SRM_CHI2_CRIT = 3.841  # chi-square 95% critical value, 1 df
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the even/odd user_id experiment
+    split: chi-square against the expected 50/50 unit allocation —
+    the first gate every A/B platform runs before reading a metric.
+    chi2 = (n0 - n1)^2 / (n0 + n1) for two equal-expectation cells.
+    """
+    e = load_table(spark, sf_dir, "events")
+    units = e.select("user_id").distinct()
+    cnt = units.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 0).otherwise(1)).alias("n1"),
+    )
+    d0, d1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    chi2 = (d0 - d1) * (d0 - d1) / (d0 + d1)
+    return cnt.select(
+        F.col("n0").cast("bigint").alias("n_even"),
+        F.col("n1").cast("bigint").alias("n_odd"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > SRM_CHI2_CRIT).alias("srm_flag"),
+    )
+
+
+ORACLES["srm_check"] = f"""
+    WITH units AS (SELECT DISTINCT user_id FROM events),
+    cnt AS (
+        SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n1
+        FROM units
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_even, CAST(n1 AS BIGINT) AS n_odd,
+           round((CAST(n0 AS DOUBLE) - n1) * (CAST(n0 AS DOUBLE) - n1)
+                 / (CAST(n0 AS DOUBLE) + n1), 4) AS chi2,
+           (CAST(n0 AS DOUBLE) - n1) * (CAST(n0 AS DOUBLE) - n1)
+             / (CAST(n0 AS DOUBLE) + n1) > {SRM_CHI2_CRIT} AS srm_flag
+    FROM cnt
+"""
+QUERIES["srm_check"] = srm_check

@@ -1095,3 +1095,139 @@ ORACLES["ranking_eval_bm25"] = f"""
     FROM dcg, idcg, nrel
 """
 QUERIES["ranking_eval_bm25"] = ranking_eval_bm25
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session: Heaps'-law vocabulary-growth fit
+# --------------------------------------------------------------------------
+
+HEAPS_CHECKPOINTS = 10
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) ~ K * n^beta of vocabulary growth over the
+    corpus in doc_id order — the companion diagnostic to zipf_fit: a beta
+    far from the 0.4-0.6 crawl band flags synthetic or template-heavy
+    text before it skews tokenizer training.
+
+    Construction: each word reduces to its FIRST document (min doc_id,
+    one vocabulary-keyed aggregate); the first-doc ranks bucket onto
+    HEAPS_CHECKPOINTS prefix checkpoints n_k = floor(N*k/10) with the
+    exact integer ceil kmin = ceil(10*rank/N), so V(n_k) is a cumulative
+    sum over a 10-row frame.  The log-log OLS slope/intercept fold over
+    that frame with an ORDER-PINNED cumulative sum (kaplan_meier
+    pattern); ln() of identical integers agrees bit-for-bit.
+
+    Scale: one explode + vocab-keyed min, one 10-row frame — corpus reads
+    once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_total = d.agg(F.count(F.lit(1)).alias("n"))
+    first = (
+        d.select(F.explode(words(F.col("text"))).alias("w"), "doc_id")
+        .groupBy("w")
+        .agg((F.min("doc_id") + 1).alias("rank"))
+    )
+    # kmin = smallest k with floor(N*k/10) >= rank  <=>  ceil(10*rank/N)
+    bucketed = (
+        first.crossJoin(F.broadcast(n_total))
+        .select(
+            F.floor(
+                (F.lit(HEAPS_CHECKPOINTS) * F.col("rank") + F.col("n") - 1)
+                / F.col("n")
+            ).cast("int").alias("kmin")
+        )
+        .groupBy("kmin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ks = spark.range(1, HEAPS_CHECKPOINTS + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        ks.join(bucketed, ks.k == bucketed.kmin, "left")
+        .select("k", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .withColumn("v", F.sum("cnt").over(wk))
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "nk", F.floor(F.col("n") * F.col("k") / HEAPS_CHECKPOINTS)
+        )
+        .filter((F.col("v") > 0) & (F.col("nk") > 0))
+        .withColumn("lx", F.log(F.col("nk").cast("double")))
+        .withColumn("ly", F.log(F.col("v").cast("double")))
+    )
+    folded = (
+        pts.withColumn("m", F.count(F.lit(1)).over(wk))
+        .withColumn("slx", F.sum("lx").over(wk))
+        .withColumn("sly", F.sum("ly").over(wk))
+        .withColumn("slxy", F.sum(F.col("lx") * F.col("ly")).over(wk))
+        .withColumn("slxx", F.sum(F.col("lx") * F.col("lx")).over(wk))
+    )
+    last = folded.orderBy(F.col("m").desc()).limit(1)
+    md = F.col("m").cast("double")
+    beta = (md * F.col("slxy") - F.col("slx") * F.col("sly")) / (
+        md * F.col("slxx") - F.col("slx") * F.col("slx")
+    )
+    kcoef = F.exp((F.col("sly") - beta * F.col("slx")) / md)
+    vocab = first.agg(F.count(F.lit(1)).alias("vtot"))
+    return last.crossJoin(F.broadcast(vocab)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("vtot").cast("bigint").alias("vocab_size"),
+        F.col("m").cast("int").alias("n_points"),
+        F.round(beta, 4).alias("heaps_beta"),
+        F.round(kcoef, 2).alias("heaps_k"),
+        # a natural-language crawl sits in the 0.4-0.6 band; saturated /
+        # template vocabularies collapse toward 0
+        (beta < 0.2).alias("template_flag"),
+    )
+
+
+_HW = "regexp_split_to_array(trim(text), '\\s+')"
+
+ORACLES["heaps_law_fit"] = f"""
+    WITH n_total AS (SELECT count(*) AS n FROM documents),
+    first AS (
+        SELECT w, min(doc_id) + 1 AS rank
+        FROM (SELECT doc_id, unnest({_HW}) AS w FROM documents)
+        GROUP BY 1
+    ),
+    bucketed AS (
+        SELECT ({HEAPS_CHECKPOINTS} * rank + n - 1) // n AS kmin,
+               count(*) AS cnt
+        FROM first, n_total GROUP BY 1
+    ),
+    ks AS (SELECT unnest(generate_series(1, {HEAPS_CHECKPOINTS})) AS k),
+    pts AS (
+        SELECT k,
+               sum(coalesce(cnt, 0)) OVER (ORDER BY k ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+               (SELECT n FROM n_total) * k // {HEAPS_CHECKPOINTS} AS nk
+        FROM ks LEFT JOIN bucketed ON ks.k = bucketed.kmin
+    ),
+    lpts AS (
+        SELECT ln(CAST(nk AS DOUBLE)) AS lx, ln(CAST(v AS DOUBLE)) AS ly, k
+        FROM pts WHERE v > 0 AND nk > 0
+    ),
+    folded AS (
+        SELECT count(*) OVER wk AS m,
+               sum(lx) OVER wk AS slx, sum(ly) OVER wk AS sly,
+               sum(lx * ly) OVER wk AS slxy, sum(lx * lx) OVER wk AS slxx
+        FROM lpts
+        WINDOW wk AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    ),
+    last AS (SELECT * FROM folded ORDER BY m DESC LIMIT 1),
+    vocab AS (SELECT count(*) AS vtot FROM first)
+    SELECT CAST((SELECT n FROM n_total) AS BIGINT) AS n_docs,
+           CAST(vtot AS BIGINT) AS vocab_size,
+           CAST(m AS INT) AS n_points,
+           round((m * slxy - slx * sly) / (m * slxx - slx * slx), 4)
+             AS heaps_beta,
+           round(exp((sly - ((m * slxy - slx * sly)
+                             / (m * slxx - slx * slx)) * slx) / m), 2)
+             AS heaps_k,
+           (m * slxy - slx * sly) / (m * slxx - slx * slx) < 0.2
+             AS template_flag
+    FROM last, vocab
+"""
+QUERIES["heaps_law_fit"] = heaps_law_fit
