@@ -84,6 +84,8 @@ _GATE_PRIORITY = (
     "market_beta_types",
     "srm_check",
     "heaps_law_fit",
+    "nmi_cluster_label_eval",
+    "item_cf_topk",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -236,7 +238,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 264
+_MIN_QUERIES = 266
 
 
 def _registry() -> tuple[dict, dict]:

@@ -238,6 +238,8 @@ HEADLINE = [
     "market_beta_types",
     "srm_check",
     "heaps_law_fit",
+    "nmi_cluster_label_eval",
+    "item_cf_topk",
 ]
 
 

@@ -737,3 +737,106 @@ ORACLES["event_run_lengths"] = """
     FROM runs GROUP BY 1, 2
 """
 QUERIES["event_run_lengths"] = event_run_lengths
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session: item-item collaborative filtering
+# --------------------------------------------------------------------------
+
+ITEM_CF_TOPK = 5
+ITEM_CF_MIN_CO = 2  # prune singleton co-occurrences before ranking
+
+
+def item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: for every part, the
+    ITEM_CF_TOPK most cosine-similar parts by order co-occurrence
+    (cos = n_ij / sqrt(n_i * n_j)) — the normalized "customers who bought
+    X also bought Y" ranking that market_basket's raw lift table feeds.
+
+    Determinism: ranking compares round(cos, 6) with neighbor-id
+    tie-break; cosine inputs are exact integer counts so the rounded
+    doubles are bit-identical across engines.
+
+    Scale: the pair space is the market_basket shape — distinct
+    (order, part) first, then an order-keyed self-join bounded by basket
+    size k (O(k^2) per order, never part x part); per-part order counts
+    broadcast; the rank window partitions by the anchor part.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= ITEM_CF_MIN_CO)
+    )
+    jn = (
+        co.join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("pa"),
+                                   F.col("n").alias("na"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("pb"),
+                                   F.col("n").alias("nb"))),
+            "pb",
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("n_co").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.col("cos").desc(), F.col("pb").asc())
+    return (
+        jn.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ITEM_CF_TOPK)
+        .select(
+            F.col("pa").cast("bigint").alias("part_id"),
+            F.col("pb").cast("bigint").alias("neighbor_id"),
+            F.col("n_co").cast("bigint").alias("n_co_orders"),
+            F.col("cos").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ORACLES["item_cf_topk"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+    co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_co
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey != b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {ITEM_CF_MIN_CO}
+    ),
+    jn AS (
+        SELECT co.pa, co.pb, co.n_co,
+               round(CAST(co.n_co AS DOUBLE)
+                     / sqrt(CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)),
+                     6) AS cos
+        FROM co JOIN cnt ca ON co.pa = ca.l_partkey
+        JOIN cnt cb ON co.pb = cb.l_partkey
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY pa
+                                     ORDER BY cos DESC, pb ASC) AS rank
+        FROM jn
+    )
+    SELECT CAST(pa AS BIGINT) AS part_id, CAST(pb AS BIGINT) AS neighbor_id,
+           CAST(n_co AS BIGINT) AS n_co_orders, cos AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {ITEM_CF_TOPK}
+"""
+QUERIES["item_cf_topk"] = item_cf_topk

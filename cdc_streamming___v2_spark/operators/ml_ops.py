@@ -882,3 +882,282 @@ ORACLES["grid_dbscan_clusters"] = f"""
     FROM totals
 """
 QUERIES["grid_dbscan_clusters"] = grid_dbscan_clusters
+
+
+def _grid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point cluster assignment of grid_dbscan_clusters (noise = -1):
+    recomputes the same core/border/noise decomposition but keeps the
+    (vec_id, cluster) frame instead of the summary."""
+    from .pipeline_ops import connected_components
+    from .similarity import _embeddings
+
+    e = _embeddings(spark, sf_dir)
+    pts = e.select(
+        "vec_id",
+        F.floor(F.element_at("v", 1) / GRID_EPS).cast("long").alias("cx"),
+        F.floor(F.element_at("v", 2) / GRID_EPS).cast("long").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    offs = (
+        spark.range(-1, 2)
+        .select(F.col("id").alias("dx"))
+        .crossJoin(spark.range(-1, 2).select(F.col("id").alias("dy")))
+    )
+    contrib = cells.crossJoin(F.broadcast(offs)).select(
+        (F.col("cx") + F.col("dx")).alias("tx"),
+        (F.col("cy") + F.col("dy")).alias("ty"),
+        "n",
+    )
+    dens = contrib.groupBy("tx", "ty").agg(F.sum("n").alias("density"))
+    key = ((F.col("cx") + 1000) * 100000 + (F.col("cy") + 1000)).alias("k")
+    core = (
+        cells.join(dens, (cells.cx == dens.tx) & (cells.cy == dens.ty))
+        .filter(F.col("density") >= GRID_MINPTS)
+        .select("cx", "cy", key, "n")
+        .localCheckpoint(eager=True)
+    )
+    shifted = core.crossJoin(F.broadcast(offs)).select(
+        F.col("k").alias("doc_a"),
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        (F.col("cy") + F.col("dy")).alias("ny"),
+    )
+    edges = shifted.join(
+        core.select(
+            F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+            F.col("k").alias("doc_b"),
+        ),
+        ["nx", "ny"],
+    ).select("doc_a", "doc_b")
+    labels, _rounds = connected_components(spark, edges)
+    core_lab = core.join(
+        labels.select(F.col("node").alias("k"), F.col("label").alias("cluster")),
+        "k",
+    )
+    core_pts = pts.join(
+        core_lab.select("cx", "cy", "cluster"), ["cx", "cy"]
+    ).select("vec_id", "cluster")
+    non_core_pts = pts.join(
+        core.select("cx", "cy", F.lit(1).alias("is_core")), ["cx", "cy"], "left"
+    ).filter(F.col("is_core").isNull()).select("vec_id", "cx", "cy")
+    border_pts = (
+        non_core_pts.crossJoin(F.broadcast(offs))
+        .select(
+            "vec_id",
+            (F.col("cx") + F.col("dx")).alias("nx"),
+            (F.col("cy") + F.col("dy")).alias("ny"),
+        )
+        .join(
+            core_lab.select(
+                F.col("cx").alias("nx"), F.col("cy").alias("ny"), "cluster"
+            ),
+            ["nx", "ny"],
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    assigned = core_pts.union(border_pts.select("vec_id", "cluster"))
+    return (
+        pts.select("vec_id")
+        .join(assigned, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster", F.lit(-1)).cast("bigint").alias("cluster"),
+        )
+    )
+
+
+def nmi_cluster_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized Mutual Information between the grid-density cluster
+    assignment (noise as its own bucket) and the embeddings' declared
+    ``label`` — the information-theoretic clustering-quality metric next
+    to bcubed_cluster_eval: NMI = 2*I(C;L) / (H(C) + H(L)).
+
+    Exactness: every probability is an exact integer ratio; the MI and
+    entropy terms fold with ORDER-PINNED cumulative sums over the
+    (cluster x label) contingency frame (bounded: clusters x labels).
+    """
+    a = _grid_assignments(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    j = a.join(e, "vec_id")
+    cont = j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("nij"))
+    ci = cont.groupBy("cluster").agg(F.sum("nij").alias("ni"))
+    lj = cont.groupBy("label").agg(F.sum("nij").alias("nj"))
+    tot = cont.agg(F.sum("nij").alias("n"))
+    nd = F.col("n").cast("double")
+    wmi = Window.orderBy("cluster", "label").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mi_f = (
+        cont.join(F.broadcast(ci), "cluster")
+        .join(F.broadcast(lj), "label")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term",
+            F.col("nij").cast("double")
+            / nd
+            * F.log(
+                nd
+                * F.col("nij").cast("double")
+                / (F.col("ni").cast("double") * F.col("nj").cast("double"))
+            ),
+        )
+        .withColumn("mi", F.sum("term").over(wmi))
+        .withColumn("rs", F.count(F.lit(1)).over(wmi))
+    )
+    mi = mi_f.orderBy(F.col("rs").desc()).limit(1).select("mi", "n")
+    wc = Window.orderBy("cluster").rowsBetween(Window.unboundedPreceding, 0)
+    hc_f = (
+        ci.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "t",
+            -(F.col("ni").cast("double") / nd)
+            * F.log(F.col("ni").cast("double") / nd),
+        )
+        .withColumn("hc", F.sum("t").over(wc))
+        .withColumn("rs", F.count(F.lit(1)).over(wc))
+    )
+    hc = hc_f.orderBy(F.col("rs").desc()).limit(1).select("hc")
+    wl = Window.orderBy("label").rowsBetween(Window.unboundedPreceding, 0)
+    hl_f = (
+        lj.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "t",
+            -(F.col("nj").cast("double") / nd)
+            * F.log(F.col("nj").cast("double") / nd),
+        )
+        .withColumn("hl", F.sum("t").over(wl))
+        .withColumn("rs", F.count(F.lit(1)).over(wl))
+    )
+    hl = hl_f.orderBy(F.col("rs").desc()).limit(1).select("hl")
+    return (
+        mi.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.col("n").cast("bigint").alias("n_points"),
+            F.round("mi", 6).alias("mutual_information"),
+            F.round("hc", 6).alias("h_clusters"),
+            F.round("hl", 6).alias("h_labels"),
+            F.round(
+                F.lit(2.0) * F.col("mi") / (F.col("hc") + F.col("hl")), 4
+            ).alias("nmi"),
+        )
+    )
+
+
+def _grid_assign_sql() -> str:
+    """DuckDB CTE block computing (vec_id, cluster) — the oracle twin of
+    _grid_assignments (recursive transitive closure over core cells)."""
+    return f"""
+    pts AS (
+        SELECT vec_id,
+               CAST(floor(embedding[1] / {GRID_EPS}) AS BIGINT) AS cx,
+               CAST(floor(embedding[2] / {GRID_EPS}) AS BIGINT) AS cy
+        FROM embeddings
+    ),
+    cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY 1, 2),
+    dens AS (
+        SELECT c.cx, c.cy, c.n, sum(c2.n) AS density
+        FROM cells c JOIN cells c2
+          ON c2.cx BETWEEN c.cx - 1 AND c.cx + 1
+         AND c2.cy BETWEEN c.cy - 1 AND c.cy + 1
+        GROUP BY 1, 2, 3
+    ),
+    core AS (
+        SELECT cx, cy, (cx + 1000) * 100000 + (cy + 1000) AS k, n
+        FROM dens WHERE density >= {GRID_MINPTS}
+    ),
+    gedges AS (
+        SELECT a.k AS s, b.k AS d
+        FROM core a JOIN core b
+          ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+    ),
+    reach(s, d) AS (
+        SELECT k, k FROM core
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN gedges e ON r.d = e.s
+    ),
+    lab AS (SELECT s AS k, min(d) AS cluster FROM reach GROUP BY 1),
+    core_lab AS (
+        SELECT c.cx, c.cy, c.k, l.cluster
+        FROM core c JOIN lab l ON c.k = l.k
+    ),
+    core_pts AS (
+        SELECT p.vec_id, cl.cluster
+        FROM pts p JOIN core_lab cl ON p.cx = cl.cx AND p.cy = cl.cy
+    ),
+    border_pts AS (
+        SELECT p.vec_id, min(cl.cluster) AS cluster
+        FROM pts p
+        LEFT JOIN core pc ON p.cx = pc.cx AND p.cy = pc.cy
+        JOIN core_lab cl
+          ON cl.cx BETWEEN p.cx - 1 AND p.cx + 1
+         AND cl.cy BETWEEN p.cy - 1 AND p.cy + 1
+        WHERE pc.k IS NULL
+        GROUP BY 1
+    ),
+    assigned AS (
+        SELECT vec_id, cluster FROM core_pts
+        UNION ALL
+        SELECT vec_id, cluster FROM border_pts
+    ),
+    allpts AS (
+        SELECT p.vec_id, CAST(COALESCE(a.cluster, -1) AS BIGINT) AS cluster
+        FROM pts p LEFT JOIN assigned a ON p.vec_id = a.vec_id
+    )"""
+
+
+ORACLES["nmi_cluster_label_eval"] = f"""
+    WITH RECURSIVE {_grid_assign_sql().strip()},
+    cont AS (
+        SELECT ap.cluster, e.label, count(*) AS nij
+        FROM allpts ap JOIN embeddings e ON ap.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ),
+    ci AS (SELECT cluster, sum(nij) AS ni FROM cont GROUP BY 1),
+    lj AS (SELECT label, sum(nij) AS nj FROM cont GROUP BY 1),
+    tot AS (SELECT sum(nij) AS n FROM cont),
+    mi_f AS (
+        SELECT sum((CAST(nij AS DOUBLE) / n)
+                   * ln(n * CAST(nij AS DOUBLE)
+                        / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))))
+                 OVER (ORDER BY cont.cluster, cont.label
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS mi,
+               count(*) OVER (ORDER BY cont.cluster, cont.label
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS rs,
+               n
+        FROM cont JOIN ci ON cont.cluster = ci.cluster
+        JOIN lj ON cont.label = lj.label
+        CROSS JOIN tot
+    ),
+    mi AS (SELECT mi, n FROM mi_f ORDER BY rs DESC LIMIT 1),
+    hc_f AS (
+        SELECT sum(-(CAST(ni AS DOUBLE) / n)
+                   * ln(CAST(ni AS DOUBLE) / n))
+                 OVER (ORDER BY cluster ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS hc,
+               count(*) OVER (ORDER BY cluster ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS rs
+        FROM ci CROSS JOIN tot
+    ),
+    hc AS (SELECT hc FROM hc_f ORDER BY rs DESC LIMIT 1),
+    hl_f AS (
+        SELECT sum(-(CAST(nj AS DOUBLE) / n)
+                   * ln(CAST(nj AS DOUBLE) / n))
+                 OVER (ORDER BY label ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS hl,
+               count(*) OVER (ORDER BY label ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS rs
+        FROM lj CROSS JOIN tot
+    ),
+    hl AS (SELECT hl FROM hl_f ORDER BY rs DESC LIMIT 1)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round(mi, 6) AS mutual_information,
+           round(hc, 6) AS h_clusters,
+           round(hl, 6) AS h_labels,
+           round(2.0 * mi / (hc + hl), 4) AS nmi
+    FROM mi, hc, hl
+"""
+QUERIES["nmi_cluster_label_eval"] = nmi_cluster_label_eval

@@ -506,3 +506,51 @@ def test_pair_join_ops_use_equi_joins(spark):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "BroadcastNestedLoopJoin" not in p, fn.__name__
         assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, fn.__name__
+
+
+def test_round5_restart_ops_never_plan_cartesian(spark):
+    """Blanket plan audit for the restarted-round-5 waves: none of the
+    fact-frame operators may contain a CartesianProduct node (bounded
+    scalar/dimension crossJoins plan as BroadcastNestedLoopJoin and are
+    the accepted pattern)."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+    from cdc_streamming___v2_spark.operators import behavior as B5
+    from cdc_streamming___v2_spark.operators import corpus_ops as C5
+    from cdc_streamming___v2_spark.operators import ml_eval as ME5
+    from cdc_streamming___v2_spark.operators import sketches as K5
+    from cdc_streamming___v2_spark.operators import stats_ext as SX5
+    from cdc_streamming___v2_spark.operators import timeseries_ext as TS5
+
+    for fn in (
+        SX5.mann_whitney_u,
+        SX5.kruskal_wallis,
+        SX5.log_rank_test,
+        SX5.t_closeness,
+        SX5.js_divergence_sources,
+        ME5.average_precision_quality,
+        ME5.cohens_kappa_langid,
+        ME5.mcnemar_quality_filters,
+        ME5.isotonic_calibration,
+        TS5.ohlc_bars,
+        TS5.sax_symbols,
+        TS5.seasonal_naive_mase,
+        K5.ams_f2_sketch,
+        A5.rapid_repeat_purchases,
+        A5.market_beta_types,
+        A5.srm_check,
+        C5.heaps_law_fit,
+        B5.item_cf_topk,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_item_cf_pair_join_is_order_keyed(spark):
+    """The CF pair space must be generated by the order-keyed self-join
+    (SortMerge/ShuffledHash on l_orderkey), with the per-part counts
+    broadcast — never a part x part product."""
+    from cdc_streamming___v2_spark.operators import behavior as B5
+
+    p = _plan(spark, B5.item_cf_topk(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

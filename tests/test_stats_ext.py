@@ -296,3 +296,41 @@ def test_heaps_beta_in_sane_band(spark):
     # the synthetic corpus has a tiny fixed vocabulary (saturates in the
     # first decile) — exactly the pathology the diagnostic must flag
     assert r["template_flag"]
+
+
+# --- wave F: NMI clustering eval + item-item CF ----------------------------
+
+
+def test_nmi_bounds_and_information_inequality(spark):
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+
+    r = ML.nmi_cluster_label_eval(spark, SF_SMALL).collect()[0]
+    assert r["n_points"] > 0
+    assert -1e-9 <= r["mutual_information"] <= min(
+        r["h_clusters"], r["h_labels"]
+    ) + 1e-6
+    assert 0.0 <= r["nmi"] <= 1.0 + 1e-9
+    assert r["h_labels"] > 0.0
+
+
+def test_item_cf_topk_shape(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    rows = B.item_cf_topk(spark, SF_SMALL).collect()
+    assert rows
+    per_part: dict = {}
+    for r in rows:
+        assert r["part_id"] != r["neighbor_id"]
+        assert 0.0 < r["cosine"] <= 1.0 + 1e-9
+        assert r["n_co_orders"] >= B.ITEM_CF_MIN_CO
+        per_part.setdefault(r["part_id"], []).append(r["rank"])
+    for ranks in per_part.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= B.ITEM_CF_TOPK
+    # symmetry of the underlying similarity: if (a,b) ranked, cos(a,b)
+    # appears with the same value when b anchors a (not necessarily
+    # within b's top-k, so only check value agreement where present)
+    vals = {(r["part_id"], r["neighbor_id"]): r["cosine"] for r in rows}
+    for (a, b), c in vals.items():
+        if (b, a) in vals:
+            assert abs(vals[(b, a)] - c) < 1e-9
