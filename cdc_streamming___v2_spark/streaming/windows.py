@@ -458,3 +458,88 @@ def event_run_encoder(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session: streaming Misra-Gries heavy hitters
+# --------------------------------------------------------------------------
+
+MG_K = 10        # counters per shard (finds items above n_shard/(K+1))
+MG_SHARDS = 8    # state shards; summaries merge downstream
+
+
+def heavy_hitters_stream(events: DataFrame) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter maintenance (the stateful twin
+    of the batch ``heavy_hitters_topfreq`` two-pass pattern): per-shard
+    state carries at most MG_K (item, counter) pairs; each arriving
+    user_id increments its counter, claims a free slot, or triggers the
+    decrement-all step.  The classic guarantee holds per shard: any item
+    whose true shard frequency exceeds n_shard/(MG_K+1) is guaranteed to
+    be present in the final summary, and every reported counter is a
+    lower bound within n_shard/(MG_K+1) of the true count.
+
+    Each micro-batch emits the shard's CURRENT summary stamped with a
+    monotone batch sequence number, so a consumer (or the parity test)
+    takes the max-seq emission per shard as the final state — counters
+    can legitimately shrink across batches (decrement-all), so "latest"
+    is the only correct read, not "max".
+
+    State is O(MG_K) per shard — constant regardless of stream length —
+    and summaries from different shards/executors merge by counter
+    addition then re-pruning, the mergeable-sketch property that makes
+    this the 100-TB shape for streaming top-frequency monitoring.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, counts, seq = state.get
+            d = dict(zip(ids, counts))
+        else:
+            d, seq = {}, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                if uid in d:
+                    d[uid] += 1
+                elif len(d) < MG_K:
+                    d[uid] = 1
+                else:
+                    d = {i: c - 1 for i, c in d.items() if c > 1}
+        seq += 1
+        state.update((list(d.keys()), list(d.values()), seq))
+        yield pd.DataFrame(
+            [(key[0], seq, i, c) for i, c in sorted(d.items())],
+            columns=["shard", "seq", "user_id", "lower_count"],
+        )
+
+    shard = events.withColumn(
+        "shard", (F.col("user_id") % MG_SHARDS).cast("int")
+    )
+    return shard.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("lower_count", T.LongType()),
+    ]
+)

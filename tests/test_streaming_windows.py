@@ -512,3 +512,39 @@ def test_event_run_encoder_matches_python_runs(spark, events_dir):
         for et, n, start in runs[:-1]:  # last run per user is still open
             want.append((uid, et, n, start))
     assert got == sorted(want)
+
+
+def test_heavy_hitters_stream_misra_gries_guarantee(spark, events_dir):
+    """Final per-shard Misra-Gries summaries must (1) lower-bound true
+    counts within n_shard/(K+1) and (2) contain EVERY item whose true
+    shard frequency exceeds n_shard/(K+1) — the classic MG guarantee,
+    checked against exact batch counts."""
+    from collections import defaultdict
+
+    name = _run(W.heavy_hitters_stream(_stream(spark, events_dir)),
+                mode="update")
+    rows = spark.sql(f"select * from {name}").collect()
+    final_seq: dict = {}
+    for r in rows:
+        final_seq[r.shard] = max(final_seq.get(r.shard, 0), r.seq)
+    summary = defaultdict(dict)
+    for r in rows:
+        if r.seq == final_seq[r.shard]:
+            summary[r.shard][r.user_id] = r.lower_count
+
+    true = defaultdict(lambda: defaultdict(int))
+    shard_n = defaultdict(int)
+    for r in _batch_events(spark).collect():
+        sh = r.user_id % W.MG_SHARDS
+        true[sh][r.user_id] += 1
+        shard_n[sh] += 1
+
+    for sh, items in true.items():
+        slack = shard_n[sh] / (W.MG_K + 1)
+        for uid, cnt in items.items():
+            got = summary[sh].get(uid)
+            if cnt > slack:
+                assert got is not None, (sh, uid, cnt, slack)
+            if got is not None:
+                assert got <= cnt
+                assert got >= cnt - slack
