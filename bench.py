@@ -240,6 +240,9 @@ HEADLINE = [
     "heaps_law_fit",
     "nmi_cluster_label_eval",
     "item_cf_topk",
+    "info_gain_features",
+    "retention_decay_fit",
+    "hurst_exponent",
 ]
 
 

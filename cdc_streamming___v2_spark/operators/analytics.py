@@ -4311,3 +4311,135 @@ ORACLES["srm_check"] = f"""
     FROM cnt
 """
 QUERIES["srm_check"] = srm_check
+
+
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of the pooled DAILY retention curve:
+    r_t ~ r0 * exp(-b t), fitted by log-linear OLS over the
+    censoring-corrected rates (day-t retention pools only the users whose
+    first-seen day is observed for at least t further days) — the summary
+    number (decay rate / half-life) a growth team quotes from
+    retention_cohorts' matrix.
+
+    Exactness: rates are exact integer ratios; the OLS sums fold over the
+    observation-window-bounded point frame with ORDER-PINNED cumulative
+    sums.  half_life is NULL when the fitted decay is non-positive (a
+    flat or improving curve has no half-life).
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cd")
+    )
+    sizes = first_seen.groupBy("cd").agg(F.count(F.lit(1)).alias("size"))
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("ad")
+    ).distinct()
+    act = (
+        activity.join(first_seen, "user_id")
+        .withColumn("t", F.datediff("ad", "cd").cast("long"))
+        .filter(F.col("t") >= 1)
+        .groupBy("cd", "t")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    maxd = e.agg(F.max(F.col("ts").cast("date")).alias("md"))
+    ts = act.select("t").distinct()
+    den = (
+        sizes.crossJoin(F.broadcast(ts))
+        .crossJoin(F.broadcast(maxd))
+        .filter(F.datediff("md", "cd").cast("long") >= F.col("t"))
+        .groupBy("t")
+        .agg(F.sum("size").alias("den"))
+    )
+    num = (
+        act.crossJoin(F.broadcast(maxd))
+        .filter(F.datediff("md", "cd").cast("long") >= F.col("t"))
+        .groupBy("t")
+        .agg(F.sum("n_active").alias("num"))
+    )
+    pts = (
+        num.join(den, "t")
+        .filter(F.col("num") > 0)
+        .withColumn("lr", F.log(F.col("num").cast("double") / F.col("den")))
+        .withColumn("td", F.col("t").cast("double"))
+    )
+    wf = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    folded = (
+        pts.withColumn("m", F.count(F.lit(1)).over(wf))
+        .withColumn("st", F.sum("td").over(wf))
+        .withColumn("sl", F.sum("lr").over(wf))
+        .withColumn("stl", F.sum(F.col("td") * F.col("lr")).over(wf))
+        .withColumn("stt", F.sum(F.col("td") * F.col("td")).over(wf))
+    )
+    last = folded.orderBy(F.col("m").desc()).limit(1)
+    md_ = F.col("m").cast("double")
+    slope = (md_ * F.col("stl") - F.col("st") * F.col("sl")) / (
+        md_ * F.col("stt") - F.col("st") * F.col("st")
+    )
+    intercept = (F.col("sl") - slope * F.col("st")) / md_
+    b = -slope
+    return last.select(
+        F.col("m").cast("int").alias("n_points"),
+        F.round(F.exp(intercept), 4).alias("r0"),
+        F.round(b, 4).alias("decay_rate"),
+        F.when(b > 0, F.round(F.lit(0.6931471805599453) / b, 2))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("half_life_days"),
+    )
+
+
+ORACLES["retention_decay_fit"] = """
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cd
+        FROM events GROUP BY 1
+    ),
+    sizes AS (SELECT cd, count(*) AS size FROM first_seen GROUP BY 1),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad FROM events
+    ),
+    act AS (
+        SELECT f.cd, date_diff('day', f.cd, a.ad) AS t, count(*) AS n_active
+        FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+        WHERE date_diff('day', f.cd, a.ad) >= 1
+        GROUP BY 1, 2
+    ),
+    maxd AS (SELECT CAST(max(ts) AS DATE) AS md FROM events),
+    ts AS (SELECT DISTINCT t FROM act),
+    den AS (
+        SELECT t, sum(size) AS den
+        FROM sizes, ts, maxd
+        WHERE date_diff('day', cd, md) >= t
+        GROUP BY 1
+    ),
+    num AS (
+        SELECT t, sum(n_active) AS num
+        FROM act, maxd
+        WHERE date_diff('day', cd, md) >= t
+        GROUP BY 1
+    ),
+    pts AS (
+        SELECT num.t, CAST(num.t AS DOUBLE) AS td,
+               ln(CAST(num AS DOUBLE) / den) AS lr
+        FROM num JOIN den ON num.t = den.t
+        WHERE num > 0
+    ),
+    folded AS (
+        SELECT count(*) OVER wf AS m,
+               sum(td) OVER wf AS st, sum(lr) OVER wf AS sl,
+               sum(td * lr) OVER wf AS stl, sum(td * td) OVER wf AS stt
+        FROM pts
+        WINDOW wf AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    ),
+    last AS (SELECT * FROM folded ORDER BY m DESC LIMIT 1)
+    SELECT CAST(m AS INT) AS n_points,
+           round(exp((sl - ((m * stl - st * sl) / (m * stt - st * st))
+                      * st) / m), 4) AS r0,
+           round(-((m * stl - st * sl) / (m * stt - st * st)), 4)
+             AS decay_rate,
+           CASE WHEN -((m * stl - st * sl) / (m * stt - st * st)) > 0
+                THEN round(ln(2.0) / (-((m * stl - st * sl)
+                                        / (m * stt - st * st))), 2)
+                ELSE NULL END AS half_life_days
+    FROM last
+"""
+QUERIES["retention_decay_fit"] = retention_decay_fit

@@ -1161,3 +1161,127 @@ ORACLES["nmi_cluster_label_eval"] = f"""
     FROM mi, hc, hl
 """
 QUERIES["nmi_cluster_label_eval"] = nmi_cluster_label_eval
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session: information-gain feature ranking
+# --------------------------------------------------------------------------
+
+IG_TOP = 20
+IG_POS_LANG = "en"
+
+
+def info_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-IG_TOP tokens by information gain for the binary task
+    ``lang == 'en'`` — the entropy-based twin of chi2_feature_select:
+    IG(w) = H(y) - [p(w) H(y|w) + p(!w) H(y|!w)], all probabilities exact
+    integer ratios from doc-level presence counts.
+
+    Determinism: every entropy term is a single scalar expression over
+    exact integers evaluated PER ROW (no cross-row float sums), so both
+    engines compute bit-identical IG; ranking compares round(IG, 8) with
+    token tie-break and lands in one TakeOrderedAndProject.
+
+    Scale: one distinct doc-term aggregate, then vocabulary-cardinality
+    arithmetic; top-k via orderBy().limit() — never a global rank window.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    n_total = d.count()
+    n_pos = d.filter(F.col("lang") == IG_POS_LANG).count()
+    present = d.select(
+        "doc_id",
+        (F.col("lang") == IG_POS_LANG).cast("long").alias("y"),
+        F.explode(F.array_distinct(words(F.col("text")))).alias("w"),
+    ).distinct()
+    cells = present.groupBy("w").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.sum("y").alias("npw"),
+    )
+
+    def _h2(p_num, p_den):
+        """Entropy of a Bernoulli(p_num/p_den) in nats, 0*ln0 = 0."""
+        p = p_num.cast("double") / p_den.cast("double")
+        q = F.lit(1.0) - p
+        return -(
+            F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
+            + F.when(q > 0, q * F.log(q)).otherwise(F.lit(0.0))
+        )
+
+    nw, npw = F.col("nw"), F.col("npw")
+    n_absent = F.lit(n_total) - nw
+    npos_absent = F.lit(n_pos) - npw
+    h_y = _h2(F.lit(n_pos), F.lit(n_total))
+    h_given_w = _h2(npw, nw)
+    h_given_not = F.when(
+        n_absent > 0, _h2(npos_absent, n_absent)
+    ).otherwise(F.lit(0.0))
+    ig = h_y - (
+        nw.cast("double") / n_total * h_given_w
+        + n_absent.cast("double") / n_total * h_given_not
+    )
+    scored = cells.select(
+        "w",
+        F.col("nw").cast("bigint").alias("n_docs_with"),
+        F.col("npw").cast("bigint").alias("n_pos_with"),
+        F.round(ig, 8).alias("info_gain"),
+    )
+    return scored.orderBy(
+        F.col("info_gain").desc(), F.col("w").asc()
+    ).limit(IG_TOP)
+
+
+ORACLES["info_gain_features"] = f"""
+    WITH d AS (SELECT doc_id, lang, text FROM documents),
+    nt AS (SELECT count(*) AS n_total,
+                  sum(CASE WHEN lang = '{IG_POS_LANG}' THEN 1 ELSE 0 END)
+                    AS n_pos
+           FROM d),
+    present AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN lang = '{IG_POS_LANG}' THEN 1 ELSE 0 END AS y, w
+        FROM (SELECT doc_id, lang,
+                     unnest(list_distinct({_WORDS_SQL})) AS w
+              FROM d)
+    ),
+    cells AS (
+        SELECT w, count(*) AS nw, sum(y) AS npw FROM present GROUP BY 1
+    ),
+    scored AS (
+        SELECT w, CAST(nw AS BIGINT) AS n_docs_with,
+               CAST(npw AS BIGINT) AS n_pos_with,
+               round(
+                 -- H(y)
+                 -(CASE WHEN n_pos > 0 THEN (CAST(n_pos AS DOUBLE)/n_total)
+                        * ln(CAST(n_pos AS DOUBLE)/n_total) ELSE 0 END
+                   + CASE WHEN n_total - n_pos > 0
+                        THEN (CAST(n_total - n_pos AS DOUBLE)/n_total)
+                             * ln(CAST(n_total - n_pos AS DOUBLE)/n_total)
+                        ELSE 0 END)
+                 -- - p(w) H(y|w)
+                 - (CAST(nw AS DOUBLE)/n_total) * (
+                    -(CASE WHEN npw > 0 THEN (CAST(npw AS DOUBLE)/nw)
+                           * ln(CAST(npw AS DOUBLE)/nw) ELSE 0 END
+                      + CASE WHEN nw - npw > 0
+                           THEN (CAST(nw - npw AS DOUBLE)/nw)
+                                * ln(CAST(nw - npw AS DOUBLE)/nw)
+                           ELSE 0 END))
+                 -- - p(!w) H(y|!w)
+                 - CASE WHEN n_total - nw > 0
+                     THEN (CAST(n_total - nw AS DOUBLE)/n_total) * (
+                      -(CASE WHEN n_pos - npw > 0
+                            THEN (CAST(n_pos - npw AS DOUBLE)/(n_total - nw))
+                                 * ln(CAST(n_pos - npw AS DOUBLE)
+                                      /(n_total - nw)) ELSE 0 END
+                        + CASE WHEN (n_total - nw) - (n_pos - npw) > 0
+                            THEN (CAST((n_total - nw) - (n_pos - npw)
+                                       AS DOUBLE)/(n_total - nw))
+                                 * ln(CAST((n_total - nw) - (n_pos - npw)
+                                           AS DOUBLE)/(n_total - nw))
+                            ELSE 0 END))
+                     ELSE 0 END, 8) AS info_gain
+        FROM cells, nt
+    )
+    SELECT w, n_docs_with, n_pos_with, info_gain
+    FROM scored ORDER BY info_gain DESC, w ASC LIMIT {IG_TOP}
+"""
+QUERIES["info_gain_features"] = info_gain_features

@@ -261,3 +261,202 @@ ORACLES["seasonal_naive_mase"] = f"""
     FROM agg
 """
 QUERIES["seasonal_naive_mase"] = seasonal_naive_mase
+
+
+HURST_SIZES = (5, 10, 15)
+
+
+def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily revenue series by rescaled-range (R/S)
+    analysis: for each window size n in HURST_SIZES, the series splits
+    into full n-day segments, each scored R/S = (max-min of the
+    mean-adjusted cumulative deviation) / population std; the log-log
+    slope of mean R/S against n is H — the long-memory diagnostic
+    (H ~ 0.5 random walk, > 0.5 trending, < 0.5 mean-reverting).
+
+    Exactness: segment sums and sums-of-squares are exact integer cents;
+    means/std/cumdev are single scalar expressions over them; the
+    cross-segment mean and the 3-point log-log OLS fold with ORDER-PINNED
+    cumulative sums.  Every frame is bounded by the observation window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    wd = Window.orderBy("day")
+    indexed = daily.withColumn("idx", F.row_number().over(wd) - 1)
+    sizes = spark.createDataFrame(
+        [(n,) for n in HURST_SIZES], "n int"
+    )
+    j = (
+        indexed.crossJoin(F.broadcast(sizes))
+        .withColumn("seg", F.floor(F.col("idx") / F.col("n")).cast("long"))
+        .withColumn("pos", (F.col("idx") % F.col("n") + 1).cast("long"))
+    )
+    segstat = j.groupBy("n", "seg").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    wseg = Window.partitionBy("n", "seg").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = j.withColumn("cum", F.sum("x").over(wseg))
+    dev = cum.join(segstat, ["n", "seg"]).filter(
+        F.col("cnt") == F.col("n")
+    ).withColumn(
+        "cumdev",
+        F.col("cum").cast("double")
+        - F.col("pos").cast("double") * F.col("sx").cast("double")
+        / F.col("n").cast("double"),
+    )
+    rs = (
+        dev.groupBy("n", "seg")
+        .agg(
+            F.max("cumdev").alias("mx"),
+            F.min("cumdev").alias("mn"),
+            F.first("sx").alias("sx"),
+            F.first("sxx").alias("sxx"),
+        )
+        .withColumn(
+            "s_std",
+            F.sqrt(
+                (
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / F.col("n").cast("double")
+            ),
+        )
+        .filter(F.col("s_std") > 0)
+        .withColumn("rs", (F.col("mx") - F.col("mn")) / F.col("s_std"))
+    )
+    wn = Window.partitionBy("n").orderBy("seg").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    per_n_f = (
+        rs.withColumn("k", F.count(F.lit(1)).over(wn))
+        .withColumn("srs", F.sum("rs").over(wn))
+    )
+    wlast = Window.partitionBy("n").orderBy(F.col("k").desc())
+    per_n = (
+        per_n_f.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n",
+            (F.col("srs") / F.col("k").cast("double")).alias("avg_rs"),
+            F.col("k").cast("int").alias("n_segments"),
+        )
+        .filter(F.col("avg_rs") > 0)
+        .withColumn("lx", F.log(F.col("n").cast("double")))
+        .withColumn("ly", F.log("avg_rs"))
+    )
+    wf = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    folded = (
+        per_n.withColumn("m", F.count(F.lit(1)).over(wf))
+        .withColumn("slx", F.sum("lx").over(wf))
+        .withColumn("sly", F.sum("ly").over(wf))
+        .withColumn("slxy", F.sum(F.col("lx") * F.col("ly")).over(wf))
+        .withColumn("slxx", F.sum(F.col("lx") * F.col("lx")).over(wf))
+    )
+    last = folded.orderBy(F.col("m").desc()).limit(1)
+    md = F.col("m").cast("double")
+    h = (md * F.col("slxy") - F.col("slx") * F.col("sly")) / (
+        md * F.col("slxx") - F.col("slx") * F.col("slx")
+    )
+    return last.select(
+        F.col("m").cast("int").alias("n_sizes"),
+        F.round(h, 4).alias("hurst_h"),
+        F.when(h > 0.55, F.lit("trending"))
+        .when(h < 0.45, F.lit("mean-reverting"))
+        .otherwise(F.lit("random-walk"))
+        .alias("regime"),
+    )
+
+
+ORACLES["hurst_exponent"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS x
+        FROM events GROUP BY 1
+    ),
+    indexed AS (
+        SELECT x, row_number() OVER (ORDER BY day) - 1 AS idx FROM daily
+    ),
+    sizes AS (SELECT unnest([{', '.join(str(n) for n in HURST_SIZES)}]) AS n),
+    j AS (
+        SELECT i.x, s.n, i.idx // s.n AS seg, i.idx % s.n + 1 AS pos
+        FROM indexed i, sizes s
+    ),
+    segstat AS (
+        SELECT n, seg, count(*) AS cnt, sum(x) AS sx, sum(x * x) AS sxx
+        FROM j GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT *, sum(x) OVER (PARTITION BY n, seg ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+        FROM j
+    ),
+    dev AS (
+        SELECT c.n, c.seg, c.pos,
+               CAST(c.cum AS DOUBLE)
+                 - CAST(c.pos AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                   / CAST(c.n AS DOUBLE) AS cumdev,
+               s.sx, s.sxx
+        FROM cum c JOIN segstat s ON c.n = s.n AND c.seg = s.seg
+        WHERE s.cnt = c.n
+    ),
+    rs AS (
+        SELECT n, seg,
+               (max(cumdev) - min(cumdev))
+                 / sqrt((CAST(any_value(sxx) AS DOUBLE)
+                         - CAST(any_value(sx) AS DOUBLE)
+                           * CAST(any_value(sx) AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS rs
+        FROM dev
+        GROUP BY 1, 2
+        HAVING sqrt((CAST(any_value(sxx) AS DOUBLE)
+                     - CAST(any_value(sx) AS DOUBLE)
+                       * CAST(any_value(sx) AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) > 0
+    ),
+    per_n_f AS (
+        SELECT n,
+               count(*) OVER wn AS k,
+               sum(rs) OVER wn AS srs
+        FROM rs
+        WINDOW wn AS (PARTITION BY n ORDER BY seg
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    per_n AS (
+        SELECT n, srs / k AS avg_rs, CAST(k AS INT) AS n_segments
+        FROM (SELECT *, row_number() OVER (PARTITION BY n
+                                           ORDER BY k DESC) AS rn
+              FROM per_n_f)
+        WHERE rn = 1 AND srs / k > 0
+    ),
+    lpts AS (
+        SELECT n, ln(CAST(n AS DOUBLE)) AS lx, ln(avg_rs) AS ly FROM per_n
+    ),
+    folded AS (
+        SELECT count(*) OVER wf AS m,
+               sum(lx) OVER wf AS slx, sum(ly) OVER wf AS sly,
+               sum(lx * ly) OVER wf AS slxy, sum(lx * lx) OVER wf AS slxx
+        FROM lpts
+        WINDOW wf AS (ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    ),
+    last AS (SELECT * FROM folded ORDER BY m DESC LIMIT 1)
+    SELECT CAST(m AS INT) AS n_sizes,
+           round((m * slxy - slx * sly) / (m * slxx - slx * slx), 4)
+             AS hurst_h,
+           CASE WHEN (m * slxy - slx * sly) / (m * slxx - slx * slx) > 0.55
+                THEN 'trending'
+                WHEN (m * slxy - slx * sly) / (m * slxx - slx * slx) < 0.45
+                THEN 'mean-reverting'
+                ELSE 'random-walk' END AS regime
+    FROM last
+"""
+QUERIES["hurst_exponent"] = hurst_exponent

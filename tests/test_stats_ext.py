@@ -334,3 +334,51 @@ def test_item_cf_topk_shape(spark):
     for (a, b), c in vals.items():
         if (b, a) in vals:
             assert abs(vals[(b, a)] - c) < 1e-9
+
+
+# --- wave G: info gain, retention decay, Hurst -----------------------------
+
+
+def test_info_gain_bounds_and_ranking(spark):
+    import math as _m
+
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+
+    rows = ML.info_gain_features(spark, SF_SMALL).collect()
+    assert len(rows) == ML.IG_TOP
+    igs = [r["info_gain"] for r in rows]
+    assert igs == sorted(igs, reverse=True)
+    for r in rows:
+        # IG is bounded by the binary class entropy (<= ln 2)
+        assert -1e-9 <= r["info_gain"] <= _m.log(2.0) + 1e-9
+        assert 0 <= r["n_pos_with"] <= r["n_docs_with"]
+
+
+def test_retention_decay_fit_shape(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.retention_decay_fit(spark, SF_SMALL).collect()[0]
+    assert r["n_points"] >= 2
+    assert r["r0"] > 0
+    if r["half_life_days"] is not None:
+        assert r["decay_rate"] > 0
+        # decay_rate is rounded to 4dp independently of half_life, so a
+        # tiny rate leaves a visible relative gap — compare relatively
+        expect = 0.6931471805599453 / r["decay_rate"]
+        assert abs(r["half_life_days"] - expect) / expect < 0.05
+
+
+def test_hurst_in_unit_band(spark):
+    from cdc_streamming___v2_spark.operators import timeseries_ext as TS
+
+    r = TS.hurst_exponent(spark, SF_SMALL).collect()[0]
+    assert r["n_sizes"] >= 2
+    # R/S Hurst estimates land in (0, 1.2) for any real series; the
+    # regime label must agree with the estimate
+    assert 0.0 < r["hurst_h"] < 1.2
+    if r["hurst_h"] > 0.55:
+        assert r["regime"] == "trending"
+    elif r["hurst_h"] < 0.45:
+        assert r["regime"] == "mean-reverting"
+    else:
+        assert r["regime"] == "random-walk"
