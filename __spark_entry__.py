@@ -89,6 +89,9 @@ _GATE_PRIORITY = (
     "info_gain_features",
     "retention_decay_fit",
     "hurst_exponent",
+    "variance_changepoint",
+    "funnel_step_significance",
+    "absorption_conversion_prob",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -241,7 +244,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 269
+_MIN_QUERIES = 272
 
 
 def _registry() -> tuple[dict, dict]:

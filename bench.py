@@ -243,6 +243,9 @@ HEADLINE = [
     "info_gain_features",
     "retention_decay_fit",
     "hurst_exponent",
+    "variance_changepoint",
+    "funnel_step_significance",
+    "absorption_conversion_prob",
 ]
 
 

@@ -4443,3 +4443,189 @@ ORACLES["retention_decay_fit"] = """
     FROM last
 """
 QUERIES["retention_decay_fit"] = retention_decay_fit
+
+
+CHANGEPOINT_MIN_SEG = 3
+
+
+def variance_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection by binary segmentation on the daily
+    revenue series: the split minimizing total within-segment SSE (the
+    first step of the classic binary-segmentation recursion, and the
+    regression twin of cusum_changepoint's mean-shift detector).
+
+    Exactness: both segments' SSEs come from prefix sums / sums of
+    squares of exact integer cents — per-candidate arithmetic is scalar;
+    the argmin is a TakeOrdered on (sse, day).
+
+    Scale: the candidate frame is the day grid (observation-window
+    bounded); one ordered cumsum window over it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.withColumn("i", F.count(F.lit(1)).over(w))
+        .withColumn("cs", F.sum("x").over(w))
+        .withColumn("css", F.sum(F.col("x") * F.col("x")).over(w))
+    )
+    tot = cum.agg(
+        F.max("i").alias("n"), F.max("cs").alias("ts_"), F.max("css").alias("tss")
+    )
+    c = cum.crossJoin(F.broadcast(tot)).filter(
+        (F.col("i") >= CHANGEPOINT_MIN_SEG)
+        & (F.col("n") - F.col("i") >= CHANGEPOINT_MIN_SEG)
+    )
+    i_, n_ = F.col("i").cast("double"), F.col("n").cast("double")
+    cs, css = F.col("cs").cast("double"), F.col("css").cast("double")
+    ts_, tss = F.col("ts_").cast("double"), F.col("tss").cast("double")
+    sse_l = css - cs * cs / i_
+    sse_r = (tss - css) - (ts_ - cs) * (ts_ - cs) / (n_ - i_)
+    sse_tot = tss - ts_ * ts_ / n_
+    scored = c.select(
+        "day",
+        F.col("i").cast("bigint").alias("n_left"),
+        (F.col("n") - F.col("i")).cast("bigint").alias("n_right"),
+        F.round((sse_l + sse_r), 2).alias("sse_split"),
+        F.round(F.lit(1.0) - (sse_l + sse_r) / sse_tot, 4).alias(
+            "var_reduction"
+        ),
+        F.round(cs / i_ / 100.0, 2).alias("mean_before"),
+        F.round((ts_ - cs) / (n_ - i_) / 100.0, 2).alias("mean_after"),
+    )
+    return scored.orderBy(F.col("sse_split").asc(), F.col("day").asc()).limit(1)
+
+
+ORACLES["variance_changepoint"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS x
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT day,
+               count(*) OVER w AS i, sum(x) OVER w AS cs,
+               sum(x * x) OVER w AS css
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    tot AS (SELECT max(i) AS n, max(cs) AS ts_, max(css) AS tss FROM cum),
+    scored AS (
+        SELECT day,
+               CAST(i AS BIGINT) AS n_left,
+               CAST(n - i AS BIGINT) AS n_right,
+               round((CAST(css AS DOUBLE) - CAST(cs AS DOUBLE)
+                      * CAST(cs AS DOUBLE) / i)
+                     + ((CAST(tss AS DOUBLE) - CAST(css AS DOUBLE))
+                        - (CAST(ts_ AS DOUBLE) - CAST(cs AS DOUBLE))
+                          * (CAST(ts_ AS DOUBLE) - CAST(cs AS DOUBLE))
+                          / (n - i)), 2) AS sse_split,
+               round(1.0 - ((CAST(css AS DOUBLE) - CAST(cs AS DOUBLE)
+                             * CAST(cs AS DOUBLE) / i)
+                            + ((CAST(tss AS DOUBLE) - CAST(css AS DOUBLE))
+                               - (CAST(ts_ AS DOUBLE) - CAST(cs AS DOUBLE))
+                                 * (CAST(ts_ AS DOUBLE)
+                                    - CAST(cs AS DOUBLE)) / (n - i)))
+                           / (CAST(tss AS DOUBLE) - CAST(ts_ AS DOUBLE)
+                              * CAST(ts_ AS DOUBLE) / n), 4)
+                 AS var_reduction,
+               round(CAST(cs AS DOUBLE) / i / 100.0, 2) AS mean_before,
+               round((CAST(ts_ AS DOUBLE) - CAST(cs AS DOUBLE))
+                     / (n - i) / 100.0, 2) AS mean_after
+        FROM cum, tot
+        WHERE i >= {CHANGEPOINT_MIN_SEG} AND n - i >= {CHANGEPOINT_MIN_SEG}
+    )
+    SELECT * FROM scored ORDER BY sse_split ASC, day ASC LIMIT 1
+"""
+QUERIES["variance_changepoint"] = variance_changepoint
+
+
+FUNNEL_SIG_Z = 1.96
+
+
+def funnel_step_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between consecutive funnel-step conversion
+    rates (signup -> click -> purchase counts from funnel_conversion's
+    strict-ordering construction): is the drop from step k to k+1
+    significantly steeper than the previous drop?  The experiment-style
+    read of a funnel table.
+
+    Exactness: counts are exact; the pooled-variance z is one scalar
+    expression.
+    """
+    agg = funnel_conversion(spark, sf_dir).select(
+        F.col("n_signup").alias("n1"),
+        F.col("n_click_after").alias("n2"),
+        F.col("n_purchase_after").alias("n3"),
+    )
+    n1, n2, n3 = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("n3").cast("double"),
+    )
+    p1, p2 = n2 / n1, n3 / n2
+    pool = (n2 + n3) / (n1 + n2)
+    var = pool * (1 - pool) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    # degenerate pools (all-convert or none-convert) have zero variance:
+    # the rates are identical by construction, so z is exactly 0
+    z = F.when(var > 0, (p1 - p2) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_step1"),
+        F.col("n2").cast("bigint").alias("n_step2"),
+        F.col("n3").cast("bigint").alias("n_step3"),
+        F.round(p1, 4).alias("conv_1_to_2"),
+        F.round(p2, 4).alias("conv_2_to_3"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > FUNNEL_SIG_Z).alias("significant"),
+    )
+
+
+ORACLES["funnel_step_significance"] = f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ),
+    agg AS (
+        SELECT (SELECT count(*) FROM s1) AS n1,
+               (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM s3) AS n3
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_step1, CAST(n2 AS BIGINT) AS n_step2,
+           CAST(n3 AS BIGINT) AS n_step3,
+           round(CAST(n2 AS DOUBLE) / n1, 4) AS conv_1_to_2,
+           round(CAST(n3 AS DOUBLE) / n2, 4) AS conv_2_to_3,
+           round(CASE WHEN (CAST(n2 + n3 AS DOUBLE) / (n1 + n2))
+                           * (1 - CAST(n2 + n3 AS DOUBLE) / (n1 + n2))
+                           * (1.0 / n1 + 1.0 / n2) > 0
+                 THEN (CAST(n2 AS DOUBLE) / n1 - CAST(n3 AS DOUBLE) / n2)
+                      / sqrt((CAST(n2 + n3 AS DOUBLE) / (n1 + n2))
+                             * (1 - CAST(n2 + n3 AS DOUBLE) / (n1 + n2))
+                             * (1.0 / n1 + 1.0 / n2))
+                 ELSE 0.0 END, 4) AS z_stat,
+           abs(CASE WHEN (CAST(n2 + n3 AS DOUBLE) / (n1 + n2))
+                         * (1 - CAST(n2 + n3 AS DOUBLE) / (n1 + n2))
+                         * (1.0 / n1 + 1.0 / n2) > 0
+               THEN (CAST(n2 AS DOUBLE) / n1 - CAST(n3 AS DOUBLE) / n2)
+                    / sqrt((CAST(n2 + n3 AS DOUBLE) / (n1 + n2))
+                           * (1 - CAST(n2 + n3 AS DOUBLE) / (n1 + n2))
+                           * (1.0 / n1 + 1.0 / n2))
+               ELSE 0.0 END) > {FUNNEL_SIG_Z}
+             AS significant
+    FROM agg
+"""
+QUERIES["funnel_step_significance"] = funnel_step_significance

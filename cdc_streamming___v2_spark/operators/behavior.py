@@ -840,3 +840,158 @@ ORACLES["item_cf_topk"] = f"""
     FROM ranked WHERE rank <= {ITEM_CF_TOPK}
 """
 QUERIES["item_cf_topk"] = item_cf_topk
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session: absorbing-chain conversion probability
+# --------------------------------------------------------------------------
+
+ABSORB_STATE = "purchase"
+ABSORB_ROUNDS = 12
+ABSORB_SCALE = 1_000_000_000  # probabilities as integer nano-units
+
+
+def absorption_conversion_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability of reaching the absorbing ``purchase`` state within
+    ABSORB_ROUNDS steps from each event-type state, by value iteration
+    over the user-journey transition matrix (markov_transitions' counts)
+    — the absorbing-Markov-chain read of "which states convert".
+
+    Exactness (the bellman_ford integer-iteration pattern): transition
+    probabilities quantize once to integer nano-units with exact half-up
+    rounding q = (2*c*S + n) div (2*n); each round folds
+    P' = (q_pur*S + sum q_t*P_t + S/2) div S in pure integer arithmetic —
+    products are bounded by S^2 = 1e18 INDEPENDENT of corpus size, so
+    longs never overflow and both engines round identically at every
+    step.
+
+    Scale: one user-keyed lag window builds the bigram counts; the
+    iteration runs on the state-cardinality frame (event types — tiny at
+    any corpus size) with broadcast joins.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    bigrams = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .filter(F.col("event_type") != ABSORB_STATE)
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = bigrams.groupBy("src").agg(F.sum("c").alias("n"))
+    q = (
+        bigrams.join(F.broadcast(totals), "src")
+        .withColumn(
+            "q",
+            F.floor(
+                (F.lit(2) * F.col("c") * ABSORB_SCALE + F.col("n"))
+                / (F.lit(2) * F.col("n"))
+            ).cast("long"),
+        )
+        .select("src", "dst", "q")
+        .localCheckpoint(eager=True)
+    )
+    states = q.select(F.col("src").alias("state")).distinct()
+    p = states.select("state", F.lit(0).cast("long").alias("p")).localCheckpoint(
+        eager=True
+    )
+    q_pur = q.filter(F.col("dst") == ABSORB_STATE).select(
+        F.col("src").alias("state"), F.col("q").alias("qp")
+    )
+    q_trans = q.filter(F.col("dst") != ABSORB_STATE)
+    for _ in range(ABSORB_ROUNDS):
+        contrib = (
+            q_trans.join(
+                p.select(F.col("state").alias("dst"), F.col("p").alias("pd")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum(F.col("q") * F.col("pd")).alias("s"))
+        )
+        p = (
+            states.join(F.broadcast(q_pur), "state", "left")
+            .join(
+                F.broadcast(contrib.select(F.col("src").alias("state"), "s")),
+                "state",
+                "left",
+            )
+            .select(
+                "state",
+                F.floor(
+                    (
+                        F.coalesce("qp", F.lit(0)).cast("long") * ABSORB_SCALE
+                        + F.coalesce("s", F.lit(0))
+                        + F.lit(ABSORB_SCALE // 2)
+                    )
+                    / F.lit(ABSORB_SCALE)
+                ).cast("long").alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        p.join(F.broadcast(totals.select(F.col("src").alias("state"), "n")),
+               "state")
+        .select(
+            "state",
+            F.col("n").cast("bigint").alias("n_transitions"),
+            (F.col("p").cast("double") / ABSORB_SCALE).alias("p_convert"),
+        )
+    )
+
+
+def _absorb_oracle() -> str:
+    s = ABSORB_SCALE
+    ctes = [
+        f"""bigrams AS (
+            SELECT src, dst, count(*) AS c FROM (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS dst
+                FROM events
+            )
+            WHERE dst IS NOT NULL AND src != '{ABSORB_STATE}'
+            GROUP BY 1, 2
+        )""",
+        "totals AS (SELECT src, sum(c) AS n FROM bigrams GROUP BY 1)",
+        f"""q AS (
+            SELECT b.src, b.dst,
+                   (2 * b.c * {s} + t.n) // (2 * t.n) AS q
+            FROM bigrams b JOIN totals t ON b.src = t.src
+        )""",
+        "states AS (SELECT DISTINCT src AS state FROM q)",
+        f"""qpur AS (
+            SELECT src AS state, q AS qp FROM q WHERE dst = '{ABSORB_STATE}'
+        )""",
+        f"""qtrans AS (
+            SELECT src, dst, q FROM q WHERE dst != '{ABSORB_STATE}'
+        )""",
+        "p0 AS (SELECT state, CAST(0 AS BIGINT) AS p FROM states)",
+    ]
+    for i in range(1, ABSORB_ROUNDS + 1):
+        prev = f"p{i - 1}"
+        ctes.append(f"""c{i} AS (
+            SELECT qt.src, sum(qt.q * pp.p) AS sacc
+            FROM qtrans qt JOIN {prev} pp ON qt.dst = pp.state
+            GROUP BY 1
+        )""")
+        ctes.append(f"""p{i} AS (
+            SELECT st.state,
+                   (COALESCE(qp.qp, 0) * {s} + COALESCE(c.sacc, 0)
+                    + {s // 2}) // {s} AS p
+            FROM states st
+            LEFT JOIN qpur qp ON st.state = qp.state
+            LEFT JOIN c{i} c ON st.state = c.src
+        )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT p.state, CAST(t.n AS BIGINT) AS n_transitions,
+           CAST(p.p AS DOUBLE) / {s} AS p_convert
+    FROM p{ABSORB_ROUNDS} p JOIN totals t ON p.state = t.src
+    """
+
+
+ORACLES["absorption_conversion_prob"] = _absorb_oracle()
+QUERIES["absorption_conversion_prob"] = absorption_conversion_prob

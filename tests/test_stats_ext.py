@@ -382,3 +382,40 @@ def test_hurst_in_unit_band(spark):
         assert r["regime"] == "mean-reverting"
     else:
         assert r["regime"] == "random-walk"
+
+
+# --- wave H: changepoint, funnel significance, absorption ------------------
+
+
+def test_variance_changepoint_reduction_bounds(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.variance_changepoint(spark, SF_SMALL).collect()[0]
+    assert r["n_left"] >= A.CHANGEPOINT_MIN_SEG
+    assert r["n_right"] >= A.CHANGEPOINT_MIN_SEG
+    assert 0.0 <= r["var_reduction"] <= 1.0 + 1e-9
+    assert r["sse_split"] >= 0.0
+
+
+def test_funnel_step_significance_consistency(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.funnel_step_significance(spark, SF_SMALL).collect()[0]
+    assert r["n_step1"] >= r["n_step2"] >= r["n_step3"]
+    assert 0.0 <= r["conv_1_to_2"] <= 1.0
+    assert 0.0 <= r["conv_2_to_3"] <= 1.0
+    assert r["significant"] == (abs(r["z_stat"]) > A.FUNNEL_SIG_Z)
+
+
+def test_absorption_probabilities_valid(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    rows = B.absorption_conversion_prob(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["state"] != B.ABSORB_STATE
+        assert 0.0 <= r["p_convert"] <= 1.0 + 1e-9
+        assert r["n_transitions"] > 0
+    # every user journey that continues long enough eventually converts
+    # in this dense synthetic log — probabilities should be substantial
+    assert max(r["p_convert"] for r in rows) > 0.5
