@@ -92,6 +92,10 @@ _GATE_PRIORITY = (
     "variance_changepoint",
     "funnel_step_significance",
     "absorption_conversion_prob",
+    "anova_f_oneway",
+    "levene_variance_test",
+    "wilson_rate_ci",
+    "term_burst_days",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -244,7 +248,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 272
+_MIN_QUERIES = 276
 
 
 def _registry() -> tuple[dict, dict]:

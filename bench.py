@@ -246,6 +246,10 @@ HEADLINE = [
     "variance_changepoint",
     "funnel_step_significance",
     "absorption_conversion_prob",
+    "anova_f_oneway",
+    "levene_variance_test",
+    "wilson_rate_ci",
+    "term_burst_days",
 ]
 
 

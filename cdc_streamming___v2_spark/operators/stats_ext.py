@@ -847,3 +847,267 @@ ORACLES["js_divergence_sources"] = f"""
     FROM pairs p LEFT JOIN shared s ON p.sa = s.sa AND p.sb = s.sb
 """
 QUERIES["js_divergence_sources"] = js_divergence_sources
+
+
+# --------------------------------------------------------------------------
+# wave I: classic ANOVA-family tests + rate intervals
+# --------------------------------------------------------------------------
+
+
+def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test of order value across the five customer
+    market segments — the k-group mean comparison next to welch_t_test's
+    pairwise version: F = (SSB/(k-1)) / (SSW/(N-k)), with effect size
+    eta^2 = SSB/SST.
+
+    Exactness: group sums / sums of squares are exact integer cents
+    (decimal(38,0)); SSB/SSW are scalar expressions over them, folded
+    across the 5-row group frame with an ORDER-PINNED cumulative sum.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    g = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("s"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x").cast(_DEC)).alias("ss"),
+    )
+    wg = Window.orderBy("c_mktsegment").rowsBetween(Window.unboundedPreceding, 0)
+    folded = (
+        g.withColumn("k", F.count(F.lit(1)).over(wg))
+        .withColumn("tn", F.sum("n").over(wg))
+        .withColumn("ts", F.sum("s").over(wg))
+        .withColumn("tss", F.sum("ss").over(wg))
+        .withColumn(
+            "sb",
+            F.sum(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            ).over(wg),
+        )
+    )
+    last = folded.orderBy(F.col("k").desc()).limit(1)
+    tn = F.col("tn").cast("double")
+    ts_, tss = F.col("ts").cast("double"), F.col("tss").cast("double")
+    ssb = F.col("sb") - ts_ * ts_ / tn
+    ssw = tss - F.col("sb")
+    sst = tss - ts_ * ts_ / tn
+    kd = F.col("k").cast("double")
+    f_stat = (ssb / (kd - 1)) / (ssw / (tn - kd))
+    return last.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("tn").cast("bigint").alias("n_total"),
+        F.round(f_stat, 4).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+ORACLES["anova_f_oneway"] = """
+    WITH j AS (
+        SELECT c_mktsegment,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    g AS (
+        SELECT c_mktsegment, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+        FROM j GROUP BY 1
+    ),
+    folded AS (
+        SELECT count(*) OVER wg AS k, sum(n) OVER wg AS tn,
+               sum(s) OVER wg AS ts, sum(ss) OVER wg AS tss,
+               sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) OVER wg AS sb
+        FROM g
+        WINDOW wg AS (ORDER BY c_mktsegment ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW)
+    ),
+    last AS (SELECT * FROM folded ORDER BY k DESC LIMIT 1)
+    SELECT CAST(k AS INT) AS n_groups, CAST(tn AS BIGINT) AS n_total,
+           round(((sb - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                        / CAST(tn AS DOUBLE)) / (k - 1))
+                 / ((CAST(tss AS DOUBLE) - sb) / (CAST(tn AS DOUBLE) - k)),
+                 4) AS f_stat,
+           round((sb - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                       / CAST(tn AS DOUBLE))
+                 / (CAST(tss AS DOUBLE) - CAST(ts AS DOUBLE)
+                    * CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+             AS eta_squared
+    FROM last
+"""
+QUERIES["anova_f_oneway"] = anova_f_oneway
+
+
+def levene_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for equal order-value
+    variances across market segments: one-way ANOVA F on the absolute
+    deviations from each group's median — the robust heteroscedasticity
+    gate run before trusting a pooled-variance test.
+
+    Exactness: medians of integer cents are exact half-integers on both
+    engines (average of the two middle order statistics); deviations are
+    computed in doubled cents |2x - 2*med| so they stay exact integers;
+    the ANOVA on deviations then follows the exact-moment pattern.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    med = j.groupBy("c_mktsegment").agg(
+        F.percentile(F.col("x"), F.lit(0.5)).alias("med")
+    )
+    dev = j.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        F.abs(
+            F.lit(2) * F.col("x") - F.round(F.lit(2) * F.col("med")).cast("long")
+        ).alias("z"),
+    )
+    g = dev.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("z").cast(_DEC)).alias("s"),
+        F.sum(F.col("z").cast(_DEC) * F.col("z").cast(_DEC)).alias("ss"),
+    )
+    wg = Window.orderBy("c_mktsegment").rowsBetween(Window.unboundedPreceding, 0)
+    folded = (
+        g.withColumn("k", F.count(F.lit(1)).over(wg))
+        .withColumn("tn", F.sum("n").over(wg))
+        .withColumn("ts", F.sum("s").over(wg))
+        .withColumn("tss", F.sum("ss").over(wg))
+        .withColumn(
+            "sb",
+            F.sum(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double")
+            ).over(wg),
+        )
+    )
+    last = folded.orderBy(F.col("k").desc()).limit(1)
+    tn = F.col("tn").cast("double")
+    ts_, tss = F.col("ts").cast("double"), F.col("tss").cast("double")
+    ssb = F.col("sb") - ts_ * ts_ / tn
+    ssw = tss - F.col("sb")
+    kd = F.col("k").cast("double")
+    w_stat = (ssb / (kd - 1)) / (ssw / (tn - kd))
+    return last.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("tn").cast("bigint").alias("n_total"),
+        F.round(w_stat, 4).alias("levene_w"),
+    )
+
+
+ORACLES["levene_variance_test"] = """
+    WITH j AS (
+        SELECT c_mktsegment,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    med AS (
+        SELECT c_mktsegment, median(x) AS med FROM j GROUP BY 1
+    ),
+    dev AS (
+        SELECT j.c_mktsegment,
+               abs(2 * j.x - CAST(round(2 * m.med) AS BIGINT)) AS z
+        FROM j JOIN med m ON j.c_mktsegment = m.c_mktsegment
+    ),
+    g AS (
+        SELECT c_mktsegment, count(*) AS n, sum(z) AS s, sum(z * z) AS ss
+        FROM dev GROUP BY 1
+    ),
+    folded AS (
+        SELECT count(*) OVER wg AS k, sum(n) OVER wg AS tn,
+               sum(s) OVER wg AS ts, sum(ss) OVER wg AS tss,
+               sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) OVER wg AS sb
+        FROM g
+        WINDOW wg AS (ORDER BY c_mktsegment ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW)
+    ),
+    last AS (SELECT * FROM folded ORDER BY k DESC LIMIT 1)
+    SELECT CAST(k AS INT) AS n_groups, CAST(tn AS BIGINT) AS n_total,
+           round(((sb - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                        / CAST(tn AS DOUBLE)) / (k - 1))
+                 / ((CAST(tss AS DOUBLE) - sb) / (CAST(tn AS DOUBLE) - k)),
+                 4) AS levene_w
+    FROM last
+"""
+QUERIES["levene_variance_test"] = levene_variance_test
+
+
+WILSON_Z = 1.96
+
+
+def wilson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the URGENT-priority order
+    rate per market segment — the small-sample-safe proportion interval
+    (never escapes [0, 1], unlike the Wald interval) a metrics platform
+    should default to.
+
+    Exactness: k and n are exact counts; the Wilson center/halfwidth is
+    one scalar expression over them.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("o_orderpriority") == "1-URGENT").cast("long")
+            ).alias("k"),
+        )
+    )
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    z2 = WILSON_Z * WILSON_Z
+    p = kd / nd
+    denom = 1 + F.lit(z2) / nd
+    center = (p + F.lit(z2) / (2 * nd)) / denom
+    hw = (
+        F.lit(WILSON_Z)
+        * F.sqrt(p * (1 - p) / nd + F.lit(z2) / (4 * nd * nd))
+        / denom
+    )
+    return g.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("k").cast("bigint").alias("n_urgent"),
+        F.round(p, 4).alias("rate"),
+        F.round(center - hw, 4).alias("ci_lo"),
+        F.round(center + hw, 4).alias("ci_hi"),
+    )
+
+
+ORACLES["wilson_rate_ci"] = f"""
+    WITH g AS (
+        SELECT c_mktsegment, count(*) AS n,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                 AS k
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(n AS BIGINT) AS n_orders, CAST(k AS BIGINT) AS n_urgent,
+           round(CAST(k AS DOUBLE) / n, 4) AS rate,
+           round(((CAST(k AS DOUBLE) / n + {WILSON_Z * WILSON_Z} / (2.0 * n))
+                  / (1 + {WILSON_Z * WILSON_Z} / CAST(n AS DOUBLE)))
+                 - ({WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1 - CAST(k AS DOUBLE) / n) / n
+                        + {WILSON_Z * WILSON_Z} / (4.0 * n * n))
+                    / (1 + {WILSON_Z * WILSON_Z} / CAST(n AS DOUBLE))),
+                 4) AS ci_lo,
+           round(((CAST(k AS DOUBLE) / n + {WILSON_Z * WILSON_Z} / (2.0 * n))
+                  / (1 + {WILSON_Z * WILSON_Z} / CAST(n AS DOUBLE)))
+                 + ({WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n)
+                        * (1 - CAST(k AS DOUBLE) / n) / n
+                        + {WILSON_Z * WILSON_Z} / (4.0 * n * n))
+                    / (1 + {WILSON_Z * WILSON_Z} / CAST(n AS DOUBLE))),
+                 4) AS ci_hi
+    FROM g
+"""
+QUERIES["wilson_rate_ci"] = wilson_rate_ci

@@ -934,3 +934,132 @@ def _rake_oracle() -> str:
 
 ORACLES["rake_keywords"] = _rake_oracle()
 QUERIES["rake_keywords"] = rake_keywords
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session: term burst detection
+# --------------------------------------------------------------------------
+
+BURST_Z = 3.0
+
+
+def term_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style term burst detection (z-score form): for every
+    (word, day) cell of the COMPLETE vocabulary x day grid (absent days
+    count zero — omitting them is the classic burst-detection bug that
+    inflates every mean), flag cells where the daily count sits
+    >= BURST_Z sample standard deviations above the word's own daily
+    mean — the trending-topic monitor over the corpus stream.
+
+    The documents table carries no timestamps, so the day axis comes from
+    joining each document's tokens to the events of the same id range —
+    here, deterministically, day = doc_id mod the day-grid size of the
+    events table, a synthetic but fixed publication calendar (documented;
+    with real ingest timestamps the same plan applies unchanged).
+
+    Exactness: means/variances from exact integer count sums; z is
+    rounded to 6 before the threshold comparison so the flag can never
+    flip on float noise.
+
+    Scale: the grid is vocabulary x observation-window — bounded in the
+    day direction; the zero-fill is a broadcast cross of the day frame.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.texts import words
+
+    d = load_table(spark, sf_dir, "documents")
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    n_days_row = days.agg(F.count(F.lit(1)).alias("nd"))
+    toks = (
+        d.crossJoin(F.broadcast(n_days_row))
+        .select(
+            (F.col("doc_id") % F.col("nd")).alias("day_idx"),
+            F.explode(words(F.col("text"))).alias("w"),
+        )
+    )
+    wday = Window.orderBy("day")
+    day_idx = days.withColumn("day_idx", F.row_number().over(wday) - 1)
+    counts = (
+        toks.join(F.broadcast(day_idx), "day_idx")
+        .groupBy("w", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = counts.select("w").distinct()
+    grid = (
+        vocab.crossJoin(F.broadcast(days))
+        .join(counts, ["w", "day"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    stats = grid.groupBy("w").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = grid.join(F.broadcast(stats), "w")
+    nd = F.col("nd").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (nd - 1)
+    z = F.round((F.col("c").cast("double") - mean) / F.sqrt(var), 6)
+    return (
+        j.filter(F.col("ss") * F.col("nd") != F.col("s") * F.col("s"))
+        .withColumn("z", z)
+        .filter(F.col("z") >= BURST_Z)
+        .select(
+            "w",
+            "day",
+            F.col("c").cast("bigint").alias("n_mentions"),
+            F.round(mean, 4).alias("daily_mean"),
+            F.round("z", 4).alias("z_score"),
+        )
+    )
+
+
+ORACLES["term_burst_days"] = f"""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    ndr AS (SELECT count(*) AS nd FROM days),
+    day_idx AS (
+        SELECT day, row_number() OVER (ORDER BY day) - 1 AS day_idx
+        FROM days
+    ),
+    toks AS (
+        SELECT doc_id % ndr.nd AS day_idx, unnest({_WORDS}) AS w
+        FROM documents, ndr
+    ),
+    counts AS (
+        SELECT t.w, di.day, count(*) AS c
+        FROM toks t JOIN day_idx di ON t.day_idx = di.day_idx
+        GROUP BY 1, 2
+    ),
+    vocab AS (SELECT DISTINCT w FROM counts),
+    grid AS (
+        SELECT v.w, d.day, COALESCE(c.c, 0) AS c
+        FROM vocab v CROSS JOIN days d
+        LEFT JOIN counts c ON c.w = v.w AND c.day = d.day
+    ),
+    stats AS (
+        SELECT w, count(*) AS nd, sum(c) AS s, sum(c * c) AS ss
+        FROM grid GROUP BY 1
+    ),
+    z AS (
+        SELECT g.w, g.day, g.c, s.s, s.nd,
+               round((CAST(g.c AS DOUBLE) - CAST(s.s AS DOUBLE) / s.nd)
+                     / sqrt((CAST(s.ss AS DOUBLE)
+                             - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)
+                               / s.nd) / (s.nd - 1)), 6) AS zv
+        FROM grid g JOIN stats s ON g.w = s.w
+        WHERE s.ss * s.nd != s.s * s.s
+    )
+    SELECT w, day, CAST(c AS BIGINT) AS n_mentions,
+           round(CAST(s AS DOUBLE) / nd, 4) AS daily_mean,
+           round(zv, 4) AS z_score
+    FROM z WHERE zv >= {BURST_Z}
+"""
+QUERIES["term_burst_days"] = term_burst_days

@@ -419,3 +419,36 @@ def test_absorption_probabilities_valid(spark):
     # every user journey that continues long enough eventually converts
     # in this dense synthetic log — probabilities should be substantial
     assert max(r["p_convert"] for r in rows) > 0.5
+
+
+# --- wave I: ANOVA family, Wilson CI, term bursts --------------------------
+
+
+def test_anova_f_nonnegative_and_eta(spark):
+    r = SX.anova_f_oneway(spark, SF_SMALL).collect()[0]
+    assert r["n_groups"] == 5
+    assert r["f_stat"] >= 0.0
+    assert 0.0 <= r["eta_squared"] <= 1.0
+
+
+def test_levene_nonnegative(spark):
+    r = SX.levene_variance_test(spark, SF_SMALL).collect()[0]
+    assert r["n_groups"] == 5
+    assert r["levene_w"] >= 0.0
+
+
+def test_wilson_ci_contains_rate(spark):
+    rows = SX.wilson_rate_ci(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
+        assert r["n_urgent"] <= r["n_orders"]
+
+
+def test_term_bursts_exceed_threshold(spark):
+    from cdc_streamming___v2_spark.operators import text_analysis as TA
+
+    rows = TA.term_burst_days(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["z_score"] >= TA.BURST_Z
+        assert r["n_mentions"] > r["daily_mean"]

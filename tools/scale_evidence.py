@@ -79,6 +79,14 @@ QUERIES = [
     "compaction_bin_packing",
     "readability_scores",
     "decision_stump_train",
+    # restarted-session corpus-bound additions
+    "js_divergence_sources",
+    "heaps_law_fit",
+    "info_gain_features",
+    "average_precision_quality",
+    "isotonic_calibration",
+    "grid_dbscan_clusters",
+    "nmi_cluster_label_eval",
 ]
 
 # the event-log tier (round-5 wave 3): per-user ordered-window operators
@@ -91,6 +99,15 @@ EVENT_QUERIES = [
     "event_run_lengths",
     "asof_nearest_join",
     "fifo_payment_allocation",
+    # restarted-session event-bound additions (cent-grid ranks, day-frame
+    # folds, user-keyed pair joins, state-frame iteration)
+    "mann_whitney_u",
+    "kruskal_wallis",
+    "log_rank_test",
+    "ohlc_bars",
+    "ams_f2_sketch",
+    "rapid_repeat_purchases",
+    "absorption_conversion_prob",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
@@ -102,6 +119,9 @@ RELATIONAL_QUERIES = [
     "q8_market_share",
     "q9_product_profit",
     "q21_waiting_suppliers",
+    # restarted-session fact-bound additions
+    "item_cf_topk",
+    "t_closeness",
 ]
 
 
@@ -204,8 +224,15 @@ def main() -> None:
     ).count()
     qs["minhash_signatures"](spark, SRC).count()
 
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+
     out: dict[str, dict] = {}
     for name in QUERIES + RELATIONAL_QUERIES + EVENT_QUERIES:
+        if only and name not in only:
+            continue
         rec: dict[str, float] = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1x10", SCALE_DIR)):
             times = []
@@ -249,13 +276,19 @@ def main() -> None:
     out["embedding_near_dup_derived_params"] = derived
     print(json.dumps({"embedding_near_dup_derived_params": derived}), flush=True)
 
-    result = {
-        "replicas": REPLICAS,
-        "corpus_docs": {"sf0.1": 5000, "sf1x10": 5000 * REPLICAS},
-        "corpus_vecs": {"sf0.1": 2000, "sf1x10": 2000 * REPLICAS},
-        "queries": out,
-    }
-    with open(os.path.join(ROOT, "bench_sf1.json"), "w") as f:
+    path = os.path.join(ROOT, "bench_sf1.json")
+    if only and os.path.exists(path):
+        with open(path) as f:
+            result = json.load(f)
+        result["queries"].update(out)
+    else:
+        result = {
+            "replicas": REPLICAS,
+            "corpus_docs": {"sf0.1": 5000, "sf1x10": 5000 * REPLICAS},
+            "corpus_vecs": {"sf0.1": 2000, "sf1x10": 2000 * REPLICAS},
+            "queries": out,
+        }
+    with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print("WROTE bench_sf1.json", flush=True)
 
