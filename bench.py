@@ -250,6 +250,9 @@ HEADLINE = [
     "levene_variance_test",
     "wilson_rate_ci",
     "term_burst_days",
+    "aws_dms_envelope_roundtrip",
+    "cramers_v_matrix",
+    "ipf_raking",
 ]
 
 

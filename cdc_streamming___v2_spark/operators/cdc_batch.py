@@ -504,3 +504,90 @@ ORACLES["canal_envelope_roundtrip"] = """
     FROM g JOIN gm ON g.gid = gm.gid
     GROUP BY 1
 """
+
+
+def aws_dms_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> AWS DMS JSON change records -> parse_envelope_aws_dms ->
+    routed payload decode -> per-action rollup (fifth-producer coverage
+    next to Datastream/Debezium/Maxwell/Canal).
+
+    Exercises the adapter contract:
+    - operation from the key (okey % 4) covers insert / update / delete /
+      load, with ``load`` (the full-load phase) folding into the INSERT
+      group;
+    - every record carries the FULL row image under ``data`` (DMS's
+      contract — a before-image fallback must NOT be needed);
+    - keys divisible by 10 ship a ``record-type: control`` checkpoint
+      record instead, which must dead-letter (NULL action) and never
+      reach the rollup — the oracle therefore excludes them;
+    - the ISO-8601 microsecond ``metadata.timestamp`` roundtrips exactly
+      through update_date (UTC session).
+    """
+    from ..sources.cdc_schema import parse_envelope_aws_dms
+
+    o = load_table(spark, sf_dir, "orders")
+    op = F.element_at(
+        F.array(
+            F.lit("insert"), F.lit("update"), F.lit("delete"), F.lit("load")
+        ),
+        (F.col("o_orderkey") % 4 + 1).cast("int"),
+    )
+    is_control = F.col("o_orderkey") % 10 == 0
+    meta = F.struct(
+        F.when(is_control, F.lit("control")).otherwise(F.lit("data")).alias(
+            "record-type"
+        ),
+        F.when(~is_control, op).otherwise(F.lit("checkpoint")).alias(
+            "operation"
+        ),
+        F.date_format(
+            F.col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+        ).alias("timestamp"),
+        F.lit("bench_db").alias("schema-name"),
+        F.lit("orders_feed").alias("table-name"),
+    )
+    image = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    lines = o.select(
+        F.to_json(F.struct(image.alias("data"), meta.alias("metadata"))).alias(
+            "value"
+        )
+    )
+    parsed = parse_envelope_aws_dms(lines)
+    routed = (
+        parsed.filter(F.col("action").isNotNull())
+        .filter(F.col("object") == "orders_feed")
+        .select(
+            "action",
+            F.to_timestamp("update_date_raw").alias("update_date"),
+            F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+        )
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
+ORACLES["aws_dms_envelope_roundtrip"] = """
+    SELECT CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 'INSERT'
+               WHEN 1 THEN 'UPDATE-INSERT'
+               WHEN 2 THEN 'DELETE'
+               ELSE 'INSERT' END AS action,
+           count(*) AS n_rows,
+           count(o_custkey) AS n_custkeys,
+           round(sum(o_totalprice), 2) AS revenue,
+           max(o_orderdate) AS last_update
+    FROM orders
+    WHERE o_orderkey % 10 != 0
+    GROUP BY 1
+"""
+QUERIES["aws_dms_envelope_roundtrip"] = aws_dms_envelope_roundtrip

@@ -1111,3 +1111,333 @@ ORACLES["wilson_rate_ci"] = f"""
     FROM g
 """
 QUERIES["wilson_rate_ci"] = wilson_rate_ci
+
+
+# --------------------------------------------------------------------------
+# wave J: categorical association matrix
+# --------------------------------------------------------------------------
+
+_CVM_PAIRS = (
+    ("segment|priority", "c_mktsegment", "o_orderpriority"),
+    ("segment|status", "c_mktsegment", "o_orderstatus"),
+    ("priority|status", "o_orderpriority", "o_orderstatus"),
+    ("segment|region", "c_mktsegment", "r_name"),
+    ("priority|region", "o_orderpriority", "r_name"),
+    ("status|region", "o_orderstatus", "r_name"),
+)
+
+
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over the categorical order/customer
+    attributes (segment, priority, status, region) — the categorical
+    twin of correlation_matrix: V = sqrt(chi2 / (N * (min(R,C) - 1)))
+    with chi2 = N * (sum o_ij^2/(r_i c_j) - 1).
+
+    Exactness: contingency cells and margins are exact integers; the
+    per-cell terms fold with an ORDER-PINNED cumulative sum per pair
+    (cells per pair are level-product bounded).
+
+    Scale: the fact join runs ONCE; six narrow projections union into a
+    (pair, a, b) long frame whose aggregates are all level-bounded.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    long = None
+    for pair, a, b in _CVM_PAIRS:
+        sel = base.select(
+            F.lit(pair).alias("pair"),
+            F.col(a).cast("string").alias("av"),
+            F.col(b).cast("string").alias("bv"),
+        )
+        long = sel if long is None else long.unionByName(sel)
+    cells = long.groupBy("pair", "av", "bv").agg(F.count(F.lit(1)).alias("o"))
+    rtot = cells.groupBy("pair", "av").agg(F.sum("o").alias("rt"))
+    ctot = cells.groupBy("pair", "bv").agg(F.sum("o").alias("ct"))
+    ntot = cells.groupBy("pair").agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("av").alias("rl"),
+        F.countDistinct("bv").alias("cl"),
+    )
+    wp = Window.partitionBy("pair").orderBy("av", "bv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    terms = (
+        cells.join(rtot, ["pair", "av"])
+        .join(ctot, ["pair", "bv"])
+        .withColumn(
+            "term",
+            F.col("o").cast("double")
+            * F.col("o").cast("double")
+            / (F.col("rt").cast("double") * F.col("ct").cast("double")),
+        )
+        .withColumn("sterm", F.sum("term").over(wp))
+        .withColumn("rs", F.count(F.lit(1)).over(wp))
+    )
+    wlast = Window.partitionBy("pair").orderBy(F.col("rs").desc())
+    last = (
+        terms.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("pair", "sterm")
+        .join(F.broadcast(ntot), "pair")
+    )
+    nd = F.col("n").cast("double")
+    chi2 = nd * (F.col("sterm") - 1)
+    mindim = F.least("rl", "cl").cast("double") - 1
+    v = F.sqrt(F.greatest(chi2, F.lit(0.0)) / (nd * mindim))
+    return last.select(
+        "pair",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("rl").cast("int").alias("levels_a"),
+        F.col("cl").cast("int").alias("levels_b"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(v, 4).alias("cramers_v"),
+    )
+
+
+def _cvm_oracle() -> str:
+    arms = "\n        UNION ALL\n".join(
+        f"""        SELECT '{pair}' AS pair, CAST({a} AS VARCHAR) AS av,
+               CAST({b} AS VARCHAR) AS bv FROM base"""
+        for pair, a, b in _CVM_PAIRS
+    )
+    return f"""
+    WITH base AS (
+        SELECT c_mktsegment, o_orderpriority, o_orderstatus, r_name
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    ),
+    long AS (
+{arms}
+    ),
+    cells AS (
+        SELECT pair, av, bv, count(*) AS o FROM long GROUP BY 1, 2, 3
+    ),
+    rtot AS (SELECT pair, av, sum(o) AS rt FROM cells GROUP BY 1, 2),
+    ctot AS (SELECT pair, bv, sum(o) AS ct FROM cells GROUP BY 1, 2),
+    ntot AS (
+        SELECT pair, sum(o) AS n, count(DISTINCT av) AS rl,
+               count(DISTINCT bv) AS cl
+        FROM cells GROUP BY 1
+    ),
+    terms AS (
+        SELECT c.pair,
+               sum(CAST(c.o AS DOUBLE) * CAST(c.o AS DOUBLE)
+                   / (CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE)))
+                 OVER (PARTITION BY c.pair ORDER BY c.av, c.bv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sterm,
+               count(*) OVER (PARTITION BY c.pair ORDER BY c.av, c.bv
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS rs
+        FROM cells c
+        JOIN rtot r ON c.pair = r.pair AND c.av = r.av
+        JOIN ctot t ON c.pair = t.pair AND c.bv = t.bv
+    ),
+    last AS (
+        SELECT pair, sterm FROM (
+            SELECT pair, sterm,
+                   row_number() OVER (PARTITION BY pair
+                                      ORDER BY rs DESC) AS rn
+            FROM terms
+        ) WHERE rn = 1
+    )
+    SELECT l.pair, CAST(n.n AS BIGINT) AS n_rows,
+           CAST(n.rl AS INT) AS levels_a, CAST(n.cl AS INT) AS levels_b,
+           round(CAST(n.n AS DOUBLE) * (l.sterm - 1), 4) AS chi2,
+           round(sqrt(greatest(CAST(n.n AS DOUBLE) * (l.sterm - 1), 0.0)
+                      / (CAST(n.n AS DOUBLE)
+                         * (least(n.rl, n.cl) - 1))), 4) AS cramers_v
+    FROM last l JOIN ntot n ON l.pair = n.pair
+"""
+
+
+ORACLES["cramers_v_matrix"] = _cvm_oracle()
+QUERIES["cramers_v_matrix"] = cramers_v_matrix
+
+
+# --------------------------------------------------------------------------
+# wave J: iterative proportional fitting (survey raking)
+# --------------------------------------------------------------------------
+
+IPF_ROUNDS = 3
+
+
+def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking by iterative proportional fitting: re-weight the
+    ORDER sample's (segment x region) cells so the weighted counts match
+    the CUSTOMER population margins on both axes — the standard
+    post-stratification correction when a behavioral sample over-represents
+    active segments.
+
+    IPF_ROUNDS alternating row/column scalings; every margin sum folds
+    with an ORDER-PINNED cumulative window (cells are level-bounded), so
+    the float iteration is bit-identical across engines; the oracle
+    unrolls the same six steps as CTEs (the bellman_ford unrolling
+    pattern).
+
+    Scale: the fact join reduces to the level-product cell frame ONCE;
+    the iteration runs entirely on that bounded frame.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    nt = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust = (
+        c.join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .join(F.broadcast(r), nt.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_mktsegment", "r_name")
+    )
+    # the cell frame is level-bounded (25 rows); materialize it once so
+    # the iteration's two references per round never recompute the fact
+    # join, and re-materialize per round to keep the plan linear
+    cells = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "r_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    seg_t = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("t"))
+    reg_t = cust.groupBy("r_name").agg(F.count(F.lit(1)).alias("u"))
+    w_seg = Window.partitionBy("c_mktsegment").orderBy("r_name").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_seg_last = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("rs").desc()
+    )
+    w_reg = Window.partitionBy("r_name").orderBy("c_mktsegment").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_reg_last = Window.partitionBy("r_name").orderBy(F.col("rs").desc())
+    cur = cells
+    for _ in range(IPF_ROUNDS):
+        srow = (
+            cur.withColumn(
+                "s", F.sum(F.col("w") * F.col("n").cast("double")).over(w_seg)
+            )
+            .withColumn("rs", F.count(F.lit(1)).over(w_seg))
+            .withColumn("rn", F.row_number().over(w_seg_last))
+        )
+        row_tot = srow.filter(F.col("rn") == 1).select("c_mktsegment", "s")
+        cur = (
+            cur.join(F.broadcast(row_tot), "c_mktsegment")
+            .join(F.broadcast(seg_t), "c_mktsegment")
+            .withColumn(
+                "w", F.col("w") * F.col("t").cast("double") / F.col("s")
+            )
+            .select("c_mktsegment", "r_name", "n", "w")
+        )
+        scol = (
+            cur.withColumn(
+                "s", F.sum(F.col("w") * F.col("n").cast("double")).over(w_reg)
+            )
+            .withColumn("rs", F.count(F.lit(1)).over(w_reg))
+            .withColumn("rn", F.row_number().over(w_reg_last))
+        )
+        col_tot = scol.filter(F.col("rn") == 1).select("r_name", "s")
+        cur = (
+            cur.join(F.broadcast(col_tot), "r_name")
+            .join(F.broadcast(reg_t), "r_name")
+            .withColumn(
+                "w", F.col("w") * F.col("u").cast("double") / F.col("s")
+            )
+            .select("c_mktsegment", "r_name", "n", "w")
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("r_name").alias("region"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("w", 6).alias("weight"),
+        F.round(F.col("w") * F.col("n").cast("double"), 2).alias(
+            "weighted_orders"
+        ),
+    )
+
+
+def _ipf_oracle() -> str:
+    ctes = [
+        """cust AS (
+            SELECT c_custkey, c_mktsegment, r_name
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        )""",
+        """cells0 AS (
+            SELECT c_mktsegment, r_name, count(*) AS n, 1.0 AS w
+            FROM orders JOIN cust ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )""",
+        """seg_t AS (SELECT c_mktsegment, count(*) AS t FROM cust
+                     GROUP BY 1)""",
+        """reg_t AS (SELECT r_name, count(*) AS u FROM cust GROUP BY 1)""",
+    ]
+    prev = "cells0"
+    for i in range(1, IPF_ROUNDS + 1):
+        # the running sum is strictly increasing (w*n > 0), so the final
+        # fold value is max(s) — no nested-window row_number needed
+        ctes.append(f"""rowtot{i} AS (
+            SELECT c_mktsegment, max(s) AS s FROM (
+                SELECT c_mktsegment,
+                       sum(w * CAST(n AS DOUBLE)) OVER (
+                           PARTITION BY c_mktsegment ORDER BY r_name
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                           ROW) AS s
+                FROM {prev}
+            ) GROUP BY 1
+        )""")
+        ctes.append(f"""rowstep{i} AS (
+            SELECT p.c_mktsegment, p.r_name, p.n,
+                   p.w * CAST(st.t AS DOUBLE) / rt.s AS w
+            FROM {prev} p
+            JOIN rowtot{i} rt ON p.c_mktsegment = rt.c_mktsegment
+            JOIN seg_t st ON p.c_mktsegment = st.c_mktsegment
+        )""")
+        ctes.append(f"""coltot{i} AS (
+            SELECT r_name, max(s) AS s FROM (
+                SELECT r_name,
+                       sum(w * CAST(n AS DOUBLE)) OVER (
+                           PARTITION BY r_name ORDER BY c_mktsegment
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                           ROW) AS s
+                FROM rowstep{i}
+            ) GROUP BY 1
+        )""")
+        ctes.append(f"""cells{i} AS (
+            SELECT p.c_mktsegment, p.r_name, p.n,
+                   p.w * CAST(ut.u AS DOUBLE) / ct.s AS w
+            FROM rowstep{i} p
+            JOIN coltot{i} ct ON p.r_name = ct.r_name
+            JOIN reg_t ut ON p.r_name = ut.r_name
+        )""")
+        prev = f"cells{i}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT c_mktsegment AS segment, r_name AS region,
+           CAST(n AS BIGINT) AS n_orders,
+           round(w, 6) AS weight,
+           round(w * CAST(n AS DOUBLE), 2) AS weighted_orders
+    FROM {prev}
+"""
+
+
+ORACLES["ipf_raking"] = _ipf_oracle()
+QUERIES["ipf_raking"] = ipf_raking

@@ -238,6 +238,7 @@ def parse_envelope_auto(
 
     - Debezium iff the line has an ``op`` field (bare or under
       ``$.payload``);
+    - AWS DMS iff it has ``$.metadata.operation``;
     - Canal iff it has a ``type`` field AND ``$.data[0]`` resolves (data
       is an ARRAY — get_json_object's [0] path is null on objects);
     - Maxwell iff it has ``type`` + object-shaped ``data``;
@@ -254,24 +255,33 @@ def parse_envelope_auto(
         F.get_json_object(line, "$.op").isNotNull()
         | F.get_json_object(line, "$.payload.op").isNotNull()
     )
+    is_dms = (
+        ~is_dbz
+        & F.get_json_object(line, "$.metadata.operation").isNotNull()
+    )
     has_type = F.get_json_object(line, "$.type").isNotNull()
     is_canal = (
         ~is_dbz
+        & ~is_dms
         & has_type
         & F.get_json_object(line, "$.data[0]").isNotNull()
     )
     is_maxwell = (
         ~is_dbz
+        & ~is_dms
         & ~is_canal
         & has_type
         & F.get_json_object(line, "$.data").isNotNull()
     )
-    is_ds = ~is_dbz & ~is_canal & ~is_maxwell
+    is_ds = ~is_dbz & ~is_dms & ~is_canal & ~is_maxwell
     ds = parse_envelope(raw_lines.filter(is_ds), line_col)
     dz = parse_envelope_debezium(raw_lines.filter(is_dbz), line_col)
+    dm = parse_envelope_aws_dms(raw_lines.filter(is_dms), line_col)
     mx = parse_envelope_maxwell(raw_lines.filter(is_maxwell), line_col)
     cn = parse_envelope_canal(raw_lines.filter(is_canal), line_col)
-    return ds.unionByName(dz).unionByName(mx).unionByName(cn)
+    return (
+        ds.unionByName(dz).unionByName(dm).unionByName(mx).unionByName(cn)
+    )
 
 
 def update_date_expr(spark_type) -> Column:
@@ -286,3 +296,61 @@ def update_date_expr(spark_type) -> Column:
     if isinstance(spark_type, T.TimestampType):
         return F.to_timestamp(raw)
     return raw.cast(spark_type)
+
+
+AWS_DMS_ACTIONS = (
+    ("insert", "INSERT"),
+    ("update", "UPDATE-INSERT"),
+    ("delete", "DELETE"),
+    ("load", "INSERT"),  # full-load rows are inserts
+)
+
+
+def parse_envelope_aws_dms(
+    raw_lines: DataFrame, line_col: str = "value"
+) -> DataFrame:
+    """AWS DMS (Database Migration Service) JSON change records — the
+    fifth major CDC producer — -> the canonical envelope columns.
+
+    Field mapping (DMS's public Kinesis/S3 JSON format: top-level
+    ``data`` row image + ``metadata`` with ``record-type``,
+    ``operation`` in insert/update/delete/load, ISO-8601 microsecond
+    ``timestamp``, ``table-name``):
+
+    - data-record operations map via AWS_DMS_ACTIONS (``load`` = the
+      full-load phase -> INSERT); ``record-type`` != 'data' (control
+      records: DDL, checkpoints) -> NULL action -> dead-letter.
+    - payload = ``data`` (full row image on every operation — DMS's
+      contract, like Maxwell's).
+    - ``metadata.timestamp`` (ISO-8601 ...Z, microseconds) ->
+      update_date_raw as ``yyyy-MM-dd HH:mm:ss.SSSSSS``.
+    - ``metadata.table-name`` -> object (registry routing key).
+    """
+    line = F.col(line_col)
+    parsed = raw_lines.select(
+        F.json_tuple(line, "data", "metadata").alias("payload_json", "meta"),
+        line.alias("raw"),
+    ).select(
+        "payload_json",
+        "raw",
+        F.json_tuple(
+            F.col("meta"), "record-type", "operation", "timestamp",
+            "table-name",
+        ).alias("rtype", "op", "ts_iso", "object"),
+    )
+    action: Column = F.lit(None).cast("string")
+    for code, act in AWS_DMS_ACTIONS:
+        action = F.when(
+            (F.col("rtype") == "data") & (F.col("op") == code), F.lit(act)
+        ).otherwise(action)
+    update_raw = F.date_format(
+        F.to_timestamp(F.col("ts_iso"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
+    return parsed.select(
+        "object",
+        action.alias("action"),
+        update_raw.alias("update_date_raw"),
+        "payload_json",
+        "raw",
+    )

@@ -39,6 +39,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..sources.cdc_schema import (
     parse_envelope,
     parse_envelope_auto,
+    parse_envelope_aws_dms,
     parse_envelope_canal,
     parse_envelope_debezium,
     parse_envelope_maxwell,
@@ -122,6 +123,8 @@ class CdcIngest:
             return parse_envelope_maxwell(raw)
         if self.envelope_format == "canal":
             return parse_envelope_canal(raw)
+        if self.envelope_format == "aws_dms":
+            return parse_envelope_aws_dms(raw)
         if self.envelope_format == "auto":
             return parse_envelope_auto(raw)
         if self.envelope_format != "datastream":

@@ -856,3 +856,89 @@ def test_auto_dispatch_unifies_all_four_envelopes(spark, tmp_path_factory):
     # 1 datastream + 1 dbz insert + 1 maxwell insert + 2 canal batched
     assert len(rows) == 5
     assert {r["product_id"] for r in rows} >= {"p3", "p4"}
+
+
+def _dms(table, op, ts_iso, data, record_type="data"):
+    return json.dumps({
+        "data": data,
+        "metadata": {
+            "timestamp": ts_iso, "record-type": record_type,
+            "operation": op, "partition-key-type": "primary-key",
+            "schema-name": "olist", "table-name": table,
+            "transaction-id": 123456789,
+        },
+    })
+
+
+DMS_LINES = [
+    _dms("olist_produtos", "insert", "2024-01-08T00:00:00.000001Z", P3),
+    _dms("olist_produtos", "update", "2024-01-09T00:00:00.000002Z", P3_V2),
+    _dms("olist_produtos", "delete", "2024-01-10T00:00:00.000003Z", P4),
+    _dms("olist_produtos", "load", "2024-01-07T00:00:00.000000Z", P4),
+    # control record (checkpoint): must dead-letter, never reach history
+    _dms("olist_produtos", "checkpoint", "2024-01-11T00:00:00.000004Z",
+         None, record_type="control"),
+]
+
+
+@pytest.fixture(scope="module")
+def dms_ingested(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc_dms")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "dms.jsonl"), "w") as f:
+        f.write("\n".join(DMS_LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="aws_dms",
+    )
+    ing.run_available_single_pass()
+    return ing
+
+
+def test_aws_dms_routes_all_ops(dms_ingested):
+    """insert/update/delete/load all route; load lands as INSERT."""
+    hist = dms_ingested.history("olist_produtos").collect()
+    assert len(hist) == 4
+    actions = sorted(r["action"] for r in hist)
+    assert actions == ["DELETE", "INSERT", "INSERT", "UPDATE-INSERT"]
+
+
+def test_aws_dms_control_records_dead_letter(dms_ingested):
+    dead = dms_ingested.dead_letter().collect()
+    assert len(dead) == 1
+    assert "control" in dead[0]["raw"]
+
+
+def test_auto_dispatch_includes_dms(spark, tmp_path_factory):
+    """A mixed directory with all FIVE producers' lines unifies under
+    envelope_format='auto'."""
+    root = tmp_path_factory.mktemp("cdc_mixed5")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "all.jsonl"), "w") as f:
+        f.write("\n".join(
+            [LINES[0], DBZ_LINES[0], MXW_LINES[0], CNL_LINES[0],
+             DMS_LINES[0]]
+        ) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="auto",
+    )
+    ing.run_available_single_pass()
+    hist = ing.history("olist_produtos")
+    rows = hist.collect()
+    # 1 datastream + 1 dbz + 1 maxwell + 2 canal batched + 1 dms
+    assert len(rows) == 6

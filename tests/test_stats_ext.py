@@ -452,3 +452,44 @@ def test_term_bursts_exceed_threshold(spark):
     for r in rows:
         assert r["z_score"] >= TA.BURST_Z
         assert r["n_mentions"] > r["daily_mean"]
+
+
+# --- wave J: DMS envelope, Cramér's V, IPF raking --------------------------
+
+
+def test_cramers_v_bounds(spark):
+    rows = SX.cramers_v_matrix(spark, SF_SMALL).collect()
+    assert len(rows) == len(SX._CVM_PAIRS)
+    for r in rows:
+        assert 0.0 <= r["cramers_v"] <= 1.0 + 1e-9
+        assert r["chi2"] >= -1e-6
+        assert r["levels_a"] >= 2 and r["levels_b"] >= 2
+
+
+def test_ipf_matches_both_margins(spark):
+    from collections import defaultdict
+
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    rows = SX.ipf_raking(spark, SF_SMALL).collect()
+    # after the final column step, the weighted counts match the REGION
+    # margin exactly; the row margin is approximate (classic IPF)
+    c = load_table(spark, SF_SMALL, "customer")
+    n = load_table(spark, SF_SMALL, "nation")
+    r = load_table(spark, SF_SMALL, "region")
+    cust = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .count()
+        .collect()
+    )
+    target = {x["r_name"]: x["count"] for x in cust}
+    got = defaultdict(float)
+    for row in rows:
+        got[row["region"]] += row["weighted_orders"]
+    for reg, t in target.items():
+        if reg in got:
+            assert abs(got[reg] - t) / t < 1e-3, (reg, got[reg], t)
+    for row in rows:
+        assert row["weight"] > 0
