@@ -99,6 +99,8 @@ _GATE_PRIORITY = (
     "aws_dms_envelope_roundtrip",
     "cramers_v_matrix",
     "ipf_raking",
+    "wasserstein_pairs",
+    "hits_bipartite",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -251,7 +253,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 279
+_MIN_QUERIES = 281
 
 
 def _registry() -> tuple[dict, dict]:

@@ -253,6 +253,8 @@ HEADLINE = [
     "aws_dms_envelope_roundtrip",
     "cramers_v_matrix",
     "ipf_raking",
+    "wasserstein_pairs",
+    "hits_bipartite",
 ]
 
 

@@ -1147,3 +1147,136 @@ ORACLES = {
     "k_core_peel": _kcore_oracle(),
     "harmonic_centrality": _harmonic_oracle(),
 }
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session: HITS on the customer-part bipartite graph
+# --------------------------------------------------------------------------
+
+HITS_ROUNDS = 6
+HITS_SCALE = 1_000_000  # scores as integer micro-units
+HITS_TOP = 10
+
+
+def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the customer-part purchase graph:
+    authority(part) = sum of hub scores of its buyers, hub(customer) =
+    sum of authority scores of their parts, HITS_ROUNDS alternating
+    rounds with max-normalization — "which parts do the broadest heavy
+    buyers concentrate on" (authority) and "which customers span the
+    catalog" (hubs).  Returns the top-HITS_TOP authority parts.
+
+    Exactness (bellman_ford integer-iteration pattern): scores live in
+    integer micro-units; neighbor sums are exact integer aggregations;
+    normalization divides by the CURRENT MAX via integer floor division
+    (max-norm instead of the L2 norm precisely so the iteration stays in
+    integer arithmetic) — both engines round identically every round.
+
+    Scale: the edge list is a distinct (customer, part) projection of
+    lineitem x orders (fact-sized, built once, materialized); each round
+    is two edge-keyed aggregate joins — the pagerank shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = edges.select("c").distinct().select(
+        "c", F.lit(HITS_SCALE).cast("long").alias("h")
+    ).localCheckpoint(eager=True)
+    a = None
+    dec = "decimal(38,0)"
+    for _ in range(HITS_ROUNDS):
+        # a_raw / h_raw are each referenced TWICE (by their max aggregate
+        # and by the normalization), so THEY are the frames to
+        # materialize — checkpointing the normalized frames instead would
+        # still recompute every raw aggregation twice
+        a_raw = (
+            edges.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum(F.col("h").cast(dec)).alias("ar"))
+            .localCheckpoint(eager=True)
+        )
+        amax = a_raw.agg(F.max("ar").alias("am"))
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            "p",
+            F.floor(
+                (F.col("ar") * HITS_SCALE).cast(dec) / F.col("am")
+            ).cast("long").alias("a"),
+        )
+        h_raw = (
+            edges.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum(F.col("a").cast(dec)).alias("hr"))
+            .localCheckpoint(eager=True)
+        )
+        hmax = h_raw.agg(F.max("hr").alias("hm"))
+        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "c",
+            F.floor(
+                (F.col("hr") * HITS_SCALE).cast(dec) / F.col("hm")
+            ).cast("long").alias("h"),
+        )
+    deg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        a.join(deg, "p")
+        .select(
+            F.col("p").cast("bigint").alias("part_id"),
+            (F.col("a").cast("double") / HITS_SCALE).alias("authority"),
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+        )
+        .orderBy(F.col("authority").desc(), F.col("part_id").asc())
+        .limit(HITS_TOP)
+    )
+
+
+def _hits_oracle() -> str:
+    s = HITS_SCALE
+    ctes = [
+        """edges AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_partkey AS p
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )""",
+        f"""h0 AS MATERIALIZED (SELECT DISTINCT c, CAST({s} AS BIGINT) AS h
+                   FROM edges)""",
+    ]
+    for i in range(1, HITS_ROUNDS + 1):
+        prev_h = f"h{i - 1}"
+        ctes.append(f"""ar{i} AS MATERIALIZED (
+            SELECT e.p, sum(h.h) AS ar
+            FROM edges e JOIN {prev_h} h ON e.c = h.c
+            GROUP BY 1
+        )""")
+        ctes.append(f"""am{i} AS MATERIALIZED (SELECT max(ar) AS am
+                        FROM ar{i})""")
+        ctes.append(f"""a{i} AS MATERIALIZED (
+            SELECT p, (ar * {s}) // am AS a FROM ar{i}, am{i}
+        )""")
+        ctes.append(f"""hr{i} AS MATERIALIZED (
+            SELECT e.c, sum(a.a) AS hr
+            FROM edges e JOIN a{i} a ON e.p = a.p
+            GROUP BY 1
+        )""")
+        ctes.append(f"""hm{i} AS MATERIALIZED (SELECT max(hr) AS hm
+                        FROM hr{i})""")
+        ctes.append(f"""h{i} AS MATERIALIZED (
+            SELECT c, (hr * {s}) // hm AS h FROM hr{i}, hm{i}
+        )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    deg AS (SELECT p, count(*) AS n_customers FROM edges GROUP BY 1)
+    SELECT CAST(a.p AS BIGINT) AS part_id,
+           CAST(a.a AS DOUBLE) / {s} AS authority,
+           CAST(d.n_customers AS BIGINT) AS n_customers
+    FROM a{HITS_ROUNDS} a JOIN deg d ON a.p = d.p
+    ORDER BY authority DESC, part_id ASC
+    LIMIT {HITS_TOP}
+"""
+
+
+ORACLES["hits_bipartite"] = _hits_oracle()
+QUERIES["hits_bipartite"] = hits_bipartite

@@ -1441,3 +1441,141 @@ def _ipf_oracle() -> str:
 
 ORACLES["ipf_raking"] = _ipf_oracle()
 QUERIES["ipf_raking"] = ipf_raking
+
+
+# --------------------------------------------------------------------------
+# wave K: exact 1-D optimal transport
+# --------------------------------------------------------------------------
+
+
+def wasserstein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the value
+    distributions of every event-type pair: W1 = integral |F_a - F_b| =
+    sum over the merged cent grid of |cumA/nA - cumB/nB| * gap — the
+    metric drift measure that (unlike KS) weighs HOW FAR mass moved, in
+    dollars.
+
+    Exactness: the integrand's numerator |cumA*nB - cumB*nA| and the
+    grid gaps are exact integers; the sum accumulates in decimal(38,0)
+    and the only float op is the final division by nA*nB*100.
+
+    Scale: reuses the mann_whitney_u frame shape — per-pair cumulative
+    counts on the range-bounded cent grid; the pair explosion is a
+    broadcast 10-row membership frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    types = g.select("event_type").distinct()
+    a = types.select(F.col("event_type").alias("ta"))
+    b = types.select(F.col("event_type").alias("tb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("ta") < F.col("tb"))
+    mem = pairs.select(
+        "ta",
+        "tb",
+        F.explode(
+            F.array(
+                F.struct(F.col("ta").alias("t"), F.lit("a").alias("side")),
+                F.struct(F.col("tb").alias("t"), F.lit("b").alias("side")),
+            )
+        ).alias("m"),
+    ).select("ta", "tb", F.col("m.t").alias("t"), F.col("m.side").alias("side"))
+    j = g.join(F.broadcast(mem), g.event_type == mem.t)
+    pv = j.groupBy("ta", "tb", "cv").agg(
+        F.sum(F.when(F.col("side") == "a", F.col("cnt")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == "b", F.col("cnt")).otherwise(0)).alias("nb"),
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("cv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wlead = Window.partitionBy("ta", "tb").orderBy("cv")
+    cum = (
+        pv.withColumn("ca", F.sum("na").over(w))
+        .withColumn("cb", F.sum("nb").over(w))
+        .withColumn("gap", F.lead("cv").over(wlead) - F.col("cv"))
+        .filter(F.col("gap").isNotNull())
+    )
+    tot = pv.groupBy("ta", "tb").agg(
+        F.sum("na").alias("tna"), F.sum("nb").alias("tnb")
+    )
+    s = (
+        cum.join(F.broadcast(tot), ["ta", "tb"])
+        .withColumn(
+            "piece",
+            F.abs(
+                F.col("ca").cast(_DEC) * F.col("tnb").cast(_DEC)
+                - F.col("cb").cast(_DEC) * F.col("tna").cast(_DEC)
+            )
+            * F.col("gap").cast(_DEC),
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum("piece").alias("num"),
+            F.first("tna").alias("tna"),
+            F.first("tnb").alias("tnb"),
+        )
+    )
+    w1 = F.col("num").cast("double") / (
+        F.col("tna").cast("double") * F.col("tnb").cast("double") * 100.0
+    )
+    return s.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("tna").cast("bigint").alias("n_a"),
+        F.col("tnb").cast("bigint").alias("n_b"),
+        F.round(w1, 4).alias("wasserstein_1"),
+    )
+
+
+ORACLES["wasserstein_pairs"] = """
+    WITH g AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM g),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM types a, types b WHERE a.event_type < b.event_type
+    ),
+    mem AS (
+        SELECT ta, tb, ta AS t, 'a' AS side FROM pairs
+        UNION ALL
+        SELECT ta, tb, tb AS t, 'b' AS side FROM pairs
+    ),
+    pv AS (
+        SELECT m.ta, m.tb, g.cv,
+               sum(CASE WHEN m.side = 'a' THEN g.cnt ELSE 0 END) AS na,
+               sum(CASE WHEN m.side = 'b' THEN g.cnt ELSE 0 END) AS nb
+        FROM g JOIN mem m ON g.event_type = m.t
+        GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT ta, tb, cv,
+               sum(na) OVER wc AS ca, sum(nb) OVER wc AS cb,
+               lead(cv) OVER (PARTITION BY ta, tb ORDER BY cv) - cv AS gap
+        FROM pv
+        WINDOW wc AS (PARTITION BY ta, tb ORDER BY cv
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT ta, tb, sum(na) AS tna, sum(nb) AS tnb
+        FROM pv GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT c.ta, c.tb,
+               sum(abs(c.ca * t.tnb - c.cb * t.tna) * c.gap) AS num,
+               any_value(t.tna) AS tna, any_value(t.tnb) AS tnb
+        FROM cum c JOIN tot t ON c.ta = t.ta AND c.tb = t.tb
+        WHERE c.gap IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(tna AS BIGINT) AS n_a, CAST(tnb AS BIGINT) AS n_b,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(tna AS DOUBLE) * CAST(tnb AS DOUBLE) * 100.0),
+                 4) AS wasserstein_1
+    FROM s
+"""
+QUERIES["wasserstein_pairs"] = wasserstein_pairs

@@ -493,3 +493,28 @@ def test_ipf_matches_both_margins(spark):
             assert abs(got[reg] - t) / t < 1e-3, (reg, got[reg], t)
     for row in rows:
         assert row["weight"] > 0
+
+
+# --- wave K: Wasserstein pairs + HITS ---------------------------------------
+
+
+def test_wasserstein_metric_properties(spark):
+    rows = SX.wasserstein_pairs(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["wasserstein_1"] >= 0.0
+        assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_hits_topk_normalized(spark):
+    from cdc_streamming___v2_spark.operators import graph as G
+
+    rows = G.hits_bipartite(spark, SF_SMALL).collect()
+    assert len(rows) == G.HITS_TOP
+    auths = [r["authority"] for r in rows]
+    assert auths == sorted(auths, reverse=True)
+    # max-normalized: the top authority is exactly 1.0 (the max part)
+    assert abs(auths[0] - 1.0) < 1e-6
+    for r in rows:
+        assert 0.0 < r["authority"] <= 1.0
+        assert r["n_customers"] >= 1
