@@ -101,6 +101,9 @@ _GATE_PRIORITY = (
     "ipf_raking",
     "wasserstein_pairs",
     "hits_bipartite",
+    "simpson_reversal_detect",
+    "decile_gains_table",
+    "latency_sla_report",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -253,7 +256,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 281
+_MIN_QUERIES = 284
 
 
 def _registry() -> tuple[dict, dict]:

@@ -255,6 +255,9 @@ HEADLINE = [
     "ipf_raking",
     "wasserstein_pairs",
     "hits_bipartite",
+    "simpson_reversal_detect",
+    "decile_gains_table",
+    "latency_sla_report",
 ]
 
 

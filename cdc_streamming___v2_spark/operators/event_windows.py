@@ -141,3 +141,68 @@ QUERIES = {
     "sliding_window_agg": sliding_window_agg,
     "session_agg": session_agg,
 }
+
+
+# --------------------------------------------------------------------------
+# round-5 restarted-session: SLA latency percentile report
+# --------------------------------------------------------------------------
+
+SLA_P99_MS = 120_000.0  # flag types whose p99 interarrival exceeds 2 min
+
+
+def latency_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type interarrival percentile report (p50 / p95 / p99 in
+    milliseconds) with an SLA breach flag — the tail-latency dashboard
+    row computed from exact interpolated percentiles.
+
+    Both engines compute the same linear interpolation over identical
+    integer microsecond gaps (Spark ``percentile`` == DuckDB
+    ``quantile_cont``), so the report is reproducible bit-for-bit.
+
+    Scale: one (type)-keyed lag window builds gaps; the percentile
+    aggregation is per type over its gap set — a single shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("prev", F.lag(F.unix_micros(F.col("ts"))).over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("ts")) - F.col("prev")).alias("gap_us"),
+        )
+    )
+    p = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.percentile(F.col("gap_us"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("gap_us"), F.lit(0.95)).alias("p95"),
+        F.percentile(F.col("gap_us"), F.lit(0.99)).alias("p99"),
+    )
+    return p.select(
+        "event_type",
+        "n_gaps",
+        F.round(F.col("p50") / 1000.0, 2).alias("p50_ms"),
+        F.round(F.col("p95") / 1000.0, 2).alias("p95_ms"),
+        F.round(F.col("p99") / 1000.0, 2).alias("p99_ms"),
+        (F.col("p99") / 1000.0 > SLA_P99_MS).alias("sla_breach"),
+    )
+
+
+ORACLES["latency_sla_report"] = f"""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1000.0, 2) AS p50_ms,
+           round(quantile_cont(gap_us, 0.95) / 1000.0, 2) AS p95_ms,
+           round(quantile_cont(gap_us, 0.99) / 1000.0, 2) AS p99_ms,
+           quantile_cont(gap_us, 0.99) / 1000.0 > {SLA_P99_MS} AS sla_breach
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1
+"""
+QUERIES["latency_sla_report"] = latency_sla_report

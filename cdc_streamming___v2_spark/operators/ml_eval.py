@@ -772,3 +772,81 @@ ORACLES["average_precision_quality"] = _AP_ORACLE
 ORACLES["cohens_kappa_langid"] = _kappa_oracle()
 ORACLES["mcnemar_quality_filters"] = _MCNEMAR_ORACLE
 ORACLES["isotonic_calibration"] = _ISO_ORACLE
+
+
+GAINS_DECILES = 10
+
+
+def decile_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for the quality-logit ranking of
+    ``lang == POS_LANG``: documents ranked by score into
+    GAINS_DECILES ntiles, each reporting cumulative capture rate and
+    lift over prevalence — the campaign-targeting view of
+    average_precision_quality.
+
+    Determinism: the ntile orders by (4-decimal score DESC, doc_id) —
+    fully tie-broken, so decile membership is identical across engines;
+    cumulative sums are exact integers folded over the 10-row frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(_prob_keep(F.col("text")), 4).alias("score"),
+        (F.col("lang") == POS_LANG).cast("long").alias("y"),
+    )
+    wn = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    binned = scored.withColumn("decile", F.ntile(GAINS_DECILES).over(wn))
+    g = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = g.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tp"))
+    cum = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("cn", F.sum("n").over(wc))
+        .withColumn("cp", F.sum("pos").over(wc))
+    )
+    capture = F.col("cp").cast("double") / F.col("tp").cast("double")
+    lift = (F.col("cp").cast("double") / F.col("cn").cast("double")) / (
+        F.col("tp").cast("double") / F.col("tn").cast("double")
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("pos").cast("bigint").alias("n_pos"),
+        F.round(capture, 4).alias("cum_capture"),
+        F.round(lift, 4).alias("cum_lift"),
+    )
+
+
+_GAINS_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
+               CASE WHEN lang = '{POS_LANG}' THEN 1 ELSE 0 END AS y
+        FROM (SELECT doc_id, lang, {_Z_SQL} AS z FROM documents)
+    ),
+    binned AS (
+        SELECT y, ntile({GAINS_DECILES}) OVER (ORDER BY score DESC,
+                                               doc_id ASC) AS decile
+        FROM scored
+    ),
+    g AS (SELECT decile, count(*) AS n, sum(y) AS pos
+          FROM binned GROUP BY 1),
+    tot AS (SELECT sum(n) AS tn, sum(pos) AS tp FROM g),
+    cum AS (
+        SELECT decile, n, pos, tn, tp,
+               sum(n) OVER wc AS cn, sum(pos) OVER wc AS cp
+        FROM g, tot
+        WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n_docs,
+           CAST(pos AS BIGINT) AS n_pos,
+           round(CAST(cp AS DOUBLE) / tp, 4) AS cum_capture,
+           round((CAST(cp AS DOUBLE) / cn) / (CAST(tp AS DOUBLE) / tn), 4)
+             AS cum_lift
+    FROM cum
+"""
+
+QUERIES["decile_gains_table"] = decile_gains_table
+ORACLES["decile_gains_table"] = _GAINS_ORACLE

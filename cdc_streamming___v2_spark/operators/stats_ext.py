@@ -1579,3 +1579,198 @@ ORACLES["wasserstein_pairs"] = """
     FROM s
 """
 QUERIES["wasserstein_pairs"] = wasserstein_pairs
+
+
+# --------------------------------------------------------------------------
+# wave L: stratification audits and gains analysis
+# --------------------------------------------------------------------------
+
+
+def simpson_reversal_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: for every market-segment pair, compare
+    the URGENT-order-rate difference OVERALL against the difference
+    WITHIN each region stratum; a pair where every non-tied stratum
+    disagrees with the overall sign is a full reversal — aggregate
+    conclusions that flip under stratification.
+
+    Exactness: every sign is the sign of the exact integer cross product
+    k_a*n_b - k_b*n_a — no rate division ever happens, so ties and signs
+    are exact at any scale.
+
+    Scale: one fact aggregation to the (segment x region) cell frame;
+    pair logic runs on level-bounded frames with broadcast joins.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    nt = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nt), c.c_nationkey == nt.n_nationkey)
+        .join(F.broadcast(r), nt.n_regionkey == r.r_regionkey)
+        .select(
+            "c_mktsegment",
+            "r_name",
+            (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+        )
+    )
+    cell = base.groupBy("c_mktsegment", "r_name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
+    )
+    seg = cell.groupBy("c_mktsegment").agg(
+        F.sum("n").alias("n"), F.sum("k").alias("k")
+    )
+    a = seg.select(
+        F.col("c_mktsegment").alias("sa"), F.col("n").alias("na"),
+        F.col("k").alias("ka"),
+    )
+    b = seg.select(
+        F.col("c_mktsegment").alias("sb"), F.col("n").alias("nb"),
+        F.col("k").alias("kb"),
+    )
+    overall = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("sa") < F.col("sb"))
+        .withColumn(
+            "sign_overall",
+            F.signum(
+                (F.col("ka").cast(_DEC) * F.col("nb").cast(_DEC)
+                 - F.col("kb").cast(_DEC) * F.col("na").cast(_DEC))
+                .cast("double")
+            ).cast("int"),
+        )
+    )
+    ca = cell.select(
+        F.col("c_mktsegment").alias("sa"), "r_name",
+        F.col("n").alias("sna"), F.col("k").alias("ska"),
+    )
+    cb = cell.select(
+        F.col("c_mktsegment").alias("sb"), "r_name",
+        F.col("n").alias("snb"), F.col("k").alias("skb"),
+    )
+    strata = (
+        ca.join(cb, "r_name")
+        .filter(F.col("sa") < F.col("sb"))
+        .withColumn(
+            "sign_stratum",
+            F.signum(
+                (F.col("ska").cast(_DEC) * F.col("snb").cast(_DEC)
+                 - F.col("skb").cast(_DEC) * F.col("sna").cast(_DEC))
+                .cast("double")
+            ).cast("int"),
+        )
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("n_strata"),
+            F.sum((F.col("sign_stratum") == 0).cast("int")).alias("n_tied"),
+        )
+    )
+    agree = (
+        ca.join(cb, "r_name")
+        .filter(F.col("sa") < F.col("sb"))
+        .join(
+            F.broadcast(overall.select("sa", "sb", "sign_overall")),
+            ["sa", "sb"],
+        )
+        .withColumn(
+            "sign_stratum",
+            F.signum(
+                (F.col("ska").cast(_DEC) * F.col("snb").cast(_DEC)
+                 - F.col("skb").cast(_DEC) * F.col("sna").cast(_DEC))
+                .cast("double")
+            ).cast("int"),
+        )
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                (
+                    (F.col("sign_stratum") != 0)
+                    & (F.col("sign_stratum") == F.col("sign_overall"))
+                ).cast("int")
+            ).alias("n_agree"),
+            F.sum(
+                (
+                    (F.col("sign_stratum") != 0)
+                    & (F.col("sign_stratum") == -F.col("sign_overall"))
+                ).cast("int")
+            ).alias("n_oppose"),
+        )
+    )
+    return (
+        overall.select("sa", "sb", "sign_overall")
+        .join(strata, ["sa", "sb"])
+        .join(agree, ["sa", "sb"])
+        .select(
+            F.col("sa").alias("segment_a"),
+            F.col("sb").alias("segment_b"),
+            "sign_overall",
+            F.col("n_strata").cast("int").alias("n_strata"),
+            F.col("n_agree").cast("int").alias("n_agree"),
+            F.col("n_oppose").cast("int").alias("n_oppose"),
+            F.col("n_tied").cast("int").alias("n_tied"),
+            (
+                (F.col("sign_overall") != 0)
+                & (F.col("n_oppose") > 0)
+                & (F.col("n_agree") == 0)
+            ).alias("full_reversal"),
+        )
+    )
+
+
+ORACLES["simpson_reversal_detect"] = """
+    WITH base AS (
+        SELECT c_mktsegment, r_name,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    ),
+    cell AS (
+        SELECT c_mktsegment, r_name, count(*) AS n, sum(y) AS k
+        FROM base GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT c_mktsegment, sum(n) AS n, sum(k) AS k FROM cell GROUP BY 1
+    ),
+    overall AS (
+        SELECT a.c_mktsegment AS sa, b.c_mktsegment AS sb,
+               CAST(sign(a.k * b.n - b.k * a.n) AS INT) AS sign_overall
+        FROM seg a, seg b WHERE a.c_mktsegment < b.c_mktsegment
+    ),
+    st AS (
+        SELECT a.c_mktsegment AS sa, b.c_mktsegment AS sb, a.r_name,
+               CAST(sign(a.k * b.n - b.k * a.n) AS INT) AS sign_stratum
+        FROM cell a JOIN cell b ON a.r_name = b.r_name
+        WHERE a.c_mktsegment < b.c_mktsegment
+    ),
+    agg AS (
+        SELECT st.sa, st.sb,
+               count(*) AS n_strata,
+               sum(CASE WHEN st.sign_stratum = 0 THEN 1 ELSE 0 END)
+                 AS n_tied,
+               sum(CASE WHEN st.sign_stratum != 0
+                        AND st.sign_stratum = o.sign_overall
+                   THEN 1 ELSE 0 END) AS n_agree,
+               sum(CASE WHEN st.sign_stratum != 0
+                        AND st.sign_stratum = -o.sign_overall
+                   THEN 1 ELSE 0 END) AS n_oppose
+        FROM st JOIN overall o ON st.sa = o.sa AND st.sb = o.sb
+        GROUP BY 1, 2
+    )
+    SELECT a.sa AS segment_a, a.sb AS segment_b, o.sign_overall,
+           CAST(a.n_strata AS INT) AS n_strata,
+           CAST(a.n_agree AS INT) AS n_agree,
+           CAST(a.n_oppose AS INT) AS n_oppose,
+           CAST(a.n_tied AS INT) AS n_tied,
+           (o.sign_overall != 0 AND a.n_oppose > 0 AND a.n_agree = 0)
+             AS full_reversal
+    FROM agg a JOIN overall o ON a.sa = o.sa AND a.sb = o.sb
+"""
+QUERIES["simpson_reversal_detect"] = simpson_reversal_detect

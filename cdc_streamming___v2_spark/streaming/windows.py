@@ -543,3 +543,71 @@ MG_OUTPUT_SCHEMA = T.StructType(
         T.StructField("lower_count", T.LongType()),
     ]
 )
+
+
+def ams_f2_stream(events: DataFrame) -> DataFrame:
+    """Streaming AMS F2 sketch maintenance (the stateful twin of
+    sketches.ams_f2_sketch): per-shard state carries the AMS_R sign-sum
+    counters; every arriving user_id adds its portable md5 sign to each
+    counter.  Because the counters are LINEAR sums, the final per-shard
+    vectors merge by plain addition into exactly the batch sketch's
+    global S_r vector — the mergeable-sketch property demonstrated
+    across a stream/shard decomposition.
+
+    Emissions are stamped with a monotone sequence; consumers read the
+    max-seq emission per shard and sum vectors across shards.
+    """
+    import hashlib
+
+    from ..operators.sketches import AMS_R
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sums, seq = list(state.get[0]), state.get[1]
+        else:
+            sums, seq = [0] * AMS_R, 0
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                for r in range(AMS_R):
+                    h = int(
+                        hashlib.md5(f"ams{r}|{uid}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    sums[r] += 1 if h % 2 == 0 else -1
+        seq += 1
+        state.update((sums, seq))
+        yield pd.DataFrame(
+            [(key[0], seq, r, sums[r]) for r in range(AMS_R)],
+            columns=["shard", "seq", "r", "s"],
+        )
+
+    shard = events.withColumn(
+        "shard", (F.col("user_id") % MG_SHARDS).cast("int")
+    )
+    return shard.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=AMS_STREAM_OUTPUT_SCHEMA,
+        stateStructType=AMS_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+AMS_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sums", T.ArrayType(T.LongType())),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+AMS_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("r", T.IntegerType()),
+        T.StructField("s", T.LongType()),
+    ]
+)

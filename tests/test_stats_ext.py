@@ -518,3 +518,39 @@ def test_hits_topk_normalized(spark):
     for r in rows:
         assert 0.0 < r["authority"] <= 1.0
         assert r["n_customers"] >= 1
+
+
+# --- wave L: Simpson audit, gains, SLA --------------------------------------
+
+
+def test_simpson_sign_consistency(spark):
+    rows = SX.simpson_reversal_detect(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_agree"] + r["n_oppose"] + r["n_tied"] == r["n_strata"]
+        if r["full_reversal"]:
+            assert r["n_agree"] == 0 and r["n_oppose"] > 0
+
+
+def test_decile_gains_monotone_capture(spark):
+    from cdc_streamming___v2_spark.operators import ml_eval as ME
+
+    rows = sorted(
+        ME.decile_gains_table(spark, SF_SMALL).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(rows) == ME.GAINS_DECILES
+    caps = [r["cum_capture"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 1e-9  # all positives captured by decile 10
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-3  # full-population lift = 1
+
+
+def test_latency_sla_percentiles_ordered(spark):
+    from cdc_streamming___v2_spark.operators import event_windows as EW
+
+    rows = EW.latency_sla_report(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["p50_ms"] <= r["p95_ms"] <= r["p99_ms"]
+        assert r["sla_breach"] == (r["p99_ms"] > EW.SLA_P99_MS)

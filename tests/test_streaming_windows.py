@@ -548,3 +548,31 @@ def test_heavy_hitters_stream_misra_gries_guarantee(spark, events_dir):
             if got is not None:
                 assert got <= cnt
                 assert got >= cnt - slack
+
+
+def test_ams_stream_merges_to_batch_sketch(spark, events_dir):
+    """Summing the final per-shard AMS sign vectors across shards must
+    reproduce the batch sketch's exact global S_r counters (linearity =
+    mergeability), hence the identical F2 estimate."""
+    import hashlib
+    from collections import defaultdict
+
+    from cdc_streamming___v2_spark.operators.sketches import AMS_R
+
+    name = _run(W.ams_f2_stream(_stream(spark, events_dir)), mode="update")
+    rows = spark.sql(f"select * from {name}").collect()
+    final_seq: dict = {}
+    for r in rows:
+        final_seq[r.shard] = max(final_seq.get(r.shard, 0), r.seq)
+    merged = defaultdict(int)
+    for r in rows:
+        if r.seq == final_seq[r.shard]:
+            merged[r.r] += r.s
+
+    expect = defaultdict(int)
+    for row in _batch_events(spark).collect():
+        uid = row.user_id
+        for r in range(AMS_R):
+            h = int(hashlib.md5(f"ams{r}|{uid}".encode()).hexdigest()[:8], 16)
+            expect[r] += 1 if h % 2 == 0 else -1
+    assert dict(merged) == dict(expect)
