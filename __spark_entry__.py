@@ -104,6 +104,9 @@ _GATE_PRIORITY = (
     "simpson_reversal_detect",
     "decile_gains_table",
     "latency_sla_report",
+    "markov_next_event_accuracy",
+    "extreme_value_fit",
+    "price_elasticity_brand",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -256,7 +259,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 284
+_MIN_QUERIES = 287
 
 
 def _registry() -> tuple[dict, dict]:

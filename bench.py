@@ -258,6 +258,9 @@ HEADLINE = [
     "simpson_reversal_detect",
     "decile_gains_table",
     "latency_sla_report",
+    "markov_next_event_accuracy",
+    "extreme_value_fit",
+    "price_elasticity_brand",
 ]
 
 

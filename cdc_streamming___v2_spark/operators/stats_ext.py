@@ -1774,3 +1774,243 @@ ORACLES["simpson_reversal_detect"] = """
     FROM agg a JOIN overall o ON a.sa = o.sa AND a.sb = o.sb
 """
 QUERIES["simpson_reversal_detect"] = simpson_reversal_detect
+
+
+# --------------------------------------------------------------------------
+# wave M: sequence prediction eval, extreme values, elasticity
+# --------------------------------------------------------------------------
+
+
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction accuracy of the first-order Markov model:
+    transitions TRAIN on even-user_id journeys, the argmax next-state
+    rule is EVALUATED on odd-user transitions — the sequence-model
+    analogue of the classifier_eval tier (train/test split by the
+    deterministic unit hash).
+
+    Exactness: the argmax compares exact transition counts with
+    destination tie-break (max_by on the (count, dst) struct); accuracy
+    is a ratio of exact counts.
+
+    Scale: one user-keyed lag window builds bigrams; training reduces to
+    the state^2 frame; scoring joins test bigrams against the broadcast
+    argmax rule.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    bigrams = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            (F.col("user_id") % 2 == 0).alias("is_train"),
+            F.col("event_type").alias("src"),
+            F.col("nxt").alias("dst"),
+        )
+    )
+    rule = (
+        bigrams.filter("is_train")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("src")
+        .agg(
+            F.max_by(
+                F.col("dst"), F.struct(F.col("c"), F.col("dst"))
+            ).alias("pred")
+        )
+    )
+    test = bigrams.filter(~F.col("is_train"))
+    scored = test.join(F.broadcast(rule), "src", "left")
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum((F.col("pred") == F.col("dst")).cast("long"))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.round(
+            F.sum((F.col("pred") == F.col("dst")).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("accuracy"),
+    )
+
+
+ORACLES["markov_next_event_accuracy"] = """
+    WITH bigrams AS (
+        SELECT user_id % 2 = 0 AS is_train, src, dst FROM (
+            SELECT user_id, event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS dst
+            FROM events
+        ) WHERE dst IS NOT NULL
+    ),
+    counts AS (
+        SELECT src, dst, count(*) AS c FROM bigrams
+        WHERE is_train GROUP BY 1, 2
+    ),
+    rule AS (
+        SELECT src, dst AS pred FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, dst DESC) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT b.dst, r.pred FROM bigrams b
+        LEFT JOIN rule r ON b.src = r.src
+        WHERE NOT b.is_train
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN pred = dst THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(sum(CASE WHEN pred = dst THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS accuracy
+    FROM scored
+"""
+QUERIES["markov_next_event_accuracy"] = markov_next_event_accuracy
+
+
+EVT_RETURN_DAYS = 365.0
+_EULER = 0.5772156649015329
+_PI = 3.141592653589793
+
+
+def extreme_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit of the DAILY MAXIMUM event value by the
+    method of moments (beta = s * sqrt(6)/pi, mu = xbar - gamma*beta),
+    with the EVT_RETURN_DAYS-day return level mu - beta*ln(-ln(1-1/T)) —
+    the capacity-planning number ("what daily spike do we see once a
+    year") that a plain max() cannot give.
+
+    Exactness: daily maxima are exact data cents; mean/std come from
+    exact integer sums; the fit and return level are one scalar
+    expression.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("mx")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / nd
+    ) / (nd - 1)
+    beta = F.sqrt(var * 6.0) / _PI
+    mu = mean - _EULER * beta
+    import math as _math
+
+    t_term = -_math.log(-_math.log(1.0 - 1.0 / EVT_RETURN_DAYS))
+    ret = mu + beta * t_term
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(mean / 100.0, 2).alias("mean_daily_max"),
+        F.round(mu / 100.0, 2).alias("gumbel_mu"),
+        F.round(beta / 100.0, 2).alias("gumbel_beta"),
+        F.round(ret / 100.0, 2).alias("return_level_1y"),
+    )
+
+
+def _evt_oracle() -> str:
+    import math as _math
+
+    t_term = -_math.log(-_math.log(1.0 - 1.0 / EVT_RETURN_DAYS))
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               max(CAST(round(value * 100) AS BIGINT)) AS mx
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(mx) AS s1, sum(mx * mx) AS s2 FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(CAST(s1 AS DOUBLE) / n / 100.0, 2) AS mean_daily_max,
+           round((CAST(s1 AS DOUBLE) / n
+                  - {_EULER} * sqrt(((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)) * 6.0) / {_PI}) / 100.0, 2) AS gumbel_mu,
+           round(sqrt(((CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                  / (n - 1)) * 6.0) / {_PI} / 100.0, 2) AS gumbel_beta,
+           round(((CAST(s1 AS DOUBLE) / n
+                  - {_EULER} * sqrt(((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)) * 6.0) / {_PI})
+                  + sqrt(((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)) * 6.0) / {_PI} * {t_term!r})
+                 / 100.0, 2) AS return_level_1y
+    FROM s
+"""
+
+
+ORACLES["extreme_value_fit"] = _evt_oracle()
+QUERIES["extreme_value_fit"] = extreme_value_fit
+
+
+def price_elasticity_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per part brand: OLS slope of
+    ln(quantity) on ln(unit price) over lineitem observations — the
+    pricing-analytics read of the order book (elasticity < -1 = elastic).
+
+    Exactness: unit price is the exact rational extendedprice/quantity;
+    ln() of identical doubles agrees bit-for-bit; the per-brand OLS sums
+    fold over double terms (welch float-parity precedent, outputs
+    rounded).
+
+    Scale: one broadcast part join, one brand-keyed moment aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    x = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    y = F.log(F.col("l_quantity").cast("double"))
+    g = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return g.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n").cast("bigint").alias("n_lineitems"),
+        F.round(slope, 4).alias("elasticity"),
+        (slope < -1.0).alias("elastic"),
+    )
+
+
+ORACLES["price_elasticity_brand"] = """
+    WITH j AS (
+        SELECT p_brand, ln(l_extendedprice / l_quantity) AS x,
+               ln(CAST(l_quantity AS DOUBLE)) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    g AS (
+        SELECT p_brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM j GROUP BY 1
+    )
+    SELECT p_brand AS brand, CAST(n AS BIGINT) AS n_lineitems,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS elasticity,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) < -1.0 AS elastic
+    FROM g
+"""
+QUERIES["price_elasticity_brand"] = price_elasticity_brand

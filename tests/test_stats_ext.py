@@ -554,3 +554,35 @@ def test_latency_sla_percentiles_ordered(spark):
     for r in rows:
         assert 0 <= r["p50_ms"] <= r["p95_ms"] <= r["p99_ms"]
         assert r["sla_breach"] == (r["p99_ms"] > EW.SLA_P99_MS)
+
+
+# --- wave M: sequence eval, EVT, elasticity --------------------------------
+
+
+def test_markov_accuracy_beats_uniform(spark):
+    r = SX.markov_next_event_accuracy(spark, SF_SMALL).collect()[0]
+    assert r["n_test"] > 0
+    assert 0 <= r["n_correct"] <= r["n_test"]
+    # five event types: the learned rule must beat the 1/5 uniform guess
+    assert r["accuracy"] > 0.2
+
+
+def test_extreme_value_ordering(spark):
+    r = SX.extreme_value_fit(spark, SF_SMALL).collect()[0]
+    assert r["n_days"] > 0
+    assert r["gumbel_beta"] > 0
+    # the 1-in-365 return level must exceed the mean daily max
+    assert r["return_level_1y"] > r["mean_daily_max"]
+
+
+def test_price_elasticity_brands_covered(spark):
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    rows = SX.price_elasticity_brand(spark, SF_SMALL).collect()
+    n_brands = (
+        load_table(spark, SF_SMALL, "part").select("p_brand").distinct().count()
+    )
+    assert len(rows) == n_brands
+    for r in rows:
+        assert r["elastic"] == (r["elasticity"] < -1.0)
+        assert r["n_lineitems"] > 0
