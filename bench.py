@@ -261,6 +261,9 @@ HEADLINE = [
     "markov_next_event_accuracy",
     "extreme_value_fit",
     "price_elasticity_brand",
+    "abc_classification",
+    "nelson_aalen_hazard",
+    "exponential_gap_fit",
 ]
 
 

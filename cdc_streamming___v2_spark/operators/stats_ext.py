@@ -2014,3 +2014,290 @@ ORACLES["price_elasticity_brand"] = """
     FROM g
 """
 QUERIES["price_elasticity_brand"] = price_elasticity_brand
+
+
+# --------------------------------------------------------------------------
+# wave N: operations-analytics closers
+# --------------------------------------------------------------------------
+
+ABC_A_CUT = 0.8
+ABC_B_CUT = 0.95
+
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by revenue: parts
+    sorted by revenue contribute to the cumulative share; the first 80%
+    is class A, to 95% class B, the tail C — the warehouse-ops
+    prioritization standard.
+
+    Determinism: revenue is exact integer cents; the cumulative share
+    boundary compares exact integer cross products cum*den vs cut*total
+    (cuts are exact rationals 4/5 and 19/20), so class assignment can
+    never flip on float noise.  Ordering ties break on part id.
+
+    Scale: one part-keyed aggregation; the cumulative window runs over
+    the part dimension (dimension-sized, not fact-sized).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum(F.col("cents").cast(_DEC)).alias("r"))
+    w = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    cum = rev.crossJoin(F.broadcast(tot)).withColumn(
+        "cr", F.sum("r").over(w)
+    )
+    # class A: cum share <= 0.8  <=>  5*cr <= 4*t (exact integers)
+    cls = (
+        F.when(F.col("cr") * 5 <= F.col("t") * 4, F.lit("A"))
+        .when(F.col("cr") * 20 <= F.col("t") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    per_part = cum.withColumn("cls", cls)
+    return (
+        per_part.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                (F.sum("r") / F.first("t")).cast("double"), 4
+            ).alias("revenue_share"),
+        )
+    )
+
+
+ORACLES["abc_classification"] = """
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS r
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(r) AS t FROM rev),
+    cum AS (
+        SELECT l_partkey, r, t,
+               sum(r) OVER (ORDER BY r DESC, l_partkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cr
+        FROM rev, tot
+    ),
+    cls AS (
+        SELECT CASE WHEN cr * 5 <= t * 4 THEN 'A'
+                    WHEN cr * 20 <= t * 19 THEN 'B'
+                    ELSE 'C' END AS cls,
+               r, t
+        FROM cum
+    )
+    SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(r) AS DOUBLE) / CAST(any_value(t) AS DOUBLE), 4)
+             AS revenue_share
+    FROM cls GROUP BY 1
+"""
+QUERIES["abc_classification"] = abc_classification
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for the signup ->
+    first-purchase process: H(t) = sum over event days of d_i/n_i — the
+    hazard-scale companion of kaplan_meier (exp(-H) approximates S, and
+    the increments ARE the day-by-day conversion intensity).
+
+    Exactness: d and n are exact integers from the kaplan_meier duration
+    construction; the cumulative sum of exact-ratio doubles folds with
+    the ORDERED day window (the kaplan_meier order-pinning pattern).
+    """
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    per_user = (
+        signups.join(purchases, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.datediff(F.col("p_ts").cast("date"), F.col("s_ts").cast("date")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("s_ts").cast("date")))
+            .cast("long")
+            .alias("dur"),
+            F.col("p_ts").isNotNull().cast("long").alias("observed"),
+        )
+    )
+    day = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("x"), F.sum("observed").alias("d")
+    )
+    tot = day.agg(F.sum("x").alias("n_total"))
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        day.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum("x").over(w_prev), F.lit(0)),
+        )
+        .filter(F.col("d") > 0)
+        .withColumn(
+            "cum_hazard",
+            F.sum(
+                F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ).over(w_cum),
+        )
+        .select(
+            F.col("dur").alias("t_days"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("d_events"),
+            F.round("cum_hazard", 4).alias("cum_hazard"),
+            F.round(F.exp(-F.col("cum_hazard")), 4).alias("surv_approx"),
+        )
+    )
+
+
+ORACLES["nelson_aalen_hazard"] = """
+    WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    signups AS (
+        SELECT user_id, min(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    purchases AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN signups s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+        GROUP BY 1
+    ),
+    per_user AS (
+        SELECT CAST(CASE WHEN p.p_ts IS NOT NULL
+                    THEN date_diff('day', CAST(s.s_ts AS DATE),
+                                   CAST(p.p_ts AS DATE))
+                    ELSE date_diff('day', CAST(s.s_ts AS DATE), h.h)
+               END AS BIGINT) AS dur,
+               CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM signups s LEFT JOIN purchases p ON s.user_id = p.user_id
+        CROSS JOIN horizon h
+    ),
+    day AS (
+        SELECT dur, count(*) AS x, sum(observed) AS d
+        FROM per_user GROUP BY 1
+    ),
+    tot AS (SELECT sum(x) AS n_total FROM day),
+    risk AS (
+        SELECT day.*, tot.n_total,
+               n_total - COALESCE(sum(x) OVER (ORDER BY dur ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM day, tot
+    )
+    SELECT dur AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           round(sum(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS cum_hazard,
+           round(exp(-sum(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+             AS surv_approx
+    FROM risk WHERE d > 0
+"""
+QUERIES["nelson_aalen_hazard"] = nelson_aalen_hazard
+
+
+def exponential_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential fit + KS goodness for the per-type interarrival
+    process: lambda-hat = 1/mean gap (the exponential MLE), then the KS
+    distance between the empirical gap CDF and Exp(lambda-hat) evaluated
+    at every distinct gap — "is this stream Poisson?" per event type.
+
+    Exactness: the mean is an exact-integer ratio; the empirical CDF
+    steps are exact integer counts on the distinct-gap grid; the KS sup
+    runs over that grid with single-expression exp() terms (identical
+    doubles both engines).  D evaluates the sup over both step corners
+    (before/after each jump), the textbook two-sided form.
+
+    Scale: gaps reduce to the distinct-(type, gap) frame; the CDF window
+    is per type over that grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("prev", F.lag(F.unix_micros(F.col("ts"))).over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("ts")) - F.col("prev")).alias("g"),
+        )
+    )
+    grid = gaps.groupBy("event_type", "g").agg(F.count(F.lit(1)).alias("c"))
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("g").alias("s")
+    )
+    wc = Window.partitionBy("event_type").orderBy("g").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cc", F.sum("c").over(wc)).join(
+        F.broadcast(stats), "event_type"
+    )
+    lam = F.col("n").cast("double") / F.col("s").cast("double")
+    f_exp = F.lit(1.0) - F.exp(-lam * F.col("g").cast("double"))
+    emp_hi = F.col("cc").cast("double") / F.col("n").cast("double")
+    emp_lo = (F.col("cc") - F.col("c")).cast("double") / F.col("n").cast("double")
+    d_at = F.greatest(F.abs(emp_hi - f_exp), F.abs(emp_lo - f_exp))
+    return (
+        cum.withColumn("d_at", d_at)
+        .groupBy("event_type")
+        .agg(
+            F.first("n").cast("bigint").alias("n_gaps"),
+            F.round(
+                (F.first("s").cast("double")
+                 / F.first("n").cast("double") / 1e6),
+                3,
+            ).alias("mean_gap_s"),
+            F.round(F.max("d_at"), 4).alias("ks_distance"),
+        )
+    )
+
+
+ORACLES["exponential_gap_fit"] = """
+    WITH gaps AS (
+        SELECT event_type, g FROM (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id) AS g
+            FROM events
+        ) WHERE g IS NOT NULL
+    ),
+    grid AS (
+        SELECT event_type, g, count(*) AS c FROM gaps GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, count(*) AS n, sum(g) AS s FROM gaps GROUP BY 1
+    ),
+    cum AS (
+        SELECT gr.event_type, gr.g, gr.c, st.n, st.s,
+               sum(gr.c) OVER (PARTITION BY gr.event_type ORDER BY gr.g
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cc
+        FROM grid gr JOIN stats st ON gr.event_type = st.event_type
+    )
+    SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_gaps,
+           round(CAST(any_value(s) AS DOUBLE) / any_value(n) / 1e6, 3)
+             AS mean_gap_s,
+           round(max(greatest(
+               abs(CAST(cc AS DOUBLE) / n
+                   - (1.0 - exp(-(CAST(n AS DOUBLE) / s)
+                                * CAST(g AS DOUBLE)))),
+               abs(CAST(cc - c AS DOUBLE) / n
+                   - (1.0 - exp(-(CAST(n AS DOUBLE) / s)
+                                * CAST(g AS DOUBLE)))))), 4)
+             AS ks_distance
+    FROM cum GROUP BY 1
+"""
+QUERIES["exponential_gap_fit"] = exponential_gap_fit

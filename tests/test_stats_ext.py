@@ -586,3 +586,43 @@ def test_price_elasticity_brands_covered(spark):
     for r in rows:
         assert r["elastic"] == (r["elasticity"] < -1.0)
         assert r["n_lineitems"] > 0
+
+
+# --- wave N: ABC, Nelson-Aalen, exponential fit ----------------------------
+
+
+def test_abc_shares_partition_revenue(spark):
+    rows = {r["cls"]: r for r in SX.abc_classification(spark, SF_SMALL).collect()}
+    assert set(rows) <= {"A", "B", "C"}
+    total_share = sum(r["revenue_share"] for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-3
+    if "A" in rows and "C" in rows:
+        # A parts are fewer but carry more revenue per part than C parts
+        a, c = rows["A"], rows["C"]
+        assert a["revenue_share"] / a["n_parts"] > c["revenue_share"] / c["n_parts"]
+
+
+def test_nelson_aalen_dominates_km(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    na = sorted(
+        SX.nelson_aalen_hazard(spark, SF_SMALL).collect(),
+        key=lambda r: r["t_days"],
+    )
+    hz = [r["cum_hazard"] for r in na]
+    assert all(b >= a - 1e-9 for a, b in zip(hz, hz[1:]))  # monotone
+    # exp(-H) >= KM survival pointwise (classical inequality)
+    km = {r["t_days"]: r["survival"]
+          for r in B.kaplan_meier(spark, SF_SMALL).collect()}
+    for r in na:
+        if r["t_days"] in km:
+            assert r["surv_approx"] >= km[r["t_days"]] - 1e-3
+
+
+def test_exponential_gap_fit_bounds(spark):
+    rows = SX.exponential_gap_fit(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["ks_distance"] <= 1.0
+        assert r["mean_gap_s"] > 0
+        assert r["n_gaps"] > 0
