@@ -43,6 +43,7 @@ _MODULES = (
     "merge_ops",
     "maintenance",
     "analytics",
+    "causal",
     "relational",
     "ml_ops",
     "ml_eval",
@@ -110,6 +111,10 @@ _GATE_PRIORITY = (
     "abc_classification",
     "nelson_aalen_hazard",
     "exponential_gap_fit",
+    "did_estimate",
+    "iv_wald_estimate",
+    "rdd_estimate",
+    "psm_caliper_att",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -262,7 +267,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 290
+_MIN_QUERIES = 294
 
 
 def _registry() -> tuple[dict, dict]:

@@ -264,6 +264,10 @@ HEADLINE = [
     "abc_classification",
     "nelson_aalen_hazard",
     "exponential_gap_fit",
+    "did_estimate",
+    "iv_wald_estimate",
+    "rdd_estimate",
+    "psm_caliper_att",
 ]
 
 

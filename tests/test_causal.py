@@ -1,0 +1,90 @@
+"""Semantic invariants for the causal-inference tier (causal) beyond
+DuckDB-oracle parity: algebraic identities the estimators must satisfy on
+any data."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cdc_streamming___v2_spark.operators import causal as C
+from cdc_streamming___v2_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_did_interaction_identity(spark):
+    r = C.did_estimate(spark, SF_SMALL).collect()[0]
+    # cell counts partition the purchase stream
+    n_purchases = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert (
+        r["n_ctl_pre"] + r["n_ctl_post"] + r["n_trt_pre"] + r["n_trt_post"]
+        == n_purchases
+    )
+    # the estimate is exactly the 2x2 interaction of the reported means
+    expect = (r["trt_post_mean"] - r["trt_pre_mean"]) - (
+        r["ctl_post_mean"] - r["ctl_pre_mean"]
+    )
+    assert abs(r["did_dollars"] - expect) < 1e-5  # rounding of the 4 means
+    for col in ("ctl_pre_mean", "ctl_post_mean", "trt_pre_mean", "trt_post_mean"):
+        assert r[col] > 0.0
+
+
+def test_iv_wald_ratio_identity(spark):
+    r = C.iv_wald_estimate(spark, SF_SMALL).collect()[0]
+    n_users = load_table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    assert r["n_z1"] + r["n_z0"] == n_users
+    assert 0.0 <= r["takeup_z1"] <= 1.0 and 0.0 <= r["takeup_z0"] <= 1.0
+    assert abs(r["first_stage"] - (r["takeup_z1"] - r["takeup_z0"])) < 1e-5
+    if r["first_stage"] != 0:
+        assert r["wald_dollars"] is not None
+        assert (
+            abs(r["wald_dollars"] - r["reduced_form_dollars"] / r["first_stage"])
+            < abs(r["wald_dollars"]) * 1e-2 + 1e-3
+        )
+    else:
+        assert r["wald_dollars"] is None
+
+
+def test_rdd_sides_and_jump(spark):
+    r = C.rdd_estimate(spark, SF_SMALL).collect()[0]
+    lo = C.RDD_CUTOFF_CENTS - C.RDD_BANDWIDTH_CENTS
+    hi = C.RDD_CUTOFF_CENTS + C.RDD_BANDWIDTH_CENTS
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("score")
+    )
+    n_left = cust.filter(
+        (F.col("score") >= lo) & (F.col("score") < C.RDD_CUTOFF_CENTS)
+    ).count()
+    n_right = cust.filter(
+        (F.col("score") >= C.RDD_CUTOFF_CENTS) & (F.col("score") < hi)
+    ).count()
+    assert r["n_left"] == n_left and r["n_right"] == n_right
+    assert math.isfinite(r["slope_left"]) and math.isfinite(r["slope_right"])
+    assert (
+        abs(
+            r["rdd_jump_dollars"]
+            - (r["intercept_right_dollars"] - r["intercept_left_dollars"])
+        )
+        < 1e-5
+    )
+
+
+def test_psm_matching_properties(spark):
+    r = C.psm_caliper_att(spark, SF_SMALL).collect()[0]
+    n_treated = (
+        load_table(spark, SF_SMALL, "customer")
+        .filter(F.col("c_mktsegment") == C.PSM_TREATED_SEGMENT)
+        .count()
+    )
+    assert r["n_treated"] == n_treated
+    assert 0 <= r["n_matched"] <= r["n_treated"]
+    assert abs(r["match_rate"] - r["n_matched"] / r["n_treated"]) < 1e-6
+    # every match respects the caliper, so the mean gap must too
+    assert 0.0 <= r["avg_score_gap_cents"] <= C.PSM_CALIPER_CENTS
+    assert math.isfinite(r["att_dollars"])

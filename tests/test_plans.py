@@ -554,3 +554,30 @@ def test_item_cf_pair_join_is_order_keyed(spark):
     p = _plan(spark, B5.item_cf_topk(spark, SF_SMALL))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_round5_session3_ops_never_plan_cartesian(spark):
+    """Blanket plan audit for the third round-5 session's waves: no
+    CartesianProduct in any fact-frame operator (1-row scalar broadcasts
+    plan as BroadcastNestedLoopJoin and are the accepted pattern)."""
+    from cdc_streamming___v2_spark.operators import causal as CZ
+
+    for fn in (
+        CZ.did_estimate,
+        CZ.iv_wald_estimate,
+        CZ.rdd_estimate,
+        CZ.psm_caliper_att,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_psm_candidate_join_is_bucket_equi_join(spark):
+    """PSM matching must probe controls through the caliper-bucket
+    EQUI-join (hash/sort-merge on the bucket key) — never a treated x
+    control nested-loop product."""
+    from cdc_streamming___v2_spark.operators import causal as CZ
+
+    p = _plan(spark, CZ.psm_caliper_att(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
