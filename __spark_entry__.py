@@ -115,6 +115,9 @@ _GATE_PRIORITY = (
     "iv_wald_estimate",
     "rdd_estimate",
     "psm_caliper_att",
+    "kfold_cv_rmse",
+    "conformal_interval_coverage",
+    "recsys_eval_cf",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -267,7 +270,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 294
+_MIN_QUERIES = 297
 
 
 def _registry() -> tuple[dict, dict]:

@@ -268,6 +268,9 @@ HEADLINE = [
     "iv_wald_estimate",
     "rdd_estimate",
     "psm_caliper_att",
+    "kfold_cv_rmse",
+    "conformal_interval_coverage",
+    "recsys_eval_cf",
 ]
 
 

@@ -850,3 +850,437 @@ _GAINS_ORACLE = f"""
 
 QUERIES["decile_gains_table"] = decile_gains_table
 ORACLES["decile_gains_table"] = _GAINS_ORACLE
+
+
+# --------------------------------------------------------------------------
+# kfold_cv_rmse — hash-fold cross-validation of a groupwise-mean predictor
+# --------------------------------------------------------------------------
+
+CV_FOLDS = 5
+
+
+def kfold_cv_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated RMSE of the per-order-priority mean-price
+    predictor.  Folds are md5-hash buckets of ``o_orderkey`` (stable under
+    reruns and incremental arrivals, unlike randomSplit); the out-of-fold
+    training mean for cell (group g, fold f) is (S_g - S_gf)/(n_g - n_gf),
+    so training sums are read off the SAME 25-cell aggregate — no second
+    scan and no per-row residual materialization.
+
+    Exactness: per-cell sum/count/sum-of-squares accumulate in
+    decimal(38,0) cents; the fold SSE uses the algebraic identity
+    sum((y - m)^2) = SS - 2*m*S + n*m^2 per cell (scalar float ops on
+    exact-integer-derived doubles), and the over-cells reduction is an
+    ORDER-PINNED cumulative sum on the 25-row frame, so both engines add
+    in the identical sequence.  Since every SSE term is >= 0 the fold
+    total is max(cumulative).
+
+    Scale: ONE map-side-combined groupBy to g x f cells; everything after
+    runs on that bounded frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from ..functions.texts import md5_hash_long
+
+    cells = (
+        o.select(
+            F.col("o_orderpriority").alias("g"),
+            (md5_hash_long(F.col("o_orderkey").cast("string"), "cv") % CV_FOLDS)
+            .cast("int")
+            .alias("f"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("g", "f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+            ).alias("ss"),
+        )
+    )
+    wg = Window.partitionBy("g")
+    t = cells.select(
+        "g",
+        "f",
+        "n",
+        "s",
+        "ss",
+        F.sum("n").over(wg).alias("n_g"),
+        F.sum("s").over(wg).alias("s_g"),
+    )
+    m = (F.col("s_g") - F.col("s")).cast("double") / (
+        F.col("n_g") - F.col("n")
+    ).cast("double")
+    sse = (
+        F.col("ss").cast("double")
+        - F.lit(2.0) * m * F.col("s").cast("double")
+        + F.col("n").cast("double") * m * m
+    )
+    scored = t.filter(F.col("n_g") > F.col("n")).select(
+        "f", "g", "n", sse.alias("sse")
+    )
+    wf = Window.partitionBy("f").orderBy("g").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = scored.withColumn("cum", F.sum("sse").over(wf))
+    return (
+        cum.groupBy("f")
+        .agg(F.sum("n").alias("n_test"), F.max("cum").alias("sse_total"))
+        .select(
+            F.col("f").alias("fold"),
+            "n_test",
+            F.round(
+                F.sqrt(F.col("sse_total") / F.col("n_test")) / F.lit(100.0), 6
+            ).alias("rmse_dollars"),
+        )
+        .orderBy("fold")
+    )
+
+
+QUERIES["kfold_cv_rmse"] = kfold_cv_rmse
+ORACLES["kfold_cv_rmse"] = f"""
+    WITH cells AS (
+        SELECT o_orderpriority AS g,
+               CAST(CAST('0x' || substr(md5('cv' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+                         AS BIGINT) % {CV_FOLDS} AS INT) AS f,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                   * CAST(round(o_totalprice * 100) AS HUGEINT)) AS ss
+        FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT g, f, n, s, ss,
+               sum(n) OVER (PARTITION BY g) AS n_g,
+               sum(s) OVER (PARTITION BY g) AS s_g
+        FROM cells
+    ),
+    scored AS (
+        SELECT f, g, n,
+               CAST(ss AS DOUBLE)
+               - 2.0 * (CAST(s_g - s AS DOUBLE) / CAST(n_g - n AS DOUBLE))
+                     * CAST(s AS DOUBLE)
+               + CAST(n AS DOUBLE)
+                     * (CAST(s_g - s AS DOUBLE) / CAST(n_g - n AS DOUBLE))
+                     * (CAST(s_g - s AS DOUBLE) / CAST(n_g - n AS DOUBLE))
+                   AS sse
+        FROM t WHERE n_g > n
+    ),
+    cum AS (
+        SELECT f, n, sum(sse) OVER (PARTITION BY f ORDER BY g
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+        FROM scored
+    )
+    SELECT f AS fold, CAST(sum(n) AS BIGINT) AS n_test,
+           round(sqrt(max(cum) / CAST(sum(n) AS BIGINT)) / 100.0, 6)
+               AS rmse_dollars
+    FROM cum GROUP BY f ORDER BY fold
+"""
+
+
+# --------------------------------------------------------------------------
+# conformal_interval_coverage — split-conformal prediction intervals
+# --------------------------------------------------------------------------
+
+CONF_ALPHA_NUM = 9  # coverage level 0.9 = CONF_ALPHA_NUM / 10
+
+
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction interval around the per-event-type
+    train-mean predictor, with empirical coverage measured on a held-out
+    test split.  Splits are md5(event_id) buckets: 0 = calibration,
+    1 = test, 2-3 = train.
+
+    Exactness: with a constant per-type mean m = S/n, ordering calibration
+    residuals |y - m| is identical to ordering the INTEGER score
+    |y*n - S| — so the conformal quantile is an exact integer order
+    statistic (rank ceil(0.9*(n_cal+1)), capped at n_cal) picked off the
+    bounded cent grid, and the test-side coverage comparison
+    |y*n - S| <= q is an exact integer compare that cannot flip between
+    engines.
+
+    Scale: the calibration and test frames reduce to the (type, cent)
+    grid (<= ~33k rows at ANY corpus size — the auc_roc_quality bound)
+    before any window runs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from ..functions.texts import md5_hash_long
+
+    base = e.select(
+        F.col("event_type").alias("t"),
+        (md5_hash_long(F.col("event_id").cast("string"), "conf") % 4)
+        .cast("int")
+        .alias("split"),
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    tr = (
+        base.filter(F.col("split") >= 2)
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_tr"),
+            F.sum(F.col("cv").cast("decimal(38,0)")).alias("s_tr"),
+        )
+    )
+    cal = (
+        base.filter(F.col("split") == 0)
+        .groupBy("t", "cv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(tr, "t")
+        .withColumn(
+            "ri",
+            F.abs(
+                F.col("cv").cast("decimal(38,0)") * F.col("n_tr").cast("decimal(38,0)")
+                - F.col("s_tr")
+            ),
+        )
+    )
+    wt = Window.partitionBy("t")
+    wcum = wt.orderBy("ri", "cv").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = cal.withColumn("n_cal", F.sum("cnt").over(wt)).withColumn(
+        "cum", F.sum("cnt").over(wcum)
+    )
+    # k = min(n_cal, ceil(0.9 * (n_cal + 1))) — exact arithmetic, one floor
+    k = F.floor(
+        F.least(
+            F.col("n_cal").cast("double"),
+            (((F.col("n_cal") + 1) * CONF_ALPHA_NUM + 9) / F.lit(10)).cast("double"),
+        )
+    )
+    q = (
+        ranked.filter(F.col("cum") >= k)
+        .groupBy("t")
+        .agg(
+            F.min("ri").alias("qi"),
+            F.max("n_cal").alias("n_calib"),
+        )
+    )
+    stats = tr.join(q, "t")
+    test = (
+        base.filter(F.col("split") == 1)
+        .groupBy("t", "cv")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(stats, "t")
+    )
+    covered = F.when(
+        F.abs(
+            F.col("cv").cast("decimal(38,0)") * F.col("n_tr").cast("decimal(38,0)")
+            - F.col("s_tr")
+        )
+        <= F.col("qi"),
+        F.col("cnt"),
+    ).otherwise(0)
+    return (
+        test.groupBy("t", "n_tr", "n_calib", "qi")
+        .agg(F.sum("cnt").alias("n_test"), F.sum(covered).alias("n_covered"))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n_tr").alias("n_train"),
+            "n_calib",
+            "n_test",
+            F.round(
+                F.col("qi").cast("double") / F.col("n_tr").cast("double") / F.lit(100.0),
+                6,
+            ).alias("q_dollars"),
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["conformal_interval_coverage"] = conformal_interval_coverage
+ORACLES["conformal_interval_coverage"] = f"""
+    WITH base AS (
+        SELECT event_type AS t,
+               CAST(CAST('0x' || substr(md5('conf' || CAST(event_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 4 AS INT) AS split,
+               CAST(round(value * 100) AS BIGINT) AS cv
+        FROM events
+    ),
+    tr AS (
+        SELECT t, count(*) AS n_tr, sum(cv) AS s_tr
+        FROM base WHERE split >= 2 GROUP BY t
+    ),
+    cal AS (
+        SELECT b.t, b.cv, count(*) AS cnt, any_value(tr.n_tr) AS n_tr,
+               any_value(tr.s_tr) AS s_tr
+        FROM (SELECT * FROM base WHERE split = 0) b JOIN tr USING (t)
+        GROUP BY b.t, b.cv
+    ),
+    ranked AS (
+        SELECT t, cv, cnt, abs(CAST(cv AS HUGEINT) * n_tr - s_tr) AS ri,
+               sum(cnt) OVER (PARTITION BY t) AS n_cal,
+               sum(cnt) OVER (PARTITION BY t
+                              ORDER BY abs(CAST(cv AS HUGEINT) * n_tr - s_tr), cv
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM cal
+    ),
+    q AS (
+        SELECT t, min(ri) AS qi, max(n_cal) AS n_calib
+        FROM ranked
+        WHERE cum >= floor(least(CAST(n_cal AS DOUBLE),
+                                 CAST((n_cal + 1) * {CONF_ALPHA_NUM} + 9 AS DOUBLE)
+                                 / 10))
+        GROUP BY t
+    ),
+    test AS (
+        SELECT b.t, b.cv, count(*) AS cnt FROM base b WHERE split = 1
+        GROUP BY b.t, b.cv
+    )
+    SELECT t AS event_type,
+           CAST(tr.n_tr AS BIGINT) AS n_train,
+           CAST(q.n_calib AS BIGINT) AS n_calib,
+           CAST(sum(cnt) AS BIGINT) AS n_test,
+           round(CAST(qi AS DOUBLE) / CAST(tr.n_tr AS DOUBLE) / 100.0, 6)
+               AS q_dollars,
+           round(CAST(sum(CASE WHEN abs(CAST(cv AS HUGEINT) * tr.n_tr - tr.s_tr)
+                                    <= qi THEN cnt ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(cnt) AS DOUBLE), 6) AS coverage
+    FROM test JOIN tr USING (t) JOIN q USING (t)
+    GROUP BY t, tr.n_tr, q.n_calib, qi
+    ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# recsys_eval_cf — held-out hit-rate of the co-occurrence recommender
+# --------------------------------------------------------------------------
+
+REC_TEST_MOD = 5  # orders with md5 % 5 == 0 form the held-out test set
+
+
+def recsys_eval_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline evaluation of the item-item co-occurrence recommender
+    (item_cf_topk's count space): split orders 80/20 by md5 hash, build
+    directed co-occurrence counts from TRAIN baskets only, recommend each
+    item's top-1 partner (count desc, partner id asc — deterministic), and
+    score on TEST baskets: a scored item "hits" when its recommended
+    partner appears in the same held-out basket.  Reports hit rate,
+    scoring coverage, and catalog coverage — the standard recsys offline
+    loop next to ranking_eval_bm25's IR metrics.
+
+    Scale: the pair space is the market_basket shape (distinct
+    (order, part), order-keyed self-join, O(k^2) per basket — never part x
+    part); top-1 selection is a per-anchor rank window on the bounded
+    co-occurrence frame; test scoring is two equi-joins.
+    """
+    from ..functions.texts import md5_hash_long
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "is_test",
+            md5_hash_long(F.col("l_orderkey").cast("string"), "rec") % REC_TEST_MOD
+            == 0,
+        )
+    )
+    train = li.filter(~F.col("is_test")).select("l_orderkey", "l_partkey")
+    test = li.filter(F.col("is_test")).select("l_orderkey", "l_partkey")
+    a = train.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = train.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    w = Window.partitionBy("pa").orderBy(F.col("n_co").desc(), F.col("pb"))
+    top1 = (
+        co.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("pa"), F.col("pb").alias("rec"))
+    )
+    scored = test.join(top1, test.l_partkey == top1.pa, "left").select(
+        "l_orderkey", "l_partkey", "rec"
+    )
+    hit_probe = test.select(
+        F.col("l_orderkey").alias("ho"), F.col("l_partkey").alias("hp")
+    )
+    hits = scored.join(
+        hit_probe,
+        (F.col("l_orderkey") == F.col("ho")) & (F.col("rec") == F.col("hp")),
+        "left",
+    )
+    catalog = train.groupBy().agg(
+        F.countDistinct("l_partkey").alias("n_train_items")
+    )
+    g = hits.groupBy().agg(
+        F.count(F.lit(1)).alias("n_test_items"),
+        F.sum(F.col("rec").isNotNull().cast("int")).alias("n_scored"),
+        F.sum(F.col("hp").isNotNull().cast("int")).alias("n_hits"),
+        F.countDistinct(F.col("rec")).alias("n_rec_distinct"),
+    ).crossJoin(F.broadcast(catalog))  # 1-row scalar broadcast
+    return g.select(
+        "n_test_items",
+        "n_scored",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_scored").cast("double"), 6
+        ).alias("hit_rate_at1"),
+        F.round(
+            F.col("n_scored").cast("double") / F.col("n_test_items").cast("double"), 6
+        ).alias("scoring_coverage"),
+        F.round(
+            F.col("n_rec_distinct").cast("double")
+            / F.col("n_train_items").cast("double"),
+            6,
+        ).alias("catalog_coverage"),
+    )
+
+
+QUERIES["recsys_eval_cf"] = recsys_eval_cf
+ORACLES["recsys_eval_cf"] = f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tagged AS (
+        SELECT l_orderkey, l_partkey,
+               CAST('0x' || substr(md5('rec' || CAST(l_orderkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % {REC_TEST_MOD} = 0 AS is_test
+        FROM li
+    ),
+    train AS (SELECT l_orderkey, l_partkey FROM tagged WHERE NOT is_test),
+    test AS (SELECT l_orderkey, l_partkey FROM tagged WHERE is_test),
+    co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_co
+        FROM train a JOIN train b USING (l_orderkey)
+        WHERE a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    top1 AS (
+        SELECT pa, pb AS rec FROM (
+            SELECT pa, pb,
+                   row_number() OVER (PARTITION BY pa
+                                      ORDER BY n_co DESC, pb) AS rn
+            FROM co
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT t.l_orderkey, t.l_partkey, top1.rec
+        FROM test t LEFT JOIN top1 ON t.l_partkey = top1.pa
+    ),
+    hits AS (
+        SELECT s.*, h.l_partkey AS hp
+        FROM scored s LEFT JOIN test h
+          ON s.l_orderkey = h.l_orderkey AND s.rec = h.l_partkey
+    )
+    SELECT count(*) AS n_test_items,
+           CAST(sum(CASE WHEN rec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scored,
+           CAST(sum(CASE WHEN hp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           round(CAST(sum(CASE WHEN hp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN rec IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE), 6) AS hit_rate_at1,
+           round(CAST(sum(CASE WHEN rec IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS scoring_coverage,
+           round(CAST(count(DISTINCT rec) AS DOUBLE)
+                 / (SELECT CAST(count(DISTINCT l_partkey) AS DOUBLE) FROM train),
+                 6) AS catalog_coverage
+    FROM hits
+"""

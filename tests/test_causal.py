@@ -88,3 +88,47 @@ def test_psm_matching_properties(spark):
     # every match respects the caliper, so the mean gap must too
     assert 0.0 <= r["avg_score_gap_cents"] <= C.PSM_CALIPER_CENTS
     assert math.isfinite(r["att_dollars"])
+
+
+# --- model-validation wave (ml_eval) ---------------------------------------
+
+
+def test_kfold_folds_partition_orders(spark):
+    from cdc_streamming___v2_spark.operators import ml_eval as ME
+
+    rows = ME.kfold_cv_rmse(spark, SF_SMALL).collect()
+    assert len(rows) == ME.CV_FOLDS
+    assert sorted(r["fold"] for r in rows) == list(range(ME.CV_FOLDS))
+    n_orders = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r["n_test"] for r in rows) == n_orders
+    for r in rows:
+        assert r["rmse_dollars"] > 0.0 and math.isfinite(r["rmse_dollars"])
+
+
+def test_conformal_coverage_near_nominal(spark):
+    from cdc_streamming___v2_spark.operators import ml_eval as ME
+
+    rows = ME.conformal_interval_coverage(spark, SF_SMALL).collect()
+    types = {r["event_type"] for r in rows}
+    assert len(types) == 5
+    for r in rows:
+        assert r["q_dollars"] >= 0.0
+        assert 0.0 <= r["coverage"] <= 1.0
+        # split-conformal guarantee: coverage >= 0.9 in expectation; with
+        # finite exchangeable samples the deviation is O(1/sqrt(n_test)) —
+        # allow a generous band
+        assert r["coverage"] >= 0.9 - 3.0 / math.sqrt(max(r["n_test"], 1))
+        # the splitter must put roughly half the rows in train (2 of 4
+        # buckets), a quarter each in calib/test
+        total = r["n_train"] + r["n_calib"] + r["n_test"]
+        assert r["n_train"] > 0.3 * total
+
+
+def test_recsys_eval_bounds(spark):
+    from cdc_streamming___v2_spark.operators import ml_eval as ME
+
+    r = ME.recsys_eval_cf(spark, SF_SMALL).collect()[0]
+    assert 0 <= r["n_hits"] <= r["n_scored"] <= r["n_test_items"]
+    assert 0.0 <= r["hit_rate_at1"] <= 1.0
+    assert 0.0 <= r["scoring_coverage"] <= 1.0
+    assert 0.0 < r["catalog_coverage"] <= 1.0

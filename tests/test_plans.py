@@ -581,3 +581,13 @@ def test_psm_candidate_join_is_bucket_equi_join(spark):
     p = _plan(spark, CZ.psm_caliper_att(spark, SF_SMALL))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_model_validation_ops_never_plan_cartesian(spark):
+    """kfold/conformal/recsys: no CartesianProduct (recsys' 1-row catalog
+    scalar broadcast plans as BNLJ and is the accepted pattern)."""
+    from cdc_streamming___v2_spark.operators import ml_eval as ME
+
+    for fn in (ME.kfold_cv_rmse, ME.conformal_interval_coverage, ME.recsys_eval_cf):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
