@@ -118,6 +118,12 @@ _GATE_PRIORITY = (
     "kfold_cv_rmse",
     "conformal_interval_coverage",
     "recsys_eval_cf",
+    "sequential_patterns",
+    "transition_entropy_rate",
+    "woe_iv_binning",
+    "control_chart_days",
+    "littles_law_audit",
+    "newsvendor_stock_level",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -270,7 +276,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 297
+_MIN_QUERIES = 303
 
 
 def _registry() -> tuple[dict, dict]:

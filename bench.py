@@ -271,6 +271,12 @@ HEADLINE = [
     "kfold_cv_rmse",
     "conformal_interval_coverage",
     "recsys_eval_cf",
+    "sequential_patterns",
+    "transition_entropy_rate",
+    "woe_iv_binning",
+    "control_chart_days",
+    "littles_law_audit",
+    "newsvendor_stock_level",
 ]
 
 

@@ -4629,3 +4629,490 @@ ORACLES["funnel_step_significance"] = f"""
     FROM agg
 """
 QUERIES["funnel_step_significance"] = funnel_step_significance
+
+
+# --------------------------------------------------------------------------
+# woe_iv_binning — weight-of-evidence / information-value feature report
+# --------------------------------------------------------------------------
+
+WOE_BIN_CENTS = 4_000  # $40-wide value bins
+WOE_MAX_BIN = 9  # bins 0..9; the top bin absorbs the tail
+
+
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence and Information-Value binning of ``events.value``
+    against the error-event indicator (bad = event_type 'error') — the
+    credit-scoring feature-screening report (WoE_b = ln(good-share /
+    bad-share), IV = sum (gshare - bshare) * WoE with 0.5 Laplace
+    smoothing per bin so empty-side bins stay finite).
+
+    Exactness: fixed-width cent bins (no quantile boundaries to diverge),
+    exact integer counts, and WoE's argument assembled as ONE ratio of
+    half-integer products ((g+0.5)*(B+5) / ((b+0.5)*(G+5)) — every factor
+    exactly representable) so ln sees bit-identical doubles.  IV terms are
+    >= 0 by construction, so the order-pinned cumulative total is
+    max(cum).
+
+    Scale: one map-side-combined groupBy to <= 10 bins; all arithmetic on
+    that frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    binc = F.least(
+        F.floor(F.round(F.col("value") * 100).cast("long") / F.lit(WOE_BIN_CENTS)),
+        F.lit(WOE_MAX_BIN),
+    ).cast("int")
+    g = (
+        e.select(binc.alias("bin"), (F.col("event_type") == "error").alias("bad"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(~F.col("bad"), 1).otherwise(0)).alias("n_good"),
+            F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("n_bad"),
+        )
+    )
+    wall = Window.partitionBy()
+    t = g.withColumn("tg", F.sum("n_good").over(wall)).withColumn(
+        "tb", F.sum("n_bad").over(wall)
+    )
+    smooth_bins = WOE_MAX_BIN + 1
+    gs = (F.col("n_good") + F.lit(0.5)) / (F.col("tg") + F.lit(float(smooth_bins) / 2))
+    bs = (F.col("n_bad") + F.lit(0.5)) / (F.col("tb") + F.lit(float(smooth_bins) / 2))
+    woe = F.log(
+        (F.col("n_good") + F.lit(0.5))
+        * (F.col("tb") + F.lit(float(smooth_bins) / 2))
+        / (
+            (F.col("n_bad") + F.lit(0.5))
+            * (F.col("tg") + F.lit(float(smooth_bins) / 2))
+        )
+    )
+    iv_term = (gs - bs) * woe
+    wcum = wall.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    scored = t.withColumn("woe", woe).withColumn("iv_term", iv_term).withColumn(
+        "iv_cum", F.sum("iv_term").over(wcum)
+    )
+    wfull = wall.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scored.select(
+        "bin",
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        F.round("woe", 6).alias("woe"),
+        F.round("iv_term", 6).alias("iv_term"),
+        F.round(F.max("iv_cum").over(wfull), 6).alias("iv_total"),
+    ).orderBy("bin")
+
+
+QUERIES["woe_iv_binning"] = woe_iv_binning
+ORACLES["woe_iv_binning"] = f"""
+    WITH g AS (
+        SELECT least(CAST(floor(CAST(round(value * 100) AS BIGINT)
+                                / {WOE_BIN_CENTS}.0) AS BIGINT),
+                     {WOE_MAX_BIN}) AS bin,
+               sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS n_good,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_bad
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT bin, n_good, n_bad,
+               sum(n_good) OVER () AS tg, sum(n_bad) OVER () AS tb
+        FROM g
+    ),
+    scored AS (
+        SELECT bin, n_good, n_bad,
+               ln((n_good + 0.5) * (tb + 5.0) / ((n_bad + 0.5) * (tg + 5.0)))
+                   AS woe,
+               ((n_good + 0.5) / (tg + 5.0) - (n_bad + 0.5) / (tb + 5.0))
+               * ln((n_good + 0.5) * (tb + 5.0) / ((n_bad + 0.5) * (tg + 5.0)))
+                   AS iv_term
+        FROM t
+    ),
+    cums AS (
+        SELECT bin, n_good, n_bad, woe, iv_term,
+               sum(iv_term) OVER (ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS iv_cum
+        FROM scored
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(n_good AS BIGINT) AS n_good, CAST(n_bad AS BIGINT) AS n_bad,
+           round(woe, 6) AS woe, round(iv_term, 6) AS iv_term,
+           round(max(iv_cum) OVER (), 6) AS iv_total
+    FROM cums ORDER BY bin
+"""
+
+
+# --------------------------------------------------------------------------
+# control_chart_days — Shewhart x-chart with a Western Electric run rule
+# --------------------------------------------------------------------------
+
+
+def control_chart_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control over daily purchase revenue: Shewhart
+    rule 1 (a day beyond 3 sigma of the series mean) and Western Electric
+    rule 2 (two of three consecutive days beyond 2 sigma on the SAME
+    side) — the monitoring layer behind anomaly_days, but on revenue and
+    with flip-proof limits.
+
+    Exactness: with dev = n*x - T and var_n = n*Q - T^2 (all exact
+    decimal(38,0) from integer cents), |x - mean| > k*sigma is EXACTLY
+    dev^2 > k^2 * var_n — an integer comparison that cannot flip between
+    engines; the reported z = dev / sqrt(var_n) is two float ops on
+    exact-integer-derived doubles.
+
+    Scale: one groupBy to the day frame; windows run on days only.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+            .alias("rev")
+        )
+    )
+    wall = Window.partitionBy()
+    t = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("tt", F.sum("rev").over(wall))
+        .withColumn("q", F.sum(F.col("rev") * F.col("rev")).over(wall))
+    )
+    dev = F.col("n").cast("decimal(38,0)") * F.col("rev") - F.col("tt")
+    var_n = F.col("n").cast("decimal(38,0)") * F.col("q") - F.col("tt") * F.col("tt")
+    t = t.withColumn("dev", dev).withColumn("var_n", var_n)
+    beyond3 = F.col("dev") * F.col("dev") > F.lit(9) * F.col("var_n")
+    beyond2 = F.col("dev") * F.col("dev") > F.lit(4) * F.col("var_n")
+    above2 = beyond2 & (F.col("dev") > 0)
+    below2 = beyond2 & (F.col("dev") < 0)
+    wday = wall.orderBy("day")
+    t = (
+        t.withColumn("a2", above2)
+        .withColumn("b2", below2)
+        .withColumn("rule1", beyond3)
+    )
+    rule2 = (
+        F.col("a2")
+        & (
+            F.coalesce(F.lag("a2", 1).over(wday), F.lit(False))
+            | F.coalesce(F.lag("a2", 2).over(wday), F.lit(False))
+        )
+    ) | (
+        F.col("b2")
+        & (
+            F.coalesce(F.lag("b2", 1).over(wday), F.lit(False))
+            | F.coalesce(F.lag("b2", 2).over(wday), F.lit(False))
+        )
+    )
+    z = F.col("dev").cast("double") / F.sqrt(F.col("var_n").cast("double"))
+    return t.select(
+        "day",
+        F.round(F.col("rev").cast("double") / F.lit(100.0), 2).alias(
+            "revenue_dollars"
+        ),
+        F.round(z, 4).alias("z_score"),
+        F.col("rule1").alias("rule1_beyond_3sigma"),
+        rule2.alias("rule2_two_of_three"),
+    ).orderBy("day")
+
+
+QUERIES["control_chart_days"] = control_chart_days
+ORACLES["control_chart_days"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS rev
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    t AS (
+        SELECT day, rev,
+               count(*) OVER () AS n,
+               sum(rev) OVER () AS tt,
+               sum(rev * rev) OVER () AS q
+        FROM daily
+    ),
+    d AS (
+        SELECT day, rev, n * rev - tt AS dev, n * q - tt * tt AS var_n
+        FROM t
+    ),
+    flags AS (
+        SELECT day, rev, dev, var_n,
+               dev * dev > 9 * var_n AS rule1,
+               dev * dev > 4 * var_n AND dev > 0 AS a2,
+               dev * dev > 4 * var_n AND dev < 0 AS b2
+        FROM d
+    ),
+    runs AS (
+        SELECT day, rev, dev, var_n, rule1,
+               (a2 AND (coalesce(lag(a2, 1) OVER (ORDER BY day), false)
+                        OR coalesce(lag(a2, 2) OVER (ORDER BY day), false)))
+               OR
+               (b2 AND (coalesce(lag(b2, 1) OVER (ORDER BY day), false)
+                        OR coalesce(lag(b2, 2) OVER (ORDER BY day), false)))
+                   AS rule2
+        FROM flags
+    )
+    SELECT day,
+           round(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue_dollars,
+           round(CAST(dev AS DOUBLE) / sqrt(CAST(var_n AS DOUBLE)), 4) AS z_score,
+           rule1 AS rule1_beyond_3sigma,
+           rule2 AS rule2_two_of_three
+    FROM runs ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# littles_law_audit — L = lambda * W consistency check per month
+# --------------------------------------------------------------------------
+
+_EPOCH = "1995-01-01"  # first order date at every SF
+
+
+def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queueing audit of the order-fulfilment pipeline: per calendar month,
+    average work-in-progress L (orders open, by exact day-overlap
+    integration), arrival rate lambda (orders placed / days), average
+    residence W (days from order to last shipment, arrivals' cohort), and
+    the Little's-law ratio L / (lambda * W) — 1.0 when the system is
+    stationary, boundary effects show as deviations.
+
+    Exactness: all day arithmetic is integer (datediff from a pinned
+    epoch); an order resides over [arrival_day, depart_day + 1), so every
+    month overlap is an exact integer day count and only the three final
+    report divisions are float.
+
+    Scale: the per-order frame joins orders to a per-order max(shipdate)
+    aggregate; the month explode is bounded by residence months (<= ~4);
+    both rollups reduce to the month grid.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("ship"))
+    )
+    epoch = F.lit(_EPOCH).cast("date")
+    # the synthetic corpus carries ship dates BEFORE their order date;
+    # clamp departure to the arrival day (same-day completion) so the
+    # residence interval is always well-formed — and so Spark's sequence()
+    # (which auto-steps DOWN on an inverted range, unlike DuckDB's
+    # generate_series returning empty) never sees dmi < ami
+    per = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("a"),
+        F.greatest(
+            F.datediff(F.col("ship"), epoch),
+            F.datediff(F.to_date("o_orderdate"), epoch),
+        ).alias("d"),
+        (
+            (F.year(F.to_date("o_orderdate")) - 1995) * 12
+            + F.month(F.to_date("o_orderdate"))
+            - 1
+        ).alias("ami"),
+        F.greatest(
+            (F.year("ship") - 1995) * 12 + F.month("ship") - 1,
+            (F.year(F.to_date("o_orderdate")) - 1995) * 12
+            + F.month(F.to_date("o_orderdate"))
+            - 1,
+        ).alias("dmi"),
+    )
+    # month grid rows: exploded per-order months with exact overlap days
+    mm = per.select(
+        "a", "d", F.explode(F.sequence(F.col("ami"), F.col("dmi"))).alias("m")
+    )
+    y = (F.lit(1995) + F.floor(F.col("m") / 12)).cast("int")
+    mo = (F.col("m") % 12 + 1).cast("int")
+    mstart = F.make_date(y, mo, F.lit(1))
+    ms = F.datediff(mstart, epoch)
+    me = F.datediff(F.add_months(mstart, 1), epoch)
+    overlap = F.least(F.col("d") + 1, me) - F.greatest(F.col("a"), ms)
+    occ = mm.groupBy("m").agg(
+        F.sum(overlap.cast("decimal(38,0)")).alias("open_days"),
+        F.max(me - ms).alias("mdays"),
+    )
+    arr = per.groupBy(F.col("ami").alias("m")).agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.sum((F.col("d") - F.col("a") + 1).cast("decimal(38,0)")).alias("res_days"),
+    )
+    j = occ.join(arr, "m", "left")
+    ld = F.col("open_days").cast("double") / F.col("mdays").cast("double")
+    lam = F.col("n_arrivals").cast("double") / F.col("mdays").cast("double")
+    wd = F.col("res_days").cast("double") / F.col("n_arrivals").cast("double")
+    return j.select(
+        F.make_date(
+            (F.lit(1995) + F.floor(F.col("m") / 12)).cast("int"),
+            (F.col("m") % 12 + 1).cast("int"),
+            F.lit(1),
+        ).alias("month"),
+        F.coalesce(F.col("n_arrivals"), F.lit(0)).cast("long").alias("n_arrivals"),
+        F.round(ld, 4).alias("l_avg_open"),
+        F.round(lam, 4).alias("lambda_per_day"),
+        F.round(wd, 4).alias("w_days"),
+        F.round(ld / (lam * wd), 4).alias("littles_ratio"),
+    ).orderBy("month")
+
+
+QUERIES["littles_law_audit"] = littles_law_audit
+ORACLES["littles_law_audit"] = f"""
+    WITH li AS (
+        SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS ship
+        FROM lineitem GROUP BY 1
+    ),
+    per AS (
+        SELECT datediff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE)) AS a,
+               greatest(datediff('day', DATE '{_EPOCH}', ship),
+                        datediff('day', DATE '{_EPOCH}',
+                                 CAST(o_orderdate AS DATE))) AS d,
+               (year(CAST(o_orderdate AS DATE)) - 1995) * 12
+                   + month(CAST(o_orderdate AS DATE)) - 1 AS ami,
+               greatest((year(ship) - 1995) * 12 + month(ship) - 1,
+                        (year(CAST(o_orderdate AS DATE)) - 1995) * 12
+                            + month(CAST(o_orderdate AS DATE)) - 1) AS dmi
+        FROM orders JOIN li ON o_orderkey = l_orderkey
+    ),
+    mm AS (
+        SELECT a, d, CAST(u.m AS BIGINT) AS m
+        FROM per, unnest(generate_series(ami, dmi)) AS u(m)
+    ),
+    grid AS (
+        SELECT m, a, d,
+               make_date(CAST(1995 + floor(m / 12) AS INT),
+                         CAST(m % 12 + 1 AS INT), 1) AS mstart
+        FROM mm
+    ),
+    ov AS (
+        SELECT m,
+               least(d + 1, datediff('day', DATE '{_EPOCH}',
+                                     CAST(mstart + INTERVAL 1 MONTH AS DATE)))
+               - greatest(a, datediff('day', DATE '{_EPOCH}', mstart)) AS overlap,
+               datediff('day', DATE '{_EPOCH}',
+                        CAST(mstart + INTERVAL 1 MONTH AS DATE))
+               - datediff('day', DATE '{_EPOCH}', mstart) AS mdays
+        FROM grid
+    ),
+    occ AS (
+        SELECT m, sum(overlap) AS open_days, max(mdays) AS mdays
+        FROM ov GROUP BY 1
+    ),
+    arr AS (
+        SELECT ami AS m, count(*) AS n_arrivals,
+               sum(d - a + 1) AS res_days
+        FROM per GROUP BY 1
+    )
+    SELECT make_date(CAST(1995 + floor(occ.m / 12) AS INT),
+                     CAST(occ.m % 12 + 1 AS INT), 1) AS month,
+           CAST(coalesce(n_arrivals, 0) AS BIGINT) AS n_arrivals,
+           round(CAST(open_days AS DOUBLE) / CAST(mdays AS DOUBLE), 4)
+               AS l_avg_open,
+           round(CAST(n_arrivals AS DOUBLE) / CAST(mdays AS DOUBLE), 4)
+               AS lambda_per_day,
+           round(CAST(res_days AS DOUBLE) / CAST(n_arrivals AS DOUBLE), 4)
+               AS w_days,
+           round((CAST(open_days AS DOUBLE) / CAST(mdays AS DOUBLE))
+                 / ((CAST(n_arrivals AS DOUBLE) / CAST(mdays AS DOUBLE))
+                    * (CAST(res_days AS DOUBLE) / CAST(n_arrivals AS DOUBLE))),
+                 4) AS littles_ratio
+    FROM occ LEFT JOIN arr ON occ.m = arr.m
+    ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
+# newsvendor_stock_level — critical-ratio stocking per brand
+# --------------------------------------------------------------------------
+
+NEWSVENDOR_SERVICE_NUM = 9  # target service level 0.9 = NUM / 10
+
+
+def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking report per part brand: the 90%-critical-ratio
+    stock level is the exact 0.9 order statistic of observed daily demand
+    (percentile_disc semantics — rank ceil(0.9 * n_days) on the bounded
+    demand grid), with the achieved service level (share of observed days
+    whose demand the stock covers) read off the same grid.
+
+    Exactness: demand is integer units; the quantile is an integer order
+    statistic picked by exact integer rank arithmetic — nothing to
+    interpolate, nothing to flip.
+
+    Scale: facts reduce to the (brand, day) frame, then to the (brand,
+    demand) grid; the cumulative window runs per brand on that bounded
+    grid.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.round(F.col("l_quantity")).cast("long").alias("q")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("day")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "day")
+        .agg(F.sum("q").alias("demand"))
+    )
+    grid = daily.groupBy("p_brand", "demand").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.partitionBy("p_brand")
+    wcum = wb.orderBy("demand").rowsBetween(Window.unboundedPreceding, 0)
+    t = grid.withColumn("n_days", F.sum("cnt").over(wb)).withColumn(
+        "cum", F.sum("cnt").over(wcum)
+    )
+    # k = ceil(0.9 * n_days), exact integer arithmetic
+    k = F.floor(
+        ((F.col("n_days") * NEWSVENDOR_SERVICE_NUM + 9) / F.lit(10)).cast("double")
+    )
+    hit = t.filter(F.col("cum") >= k).groupBy("p_brand").agg(
+        F.min("demand").alias("stock_level"), F.max("n_days").alias("n_days")
+    )
+    svc = (
+        grid.join(hit, "p_brand")
+        .groupBy("p_brand", "stock_level", "n_days")
+        .agg(
+            F.sum(F.when(F.col("demand") <= F.col("stock_level"), F.col("cnt"))
+                  .otherwise(0)).alias("n_covered")
+        )
+    )
+    return svc.select(
+        "p_brand",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("stock_level").cast("long").alias("stock_level"),
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_days").cast("double"), 6
+        ).alias("service_level"),
+    ).orderBy("p_brand")
+
+
+QUERIES["newsvendor_stock_level"] = newsvendor_stock_level
+ORACLES["newsvendor_stock_level"] = f"""
+    WITH daily AS (
+        SELECT p_brand, CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS demand
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT p_brand, demand, count(*) AS cnt FROM daily GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT p_brand, demand, cnt,
+               sum(cnt) OVER (PARTITION BY p_brand) AS n_days,
+               sum(cnt) OVER (PARTITION BY p_brand ORDER BY demand
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM grid
+    ),
+    hit AS (
+        SELECT p_brand, min(demand) AS stock_level, max(n_days) AS n_days
+        FROM t
+        WHERE cum >= floor(CAST(n_days * {NEWSVENDOR_SERVICE_NUM} + 9
+                                AS DOUBLE) / 10)
+        GROUP BY 1
+    )
+    SELECT g.p_brand,
+           CAST(h.n_days AS BIGINT) AS n_days,
+           CAST(h.stock_level AS BIGINT) AS stock_level,
+           round(CAST(sum(CASE WHEN g.demand <= h.stock_level THEN g.cnt
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(h.n_days AS DOUBLE), 6) AS service_level
+    FROM grid g JOIN hit h USING (p_brand)
+    GROUP BY g.p_brand, h.stock_level, h.n_days
+    ORDER BY p_brand
+"""

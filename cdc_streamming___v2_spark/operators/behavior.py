@@ -995,3 +995,179 @@ def _absorb_oracle() -> str:
 
 ORACLES["absorption_conversion_prob"] = _absorb_oracle()
 QUERIES["absorption_conversion_prob"] = absorption_conversion_prob
+
+
+# --------------------------------------------------------------------------
+# sequential_patterns — top event-type trigrams (length-3 sequence mining)
+# --------------------------------------------------------------------------
+
+SEQ_PATTERN_TOPN = 10
+
+
+def sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N length-3 consecutive event-type patterns across all user
+    sequences, with support share — the PrefixSpan-style contiguous
+    sequence-mining report (markov_transitions' bigram space extended one
+    step).
+
+    Plan: ONE lead window per user (ts, event_id-tiebroken) emits both
+    lookaheads; the trigram space is vocabulary-bounded (|types|^3 <= 125
+    cells at any corpus size) so the count groupBy is map-side combined
+    and the share window + top-k run on that tiny frame.  Top-k is
+    orderBy+limit (TakeOrderedAndProject), never a global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    tri = (
+        e.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .filter(F.col("t3").isNotNull())
+        .groupBy(F.col("event_type").alias("t1"), "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = Window.partitionBy()
+    ranked = tri.withColumn("total", F.sum("n").over(wall)).select(
+        "t1",
+        "t2",
+        "t3",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6).alias(
+            "support"
+        ),
+    )
+    return ranked.orderBy(
+        F.col("n").desc(), F.col("t1"), F.col("t2"), F.col("t3")
+    ).limit(SEQ_PATTERN_TOPN)
+
+
+QUERIES["sequential_patterns"] = sequential_patterns
+ORACLES["sequential_patterns"] = f"""
+    WITH seq AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t3
+        FROM events
+    ),
+    tri AS (
+        SELECT t1, t2, t3, count(*) AS n FROM seq
+        WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT t1, t2, t3, n,
+               round(CAST(n AS DOUBLE)
+                     / CAST(sum(n) OVER () AS DOUBLE), 6) AS support
+        FROM tri
+    )
+    SELECT * FROM ranked ORDER BY n DESC, t1, t2, t3 LIMIT {SEQ_PATTERN_TOPN}
+"""
+
+
+# --------------------------------------------------------------------------
+# transition_entropy_rate — predictability of the event process
+# --------------------------------------------------------------------------
+
+
+def transition_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy H(next | current) per current state,
+    plus the stationary-weighted entropy rate of the whole chain (the
+    '__ALL__' row) — the information-theoretic summary of how predictable
+    the event stream is (markov_next_event_accuracy's argmax companion).
+
+    Exactness: transition counts are exact integers; each per-state
+    entropy folds <= |types| terms with an ORDER-PINNED cumulative sum
+    (window ordered by dst), and the rate folds the <= |types| per-state
+    contributions the same way — both engines add identical doubles in
+    an identical sequence.
+
+    Plan: the markov lag window (partitionBy user_id) is the only wide
+    shuffle; everything else runs on the vocabulary-bounded transition
+    frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        e.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    wcum = wsrc.orderBy("dst").rowsBetween(Window.unboundedPreceding, 0)
+    p = F.col("n").cast("double") / F.col("n_src").cast("double")
+    terms = pairs.withColumn("n_src", F.sum("n").over(wsrc)).withColumn(
+        "cum", F.sum(-p * F.log2(p)).over(wcum)
+    )
+    per_src = terms.groupBy("src", "n_src").agg(F.max("cum").alias("h_bits"))
+    wall = Window.partitionBy()
+    wrate = wall.orderBy("src").rowsBetween(Window.unboundedPreceding, 0)
+    contrib = per_src.withColumn("n_all", F.sum("n_src").over(wall)).withColumn(
+        "rate_cum",
+        F.sum(
+            F.col("n_src").cast("double") / F.col("n_all").cast("double")
+            * F.col("h_bits")
+        ).over(wrate),
+    )
+    per_rows = contrib.select(
+        F.col("src").alias("state"),
+        F.col("n_src").alias("n_transitions"),
+        F.round("h_bits", 6).alias("h_bits"),
+    )
+    rate_row = contrib.groupBy().agg(
+        F.lit("__ALL__").alias("state"),
+        F.max("n_all").alias("n_transitions"),
+        F.round(F.max("rate_cum"), 6).alias("h_bits"),
+    )
+    return per_rows.unionByName(rate_row).orderBy("state")
+
+
+QUERIES["transition_entropy_rate"] = transition_entropy_rate
+ORACLES["transition_entropy_rate"] = """
+    WITH seq AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS src,
+               event_type AS dst
+        FROM events
+    ),
+    pairs AS (
+        SELECT src, dst, count(*) AS n FROM seq
+        WHERE src IS NOT NULL GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT src, dst, n,
+               sum(n) OVER (PARTITION BY src) AS n_src
+        FROM pairs
+    ),
+    cums AS (
+        SELECT src, n_src,
+               sum(-(CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE))
+                   * log2(CAST(n AS DOUBLE) / CAST(n_src AS DOUBLE)))
+                   OVER (PARTITION BY src ORDER BY dst
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM terms
+    ),
+    per_src AS (
+        SELECT src, n_src, max(cum) AS h_bits FROM cums GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n_src) AS n_all FROM per_src),
+    contrib AS (
+        SELECT src, n_src, h_bits,
+               (SELECT n_all FROM tot) AS n_all,
+               sum((CAST(n_src AS DOUBLE)
+                    / CAST((SELECT n_all FROM tot) AS DOUBLE)) * h_bits)
+                   OVER (ORDER BY src
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS rate_cum
+        FROM per_src
+    )
+    SELECT src AS state, CAST(n_src AS BIGINT) AS n_transitions,
+           round(h_bits, 6) AS h_bits
+    FROM contrib
+    UNION ALL
+    SELECT '__ALL__' AS state, CAST(max(n_all) AS BIGINT) AS n_transitions,
+           round(max(rate_cum), 6) AS h_bits
+    FROM contrib
+    ORDER BY state
+"""

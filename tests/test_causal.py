@@ -132,3 +132,89 @@ def test_recsys_eval_bounds(spark):
     assert 0.0 <= r["hit_rate_at1"] <= 1.0
     assert 0.0 <= r["scoring_coverage"] <= 1.0
     assert 0.0 < r["catalog_coverage"] <= 1.0
+
+
+# --- sequence / risk / operations waves -------------------------------------
+
+
+def test_sequential_patterns_topk(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    rows = B.sequential_patterns(spark, SF_SMALL).collect()
+    assert len(rows) == B.SEQ_PATTERN_TOPN
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0.0 < r["support"] <= 1.0 for r in rows)
+    types = {"click", "view", "purchase", "signup", "error"}
+    for r in rows:
+        assert {r["t1"], r["t2"], r["t3"]} <= types
+
+
+def test_transition_entropy_bounds(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    rows = B.transition_entropy_rate(spark, SF_SMALL).collect()
+    per = [r for r in rows if r["state"] != "__ALL__"]
+    rate = [r for r in rows if r["state"] == "__ALL__"][0]
+    k = len(per)
+    for r in per:
+        # entropy of a k-ary distribution is within [0, log2 k]
+        assert 0.0 <= r["h_bits"] <= math.log2(k) + 1e-9
+    # the rate is a convex combination of the per-state entropies
+    assert min(r["h_bits"] for r in per) - 1e-6 <= rate["h_bits"]
+    assert rate["h_bits"] <= max(r["h_bits"] for r in per) + 1e-6
+    assert rate["n_transitions"] == sum(r["n_transitions"] for r in per)
+
+
+def test_woe_iv_identity(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.woe_iv_binning(spark, SF_SMALL).collect()
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_good"] + r["n_bad"] for r in rows) == n_events
+    iv_totals = {r["iv_total"] for r in rows}
+    assert len(iv_totals) == 1
+    total = iv_totals.pop()
+    assert total >= 0.0
+    assert abs(total - sum(r["iv_term"] for r in rows)) < 1e-4
+    for r in rows:
+        assert r["iv_term"] >= 0.0  # (a-b)*ln(a/b) is never negative
+
+
+def test_control_chart_rules(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.control_chart_days(spark, SF_SMALL).collect()
+    assert len(rows) == 30  # the events window spans 30 days
+    for r in rows:
+        assert math.isfinite(r["z_score"])
+        # rule1 (3 sigma) implies the z magnitude shows it
+        if r["rule1_beyond_3sigma"]:
+            assert abs(r["z_score"]) > 3.0 - 1e-4
+    # z-scores against the population sigma must standardize: mean ~ 0
+    zs = [r["z_score"] for r in rows]
+    assert abs(sum(zs) / len(zs)) < 0.01
+
+
+def test_littles_law_interior_consistency(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.littles_law_audit(spark, SF_SMALL).collect()
+    assert all(r["l_avg_open"] >= 0.0 for r in rows)
+    arr = [r for r in rows if r["n_arrivals"] > 0]
+    assert arr
+    for r in arr:
+        assert r["w_days"] >= 1.0  # residence includes the arrival day
+        assert r["littles_ratio"] is None or r["littles_ratio"] >= 0.0
+
+
+def test_newsvendor_service_at_least_nominal(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.newsvendor_stock_level(spark, SF_SMALL).collect()
+    assert len(rows) == 25  # 25 brands
+    for r in rows:
+        assert r["stock_level"] > 0
+        # the ceil-rank order statistic guarantees >= 90% coverage
+        assert r["service_level"] >= 0.9 - 1e-9
+        assert r["service_level"] <= 1.0

@@ -591,3 +591,29 @@ def test_model_validation_ops_never_plan_cartesian(spark):
     for fn in (ME.kfold_cv_rmse, ME.conformal_interval_coverage, ME.recsys_eval_cf):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_sequence_risk_ops_never_plan_cartesian(spark):
+    """Sequence/risk/operations waves: no CartesianProduct anywhere."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+    from cdc_streamming___v2_spark.operators import behavior as B5
+
+    for fn in (
+        B5.sequential_patterns,
+        B5.transition_entropy_rate,
+        A5.woe_iv_binning,
+        A5.control_chart_days,
+        A5.littles_law_audit,
+        A5.newsvendor_stock_level,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_sequential_patterns_is_top_k_shape(spark):
+    """The trigram top-N must plan as TakeOrderedAndProject, not a global
+    sort of the (vocabulary-bounded) pattern frame."""
+    from cdc_streamming___v2_spark.operators import behavior as B5
+
+    p = _plan(spark, B5.sequential_patterns(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in p
