@@ -124,6 +124,10 @@ _GATE_PRIORITY = (
     "control_chart_days",
     "littles_law_audit",
     "newsvendor_stock_level",
+    "psm_strata_ate",
+    "ransac_spend_fit",
+    "ab_power_analysis",
+    "page_hinkley_drift",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -276,7 +280,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 303
+_MIN_QUERIES = 307
 
 
 def _registry() -> tuple[dict, dict]:

@@ -277,6 +277,10 @@ HEADLINE = [
     "control_chart_days",
     "littles_law_audit",
     "newsvendor_stock_level",
+    "psm_strata_ate",
+    "ransac_spend_fit",
+    "ab_power_analysis",
+    "page_hinkley_drift",
 ]
 
 

@@ -466,3 +466,136 @@ ORACLES["psm_caliper_att"] = f"""
                  / CAST(count(cy) AS DOUBLE), 6) AS avg_score_gap_cents
     FROM j
 """
+
+
+# --------------------------------------------------------------------------
+# psm_strata_ate — propensity-stratification (subclassification) estimator
+# --------------------------------------------------------------------------
+
+ATE_STRATA = 10
+
+
+def psm_strata_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification estimator to pair with psm_caliper_att: slice the
+    score range into 10 equal-width strata (integer arithmetic on the
+    exact global min/max), keep strata with common support (both arms
+    present), and weight within-stratum mean outcome gaps by stratum
+    population (ATE) and by treated count (ATT).
+
+    Exactness: stratum assignment is pure integer arithmetic
+    (floor((score - mn) * 10 / (mx - mn + 1))); all sums/counts are exact;
+    the two weighted folds run ORDER-PINNED over the <= 10-stratum frame.
+
+    Scale: one global min/max aggregate (scalar broadcast), one groupBy to
+    (stratum, arm) cells; everything else on the 10-row frame.
+    """
+    base = _spend_per_customer(spark, sf_dir).select(
+        (F.col("segment") == PSM_TREATED_SEGMENT).cast("int").alias("tr"),
+        F.col("score"),
+        F.col("y"),
+    )
+    bounds = base.groupBy().agg(
+        F.min("score").alias("mn"), F.max("score").alias("mx")
+    )
+    b = base.crossJoin(F.broadcast(bounds))  # 1-row scalar broadcast
+    stratum = F.floor(
+        (F.col("score") - F.col("mn")).cast("decimal(38,0)")
+        * ATE_STRATA
+        / (F.col("mx") - F.col("mn") + 1).cast("decimal(38,0)")
+    ).cast("int")
+    cells = (
+        b.select(stratum.alias("s"), "tr", "y")
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("tr") == 1, 1).otherwise(0)).alias("nt"),
+            F.sum(F.when(F.col("tr") == 0, 1).otherwise(0)).alias("nc"),
+            F.sum(
+                F.when(F.col("tr") == 1, F.col("y")).otherwise(F.lit(0).cast(_DEC))
+            ).alias("st"),
+            F.sum(
+                F.when(F.col("tr") == 0, F.col("y")).otherwise(F.lit(0).cast(_DEC))
+            ).alias("sc"),
+        )
+        .filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    )
+    gap = (
+        F.col("st").cast("double") / F.col("nt").cast("double")
+        - F.col("sc").cast("double") / F.col("nc").cast("double")
+    )
+    wall = Window.partitionBy()
+    wcum = wall.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    t = (
+        cells.withColumn("n_s", F.col("nt") + F.col("nc"))
+        .withColumn("n_all", F.sum(F.col("nt") + F.col("nc")).over(wall))
+        .withColumn("t_all", F.sum("nt").over(wall))
+    )
+    ate_cum = F.sum(
+        gap * F.col("n_s").cast("double") / F.col("n_all").cast("double")
+    ).over(wcum)
+    att_cum = F.sum(
+        gap * F.col("nt").cast("double") / F.col("t_all").cast("double")
+    ).over(wcum)
+    wlast = wall.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    folded = t.withColumn("ate_c", ate_cum).withColumn("att_c", att_cum)
+    return folded.groupBy().agg(
+        F.count(F.lit(1)).alias("n_strata_used"),
+        F.max("n_all").cast("long").alias("n_common_support"),
+        F.max("t_all").cast("long").alias("n_treated_kept"),
+        F.round(
+            F.max_by(F.col("ate_c"), F.col("s")) / F.lit(100.0), 6
+        ).alias("ate_dollars"),
+        F.round(
+            F.max_by(F.col("att_c"), F.col("s")) / F.lit(100.0), 6
+        ).alias("att_dollars"),
+    )
+
+
+QUERIES["psm_strata_ate"] = psm_strata_ate
+ORACLES["psm_strata_ate"] = f"""
+    WITH base AS ({_SPEND_SQL}),
+    tagged AS (
+        SELECT CASE WHEN segment = '{PSM_TREATED_SEGMENT}' THEN 1 ELSE 0 END
+                   AS tr,
+               score, y,
+               min(score) OVER () AS mn, max(score) OVER () AS mx
+        FROM base
+    ),
+    cells AS (
+        SELECT CAST(floor(CAST(score - mn AS HUGEINT) * {ATE_STRATA}
+                          / CAST(mx - mn + 1 AS HUGEINT)) AS INT) AS s,
+               sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS nt,
+               sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS nc,
+               sum(CASE WHEN tr = 1 THEN y ELSE 0 END) AS st,
+               sum(CASE WHEN tr = 0 THEN y ELSE 0 END) AS sc
+        FROM tagged GROUP BY 1
+    ),
+    kept AS (SELECT * FROM cells WHERE nt > 0 AND nc > 0),
+    t AS (
+        SELECT s, nt, nc, st, sc, nt + nc AS n_s,
+               sum(nt + nc) OVER () AS n_all,
+               sum(nt) OVER () AS t_all
+        FROM kept
+    ),
+    folded AS (
+        SELECT s, n_all, t_all,
+               sum((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                    - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                   * CAST(n_s AS DOUBLE) / CAST(n_all AS DOUBLE))
+                   OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ate_c,
+               sum((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                    - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                   * CAST(nt AS DOUBLE) / CAST(t_all AS DOUBLE))
+                   OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS att_c
+        FROM t
+    )
+    SELECT count(*) AS n_strata_used,
+           CAST(max(n_all) AS BIGINT) AS n_common_support,
+           CAST(max(t_all) AS BIGINT) AS n_treated_kept,
+           round(arg_max(ate_c, s) / 100.0, 6) AS ate_dollars,
+           round(arg_max(att_c, s) / 100.0, 6) AS att_dollars
+    FROM folded
+"""

@@ -1285,3 +1285,178 @@ ORACLES["info_gain_features"] = f"""
     FROM scored ORDER BY info_gain DESC, w ASC LIMIT {IG_TOP}
 """
 QUERIES["info_gain_features"] = info_gain_features
+
+
+# --------------------------------------------------------------------------
+# ransac_spend_fit — hash-seeded RANSAC robust line fit
+# --------------------------------------------------------------------------
+
+RANSAC_CANDIDATES = 32
+RANSAC_TOL_CENTS = 50_000_000  # $500k residual tolerance (spend spans ~$3M)
+
+
+def ransac_spend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC robust line fit of customer lifetime spend on account
+    balance: 32 deterministic md5-seeded point pairs propose candidate
+    lines, each candidate counts inliers within the residual tolerance,
+    the consensus winner (inliers desc, candidate id asc) is REFIT by OLS
+    on its inlier set from exact decimal(38,0) normal equations — the
+    robust-regression companion of theil_sen_trend (which is quadratic in
+    days; RANSAC stays linear in rows for any candidate budget).
+
+    Determinism: sample indices are md5 hashes of the candidate id mapped
+    onto a (score, custkey)-ordered row numbering — stable across engines
+    and partitionings; inlier membership compares identically-computed
+    doubles.
+
+    Scale: the candidate frame is 32 rows (broadcast); scoring is one
+    map-side pass over the dimension frame; the only window is the
+    dimension-sized row numbering (customers are a dimension table — the
+    decile_gains_table precedent).
+    """
+    from .causal import _spend_per_customer
+
+    base = _spend_per_customer(spark, sf_dir).select("k", "score", "y")
+    w = Window.orderBy("score", "k")
+    pts = base.withColumn("rn", F.row_number().over(w))
+    n_row = pts.groupBy().agg(F.max("rn").alias("n"))
+    cand = (
+        spark.range(RANSAC_CANDIDATES)
+        .select(F.col("id").cast("int").alias("c"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "c",
+            (md5_hash_long(F.concat(F.lit("ra"), F.col("c")), "") % F.col("n") + 1)
+            .alias("i1"),
+            (md5_hash_long(F.concat(F.lit("rb"), F.col("c")), "") % F.col("n") + 1)
+            .alias("i2"),
+        )
+        .filter(F.col("i1") != F.col("i2"))
+    )
+    p1 = pts.select(
+        F.col("rn").alias("i1"), F.col("score").alias("x1"), F.col("y").alias("y1")
+    )
+    p2 = pts.select(
+        F.col("rn").alias("i2"), F.col("score").alias("x2"), F.col("y").alias("y2")
+    )
+    lines = (
+        cand.join(p1, "i1")
+        .join(p2, "i2")
+        .filter(F.col("x1") != F.col("x2"))
+        .withColumn(
+            "b",
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double"),
+        )
+        .withColumn("a", F.col("y1").cast("double") - F.col("b") * F.col("x1").cast("double"))
+        .select("c", "a", "b")
+    )
+    scored = base.crossJoin(F.broadcast(lines))  # 32-row broadcast
+    resid_ok = (
+        F.abs(F.col("y").cast("double") - (F.col("a") + F.col("b") * F.col("score").cast("double")))
+        <= RANSAC_TOL_CENTS
+    )
+    per_cand = (
+        scored.filter(resid_ok)
+        .groupBy("c", "a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("score").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum(
+                F.col("score").cast("decimal(38,0)") * F.col("score").cast("decimal(38,0)")
+            ).alias("sxx"),
+            F.sum(
+                F.col("score").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+            ).alias("sxy"),
+        )
+    )
+    wbest = Window.orderBy(F.col("n_in").desc(), F.col("c"))
+    best = per_cand.withColumn("rk", F.row_number().over(wbest)).filter(
+        F.col("rk") == 1
+    )
+    nd = F.col("n_in").cast("decimal(38,0)")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    slope = F.when(den != 0, num / den)
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n_in").cast("double")
+    return best.select(
+        F.col("c").alias("candidate"),
+        F.col("n_in").alias("n_inliers"),
+        F.round(F.col("b"), 6).alias("raw_slope"),
+        F.round(F.col("a") / F.lit(100.0), 6).alias("raw_intercept_dollars"),
+        F.round(slope, 6).alias("refit_slope"),
+        F.round(intercept / F.lit(100.0), 6).alias("refit_intercept_dollars"),
+    )
+
+
+QUERIES["ransac_spend_fit"] = ransac_spend_fit
+ORACLES["ransac_spend_fit"] = f"""
+    WITH base AS (
+        SELECT c_custkey AS k, c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS score,
+               COALESCE(o.spend, 0) AS y
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend
+            FROM orders GROUP BY 1
+        ) o ON c_custkey = o_custkey
+    ),
+    pts AS (
+        SELECT k, score, y,
+               row_number() OVER (ORDER BY score, k) AS rn
+        FROM base
+    ),
+    nn AS (SELECT max(rn) AS n FROM pts),
+    cand AS (
+        SELECT CAST(u.c AS INT) AS c,
+               CAST('0x' || substr(md5('ra' || CAST(u.c AS VARCHAR)), 1, 8)
+                    AS BIGINT) % (SELECT n FROM nn) + 1 AS i1,
+               CAST('0x' || substr(md5('rb' || CAST(u.c AS VARCHAR)), 1, 8)
+                    AS BIGINT) % (SELECT n FROM nn) + 1 AS i2
+        FROM unnest(generate_series(0, {RANSAC_CANDIDATES - 1})) AS u(c)
+    ),
+    lines AS (
+        SELECT c,
+               CAST(p2.y - p1.y AS DOUBLE) / CAST(p2.score - p1.score AS DOUBLE)
+                   AS b,
+               CAST(p1.y AS DOUBLE)
+               - (CAST(p2.y - p1.y AS DOUBLE)
+                  / CAST(p2.score - p1.score AS DOUBLE))
+                 * CAST(p1.score AS DOUBLE) AS a
+        FROM cand
+        JOIN pts p1 ON cand.i1 = p1.rn
+        JOIN pts p2 ON cand.i2 = p2.rn
+        WHERE cand.i1 <> cand.i2 AND p1.score <> p2.score
+    ),
+    per_cand AS (
+        SELECT c, a, b, count(*) AS n_in,
+               sum(CAST(score AS HUGEINT)) AS sx,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(score AS HUGEINT) * CAST(score AS HUGEINT)) AS sxx,
+               sum(CAST(score AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        FROM base, lines
+        WHERE abs(CAST(y AS DOUBLE) - (a + b * CAST(score AS DOUBLE)))
+                  <= {RANSAC_TOL_CENTS}
+        GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT * FROM per_cand ORDER BY n_in DESC, c LIMIT 1
+    )
+    SELECT c AS candidate, CAST(n_in AS BIGINT) AS n_inliers,
+           round(b, 6) AS raw_slope,
+           round(a / 100.0, 6) AS raw_intercept_dollars,
+           round(CASE WHEN n_in * sxx - sx * sx <> 0
+                      THEN CAST(n_in * sxy - sx * sy AS DOUBLE)
+                           / CAST(n_in * sxx - sx * sx AS DOUBLE) END, 6)
+               AS refit_slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CASE WHEN n_in * sxx - sx * sx <> 0
+                          THEN CAST(n_in * sxy - sx * sy AS DOUBLE)
+                               / CAST(n_in * sxx - sx * sx AS DOUBLE) END)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_in AS DOUBLE) / 100.0, 6)
+               AS refit_intercept_dollars
+    FROM best
+"""

@@ -2301,3 +2301,167 @@ ORACLES["exponential_gap_fit"] = """
     FROM cum GROUP BY 1
 """
 QUERIES["exponential_gap_fit"] = exponential_gap_fit
+
+
+# --------------------------------------------------------------------------
+# ab_power_analysis — two-proportion sample-size calculator per event type
+# --------------------------------------------------------------------------
+
+POWER_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+POWER_Z_BETA = 0.8416212335729143  # power = 0.80
+POWER_MDE_REL = 1.1  # detect a 10% relative lift
+
+
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design calculator: for every event type, the baseline
+    user-level incidence rate (share of users with >= 1 such event) and
+    the per-arm sample size needed to detect a 10% relative lift at
+    alpha = 0.05 (two-sided), power = 0.80 — the standard two-proportion
+    normal-approximation formula n = (z_a*sqrt(2*pbar*qbar) +
+    z_b*sqrt(p1*q1 + p2*q2))^2 / (p1-p2)^2.
+
+    Exactness: the incidence rates are single divisions of exact integer
+    user counts; the z constants are pinned literals; both engines
+    evaluate the identical closed-form double expression, and the final
+    ceil lands on the same integer.
+
+    Scale: one distinct-users scalar plus one per-(type) distinct-user
+    aggregate — two map-side-combined reductions, 5-row result.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy().agg(F.countDistinct("user_id").alias("n_users"))
+    per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_with")
+    ).crossJoin(F.broadcast(users))
+    p1 = F.col("n_with").cast("double") / F.col("n_users").cast("double")
+    p2 = F.least(p1 * F.lit(POWER_MDE_REL), F.lit(1.0))
+    pbar = (p1 + p2) / F.lit(2.0)
+    num = (
+        F.lit(POWER_Z_ALPHA) * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+        + F.lit(POWER_Z_BETA)
+        * F.sqrt(p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2))
+    )
+    n_arm = F.when(p2 != p1, F.ceil(num * num / ((p2 - p1) * (p2 - p1))))
+    return per.select(
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(p1, 6).alias("p_baseline"),
+        F.round(p2, 6).alias("p_target"),
+        n_arm.cast("long").alias("n_per_arm"),
+    ).orderBy("event_type")
+
+
+QUERIES["ab_power_analysis"] = ab_power_analysis
+ORACLES["ab_power_analysis"] = f"""
+    WITH users AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    per AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_with,
+               (SELECT n_users FROM users) AS n_users
+        FROM events GROUP BY 1
+    ),
+    rates AS (
+        SELECT event_type, n_users,
+               CAST(n_with AS DOUBLE) / CAST(n_users AS DOUBLE) AS p1,
+               least(CAST(n_with AS DOUBLE) / CAST(n_users AS DOUBLE)
+                     * {POWER_MDE_REL}, 1.0) AS p2
+        FROM per
+    )
+    SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+           round(p1, 6) AS p_baseline, round(p2, 6) AS p_target,
+           CASE WHEN p2 <> p1 THEN CAST(ceil(
+               ({POWER_Z_ALPHA} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                       * (1.0 - (p1 + p2) / 2.0))
+                + {POWER_Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               * ({POWER_Z_ALPHA} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                         * (1.0 - (p1 + p2) / 2.0))
+                  + {POWER_Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+               / ((p2 - p1) * (p2 - p1))) AS BIGINT) END AS n_per_arm
+    FROM rates ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# page_hinkley_drift — sequential mean-drift detector on daily spend
+# --------------------------------------------------------------------------
+
+PH_DELTA_CENTS = 10.0  # magnitude tolerance
+PH_LAMBDA_CENTS = 500.0  # alarm threshold
+
+
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift test on the daily mean purchase
+    value: PH_t = sum_{i<=t} (x_i - mean_i - delta) with mean_i the
+    RUNNING mean (exact prefix-integer ratio), alarm when
+    PH_t - min_{i<=t} PH_i > lambda — the online companion of the batch
+    cusum_changepoint (which uses the global mean and so cannot run
+    one-pass).
+
+    Exactness: prefix sums of cents/counts are exact integers, so every
+    x_i and mean_i is one division of exact integers; the PH cumulative
+    and prefix-min fold in day order on both engines (order-pinned by
+    construction).
+
+    Scale: one groupBy to the day frame; all windows run on days.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long").cast(_DEC)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wday = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    t = daily.withColumn("cs", F.sum("s").over(wday)).withColumn(
+        "cn", F.sum("n").over(wday)
+    )
+    x = F.col("s").cast("double") / F.col("n").cast("double")
+    mean = F.col("cs").cast("double") / F.col("cn").cast("double")
+    term = x - mean - F.lit(PH_DELTA_CENTS)
+    t = t.withColumn("ph", F.sum(term).over(wday))
+    t = t.withColumn("ph_min", F.min("ph").over(wday))
+    return t.select(
+        "day",
+        F.round(x / F.lit(100.0), 4).alias("daily_mean_dollars"),
+        F.round(F.col("ph") / F.lit(100.0), 4).alias("ph_stat_dollars"),
+        (F.col("ph") - F.col("ph_min") > F.lit(PH_LAMBDA_CENTS)).alias("drift_alarm"),
+    ).orderBy("day")
+
+
+QUERIES["page_hinkley_drift"] = page_hinkley_drift
+ORACLES["page_hinkley_drift"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS s,
+               count(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pre AS (
+        SELECT day, s, n,
+               sum(s) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cs,
+               sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cn
+        FROM daily
+    ),
+    ph AS (
+        SELECT day, s, n,
+               sum(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)
+                   - {PH_DELTA_CENTS})
+                   OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ph
+        FROM pre
+    ),
+    mins AS (
+        SELECT day, s, n, ph,
+               min(ph) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ph_min
+        FROM ph
+    )
+    SELECT day,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+               AS daily_mean_dollars,
+           round(ph / 100.0, 4) AS ph_stat_dollars,
+           ph - ph_min > {PH_LAMBDA_CENTS} AS drift_alarm
+    FROM mins ORDER BY day
+"""

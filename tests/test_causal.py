@@ -218,3 +218,63 @@ def test_newsvendor_service_at_least_nominal(spark):
         # the ceil-rank order statistic guarantees >= 90% coverage
         assert r["service_level"] >= 0.9 - 1e-9
         assert r["service_level"] <= 1.0
+
+
+# --- robust-fit / design / drift wave ---------------------------------------
+
+
+def test_psm_strata_ate_bounds(spark):
+    r = C.psm_strata_ate(spark, SF_SMALL).collect()[0]
+    n_cust = load_table(spark, SF_SMALL, "customer").count()
+    assert 1 <= r["n_strata_used"] <= C.ATE_STRATA
+    assert 0 < r["n_common_support"] <= n_cust
+    assert 0 < r["n_treated_kept"] <= r["n_common_support"]
+    assert math.isfinite(r["ate_dollars"]) and math.isfinite(r["att_dollars"])
+
+
+def test_ransac_consensus(spark):
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+
+    r = ML.ransac_spend_fit(spark, SF_SMALL).collect()[0]
+    n_cust = load_table(spark, SF_SMALL, "customer").count()
+    assert 0 <= r["candidate"] < ML.RANSAC_CANDIDATES
+    assert 1 <= r["n_inliers"] <= n_cust
+    # consensus must beat the minimal set: the best of 32 candidates
+    # covers a nontrivial share of the dimension frame
+    assert r["n_inliers"] >= max(2, n_cust * 0.1)
+    assert math.isfinite(r["refit_slope"])
+
+
+def test_power_analysis_monotonicity(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SX
+
+    rows = SX.ab_power_analysis(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 < r["p_baseline"] <= 1.0
+        assert r["p_target"] >= r["p_baseline"]
+        if r["p_target"] > r["p_baseline"]:
+            assert r["n_per_arm"] > 0
+    # a smaller baseline-to-target gap needs MORE samples: verify the
+    # classic inverse-square law ordering across types by effect size
+    sized = [
+        (abs(r["p_target"] - r["p_baseline"]), r["n_per_arm"])
+        for r in rows
+        if r["n_per_arm"] is not None
+    ]
+    sized.sort()
+    gaps = [g for g, _ in sized]
+    if len(set(gaps)) == len(gaps):
+        ns = [n for _, n in sized]
+        assert ns == sorted(ns, reverse=True)
+
+
+def test_page_hinkley_shape(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SX
+
+    rows = SX.page_hinkley_drift(spark, SF_SMALL).collect()
+    assert len(rows) == 30
+    # PH at the first day is x_1 - mean_1 - delta = -delta (running mean
+    # equals the first value)
+    assert abs(rows[0]["ph_stat_dollars"] + SX.PH_DELTA_CENTS / 100.0) < 1e-6
+    assert not rows[0]["drift_alarm"]

@@ -617,3 +617,21 @@ def test_sequential_patterns_is_top_k_shape(spark):
 
     p = _plan(spark, B5.sequential_patterns(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in p
+
+
+def test_robust_fit_wave_never_plans_cartesian(spark):
+    """psm_strata_ate / ransac / power / page-hinkley: no CartesianProduct
+    (the 1-row bounds and the 32-row candidate broadcasts plan as BNLJ and
+    are the accepted pattern)."""
+    from cdc_streamming___v2_spark.operators import causal as CZ
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+    from cdc_streamming___v2_spark.operators import stats_ext as SX
+
+    for fn in (
+        CZ.psm_strata_ate,
+        ML.ransac_spend_fit,
+        SX.ab_power_analysis,
+        SX.page_hinkley_drift,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
