@@ -611,3 +611,75 @@ AMS_STREAM_OUTPUT_SCHEMA = T.StructType(
         T.StructField("s", T.LongType()),
     ]
 )
+
+
+MOM_SHARDS = 8
+
+
+def moments_stream(events: DataFrame) -> DataFrame:
+    """Streaming EXACT running moments per (event_type, shard): state
+    carries (n, sum_cents, sumsq_cents, seq) with the two integer sums
+    serialized as decimal STRINGS — arbitrary precision, so the state
+    never overflows at any stream length (sumsq in cents^2 exceeds int64
+    around 4e18, i.e. well inside a 100-TB stream's lifetime; a string
+    carries it exactly at constant practical size).
+
+    The counters are LINEAR, so the final per-shard vectors merge by
+    plain integer addition into exactly the batch moments — the same
+    mergeability contract ams_f2_stream demonstrates, here for the
+    mean/variance monitoring that feeds control_chart_days /
+    page_hinkley_drift online.  Emissions are stamped with a monotone
+    sequence; consumers read the max-seq row per shard.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s_str, ss_str, seq = state.get
+            s, ss = int(s_str), int(ss_str)
+        else:
+            n, s, ss, seq = 0, 0, 0, 0
+        for pdf in pdfs:
+            cents = (pdf["value"] * 100).round().astype("int64")
+            n += int(len(cents))
+            # object dtype: exact bigint arithmetic regardless of magnitude
+            as_obj = cents.astype(object)
+            s += int(as_obj.sum())
+            ss += int((as_obj * as_obj).sum())
+        seq += 1
+        state.update((n, str(s), str(ss), seq))
+        yield pd.DataFrame(
+            [(key[0], int(key[1]), seq, n, str(s), str(ss))],
+            columns=["event_type", "shard", "seq", "n", "sum_cents", "sumsq_cents"],
+        )
+
+    shard = events.withColumn("shard", (F.col("event_id") % MOM_SHARDS).cast("int"))
+    return shard.groupBy("event_type", "shard").applyInPandasWithState(
+        update,
+        outputStructType=MOM_OUTPUT_SCHEMA,
+        stateStructType=MOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+MOM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_cents", T.StringType()),
+        T.StructField("sumsq_cents", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+MOM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_cents", T.StringType()),
+        T.StructField("sumsq_cents", T.StringType()),
+    ]
+)

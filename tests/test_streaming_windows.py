@@ -576,3 +576,36 @@ def test_ams_stream_merges_to_batch_sketch(spark, events_dir):
             h = int(hashlib.md5(f"ams{r}|{uid}".encode()).hexdigest()[:8], 16)
             expect[r] += 1 if h % 2 == 0 else -1
     assert dict(merged) == dict(expect)
+
+
+def test_moments_stream_merges_to_exact_batch_moments(spark, events_dir):
+    """Summing the final per-(type, shard) integer moment vectors must
+    reproduce the EXACT batch count/sum/sum-of-squares per event type —
+    string-serialized bigints make the merge overflow-proof."""
+    from collections import defaultdict
+
+    name = _run(W.moments_stream(_stream(spark, events_dir)), mode="update")
+    rows = spark.sql(f"select * from {name}").collect()
+    final_seq: dict = {}
+    for r in rows:
+        k = (r.event_type, r.shard)
+        final_seq[k] = max(final_seq.get(k, 0), r.seq)
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        if r.seq == final_seq[(r.event_type, r.shard)]:
+            a = agg[r.event_type]
+            a[0] += r.n
+            a[1] += int(r.sum_cents)
+            a[2] += int(r.sumsq_cents)
+
+    true = defaultdict(lambda: [0, 0, 0])
+    for r in _batch_events(spark).collect():
+        c = round(r.value * 100)
+        t = true[r.event_type]
+        t[0] += 1
+        t[1] += c
+        t[2] += c * c
+
+    assert set(agg) == set(true)
+    for et in true:
+        assert agg[et] == true[et], et
