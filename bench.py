@@ -281,6 +281,9 @@ HEADLINE = [
     "ransac_spend_fit",
     "ab_power_analysis",
     "page_hinkley_drift",
+    "community_modularity",
+    "neyman_allocation",
+    "bandit_replay_greedy",
 ]
 
 

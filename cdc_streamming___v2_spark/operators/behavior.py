@@ -1171,3 +1171,164 @@ ORACLES["transition_entropy_rate"] = """
     FROM contrib
     ORDER BY state
 """
+
+
+# --------------------------------------------------------------------------
+# bandit_replay_greedy — offline policy replay with cumulative regret
+# --------------------------------------------------------------------------
+
+
+def bandit_replay_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline replay of a greedy multi-armed-bandit policy over the daily
+    event stream: arms = event types, daily reward = the arm's mean event
+    value that day; each day the policy plays the arm with the best
+    cumulative PRIOR mean (unexplored arms first — optimistic cold start,
+    NULLS-FIRST ordering; ties by arm name), and the report tracks the
+    per-day gap to the best-fixed-arm-in-hindsight and its running sum —
+    the standard counterfactual evaluation a recommendation platform runs
+    before shipping a policy.
+
+    Exactness: prior means are single divisions of exact prefix-integer
+    sums; ordering compares identically-computed doubles; the regret fold
+    is ORDER-PINNED over days.
+
+    Scale: one groupBy to the (day, arm) grid; every window runs on that
+    bounded frame (days x |types|).
+    """
+    e = load_table(spark, sf_dir, "events")
+    grid = e.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type").alias("arm")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    warm = Window.partitionBy("arm").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = grid.withColumn("cs", F.sum("s").over(warm)).withColumn(
+        "cn", F.sum("n").over(warm)
+    )
+    pm = F.when(
+        F.col("cn").isNotNull() & (F.col("cn") > 0),
+        F.col("cs").cast("double") / F.col("cn").cast("double"),
+    )
+    t = t.withColumn("pm", pm)
+    wday = Window.partitionBy("day").orderBy(
+        F.col("pm").desc_nulls_first(), F.col("arm")
+    )
+    chosen = t.withColumn("rn", F.row_number().over(wday)).filter(F.col("rn") == 1)
+    # best fixed arm in hindsight: highest overall mean, arm-name tie-break
+    totals = grid.groupBy("arm").agg(
+        F.sum("s").alias("ts"), F.sum("n").alias("tn")
+    )
+    wbest = Window.partitionBy().orderBy(
+        (F.col("ts").cast("double") / F.col("tn").cast("double")).desc(),
+        F.col("arm"),
+    )
+    best_arm = (
+        totals.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(F.col("arm").alias("best_arm"))
+    )
+    # means rendered as integer ten-thousandths of a dollar via explicit
+    # floor(x + 0.5): the daily mean grid DOES land on exact half-points
+    # (38.37875 observed at sf0.001 — the ohlc_bars HALF_UP/HALF_EVEN
+    # divergence class), so round() is banned here; the regret fold then
+    # sums exact integers
+    def r4(s_col, n_col):
+        return F.floor(
+            s_col.cast("double") * F.lit(100.0) / n_col.cast("double") + F.lit(0.5)
+        ).cast("long")
+
+    best_daily = grid.join(F.broadcast(best_arm), grid.arm == F.col("best_arm")).select(
+        F.col("day").alias("bday"),
+        "best_arm",
+        r4(F.col("s"), F.col("n")).alias("best_r4"),
+    )
+    j = chosen.join(best_daily, chosen.day == F.col("bday")).withColumn(
+        "chosen_r4", r4(F.col("s"), F.col("n"))
+    )
+    wcum = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    j = j.withColumn(
+        "regret_r4", F.sum(F.col("best_r4") - F.col("chosen_r4")).over(wcum)
+    )
+    return j.select(
+        "day",
+        F.col("arm").alias("chosen_arm"),
+        "best_arm",
+        (F.col("chosen_r4").cast("double") / F.lit(10000.0)).alias(
+            "chosen_mean_dollars"
+        ),
+        (F.col("best_r4").cast("double") / F.lit(10000.0)).alias("best_mean_dollars"),
+        (F.col("regret_r4").cast("double") / F.lit(10000.0)).alias(
+            "cum_regret_dollars"
+        ),
+    ).orderBy("day")
+
+
+QUERIES["bandit_replay_greedy"] = bandit_replay_greedy
+ORACLES["bandit_replay_greedy"] = """
+    WITH grid AS (
+        SELECT CAST(ts AS DATE) AS day, event_type AS arm,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS s,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    warm AS (
+        SELECT day, arm, s, n,
+               sum(s) OVER (PARTITION BY arm ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS cs,
+               sum(n) OVER (PARTITION BY arm ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS cn
+        FROM grid
+    ),
+    scored AS (
+        SELECT day, arm, s, n,
+               CASE WHEN cn IS NOT NULL AND cn > 0
+                    THEN CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) END AS pm
+        FROM warm
+    ),
+    chosen AS (
+        SELECT day, arm, s, n FROM (
+            SELECT day, arm, s, n,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY pm DESC NULLS FIRST, arm) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    best AS (
+        SELECT arm AS best_arm FROM (
+            SELECT arm,
+                   row_number() OVER (
+                       ORDER BY CAST(sum(s) AS DOUBLE)
+                                / CAST(sum(n) AS DOUBLE) DESC, arm) AS rk
+            FROM grid GROUP BY arm
+        ) WHERE rk = 1
+    ),
+    best_daily AS (
+        SELECT g.day AS bday, b.best_arm,
+               CAST(floor(CAST(g.s AS DOUBLE) * 100.0 / CAST(g.n AS DOUBLE)
+                          + 0.5) AS BIGINT) AS best_r4
+        FROM grid g JOIN best b ON g.arm = b.best_arm
+    ),
+    j AS (
+        SELECT c.day, c.arm, bd.best_arm,
+               CAST(floor(CAST(c.s AS DOUBLE) * 100.0 / CAST(c.n AS DOUBLE)
+                          + 0.5) AS BIGINT) AS chosen_r4,
+               bd.best_r4
+        FROM chosen c JOIN best_daily bd ON c.day = bd.bday
+    )
+    SELECT day, arm AS chosen_arm, best_arm,
+           CAST(chosen_r4 AS DOUBLE) / 10000.0 AS chosen_mean_dollars,
+           CAST(best_r4 AS DOUBLE) / 10000.0 AS best_mean_dollars,
+           CAST(sum(best_r4 - chosen_r4)
+                    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DOUBLE) / 10000.0
+               AS cum_regret_dollars
+    FROM j ORDER BY day
+"""

@@ -28,7 +28,7 @@ arithmetic), as with the k-means oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -1280,3 +1280,188 @@ def _hits_oracle() -> str:
 
 ORACLES["hits_bipartite"] = _hits_oracle()
 QUERIES["hits_bipartite"] = hits_bipartite
+
+
+# --------------------------------------------------------------------------
+# community_modularity — Newman modularity of the LPA partition
+# --------------------------------------------------------------------------
+
+
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the lpa_communities partition over the
+    undirected trade graph: per community c, q_c = e_c/m - (d_c/(2m))^2
+    (within-community edge share minus the degree-share square), Q = sum
+    q_c — the standard goodness-of-partition score that tells whether the
+    label propagation found real structure (Q > 0) or noise.
+
+    Exactness: e_c, d_c, m are exact integers; each q_c is a fixed
+    two-division expression; the community fold is ORDER-PINNED (terms
+    can be negative, so the total is read at the last community via
+    max_by on the community key, not max).
+
+    Scale: re-runs the LPA_ITERS fixed label-propagation rounds (same
+    static-DAG shape as lpa_communities), then two community-sized
+    aggregations over the edge list.
+    """
+    und = _scaled_und(spark, sf_dir)
+    nb = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    n = load_table(spark, sf_dir, "nation")
+    nodes = n.select(F.col("n_nationkey").cast("long").alias("node"))
+    lab = nodes.withColumn("label", F.col("node"))
+    for _ in range(LPA_ITERS):
+        votes = (
+            nb.join(lab.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        picked = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+                 .alias("m"))
+            .select("node", (-F.col("m.nl")).alias("new_label"))
+        )
+        lab = (
+            nodes.join(picked, "node", "left")
+            .join(lab, "node")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+    m_edges = und.groupBy().agg(F.count(F.lit(1)).alias("m"))
+    lu = lab.select(F.col("node").alias("u"), F.col("label").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("label").alias("cv"))
+    tagged = und.join(F.broadcast(lu), "u").join(F.broadcast(lv), "v")
+    within = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    deg = (
+        nb.join(F.broadcast(lab), "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("degree_sum"),
+             F.countDistinct("node").alias("n_nodes"))
+    )
+    per = (
+        deg.join(within, "community", "left")
+        .withColumn("e_within", F.coalesce("e_within", F.lit(0)))
+        .crossJoin(F.broadcast(m_edges))  # 1-row scalar broadcast
+    )
+    md = F.col("m").cast("double")
+    q_term = (
+        F.col("e_within").cast("double") / md
+        - (F.col("degree_sum").cast("double") / (F.lit(2.0) * md))
+        * (F.col("degree_sum").cast("double") / (F.lit(2.0) * md))
+    )
+    wcum = Window.partitionBy().orderBy("community").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    folded = per.withColumn("q_term", q_term).withColumn(
+        "q_cum", F.sum("q_term").over(wcum)
+    )
+    wfull = Window.partitionBy().orderBy("community").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return folded.select(
+        F.col("community").cast("long").alias("community"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("e_within").cast("long").alias("e_within"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        F.round("q_term", 6).alias("q_term"),
+        F.round(F.max_by(F.col("q_cum"), F.col("community")).over(wfull), 6).alias(
+            "modularity"
+        ),
+    ).orderBy("community")
+
+
+def _modularity_oracle() -> str:
+    # und / nb / the final label frame are each referenced SEVERAL times
+    # below; DuckDB inlines CTEs by default, which re-evaluates the whole
+    # lineitem-join edge construction per reference (observed: temp-disk
+    # exhaustion at sf0.1) — MATERIALIZED pins each to one evaluation (the
+    # hits_bipartite oracle precedent)
+    und_sql = _SCALED_UND_SQL.replace(
+        "und AS (", "und AS MATERIALIZED (", 1
+    ).replace("nb AS (", "nb AS MATERIALIZED (", 1)
+    ctes = [
+        und_sql.strip(),
+        "nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        prev = f"l{i - 1}"
+        ctes.append(f"""v{i} AS (
+            SELECT nb.node, l.label, count(*) AS cnt
+            FROM nb JOIN {prev} l ON nb.nbr = l.node
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""p{i} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, label ASC) AS rn
+                FROM v{i}) WHERE rn = 1
+        )""")
+        ctes.append(f"""l{i} AS MATERIALIZED (
+            SELECT n.node, coalesce(p.label, l.label) AS label
+            FROM nodes n
+            LEFT JOIN p{i} p ON n.node = p.node
+            JOIN {prev} l ON n.node = l.node
+        )""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined},
+        m_edges AS (SELECT count(*) AS m FROM und),
+        tagged AS (
+            SELECT und.u, und.v, lu.label AS cu, lv.label AS cv
+            FROM und
+            JOIN l{LPA_ITERS} lu ON und.u = lu.node
+            JOIN l{LPA_ITERS} lv ON und.v = lv.node
+        ),
+        within AS (
+            SELECT cu AS community, count(*) AS e_within
+            FROM tagged WHERE cu = cv GROUP BY 1
+        ),
+        deg AS (
+            SELECT l.label AS community, count(*) AS degree_sum,
+                   count(DISTINCT nb.node) AS n_nodes
+            FROM nb JOIN l{LPA_ITERS} l ON nb.node = l.node
+            GROUP BY 1
+        ),
+        per AS (
+            SELECT d.community, d.n_nodes, d.degree_sum,
+                   coalesce(w.e_within, 0) AS e_within,
+                   (SELECT m FROM m_edges) AS m
+            FROM deg d LEFT JOIN within w USING (community)
+        ),
+        folded AS (
+            SELECT community, n_nodes, e_within, degree_sum,
+                   CAST(e_within AS DOUBLE) / CAST(m AS DOUBLE)
+                   - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                     * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                       AS q_term,
+                   sum(CAST(e_within AS DOUBLE) / CAST(m AS DOUBLE)
+                       - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                         * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+                       OVER (ORDER BY community
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS q_cum
+            FROM per
+        )
+        SELECT CAST(community AS BIGINT) AS community,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(e_within AS BIGINT) AS e_within,
+               CAST(degree_sum AS BIGINT) AS degree_sum,
+               round(q_term, 6) AS q_term,
+               round(arg_max(q_cum, community) OVER (), 6) AS modularity
+        FROM folded ORDER BY community
+    """
+
+
+QUERIES["community_modularity"] = community_modularity
+ORACLES["community_modularity"] = _modularity_oracle()

@@ -1262,3 +1262,103 @@ ORACLES["bcubed_cluster_eval"] = f"""
     FROM t
 """
 QUERIES["bcubed_cluster_eval"] = bcubed_cluster_eval
+
+
+# --- Neyman allocation --------------------------------------------------------
+
+NEYMAN_BUDGET = 1_000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal (Neyman) sample allocation across customer market-segment
+    strata for a 1,000-unit survey budget: n_h proportional to
+    N_h * sigma_h of account balance — next to stratified_sample's
+    proportional allocation, this is the design that minimizes estimator
+    variance for a fixed budget.
+
+    Exactness: N_h * sigma_h = sqrt(N_h * Q_h - S_h^2) with all three
+    moments exact decimal(38,0) integers, so both engines take sqrt of
+    the identical double; the stratum fold is ORDER-PINNED; allocations
+    use floor(x + 0.5) so the rounding rule is engine-independent.
+
+    Scale: one map-side-combined groupBy to the stratum frame.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    dec = "decimal(38,0)"
+    g = (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cv"),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_pop"),
+            F.sum(F.col("cv").cast(dec)).alias("s"),
+            F.sum(F.col("cv").cast(dec) * F.col("cv").cast(dec)).alias("q"),
+        )
+    )
+    nsig = F.sqrt(
+        (F.col("n_pop").cast(dec) * F.col("q") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+    )
+    wall = Window.partitionBy()
+    wcum = wall.orderBy("segment").rowsBetween(Window.unboundedPreceding, 0)
+    t = g.withColumn("nsig", nsig).withColumn("nsig_cum", F.sum("nsig").over(wcum))
+    wfull = wall.orderBy("segment").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = t.withColumn("nsig_tot", F.max_by(F.col("nsig_cum"), F.col("segment")).over(wfull))
+    t = t.withColumn("n_tot", F.sum("n_pop").over(wall))
+    sigma = F.col("nsig") / F.col("n_pop").cast("double") / F.lit(100.0)
+    ney = F.floor(
+        F.lit(float(NEYMAN_BUDGET)) * F.col("nsig") / F.col("nsig_tot") + F.lit(0.5)
+    )
+    prop = F.floor(
+        F.lit(float(NEYMAN_BUDGET))
+        * F.col("n_pop").cast("double")
+        / F.col("n_tot").cast("double")
+        + F.lit(0.5)
+    )
+    return t.select(
+        "segment",
+        F.col("n_pop").cast("long").alias("n_pop"),
+        F.round(sigma, 4).alias("sigma_dollars"),
+        ney.cast("long").alias("neyman_n"),
+        prop.cast("long").alias("proportional_n"),
+    ).orderBy("segment")
+
+
+QUERIES["neyman_allocation"] = neyman_allocation
+ORACLES["neyman_allocation"] = f"""
+    WITH g AS (
+        SELECT c_mktsegment AS segment, count(*) AS n_pop,
+               sum(CAST(round(c_acctbal * 100) AS HUGEINT)) AS s,
+               sum(CAST(round(c_acctbal * 100) AS HUGEINT)
+                   * CAST(round(c_acctbal * 100) AS HUGEINT)) AS q
+        FROM customer GROUP BY 1
+    ),
+    t AS (
+        SELECT segment, n_pop,
+               sqrt(CAST(n_pop * q - s * s AS DOUBLE)) AS nsig,
+               sum(sqrt(CAST(n_pop * q - s * s AS DOUBLE)))
+                   OVER (ORDER BY segment
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS nsig_cum,
+               sum(n_pop) OVER () AS n_tot
+        FROM g
+    ),
+    tt AS (
+        SELECT segment, n_pop, nsig, n_tot,
+               arg_max(nsig_cum, segment) OVER () AS nsig_tot
+        FROM t
+    )
+    SELECT segment, CAST(n_pop AS BIGINT) AS n_pop,
+           round(nsig / n_pop / 100.0, 4) AS sigma_dollars,
+           CAST(floor({NEYMAN_BUDGET}.0 * nsig / nsig_tot + 0.5) AS BIGINT)
+               AS neyman_n,
+           CAST(floor({NEYMAN_BUDGET}.0 * CAST(n_pop AS DOUBLE)
+                      / CAST(n_tot AS DOUBLE) + 0.5) AS BIGINT)
+               AS proportional_n
+    FROM tt ORDER BY segment
+"""

@@ -278,3 +278,51 @@ def test_page_hinkley_shape(spark):
     # equals the first value)
     assert abs(rows[0]["ph_stat_dollars"] + SX.PH_DELTA_CENTS / 100.0) < 1e-6
     assert not rows[0]["drift_alarm"]
+
+
+# --- modularity / allocation / bandit wave ----------------------------------
+
+
+def test_modularity_identities(spark):
+    from cdc_streamming___v2_spark.operators import graph as G
+
+    rows = G.community_modularity(spark, SF_SMALL).collect()
+    assert rows
+    # degree sums over communities = 2m (handshake lemma)
+    two_m = sum(r["degree_sum"] for r in rows)
+    e_within = sum(r["e_within"] for r in rows)
+    assert e_within <= two_m // 2
+    mods = {r["modularity"] for r in rows}
+    assert len(mods) == 1
+    total = mods.pop()
+    assert abs(total - sum(r["q_term"] for r in rows)) < 1e-4
+    assert -0.5 - 1e-9 <= total <= 1.0  # Newman's bounds
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    from cdc_streamming___v2_spark.operators import pipeline_ops as P
+
+    rows = P.neyman_allocation(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["sigma_dollars"] > 0.0
+        assert 0 <= r["neyman_n"] <= P.NEYMAN_BUDGET
+    # floor(x+0.5) rounding keeps both allocations within |strata| of the
+    # budget
+    assert abs(sum(r["neyman_n"] for r in rows) - P.NEYMAN_BUDGET) <= 5
+    assert abs(sum(r["proportional_n"] for r in rows) - P.NEYMAN_BUDGET) <= 5
+
+
+def test_bandit_replay_regret_monotone_vs_best(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    rows = B.bandit_replay_greedy(spark, SF_SMALL).collect()
+    assert len(rows) == 30
+    best_arms = {r["best_arm"] for r in rows}
+    assert len(best_arms) == 1  # best-in-hindsight is one fixed arm
+    # on days where the policy plays the best arm, regret must not grow
+    prev = 0.0
+    for r in rows:
+        if r["chosen_arm"] == r["best_arm"]:
+            assert abs(r["cum_regret_dollars"] - prev) < 1e-9
+        prev = r["cum_regret_dollars"]

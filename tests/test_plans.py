@@ -635,3 +635,17 @@ def test_robust_fit_wave_never_plans_cartesian(spark):
     ):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_modularity_allocation_bandit_never_plan_cartesian(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B5
+    from cdc_streamming___v2_spark.operators import graph as G5
+    from cdc_streamming___v2_spark.operators import pipeline_ops as P5
+
+    for fn in (
+        G5.community_modularity,
+        P5.neyman_allocation,
+        B5.bandit_replay_greedy,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__

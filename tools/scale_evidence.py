@@ -108,6 +108,17 @@ EVENT_QUERIES = [
     "ams_f2_sketch",
     "rapid_repeat_purchases",
     "absorption_conversion_prob",
+    # third-session event-bound additions (cell aggregations, bounded-grid
+    # order statistics, day-frame sequential folds)
+    "did_estimate",
+    "iv_wald_estimate",
+    "conformal_interval_coverage",
+    "sequential_patterns",
+    "transition_entropy_rate",
+    "woe_iv_binning",
+    "control_chart_days",
+    "page_hinkley_drift",
+    "ab_power_analysis",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
@@ -122,6 +133,17 @@ RELATIONAL_QUERIES = [
     # restarted-session fact-bound additions
     "item_cf_topk",
     "t_closeness",
+    # third-session fact-bound additions (orders/lineitem grow 10x; the
+    # customer dim stays fixed, so the per-customer spend reduce is the
+    # fact-bound stage)
+    "kfold_cv_rmse",
+    "recsys_eval_cf",
+    "littles_law_audit",
+    "newsvendor_stock_level",
+    "rdd_estimate",
+    "psm_caliper_att",
+    "psm_strata_ate",
+    "ransac_spend_fit",
 ]
 
 
