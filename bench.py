@@ -284,6 +284,7 @@ HEADLINE = [
     "community_modularity",
     "neyman_allocation",
     "bandit_replay_greedy",
+    "cdcgen_source_roundtrip",
 ]
 
 

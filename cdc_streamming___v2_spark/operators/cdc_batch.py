@@ -591,3 +591,74 @@ ORACLES["aws_dms_envelope_roundtrip"] = """
     GROUP BY 1
 """
 QUERIES["aws_dms_envelope_roundtrip"] = aws_dms_envelope_roundtrip
+
+
+# --------------------------------------------------------------------------
+# cdcgen_source_roundtrip — the Spark 4 Python DataSource connector, proven
+# --------------------------------------------------------------------------
+
+CDCGEN_ROWS = 6_000
+CDCGEN_PARTS = 8
+
+
+def cdcgen_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof of the zero-JVM Python DataSource connector
+    (sources/cdcgen.py): scan format("cdcgen"), run the REAL Datastream
+    envelope parser over its lines, and reduce to a per-(table, action)
+    summary — counts, payload value sums, and the timestamp range.
+
+    The oracle re-derives the identical summary from generate_series with
+    the generator's index formulas (every field is a pure function of the
+    global row index), so a hash match proves the connector + scan +
+    json_tuple parse + aggregation path without trusting the generator
+    twice.  ``sf_dir`` is unused: the source is synthetic by design (the
+    one registry entry exercising a non-parquet Spark connector).
+
+    Scale: the connector streams rows per input partition (8 splits here;
+    a real deployment sets partitions to cluster width); the aggregation
+    is map-side combined to a 9-cell frame.
+    """
+    from ..sources import cdcgen
+
+    cdcgen.register(spark)
+    raw = (
+        spark.read.format("cdcgen")
+        .option("rows", CDCGEN_ROWS)
+        .option("partitions", CDCGEN_PARTS)
+        .load()
+    )
+    env = parse_envelope(raw)
+    v = F.get_json_object(F.col("payload_json"), "$.v").cast("long")
+    return (
+        env.groupBy(F.col("object").alias("table_name"), "action")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v.cast("decimal(38,0)")).cast("long").alias("sum_v"),
+            F.min("update_date_raw").alias("first_ts"),
+            F.max("update_date_raw").alias("last_ts"),
+        )
+        .orderBy("table_name", "action")
+    )
+
+
+QUERIES["cdcgen_source_roundtrip"] = cdcgen_source_roundtrip
+ORACLES["cdcgen_source_roundtrip"] = f"""
+    WITH idx AS (
+        SELECT CAST(u.i AS BIGINT) AS i
+        FROM unnest(generate_series(0, {CDCGEN_ROWS - 1})) AS u(i)
+    ),
+    rec AS (
+        SELECT CASE i % 3 WHEN 0 THEN 'orders' WHEN 1 THEN 'customer'
+                          ELSE 'lineitem' END AS table_name,
+               CASE i % 4 WHEN 0 THEN 'insert' WHEN 1 THEN 'update-insert'
+                          WHEN 2 THEN 'delete' ELSE 'insert' END AS action,
+               (i * i) % {97} AS v,
+               strftime(TIMESTAMP '2024-01-01' + to_seconds(i),
+                        '%Y-%m-%dT%H:%M:%S') AS ts
+        FROM idx
+    )
+    SELECT table_name, action, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM rec GROUP BY 1, 2 ORDER BY table_name, action
+"""

@@ -119,6 +119,7 @@ EVENT_QUERIES = [
     "control_chart_days",
     "page_hinkley_drift",
     "ab_power_analysis",
+    "bandit_replay_greedy",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
@@ -144,6 +145,8 @@ RELATIONAL_QUERIES = [
     "psm_caliper_att",
     "psm_strata_ate",
     "ransac_spend_fit",
+    "community_modularity",
+    "neyman_allocation",
 ]
 
 
