@@ -285,6 +285,7 @@ HEADLINE = [
     "neyman_allocation",
     "bandit_replay_greedy",
     "cdcgen_source_roundtrip",
+    "logistic_newton_fit",
 ]
 
 

@@ -1460,3 +1460,171 @@ ORACLES["ransac_spend_fit"] = f"""
                AS refit_intercept_dollars
     FROM best
 """
+
+
+# --------------------------------------------------------------------------
+# logistic_newton_fit — in-engine logistic regression (3 Newton steps)
+# --------------------------------------------------------------------------
+
+LOGIT_STEPS = 3
+LOGIT_X_SCALE = 10_000.0  # cents -> hundreds of dollars (keeps exp tame)
+
+
+def logistic_newton_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 1-feature logistic regression IN the engine: P(event is an
+    'error' | event value), fit by LOGIT_STEPS Newton-Raphson steps of
+    iteratively reweighted least squares — the canonical GLM fit,
+    expressed as a static DAG (the LPA / bellman_ford fixed-round
+    lineage), no MLlib, no driver-side optimization loop.
+
+    Shape: events reduce ONCE to the (cent value) grid (<= ~33k rows at
+    ANY corpus size) with per-cell trial/success counts; each Newton step
+    joins the 2-parameter state (a 1-row broadcast) to the grid, folds the
+    six sufficient statistics (gradient + Hessian entries) with an
+    ORDER-PINNED cumulative window over the bounded grid — float sums in
+    a pinned sequence, so both engines add identical doubles in identical
+    order — and solves the 2x2 system in closed form.
+
+    Newton from beta = (0, 0) on a one-feature problem with bounded x is
+    well inside the quadratic-convergence basin; 3 steps land within
+    ~1e-6 of the MLE (the invariant test checks the gradient is ~0).
+    """
+    e = load_table(spark, sf_dir, "events")
+    grid = (
+        e.select(
+            F.round(F.col("value") * 100).cast("long").alias("cv"),
+            (F.col("event_type") == "error").cast("int").alias("bad"),
+        )
+        .groupBy("cv")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bad").alias("k"))
+        .select(
+            "cv",
+            "n",
+            "k",
+            (F.col("cv").cast("double") / F.lit(LOGIT_X_SCALE)).alias("x"),
+        )
+        .localCheckpoint(eager=True)  # 3 steps reference the tiny grid
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    wcum = Window.partitionBy().orderBy("cv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    for _ in range(LOGIT_STEPS):
+        j = grid.crossJoin(F.broadcast(beta))  # 1-row state broadcast
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.col("b0") + F.col("b1") * F.col("x")))
+        )
+        w = p * (F.lit(1.0) - p)
+        nn, kk, xx = (
+            F.col("n").cast("double"),
+            F.col("k").cast("double"),
+            F.col("x"),
+        )
+        folded = j.select(
+            "cv",
+            "b0",
+            "b1",
+            F.sum(kk - nn * p).over(wcum).alias("g0"),
+            F.sum((kk - nn * p) * xx).over(wcum).alias("g1"),
+            F.sum(nn * w).over(wcum).alias("h00"),
+            F.sum(nn * w * xx).over(wcum).alias("h01"),
+            F.sum(nn * w * xx * xx).over(wcum).alias("h11"),
+        )
+        s = folded.groupBy("b0", "b1").agg(
+            F.max_by(F.col("g0"), F.col("cv")).alias("g0"),
+            F.max_by(F.col("g1"), F.col("cv")).alias("g1"),
+            F.max_by(F.col("h00"), F.col("cv")).alias("h00"),
+            F.max_by(F.col("h01"), F.col("cv")).alias("h01"),
+            F.max_by(F.col("h11"), F.col("cv")).alias("h11"),
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        beta = s.select(
+            (
+                F.col("b0")
+                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")) / det
+            ).alias("b0"),
+            (
+                F.col("b1")
+                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")) / det
+            ).alias("b1"),
+        )
+    tot = grid.groupBy().agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("n_bad"),
+    )
+    return beta.crossJoin(F.broadcast(tot)).select(
+        "n_events",
+        "n_bad",
+        # + 0.0 canonicalizes IEEE negative zero (round(-1e-18, 6) is
+        # -0.0 in DuckDB, 0.0 in Spark — the array_funcs class)
+        (F.round("b0", 6) + F.lit(0.0)).alias("beta0"),
+        (F.round("b1", 6) + F.lit(0.0)).alias("beta1"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("b0"))), 6
+        ).alias("p_at_zero_value"),
+    )
+
+
+def _logit_oracle() -> str:
+    grid = f"""grid AS (
+        SELECT cv, n, k, CAST(cv AS DOUBLE) / {LOGIT_X_SCALE} AS x FROM (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cv, count(*) AS n,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS k
+            FROM events GROUP BY 1
+        )
+    )"""
+    ctes = [grid, "b0_state AS (SELECT 0.0 AS b0, 0.0 AS b1)"]
+    prev = "b0_state"
+    for i in range(1, LOGIT_STEPS + 1):
+        ctes.append(f"""f{i} AS (
+            SELECT g.cv, b.b0, b.b1,
+                   sum(CAST(k AS DOUBLE) - CAST(n AS DOUBLE)
+                       * (1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.x)))))
+                       OVER wo AS g0,
+                   sum((CAST(k AS DOUBLE) - CAST(n AS DOUBLE)
+                        * (1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.x))))) * g.x)
+                       OVER wo AS g1,
+                   sum(CAST(n AS DOUBLE)
+                       * (1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.x))))
+                       * (1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.x)))))
+                       OVER wo AS h00,
+                   sum(CAST(n AS DOUBLE)
+                       * (1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.x))))
+                       * (1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.x))))
+                       * g.x) OVER wo AS h01,
+                   sum(CAST(n AS DOUBLE)
+                       * (1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.x))))
+                       * (1.0 - 1.0 / (1.0 + exp(-(b.b0 + b.b1 * g.x))))
+                       * g.x * g.x) OVER wo AS h11
+            FROM grid g, {prev} b
+            WINDOW wo AS (ORDER BY g.cv ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+        )""")
+        ctes.append(f"""s{i} AS (
+            SELECT b0, b1, arg_max(g0, cv) AS g0, arg_max(g1, cv) AS g1,
+                   arg_max(h00, cv) AS h00, arg_max(h01, cv) AS h01,
+                   arg_max(h11, cv) AS h11
+            FROM f{i} GROUP BY b0, b1
+        )""")
+        ctes.append(f"""b{i} AS (
+            SELECT b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+                   b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+            FROM s{i}
+        )""")
+        prev = f"b{i}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS n_bad FROM grid)
+    SELECT n_events, n_bad,
+           round(b0, 6) + 0.0 AS beta0, round(b1, 6) + 0.0 AS beta1,
+           round(1.0 / (1.0 + exp(-b0)), 6) AS p_at_zero_value
+    FROM {prev}, tot
+    """
+
+
+QUERIES["logistic_newton_fit"] = logistic_newton_fit
+ORACLES["logistic_newton_fit"] = _logit_oracle()

@@ -326,3 +326,32 @@ def test_bandit_replay_regret_monotone_vs_best(spark):
         if r["chosen_arm"] == r["best_arm"]:
             assert abs(r["cum_regret_dollars"] - prev) < 1e-9
         prev = r["cum_regret_dollars"]
+
+
+def test_logistic_newton_reaches_mle(spark):
+    """At the returned beta the log-likelihood gradient must be ~0 (MLE
+    first-order condition), verified independently in numpy."""
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+
+    r = ML.logistic_newton_fit(spark, SF_SMALL).collect()[0]
+    grid = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr(
+            "cast(round(value * 100) as long) as cv",
+            "cast(event_type = 'error' as int) as bad",
+        )
+        .groupBy("cv")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bad").alias("k"))
+        .collect()
+    )
+    import numpy as np
+
+    x = np.array([g["cv"] for g in grid]) / ML.LOGIT_X_SCALE
+    n = np.array([g["n"] for g in grid], dtype=float)
+    k = np.array([g["k"] for g in grid], dtype=float)
+    p = 1.0 / (1.0 + np.exp(-(r["beta0"] + r["beta1"] * x)))
+    g0 = float(np.sum(k - n * p))
+    g1 = float(np.sum((k - n * p) * x))
+    assert abs(g0) < 1e-2 and abs(g1) < 1e-2
+    # the intercept-only prediction must sit near the base rate
+    assert abs(r["p_at_zero_value"] - r["n_bad"] / r["n_events"]) < 0.25

@@ -649,3 +649,12 @@ def test_modularity_allocation_bandit_never_plan_cartesian(spark):
     ):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_logistic_newton_grid_bounded_plan(spark):
+    """The Newton chain must join the 1-row state via broadcast (BNLJ on a
+    scalar frame is the accepted pattern) and never a CartesianProduct."""
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+
+    p = _plan(spark, ML.logistic_newton_fit(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
