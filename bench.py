@@ -286,6 +286,7 @@ HEADLINE = [
     "bandit_replay_greedy",
     "cdcgen_source_roundtrip",
     "logistic_newton_fit",
+    "adaboost_stumps",
 ]
 
 

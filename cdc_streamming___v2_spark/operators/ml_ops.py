@@ -1628,3 +1628,257 @@ def _logit_oracle() -> str:
 
 QUERIES["logistic_newton_fit"] = logistic_newton_fit
 ORACLES["logistic_newton_fit"] = _logit_oracle()
+
+
+# --------------------------------------------------------------------------
+# adaboost_stumps — two-round AdaBoost with EXACT integer weight arithmetic
+# --------------------------------------------------------------------------
+
+
+def adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of AdaBoost (Freund & Schapire, public) over threshold
+    stumps on the event-value grid, label = 'error' events — with the
+    boosting weight arithmetic kept EXACT: after round 1 the sample
+    weights take only two values (right -> e1, wrong -> N - e1, the
+    cross-multiplied form of the 1/(2(1-e)) / 1/(2e) reweighting), so
+    round 2's weighted stump search is pure integer arithmetic and the
+    selected split cannot flip between engines.  Only the reported alphas
+    (0.5 * ln((1-e)/e)) and rates are floats, computed once from exact
+    integers.
+
+    The combined-vote tie (h1 disagrees with h2) resolves by alpha1 >
+    alpha2, evaluated as the cross-multiplied integer inequality
+    e1_wrong * (W - e2_wrong) < e2_wrong * (N - e1_wrong)... expressed
+    directly on exact counters — no float compare in the decision path.
+
+    Scale: ONE reduction to the cent-value grid (<= ~33k rows at any
+    corpus size); both stump searches are cumulative windows over that
+    bounded frame; the round-1 winner rides a 1-row broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    grid = (
+        e.select(
+            F.round(F.col("value") * 100).cast("long").alias("cv"),
+            (F.col("event_type") == "error").cast("int").alias("pos"),
+        )
+        .groupBy("cv")
+        .agg(
+            F.sum("pos").alias("np"),
+            F.sum(F.lit(1) - F.col("pos")).alias("nn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wall = Window.partitionBy()
+    wcum = wall.orderBy("cv").rowsBetween(Window.unboundedPreceding, 0)
+
+    def stump_search(frame, wp, wn):
+        """frame has (cv, <weight columns>); wp/wn = weighted pos/neg
+        column expressions (exact integers in decimal).  Returns the 1-row
+        winner (thr, pol, err_num, w_tot)."""
+        t = frame.withColumn("cp", F.sum(wp).over(wcum)).withColumn(
+            "cn", F.sum(wn).over(wcum)
+        )
+        t = t.withColumn(
+            "tp", F.max_by(F.col("cp"), F.col("cv")).over(
+                wall.orderBy("cv").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).withColumn(
+            "tn", F.max_by(F.col("cn"), F.col("cv")).over(
+                wall.orderBy("cv").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        )
+        # pol +1: predict pos iff cv <= thr -> wrong = (TP - cp) + cn
+        # pol -1: predict pos iff cv >  thr -> wrong = cp + (TN - cn)
+        cand = t.select(
+            "cv",
+            "tp",
+            "tn",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("pol"),
+                        ((F.col("tp") - F.col("cp")) + F.col("cn")).alias("err"),
+                    ),
+                    F.struct(
+                        F.lit(-1).alias("pol"),
+                        (F.col("cp") + (F.col("tn") - F.col("cn"))).alias("err"),
+                    ),
+                )
+            ).alias("c"),
+        ).select(
+            "cv", "tp", "tn", F.col("c.pol").alias("pol"), F.col("c.err").alias("err")
+        )
+        wbest = wall.orderBy(F.col("err").asc(), F.col("cv").asc(), F.col("pol").desc())
+        return (
+            cand.withColumn("rk", F.row_number().over(wbest))
+            .filter(F.col("rk") == 1)
+            .select(
+                F.col("cv").alias("thr"),
+                "pol",
+                F.col("err").alias("err_num"),
+                (F.col("tp") + F.col("tn")).alias("w_tot"),
+            )
+        )
+
+    g1 = grid.select(
+        "cv", F.col("np").cast(dec).alias("wp"), F.col("nn").cast(dec).alias("wn")
+    )
+    best1 = stump_search(g1, F.col("wp"), F.col("wn")).localCheckpoint(eager=True)
+    j = grid.crossJoin(F.broadcast(best1.select(
+        F.col("thr").alias("thr1"), F.col("pol").alias("pol1"),
+        F.col("err_num").alias("e1"), F.col("w_tot").alias("n_tot"),
+    )))
+    # stump1's prediction at this cell: +1 (pos) iff (cv <= thr1) == (pol1 == 1)
+    pred_pos = (F.col("cv") <= F.col("thr1")) == (F.col("pol1") == 1)
+    w_right = F.col("e1")
+    w_wrong = F.col("n_tot") - F.col("e1")
+    g2 = j.select(
+        "cv",
+        "thr1",
+        "pol1",
+        "e1",
+        "n_tot",
+        # pos rows: wrong when stump1 predicted neg
+        (F.col("np").cast(dec)
+         * F.when(pred_pos, w_right).otherwise(w_wrong).cast(dec)).alias("wp"),
+        (F.col("nn").cast(dec)
+         * F.when(pred_pos, w_wrong).otherwise(w_right).cast(dec)).alias("wn"),
+        F.col("np").cast(dec).alias("np"),
+        F.col("nn").cast(dec).alias("nn"),
+    )
+    best2 = stump_search(
+        g2.select("cv", "wp", "wn"), F.col("wp"), F.col("wn")
+    ).select(
+        F.col("thr").alias("thr2"), F.col("pol").alias("pol2"),
+        F.col("err_num").alias("e2"), F.col("w_tot").alias("w2_tot"),
+    ).localCheckpoint(eager=True)
+    full = g2.crossJoin(F.broadcast(best2))
+    h1_pos = (F.col("cv") <= F.col("thr1")) == (F.col("pol1") == 1)
+    h2_pos = (F.col("cv") <= F.col("thr2")) == (F.col("pol2") == 1)
+    # alpha1 > alpha2  <=>  e1/n_tot < e2/w2_tot (cross-multiplied, exact)
+    a1_wins = F.col("e1") * F.col("w2_tot") < F.col("e2") * F.col("n_tot")
+    comb_pos = F.when(h1_pos == h2_pos, h1_pos).otherwise(
+        F.when(a1_wins, h1_pos).otherwise(h2_pos)
+    )
+    acc = full.select(
+        "e1",
+        "n_tot",
+        "e2",
+        "w2_tot",
+        "thr1",
+        "pol1",
+        "thr2",
+        "pol2",
+        F.when(comb_pos, F.col("np")).otherwise(F.col("nn")).alias("correct"),
+        (F.col("np") + F.col("nn")).alias("n_cell"),
+    )
+    g = acc.groupBy(
+        "thr1", "pol1", "e1", "thr2", "pol2", "e2", "n_tot", "w2_tot"
+    ).agg(F.sum("correct").alias("n_correct"), F.sum("n_cell").alias("n_all"))
+    e1r = F.col("e1").cast("double") / F.col("n_tot").cast("double")
+    e2r = F.col("e2").cast("double") / F.col("w2_tot").cast("double")
+    alpha = lambda r: F.lit(0.5) * F.log((F.lit(1.0) - r) / r)  # noqa: E731
+    return g.select(
+        F.col("thr1").cast("long").alias("thr1_cents"),
+        F.col("pol1").cast("int").alias("pol1"),
+        F.round(e1r, 6).alias("err1"),
+        F.round(alpha(e1r), 6).alias("alpha1"),
+        F.col("thr2").cast("long").alias("thr2_cents"),
+        F.col("pol2").cast("int").alias("pol2"),
+        F.round(e2r, 6).alias("err2"),
+        F.round(alpha(e2r), 6).alias("alpha2"),
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_all").cast("double"), 6
+        ).alias("train_accuracy"),
+    )
+
+
+QUERIES["adaboost_stumps"] = adaboost_stumps
+ORACLES["adaboost_stumps"] = """
+    WITH grid AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cv,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS np,
+               sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS nn
+        FROM events GROUP BY 1
+    ),
+    c1 AS (
+        SELECT cv,
+               sum(np) OVER wo AS cp, sum(nn) OVER wo AS cn,
+               sum(np) OVER () AS tp, sum(nn) OVER () AS tn
+        FROM grid
+        WINDOW wo AS (ORDER BY cv ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    ),
+    cand1 AS (
+        SELECT cv, tp, tn, 1 AS pol, (tp - cp) + cn AS err FROM c1
+        UNION ALL
+        SELECT cv, tp, tn, -1 AS pol, cp + (tn - cn) AS err FROM c1
+    ),
+    best1 AS (
+        SELECT cv AS thr1, pol AS pol1, err AS e1, tp + tn AS n_tot
+        FROM cand1 ORDER BY err ASC, cv ASC, pol DESC LIMIT 1
+    ),
+    g2 AS (
+        SELECT g.cv, b.thr1, b.pol1, b.e1, b.n_tot, g.np, g.nn,
+               g.np * CASE WHEN (g.cv <= b.thr1) = (b.pol1 = 1)
+                           THEN b.e1 ELSE b.n_tot - b.e1 END AS wp,
+               g.nn * CASE WHEN (g.cv <= b.thr1) = (b.pol1 = 1)
+                           THEN b.n_tot - b.e1 ELSE b.e1 END AS wn
+        FROM grid g, best1 b
+    ),
+    c2 AS (
+        SELECT cv,
+               sum(wp) OVER wo AS cp, sum(wn) OVER wo AS cn,
+               sum(wp) OVER () AS tp, sum(wn) OVER () AS tn
+        FROM g2
+        WINDOW wo AS (ORDER BY cv ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    ),
+    cand2 AS (
+        SELECT cv, tp, tn, 1 AS pol, (tp - cp) + cn AS err FROM c2
+        UNION ALL
+        SELECT cv, tp, tn, -1 AS pol, cp + (tn - cn) AS err FROM c2
+    ),
+    best2 AS (
+        SELECT cv AS thr2, pol AS pol2, err AS e2, tp + tn AS w2_tot
+        FROM cand2 ORDER BY err ASC, cv ASC, pol DESC LIMIT 1
+    ),
+    fl AS (
+        SELECT g.*, b2.thr2, b2.pol2, b2.e2, b2.w2_tot,
+               (g.cv <= g.thr1) = (g.pol1 = 1) AS h1_pos,
+               (g.cv <= b2.thr2) = (b2.pol2 = 1) AS h2_pos,
+               g.e1 * b2.w2_tot < b2.e2 * g.n_tot AS a1_wins
+        FROM g2 g, best2 b2
+    ),
+    acc AS (
+        SELECT thr1, pol1, e1, n_tot, thr2, pol2, e2, w2_tot,
+               CASE WHEN (CASE WHEN h1_pos = h2_pos THEN h1_pos
+                               WHEN a1_wins THEN h1_pos ELSE h2_pos END)
+                    THEN np ELSE nn END AS correct,
+               np + nn AS n_cell
+        FROM fl
+    ),
+    g AS (
+        SELECT thr1, pol1, e1, thr2, pol2, e2, n_tot, w2_tot,
+               sum(correct) AS n_correct, sum(n_cell) AS n_all
+        FROM acc GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+    )
+    SELECT CAST(thr1 AS BIGINT) AS thr1_cents, CAST(pol1 AS INT) AS pol1,
+           round(CAST(e1 AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS err1,
+           round(0.5 * ln((1.0 - CAST(e1 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                          / (CAST(e1 AS DOUBLE) / CAST(n_tot AS DOUBLE))), 6)
+               AS alpha1,
+           CAST(thr2 AS BIGINT) AS thr2_cents, CAST(pol2 AS INT) AS pol2,
+           round(CAST(e2 AS DOUBLE) / CAST(w2_tot AS DOUBLE), 6) AS err2,
+           round(0.5 * ln((1.0 - CAST(e2 AS DOUBLE) / CAST(w2_tot AS DOUBLE))
+                          / (CAST(e2 AS DOUBLE) / CAST(w2_tot AS DOUBLE))), 6)
+               AS alpha2,
+           round(CAST(n_correct AS DOUBLE) / CAST(n_all AS DOUBLE), 6)
+               AS train_accuracy
+    FROM g
+"""

@@ -355,3 +355,22 @@ def test_logistic_newton_reaches_mle(spark):
     assert abs(g0) < 1e-2 and abs(g1) < 1e-2
     # the intercept-only prediction must sit near the base rate
     assert abs(r["p_at_zero_value"] - r["n_bad"] / r["n_events"]) < 0.25
+
+
+def test_adaboost_weak_learning_progression(spark):
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+
+    r = ML.adaboost_stumps(spark, SF_SMALL).collect()[0]
+    # weak-learner guarantee: each selected stump beats (or ties) chance
+    # on its own weight distribution
+    assert r["err1"] <= 0.5 + 1e-9
+    assert r["err2"] <= 0.5 + 1e-9
+    assert r["pol1"] in (-1, 1) and r["pol2"] in (-1, 1)
+    # alphas are the ln-odds of the errors — signs must agree with err<0.5
+    if r["err1"] < 0.5:
+        assert r["alpha1"] > 0
+    if r["err2"] < 0.5:
+        assert r["alpha2"] > 0
+    # the boosted vote cannot be worse than majority class by much: the
+    # ensemble predicts at least one cell right
+    assert 0.0 < r["train_accuracy"] <= 1.0

@@ -658,3 +658,10 @@ def test_logistic_newton_grid_bounded_plan(spark):
 
     p = _plan(spark, ML.logistic_newton_fit(spark, SF_SMALL))
     assert "CartesianProduct" not in p
+
+
+def test_adaboost_never_plans_cartesian(spark):
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+
+    p = _plan(spark, ML.adaboost_stumps(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
