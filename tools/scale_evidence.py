@@ -120,6 +120,8 @@ EVENT_QUERIES = [
     "page_hinkley_drift",
     "ab_power_analysis",
     "bandit_replay_greedy",
+    "logistic_newton_fit",
+    "adaboost_stumps",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
