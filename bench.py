@@ -287,6 +287,8 @@ HEADLINE = [
     "cdcgen_source_roundtrip",
     "logistic_newton_fit",
     "adaboost_stumps",
+    "cox_ph_fit",
+    "shapley_attribution",
 ]
 
 

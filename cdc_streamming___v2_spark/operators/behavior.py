@@ -1332,3 +1332,155 @@ ORACLES["bandit_replay_greedy"] = """
                AS cum_regret_dollars
     FROM j ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# shapley_attribution — exact data-driven Shapley over the 3 touch channels
+# --------------------------------------------------------------------------
+
+SHAPLEY_CHANNELS = ("click", "view", "signup")
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution over the three touch
+    channels (click / view / signup): the characteristic function
+    v(S) = conversion rate of users whose observed touch set is S (0 for
+    unobserved sets), and each channel's value is the closed-form 3-player
+    Shapley sum phi_c = sum_{S not containing c} w(|S|) * (v(S + c) - v(S))
+    with w = 1/3, 1/6, 1/3 — the marginal-contribution split
+    attribution_credit's first/last-touch heuristics approximate.
+
+    Exactness: v is one division of exact integers per subset; the 12
+    (channel, subset) marginal terms join the EIGHT-row subset frame and
+    fold order-pinned.
+
+    Scale: one per-user reduce (4 boolean aggregates), one groupBy to the
+    2^3-subset frame; everything after runs on <= 12 rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "signup").cast("int")).alias("s"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    subs = per_user.groupBy(
+        (F.col("c") + F.col("v") * 2 + F.col("s") * 4).alias("sub")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    # all 8 subsets, v = 0 where unobserved
+    allsub = spark.range(8).select(F.col("id").cast("int").alias("sub"))
+    vtab = (
+        allsub.join(subs, "sub", "left")
+        .select(
+            "sub",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.when(
+                F.col("n").isNotNull() & (F.col("n") > 0),
+                F.col("k").cast("double") / F.col("n").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cv"),
+        )
+    )
+    # 12 marginal terms: channel bit b in {1,2,4}, subset s without b
+    chans = spark.range(3).select(
+        F.element_at(
+            F.array(*[F.lit(c) for c in SHAPLEY_CHANNELS]), F.col("id").cast("int") + 1
+        ).alias("channel"),
+        F.when(F.col("id") == 0, 1)
+        .when(F.col("id") == 1, 2)
+        .otherwise(4)
+        .alias("bit"),
+    )
+    pairs = chans.crossJoin(F.broadcast(allsub)).filter(
+        (F.col("sub") / F.col("bit")).cast("int") % 2 == 0
+    )
+    size = (
+        F.col("sub") % 2
+        + (F.col("sub") / 2).cast("int") % 2
+        + (F.col("sub") / 4).cast("int") % 2
+    )
+    weight = (
+        F.when(size == 0, 1.0 / 3.0)
+        .when(size == 1, 1.0 / 6.0)
+        .otherwise(1.0 / 3.0)
+    )
+    vw = vtab.select(F.col("sub").alias("sw"), F.col("cv").alias("v_with"))
+    vo = vtab.select(F.col("sub").alias("so"), F.col("cv").alias("v_without"))
+    terms = (
+        pairs.withColumn("w", weight)
+        .join(F.broadcast(vo), F.col("sub") == F.col("so"))
+        .join(F.broadcast(vw), (F.col("sub") + F.col("bit")) == F.col("sw"))
+        .select(
+            "channel",
+            "sub",
+            (F.col("w") * (F.col("v_with") - F.col("v_without"))).alias("term"),
+        )
+    )
+    wch = Window.partitionBy("channel").orderBy("sub").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    folded = terms.withColumn("phi_cum", F.sum("term").over(wch))
+    return (
+        folded.groupBy("channel")
+        .agg((F.round(F.max_by(F.col("phi_cum"), F.col("sub")), 6) + F.lit(0.0)).alias("shapley_value"))
+        .orderBy("channel")
+    )
+
+
+QUERIES["shapley_attribution"] = shapley_attribution
+ORACLES["shapley_attribution"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1
+    ),
+    subs AS (
+        SELECT c + v * 2 + s * 4 AS sub, count(*) AS n, sum(conv) AS k
+        FROM per_user GROUP BY 1
+    ),
+    allsub AS (SELECT CAST(u.i AS INT) AS sub
+               FROM unnest(generate_series(0, 7)) AS u(i)),
+    vtab AS (
+        SELECT a.sub, coalesce(s.n, 0) AS n,
+               CASE WHEN coalesce(s.n, 0) > 0
+                    THEN CAST(s.k AS DOUBLE) / CAST(s.n AS DOUBLE)
+                    ELSE 0.0 END AS cv
+        FROM allsub a LEFT JOIN subs s ON a.sub = s.sub
+    ),
+    chans AS (
+        SELECT 'click' AS channel, 1 AS bit
+        UNION ALL SELECT 'view', 2
+        UNION ALL SELECT 'signup', 4
+    ),
+    pairs AS (
+        SELECT ch.channel, ch.bit, a.sub
+        FROM chans ch, allsub a
+        WHERE (a.sub // ch.bit) % 2 = 0
+    ),
+    terms AS (
+        SELECT p.channel, p.sub,
+               (CASE (p.sub % 2 + (p.sub // 2) % 2
+                      + (p.sub // 4) % 2)
+                     WHEN 0 THEN 1.0 / 3.0
+                     WHEN 1 THEN 1.0 / 6.0
+                     ELSE 1.0 / 3.0 END)
+               * (vw.cv - vo.cv) AS term
+        FROM pairs p
+        JOIN vtab vo ON p.sub = vo.sub
+        JOIN vtab vw ON p.sub + p.bit = vw.sub
+    ),
+    folded AS (
+        SELECT channel, sub,
+               sum(term) OVER (PARTITION BY channel ORDER BY sub
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS phi_cum
+        FROM terms
+    )
+    SELECT channel,
+           round(arg_max(phi_cum, sub), 6) + 0.0 AS shapley_value
+    FROM folded GROUP BY channel ORDER BY channel
+"""

@@ -2465,3 +2465,221 @@ ORACLES["page_hinkley_drift"] = f"""
            ph - ph_min > {PH_LAMBDA_CENTS} AS drift_alarm
     FROM mins ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# cox_ph_fit — Cox proportional hazards (binary covariate, Newton steps)
+# --------------------------------------------------------------------------
+
+COX_STEPS = 3
+
+
+def cox_ph_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards fit (Breslow ties) of the signup ->
+    first-purchase hazard on the even/odd-user covariate — the smooth-model
+    companion of log_rank_test: beta is the log hazard ratio the chi-square
+    only tests.  COX_STEPS Newton steps on the partial likelihood,
+    expressed as a static DAG (the logistic_newton_fit lineage): with a
+    binary covariate every per-day score/information term needs only the
+    two risk-set counts and the two event counts, all exact integers from
+    the SAME duration frame log_rank builds.
+
+    Determinism: risk sets are exact prefix integers; each step folds the
+    per-day score U and information I with ORDER-PINNED cumulative sums
+    over the bounded duration frame; exp/division on identical doubles.
+
+    Scale: two min-aggregates per user, one reduce to the duration frame;
+    every window runs on that bounded frame; the 1-row parameter state
+    rides a broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    per_user = (
+        signups.join(purchases, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("grp"),
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.datediff(F.col("p_ts").cast("date"), F.col("s_ts").cast("date")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("s_ts").cast("date")))
+            .cast("long")
+            .alias("dur"),
+            F.col("p_ts").isNotNull().cast("long").alias("observed"),
+        )
+    )
+    day = per_user.groupBy("dur").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("x0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("observed")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("observed")).otherwise(0)).alias("d1"),
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = day.select(
+        "dur",
+        "d0",
+        "d1",
+        (
+            F.sum(F.col("x0")).over(
+                Window.orderBy("dur").rowsBetween(
+                    Window.currentRow, Window.unboundedFollowing
+                )
+            )
+        ).alias("n0r"),
+        (
+            F.sum(F.col("x1")).over(
+                Window.orderBy("dur").rowsBetween(
+                    Window.currentRow, Window.unboundedFollowing
+                )
+            )
+        ).alias("n1r"),
+    ).localCheckpoint(eager=True)
+    _ = w_prev  # documented: risk sets equal the FROM-current suffix sums
+    beta = spark.range(1).select(F.lit(0.0).alias("b"))
+    wcum = Window.partitionBy().orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    for _i in range(COX_STEPS):
+        j = risk.crossJoin(F.broadcast(beta))
+        r = F.exp(F.col("b"))
+        den = F.col("n0r").cast("double") + F.col("n1r").cast("double") * r
+        dd = (F.col("d0") + F.col("d1")).cast("double")
+        u_term = F.col("d1").cast("double") - dd * (
+            F.col("n1r").cast("double") * r / den
+        )
+        i_term = (
+            dd
+            * (F.col("n1r").cast("double") * r * F.col("n0r").cast("double"))
+            / (den * den)
+        )
+        folded = j.select(
+            "dur",
+            "b",
+            F.sum(u_term).over(wcum).alias("u"),
+            F.sum(i_term).over(wcum).alias("inf"),
+        )
+        s = folded.groupBy("b").agg(
+            F.max_by(F.col("u"), F.col("dur")).alias("u"),
+            F.max_by(F.col("inf"), F.col("dur")).alias("inf"),
+        )
+        beta = s.select((F.col("b") + F.col("u") / F.col("inf")).alias("b"))
+    tot = per_user.groupBy().agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("observed")).otherwise(0))
+        .cast("long")
+        .alias("events0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("observed")).otherwise(0))
+        .cast("long")
+        .alias("events1"),
+    )
+    return beta.crossJoin(F.broadcast(tot)).select(
+        "n0",
+        "n1",
+        "events0",
+        "events1",
+        (F.round(F.col("b"), 6) + F.lit(0.0)).alias("beta"),
+        F.round(F.exp(F.col("b")), 6).alias("hazard_ratio"),
+    )
+
+
+def _cox_oracle() -> str:
+    base = """per_user AS (
+        SELECT CAST(user_id % 2 AS INT) AS grp,
+               CASE WHEN p_ts IS NOT NULL
+                    THEN datediff('day', CAST(s_ts AS DATE), CAST(p_ts AS DATE))
+                    ELSE datediff('day', CAST(s_ts AS DATE),
+                                  (SELECT max(CAST(ts AS DATE)) FROM events))
+                 END AS dur,
+               CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM (
+            SELECT s.user_id, s.s_ts, p.p_ts
+            FROM (SELECT user_id, min(ts) AS s_ts FROM events
+                  WHERE event_type = 'signup' GROUP BY 1) s
+            LEFT JOIN (
+                SELECT e.user_id, min(e.ts) AS p_ts
+                FROM events e
+                JOIN (SELECT user_id, min(ts) AS s_ts FROM events
+                      WHERE event_type = 'signup' GROUP BY 1) s2
+                  ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.s_ts
+                GROUP BY 1
+            ) p ON s.user_id = p.user_id
+        )
+    ),
+    day AS (
+        SELECT dur,
+               sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS x0,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS x1,
+               sum(CASE WHEN grp = 0 THEN observed ELSE 0 END) AS d0,
+               sum(CASE WHEN grp = 1 THEN observed ELSE 0 END) AS d1
+        FROM per_user GROUP BY 1
+    ),
+    risk AS MATERIALIZED (
+        SELECT dur, d0, d1,
+               sum(x0) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS n0r,
+               sum(x1) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS n1r
+        FROM day
+    )"""
+    ctes = [base, "bb0 AS (SELECT 0.0 AS b)"]
+    prev = "bb0"
+    for i in range(1, COX_STEPS + 1):
+        ctes.append(f"""ff{i} AS (
+            SELECT r.dur, b.b,
+                   sum(CAST(d1 AS DOUBLE)
+                       - CAST(d0 + d1 AS DOUBLE)
+                         * (CAST(n1r AS DOUBLE) * exp(b.b)
+                            / (CAST(n0r AS DOUBLE)
+                               + CAST(n1r AS DOUBLE) * exp(b.b)))) OVER wo AS u,
+                   sum(CAST(d0 + d1 AS DOUBLE)
+                       * (CAST(n1r AS DOUBLE) * exp(b.b)
+                          * CAST(n0r AS DOUBLE))
+                       / ((CAST(n0r AS DOUBLE)
+                           + CAST(n1r AS DOUBLE) * exp(b.b))
+                          * (CAST(n0r AS DOUBLE)
+                             + CAST(n1r AS DOUBLE) * exp(b.b)))) OVER wo AS inf
+            FROM risk r, {prev} b
+            WINDOW wo AS (ORDER BY r.dur ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+        )""")
+        ctes.append(f"""bb{i} AS (
+            SELECT b + arg_max(u, dur) / arg_max(inf, dur) AS b
+            FROM ff{i} GROUP BY b
+        )""")
+        prev = f"bb{i}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    tot AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN grp = 0 THEN observed ELSE 0 END) AS BIGINT)
+                   AS events0,
+               CAST(sum(CASE WHEN grp = 1 THEN observed ELSE 0 END) AS BIGINT)
+                   AS events1
+        FROM per_user
+    )
+    SELECT n0, n1, events0, events1,
+           round(b, 6) + 0.0 AS beta,
+           round(exp(b), 6) AS hazard_ratio
+    FROM {prev}, tot
+    """
+
+
+QUERIES["cox_ph_fit"] = cox_ph_fit
+ORACLES["cox_ph_fit"] = _cox_oracle()

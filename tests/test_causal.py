@@ -374,3 +374,89 @@ def test_adaboost_weak_learning_progression(spark):
     # the boosted vote cannot be worse than majority class by much: the
     # ensemble predicts at least one cell right
     assert 0.0 < r["train_accuracy"] <= 1.0
+
+
+def test_cox_beta_matches_score_zero(spark):
+    """The returned beta must zero the partial-likelihood score, verified
+    by an independent numpy Breslow computation on the duration frame."""
+    from cdc_streamming___v2_spark.operators import stats_ext as SX
+    import numpy as np
+
+    r = SX.cox_ph_fit(spark, SF_SMALL).collect()[0]
+    assert r["n0"] + r["n1"] > 0
+    assert r["hazard_ratio"] > 0.0
+    assert abs(r["hazard_ratio"] - math.exp(r["beta"])) < 1e-4
+    # rebuild the duration frame and check U(beta) ~ 0
+    e = load_table(spark, SF_SMALL, "events")
+    su = {
+        row["user_id"]: row["s"]
+        for row in e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+        .collect()
+    }
+    import collections
+
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h")).collect()[0]["h"]
+    first_p = {}
+    for row in (
+        e.filter(F.col("event_type") == "purchase").select("user_id", "ts").collect()
+    ):
+        uid = row["user_id"]
+        if uid in su and row["ts"] > su[uid]:
+            if uid not in first_p or row["ts"] < first_p[uid]:
+                first_p[uid] = row["ts"]
+    day = collections.defaultdict(lambda: [0, 0, 0, 0])  # x0 x1 d0 d1
+    for uid, s_ts in su.items():
+        grp = uid % 2
+        if uid in first_p:
+            dur = (first_p[uid].date() - s_ts.date()).days
+            obs = 1
+        else:
+            dur = (horizon - s_ts.date()).days
+            obs = 0
+        rec = day[dur]
+        rec[grp] += 1
+        rec[2 + grp] += obs
+    durs = sorted(day)
+    x0 = np.array([day[d][0] for d in durs], dtype=float)
+    x1 = np.array([day[d][1] for d in durs], dtype=float)
+    d0 = np.array([day[d][2] for d in durs], dtype=float)
+    d1 = np.array([day[d][3] for d in durs], dtype=float)
+    n0r = x0[::-1].cumsum()[::-1]
+    n1r = x1[::-1].cumsum()[::-1]
+    rr = math.exp(r["beta"])
+    den = n0r + n1r * rr
+    u = float(np.sum(d1 - (d0 + d1) * (n1r * rr / den)))
+    assert abs(u) < 1e-2
+
+
+def test_shapley_efficiency_property(spark):
+    """The three Shapley values must sum to v(full set) - v(empty set)
+    (efficiency axiom), reconstructed from the subset conversion rates."""
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    rows = B.shapley_attribution(spark, SF_SMALL).collect()
+    assert len(rows) == 3
+    per_user = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+            F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+            F.max((F.col("event_type") == "signup").cast("int")).alias("s"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+        )
+        .collect()
+    )
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0])
+    for u in per_user:
+        sub = u["c"] + 2 * u["v"] + 4 * u["s"]
+        agg[sub][0] += 1
+        agg[sub][1] += u["conv"]
+    v7 = agg[7][1] / agg[7][0] if agg.get(7) and agg[7][0] else 0.0
+    v0 = agg[0][1] / agg[0][0] if agg.get(0) and agg[0][0] else 0.0
+    total = sum(r["shapley_value"] for r in rows)
+    assert abs(total - (v7 - v0)) < 1e-4

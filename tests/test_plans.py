@@ -665,3 +665,12 @@ def test_adaboost_never_plans_cartesian(spark):
 
     p = _plan(spark, ML.adaboost_stumps(spark, SF_SMALL))
     assert "CartesianProduct" not in p
+
+
+def test_cox_shapley_never_plan_cartesian(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B5
+    from cdc_streamming___v2_spark.operators import stats_ext as SX
+
+    for fn in (SX.cox_ph_fit, B5.shapley_attribution):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__

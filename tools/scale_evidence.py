@@ -122,6 +122,8 @@ EVENT_QUERIES = [
     "bandit_replay_greedy",
     "logistic_newton_fit",
     "adaboost_stumps",
+    "cox_ph_fit",
+    "shapley_attribution",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
