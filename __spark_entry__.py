@@ -136,6 +136,10 @@ _GATE_PRIORITY = (
     "adaboost_stumps",
     "cox_ph_fit",
     "shapley_attribution",
+    "cuped_variance_reduction",
+    "qini_uplift_curve",
+    "sprt_replay",
+    "poisson_rate_model",
     # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
@@ -288,7 +292,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 315
+_MIN_QUERIES = 319
 
 
 def _registry() -> tuple[dict, dict]:

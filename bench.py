@@ -289,6 +289,10 @@ HEADLINE = [
     "adaboost_stumps",
     "cox_ph_fit",
     "shapley_attribution",
+    "cuped_variance_reduction",
+    "qini_uplift_curve",
+    "sprt_replay",
+    "poisson_rate_model",
 ]
 
 

@@ -5116,3 +5116,373 @@ ORACLES["newsvendor_stock_level"] = f"""
     GROUP BY g.p_brand, h.stock_level, h.n_days
     ORDER BY p_brand
 """
+
+
+# --------------------------------------------------------------------------
+# Experimentation-metrics wave: CUPED, Qini uplift, SPRT replay, Poisson rates
+# --------------------------------------------------------------------------
+
+CUPED_SPLIT = "2024-01-16"  # pre-period covariate window boundary
+
+
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., public): per user, covariate
+    X = pre-period spend, metric Y = post-period spend; theta =
+    cov(X,Y)/var(X) from exact decimal(38,0) moments, and the adjusted
+    variance var(Y - theta X) = var(Y) - 2 theta cov + theta^2 var(X) —
+    the experimentation platform's first variance-reduction lever, with
+    the achieved reduction reported exactly.
+
+    Scale: one per-user reduce, one global moment aggregate (all exact
+    integers); the variance algebra is scalar.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("value") * 100).cast("long")
+    pre = F.col("ts") < F.to_timestamp(F.lit(CUPED_SPLIT))
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(0)).cast(dec).alias("x"),
+        F.sum(F.when(~pre, cents).otherwise(0)).cast(dec).alias("y"),
+    )
+    g = u.groupBy().agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    theta = cxy / vx
+    var_y = vy / (n * n)
+    var_c = (vy - F.lit(2.0) * theta * cxy + theta * theta * vx) / (n * n)
+    return g.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(var_y / F.lit(10000.0), 4).alias("var_y_dollars2"),
+        F.round(var_c / F.lit(10000.0), 4).alias("var_cuped_dollars2"),
+        F.round((F.lit(1.0) - var_c / var_y) * F.lit(100.0), 4).alias(
+            "reduction_pct"
+        ),
+    )
+
+
+QUERIES["cuped_variance_reduction"] = cuped_variance_reduction
+ORACLES["cuped_variance_reduction"] = f"""
+    WITH u AS (
+        SELECT user_id,
+               sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+               sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+               sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+           round(CAST(n * syy - sy * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0, 4)
+               AS var_y_dollars2,
+           round((CAST(n * syy - sy * sy AS DOUBLE)
+                  - 2.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(n * sxy - sx * sy AS DOUBLE)
+                  + (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(n * sxx - sx * sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0, 4)
+               AS var_cuped_dollars2,
+           round((1.0 - ((CAST(n * syy - sy * sy AS DOUBLE)
+                  - 2.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(n * sxy - sx * sy AS DOUBLE)
+                  + (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(n * sxx - sx * sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (CAST(n * syy - sy * sy AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) * 100.0, 4)
+               AS reduction_pct
+    FROM g
+"""
+
+
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve: treated = even user_id, outcome = converted
+    (any purchase), targeting score = total event count (activity proxy),
+    users ranked into fully tie-broken deciles (score desc, user_id);
+    per-decile cumulative Qini = conv_t_cum - conv_c_cum * (n_t_cum /
+    n_c_cum) — the uplift companion of decile_gains_table's response
+    curve.
+
+    Exactness: counts exact; ntile over a TOTAL order (score, user_id)
+    is engine-independent; the cumulative fold runs on the 10-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    u = u.withColumn("treated", (F.col("user_id") % 2 == 0).cast("int"))
+    w = Window.orderBy(F.col("score").desc(), F.col("user_id"))
+    d = u.withColumn("decile", F.ntile(10).over(w))
+    g = d.groupBy("decile").agg(
+        F.sum("treated").alias("n_t"),
+        F.sum(F.lit(1) - F.col("treated")).alias("n_c"),
+        F.sum(F.col("treated") * F.col("conv")).alias("conv_t"),
+        F.sum((F.lit(1) - F.col("treated")) * F.col("conv")).alias("conv_c"),
+    )
+    wcum = Window.partitionBy().orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = (
+        g.withColumn("ct", F.sum("conv_t").over(wcum))
+        .withColumn("cc", F.sum("conv_c").over(wcum))
+        .withColumn("nt", F.sum("n_t").over(wcum))
+        .withColumn("nc", F.sum("n_c").over(wcum))
+    )
+    qini = F.col("ct").cast("double") - F.col("cc").cast("double") * (
+        F.col("nt").cast("double") / F.col("nc").cast("double")
+    )
+    return c.select(
+        "decile",
+        F.col("n_t").cast("long").alias("n_treated"),
+        F.col("n_c").cast("long").alias("n_control"),
+        F.col("conv_t").cast("long").alias("conv_treated"),
+        F.col("conv_c").cast("long").alias("conv_control"),
+        # + 0.0 canonicalizes IEEE negative zero (the logistic beta class)
+        (F.round(qini, 4) + F.lit(0.0)).alias("qini_cum"),
+    ).orderBy("decile")
+
+
+QUERIES["qini_uplift_curve"] = qini_uplift_curve
+ORACLES["qini_uplift_curve"] = """
+    WITH u AS (
+        SELECT user_id, count(*) AS score,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        FROM u
+    ),
+    g AS (
+        SELECT decile,
+               sum(treated) AS n_t, sum(1 - treated) AS n_c,
+               sum(treated * conv) AS conv_t,
+               sum((1 - treated) * conv) AS conv_c
+        FROM d GROUP BY 1
+    ),
+    c AS (
+        SELECT decile, n_t, n_c, conv_t, conv_c,
+               sum(conv_t) OVER wo AS ct, sum(conv_c) OVER wo AS cc,
+               sum(n_t) OVER wo AS nt, sum(n_c) OVER wo AS nc
+        FROM g
+        WINDOW wo AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT decile,
+           CAST(n_t AS BIGINT) AS n_treated, CAST(n_c AS BIGINT) AS n_control,
+           CAST(conv_t AS BIGINT) AS conv_treated,
+           CAST(conv_c AS BIGINT) AS conv_control,
+           round(CAST(ct AS DOUBLE)
+                 - CAST(cc AS DOUBLE)
+                   * (CAST(nt AS DOUBLE) / CAST(nc AS DOUBLE)), 4) + 0.0
+               AS qini_cum
+    FROM c ORDER BY decile
+"""
+
+
+SPRT_ALPHA_LN_UPPER = 2.772588722239781  # ln((1-0.2)/0.05) = ln(16)
+SPRT_LN_LOWER = -1.5581446180024529  # ln(0.2/0.95)
+
+
+def sprt_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT replay: H0 = the purchase share of the pre-period
+    (days 1-15), H1 = a 10% relative lift; replay days 16-30 accumulating
+    the exact-count log-likelihood ratio and report the sequential
+    decision state each day — the always-valid companion of the fixed-n
+    ab_power_analysis.
+
+    Exactness: p0 is one division of exact pre-period integers; daily LLR
+    terms are k * ln(p1/p0) + (n - k) * ln(q1/q0) on identical doubles;
+    the day fold is ORDER-PINNED.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pre = F.col("ts") < F.to_timestamp(F.lit(CUPED_SPLIT))
+    base = e.groupBy().agg(
+        F.sum(F.when(pre & (F.col("event_type") == "purchase"), 1).otherwise(0))
+        .alias("k0"),
+        F.sum(F.when(pre, 1).otherwise(0)).alias("n0"),
+    )
+    daily = (
+        e.filter(~pre)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    j = daily.crossJoin(F.broadcast(base))
+    p0 = F.col("k0").cast("double") / F.col("n0").cast("double")
+    p1 = F.least(p0 * F.lit(1.1), F.lit(0.999))
+    llr = F.col("k").cast("double") * F.log(p1 / p0) + (
+        F.col("n") - F.col("k")
+    ).cast("double") * F.log((F.lit(1.0) - p1) / (F.lit(1.0) - p0))
+    wcum = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = j.withColumn("cum_llr", F.sum(llr).over(wcum))
+    decision = (
+        F.when(F.col("cum_llr") >= SPRT_ALPHA_LN_UPPER, "accept_h1")
+        .when(F.col("cum_llr") <= SPRT_LN_LOWER, "accept_h0")
+        .otherwise("continue")
+    )
+    return c.select(
+        "day",
+        F.col("k").cast("long").alias("conversions"),
+        F.col("n").cast("long").alias("trials"),
+        F.round("cum_llr", 6).alias("cum_llr"),
+        decision.alias("decision"),
+    ).orderBy("day")
+
+
+QUERIES["sprt_replay"] = sprt_replay
+ORACLES["sprt_replay"] = f"""
+    WITH base AS (
+        SELECT sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                             AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS k0,
+               sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                        THEN 1 ELSE 0 END) AS n0
+        FROM events
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k,
+               count(*) AS n
+        FROM events WHERE ts >= TIMESTAMP '{CUPED_SPLIT}' GROUP BY 1
+    ),
+    j AS (
+        SELECT day, k, n,
+               CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+               least(CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1.1, 0.999) AS p1
+        FROM daily, base
+    ),
+    c AS (
+        SELECT day, k, n,
+               sum(CAST(k AS DOUBLE) * ln(p1 / p0)
+                   + CAST(n - k AS DOUBLE) * ln((1.0 - p1) / (1.0 - p0)))
+                   OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_llr
+        FROM j
+    )
+    SELECT day, CAST(k AS BIGINT) AS conversions, CAST(n AS BIGINT) AS trials,
+           round(cum_llr, 6) AS cum_llr,
+           CASE WHEN cum_llr >= {SPRT_ALPHA_LN_UPPER} THEN 'accept_h1'
+                WHEN cum_llr <= {SPRT_LN_LOWER} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM c ORDER BY day
+"""
+
+
+def poisson_rate_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-effect Poisson rate model on daily purchase counts: the
+    binary-covariate GLM has a CLOSED-FORM MLE (lambda = per-segment mean
+    count; beta1 = ln rate ratio), reported with the Wald CI on the log
+    rate ratio (sqrt(1/K_wd + 1/K_we) under the Poisson likelihood) —
+    the count-data companion of ols/logistic/cox in the in-engine model
+    tier.
+
+    Exactness: event and day counts are exact integers; ln/sqrt on
+    identical doubles.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # Spark dayofweek: 1 = Sunday .. 7 = Saturday
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    tagged = daily.withColumn(
+        "weekend", F.dayofweek("day").isin(1, 7).cast("int")
+    )
+    g = tagged.groupBy().agg(
+        F.sum(F.when(F.col("weekend") == 0, F.col("k")).otherwise(0)).alias("k_wd"),
+        F.sum(F.when(F.col("weekend") == 0, 1).otherwise(0)).alias("d_wd"),
+        F.sum(F.when(F.col("weekend") == 1, F.col("k")).otherwise(0)).alias("k_we"),
+        F.sum(F.when(F.col("weekend") == 1, 1).otherwise(0)).alias("d_we"),
+    )
+    lam_wd = F.col("k_wd").cast("double") / F.col("d_wd").cast("double")
+    lam_we = F.col("k_we").cast("double") / F.col("d_we").cast("double")
+    b1 = F.log(lam_we / lam_wd)
+    se = F.sqrt(
+        F.lit(1.0) / F.col("k_wd").cast("double")
+        + F.lit(1.0) / F.col("k_we").cast("double")
+    )
+    return g.select(
+        F.col("k_wd").cast("long").alias("events_weekday"),
+        F.col("d_wd").cast("long").alias("days_weekday"),
+        F.col("k_we").cast("long").alias("events_weekend"),
+        F.col("d_we").cast("long").alias("days_weekend"),
+        F.round(lam_wd, 4).alias("rate_weekday"),
+        F.round(lam_we, 4).alias("rate_weekend"),
+        F.round(b1, 6).alias("log_rate_ratio"),
+        F.round(b1 - F.lit(1.959963984540054) * se, 6).alias("lrr_ci_lo"),
+        F.round(b1 + F.lit(1.959963984540054) * se, 6).alias("lrr_ci_hi"),
+    )
+
+
+QUERIES["poisson_rate_model"] = poisson_rate_model
+ORACLES["poisson_rate_model"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS k
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tagged AS (
+        SELECT day, k,
+               CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END AS weekend
+        FROM daily
+    ),
+    g AS (
+        SELECT sum(CASE WHEN weekend = 0 THEN k ELSE 0 END) AS k_wd,
+               sum(CASE WHEN weekend = 0 THEN 1 ELSE 0 END) AS d_wd,
+               sum(CASE WHEN weekend = 1 THEN k ELSE 0 END) AS k_we,
+               sum(CASE WHEN weekend = 1 THEN 1 ELSE 0 END) AS d_we
+        FROM tagged
+    )
+    SELECT CAST(k_wd AS BIGINT) AS events_weekday,
+           CAST(d_wd AS BIGINT) AS days_weekday,
+           CAST(k_we AS BIGINT) AS events_weekend,
+           CAST(d_we AS BIGINT) AS days_weekend,
+           round(CAST(k_wd AS DOUBLE) / CAST(d_wd AS DOUBLE), 4) AS rate_weekday,
+           round(CAST(k_we AS DOUBLE) / CAST(d_we AS DOUBLE), 4) AS rate_weekend,
+           round(ln((CAST(k_we AS DOUBLE) / CAST(d_we AS DOUBLE))
+                    / (CAST(k_wd AS DOUBLE) / CAST(d_wd AS DOUBLE))), 6)
+               AS log_rate_ratio,
+           round(ln((CAST(k_we AS DOUBLE) / CAST(d_we AS DOUBLE))
+                    / (CAST(k_wd AS DOUBLE) / CAST(d_wd AS DOUBLE)))
+                 - 1.959963984540054
+                   * sqrt(1.0 / CAST(k_wd AS DOUBLE)
+                          + 1.0 / CAST(k_we AS DOUBLE)), 6) AS lrr_ci_lo,
+           round(ln((CAST(k_we AS DOUBLE) / CAST(d_we AS DOUBLE))
+                    / (CAST(k_wd AS DOUBLE) / CAST(d_wd AS DOUBLE)))
+                 + 1.959963984540054
+                   * sqrt(1.0 / CAST(k_wd AS DOUBLE)
+                          + 1.0 / CAST(k_we AS DOUBLE)), 6) AS lrr_ci_hi
+    FROM g
+"""

@@ -460,3 +460,61 @@ def test_shapley_efficiency_property(spark):
     v0 = agg[0][1] / agg[0][0] if agg.get(0) and agg[0][0] else 0.0
     total = sum(r["shapley_value"] for r in rows)
     assert abs(total - (v7 - v0)) < 1e-4
+
+
+# --- experimentation-metrics wave -------------------------------------------
+
+
+def test_cuped_reduction_in_bounds(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.cuped_variance_reduction(spark, SF_SMALL).collect()[0]
+    assert r["n_users"] > 0
+    assert r["var_y_dollars2"] > 0.0
+    # CUPED with the OLS theta can only reduce variance (theta is the
+    # minimizer): 0 <= var_cuped <= var_y
+    assert 0.0 <= r["var_cuped_dollars2"] <= r["var_y_dollars2"] + 1e-9
+    assert 0.0 <= r["reduction_pct"] <= 100.0
+
+
+def test_qini_ends_at_overall_uplift(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.qini_uplift_curve(spark, SF_SMALL).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    last = rows[-1]
+    nt = sum(r["n_treated"] for r in rows)
+    nc = sum(r["n_control"] for r in rows)
+    ct = sum(r["conv_treated"] for r in rows)
+    cc = sum(r["conv_control"] for r in rows)
+    expect = ct - cc * (nt / nc)
+    assert abs(last["qini_cum"] - expect) < 1e-3
+
+
+def test_sprt_llr_additivity(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.sprt_replay(spark, SF_SMALL).collect()
+    assert len(rows) == 15  # days 16-30
+    for r in rows:
+        assert r["decision"] in ("accept_h1", "accept_h0", "continue")
+    # cumulative LLR is monotone in the day fold only if daily terms keep
+    # one sign; at minimum the sequence must be finite and consistent with
+    # the decision thresholds
+    for r in rows:
+        if r["decision"] == "accept_h1":
+            assert r["cum_llr"] >= A.SPRT_ALPHA_LN_UPPER - 1e-9
+        if r["decision"] == "accept_h0":
+            assert r["cum_llr"] <= A.SPRT_LN_LOWER + 1e-9
+
+
+def test_poisson_rate_partition(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.poisson_rate_model(spark, SF_SMALL).collect()[0]
+    assert r["days_weekday"] + r["days_weekend"] == 30
+    assert r["days_weekend"] == 8  # Jan 2024: 4 Saturdays + 4 Sundays
+    assert abs(
+        r["log_rate_ratio"] - math.log(r["rate_weekend"] / r["rate_weekday"])
+    ) < 1e-3
+    assert r["lrr_ci_lo"] <= r["log_rate_ratio"] <= r["lrr_ci_hi"]

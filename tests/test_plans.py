@@ -674,3 +674,16 @@ def test_cox_shapley_never_plan_cartesian(spark):
     for fn in (SX.cox_ph_fit, B5.shapley_attribution):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_experimentation_wave_never_plans_cartesian(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    for fn in (
+        A5.cuped_variance_reduction,
+        A5.qini_uplift_curve,
+        A5.sprt_replay,
+        A5.poisson_rate_model,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
