@@ -293,6 +293,9 @@ HEADLINE = [
     "qini_uplift_curve",
     "sprt_replay",
     "poisson_rate_model",
+    "jackknife_ci",
+    "james_stein_shrinkage",
+    "poisson_mixture_em",
 ]
 
 

@@ -1882,3 +1882,141 @@ ORACLES["adaboost_stumps"] = """
                AS train_accuracy
     FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# poisson_mixture_em — two-component Poisson mixture on daily counts
+# --------------------------------------------------------------------------
+
+PMIX_STEPS = 3
+
+
+def poisson_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Poisson mixture over daily purchase counts, fit by
+    PMIX_STEPS EM iterations as a static DAG (the logistic/cox lineage):
+    responsibilities in LOG space (the k! terms cancel in the ratio, and
+    k*ln(l1/l2) - (l1 - l2) + ln(pi/(1-pi)) never overflows), M-step
+    means from responsibility-weighted folds — the unsupervised
+    regime-detection companion of the supervised model tier.
+
+    Determinism: the count grid is bounded by distinct daily totals; all
+    folds are ORDER-PINNED over it; init is pinned (pi = 0.5, lambda =
+    0.5x / 1.5x the grand mean) so every engine walks the same path.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    grid = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    wall = Window.partitionBy()
+    wcum = wall.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    m0 = grid.groupBy().agg(
+        (
+            F.sum(F.col("k").cast("double") * F.col("c").cast("double"))
+            / F.sum(F.col("c").cast("double"))
+        ).alias("m")
+    )
+    state = m0.select(
+        F.lit(0.5).alias("pi"),
+        (F.col("m") * F.lit(0.5)).alias("l1"),
+        (F.col("m") * F.lit(1.5)).alias("l2"),
+    )
+    for _ in range(PMIX_STEPS):
+        j = grid.crossJoin(F.broadcast(state))
+        z = (
+            F.log(F.col("pi") / (F.lit(1.0) - F.col("pi")))
+            + F.col("k").cast("double") * F.log(F.col("l1") / F.col("l2"))
+            - (F.col("l1") - F.col("l2"))
+        )
+        r = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        cd = F.col("c").cast("double")
+        kd = F.col("k").cast("double")
+        folded = j.select(
+            "k",
+            F.sum(cd * r).over(wcum).alias("sr"),
+            F.sum(cd).over(wcum).alias("sc"),
+            F.sum(cd * r * kd).over(wcum).alias("srk"),
+            F.sum(cd * (F.lit(1.0) - r) * kd).over(wcum).alias("sqk"),
+        )
+        s = folded.groupBy().agg(
+            F.max_by(F.col("sr"), F.col("k")).alias("sr"),
+            F.max_by(F.col("sc"), F.col("k")).alias("sc"),
+            F.max_by(F.col("srk"), F.col("k")).alias("srk"),
+            F.max_by(F.col("sqk"), F.col("k")).alias("sqk"),
+        )
+        state = s.select(
+            (F.col("sr") / F.col("sc")).alias("pi"),
+            (F.col("srk") / F.col("sr")).alias("l1"),
+            (F.col("sqk") / (F.col("sc") - F.col("sr"))).alias("l2"),
+        )
+    ndays = grid.groupBy().agg(F.sum("c").cast("long").alias("n_days"))
+    return state.crossJoin(F.broadcast(ndays)).select(
+        "n_days",
+        F.round("pi", 6).alias("pi_low"),
+        F.round("l1", 4).alias("lambda_low"),
+        F.round("l2", 4).alias("lambda_high"),
+    )
+
+
+def _pmix_oracle() -> str:
+    ctes = [
+        """grid AS MATERIALIZED (
+        SELECT k, count(*) AS c FROM (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS k
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ) GROUP BY 1
+    )""",
+        """st0 AS (
+        SELECT 0.5 AS pi,
+               0.5 * (sum(CAST(k AS DOUBLE) * CAST(c AS DOUBLE))
+                      / sum(CAST(c AS DOUBLE))) AS l1,
+               1.5 * (sum(CAST(k AS DOUBLE) * CAST(c AS DOUBLE))
+                      / sum(CAST(c AS DOUBLE))) AS l2
+        FROM grid
+    )""",
+    ]
+    prev = "st0"
+    for i in range(1, PMIX_STEPS + 1):
+        ctes.append(f"""em{i} AS (
+            SELECT g.k,
+                   sum(CAST(c AS DOUBLE)
+                       * (1.0 / (1.0 + exp(-(ln(pi / (1.0 - pi))
+                          + CAST(g.k AS DOUBLE) * ln(l1 / l2)
+                          - (l1 - l2)))))) OVER wo AS sr,
+                   sum(CAST(c AS DOUBLE)) OVER wo AS sc,
+                   sum(CAST(c AS DOUBLE)
+                       * (1.0 / (1.0 + exp(-(ln(pi / (1.0 - pi))
+                          + CAST(g.k AS DOUBLE) * ln(l1 / l2)
+                          - (l1 - l2)))))
+                       * CAST(g.k AS DOUBLE)) OVER wo AS srk,
+                   sum(CAST(c AS DOUBLE)
+                       * (1.0 - 1.0 / (1.0 + exp(-(ln(pi / (1.0 - pi))
+                          + CAST(g.k AS DOUBLE) * ln(l1 / l2)
+                          - (l1 - l2)))))
+                       * CAST(g.k AS DOUBLE)) OVER wo AS sqk
+            FROM grid g, {prev}
+            WINDOW wo AS (ORDER BY g.k ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+        )""")
+        ctes.append(f"""st{i} AS (
+            SELECT arg_max(sr, k) / arg_max(sc, k) AS pi,
+                   arg_max(srk, k) / arg_max(sr, k) AS l1,
+                   arg_max(sqk, k) / (arg_max(sc, k) - arg_max(sr, k)) AS l2
+            FROM em{i}
+        )""")
+        prev = f"st{i}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    nd AS (SELECT CAST(sum(c) AS BIGINT) AS n_days FROM grid)
+    SELECT n_days, round(pi, 6) AS pi_low,
+           round(l1, 4) AS lambda_low, round(l2, 4) AS lambda_high
+    FROM {prev}, nd
+    """
+
+
+QUERIES["poisson_mixture_em"] = poisson_mixture_em
+ORACLES["poisson_mixture_em"] = _pmix_oracle()

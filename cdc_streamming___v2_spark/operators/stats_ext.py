@@ -2683,3 +2683,254 @@ def _cox_oracle() -> str:
 
 QUERIES["cox_ph_fit"] = cox_ph_fit
 ORACLES["cox_ph_fit"] = _cox_oracle()
+
+
+# --------------------------------------------------------------------------
+# jackknife_ci — delete-one-group jackknife for the mean purchase value
+# --------------------------------------------------------------------------
+
+JK_GROUPS = 20
+
+
+def jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife CI for the mean purchase value: 20
+    md5-hash groups, leave-one-out means from the group-sum identity
+    (S - S_g)/(N - N_g) — no second scan — jackknife variance
+    (G-1)/G * sum (m_g - mbar)^2, and the normal-approximation CI.
+    The resampling-based companion of bootstrap_mean_ci that needs only
+    ONE pass and G scalar folds.
+
+    Exactness: all sums exact decimal(38,0); the two G-row folds
+    (mbar, then squared deviations) are ORDER-PINNED.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    from ..functions.texts import md5_hash_long
+
+    rows = e.select(
+        (md5_hash_long(F.col("event_id").cast("string"), "jk") % JK_GROUPS)
+        .cast("int")
+        .alias("g"),
+        F.round(F.col("value") * 100).cast("long").cast(_DEC).alias("cents"),
+    )
+    per = rows.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("cents").alias("s_g")
+    )
+    wall = Window.partitionBy()
+    t = per.withColumn("n", F.sum("n_g").over(wall)).withColumn(
+        "s", F.sum("s_g").over(wall)
+    )
+    m_g = (F.col("s") - F.col("s_g")).cast("double") / (
+        F.col("n") - F.col("n_g")
+    ).cast("double")
+    wcum = wall.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    t = t.withColumn("m_g", m_g).withColumn(
+        "mbar_cum", F.sum(m_g / F.lit(float(JK_GROUPS))).over(wcum)
+    )
+    wfull = wall.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = t.withColumn("mbar", F.max_by(F.col("mbar_cum"), F.col("g")).over(wfull))
+    dev2 = (F.col("m_g") - F.col("mbar")) * (F.col("m_g") - F.col("mbar"))
+    t = t.withColumn("ss_cum", F.sum(dev2).over(wcum))
+    g = t.groupBy("n", "s").agg(
+        F.max_by(F.col("ss_cum"), F.col("g")).alias("ss"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double") / F.lit(100.0)
+    se = (
+        F.sqrt(
+            F.lit(float(JK_GROUPS - 1) / JK_GROUPS) * F.col("ss")
+        )
+        / F.lit(100.0)
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_purchases"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.round(mean, 6).alias("mean_dollars"),
+        F.round(se, 6).alias("jackknife_se"),
+        F.round(mean - F.lit(1.959963984540054) * se, 6).alias("ci_lo"),
+        F.round(mean + F.lit(1.959963984540054) * se, 6).alias("ci_hi"),
+    )
+
+
+QUERIES["jackknife_ci"] = jackknife_ci
+ORACLES["jackknife_ci"] = f"""
+    WITH rows_ AS (
+        SELECT CAST(CAST('0x' || substr(md5('jk' || CAST(event_id AS VARCHAR)),
+                                        1, 8) AS BIGINT) % {JK_GROUPS} AS INT)
+                   AS g,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    per AS (
+        SELECT g, count(*) AS n_g, sum(cents) AS s_g FROM rows_ GROUP BY 1
+    ),
+    t AS (
+        SELECT g, n_g, s_g,
+               sum(n_g) OVER () AS n, sum(s_g) OVER () AS s
+        FROM per
+    ),
+    m AS (
+        SELECT g, n, s,
+               CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE) AS m_g,
+               sum((CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE))
+                   / {float(JK_GROUPS)})
+                   OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS mbar_cum
+        FROM t
+    ),
+    mm AS (
+        SELECT g, n, s, m_g, arg_max(mbar_cum, g) OVER () AS mbar FROM m
+    ),
+    ss AS (
+        SELECT g, n, s,
+               sum((m_g - mbar) * (m_g - mbar))
+                   OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ss_cum
+        FROM mm
+    ),
+    fin AS (
+        SELECT n, s, arg_max(ss_cum, g) AS ss, count(*) AS n_groups
+        FROM ss GROUP BY n, s
+    )
+    SELECT CAST(n AS BIGINT) AS n_purchases,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+               AS mean_dollars,
+           round(sqrt({float(JK_GROUPS - 1) / JK_GROUPS} * ss) / 100.0, 6)
+               AS jackknife_se,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                 - 1.959963984540054 * sqrt({float(JK_GROUPS - 1) / JK_GROUPS}
+                                            * ss) / 100.0, 6) AS ci_lo,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                 + 1.959963984540054 * sqrt({float(JK_GROUPS - 1) / JK_GROUPS}
+                                            * ss) / 100.0, 6) AS ci_hi
+    FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
+# james_stein_shrinkage — empirical-Bayes shrinkage of per-brand means
+# --------------------------------------------------------------------------
+
+
+def james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James-Stein / empirical-Bayes shrinkage of the 25 per-brand mean
+    lineitem prices toward the grand mean: factor
+    c = max(0, 1 - (k-3) * avg_se2 / sum (ybar_b - ybar)^2), shrunk_b =
+    ybar + c * (ybar_b - ybar) — the estimator every per-segment
+    reporting layer should apply before ranking small groups.
+
+    Exactness: per-brand sums/counts and the pooled within variance are
+    exact decimal(38,0); the two 25-row folds (squared deviations,
+    mean squared SE) are ORDER-PINNED.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cv")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per = rows.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum(F.col("cv").cast(_DEC)).alias("s_b"),
+        F.sum(F.col("cv").cast(_DEC) * F.col("cv").cast(_DEC)).alias("q_b"),
+    )
+    wall = Window.partitionBy()
+    t = per.withColumn("n", F.sum("n_b").over(wall)).withColumn(
+        "s", F.sum("s_b").over(wall)
+    ).withColumn("k", F.count(F.lit(1)).over(wall))
+    ybar_b = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    ybar = F.col("s").cast("double") / F.col("n").cast("double")
+    # within-brand sample variance (exact integer numerator), SE^2 = s2/n_b
+    s2_b = (
+        (F.col("n_b").cast(_DEC) * F.col("q_b") - F.col("s_b") * F.col("s_b"))
+        .cast("double")
+    ) / (
+        F.col("n_b").cast("double")
+        * (F.col("n_b").cast("double") - F.lit(1.0))
+    )
+    se2_b = s2_b / F.col("n_b").cast("double")
+    wcum = wall.orderBy("p_brand").rowsBetween(Window.unboundedPreceding, 0)
+    wfull = wall.orderBy("p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = (
+        t.withColumn("dev2_cum", F.sum((ybar_b - ybar) * (ybar_b - ybar)).over(wcum))
+        .withColumn("se2_cum", F.sum(se2_b).over(wcum))
+    )
+    t = t.withColumn(
+        "dev2", F.max_by(F.col("dev2_cum"), F.col("p_brand")).over(wfull)
+    ).withColumn("se2", F.max_by(F.col("se2_cum"), F.col("p_brand")).over(wfull))
+    c = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0)
+        - (F.col("k").cast("double") - F.lit(3.0))
+        * (F.col("se2") / F.col("k").cast("double"))
+        / F.col("dev2"),
+    )
+    return t.select(
+        "p_brand",
+        F.col("n_b").cast("long").alias("n_items"),
+        F.round(ybar_b / F.lit(100.0), 4).alias("raw_mean_dollars"),
+        F.round((ybar + c * (ybar_b - ybar)) / F.lit(100.0), 4).alias(
+            "shrunk_mean_dollars"
+        ),
+        F.round(c, 6).alias("shrink_factor"),
+    ).orderBy("p_brand")
+
+
+QUERIES["james_stein_shrinkage"] = james_stein_shrinkage
+ORACLES["james_stein_shrinkage"] = """
+    WITH rows_ AS (
+        SELECT p_brand, CAST(round(l_extendedprice * 100) AS BIGINT) AS cv
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    per AS (
+        SELECT p_brand, count(*) AS n_b,
+               sum(CAST(cv AS HUGEINT)) AS s_b,
+               sum(CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT)) AS q_b
+        FROM rows_ GROUP BY 1
+    ),
+    t AS (
+        SELECT p_brand, n_b, s_b, q_b,
+               sum(n_b) OVER () AS n, sum(s_b) OVER () AS s,
+               count(*) OVER () AS k
+        FROM per
+    ),
+    scored AS (
+        SELECT p_brand, n_b, n, s, k,
+               CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS ybar_b,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+               (CAST(n_b * q_b - s_b * s_b AS DOUBLE)
+                / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+               / CAST(n_b AS DOUBLE) AS se2_b
+        FROM t
+    ),
+    folded AS (
+        SELECT p_brand, n_b, k, ybar_b, ybar,
+               sum((ybar_b - ybar) * (ybar_b - ybar))
+                   OVER (ORDER BY p_brand ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS dev2_cum,
+               sum(se2_b) OVER (ORDER BY p_brand
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS se2_cum
+        FROM scored
+    ),
+    fin AS (
+        SELECT p_brand, n_b, k, ybar_b, ybar,
+               arg_max(dev2_cum, p_brand) OVER () AS dev2,
+               arg_max(se2_cum, p_brand) OVER () AS se2
+        FROM folded
+    )
+    SELECT p_brand, CAST(n_b AS BIGINT) AS n_items,
+           round(ybar_b / 100.0, 4) AS raw_mean_dollars,
+           round((ybar + greatest(0.0,
+                    1.0 - (CAST(k AS DOUBLE) - 3.0)
+                          * (se2 / CAST(k AS DOUBLE)) / dev2)
+                  * (ybar_b - ybar)) / 100.0, 4) AS shrunk_mean_dollars,
+           round(greatest(0.0,
+                    1.0 - (CAST(k AS DOUBLE) - 3.0)
+                          * (se2 / CAST(k AS DOUBLE)) / dev2), 6)
+               AS shrink_factor
+    FROM fin ORDER BY p_brand
+"""

@@ -518,3 +518,44 @@ def test_poisson_rate_partition(spark):
         r["log_rate_ratio"] - math.log(r["rate_weekend"] / r["rate_weekday"])
     ) < 1e-3
     assert r["lrr_ci_lo"] <= r["log_rate_ratio"] <= r["lrr_ci_hi"]
+
+
+# --- resampling / shrinkage / mixture wave ----------------------------------
+
+
+def test_jackknife_brackets_mean(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SX
+
+    r = SX.jackknife_ci(spark, SF_SMALL).collect()[0]
+    assert r["n_groups"] == SX.JK_GROUPS
+    assert r["jackknife_se"] > 0.0
+    assert r["ci_lo"] < r["mean_dollars"] < r["ci_hi"]
+    # CI is symmetric by construction
+    assert abs((r["ci_hi"] - r["mean_dollars"]) - (r["mean_dollars"] - r["ci_lo"])) < 1e-4
+
+
+def test_james_stein_contracts_toward_grand_mean(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SX
+
+    rows = SX.james_stein_shrinkage(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    cs = {r["shrink_factor"] for r in rows}
+    assert len(cs) == 1
+    c = cs.pop()
+    assert 0.0 <= c <= 1.0
+    # exact identity: shrunk = grand + c * (raw - grand) with the
+    # item-weighted grand mean
+    n_tot = sum(r["n_items"] for r in rows)
+    grand = sum(r["raw_mean_dollars"] * r["n_items"] for r in rows) / n_tot
+    for r in rows:
+        expect = grand + c * (r["raw_mean_dollars"] - grand)
+        assert abs(r["shrunk_mean_dollars"] - expect) < 0.02
+
+
+def test_poisson_mixture_sane(spark):
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+
+    r = ML.poisson_mixture_em(spark, SF_SMALL).collect()[0]
+    assert r["n_days"] == 30
+    assert 0.0 < r["pi_low"] < 1.0
+    assert 0.0 < r["lambda_low"] <= r["lambda_high"]  # init order preserved

@@ -687,3 +687,12 @@ def test_experimentation_wave_never_plans_cartesian(spark):
     ):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_resampling_wave_never_plans_cartesian(spark):
+    from cdc_streamming___v2_spark.operators import ml_ops as ML
+    from cdc_streamming___v2_spark.operators import stats_ext as SX
+
+    for fn in (SX.jackknife_ci, SX.james_stein_shrinkage, ML.poisson_mixture_em):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__

@@ -124,6 +124,7 @@ EVENT_QUERIES = [
     "adaboost_stumps",
     "cox_ph_fit",
     "shapley_attribution",
+    "james_stein_shrinkage",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
