@@ -296,6 +296,9 @@ HEADLINE = [
     "jackknife_ci",
     "james_stein_shrinkage",
     "poisson_mixture_em",
+    "revenue_waterfall",
+    "boxplot_stats",
+    "weekday_seasonal_index",
 ]
 
 

@@ -5486,3 +5486,234 @@ ORACLES["poisson_rate_model"] = """
                           + 1.0 / CAST(k_we AS DOUBLE)), 6) AS lrr_ci_hi
     FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# Reporting closers: revenue waterfall, box-plot stats, weekday seasonality
+# --------------------------------------------------------------------------
+
+
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue decomposition gross -> discount -> net -> tax ->
+    final charge, micro-cent EXACT: discounts and taxes live on their
+    2-decimal grids, so every component is an integer sum of
+    extprice_cents * bp products (decimal(38,0)), divided back to dollars
+    only in the final projection — the finance-reconciliation query where
+    float drift is unacceptable.
+
+    Scale: one fact scan, map-side combined to the brand frame.
+    """
+    dec = "decimal(38,0)"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ext"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d_bp"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("t_bp"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    g = rows.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("ext").cast(dec)).alias("gross"),
+        F.sum(F.col("ext").cast(dec) * F.col("d_bp").cast(dec)).alias("disc100"),
+        F.sum(
+            F.col("ext").cast(dec)
+            * (F.lit(100).cast(dec) - F.col("d_bp").cast(dec))
+            * F.col("t_bp").cast(dec)
+        ).alias("tax10000"),
+    )
+    gross_d = F.col("gross").cast("double") / F.lit(100.0)
+    disc_d = F.col("disc100").cast("double") / F.lit(10000.0)
+    net_d = gross_d - disc_d
+    tax_d = F.col("tax10000").cast("double") / F.lit(1000000.0)
+    return g.select(
+        "p_brand",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.round(gross_d, 2).alias("gross_dollars"),
+        F.round(disc_d, 2).alias("discount_dollars"),
+        F.round(net_d, 2).alias("net_dollars"),
+        F.round(tax_d, 2).alias("tax_dollars"),
+        F.round(net_d + tax_d, 2).alias("charge_dollars"),
+    ).orderBy("p_brand")
+
+
+QUERIES["revenue_waterfall"] = revenue_waterfall
+ORACLES["revenue_waterfall"] = """
+    WITH rows_ AS (
+        SELECT p_brand,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS ext,
+               CAST(round(l_discount * 100) AS HUGEINT) AS d_bp,
+               CAST(round(l_tax * 100) AS HUGEINT) AS t_bp
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    g AS (
+        SELECT p_brand, count(*) AS n_items,
+               sum(ext) AS gross, sum(ext * d_bp) AS disc100,
+               sum(ext * (100 - d_bp) * t_bp) AS tax10000
+        FROM rows_ GROUP BY 1
+    )
+    SELECT p_brand, CAST(n_items AS BIGINT) AS n_items,
+           round(CAST(gross AS DOUBLE) / 100.0, 2) AS gross_dollars,
+           round(CAST(disc100 AS DOUBLE) / 10000.0, 2) AS discount_dollars,
+           round(CAST(gross AS DOUBLE) / 100.0
+                 - CAST(disc100 AS DOUBLE) / 10000.0, 2) AS net_dollars,
+           round(CAST(tax10000 AS DOUBLE) / 1000000.0, 2) AS tax_dollars,
+           round((CAST(gross AS DOUBLE) / 100.0
+                  - CAST(disc100 AS DOUBLE) / 10000.0)
+                 + CAST(tax10000 AS DOUBLE) / 1000000.0, 2) AS charge_dollars
+    FROM g ORDER BY p_brand
+"""
+
+
+def boxplot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type box-plot (Tukey) statistics with EXACT order-statistic
+    quartiles (percentile_disc ranks on the bounded cent grid) and
+    flip-proof integer whisker tests: a value is an outlier iff
+    2*cv < 2*q1 - 3*iqr (low) or 2*cv > 2*q3 + 3*iqr (high) — the 1.5*IQR
+    fences cross-multiplied by 2 so no float ever enters the comparison.
+
+    Scale: one reduce to the (type, cent) grid; quartile ranks and
+    outlier counts read off that bounded frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    grid = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("t")
+    wcum = wt.orderBy("cv").rowsBetween(Window.unboundedPreceding, 0)
+    t = grid.withColumn("n", F.sum("cnt").over(wt)).withColumn(
+        "cum", F.sum("cnt").over(wcum)
+    )
+
+    def q_rank(num: int, den: int):
+        # k = ceil(num/den * n), exact integer arithmetic
+        return F.floor(((F.col("n") * num + (den - 1)) / F.lit(den)).cast("double"))
+
+    qs = []
+    for name, num, den in (("q1", 1, 4), ("q2", 2, 4), ("q3", 3, 4)):
+        hit = t.filter(F.col("cum") >= q_rank(num, den)).groupBy("t").agg(
+            F.min("cv").alias(name)
+        )
+        qs.append(hit)
+    j = qs[0].join(qs[1], "t").join(qs[2], "t")
+    full = grid.join(j, "t")
+    iqr = F.col("q3") - F.col("q1")
+    low = F.lit(2) * F.col("cv") < F.lit(2) * F.col("q1") - F.lit(3) * iqr
+    high = F.lit(2) * F.col("cv") > F.lit(2) * F.col("q3") + F.lit(3) * iqr
+    g = full.groupBy("t", "q1", "q2", "q3").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.when(low, F.col("cnt")).otherwise(0)).alias("n_low"),
+        F.sum(F.when(high, F.col("cnt")).otherwise(0)).alias("n_high"),
+    )
+    return g.select(
+        F.col("t").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("q1").cast("double") / F.lit(100.0), 2).alias("q1_dollars"),
+        F.round(F.col("q2").cast("double") / F.lit(100.0), 2).alias("median_dollars"),
+        F.round(F.col("q3").cast("double") / F.lit(100.0), 2).alias("q3_dollars"),
+        F.col("n_low").cast("long").alias("n_low_outliers"),
+        F.col("n_high").cast("long").alias("n_high_outliers"),
+    ).orderBy("event_type")
+
+
+QUERIES["boxplot_stats"] = boxplot_stats
+ORACLES["boxplot_stats"] = """
+    WITH grid AS (
+        SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS cv,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT t, cv, cnt,
+               sum(cnt) OVER (PARTITION BY t) AS n,
+               sum(cnt) OVER (PARTITION BY t ORDER BY cv
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM grid
+    ),
+    q1 AS (SELECT t, min(cv) AS q1 FROM c
+           WHERE cum >= floor(CAST(n * 1 + 3 AS DOUBLE) / 4) GROUP BY t),
+    q2 AS (SELECT t, min(cv) AS q2 FROM c
+           WHERE cum >= floor(CAST(n * 2 + 3 AS DOUBLE) / 4) GROUP BY t),
+    q3 AS (SELECT t, min(cv) AS q3 FROM c
+           WHERE cum >= floor(CAST(n * 3 + 3 AS DOUBLE) / 4) GROUP BY t),
+    j AS (
+        SELECT g.t, g.cv, g.cnt, q1.q1, q2.q2, q3.q3
+        FROM grid g JOIN q1 USING (t) JOIN q2 USING (t) JOIN q3 USING (t)
+    ),
+    g AS (
+        SELECT t, q1, q2, q3, sum(cnt) AS n,
+               sum(CASE WHEN 2 * cv < 2 * q1 - 3 * (q3 - q1)
+                        THEN cnt ELSE 0 END) AS n_low,
+               sum(CASE WHEN 2 * cv > 2 * q3 + 3 * (q3 - q1)
+                        THEN cnt ELSE 0 END) AS n_high
+        FROM j GROUP BY 1, 2, 3, 4
+    )
+    SELECT t AS event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(q1 AS DOUBLE) / 100.0, 2) AS q1_dollars,
+           round(CAST(q2 AS DOUBLE) / 100.0, 2) AS median_dollars,
+           round(CAST(q3 AS DOUBLE) / 100.0, 2) AS q3_dollars,
+           CAST(n_low AS BIGINT) AS n_low_outliers,
+           CAST(n_high AS BIGINT) AS n_high_outliers
+    FROM g ORDER BY event_type
+"""
+
+
+def weekday_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index of purchase revenue: per weekday, the
+    mean daily revenue divided by the all-days mean (index 1.0 = flat) —
+    exact integer cent sums and day counts, one division pair per row.
+
+    Scale: one reduce to the 30-day frame, then a 7-row rollup.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+        .alias("rev")
+    )
+    # Spark dayofweek: 1 = Sunday .. 7 = Saturday; normalize to ISO 1-7 Mon-Sun
+    tagged = daily.withColumn(
+        "dow", ((F.dayofweek("day") + 5) % 7 + 1).cast("int")
+    )
+    wall = Window.partitionBy()
+    g = tagged.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("rev").alias("rev")
+    )
+    t = g.withColumn("tot", F.sum("rev").over(wall)).withColumn(
+        "tot_days", F.sum("n_days").over(wall)
+    )
+    per_day = F.col("rev").cast("double") / F.col("n_days").cast("double")
+    overall = F.col("tot").cast("double") / F.col("tot_days").cast("double")
+    return t.select(
+        "dow",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(per_day / F.lit(100.0), 2).alias("mean_daily_dollars"),
+        F.round(per_day / overall, 4).alias("seasonal_index"),
+    ).orderBy("dow")
+
+
+QUERIES["weekday_seasonal_index"] = weekday_seasonal_index
+ORACLES["weekday_seasonal_index"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS rev
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    tagged AS (SELECT day, rev, isodow(day) AS dow FROM daily),
+    g AS (
+        SELECT dow, count(*) AS n_days, sum(rev) AS rev FROM tagged GROUP BY 1
+    ),
+    t AS (
+        SELECT dow, n_days, rev,
+               sum(rev) OVER () AS tot, sum(n_days) OVER () AS tot_days
+        FROM g
+    )
+    SELECT CAST(dow AS INT) AS dow, CAST(n_days AS BIGINT) AS n_days,
+           round(CAST(rev AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0, 2)
+               AS mean_daily_dollars,
+           round((CAST(rev AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 / (CAST(tot AS DOUBLE) / CAST(tot_days AS DOUBLE)), 4)
+               AS seasonal_index
+    FROM t ORDER BY dow
+"""

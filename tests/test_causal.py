@@ -559,3 +559,41 @@ def test_poisson_mixture_sane(spark):
     assert r["n_days"] == 30
     assert 0.0 < r["pi_low"] < 1.0
     assert 0.0 < r["lambda_low"] <= r["lambda_high"]  # init order preserved
+
+
+# --- reporting closers ------------------------------------------------------
+
+
+def test_revenue_waterfall_reconciles(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.revenue_waterfall(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    li = load_table(spark, SF_SMALL, "lineitem").count()
+    assert sum(r["n_items"] for r in rows) == li
+    for r in rows:
+        assert abs(r["net_dollars"] - (r["gross_dollars"] - r["discount_dollars"])) < 0.02
+        assert abs(r["charge_dollars"] - (r["net_dollars"] + r["tax_dollars"])) < 0.02
+        assert 0.0 <= r["discount_dollars"] <= r["gross_dollars"] * 0.11
+
+
+def test_boxplot_quartile_order_and_outliers(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.boxplot_stats(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["q1_dollars"] <= r["median_dollars"] <= r["q3_dollars"]
+        # outliers are a minority by Tukey's construction on any unimodal data
+        assert r["n_low_outliers"] + r["n_high_outliers"] < r["n"] / 2
+
+
+def test_weekday_index_averages_to_one(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.weekday_seasonal_index(spark, SF_SMALL).collect()
+    assert [r["dow"] for r in rows] == list(range(1, 8))
+    assert sum(r["n_days"] for r in rows) == 30
+    # day-weighted mean of the index is exactly 1
+    num = sum(r["seasonal_index"] * r["n_days"] for r in rows)
+    assert abs(num / 30 - 1.0) < 1e-3

@@ -696,3 +696,11 @@ def test_resampling_wave_never_plans_cartesian(spark):
     for fn in (SX.jackknife_ci, SX.james_stein_shrinkage, ML.poisson_mixture_em):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_reporting_closers_never_plan_cartesian(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    for fn in (A5.revenue_waterfall, A5.boxplot_stats, A5.weekday_seasonal_index):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__

@@ -125,6 +125,15 @@ EVENT_QUERIES = [
     "cox_ph_fit",
     "shapley_attribution",
     "james_stein_shrinkage",
+    "revenue_waterfall",
+    "cuped_variance_reduction",
+    "qini_uplift_curve",
+    "sprt_replay",
+    "poisson_rate_model",
+    "jackknife_ci",
+    "poisson_mixture_em",
+    "boxplot_stats",
+    "weekday_seasonal_index",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
