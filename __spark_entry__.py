@@ -56,12 +56,14 @@ _MODULES = (
 # The driver's correctness gate evaluates ~50 queries per round in
 # registration order.  Round-5 rotation (VERDICT r4 #2): (1)
 # array_agg_sorted leads — its only driver record is the r1 harness error
-# (fixed in r2, judge-green since, never driver-recorded); (2) the 19 new
-# round-5 operators; (3) the 4 round-5 modified implementations (hashed
-# shingle keys, top-k bpe shape, self-scaling embedding banding, new
-# multimodal decoders); (4) the queries whose last driver-recorded green
-# is round 1 — the oldest standing proof — so the window converts the
-# stalest assurance first.  Tail keeps module order.
+# (fixed in r2, judge-green since, never driver-recorded); (0) every
+# round-5 operator with zero driver proof, second-session waves first
+# (oldest unproven), then the third-session causal/validation/decision
+# waves; (2) the earlier round-5 additions; (3) the 4 round-5 modified
+# implementations (hashed shingle keys, top-k bpe shape, self-scaling
+# embedding banding, new multimodal decoders); (4) the queries whose last
+# driver-recorded green is round 1 — the oldest standing proof.  Tail
+# keeps module order.
 _GATE_PRIORITY = (
     # -- (1) stale-error refresh: fixed r2, driver-proof still the r1 error
     "array_agg_sorted",
