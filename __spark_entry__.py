@@ -67,6 +67,23 @@ _MODULES = (
 _GATE_PRIORITY = (
     # -- (1) stale-error refresh: fixed r2, driver-proof still the r1 error
     "array_agg_sorted",
+    # -- (0a) fifth-session additions (newest, zero prior proof) --
+    "price_volume_bridge",
+    "kendall_tau_pairs",
+    "xcorr_leadlag",
+    "bollinger_band_breaks",
+    "sma_crossover_days",
+    "cutler_rsi",
+    "ar2_forecast",
+    "granger_leadlag",
+    "ridge_two_feature",
+    "pacf_daily_revenue",
+    "negbin_overdispersion",
+    "durbin_watson_trend",
+    # -- (0b) fourth-session additions (newest, zero prior proof) --
+    "lorenz_deciles",
+    "theil_inequality",
+    "atkinson_index",
     # -- (0) round-5 restarted-session additions (newest, zero prior proof) --
     "mann_whitney_u",
     "kruskal_wallis",

@@ -299,6 +299,21 @@ HEADLINE = [
     "revenue_waterfall",
     "boxplot_stats",
     "weekday_seasonal_index",
+    "lorenz_deciles",
+    "theil_inequality",
+    "atkinson_index",
+    "price_volume_bridge",
+    "kendall_tau_pairs",
+    "xcorr_leadlag",
+    "bollinger_band_breaks",
+    "sma_crossover_days",
+    "cutler_rsi",
+    "ar2_forecast",
+    "granger_leadlag",
+    "ridge_two_feature",
+    "pacf_daily_revenue",
+    "negbin_overdispersion",
+    "durbin_watson_trend",
 ]
 
 

@@ -5717,3 +5717,1423 @@ ORACLES["weekday_seasonal_index"] = """
                AS seasonal_index
     FROM t ORDER BY dow
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fourth session, wave AA: inequality / concentration reporting
+# (completes the revenue_gini tier: the Lorenz curve the Gini integrates,
+# the Herfindahl index regulators quote, and the decomposable Theil index)
+# ---------------------------------------------------------------------------
+
+LORENZ_BUCKET = 25000.0  # revenue-bucket width for the distributed rank
+
+
+def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer order revenue in deciles: customers sorted
+    ascending by (revenue, custkey), split into 10 equal-rank bins
+    (decile = floor((rank-1)*10/n)+1 — exact integers, no ntile float),
+    each reporting its customer count, revenue share, and the cumulative
+    share (the curve the Gini coefficient integrates).
+
+    Revenue accumulates as integer cents in decimal(38,0); every share is
+    one division of exact integers in the final projection.
+
+    Scale: the global ascending rank uses the same two-pass decomposition
+    as revenue_gini — in-bucket row_number + per-bucket cumulative offsets
+    from a bucket-cardinality frame — never a one-task global sort window.
+    The oracle runs the naive global window; the hash match is the
+    equivalence proof.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(38,0)"))
+        .alias("rev")
+    )
+    b = rev.withColumn(
+        "bkt", F.floor(F.col("rev").cast("double") / F.lit(LORENZ_BUCKET * 100)).cast("long")
+    )
+    win_in = Window.partitionBy("bkt").orderBy("rev", "o_custkey")
+    in_rank = b.withColumn("r_in", F.row_number().over(win_in))
+    counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.partitionBy().orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("bkt", "off")
+    ranked = in_rank.join(F.broadcast(offsets), "bkt").select(
+        "rev", (F.col("off") + F.col("r_in")).alias("rk")
+    )
+    # total n from the bounded bucket frame (1-row broadcast), never a
+    # whole-frame unpartitioned count window
+    n_total = counts.agg(F.sum("cnt").alias("n"))
+    t = ranked.crossJoin(F.broadcast(n_total)).withColumn(
+        "dec", (F.floor((F.col("rk") - 1) * 10 / F.col("n")) + 1).cast("int")
+    )
+    wall = Window.partitionBy()
+    g = t.groupBy("dec").agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("rev").alias("rev")
+    )
+    cum = Window.partitionBy().orderBy("dec").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        g.withColumn("tot", F.sum("rev").over(wall))
+        .withColumn("crev", F.sum("rev").over(cum))
+    )
+    share = F.col("rev").cast("double") / F.col("tot").cast("double")
+    cshare = F.col("crev").cast("double") / F.col("tot").cast("double")
+    return out.select(
+        F.col("dec").alias("decile"),
+        F.col("n_cust").cast("long").alias("n_customers"),
+        F.round(F.col("rev").cast("double") / 100.0, 2).alias("revenue_dollars"),
+        F.round(share, 6).alias("revenue_share"),
+        F.round(cshare, 6).alias("cum_share"),
+    ).orderBy("decile")
+
+
+QUERIES["lorenz_deciles"] = lorenz_deciles
+ORACLES["lorenz_deciles"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev, o_custkey) AS rk,
+               count(*) OVER () AS n
+        FROM rev
+    ),
+    t AS (
+        SELECT rev, CAST(floor((rk - 1) * 10 / n) + 1 AS INT) AS dec
+        FROM ranked
+    ),
+    g AS (
+        SELECT dec, count(*) AS n_cust, sum(rev) AS rev FROM t GROUP BY 1
+    ),
+    o AS (
+        SELECT dec, n_cust, rev,
+               sum(rev) OVER () AS tot,
+               sum(rev) OVER (ORDER BY dec ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS crev
+        FROM g
+    )
+    SELECT dec AS decile, CAST(n_cust AS BIGINT) AS n_customers,
+           round(CAST(rev AS DOUBLE) / 100.0, 2) AS revenue_dollars,
+           round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS revenue_share,
+           round(CAST(crev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+    FROM o ORDER BY decile
+"""
+
+
+ATKINSON_SCALE = 1_000_000_000_000  # ln terms rounded to pico-units
+
+
+def atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (inequality-aversion epsilon = 1) of
+    customer order revenue per market segment: A = 1 - geomean(x)/mean(x),
+    the welfare-based measure that reads directly as "the share of total
+    revenue society would give up for perfect equality" — the normative
+    companion of revenue_gini (positional) and theil_inequality
+    (entropy-decomposable).
+
+    Determinism: the geometric mean is exp of the mean of per-customer
+    ln(x_i) terms; each term is one scalar float expression over the exact
+    integer cent revenue, rounded to the 1e-12 grid and summed as integers
+    in decimal(38,0) (the info_gain_features pattern) — no cross-row float
+    accumulation.  The arithmetic mean is one division of exact integers.
+
+    Scale: one reduce to per-customer revenue, broadcast dim join, one
+    map-side-combined integer sum per segment.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(38,0)"))
+            .alias("x")
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "x")
+    )
+    terms = rev.select(
+        "c_mktsegment",
+        F.col("x"),
+        F.round(F.log(F.col("x").cast("double")) * ATKINSON_SCALE)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("lnx"),
+    )
+    g = terms.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("tot"),
+        F.sum("lnx").alias("sln"),
+    )
+    mean_ln = F.col("sln").cast("double") / ATKINSON_SCALE / F.col("n").cast("double")
+    mean_x = F.col("tot").cast("double") / F.col("n").cast("double")
+    atk = F.lit(1.0) - F.exp(mean_ln) / mean_x
+    return g.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("tot").cast("double") / 100.0, 2).alias("revenue_dollars"),
+        F.round(atk, 8).alias("atkinson_e1"),
+    ).orderBy("c_mktsegment")
+
+
+QUERIES["atkinson_index"] = atkinson_index
+ORACLES["atkinson_index"] = f"""
+    WITH rev AS (
+        SELECT c_mktsegment,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_custkey
+    ),
+    terms AS (
+        SELECT c_mktsegment, x,
+               CAST(round(ln(CAST(x AS DOUBLE)) * {ATKINSON_SCALE}) AS HUGEINT)
+                   AS lnx
+        FROM rev
+    ),
+    g AS (
+        SELECT c_mktsegment, count(*) AS n, sum(x) AS tot, sum(lnx) AS sln
+        FROM terms GROUP BY 1
+    )
+    SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+           round(CAST(tot AS DOUBLE) / 100.0, 2) AS revenue_dollars,
+           round(1.0 - exp(CAST(sln AS DOUBLE) / {ATKINSON_SCALE} / n)
+                       / (CAST(tot AS DOUBLE) / n), 8) AS atkinson_e1
+    FROM g ORDER BY c_mktsegment
+"""
+
+
+THEIL_SCALE = 1_000_000_000_000  # ln terms rounded to pico-units before summing
+
+
+def theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer order revenue per market
+    segment: T = sum_i (x_i/X) * ln(n * x_i / X) — the entropy-based
+    inequality measure that (unlike Gini) decomposes additively.
+
+    Determinism: each customer's term is a single scalar float expression
+    over exact integers (cent revenue, segment totals), rounded to the
+    1e-12 grid and summed as integers in decimal(38,0) — no cross-row
+    float accumulation, so both engines add bit-identical addends in any
+    order (the info_gain_features / bandit_replay pattern).
+
+    Scale: one reduce to per-customer revenue, broadcast of the
+    segment-totals frame, one map-side-combined integer sum.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(38,0)"))
+            .alias("x")
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "x")
+    )
+    seg = rev.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
+    )
+    j = rev.join(F.broadcast(seg), "c_mktsegment")
+    ratio = F.col("x").cast("double") / F.col("tot").cast("double")
+    term = ratio * F.log(F.col("n").cast("double") * ratio)
+    terms = j.select(
+        "c_mktsegment",
+        F.round(term * THEIL_SCALE).cast("long").cast("decimal(38,0)").alias("t"),
+    )
+    g = terms.groupBy("c_mktsegment").agg(F.sum("t").alias("s"))
+    out = g.join(F.broadcast(seg), "c_mktsegment")
+    return out.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("s").cast("double") / THEIL_SCALE, 8).alias("theil_t"),
+    ).orderBy("c_mktsegment")
+
+
+QUERIES["theil_inequality"] = theil_inequality
+ORACLES["theil_inequality"] = f"""
+    WITH rev AS (
+        SELECT c_mktsegment,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_custkey
+    ),
+    seg AS (
+        SELECT c_mktsegment, count(*) AS n, sum(x) AS tot
+        FROM rev GROUP BY 1
+    ),
+    terms AS (
+        SELECT r.c_mktsegment,
+               CAST(round((CAST(r.x AS DOUBLE) / CAST(s.tot AS DOUBLE))
+                    * ln(CAST(s.n AS DOUBLE)
+                         * (CAST(r.x AS DOUBLE) / CAST(s.tot AS DOUBLE)))
+                    * {THEIL_SCALE}) AS HUGEINT) AS t
+        FROM rev r JOIN seg s USING (c_mktsegment)
+    ),
+    g AS (SELECT c_mktsegment, sum(t) AS s FROM terms GROUP BY 1)
+    SELECT g.c_mktsegment, CAST(seg.n AS BIGINT) AS n_customers,
+           round(CAST(g.s AS DOUBLE) / {THEIL_SCALE}, 8) AS theil_t
+    FROM g JOIN seg USING (c_mktsegment)
+    ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AB: bridge / association / lead-lag reporting
+# ---------------------------------------------------------------------------
+
+
+def _usd_halfup(e4):
+    """Exact HALF_UP (away from zero) of a 1e-4-dollar integer grid value
+    to 2-dp dollars, entirely in integer arithmetic — the /20-, /50- and
+    /10000-style divisions land EXACTLY on .xx5 midpoints all the time, so
+    rounding the float quotient diverges between engines (the ohlc
+    half-boundary class); rounding the integer first cannot."""
+    sign = F.when(e4 < 0, F.lit(-1)).otherwise(F.lit(1)).cast("decimal(38,0)")
+    return (
+        sign * F.floor((F.abs(e4) + 50) / 100)
+    ).cast("double") / 100.0
+
+
+# SQL twin of _usd_halfup: e4 must be a HUGEINT expression; '//' keeps the
+# division integral (DuckDB '/' on integers is float division).
+def _usd_halfup_sql(e4: str) -> str:
+    return (
+        f"CAST((CASE WHEN ({e4}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((abs({e4}) + 50) // 100) AS DOUBLE) / 100.0"
+    )
+
+PVB_YEAR0, PVB_YEAR1 = 1996, 1997
+
+
+def price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge per brand between fiscal 1996 and 1997: the revenue
+    delta decomposed into a price effect ((p1-p0)*q1) and a volume effect
+    ((q1-q0)*p0), the standard FP&A "revenue bridge" — with the average
+    price p = rev/qty never materialized: each effect is algebraically
+    rewritten as one division of exact integers,
+    price = (r1*q0 - r0*q1)/q0, volume = r0*(q1-q0)/q0, so the two
+    effects sum to the delta exactly and both engines perform the
+    identical single IEEE division per cell.
+
+    Revenue accumulates on the ten-thousandth-of-a-dollar grid (where
+    extendedprice*(1-discount) is exact) in decimal(38,0); quantities are
+    exact longs. Cross-products stay within decimal(38) headroom up to
+    ~sf1000 (r ~ 3.4e18 * q ~ 1.7e11 = 6e29 << 1e38).
+
+    Scale: one map-side-combined aggregate of lineitem to the
+    (brand x year) grid, broadcast part dim, 25-row self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev_u = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    yr = F.year("l_shipdate").cast("int")
+    g = (
+        li.filter(yr.isin(PVB_YEAR0, PVB_YEAR1))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", yr.alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long").cast("decimal(38,0)")).alias("q"),
+            F.sum(rev_u).alias("r"),
+        )
+    )
+    y0 = g.filter(F.col("yr") == PVB_YEAR0).select(
+        "p_brand", F.col("q").alias("q0"), F.col("r").alias("r0")
+    )
+    y1 = g.filter(F.col("yr") == PVB_YEAR1).select(
+        "p_brand", F.col("q").alias("q1"), F.col("r").alias("r1")
+    )
+    j = y0.join(y1, "p_brand")
+    dollars = _usd_halfup  # r0/r1/delta sit on the exact 1e-4-dollar grid
+    price_eff = (
+        (F.col("r1") * F.col("q0") - F.col("r0") * F.col("q1")).cast("double")
+        / F.col("q0").cast("double")
+    )
+    vol_eff = (
+        (F.col("r0") * (F.col("q1") - F.col("q0"))).cast("double")
+        / F.col("q0").cast("double")
+    )
+    return j.select(
+        "p_brand",
+        F.col("q0").cast("long").alias("qty_y0"),
+        F.col("q1").cast("long").alias("qty_y1"),
+        dollars(F.col("r0")).alias("rev_y0_dollars"),
+        dollars(F.col("r1")).alias("rev_y1_dollars"),
+        dollars(F.col("r1") - F.col("r0")).alias("delta_dollars"),
+        F.round(price_eff / 10000.0, 2).alias("price_effect_dollars"),
+        F.round(vol_eff / 10000.0, 2).alias("volume_effect_dollars"),
+    ).orderBy("p_brand")
+
+
+QUERIES["price_volume_bridge"] = price_volume_bridge
+ORACLES["price_volume_bridge"] = f"""
+    WITH g AS (
+        SELECT p_brand, year(l_shipdate) AS yr,
+               sum(CAST(l_quantity AS HUGEINT)) AS q,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS HUGEINT)) AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) IN ({PVB_YEAR0}, {PVB_YEAR1})
+        GROUP BY 1, 2
+    ),
+    y0 AS (SELECT p_brand, q AS q0, r AS r0 FROM g WHERE yr = {PVB_YEAR0}),
+    y1 AS (SELECT p_brand, q AS q1, r AS r1 FROM g WHERE yr = {PVB_YEAR1})
+    SELECT p_brand,
+           CAST(q0 AS BIGINT) AS qty_y0,
+           CAST(q1 AS BIGINT) AS qty_y1,
+           {_usd_halfup_sql("r0")} AS rev_y0_dollars,
+           {_usd_halfup_sql("r1")} AS rev_y1_dollars,
+           {_usd_halfup_sql("r1 - r0")} AS delta_dollars,
+           round(CAST(r1 * q0 - r0 * q1 AS DOUBLE) / CAST(q0 AS DOUBLE)
+                 / 10000.0, 2) AS price_effect_dollars,
+           round(CAST(r0 * (q1 - q0) AS DOUBLE) / CAST(q0 AS DOUBLE)
+                 / 10000.0, 2) AS volume_effect_dollars
+    FROM y0 JOIN y1 USING (p_brand)
+    ORDER BY p_brand
+"""
+
+
+def kendall_tau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between the daily revenue series of
+    every event-type pair — the tie-corrected, outlier-robust companion of
+    spearman_daily: tau_b = (C - D) / sqrt((n0 - Tx) * (n0 - Ty)) with
+    concordant/discordant/tie counts taken over all day pairs.
+
+    Every comparison is a sign test on exact integer cent revenues, so
+    concordance is flip-proof; the only float op is the final
+    sqrt-and-divide over integer counts.
+
+    Scale: the raw log reduces once to the (type x day) grid, which is
+    calendar x vocabulary bounded (5 types x 30 days at every SF); the
+    day-pair self-join is over that bounded grid, never over raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    a = daily.select(
+        F.col("event_type").alias("ta"), F.col("d").alias("d"), F.col("x").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("tb"), F.col("d").alias("d"), F.col("x").alias("xb")
+    )
+    aligned = a.join(b, "d").filter(F.col("ta") < F.col("tb"))
+    l = aligned.select("ta", "tb", F.col("d").alias("d1"),
+                       F.col("xa").alias("a1"), F.col("xb").alias("b1"))
+    r = aligned.select("ta", "tb", F.col("d").alias("d2"),
+                       F.col("xa").alias("a2"), F.col("xb").alias("b2"))
+    pairs = l.join(r, ["ta", "tb"]).filter(F.col("d1") < F.col("d2"))
+    sa = F.signum((F.col("a2") - F.col("a1")).cast("double"))
+    sb = F.signum((F.col("b2") - F.col("b1")).cast("double"))
+    g = pairs.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(sa * sb > 0, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(sa * sb < 0, 1).otherwise(0)).alias("dd"),
+        F.sum(F.when(sa == 0, 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(sb == 0, 1).otherwise(0)).alias("ty"),
+    )
+    tau = (F.col("c") - F.col("dd")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return g.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n0").cast("long").alias("n_day_pairs"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    ).orderBy("type_a", "type_b")
+
+
+QUERIES["kendall_tau_pairs"] = kendall_tau_pairs
+ORACLES["kendall_tau_pairs"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               sum(CAST(round(value * 100) AS BIGINT)) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    aligned AS (
+        SELECT a.event_type AS ta, b.event_type AS tb, a.d,
+               a.x AS xa, b.x AS xb
+        FROM daily a JOIN daily b ON a.d = b.d AND a.event_type < b.event_type
+    ),
+    pairs AS (
+        SELECT l.ta, l.tb,
+               sign(r.xa - l.xa) AS sa, sign(r.xb - l.xb) AS sb
+        FROM aligned l JOIN aligned r
+          ON l.ta = r.ta AND l.tb = r.tb AND l.d < r.d
+    ),
+    g AS (
+        SELECT ta, tb, count(*) AS n0,
+               sum(CASE WHEN sa * sb > 0 THEN 1 ELSE 0 END) AS c,
+               sum(CASE WHEN sa * sb < 0 THEN 1 ELSE 0 END) AS dd,
+               sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END) AS tx,
+               sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS ty
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(n0 AS BIGINT) AS n_day_pairs,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(dd AS BIGINT) AS discordant,
+           round(CAST(c - dd AS DOUBLE)
+                 / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)),
+                 6) AS tau_b
+    FROM g ORDER BY type_a, type_b
+"""
+
+
+XCORR_MAX_LAG = 3
+
+
+def xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily purchase revenue and daily
+    click volume: Pearson r between x_d and y_{d+lag} for lag in
+    [-3 .. +3] — the diagnostic that tells an attribution modeler whether
+    clicks lead purchases (positive-lag peak) or trail them.
+
+    All five moments (n, Sx, Sy, Sxy, Sxx, Syy) accumulate as exact
+    integers in decimal(38,0); each r is ONE float expression of those
+    integers, so both engines evaluate the identical IEEE expression.
+    Degenerate (constant) windows yield NULL via a positive-variance
+    guard.
+
+    Scale: the log reduces once to two calendar-bounded daily frames; the
+    7-row lag frame is a broadcast; the shifted join is day-keyed.
+    """
+    e = load_table(spark, sf_dir, "events")
+    px = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+            .alias("x")
+        )
+    )
+    cy = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("y"))
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = px.crossJoin(F.broadcast(lags)).select(
+        "lag", F.date_add(F.col("d"), F.col("lag")).alias("dy"), "x"
+    )
+    j = shifted.join(cy.withColumnRenamed("d", "dy"), "dy")
+    g = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = F.when(vx * vy > 0, (n * sxy - sx * sy) / F.sqrt(vx * vy))
+    return g.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(r, 6).alias("pearson_r"),
+    ).orderBy("lag")
+
+
+QUERIES["xcorr_leadlag"] = xcorr_leadlag
+ORACLES["xcorr_leadlag"] = f"""
+    WITH px AS (
+        SELECT CAST(ts AS DATE) AS d,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    cy AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS HUGEINT) AS y
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    lags AS (
+        SELECT CAST(range AS INT) AS lag
+        FROM range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG} + 1)
+    ),
+    j AS (
+        SELECT l.lag, p.x, c.y
+        FROM px p CROSS JOIN lags l
+        JOIN cy c ON c.d = p.d + l.lag * INTERVAL 1 DAY
+    ),
+    g AS (
+        SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM j GROUP BY 1
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_days,
+           round(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, 6) AS pearson_r
+    FROM g ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AC: technical indicators on the daily revenue
+# series (orders).  The daily frame is CALENDAR-bounded (~2,400 rows at every
+# SF — row count is independent of data volume), so the unpartitioned ordered
+# windows below run over a fixed-size frame regardless of scale; the only
+# data-sized work is the first map-side-combined reduce of orders to days.
+# All rolling state (sums, sums-of-squares, gains/losses) accumulates as
+# exact integer cents in decimal(38,0); every band/crossover decision is a
+# cross-multiplied integer comparison (flip-proof); RSI is one division of
+# exact integers per row.
+# ---------------------------------------------------------------------------
+
+BOLL_N = 20  # Bollinger window length (days)
+SMA_FAST, SMA_SLOW = 20, 50  # crossover windows
+RSI_N = 14  # Cutler RSI window
+RSI_YEAR = 1997  # compact output year
+
+
+
+def _daily_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    return o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(38,0)"))
+        .alias("x")
+    )
+
+
+def bollinger_band_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue broke out of the 20-day Bollinger band
+    (mean +/- 2 population sigma): |x - S/n| > 2*sigma is evaluated as the
+    cross-multiplied integer inequality (n*x - S)^2 > 4*(n*Q - S^2), so no
+    float ever decides a breakout.  Only full windows qualify.
+    """
+    daily = _daily_order_revenue(spark, sf_dir)
+    w = Window.partitionBy().orderBy("day").rowsBetween(-(BOLL_N - 1), 0)
+    wn = Window.partitionBy().orderBy("day")
+    t = (
+        daily.withColumn("s", F.sum("x").over(w))
+        .withColumn("q", F.sum(F.col("x") * F.col("x")).over(w))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") >= BOLL_N)
+    )
+    n = F.lit(BOLL_N).cast("decimal(38,0)")
+    dev = n * F.col("x") - F.col("s")
+    spread = F.lit(4).cast("decimal(38,0)") * (
+        n * F.col("q") - F.col("s") * F.col("s")
+    )
+    t = t.filter(dev * dev > spread)
+    return t.select(
+        "day",
+        F.round(F.col("x").cast("double") / 100.0, 2).alias("rev_dollars"),
+        _usd_halfup(F.col("s") * 5).alias("sma20_dollars"),
+        F.when(dev > 0, F.lit("high")).otherwise(F.lit("low")).alias("band"),
+    ).orderBy("day")
+
+
+QUERIES["bollinger_band_breaks"] = bollinger_band_breaks
+ORACLES["bollinger_band_breaks"] = f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT day, x,
+               sum(x) OVER (ORDER BY day ROWS BETWEEN {BOLL_N - 1} PRECEDING
+                            AND CURRENT ROW) AS s,
+               sum(x * x) OVER (ORDER BY day ROWS BETWEEN {BOLL_N - 1} PRECEDING
+                                AND CURRENT ROW) AS q,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    )
+    SELECT day,
+           round(CAST(x AS DOUBLE) / 100.0, 2) AS rev_dollars,
+           {_usd_halfup_sql("s * 5")} AS sma20_dollars,
+           CASE WHEN {BOLL_N} * x - s > 0 THEN 'high' ELSE 'low' END AS band
+    FROM t
+    WHERE rn >= {BOLL_N}
+      AND ({BOLL_N} * x - s) * ({BOLL_N} * x - s) > 4 * ({BOLL_N} * q - s * s)
+    ORDER BY day
+"""
+
+
+def sma_crossover_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden/death crosses of the 20-day vs 50-day revenue SMA: the
+    above/below state is the cross-multiplied integer comparison
+    50*s20 > 20*s50 (never a float mean), and a crossover is a state flip
+    between consecutive full-window days.
+    """
+    daily = _daily_order_revenue(spark, sf_dir)
+    wf = Window.partitionBy().orderBy("day").rowsBetween(-(SMA_FAST - 1), 0)
+    ws = Window.partitionBy().orderBy("day").rowsBetween(-(SMA_SLOW - 1), 0)
+    wn = Window.partitionBy().orderBy("day")
+    t = (
+        daily.withColumn("sf_", F.sum("x").over(wf))
+        .withColumn("ss_", F.sum("x").over(ws))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") >= SMA_SLOW)
+    )
+    above = (
+        F.lit(SMA_SLOW).cast("decimal(38,0)") * F.col("sf_")
+        > F.lit(SMA_FAST).cast("decimal(38,0)") * F.col("ss_")
+    )
+    t = t.withColumn("above", above).withColumn(
+        "prev", F.lag("above").over(wn)
+    ).filter(F.col("prev").isNotNull() & (F.col("above") != F.col("prev")))
+    return t.select(
+        "day",
+        F.when(F.col("above"), F.lit("golden")).otherwise(F.lit("death"))
+        .alias("direction"),
+        # e4-dollar grids: s/20/100 $ = 5*s e4, s/50/100 $ = 2*s e4
+        _usd_halfup(F.col("sf_") * 5).alias("sma_fast_dollars"),
+        _usd_halfup(F.col("ss_") * 2).alias("sma_slow_dollars"),
+    ).orderBy("day")
+
+
+QUERIES["sma_crossover_days"] = sma_crossover_days
+ORACLES["sma_crossover_days"] = f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT day,
+               sum(x) OVER (ORDER BY day ROWS BETWEEN {SMA_FAST - 1} PRECEDING
+                            AND CURRENT ROW) AS sf_,
+               sum(x) OVER (ORDER BY day ROWS BETWEEN {SMA_SLOW - 1} PRECEDING
+                            AND CURRENT ROW) AS ss_,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    st AS (
+        SELECT day, sf_, ss_,
+               ({SMA_SLOW} * sf_ > {SMA_FAST} * ss_) AS above,
+               lag({SMA_SLOW} * sf_ > {SMA_FAST} * ss_)
+                   OVER (ORDER BY day) AS prev
+        FROM t WHERE rn >= {SMA_SLOW}
+    )
+    SELECT day,
+           CASE WHEN above THEN 'golden' ELSE 'death' END AS direction,
+           {_usd_halfup_sql("sf_ * 5")} AS sma_fast_dollars,
+           {_usd_halfup_sql("ss_ * 2")} AS sma_slow_dollars
+    FROM st
+    WHERE prev IS NOT NULL AND above <> prev
+    ORDER BY day
+"""
+
+
+def cutler_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI(14) of daily order revenue (SMA variant — the EMA
+    original is a recursion no set-oriented engine should unroll over an
+    unbounded series): RSI = 100 * G / (G + L) over rolling 14-day integer
+    gain/loss sums — one exact-integer division per day.  Output restricted
+    to one calendar year for a compact frame; the windows still see the
+    full history (no boundary effect at Jan 1).
+    """
+    daily = _daily_order_revenue(spark, sf_dir)
+    wn = Window.partitionBy().orderBy("day")
+    w = Window.partitionBy().orderBy("day").rowsBetween(-(RSI_N - 1), 0)
+    zero = F.lit(0).cast("decimal(38,0)")
+    d = daily.withColumn("delta", F.col("x") - F.lag("x").over(wn)).withColumn(
+        "rn", F.row_number().over(wn)
+    )
+    d = (
+        d.withColumn("gain", F.greatest(F.col("delta"), zero))
+        .withColumn("loss", F.greatest(-F.col("delta"), zero))
+        .withColumn("g", F.sum("gain").over(w))
+        .withColumn("l", F.sum("loss").over(w))
+        # first row has NULL delta; require 14 true deltas in the window
+        .filter(F.col("rn") >= RSI_N + 1)
+    )
+    rsi = F.when(
+        F.col("g") + F.col("l") > 0,
+        F.lit(100.0) * F.col("g").cast("double")
+        / (F.col("g") + F.col("l")).cast("double"),
+    )
+    return (
+        d.filter(F.year("day") == RSI_YEAR)
+        .select(
+            "day",
+            F.round(F.col("x").cast("double") / 100.0, 2).alias("rev_dollars"),
+            F.round(rsi, 4).alias("rsi14"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["cutler_rsi"] = cutler_rsi
+ORACLES["cutler_rsi"] = f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    d AS (
+        SELECT day, x, x - lag(x) OVER (ORDER BY day) AS delta,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    g AS (
+        SELECT day, x, rn,
+               sum(greatest(delta, 0)) OVER (ORDER BY day ROWS BETWEEN
+                   {RSI_N - 1} PRECEDING AND CURRENT ROW) AS gg,
+               sum(greatest(-delta, 0)) OVER (ORDER BY day ROWS BETWEEN
+                   {RSI_N - 1} PRECEDING AND CURRENT ROW) AS ll
+        FROM d
+    )
+    SELECT day, round(CAST(x AS DOUBLE) / 100.0, 2) AS rev_dollars,
+           round(CASE WHEN gg + ll > 0
+                 THEN 100.0 * CAST(gg AS DOUBLE) / CAST(gg + ll AS DOUBLE)
+                 END, 4) AS rsi14
+    FROM g
+    WHERE rn >= {RSI_N + 1} AND year(day) = {RSI_YEAR}
+    ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AD: autoregressive / lead-lag inference on the
+# calendar-bounded daily frames.  Raw cross-moments accumulate as exact
+# integers in decimal(38,0) (identical addends both engines, any order);
+# all centering, Cramer solves, and F statistics are single float
+# expressions of those integers, written token-identically in the oracle.
+# ---------------------------------------------------------------------------
+
+
+def ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit of daily order revenue by the regression (conditional
+    least squares) form of Yule-Walker: x_t ~ x_{t-1} + x_{t-2} with
+    intercept, solved closed-form from centered moments (Cramer 2x2 — the
+    ols_two_feature shape on the time axis), plus the one-step-ahead
+    forecast from the last two observed days.
+
+    Scale: one map-side-combined reduce of orders to the calendar-bounded
+    daily frame (~2,400 rows at every SF), two lag columns from one
+    ordered window over that bounded frame, one final aggregate.
+    """
+    daily = _daily_order_revenue(spark, sf_dir).select(
+        "day", F.col("x").cast("double").alias("xd"), "x"
+    )
+    wn = Window.partitionBy().orderBy("day")
+    t = (
+        daily.withColumn("x1", F.lag("x", 1).over(wn))
+        .withColumn("x2", F.lag("x", 2).over(wn))
+        .filter(F.col("x2").isNotNull())
+    )
+    mom = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sy"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x") * F.col("x1")).cast("double").alias("sy1"),
+        F.sum(F.col("x") * F.col("x2")).cast("double").alias("sy2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("syy"),
+        F.max_by("x", "day").cast("double").alias("last_x"),
+        F.max_by("x1", "day").cast("double").alias("last_x1"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("sy1") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("sy2") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    phi1 = (c1y * c22 - c2y * c12) / det
+    phi2 = (c2y * c11 - c1y * c12) / det
+    b0 = (F.col("sy") - phi1 * F.col("s1") - phi2 * F.col("s2")) / n
+    r2 = (phi1 * c1y + phi2 * c2y) / cyy
+    fc = b0 + phi1 * F.col("last_x") + phi2 * F.col("last_x1")
+    return mom.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(b0 / 100.0, 2).alias("intercept_dollars"),
+        F.round(r2, 6).alias("r2"),
+        F.round(fc / 100.0, 2).alias("forecast_next_dollars"),
+    )
+
+
+QUERIES["ar2_forecast"] = ar2_forecast
+ORACLES["ar2_forecast"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT day, x,
+               lag(x, 1) OVER (ORDER BY day) AS x1,
+               lag(x, 2) OVER (ORDER BY day) AS x2
+        FROM daily
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sy,
+               CAST(sum(x1) AS DOUBLE) AS s1,
+               CAST(sum(x2) AS DOUBLE) AS s2,
+               CAST(sum(x * x1) AS DOUBLE) AS sy1,
+               CAST(sum(x * x2) AS DOUBLE) AS sy2,
+               CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+               CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+               CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+               CAST(sum(x * x) AS DOUBLE) AS syy,
+               CAST(arg_max(x, day) AS DOUBLE) AS last_x,
+               CAST(arg_max(x1, day) AS DOUBLE) AS last_x1
+        FROM t WHERE x2 IS NOT NULL
+    ),
+    c AS (
+        SELECT n, sy, s1, s2, last_x, last_x1,
+               s11 - s1 * s1 / n AS c11,
+               s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12,
+               sy1 - s1 * sy / n AS c1y,
+               sy2 - s2 * sy / n AS c2y,
+               syy - sy * sy / n AS cyy
+        FROM mom
+    ),
+    s AS (
+        SELECT n, sy, s1, s2, last_x, last_x1, c1y, c2y, cyy,
+               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS phi1,
+               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS phi2
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(phi1, 6) AS phi1,
+           round(phi2, 6) AS phi2,
+           round((sy - phi1 * s1 - phi2 * s2) / n / 100.0, 2)
+               AS intercept_dollars,
+           round((phi1 * c1y + phi2 * c2y) / cyy, 6) AS r2,
+           round(((sy - phi1 * s1 - phi2 * s2) / n
+                  + phi1 * last_x + phi2 * last_x1) / 100.0, 2)
+               AS forecast_next_dollars
+    FROM s
+"""
+
+
+def granger_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lead-lag test: does yesterday's click volume predict
+    today's purchase revenue beyond yesterday's own revenue?  Unrestricted
+    model x_t ~ x_{t-1} + y_{t-1} vs restricted x_t ~ x_{t-1}; the report
+    is the F statistic for the cross term, F = (SSE_r - SSE_u) /
+    (SSE_u / (n - 3)), with both SSEs in closed form from centered
+    moments (the ols_two_feature shape).
+
+    Scale: the log reduces once to the calendar-bounded (day x {revenue,
+    clicks}) frame; one ordered window for the lags; one final aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    px = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long").cast("decimal(38,0)"))
+            .alias("x")
+        )
+    )
+    cy = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("y"))
+    )
+    wn = Window.partitionBy().orderBy("day")
+    t = (
+        px.join(cy, "day")
+        .withColumn("x1", F.lag("x", 1).over(wn))
+        .withColumn("y1", F.lag("y", 1).over(wn))
+        .filter(F.col("x1").isNotNull() & F.col("y1").isNotNull())
+    )
+    mom = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sy"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("y1").cast("double").alias("s2"),
+        F.sum(F.col("x") * F.col("x1")).cast("double").alias("sy1"),
+        F.sum(F.col("x") * F.col("y1")).cast("double").alias("sy2"),
+        F.sum(F.col("x1") * F.col("y1")).cast("double").alias("s12"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("y1") * F.col("y1")).cast("double").alias("s22"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("sy1") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("sy2") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    sse_u = cyy - (b1 * c1y + b2 * c2y)
+    sse_r = cyy - c1y * c1y / c11
+    fstat = (sse_r - sse_u) / (sse_u / (n - 3))
+    return mom.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(b1, 6).alias("beta_own_lag"),
+        F.round(b2, 6).alias("beta_click_lag"),
+        F.round(fstat, 6).alias("f_cross_term"),
+        F.round(F.lit(1.0) - sse_u / cyy, 6).alias("r2_unrestricted"),
+    )
+
+
+QUERIES["granger_leadlag"] = granger_leadlag
+ORACLES["granger_leadlag"] = """
+    WITH px AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    cy AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS HUGEINT) AS y
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    t AS (
+        SELECT day, x, y,
+               lag(x, 1) OVER (ORDER BY day) AS x1,
+               lag(y, 1) OVER (ORDER BY day) AS y1
+        FROM px JOIN cy USING (day)
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sy,
+               CAST(sum(x1) AS DOUBLE) AS s1,
+               CAST(sum(y1) AS DOUBLE) AS s2,
+               CAST(sum(x * x1) AS DOUBLE) AS sy1,
+               CAST(sum(x * y1) AS DOUBLE) AS sy2,
+               CAST(sum(x1 * y1) AS DOUBLE) AS s12,
+               CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+               CAST(sum(y1 * y1) AS DOUBLE) AS s22,
+               CAST(sum(x * x) AS DOUBLE) AS syy
+        FROM t WHERE x1 IS NOT NULL AND y1 IS NOT NULL
+    ),
+    c AS (
+        SELECT n, sy, s1, s2,
+               s11 - s1 * s1 / n AS c11,
+               s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12,
+               sy1 - s1 * sy / n AS c1y,
+               sy2 - s2 * sy / n AS c2y,
+               syy - sy * sy / n AS cyy
+        FROM mom
+    ),
+    s AS (
+        SELECT n, c1y, c2y, cyy, c11,
+               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(b1, 6) AS beta_own_lag,
+           round(b2, 6) AS beta_click_lag,
+           round(((cyy - c1y * c1y / c11) - (cyy - (b1 * c1y + b2 * c2y)))
+                 / ((cyy - (b1 * c1y + b2 * c2y)) / (n - 3)), 6)
+               AS f_cross_term,
+           round(1.0 - (cyy - (b1 * c1y + b2 * c2y)) / cyy, 6)
+               AS r2_unrestricted
+    FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AE: regression/diagnostics completion —
+# ridge shrinkage, partial autocorrelation, overdispersion fit,
+# Durbin-Watson residual autocorrelation.
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDA = 1000.0  # pinned L2 penalty on the centered moment diagonal
+
+
+def ridge_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (L2-penalized normal equations on
+    CENTERED integer-grid features): extendedprice_cents ~ quantity +
+    discount_bp with (X'X + lambda*I) Cramer-solved — the shrinkage
+    companion of ols_two_feature, reported beside the unpenalized betas
+    so the shrinkage is visible in one frame.
+
+    All raw moments accumulate as exact integers in decimal(38,0)
+    (quantity integral, discount on the basis-point grid, price on the
+    cent grid); centering and both solves are single float expressions of
+    those integers.
+
+    Scale: ONE map-side-combined aggregate of lineitem (raw moments need
+    no means pass, unlike the two-pass centered form), then scalar math.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").cast("decimal(38,0)").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").cast("decimal(38,0)")
+        .alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("decimal(38,0)")
+        .alias("y"),
+    )
+    mom = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    lam = F.lit(RIDGE_LAMBDA)
+    det_r = (c11 + lam) * (c22 + lam) - c12 * c12
+    b1r = (c1y * (c22 + lam) - c2y * c12) / det_r
+    b2r = (c2y * (c11 + lam) - c1y * c12) / det_r
+    det_o = c11 * c22 - c12 * c12
+    b1o = (c1y * c22 - c2y * c12) / det_o
+    b2o = (c2y * c11 - c1y * c12) / det_o
+    b0r = (F.col("sy") - b1r * F.col("s1") - b2r * F.col("s2")) / n
+    return mom.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b1r, 6).alias("ridge_beta_qty_cents"),
+        F.round(b2r, 6).alias("ridge_beta_disc_bp_cents"),
+        F.round(b0r / 100.0, 2).alias("ridge_intercept_dollars"),
+        F.round(b1o, 6).alias("ols_beta_qty_cents"),
+        F.round(b2o, 6).alias("ols_beta_disc_bp_cents"),
+    )
+
+
+QUERIES["ridge_two_feature"] = ridge_two_feature
+ORACLES["ridge_two_feature"] = f"""
+    WITH li AS (
+        SELECT CAST(l_quantity AS HUGEINT) AS x1,
+               CAST(round(l_discount * 10000) AS HUGEINT) AS x2,
+               CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+        FROM lineitem
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+               CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+               CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+               CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+               CAST(sum(x2 * y) AS DOUBLE) AS s2y
+        FROM li
+    ),
+    c AS (
+        SELECT n, s1, s2, sy,
+               s11 - s1 * s1 / n AS c11,
+               s22 - s2 * s2 / n AS c22,
+               s12 - s1 * s2 / n AS c12,
+               s1y - s1 * sy / n AS c1y,
+               s2y - s2 * sy / n AS c2y
+        FROM mom
+    ),
+    s AS (
+        SELECT n, s1, s2, sy,
+               (c1y * (c22 + {RIDGE_LAMBDA}) - c2y * c12)
+                   / ((c11 + {RIDGE_LAMBDA}) * (c22 + {RIDGE_LAMBDA})
+                      - c12 * c12) AS b1r,
+               (c2y * (c11 + {RIDGE_LAMBDA}) - c1y * c12)
+                   / ((c11 + {RIDGE_LAMBDA}) * (c22 + {RIDGE_LAMBDA})
+                      - c12 * c12) AS b2r,
+               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1o,
+               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2o
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(b1r, 6) AS ridge_beta_qty_cents,
+           round(b2r, 6) AS ridge_beta_disc_bp_cents,
+           round((sy - b1r * s1 - b2r * s2) / n / 100.0, 2)
+               AS ridge_intercept_dollars,
+           round(b1o, 6) AS ols_beta_qty_cents,
+           round(b2o, 6) AS ols_beta_disc_bp_cents
+    FROM s
+"""
+
+
+def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) of each event type's daily
+    revenue via Durbin-Levinson on the sample ACF — the order-selection
+    companion of acf_daily_revenue (an AR(p) signature cuts off in PACF
+    at lag p): phi11 = r1; phi22 = (r2 - r1^2)/(1 - r1^2);
+    phi33 from the level-3 recursion with phi21/phi22.
+
+    Scale: identical shape to acf_daily_revenue — one reduce to the
+    calendar x vocabulary bounded (type x day) grid, one per-type window,
+    one final aggregate; the recursion is scalar algebra on the three r's.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("y")
+    )
+    means = daily.groupBy("event_type").agg(F.avg("y").alias("ybar"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.join(F.broadcast(means), "event_type").select(
+        "event_type",
+        (F.col("y") - F.col("ybar")).alias("dy"),
+        *[
+            (F.lag("y", k).over(w) - F.col("ybar")).alias(f"dy{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    g = lagged.groupBy("event_type").agg(
+        F.sum(F.col("dy") * F.col("dy")).alias("c0"),
+        *[
+            F.sum(F.col("dy") * F.col(f"dy{k}")).alias(f"c{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    r1, r2, r3 = (F.col(f"c{k}") / F.col("c0") for k in (1, 2, 3))
+    p11 = r1
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = p11 - p22 * p11  # phi_{2,1} = phi_{1,1} - phi_{2,2} * phi_{1,1}
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    return g.select(
+        "event_type",
+        F.round(p11, 4).alias("pacf1"),
+        F.round(p22, 4).alias("pacf2"),
+        F.round(p33, 4).alias("pacf3"),
+    ).orderBy("event_type")
+
+
+QUERIES["pacf_daily_revenue"] = pacf_daily_revenue
+ORACLES["pacf_daily_revenue"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT event_type, avg(y) AS ybar FROM daily GROUP BY 1
+    ),
+    lagged AS (
+        SELECT d.event_type,
+               d.y - m.ybar AS dy,
+               lag(d.y, 1) OVER (PARTITION BY d.event_type ORDER BY d.d)
+                   - m.ybar AS dy1,
+               lag(d.y, 2) OVER (PARTITION BY d.event_type ORDER BY d.d)
+                   - m.ybar AS dy2,
+               lag(d.y, 3) OVER (PARTITION BY d.event_type ORDER BY d.d)
+                   - m.ybar AS dy3
+        FROM daily d JOIN means m USING (event_type)
+    ),
+    g AS (
+        SELECT event_type,
+               sum(dy * dy) AS c0, sum(dy * dy1) AS c1,
+               sum(dy * dy2) AS c2, sum(dy * dy3) AS c3
+        FROM lagged GROUP BY 1
+    ),
+    s AS (
+        SELECT event_type,
+               c1 / c0 AS r1, c2 / c0 AS r2, c3 / c0 AS r3
+        FROM g
+    ),
+    l2 AS (
+        SELECT event_type, r1, r2, r3,
+               r1 AS p11,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+        FROM s
+    )
+    SELECT event_type,
+           round(p11, 4) AS pacf1,
+           round(p22, 4) AS pacf2,
+           round((r3 - (p11 - p22 * p11) * r2 - p22 * r1)
+                 / (1 - (p11 - p22 * p11) * r1 - p22 * r2), 4) AS pacf3
+    FROM l2 ORDER BY event_type
+"""
+
+
+def negbin_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of each event type's daily
+    count distribution: dispersion index v/m, NB size r = m^2/(v - m) and
+    success probability p = m/v — the overdispersion companion of
+    poisson_rate_model (NB collapses to Poisson as v -> m).  Sample
+    variance comes from the exact integer identity
+    v = (n*Q - S^2) / (n*(n-1)); underdispersed types report NULL r/p.
+
+    Scale: one reduce to the bounded (type x day) count grid, one exact
+    integer aggregate per type, scalar math.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").cast("decimal(38,0)").alias("c")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    n, s, q = (F.col(c).cast("double") for c in ("n", "s", "q"))
+    m = s / n
+    v = (n * q - s * s) / (n * (n - 1))
+    r = F.when(v > m, m * m / (v - m))
+    p = F.when(v > m, m / v)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(m, 4).alias("mean_daily"),
+        F.round(v, 4).alias("var_daily"),
+        F.round(v / m, 4).alias("dispersion_index"),
+        F.round(r, 4).alias("nb_r"),
+        F.round(p, 6).alias("nb_p"),
+    ).orderBy("event_type")
+
+
+QUERIES["negbin_overdispersion"] = negbin_overdispersion
+ORACLES["negbin_overdispersion"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS HUGEINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               sum(c) AS s, sum(c * c) AS q
+        FROM daily GROUP BY 1
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(n AS DOUBLE) AS n, CAST(s AS DOUBLE) AS s,
+               CAST(q AS DOUBLE) AS q
+        FROM g
+    ),
+    t AS (
+        SELECT event_type, n,
+               s / n AS m,
+               (n * q - s * s) / (n * (n - 1)) AS v
+        FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(m, 4) AS mean_daily,
+           round(v, 4) AS var_daily,
+           round(v / m, 4) AS dispersion_index,
+           round(CASE WHEN v > m THEN m * m / (v - m) END, 4) AS nb_r,
+           round(CASE WHEN v > m THEN m / v END, 6) AS nb_p
+    FROM t ORDER BY event_type
+"""
+
+
+def durbin_watson_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the residuals from the daily-revenue
+    linear trend: DW = sum((e_t - e_{t-1})^2) / sum(e_t^2), the standard
+    residual-autocorrelation diagnostic for a fitted trend (DW ~ 2 means
+    no serial correlation; the report includes rho_hat = 1 - DW/2).
+
+    Determinism: slope/intercept are single float expressions of exact
+    integer moments (identical in both engines); each residual is then
+    rounded to WHOLE CENTS (a 1e-8 relative grid on this series) before
+    the difference/square sums, which therefore accumulate exact integers
+    in decimal(38,0) — no cross-row float accumulation.
+
+    Scale: two aggregates over the calendar-bounded daily frame plus one
+    ordered window on it; the trend-moment frame is a 1-row broadcast.
+    """
+    daily = _daily_order_revenue(spark, sf_dir).select(
+        "day",
+        F.datediff(F.col("day"), F.lit("1995-01-01")).cast("double").alias("t"),
+        F.col("x").cast("double").alias("xd"),
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("xd").alias("sx"),
+        F.sum(F.col("t") * F.col("xd")).alias("stx"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    b = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    a = (F.col("sx") - b * F.col("st")) / F.col("n")
+    fit = mom.select(b.alias("b"), a.alias("a"))
+    wn = Window.partitionBy().orderBy("day")
+    res = daily.crossJoin(F.broadcast(fit)).select(
+        "day",
+        F.round(F.col("xd") - F.col("a") - F.col("b") * F.col("t"))
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("e"),
+    )
+    r = res.withColumn("e1", F.lag("e").over(wn))
+    out = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("e") * F.col("e")).alias("see"),
+        F.sum(
+            F.when(
+                F.col("e1").isNotNull(),
+                (F.col("e") - F.col("e1")) * (F.col("e") - F.col("e1")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sdd"),
+    )
+    dw = F.col("sdd").cast("double") / F.col("see").cast("double")
+    return out.select(
+        "n_days",
+        F.round(dw, 6).alias("dw_stat"),
+        F.round(F.lit(1.0) - dw / 2.0, 6).alias("rho_hat"),
+    )
+
+
+QUERIES["durbin_watson_trend"] = durbin_watson_trend
+ORACLES["durbin_watson_trend"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(datediff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) AS DOUBLE) AS t,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS DOUBLE) AS xd
+        FROM orders GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st, sum(xd) AS sx,
+               sum(t * xd) AS stx, sum(t * t) AS stt
+        FROM daily
+    ),
+    fit AS (
+        SELECT (n * stx - st * sx) / (n * stt - st * st) AS b,
+               (sx - (n * stx - st * sx) / (n * stt - st * st) * st) / n AS a
+        FROM mom
+    ),
+    res AS (
+        SELECT day, CAST(round(xd - a - b * t) AS HUGEINT) AS e
+        FROM daily CROSS JOIN fit
+    ),
+    r AS (
+        SELECT e, lag(e) OVER (ORDER BY day) AS e1 FROM res
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(CASE WHEN e1 IS NOT NULL
+                               THEN (e - e1) * (e - e1) ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(e * e) AS DOUBLE), 6) AS dw_stat,
+           round(1.0 - CAST(sum(CASE WHEN e1 IS NOT NULL
+                                     THEN (e - e1) * (e - e1) ELSE 0 END)
+                            AS DOUBLE)
+                       / CAST(sum(e * e) AS DOUBLE) / 2.0, 6) AS rho_hat
+    FROM r
+"""

@@ -597,3 +597,180 @@ def test_weekday_index_averages_to_one(spark):
     # day-weighted mean of the index is exactly 1
     num = sum(r["seasonal_index"] * r["n_days"] for r in rows)
     assert abs(num / 30 - 1.0) < 1e-3
+
+
+# --- inequality wave (AA) ---------------------------------------------------
+
+
+def test_lorenz_curve_shape(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.lorenz_deciles(spark, SF_SMALL).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # cumulative share is monotone, ends at 1, and sits under the diagonal
+    cums = [r["cum_share"] for r in rows]
+    assert all(b >= a for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-6
+    for i, c in enumerate(cums[:-1], start=1):
+        assert c <= i / 10 + 1e-6  # Lorenz curve never above equality line
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_inequality_indices_bounds(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    for r in A.theil_inequality(spark, SF_SMALL).collect():
+        assert r["theil_t"] >= 0.0  # Jensen: T >= 0, = 0 iff equal
+    for r in A.atkinson_index(spark, SF_SMALL).collect():
+        assert 0.0 <= r["atkinson_e1"] < 1.0  # AM-GM: geomean <= mean
+
+
+# --- bridge / association / lead-lag wave (AB) ------------------------------
+
+
+def test_price_volume_bridge_reconciles(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.price_volume_bridge(spark, SF_SMALL).collect()
+    assert len(rows) == 25  # every TPC-H brand present in both years
+    for r in rows:
+        assert r["qty_y0"] > 0 and r["qty_y1"] > 0
+        # the two effects reconcile to the delta exactly (by construction,
+        # up to the two 2-dp roundings)
+        assert abs(
+            r["price_effect_dollars"] + r["volume_effect_dollars"] - r["delta_dollars"]
+        ) < 0.03
+
+
+def test_kendall_tau_bounds(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.kendall_tau_pairs(spark, SF_SMALL).collect()
+    assert len(rows) == 10  # C(5 event types, 2)
+    for r in rows:
+        assert r["n_day_pairs"] == 435  # C(30 shared days, 2)
+        assert r["concordant"] + r["discordant"] <= r["n_day_pairs"]
+        assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_xcorr_window_alignment(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.xcorr_leadlag(spark, SF_SMALL).collect()
+    assert [r["lag"] for r in rows] == list(range(-3, 4))
+    by_lag = {r["lag"]: r for r in rows}
+    assert by_lag[0]["n_days"] == 30  # full overlap at lag 0
+    for r in rows:
+        assert r["n_days"] >= 30 - 3
+        assert r["pearson_r"] is None or -1.0 <= r["pearson_r"] <= 1.0
+
+
+# --- technical-indicator wave (AC) ------------------------------------------
+
+
+def test_sma_crossovers_alternate(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.sma_crossover_days(spark, SF_SMALL).collect()
+    dirs = [r["direction"] for r in rows]
+    # state flips must strictly alternate by construction
+    for a, b in zip(dirs, dirs[1:]):
+        assert a != b
+    for r in rows:
+        assert r["sma_fast_dollars"] > 0 and r["sma_slow_dollars"] > 0
+
+
+def test_rsi_bounds_and_year(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.cutler_rsi(spark, SF_SMALL).collect()
+    # one row per 1997 day PRESENT in the (possibly sparse at tiny SF)
+    # order calendar -- windows are row-based over observed days
+    expect = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .select("o_orderdate").distinct().count()
+    )
+    assert len(rows) == expect
+    for r in rows:
+        assert r["rsi14"] is None or 0.0 <= r["rsi14"] <= 100.0
+
+
+def test_bollinger_breaks_are_tail_events(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    daily_days = (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_orderdate").distinct().count()
+    )
+    rows = A.bollinger_band_breaks(spark, SF_SMALL).collect()
+    # 2-sigma breakouts are tail events: well under a quarter of all days
+    assert 0 < len(rows) < daily_days / 4
+    assert all(r["band"] in ("high", "low") for r in rows)
+
+
+# --- autoregressive / lead-lag wave (AD) ------------------------------------
+
+
+def test_ar2_stationarity_and_fit(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.ar2_forecast(spark, SF_SMALL).collect()[0]
+    # AR(2) stationarity triangle for a fitted stationary revenue series
+    assert abs(r["phi2"]) < 1.0
+    assert r["phi1"] + r["phi2"] < 1.0 and r["phi2"] - r["phi1"] < 1.0
+    assert 0.0 <= r["r2"] <= 1.0
+    assert r["forecast_next_dollars"] > 0
+
+
+def test_granger_f_nonnegative(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.granger_leadlag(spark, SF_SMALL).collect()[0]
+    assert r["n_days"] == 29  # 30 shared days minus one lag row
+    assert r["f_cross_term"] >= 0.0  # SSE_r >= SSE_u always
+    assert 0.0 <= r["r2_unrestricted"] <= 1.0
+
+
+# --- regression/diagnostics wave (AE) ---------------------------------------
+
+
+def test_ridge_shrinks_coefficient_norm(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.ridge_two_feature(spark, SF_SMALL).collect()[0]
+    norm_r = r["ridge_beta_qty_cents"] ** 2 + r["ridge_beta_disc_bp_cents"] ** 2
+    norm_o = r["ols_beta_qty_cents"] ** 2 + r["ols_beta_disc_bp_cents"] ** 2
+    # ridge strictly shrinks the coefficient l2 norm for lambda > 0
+    assert norm_r <= norm_o + 1e-9
+
+
+def test_pacf_lag1_equals_acf1(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    acf = {r["event_type"]: r for r in A.acf_daily_revenue(spark, SF_SMALL).collect()}
+    for r in A.pacf_daily_revenue(spark, SF_SMALL).collect():
+        # Durbin-Levinson level 1: pacf(1) == acf(1) by definition
+        assert abs(r["pacf1"] - acf[r["event_type"]]["acf1"]) < 1e-3
+        assert abs(r["pacf2"]) <= 1.0 and abs(r["pacf3"]) <= 1.0
+
+
+def test_negbin_moments_consistent(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    for r in A.negbin_overdispersion(spark, SF_SMALL).collect():
+        assert r["n_days"] == 30
+        assert abs(r["dispersion_index"] - r["var_daily"] / r["mean_daily"]) < 1e-2
+        if r["nb_r"] is not None:
+            assert r["nb_r"] > 0 and 0.0 < r["nb_p"] < 1.0
+            # NB mean identity: m = r * (1 - p) / p
+            m = r["nb_r"] * (1 - r["nb_p"]) / r["nb_p"]
+            assert abs(m - r["mean_daily"]) / r["mean_daily"] < 0.02
+
+
+def test_durbin_watson_range(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.durbin_watson_trend(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r["dw_stat"] <= 4.0
+    assert abs(r["rho_hat"] - (1.0 - r["dw_stat"] / 2.0)) < 1e-6

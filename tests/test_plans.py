@@ -704,3 +704,59 @@ def test_reporting_closers_never_plan_cartesian(spark):
     for fn in (A5.revenue_waterfall, A5.boxplot_stats, A5.weekday_seasonal_index):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_inequality_wave_never_plans_cartesian(spark):
+    """Wave AA (fourth round-5 session): Lorenz/Theil/Atkinson must plan
+    equi-joins + broadcasts only; the lorenz n-total is a 1-row scalar
+    broadcast (BNLJ accepted, as in the earlier blanket audits)."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    for fn in (A5.lorenz_deciles, A5.theil_inequality, A5.atkinson_index):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_bridge_assoc_wave_never_plans_cartesian(spark):
+    """Wave AB (fifth round-5 session): bridge/Kendall/xcorr must plan
+    equi-joins + broadcasts only; the 7-row lag frame is a scalar-class
+    broadcast (BNLJ accepted, as in the earlier blanket audits)."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    for fn in (A5.price_volume_bridge, A5.kendall_tau_pairs, A5.xcorr_leadlag):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_technical_wave_plans_single_scan_no_join(spark):
+    """Wave AC: the indicator queries reduce orders to the calendar-bounded
+    daily frame once; no join (so no cartesian) may appear, and exactly one
+    parquet scan of orders."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    for fn in (A5.bollinger_band_breaks, A5.sma_crossover_days, A5.cutler_rsi):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+        # formatted explain lists each node twice (tree + detail)
+        assert p.count("Scan parquet") <= 2, fn.__name__
+
+
+def test_ar_granger_wave_single_bounded_window(spark):
+    """Wave AD: both fits reduce to calendar-bounded daily frames before any
+    window; no cartesian anywhere."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    for fn in (A5.ar2_forecast, A5.granger_leadlag):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_regression_diag_wave_never_plans_cartesian(spark):
+    """Wave AE: ridge/pacf/negbin/DW — broadcast-only joins (the DW fit
+    frame is a 1-row scalar broadcast; BNLJ accepted)."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    for fn in (A5.ridge_two_feature, A5.pacf_daily_revenue,
+               A5.negbin_overdispersion, A5.durbin_watson_trend):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__

@@ -134,6 +134,13 @@ EVENT_QUERIES = [
     "poisson_mixture_em",
     "boxplot_stats",
     "weekday_seasonal_index",
+    # fifth-session event-bound additions (events grow 10x; the
+    # (type x day) grids they reduce to stay calendar x vocab bounded)
+    "kendall_tau_pairs",
+    "xcorr_leadlag",
+    "granger_leadlag",
+    "pacf_daily_revenue",
+    "negbin_overdispersion",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
@@ -161,6 +168,18 @@ RELATIONAL_QUERIES = [
     "ransac_spend_fit",
     "community_modularity",
     "neyman_allocation",
+    # fourth/fifth-session fact-bound additions (orders/lineitem grow 10x;
+    # the daily/decile/bucket frames they reduce to stay calendar-bounded)
+    "lorenz_deciles",
+    "theil_inequality",
+    "atkinson_index",
+    "price_volume_bridge",
+    "ridge_two_feature",
+    "bollinger_band_breaks",
+    "sma_crossover_days",
+    "cutler_rsi",
+    "ar2_forecast",
+    "durbin_watson_trend",
 ]
 
 
