@@ -80,6 +80,11 @@ _GATE_PRIORITY = (
     "pacf_daily_revenue",
     "negbin_overdispersion",
     "durbin_watson_trend",
+    "minhash_estimator_calibration",
+    "eoq_reorder_policy",
+    "cagr_brand_revenue",
+    "textrank_keywords",
+    "permutation_test_lift",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",

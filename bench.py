@@ -314,6 +314,11 @@ HEADLINE = [
     "pacf_daily_revenue",
     "negbin_overdispersion",
     "durbin_watson_trend",
+    "minhash_estimator_calibration",
+    "eoq_reorder_policy",
+    "cagr_brand_revenue",
+    "textrank_keywords",
+    "permutation_test_lift",
 ]
 
 

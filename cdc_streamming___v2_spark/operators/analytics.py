@@ -7137,3 +7137,315 @@ ORACLES["durbin_watson_trend"] = """
                        / CAST(sum(e * e) AS DOUBLE) / 2.0, 6) AS rho_hat
     FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AF (ops/finance): inventory policy + growth
+# ---------------------------------------------------------------------------
+
+EOQ_ORDER_COST = 100.0  # pinned fixed cost per replenishment order ($)
+EOQ_HOLD_COST = 2.0  # pinned holding cost ($ per unit per year)
+EOQ_LEAD_DAYS = 7.0  # replenishment lead time (days)
+EOQ_Z_95 = 1.645  # 95% service-level z, pinned literal (no engine erf)
+EOQ_Y0, EOQ_Y1 = 1996, 2000  # demand observation window (full years)
+EOQ_N_DAYS = 1827  # calendar days in [1996-01-01, 2000-12-31] (2 leap years)
+EOQ_N_YEARS = 5.0
+
+
+def eoq_reorder_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory policy per brand from the shipped-quantity demand stream:
+    economic order quantity EOQ = sqrt(2*D*S/H) on the mean annual demand,
+    plus the reorder point mu_d*L + z*sigma_d*sqrt(L) at a pinned 95%
+    service level — classic operations closers on exact integer demand
+    moments (zero-demand calendar days enter the variance through the
+    pinned day count, not through materialized zero rows).
+
+    Scale: one map-side-combined reduce of lineitem to the (brand x day)
+    grid, one exact integer aggregate per brand, scalar math.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year("l_shipdate").cast("int")
+    daily = (
+        li.filter((yr >= EOQ_Y0) & (yr <= EOQ_Y1))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("decimal(38,0)").alias("q")
+        )
+    )
+    g = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_active_days"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("qq"),
+    )
+    nd = F.lit(float(EOQ_N_DAYS))
+    s, qq = F.col("s").cast("double"), F.col("qq").cast("double")
+    mu = s / nd
+    var = (nd * qq - s * s) / (nd * nd)  # population var incl. zero days
+    d_annual = s / EOQ_N_YEARS
+    eoq = F.sqrt(2.0 * d_annual * EOQ_ORDER_COST / EOQ_HOLD_COST)
+    rop = mu * EOQ_LEAD_DAYS + EOQ_Z_95 * F.sqrt(var * EOQ_LEAD_DAYS)
+    return g.select(
+        "p_brand",
+        F.col("n_active_days").cast("long").alias("n_active_days"),
+        F.round(d_annual, 2).alias("annual_demand_units"),
+        F.round(eoq, 2).alias("eoq_units"),
+        F.round(rop, 2).alias("reorder_point_units"),
+    ).orderBy("p_brand")
+
+
+QUERIES["eoq_reorder_policy"] = eoq_reorder_policy
+ORACLES["eoq_reorder_policy"] = f"""
+    WITH daily AS (
+        SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) BETWEEN {EOQ_Y0} AND {EOQ_Y1}
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT p_brand, count(*) AS n_active_days,
+               sum(q) AS s, sum(q * q) AS qq
+        FROM daily GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(n_active_days AS BIGINT) AS n_active_days,
+           round(CAST(s AS DOUBLE) / {EOQ_N_YEARS}, 2) AS annual_demand_units,
+           round(sqrt(2.0 * (CAST(s AS DOUBLE) / {EOQ_N_YEARS})
+                      * {EOQ_ORDER_COST} / {EOQ_HOLD_COST}), 2) AS eoq_units,
+           round(CAST(s AS DOUBLE) / {float(EOQ_N_DAYS)} * {EOQ_LEAD_DAYS}
+                 + {EOQ_Z_95} * sqrt(({float(EOQ_N_DAYS)} * CAST(qq AS DOUBLE)
+                                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                     / ({float(EOQ_N_DAYS)} * {float(EOQ_N_DAYS)})
+                                     * {EOQ_LEAD_DAYS}), 2)
+               AS reorder_point_units
+    FROM g ORDER BY p_brand
+"""
+
+
+CAGR_Y0, CAGR_Y1 = 1996, 2000
+
+
+def cagr_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound annual growth rate of net revenue per brand between fiscal
+    1996 and 2000: CAGR = (r1/r0)^(1/4) - 1 on exact 1e-4-dollar integer
+    endpoints — the one float op per row is the pow of a ratio of exact
+    integers.
+
+    Scale: one map-side-combined aggregate to the (brand x 2-year) grid,
+    broadcast dim, 25-row self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev_u = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    yr = F.year("l_shipdate").cast("int")
+    g = (
+        li.filter(yr.isin(CAGR_Y0, CAGR_Y1))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", yr.alias("yr"))
+        .agg(F.sum(rev_u).alias("r"))
+    )
+    y0 = g.filter(F.col("yr") == CAGR_Y0).select(
+        "p_brand", F.col("r").alias("r0")
+    )
+    y1 = g.filter(F.col("yr") == CAGR_Y1).select(
+        "p_brand", F.col("r").alias("r1")
+    )
+    span = float(CAGR_Y1 - CAGR_Y0)
+    cagr = F.pow(
+        F.col("r1").cast("double") / F.col("r0").cast("double"), 1.0 / span
+    ) - F.lit(1.0)
+    return (
+        y0.join(y1, "p_brand")
+        .select(
+            "p_brand",
+            _usd_halfup(F.col("r0")).alias("rev_y0_dollars"),
+            _usd_halfup(F.col("r1")).alias("rev_y1_dollars"),
+            F.round(cagr, 6).alias("cagr"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["cagr_brand_revenue"] = cagr_brand_revenue
+ORACLES["cagr_brand_revenue"] = f"""
+    WITH g AS (
+        SELECT p_brand, year(l_shipdate) AS yr,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS HUGEINT)) AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) IN ({CAGR_Y0}, {CAGR_Y1})
+        GROUP BY 1, 2
+    ),
+    y0 AS (SELECT p_brand, r AS r0 FROM g WHERE yr = {CAGR_Y0}),
+    y1 AS (SELECT p_brand, r AS r1 FROM g WHERE yr = {CAGR_Y1})
+    SELECT p_brand,
+           {_usd_halfup_sql("r0")} AS rev_y0_dollars,
+           {_usd_halfup_sql("r1")} AS rev_y1_dollars,
+           round(pow(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE),
+                     1.0 / {float(CAGR_Y1 - CAGR_Y0)}) - 1.0, 6) AS cagr
+    FROM y0 JOIN y1 USING (p_brand)
+    ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AG: permutation test (erf-free significance)
+# ---------------------------------------------------------------------------
+
+PERM_B = 64  # label permutations
+PERM_P = 4294967311  # same universal-hash prime family as bootstrap/minhash
+PERM_AC = [
+    (
+        ((1103515245 * (b + 911) + 54321) % 2147483647) | 1,
+        (69069 * (b + 911) + 7654321) % 2147483647,
+    )
+    for b in range(PERM_B)
+]
+
+
+def permutation_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the A/B mean-purchase-value lift (treatment =
+    even user id): the label assignment is re-drawn PERM_B times from a
+    deterministic universal-hash family over the user id, and the p-value
+    is the share of permuted |mean diffs| at least as extreme as the
+    observed one ((1+k)/(B+1), the standard add-one estimator) — exact
+    nonparametric significance with NO normal approximation (and no erf,
+    which neither engine exposes), the distribution-free companion of
+    welch_t_test / ab_test_lift.
+
+    Determinism: per-permutation sums/counts are exact integer aggregates
+    (ONE md5 per row; the B side draws are parity bits of a universal hash
+    family over it — the bootstrap_mean_ci trick); each mean diff is a
+    single float expression of exact integers, and the extremeness
+    comparison runs on bit-identical doubles in both engines.
+
+    Scale: ONE pass over the purchase stream computing 2*PERM_B integer
+    partial aggregates (no explode, no reshuffle per permutation); the
+    permutation frame is B rows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    from ..sources.tables import fan_out
+
+    rows = fan_out(e).select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        md5_hash_long(F.col("user_id").cast("string")).alias("h"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).alias("n1o"),
+        F.sum(F.when(F.col("treat"), F.col("cents")).otherwise(0)).alias("s1o"),
+    ]
+    for b in range(PERM_B):
+        a_b, c_b = PERM_AC[b]
+        bit = ((F.col("h") * a_b + c_b) % PERM_P) % 2 == 0
+        aggs.append(F.sum(F.when(bit, 1).otherwise(0)).alias(f"n{b}"))
+        aggs.append(
+            F.sum(F.when(bit, F.col("cents")).otherwise(0)).alias(f"c{b}")
+        )
+    wide = rows.agg(*aggs)
+
+    def _diff(s1, n1, s, n):
+        m1 = s1.cast("double") / n1.cast("double")
+        m0 = (s - s1).cast("double") / (n - n1).cast("double")
+        return (m1 - m0) / 100.0
+
+    obs = _diff(F.col("s1o"), F.col("n1o"), F.col("s"), F.col("n"))
+    wide = wide.withColumn("obs", obs)
+    diffs = [
+        _diff(F.col(f"c{b}"), F.col(f"n{b}"), F.col("s"), F.col("n")).alias(
+            f"d{b}"
+        )
+        for b in range(PERM_B)
+    ]
+    wide = wide.select("n", "n1o", "obs", *diffs)
+    stack = ", ".join(f"{b}, d{b}" for b in range(PERM_B))
+    perms = wide.selectExpr(
+        "n", "n1o", "obs", f"stack({PERM_B}, {stack}) AS (b, d)"
+    )
+    g = perms.agg(
+        F.max("n").cast("long").alias("n_purchases"),
+        F.max("n1o").cast("long").alias("n_treated"),
+        F.round(F.max("obs"), 4).alias("obs_diff_dollars"),
+        F.count(F.lit(1)).cast("long").alias("n_perms"),
+        F.sum(
+            F.when(F.abs(F.col("d")) >= F.abs(F.col("obs")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme"),
+    )
+    return g.withColumn(
+        "p_value",
+        F.round(
+            (F.col("n_extreme") + 1).cast("double")
+            / F.lit(float(PERM_B + 1)),
+            6,
+        ),
+    )
+
+
+QUERIES["permutation_test_lift"] = permutation_test_lift
+
+
+def _perm_oracle() -> str:
+    h = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    cols = [
+        "CAST(count(*) AS BIGINT) AS n",
+        "sum(CAST(round(value * 100) AS BIGINT)) AS s",
+        "sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n1o",
+        "sum(CASE WHEN user_id % 2 = 0"
+        " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS s1o",
+    ]
+    for b in range(PERM_B):
+        a_b, c_b = PERM_AC[b]
+        bit = f"(({h} * {a_b} + {c_b}) % {PERM_P}) % 2 = 0"
+        cols.append(f"sum(CASE WHEN {bit} THEN 1 ELSE 0 END) AS n{b}")
+        cols.append(
+            f"sum(CASE WHEN {bit}"
+            f" THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS c{b}"
+        )
+    sel = ", ".join(cols)
+
+    def diff(s1, n1):
+        return (
+            f"(CAST({s1} AS DOUBLE) / CAST({n1} AS DOUBLE)"
+            f" - CAST(s - {s1} AS DOUBLE) / CAST(n - {n1} AS DOUBLE)) / 100.0"
+        )
+
+    un = " UNION ALL ".join(
+        f"SELECT n, n1o, obs, {diff(f'c{b}', f'n{b}')} AS d FROM wide"
+        for b in range(PERM_B)
+    )
+    return f"""
+    WITH w0 AS (SELECT {sel} FROM events WHERE event_type = 'purchase'),
+    wide AS (SELECT *, {diff('s1o', 'n1o')} AS obs FROM w0),
+    perms AS ({un}),
+    g AS (
+        SELECT CAST(max(n) AS BIGINT) AS n_purchases,
+               CAST(max(n1o) AS BIGINT) AS n_treated,
+               round(max(obs), 4) AS obs_diff_dollars,
+               CAST(count(*) AS BIGINT) AS n_perms,
+               CAST(sum(CASE WHEN abs(d) >= abs(obs) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_extreme
+        FROM perms
+    )
+    SELECT *, round(CAST(n_extreme + 1 AS DOUBLE) / {float(PERM_B + 1)}, 6)
+                   AS p_value
+    FROM g
+"""
+
+
+ORACLES["permutation_test_lift"] = _perm_oracle()

@@ -1231,3 +1231,174 @@ ORACLES["heaps_law_fit"] = f"""
     FROM last, vocab
 """
 QUERIES["heaps_law_fit"] = heaps_law_fit
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AG: TextRank keyword extraction
+# ---------------------------------------------------------------------------
+
+TEXTRANK_ROUNDS = 3
+TEXTRANK_SCALE = 1_000_000_000  # scores live in integer nano-units
+TEXTRANK_D_NUM, TEXTRANK_D_DEN = 85, 100  # damping 0.85 as an integer ratio
+TEXTRANK_TOP = 20
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) over the
+    corpus-level adjacent-token co-occurrence graph: undirected edges
+    weighted by adjacency counts, TEXTRANK_ROUNDS damped power-iteration
+    rounds, top-TEXTRANK_TOP words — the graph-centrality complement of
+    rake_keywords (degree-based) and word_pmi_pairs (association-based).
+
+    Exactness (the hits_bipartite integer-iteration pattern): scores live
+    in integer nano-units; each edge's contribution is the integer floor
+    (w_ij * s_j) // ow_j, the damping step is ((15*SCALE) + 85*sum) // 100
+    in exact integer arithmetic — both engines floor identically every
+    round, so the final ranking is flip-proof.
+
+    Scale: pair generation is an array transform inside the scan (no
+    join); each round is one edge-keyed aggregate join, bounded by the
+    VOCABULARY graph (Heaps-sublinear in corpus size), never by corpus
+    rows. Score frames are vocab-sized and checkpointed per round.
+    """
+    d = _docs(spark, sf_dir)
+    arr = d.select(words(F.col("text")).alias("a")).filter(F.size("a") >= 2)
+    pair_expr = F.expr(
+        """
+        transform(sequence(1, size(a) - 1), i ->
+            struct(least(element_at(a, i), element_at(a, i + 1)) AS w1,
+                   greatest(element_at(a, i), element_at(a, i + 1)) AS w2))
+        """
+    )
+    und = (
+        arr.select(F.explode(pair_expr).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cw"))
+    )
+    edges = (
+        und.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "cw")
+        .unionAll(
+            und.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "cw")
+        )
+        .localCheckpoint(eager=True)
+    )
+    outw = edges.groupBy("src").agg(F.sum("cw").alias("ow"))
+    ep = edges.join(outw, "src").localCheckpoint(eager=True)
+    dec = "decimal(38,0)"
+    base = (TEXTRANK_D_DEN - TEXTRANK_D_NUM) * TEXTRANK_SCALE
+    s = edges.select("src").distinct().select(
+        F.col("src").alias("w"),
+        F.lit(TEXTRANK_SCALE).cast(dec).alias("s"),
+    )
+    for _ in range(TEXTRANK_ROUNDS):
+        contrib = (
+            ep.join(s, ep.src == s.w)
+            # `div` (integral division) keeps the per-edge floor EXACT —
+            # decimal `/` rounds at scale 6, which can flip a floor()
+            .select(
+                "dst",
+                F.expr("CAST((cw * s) div ow AS DECIMAL(38,0))").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("cs"))
+        )
+        s = contrib.select(
+            F.col("dst").alias("w"),
+            F.expr(
+                f"CAST((CAST({base} AS DECIMAL(38,0))"
+                f" + {TEXTRANK_D_NUM} * cs) div {TEXTRANK_D_DEN}"
+                f" AS DECIMAL(38,0))"
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("n_neighbors"))
+    top = (
+        s.join(deg, s.w == deg.src)
+        .select(
+            "w",
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+            (F.col("s").cast("double") / TEXTRANK_SCALE).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("w").asc())
+        .limit(TEXTRANK_TOP)
+    )
+    w_rank = Window.orderBy(F.col("score").desc(), F.col("w").asc())
+    return top.withColumn("rank", F.row_number().over(w_rank)).select(
+        "rank", F.col("w").alias("word"), "n_neighbors",
+        F.round("score", 6).alias("score"),
+    )
+
+
+QUERIES["textrank_keywords"] = textrank_keywords
+
+
+def _textrank_oracle() -> str:
+    base = (TEXTRANK_D_DEN - TEXTRANK_D_NUM) * TEXTRANK_SCALE
+    ctes = [
+        f"""arr AS (
+            SELECT {_W} AS a FROM documents WHERE len({_W}) >= 2
+        )""",
+        """und AS (
+            SELECT p.w1, p.w2, CAST(count(*) AS HUGEINT) AS cw
+            FROM (
+                SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                           i -> struct_pack(w1 := least(a[i], a[i+1]),
+                                            w2 := greatest(a[i], a[i+1]))))
+                       AS p
+                FROM arr
+            )
+            WHERE p.w1 <> p.w2
+            GROUP BY 1, 2
+        )""",
+        """edges AS MATERIALIZED (
+            SELECT w1 AS src, w2 AS dst, cw FROM und
+            UNION ALL
+            SELECT w2 AS src, w1 AS dst, cw FROM und
+        )""",
+        """outw AS MATERIALIZED (
+            SELECT src, sum(cw) AS ow FROM edges GROUP BY 1
+        )""",
+        """ep AS MATERIALIZED (
+            SELECT e.src, e.dst, e.cw, o.ow
+            FROM edges e JOIN outw o ON e.src = o.src
+        )""",
+        f"""s0 AS (
+            SELECT DISTINCT src AS w, CAST({TEXTRANK_SCALE} AS HUGEINT) AS s
+            FROM edges
+        )""",
+    ]
+    for i in range(1, TEXTRANK_ROUNDS + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""c{i} AS MATERIALIZED (
+            SELECT ep.dst, sum((ep.cw * p.s) // ep.ow) AS cs
+            FROM ep JOIN {prev} p ON ep.src = p.w
+            GROUP BY 1
+        )""")
+        ctes.append(f"""s{i} AS MATERIALIZED (
+            SELECT dst AS w,
+                   (CAST({base} AS HUGEINT)
+                    + {TEXTRANK_D_NUM} * cs) // {TEXTRANK_D_DEN} AS s
+            FROM c{i}
+        )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS n_neighbors
+            FROM edges GROUP BY 1),
+    top AS (
+        SELECT s.w, deg.n_neighbors,
+               CAST(s.s AS DOUBLE) / {TEXTRANK_SCALE} AS score
+        FROM s{TEXTRANK_ROUNDS} s JOIN deg ON s.w = deg.src
+        ORDER BY score DESC, s.w ASC
+        LIMIT {TEXTRANK_TOP}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, w ASC) AS INT)
+               AS rank,
+           w AS word, n_neighbors, round(score, 6) AS score
+    FROM top
+    ORDER BY rank
+"""
+
+
+ORACLES["textrank_keywords"] = _textrank_oracle()

@@ -1886,3 +1886,166 @@ ORACLES["winnowing_pairs"] = f"""
     GROUP BY 1, 2
     HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AF: estimator-quality audit for the LSH tier
+# ---------------------------------------------------------------------------
+
+CALIB_SCALE = 1_000_000_000_000  # error terms rounded to pico-units
+
+
+def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the MinHash Jaccard ESTIMATOR against exact
+    shingle Jaccard, per exact-similarity decile, over the banded candidate
+    pairs — the measurement that tells an operator whether K=16 signature
+    components are enough for the dedup threshold in use (estimator SD is
+    sqrt(j(1-j)/K) ~ 0.125 at j=0.5): for each candidate pair, estimate =
+    (#equal components)/K; report per-bucket count, mean estimate, mean
+    bias and MAE.
+
+    Determinism: the estimate is the exact rational eq/K (bucket means sum
+    integer eq counts); the exact Jaccard bucket is the integer division
+    (10*common) DIV union; bias/MAE terms are single float expressions per
+    pair rounded to the pico-grid and summed as decimal(38,0) — no
+    cross-row float accumulation.
+
+    Scale: candidates come from the SAME band-bucket equi-join as
+    minhash_near_dup (never all-pairs); everything downstream is
+    candidate-cardinality.
+    """
+    kernel = _minhash_kernel(spark, sf_dir)
+    sets = kernel.select("doc_id", "sa")
+    bands = _minhash_bands(kernel)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    siga = kernel.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"xa{i}") for i in range(MINHASH_K)],
+    )
+    sigb = kernel.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"xb{i}") for i in range(MINHASH_K)],
+    )
+    j = (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sa").alias("ss_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sa").alias("ss_b")),
+            "doc_b",
+        )
+    )
+    eq = sum(
+        [
+            F.when(F.col(f"xa{i}") == F.col(f"xb{i}"), 1).otherwise(0)
+            for i in range(MINHASH_K)
+        ],
+        F.lit(0),
+    )
+    common = F.size(F.array_intersect("ss_a", "ss_b")).cast("long")
+    u = (F.size("ss_a") + F.size("ss_b")).cast("long") - common
+    est = eq.cast("double") / F.lit(float(MINHASH_K))
+    exact = common.cast("double") / u.cast("double")
+    diff = est - exact
+    t = j.select(
+        F.expr(
+            "CAST(10 * size(array_intersect(ss_a, ss_b)) AS BIGINT) div "
+            "CAST(size(ss_a) + size(ss_b) - size(array_intersect(ss_a, ss_b))"
+            " AS BIGINT)"
+        ).alias("bucket"),
+        eq.cast("long").cast("decimal(38,0)").alias("eq"),
+        F.round(diff * CALIB_SCALE).cast("long").cast("decimal(38,0)").alias("d"),
+        F.round(F.abs(diff) * CALIB_SCALE)
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("ad"),
+    )
+    g = t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("eq").alias("seq"),
+        F.sum("d").alias("sd"),
+        F.sum("ad").alias("sad"),
+    )
+    n = F.col("n").cast("double")
+    return g.select(
+        F.col("bucket").cast("int").alias("jaccard_decile"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            F.col("seq").cast("double") / (F.lit(float(MINHASH_K)) * n), 6
+        ).alias("mean_minhash_est"),
+        F.round(F.col("sd").cast("double") / CALIB_SCALE / n, 6).alias("bias"),
+        F.round(F.col("sad").cast("double") / CALIB_SCALE / n, 6).alias("mae"),
+    ).orderBy("jaccard_decile")
+
+
+QUERIES["minhash_estimator_calibration"] = minhash_estimator_calibration
+
+_CALIB_EQ_SQL = " + ".join(
+    f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
+)
+
+ORACLES["minhash_estimator_calibration"] = f"""
+    WITH {_JACCARD_CTES},
+    sig AS (
+        SELECT doc_id,
+               {_minhash_sig_cols()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_selects()}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    x AS (
+        SELECT c.doc_a, c.doc_b,
+               ({_CALIB_EQ_SQL}) AS eq,
+               COALESCE(p.common, 0) AS common,
+               za.n + zb.n - COALESCE(p.common, 0) AS u
+        FROM cand c
+        JOIN sig sa ON c.doc_a = sa.doc_id
+        JOIN sig sb ON c.doc_b = sb.doc_id
+        LEFT JOIN pairs p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+        JOIN sizes za ON c.doc_a = za.doc_id
+        JOIN sizes zb ON c.doc_b = zb.doc_id
+    ),
+    terms AS (
+        SELECT CAST(10 * common AS BIGINT) // CAST(u AS BIGINT) AS bucket,
+               eq,
+               CAST(round((CAST(eq AS DOUBLE) / {float(MINHASH_K)}
+                           - CAST(common AS DOUBLE) / CAST(u AS DOUBLE))
+                          * {CALIB_SCALE}) AS HUGEINT) AS d,
+               CAST(round(abs(CAST(eq AS DOUBLE) / {float(MINHASH_K)}
+                              - CAST(common AS DOUBLE) / CAST(u AS DOUBLE))
+                          * {CALIB_SCALE}) AS HUGEINT) AS ad
+        FROM x
+    ),
+    g AS (
+        SELECT bucket, count(*) AS n, sum(eq) AS seq,
+               sum(d) AS sd, sum(ad) AS sad
+        FROM terms GROUP BY 1
+    )
+    SELECT CAST(bucket AS INT) AS jaccard_decile,
+           CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(seq AS DOUBLE)
+                 / ({float(MINHASH_K)} * CAST(n AS DOUBLE)), 6)
+               AS mean_minhash_est,
+           round(CAST(sd AS DOUBLE) / {CALIB_SCALE} / CAST(n AS DOUBLE), 6)
+               AS bias,
+           round(CAST(sad AS DOUBLE) / {CALIB_SCALE} / CAST(n AS DOUBLE), 6)
+               AS mae
+    FROM g ORDER BY jaccard_decile
+"""

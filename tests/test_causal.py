@@ -774,3 +774,70 @@ def test_durbin_watson_range(spark):
     r = A.durbin_watson_trend(spark, SF_SMALL).collect()[0]
     assert 0.0 <= r["dw_stat"] <= 4.0
     assert abs(r["rho_hat"] - (1.0 - r["dw_stat"] / 2.0)) < 1e-6
+
+
+# --- ops/finance + estimator-audit wave (AF) --------------------------------
+
+
+def test_eoq_policy_positive_and_monotone_in_demand(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.eoq_reorder_policy(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    # EOQ = sqrt(2*D*S/H) must order exactly like annual demand
+    by_d = sorted(rows, key=lambda r: r["annual_demand_units"])
+    by_e = sorted(rows, key=lambda r: r["eoq_units"])
+    assert [r["p_brand"] for r in by_d] == [r["p_brand"] for r in by_e]
+    for r in rows:
+        assert r["reorder_point_units"] > 0
+
+
+def test_cagr_reproduces_endpoints(spark):
+    import math
+
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.cagr_brand_revenue(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    for r in rows:
+        # compounding the reported rate over the span recovers the ratio
+        grown = r["rev_y0_dollars"] * (1 + r["cagr"]) ** 4
+        assert abs(grown - r["rev_y1_dollars"]) / r["rev_y1_dollars"] < 1e-3
+
+
+def test_minhash_calibration_is_probabilistically_sane(spark):
+    from cdc_streamming___v2_spark.operators import dedup as D
+
+    rows = D.minhash_estimator_calibration(spark, SF_SMALL).collect()
+    assert rows, "banded candidates must exist"
+    for r in rows:
+        assert 0 <= r["jaccard_decile"] <= 10
+        assert 0.0 <= r["mean_minhash_est"] <= 1.0
+        assert r["mae"] >= abs(r["bias"]) - 1e-9  # MAE dominates |bias|
+
+
+# --- textrank + permutation wave (AG) ----------------------------------------
+
+
+def test_textrank_scores_positive_and_ranked(spark):
+    from cdc_streamming___v2_spark.operators import corpus_ops as CO
+
+    rows = CO.textrank_keywords(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    assert [r["rank"] for r in rows] == list(range(1, 21))
+    scores = [r["score"] for r in rows]
+    assert all(b <= a for a, b in zip(scores, scores[1:]))  # descending
+    # damped iteration keeps every score >= (1-d) = 0.15
+    assert all(s >= 0.15 for s in scores)
+    assert all(r["n_neighbors"] > 0 for r in rows)
+
+
+def test_permutation_test_null_calibrated(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.permutation_test_lift(spark, SF_SMALL).collect()[0]
+    assert r["n_perms"] == 64
+    assert 0 <= r["n_extreme"] <= 64
+    assert 0.0 < r["p_value"] <= 1.0
+    # even/odd user split is a true A/A: the test must NOT reject at 1%
+    assert r["p_value"] > 0.01

@@ -760,3 +760,29 @@ def test_regression_diag_wave_never_plans_cartesian(spark):
                A5.negbin_overdispersion, A5.durbin_watson_trend):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_ops_finance_wave_never_plans_cartesian(spark):
+    """Wave AF: EOQ/CAGR broadcast the part dim; the calibration audit
+    pairs via the band-bucket equi-join (never all-pairs)."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+    from cdc_streamming___v2_spark.operators import dedup as D5
+
+    for fn in (A5.eoq_reorder_policy, A5.cagr_brand_revenue,
+               D5.minhash_estimator_calibration):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_textrank_perm_wave_plan_shapes(spark):
+    """Wave AG: textrank rounds are vocab-bounded aggregate joins (no
+    cartesian); the permutation test is ONE aggregate pass (no join at
+    all before the B-row stack)."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+    from cdc_streamming___v2_spark.operators import corpus_ops as CO5
+
+    p = _plan(spark, CO5.textrank_keywords(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    p = _plan(spark, A5.permutation_test_lift(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p  # single-pass: no join of any kind

@@ -87,6 +87,9 @@ QUERIES = [
     "isotonic_calibration",
     "grid_dbscan_clusters",
     "nmi_cluster_label_eval",
+    # fifth-session corpus-bound additions
+    "minhash_estimator_calibration",
+    "textrank_keywords",
 ]
 
 # the event-log tier (round-5 wave 3): per-user ordered-window operators
@@ -141,6 +144,7 @@ EVENT_QUERIES = [
     "granger_leadlag",
     "pacf_daily_revenue",
     "negbin_overdispersion",
+    "permutation_test_lift",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
@@ -180,6 +184,8 @@ RELATIONAL_QUERIES = [
     "cutler_rsi",
     "ar2_forecast",
     "durbin_watson_trend",
+    "eoq_reorder_policy",
+    "cagr_brand_revenue",
 ]
 
 
