@@ -85,6 +85,9 @@ _GATE_PRIORITY = (
     "cagr_brand_revenue",
     "textrank_keywords",
     "permutation_test_lift",
+    "weibull_gap_fit",
+    "beta_fit_discount",
+    "price_index_fisher",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",

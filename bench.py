@@ -319,6 +319,9 @@ HEADLINE = [
     "cagr_brand_revenue",
     "textrank_keywords",
     "permutation_test_lift",
+    "weibull_gap_fit",
+    "beta_fit_discount",
+    "price_index_fisher",
 ]
 
 

@@ -7449,3 +7449,113 @@ def _perm_oracle() -> str:
 
 
 ORACLES["permutation_test_lift"] = _perm_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AH: bilateral price indices (1996 -> 1997)
+# ---------------------------------------------------------------------------
+
+PIDX_Y0, PIDX_Y1 = 1996, 1997
+
+
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices between fiscal 1996
+    and 1997 over the matched-part basket: part-level average prices
+    p = rev/qty never materialize — Laspeyres = sum(rev1*q0/q1)/sum(rev0)
+    and Paasche = sum(rev1)/sum(rev0*q1/q0), so each part contributes ONE
+    float term (a product/quotient of exact integers) that is rounded to
+    the integer e4-dollar grid before the distributed sum (the grid is
+    ~1e-10 relative on these magnitudes; a raw float fold would be
+    order-sensitive).  Fisher is the geometric mean of the two.
+
+    Scale: one map-side-combined aggregate to the (part x year) grid,
+    partkey-keyed self-join of the two year frames, one integer reduce.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    rev_u = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    yr = F.year("l_shipdate").cast("int")
+    g = (
+        li.filter(yr.isin(PIDX_Y0, PIDX_Y1))
+        .groupBy(F.col("l_partkey").alias("pk"), yr.alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long").cast("decimal(38,0)")).alias("q"),
+            F.sum(rev_u).alias("r"),
+        )
+    )
+    y0 = g.filter(F.col("yr") == PIDX_Y0).select(
+        "pk", F.col("q").alias("q0"), F.col("r").alias("r0")
+    )
+    y1 = g.filter(F.col("yr") == PIDX_Y1).select(
+        "pk", F.col("q").alias("q1"), F.col("r").alias("r1")
+    )
+    j = y0.join(y1, "pk")
+    dec = "decimal(38,0)"
+    lterm = (
+        (F.col("r1") * F.col("q0")).cast("double") / F.col("q1").cast("double")
+    )
+    pterm = (
+        (F.col("r0") * F.col("q1")).cast("double") / F.col("q0").cast("double")
+    )
+    t = j.select(
+        F.round(lterm).cast(dec).alias("lt"),
+        F.round(pterm).cast(dec).alias("pt"),
+        F.col("r0"),
+        F.col("r1"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_matched"),
+        F.sum("lt").alias("sl"),
+        F.sum("pt").alias("sp"),
+        F.sum("r0").alias("s0"),
+        F.sum("r1").alias("s1"),
+    )
+    lasp = F.col("sl").cast("double") / F.col("s0").cast("double")
+    paas = F.col("s1").cast("double") / F.col("sp").cast("double")
+    return agg.select(
+        "n_parts_matched",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+QUERIES["price_index_fisher"] = price_index_fisher
+ORACLES["price_index_fisher"] = f"""
+    WITH g AS (
+        SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+               sum(CAST(l_quantity AS HUGEINT)) AS q,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS HUGEINT)) AS r
+        FROM lineitem
+        WHERE year(l_shipdate) IN ({PIDX_Y0}, {PIDX_Y1})
+        GROUP BY 1, 2
+    ),
+    y0 AS (SELECT pk, q AS q0, r AS r0 FROM g WHERE yr = {PIDX_Y0}),
+    y1 AS (SELECT pk, q AS q1, r AS r1 FROM g WHERE yr = {PIDX_Y1}),
+    t AS (
+        SELECT CAST(round(CAST(r1 * q0 AS DOUBLE) / CAST(q1 AS DOUBLE))
+                    AS HUGEINT) AS lt,
+               CAST(round(CAST(r0 * q1 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                    AS HUGEINT) AS pt,
+               r0, r1
+        FROM y0 JOIN y1 USING (pk)
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_parts_matched,
+               sum(lt) AS sl, sum(pt) AS sp, sum(r0) AS s0, sum(r1) AS s1
+        FROM t
+    )
+    SELECT n_parts_matched,
+           round(CAST(sl AS DOUBLE) / CAST(s0 AS DOUBLE), 6) AS laspeyres,
+           round(CAST(s1 AS DOUBLE) / CAST(sp AS DOUBLE), 6) AS paasche,
+           round(sqrt((CAST(sl AS DOUBLE) / CAST(s0 AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(sp AS DOUBLE))), 6)
+               AS fisher
+    FROM agg
+"""

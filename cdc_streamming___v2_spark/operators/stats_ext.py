@@ -2934,3 +2934,244 @@ ORACLES["james_stein_shrinkage"] = """
                AS shrink_factor
     FROM fin ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AH: distribution fitting beyond the exponential
+# ---------------------------------------------------------------------------
+
+WEIB_SCALE = 1_000_000_000_000  # regression terms rounded to pico-units
+
+
+def weibull_gap_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of the per-type interarrival distribution by
+    median-rank regression (the probability-plot method):
+    y = ln(-ln(1 - F_hat)) against x = ln(gap) is linear with slope =
+    shape k and intercept = -k*ln(lambda); F_hat uses Benard's median
+    rank (cc - 0.3)/(n + 0.4) at each distinct gap — the shape
+    parameter answers "is this stream bursty (k<1), Poisson (k=1), or
+    regular (k>1)?", generalizing exponential_gap_fit.
+
+    Determinism: ranks are exact integer window sums; each grid point's
+    (x, y, xy, x^2) regression terms are single float expressions rounded
+    to the pico-grid and summed as decimal(38,0) — the distinct-gap grid
+    GROWS with data, so a raw float fold would be order-sensitive.
+
+    Scale: gaps reduce to the distinct-(type, gap) grid once; one
+    per-type cumulative window on that grid; one integer aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("prev", F.lag(F.unix_micros(F.col("ts"))).over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("ts")) - F.col("prev")).alias("g"),
+        )
+        .filter(F.col("g") > 0)  # ln(g) needs positive gaps
+    )
+    grid = gaps.groupBy("event_type", "g").agg(F.count(F.lit(1)).alias("c"))
+    stats = gaps.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("g").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.withColumn("cc", F.sum("c").over(wc)).join(
+        F.broadcast(stats), "event_type"
+    )
+    fhat = (F.col("cc").cast("double") - 0.3) / (F.col("n").cast("double") + 0.4)
+    x = F.log(F.col("g").cast("double"))
+    y = F.log(-F.log(F.lit(1.0) - fhat))
+    dec = "decimal(38,0)"
+
+    def pico(col):
+        return F.round(col * WEIB_SCALE).cast("long").cast(dec)
+
+    terms = cum.select(
+        "event_type",
+        "n",
+        pico(x).alias("tx"),
+        pico(y).alias("ty"),
+        pico(x * y).alias("txy"),
+        pico(x * x).alias("txx"),
+        pico(y * y).alias("tyy"),
+    )
+    g2 = terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("n").alias("n"),
+        F.sum("tx").alias("sx"),
+        F.sum("ty").alias("sy"),
+        F.sum("txy").alias("sxy"),
+        F.sum("txx").alias("sxx"),
+        F.sum("tyy").alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double") / WEIB_SCALE for c in ("sx", "sy", "sxy", "sxx", "syy")
+    )
+    k = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    b0 = (sy - k * sx) / m
+    lam_us = F.exp(-b0 / k)  # characteristic life in microseconds
+    r2num = (m * sxy - sx * sy) * (m * sxy - sx * sy)
+    r2den = (m * sxx - sx * sx) * (m * syy - sy * sy)
+    return g2.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("m").cast("long").alias("n_grid"),
+        F.round(k, 4).alias("shape_k"),
+        F.round(lam_us / 1e6, 3).alias("scale_s"),
+        F.round(r2num / r2den, 4).alias("fit_r2"),
+    ).orderBy("event_type")
+
+
+QUERIES["weibull_gap_fit"] = weibull_gap_fit
+ORACLES["weibull_gap_fit"] = f"""
+    WITH gaps AS (
+        SELECT event_type, g FROM (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id) AS g
+            FROM events
+        ) WHERE g IS NOT NULL AND g > 0
+    ),
+    grid AS (
+        SELECT event_type, g, count(*) AS c FROM gaps GROUP BY 1, 2
+    ),
+    stats AS (SELECT event_type, count(*) AS n FROM gaps GROUP BY 1),
+    cum AS (
+        SELECT gr.event_type, gr.g, st.n,
+               sum(gr.c) OVER (PARTITION BY gr.event_type ORDER BY gr.g
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cc
+        FROM grid gr JOIN stats st ON gr.event_type = st.event_type
+    ),
+    terms AS (
+        SELECT event_type, n,
+               CAST(round(ln(CAST(g AS DOUBLE)) * {WEIB_SCALE}) AS HUGEINT)
+                   AS tx,
+               CAST(round(ln(-ln(1.0 - (CAST(cc AS DOUBLE) - 0.3)
+                                       / (CAST(n AS DOUBLE) + 0.4)))
+                          * {WEIB_SCALE}) AS HUGEINT) AS ty,
+               CAST(round(ln(CAST(g AS DOUBLE))
+                          * ln(-ln(1.0 - (CAST(cc AS DOUBLE) - 0.3)
+                                         / (CAST(n AS DOUBLE) + 0.4)))
+                          * {WEIB_SCALE}) AS HUGEINT) AS txy,
+               CAST(round(ln(CAST(g AS DOUBLE)) * ln(CAST(g AS DOUBLE))
+                          * {WEIB_SCALE}) AS HUGEINT) AS txx,
+               CAST(round(ln(-ln(1.0 - (CAST(cc AS DOUBLE) - 0.3)
+                                       / (CAST(n AS DOUBLE) + 0.4)))
+                          * ln(-ln(1.0 - (CAST(cc AS DOUBLE) - 0.3)
+                                         / (CAST(n AS DOUBLE) + 0.4)))
+                          * {WEIB_SCALE}) AS HUGEINT) AS tyy
+        FROM cum
+    ),
+    g2 AS (
+        SELECT event_type, count(*) AS m, max(n) AS n,
+               sum(tx) AS sx, sum(ty) AS sy, sum(txy) AS sxy,
+               sum(txx) AS sxx, sum(tyy) AS syy
+        FROM terms GROUP BY 1
+    ),
+    s AS (
+        SELECT event_type, CAST(m AS DOUBLE) AS m, n,
+               CAST(sx AS DOUBLE) / {WEIB_SCALE} AS sx,
+               CAST(sy AS DOUBLE) / {WEIB_SCALE} AS sy,
+               CAST(sxy AS DOUBLE) / {WEIB_SCALE} AS sxy,
+               CAST(sxx AS DOUBLE) / {WEIB_SCALE} AS sxx,
+               CAST(syy AS DOUBLE) / {WEIB_SCALE} AS syy
+        FROM g2
+    ),
+    fit AS (
+        SELECT event_type, m, n,
+               (m * sxy - sx * sy) / (m * sxx - sx * sx) AS k,
+               sx, sy, sxy, sxx, syy
+        FROM s
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST(m AS BIGINT) AS n_grid,
+           round(k, 4) AS shape_k,
+           round(exp(-((sy - k * sx) / m) / k) / 1e6, 3) AS scale_s,
+           round((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 4) AS fit_r2
+    FROM fit ORDER BY event_type
+"""
+
+
+def beta_fit_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments Beta fit of the discount distribution per brand
+    (discounts rescaled from [0, 0.10] to [0, 1]): alpha =
+    m*(m(1-m)/v - 1), beta = (1-m)*(m(1-m)/v - 1) — "is discounting
+    uniform, U-shaped, or peaked per brand?".  Degenerate brands
+    (v = 0 or v >= m(1-m)) report NULL.
+
+    Exactness: moments accumulate as exact basis-point integers; m and v
+    are single float expressions of those integers.
+
+    Scale: one map-side-combined aggregate (broadcast part dim) to the
+    25-brand frame.
+    """
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.round(F.col("l_discount") * 1000).cast("long")
+            .cast("decimal(38,0)")
+            .alias("bp"),  # thousandths: 0.10 -> 100 -> u = bp/100
+        )
+    )
+    g = li.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("bp").alias("s"),
+        F.sum(F.col("bp") * F.col("bp")).alias("q"),
+    )
+    n, s, q = (F.col(c).cast("double") for c in ("n", "s", "q"))
+    m = s / (100.0 * n)
+    v = (n * q - s * s) / (n * n * 10000.0)
+    cond = (v > 0) & (v < m * (1 - m))
+    common = m * (1 - m) / v - 1
+    return g.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_items"),
+        F.round(m, 6).alias("mean_scaled"),
+        F.round(v, 6).alias("var_scaled"),
+        F.round(F.when(cond, m * common), 4).alias("beta_alpha"),
+        F.round(F.when(cond, (1 - m) * common), 4).alias("beta_beta"),
+    ).orderBy("p_brand")
+
+
+QUERIES["beta_fit_discount"] = beta_fit_discount
+ORACLES["beta_fit_discount"] = """
+    WITH li AS (
+        SELECT p_brand,
+               CAST(round(l_discount * 1000) AS HUGEINT) AS bp
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    g AS (
+        SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+               sum(bp) AS s, sum(bp * bp) AS q
+        FROM li GROUP BY 1
+    ),
+    s2 AS (
+        SELECT p_brand,
+               CAST(n AS DOUBLE) AS n, CAST(s AS DOUBLE) AS s,
+               CAST(q AS DOUBLE) AS q
+        FROM g
+    ),
+    t AS (
+        SELECT p_brand, n,
+               s / (100.0 * n) AS m,
+               (n * q - s * s) / (n * n * 10000.0) AS v
+        FROM s2
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_items,
+           round(m, 6) AS mean_scaled,
+           round(v, 6) AS var_scaled,
+           round(CASE WHEN v > 0 AND v < m * (1 - m)
+                 THEN m * (m * (1 - m) / v - 1) END, 4) AS beta_alpha,
+           round(CASE WHEN v > 0 AND v < m * (1 - m)
+                 THEN (1 - m) * (m * (1 - m) / v - 1) END, 4) AS beta_beta
+    FROM t ORDER BY p_brand
+"""

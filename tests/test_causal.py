@@ -841,3 +841,43 @@ def test_permutation_test_null_calibrated(spark):
     assert 0.0 < r["p_value"] <= 1.0
     # even/odd user split is a true A/A: the test must NOT reject at 1%
     assert r["p_value"] > 0.01
+
+
+# --- distribution-fit + price-index wave (AH) --------------------------------
+
+
+def test_weibull_recovers_near_exponential(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SE
+
+    rows = SE.weibull_gap_fit(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # synthetic arrivals are near-Poisson: shape must sit near 1 and
+        # the probability plot must be close to linear
+        assert 0.5 < r["shape_k"] < 1.5
+        assert r["fit_r2"] > 0.9
+        assert r["scale_s"] > 0
+
+
+def test_beta_fit_moment_identity(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SE
+
+    rows = SE.beta_fit_discount(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    for r in rows:
+        if r["beta_alpha"] is None:
+            continue
+        a, b = r["beta_alpha"], r["beta_beta"]
+        # Beta mean identity: a/(a+b) == sample mean
+        assert abs(a / (a + b) - r["mean_scaled"]) < 1e-2
+
+
+def test_fisher_between_laspeyres_and_paasche(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.price_index_fisher(spark, SF_SMALL).collect()[0]
+    assert r["n_parts_matched"] > 0
+    lo = min(r["laspeyres"], r["paasche"])
+    hi = max(r["laspeyres"], r["paasche"])
+    # geometric mean lies between its factors
+    assert lo - 1e-9 <= r["fisher"] <= hi + 1e-9

@@ -786,3 +786,15 @@ def test_textrank_perm_wave_plan_shapes(spark):
     p = _plan(spark, A5.permutation_test_lift(spark, SF_SMALL))
     assert "CartesianProduct" not in p
     assert "Join" not in p  # single-pass: no join of any kind
+
+
+def test_distribution_fit_wave_never_plans_cartesian(spark):
+    """Wave AH: weibull/beta/price-index — grid windows + broadcast dims,
+    partkey-keyed year self-join; no cartesian."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+    from cdc_streamming___v2_spark.operators import stats_ext as SE5
+
+    for fn in (SE5.weibull_gap_fit, SE5.beta_fit_discount,
+               A5.price_index_fisher):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__

@@ -145,6 +145,7 @@ EVENT_QUERIES = [
     "pacf_daily_revenue",
     "negbin_overdispersion",
     "permutation_test_lift",
+    "weibull_gap_fit",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
@@ -186,6 +187,8 @@ RELATIONAL_QUERIES = [
     "durbin_watson_trend",
     "eoq_reorder_policy",
     "cagr_brand_revenue",
+    "beta_fit_discount",
+    "price_index_fisher",
 ]
 
 
