@@ -88,6 +88,7 @@ _GATE_PRIORITY = (
     "weibull_gap_fit",
     "beta_fit_discount",
     "price_index_fisher",
+    "theil_decomposition",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",

@@ -322,6 +322,7 @@ HEADLINE = [
     "weibull_gap_fit",
     "beta_fit_discount",
     "price_index_fisher",
+    "theil_decomposition",
 ]
 
 

@@ -7559,3 +7559,133 @@ ORACLES["price_index_fisher"] = f"""
                AS fisher
     FROM agg
 """
+
+
+def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition of the Theil T index over market segments:
+    T_total = T_between + sum_g (X_g/X) * T_g — the property that makes
+    Theil (and not Gini) the inequality measure of choice for drill-down
+    reporting ("how much revenue inequality is BETWEEN segments vs
+    WITHIN them?").  Reports all three plus the additivity gap, which
+    the invariant test pins near zero.
+
+    Determinism: the two per-customer term families (total-relative and
+    segment-relative) are single float expressions over exact integer
+    cents, rounded to the pico-grid and summed as decimal(38,0); the
+    5-row between/within algebra is scalar float on exact aggregates.
+
+    Scale: one reduce to per-customer revenue, one broadcast of the
+    segment/grand totals, ONE pass computing both term columns.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long").cast("decimal(38,0)"))
+            .alias("x")
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "x")
+    )
+    seg = rev.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("x").alias("xg")
+    )
+    grand = seg.agg(
+        F.sum("ng").alias("n"), F.sum("xg").alias("xx")
+    )
+    j = rev.join(F.broadcast(seg), "c_mktsegment").crossJoin(F.broadcast(grand))
+    xd = F.col("x").cast("double")
+    xxd, nd = F.col("xx").cast("double"), F.col("n").cast("double")
+    xgd, ngd = F.col("xg").cast("double"), F.col("ng").cast("double")
+    t_tot = (xd / xxd) * F.log(nd * xd / xxd)
+    t_seg = (xd / xgd) * F.log(ngd * xd / xgd)
+    terms = j.select(
+        "c_mktsegment",
+        F.round(t_tot * THEIL_SCALE).cast("long").cast("decimal(38,0)").alias("tt"),
+        F.round(t_seg * THEIL_SCALE).cast("long").cast("decimal(38,0)").alias("tg"),
+    )
+    per_seg = terms.groupBy("c_mktsegment").agg(
+        F.sum("tt").alias("stt"), F.sum("tg").alias("stg")
+    ).join(F.broadcast(seg), "c_mktsegment").crossJoin(F.broadcast(grand))
+    share = F.col("xg").cast("double") / F.col("xx").cast("double")
+    t_g = F.col("stg").cast("double") / THEIL_SCALE
+    between_term = share * F.log(
+        share / (F.col("ng").cast("double") / F.col("n").cast("double"))
+    )
+    fin = per_seg.agg(
+        F.max(F.col("n")).cast("long").alias("n_customers"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.col("stt").cast("double") / THEIL_SCALE).alias("t_total"),
+        F.sum(between_term).alias("t_between"),
+        F.sum(share * t_g).alias("t_within"),
+    )
+    return fin.select(
+        "n_customers",
+        "n_segments",
+        F.round(F.col("t_total"), 8).alias("theil_total"),
+        F.round(F.col("t_between"), 8).alias("theil_between"),
+        F.round(F.col("t_within"), 8).alias("theil_within"),
+        # + 0.0 canonicalizes -0.0 (round(-1e-12, 8) differs across engines)
+        (
+            F.round(
+                F.col("t_total") - F.col("t_between") - F.col("t_within"), 8
+            )
+            + F.lit(0.0)
+        ).alias("additivity_gap"),
+    )
+
+
+QUERIES["theil_decomposition"] = theil_decomposition
+ORACLES["theil_decomposition"] = f"""
+    WITH rev AS (
+        SELECT c_mktsegment,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_custkey
+    ),
+    seg AS (
+        SELECT c_mktsegment, count(*) AS ng, sum(x) AS xg
+        FROM rev GROUP BY 1
+    ),
+    grand AS (SELECT sum(ng) AS n, sum(xg) AS xx FROM seg),
+    terms AS (
+        SELECT r.c_mktsegment,
+               CAST(round((CAST(r.x AS DOUBLE) / CAST(g.xx AS DOUBLE))
+                    * ln(CAST(g.n AS DOUBLE) * CAST(r.x AS DOUBLE)
+                         / CAST(g.xx AS DOUBLE))
+                    * {THEIL_SCALE}) AS HUGEINT) AS tt,
+               CAST(round((CAST(r.x AS DOUBLE) / CAST(s.xg AS DOUBLE))
+                    * ln(CAST(s.ng AS DOUBLE) * CAST(r.x AS DOUBLE)
+                         / CAST(s.xg AS DOUBLE))
+                    * {THEIL_SCALE}) AS HUGEINT) AS tg
+        FROM rev r
+        JOIN seg s USING (c_mktsegment)
+        CROSS JOIN grand g
+    ),
+    per_seg AS (
+        SELECT t.c_mktsegment, sum(t.tt) AS stt, sum(t.tg) AS stg,
+               any_value(s.ng) AS ng, any_value(s.xg) AS xg,
+               any_value(g.n) AS n, any_value(g.xx) AS xx
+        FROM terms t JOIN seg s USING (c_mktsegment) CROSS JOIN grand g
+        GROUP BY 1
+    ),
+    fin AS (
+        SELECT CAST(max(n) AS BIGINT) AS n_customers,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               sum(CAST(stt AS DOUBLE) / {THEIL_SCALE}) AS t_total,
+               sum((CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE))
+                   * ln((CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE))
+                        / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))))
+                   AS t_between,
+               sum((CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE))
+                   * (CAST(stg AS DOUBLE) / {THEIL_SCALE})) AS t_within
+        FROM per_seg
+    )
+    SELECT n_customers, n_segments,
+           round(t_total, 8) AS theil_total,
+           round(t_between, 8) AS theil_between,
+           round(t_within, 8) AS theil_within,
+           round(t_total - t_between - t_within, 8) + 0.0 AS additivity_gap
+    FROM fin
+"""

@@ -683,3 +683,99 @@ MOM_OUTPUT_SCHEMA = T.StructType(
         T.StructField("sumsq_cents", T.StringType()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session: streaming SMA-crossover monitor
+# ---------------------------------------------------------------------------
+
+SMA_STREAM_FAST, SMA_STREAM_SLOW = 5, 10
+
+
+def sma_crossover_stream(events: DataFrame) -> DataFrame:
+    """Streaming golden/death-cross monitor per event type: state carries
+    the per-day integer cent revenue map (calendar-bounded — days, not
+    rows), each micro-batch folds its arrivals in and re-derives the
+    crossover list from rolling integer sums, so late/out-of-order
+    arrivals REVISE past crossovers instead of missing them (the reason
+    the rolling sums can't live in the state directly).
+
+    Exactness contract (test-proven): the crossover decision is the same
+    cross-multiplied integer inequality SLOW*s_fast > FAST*s_slow the
+    batch twin uses — state stores exact integer cents, never floats.
+    Emissions are seq-stamped; consumers read the max-seq rows per type.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            days_s, sums_s, seq = state.get
+            daymap = (
+                {d: int(v) for d, v in zip(days_s.split("|"), sums_s.split("|"))}
+                if days_s
+                else {}
+            )
+        else:
+            daymap, seq = {}, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            days = pd.to_datetime(pdf["ts"]).dt.strftime("%Y-%m-%d")
+            cents = (pdf["value"] * 100).round().astype("int64")
+            for d, c in zip(days, cents):
+                daymap[d] = daymap.get(d, 0) + int(c)
+        seq += 1
+        days = sorted(daymap)
+        pref = [0]
+        for d in days:
+            pref.append(pref[-1] + daymap[d])
+        rows = []
+        above_prev = None
+        for i in range(len(days)):
+            if i + 1 < SMA_STREAM_SLOW:
+                continue
+            s_f = pref[i + 1] - pref[i + 1 - SMA_STREAM_FAST]
+            s_s = pref[i + 1] - pref[i + 1 - SMA_STREAM_SLOW]
+            above = SMA_STREAM_SLOW * s_f > SMA_STREAM_FAST * s_s
+            if above_prev is not None and above != above_prev:
+                rows.append(
+                    (key[0], seq, days[i], "golden" if above else "death")
+                )
+            above_prev = above
+        state.update(
+            (
+                "|".join(days),
+                "|".join(str(daymap[d]) for d in days),
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            rows, columns=["event_type", "seq", "day", "direction"]
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=SMA_STREAM_OUTPUT_SCHEMA,
+        stateStructType=SMA_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+SMA_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("days", T.StringType()),
+        T.StructField("sums", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+SMA_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("direction", T.StringType()),
+    ]
+)

@@ -881,3 +881,16 @@ def test_fisher_between_laspeyres_and_paasche(spark):
     hi = max(r["laspeyres"], r["paasche"])
     # geometric mean lies between its factors
     assert lo - 1e-9 <= r["fisher"] <= hi + 1e-9
+
+
+def test_theil_decomposition_additive(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.theil_decomposition(spark, SF_SMALL).collect()[0]
+    assert r["n_segments"] == 5
+    assert r["theil_total"] >= 0 and r["theil_between"] >= 0
+    # the decomposition is exact up to the pico-grid folds
+    assert abs(r["additivity_gap"]) < 1e-6
+    assert abs(
+        r["theil_total"] - r["theil_between"] - r["theil_within"]
+    ) < 1e-6

@@ -798,3 +798,10 @@ def test_distribution_fit_wave_never_plans_cartesian(spark):
                A5.price_index_fisher):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_theil_decomposition_single_customer_reduce(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    p = _plan(spark, A5.theil_decomposition(spark, SF_SMALL))
+    assert "CartesianProduct" not in p

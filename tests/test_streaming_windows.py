@@ -609,3 +609,43 @@ def test_moments_stream_merges_to_exact_batch_moments(spark, events_dir):
     assert set(agg) == set(true)
     for et in true:
         assert agg[et] == true[et], et
+
+
+def test_sma_crossover_stream_matches_batch_recompute(spark, events_dir):
+    """The final-seq streaming crossover set must equal the batch
+    crossovers computed from the same exact integer daily sums — the
+    state's integer cent map makes the decision flip-proof."""
+    name = _run(W.sma_crossover_stream(_stream(spark, events_dir)), mode="update")
+    rows = spark.sql(f"select * from {name}").collect()
+    final_seq: dict = {}
+    for r in rows:
+        final_seq[r.event_type] = max(final_seq.get(r.event_type, 0), r.seq)
+    got = {
+        (r.event_type, r.day, r.direction)
+        for r in rows
+        if r.seq == final_seq[r.event_type]
+    }
+
+    # batch recompute with plain python on exact integer cents
+    from collections import defaultdict
+
+    daymaps: dict = defaultdict(lambda: defaultdict(int))
+    for r in _batch_events(spark).collect():
+        daymaps[r.event_type][str(r.ts.date())] += round(r.value * 100)
+    expect = set()
+    for et, dm in daymaps.items():
+        days = sorted(dm)
+        pref = [0]
+        for d in days:
+            pref.append(pref[-1] + dm[d])
+        above_prev = None
+        for i in range(len(days)):
+            if i + 1 < W.SMA_STREAM_SLOW:
+                continue
+            s_f = pref[i + 1] - pref[i + 1 - W.SMA_STREAM_FAST]
+            s_s = pref[i + 1] - pref[i + 1 - W.SMA_STREAM_SLOW]
+            above = W.SMA_STREAM_SLOW * s_f > W.SMA_STREAM_FAST * s_s
+            if above_prev is not None and above != above_prev:
+                expect.add((et, days[i], "golden" if above else "death"))
+            above_prev = above
+    assert got == expect and expect  # non-trivial: crossovers exist

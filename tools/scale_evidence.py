@@ -189,6 +189,7 @@ RELATIONAL_QUERIES = [
     "cagr_brand_revenue",
     "beta_fit_discount",
     "price_index_fisher",
+    "theil_decomposition",
 ]
 
 
