@@ -89,6 +89,8 @@ _GATE_PRIORITY = (
     "beta_fit_discount",
     "price_index_fisher",
     "theil_decomposition",
+    "energy_distance_pairs",
+    "cramer_von_mises_pairs",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",

@@ -323,6 +323,8 @@ HEADLINE = [
     "beta_fit_discount",
     "price_index_fisher",
     "theil_decomposition",
+    "energy_distance_pairs",
+    "cramer_von_mises_pairs",
 ]
 
 

@@ -3175,3 +3175,246 @@ ORACLES["beta_fit_discount"] = """
                  THEN (1 - m) * (m * (1 - m) / v - 1) END, 4) AS beta_beta
     FROM t ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AJ: exact two-sample distances on the cent grid
+# (the wasserstein_pairs prefix-sum machinery, extended to the energy and
+# Cramer-von Mises functionals)
+# ---------------------------------------------------------------------------
+
+
+def _pair_cum_grid(spark: SparkSession, sf_dir: str):
+    """(ta, tb, cv, na, nb, ca, cb, gap, tna, tnb) per event-type pair on
+    the merged distinct-cent grid: cumulative counts + forward gap — the
+    shared input of the exact distributional-distance family."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    types = g.select("event_type").distinct()
+    a = types.select(F.col("event_type").alias("ta"))
+    b = types.select(F.col("event_type").alias("tb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("ta") < F.col("tb"))
+    mem = pairs.select(
+        "ta",
+        "tb",
+        F.explode(
+            F.array(
+                F.struct(F.col("ta").alias("t"), F.lit("a").alias("side")),
+                F.struct(F.col("tb").alias("t"), F.lit("b").alias("side")),
+            )
+        ).alias("m"),
+    ).select("ta", "tb", F.col("m.t").alias("t"), F.col("m.side").alias("side"))
+    j = g.join(F.broadcast(mem), g.event_type == mem.t)
+    pv = j.groupBy("ta", "tb", "cv").agg(
+        F.sum(F.when(F.col("side") == "a", F.col("cnt")).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == "b", F.col("cnt")).otherwise(0)).alias("nb"),
+    )
+    w = Window.partitionBy("ta", "tb").orderBy("cv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wlead = Window.partitionBy("ta", "tb").orderBy("cv")
+    tot = pv.groupBy("ta", "tb").agg(
+        F.sum("na").alias("tna"), F.sum("nb").alias("tnb")
+    )
+    return (
+        pv.withColumn("ca", F.sum("na").over(w))
+        .withColumn("cb", F.sum("nb").over(w))
+        .withColumn("gap", F.lead("cv").over(wlead) - F.col("cv"))
+        .join(F.broadcast(tot), ["ta", "tb"])
+    )
+
+
+# SQL twin of _pair_cum_grid (CTE text shared by both oracles)
+_PAIR_CUM_SQL = """
+    g AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM (SELECT DISTINCT event_type FROM g) a
+        JOIN (SELECT DISTINCT event_type FROM g) b
+          ON a.event_type < b.event_type
+    ),
+    pv AS (
+        SELECT p.ta, p.tb, g.cv,
+               sum(CASE WHEN g.event_type = p.ta THEN g.cnt ELSE 0 END) AS na,
+               sum(CASE WHEN g.event_type = p.tb THEN g.cnt ELSE 0 END) AS nb
+        FROM pairs p JOIN g
+          ON g.event_type = p.ta OR g.event_type = p.tb
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT ta, tb, sum(na) AS tna, sum(nb) AS tnb FROM pv GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT pv.*,
+               sum(na) OVER (PARTITION BY ta, tb ORDER BY cv
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ca,
+               sum(nb) OVER (PARTITION BY ta, tb ORDER BY cv
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cb,
+               lead(cv) OVER (PARTITION BY ta, tb ORDER BY cv) - cv AS gap
+        FROM pv
+    ),
+    cumt AS (
+        SELECT c.*, t.tna, t.tnb
+        FROM cum c JOIN tot t ON c.ta = t.ta AND c.tb = t.tb
+    )
+"""
+
+
+def energy_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample energy distance between the value distributions of
+    every event-type pair: D^2 = 2 E|X-Y| - E|X-X'| - E|Y-Y'|, with each
+    expectation the exact step integral E|U-V| = sum over the merged cent
+    grid of gap * (Fu(1-Fv) + Fv(1-Fu)) — rotation-invariant drift that
+    (unlike KS or Wasserstein) powers the standard multivariate energy
+    test in its 1-D form.
+
+    Exactness: every integrand numerator (gap * (ca*(tnb-cb) + cb*(tna-ca))
+    etc.) is a product of exact integers summed in decimal(38,0); the
+    three divisions (by tna*tnb, tna^2, tnb^2) happen ONCE per pair.
+
+    Scale: identical shape to wasserstein_pairs — the reduce is to the
+    (pair x distinct-cent) grid, cumulatives are pair-partitioned windows.
+    """
+    cum = _pair_cum_grid(spark, sf_dir)
+    d = _DEC
+    gap = F.col("gap").cast(d)
+    ca, cb = F.col("ca").cast(d), F.col("cb").cast(d)
+    tna, tnb = F.col("tna").cast(d), F.col("tnb").cast(d)
+    s = (
+        cum.filter(F.col("gap").isNotNull())
+        .withColumn("pxy", gap * (ca * (tnb - cb) + cb * (tna - ca)))
+        .withColumn("pxx", gap * (ca * (tna - ca)))
+        .withColumn("pyy", gap * (cb * (tnb - cb)))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum("pxy").alias("ixy"),
+            F.sum("pxx").alias("ixx"),
+            F.sum("pyy").alias("iyy"),
+            F.first("tna").alias("tna"),
+            F.first("tnb").alias("tnb"),
+        )
+    )
+    na, nb = F.col("tna").cast("double"), F.col("tnb").cast("double")
+    exy = F.col("ixy").cast("double") / (na * nb) / 100.0
+    exx = 2.0 * F.col("ixx").cast("double") / (na * na) / 100.0
+    eyy = 2.0 * F.col("iyy").cast("double") / (nb * nb) / 100.0
+    ed2 = 2.0 * exy - exx - eyy
+    return s.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("tna").cast("long").alias("n_a"),
+        F.col("tnb").cast("long").alias("n_b"),
+        F.round(exy, 6).alias("e_cross_dollars"),
+        F.round(ed2, 6).alias("energy_dist_sq"),
+    ).orderBy("type_a", "type_b")
+
+
+QUERIES["energy_distance_pairs"] = energy_distance_pairs
+ORACLES["energy_distance_pairs"] = f"""
+    WITH {_PAIR_CUM_SQL},
+    s AS (
+        SELECT ta, tb,
+               sum(gap * (ca * (tnb - cb) + cb * (tna - ca))) AS ixy,
+               sum(gap * (ca * (tna - ca))) AS ixx,
+               sum(gap * (cb * (tnb - cb))) AS iyy,
+               any_value(tna) AS tna, any_value(tnb) AS tnb
+        FROM cumt WHERE gap IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(tna AS BIGINT) AS n_a, CAST(tnb AS BIGINT) AS n_b,
+           round(CAST(ixy AS DOUBLE)
+                 / (CAST(tna AS DOUBLE) * CAST(tnb AS DOUBLE)) / 100.0, 6)
+               AS e_cross_dollars,
+           round(2.0 * (CAST(ixy AS DOUBLE)
+                        / (CAST(tna AS DOUBLE) * CAST(tnb AS DOUBLE)) / 100.0)
+                 - (2.0 * CAST(ixx AS DOUBLE)
+                        / (CAST(tna AS DOUBLE) * CAST(tna AS DOUBLE)) / 100.0)
+                 - (2.0 * CAST(iyy AS DOUBLE)
+                        / (CAST(tnb AS DOUBLE) * CAST(tnb AS DOUBLE)) / 100.0),
+                 6) AS energy_dist_sq
+    FROM s ORDER BY type_a, type_b
+"""
+
+
+CVM_SCALE = 1_000_000_000_000  # per-observation terms on the pico grid
+
+
+def cramer_von_mises_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises statistic per event-type pair:
+    T = (nx*ny/(nx+ny)^2) * sum over all observations of (Fx - Fy)^2 —
+    the whole-distribution drift test that weighs the CDF gap EVERYWHERE
+    (KS takes only the sup; anderson_darling tail-weights it).
+
+    Determinism: Fx - Fy at a grid value is the exact rational
+    (ca*tnb - cb*tna)/(tna*tnb); each grid row's term
+    (na+nb)*(diff)^2 is ONE float expression rounded to the pico grid and
+    summed as decimal(38,0) — exact integer squares would overflow
+    decimal(38) on a 100-TB grid, the pico fold cannot.
+
+    Scale: same (pair x distinct-cent) grid as wasserstein/energy.
+    """
+    cum = _pair_cum_grid(spark, sf_dir)
+    diff = (
+        F.col("ca").cast("double") * F.col("tnb").cast("double")
+        - F.col("cb").cast("double") * F.col("tna").cast("double")
+    ) / (F.col("tna").cast("double") * F.col("tnb").cast("double"))
+    term = (F.col("na") + F.col("nb")).cast("double") * diff * diff
+    t = cum.withColumn(
+        "t", F.round(term * CVM_SCALE).cast("long").cast(_DEC)
+    )
+    s = t.groupBy("ta", "tb").agg(
+        F.sum("t").alias("st"),
+        F.first("tna").alias("tna"),
+        F.first("tnb").alias("tnb"),
+    )
+    na, nb = F.col("tna").cast("double"), F.col("tnb").cast("double")
+    tstat = (
+        (na * nb / ((na + nb) * (na + nb)))
+        * (F.col("st").cast("double") / CVM_SCALE)
+    )
+    return s.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("tna").cast("long").alias("n_a"),
+        F.col("tnb").cast("long").alias("n_b"),
+        F.round(tstat, 6).alias("cvm_t"),
+    ).orderBy("type_a", "type_b")
+
+
+QUERIES["cramer_von_mises_pairs"] = cramer_von_mises_pairs
+ORACLES["cramer_von_mises_pairs"] = f"""
+    WITH {_PAIR_CUM_SQL},
+    t AS (
+        SELECT ta, tb, tna, tnb,
+               CAST(round(CAST(na + nb AS DOUBLE)
+                          * ((CAST(ca AS DOUBLE) * CAST(tnb AS DOUBLE)
+                              - CAST(cb AS DOUBLE) * CAST(tna AS DOUBLE))
+                             / (CAST(tna AS DOUBLE) * CAST(tnb AS DOUBLE)))
+                          * ((CAST(ca AS DOUBLE) * CAST(tnb AS DOUBLE)
+                              - CAST(cb AS DOUBLE) * CAST(tna AS DOUBLE))
+                             / (CAST(tna AS DOUBLE) * CAST(tnb AS DOUBLE)))
+                          * {CVM_SCALE}) AS HUGEINT) AS t
+        FROM cumt
+    ),
+    s AS (
+        SELECT ta, tb, sum(t) AS st,
+               any_value(tna) AS tna, any_value(tnb) AS tnb
+        FROM t GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CAST(tna AS BIGINT) AS n_a, CAST(tnb AS BIGINT) AS n_b,
+           round((CAST(tna AS DOUBLE) * CAST(tnb AS DOUBLE)
+                  / ((CAST(tna AS DOUBLE) + CAST(tnb AS DOUBLE))
+                     * (CAST(tna AS DOUBLE) + CAST(tnb AS DOUBLE))))
+                 * (CAST(st AS DOUBLE) / {CVM_SCALE}), 6) AS cvm_t
+    FROM s ORDER BY type_a, type_b
+"""

@@ -894,3 +894,27 @@ def test_theil_decomposition_additive(spark):
     assert abs(
         r["theil_total"] - r["theil_between"] - r["theil_within"]
     ) < 1e-6
+
+
+# --- exact distributional distances wave (AJ) --------------------------------
+
+
+def test_energy_distance_nonnegative_and_cross_dominates(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SE
+
+    rows = SE.energy_distance_pairs(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["energy_dist_sq"] >= -1e-9  # D^2 >= 0 always
+        assert r["e_cross_dollars"] > 0
+
+
+def test_cvm_positive_and_bounded(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SE
+
+    rows = SE.cramer_von_mises_pairs(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # T is positive and bounded by N/3-ish; same-family synthetic
+        # distributions must not produce a huge statistic
+        assert 0.0 < r["cvm_t"] < (r["n_a"] + r["n_b"]) / 3.0

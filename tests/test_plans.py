@@ -805,3 +805,13 @@ def test_theil_decomposition_single_customer_reduce(spark):
 
     p = _plan(spark, A5.theil_decomposition(spark, SF_SMALL))
     assert "CartesianProduct" not in p
+
+
+def test_distance_wave_pair_grid_no_cartesian(spark):
+    """Wave AJ: the pair frame is a broadcast 10-row membership explode;
+    no corpus-sized cartesian may appear."""
+    from cdc_streamming___v2_spark.operators import stats_ext as SE5
+
+    for fn in (SE5.energy_distance_pairs, SE5.cramer_von_mises_pairs):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__

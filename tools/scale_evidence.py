@@ -146,6 +146,8 @@ EVENT_QUERIES = [
     "negbin_overdispersion",
     "permutation_test_lift",
     "weibull_gap_fit",
+    "energy_distance_pairs",
+    "cramer_von_mises_pairs",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
