@@ -91,6 +91,7 @@ _GATE_PRIORITY = (
     "theil_decomposition",
     "energy_distance_pairs",
     "cramer_von_mises_pairs",
+    "markov_removal_attribution",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",

@@ -325,6 +325,7 @@ HEADLINE = [
     "theil_decomposition",
     "energy_distance_pairs",
     "cramer_von_mises_pairs",
+    "markov_removal_attribution",
 ]
 
 

@@ -944,7 +944,7 @@ def absorption_conversion_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _absorb_oracle() -> str:
     s = ABSORB_SCALE
     ctes = [
-        f"""bigrams AS (
+        f"""bigrams AS MATERIALIZED (
             SELECT src, dst, count(*) AS c FROM (
                 SELECT event_type AS src,
                        lead(event_type) OVER (PARTITION BY user_id
@@ -1484,3 +1484,214 @@ ORACLES["shapley_attribution"] = """
            round(arg_max(phi_cum, sub), 6) + 0.0 AS shapley_value
     FROM folded GROUP BY channel ORDER BY channel
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AK: Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+MRA_START = "__START__"
+MRA_ROUNDS = 12
+MRA_SCALE = 1_000_000_000  # probabilities as integer nano-units
+
+
+def _mra_counts(spark: SparkSession, sf_dir: str):
+    """START->first-event counts unioned with the non-absorbing bigram
+    counts — the distributed part of removal attribution (everything
+    downstream runs on the state-vocabulary-bounded matrix)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    first = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit(MRA_START).alias("src"), "dst", "c")
+    )
+    bigrams = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .filter(F.col("event_type") != ABSORB_STATE)
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return first.unionAll(bigrams)
+
+
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution over the user-journey
+    graph (Anderl et al. 2014): for each non-absorbing channel, drop its
+    node from the quantized transition matrix, re-run the
+    absorbing-chain value iteration from the synthetic START state, and
+    report removal_effect = 1 - P_removed/P_full plus the normalized
+    attribution share — the data-driven alternative to last-touch and
+    the Markov counterpart of shapley_attribution.
+
+    Exactness: probabilities quantize ONCE to integer nano-units with
+    exact half-up integer division ((2cS + n) div 2n — the
+    absorption_conversion_prob pattern); every value-iteration fold is
+    pure bounded integer arithmetic replicated term-for-term in the
+    unrolled-CTE oracle.  The matrix is STATE-VOCABULARY bounded (6x6
+    here, fixed at any corpus size), so after the distributed bigram
+    reduce the chains run driver-side on exact Python ints — the PCA
+    d x d precedent: a bounded-cardinality collect is a scalar witness,
+    not a data-path collect.
+
+    Scale: one user-keyed window pass builds first-event + bigram
+    counts; everything else is O(V^2 * rounds * channels) scalar math.
+    """
+    counts = _mra_counts(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    c: dict = defaultdict(int)
+    n: dict = defaultdict(int)
+    for r in counts:
+        c[(r["src"], r["dst"])] += int(r["c"])
+        n[r["src"]] += int(r["c"])
+    S = MRA_SCALE
+    q = {
+        (s, d): (2 * cv * S + n[s]) // (2 * n[s]) for (s, d), cv in c.items()
+    }
+    states = sorted(n)  # all non-absorbing states incl. START
+
+    def p_start(removed: str | None) -> int:
+        live = [s for s in states if s != removed]
+        p = {s: 0 for s in live}
+        for _ in range(MRA_ROUNDS):
+            nxt = {}
+            for s in live:
+                acc = q.get((s, ABSORB_STATE), 0) * S
+                for t in live:
+                    if t == MRA_START or t == removed:
+                        continue
+                    acc += q.get((s, t), 0) * p.get(t, 0)
+                nxt[s] = (acc + S // 2) // S
+            p = nxt
+        return p[MRA_START]
+
+    p_full = p_start(None)
+    channels = sorted(s for s in states if s != MRA_START)
+    p_rem = {ch: p_start(ch) for ch in channels}
+    # integer deltas keep the shares exact-rational: no float-sum ordering
+    tot_delta = sum(p_full - p_rem[ch] for ch in channels)
+    rows = [
+        (
+            ch,
+            float(p_full) / S,
+            float(p_rem[ch]) / S,
+            round(float(p_full - p_rem[ch]) / float(p_full), 6),
+            round(float(p_full - p_rem[ch]) / float(tot_delta), 6),
+        )
+        for ch in channels
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_full double, p_removed double, "
+        "removal_effect double, attribution_share double",
+    ).orderBy("channel")
+
+
+QUERIES["markov_removal_attribution"] = markov_removal_attribution
+
+
+def _mra_oracle() -> str:
+    s = MRA_SCALE
+    base = [
+        f"""firsts AS MATERIALIZED (
+            SELECT '{MRA_START}' AS src, dst, count(*) AS c FROM (
+                SELECT event_type AS dst,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn = 1 GROUP BY 1, 2
+        )""",
+        f"""bigrams AS MATERIALIZED (
+            SELECT src, dst, count(*) AS c FROM (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS dst
+                FROM events
+            )
+            WHERE dst IS NOT NULL AND src != '{ABSORB_STATE}'
+            GROUP BY 1, 2
+        )""",
+        "allc AS MATERIALIZED (SELECT * FROM firsts UNION ALL SELECT * FROM bigrams)",
+        "tot AS MATERIALIZED (SELECT src, sum(c) AS n FROM allc GROUP BY 1)",
+        f"""q AS MATERIALIZED (
+            SELECT a.src, a.dst, (2 * a.c * {s} + t.n) // (2 * t.n) AS q
+            FROM allc a JOIN tot t ON a.src = t.src
+        )""",
+        "states AS MATERIALIZED (SELECT DISTINCT src AS state FROM tot)",
+    ]
+    chains = []
+    # chain 0 = full graph; chains 1..k = one channel removed each
+    channel_sel = (
+        f"SELECT state FROM states WHERE state != '{MRA_START}' ORDER BY state"
+    )
+    # enumerate channels STATICALLY is impossible in pure SQL text, so the
+    # oracle unrolls per known event vocabulary: the driver data has the
+    # fixed five event types; guard with a runtime check in the final SELECT
+    evs = ["click", "error", "signup", "view"]
+    for ci, removed in enumerate([None] + evs):
+        cond = (
+            "1=1"
+            if removed is None
+            else f"src != '{removed}' AND dst != '{removed}'"
+        )
+        stcond = "1=1" if removed is None else f"state != '{removed}'"
+        chains.append(
+            f"""p_{ci}_0 AS (
+            SELECT state, CAST(0 AS HUGEINT) AS p
+            FROM states WHERE {stcond}
+        )"""
+        )
+        for r in range(1, MRA_ROUNDS + 1):
+            chains.append(f"""p_{ci}_{r} AS (
+            SELECT st.state,
+                   (COALESCE(qp.q, 0) * {s}
+                    + COALESCE(tr.sacc, 0) + {s // 2}) // {s} AS p
+            FROM (SELECT state FROM states WHERE {stcond}) st
+            LEFT JOIN (SELECT src AS state, q FROM q
+                       WHERE dst = '{ABSORB_STATE}' AND {cond}) qp
+                   ON st.state = qp.state
+            LEFT JOIN (
+                SELECT q.src AS state, sum(q.q * p.p) AS sacc
+                FROM q JOIN p_{ci}_{r - 1} p ON q.dst = p.state
+                WHERE q.dst != '{ABSORB_STATE}'
+                  AND q.dst != '{MRA_START}' AND {cond}
+                GROUP BY 1
+            ) tr ON st.state = tr.state
+        )""")
+    finals = ",\n    ".join(
+        f"f_{ci} AS (SELECT p FROM p_{ci}_{MRA_ROUNDS} "
+        f"WHERE state = '{MRA_START}')"
+        for ci in range(len(evs) + 1)
+    )
+    eff_rows = " UNION ALL ".join(
+        f"""SELECT '{ch}' AS channel,
+               CAST(f_0.p AS DOUBLE) / {s} AS p_full,
+               CAST(f_{ci + 1}.p AS DOUBLE) / {s} AS p_removed,
+               f_0.p - f_{ci + 1}.p AS delta,
+               f_0.p AS pf
+        FROM f_0, f_{ci + 1}"""
+        for ci, ch in enumerate(evs)
+    )
+    joined = ",\n    ".join(base + chains)
+    return f"""
+    WITH {joined},
+    {finals},
+    effs AS ({eff_rows}),
+    tote AS (SELECT sum(delta) AS td FROM effs)
+    SELECT channel, p_full, p_removed,
+           round(CAST(delta AS DOUBLE) / CAST(pf AS DOUBLE), 6)
+               AS removal_effect,
+           round(CAST(delta AS DOUBLE) / CAST(td AS DOUBLE), 6)
+               AS attribution_share
+    FROM effs, tote
+    ORDER BY channel
+"""
+
+
+ORACLES["markov_removal_attribution"] = _mra_oracle()

@@ -918,3 +918,18 @@ def test_cvm_positive_and_bounded(spark):
         # T is positive and bounded by N/3-ish; same-family synthetic
         # distributions must not produce a huge statistic
         assert 0.0 < r["cvm_t"] < (r["n_a"] + r["n_b"]) / 3.0
+
+
+# --- Markov removal attribution (AK) -----------------------------------------
+
+
+def test_markov_removal_shares_partition_unity(spark):
+    from cdc_streamming___v2_spark.operators import behavior as B
+
+    rows = B.markov_removal_attribution(spark, SF_SMALL).collect()
+    assert len(rows) == 4  # every non-absorbing channel
+    assert abs(sum(r["attribution_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # removing a channel can only hurt conversion
+        assert 0.0 <= r["p_removed"] <= r["p_full"] + 1e-9
+        assert 0.0 <= r["removal_effect"] <= 1.0

@@ -148,6 +148,7 @@ EVENT_QUERIES = [
     "weibull_gap_fit",
     "energy_distance_pairs",
     "cramer_von_mises_pairs",
+    "markov_removal_attribution",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
