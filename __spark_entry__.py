@@ -92,6 +92,7 @@ _GATE_PRIORITY = (
     "energy_distance_pairs",
     "cramer_von_mises_pairs",
     "markov_removal_attribution",
+    "goldengate_envelope_roundtrip",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",

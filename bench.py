@@ -326,6 +326,7 @@ HEADLINE = [
     "energy_distance_pairs",
     "cramer_von_mises_pairs",
     "markov_removal_attribution",
+    "goldengate_envelope_roundtrip",
 ]
 
 

@@ -662,3 +662,76 @@ ORACLES["cdcgen_source_roundtrip"] = f"""
            min(ts) AS first_ts, max(ts) AS last_ts
     FROM rec GROUP BY 1, 2 ORDER BY table_name, action
 """
+
+
+def goldengate_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> Oracle GoldenGate JSON change records ->
+    parse_envelope_goldengate -> routed payload decode -> per-action
+    rollup (sixth-producer coverage next to Datastream / Debezium /
+    AWS DMS / Maxwell / Canal).
+
+    Exercises the adapter contract:
+    - op_type from the key (okey % 4) covers I / U / D plus a 'T'
+      truncate record that must dead-letter (NULL action);
+    - deletes carry ONLY the before image (OGG default) — the
+      after-with-before-fallback must recover the payload;
+    - op_ts is already canonical 'yyyy-MM-dd HH:mm:ss.SSSSSS' and must
+      roundtrip byte-exactly through update_date;
+    - object strips the 'BENCH.' schema prefix from ``table``.
+    """
+    from ..sources.cdc_schema import parse_envelope_goldengate
+
+    o = load_table(spark, sf_dir, "orders")
+    op = F.element_at(
+        F.array(F.lit("I"), F.lit("U"), F.lit("D"), F.lit("T")),
+        (F.col("o_orderkey") % 4 + 1).cast("int"),
+    )
+    image = F.struct(
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    is_delete = F.col("o_orderkey") % 4 == 2
+    body = F.struct(
+        F.lit("BENCH.ORDERS_FEED").alias("table"),
+        op.alias("op_type"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("op_ts"),
+        F.when(is_delete, image).alias("before"),
+        F.when(~is_delete, image).alias("after"),
+    )
+    lines = o.select(F.to_json(body).alias("value"))
+    parsed = parse_envelope_goldengate(lines)
+    routed = (
+        parsed.filter(F.col("action").isNotNull())
+        .filter(F.col("object") == "ORDERS_FEED")
+        .select(
+            "action",
+            F.to_timestamp("update_date_raw").alias("update_date"),
+            F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+        )
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
+ORACLES["goldengate_envelope_roundtrip"] = """
+    SELECT CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 'INSERT'
+               WHEN 1 THEN 'UPDATE-INSERT'
+               ELSE 'DELETE' END AS action,
+           count(*) AS n_rows,
+           count(o_custkey) AS n_custkeys,
+           round(sum(o_totalprice), 2) AS revenue,
+           max(o_orderdate) AS last_update
+    FROM orders
+    WHERE o_orderkey % 4 != 3
+    GROUP BY 1
+"""
+QUERIES["goldengate_envelope_roundtrip"] = goldengate_envelope_roundtrip

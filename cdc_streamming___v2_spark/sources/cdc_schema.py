@@ -232,12 +232,13 @@ def parse_envelope_auto(
     raw_lines: DataFrame, line_col: str = "value"
 ) -> DataFrame:
     """Per-LINE envelope dispatch for mixed streams: a topic/directory
-    carrying any mix of Datastream, Debezium, Maxwell, and Canal records
-    parses into one canonical envelope frame.  Detection probes, in
-    precedence order:
+    carrying any mix of Datastream, Debezium, GoldenGate, Maxwell, and
+    Canal records parses into one canonical envelope frame.  Detection
+    probes, in precedence order:
 
     - Debezium iff the line has an ``op`` field (bare or under
       ``$.payload``);
+    - GoldenGate iff it has an ``op_type`` field;
     - AWS DMS iff it has ``$.metadata.operation``;
     - Canal iff it has a ``type`` field AND ``$.data[0]`` resolves (data
       is an ARRAY — get_json_object's [0] path is null on objects);
@@ -255,32 +256,43 @@ def parse_envelope_auto(
         F.get_json_object(line, "$.op").isNotNull()
         | F.get_json_object(line, "$.payload.op").isNotNull()
     )
+    is_ogg = (
+        ~is_dbz & F.get_json_object(line, "$.op_type").isNotNull()
+    )
     is_dms = (
         ~is_dbz
+        & ~is_ogg
         & F.get_json_object(line, "$.metadata.operation").isNotNull()
     )
     has_type = F.get_json_object(line, "$.type").isNotNull()
     is_canal = (
         ~is_dbz
+        & ~is_ogg
         & ~is_dms
         & has_type
         & F.get_json_object(line, "$.data[0]").isNotNull()
     )
     is_maxwell = (
         ~is_dbz
+        & ~is_ogg
         & ~is_dms
         & ~is_canal
         & has_type
         & F.get_json_object(line, "$.data").isNotNull()
     )
-    is_ds = ~is_dbz & ~is_dms & ~is_canal & ~is_maxwell
+    is_ds = ~is_dbz & ~is_ogg & ~is_dms & ~is_canal & ~is_maxwell
     ds = parse_envelope(raw_lines.filter(is_ds), line_col)
     dz = parse_envelope_debezium(raw_lines.filter(is_dbz), line_col)
+    og = parse_envelope_goldengate(raw_lines.filter(is_ogg), line_col)
     dm = parse_envelope_aws_dms(raw_lines.filter(is_dms), line_col)
     mx = parse_envelope_maxwell(raw_lines.filter(is_maxwell), line_col)
     cn = parse_envelope_canal(raw_lines.filter(is_canal), line_col)
     return (
-        ds.unionByName(dz).unionByName(dm).unionByName(mx).unionByName(cn)
+        ds.unionByName(dz)
+        .unionByName(og)
+        .unionByName(dm)
+        .unionByName(mx)
+        .unionByName(cn)
     )
 
 
@@ -352,5 +364,49 @@ def parse_envelope_aws_dms(
         action.alias("action"),
         update_raw.alias("update_date_raw"),
         "payload_json",
+        "raw",
+    )
+
+
+OGG_ACTIONS = (
+    ("I", "INSERT"),
+    ("U", "UPDATE-INSERT"),
+    ("D", "DELETE"),
+)
+
+
+def parse_envelope_goldengate(
+    raw_lines: DataFrame, line_col: str = "value"
+) -> DataFrame:
+    """Oracle GoldenGate (Big Data JSON handler) change records — the
+    sixth major CDC producer — -> the canonical envelope columns.
+
+    Field mapping (OGG's public JSON format: ``op_type`` I/U/D,
+    ``before``/``after`` row images, ``op_ts`` already in
+    ``yyyy-MM-dd HH:mm:ss.SSSSSS``, ``table`` as ``SCHEMA.TABLE``):
+
+    - op_type via OGG_ACTIONS; anything else (e.g. a truncate 'T')
+      -> NULL action -> dead-letter;
+    - payload = ``after`` with ``before`` fallback (deletes carry only
+      the before image in OGG's default config);
+    - ``op_ts`` needs no reformatting — it IS the canonical layout;
+    - object = ``table`` with the schema prefix stripped
+      (``substring_index(table, '.', -1)``), the registry routing key.
+    """
+    line = F.col(line_col)
+    parsed = raw_lines.select(
+        F.json_tuple(
+            line, "table", "op_type", "op_ts", "before", "after"
+        ).alias("tbl", "op", "ts", "before", "after"),
+        line.alias("raw"),
+    )
+    action: Column = F.lit(None).cast("string")
+    for code, act in OGG_ACTIONS:
+        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+    return parsed.select(
+        F.substring_index(F.col("tbl"), ".", -1).alias("object"),
+        action.alias("action"),
+        F.col("ts").alias("update_date_raw"),
+        F.coalesce(F.col("after"), F.col("before")).alias("payload_json"),
         "raw",
     )

@@ -942,3 +942,70 @@ def test_auto_dispatch_includes_dms(spark, tmp_path_factory):
     rows = hist.collect()
     # 1 datastream + 1 dbz + 1 maxwell + 2 canal batched + 1 dms
     assert len(rows) == 6
+
+
+def _ogg(table, op, ts, data, before=None):
+    rec = {"table": table, "op_type": op, "op_ts": ts,
+           "current_ts": ts, "pos": "00000000020030806864"}
+    if before is not None:
+        rec["before"] = before
+    if data is not None:
+        rec["after"] = data
+    return json.dumps(rec)
+
+
+OGG_LINES = [
+    _ogg("OLIST.olist_produtos", "I", "2024-01-12 00:00:00.000001", P3),
+    _ogg("OLIST.olist_produtos", "U", "2024-01-13 00:00:00.000002", P3_V2),
+    # OGG deletes carry only the before image
+    _ogg("OLIST.olist_produtos", "D", "2024-01-14 00:00:00.000003", None,
+         before=P4),
+    # truncate record: must dead-letter (no canonical action)
+    _ogg("OLIST.olist_produtos", "T", "2024-01-15 00:00:00.000004", None,
+         before=P4),
+]
+
+
+def test_goldengate_envelope_parses_and_dead_letters_truncate(spark):
+    from cdc_streamming___v2_spark.sources.cdc_schema import (
+        parse_envelope_goldengate,
+    )
+
+    df = spark.createDataFrame([(l,) for l in OGG_LINES], "value string")
+    rows = parse_envelope_goldengate(df).collect()
+    by_action = {r["action"]: r for r in rows}
+    assert set(by_action) == {"INSERT", "UPDATE-INSERT", "DELETE", None}
+    # schema prefix stripped for registry routing
+    assert all(r["object"] == "olist_produtos" for r in rows)
+    # delete payload recovered from the before image
+    assert "p4" in by_action["DELETE"]["payload_json"]
+    # op_ts roundtrips byte-exactly
+    assert by_action["INSERT"]["update_date_raw"] == "2024-01-12 00:00:00.000001"
+
+
+def test_auto_dispatch_includes_goldengate(spark, tmp_path_factory):
+    """A mixed directory with all SIX producers' lines unifies under
+    envelope_format='auto'."""
+    root = tmp_path_factory.mktemp("cdc_mixed6")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "all.jsonl"), "w") as f:
+        f.write("\n".join(
+            [LINES[0], DBZ_LINES[0], MXW_LINES[0], CNL_LINES[0],
+             DMS_LINES[0], OGG_LINES[0]]
+        ) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="auto",
+    )
+    ing.run_available_single_pass()
+    hist = ing.history("olist_produtos")
+    rows = hist.collect()
+    # 1 datastream + 1 dbz + 1 maxwell + 2 canal batched + 1 dms + 1 ogg
+    assert len(rows) == 7
