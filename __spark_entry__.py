@@ -93,6 +93,9 @@ _GATE_PRIORITY = (
     "cramer_von_mises_pairs",
     "markov_removal_attribution",
     "goldengate_envelope_roundtrip",
+    "stochastic_dominance_pairs",
+    "revenue_peaks",
+    "receivables_aging",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",

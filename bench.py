@@ -327,6 +327,9 @@ HEADLINE = [
     "cramer_von_mises_pairs",
     "markov_removal_attribution",
     "goldengate_envelope_roundtrip",
+    "stochastic_dominance_pairs",
+    "revenue_peaks",
+    "receivables_aging",
 ]
 
 

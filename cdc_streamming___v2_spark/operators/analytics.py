@@ -7689,3 +7689,167 @@ ORACLES["theil_decomposition"] = f"""
            round(t_total - t_between - t_within, 8) + 0.0 AS additivity_gap
     FROM fin
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AL: reporting closers (peaks, aging)
+# ---------------------------------------------------------------------------
+
+PEAK_HALF_WIN = 3  # local-max window: +/- 3 observed days
+PEAK_PCTL_X10 = 9  # peaks must clear the 90th percentile (rank*10 >= n*9)
+
+
+def revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue peak days: strict local maxima of the daily order revenue
+    series over a +/-3-observed-day window that also clear the global
+    90th percentile — the 'what should the ops team look at' report.
+    Both conditions are exact integer comparisons: the local max compares
+    cent sums; the percentile gate is the cross-multiplied rank test
+    10*rank >= 9*n (no float percentile).
+
+    Scale: the calendar-bounded daily frame (one reduce of orders), two
+    ordered windows on it.
+    """
+    daily = _daily_order_revenue(spark, sf_dir)
+    wleft = Window.partitionBy().orderBy("day").rowsBetween(-PEAK_HALF_WIN, -1)
+    wright = Window.partitionBy().orderBy("day").rowsBetween(1, PEAK_HALF_WIN)
+    wrank = Window.partitionBy().orderBy("x", "day")
+    wall = Window.partitionBy()
+    t = (
+        daily.withColumn("lmax", F.max("x").over(wleft))
+        .withColumn("rmax", F.max("x").over(wright))
+        .withColumn("nl", F.count(F.lit(1)).over(wleft))
+        .withColumn("nr", F.count(F.lit(1)).over(wright))
+        .withColumn("rk", F.row_number().over(wrank))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    # strict local max: x beats EVERY neighbor on both sides
+    is_max = (F.col("x") > F.col("lmax")) & (F.col("x") > F.col("rmax"))
+    gate = F.lit(10) * F.col("rk") >= F.lit(PEAK_PCTL_X10) * F.col("n")
+    # interior days only: full windows both sides
+    full = (F.col("nl") == PEAK_HALF_WIN) & (F.col("nr") == PEAK_HALF_WIN)
+    return (
+        t.filter(is_max & gate & full)
+        .select(
+            "day",
+            F.round(F.col("x").cast("double") / 100.0, 2).alias("rev_dollars"),
+            F.col("rk").cast("long").alias("revenue_rank"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["revenue_peaks"] = revenue_peaks
+ORACLES["revenue_peaks"] = f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT day, x,
+               max(x) OVER wl AS lmax,
+               max(x) OVER wr AS rmax,
+               count(*) OVER wl AS nl,
+               count(*) OVER wr AS nr,
+               row_number() OVER (ORDER BY x, day) AS rk,
+               count(*) OVER () AS n
+        FROM daily
+        WINDOW wl AS (ORDER BY day ROWS BETWEEN {PEAK_HALF_WIN} PRECEDING
+                      AND 1 PRECEDING),
+               wr AS (ORDER BY day ROWS BETWEEN 1 FOLLOWING
+                      AND {PEAK_HALF_WIN} FOLLOWING)
+    )
+    SELECT day, round(CAST(x AS DOUBLE) / 100.0, 2) AS rev_dollars,
+           CAST(rk AS BIGINT) AS revenue_rank
+    FROM t
+    WHERE x > lmax AND x > rmax
+      AND nl = {PEAK_HALF_WIN} AND nr = {PEAK_HALF_WIN}
+      AND 10 * rk >= {PEAK_PCTL_X10} * n
+    ORDER BY day
+"""
+
+
+AGING_ASOF = "2001-06-01"  # pinned as-of date inside the data window
+AGING_EDGES = (30, 60, 90)  # bucket edges in days
+
+
+def receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-lineitem aging report at a pinned as-of date: every lineitem
+    still open (l_linestatus = 'O') whose order predates the as-of date,
+    bucketed by days outstanding (0-30 / 31-60 / 61-90 / 90+) per brand,
+    with exact integer cent value outstanding — the classic AR-style
+    aging the finance team runs daily.
+
+    Exactness: ages are integer datediffs; bucket edges are integer
+    comparisons; outstanding value sums exact e4-dollar integers and
+    rounds via the shared integer HALF_UP helper.
+
+    Scale: one filtered fact scan (status + date predicates pushed to
+    parquet), broadcast part dim, one map-side-combined rollup to the
+    (brand x 4-bucket) grid.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_linestatus", "l_extendedprice", "l_discount", "l_orderkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    asof = F.lit(AGING_ASOF).cast("date")
+    j = (
+        li.filter(F.col("l_linestatus") == "O")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderdate") < asof)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    age = F.datediff(asof, F.col("o_orderdate"))
+    e1, e2, e3 = AGING_EDGES
+    bucket = (
+        F.when(age <= e1, F.lit("00-30"))
+        .when(age <= e2, F.lit("31-60"))
+        .when(age <= e3, F.lit("61-90"))
+        .otherwise(F.lit("90plus"))
+    )
+    rev_u = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    g = j.groupBy("p_brand", bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_open_items"),
+        F.sum(rev_u).alias("r"),
+    )
+    return g.select(
+        "p_brand",
+        "age_bucket",
+        "n_open_items",
+        _usd_halfup(F.col("r")).alias("outstanding_dollars"),
+    ).orderBy("p_brand", "age_bucket")
+
+
+QUERIES["receivables_aging"] = receivables_aging
+ORACLES["receivables_aging"] = f"""
+    WITH j AS (
+        SELECT p_brand,
+               datediff('day', CAST(o_orderdate AS DATE),
+                        DATE '{AGING_ASOF}') AS age,
+               CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS HUGEINT) AS r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_linestatus = 'O' AND o_orderdate < DATE '{AGING_ASOF}'
+    ),
+    g AS (
+        SELECT p_brand,
+               CASE WHEN age <= {AGING_EDGES[0]} THEN '00-30'
+                    WHEN age <= {AGING_EDGES[1]} THEN '31-60'
+                    WHEN age <= {AGING_EDGES[2]} THEN '61-90'
+                    ELSE '90plus' END AS age_bucket,
+               CAST(count(*) AS BIGINT) AS n_open_items,
+               sum(r) AS r
+        FROM j GROUP BY 1, 2
+    )
+    SELECT p_brand, age_bucket, n_open_items,
+           {_usd_halfup_sql("r")} AS outstanding_dollars
+    FROM g ORDER BY p_brand, age_bucket
+"""

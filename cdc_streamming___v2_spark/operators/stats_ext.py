@@ -3418,3 +3418,70 @@ ORACLES["cramer_von_mises_pairs"] = f"""
                  * (CAST(st AS DOUBLE) / {CVM_SCALE}), 6) AS cvm_t
     FROM s ORDER BY type_a, type_b
 """
+
+
+def stochastic_dominance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order stochastic dominance screen for every event-type value
+    pair: A FOSD B iff F_A(t) <= F_B(t) everywhere (A's values are
+    larger in the strongest decision-theoretic sense); reports the
+    verdict ('a_dominates' / 'b_dominates' / 'crossing') plus how far
+    each CDF pokes above the other (sup gaps, both directions) — the
+    qualitative companion of wasserstein/energy/CvM on the same grid.
+
+    Exactness: the CDF comparison at every grid value is the integer
+    cross-product sign ca*tnb vs cb*tna; the sup gaps divide ONCE per
+    pair.
+
+    Scale: the shared (pair x distinct-cent) prefix-sum grid.
+    """
+    cum = _pair_cum_grid(spark, sf_dir)
+    d = _DEC
+    diff = F.col("ca").cast(d) * F.col("tnb").cast(d) - F.col("cb").cast(d) * F.col(
+        "tna"
+    ).cast(d)
+    g = cum.groupBy("ta", "tb").agg(
+        F.max(diff).alias("max_diff"),
+        F.min(diff).alias("min_diff"),
+        F.first("tna").alias("tna"),
+        F.first("tnb").alias("tnb"),
+    )
+    nn = F.col("tna").cast("double") * F.col("tnb").cast("double")
+    # F_a above F_b means a's mass arrives EARLIER -> B dominates A
+    verdict = (
+        F.when(F.col("max_diff") <= 0, F.lit("a_dominates"))
+        .when(F.col("min_diff") >= 0, F.lit("b_dominates"))
+        .otherwise(F.lit("crossing"))
+    )
+    return g.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        verdict.alias("fosd"),
+        F.round(F.greatest(F.col("max_diff").cast("double"), F.lit(0.0)) / nn, 6)
+        .alias("sup_a_above_b"),
+        F.round(F.greatest(-F.col("min_diff").cast("double"), F.lit(0.0)) / nn, 6)
+        .alias("sup_b_above_a"),
+    ).orderBy("type_a", "type_b")
+
+
+QUERIES["stochastic_dominance_pairs"] = stochastic_dominance_pairs
+ORACLES["stochastic_dominance_pairs"] = f"""
+    WITH {_PAIR_CUM_SQL},
+    gg AS (
+        SELECT ta, tb,
+               max(ca * tnb - cb * tna) AS max_diff,
+               min(ca * tnb - cb * tna) AS min_diff,
+               any_value(tna) AS tna, any_value(tnb) AS tnb
+        FROM cumt GROUP BY 1, 2
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           CASE WHEN max_diff <= 0 THEN 'a_dominates'
+                WHEN min_diff >= 0 THEN 'b_dominates'
+                ELSE 'crossing' END AS fosd,
+           round(greatest(CAST(max_diff AS DOUBLE), 0.0)
+                 / (CAST(tna AS DOUBLE) * CAST(tnb AS DOUBLE)), 6)
+               AS sup_a_above_b,
+           round(greatest(-CAST(min_diff AS DOUBLE), 0.0)
+                 / (CAST(tna AS DOUBLE) * CAST(tnb AS DOUBLE)), 6)
+               AS sup_b_above_a
+    FROM gg ORDER BY type_a, type_b
+"""

@@ -933,3 +933,57 @@ def test_markov_removal_shares_partition_unity(spark):
         # removing a channel can only hurt conversion
         assert 0.0 <= r["p_removed"] <= r["p_full"] + 1e-9
         assert 0.0 <= r["removal_effect"] <= 1.0
+
+
+# --- dominance / peaks / aging wave (AL) --------------------------------------
+
+
+def test_dominance_sup_gaps_consistent_with_verdict(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SE
+
+    rows = SE.stochastic_dominance_pairs(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        if r["fosd"] == "a_dominates":
+            assert r["sup_a_above_b"] == 0.0
+        elif r["fosd"] == "b_dominates":
+            assert r["sup_b_above_a"] == 0.0
+        else:
+            assert r["sup_a_above_b"] > 0 and r["sup_b_above_a"] > 0
+
+
+def test_revenue_peaks_are_strict_local_maxima(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    daily = {
+        r["day"]: r["x"]
+        for r in A._daily_order_revenue(spark, SF_SMALL).collect()
+    }
+    days = sorted(daily)
+    idx = {d: i for i, d in enumerate(days)}
+    peaks = A.revenue_peaks(spark, SF_SMALL).collect()
+    assert peaks
+    for r in peaks:
+        i = idx[r["day"]]
+        neigh = days[i - 3 : i] + days[i + 1 : i + 4]
+        assert all(daily[r["day"]] > daily[d] for d in neigh)
+
+
+def test_aging_buckets_partition_open_items(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.receivables_aging(spark, SF_SMALL).collect()
+    total = sum(r["n_open_items"] for r in rows)
+    expect = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .filter(F.col("l_linestatus") == "O")
+        .join(
+            load_table(spark, SF_SMALL, "orders").filter(
+                F.col("o_orderdate") < F.lit(A.AGING_ASOF).cast("date")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert total == expect
+    assert all(r["outstanding_dollars"] > 0 for r in rows)

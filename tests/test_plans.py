@@ -815,3 +815,17 @@ def test_distance_wave_pair_grid_no_cartesian(spark):
     for fn in (SE5.energy_distance_pairs, SE5.cramer_von_mises_pairs):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_dominance_peaks_aging_wave_plans(spark):
+    """Wave AL: dominance reuses the pair grid; peaks run on the bounded
+    daily frame; aging pushes status+date predicates to the scan."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+    from cdc_streamming___v2_spark.operators import stats_ext as SE5
+
+    for fn in (SE5.stochastic_dominance_pairs, A5.revenue_peaks,
+               A5.receivables_aging):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+    p = _plan(spark, A5.receivables_aging(spark, SF_SMALL))
+    assert "EqualTo(l_linestatus,O)" in p  # predicate reached the scan

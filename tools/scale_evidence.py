@@ -149,6 +149,7 @@ EVENT_QUERIES = [
     "energy_distance_pairs",
     "cramer_von_mises_pairs",
     "markov_removal_attribution",
+    "stochastic_dominance_pairs",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
@@ -193,6 +194,8 @@ RELATIONAL_QUERIES = [
     "beta_fit_discount",
     "price_index_fisher",
     "theil_decomposition",
+    "revenue_peaks",
+    "receivables_aging",
 ]
 
 
