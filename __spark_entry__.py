@@ -96,6 +96,8 @@ _GATE_PRIORITY = (
     "stochastic_dominance_pairs",
     "revenue_peaks",
     "receivables_aging",
+    "cmh_pooled_odds",
+    "decayed_engagement_score",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",
@@ -333,7 +335,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 325
+_MIN_QUERIES = 358
 
 
 def _registry() -> tuple[dict, dict]:

@@ -330,6 +330,8 @@ HEADLINE = [
     "stochastic_dominance_pairs",
     "revenue_peaks",
     "receivables_aging",
+    "cmh_pooled_odds",
+    "decayed_engagement_score",
 ]
 
 

@@ -7853,3 +7853,95 @@ ORACLES["receivables_aging"] = f"""
            {_usd_halfup_sql("r")} AS outstanding_dollars
     FROM g ORDER BY p_brand, age_bucket
 """
+
+
+DECAY_ASOF = "2024-02-01"  # pinned as-of date just past the event window
+DECAY_RATE_BP = 9500  # per-day retention on the basis-point grid (0.95)
+DECAY_SCALE = 1_000_000_000_000  # per-event terms on the pico grid
+
+
+def decayed_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per market segment: each
+    purchase contributes value * 0.95^age_days at the pinned as-of date —
+    the CRM "recency-weighted spend" that rfm_segmentation buckets
+    coarsely, reported with exact per-segment customer counts and the
+    decayed/undecayed ratio (how recent the segment's revenue is).
+
+    Determinism: 0.95^age evaluates via POWER on an integer day age
+    (identical IEEE pow both engines); each event's decayed cents are
+    rounded to the pico grid and summed as decimal(38,0).
+
+    Scale: one events reduce keyed by user, broadcast customer dim, one
+    map-side-combined rollup per segment.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    asof = F.lit(DECAY_ASOF).cast("date")
+    age = F.datediff(asof, F.to_date("ts")).cast("double")
+    cents = F.round(F.col("value") * 100).cast("long")
+    rate = F.lit(DECAY_RATE_BP / 10000.0)
+    term = cents.cast("double") * F.pow(rate, age)
+    rows = e.select(
+        F.col("user_id"),
+        cents.cast("decimal(38,0)").alias("cents"),
+        F.round(term * F.lit(DECAY_SCALE / 1.0) / 1.0).cast("decimal(38,0)")
+        .alias("dt"),
+    )
+    # user ids map onto customers by modulus (the events stream's user
+    # space is independent of custkeys; the modulus gives a deterministic
+    # many-to-one assignment both engines replicate)
+    nc = c.count()
+    j = rows.withColumn("ck", F.col("user_id") % F.lit(nc) + 1).join(
+        F.broadcast(c), F.col("ck") == F.col("c_custkey")
+    )
+    g = j.groupBy("c_mktsegment").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("cents").alias("raw"),
+        F.sum("dt").alias("dec"),
+    )
+    decayed = F.col("dec").cast("double") / DECAY_SCALE / 100.0
+    raw_d = F.col("raw").cast("double") / 100.0
+    return g.select(
+        "c_mktsegment",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(raw_d, 2).alias("raw_dollars"),
+        F.round(decayed, 2).alias("decayed_dollars"),
+        F.round(decayed / raw_d, 6).alias("recency_ratio"),
+    ).orderBy("c_mktsegment")
+
+
+QUERIES["decayed_engagement_score"] = decayed_engagement_score
+ORACLES["decayed_engagement_score"] = f"""
+    WITH rows_ AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS HUGEINT) AS cents,
+               CAST(round(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+                          * power({DECAY_RATE_BP / 10000.0},
+                                  CAST(datediff('day', CAST(ts AS DATE),
+                                       DATE '{DECAY_ASOF}') AS DOUBLE))
+                          * {DECAY_SCALE}.0 / 1.0) AS HUGEINT) AS dt
+        FROM events WHERE event_type = 'purchase'
+    ),
+    nc AS (SELECT count(*) AS n FROM customer),
+    j AS (
+        SELECT r.*, c.c_mktsegment
+        FROM rows_ r CROSS JOIN nc
+        JOIN customer c ON r.user_id % nc.n + 1 = c.c_custkey
+    ),
+    g AS (
+        SELECT c_mktsegment,
+               count(DISTINCT user_id) AS n_users,
+               sum(cents) AS raw, sum(dt) AS dec
+        FROM j GROUP BY 1
+    )
+    SELECT c_mktsegment,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(raw AS DOUBLE) / 100.0, 2) AS raw_dollars,
+           round(CAST(dec AS DOUBLE) / {DECAY_SCALE} / 100.0, 2)
+               AS decayed_dollars,
+           round((CAST(dec AS DOUBLE) / {DECAY_SCALE} / 100.0)
+                 / (CAST(raw AS DOUBLE) / 100.0), 6) AS recency_ratio
+    FROM g ORDER BY c_mktsegment
+"""

@@ -3485,3 +3485,101 @@ ORACLES["stochastic_dominance_pairs"] = f"""
                AS sup_b_above_a
     FROM gg ORDER BY type_a, type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AM: stratified association + decayed engagement
+# ---------------------------------------------------------------------------
+
+CMH_SCALE = 1_000_000_000_000  # per-stratum MH terms on the pico grid
+
+
+def cmh_pooled_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio across DAY strata for
+    exposure = even user id vs outcome = purchased that day:
+    OR_MH = sum_i(a_i*d_i/n_i) / sum_i(b_i*c_i/n_i) — the
+    confounder-adjusted association test that simpson_reversal_detect
+    motivates (it detects the flip; CMH gives the stratified estimate).
+
+    Determinism: the 2x2 cell counts per day are exact integers; each
+    stratum's two MH terms are single float ratios of exact integers
+    rounded to the pico grid and summed as decimal(38,0).
+
+    Scale: one reduce of events to the (user, day) grain, one to the
+    (day x 2x2) cells, one bounded-day-frame fold.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = (
+        e.groupBy(F.col("user_id"), F.to_date("ts").alias("d"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("bought")
+        )
+        .withColumn("exposed", (F.col("user_id") % 2 == 0).cast("int"))
+    )
+    cells = ud.groupBy("d").agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("bought") == 1), 1)
+              .otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("bought") == 0), 1)
+              .otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("bought") == 1), 1)
+              .otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("bought") == 0), 1)
+              .otherwise(0)).alias("dd"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("dd")).cast("double")
+    t_num = F.col("a").cast("double") * F.col("dd").cast("double") / n
+    t_den = F.col("b").cast("double") * F.col("c").cast("double") / n
+    terms = cells.select(
+        F.round(t_num * CMH_SCALE).cast("long").cast(_DEC).alias("tn"),
+        F.round(t_den * CMH_SCALE).cast("long").cast(_DEC).alias("td"),
+    )
+    g = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("tn").alias("sn"),
+        F.sum("td").alias("sd"),
+    )
+    return g.select(
+        "n_strata",
+        F.round(
+            F.col("sn").cast("double") / F.col("sd").cast("double"), 6
+        ).alias("or_mh"),
+    )
+
+
+QUERIES["cmh_pooled_odds"] = cmh_pooled_odds
+ORACLES["cmh_pooled_odds"] = f"""
+    WITH ud AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS bought,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS exposed
+        FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT d,
+               sum(CASE WHEN exposed = 1 AND bought = 1 THEN 1 ELSE 0 END)
+                   AS a,
+               sum(CASE WHEN exposed = 1 AND bought = 0 THEN 1 ELSE 0 END)
+                   AS b,
+               sum(CASE WHEN exposed = 0 AND bought = 1 THEN 1 ELSE 0 END)
+                   AS c,
+               sum(CASE WHEN exposed = 0 AND bought = 0 THEN 1 ELSE 0 END)
+                   AS dd
+        FROM ud GROUP BY 1
+    ),
+    terms AS (
+        SELECT CAST(round(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+                          / CAST(a + b + c + dd AS DOUBLE)
+                          * {CMH_SCALE}) AS HUGEINT) AS tn,
+               CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                          / CAST(a + b + c + dd AS DOUBLE)
+                          * {CMH_SCALE}) AS HUGEINT) AS td
+        FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           round(CAST(sum(tn) AS DOUBLE) / CAST(sum(td) AS DOUBLE), 6)
+               AS or_mh
+    FROM terms
+"""

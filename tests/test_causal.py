@@ -987,3 +987,27 @@ def test_aging_buckets_partition_open_items(spark):
     )
     assert total == expect
     assert all(r["outstanding_dollars"] > 0 for r in rows)
+
+
+# --- stratified association + decay wave (AM) ---------------------------------
+
+
+def test_cmh_odds_near_unity_for_aa_split(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SE
+
+    r = SE.cmh_pooled_odds(spark, SF_SMALL).collect()[0]
+    assert r["n_strata"] == 30
+    # even/odd user id is a true A/A split: pooled odds must sit near 1
+    assert 0.5 < r["or_mh"] < 2.0
+
+
+def test_decay_score_bounded_by_raw(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.decayed_engagement_score(spark, SF_SMALL).collect()
+    # tiny SF maps few users onto the segment space; all 5 only at scale
+    assert 1 <= len(rows) <= 5
+    for r in rows:
+        assert 0.0 < r["decayed_dollars"] <= r["raw_dollars"]
+        # 30-day window at 0.95/day: ratio must land in (0.95^31, 1)
+        assert 0.95 ** 31 < r["recency_ratio"] < 1.0

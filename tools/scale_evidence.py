@@ -150,6 +150,8 @@ EVENT_QUERIES = [
     "cramer_von_mises_pairs",
     "markov_removal_attribution",
     "stochastic_dominance_pairs",
+    "cmh_pooled_odds",
+    "decayed_engagement_score",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
