@@ -98,6 +98,8 @@ _GATE_PRIORITY = (
     "receivables_aging",
     "cmh_pooled_odds",
     "decayed_engagement_score",
+    "best_revenue_run",
+    "segment_migration_matrix",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",
@@ -335,7 +337,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 358
+_MIN_QUERIES = 360
 
 
 def _registry() -> tuple[dict, dict]:

@@ -332,6 +332,8 @@ HEADLINE = [
     "receivables_aging",
     "cmh_pooled_odds",
     "decayed_engagement_score",
+    "best_revenue_run",
+    "segment_migration_matrix",
 ]
 
 

@@ -7945,3 +7945,264 @@ ORACLES["decayed_engagement_score"] = f"""
                  / (CAST(raw AS DOUBLE) / 100.0), 6) AS recency_ratio
     FROM g ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AN: hot-streak detection + segment migration
+# ---------------------------------------------------------------------------
+
+
+def best_revenue_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-sum run of mean-centered daily revenue — "the hottest
+    consecutive stretch of days" — solved set-orientedly: Kadane's
+    sequential scan rewrites as max over end-days j of
+    prefix(j) - min(prefix(i < j)), i.e. one cumulative-sum window, one
+    running-min window, one argmax.  Centering uses the all-integer form
+    y = n*x - S (scaling by n instead of dividing by it), so every
+    prefix, min, and difference is an exact decimal(38,0) integer and
+    the argmax tie-break (earliest end day) is flip-proof.
+
+    Scale: the calendar-bounded daily frame; three ordered windows on it.
+    """
+    daily = _daily_order_revenue(spark, sf_dir)
+    wall = Window.partitionBy()
+    wn = Window.partitionBy().orderBy("day")
+    wmin = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("s", F.sum("x").over(wall))
+        .withColumn("y", F.col("n") * F.col("x") - F.col("s"))
+        .withColumn("pref", F.sum("y").over(wn))
+        # empty prefix (run starting at day 1) = 0
+        .withColumn(
+            "minpref",
+            F.least(
+                F.coalesce(F.min("pref").over(wmin), F.lit(0).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ),
+        )
+        .withColumn("best_end_here", F.col("pref") - F.col("minpref"))
+    )
+    # recover the start: the day AFTER the argmin prefix (or day 1)
+    wrow = Window.partitionBy().orderBy("day")
+    # four consumers below (argmax, argmin scan, start join) — materialize
+    # the calendar-bounded frame once instead of re-reducing orders 4x
+    t = t.withColumn("rn", F.row_number().over(wrow)).localCheckpoint(
+        eager=True
+    )
+    best = t.orderBy(F.col("best_end_here").desc(), F.col("day").asc()).limit(1)
+    # join back to find the argmin day (earliest attaining minpref strictly
+    # before the best end)
+    b = best.select(
+        F.col("day").alias("end_day"),
+        F.col("rn").alias("end_rn"),
+        F.col("minpref").alias("mp"),
+        F.col("best_end_here").alias("excess_n"),
+        F.col("n").alias("n_all"),
+    )
+    cand = t.join(F.broadcast(b), F.col("rn") < F.col("end_rn")).filter(
+        F.col("pref") == F.col("mp")
+    )
+    start_rn = cand.agg(
+        F.coalesce(F.min("rn"), F.lit(0)).cast("long").alias("srn")
+    )
+    # srn = 0 (empty-prefix minimum) resolves to rn = 1 = day 1, so the
+    # single join covers both the interior-start and day-1 cases
+    sd = (
+        t.join(F.broadcast(start_rn), t.rn == F.col("srn") + 1, "inner")
+        .select(F.col("day").alias("start_day"))
+    )
+    out = b.crossJoin(F.broadcast(sd))
+    return out.select(
+        "start_day",
+        "end_day",
+        F.round(
+            F.col("excess_n").cast("double")
+            / F.col("n_all").cast("double")
+            / 100.0,
+            2,
+        ).alias("excess_dollars"),
+    )
+
+
+QUERIES["best_revenue_run"] = best_revenue_run
+ORACLES["best_revenue_run"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT day, x,
+               count(*) OVER () AS n,
+               sum(x) OVER () AS s
+        FROM daily
+    ),
+    t2 AS (
+        SELECT day, n, n * x - s AS y FROM t
+    ),
+    t3 AS (
+        SELECT day, n,
+               sum(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pref,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM t2
+    ),
+    t4 AS (
+        SELECT *,
+               least(COALESCE(min(pref) OVER (ORDER BY day ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+                     0) AS minpref
+        FROM t3
+    ),
+    best AS (
+        SELECT day AS end_day, rn AS end_rn, minpref AS mp,
+               pref - minpref AS excess_n, n AS n_all
+        FROM t4
+        ORDER BY pref - minpref DESC, day ASC
+        LIMIT 1
+    ),
+    srn AS (
+        SELECT COALESCE(min(t4.rn), 0) AS srn
+        FROM t4, best
+        WHERE t4.rn < best.end_rn AND t4.pref = best.mp
+    ),
+    sd AS (
+        SELECT t4.day AS start_day FROM t4, srn
+        WHERE t4.rn = srn.srn + 1
+    )
+    SELECT sd.start_day, best.end_day,
+           round(CAST(best.excess_n AS DOUBLE)
+                 / CAST(best.n_all AS DOUBLE) / 100.0, 2) AS excess_dollars
+    FROM best, sd
+"""
+
+
+MIGR_Y0, MIGR_Y1 = 1996, 1997
+
+
+def _spend_tiers(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    """(o_custkey, tier 1..3) by exact ascending spend rank thirds for one
+    order year — the global rank uses the lorenz_deciles two-pass bucket
+    decomposition (in-bucket row_number + broadcast cumulative offsets),
+    never a one-task global sort window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    rev = (
+        o.filter(F.year("o_orderdate").cast("int") == year)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")
+                  .cast("decimal(38,0)")).alias("rev")
+        )
+    )
+    b = rev.withColumn(
+        "bkt", F.floor(F.col("rev").cast("double") / F.lit(LORENZ_BUCKET * 100))
+        .cast("long")
+    )
+    win_in = Window.partitionBy("bkt").orderBy("rev", "o_custkey")
+    counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.partitionBy().orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("bkt", "off")
+    n_total = counts.agg(F.sum("cnt").alias("n"))
+    ranked = (
+        b.withColumn("r_in", F.row_number().over(win_in))
+        .join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "o_custkey",
+            (
+                F.floor(
+                    (F.col("off") + F.col("r_in") - 1) * 3 / F.col("n")
+                ) + 1
+            ).cast("int").alias("tier"),
+        )
+    )
+    return ranked
+
+
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-tier migration matrix between fiscal 1996 and 1997:
+    customers ranked into exact ascending spend thirds each year
+    (1 = low, 3 = high), matrix of (tier_from -> tier_to) counts over
+    customers active BOTH years, with row-conditional shares — the
+    retention-marketing "are my high-value customers staying high-value"
+    report.
+
+    Exactness: tiers come from exact integer rank thirds (the
+    lorenz_deciles bucket-decomposed global rank), shares are one
+    division of exact integers per cell.
+
+    Scale: two year-filtered reduces of orders, custkey equi-join, 9-cell
+    rollup.
+    """
+    t0 = _spend_tiers(spark, sf_dir, MIGR_Y0).withColumnRenamed(
+        "tier", "tier_from"
+    )
+    t1 = _spend_tiers(spark, sf_dir, MIGR_Y1).withColumnRenamed(
+        "tier", "tier_to"
+    )
+    j = t0.join(t1, "o_custkey")
+    g = j.groupBy("tier_from", "tier_to").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    wrow = Window.partitionBy("tier_from")
+    return (
+        g.withColumn("row_tot", F.sum("n_customers").over(wrow))
+        .select(
+            "tier_from",
+            "tier_to",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round(
+                F.col("n_customers").cast("double")
+                / F.col("row_tot").cast("double"),
+                6,
+            ).alias("row_share"),
+        )
+        .orderBy("tier_from", "tier_to")
+    )
+
+
+QUERIES["segment_migration_matrix"] = segment_migration_matrix
+ORACLES["segment_migration_matrix"] = f"""
+    WITH rev0 AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rev
+        FROM orders WHERE year(o_orderdate) = {MIGR_Y0} GROUP BY 1
+    ),
+    t0 AS (
+        SELECT o_custkey,
+               CAST(floor((row_number() OVER (ORDER BY rev, o_custkey) - 1)
+                          * 3 / count(*) OVER ()) + 1 AS INT) AS tier_from
+        FROM rev0
+    ),
+    rev1 AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rev
+        FROM orders WHERE year(o_orderdate) = {MIGR_Y1} GROUP BY 1
+    ),
+    t1 AS (
+        SELECT o_custkey,
+               CAST(floor((row_number() OVER (ORDER BY rev, o_custkey) - 1)
+                          * 3 / count(*) OVER ()) + 1 AS INT) AS tier_to
+        FROM rev1
+    ),
+    g AS (
+        SELECT tier_from, tier_to, count(*) AS n_customers
+        FROM t0 JOIN t1 USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT tier_from, tier_to,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(CAST(n_customers AS DOUBLE)
+                 / CAST(sum(n_customers) OVER (PARTITION BY tier_from)
+                        AS DOUBLE), 6) AS row_share
+    FROM g ORDER BY tier_from, tier_to
+"""

@@ -1011,3 +1011,43 @@ def test_decay_score_bounded_by_raw(spark):
         assert 0.0 < r["decayed_dollars"] <= r["raw_dollars"]
         # 30-day window at 0.95/day: ratio must land in (0.95^31, 1)
         assert 0.95 ** 31 < r["recency_ratio"] < 1.0
+
+
+# --- hot-streak + migration wave (AN) -----------------------------------------
+
+
+def test_best_run_is_actually_best(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.best_revenue_run(spark, SF_SMALL).collect()[0]
+    assert r["start_day"] <= r["end_day"]
+    assert r["excess_dollars"] > 0
+    # brute-force check on the exact daily integers
+    daily = sorted(
+        (row["day"], int(row["x"]))
+        for row in A._daily_order_revenue(spark, SF_SMALL).collect()
+    )
+    xs = [x for _, x in daily]
+    n, s = len(xs), sum(xs)
+    ys = [n * x - s for x in xs]
+    best, cur = 0, 0
+    for y in ys:
+        cur = max(y, cur + y)
+        best = max(best, cur)
+    got = [i for i, (d, _) in enumerate(daily) if d == r["start_day"]][0]
+    end = [i for i, (d, _) in enumerate(daily) if d == r["end_day"]][0]
+    assert sum(ys[got : end + 1]) == best  # the reported run attains Kadane
+
+
+def test_migration_matrix_rows_are_distributions(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.segment_migration_matrix(spark, SF_SMALL).collect()
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for r in rows:
+        assert 1 <= r["tier_from"] <= 3 and 1 <= r["tier_to"] <= 3
+        by_from[r["tier_from"]] += r["row_share"]
+    for v in by_from.values():
+        assert abs(v - 1.0) < 1e-4

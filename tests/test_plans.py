@@ -829,3 +829,13 @@ def test_dominance_peaks_aging_wave_plans(spark):
         assert "CartesianProduct" not in p, fn.__name__
     p = _plan(spark, A5.receivables_aging(spark, SF_SMALL))
     assert "EqualTo(l_linestatus,O)" in p  # predicate reached the scan
+
+
+def test_streak_migration_wave_no_global_sort_rank(spark):
+    """Wave AN: the migration tiers must use the bucket-decomposed rank
+    (no cartesian; the 1-row n-total is a scalar broadcast)."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    for fn in (A5.best_revenue_run, A5.segment_migration_matrix):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__

@@ -198,6 +198,8 @@ RELATIONAL_QUERIES = [
     "theil_decomposition",
     "revenue_peaks",
     "receivables_aging",
+    "best_revenue_run",
+    "segment_migration_matrix",
 ]
 
 
