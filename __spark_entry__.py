@@ -100,6 +100,9 @@ _GATE_PRIORITY = (
     "decayed_engagement_score",
     "best_revenue_run",
     "segment_migration_matrix",
+    "price_ending_profile",
+    "duplicate_payment_screen",
+    "split_purchase_screen",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",
@@ -337,7 +340,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 360
+_MIN_QUERIES = 363
 
 
 def _registry() -> tuple[dict, dict]:

@@ -334,6 +334,9 @@ HEADLINE = [
     "decayed_engagement_score",
     "best_revenue_run",
     "segment_migration_matrix",
+    "price_ending_profile",
+    "duplicate_payment_screen",
+    "split_purchase_screen",
 ]
 
 

@@ -8206,3 +8206,207 @@ ORACLES["segment_migration_matrix"] = f"""
                         AS DOUBLE), 6) AS row_share
     FROM g ORDER BY tier_from, tier_to
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AO: forensic / pricing-audit tier
+# ---------------------------------------------------------------------------
+
+
+def price_ending_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Psychological price-point profile: distribution of order totals by
+    cent ending (.00, .50, .99, .95, other) plus the round-dollar share —
+    the pricing-audit companion of benford_deviation (that screens the
+    FIRST digits; this screens the LAST two).
+
+    Exactness: endings are integer cents mod 100; shares divide exact
+    integers once per row.
+
+    Scale: one map-side-combined aggregate to the 5-bucket frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ending = cents % 100
+    bucket = (
+        F.when(ending == 0, F.lit("00"))
+        .when(ending == 50, F.lit("50"))
+        .when(ending == 99, F.lit("99"))
+        .when(ending == 95, F.lit("95"))
+        .otherwise(F.lit("other"))
+    )
+    g = o.select(bucket.alias("ending")).groupBy("ending").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wall = Window.partitionBy()
+    return (
+        g.withColumn("tot", F.sum("n").over(wall))
+        .select(
+            "ending",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6)
+            .alias("share"),
+        )
+        .orderBy("ending")
+    )
+
+
+QUERIES["price_ending_profile"] = price_ending_profile
+ORACLES["price_ending_profile"] = """
+    WITH g AS (
+        SELECT CASE CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                   WHEN 0 THEN '00' WHEN 50 THEN '50'
+                   WHEN 99 THEN '99' WHEN 95 THEN '95'
+                   ELSE 'other' END AS ending,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT ending, n,
+           round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+               AS share
+    FROM g ORDER BY ending
+"""
+
+
+DUP_PAY_WINDOW_DAYS = 180
+DUP_PAY_BAND_CENTS = 100_000  # $1,000 amount band
+
+
+def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forensic near-duplicate-payment screen: pairs of orders from the
+    SAME customer with amounts within $1,000 of each other placed within
+    180 days — the AP double-billing audit.  Candidates come from a
+    (customer, amount-band) equi-join with the probe side exploded to
+    its +/-1 adjacent bands (the geo_grid_join shape), so pairing cost is
+    band-occupancy bounded even when a customer's order count grows with
+    the corpus; the ORACLE runs the brute-force per-customer pair join,
+    so the hash match proves the banding lossless (band width >= the
+    amount tolerance).
+
+    Exactness: amounts and gaps are integer cents/days end to end.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    band = F.floor(F.col("cents") / DUP_PAY_BAND_CENTS).cast("long")
+    a = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("b"),
+        F.col("cents").alias("ca"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck"),
+        band.alias("b"),
+        F.col("cents").alias("cb"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("d").alias("db"),
+    )
+    j = (
+        a.join(b, ["ck", "b"])
+        .filter(F.col("order_a") < F.col("order_b"))
+        .filter(F.abs(F.col("ca") - F.col("cb")) <= DUP_PAY_BAND_CENTS)
+        .filter(
+            F.abs(F.datediff(F.col("db"), F.col("da")))
+            <= DUP_PAY_WINDOW_DAYS
+        )
+        # the band explode can pair the same two orders via two bands
+        .dropDuplicates(["order_a", "order_b"])
+    )
+    return j.select(
+        F.col("ck").alias("o_custkey"),
+        "order_a",
+        "order_b",
+        F.round(
+            F.abs(F.col("ca") - F.col("cb")).cast("double") / 100.0, 2
+        ).alias("amount_gap_dollars"),
+        F.abs(F.datediff(F.col("db"), F.col("da"))).cast("int").alias(
+            "gap_days"
+        ),
+    ).orderBy("o_custkey", "order_a", "order_b")
+
+
+QUERIES["duplicate_payment_screen"] = duplicate_payment_screen
+ORACLES["duplicate_payment_screen"] = f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    )
+    SELECT a.o_custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           round(CAST(abs(a.cents - b.cents) AS DOUBLE) / 100.0, 2)
+               AS amount_gap_dollars,
+           CAST(abs(datediff('day', a.d, b.d)) AS INT) AS gap_days
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE abs(a.cents - b.cents) <= {DUP_PAY_BAND_CENTS}
+      AND abs(datediff('day', a.d, b.d)) <= {DUP_PAY_WINDOW_DAYS}
+    ORDER BY a.o_custkey, order_a, order_b
+"""
+
+
+SPLIT_THRESHOLD_CENTS = 200_000_00  # structuring threshold: $200,000
+
+
+def split_purchase_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring (split-purchase) screen: customer-days with 2+ orders,
+    EACH under the $200k approval threshold, whose combined total crosses
+    it — the forensic pattern of splitting one large purchase to dodge an
+    approval limit.  All comparisons are integer cents.
+
+    Scale: one reduce of orders to the (customer, day) grain with
+    conditional integer aggregates; no join at all.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    thr = F.lit(SPLIT_THRESHOLD_CENTS)
+    g = o.groupBy("o_custkey", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    hits = g.filter(
+        (F.col("n_orders") >= 2)
+        & (F.col("max_cents") < thr)
+        & (F.col("total_cents") >= thr)
+    )
+    return hits.select(
+        "o_custkey",
+        F.col("d").alias("day"),
+        "n_orders",
+        F.round(F.col("total_cents").cast("double") / 100.0, 2).alias(
+            "combined_dollars"
+        ),
+        F.round(F.col("max_cents").cast("double") / 100.0, 2).alias(
+            "largest_single_dollars"
+        ),
+    ).orderBy("o_custkey", "day")
+
+
+QUERIES["split_purchase_screen"] = split_purchase_screen
+ORACLES["split_purchase_screen"] = f"""
+    WITH g AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+               max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, day, n_orders,
+           round(CAST(total_cents AS DOUBLE) / 100.0, 2) AS combined_dollars,
+           round(CAST(max_cents AS DOUBLE) / 100.0, 2)
+               AS largest_single_dollars
+    FROM g
+    WHERE n_orders >= 2 AND max_cents < {SPLIT_THRESHOLD_CENTS}
+      AND total_cents >= {SPLIT_THRESHOLD_CENTS}
+    ORDER BY o_custkey, day
+"""

@@ -1051,3 +1051,40 @@ def test_migration_matrix_rows_are_distributions(spark):
         by_from[r["tier_from"]] += r["row_share"]
     for v in by_from.values():
         assert abs(v - 1.0) < 1e-4
+
+
+# --- forensic audit wave (AO) --------------------------------------------------
+
+
+def test_price_endings_partition(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.price_ending_profile(spark, SF_SMALL).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    total = sum(r["n"] for r in rows)
+    assert total == load_table(spark, SF_SMALL, "orders").count()
+
+
+def test_duplicate_screen_pairs_valid(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.duplicate_payment_screen(spark, SF_SMALL).collect()
+    assert rows  # tuned to fire even at sf0.001
+    for r in rows:
+        assert r["order_a"] < r["order_b"]
+        assert 0.0 <= r["amount_gap_dollars"] <= 1000.0
+        assert 0 <= r["gap_days"] <= 180
+    # no duplicate pair from the band explode
+    pairs = [(r["order_a"], r["order_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_split_screen_combined_crosses_threshold(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.split_purchase_screen(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_orders"] >= 2
+        assert r["largest_single_dollars"] < 200_000.0
+        assert r["combined_dollars"] >= 200_000.0

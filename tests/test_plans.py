@@ -839,3 +839,16 @@ def test_streak_migration_wave_no_global_sort_rank(spark):
     for fn in (A5.best_revenue_run, A5.segment_migration_matrix):
         p = _plan(spark, fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_forensic_wave_banded_never_cartesian(spark):
+    """Wave AO: the near-duplicate pairing must be the banded equi-join
+    (never a per-customer cross product); the split screen has no join."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    for fn in (A5.price_ending_profile, A5.duplicate_payment_screen,
+               A5.split_purchase_screen):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+    p = _plan(spark, A5.duplicate_payment_screen(spark, SF_SMALL))
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p

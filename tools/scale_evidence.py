@@ -200,6 +200,9 @@ RELATIONAL_QUERIES = [
     "receivables_aging",
     "best_revenue_run",
     "segment_migration_matrix",
+    "price_ending_profile",
+    "duplicate_payment_screen",
+    "split_purchase_screen",
 ]
 
 
