@@ -337,6 +337,9 @@ HEADLINE = [
     "price_ending_profile",
     "duplicate_payment_screen",
     "split_purchase_screen",
+    "return_enrichment_by_brand",
+    "supply_risk_hhi",
+    "ship_lag_percentiles",
 ]
 
 

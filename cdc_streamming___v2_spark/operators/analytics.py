@@ -8410,3 +8410,227 @@ ORACLES["split_purchase_screen"] = f"""
       AND total_cents >= {SPLIT_THRESHOLD_CENTS}
     ORDER BY o_custkey, day
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AP: supply-chain / QA tier
+# ---------------------------------------------------------------------------
+
+
+def return_enrichment_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypergeometric enrichment screen: is any brand over-represented
+    among RETURNED lineitems?  For each brand, observed returns k vs the
+    hypergeometric expectation under brand-independent returns
+    (mean = n*K/N, var = n*K/N * (N-K)/N * (N-n)/(N-1)), reported as
+    fold-enrichment and a z-score — the QA screen for "this brand's
+    products come back too often".
+
+    Exactness: all four counts are exact integers; mean/var/z are single
+    float expressions of them.
+
+    Scale: two map-side-combined aggregates of lineitem (per-brand and
+    global), broadcast dim, 25-row math.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    per = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("k"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("nn"), F.sum("k").alias("kk")
+    )
+    t = per.crossJoin(F.broadcast(tot))
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    nn, kk = F.col("nn").cast("double"), F.col("kk").cast("double")
+    mean = n * kk / nn
+    var = n * (kk / nn) * ((nn - kk) / nn) * ((nn - n) / (nn - 1))
+    return t.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_items"),
+        F.col("k").cast("long").alias("n_returned"),
+        F.round(k / mean, 4).alias("fold_enrichment"),
+        F.round((k - mean) / F.sqrt(var), 4).alias("z_score"),
+    ).orderBy("p_brand")
+
+
+QUERIES["return_enrichment_by_brand"] = return_enrichment_by_brand
+ORACLES["return_enrichment_by_brand"] = """
+    WITH per AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nn, sum(k) AS kk FROM per)
+    SELECT p_brand, n AS n_items, k AS n_returned,
+           round(CAST(k AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(kk AS DOUBLE)
+                    / CAST(nn AS DOUBLE)), 4) AS fold_enrichment,
+           round((CAST(k AS DOUBLE) - CAST(n AS DOUBLE) * CAST(kk AS DOUBLE)
+                      / CAST(nn AS DOUBLE))
+                 / sqrt(CAST(n AS DOUBLE)
+                        * (CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                        * ((CAST(nn AS DOUBLE) - CAST(kk AS DOUBLE))
+                           / CAST(nn AS DOUBLE))
+                        * ((CAST(nn AS DOUBLE) - CAST(n AS DOUBLE))
+                           / (CAST(nn AS DOUBLE) - 1))), 4) AS z_score
+    FROM per, tot ORDER BY p_brand
+"""
+
+
+SUPPLY_RISK_TOP = 20
+SUPPLY_RISK_MIN_QTY = 100  # volume floor: ignore trace parts
+SUPPLY_HHI_SCALE = 1_000_000_000_000
+
+
+def supply_risk_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration risk: per part, the Herfindahl index of its
+    quantity share across suppliers; the report is the top-20 MOST
+    CONCENTRATED parts over a volume floor — the supply-chain risk screen
+    behind TPC-H q20/q21's supplier questions.
+
+    Exactness: HHI = sum(q_s^2) / (sum q_s)^2 on exact integer
+    quantities; the top-k SORT KEY is the integer
+    (q2 * 1e12) div (qt*qt) — a float HHI key could flip ties between
+    engines, the integer key cannot.
+
+    Scale: one map-side-combined reduce to the (part x supplier) grid,
+    one per-part rollup, TakeOrderedAndProject top-k.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("q").cast("decimal(38,0)").alias("qs")
+    )
+    per = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("qs").alias("qt"),
+        F.sum(F.col("qs") * F.col("qs")).alias("q2"),
+    )
+    key = F.expr(
+        f"CAST((q2 * {SUPPLY_HHI_SCALE}) div (qt * qt) AS DECIMAL(38,0))"
+    )
+    return (
+        per.filter(F.col("qt") >= SUPPLY_RISK_MIN_QTY)
+        .withColumn("hhi_key", key)
+        .orderBy(F.col("hhi_key").desc(), F.col("l_partkey").asc())
+        .limit(SUPPLY_RISK_TOP)
+        .select(
+            F.col("l_partkey").cast("long").alias("part_id"),
+            "n_suppliers",
+            F.col("qt").cast("long").alias("total_qty"),
+            (F.col("hhi_key").cast("double") / SUPPLY_HHI_SCALE).alias("hhi"),
+        )
+    )
+
+
+QUERIES["supply_risk_hhi"] = supply_risk_hhi
+ORACLES["supply_risk_hhi"] = f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS HUGEINT)) AS qs
+        FROM lineitem GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+               sum(qs) AS qt, sum(qs * qs) AS q2
+        FROM ps GROUP BY 1
+    ),
+    keyed AS (
+        SELECT *, (q2 * {SUPPLY_HHI_SCALE}) // (qt * qt) AS hhi_key
+        FROM per WHERE qt >= {SUPPLY_RISK_MIN_QTY}
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS part_id, n_suppliers,
+           CAST(qt AS BIGINT) AS total_qty,
+           CAST(hhi_key AS DOUBLE) / {SUPPLY_HHI_SCALE} AS hhi
+    FROM keyed
+    ORDER BY hhi_key DESC, part_id ASC
+    LIMIT {SUPPLY_RISK_TOP}
+"""
+
+
+def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time per brand: exact p50/p90/max of the
+    integer day lag from order date to line ship date — the supply-chain
+    SLA twin of latency_sla_report (which covers the event stream).
+    Percentiles are exact order statistics via the cross-multiplied rank
+    test (100*rank >= p*n picks the ceiling-rank element), never a float
+    percentile.
+
+    Scale: fact join on orderkey, one reduce to (brand, lag) cells, one
+    brand-partitioned rank window over the bounded lag grid.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag"),
+        )
+        .filter(F.col("lag") >= 0)
+    )
+    cells = j.groupBy("p_brand", "lag").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("p_brand").orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = cells.groupBy("p_brand").agg(F.sum("c").alias("n"))
+    cum = cells.withColumn("cc", F.sum("c").over(wc)).join(
+        F.broadcast(tot), "p_brand"
+    )
+    def pick(pct):
+        return F.min(
+            F.when(F.lit(100) * F.col("cc") >= F.lit(pct) * F.col("n"),
+                   F.col("lag"))
+        )
+    g = cum.groupBy("p_brand").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        pick(50).cast("int").alias("p50_days"),
+        pick(90).cast("int").alias("p90_days"),
+        F.max("lag").cast("int").alias("max_days"),
+    )
+    return g.orderBy("p_brand")
+
+
+QUERIES["ship_lag_percentiles"] = ship_lag_percentiles
+ORACLES["ship_lag_percentiles"] = """
+    WITH j AS (
+        SELECT p_brand,
+               datediff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS lag
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE datediff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) >= 0
+    ),
+    cells AS (
+        SELECT p_brand, lag, count(*) AS c FROM j GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT p_brand, lag, c,
+               sum(c) OVER (PARTITION BY p_brand ORDER BY lag
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cc,
+               sum(c) OVER (PARTITION BY p_brand) AS n
+        FROM cells
+    )
+    SELECT p_brand,
+           CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(CASE WHEN 100 * cc >= 50 * n THEN lag END) AS INT)
+               AS p50_days,
+           CAST(min(CASE WHEN 100 * cc >= 90 * n THEN lag END) AS INT)
+               AS p90_days,
+           CAST(max(lag) AS INT) AS max_days
+    FROM cum GROUP BY 1 ORDER BY p_brand
+"""

@@ -1088,3 +1088,41 @@ def test_split_screen_combined_crosses_threshold(spark):
         assert r["n_orders"] >= 2
         assert r["largest_single_dollars"] < 200_000.0
         assert r["combined_dollars"] >= 200_000.0
+
+
+# --- supply-chain / QA wave (AP) -----------------------------------------------
+
+
+def test_return_enrichment_centered(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.return_enrichment_by_brand(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    # weighted mean fold-enrichment is 1 by construction
+    num = sum(r["n_returned"] for r in rows)
+    exp = sum(r["n_items"] for r in rows)
+    folds = [r["fold_enrichment"] for r in rows]
+    assert 0.5 < min(folds) and max(folds) < 2.0  # no synthetic pathology
+    assert abs(sum(r["z_score"] for r in rows)) < 25  # centered z's
+
+
+def test_supply_risk_ordered_by_concentration(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.supply_risk_hhi(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    hhis = [r["hhi"] for r in rows]
+    assert all(b <= a + 1e-12 for a, b in zip(hhis, hhis[1:]))
+    for r in rows:
+        # HHI lower bound is 1/n_suppliers
+        assert r["hhi"] >= 1.0 / r["n_suppliers"] - 1e-9
+        assert r["total_qty"] >= 100
+
+
+def test_ship_lag_percentiles_ordered(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.ship_lag_percentiles(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 0 <= r["p50_days"] <= r["p90_days"] <= r["max_days"]

@@ -852,3 +852,16 @@ def test_forensic_wave_banded_never_cartesian(spark):
         assert "CartesianProduct" not in p, fn.__name__
     p = _plan(spark, A5.duplicate_payment_screen(spark, SF_SMALL))
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_supply_chain_wave_plans(spark):
+    """Wave AP: enrichment/HHI/lag — broadcast dims, bounded-grid windows,
+    TakeOrderedAndProject for the risk top-k."""
+    from cdc_streamming___v2_spark.operators import analytics as A5
+
+    for fn in (A5.return_enrichment_by_brand, A5.supply_risk_hhi,
+               A5.ship_lag_percentiles):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+    p = _plan(spark, A5.supply_risk_hhi(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in p

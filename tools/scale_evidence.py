@@ -203,6 +203,9 @@ RELATIONAL_QUERIES = [
     "price_ending_profile",
     "duplicate_payment_screen",
     "split_purchase_screen",
+    "return_enrichment_by_brand",
+    "supply_risk_hhi",
+    "ship_lag_percentiles",
 ]
 
 
