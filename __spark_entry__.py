@@ -106,6 +106,7 @@ _GATE_PRIORITY = (
     "return_enrichment_by_brand",
     "supply_risk_hhi",
     "ship_lag_percentiles",
+    "repurchase_interval_profile",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",
@@ -343,7 +344,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 366
+_MIN_QUERIES = 367
 
 
 def _registry() -> tuple[dict, dict]:

@@ -340,6 +340,7 @@ HEADLINE = [
     "return_enrichment_by_brand",
     "supply_risk_hhi",
     "ship_lag_percentiles",
+    "repurchase_interval_profile",
 ]
 
 

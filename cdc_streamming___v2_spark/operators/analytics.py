@@ -8634,3 +8634,105 @@ ORACLES["ship_lag_percentiles"] = """
            CAST(max(lag) AS INT) AS max_days
     FROM cum GROUP BY 1 ORDER BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AQ: repurchase cycle profile
+# ---------------------------------------------------------------------------
+
+
+def repurchase_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase cycle per market segment: exact p25/p50/p75 of the
+    integer day gaps between a customer's consecutive orders — the CRM
+    "how often do they come back" metric that sets campaign cadence
+    (the order-stream twin of interarrival_gaps on events).
+
+    Exactness: gaps are integer datediffs from a customer-partitioned
+    ordered window (ties broken by orderkey); percentiles are exact
+    order statistics via the cross-multiplied rank test on the bounded
+    (segment x gap-day) grid.
+
+    Scale: one customer-keyed window over orders, broadcast dim, one
+    reduce to the gap grid, one segment-partitioned rank window.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.col("prev")).alias("gap"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    cells = gaps.groupBy("c_mktsegment", "gap").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.partitionBy("c_mktsegment").orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = cells.groupBy("c_mktsegment").agg(F.sum("cnt").alias("n"))
+    cum = cells.withColumn("cc", F.sum("cnt").over(wc)).join(
+        F.broadcast(tot), "c_mktsegment"
+    )
+
+    def pick(pct):
+        return F.min(
+            F.when(
+                F.lit(100) * F.col("cc") >= F.lit(pct) * F.col("n"),
+                F.col("gap"),
+            )
+        )
+
+    return (
+        cum.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            pick(25).cast("int").alias("p25_days"),
+            pick(50).cast("int").alias("p50_days"),
+            pick(75).cast("int").alias("p75_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["repurchase_interval_profile"] = repurchase_interval_profile
+ORACLES["repurchase_interval_profile"] = """
+    WITH gaps AS (
+        SELECT c_mktsegment,
+               datediff('day', CAST(prev AS DATE),
+                        CAST(o_orderdate AS DATE)) AS gap
+        FROM (
+            SELECT o_custkey, o_orderdate,
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders
+        ) o
+        JOIN customer ON o_custkey = c_custkey
+        WHERE prev IS NOT NULL
+    ),
+    cells AS (
+        SELECT c_mktsegment, gap, count(*) AS cnt FROM gaps GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT c_mktsegment, gap, cnt,
+               sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY gap
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cc,
+               sum(cnt) OVER (PARTITION BY c_mktsegment) AS n
+        FROM cells
+    )
+    SELECT c_mktsegment,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(min(CASE WHEN 100 * cc >= 25 * n THEN gap END) AS INT)
+               AS p25_days,
+           CAST(min(CASE WHEN 100 * cc >= 50 * n THEN gap END) AS INT)
+               AS p50_days,
+           CAST(min(CASE WHEN 100 * cc >= 75 * n THEN gap END) AS INT)
+               AS p75_days
+    FROM cum GROUP BY 1 ORDER BY c_mktsegment
+"""

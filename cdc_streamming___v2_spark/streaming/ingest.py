@@ -39,6 +39,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..sources.cdc_schema import (
     parse_envelope,
     parse_envelope_auto,
+    parse_envelope_goldengate,
     parse_envelope_aws_dms,
     parse_envelope_canal,
     parse_envelope_debezium,
@@ -125,6 +126,8 @@ class CdcIngest:
             return parse_envelope_canal(raw)
         if self.envelope_format == "aws_dms":
             return parse_envelope_aws_dms(raw)
+        if self.envelope_format == "goldengate":
+            return parse_envelope_goldengate(raw)
         if self.envelope_format == "auto":
             return parse_envelope_auto(raw)
         if self.envelope_format != "datastream":

@@ -1126,3 +1126,13 @@ def test_ship_lag_percentiles_ordered(spark):
     assert len(rows) == 25
     for r in rows:
         assert 0 <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
+
+
+def test_repurchase_quartiles_ordered(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    rows = A.repurchase_interval_profile(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["p25_days"] <= r["p50_days"] <= r["p75_days"]
+        assert r["n_gaps"] > 0

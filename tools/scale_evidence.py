@@ -206,6 +206,7 @@ RELATIONAL_QUERIES = [
     "return_enrichment_by_brand",
     "supply_risk_hhi",
     "ship_lag_percentiles",
+    "repurchase_interval_profile",
 ]
 
 
