@@ -107,6 +107,8 @@ _GATE_PRIORITY = (
     "supply_risk_hhi",
     "ship_lag_percentiles",
     "repurchase_interval_profile",
+    "newey_west_trend_se",
+    "weekly_spectral_power",
     # -- (0b) fourth-session additions (newest, zero prior proof) --
     "lorenz_deciles",
     "theil_inequality",
@@ -344,7 +346,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 367
+_MIN_QUERIES = 369
 
 
 def _registry() -> tuple[dict, dict]:

@@ -341,6 +341,8 @@ HEADLINE = [
     "supply_risk_hhi",
     "ship_lag_percentiles",
     "repurchase_interval_profile",
+    "newey_west_trend_se",
+    "weekly_spectral_power",
 ]
 
 

@@ -8736,3 +8736,279 @@ ORACLES["repurchase_interval_profile"] = """
                AS p75_days
     FROM cum GROUP BY 1 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 fifth session, wave AR: econometric closers (HAC SE, spectra)
+# ---------------------------------------------------------------------------
+
+NW_LAGS = 7  # Newey-West truncation (one weekly cycle)
+NW_SCALE = 1_000_000_000  # residuals rounded to whole cents; products exact
+
+
+def newey_west_trend_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (HAC) standard error for the daily-revenue trend slope:
+    the OLS slope's naive SE understates uncertainty when residuals are
+    serially correlated (durbin_watson_trend measures that correlation;
+    this corrects for it).  Var_NW(b) = S0 + 2*sum_l w_l*S_l over
+    Bartlett weights w_l = 1 - l/(L+1), with S_l = sum_t v_t*v_{t-l},
+    v_t = (t - tbar)*e_t, all divided by (sum (t-tbar)^2)^2.
+
+    Determinism: slope/intercept come from exact integer moments;
+    residuals are rounded to WHOLE CENTS (the durbin_watson pattern) and
+    (t - tbar) scaled by n to stay integer, so every v_t and every lag
+    product S_l folds as exact decimal(38,0); the Bartlett combination is
+    one float expression per output cell.
+
+    Scale: the calendar-bounded daily frame, one ordered window carrying
+    NW_LAGS lag columns, one integer aggregate.
+    """
+    daily = _daily_order_revenue(spark, sf_dir).select(
+        "day",
+        F.datediff(F.col("day"), F.lit("1995-01-01")).cast("double").alias("t"),
+        F.col("x").cast("double").alias("xd"),
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("xd").alias("sx"),
+        F.sum(F.col("t") * F.col("xd")).alias("stx"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    b = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    a = (F.col("sx") - b * F.col("st")) / F.col("n")
+    fit = mom.select(
+        b.alias("b"), a.alias("a"),
+        F.col("n").alias("n"), F.col("st").alias("st"),
+        F.col("stt").alias("stt"),
+    )
+    wn = Window.partitionBy().orderBy("day")
+    # v_t = (n*t - st) * e_t : both factors exact integers after rounding
+    res = daily.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "n",
+        "st",
+        "stt",
+        (
+            (F.col("n") * F.col("t") - F.col("st")).cast("decimal(38,0)")
+            * F.round(F.col("xd") - F.col("a") - F.col("b") * F.col("t"))
+            .cast("decimal(38,0)")
+        ).alias("v"),
+    )
+    lagged = res.select(
+        "n", "st", "stt", "v",
+        *[F.lag("v", l).over(wn).alias(f"v{l}") for l in range(1, NW_LAGS + 1)],
+    )
+    agg = lagged.agg(
+        F.max("n").alias("n"),
+        F.max("st").alias("st"),
+        F.max("stt").alias("stt"),
+        F.sum(F.col("v") * F.col("v")).alias("s0"),
+        *[
+            F.sum(F.col("v") * F.col(f"v{l}")).alias(f"s{l}")
+            for l in range(1, NW_LAGS + 1)
+        ],
+    )
+    n, st, stt = F.col("n"), F.col("st"), F.col("stt")
+    sxx = n * stt - st * st  # = n^2 * sum (t - tbar)^2 / n ... exact combo
+    var_naive = F.col("s0").cast("double") / (sxx * sxx)
+    nw_sum = F.col("s0").cast("double")
+    for l in range(1, NW_LAGS + 1):
+        w = 1.0 - l / (NW_LAGS + 1.0)
+        nw_sum = nw_sum + 2.0 * w * F.col(f"s{l}").cast("double")
+    var_nw = nw_sum / (sxx * sxx)
+    # the n-scaling of v and of sxx cancels exactly: var = s / sxx^2
+    return agg.select(
+        F.round(F.sqrt(var_naive) / 100.0, 6).alias("se_naive_dollars_day"),
+        F.round(F.sqrt(var_nw) / 100.0, 6).alias("se_nw_dollars_day"),
+        F.round(F.sqrt(var_nw) / F.sqrt(var_naive), 4).alias("hac_inflation"),
+    )
+
+
+QUERIES["newey_west_trend_se"] = newey_west_trend_se
+
+
+def _nw_oracle() -> str:
+    lag_cols = ",\n               ".join(
+        f"lag(v, {l}) OVER (ORDER BY day) AS v{l}"
+        for l in range(1, NW_LAGS + 1)
+    )
+    lag_sums = ",\n               ".join(
+        f"sum(v * v{l}) AS s{l}" for l in range(1, NW_LAGS + 1)
+    )
+    nw_terms = " + ".join(
+        f"2.0 * {1.0 - l / (NW_LAGS + 1.0)!r} * CAST(s{l} AS DOUBLE)"
+        for l in range(1, NW_LAGS + 1)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(datediff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) AS DOUBLE) AS t,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS DOUBLE) AS xd
+        FROM orders GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(t) AS st, sum(xd) AS sx,
+               sum(t * xd) AS stx, sum(t * t) AS stt
+        FROM daily
+    ),
+    fit AS (
+        SELECT (n * stx - st * sx) / (n * stt - st * st) AS b,
+               (sx - (n * stx - st * sx) / (n * stt - st * st) * st) / n AS a,
+               n, st, stt
+        FROM mom
+    ),
+    res AS (
+        SELECT day, n, st, stt,
+               CAST(n * t - st AS HUGEINT)
+               * CAST(round(xd - a - b * t) AS HUGEINT) AS v
+        FROM daily CROSS JOIN fit
+    ),
+    lagged AS (
+        SELECT n, st, stt, v,
+               {lag_cols}
+        FROM res
+    ),
+    agg AS (
+        SELECT max(n) AS n, max(st) AS st, max(stt) AS stt,
+               sum(v * v) AS s0,
+               {lag_sums}
+        FROM lagged
+    )
+    SELECT round(sqrt(CAST(s0 AS DOUBLE)
+                      / ((n * stt - st * st) * (n * stt - st * st)))
+                 / 100.0, 6) AS se_naive_dollars_day,
+           round(sqrt((CAST(s0 AS DOUBLE) + {nw_terms})
+                      / ((n * stt - st * st) * (n * stt - st * st)))
+                 / 100.0, 6) AS se_nw_dollars_day,
+           round(sqrt((CAST(s0 AS DOUBLE) + {nw_terms})
+                      / ((n * stt - st * st) * (n * stt - st * st)))
+                 / sqrt(CAST(s0 AS DOUBLE)
+                        / ((n * stt - st * st) * (n * stt - st * st))), 4)
+               AS hac_inflation
+    FROM agg
+"""
+
+
+ORACLES["newey_west_trend_se"] = _nw_oracle()
+
+
+import math as _m2  # noqa: E402
+
+WEEKLY_COS = [_m2.cos(2 * _m2.pi * k / 7) for k in range(7)]
+WEEKLY_SIN = [_m2.sin(2 * _m2.pi * k / 7) for k in range(7)]
+
+
+def weekly_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of daily-revenue variance at the weekly frequency: the
+    single-frequency periodogram 2*(C^2+S^2)/(n*SS) with
+    C = sum y_t cos(2*pi*d_t/7), S likewise — the frequency-domain twin
+    of weekday_seasonal_index (that one reports per-day indices; this
+    one reports ONE number: how periodic the series is), evaluated
+    Goertzel-style with the seven cos/sin values PRECOMPUTED IN PYTHON
+    and inlined as literals on both engines (no engine trig).
+
+    Determinism: y = n*x - S_tot keeps centering integral; each y*cos
+    term is one float product rounded to the unit grid and summed as
+    decimal(38,0); SS = sum y^2 is exact.
+
+    Scale: the calendar-bounded daily frame; one aggregate.
+    """
+    daily = _daily_order_revenue(spark, sf_dir)
+    wall = Window.partitionBy()
+    t = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("stot", F.sum("x").over(wall))
+        .withColumn("y", F.col("n") * F.col("x") - F.col("stot"))
+        .withColumn(
+            "k",
+            (F.datediff(F.col("day"), F.lit("1995-01-01")) % 7).cast("int"),
+        )
+    )
+    cexp = F.lit(None).cast("double")
+    sexp = F.lit(None).cast("double")
+    for k in range(7):
+        cexp = F.when(F.col("k") == k, F.lit(WEEKLY_COS[k])).otherwise(cexp)
+        sexp = F.when(F.col("k") == k, F.lit(WEEKLY_SIN[k])).otherwise(sexp)
+    terms = t.select(
+        "n",
+        F.round(F.col("y").cast("double") * cexp).cast("decimal(38,0)")
+        .alias("tc"),
+        F.round(F.col("y").cast("double") * sexp).cast("decimal(38,0)")
+        .alias("ts"),
+        (F.col("y") * F.col("y")).alias("yy"),
+    )
+    g = terms.agg(
+        F.max("n").cast("double").alias("n"),
+        F.sum("tc").cast("double").alias("c"),
+        F.sum("ts").cast("double").alias("s"),
+        F.sum("yy").cast("double").alias("ss"),
+    )
+    power = (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+    share = 2.0 * power / (F.col("n") * F.col("ss"))
+    amp = 2.0 * F.sqrt(power) / (F.col("n") * F.col("n")) / 100.0
+    return g.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(share, 6).alias("weekly_power_share"),
+        F.round(amp, 2).alias("weekly_amplitude_dollars"),
+    )
+
+
+QUERIES["weekly_spectral_power"] = weekly_spectral_power
+
+
+def _weekly_oracle() -> str:
+    cs = " ".join(
+        f"WHEN {k} THEN {WEEKLY_COS[k]!r}" for k in range(7)
+    )
+    sn = " ".join(
+        f"WHEN {k} THEN {WEEKLY_SIN[k]!r}" for k in range(7)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT day, x,
+               count(*) OVER () AS n,
+               sum(x) OVER () AS stot
+        FROM daily
+    ),
+    t2 AS (
+        SELECT n, n * x - stot AS y,
+               CAST(datediff('day', DATE '1995-01-01', CAST(day AS DATE)) % 7
+                    AS INT) AS k
+        FROM t
+    ),
+    terms AS (
+        SELECT n,
+               CAST(round(CAST(y AS DOUBLE)
+                    * (CASE k {cs} END)) AS HUGEINT) AS tc,
+               CAST(round(CAST(y AS DOUBLE)
+                    * (CASE k {sn} END)) AS HUGEINT) AS ts,
+               y * y AS yy
+        FROM t2
+    ),
+    g AS (
+        SELECT CAST(max(n) AS DOUBLE) AS n,
+               CAST(sum(tc) AS DOUBLE) AS c,
+               CAST(sum(ts) AS DOUBLE) AS s,
+               CAST(sum(yy) AS DOUBLE) AS ss
+        FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(2.0 * (c * c + s * s) / (n * ss), 6)
+               AS weekly_power_share,
+           round(2.0 * sqrt(c * c + s * s) / (n * n) / 100.0, 2)
+               AS weekly_amplitude_dollars
+    FROM g
+"""
+
+
+ORACLES["weekly_spectral_power"] = _weekly_oracle()

@@ -1136,3 +1136,24 @@ def test_repurchase_quartiles_ordered(spark):
     for r in rows:
         assert 0 <= r["p25_days"] <= r["p50_days"] <= r["p75_days"]
         assert r["n_gaps"] > 0
+
+
+# --- econometric closers wave (AR) ---------------------------------------------
+
+
+def test_newey_west_consistent_with_dw(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.newey_west_trend_se(spark, SF_SMALL).collect()[0]
+    assert r["se_naive_dollars_day"] > 0
+    assert r["se_nw_dollars_day"] > 0
+    # DW ~ 2.06 (slightly negative rho): HAC must DEFLATE, mildly
+    assert 0.8 < r["hac_inflation"] < 1.05
+
+
+def test_weekly_power_bounded(spark):
+    from cdc_streamming___v2_spark.operators import analytics as A
+
+    r = A.weekly_spectral_power(spark, SF_SMALL).collect()[0]
+    assert 0.0 <= r["weekly_power_share"] <= 1.0
+    assert r["weekly_amplitude_dollars"] >= 0.0

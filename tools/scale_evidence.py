@@ -207,6 +207,8 @@ RELATIONAL_QUERIES = [
     "supply_risk_hhi",
     "ship_lag_percentiles",
     "repurchase_interval_profile",
+    "newey_west_trend_se",
+    "weekly_spectral_power",
 ]
 
 
