@@ -7304,13 +7304,23 @@ ORACLES["cagr_brand_revenue"] = f"""
 
 PERM_B = 64  # label permutations
 PERM_P = 4294967311  # same universal-hash prime family as bootstrap/minhash
+# Overflow headroom (ADVICE r5): h is 32-bit (8 hex chars of md5), so a_b
+# is capped at 30 bits -> max(h)*max(a_b)+max(c_b) < 2^62 + 2^31, four
+# bits of real int64 headroom instead of the ~0.00000005% the 31-bit
+# multipliers left.  Both the Spark frame and the DuckDB oracle
+# interpolate the same PERM_AC, so parity is unconditional.
 PERM_AC = [
     (
-        ((1103515245 * (b + 911) + 54321) % 2147483647) | 1,
+        ((1103515245 * (b + 911) + 54321) % 1073741789) | 1,
         (69069 * (b + 911) + 7654321) % 2147483647,
     )
     for b in range(PERM_B)
 ]
+assert all(
+    h_max * a + c < 2**62 + 2**31
+    for h_max in (2**32 - 1,)
+    for a, c in PERM_AC
+)
 
 
 def permutation_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -650,8 +650,8 @@ ORACLES["cdcgen_source_roundtrip"] = f"""
     rec AS (
         SELECT CASE i % 3 WHEN 0 THEN 'orders' WHEN 1 THEN 'customer'
                           ELSE 'lineitem' END AS table_name,
-               CASE i % 4 WHEN 0 THEN 'insert' WHEN 1 THEN 'update-insert'
-                          WHEN 2 THEN 'delete' ELSE 'insert' END AS action,
+               CASE i % 4 WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE-INSERT'
+                          WHEN 2 THEN 'DELETE' ELSE 'INSERT' END AS action,
                (i * i) % {97} AS v,
                strftime(TIMESTAMP '2024-01-01' + to_seconds(i),
                         '%Y-%m-%dT%H:%M:%S') AS ts

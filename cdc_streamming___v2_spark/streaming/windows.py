@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -641,7 +642,9 @@ def moments_stream(events: DataFrame) -> DataFrame:
         else:
             n, s, ss, seq = 0, 0, 0, 0
         for pdf in pdfs:
-            cents = (pdf["value"] * 100).round().astype("int64")
+            # HALF_UP to match the batch twins' F.round (pandas .round()
+            # is half-to-even); values are non-negative dollar amounts.
+            cents = np.floor(pdf["value"] * 100 + 0.5).astype("int64")
             n += int(len(cents))
             # object dtype: exact bigint arithmetic regardless of magnitude
             as_obj = cents.astype(object)
@@ -722,7 +725,9 @@ def sma_crossover_stream(events: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             days = pd.to_datetime(pdf["ts"]).dt.strftime("%Y-%m-%d")
-            cents = (pdf["value"] * 100).round().astype("int64")
+            # HALF_UP to match the batch twins' F.round (pandas .round()
+            # is half-to-even); values are non-negative dollar amounts.
+            cents = np.floor(pdf["value"] * 100 + 0.5).astype("int64")
             for d, c in zip(days, cents):
                 daymap[d] = daymap.get(d, 0) + int(c)
         seq += 1
