@@ -735,3 +735,78 @@ ORACLES["goldengate_envelope_roundtrip"] = """
     GROUP BY 1
 """
 QUERIES["goldengate_envelope_roundtrip"] = goldengate_envelope_roundtrip
+
+
+def sqlserver_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> flat SQL Server CDC change-table JSON records ->
+    parse_envelope_sqlserver -> routed payload decode -> per-action
+    rollup (seventh-producer coverage next to Datastream / Debezium /
+    GoldenGate / AWS DMS / Maxwell / Canal).
+
+    Exercises the adapter contract:
+    - ``__$operation`` from the key (okey % 4 -> 2/4/3/1) covers INSERT /
+      UPDATE-INSERT / DELETE plus an op-3 update-BEFORE image that must
+      dead-letter (NULL action) — applying it would double-apply every
+      update;
+    - the envelope is FLAT: payload_json is the whole line, and the
+      ``__$`` metadata keys vanish at the routed from_json decode because
+      no table schema declares them (no JSON rewriting);
+    - commit time arrives as ``__$commit_time`` on inserts/updates but
+      as the lsn_time_mapping name ``tran_end_time`` on deletes — the
+      coalesce fallback must recover both;
+    - object strips the ``dbo_`` capture-instance prefix.
+    """
+    from ..sources.cdc_schema import parse_envelope_sqlserver
+
+    o = load_table(spark, sf_dir, "orders")
+    op = F.element_at(
+        F.array(F.lit("2"), F.lit("4"), F.lit("3"), F.lit("1")),
+        (F.col("o_orderkey") % 4 + 1).cast("int"),
+    )
+    is_delete = F.col("o_orderkey") % 4 == 3
+    ts = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSS")
+    body = F.struct(
+        op.alias("__$operation"),
+        F.lpad(F.hex(F.col("o_orderkey")), 20, "0").alias("__$start_lsn"),
+        F.lit("dbo_ORDERS_FEED").alias("__$capture_instance"),
+        F.when(~is_delete, ts).alias("__$commit_time"),
+        F.when(is_delete, ts).alias("tran_end_time"),
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    lines = o.select(F.to_json(body).alias("value"))
+    parsed = parse_envelope_sqlserver(lines)
+    routed = (
+        parsed.filter(F.col("action").isNotNull())
+        .filter(F.col("object") == "ORDERS_FEED")
+        .select(
+            "action",
+            F.to_timestamp("update_date_raw").alias("update_date"),
+            F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+        )
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
+ORACLES["sqlserver_cdc_roundtrip"] = """
+    SELECT CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 'INSERT'
+               WHEN 1 THEN 'UPDATE-INSERT'
+               ELSE 'DELETE' END AS action,
+           count(*) AS n_rows,
+           count(o_custkey) AS n_custkeys,
+           round(sum(o_totalprice), 2) AS revenue,
+           max(o_orderdate) AS last_update
+    FROM orders
+    WHERE o_orderkey % 4 != 2
+    GROUP BY 1
+"""
+QUERIES["sqlserver_cdc_roundtrip"] = sqlserver_cdc_roundtrip

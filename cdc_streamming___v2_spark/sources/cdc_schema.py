@@ -228,6 +228,77 @@ def parse_envelope_canal(
     )
 
 
+# SQL Server CDC __$operation codes -> canonical actions.  1 = delete,
+# 2 = insert, 4 = update AFTER image; 3 is the update BEFORE image — a
+# companion row that must NOT apply (the op-4 row carries the new state),
+# so it falls through to NULL action -> dead-letter, like OGG truncates.
+MSSQL_ACTIONS = (
+    ("1", "DELETE"),
+    ("2", "INSERT"),
+    ("4", "UPDATE-INSERT"),
+)
+
+
+def parse_envelope_sqlserver(
+    raw_lines: DataFrame,
+    line_col: str = "value",
+    default_table: str | None = None,
+) -> DataFrame:
+    """SQL Server CDC change-table records — the seventh producer — ->
+    the canonical envelope columns.
+
+    SQL Server's CDC contract (``cdc.fn_cdc_get_all_changes_*``) is FLAT:
+    the captured columns sit beside ``__$``-prefixed metadata
+    (``__$operation`` 1/2/3/4, ``__$start_lsn``, ``__$seqval``,
+    ``__$update_mask``); there is no nested row image.  Exporters add the
+    capture instance and the commit time (``sys.fn_cdc_map_lsn_to_time``
+    over ``__$start_lsn``) as ``__$capture_instance`` /
+    ``__$commit_time`` when shipping multi-table JSON streams.
+
+    - ``__$operation`` 1/2/4 -> DELETE / INSERT / UPDATE-INSERT; 3 (the
+      update BEFORE image) and anything else -> NULL action ->
+      dead-letter.  Flat deletes carry the full last-known row — richer
+      than the reference's blank-row DELETE, same as the Debezium path.
+    - payload = the WHOLE line: the envelope is flat, and the routed
+      ``from_json(payload_json, table_schema)`` decode drops the ``__$``
+      metadata keys for free because they are not in any table schema —
+      no JSON rewriting needed.
+    - ``__$commit_time`` (fallback ``tran_end_time``, the
+      lsn_time_mapping column name) -> update_date_raw verbatim (already
+      ``yyyy-MM-dd HH:mm:ss[.SSS...]``).
+    - object = ``__$capture_instance`` with the ``dbo_`` schema prefix
+      stripped (capture instances default to ``schema_table``), falling
+      back to ``default_table`` for single-table exports.
+    """
+    line = F.col(line_col)
+    parsed = raw_lines.select(
+        F.json_tuple(
+            line,
+            "__$operation",
+            "__$capture_instance",
+            "__$commit_time",
+            "tran_end_time",
+        ).alias("op", "capture", "commit_ts", "tran_ts"),
+        line.alias("raw"),
+    )
+    action: Column = F.lit(None).cast("string")
+    for code, act in MSSQL_ACTIONS:
+        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+    obj = F.coalesce(
+        F.regexp_replace(F.col("capture"), "^dbo_", ""),
+        F.lit(default_table).cast("string"),
+    )
+    return parsed.select(
+        obj.alias("object"),
+        action.alias("action"),
+        F.coalesce(F.col("commit_ts"), F.col("tran_ts")).alias(
+            "update_date_raw"
+        ),
+        F.col("raw").alias("payload_json"),
+        "raw",
+    )
+
+
 def parse_envelope_auto(
     raw_lines: DataFrame, line_col: str = "value"
 ) -> DataFrame:
@@ -240,6 +311,8 @@ def parse_envelope_auto(
       ``$.payload``);
     - GoldenGate iff it has an ``op_type`` field;
     - AWS DMS iff it has ``$.metadata.operation``;
+    - SQL Server CDC iff it has a ``__$operation`` field (the flat
+      change-table contract);
     - Canal iff it has a ``type`` field AND ``$.data[0]`` resolves (data
       is an ARRAY — get_json_object's [0] path is null on objects);
     - Maxwell iff it has ``type`` + object-shaped ``data``;
@@ -264,11 +337,18 @@ def parse_envelope_auto(
         & ~is_ogg
         & F.get_json_object(line, "$.metadata.operation").isNotNull()
     )
+    is_mssql = (
+        ~is_dbz
+        & ~is_ogg
+        & ~is_dms
+        & F.get_json_object(line, "$.__$operation").isNotNull()
+    )
     has_type = F.get_json_object(line, "$.type").isNotNull()
     is_canal = (
         ~is_dbz
         & ~is_ogg
         & ~is_dms
+        & ~is_mssql
         & has_type
         & F.get_json_object(line, "$.data[0]").isNotNull()
     )
@@ -276,21 +356,26 @@ def parse_envelope_auto(
         ~is_dbz
         & ~is_ogg
         & ~is_dms
+        & ~is_mssql
         & ~is_canal
         & has_type
         & F.get_json_object(line, "$.data").isNotNull()
     )
-    is_ds = ~is_dbz & ~is_ogg & ~is_dms & ~is_canal & ~is_maxwell
+    is_ds = (
+        ~is_dbz & ~is_ogg & ~is_dms & ~is_mssql & ~is_canal & ~is_maxwell
+    )
     ds = parse_envelope(raw_lines.filter(is_ds), line_col)
     dz = parse_envelope_debezium(raw_lines.filter(is_dbz), line_col)
     og = parse_envelope_goldengate(raw_lines.filter(is_ogg), line_col)
     dm = parse_envelope_aws_dms(raw_lines.filter(is_dms), line_col)
+    ms = parse_envelope_sqlserver(raw_lines.filter(is_mssql), line_col)
     mx = parse_envelope_maxwell(raw_lines.filter(is_maxwell), line_col)
     cn = parse_envelope_canal(raw_lines.filter(is_canal), line_col)
     return (
         ds.unionByName(dz)
         .unionByName(og)
         .unionByName(dm)
+        .unionByName(ms)
         .unionByName(mx)
         .unionByName(cn)
     )

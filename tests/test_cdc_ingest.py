@@ -1009,3 +1009,113 @@ def test_auto_dispatch_includes_goldengate(spark, tmp_path_factory):
     rows = hist.collect()
     # 1 datastream + 1 dbz + 1 maxwell + 2 canal batched + 1 dms + 1 ogg
     assert len(rows) == 7
+
+
+def _mssql(capture, op, ts, payload, ts_field="__$commit_time"):
+    rec = {
+        "__$operation": op,
+        "__$start_lsn": "0000003a0000001c0003",
+        "__$capture_instance": capture,
+        ts_field: ts,
+    }
+    if payload:
+        rec.update(payload)
+    return json.dumps(rec)
+
+
+MSSQL_LINES = [
+    _mssql("dbo_olist_produtos", 2, "2024-01-16 00:00:00.001", P3),
+    _mssql("dbo_olist_produtos", 4, "2024-01-17 00:00:00.002", P3_V2),
+    # deletes carry the full last-known row; commit time arrives under the
+    # lsn_time_mapping column name
+    _mssql("dbo_olist_produtos", 1, "2024-01-18 00:00:00.003", P4,
+           ts_field="tran_end_time"),
+    # op 3 = update BEFORE image: applying it would double-apply the
+    # update — must dead-letter (NULL action)
+    _mssql("dbo_olist_produtos", 3, "2024-01-17 00:00:00.002", P3),
+]
+
+
+def test_sqlserver_envelope_parses_and_dead_letters_before_image(spark):
+    from cdc_streamming___v2_spark.sources.cdc_schema import (
+        parse_envelope_sqlserver,
+    )
+
+    df = spark.createDataFrame([(l,) for l in MSSQL_LINES], "value string")
+    rows = parse_envelope_sqlserver(df).collect()
+    by_action = {r["action"]: r for r in rows}
+    assert set(by_action) == {"INSERT", "UPDATE-INSERT", "DELETE", None}
+    # dbo_ capture-instance prefix stripped for registry routing
+    assert all(r["object"] == "olist_produtos" for r in rows)
+    # flat envelope: payload is the whole line (metadata keys drop at the
+    # routed from_json decode because no table schema declares them)
+    assert "__$operation" in by_action["INSERT"]["payload_json"]
+    assert "p3" in by_action["INSERT"]["payload_json"]
+    # tran_end_time fallback recovered the delete commit time
+    assert by_action["DELETE"]["update_date_raw"] == "2024-01-18 00:00:00.003"
+    # default_table fallback for single-table exports without the
+    # capture-instance field
+    bare = json.dumps({"__$operation": 2, "__$commit_time":
+                       "2024-01-19 00:00:00.004", **P3})
+    df2 = spark.createDataFrame([(bare,)], "value string")
+    r2 = parse_envelope_sqlserver(df2, default_table="olist_produtos")
+    assert r2.collect()[0]["object"] == "olist_produtos"
+
+
+def test_auto_dispatch_includes_sqlserver(spark, tmp_path_factory):
+    """A mixed directory with all SEVEN producers' lines unifies under
+    envelope_format='auto'."""
+    root = tmp_path_factory.mktemp("cdc_mixed7")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "all.jsonl"), "w") as f:
+        f.write("\n".join(
+            [LINES[0], DBZ_LINES[0], MXW_LINES[0], CNL_LINES[0],
+             DMS_LINES[0], OGG_LINES[0], MSSQL_LINES[0]]
+        ) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="auto",
+    )
+    ing.run_available_single_pass()
+    hist = ing.history("olist_produtos")
+    rows = hist.collect()
+    # 1 datastream + 1 dbz + 1 maxwell + 2 canal batched + 1 dms + 1 ogg
+    # + 1 sqlserver
+    assert len(rows) == 8
+
+
+def test_sqlserver_e2e_ingest(spark, tmp_path_factory):
+    """envelope_format='sqlserver' end-to-end through registry routing,
+    payload decode (flat envelope: __$ keys dropped by the table schema),
+    enrich, and history."""
+    root = tmp_path_factory.mktemp("cdc_mssql_e2e")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "changes.jsonl"), "w") as f:
+        f.write("\n".join(MSSQL_LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="sqlserver",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    assert len(rows) == 3  # op-3 before image dead-lettered
+    actions = sorted(r["action"] for r in rows)
+    assert actions == ["DELETE", "INSERT", "UPDATE-INSERT"]
+    by_action = {r["action"]: r for r in rows}
+    # metadata keys dropped; payload columns decoded
+    assert by_action["INSERT"]["product_category_name"] == "tools"
+    assert by_action["DELETE"]["product_id"] == "p4"
