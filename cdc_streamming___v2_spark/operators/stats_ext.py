@@ -3583,3 +3583,554 @@ ORACLES["cmh_pooled_odds"] = f"""
                AS or_mh
     FROM terms
 """
+
+
+# --------------------------------------------------------------------------
+# round 6, wave AS — structural break, multivariate outliers, demand
+# variability classes, multiple-testing control
+# --------------------------------------------------------------------------
+
+
+def chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test on the daily-revenue linear trend at a
+    pinned break date (1998-01-01): pooled OLS of daily revenue on the day
+    index vs separate pre/post fits, F = ((SSE_p - SSE_1 - SSE_2)/2) /
+    ((SSE_1 + SSE_2)/(n - 4)).
+
+    Every moment (n, St, Stt, Sx, Stx, Sxx per segment) is an exact
+    integer (cents x day-index grid) folded in decimal(38,0) via
+    conditional sums over the calendar-bounded daily frame; the F
+    statistic is a single float expression over the exact moments,
+    written identically in both engines (the granger_leadlag /
+    ols_two_feature shape).  Completes the trend-diagnostics row next to
+    durbin_watson_trend / newey_west_trend_se: those audit residual
+    autocorrelation, this audits parameter stability.
+
+    Scale: one map-side-combined reduce of orders to the bounded daily
+    frame, one 13-column aggregate — no window, no join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long").cast(_DEC))
+        .alias("x")
+    )
+    d = daily.select(
+        F.datediff(F.col("day"), F.to_date(F.lit("1995-01-01")))
+        .cast(_DEC)
+        .alias("t"),
+        "x",
+        (F.col("day") < F.lit("1998-01-01")).alias("pre"),
+    )
+
+    def seg(flag, name):
+        c = F.when(F.col("pre") == flag, F.lit(1)).otherwise(F.lit(0)).cast(_DEC)
+        return [
+            F.sum(c).alias(f"n{name}"),
+            F.sum(c * F.col("t")).alias(f"st{name}"),
+            F.sum(c * F.col("t") * F.col("t")).alias(f"stt{name}"),
+            F.sum(c * F.col("x")).alias(f"sx{name}"),
+            F.sum(c * F.col("t") * F.col("x")).alias(f"stx{name}"),
+            F.sum(c * F.col("x") * F.col("x")).alias(f"sxx{name}"),
+        ]
+
+    mom = d.agg(*(seg(True, "1") + seg(False, "2")))
+
+    def sse(n, st, stt, sx, stx, sxx):
+        ctt = stt - st * st / n
+        ctx = stx - st * sx / n
+        cxx = sxx - sx * sx / n
+        return cxx - ctx * ctx / ctt, ctx / ctt
+
+    c = {k: F.col(k).cast("double") for k in
+         ("n1", "st1", "stt1", "sx1", "stx1", "sxx1",
+          "n2", "st2", "stt2", "sx2", "stx2", "sxx2")}
+    sse1, slope1 = sse(c["n1"], c["st1"], c["stt1"], c["sx1"], c["stx1"],
+                       c["sxx1"])
+    sse2, slope2 = sse(c["n2"], c["st2"], c["stt2"], c["sx2"], c["stx2"],
+                       c["sxx2"])
+    ssep, _ = sse(c["n1"] + c["n2"], c["st1"] + c["st2"],
+                  c["stt1"] + c["stt2"], c["sx1"] + c["sx2"],
+                  c["stx1"] + c["stx2"], c["sxx1"] + c["sxx2"])
+    fstat = ((ssep - sse1 - sse2) / 2.0) / (
+        (sse1 + sse2) / (c["n1"] + c["n2"] - 4.0)
+    )
+    return mom.select(
+        F.col("n1").cast("long").alias("n_pre"),
+        F.col("n2").cast("long").alias("n_post"),
+        F.round(slope1 / 100.0, 6).alias("slope_pre_usd_per_day"),
+        F.round(slope2 / 100.0, 6).alias("slope_post_usd_per_day"),
+        F.round(fstat, 6).alias("f_chow"),
+        (fstat > F.lit(4.61)).alias("break_at_99"),
+    )
+
+
+ORACLES["chow_break_test"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    d AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS HUGEINT)
+                   AS t,
+               x, day < DATE '1998-01-01' AS pre
+        FROM daily
+    ),
+    mom AS (
+        SELECT sum(CASE WHEN pre THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN pre THEN t ELSE 0 END) AS st1,
+               sum(CASE WHEN pre THEN t * t ELSE 0 END) AS stt1,
+               sum(CASE WHEN pre THEN x ELSE 0 END) AS sx1,
+               sum(CASE WHEN pre THEN t * x ELSE 0 END) AS stx1,
+               sum(CASE WHEN pre THEN x * x ELSE 0 END) AS sxx1,
+               sum(CASE WHEN pre THEN 0 ELSE 1 END) AS n2,
+               sum(CASE WHEN pre THEN 0 ELSE t END) AS st2,
+               sum(CASE WHEN pre THEN 0 ELSE t * t END) AS stt2,
+               sum(CASE WHEN pre THEN 0 ELSE x END) AS sx2,
+               sum(CASE WHEN pre THEN 0 ELSE t * x END) AS stx2,
+               sum(CASE WHEN pre THEN 0 ELSE x * x END) AS sxx2
+        FROM d
+    ),
+    f AS (
+        SELECT CAST(n1 AS DOUBLE) AS n1, CAST(st1 AS DOUBLE) AS st1,
+               CAST(stt1 AS DOUBLE) AS stt1, CAST(sx1 AS DOUBLE) AS sx1,
+               CAST(stx1 AS DOUBLE) AS stx1, CAST(sxx1 AS DOUBLE) AS sxx1,
+               CAST(n2 AS DOUBLE) AS n2, CAST(st2 AS DOUBLE) AS st2,
+               CAST(stt2 AS DOUBLE) AS stt2, CAST(sx2 AS DOUBLE) AS sx2,
+               CAST(stx2 AS DOUBLE) AS stx2, CAST(sxx2 AS DOUBLE) AS sxx2
+        FROM mom
+    ),
+    s AS (
+        SELECT n1, n2,
+               ((sxx1 - sx1 * sx1 / n1)
+                - (stx1 - st1 * sx1 / n1) * (stx1 - st1 * sx1 / n1)
+                  / (stt1 - st1 * st1 / n1)) AS sse1,
+               (stx1 - st1 * sx1 / n1) / (stt1 - st1 * st1 / n1) AS slope1,
+               ((sxx2 - sx2 * sx2 / n2)
+                - (stx2 - st2 * sx2 / n2) * (stx2 - st2 * sx2 / n2)
+                  / (stt2 - st2 * st2 / n2)) AS sse2,
+               (stx2 - st2 * sx2 / n2) / (stt2 - st2 * st2 / n2) AS slope2,
+               (((sxx1 + sxx2) - (sx1 + sx2) * (sx1 + sx2) / (n1 + n2))
+                - ((stx1 + stx2) - (st1 + st2) * (sx1 + sx2) / (n1 + n2))
+                  * ((stx1 + stx2) - (st1 + st2) * (sx1 + sx2) / (n1 + n2))
+                  / ((stt1 + stt2) - (st1 + st2) * (st1 + st2) / (n1 + n2)))
+                   AS ssep
+        FROM f
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
+           round(slope1 / 100.0, 6) AS slope_pre_usd_per_day,
+           round(slope2 / 100.0, 6) AS slope_post_usd_per_day,
+           round(((ssep - sse1 - sse2) / 2.0)
+                 / ((sse1 + sse2) / (n1 + n2 - 4.0)), 6) AS f_chow,
+           ((ssep - sse1 - sse2) / 2.0)
+               / ((sse1 + sse2) / (n1 + n2 - 4.0)) > 4.61 AS break_at_99
+    FROM s
+"""
+QUERIES["chow_break_test"] = chow_break_test
+
+
+def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate outlier screen: per-customer (total spend, order count)
+    scored by squared Mahalanobis distance against the global 2x2
+    covariance, reported per market segment — the correlation-aware
+    companion of mad_outliers (which screens one dimension at a time and
+    misses points that are unremarkable marginally but off the joint
+    ellipse).
+
+    Exactness: customer features are exact integers (spend cents, order
+    count); the five global moments fold in decimal(38,0); the centered
+    quantities u = n*x - Sx, v = n*y - Sy and the scatter matrix
+    C11 = n*Sxx - Sx^2, C22 = n*Syy - Sy^2, C12 = n*Sxy - Sx*Sy are exact
+    decimals (n-scaled so no division happens before the final
+    expression).  d^2 = (u^2*C22 - 2uv*C12 + v^2*C11) / (C11*C22 - C12^2)
+    — the n-scalings cancel — is ONE float expression over those exact
+    integers, written identically in both engines; the chi2(2, 0.999) =
+    13.8155 membership test runs on that bit-identical double.  Products
+    above C-entry magnitude stay in double (decimal(38,0) would overflow
+    at a 10x replica corpus, the cramer_von_mises lesson).
+
+    Scale: one reduce of orders to the customer frame, one 6-cell global
+    aggregate broadcast back (scalar cross join), one segment rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast(_DEC)
+        .alias("x"),
+        F.count(F.lit(1)).cast(_DEC).alias("y"),
+    )
+    mom = cust.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    j = cust.crossJoin(F.broadcast(mom))
+    u = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
+    v = (F.col("n") * F.col("y") - F.col("sy")).cast("double")
+    c11 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    c22 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    c12 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    d2 = (u * u * c22 - 2.0 * u * v * c12 + v * v * c11) / (
+        c11 * c22 - c12 * c12
+    )
+    scored = j.select(
+        "o_custkey", d2.alias("d2"), (d2 > F.lit(13.8155)).alias("is_out")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        scored.join(c, scored.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("is_out"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max("d2"), 6).alias("max_d2"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLES["mahalanobis_outliers_2d"] = """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS x,
+               CAST(count(*) AS HUGEINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM cust
+    ),
+    scored AS (
+        SELECT o_custkey,
+               (CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)
+                - 2.0 * CAST(n * x - sx AS DOUBLE)
+                  * CAST(n * y - sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                + CAST(n * y - sy AS DOUBLE) * CAST(n * y - sy AS DOUBLE)
+                  * CAST(n * sxx - sx * sx AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    * CAST(n * sxy - sx * sy AS DOUBLE)) AS d2
+        FROM cust, mom
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CASE WHEN d2 > 13.8155 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(max(d2), 6) AS max_d2
+    FROM scored JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["mahalanobis_outliers_2d"] = mahalanobis_outliers_2d
+
+
+def xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification per brand — the
+    coefficient-of-variation companion of abc_classification (ABC ranks
+    by value, XYZ by forecastability; together they drive stocking policy
+    with eoq_reorder_policy).
+
+    Per brand, weekly demand over the GLOBAL week calendar W (weeks
+    between the corpus min and max ship week; zero-demand weeks enter the
+    variance through the pinned count, never materialized — the eoq
+    precedent): CV^2 = sigma^2 / mu^2 = (W*Sxx - Sx^2) / Sx^2 with Sx =
+    total quantity and Sxx = sum of squared weekly quantities, all exact
+    integers.  Class membership is flip-proof cross-multiplied integer
+    arithmetic: X iff 4*(W*Sxx - Sx^2) < Sx^2 (CV < 0.5), Y iff
+    (W*Sxx - Sx^2) < Sx^2 (CV < 1), else Z — no float ever decides a
+    class; CV^2 itself is ONE division of exact integers per brand.
+
+    Scale: lineitem x broadcast part reduces once to the (brand x
+    active-week) frame, then to one row per brand; the week count is a
+    2-cell global aggregate (scalar cross join).  The output is the
+    vocabulary-bounded ~25-row brand frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bw = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
+            F.round(F.col("l_quantity")).cast("long").alias("q"),
+        )
+        .groupBy("p_brand", "wk")
+        .agg(F.sum("q").cast(_DEC).alias("wq"))
+    )
+    wspan = li.agg(
+        (
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.max("l_shipdate")),
+                    F.date_trunc("week", F.min("l_shipdate")),
+                )
+                / 7
+            )
+            + 1
+        )
+        .cast(_DEC)
+        .alias("w")
+    )
+    per_brand = (
+        bw.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("active_weeks"),
+            F.sum("wq").alias("sx"),
+            F.sum(F.col("wq") * F.col("wq")).alias("sxx"),
+        )
+        .crossJoin(F.broadcast(wspan))
+    )
+    a = F.col("w") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b = F.col("sx") * F.col("sx")
+    cls = (
+        F.when(a * 4 < b, F.lit("X"))
+        .when(a < b, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+    )
+    return per_brand.select(
+        "p_brand",
+        cls.alias("xyz_class"),
+        F.col("active_weeks").cast("long").alias("active_weeks"),
+        F.col("sx").cast("long").alias("total_qty"),
+        F.round(a.cast("double") / b.cast("double"), 6).alias("cv2"),
+    ).orderBy("p_brand")
+
+
+ORACLES["xyz_classification"] = """
+    WITH bw AS (
+        SELECT p_brand, date_trunc('week', l_shipdate) AS wk,
+               CAST(sum(CAST(round(l_quantity) AS HUGEINT)) AS HUGEINT)
+                   AS wq
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    wspan AS (
+        SELECT CAST(date_diff('day',
+                              date_trunc('week', min(l_shipdate)),
+                              date_trunc('week', max(l_shipdate))) // 7
+                    + 1 AS HUGEINT) AS w
+        FROM lineitem
+    ),
+    per_brand AS (
+        SELECT p_brand, count(*) AS active_weeks,
+               sum(wq) AS sx, sum(wq * wq) AS sxx
+        FROM bw GROUP BY 1
+    )
+    SELECT p_brand,
+           CASE WHEN (w * sxx - sx * sx) * 4 < sx * sx THEN 'X'
+                WHEN (w * sxx - sx * sx) < sx * sx THEN 'Y'
+                ELSE 'Z' END AS xyz_class,
+           CAST(active_weeks AS BIGINT) AS active_weeks,
+           CAST(sx AS BIGINT) AS total_qty,
+           round(CAST(w * sxx - sx * sx AS DOUBLE)
+                 / CAST(sx * sx AS DOUBLE), 6) AS cv2
+    FROM per_brand, wspan
+    ORDER BY p_brand
+"""
+QUERIES["xyz_classification"] = xyz_classification
+
+
+# BH-FDR permutation family: 30-bit multipliers (32-bit hash x 30-bit a
+# + 31-bit c stays < 2^62 + 2^31 — the permutation_test_lift headroom rule).
+BH_B = 32
+BH_P = 4294967311
+BH_Q100 = 10  # q = 0.10
+BH_AC = [
+    (
+        ((48271 * (b + 377) + 12345) % 1073741789) | 1,
+        (40692 * (b + 377) + 1234567) % 2147483647,
+    )
+    for b in range(BH_B)
+]
+assert all(a * (2**32 - 1) + c < 2**62 + 2**31 for a, c in BH_AC)
+
+
+def bh_fdr_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over per-brand permutation tests —
+    the multiple-testing layer the per-test tier (welch_t_test,
+    permutation_test_lift) stops short of: screening all ~25 brands for a
+    treatment effect at once inflates false positives unless the p-values
+    are jointly controlled.
+
+    Per brand, the same erf-free machinery as permutation_test_lift:
+    treatment = even l_orderkey, response = extendedprice cents, B = 32
+    label permutations drawn as parity bits of a universal hash family
+    over ONE md5 per row (hashed on l_orderkey, so permuted labels stay
+    constant within an order — cluster-consistent permutation), p_brand =
+    (1 + #{|perm diff| >= |observed diff|}) / (B + 1).
+
+    The BH step is exact integer arithmetic end to end: p-values are
+    rationals with denominator B+1, brands rank by (k, brand) — a total
+    order, so the cutoff is engine-independent — and the step-up test
+    p_(i) <= i*q/m cross-multiplies to (1+k_i)*m*BH_Q100 <= i*(B+1)*100
+    with q = 0.10.  reject = rank <= max passing rank: the standard
+    step-up closure, computed with one max over the m-row brand frame.
+
+    Scale: ONE pass over lineitem x broadcast part computing 2 + 2B
+    integer partial aggregates per brand (no explode, no per-permutation
+    shuffle); everything after runs on the m-row (~25) brand frame.
+    """
+    from ..functions.texts import md5_hash_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        (F.col("l_orderkey") % 2 == 0).alias("treat"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        md5_hash_long(F.col("l_orderkey").cast("string")).alias("h"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).alias("n1o"),
+        F.sum(F.when(F.col("treat"), F.col("cents")).otherwise(0)).alias(
+            "s1o"
+        ),
+    ]
+    for b in range(BH_B):
+        a_b, c_b = BH_AC[b]
+        bit = ((F.col("h") * a_b + c_b) % BH_P) % 2 == 0
+        aggs.append(F.sum(F.when(bit, 1).otherwise(0)).alias(f"n{b}"))
+        aggs.append(
+            F.sum(F.when(bit, F.col("cents")).otherwise(0)).alias(f"c{b}")
+        )
+    wide = rows.groupBy("p_brand").agg(*aggs)
+
+    def _diff(s1, n1, s, n):
+        m1 = s1.cast("double") / n1.cast("double")
+        m0 = (s - s1).cast("double") / (n - n1).cast("double")
+        return (m1 - m0) / 100.0
+
+    obs = _diff(F.col("s1o"), F.col("n1o"), F.col("s"), F.col("n"))
+    wide = wide.withColumn("obs", obs)
+    diffs = [
+        _diff(F.col(f"c{b}"), F.col(f"n{b}"), F.col("s"), F.col("n")).alias(
+            f"d{b}"
+        )
+        for b in range(BH_B)
+    ]
+    wide = wide.select("p_brand", "n", "obs", *diffs)
+    stack = ", ".join(f"{b}, d{b}" for b in range(BH_B))
+    perms = wide.selectExpr(
+        "p_brand", "n", "obs", f"stack({BH_B}, {stack}) AS (b, d)"
+    )
+    k = perms.groupBy("p_brand", "n", "obs").agg(
+        F.sum(F.when(F.abs(F.col("d")) >= F.abs(F.col("obs")), 1).otherwise(0))
+        .cast("long")
+        .alias("k_exceed")
+    )
+    m = k.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    kb = k.crossJoin(F.broadcast(m))
+    wr = Window.partitionBy().orderBy("k_exceed", "p_brand")
+    ranked = kb.withColumn("bh_rank", F.row_number().over(wr)).withColumn(
+        "passes",
+        (F.lit(1) + F.col("k_exceed")) * F.col("m") * F.lit(BH_Q100)
+        <= F.col("bh_rank") * F.lit(BH_B + 1) * F.lit(100),
+    )
+    wall = Window.partitionBy()
+    cutoff = F.max(F.when(F.col("passes"), F.col("bh_rank")).otherwise(0)).over(
+        wall
+    )
+    return (
+        ranked.withColumn("rejected", F.col("bh_rank") <= cutoff)
+        .select(
+            "p_brand",
+            F.col("n").cast("long").alias("n_rows"),
+            "k_exceed",
+            F.round((F.lit(1) + F.col("k_exceed")) / F.lit(BH_B + 1), 6)
+            .alias("p_perm"),
+            "bh_rank",
+            "rejected",
+        )
+        .orderBy("bh_rank", "p_brand")
+    )
+
+
+def _bh_oracle() -> str:
+    h = "CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)"
+    cols = [
+        "p_brand",
+        "CAST(count(*) AS BIGINT) AS n",
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s",
+        "sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n1o",
+        "sum(CASE WHEN l_orderkey % 2 = 0"
+        " THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END)"
+        " AS s1o",
+    ]
+    for b in range(BH_B):
+        a_b, c_b = BH_AC[b]
+        bit = f"(({h} * {a_b} + {c_b}) % {BH_P}) % 2 = 0"
+        cols.append(f"sum(CASE WHEN {bit} THEN 1 ELSE 0 END) AS n{b}")
+        cols.append(
+            f"sum(CASE WHEN {bit}"
+            f" THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END)"
+            f" AS c{b}"
+        )
+    sel = ", ".join(cols)
+
+    def diff(s1, n1):
+        return (
+            f"(CAST({s1} AS DOUBLE) / CAST({n1} AS DOUBLE)"
+            f" - CAST(s - {s1} AS DOUBLE) / CAST(n - {n1} AS DOUBLE)) / 100.0"
+        )
+
+    terms = " + ".join(
+        f"CASE WHEN abs({diff(f'c{b}', f'n{b}')})"
+        f" >= abs({diff('s1o', 'n1o')}) THEN 1 ELSE 0 END"
+        for b in range(BH_B)
+    )
+    return f"""
+    WITH wide AS (
+        SELECT {sel}
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    ),
+    k AS (
+        SELECT p_brand, n, ({terms}) AS k_exceed FROM wide
+    ),
+    m AS (SELECT count(*) AS m FROM k),
+    ranked AS (
+        SELECT p_brand, n, k_exceed, m,
+               row_number() OVER (ORDER BY k_exceed, p_brand) AS bh_rank
+        FROM k, m
+    ),
+    flagged AS (
+        SELECT *,
+               (1 + k_exceed) * m * {BH_Q100}
+                   <= bh_rank * {BH_B + 1} * 100 AS passes
+        FROM ranked
+    ),
+    cut AS (
+        SELECT coalesce(max(CASE WHEN passes THEN bh_rank END), 0) AS cutoff
+        FROM flagged
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+           CAST(k_exceed AS BIGINT) AS k_exceed,
+           round((1 + k_exceed) / CAST({BH_B + 1} AS DOUBLE), 6) AS p_perm,
+           CAST(bh_rank AS BIGINT) AS bh_rank,
+           bh_rank <= cutoff AS rejected
+    FROM flagged, cut
+    ORDER BY bh_rank, p_brand
+    """
+
+
+ORACLES["bh_fdr_brand_lift"] = _bh_oracle()
+QUERIES["bh_fdr_brand_lift"] = bh_fdr_brand_lift
