@@ -4134,3 +4134,393 @@ def _bh_oracle() -> str:
 
 ORACLES["bh_fdr_brand_lift"] = _bh_oracle()
 QUERIES["bh_fdr_brand_lift"] = bh_fdr_brand_lift
+
+
+# --------------------------------------------------------------------------
+# round 6, wave AT — rank-test completions: paired (Wilcoxon signed-rank),
+# blocked k-sample (Friedman), and the Kruskal-Wallis post-hoc (Dunn)
+# --------------------------------------------------------------------------
+
+
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED companion of mann_whitney_u:
+    did daily revenue shift between 1996 and 1997, pairing each calendar
+    (month, day) across the two years?  W+ = sum of |delta| midranks over
+    positive deltas, tie-corrected variance, continuity-corrected z.
+
+    Exactness: deltas are exact cent integers; zero deltas drop (the
+    standard treatment); doubled midranks 2r = 2*cum - n_t + 1 over the
+    |delta| grid keep every rank integral, so W2 = 2*W+ and the centered
+    numerator W2 - n(n+1)/2 are exact decimal(38,0) integers.  The only
+    float ops are the final division and sqrt (single scalar expression,
+    identical both engines).
+
+    Scale: orders reduce once to the calendar-bounded daily frame; the
+    pair join and rank window run on <= 366 rows at any corpus size.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    y96 = daily.filter(F.year("day") == 1996).select(
+        F.month("day").alias("m"), F.dayofmonth("day").alias("d"),
+        F.col("x").alias("xa"),
+    )
+    y97 = daily.filter(F.year("day") == 1997).select(
+        F.month("day").alias("m"), F.dayofmonth("day").alias("d"),
+        F.col("x").alias("xb"),
+    )
+    pairs = (
+        y96.join(y97, ["m", "d"])
+        .select((F.col("xa") - F.col("xb")).alias("delta"))
+        .filter(F.col("delta") != 0)
+    )
+    g = pairs.groupBy(F.abs(F.col("delta")).alias("ad")).agg(
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("na"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    w = Window.partitionBy().orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.withColumn(
+        "rank2", F.lit(2) * F.sum("nt").over(w) - F.col("nt") + F.lit(1)
+    )
+    s = r.agg(
+        F.sum("nt").cast(_DEC).alias("n"),
+        F.sum(F.col("na").cast(_DEC) * F.col("rank2").cast(_DEC)).alias("w2"),
+        F.sum(
+            F.col("nt").cast(_DEC) * F.col("nt").cast(_DEC)
+            * F.col("nt").cast(_DEC)
+            - F.col("nt").cast(_DEC)
+        ).alias("tsum"),
+    )
+    n = F.col("n")
+    num2 = F.col("w2") - n * (n + 1) / 2
+    var_w = (
+        (n * (n + 1) * (2 * n + 1)).cast("double") / F.lit(24.0)
+        - F.col("tsum").cast("double") / F.lit(48.0)
+    )
+    z = (num2.cast("double") - F.signum(num2.cast("double"))) / (
+        F.lit(2.0) * F.sqrt(var_w)
+    )
+    return s.select(
+        n.cast("long").alias("n_pairs"),
+        F.round(F.col("w2").cast("double") / 2.0, 1).alias("w_plus"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(num2 > 0, F.lit("1997-lower"))
+        .when(num2 < 0, F.lit("1997-higher"))
+        .otherwise(F.lit("no-shift"))
+        .alias("direction"),
+    )
+
+
+ORACLES["wilcoxon_signed_rank"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.x - b.x AS delta
+        FROM daily a JOIN daily b
+          ON month(a.day) = month(b.day) AND day(a.day) = day(b.day)
+        WHERE year(a.day) = 1996 AND year(b.day) = 1997 AND a.x != b.x
+    ),
+    g AS (
+        SELECT abs(delta) AS ad,
+               sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS na,
+               count(*) AS nt
+        FROM pairs GROUP BY 1
+    ),
+    r AS (
+        SELECT na, nt,
+               2 * sum(nt) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW)
+                 - nt + 1 AS rank2
+        FROM g
+    ),
+    s AS (
+        SELECT sum(nt) AS n, sum(na * rank2) AS w2,
+               sum(nt * nt * nt - nt) AS tsum
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(w2 AS DOUBLE) / 2.0, 1) AS w_plus,
+           round((CAST(w2 - n * (n + 1) / 2 AS DOUBLE)
+                  - sign(CAST(w2 - n * (n + 1) / 2 AS DOUBLE)))
+                 / (2.0 * sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE)
+                               / 24.0
+                               - CAST(tsum AS DOUBLE) / 48.0)), 4)
+               AS z_stat,
+           CASE WHEN w2 - n * (n + 1) / 2 > 0 THEN '1997-lower'
+                WHEN w2 - n * (n + 1) / 2 < 0 THEN '1997-higher'
+                ELSE 'no-shift' END AS direction
+    FROM s
+"""
+QUERIES["wilcoxon_signed_rank"] = wilcoxon_signed_rank
+
+
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the BLOCKED k-sample companion of kruskal_wallis:
+    does purchase revenue differ by ISO weekday once week-to-week level
+    shifts are blocked out?  Blocks = complete ISO weeks (all 7 days
+    observed) of the events window, treatments = weekdays 1..7; within
+    each week the 7 daily revenues get midranks and the tie-corrected
+    statistic is chi2 = (k-1) * sum_j (R_j - n(k+1)/2)^2 / (A - C).
+
+    Exactness: doubled midranks 2r = 2*cum - n_t + 1 (computed per week
+    on <= 7-row partitions) keep every cell integral; with doubled ranks
+    the statistic collapses to chi2 = (k-1) * S2 / D2 with
+    S2 = sum_j (R2_j - n(k+1))^2 and D2 = A2 - n*k*(k+1)^2 both exact
+    decimal(38,0) integers — ONE float division total, and the
+    significance verdict cross-multiplies (k-1)*S2*1000 > 12592*D2
+    (chi2_crit(df=6, .05) = 12.592) so no float decides it.
+
+    Scale: events reduce once to the calendar-bounded daily frame; rank
+    windows are 7-row partitions (perfectly parallel); the weekday rollup
+    is a 7-row frame.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    d = daily.select(
+        F.date_trunc("week", F.col("day")).alias("wk"),
+        (F.expr("weekday(day)") + 1).alias("dow"),
+        "x",
+    )
+    wcnt = Window.partitionBy("wk")
+    full = d.withColumn("ndays", F.count(F.lit(1)).over(wcnt)).filter(
+        F.col("ndays") == 7
+    )
+    g = full.groupBy("wk", "x").agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.collect_list("dow").alias("dows"),
+    )
+    ww = Window.partitionBy("wk").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.withColumn(
+        "rank2", F.lit(2) * F.sum("nt").over(ww) - F.col("nt") + F.lit(1)
+    ).select("wk", "rank2", "nt", F.explode("dows").alias("dow"))
+    per_dow = r.groupBy("dow").agg(
+        F.sum(F.col("rank2").cast(_DEC)).alias("r2j"),
+        F.sum(
+            F.col("rank2").cast(_DEC) * F.col("rank2").cast(_DEC)
+        ).alias("a2j"),
+        F.count(F.lit(1)).cast(_DEC).alias("nweeks"),
+    )
+    stat = per_dow.agg(
+        F.max("nweeks").alias("n"),
+        F.count(F.lit(1)).cast(_DEC).alias("k"),
+        F.sum("a2j").alias("a2"),
+        F.sum(
+            (F.col("r2j") - F.col("nweeks") * 8)
+            * (F.col("r2j") - F.col("nweeks") * 8)
+        ).alias("s2"),
+    )
+    n, k = F.col("n"), F.col("k")
+    d2 = F.col("a2") - n * k * (k + 1) * (k + 1)
+    chi2 = (k - 1).cast("double") * F.col("s2").cast("double") / d2.cast(
+        "double"
+    )
+    return stat.select(
+        n.cast("long").alias("n_weeks"),
+        k.cast("long").alias("k_treatments"),
+        F.round(chi2, 6).alias("chi2"),
+        ((k - 1) * F.col("s2") * 1000 > d2 * 12592).alias("significant_05"),
+    )
+
+
+ORACLES["friedman_test"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (
+        SELECT date_trunc('week', day) AS wk, isodow(day) AS dow, x
+        FROM daily
+    ),
+    full_wk AS (
+        SELECT * FROM (
+            SELECT d.*, count(*) OVER (PARTITION BY wk) AS ndays FROM d
+        ) WHERE ndays = 7
+    ),
+    g AS (
+        SELECT wk, x, count(*) AS nt, list(dow) AS dows
+        FROM full_wk GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT wk,
+               2 * sum(nt) OVER (PARTITION BY wk ORDER BY x
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - nt + 1 AS rank2,
+               unnest(dows) AS dow
+        FROM g
+    ),
+    per_dow AS (
+        SELECT dow, sum(rank2) AS r2j, sum(rank2 * rank2) AS a2j,
+               count(*) AS nweeks
+        FROM r GROUP BY 1
+    ),
+    stat AS (
+        SELECT max(nweeks) AS n, count(*) AS k, sum(a2j) AS a2,
+               sum((r2j - nweeks * 8) * (r2j - nweeks * 8)) AS s2
+        FROM per_dow
+    )
+    SELECT CAST(n AS BIGINT) AS n_weeks, CAST(k AS BIGINT) AS k_treatments,
+           round(CAST((k - 1) * s2 AS DOUBLE)
+                 / CAST(a2 - n * k * (k + 1) * (k + 1) AS DOUBLE), 6)
+               AS chi2,
+           (k - 1) * s2 * 1000
+               > (a2 - n * k * (k + 1) * (k + 1)) * 12592 AS significant_05
+    FROM stat
+"""
+QUERIES["friedman_test"] = friedman_test
+
+
+def dunn_posthoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test — the pairwise follow-up kruskal_wallis stops
+    short of: WHICH event-type pairs differ, using the POOLED midranks of
+    the omnibus test (not per-pair reranking — that is what distinguishes
+    Dunn from running mann_whitney_u ten times) with a Bonferroni-style
+    fixed critical value.
+
+    z_ij = (Rbar_i - Rbar_j) / sqrt((N(N+1)/12 - T/(12(N-1))) *
+    (1/n_i + 1/n_j)), T = sum(t^3 - t) over pooled tie groups.
+
+    Exactness: one pooled doubled-midrank pass over the range-bounded
+    cent grid (the mann_whitney_u bound: <= ~33k rows at any SF); rank
+    sums R2_i, tie cubes and group sizes are exact decimal(38,0); z is a
+    single float expression over them, identical both engines; the
+    significance verdict compares |z| to the Bonferroni critical 2.807
+    (alpha = .05, 10 pairs) on that bit-identical double.
+
+    Scale: one groupBy to the (type, cent) grid + one grid-total window;
+    everything after runs on the 5-row type frame and its 10-row pair
+    frame (broadcast joins).
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    grid = g.groupBy("cv").agg(F.sum("cnt").alias("nt"))
+    w = Window.partitionBy().orderBy("cv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = grid.withColumn(
+        "rank2", F.lit(2) * F.sum("nt").over(w) - F.col("nt") + F.lit(1)
+    )
+    per_type = (
+        g.join(ranked.select("cv", "rank2"), "cv")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("cnt").cast(_DEC)).alias("ni"),
+            F.sum(F.col("cnt").cast(_DEC) * F.col("rank2").cast(_DEC)).alias(
+                "r2i"
+            ),
+        )
+    )
+    glob = ranked.agg(
+        F.sum(F.col("nt").cast(_DEC)).alias("nn"),
+        F.sum(
+            F.col("nt").cast(_DEC) * F.col("nt").cast(_DEC)
+            * F.col("nt").cast(_DEC)
+            - F.col("nt").cast(_DEC)
+        ).alias("tsum"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("ta"),
+        F.col("ni").alias("na"),
+        F.col("r2i").alias("r2a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("tb"),
+        F.col("ni").alias("nb"),
+        F.col("r2i").alias("r2b"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ta") < F.col("tb"))
+        .crossJoin(F.broadcast(glob))
+    )
+    nn = F.col("nn").cast("double")
+    mra = F.col("r2a").cast("double") / (2.0 * F.col("na").cast("double"))
+    mrb = F.col("r2b").cast("double") / (2.0 * F.col("nb").cast("double"))
+    sig2 = (
+        nn * (nn + 1.0) / 12.0
+        - F.col("tsum").cast("double") / (12.0 * (nn - 1.0))
+    )
+    z = (mra - mrb) / F.sqrt(
+        sig2
+        * (
+            1.0 / F.col("na").cast("double")
+            + 1.0 / F.col("nb").cast("double")
+        )
+    )
+    return pairs.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mra, 4).alias("mean_rank_a"),
+        F.round(mrb, 4).alias("mean_rank_b"),
+        F.round(z, 4).alias("z_dunn"),
+        (F.abs(z) > F.lit(2.807)).alias("significant_05_bonf"),
+    ).orderBy("type_a", "type_b")
+
+
+ORACLES["dunn_posthoc_pairs"] = """
+    WITH g AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (SELECT cv, sum(cnt) AS nt FROM g GROUP BY 1),
+    ranked AS (
+        SELECT cv,
+               2 * sum(nt) OVER (ORDER BY cv ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) - nt + 1
+                   AS rank2,
+               nt
+        FROM grid
+    ),
+    per_type AS (
+        SELECT event_type, sum(cnt) AS ni, sum(cnt * rank2) AS r2i
+        FROM g JOIN ranked USING (cv)
+        GROUP BY 1
+    ),
+    gstats AS (
+        SELECT sum(nt) AS nn, sum(nt * nt * nt - nt) AS tsum FROM ranked
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(a.ni AS BIGINT) AS n_a, CAST(b.ni AS BIGINT) AS n_b,
+           round(CAST(a.r2i AS DOUBLE) / (2.0 * CAST(a.ni AS DOUBLE)), 4)
+               AS mean_rank_a,
+           round(CAST(b.r2i AS DOUBLE) / (2.0 * CAST(b.ni AS DOUBLE)), 4)
+               AS mean_rank_b,
+           round((CAST(a.r2i AS DOUBLE) / (2.0 * CAST(a.ni AS DOUBLE))
+                  - CAST(b.r2i AS DOUBLE) / (2.0 * CAST(b.ni AS DOUBLE)))
+                 / sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                         / 12.0
+                         - CAST(tsum AS DOUBLE)
+                           / (12.0 * (CAST(nn AS DOUBLE) - 1.0)))
+                        * (1.0 / CAST(a.ni AS DOUBLE)
+                           + 1.0 / CAST(b.ni AS DOUBLE))), 4) AS z_dunn,
+           abs((CAST(a.r2i AS DOUBLE) / (2.0 * CAST(a.ni AS DOUBLE))
+                - CAST(b.r2i AS DOUBLE) / (2.0 * CAST(b.ni AS DOUBLE)))
+               / sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                       / 12.0
+                       - CAST(tsum AS DOUBLE)
+                         / (12.0 * (CAST(nn AS DOUBLE) - 1.0)))
+                      * (1.0 / CAST(a.ni AS DOUBLE)
+                         + 1.0 / CAST(b.ni AS DOUBLE)))) > 2.807
+               AS significant_05_bonf
+    FROM per_type a, per_type b, gstats
+    WHERE a.event_type < b.event_type
+    ORDER BY type_a, type_b
+"""
+QUERIES["dunn_posthoc_pairs"] = dunn_posthoc_pairs

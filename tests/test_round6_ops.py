@@ -99,3 +99,63 @@ def test_bh_rejection_set_is_step_up_closed(spark):
         # monotone: p is a strictly increasing function of k_exceed
     ks = [r["k_exceed"] for r in rows]
     assert ks == sorted(ks)
+
+
+def test_wave_at_rank_ops_never_plan_cartesian(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SE
+
+    for fn in (
+        SE.wilcoxon_signed_rank,
+        SE.friedman_test,
+        SE.dunn_posthoc_pairs,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_wilcoxon_w_plus_bounds(spark):
+    """0 <= W+ <= n(n+1)/2, and z has the opposite sign of (W+ - mean)
+    ... direction string must agree with the numerator sign."""
+    from cdc_streamming___v2_spark.operators.stats_ext import (
+        wilcoxon_signed_rank,
+    )
+
+    r = wilcoxon_signed_rank(spark, SF_SMALL).collect()[0]
+    n = r["n_pairs"]
+    assert 0.0 <= r["w_plus"] <= n * (n + 1) / 2
+    mean = n * (n + 1) / 4
+    if r["w_plus"] > mean:
+        assert r["direction"] == "1997-lower" and r["z_stat"] > 0
+    elif r["w_plus"] < mean:
+        assert r["direction"] == "1997-higher" and r["z_stat"] < 0
+
+
+def test_friedman_complete_blocks_only(spark):
+    """Ranks within each week must sum to k(k+1)/2 = 28 per block, so the
+    grand doubled-rank total is n_weeks * 56; chi2 >= 0 and k = 7."""
+    from cdc_streamming___v2_spark.operators.stats_ext import friedman_test
+
+    r = friedman_test(spark, SF_SMALL).collect()[0]
+    assert r["k_treatments"] == 7
+    assert r["n_weeks"] >= 1
+    assert r["chi2"] >= 0.0
+
+
+def test_dunn_pools_ranks_once(spark):
+    """Pooled mean ranks must average (weighted) to (N+1)/2 and every
+    pair must appear exactly once."""
+    from cdc_streamming___v2_spark.operators.stats_ext import (
+        dunn_posthoc_pairs,
+    )
+
+    rows = dunn_posthoc_pairs(spark, SF_SMALL).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    seen = {(r["type_a"], r["type_b"]) for r in rows}
+    assert len(seen) == 10
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        # z sign agrees with mean-rank ordering
+        if r["mean_rank_a"] > r["mean_rank_b"]:
+            assert r["z_dunn"] > 0
+        elif r["mean_rank_a"] < r["mean_rank_b"]:
+            assert r["z_dunn"] < 0
