@@ -784,3 +784,126 @@ SMA_STREAM_OUTPUT_SCHEMA = T.StructType(
         T.StructField("direction", T.StringType()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# round 6: streaming Count-Min twin (frequency monitoring in bounded state)
+# ---------------------------------------------------------------------------
+
+
+def countmin_stream(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """Streaming Count-Min sketch: the bounded-state frequency monitor
+    whose counters EQUAL the batch sketch's (operators/sketches.py
+    countmin_freq) on the same data — CMS counters are pure sums, so the
+    estimate is arrival-order-independent and the streaming/batch
+    equality is exact, not approximate (test-proven).
+
+    Sharding: the d hash rows are exploded JVM-side with the SAME
+    md5-salt family as the batch op (no Python hashing), then each row
+    0..CM_D-1 is one state key holding its CM_W counters — state size is
+    d x w integers regardless of stream length, and the d shards update
+    in parallel.  Emissions are seq-stamped; consumers read the max-seq
+    row per shard and take min-over-rows per probe key
+    (``countmin_stream_estimates``).
+    """
+    from ..operators.sketches import CM_D, CM_W, _cm_idx
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            counts_s, seq = state.get
+            counters = np.array([int(c) for c in counts_s.split("|")],
+                                dtype=np.int64)
+        else:
+            counters, seq = np.zeros(CM_W, dtype=np.int64), 0
+        for pdf in pdfs:
+            if len(pdf):
+                counters += np.bincount(
+                    pdf["idx"].to_numpy(), minlength=CM_W
+                ).astype(np.int64)
+        seq += 1
+        counts_s = "|".join(str(int(c)) for c in counters)
+        state.update((counts_s, seq))
+        yield pd.DataFrame(
+            [(int(key[0]), seq, counts_s)],
+            columns=["row", "seq", "counters"],
+        )
+
+    cells = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_idx(F.col(key_col), r).alias("idx"),
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("c")
+    ).select(F.col("c.row").alias("row"), F.col("c.idx").alias("idx"))
+    return cells.groupBy("row").applyInPandasWithState(
+        update,
+        outputStructType=CM_STREAM_OUTPUT_SCHEMA,
+        stateStructType=CM_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def countmin_stream_estimates(emitted: DataFrame, probes: DataFrame) -> DataFrame:
+    """Point-query the final streaming CMS state: max-seq counters per
+    hash row, exploded to (row, idx, c) cells, min over rows per probe.
+    ``probes`` needs a string ``key`` column; returns (key, est_count).
+    """
+    from pyspark.sql import Window
+
+    from ..operators.sketches import CM_D, _cm_idx
+
+    wseq = Window.partitionBy("row").orderBy(F.col("seq").desc())
+    final = (
+        emitted.withColumn("rn", F.row_number().over(wseq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "row",
+            F.posexplode(F.split("counters", "\\|")).alias("idx", "cs"),
+        )
+        .select("row", "idx", F.col("cs").cast("long").alias("c"))
+    )
+    pr = probes.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_idx(F.col("key"), r).alias("idx"),
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", F.col("p.row").alias("row"), F.col("p.idx").alias("idx"))
+    return (
+        F.broadcast(pr)
+        .join(final, ["row", "idx"])
+        .groupBy("key")
+        .agg(F.min("c").alias("est_count"))
+    )
+
+
+CM_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("counters", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+CM_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("counters", T.StringType()),
+    ]
+)

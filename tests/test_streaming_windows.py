@@ -649,3 +649,43 @@ def test_sma_crossover_stream_matches_batch_recompute(spark, events_dir):
                 expect.add((et, days[i], "golden" if above else "death"))
             above_prev = above
     assert got == expect and expect  # non-trivial: crossovers exist
+
+
+@pytest.fixture(scope="module")
+def orders_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("orders_stream")
+    os.symlink(
+        os.path.join(SF_SMALL, "orders.parquet"),
+        os.path.join(d, "orders.parquet"),
+    )
+    return str(d)
+
+
+def test_countmin_stream_equals_batch_sketch(spark, orders_dir):
+    """CMS counters are pure sums, so the streaming estimates must EQUAL
+    the batch countmin_freq estimates on the same keys — exact, not
+    approximate, equality (arrival-order independence)."""
+    from cdc_streamming___v2_spark.operators.sketches import countmin_freq
+
+    schema = spark.read.parquet(orders_dir).schema
+    keys = (
+        spark.readStream.schema(schema)
+        .parquet(orders_dir)
+        .select(F.col("o_custkey").cast("string").alias("key"))
+    )
+    name = _run(W.countmin_stream(keys), mode="update")
+    emitted = spark.sql(f"select * from {name}")
+    batch = {
+        r["custkey"]: r["est_count"]
+        for r in countmin_freq(spark, SF_SMALL)
+        .select("custkey", "est_count")
+        .collect()
+    }
+    probes = spark.createDataFrame(
+        [(str(k),) for k in batch], "key string"
+    )
+    got = {
+        int(r["key"]): r["est_count"]
+        for r in W.countmin_stream_estimates(emitted, probes).collect()
+    }
+    assert got == batch
