@@ -54,71 +54,24 @@ _MODULES = (
 )
 
 # The driver's correctness gate evaluates ~50 queries per round in
-# registration order.  Round-5 rotation (VERDICT r4 #2): (1)
-# array_agg_sorted leads — its only driver record is the r1 harness error
-# (fixed in r2, judge-green since, never driver-recorded); (0) every
-# round-5 operator with zero driver proof, second-session waves first
-# (oldest unproven), then the third-session causal/validation/decision
-# waves; (2) the earlier round-5 additions; (3) the 4 round-5 modified
-# implementations (hashed shingle keys, top-k bpe shape, self-scaling
-# embedding banding, new multimodal decoders); (4) the queries whose last
-# driver-recorded green is round 1 — the oldest standing proof.  Tail
+# registration order.  Round-6 rotation (the VERDICT r4 #2 policy,
+# continued): (0) the eight round-6 operators (zero prior proof:
+# sqlserver CDC roundtrip + waves AS/AT); (1) every registry query whose
+# driver record is still empty, oldest-unproven first — the round-5
+# restarted-session tier resumes exactly where the r5 window stopped
+# (t_closeness was the last checked entry), then the later r5 waves, the
+# 4 modified implementations, and the r1-only-proven relational tier;
+# (2) the 50 queries the r5 window just proved rotate to the back.  Tail
 # keeps module order.
 _GATE_PRIORITY = (
-    # -- (1) stale-error refresh: fixed r2, driver-proof still the r1 error
-    "array_agg_sorted",
-    # -- (0a) fifth-session additions (newest, zero prior proof) --
-    "price_volume_bridge",
-    "kendall_tau_pairs",
-    "xcorr_leadlag",
-    "bollinger_band_breaks",
-    "sma_crossover_days",
-    "cutler_rsi",
-    "ar2_forecast",
-    "granger_leadlag",
-    "ridge_two_feature",
-    "pacf_daily_revenue",
-    "negbin_overdispersion",
-    "durbin_watson_trend",
-    "minhash_estimator_calibration",
-    "eoq_reorder_policy",
-    "cagr_brand_revenue",
-    "textrank_keywords",
-    "permutation_test_lift",
-    "weibull_gap_fit",
-    "beta_fit_discount",
-    "price_index_fisher",
-    "theil_decomposition",
-    "energy_distance_pairs",
-    "cramer_von_mises_pairs",
-    "markov_removal_attribution",
-    "goldengate_envelope_roundtrip",
-    "stochastic_dominance_pairs",
-    "revenue_peaks",
-    "receivables_aging",
-    "cmh_pooled_odds",
-    "decayed_engagement_score",
-    "best_revenue_run",
-    "segment_migration_matrix",
-    "price_ending_profile",
-    "duplicate_payment_screen",
-    "split_purchase_screen",
-    "return_enrichment_by_brand",
-    "supply_risk_hhi",
-    "ship_lag_percentiles",
-    "repurchase_interval_profile",
-    "newey_west_trend_se",
-    "weekly_spectral_power",
-    # -- (0b) fourth-session additions (newest, zero prior proof) --
-    "lorenz_deciles",
-    "theil_inequality",
-    "atkinson_index",
-    # -- (0) round-5 restarted-session additions (newest, zero prior proof) --
-    "mann_whitney_u",
-    "kruskal_wallis",
-    "mann_kendall_trend",
-    "log_rank_test",
-    "t_closeness",
+    "sqlserver_cdc_roundtrip",
+    "chow_break_test",
+    "mahalanobis_outliers_2d",
+    "xyz_classification",
+    "bh_fdr_brand_lift",
+    "wilcoxon_signed_rank",
+    "friedman_test",
+    "dunn_posthoc_pairs",
     "js_divergence_sources",
     "average_precision_quality",
     "cohens_kappa_langid",
@@ -194,7 +147,6 @@ _GATE_PRIORITY = (
     "revenue_waterfall",
     "boxplot_stats",
     "weekday_seasonal_index",
-    # -- (2) round-5 new operators (first driver proof wanted) --
     "debezium_envelope_roundtrip",
     "cdc_schema_drift_report",
     "clustering_coefficient",
@@ -222,8 +174,6 @@ _GATE_PRIORITY = (
     "bellman_ford_cheapest",
     "weighted_median_price",
     "golden_record",
-    # -- (2b) round-5 wave-3 operators (added after the first r5 sessions;
-    #    first driver proof wanted) --
     "classifier_eval_langid",
     "auc_roc_quality",
     "calibration_bins",
@@ -252,13 +202,10 @@ _GATE_PRIORITY = (
     "bcubed_cluster_eval",
     "anderson_darling_drift",
     "rake_keywords",
-    # -- (3) round-5 modified implementations (re-proof wanted) --
     "ngram_jaccard_pairs",
     "bpe_pair_counts",
     "embedding_near_dup",
     "multimodal_decode",
-    # -- (4) oldest driver-recorded green (round 1 only; r2-r4 windows
-    #    never revisited them) --
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
@@ -305,7 +252,59 @@ _GATE_PRIORITY = (
     "window_rank_lag",
     "window_topk_per_group",
     "word_freq_topn",
+    "array_agg_sorted",
+    "price_volume_bridge",
+    "kendall_tau_pairs",
+    "xcorr_leadlag",
+    "bollinger_band_breaks",
+    "sma_crossover_days",
+    "cutler_rsi",
+    "ar2_forecast",
+    "granger_leadlag",
+    "ridge_two_feature",
+    "pacf_daily_revenue",
+    "negbin_overdispersion",
+    "durbin_watson_trend",
+    "minhash_estimator_calibration",
+    "eoq_reorder_policy",
+    "cagr_brand_revenue",
+    "textrank_keywords",
+    "permutation_test_lift",
+    "weibull_gap_fit",
+    "beta_fit_discount",
+    "price_index_fisher",
+    "theil_decomposition",
+    "energy_distance_pairs",
+    "cramer_von_mises_pairs",
+    "markov_removal_attribution",
+    "goldengate_envelope_roundtrip",
+    "stochastic_dominance_pairs",
+    "revenue_peaks",
+    "receivables_aging",
+    "cmh_pooled_odds",
+    "decayed_engagement_score",
+    "best_revenue_run",
+    "segment_migration_matrix",
+    "price_ending_profile",
+    "duplicate_payment_screen",
+    "split_purchase_screen",
+    "return_enrichment_by_brand",
+    "supply_risk_hhi",
+    "ship_lag_percentiles",
+    "repurchase_interval_profile",
+    "newey_west_trend_se",
+    "weekly_spectral_power",
+    "lorenz_deciles",
+    "theil_inequality",
+    "atkinson_index",
+    "mann_whitney_u",
+    "kruskal_wallis",
+    "mann_kendall_trend",
+    "log_rank_test",
+    "t_closeness",
 )
+
+
 
 
 
@@ -346,7 +345,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 369
+_MIN_QUERIES = 377
 
 
 def _registry() -> tuple[dict, dict]:

@@ -343,6 +343,15 @@ HEADLINE = [
     "repurchase_interval_profile",
     "newey_west_trend_se",
     "weekly_spectral_power",
+    # round 6
+    "sqlserver_cdc_roundtrip",
+    "chow_break_test",
+    "mahalanobis_outliers_2d",
+    "xyz_classification",
+    "bh_fdr_brand_lift",
+    "wilcoxon_signed_rank",
+    "friedman_test",
+    "dunn_posthoc_pairs",
 ]
 
 

@@ -128,6 +128,10 @@ EVENT_QUERIES = [
     "cox_ph_fit",
     "shapley_attribution",
     "james_stein_shrinkage",
+    # round-6 event-bound additions (pooled cent-grid ranks, 7-row week
+    # blocks)
+    "friedman_test",
+    "dunn_posthoc_pairs",
     "revenue_waterfall",
     "cuped_variance_reduction",
     "qini_uplift_curve",
@@ -209,6 +213,15 @@ RELATIONAL_QUERIES = [
     "repurchase_interval_profile",
     "newey_west_trend_se",
     "weekly_spectral_power",
+    # round-6 fact-bound additions (orders/lineitem grow 10x; chow /
+    # wilcoxon reduce to the calendar-bounded daily frame, mahalanobis to
+    # the fixed customer dim, xyz/bh_fdr to brand-keyed bounded frames)
+    "sqlserver_cdc_roundtrip",
+    "chow_break_test",
+    "mahalanobis_outliers_2d",
+    "xyz_classification",
+    "bh_fdr_brand_lift",
+    "wilcoxon_signed_rank",
 ]
 
 
