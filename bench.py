@@ -352,6 +352,12 @@ HEADLINE = [
     "wilcoxon_signed_rank",
     "friedman_test",
     "dunn_posthoc_pairs",
+    "tukey_hsd_pairs",
+    "cochran_q_test",
+    "ljung_box_test",
+    "runs_test",
+    "grubbs_outlier_test",
+    "bass_diffusion_fit",
 ]
 
 

