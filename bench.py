@@ -358,6 +358,7 @@ HEADLINE = [
     "runs_test",
     "grubbs_outlier_test",
     "bass_diffusion_fit",
+    "ann_recall_at_k",
 ]
 
 

@@ -1276,3 +1276,104 @@ QUERIES = {
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "pca_top_component": pca_top_component,
 }
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the LSH ANN path against the exact brute-force
+    top-k — the ANN tier's measurement op, mirroring what
+    minhash_estimator_calibration does for the LSH dedup tier: the
+    engine doesn't just SHIP an approximate index, it MEASURES the
+    approximation on the same data (the number a 100-TB deployment
+    watches when tuning planes/probe bits).
+
+    Both paths are deterministic (golden-ratio hyperplanes, rounded-sim
+    + id tiebreaks), so recall itself is exact and hash-checkable: per
+    query, |approx_topk intersect exact_topk| / k via a left join of the
+    two k-row frames.
+
+    Scale: the exact side is the documented brute-force baseline
+    (broadcast query side, corpus never shuffles); the LSH side probes
+    hamming<=2 buckets; the recall join runs on two 5xk-row frames.
+    """
+    e = _embeddings(spark, sf_dir)
+    exact = cosine_topk_frame(e).select("query_id", "vec_id")
+    approx = lsh_topk_frame(e).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    j = exact.join(
+        F.broadcast(approx),
+        (exact.query_id == F.col("aq")) & (exact.vec_id == F.col("av")),
+        "left",
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.col("av")).alias("n_hits"),
+            F.round(F.count(F.col("av")) / float(TOP_K), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _recall_oracle() -> str:
+    planes = _hyperplanes(LSH_PLANES, EMBED_DIM)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {p!r}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    masks = _probe_masks(LSH_PLANES, LSH_PROBE_BITS)
+    probes = ", ".join(f"xor(qbucket, {m})" for m in masks)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {N_QUERIES}),
+    xpairs AS (
+        SELECT q.query_id, e.vec_id, round({_COS}, 4) AS cos_sim
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC)
+                       AS rank
+            FROM xpairs
+        ) WHERE rank <= {TOP_K}
+    ),
+    eb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
+        FROM embeddings
+    ),
+    ql AS (
+        SELECT vec_id AS query_id, v AS qv,
+               unnest([{probes}]) AS bucket
+        FROM (SELECT vec_id, v, bucket AS qbucket FROM eb
+              WHERE vec_id < {N_QUERIES})
+    ),
+    lpairs AS (
+        SELECT DISTINCT q.query_id, e.vec_id, round({_COS}, 4) AS cos_sim
+        FROM eb e JOIN ql q ON e.bucket = q.bucket
+        WHERE e.vec_id <> q.query_id
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, vec_id ASC)
+                       AS rank
+            FROM lpairs
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT exact.query_id, count(approx.vec_id) AS n_hits,
+           round(CAST(count(approx.vec_id) AS DOUBLE) / {float(TOP_K)}, 4)
+               AS recall_at_k
+    FROM exact LEFT JOIN approx
+      ON exact.query_id = approx.query_id AND exact.vec_id = approx.vec_id
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+ORACLES["ann_recall_at_k"] = _recall_oracle()
+QUERIES["ann_recall_at_k"] = ann_recall_at_k

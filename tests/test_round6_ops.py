@@ -257,3 +257,19 @@ def test_bass_fit_reproduces_quadratic_roots(spark):
         # quadratic has a real positive root
         if r["p_innovation"] > 0 and r["q_imitation"] > 0:
             assert r["market_size"] >= r["n_adopters"] * 0.5
+
+
+def test_ann_recall_bounds_and_plan(spark):
+    """recall in [0,1] with n_hits <= k; the LSH side must never plan a
+    CartesianProduct (the brute-force side is the documented broadcast
+    baseline, which plans as BNLJ)."""
+    from cdc_streamming___v2_spark.operators.similarity import (
+        TOP_K,
+        ann_recall_at_k,
+    )
+
+    rows = ann_recall_at_k(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert abs(r["recall_at_k"] - r["n_hits"] / TOP_K) < 1e-9

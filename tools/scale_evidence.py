@@ -90,6 +90,8 @@ QUERIES = [
     # fifth-session corpus-bound additions
     "minhash_estimator_calibration",
     "textrank_keywords",
+    # round 6: the ANN tier's own measurement op (brute force + LSH both)
+    "ann_recall_at_k",
 ]
 
 # the event-log tier (round-5 wave 3): per-user ordered-window operators
