@@ -48,6 +48,7 @@ _MODULES = (
     "ml_ops",
     "ml_eval",
     "stats_ext",
+    "diagnostics_ext",
     "timeseries_ext",
     "relational_ext",
     "tpch_extra",
@@ -64,6 +65,18 @@ _MODULES = (
 # (2) the 50 queries the r5 window just proved rotate to the back.  Tail
 # keeps module order.
 _GATE_PRIORITY = (
+    "jarque_bera_test",
+    "breusch_pagan_test",
+    "arch_lm_test",
+    "dickey_fuller_test",
+    "bartlett_test",
+    "mood_median_test",
+    "cliffs_delta_pairs",
+    "effect_size_pairs",
+    "partial_corr_daily",
+    "cronbach_alpha",
+    "brier_decomposition",
+    "hosmer_lemeshow",
     "sqlserver_cdc_roundtrip",
     "chow_break_test",
     "mahalanobis_outliers_2d",
@@ -352,7 +365,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 384
+_MIN_QUERIES = 396
 
 
 def _registry() -> tuple[dict, dict]:

@@ -1284,3 +1284,270 @@ ORACLES["recsys_eval_cf"] = f"""
                  6) AS catalog_coverage
     FROM hits
 """
+
+
+# --------------------------------------------------------------------------
+# round-6 wave AX: probability-forecast audits (Murphy decomposition + HL)
+# --------------------------------------------------------------------------
+
+from .diagnostics_ext import _chi2_crit_spark, _chi2_crit_sql  # noqa: E402
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quality-logit probability's Brier
+    score against ``lang == POS_LANG``: Brier ~= reliability - resolution
+    + uncertainty over the CAL_BINS reliability bins — the single-number
+    companion of calibration_bins (which shows the curve) and
+    auc_roc_quality (which ignores calibration entirely).
+
+    Exactness: the raw Brier sums (sum pi^2, sum pi*y, sum y on the
+    integer ten-thousandths grid) are exact; each bin's reliability /
+    resolution cell is the cross-multiplied integer form ((spi - 1e4*sy)^2
+    and (n*sy_b - n_b*sy)^2 over exact counts) evaluated in double and
+    micro-rounded before the CAL_BINS-row fold.  ``decomp_gap`` reports
+    Brier - (rel - res + unc) — nonzero exactly because binning pools
+    distinct forecasts, a fact the audit should surface, not hide.
+
+    Scale: one corpus reduce to the 10^4-value score grid / bin frame;
+    everything after runs on <= CAL_BINS rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p4 = F.round(_prob_keep(F.col("text")), 4)
+    scored = d.select(
+        F.round(p4 * 10000).cast("long").alias("pi"),
+        (F.col("lang") == POS_LANG).cast("long").alias("y"),
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.least(F.floor(F.col("pi") / (10000 / CAL_BINS)), F.lit(CAL_BINS - 1))
+        .cast("bigint"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nb"),
+        F.sum("pi").cast("decimal(38,0)").alias("spib"),
+        F.sum("y").cast("decimal(38,0)").alias("syb"),
+        F.sum((F.col("pi") * F.col("pi")).cast("decimal(38,0)")).alias("sppb"),
+        F.sum((F.col("pi") * F.col("y")).cast("decimal(38,0)")).alias("spyb"),
+    )
+    tot = per.agg(
+        F.sum("nb").alias("n"), F.sum("syb").alias("sy"),
+        F.sum("spib").alias("spi"), F.sum("sppb").alias("spp"),
+        F.sum("spyb").alias("spy"),
+    )
+    cells = per.crossJoin(F.broadcast(tot)).select(
+        "nb", "spib", "syb", "n", "sy", "spi", "spp", "spy",
+        F.round(
+            F.pow((F.col("spib") - 10000 * F.col("syb")).cast("double"), F.lit(2.0))
+            / (F.col("nb").cast("double") * 1e8),
+            6,
+        ).cast("decimal(38,6)").alias("rel_cell"),
+        F.round(
+            F.pow((F.col("n") * F.col("syb") - F.col("nb") * F.col("sy")).cast("double"), F.lit(2.0))
+            / (F.col("nb") * F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).cast("decimal(38,6)").alias("res_cell"),
+    )
+    agg = cells.groupBy("n", "sy", "spi", "spp", "spy").agg(
+        F.sum("rel_cell").alias("rel_s"), F.sum("res_cell").alias("res_s")
+    )
+    n = F.col("n").cast("double")
+    brier = (
+        F.col("spp").cast("double")
+        - 2e4 * F.col("spy").cast("double")
+        + 1e8 * F.col("sy").cast("double")
+    ) / (n * 1e8)
+    rel = F.col("rel_s").cast("double") / n
+    res = F.col("res_s").cast("double") / n
+    unc = (F.col("sy") * (F.col("n") - F.col("sy"))).cast("double") / (n * n)
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(brier - (rel - res + unc), 6).alias("decomp_gap"),
+    )
+
+
+ORACLES["brier_decomposition"] = f"""
+    WITH scored AS (
+        SELECT CAST(round(round(1.0 / (1.0 + exp(-z)), 4) * 10000, 0)
+                    AS BIGINT) AS pi,
+               CASE WHEN lang = '{POS_LANG}' THEN 1 ELSE 0 END AS y
+        FROM (SELECT lang, {_Z_SQL} AS z FROM documents)
+    ),
+    binned AS (
+        SELECT least(pi // (10000 // {CAL_BINS}), {CAL_BINS - 1}) AS bin,
+               pi, y
+        FROM scored
+    ),
+    per AS (
+        SELECT bin, CAST(count(*) AS HUGEINT) AS nb,
+               CAST(sum(pi) AS HUGEINT) AS spib,
+               CAST(sum(y) AS HUGEINT) AS syb,
+               CAST(sum(pi * pi) AS HUGEINT) AS sppb,
+               CAST(sum(pi * y) AS HUGEINT) AS spyb
+        FROM binned GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(nb) AS n, sum(syb) AS sy, sum(spib) AS spi,
+               sum(sppb) AS spp, sum(spyb) AS spy
+        FROM per
+    ),
+    cells AS (
+        SELECT nb, spib, syb, n, sy, spi, spp, spy,
+               CAST(round(pow(CAST(spib - 10000 * syb AS DOUBLE), 2.0)
+                          / (CAST(nb AS DOUBLE) * 1e8), 6)
+                    AS DECIMAL(38,6)) AS rel_cell,
+               CAST(round(pow(CAST(n * syb - nb * sy AS DOUBLE), 2.0)
+                          / CAST(nb * n * n AS DOUBLE), 6)
+                    AS DECIMAL(38,6)) AS res_cell
+        FROM per, tot
+    ),
+    agg AS (
+        SELECT n, sy, spi, spp, spy,
+               sum(rel_cell) AS rel_s, sum(res_cell) AS res_s
+        FROM cells GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round((CAST(spp AS DOUBLE) - 2e4 * CAST(spy AS DOUBLE)
+                  + 1e8 * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * 1e8), 6) AS brier,
+           round(CAST(rel_s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS reliability,
+           round(CAST(res_s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resolution,
+           round(CAST(sy * (n - sy) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS uncertainty,
+           round((CAST(spp AS DOUBLE) - 2e4 * CAST(spy AS DOUBLE)
+                  + 1e8 * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * 1e8)
+                 - (CAST(rel_s AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(res_s AS DOUBLE) / CAST(n AS DOUBLE)
+                    + CAST(sy * (n - sy) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+               AS decomp_gap
+    FROM agg
+"""
+QUERIES["brier_decomposition"] = brier_decomposition
+
+
+HL_GROUPS = 10
+
+
+def hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit chi2 for the quality-logit
+    probability: HL_GROUPS equal-count score groups, HL = sum (O-E)^2 /
+    (E * (1 - E/n_g)) — the hypothesis-test companion of
+    calibration_bins' descriptive curve.
+
+    Grouping is deterministic on the bounded ten-thousandths score grid:
+    a tie run of identical scores moves as ONE unit into the decile of
+    its first element (g = 10 * cum_before // n, integer division — the
+    runs_test division lesson), so group membership can never differ
+    between engines.  Degenerate groups (E = 0 or E = n_g, possible only
+    if a decile is a single saturated score) are excluded from the fold
+    by the same predicate in both engines and reported in n_degenerate.
+    Verdict vs chi2(G-2, .95) from the inlined critical table.
+
+    Scale: one corpus reduce to the score grid, one ordered window on
+    <= 10^4 rows, one <= 10-row fold.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p4 = F.round(_prob_keep(F.col("text")), 4)
+    scored = d.select(
+        F.round(p4 * 10000).cast("long").alias("pi"),
+        (F.col("lang") == POS_LANG).cast("long").alias("y"),
+    )
+    grid = scored.groupBy("pi").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("ny")
+    )
+    tot = grid.agg(F.sum("cnt").alias("n"))
+    wv = Window.partitionBy().orderBy("pi")
+    g = (
+        grid.withColumn("cum", F.sum("cnt").over(wv))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "grp",
+            F.expr(f"({HL_GROUPS} * (cum - cnt)) div n").cast("long"),
+        )
+    )
+    per = g.groupBy("grp").agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("ng"),
+        F.sum("ny").cast("decimal(38,0)").alias("obs"),
+        F.sum(F.col("pi") * F.col("cnt")).cast("decimal(38,0)").alias("spi"),
+    )
+    ok = (F.col("spi") > 0) & (F.col("spi") < F.col("ng") * 10000)
+    term = (
+        F.pow((10000 * F.col("obs") - F.col("spi")).cast("double"), F.lit(2.0))
+        / (
+            F.col("spi").cast("double")
+            * (F.col("ng") * 10000 - F.col("spi")).cast("double")
+            / F.col("ng").cast("double")
+        )
+    )
+    folded = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("n_degenerate"),
+        F.sum(
+            F.when(ok, F.round(term, 6).cast("decimal(38,6)")).otherwise(
+                F.lit(0).cast("decimal(38,6)")
+            )
+        ).alias("hl"),
+    )
+    hl = F.col("hl").cast("double")
+    crit = _chi2_crit_spark(F.col("n_groups") - F.col("n_degenerate") - 2)
+    return folded.select(
+        "n_groups",
+        "n_degenerate",
+        F.round(hl, 4).alias("hl_stat"),
+        F.when(crit.isNull(), F.lit(None).cast("string"))
+        .when(hl > crit, F.lit("poor_calibration"))
+        .otherwise(F.lit("calibrated"))
+        .alias("verdict"),
+    )
+
+
+ORACLES["hosmer_lemeshow"] = f"""
+    WITH scored AS (
+        SELECT CAST(round(round(1.0 / (1.0 + exp(-z)), 4) * 10000, 0)
+                    AS BIGINT) AS pi,
+               CASE WHEN lang = '{POS_LANG}' THEN 1 ELSE 0 END AS y
+        FROM (SELECT lang, {_Z_SQL} AS z FROM documents)
+    ),
+    grid AS (
+        SELECT pi, count(*) AS cnt, sum(y) AS ny FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM grid),
+    g AS (
+        SELECT grid.*, ({HL_GROUPS} * (sum(cnt) OVER (ORDER BY pi) - cnt)) // n
+                   AS grp
+        FROM grid, tot
+    ),
+    per AS (
+        SELECT grp, CAST(sum(cnt) AS HUGEINT) AS ng,
+               CAST(sum(ny) AS HUGEINT) AS obs,
+               CAST(sum(pi * cnt) AS HUGEINT) AS spi
+        FROM g GROUP BY 1
+    ),
+    folded AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN spi > 0 AND spi < ng * 10000
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_degenerate,
+               sum(CASE WHEN spi > 0 AND spi < ng * 10000
+                        THEN CAST(round(
+                            pow(CAST(10000 * obs - spi AS DOUBLE), 2.0)
+                            / (CAST(spi AS DOUBLE)
+                               * CAST(ng * 10000 - spi AS DOUBLE)
+                               / CAST(ng AS DOUBLE)), 6) AS DECIMAL(38,6))
+                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS hl
+        FROM per
+    )
+    SELECT n_groups, n_degenerate,
+           round(CAST(hl AS DOUBLE), 4) AS hl_stat,
+           CASE WHEN {_chi2_crit_sql("n_groups - n_degenerate - 2")} IS NULL
+                THEN NULL
+                WHEN CAST(hl AS DOUBLE)
+                     > {_chi2_crit_sql("n_groups - n_degenerate - 2")}
+                THEN 'poor_calibration'
+                ELSE 'calibrated' END AS verdict
+    FROM folded
+"""
+QUERIES["hosmer_lemeshow"] = hosmer_lemeshow

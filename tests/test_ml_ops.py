@@ -3,6 +3,7 @@ beyond the DuckDB parity gate."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_streamming___v2_spark.operators import ml_ops as ML
@@ -120,3 +121,102 @@ def test_round5_ml_ops_never_plan_cartesian(spark):
     ):
         p = _plan(fn(spark, SF_SMALL))
         assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_brier_decomposition_matches_bruteforce(spark):
+    """Collect the (pi, y) score frame once, then recompute the Murphy
+    decomposition with numpy along the literal per-bin definitions —
+    guards the cross-multiplied cell algebra (score extraction itself is
+    already oracle-proven by calibration_bins)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cdc_streamming___v2_spark.operators.ml_eval import (
+        CAL_BINS,
+        POS_LANG,
+        _prob_keep,
+        brier_decomposition,
+    )
+    from cdc_streamming___v2_spark.sources.tables import load_table
+    from .conftest import SF_SMALL
+
+    row = brier_decomposition(spark, SF_SMALL).collect()[0]
+    d = load_table(spark, SF_SMALL, "documents")
+    pdf = d.select(
+        F.round(F.round(_prob_keep(F.col("text")), 4) * 10000)
+        .cast("long")
+        .alias("pi"),
+        (F.col("lang") == POS_LANG).cast("long").alias("y"),
+    ).toPandas()
+    p = pdf["pi"].to_numpy() / 10000.0
+    y = pdf["y"].to_numpy(float)
+    n = len(p)
+    brier = ((p - y) ** 2).mean()
+    bins = np.minimum(
+        (pdf["pi"].to_numpy() // (10000 // CAL_BINS)), CAL_BINS - 1
+    )
+    rel = res = 0.0
+    for b in np.unique(bins):
+        m = bins == b
+        rel += m.sum() * (p[m].mean() - y[m].mean()) ** 2
+        res += m.sum() * (y[m].mean() - y.mean()) ** 2
+    rel, res = rel / n, res / n
+    unc = y.mean() * (1 - y.mean())
+    assert row["n_docs"] == n
+    assert row["brier"] == pytest.approx(brier, abs=1e-5)
+    assert row["reliability"] == pytest.approx(rel, abs=1e-5)
+    assert row["resolution"] == pytest.approx(res, abs=1e-5)
+    assert row["uncertainty"] == pytest.approx(unc, abs=1e-5)
+    # Murphy identity is exact at bin granularity only when forecasts are
+    # constant per bin; the reported gap must equal the residual
+    assert row["decomp_gap"] == pytest.approx(
+        brier - (rel - res + unc), abs=1e-5
+    )
+    assert row["resolution"] <= row["uncertainty"] + 1e-9
+
+
+def test_hosmer_lemeshow_matches_bruteforce(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cdc_streamming___v2_spark.operators.ml_eval import (
+        HL_GROUPS,
+        POS_LANG,
+        _prob_keep,
+        hosmer_lemeshow,
+    )
+    from cdc_streamming___v2_spark.sources.tables import load_table
+    from .conftest import SF_SMALL
+
+    row = hosmer_lemeshow(spark, SF_SMALL).collect()[0]
+    d = load_table(spark, SF_SMALL, "documents")
+    pdf = (
+        d.select(
+            F.round(F.round(_prob_keep(F.col("text")), 4) * 10000)
+            .cast("long")
+            .alias("pi"),
+            (F.col("lang") == POS_LANG).cast("long").alias("y"),
+        )
+        .toPandas()
+        .sort_values("pi")
+    )
+    n = len(pdf)
+    # deterministic tie-run grouping: a run of equal scores lands in the
+    # decile of its first element
+    grid = pdf.groupby("pi").agg(cnt=("y", "size"), ny=("y", "sum"))
+    grid = grid.reset_index().sort_values("pi")
+    cumb = grid["cnt"].cumsum() - grid["cnt"]
+    grid["grp"] = (HL_GROUPS * cumb) // n
+    hl = 0.0
+    n_deg = 0
+    for _, g in grid.groupby("grp"):
+        ng = g["cnt"].sum()
+        obs = g["ny"].sum()
+        exp = (g["pi"] * g["cnt"]).sum() / 10000.0
+        if exp <= 0 or exp >= ng:
+            n_deg += 1
+            continue
+        hl += (obs - exp) ** 2 / (exp * (1 - exp / ng))
+    assert row["n_groups"] == grid["grp"].nunique()
+    assert row["n_degenerate"] == n_deg
+    assert row["hl_stat"] == pytest.approx(hl, abs=1e-3)
