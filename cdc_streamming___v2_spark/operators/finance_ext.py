@@ -1,0 +1,544 @@
+"""Financial-risk / actuarial / forecast-accuracy tier (DRIVER surface)
+— wave AY.
+
+Treats the daily-revenue series as a P&L stream and the order->ship
+pipeline as a claims-development process:
+
+- ``var_cvar_daily``: historical 95% Value-at-Risk and Expected
+  Shortfall of day-over-day revenue returns.  Returns live on a pico
+  (1e-9) integer grid — the ratio (x_t - x_{t-1}) / x_{t-1} is a single
+  float expression of two exact longs, rounded once — so the tail pick
+  is an exact-integer rank selection and the tail mean an exact-integer
+  division (no float accumulates across rows).
+- ``sortino_sharpe_daily``: annualized Sharpe and Sortino (target 0) on
+  the same pico-grid returns from exact decimal moments.
+- ``chain_ladder_ultimates``: classic chain-ladder loss development on
+  the (order-month cohort x ship-lag age) triangle.  Age-to-age factors
+  are ratios of exact integer column sums (cohorts censored at the
+  as-of diagonal); per-cohort ultimates apply the remaining factors via
+  a pico-rounded ln fold (the bartlett_test k-term pattern — never an
+  order-sensitive float sum).
+- ``theil_u2_forecast``: Theil's U2 of the lag-7 seasonal-naive
+  forecast against the lag-1 naive benchmark — the ratio companion of
+  seasonal_naive_mase, on exact squared cent differences.
+- ``pettitt_changepoint``: rank-based (Mann-Whitney-type) changepoint
+  on daily revenue.  Doubled midranks over the value grid keep every
+  U_t exact; K = max |U_t| picks its day deterministically and the
+  closed-form significance approximation is one float expression.
+
+Scale: every operator reduces facts ONCE to the calendar-bounded daily
+frame or the (cohort x age) triangle (months x <=7 ages); windows run on
+those bounded frames only.  Reference parity: driver-mandated analytics
+surface (the reference pipeline has none).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_DEC = "decimal(38,0)"
+
+# pico-grid daily returns CTE shared by the two risk oracles
+_RET_CTE = """
+    daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, xc, lag(xc) OVER (ORDER BY day) AS x1 FROM daily
+    ),
+    ret AS (
+        SELECT day,
+               CAST(round((CAST(xc AS DOUBLE) - CAST(x1 AS DOUBLE))
+                          / CAST(x1 AS DOUBLE) * 1e9) AS HUGEINT) AS rp
+        FROM lagged WHERE x1 IS NOT NULL AND x1 > 0
+    )
+"""
+
+
+def _daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, rp): day-over-day revenue return on the exact pico grid."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    wn = Window.partitionBy().orderBy("day")
+    return (
+        daily.withColumn("x1", F.lag("xc").over(wn))
+        .filter(F.col("x1").isNotNull() & (F.col("x1") > 0))
+        .select(
+            "day",
+            F.round(
+                (F.col("xc").cast("double") - F.col("x1").cast("double"))
+                / F.col("x1").cast("double")
+                * 1e9
+            )
+            .cast("long")
+            .alias("rp"),
+        )
+    )
+
+
+def var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% VaR and CVaR (Expected Shortfall) of daily revenue
+    returns: VaR = -r_(k) with k = max(1, floor(0.05 m)) (the exact
+    order-statistic pick, (rp, day)-tiebroken), CVaR = -mean of the k
+    worst returns as an exact integer division on the pico grid.
+
+    Scale: one reduce to the bounded daily frame, one ordered window,
+    one k-row aggregate.
+    """
+    ret = _daily_returns(spark, sf_dir)
+    tot = ret.agg(F.count(F.lit(1)).alias("m"))
+    wr = Window.partitionBy().orderBy("rp", "day")
+    ranked = (
+        ret.withColumn("rn", F.row_number().over(wr))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("k", F.greatest(F.lit(1), F.expr("(m * 5) div 100")))
+    )
+    tail = ranked.filter(F.col("rn") <= F.col("k"))
+    agg = tail.agg(
+        F.max("m").alias("m"),
+        F.max("k").alias("k"),
+        F.max("rp").cast(_DEC).alias("rk"),  # the k-th smallest return
+        F.sum(F.col("rp").cast(_DEC)).alias("srp"),
+    )
+    return agg.select(
+        F.col("m").cast("long").alias("n_obs"),
+        F.col("k").cast("long").alias("k_tail"),
+        F.round(-F.col("rk").cast("double") / 1e9, 6).alias("var_95"),
+        F.round(
+            -F.col("srp").cast("double") / (F.col("k").cast("double") * 1e9), 6
+        ).alias("cvar_95"),
+    )
+
+
+ORACLES["var_cvar_daily"] = f"""
+    WITH {_RET_CTE},
+    tot AS (SELECT count(*) AS m FROM ret),
+    ranked AS (
+        SELECT rp, row_number() OVER (ORDER BY rp, day) AS rn,
+               m, greatest(1, (m * 5) // 100) AS k
+        FROM ret, tot
+    ),
+    tail AS (SELECT * FROM ranked WHERE rn <= k),
+    agg AS (
+        SELECT max(m) AS m, max(k) AS k,
+               CAST(max(rp) AS HUGEINT) AS rk,
+               CAST(sum(rp) AS HUGEINT) AS srp
+        FROM tail
+    )
+    SELECT CAST(m AS BIGINT) AS n_obs, CAST(k AS BIGINT) AS k_tail,
+           round(-CAST(rk AS DOUBLE) / 1e9, 6) AS var_95,
+           round(-CAST(srp AS DOUBLE) / (CAST(k AS DOUBLE) * 1e9), 6)
+               AS cvar_95
+    FROM agg
+"""
+QUERIES["var_cvar_daily"] = var_cvar_daily
+
+
+def sortino_sharpe_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios of daily revenue returns
+    (zero benchmark, 365 periods/year): mean and sample sd from exact
+    pico-grid decimal moments; the Sortino denominator is the target-0
+    downside root-mean-square over ALL observations (full-sample
+    convention).  Single float expressions; sqrt(365.0) evaluates
+    identically in both engines.
+
+    Scale: one reduce to the bounded daily frame, one aggregate.
+    """
+    ret = _daily_returns(spark, sf_dir)
+    agg = ret.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(F.col("rp").cast(_DEC)).alias("s"),
+        F.sum((F.col("rp").cast(_DEC) * F.col("rp").cast(_DEC))).alias("q"),
+        F.sum(
+            F.when(F.col("rp") < 0, F.col("rp").cast(_DEC) * F.col("rp").cast(_DEC))
+            .otherwise(F.lit(0).cast(_DEC))
+        ).alias("dq"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / n
+    sd = F.sqrt(
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        / (n * (n - 1.0))
+    )
+    dd = F.sqrt(F.col("dq").cast("double") / n)
+    ann = F.sqrt(F.lit(365.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(mu / 1e9, 8).alias("mean_daily_ret"),
+        F.round(sd / 1e9, 8).alias("sd_daily_ret"),
+        F.round(mu / sd * ann, 4).alias("sharpe_annual"),
+        F.round(mu / dd * ann, 4).alias("sortino_annual"),
+    )
+
+
+ORACLES["sortino_sharpe_daily"] = f"""
+    WITH {_RET_CTE},
+    agg AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(rp) AS s,
+               sum(rp * rp) AS q,
+               sum(CASE WHEN rp < 0 THEN rp * rp ELSE 0 END) AS dq
+        FROM ret
+    ),
+    parts AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               sqrt(CAST(n * q - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd,
+               sqrt(CAST(dq AS DOUBLE) / CAST(n AS DOUBLE)) AS dd
+        FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(mu / 1e9, 8) AS mean_daily_ret,
+           round(sd / 1e9, 8) AS sd_daily_ret,
+           round(mu / sd * sqrt(365.0), 4) AS sharpe_annual,
+           round(mu / dd * sqrt(365.0), 4) AS sortino_annual
+    FROM parts
+"""
+QUERIES["sortino_sharpe_daily"] = sortino_sharpe_daily
+
+
+CL_MAX_AGE = 6  # ship lag is bounded at ~4 months in this data; 6 is slack
+
+
+def chain_ladder_ultimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development of shipped value: cohort = order month,
+    age = ship-month minus order-month (0..CL_MAX_AGE), cell = shipped
+    extendedprice cents.  Age-to-age factors f_a = sum C_{a+1} / sum C_a
+    over cohorts whose age a+1 lies on or before the as-of diagonal
+    (exact integer column sums, one division per factor); each open
+    cohort's ultimate = diagonal cum * exp(sum ln f_a) with the ln terms
+    pico-rounded into a decimal fold (order-proof).  Reserve = ultimate
+    - paid.  The actuarial completion of receivables_aging (which ages
+    balances but never projects them).
+
+    Scale: one orders+lineitem join reduced to the (month x age)
+    triangle (months x 7 cells); factor and ultimate math runs on that
+    bounded frame.  The dense age axis comes from a 7-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.trunc("o_orderdate", "month").alias("cm"),
+        (
+            (F.year("l_shipdate") - F.year("o_orderdate")) * 12
+            + (F.month("l_shipdate") - F.month("o_orderdate"))
+        ).alias("age"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    tri = (
+        j.filter((F.col("age") >= 0) & (F.col("age") <= CL_MAX_AGE))
+        .groupBy("cm", "age")
+        .agg(F.sum(F.col("cents").cast(_DEC)).alias("inc"))
+    )
+    ages = spark.range(CL_MAX_AGE + 1).select(F.col("id").cast("int").alias("a"))
+    cohorts = tri.select("cm").distinct()
+    asof = tri.agg(
+        F.max(F.add_months(F.col("cm"), F.col("age"))).alias("asof")
+    )
+    dense = (
+        cohorts.select(F.col("cm").alias("ccm"))
+        .join(F.broadcast(ages))
+        .join(
+            tri,
+            (F.col("ccm") == tri["cm"]) & (F.col("a") == tri["age"]),
+            "left",
+        )
+        .select(
+            F.col("ccm").alias("cm"),
+            "a",
+            F.coalesce(F.col("inc"), F.lit(0).cast(_DEC)).alias("inc"),
+        )
+    )
+    wc = Window.partitionBy("cm").orderBy("a")
+    cum = (
+        dense.withColumn("c", F.sum("inc").over(wc))
+        .crossJoin(F.broadcast(asof))
+        .withColumn("observed", F.add_months(F.col("cm"), F.col("a")) <= F.col("asof"))
+    )
+    # age-to-age factors from adjacent observed columns with positive base
+    adj = (
+        cum.alias("x")
+        .join(
+            cum.alias("y"),
+            (F.col("x.cm") == F.col("y.cm")) & (F.col("y.a") == F.col("x.a") + 1),
+        )
+        .filter(F.col("y.observed") & (F.col("x.c") > 0))
+        .groupBy(F.col("x.a").alias("a"))
+        .agg(
+            F.sum(F.col("x.c")).alias("base"),
+            F.sum(F.col("y.c")).alias("next"),
+        )
+        .select(
+            "a",
+            (F.col("next").cast("double") / F.col("base").cast("double")).alias("f"),
+        )
+    )
+    diag = (
+        cum.filter(F.col("observed"))
+        .groupBy("cm")
+        .agg(F.max("a").alias("la"))
+        .join(cum, ["cm"], "inner")
+        .filter(F.col("a") == F.col("la"))
+        .select("cm", "la", F.col("c").alias("paid"))
+    )
+    lnf = (
+        diag.join(F.broadcast(adj), F.col("a") >= F.col("la"), "left")
+        .groupBy("cm", "la", "paid")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.log("f"), 12).cast("decimal(38,12)")),
+                F.lit(0).cast("decimal(38,12)"),
+            ).alias("slnf")
+        )
+    )
+    ult = F.col("paid").cast("double") * F.exp(F.col("slnf").cast("double"))
+    return lnf.select(
+        F.date_format("cm", "yyyy-MM").alias("cohort"),
+        F.col("la").cast("int").alias("latest_age"),
+        F.round(F.col("paid").cast("double") / 100.0, 2).alias("paid"),
+        F.round(ult / 100.0, 2).alias("ultimate"),
+        F.round((ult - F.col("paid").cast("double")) / 100.0, 2).alias("reserve"),
+    ).orderBy("cohort")
+
+
+ORACLES["chain_ladder_ultimates"] = f"""
+    WITH j AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS cm,
+               (year(CAST(l_shipdate AS DATE)) - year(CAST(o_orderdate AS DATE)))
+                   * 12
+               + (month(CAST(l_shipdate AS DATE))
+                  - month(CAST(o_orderdate AS DATE))) AS age,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    tri AS (
+        SELECT cm, age, CAST(sum(cents) AS HUGEINT) AS inc
+        FROM j WHERE age >= 0 AND age <= {CL_MAX_AGE}
+        GROUP BY 1, 2
+    ),
+    ages AS (SELECT unnest(range(0, {CL_MAX_AGE + 1})) AS a),
+    cohorts AS (SELECT DISTINCT cm FROM tri),
+    cutoff AS (SELECT max(cm + to_months(CAST(age AS INTEGER))) AS aod FROM tri),
+    dense AS (
+        SELECT c.cm, g.a, coalesce(t.inc, 0) AS inc
+        FROM cohorts c CROSS JOIN ages g
+        LEFT JOIN tri t ON t.cm = c.cm AND t.age = g.a
+    ),
+    cum AS (
+        SELECT cm, a,
+               CAST(sum(inc) OVER (PARTITION BY cm ORDER BY a) AS HUGEINT) AS c,
+               cm + to_months(CAST(a AS INTEGER)) <= aod AS observed
+        FROM dense, cutoff
+    ),
+    adj AS (
+        SELECT x.a AS a,
+               CAST(sum(y.c) AS DOUBLE) / CAST(sum(x.c) AS DOUBLE) AS f
+        FROM cum x JOIN cum y ON x.cm = y.cm AND y.a = x.a + 1
+        WHERE y.observed AND x.c > 0
+        GROUP BY 1
+    ),
+    diag AS (
+        SELECT c.cm, m.la, c.c AS paid
+        FROM (SELECT cm, max(a) AS la FROM cum WHERE observed GROUP BY 1) m
+        JOIN cum c ON c.cm = m.cm AND c.a = m.la
+    ),
+    lnf AS (
+        SELECT d.cm, d.la, d.paid,
+               coalesce(sum(CAST(round(ln(f.f), 12) AS DECIMAL(38,12))),
+                        CAST(0 AS DECIMAL(38,12))) AS slnf
+        FROM diag d LEFT JOIN adj f ON f.a >= d.la
+        GROUP BY 1, 2, 3
+    )
+    SELECT strftime(cm, '%Y-%m') AS cohort,
+           CAST(la AS INTEGER) AS latest_age,
+           round(CAST(paid AS DOUBLE) / 100.0, 2) AS paid,
+           round(CAST(paid AS DOUBLE) * exp(CAST(slnf AS DOUBLE)) / 100.0, 2)
+               AS ultimate,
+           round((CAST(paid AS DOUBLE) * exp(CAST(slnf AS DOUBLE))
+                  - CAST(paid AS DOUBLE)) / 100.0, 2) AS reserve
+    FROM lnf
+    ORDER BY 1
+"""
+QUERIES["chain_ladder_ultimates"] = chain_ladder_ultimates
+
+
+def theil_u2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 of the lag-7 seasonal-naive daily-revenue forecast
+    against the lag-1 naive benchmark: U2 = sqrt(sum (x_{t-7} - x_t)^2
+    / sum (x_{t-1} - x_t)^2) over days where both lags exist — below 1
+    means weekly seasonality genuinely improves on persistence (the
+    ratio companion of seasonal_naive_mase's absolute-error scale).
+
+    Both squared-difference folds are exact decimal integers on the cent
+    grid; U2 is one float expression.
+
+    Scale: bounded daily frame, one ordered window, one aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    wn = Window.partitionBy().orderBy("day")
+    fr = (
+        daily.withColumn("x1", F.lag("xc", 1).over(wn))
+        .withColumn("x7", F.lag("xc", 7).over(wn))
+        .filter(F.col("x1").isNotNull() & F.col("x7").isNotNull())
+    )
+    agg = fr.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(
+            ((F.col("x7") - F.col("xc")) * (F.col("x7") - F.col("xc"))).cast(_DEC)
+        ).alias("num"),
+        F.sum(
+            ((F.col("x1") - F.col("xc")) * (F.col("x1") - F.col("xc"))).cast(_DEC)
+        ).alias("den"),
+    )
+    u2 = F.sqrt(F.col("num").cast("double") / F.col("den").cast("double"))
+    return agg.select(
+        F.col("m").alias("n_obs"),
+        F.round(u2, 6).alias("u2_seasonal"),
+        F.when(u2 < 1.0, F.lit("beats_naive"))
+        .otherwise(F.lit("naive_wins"))
+        .alias("verdict"),
+    )
+
+
+ORACLES["theil_u2_forecast"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+        FROM orders GROUP BY 1
+    ),
+    fr AS (
+        SELECT xc, lag(xc, 1) OVER (ORDER BY day) AS x1,
+               lag(xc, 7) OVER (ORDER BY day) AS x7
+        FROM daily
+    ),
+    agg AS (
+        SELECT count(*) AS m,
+               CAST(sum(CAST(x7 - xc AS HUGEINT)
+                        * CAST(x7 - xc AS HUGEINT)) AS HUGEINT) AS num,
+               CAST(sum(CAST(x1 - xc AS HUGEINT)
+                        * CAST(x1 - xc AS HUGEINT)) AS HUGEINT) AS den
+        FROM fr WHERE x1 IS NOT NULL AND x7 IS NOT NULL
+    )
+    SELECT CAST(m AS BIGINT) AS n_obs,
+           round(sqrt(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+               AS u2_seasonal,
+           CASE WHEN sqrt(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) < 1.0
+                THEN 'beats_naive' ELSE 'naive_wins' END AS verdict
+    FROM agg
+"""
+QUERIES["theil_u2_forecast"] = theil_u2_forecast
+
+
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test on daily revenue — the
+    nonparametric single-break companion of cusum_changepoint (mean
+    shift on moments) and variance_changepoint: U_t = 2 * sum of ranks
+    up to t minus t*(n+1), K = max_t |U_t|.
+
+    Doubled midranks over the cent-value grid keep every U_t an exact
+    integer (ties included) via the identity sum_{i<=t} (2R_i - (n+1)) =
+    sum_{i<=t, j>t} sgn(x_i - x_j) = U_t — note the doubled ranks yield
+    the CLASSIC U_t, not 2*U_t (the driver-side O(n^2) sign-sum twin
+    test caught the factor-of-two misread in the first cut).  The break
+    day is the earliest |U_t| argmax (deterministic) and the closed-form
+    approximation p ~ 2 exp(-6 K^2 / (n^3 + n^2)) is a single float
+    expression.
+
+    Scale: one reduce to the daily frame, one value-grid window for
+    midranks, one day-ordered window for the cumulative, one
+    TakeOrderedAndProject pick.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    grid = daily.groupBy("xc").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.partitionBy().orderBy("xc")
+    r2 = grid.withColumn("cum", F.sum("cnt").over(wv)).select(
+        "xc", (F.lit(2) * F.col("cum") - F.col("cnt") + 1).alias("rank2")
+    )
+    tot = daily.agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy().orderBy("day")
+    u = (
+        daily.join(r2, "xc")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("t", F.row_number().over(wd))
+        .withColumn("cumr2", F.sum("rank2").over(wd))
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "day",
+            "n",
+            (F.col("cumr2") - F.col("t") * (F.col("n") + 1)).alias("u2"),
+        )
+    )
+    top = u.orderBy(F.abs(F.col("u2")).desc(), F.col("day").asc()).limit(1)
+    nd = F.col("n").cast("double")
+    kk = F.abs(F.col("u2")).cast("double")
+    p = 2.0 * F.exp(-6.0 * kk * kk / (nd * nd * nd + nd * nd))
+    return top.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("day").alias("change_day"),
+        F.abs(F.col("u2")).cast("long").alias("k_stat"),
+        F.round(p, 6).alias("p_approx"),
+        F.when(p < 0.05, F.lit("changepoint")).otherwise(F.lit("stable")).alias(
+            "verdict"
+        ),
+    )
+
+
+ORACLES["pettitt_changepoint"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+        FROM orders GROUP BY 1
+    ),
+    grid AS (SELECT xc, count(*) AS cnt FROM daily GROUP BY 1),
+    r2 AS (
+        SELECT xc, 2 * sum(cnt) OVER (ORDER BY xc) - cnt + 1 AS rank2
+        FROM grid
+    ),
+    tot AS (SELECT count(*) AS n FROM daily),
+    u AS (
+        SELECT day, n,
+               sum(rank2) OVER (ORDER BY day)
+                   - row_number() OVER (ORDER BY day) * (n + 1) AS u2,
+               row_number() OVER (ORDER BY day) AS t
+        FROM daily JOIN r2 USING (xc), tot
+    ),
+    top AS (
+        SELECT * FROM u WHERE t < n
+        ORDER BY abs(u2) DESC, day ASC LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, day AS change_day,
+           CAST(abs(u2) AS BIGINT) AS k_stat,
+           round(2.0 * exp(-6.0 * CAST(abs(u2) AS DOUBLE)
+                           * CAST(abs(u2) AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                              * CAST(n AS DOUBLE)
+                              + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+               AS p_approx,
+           CASE WHEN 2.0 * exp(-6.0 * CAST(abs(u2) AS DOUBLE)
+                               * CAST(abs(u2) AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                  * CAST(n AS DOUBLE)
+                                  + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     < 0.05
+                THEN 'changepoint' ELSE 'stable' END AS verdict
+    FROM top
+"""
+QUERIES["pettitt_changepoint"] = pettitt_changepoint
