@@ -810,3 +810,114 @@ ORACLES["sqlserver_cdc_roundtrip"] = """
     GROUP BY 1
 """
 QUERIES["sqlserver_cdc_roundtrip"] = sqlserver_cdc_roundtrip
+
+
+def mongo_changestream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> MongoDB change-stream JSON events ->
+    parse_envelope_mongo -> routed payload decode -> per-action rollup
+    (eighth-producer coverage next to Datastream / Debezium / GoldenGate
+    / AWS DMS / SQL Server / Maxwell / Canal).
+
+    Exercises the adapter contract:
+    - ``operationType`` from the key (okey % 5 -> insert / update /
+      replace / delete / drop) covers all three actions plus a ``drop``
+      DDL event that must dead-letter (NULL action);
+    - updates split on okey % 10: half arrive WITH ``fullDocument``
+      (updateLookup exporters), half with only
+      ``updateDescription.updatedFields`` + ``documentKey`` — the
+      adapter must MERGE the key into the partial image (decode keeps
+      o_orderkey, yields NULL o_custkey);
+    - deletes carry only ``documentKey`` (the key survives the decode)
+      and only ``clusterTime`` (epoch-seconds fallback); everything else
+      stamps extended-JSON ``wallTime.$date``;
+    - object routes on ``ns.coll``.
+    """
+    from ..sources.cdc_schema import parse_envelope_mongo
+
+    o = load_table(spark, sf_dir, "orders")
+    op = F.element_at(
+        F.array(
+            F.lit("insert"), F.lit("update"), F.lit("replace"),
+            F.lit("delete"), F.lit("drop"),
+        ),
+        (F.col("o_orderkey") % 5 + 1).cast("int"),
+    )
+    is_delete = F.col("o_orderkey") % 5 == 3
+    is_partial_update = (F.col("o_orderkey") % 5 == 1) & (
+        F.col("o_orderkey") % 10 == 6
+    )
+    has_full = ~is_delete & ~is_partial_update
+    iso = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    full_doc = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    body = F.struct(
+        op.alias("operationType"),
+        F.struct(
+            F.lit("retaildb").alias("db"), F.lit("orders_feed").alias("coll")
+        ).alias("ns"),
+        F.when(has_full, full_doc).alias("fullDocument"),
+        F.when(
+            is_partial_update,
+            F.struct(
+                F.struct(
+                    F.col("o_orderstatus"), F.col("o_totalprice")
+                ).alias("updatedFields"),
+                F.array().cast("array<string>").alias("removedFields"),
+            ),
+        ).alias("updateDescription"),
+        F.struct(F.col("o_orderkey")).alias("documentKey"),
+        F.when(
+            ~is_delete, F.struct(iso.alias("$date"))
+        ).alias("wallTime"),
+        F.when(
+            is_delete,
+            F.struct(
+                F.struct(
+                    F.unix_timestamp("o_orderdate").alias("t"),
+                    F.lit(1).alias("i"),
+                ).alias("$timestamp")
+            ),
+        ).alias("clusterTime"),
+    )
+    lines = o.select(F.to_json(body).alias("value"))
+    parsed = parse_envelope_mongo(lines)
+    routed = (
+        parsed.filter(F.col("action").isNotNull())
+        .filter(F.col("object") == "orders_feed")
+        .select(
+            "action",
+            F.to_timestamp("update_date_raw").alias("update_date"),
+            F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+        )
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("n_orderkeys"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
+ORACLES["mongo_changestream_roundtrip"] = """
+    SELECT CASE CAST(o_orderkey % 5 AS INT)
+               WHEN 0 THEN 'INSERT'
+               WHEN 1 THEN 'UPDATE-INSERT'
+               WHEN 2 THEN 'UPDATE-INSERT'
+               ELSE 'DELETE' END AS action,
+           count(*) AS n_rows,
+           count(*) AS n_orderkeys,
+           sum(CASE WHEN o_orderkey % 5 IN (0, 2)
+                      OR (o_orderkey % 5 = 1 AND o_orderkey % 10 != 6)
+                    THEN 1 ELSE 0 END) AS n_custkeys,
+           round(sum(CASE WHEN o_orderkey % 5 != 3
+                          THEN o_totalprice END), 2) AS revenue,
+           max(o_orderdate) AS last_update
+    FROM orders
+    WHERE o_orderkey % 5 != 4
+    GROUP BY 1
+"""
+QUERIES["mongo_changestream_roundtrip"] = mongo_changestream_roundtrip

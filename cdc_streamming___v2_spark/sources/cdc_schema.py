@@ -313,6 +313,7 @@ def parse_envelope_auto(
     - AWS DMS iff it has ``$.metadata.operation``;
     - SQL Server CDC iff it has a ``__$operation`` field (the flat
       change-table contract);
+    - MongoDB change stream iff it has an ``operationType`` field;
     - Canal iff it has a ``type`` field AND ``$.data[0]`` resolves (data
       is an ARRAY — get_json_object's [0] path is null on objects);
     - Maxwell iff it has ``type`` + object-shaped ``data``;
@@ -343,12 +344,20 @@ def parse_envelope_auto(
         & ~is_dms
         & F.get_json_object(line, "$.__$operation").isNotNull()
     )
+    is_mongo = (
+        ~is_dbz
+        & ~is_ogg
+        & ~is_dms
+        & ~is_mssql
+        & F.get_json_object(line, "$.operationType").isNotNull()
+    )
     has_type = F.get_json_object(line, "$.type").isNotNull()
     is_canal = (
         ~is_dbz
         & ~is_ogg
         & ~is_dms
         & ~is_mssql
+        & ~is_mongo
         & has_type
         & F.get_json_object(line, "$.data[0]").isNotNull()
     )
@@ -357,18 +366,21 @@ def parse_envelope_auto(
         & ~is_ogg
         & ~is_dms
         & ~is_mssql
+        & ~is_mongo
         & ~is_canal
         & has_type
         & F.get_json_object(line, "$.data").isNotNull()
     )
     is_ds = (
-        ~is_dbz & ~is_ogg & ~is_dms & ~is_mssql & ~is_canal & ~is_maxwell
+        ~is_dbz & ~is_ogg & ~is_dms & ~is_mssql & ~is_mongo & ~is_canal
+        & ~is_maxwell
     )
     ds = parse_envelope(raw_lines.filter(is_ds), line_col)
     dz = parse_envelope_debezium(raw_lines.filter(is_dbz), line_col)
     og = parse_envelope_goldengate(raw_lines.filter(is_ogg), line_col)
     dm = parse_envelope_aws_dms(raw_lines.filter(is_dms), line_col)
     ms = parse_envelope_sqlserver(raw_lines.filter(is_mssql), line_col)
+    mg = parse_envelope_mongo(raw_lines.filter(is_mongo), line_col)
     mx = parse_envelope_maxwell(raw_lines.filter(is_maxwell), line_col)
     cn = parse_envelope_canal(raw_lines.filter(is_canal), line_col)
     return (
@@ -376,6 +388,7 @@ def parse_envelope_auto(
         .unionByName(og)
         .unionByName(dm)
         .unionByName(ms)
+        .unionByName(mg)
         .unionByName(mx)
         .unionByName(cn)
     )
@@ -493,5 +506,103 @@ def parse_envelope_goldengate(
         action.alias("action"),
         F.col("ts").alias("update_date_raw"),
         F.coalesce(F.col("after"), F.col("before")).alias("payload_json"),
+        "raw",
+    )
+
+
+MONGO_ACTIONS = (
+    ("insert", "INSERT"),
+    ("update", "UPDATE-INSERT"),
+    ("replace", "UPDATE-INSERT"),
+    ("delete", "DELETE"),
+)
+
+
+def parse_envelope_mongo(
+    raw_lines: DataFrame,
+    line_col: str = "value",
+    default_table: str | None = None,
+) -> DataFrame:
+    """MongoDB change-stream events — the eighth producer — -> the
+    canonical envelope columns.
+
+    Field mapping (the public change-stream document shape:
+    ``operationType``, ``ns.db``/``ns.coll``, ``fullDocument``,
+    ``updateDescription.updatedFields``, ``documentKey``, ``wallTime``,
+    ``clusterTime``):
+
+    - ``operationType`` via MONGO_ACTIONS (``replace`` is a full-image
+      upsert -> UPDATE-INSERT); DDL-ish events (``drop``, ``rename``,
+      ``invalidate``, ``dropDatabase``) -> NULL action -> dead-letter.
+    - payload = ``fullDocument`` (always present on insert/replace, and
+      on update when the exporter runs with ``fullDocument:
+      'updateLookup'``), falling back for non-lookup updates to
+      ``documentKey`` MERGED with ``updateDescription.updatedFields``
+      (what every change-stream consumer does — the key is never inside
+      the partial image, so an unmerged fallback would decode keyless
+      update rows), and finally ``documentKey`` alone (deletes carry
+      only the key — the reference's blank-row DELETE made
+      key-recoverable).
+    - timestamp: ``wallTime`` as either relaxed ISO-8601 or extended-JSON
+      ``{"$date": ...}``, with canonical-layout and bare-ISO parses
+      coalesced; fallback ``clusterTime.$timestamp.t`` epoch seconds.
+    - object = ``ns.coll`` (fallback ``default_table``).
+    """
+    line = F.col(line_col)
+    parsed = raw_lines.select(
+        F.json_tuple(
+            line,
+            "operationType",
+            "ns",
+            "fullDocument",
+            "updateDescription",
+            "documentKey",
+            "wallTime",
+            "clusterTime",
+        ).alias("op", "ns", "full", "upd", "key", "wall", "cluster"),
+        line.alias("raw"),
+    )
+    action: Column = F.lit(None).cast("string")
+    for code, act in MONGO_ACTIONS:
+        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+    wall_iso = F.coalesce(
+        F.get_json_object(F.col("wall"), "$['$date']"), F.col("wall")
+    )
+    wall_ts = F.coalesce(
+        F.to_timestamp(wall_iso, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+        F.to_timestamp(wall_iso),
+    )
+    cluster_ts = F.from_unixtime(
+        F.get_json_object(F.col("cluster"), "$['$timestamp'].t").cast("long")
+    )
+    update_raw = F.coalesce(
+        F.date_format(wall_ts, "yyyy-MM-dd HH:mm:ss.SSS"), cluster_ts
+    )
+    return parsed.select(
+        F.coalesce(
+            F.get_json_object(F.col("ns"), "$.coll"),
+            F.lit(default_table).cast("string"),
+        ).alias("object"),
+        action.alias("action"),
+        update_raw.alias("update_date_raw"),
+        F.coalesce(
+            F.col("full"),
+            F.when(
+                F.get_json_object(F.col("upd"), "$.updatedFields").isNull()
+                | (F.get_json_object(F.col("upd"), "$.updatedFields") == "{}"),
+                F.col("key"),
+            ).otherwise(
+                F.concat(
+                    F.regexp_replace(F.col("key"), "\\}\\s*$", ""),
+                    F.lit(","),
+                    F.regexp_replace(
+                        F.get_json_object(F.col("upd"), "$.updatedFields"),
+                        "^\\s*\\{",
+                        "",
+                    ),
+                )
+            ),
+            F.col("key"),
+        ).alias("payload_json"),
         "raw",
     )

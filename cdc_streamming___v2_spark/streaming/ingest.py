@@ -40,6 +40,7 @@ from ..sources.cdc_schema import (
     parse_envelope,
     parse_envelope_auto,
     parse_envelope_goldengate,
+    parse_envelope_mongo,
     parse_envelope_sqlserver,
     parse_envelope_aws_dms,
     parse_envelope_canal,
@@ -131,6 +132,8 @@ class CdcIngest:
             return parse_envelope_goldengate(raw)
         if self.envelope_format == "sqlserver":
             return parse_envelope_sqlserver(raw)
+        if self.envelope_format == "mongo":
+            return parse_envelope_mongo(raw)
         if self.envelope_format == "auto":
             return parse_envelope_auto(raw)
         if self.envelope_format != "datastream":

@@ -1119,3 +1119,139 @@ def test_sqlserver_e2e_ingest(spark, tmp_path_factory):
     # metadata keys dropped; payload columns decoded
     assert by_action["INSERT"]["product_category_name"] == "tools"
     assert by_action["DELETE"]["product_id"] == "p4"
+
+
+# ---------------------------------------------------------------------------
+# MongoDB change streams (eighth producer)
+# ---------------------------------------------------------------------------
+
+
+def _mongo(coll, op, iso_ts=None, full=None, upd=None, key=None,
+           cluster_t=None):
+    doc = {"operationType": op}
+    if coll is not None:
+        doc["ns"] = {"db": "retail", "coll": coll}
+    if full is not None:
+        doc["fullDocument"] = full
+    if upd is not None:
+        doc["updateDescription"] = {"updatedFields": upd,
+                                    "removedFields": []}
+    if key is not None:
+        doc["documentKey"] = key
+    if iso_ts is not None:
+        doc["wallTime"] = {"$date": iso_ts}
+    if cluster_t is not None:
+        doc["clusterTime"] = {"$timestamp": {"t": cluster_t, "i": 1}}
+    return json.dumps(doc)
+
+
+MONGO_LINES = [
+    _mongo("olist_produtos", "insert", "2024-01-16T00:00:00.001Z",
+           full=P3, key={"product_id": "p3"}),
+    # non-lookup update: key must MERGE into the partial image
+    _mongo("olist_produtos", "update", "2024-01-17T00:00:00.002Z",
+           upd={"product_category_name": "hardware",
+                "product_weight_g": 260.0},
+           key={"product_id": "p3"}),
+    _mongo("olist_produtos", "replace", "2024-01-17T00:00:00.003Z",
+           full=P3_V2, key={"product_id": "p3"}),
+    # delete: documentKey only, clusterTime epoch-seconds fallback
+    _mongo("olist_produtos", "delete", key={"product_id": "p4"},
+           cluster_t=1705536000),
+    # DDL event: must dead-letter
+    _mongo("olist_produtos", "drop"),
+]
+
+
+def test_mongo_envelope_parses_merges_and_dead_letters_ddl(spark):
+    from cdc_streamming___v2_spark.sources.cdc_schema import (
+        parse_envelope_mongo,
+    )
+
+    df = spark.createDataFrame([(l,) for l in MONGO_LINES], "value string")
+    rows = parse_envelope_mongo(df).collect()
+    actions = [r["action"] for r in rows]
+    assert actions.count("UPDATE-INSERT") == 2  # update + replace
+    assert set(actions) == {"INSERT", "UPDATE-INSERT", "DELETE", None}
+    assert all(r["object"] == "olist_produtos" for r in rows)
+    # the partial update carries BOTH the key and the changed fields
+    upd = rows[1]
+    assert upd["action"] == "UPDATE-INSERT"
+    assert '"product_id":"p3"' in upd["payload_json"].replace(" ", "")
+    assert "hardware" in upd["payload_json"]
+    # wallTime extended JSON -> canonical layout
+    assert rows[0]["update_date_raw"] == "2024-01-16 00:00:00.001"
+    # delete: clusterTime epoch fallback produced a timestamp
+    assert rows[3]["update_date_raw"] is not None
+    assert json.loads(rows[3]["payload_json"]) == {"product_id": "p4"}
+    # drop dead-letters
+    assert rows[4]["action"] is None
+    # default_table fallback when ns is absent
+    bare = _mongo(None, "insert", "2024-01-19T00:00:00.004Z", full=P3)
+    r2 = parse_envelope_mongo(
+        spark.createDataFrame([(bare,)], "value string"),
+        default_table="olist_produtos",
+    )
+    assert r2.collect()[0]["object"] == "olist_produtos"
+
+
+def test_auto_dispatch_includes_mongo(spark, tmp_path_factory):
+    """A mixed directory with all EIGHT producers' lines unifies under
+    envelope_format='auto'."""
+    root = tmp_path_factory.mktemp("cdc_mixed8")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "all.jsonl"), "w") as f:
+        f.write("\n".join(
+            [LINES[0], DBZ_LINES[0], MXW_LINES[0], CNL_LINES[0],
+             DMS_LINES[0], OGG_LINES[0], MSSQL_LINES[0], MONGO_LINES[0]]
+        ) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="auto",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    # 1 datastream + 1 dbz + 1 maxwell + 2 canal batched + 1 dms + 1 ogg
+    # + 1 sqlserver + 1 mongo
+    assert len(rows) == 9
+
+
+def test_mongo_e2e_ingest(spark, tmp_path_factory):
+    """envelope_format='mongo' end-to-end through registry routing,
+    payload decode (merged partial update keeps the key), enrich, and
+    history."""
+    root = tmp_path_factory.mktemp("cdc_mongo_e2e")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "changes.jsonl"), "w") as f:
+        f.write("\n".join(MONGO_LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="mongo",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    assert len(rows) == 4  # drop dead-lettered
+    actions = sorted(r["action"] for r in rows)
+    assert actions == ["DELETE", "INSERT", "UPDATE-INSERT", "UPDATE-INSERT"]
+    by_ts = sorted(rows, key=lambda r: str(r["update_date"]))
+    # merged partial update decoded both the key and the changed field
+    assert by_ts[1]["product_id"] == "p3"
+    assert by_ts[1]["product_category_name"] == "hardware"
+    assert by_ts[1]["product_photos_qty"] is None  # not in the image
+    # delete decodes the key only
+    d = [r for r in rows if r["action"] == "DELETE"][0]
+    assert d["product_id"] == "p4"
