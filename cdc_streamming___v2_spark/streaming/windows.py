@@ -907,3 +907,96 @@ CM_STREAM_OUTPUT_SCHEMA = T.StructType(
         T.StructField("counters", T.StringType()),
     ]
 )
+
+
+def kmv_stream(
+    events: DataFrame, key_col: str = "user_id", group_col: str = "event_type"
+) -> DataFrame:
+    """Streaming K-minimum-values distinct sketch: bounded per-group
+    state (the KMV_K smallest DISTINCT md5 hashes) whose final estimate
+    EQUALS the batch operator's (operators/sketches.py kmv_distinct) on
+    the same data — "k smallest of a set union" is associative and
+    arrival-order-independent, and the hash family is the deterministic
+    JVM-side md5 salt the batch op uses (no Python hashing), so the
+    streaming/batch equality is exact, not approximate (test-proven).
+
+    State per group: at most KMV_K int64 hashes serialized "|"-joined —
+    bounded regardless of stream length.  Emissions are seq-stamped;
+    ``kmv_stream_estimates`` decodes the max-seq row per group.
+    """
+    from ..functions.texts import md5_hash_long
+    from ..operators.sketches import KMV_K
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            mins_s, seq = state.get
+            cur = np.array(
+                [int(x) for x in mins_s.split("|")], dtype=np.int64
+            )
+        else:
+            cur, seq = np.empty(0, dtype=np.int64), 0
+        for pdf in pdfs:
+            if len(pdf):
+                cur = np.unique(
+                    np.concatenate([cur, pdf["h"].to_numpy(np.int64)])
+                )[:KMV_K]
+        seq += 1
+        mins_s = "|".join(str(int(x)) for x in cur)
+        state.update((mins_s, seq))
+        yield pd.DataFrame(
+            [(key[0], seq, mins_s)], columns=["event_type", "seq", "mins"]
+        )
+
+    cells = events.select(
+        F.col(group_col).alias("event_type"),
+        md5_hash_long(F.col(key_col).cast("string"), "kmv").alias("h"),
+    )
+    return cells.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=KMV_STREAM_OUTPUT_SCHEMA,
+        stateStructType=KMV_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def kmv_stream_estimates(emitted: DataFrame) -> DataFrame:
+    """Decode the final streaming KMV state per group: n_mins and the
+    k-th smallest hash (the serialized list is ascending, so the LAST
+    element is u_k) feed the batch estimator formula verbatim."""
+    from pyspark.sql import Window
+
+    from ..operators.sketches import HASH_RANGE, KMV_K
+
+    wseq = Window.partitionBy("event_type").orderBy(F.col("seq").desc())
+    final = (
+        emitted.withColumn("rn", F.row_number().over(wseq))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.split("mins", "\\|").alias("arr"))
+    )
+    n_mins = F.size(F.col("arr"))
+    u_k = F.element_at(F.col("arr"), -1).cast("long") / F.lit(HASH_RANGE)
+    est = F.when(n_mins < KMV_K, n_mins.cast("double")).otherwise(
+        (KMV_K - 1) / u_k
+    )
+    return final.select(
+        "event_type", F.round(est, 2).alias("est_distinct")
+    )
+
+
+KMV_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("mins", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+KMV_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("mins", T.StringType()),
+    ]
+)

@@ -689,3 +689,28 @@ def test_countmin_stream_equals_batch_sketch(spark, orders_dir):
         for r in W.countmin_stream_estimates(emitted, probes).collect()
     }
     assert got == batch
+
+
+def test_kmv_stream_equals_batch_sketch(spark, events_dir):
+    """'k smallest of a union' is associative and order-independent, so
+    the streaming KMV estimate must EQUAL the batch kmv_distinct
+    estimate per group — exact equality, same md5 salt family."""
+    from cdc_streamming___v2_spark.operators.sketches import kmv_distinct
+
+    schema = spark.read.parquet(events_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .select("event_type", "user_id")
+    )
+    name = _run(W.kmv_stream(ev), mode="update")
+    emitted = spark.sql(f"select * from {name}")
+    got = {
+        r["event_type"]: r["est_distinct"]
+        for r in W.kmv_stream_estimates(emitted).collect()
+    }
+    batch = {
+        r["event_type"]: r["est_distinct"]
+        for r in kmv_distinct(spark, SF_SMALL).collect()
+    }
+    assert got == batch
