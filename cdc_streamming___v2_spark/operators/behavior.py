@@ -1695,3 +1695,143 @@ def _mra_oracle() -> str:
 
 
 ORACLES["markov_removal_attribution"] = _mra_oracle()
+
+
+SLOPE1_SAMPLE_MOD = 97  # deterministic ~1% customer sample for the report
+
+
+def slope_one_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Slope One rating prediction (Lemire & Maclachlan 2005)
+    over the (customer x brand) quantity matrix — the deviation-based
+    recommender beside item_cf_topk (similarity ranking): for each
+    sampled customer, the top predicted UNRATED brand via
+    P(u,j) = sum_i (num_ji + r_ui * c_ji) / sum_i c_ji, where
+    num_ji = sum over co-raters of (r_j - r_i) and c_ji the co-rater
+    count — the algebraic collapse of (dev_ji + r_ui) * c_ji keeps every
+    numerator an EXACT integer; the single division happens once per
+    (user, candidate).
+
+    Determinism: the report samples custkey % SLOPE1_SAMPLE_MOD == 0
+    (deterministic, scale-proportional); the top-1 pick compares the
+    bit-identical prediction double with brand-ascending tie-break.
+
+    Scale: ratings reduce lineitem ONCE per (customer, brand); the
+    deviation matrix is a user-keyed self-join bounded by the 25-brand
+    enum (<= 625 pairs per user, 600 rows total -> broadcast); the
+    candidate frame is sampled-users x 25 brands minus rated.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    r = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("p_brand").alias("b")
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("rq"))
+    )
+    x = r.select("u", F.col("b").alias("tgt"), F.col("rq").alias("rt"))
+    y = r.select("u", F.col("b").alias("src"), F.col("rq").alias("rs"))
+    dev = (
+        x.join(y, "u")
+        .filter(F.col("tgt") != F.col("src"))
+        .groupBy("tgt", "src")
+        .agg(
+            F.sum((F.col("rt") - F.col("rs")).cast("decimal(38,0)")).alias("num"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("c"),
+        )
+    )
+    sample = r.filter(F.col("u") % SLOPE1_SAMPLE_MOD == 0)
+    brands = p.select(F.col("p_brand").alias("b")).distinct()
+    cand = (
+        sample.select("u").distinct()
+        .join(F.broadcast(brands))
+        .join(sample.select("u", "b"), ["u", "b"], "left_anti")
+    )
+    pred = (
+        cand.join(F.broadcast(dev), cand["b"] == dev["tgt"])
+        .select("u", "tgt", "src", "num", "c")
+        .join(
+            sample.select(
+                F.col("u").alias("su"),
+                F.col("b").alias("sb"),
+                F.col("rq").alias("ru"),
+            ),
+            (F.col("u") == F.col("su")) & (F.col("src") == F.col("sb")),
+        )
+        .groupBy("u", "tgt")
+        .agg(
+            F.sum(
+                F.col("num") + F.col("ru").cast("decimal(38,0)") * F.col("c")
+            ).alias("snum"),
+            F.sum(F.col("c")).alias("sc"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+        )
+    )
+    pv = F.col("snum").cast("double") / F.col("sc").cast("double")
+    w = Window.partitionBy("u").orderBy(pv.desc(), F.col("tgt").asc())
+    return (
+        pred.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("u").cast("bigint").alias("custkey"),
+            F.col("tgt").alias("rec_brand"),
+            F.round(pv, 4).alias("pred_qty"),
+            "n_sources",
+        )
+        .orderBy("custkey")
+    )
+
+
+ORACLES["slope_one_predict"] = f"""
+    WITH r AS (
+        SELECT o_custkey AS u, p_brand AS b,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS rq
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT x.b AS tgt, y.b AS src,
+               CAST(sum(x.rq - y.rq) AS HUGEINT) AS num,
+               CAST(count(*) AS HUGEINT) AS c
+        FROM r x JOIN r y ON x.u = y.u AND x.b != y.b
+        GROUP BY 1, 2
+    ),
+    sample_r AS (SELECT * FROM r WHERE u % {SLOPE1_SAMPLE_MOD} = 0),
+    brands AS (SELECT DISTINCT p_brand AS b FROM part),
+    cand AS (
+        SELECT su.u, br.b
+        FROM (SELECT DISTINCT u FROM sample_r) su CROSS JOIN brands br
+        WHERE NOT EXISTS (SELECT 1 FROM sample_r s
+                          WHERE s.u = su.u AND s.b = br.b)
+    ),
+    pred AS (
+        SELECT cand.u, dev.tgt,
+               sum(dev.num + CAST(sr.rq AS HUGEINT) * dev.c) AS snum,
+               sum(dev.c) AS sc,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM cand
+        JOIN dev ON cand.b = dev.tgt
+        JOIN sample_r sr ON sr.u = cand.u AND sr.b = dev.src
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT u, tgt, snum, sc, n_sources,
+               row_number() OVER (
+                   PARTITION BY u
+                   ORDER BY CAST(snum AS DOUBLE) / CAST(sc AS DOUBLE) DESC,
+                            tgt ASC) AS rn
+        FROM pred
+    )
+    SELECT CAST(u AS BIGINT) AS custkey, tgt AS rec_brand,
+           round(CAST(snum AS DOUBLE) / CAST(sc AS DOUBLE), 4) AS pred_qty,
+           n_sources
+    FROM ranked WHERE rn = 1
+    ORDER BY custkey
+"""
+QUERIES["slope_one_predict"] = slope_one_predict

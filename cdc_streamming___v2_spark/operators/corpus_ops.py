@@ -1402,3 +1402,195 @@ def _textrank_oracle() -> str:
 
 
 ORACLES["textrank_keywords"] = _textrank_oracle()
+
+
+# --------------------------------------------------------------------------
+# round-6 wave AZ: Dunning G2 collocations + per-source lexical richness
+# --------------------------------------------------------------------------
+
+_DEC = "decimal(38,0)"
+
+G2_MIN_CO = 5  # bigram support floor (the PMI_MIN_CO analog)
+G2_TOP = 30
+
+
+def dunning_g2_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio (G2) collocations over ADJACENT
+    bigrams — the significance-weighted companion of word_pmi_pairs:
+    PMI over-rewards rare pairs, G2 = 2 * sum O ln(O/E) over the full
+    2x2 contingency table does not (Dunning 1993).
+
+    Table per bigram (w1 left, w2 right, ordered): a = c12, b = c1-c12,
+    c = c2-c12, d = N-c1-c2+c12 with c1/c2 the left/right marginal
+    counts and N the bigram total.  Every ln() input is a ratio of
+    integer counts evaluated in a FIXED division order ((x * N / r) / s,
+    the PMI convention); zero cells contribute 0 by the standard
+    0 ln 0 = 0 limit, guarded identically in both engines.
+
+    Scale: bigram generation is an array transform inside the scan (no
+    join); the only shuffles are vocabulary-bounded counts; top-k is
+    TakeOrderedAndProject.
+    """
+    d = _docs(spark, sf_dir)
+    arr = d.select(words(F.col("text")).alias("a")).filter(F.size("a") >= 2)
+    big_expr = F.expr(
+        """
+        transform(sequence(1, size(a) - 1), i ->
+            struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))
+        """
+    )
+    bigs = arr.select(F.explode(big_expr).alias("b")).select("b.w1", "b.w2")
+    co = (
+        bigs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= G2_MIN_CO)
+    )
+    left = bigs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    right = bigs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = bigs.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    jj = (
+        co.join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.col("c12").cast("double")
+    c1 = F.col("c1").cast("double")
+    c2 = F.col("c2").cast("double")
+    nn = F.col("nn")
+    b = c1 - a
+    c = c2 - a
+    dd = nn - c1 - c2 + a
+
+    def term(o, r, s):
+        return F.when(o > 0, o * F.log((o * nn / r) / s)).otherwise(F.lit(0.0))
+
+    g2 = 2.0 * (
+        term(a, c1, c2)
+        + term(b, c1, nn - c2)
+        + term(c, nn - c1, c2)
+        + term(dd, nn - c1, nn - c2)
+    )
+    scored = jj.select(
+        "w1", "w2", F.col("c12").cast("bigint").alias("n_cooc"),
+        F.round(g2, 4).alias("g2"),
+    )
+    w_rank = Window.orderBy(F.col("g2").desc(), F.col("w1").asc(), F.col("w2").asc())
+    top = scored.orderBy(
+        F.col("g2").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(G2_TOP)
+    return top.withColumn("rank", F.row_number().over(w_rank))
+
+
+ORACLES["dunning_g2_bigrams"] = f"""
+    WITH arr AS (
+        SELECT {_W} AS a FROM documents WHERE len({_W}) >= 2
+    ),
+    bigs AS (
+        SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                   i -> struct_pack(w1 := a[i], w2 := a[i + 1]))) AS b
+        FROM arr
+    ),
+    bg AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bigs),
+    co AS (
+        SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+        HAVING count(*) >= {G2_MIN_CO}
+    ),
+    lft AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    rgt AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM bg),
+    cells AS (
+        SELECT co.w1, co.w2, CAST(co.c12 AS BIGINT) AS n_cooc,
+               CAST(co.c12 AS DOUBLE) AS a,
+               CAST(lft.c1 AS DOUBLE) AS c1, CAST(rgt.c2 AS DOUBLE) AS c2,
+               t.nn AS nn
+        FROM co JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot t
+    ),
+    scored AS (
+        SELECT w1, w2, n_cooc,
+               round(2.0 * (
+                   (CASE WHEN a > 0
+                         THEN a * ln((a * nn / c1) / c2) ELSE 0.0 END)
+                 + (CASE WHEN c1 - a > 0
+                         THEN (c1 - a) * ln(((c1 - a) * nn / c1) / (nn - c2))
+                         ELSE 0.0 END)
+                 + (CASE WHEN c2 - a > 0
+                         THEN (c2 - a) * ln(((c2 - a) * nn / (nn - c1)) / c2)
+                         ELSE 0.0 END)
+                 + (CASE WHEN nn - c1 - c2 + a > 0
+                         THEN (nn - c1 - c2 + a)
+                              * ln(((nn - c1 - c2 + a) * nn / (nn - c1))
+                                   / (nn - c2))
+                         ELSE 0.0 END)), 4) AS g2
+        FROM cells
+    )
+    SELECT w1, w2, n_cooc, g2, rank FROM (
+        SELECT *, row_number() OVER (ORDER BY g2 DESC, w1 ASC, w2 ASC)
+                      AS rank
+        FROM scored) WHERE rank <= {G2_TOP}
+"""
+QUERIES["dunning_g2_bigrams"] = dunning_g2_bigrams
+
+
+def yule_richness_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-richness profile: Yule's K characteristic
+    (1e4 * (sum c^2 - N) / N^2 over the frequency spectrum — repetition-
+    heavy vocabularies score high), type-token ratio, and hapax share of
+    the vocabulary.  The per-source companion of zipf_fit (shape) and
+    heaps_law_fit (growth): K is SIZE-INVARIANT where raw TTR is not,
+    which is why both are reported.
+
+    Every statistic is a single float expression of exact integer counts
+    (N, V, V1, sum c^2) folded per source.
+
+    Scale: one corpus tokenize -> (source, word) count (vocabulary-
+    bounded), one per-source fold.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source", F.explode(words(F.col("text"))).alias("w")
+    )
+    freq = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    per = freq.groupBy("source").agg(
+        F.sum("c").cast(_DEC).alias("n"),
+        F.count(F.lit(1)).cast(_DEC).alias("v"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast(_DEC).alias("v1"),
+        F.sum((F.col("c") * F.col("c")).cast(_DEC)).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    yk = 1e4 * (F.col("s2").cast("double") - n) / (n * n)
+    return per.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("n_types"),
+        F.round(yk, 4).alias("yule_k"),
+        F.round(F.col("v").cast("double") / n, 6).alias("ttr"),
+        F.round(F.col("v1").cast("double") / F.col("v").cast("double"), 6)
+        .alias("hapax_share"),
+    ).orderBy("source")
+
+
+ORACLES["yule_richness_sources"] = f"""
+    WITH toks AS (
+        SELECT source, unnest({_W}) AS w FROM documents
+    ),
+    freq AS (
+        SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT source, CAST(sum(c) AS HUGEINT) AS n,
+               CAST(count(*) AS HUGEINT) AS v,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS v1,
+               CAST(sum(c * c) AS HUGEINT) AS s2
+        FROM freq GROUP BY 1
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS n_types,
+           round(1e4 * (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS yule_k,
+           round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ttr,
+           round(CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE), 6) AS hapax_share
+    FROM per
+    ORDER BY source
+"""
+QUERIES["yule_richness_sources"] = yule_richness_sources

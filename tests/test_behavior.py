@@ -155,3 +155,73 @@ def test_session_paths_cover_all_sessions(spark):
     for r in rows:
         assert set(r.path.split(">")) <= types
         assert r.n_sessions >= 1
+
+
+def test_slope_one_matches_pandas_bruteforce(spark):
+    """Literal weighted-Slope-One loop over the pivoted rating matrix —
+    the independent twin of the integer-collapsed engine formula."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from cdc_streamming___v2_spark.operators.behavior import (
+        SLOPE1_SAMPLE_MOD,
+        slope_one_predict,
+    )
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    from .conftest import SF_SMALL
+
+    rows = {r["custkey"]: r
+            for r in slope_one_predict(spark, SF_SMALL).collect()}
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).toPandas()
+    o = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).toPandas()
+    p = load_table(spark, SF_SMALL, "part").select(
+        "p_partkey", "p_brand"
+    ).toPandas()
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey").merge(
+        p, left_on="l_partkey", right_on="p_partkey"
+    )
+    j["q"] = j["l_quantity"].astype("int64")
+    r = j.groupby(["o_custkey", "p_brand"])["q"].sum()
+    mat = r.unstack()  # users x brands, NaN = unrated
+    brands = sorted(p["p_brand"].unique())
+    mat = mat.reindex(columns=brands)
+    checked = 0
+    for u in mat.index:
+        if u % SLOPE1_SAMPLE_MOD != 0:
+            continue
+        ru = mat.loc[u]
+        best = None
+        for tgt in brands:
+            if not np.isnan(ru[tgt]):
+                continue
+            snum = sc = 0.0
+            for src in brands:
+                if src == tgt or np.isnan(ru[src]):
+                    continue
+                both = mat[[tgt, src]].dropna()
+                c = len(both)
+                if c == 0:
+                    continue
+                dev = (both[tgt] - both[src]).sum() / c
+                snum += (dev + ru[src]) * c
+                sc += c
+            if sc > 0:
+                pv = snum / sc
+                if best is None or pv > best[0] + 1e-9 or (
+                    abs(pv - best[0]) <= 1e-9 and tgt < best[1]
+                ):
+                    best = (pv, tgt)
+        if best is None:
+            assert u not in rows
+            continue
+        got = rows[int(u)]
+        assert got["rec_brand"] == best[1], u
+        assert got["pred_qty"] == pytest.approx(best[0], abs=1e-3)
+        checked += 1
+    assert checked == len(rows) and checked > 0

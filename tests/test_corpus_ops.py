@@ -6,6 +6,7 @@ the semantics: prefix-sum contiguity, cap enforcement, dedup monotonicity.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_streamming___v2_spark.operators import corpus_ops as C
@@ -95,3 +96,102 @@ def test_dup_spans_flags_shared_windows_only(spark):
     assert out[some].n_spans == len(spans[some])
     assert out[some].n_dup_spans == n_dup
     assert 0.0 <= out[some].dup_share <= 1.0
+
+
+def test_dunning_g2_matches_counter_bruteforce(spark):
+    """Tokenize once via the engine's words(), then recompute G2 with
+    collections.Counter + literal 2x2 log-likelihood — independent of
+    the fixed-division-order engine expression."""
+    import math
+    from collections import Counter
+
+    from cdc_streamming___v2_spark.operators.corpus_ops import (
+        G2_MIN_CO,
+        G2_TOP,
+        _docs,
+        dunning_g2_bigrams,
+        words,
+    )
+    rows = dunning_g2_bigrams(spark, SF_SMALL).collect()
+    assert len(rows) == G2_TOP
+    toks = [
+        r["a"]
+        for r in _docs(spark, SF_SMALL)
+        .select(words(F.col("text")).alias("a"))
+        .collect()
+    ]
+    bigs = [(a[i], a[i + 1]) for a in toks for i in range(len(a) - 1)]
+    co = Counter(bigs)
+    left = Counter(b[0] for b in bigs)
+    right = Counter(b[1] for b in bigs)
+    nn = len(bigs)
+
+    def g2(w1, w2):
+        a = co[(w1, w2)]
+        c1, c2 = left[w1], right[w2]
+        cells = [
+            (a, c1 * c2),
+            (c1 - a, c1 * (nn - c2)),
+            (c2 - a, (nn - c1) * c2),
+            (nn - c1 - c2 + a, (nn - c1) * (nn - c2)),
+        ]
+        return 2.0 * sum(
+            o * math.log(o * nn / e) for o, e in cells if o > 0
+        )
+
+    scored = sorted(
+        ((g2(w1, w2), w1, w2) for (w1, w2), c in co.items()
+         if c >= G2_MIN_CO),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    for i, r in enumerate(rows):
+        want = scored[i]
+        assert (r["w1"], r["w2"]) == (want[1], want[2]), i
+        assert r["g2"] == pytest.approx(want[0], abs=1e-3)
+        assert r["rank"] == i + 1
+
+
+def test_yule_richness_matches_counter_bruteforce(spark):
+    from collections import Counter
+
+    from cdc_streamming___v2_spark.operators.corpus_ops import (
+        _docs,
+        words,
+        yule_richness_sources,
+    )
+    rows = {r["source"]: r
+            for r in yule_richness_sources(spark, SF_SMALL).collect()}
+    per = {}
+    for r in (
+        _docs(spark, SF_SMALL)
+        .select("source", words(F.col("text")).alias("a"))
+        .collect()
+    ):
+        per.setdefault(r["source"], []).extend(r["a"])
+    for src, tok in per.items():
+        c = Counter(tok)
+        n, v = len(tok), len(c)
+        v1 = sum(1 for x in c.values() if x == 1)
+        s2 = sum(x * x for x in c.values())
+        got = rows[src]
+        assert got["n_tokens"] == n and got["n_types"] == v
+        assert got["yule_k"] == pytest.approx(1e4 * (s2 - n) / n**2, abs=1e-3)
+        assert got["ttr"] == pytest.approx(v / n, abs=1e-5)
+        assert got["hapax_share"] == pytest.approx(v1 / v, abs=1e-5)
+
+
+def test_az_ops_never_plan_cartesian(spark):
+    from cdc_streamming___v2_spark.operators.behavior import slope_one_predict
+    from cdc_streamming___v2_spark.operators.corpus_ops import (
+        dunning_g2_bigrams,
+        yule_richness_sources,
+    )
+
+    for fn in (dunning_g2_bigrams, yule_richness_sources, slope_one_predict):
+        p = (
+            fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in p, fn.__name__
