@@ -359,6 +359,27 @@ HEADLINE = [
     "grubbs_outlier_test",
     "bass_diffusion_fit",
     "ann_recall_at_k",
+    "jarque_bera_test",
+    "breusch_pagan_test",
+    "arch_lm_test",
+    "dickey_fuller_test",
+    "bartlett_test",
+    "mood_median_test",
+    "cliffs_delta_pairs",
+    "effect_size_pairs",
+    "partial_corr_daily",
+    "cronbach_alpha",
+    "brier_decomposition",
+    "hosmer_lemeshow",
+    "var_cvar_daily",
+    "sortino_sharpe_daily",
+    "chain_ladder_ultimates",
+    "theil_u2_forecast",
+    "pettitt_changepoint",
+    "mongo_changestream_roundtrip",
+    "dunning_g2_bigrams",
+    "yule_richness_sources",
+    "slope_one_predict",
 ]
 
 

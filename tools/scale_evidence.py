@@ -92,6 +92,13 @@ QUERIES = [
     "textrank_keywords",
     # round 6: the ANN tier's own measurement op (brute force + LSH both)
     "ann_recall_at_k",
+    # round-6 session-2 corpus-bound additions (score-grid folds, bigram
+    # transforms, frequency spectra — all vocabulary/grid-bounded after
+    # one corpus reduce)
+    "brier_decomposition",
+    "hosmer_lemeshow",
+    "dunning_g2_bigrams",
+    "yule_richness_sources",
 ]
 
 # the event-log tier (round-5 wave 3): per-user ordered-window operators
@@ -160,6 +167,12 @@ EVENT_QUERIES = [
     "stochastic_dominance_pairs",
     "cmh_pooled_odds",
     "decayed_engagement_score",
+    # round-6 session-2 event-bound additions (k-row type frame or the
+    # bounded cent-value grid after one events reduce)
+    "bartlett_test",
+    "mood_median_test",
+    "cliffs_delta_pairs",
+    "effect_size_pairs",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
@@ -228,6 +241,23 @@ RELATIONAL_QUERIES = [
     "wilcoxon_signed_rank",
     "ljung_box_test",
     "runs_test",
+    # round-6 session-2 fact-bound additions (orders/lineitem grow 10x;
+    # every one reduces to the calendar-bounded daily frame, the k-row
+    # type frame, the (cohort x age) triangle, or the 25-brand rating
+    # matrix before any window/join)
+    "jarque_bera_test",
+    "breusch_pagan_test",
+    "arch_lm_test",
+    "dickey_fuller_test",
+    "partial_corr_daily",
+    "cronbach_alpha",
+    "var_cvar_daily",
+    "sortino_sharpe_daily",
+    "chain_ladder_ultimates",
+    "theil_u2_forecast",
+    "pettitt_changepoint",
+    "mongo_changestream_roundtrip",
+    "slope_one_predict",
     "grubbs_outlier_test",
     "bass_diffusion_fit",
 ]
