@@ -380,6 +380,11 @@ HEADLINE = [
     "dunning_g2_bigrams",
     "yule_richness_sources",
     "slope_one_predict",
+    "katz_centrality",
+    "hll_intersection_estimate",
+    "roll_spread_estimator",
+    "amihud_illiquidity",
+    "event_study_did",
 ]
 
 

@@ -599,3 +599,140 @@ ORACLES["psm_strata_ate"] = f"""
            round(arg_max(att_c, s) / 100.0, 6) AS att_dollars
     FROM folded
 """
+
+
+ES_EVENT = "1997-01-01"  # pinned event date (the did_estimate convention)
+ES_SEGMENT = "BUILDING"  # treated segment
+ES_WINDOW = 6  # leads/lags in months
+
+
+def event_study_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study difference-in-differences: per relative month m in
+    [-ES_WINDOW, +ES_WINDOW] around ES_EVENT, the treated-vs-control gap
+    in average per-customer spend, re-centered on the m = -1 baseline —
+    the leads-and-lags picture did_estimate's single coefficient
+    collapses, and the standard parallel-trends diagnostic (pre-event
+    coefficients should hover near zero).
+
+    Treated = ES_SEGMENT customers; denominators are the FIXED customer-
+    dim group sizes, so zero-spender months enter through the count
+    (the eoq zero-through-count pattern) and every coefficient is a
+    single float expression of exact cent/count integers.
+
+    Scale: one orders reduce to the (group x 13 months) frame joined to
+    the fixed dim counts; the baseline is a 1-row broadcast.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_mktsegment") == ES_SEGMENT).alias("tr")
+    )
+    sizes = c.groupBy("tr").agg(F.count(F.lit(1)).cast(_DEC).alias("n"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    m = (
+        (F.year("o_orderdate") - 1997) * 12 + F.month("o_orderdate") - 1
+    ).alias("m")
+    spend = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("tr", m, F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .filter((F.col("m") >= -ES_WINDOW) & (F.col("m") <= ES_WINDOW))
+        .groupBy("tr", "m")
+        .agg(F.sum(F.col("cents").cast(_DEC)).alias("s"))
+    )
+    months = spark.range(-ES_WINDOW, ES_WINDOW + 1).select(
+        F.col("id").cast("int").alias("m")
+    )
+    grid = (
+        months.join(F.broadcast(sizes))
+        .join(spend, ["tr", "m"], "left")
+        .select(
+            "m", "tr", "n",
+            F.coalesce(F.col("s"), F.lit(0).cast(_DEC)).alias("s"),
+        )
+    )
+    wide = grid.groupBy("m").agg(
+        F.max(F.when(F.col("tr"), F.col("s"))).alias("st"),
+        F.max(F.when(F.col("tr"), F.col("n"))).alias("nt"),
+        F.max(F.when(~F.col("tr"), F.col("s"))).alias("sc"),
+        F.max(F.when(~F.col("tr"), F.col("n"))).alias("nc"),
+    )
+    gap = (
+        F.col("st").cast("double") / F.col("nt").cast("double")
+        - F.col("sc").cast("double") / F.col("nc").cast("double")
+    ) / 100.0
+    base = wide.filter(F.col("m") == -1).select(
+        (
+            F.col("st").cast("double") / F.col("nt").cast("double")
+            - F.col("sc").cast("double") / F.col("nc").cast("double")
+        ).alias("b")
+    )
+    return (
+        wide.crossJoin(F.broadcast(base))
+        .select(
+            F.col("m").alias("rel_month"),
+            F.round(
+                F.col("st").cast("double") / F.col("nt").cast("double") / 100.0,
+                4,
+            ).alias("avg_treated"),
+            F.round(
+                F.col("sc").cast("double") / F.col("nc").cast("double") / 100.0,
+                4,
+            ).alias("avg_control"),
+            F.round(gap - F.col("b") / 100.0, 4).alias("did_coef"),
+        )
+        .orderBy("rel_month")
+    )
+
+
+ORACLES["event_study_did"] = f"""
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment = '{ES_SEGMENT}' AS tr FROM customer
+    ),
+    sizes AS (
+        SELECT tr, CAST(count(*) AS HUGEINT) AS n FROM c GROUP BY 1
+    ),
+    spend AS (
+        SELECT tr,
+               (year(CAST(o_orderdate AS DATE)) - 1997) * 12
+                   + month(CAST(o_orderdate AS DATE)) - 1 AS m,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS HUGEINT) AS s
+        FROM orders JOIN c ON o_custkey = c_custkey
+        WHERE (year(CAST(o_orderdate AS DATE)) - 1997) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1
+              BETWEEN -{ES_WINDOW} AND {ES_WINDOW}
+        GROUP BY 1, 2
+    ),
+    months AS (
+        SELECT unnest(range(-{ES_WINDOW}, {ES_WINDOW + 1})) AS m
+    ),
+    grid AS (
+        SELECT mo.m, sz.tr, sz.n, coalesce(sp.s, 0) AS s
+        FROM months mo CROSS JOIN sizes sz
+        LEFT JOIN spend sp ON sp.tr = sz.tr AND sp.m = mo.m
+    ),
+    wide AS (
+        SELECT m,
+               max(CASE WHEN tr THEN s END) AS st,
+               max(CASE WHEN tr THEN n END) AS nt,
+               max(CASE WHEN NOT tr THEN s END) AS sc,
+               max(CASE WHEN NOT tr THEN n END) AS nc
+        FROM grid GROUP BY 1
+    ),
+    base AS (
+        SELECT CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+               - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS b
+        FROM wide WHERE m = -1
+    )
+    SELECT CAST(m AS INTEGER) AS rel_month,
+           round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0, 4)
+               AS avg_treated,
+           round(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) / 100.0, 4)
+               AS avg_control,
+           round((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                  - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0
+                 - b / 100.0, 4) AS did_coef
+    FROM wide CROSS JOIN base
+    ORDER BY 1
+"""
+QUERIES["event_study_did"] = event_study_did

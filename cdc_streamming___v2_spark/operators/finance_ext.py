@@ -542,3 +542,194 @@ ORACLES["pettitt_changepoint"] = """
     FROM top
 """
 QUERIES["pettitt_changepoint"] = pettitt_changepoint
+
+
+def roll_spread_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) implied effective spread from the serial covariance
+    of daily unit-price changes: spread = 2*sqrt(-Cov(dp_t, dp_{t-1})).
+    Bid-ask bounce makes successive price changes negatively
+    autocorrelated; a POSITIVE covariance means the model does not
+    apply, and the estimator reports that verdict instead of a number
+    (the textbook failure mode, surfaced rather than clamped).
+
+    The daily unit price (shipped cents / shipped units) is a single
+    float expression of two exact integer sums, micro-rounded once;
+    price changes are then exact micro-unit integers and the covariance
+    folds in decimal(38,0).
+
+    Scale: one lineitem reduce to the calendar-bounded daily frame, one
+    ordered window, one aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rc"),
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+    )
+    pr = F.round(
+        F.col("rc").cast("double") / (F.col("q").cast("double") * 100.0), 6
+    )
+    wn = Window.partitionBy().orderBy("day")
+    px = daily.select("day", F.round(pr * 1e6).cast("long").alias("pm"))
+    fr = (
+        px.withColumn("p1", F.lag("pm").over(wn))
+        .withColumn("p2", F.lag("pm", 2).over(wn))
+        .filter(F.col("p2").isNotNull())
+        .select(
+            (F.col("pm") - F.col("p1")).cast(_DEC).alias("dy"),
+            (F.col("p1") - F.col("p2")).cast(_DEC).alias("dx"),
+        )
+    )
+    agg = fr.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    cov = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (m * (m - 1.0))
+    spread = 2.0 * F.sqrt(-cov) / 1e6
+    return agg.select(
+        F.col("m").cast("long").alias("n_obs"),
+        F.round(cov / 1e12, 10).alias("serial_cov"),
+        F.when(cov < 0, F.round(spread, 6)).alias("roll_spread"),
+        F.when(cov < 0, F.lit("spread_estimated"))
+        .otherwise(F.lit("positive_autocov_no_estimate"))
+        .alias("verdict"),
+    )
+
+
+ORACLES["roll_spread_estimator"] = """
+    WITH daily AS (
+        SELECT l_shipdate AS day,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rc,
+               sum(CAST(l_quantity AS BIGINT)) AS q
+        FROM lineitem GROUP BY 1
+    ),
+    px AS (
+        SELECT day,
+               CAST(round(round(CAST(rc AS DOUBLE)
+                                / (CAST(q AS DOUBLE) * 100.0), 6) * 1e6)
+                    AS BIGINT) AS pm
+        FROM daily
+    ),
+    lagged AS (
+        SELECT pm, lag(pm) OVER (ORDER BY day) AS p1,
+               lag(pm, 2) OVER (ORDER BY day) AS p2
+        FROM px
+    ),
+    fr AS (
+        SELECT CAST(pm - p1 AS HUGEINT) AS dy, CAST(p1 - p2 AS HUGEINT) AS dx
+        FROM lagged WHERE p2 IS NOT NULL
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS HUGEINT) AS m, sum(dx) AS sx, sum(dy) AS sy,
+               sum(dx * dy) AS sxy
+        FROM fr
+    ),
+    parts AS (
+        SELECT m, CAST(m * sxy - sx * sy AS DOUBLE)
+                      / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1.0)) AS cov
+        FROM agg
+    )
+    SELECT CAST(m AS BIGINT) AS n_obs,
+           round(cov / 1e12, 10) AS serial_cov,
+           CASE WHEN cov < 0 THEN round(2.0 * sqrt(-cov) / 1e6, 6) END
+               AS roll_spread,
+           CASE WHEN cov < 0 THEN 'spread_estimated'
+                ELSE 'positive_autocov_no_estimate' END AS verdict
+    FROM parts
+"""
+QUERIES["roll_spread_estimator"] = roll_spread_estimator
+
+
+def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity per brand: the mean of |daily unit-
+    price return| / daily dollar volume, scaled by 1e6 — how much the
+    price moves per dollar traded.  The microstructure companion of
+    roll_spread_estimator (which prices the bounce, not the depth).
+
+    Per-day terms |r_t| / vol_t are single float expressions of exact
+    integers (returns on the micro-rounded unit-price grid, volume in
+    exact cents), micro-rounded before the per-brand decimal fold; the
+    final mean is one division.
+
+    Scale: one lineitem+part reduce to the (brand x day) grid, one
+    brand-partitioned window, one per-brand fold.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_shipdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rc"),
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        )
+    )
+    pm = F.round(
+        F.round(F.col("rc").cast("double") / (F.col("q").cast("double") * 100.0), 6)
+        * 1e6
+    ).cast("long")
+    wb = Window.partitionBy("brand").orderBy("day")
+    fr = (
+        daily.select("brand", "day", pm.alias("pm"), "rc")
+        .withColumn("p1", F.lag("pm").over(wb))
+        .filter(F.col("p1").isNotNull() & (F.col("p1") > 0))
+    )
+    term = (
+        F.abs(F.col("pm") - F.col("p1")).cast("double")
+        / F.col("p1").cast("double")
+    ) / (F.col("rc").cast("double") / 100.0) * 1e6
+    agg = fr.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.round(term, 6).cast("decimal(38,6)")).alias("s"),
+    )
+    return agg.select(
+        "brand",
+        "n_obs",
+        F.round(
+            F.col("s").cast("double") / F.col("n_obs").cast("double"), 6
+        ).alias("amihud_x1e6"),
+    ).orderBy("brand")
+
+
+ORACLES["amihud_illiquidity"] = """
+    WITH daily AS (
+        SELECT p_brand AS brand, l_shipdate AS day,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rc,
+               sum(CAST(l_quantity AS BIGINT)) AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    px AS (
+        SELECT brand, day, rc,
+               CAST(round(round(CAST(rc AS DOUBLE)
+                                / (CAST(q AS DOUBLE) * 100.0), 6) * 1e6)
+                    AS BIGINT) AS pm
+        FROM daily
+    ),
+    fr AS (
+        SELECT brand, rc, pm,
+               lag(pm) OVER (PARTITION BY brand ORDER BY day) AS p1
+        FROM px
+    ),
+    terms AS (
+        SELECT brand,
+               CAST(round((CAST(abs(pm - p1) AS DOUBLE) / CAST(p1 AS DOUBLE))
+                          / (CAST(rc AS DOUBLE) / 100.0) * 1e6, 6)
+                    AS DECIMAL(38,6)) AS term
+        FROM fr WHERE p1 IS NOT NULL AND p1 > 0
+    )
+    SELECT brand, CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS amihud_x1e6
+    FROM terms GROUP BY 1
+    ORDER BY 1
+"""
+QUERIES["amihud_illiquidity"] = amihud_illiquidity

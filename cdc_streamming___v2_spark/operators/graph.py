@@ -1465,3 +1465,113 @@ def _modularity_oracle() -> str:
 
 QUERIES["community_modularity"] = community_modularity
 ORACLES["community_modularity"] = _modularity_oracle()
+
+
+KATZ_BETA = 0.05  # attenuation; < 1/lambda_max for a 25-node graph at this beta
+KATZ_K = 4  # truncation depth: walks up to length 4
+
+
+def katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality over the (unweighted) nation trade
+    graph: katz(v) = sum_{k=1..KATZ_K} beta^k * walks_k(v), where
+    walks_k(v) is the EXACT INTEGER count of directed walks of length k
+    ending at v — the attenuated-influence companion of
+    pagerank_nations (stationary shares) and harmonic_centrality
+    (distances).
+
+    Exactness: each walk-count round is one integer join-aggregate
+    (w_k(v) = sum over edges u->v of w_{k-1}(u), counts bounded by
+    25^k on the fixed 25-nation dimension), so katz is a single float
+    polynomial in beta over four exact integers — bit-identical across
+    engines; rank ties break on nationkey.
+
+    Scale: the edge list reduces the fact join ONCE to <= 625 rows;
+    every round is a broadcast join on that frame.  KATZ_K is a fixed
+    truncation, not a convergence loop — the 100-TB cost is the one
+    fact reduce.
+    """
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = _trade_edges(spark, sf_dir).select("src", "dst").distinct()
+    walks = []
+    w = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("w")
+    )
+    walks.append(w)
+    for _ in range(KATZ_K - 1):
+        w = (
+            F.broadcast(edges)
+            .join(w, F.col("src") == F.col("node"))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum("w").alias("w"))
+            .select(F.col("node2").alias("node"), "w")
+        )
+        walks.append(w)
+    out = n.select(F.col("n_nationkey").alias("node"), "n_name")
+    for k, wk in enumerate(walks, start=1):
+        out = out.join(
+            wk.select("node", F.col("w").alias(f"w{k}")), "node", "left"
+        ).withColumn(f"w{k}", F.coalesce(F.col(f"w{k}"), F.lit(0).cast("decimal(38,0)")))
+    katz = sum(
+        F.lit(KATZ_BETA**k) * F.col(f"w{k}").cast("double")
+        for k in range(1, KATZ_K + 1)
+    )
+    ranked = out.select(
+        F.col("node").cast("bigint").alias("nationkey"),
+        "n_name",
+        *[F.col(f"w{k}").cast("long").alias(f"walks_{k}") for k in range(1, KATZ_K + 1)],
+        F.round(katz, 6).alias("katz"),
+    )
+    wr = Window.orderBy(F.col("katz").desc(), F.col("nationkey").asc())
+    return ranked.withColumn("rank", F.row_number().over(wr))
+
+
+ORACLES["katz_centrality"] = f"""
+    WITH edges AS (
+        SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+    ),
+    w1 AS (
+        SELECT dst AS node, CAST(count(*) AS HUGEINT) AS w
+        FROM edges GROUP BY 1
+    ),
+    w2 AS (
+        SELECT e.dst AS node, CAST(sum(w1.w) AS HUGEINT) AS w
+        FROM edges e JOIN w1 ON w1.node = e.src GROUP BY 1
+    ),
+    w3 AS (
+        SELECT e.dst AS node, CAST(sum(w2.w) AS HUGEINT) AS w
+        FROM edges e JOIN w2 ON w2.node = e.src GROUP BY 1
+    ),
+    w4 AS (
+        SELECT e.dst AS node, CAST(sum(w3.w) AS HUGEINT) AS w
+        FROM edges e JOIN w3 ON w3.node = e.src GROUP BY 1
+    ),
+    base AS (
+        SELECT n_nationkey AS node, n_name,
+               coalesce(w1.w, 0) AS c1, coalesce(w2.w, 0) AS c2,
+               coalesce(w3.w, 0) AS c3, coalesce(w4.w, 0) AS c4
+        FROM nation
+        LEFT JOIN w1 ON w1.node = n_nationkey
+        LEFT JOIN w2 ON w2.node = n_nationkey
+        LEFT JOIN w3 ON w3.node = n_nationkey
+        LEFT JOIN w4 ON w4.node = n_nationkey
+    )
+    SELECT CAST(node AS BIGINT) AS nationkey, n_name,
+           CAST(c1 AS BIGINT) AS walks_1, CAST(c2 AS BIGINT) AS walks_2,
+           CAST(c3 AS BIGINT) AS walks_3, CAST(c4 AS BIGINT) AS walks_4,
+           round({KATZ_BETA} * CAST(c1 AS DOUBLE)
+                 + {KATZ_BETA**2} * CAST(c2 AS DOUBLE)
+                 + {KATZ_BETA**3} * CAST(c3 AS DOUBLE)
+                 + {KATZ_BETA**4} * CAST(c4 AS DOUBLE), 6) AS katz,
+           CAST(row_number() OVER (
+               ORDER BY {KATZ_BETA} * CAST(c1 AS DOUBLE)
+                        + {KATZ_BETA**2} * CAST(c2 AS DOUBLE)
+                        + {KATZ_BETA**3} * CAST(c3 AS DOUBLE)
+                        + {KATZ_BETA**4} * CAST(c4 AS DOUBLE) DESC,
+                        node ASC) AS INT) AS rank
+    FROM base
+"""
+QUERIES["katz_centrality"] = katz_centrality

@@ -1235,3 +1235,166 @@ ORACLES["ams_f2_sketch"] = f"""
     FROM med, exact
 """
 QUERIES["ams_f2_sketch"] = ams_f2_sketch
+
+
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-algebra at query time: for every event-type pair, the
+    inclusion-exclusion intersection estimate |A n B| ~= est(A) + est(B)
+    - est(A u B), where est(A u B) comes from register MAX-MERGE of the
+    two persisted sketches — never from rescanning the data.  The
+    companion of hll_merge_groups (union) and kmv_set_ops (KMV algebra):
+    inclusion-exclusion is THE reason mergeable sketches beat exact
+    distinct counts at 100 TB, and its error (union errors compound) is
+    exactly what this audit reports against the exact intersection.
+
+    Same exact-integer register arithmetic as hll_distinct (rho on the
+    low 24 hash bits, harmonic sum with zero-register imputation), so
+    both engines match bit-for-bit including the realized error.
+
+    Scale: one events reduce to (type x 256 registers); pair expansion
+    joins the register frame to a k(k-1)/2-row broadcast pair list; the
+    exact check reduces (user, type) distinct pairs user-keyed.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = md5_hash_long(F.col("user_id").cast("string"), "hllg")
+    v = h % HLL_VRANGE
+    base = e.select(
+        "event_type",
+        F.floor(h / HLL_VRANGE).cast("int").alias("bucket"),
+        F.when(v == 0, HLL_VBITS + 1)
+        .otherwise(F.lit(HLL_VBITS + 1) - F.length(F.bin(v)))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = base.groupBy("event_type", "bucket").agg(F.max("rho").alias("mj"))
+
+    def est_of(grouped: DataFrame, keys: list) -> DataFrame:
+        g = grouped.groupBy(*keys).agg(
+            F.count("*").alias("n_regs"),
+            F.sum(F.pow(F.lit(2.0), F.lit(HLL_VBITS + 1) - F.col("mj")))
+            .cast("long")
+            .alias("s_present"),
+        )
+        s = F.col("s_present") + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(
+            2 * HLL_VRANGE
+        )
+        return g.select(*keys, (F.lit(HLL_EST_NUM) / s).alias("est"))
+
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    per = est_of(regs, ["event_type"])
+    union_regs = (
+        regs.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    uest = est_of(union_regs, ["ta", "tb"]).withColumnRenamed("est", "est_u")
+    ut = e.distinct()
+    exact = (
+        ut.select(F.col("event_type").alias("ta"), F.col("user_id").alias("u"))
+        .join(
+            ut.select(F.col("event_type").alias("tb"), F.col("user_id").alias("u")),
+            "u",
+        )
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    j = (
+        uest.join(
+            F.broadcast(per.select(F.col("event_type").alias("ta"),
+                                   F.col("est").alias("est_a"))), "ta")
+        .join(
+            F.broadcast(per.select(F.col("event_type").alias("tb"),
+                                   F.col("est").alias("est_b"))), "tb")
+        .join(exact, ["ta", "tb"], "left")
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    ex = F.coalesce(F.col("exact_intersection"), F.lit(0)).cast("double")
+    return j.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.round(F.col("est_a"), 2).alias("est_a"),
+        F.round(F.col("est_b"), 2).alias("est_b"),
+        F.round(F.col("est_u"), 2).alias("est_union"),
+        F.round(inter, 2).alias("est_intersection"),
+        F.coalesce(F.col("exact_intersection"), F.lit(0)).alias(
+            "exact_intersection"
+        ),
+        F.when(ex > 0, F.round(F.abs(inter - ex) / ex, 4)).alias("rel_err"),
+    ).orderBy("type_a", "type_b")
+
+
+ORACLES["hll_intersection_estimate"] = f"""
+    WITH h AS (
+        SELECT event_type, {_h("user_id::VARCHAR", "hllg")} AS hv
+        FROM events
+    ),
+    regs AS (
+        SELECT event_type,
+               CAST(floor(hv / {HLL_VRANGE}) AS INT) AS bucket,
+               max(CASE WHEN hv % {HLL_VRANGE} = 0 THEN {HLL_VBITS + 1}
+                        ELSE {HLL_VBITS + 1} - length(bin(hv % {HLL_VRANGE}))
+                   END) AS mj
+        FROM h GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM regs),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM types a, types b WHERE a.event_type < b.event_type
+    ),
+    per AS (
+        SELECT event_type,
+               {HLL_EST_NUM!r}
+                   / (CAST(sum(power(2.0, {HLL_VBITS + 1} - mj)) AS BIGINT)
+                      + ({HLL_M} - count(*)) * {2 * HLL_VRANGE}) AS est
+        FROM regs GROUP BY 1
+    ),
+    uregs AS (
+        SELECT p.ta, p.tb, r.bucket, max(r.mj) AS mj
+        FROM regs r JOIN pairs p
+          ON r.event_type = p.ta OR r.event_type = p.tb
+        GROUP BY 1, 2, 3
+    ),
+    uest AS (
+        SELECT ta, tb,
+               {HLL_EST_NUM!r}
+                   / (CAST(sum(power(2.0, {HLL_VBITS + 1} - mj)) AS BIGINT)
+                      + ({HLL_M} - count(*)) * {2 * HLL_VRANGE}) AS est_u
+        FROM uregs GROUP BY 1, 2
+    ),
+    ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(count(*) AS BIGINT) AS exact_intersection
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT u.ta AS type_a, u.tb AS type_b,
+           round(pa.est, 2) AS est_a, round(pb.est, 2) AS est_b,
+           round(u.est_u, 2) AS est_union,
+           round(pa.est + pb.est - u.est_u, 2) AS est_intersection,
+           coalesce(e.exact_intersection, 0) AS exact_intersection,
+           CASE WHEN coalesce(e.exact_intersection, 0) > 0
+                THEN round(abs(pa.est + pb.est - u.est_u
+                               - CAST(coalesce(e.exact_intersection, 0)
+                                      AS DOUBLE))
+                           / CAST(coalesce(e.exact_intersection, 0)
+                                  AS DOUBLE), 4)
+                END AS rel_err
+    FROM uest u
+    JOIN per pa ON pa.event_type = u.ta
+    JOIN per pb ON pb.event_type = u.tb
+    LEFT JOIN exact e ON e.ta = u.ta AND e.tb = u.tb
+    ORDER BY 1, 2
+"""
+QUERIES["hll_intersection_estimate"] = hll_intersection_estimate

@@ -1,0 +1,216 @@
+"""Wave-BA tests: graph/sketch/microstructure/causal twins along
+independent paths (numpy adjacency powers, hashlib-recomputed HLL
+registers, pandas loops) + plan audits."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from .conftest import SF_SMALL
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_wave_ba_ops_never_plan_cartesian(spark):
+    from cdc_streamming___v2_spark.operators.causal import event_study_did
+    from cdc_streamming___v2_spark.operators.finance_ext import (
+        amihud_illiquidity,
+        roll_spread_estimator,
+    )
+    from cdc_streamming___v2_spark.operators.graph import katz_centrality
+    from cdc_streamming___v2_spark.operators.sketches import (
+        hll_intersection_estimate,
+    )
+
+    for fn in (
+        katz_centrality,
+        hll_intersection_estimate,
+        roll_spread_estimator,
+        amihud_illiquidity,
+        event_study_did,
+    ):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def test_katz_matches_adjacency_powers(spark):
+    """Literal numpy A^k walk counts vs the iterative join-aggregate."""
+    from cdc_streamming___v2_spark.operators.graph import (
+        KATZ_BETA,
+        KATZ_K,
+        katz_centrality,
+    )
+
+    rows = {r["nationkey"]: r for r in katz_centrality(spark, SF_SMALL).collect()}
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    c = pd.read_parquet(f"{SF_SMALL}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    s = pd.read_parquet(f"{SF_SMALL}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    j = (li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(c, left_on="o_custkey", right_on="c_custkey"))
+    edges = set(zip(j["s_nationkey"], j["c_nationkey"]))
+    A = np.zeros((25, 25), dtype=np.int64)
+    for u, v in edges:
+        A[u, v] = 1
+    ones = np.ones(25, dtype=np.int64)
+    wk = ones
+    katz = np.zeros(25)
+    for k in range(1, KATZ_K + 1):
+        wk = A.T @ wk  # walks of length k ending at each node
+        katz += KATZ_BETA ** k * wk
+        for node in range(25):
+            assert rows[node][f"walks_{k}"] == wk[node], (k, node)
+    for node in range(25):
+        assert rows[node]["katz"] == pytest.approx(katz[node], abs=1e-4)
+
+
+def test_hll_intersection_matches_hashlib_registers(spark):
+    """Recompute one pair's three estimates from hashlib-md5 registers —
+    fully independent of the engine hash/fold path."""
+    from cdc_streamming___v2_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_VBITS,
+        HLL_VRANGE,
+        hll_intersection_estimate,
+    )
+
+    rows = {(r["type_a"], r["type_b"]): r
+            for r in hll_intersection_estimate(spark, SF_SMALL).collect()}
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet",
+                         columns=["event_type", "user_id"])
+    by = {t: set(g["user_id"]) for t, g in ev.groupby("event_type")}
+
+    def regs(users):
+        r = {}
+        for u in users:
+            h = int(hashlib.md5(f"hllg{u}".encode()).hexdigest()[:8], 16)
+            b, v = h // HLL_VRANGE, h % HLL_VRANGE
+            rho = (HLL_VBITS + 1) if v == 0 else (
+                HLL_VBITS + 1 - len(bin(v)[2:])
+            )
+            r[b] = max(r.get(b, 0), rho)
+        return r
+
+    def est(r):
+        s = sum(2.0 ** (HLL_VBITS + 1 - m) for m in r.values())
+        s = int(s) + (HLL_M - len(r)) * 2 * HLL_VRANGE
+        return HLL_EST_NUM / s
+
+    ta, tb = sorted(by)[0], sorted(by)[1]
+    got = rows[(ta, tb)]
+    ea, eb = est(regs(by[ta])), est(regs(by[tb]))
+    ra, rb = regs(by[ta]), regs(by[tb])
+    ru = {b: max(ra.get(b, 0), rb.get(b, 0)) for b in set(ra) | set(rb)}
+    eu = est(ru)
+    assert got["est_a"] == pytest.approx(ea, abs=0.01)
+    assert got["est_b"] == pytest.approx(eb, abs=0.01)
+    assert got["est_union"] == pytest.approx(eu, abs=0.01)
+    assert got["est_intersection"] == pytest.approx(ea + eb - eu, abs=0.02)
+    assert got["exact_intersection"] == len(by[ta] & by[tb])
+
+
+def test_roll_spread_matches_numpy(spark):
+    from cdc_streamming___v2_spark.operators.finance_ext import (
+        roll_spread_estimator,
+    )
+
+    row = roll_spread_estimator(spark, SF_SMALL).collect()[0]
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet",
+                         columns=["l_shipdate", "l_extendedprice",
+                                  "l_quantity"])
+    li["rc"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    d = li.groupby("l_shipdate").agg(rc=("rc", "sum"),
+                                     q=("l_quantity", "sum"))
+    d = d.sort_index()
+    pm = np.round(np.round(d["rc"] / (d["q"] * 100.0), 6) * 1e6)
+    dp = np.diff(pm)
+    cov = np.cov(dp[:-1], dp[1:], ddof=1)[0, 1] / 1e12
+    assert row["n_obs"] == len(dp) - 1
+    assert row["serial_cov"] == pytest.approx(cov, rel=1e-6, abs=1e-10)
+    if cov < 0:
+        assert row["roll_spread"] == pytest.approx(2 * np.sqrt(-cov),
+                                                   abs=1e-4)
+        assert row["verdict"] == "spread_estimated"
+    else:
+        assert row["roll_spread"] is None
+        assert row["verdict"] == "positive_autocov_no_estimate"
+
+
+def test_amihud_matches_pandas(spark):
+    from cdc_streamming___v2_spark.operators.finance_ext import (
+        amihud_illiquidity,
+    )
+
+    rows = {r["brand"]: r for r in amihud_illiquidity(spark, SF_SMALL).collect()}
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate",
+                                  "l_extendedprice", "l_quantity"])
+    p = pd.read_parquet(f"{SF_SMALL}/part.parquet",
+                        columns=["p_partkey", "p_brand"])
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    j["rc"] = (j["l_extendedprice"] * 100).round().astype("int64")
+    d = j.groupby(["p_brand", "l_shipdate"]).agg(
+        rc=("rc", "sum"), q=("l_quantity", "sum"))
+    checked = 0
+    for brand, g in d.groupby(level=0):
+        g = g.sort_index()
+        pm = np.round(np.round(g["rc"] / (g["q"] * 100.0), 6) * 1e6).to_numpy()
+        rc = g["rc"].to_numpy()
+        terms = []
+        for i in range(1, len(pm)):
+            if pm[i - 1] > 0:
+                terms.append(round(
+                    abs(pm[i] - pm[i - 1]) / pm[i - 1] / (rc[i] / 100.0) * 1e6,
+                    6))
+        got = rows[brand]
+        assert got["n_obs"] == len(terms)
+        assert got["amihud_x1e6"] == pytest.approx(np.mean(terms), abs=1e-4)
+        checked += 1
+    assert checked == len(rows)
+
+
+def test_event_study_baseline_is_zero_and_matches_pandas(spark):
+    from cdc_streamming___v2_spark.operators.causal import (
+        ES_SEGMENT,
+        ES_WINDOW,
+        event_study_did,
+    )
+
+    rows = {r["rel_month"]: r for r in event_study_did(spark, SF_SMALL).collect()}
+    assert len(rows) == 2 * ES_WINDOW + 1
+    assert rows[-1]["did_coef"] == pytest.approx(0.0, abs=1e-9)
+    c = pd.read_parquet(f"{SF_SMALL}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    od = pd.to_datetime(o["o_orderdate"])
+    o["m"] = (od.dt.year - 1997) * 12 + od.dt.month - 1
+    o = o[(o["m"] >= -ES_WINDOW) & (o["m"] <= ES_WINDOW)]
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["tr"] = j["c_mktsegment"] == ES_SEGMENT
+    nt = int((c["c_mktsegment"] == ES_SEGMENT).sum())
+    nc = len(c) - nt
+    s = j.groupby(["m", "tr"])["cents"].sum()
+
+    def gap(m):
+        st = s.get((m, True), 0) / nt
+        sc = s.get((m, False), 0) / nc
+        return (st - sc) / 100.0
+
+    b = gap(-1)
+    for m in range(-ES_WINDOW, ES_WINDOW + 1):
+        assert rows[m]["did_coef"] == pytest.approx(gap(m) - b, abs=1e-3), m

@@ -173,6 +173,7 @@ EVENT_QUERIES = [
     "mood_median_test",
     "cliffs_delta_pairs",
     "effect_size_pairs",
+    "hll_intersection_estimate",
 ]
 
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
@@ -258,6 +259,10 @@ RELATIONAL_QUERIES = [
     "pettitt_changepoint",
     "mongo_changestream_roundtrip",
     "slope_one_predict",
+    "katz_centrality",
+    "roll_spread_estimator",
+    "amihud_illiquidity",
+    "event_study_did",
     "grubbs_outlier_test",
     "bass_diffusion_fit",
 ]
