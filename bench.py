@@ -385,6 +385,9 @@ HEADLINE = [
     "roll_spread_estimator",
     "amihud_illiquidity",
     "event_study_did",
+    "haar_energy_levels",
+    "spectral_entropy_weekly",
+    "fleiss_kappa_filters",
 ]
 
 

@@ -9022,3 +9022,130 @@ def _weekly_oracle() -> str:
 
 
 ORACLES["weekly_spectral_power"] = _weekly_oracle()
+
+
+# round-6 wave BB: multi-harmonic spectral entropy of the weekly cycle
+SPECTRAL_HARMONICS = 3
+_SPEC_COS = {
+    k: [_m2.cos(2 * _m2.pi * k * m / 7) for m in range(7)]
+    for k in range(1, SPECTRAL_HARMONICS + 1)
+}
+_SPEC_SIN = {
+    k: [_m2.sin(2 * _m2.pi * k * m / 7) for m in range(7)]
+    for k in range(1, SPECTRAL_HARMONICS + 1)
+}
+
+
+def spectral_entropy_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy over the first SPECTRAL_HARMONICS
+    harmonics of the 7-day cycle: how CONCENTRATED the weekly structure
+    is (entropy ~0 = one pure tone, ~1 = energy spread across
+    harmonics) — the shape statistic weekly_spectral_power's single
+    fundamental cannot see.  All cos/sin values repeat with period 7
+    for integer harmonics, so they inline as 7 Python-precomputed
+    literals per harmonic (no engine trig), exactly the
+    weekly_spectral_power convention.
+
+    Determinism: y = n*x - S keeps centering integral; each y*trig term
+    rounds to the unit grid and folds in decimal(38,0); powers, shares
+    and the entropy are single float expressions of those exact folds.
+
+    Scale: the calendar-bounded daily frame; one aggregate.
+    """
+    daily = _daily_order_revenue(spark, sf_dir)
+    wall = Window.partitionBy()
+    t = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("stot", F.sum("x").over(wall))
+        .withColumn("y", F.col("n") * F.col("x") - F.col("stot"))
+        .withColumn(
+            "m",
+            (F.datediff(F.col("day"), F.lit("1995-01-01")) % 7).cast("int"),
+        )
+    )
+    cols = []
+    for k in range(1, SPECTRAL_HARMONICS + 1):
+        cexp = F.lit(None).cast("double")
+        sexp = F.lit(None).cast("double")
+        for m in range(7):
+            cexp = F.when(F.col("m") == m, F.lit(_SPEC_COS[k][m])).otherwise(cexp)
+            sexp = F.when(F.col("m") == m, F.lit(_SPEC_SIN[k][m])).otherwise(sexp)
+        cols.append(
+            F.round(F.col("y").cast("double") * cexp)
+            .cast("decimal(38,0)")
+            .alias(f"c{k}")
+        )
+        cols.append(
+            F.round(F.col("y").cast("double") * sexp)
+            .cast("decimal(38,0)")
+            .alias(f"s{k}")
+        )
+    terms = t.select("n", *cols)
+    aggs = [F.max("n").cast("double").alias("n")]
+    for k in range(1, SPECTRAL_HARMONICS + 1):
+        aggs.append(F.sum(f"c{k}").cast("double").alias(f"cc{k}"))
+        aggs.append(F.sum(f"s{k}").cast("double").alias(f"ss{k}"))
+    g = terms.agg(*aggs)
+    powers = {
+        k: F.col(f"cc{k}") * F.col(f"cc{k}") + F.col(f"ss{k}") * F.col(f"ss{k}")
+        for k in range(1, SPECTRAL_HARMONICS + 1)
+    }
+    ptot = sum(powers.values())
+    shares = {k: powers[k] / ptot for k in powers}
+    ent = -sum(
+        F.when(shares[k] > 0, shares[k] * F.log(shares[k])).otherwise(F.lit(0.0))
+        for k in shares
+    ) / _m2.log(SPECTRAL_HARMONICS)
+    out_cols = [F.col("n").cast("long").alias("n_days")]
+    for k in range(1, SPECTRAL_HARMONICS + 1):
+        out_cols.append(F.round(shares[k], 6).alias(f"share_h{k}"))
+    out_cols.append(F.round(ent, 6).alias("spectral_entropy"))
+    return g.select(*out_cols)
+
+
+def _spectral_entropy_oracle() -> str:
+    def case_of(vals):
+        cs = " ".join(f"WHEN {m} THEN {vals[m]!r}" for m in range(7))
+        return f"(CASE (datediff('day', DATE '1995-01-01', CAST(day AS DATE)) % 7) {cs} END)"
+
+    term_cols = ", ".join(
+        f"CAST(round(CAST(y AS DOUBLE) * {case_of(_SPEC_COS[k])}) AS HUGEINT) AS c{k}, "
+        f"CAST(round(CAST(y AS DOUBLE) * {case_of(_SPEC_SIN[k])}) AS HUGEINT) AS s{k}"
+        for k in range(1, SPECTRAL_HARMONICS + 1)
+    )
+    sums = ", ".join(
+        f"CAST(sum(c{k}) AS DOUBLE) AS cc{k}, CAST(sum(s{k}) AS DOUBLE) AS ss{k}"
+        for k in range(1, SPECTRAL_HARMONICS + 1)
+    )
+    pw = {k: f"(cc{k} * cc{k} + ss{k} * ss{k})" for k in range(1, SPECTRAL_HARMONICS + 1)}
+    ptot = " + ".join(pw.values())
+    share_cols = ", ".join(
+        f"round({pw[k]} / ({ptot}), 6) AS share_h{k}"
+        for k in range(1, SPECTRAL_HARMONICS + 1)
+    )
+    ent_terms = " + ".join(
+        f"(CASE WHEN {pw[k]} > 0 THEN ({pw[k]} / ({ptot})) * ln({pw[k]} / ({ptot})) ELSE 0.0 END)"
+        for k in range(1, SPECTRAL_HARMONICS + 1)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS stot FROM daily),
+    cent AS (
+        SELECT day, n, n * x - stot AS y FROM daily, tot
+    ),
+    terms AS (SELECT n, {term_cols} FROM cent),
+    g AS (SELECT CAST(max(n) AS DOUBLE) AS n, {sums} FROM terms)
+    SELECT CAST(n AS BIGINT) AS n_days, {share_cols},
+           round(-({ent_terms}) / {_m2.log(SPECTRAL_HARMONICS)!r}, 6)
+               AS spectral_entropy
+    FROM g
+"""
+
+
+ORACLES["spectral_entropy_weekly"] = _spectral_entropy_oracle()
+QUERIES["spectral_entropy_weekly"] = spectral_entropy_weekly

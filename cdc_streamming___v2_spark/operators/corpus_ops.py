@@ -1448,9 +1448,12 @@ def dunning_g2_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = bigs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     right = bigs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
     tot = bigs.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    # marginals are vocabulary-sized and grow with the corpus: join them
+    # as ordinary equi-joins (AQE picks broadcast only while they fit) —
+    # a forced broadcast was the 10x run's one super-linear cost
     jj = (
-        co.join(F.broadcast(left), "w1")
-        .join(F.broadcast(right), "w2")
+        co.join(left, "w1")
+        .join(right, "w2")
         .crossJoin(F.broadcast(tot))
     )
     a = F.col("c12").cast("double")

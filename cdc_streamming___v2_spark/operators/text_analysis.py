@@ -1063,3 +1063,130 @@ ORACLES["term_burst_days"] = f"""
     FROM z WHERE zv >= {BURST_Z}
 """
 QUERIES["term_burst_days"] = term_burst_days
+
+
+def fleiss_kappa_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa agreement among the THREE ensemble quality raters
+    (length / logistic / lang-marker, the quality_ensemble_vote
+    predicates verbatim) — the n-rater generalization of
+    cohens_kappa_langid: are the filters measuring one construct, or
+    voting at random?
+
+    With n = 3 raters and 2 categories, each document contributes
+    P_i = (k(k-1) + (3-k)(2-k)) / 6 for k = its keep-vote count, so the
+    whole statistic reduces to the four exact integer counts c_0..c_3 of
+    documents by vote count; P-bar, chance agreement P_e = p0^2 + p1^2
+    and kappa are single float expressions of those integers.  The
+    Landis-Koch verdict compares the unrounded double.
+
+    Scale: one projection inside the scan (the predicates are pure
+    column expressions), one 4-row groupBy fold.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = n_tokens_ws(t)
+    sw_ratio = stopword_hits(t, EN_STOPWORDS) / n_words
+    z = (
+        F.lit(_QL_W["bias"])
+        + F.lit(_QL_W["n_words"]) * n_words
+        + F.lit(_QL_W["sw_ratio"]) * sw_ratio
+        + F.lit(_QL_W["punct"]) * punct_ratio(t)
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    any_lang = F.greatest(
+        *[stopword_hits(t, mk) for mk in LANG_MARKERS.values()]
+    ) > 0
+    k = (
+        (n_words >= ENSEMBLE_MIN_WORDS).cast("int")
+        + (prob >= 0.5).cast("int")
+        + any_lang.cast("int")
+    )
+    counts = d.select(k.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    agg = counts.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("c")).alias("sk"),
+        F.sum(
+            (
+                F.col("k").cast("decimal(38,0)") * (F.col("k") - 1)
+                + (3 - F.col("k")).cast("decimal(38,0)") * (2 - F.col("k"))
+            )
+            * F.col("c")
+        ).alias("sp"),
+    )
+    n = F.col("n").cast("double")
+    p1 = F.col("sk").cast("double") / (3.0 * n)
+    pbar = F.col("sp").cast("double") / (6.0 * n)
+    pe = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    kappa = (pbar - pe) / (1.0 - pe)
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.lit(3).cast("int").alias("n_raters"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round(kappa, 6).alias("fleiss_kappa"),
+        F.when(kappa < 0.0, F.lit("poor"))
+        .when(kappa < 0.2, F.lit("slight"))
+        .when(kappa < 0.4, F.lit("fair"))
+        .when(kappa < 0.6, F.lit("moderate"))
+        .when(kappa < 0.8, F.lit("substantial"))
+        .otherwise(F.lit("almost_perfect"))
+        .alias("agreement"),
+    )
+
+
+def _fleiss_oracle() -> str:
+    any_lang = (
+        "greatest("
+        + ", ".join(_sw_hits(_WORDS, mk) for mk in LANG_MARKERS.values())
+        + ") > 0"
+    )
+    z = f"""{_QL_W["bias"]}
+            + {_QL_W["n_words"]} * len({_WORDS})
+            + {_QL_W["sw_ratio"]} * ({_sw_hits(_WORDS, EN_STOPWORDS)} * 1.0
+                                     / len({_WORDS}))
+            + ({_QL_W["punct"]}) * (length(regexp_replace(text,
+                    '[^.,!?;:]', '', 'g')) * 1.0 / length(text))"""
+    return f"""
+    WITH votes AS (
+        SELECT (CASE WHEN len({_WORDS}) >= {ENSEMBLE_MIN_WORDS}
+                     THEN 1 ELSE 0 END)
+               + (CASE WHEN 1.0 / (1.0 + exp(-({z}))) >= 0.5
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN {any_lang} THEN 1 ELSE 0 END) AS k
+        FROM documents
+    ),
+    counts AS (
+        SELECT k, CAST(count(*) AS HUGEINT) AS c FROM votes GROUP BY 1
+    ),
+    agg AS (
+        SELECT sum(c) AS n, sum(CAST(k AS HUGEINT) * c) AS sk,
+               sum((CAST(k AS HUGEINT) * (k - 1)
+                    + CAST(3 - k AS HUGEINT) * (2 - k)) * c) AS sp
+        FROM counts
+    ),
+    parts AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               CAST(sk AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) AS p1,
+               CAST(sp AS DOUBLE) / (6.0 * CAST(n AS DOUBLE)) AS pbar
+        FROM agg
+    ),
+    st AS (
+        SELECT n, pbar, p1 * p1 + (1.0 - p1) * (1.0 - p1) AS pe FROM parts
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs, CAST(3 AS INTEGER) AS n_raters,
+           round(pbar, 6) AS p_bar, round(pe, 6) AS p_chance,
+           round((pbar - pe) / (1.0 - pe), 6) AS fleiss_kappa,
+           CASE WHEN (pbar - pe) / (1.0 - pe) < 0.0 THEN 'poor'
+                WHEN (pbar - pe) / (1.0 - pe) < 0.2 THEN 'slight'
+                WHEN (pbar - pe) / (1.0 - pe) < 0.4 THEN 'fair'
+                WHEN (pbar - pe) / (1.0 - pe) < 0.6 THEN 'moderate'
+                WHEN (pbar - pe) / (1.0 - pe) < 0.8 THEN 'substantial'
+                ELSE 'almost_perfect' END AS agreement
+    FROM st
+"""
+
+
+ORACLES["fleiss_kappa_filters"] = _fleiss_oracle()
+QUERIES["fleiss_kappa_filters"] = fleiss_kappa_filters

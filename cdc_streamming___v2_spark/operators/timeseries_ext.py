@@ -460,3 +460,129 @@ ORACLES["hurst_exponent"] = f"""
     FROM last
 """
 QUERIES["hurst_exponent"] = hurst_exponent
+
+
+HAAR_LEVELS = 3
+
+
+def haar_energy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail-energy decomposition of daily revenue:
+    cascade HAAR_LEVELS times, at each level pairing consecutive samples
+    (by dense day rank) into sum and difference; detail energy
+    E_l = sum(diff^2) localizes variance by TIME SCALE (level 1 =
+    day-to-day chop, level 3 = ~week-scale swings) — the multi-
+    resolution companion of weekly_spectral_power's single frequency.
+
+    Exactness: Haar sums/differences of integer cents are exact
+    integers at every level (magnitudes double per level — far inside
+    decimal(38,0)); incomplete tail pairs drop by an exact pair-count
+    filter.  Reported per level: pair count, energy share of the total
+    detail energy, and RMS detail amplitude in dollars — scale-free
+    floats computed once from exact folds.
+
+    Scale: the calendar-bounded daily frame; each level is one
+    (rank div 2) aggregate on a frame that HALVES per level.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("x")
+    )
+    wn = Window.partitionBy().orderBy("day")
+    cur = daily.select(
+        (F.row_number().over(wn) - 1).alias("i"), F.col("x").alias("s")
+    )
+    energies = []
+    for lvl in range(1, HAAR_LEVELS + 1):
+        paired = (
+            cur.groupBy((F.col("i") / 2).cast("long").alias("j"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.when(F.col("i") % 2 == 0, F.col("s")).otherwise(0)).alias("a"),
+                F.sum(F.when(F.col("i") % 2 == 1, F.col("s")).otherwise(0)).alias("b"),
+            )
+            .filter(F.col("cnt") == 2)
+        )
+        lvl_agg = paired.agg(
+            F.lit(lvl).alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                (F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))
+            ).alias("e"),
+        )
+        energies.append(lvl_agg)
+        cur = paired.select(
+            F.col("j").alias("i"), (F.col("a") + F.col("b")).alias("s")
+        )
+    lv = energies[0]
+    for e in energies[1:]:
+        lv = lv.unionByName(e)
+    tot = lv.agg(F.sum("e").alias("te"))
+    return (
+        lv.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("level").cast("int").alias("level"),
+            "n_pairs",
+            F.round(
+                F.col("e").cast("double") / F.col("te").cast("double"), 6
+            ).alias("energy_share"),
+            F.round(
+                F.sqrt(
+                    F.col("e").cast("double") / F.col("n_pairs").cast("double")
+                )
+                / 100.0,
+                2,
+            ).alias("rms_detail_dollars"),
+        )
+        .orderBy("level")
+    )
+
+
+ORACLES["haar_energy_levels"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    l0 AS (
+        SELECT row_number() OVER (ORDER BY day) - 1 AS i, x AS s FROM daily
+    ),
+    p1 AS (
+        SELECT i // 2 AS j, count(*) AS cnt,
+               sum(CASE WHEN i % 2 = 0 THEN s ELSE 0 END) AS a,
+               sum(CASE WHEN i % 2 = 1 THEN s ELSE 0 END) AS b
+        FROM l0 GROUP BY 1 HAVING count(*) = 2
+    ),
+    l1 AS (SELECT j AS i, a + b AS s FROM p1),
+    p2 AS (
+        SELECT i // 2 AS j, count(*) AS cnt,
+               sum(CASE WHEN i % 2 = 0 THEN s ELSE 0 END) AS a,
+               sum(CASE WHEN i % 2 = 1 THEN s ELSE 0 END) AS b
+        FROM l1 GROUP BY 1 HAVING count(*) = 2
+    ),
+    l2 AS (SELECT j AS i, a + b AS s FROM p2),
+    p3 AS (
+        SELECT i // 2 AS j, count(*) AS cnt,
+               sum(CASE WHEN i % 2 = 0 THEN s ELSE 0 END) AS a,
+               sum(CASE WHEN i % 2 = 1 THEN s ELSE 0 END) AS b
+        FROM l2 GROUP BY 1 HAVING count(*) = 2
+    ),
+    lv AS (
+        SELECT 1 AS level, CAST(count(*) AS BIGINT) AS n_pairs,
+               sum((a - b) * (a - b)) AS e FROM p1
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT), sum((a - b) * (a - b)) FROM p2
+        UNION ALL
+        SELECT 3, CAST(count(*) AS BIGINT), sum((a - b) * (a - b)) FROM p3
+    ),
+    tot AS (SELECT sum(e) AS te FROM lv)
+    SELECT CAST(level AS INTEGER) AS level, n_pairs,
+           round(CAST(e AS DOUBLE) / CAST(te AS DOUBLE), 6) AS energy_share,
+           round(sqrt(CAST(e AS DOUBLE) / CAST(n_pairs AS DOUBLE)) / 100.0, 2)
+               AS rms_detail_dollars
+    FROM lv, tot
+    ORDER BY level
+"""
+QUERIES["haar_energy_levels"] = haar_energy_levels

@@ -214,3 +214,110 @@ def test_event_study_baseline_is_zero_and_matches_pandas(spark):
     b = gap(-1)
     for m in range(-ES_WINDOW, ES_WINDOW + 1):
         assert rows[m]["did_coef"] == pytest.approx(gap(m) - b, abs=1e-3), m
+
+
+# ---- wave BB twins ----
+
+
+def test_wave_bb_ops_never_plan_cartesian(spark):
+    from cdc_streamming___v2_spark.operators.analytics import (
+        spectral_entropy_weekly,
+    )
+    from cdc_streamming___v2_spark.operators.text_analysis import (
+        fleiss_kappa_filters,
+    )
+    from cdc_streamming___v2_spark.operators.timeseries_ext import (
+        haar_energy_levels,
+    )
+
+    for fn in (haar_energy_levels, spectral_entropy_weekly,
+               fleiss_kappa_filters):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def _daily_cents_ba(sf_dir: str) -> np.ndarray:
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    o["xc"] = (o["o_totalprice"] * 100).round().astype("int64")
+    d = o.groupby("o_orderdate")["xc"].sum().sort_index()
+    return d
+
+
+def test_haar_energies_match_numpy_cascade(spark):
+    from cdc_streamming___v2_spark.operators.timeseries_ext import (
+        HAAR_LEVELS,
+        haar_energy_levels,
+    )
+
+    rows = {r["level"]: r for r in haar_energy_levels(spark, SF_SMALL).collect()}
+    x = _daily_cents_ba(SF_SMALL).to_numpy(np.int64)
+    energies = {}
+    cur = x
+    for lvl in range(1, HAAR_LEVELS + 1):
+        n2 = len(cur) // 2
+        a, b = cur[: 2 * n2 : 2], cur[1 : 2 * n2 : 2]
+        energies[lvl] = (len(a), ((a - b).astype(object) ** 2).sum())
+        cur = a + b
+    te = sum(e for _, e in energies.values())
+    for lvl, (npairs, e) in energies.items():
+        got = rows[lvl]
+        assert got["n_pairs"] == npairs
+        assert got["energy_share"] == pytest.approx(e / te, abs=1e-5)
+        assert got["rms_detail_dollars"] == pytest.approx(
+            np.sqrt(float(e) / npairs) / 100.0, rel=1e-6)
+
+
+def test_spectral_entropy_matches_numpy_dft(spark):
+    """Full complex-exponential DFT at k/7 — independent of the inlined
+    7-literal trig tables."""
+    from cdc_streamming___v2_spark.operators.analytics import (
+        SPECTRAL_HARMONICS,
+        spectral_entropy_weekly,
+    )
+
+    row = spectral_entropy_weekly(spark, SF_SMALL).collect()[0]
+    d = _daily_cents_ba(SF_SMALL)
+    days = (pd.to_datetime(d.index) - pd.Timestamp("1995-01-01")).days
+    n = len(d)
+    y = n * d.to_numpy(float) - d.sum()
+    powers = []
+    for k in range(1, SPECTRAL_HARMONICS + 1):
+        z = np.exp(-2j * np.pi * k * np.asarray(days) / 7.0)
+        # the engine rounds each trig term to the unit grid before folding
+        c = np.round(y * z.real).sum()
+        s_ = np.round(y * (-z.imag)).sum()
+        powers.append(c * c + s_ * s_)
+    shares = np.array(powers) / sum(powers)
+    ent = -(shares[shares > 0] * np.log(shares[shares > 0])).sum() / np.log(
+        SPECTRAL_HARMONICS)
+    assert row["n_days"] == n
+    for k in range(1, SPECTRAL_HARMONICS + 1):
+        assert row[f"share_h{k}"] == pytest.approx(shares[k - 1], abs=1e-5)
+    assert row["spectral_entropy"] == pytest.approx(ent, abs=1e-5)
+    assert 0.0 <= row["spectral_entropy"] <= 1.0 + 1e-9
+
+
+def test_fleiss_kappa_matches_per_doc_formula(spark):
+    """Collect the per-doc keep-vote count from the ensemble op itself
+    (already oracle-proven) and recompute kappa doc-by-doc."""
+    from cdc_streamming___v2_spark.operators.text_analysis import (
+        fleiss_kappa_filters,
+        quality_ensemble_vote,
+    )
+
+    row = fleiss_kappa_filters(spark, SF_SMALL).collect()[0]
+    votes = quality_ensemble_vote(spark, SF_SMALL).select(
+        "vote_length", "vote_quality", "vote_lang"
+    ).toPandas()
+    k = votes.astype(int).sum(axis=1).to_numpy()
+    n = len(k)
+    p1 = k.sum() / (3 * n)
+    p_i = (k * (k - 1) + (3 - k) * (2 - k)) / 6.0
+    pbar = p_i.mean()
+    pe = p1 ** 2 + (1 - p1) ** 2
+    kappa = (pbar - pe) / (1 - pe)
+    assert row["n_docs"] == n
+    assert row["p_bar"] == pytest.approx(pbar, abs=1e-5)
+    assert row["p_chance"] == pytest.approx(pe, abs=1e-5)
+    assert row["fleiss_kappa"] == pytest.approx(kappa, abs=1e-5)

@@ -176,6 +176,9 @@ EVENT_QUERIES = [
     "hll_intersection_estimate",
 ]
 
+# corpus-bound wave-BB addition
+QUERIES.append("fleiss_kappa_filters")
+
 # the relational tier (VERDICT r4 #10): the 5 most expensive TPC-H-shape
 # queries, timed against 10x lineitem/orders to prove the join/agg plans
 # hold, not just the LLM tier
@@ -263,6 +266,8 @@ RELATIONAL_QUERIES = [
     "roll_spread_estimator",
     "amihud_illiquidity",
     "event_study_did",
+    "haar_energy_levels",
+    "spectral_entropy_weekly",
     "grubbs_outlier_test",
     "bass_diffusion_fit",
 ]
