@@ -388,6 +388,7 @@ HEADLINE = [
     "haar_energy_levels",
     "spectral_entropy_weekly",
     "fleiss_kappa_filters",
+    "wal2json_envelope_roundtrip",
 ]
 
 

@@ -921,3 +921,101 @@ ORACLES["mongo_changestream_roundtrip"] = """
     GROUP BY 1
 """
 QUERIES["mongo_changestream_roundtrip"] = mongo_changestream_roundtrip
+
+
+def wal2json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> wal2json v2 logical-decoding JSON lines ->
+    parse_envelope_wal2json -> routed payload decode -> per-action
+    rollup (ninth-producer coverage).
+
+    Exercises the adapter contract:
+    - ``action`` from the key (okey % 5 -> I/U/D/B/T) covers all three
+      data actions plus a BEGIN marker and a TRUNCATE that must
+      dead-letter (NULL action);
+    - the {name, type, value} columns array carries RAW numeric tokens
+      (generated by string concat, like wal2json itself) — the
+      type-aware pivot must emit them unquoted or every numeric column
+      nulls at the routed from_json decode;
+    - deletes carry only the replica identity (o_orderkey) — the key
+      survives, nothing else;
+    - ``timestamp`` parses with its +00 offset and microseconds.
+    """
+    from ..sources.cdc_schema import parse_envelope_wal2json
+
+    o = load_table(spark, sf_dir, "orders")
+    op = F.element_at(
+        F.array(F.lit("I"), F.lit("U"), F.lit("D"), F.lit("B"), F.lit("T")),
+        (F.col("o_orderkey") % 5 + 1).cast("int"),
+    )
+    is_delete = F.col("o_orderkey") % 5 == 2
+    is_marker = F.col("o_orderkey") % 5 >= 3
+    ts = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    cols_arr = F.concat(
+        F.lit('[{"name":"o_orderkey","type":"bigint","value":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('},{"name":"o_custkey","type":"bigint","value":'),
+        F.col("o_custkey").cast("string"),
+        F.lit('},{"name":"o_orderstatus","type":"text","value":"'),
+        F.col("o_orderstatus"),
+        F.lit('"},{"name":"o_totalprice","type":"numeric(12,2)","value":'),
+        F.col("o_totalprice").cast("string"),
+        F.lit("}]"),
+    )
+    ident_arr = F.concat(
+        F.lit('[{"name":"o_orderkey","type":"bigint","value":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit("}]"),
+    )
+    line = F.when(
+        is_marker,
+        F.concat(
+            F.lit('{"action":"'), op,
+            F.lit('","timestamp":"'), ts, F.lit('+00"}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"action":"'), op,
+            F.lit('","schema":"public","table":"orders_feed","'),
+            F.when(is_delete, F.lit("identity")).otherwise(F.lit("columns")),
+            F.lit('":'),
+            F.when(is_delete, ident_arr).otherwise(cols_arr),
+            F.lit(',"timestamp":"'), ts, F.lit('+00"}'),
+        )
+    )
+    parsed = parse_envelope_wal2json(o.select(line.alias("value")))
+    routed = (
+        parsed.filter(F.col("action").isNotNull())
+        .filter(F.col("object") == "orders_feed")
+        .select(
+            "action",
+            F.to_timestamp("update_date_raw").alias("update_date"),
+            F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+        )
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("n_orderkeys"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
+ORACLES["wal2json_envelope_roundtrip"] = """
+    SELECT CASE CAST(o_orderkey % 5 AS INT)
+               WHEN 0 THEN 'INSERT'
+               WHEN 1 THEN 'UPDATE-INSERT'
+               ELSE 'DELETE' END AS action,
+           count(*) AS n_rows,
+           count(*) AS n_orderkeys,
+           sum(CASE WHEN o_orderkey % 5 IN (0, 1) THEN 1 ELSE 0 END)
+               AS n_custkeys,
+           round(sum(CASE WHEN o_orderkey % 5 != 2
+                          THEN o_totalprice END), 2) AS revenue,
+           max(o_orderdate) AS last_update
+    FROM orders
+    WHERE o_orderkey % 5 <= 2
+    GROUP BY 1
+"""
+QUERIES["wal2json_envelope_roundtrip"] = wal2json_envelope_roundtrip

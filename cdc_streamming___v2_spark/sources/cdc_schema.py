@@ -314,6 +314,8 @@ def parse_envelope_auto(
     - SQL Server CDC iff it has a ``__$operation`` field (the flat
       change-table contract);
     - MongoDB change stream iff it has an ``operationType`` field;
+    - wal2json v2 iff it has an ``action`` field (the single-letter
+      logical-decoding verb);
     - Canal iff it has a ``type`` field AND ``$.data[0]`` resolves (data
       is an ARRAY — get_json_object's [0] path is null on objects);
     - Maxwell iff it has ``type`` + object-shaped ``data``;
@@ -351,6 +353,14 @@ def parse_envelope_auto(
         & ~is_mssql
         & F.get_json_object(line, "$.operationType").isNotNull()
     )
+    is_w2j = (
+        ~is_dbz
+        & ~is_ogg
+        & ~is_dms
+        & ~is_mssql
+        & ~is_mongo
+        & F.get_json_object(line, "$.action").isNotNull()
+    )
     has_type = F.get_json_object(line, "$.type").isNotNull()
     is_canal = (
         ~is_dbz
@@ -358,6 +368,7 @@ def parse_envelope_auto(
         & ~is_dms
         & ~is_mssql
         & ~is_mongo
+        & ~is_w2j
         & has_type
         & F.get_json_object(line, "$.data[0]").isNotNull()
     )
@@ -367,13 +378,14 @@ def parse_envelope_auto(
         & ~is_dms
         & ~is_mssql
         & ~is_mongo
+        & ~is_w2j
         & ~is_canal
         & has_type
         & F.get_json_object(line, "$.data").isNotNull()
     )
     is_ds = (
-        ~is_dbz & ~is_ogg & ~is_dms & ~is_mssql & ~is_mongo & ~is_canal
-        & ~is_maxwell
+        ~is_dbz & ~is_ogg & ~is_dms & ~is_mssql & ~is_mongo & ~is_w2j
+        & ~is_canal & ~is_maxwell
     )
     ds = parse_envelope(raw_lines.filter(is_ds), line_col)
     dz = parse_envelope_debezium(raw_lines.filter(is_dbz), line_col)
@@ -381,6 +393,7 @@ def parse_envelope_auto(
     dm = parse_envelope_aws_dms(raw_lines.filter(is_dms), line_col)
     ms = parse_envelope_sqlserver(raw_lines.filter(is_mssql), line_col)
     mg = parse_envelope_mongo(raw_lines.filter(is_mongo), line_col)
+    w2 = parse_envelope_wal2json(raw_lines.filter(is_w2j), line_col)
     mx = parse_envelope_maxwell(raw_lines.filter(is_maxwell), line_col)
     cn = parse_envelope_canal(raw_lines.filter(is_canal), line_col)
     return (
@@ -389,6 +402,7 @@ def parse_envelope_auto(
         .unionByName(dm)
         .unionByName(ms)
         .unionByName(mg)
+        .unionByName(w2)
         .unionByName(mx)
         .unionByName(cn)
     )
@@ -604,5 +618,110 @@ def parse_envelope_mongo(
             ),
             F.col("key"),
         ).alias("payload_json"),
+        "raw",
+    )
+
+
+WAL2JSON_ACTIONS = (
+    ("I", "INSERT"),
+    ("U", "UPDATE-INSERT"),
+    ("D", "DELETE"),
+)
+
+_W2J_COLS = "array<struct<name:string,type:string,value:string>>"
+
+# wal2json column types whose values are raw JSON tokens (numerics,
+# booleans, json) — everything else re-quotes with escaping
+_W2J_RAW_TYPES = (
+    "^(integer|bigint|smallint|real|oid|boolean|json|jsonb"
+    "|numeric|decimal|double)"
+)
+
+
+def parse_envelope_wal2json(
+    raw_lines: DataFrame,
+    line_col: str = "value",
+    default_table: str | None = None,
+) -> DataFrame:
+    """PostgreSQL wal2json (format-version 2) logical-decoding records —
+    the ninth producer — -> the canonical envelope columns.
+
+    Field mapping (the public v2 contract: one JSON object per change,
+    ``action`` I/U/D plus transaction markers B/C, truncates T and
+    messages M; ``columns`` = the new row image as an array of
+    {name, type, value}; ``identity`` = the replica-identity (key)
+    columns; ``schema``/``table``; ``timestamp`` with a numeric UTC
+    offset):
+
+    - ``action`` via WAL2JSON_ACTIONS; B/C/T/M (and anything else) ->
+      NULL action -> dead-letter — applying a BEGIN marker as a row
+      would corrupt the table.
+    - payload: the {name, type, value} array pivots to a JSON object by
+      TYPE-AWARE reconstruction — numeric/boolean/json-typed values are
+      emitted as raw tokens, everything else re-quotes with escaping —
+      because Spark's ``from_json`` does NOT coerce quoted numerics (a
+      map_from_entries string pivot nulls every numeric column at the
+      routed decode; caught before shipping).  I/U use ``columns``
+      (wal2json's full new image); D falls back to ``identity``
+      (deletes carry only the replica identity — key-recoverable, the
+      Mongo documentKey analog).
+    - ``timestamp`` parses with its numeric offset and reformats to the
+      canonical layout.
+    - object = ``table`` (v2 keeps ``schema`` in its own field — no
+      prefix stripping needed), falling back to ``default_table``.
+    """
+    line = F.col(line_col)
+    parsed = raw_lines.select(
+        F.json_tuple(
+            line, "action", "table", "timestamp", "columns", "identity"
+        ).alias("op", "tbl", "ts", "cols", "ident"),
+        line.alias("raw"),
+    )
+    action: Column = F.lit(None).cast("string")
+    for code, act in WAL2JSON_ACTIONS:
+        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+
+    def _esc(col: Column) -> Column:
+        return F.regexp_replace(
+            F.regexp_replace(col, "\\\\", "\\\\\\\\"), '"', '\\\\"'
+        )
+
+    def obj_of(arr_json: Column) -> Column:
+        entries = F.from_json(arr_json, _W2J_COLS)
+
+        def pair(c):
+            raw_ok = F.lower(c["type"]).rlike(_W2J_RAW_TYPES)
+            val = (
+                F.when(c["value"].isNull(), F.lit("null"))
+                .when(raw_ok, c["value"])
+                .otherwise(F.concat(F.lit('"'), _esc(c["value"]), F.lit('"')))
+            )
+            return F.concat(F.lit('"'), _esc(c["name"]), F.lit('":'), val)
+
+        return F.when(
+            entries.isNotNull(),
+            F.concat(
+                F.lit("{"),
+                F.concat_ws(",", F.transform(entries, pair)),
+                F.lit("}"),
+            ),
+        )
+
+    ts = F.coalesce(
+        F.to_timestamp(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSSX"),
+        F.to_timestamp(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSX"),
+        F.to_timestamp(F.col("ts")),
+    )
+    return parsed.select(
+        F.coalesce(F.col("tbl"), F.lit(default_table).cast("string")).alias(
+            "object"
+        ),
+        action.alias("action"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "update_date_raw"
+        ),
+        F.coalesce(obj_of(F.col("cols")), obj_of(F.col("ident"))).alias(
+            "payload_json"
+        ),
         "raw",
     )

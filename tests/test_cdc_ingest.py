@@ -1255,3 +1255,121 @@ def test_mongo_e2e_ingest(spark, tmp_path_factory):
     # delete decodes the key only
     d = [r for r in rows if r["action"] == "DELETE"][0]
     assert d["product_id"] == "p4"
+
+
+# ---------------------------------------------------------------------------
+# PostgreSQL wal2json v2 (ninth producer)
+# ---------------------------------------------------------------------------
+
+
+def _w2j_cols(d, types):
+    import json as _json
+
+    parts = []
+    for k, v in d.items():
+        t = types[k]
+        if v is None:
+            val = "null"
+        elif t in ("integer", "bigint", "numeric", "real", "boolean"):
+            val = _json.dumps(v)
+        else:
+            val = _json.dumps(str(v))
+        parts.append(f'{{"name":"{k}","type":"{t}","value":{val}}}')
+    return "[" + ",".join(parts) + "]"
+
+
+_W2J_TYPES = {"product_id": "text", "product_category_name": "text",
+              "product_photos_qty": "integer", "product_weight_g": "real"}
+
+W2J_LINES = [
+    ('{"action":"I","schema":"public","table":"olist_produtos","columns":'
+     + _w2j_cols(P3, _W2J_TYPES)
+     + ',"timestamp":"2024-01-16 00:00:00.000001+00"}'),
+    ('{"action":"U","schema":"public","table":"olist_produtos","columns":'
+     + _w2j_cols(P3_V2, _W2J_TYPES)
+     + ',"timestamp":"2024-01-17 00:00:00.000002+00"}'),
+    # delete: replica identity only
+    ('{"action":"D","schema":"public","table":"olist_produtos","identity":'
+     + _w2j_cols({"product_id": "p4"}, _W2J_TYPES)
+     + ',"timestamp":"2024-01-18 00:00:00.000003+00"}'),
+    # transaction markers and truncate: must dead-letter
+    '{"action":"B","timestamp":"2024-01-16 00:00:00.000001+00"}',
+    ('{"action":"T","schema":"public","table":"olist_produtos",'
+     '"timestamp":"2024-01-18 00:00:00.000004+00"}'),
+]
+
+
+def test_wal2json_envelope_parses_typed_and_dead_letters_markers(spark):
+    from cdc_streamming___v2_spark.sources.cdc_schema import (
+        parse_envelope_wal2json,
+    )
+
+    df = spark.createDataFrame([(l,) for l in W2J_LINES], "value string")
+    rows = parse_envelope_wal2json(df).collect()
+    actions = [r["action"] for r in rows]
+    assert actions == ["INSERT", "UPDATE-INSERT", "DELETE", None, None]
+    # type-aware pivot: numerics raw, strings quoted
+    p = json.loads(rows[0]["payload_json"])
+    assert p["product_photos_qty"] == 5          # int, not "5"
+    assert p["product_weight_g"] == 250.0        # real, not "250.0"
+    assert p["product_id"] == "p3"
+    # timestamp offset parsed, canonical layout emitted
+    assert rows[0]["update_date_raw"] == "2024-01-16 00:00:00.000001"
+    # delete keeps the replica identity only
+    assert json.loads(rows[2]["payload_json"]) == {"product_id": "p4"}
+
+
+def test_auto_dispatch_includes_wal2json(spark, tmp_path_factory):
+    """A mixed directory with all NINE producers' lines unifies under
+    envelope_format='auto'."""
+    root = tmp_path_factory.mktemp("cdc_mixed9")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "all.jsonl"), "w") as f:
+        f.write("\n".join(
+            [LINES[0], DBZ_LINES[0], MXW_LINES[0], CNL_LINES[0],
+             DMS_LINES[0], OGG_LINES[0], MSSQL_LINES[0], MONGO_LINES[0],
+             W2J_LINES[0]]
+        ) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="auto",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    # 1 ds + 1 dbz + 1 maxwell + 2 canal batched + 1 dms + 1 ogg
+    # + 1 sqlserver + 1 mongo + 1 wal2json
+    assert len(rows) == 10
+
+
+def test_wal2json_e2e_ingest(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc_w2j_e2e")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "changes.jsonl"), "w") as f:
+        f.write("\n".join(W2J_LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="wal2json",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    assert len(rows) == 3  # B and T dead-lettered
+    by_action = {r["action"]: r for r in rows}
+    assert by_action["INSERT"]["product_photos_qty"] == 5
+    assert by_action["INSERT"]["product_weight_g"] == 250.0
+    assert by_action["UPDATE-INSERT"]["product_category_name"] == "hardware"
+    assert by_action["DELETE"]["product_id"] == "p4"
+    assert by_action["DELETE"]["product_photos_qty"] is None

@@ -268,6 +268,7 @@ RELATIONAL_QUERIES = [
     "event_study_did",
     "haar_energy_levels",
     "spectral_entropy_weekly",
+    "wal2json_envelope_roundtrip",
     "grubbs_outlier_test",
     "bass_diffusion_fit",
 ]
