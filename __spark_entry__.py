@@ -96,6 +96,9 @@ _GATE_PRIORITY = (
     "spectral_entropy_weekly",
     "fleiss_kappa_filters",
     "wal2json_envelope_roundtrip",
+    "theta_method_forecast",
+    "croston_intermittent_demand",
+    "huber_irls_trend",
     "sqlserver_cdc_roundtrip",
     "chow_break_test",
     "mahalanobis_outliers_2d",
@@ -384,7 +387,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 414
+_MIN_QUERIES = 417
 
 
 def _registry() -> tuple[dict, dict]:

@@ -1199,3 +1199,225 @@ ORACLES["cronbach_alpha"] = f"""
     FROM parts
 """
 QUERIES["cronbach_alpha"] = cronbach_alpha
+
+
+# --------------------------------------------------------------------------
+# wave BC — robust trend (Huber IRLS, 2 unrolled steps)
+# --------------------------------------------------------------------------
+
+HUBER_K = 1.345  # 95%-efficiency tuning constant
+HUBER_MAD_C = 1.4826  # MAD -> sigma consistency factor
+
+
+def huber_irls_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimate of the daily-revenue trend slope via TWO
+    unrolled IRLS steps (the logistic_newton_fit static-DAG precedent) —
+    the outlier-resistant companion of trend_fit (OLS, blows up on one
+    spike day) and theil_sen_trend (median-based, quadratic in days):
+    weights w = min(1, k*s/|e|) with the scale s = 1.4826 * MAD fixed
+    from the OLS residuals (fixed-scale IRLS, documented).
+
+    Determinism: the MAD is an exact lower-median rank pick on the
+    rounded-cent |residual| grid (integer-div rank); weights micro-round
+    to 1e-6 integers so all five weighted moments fold exact in
+    decimal(38,0) and each step's slope/intercept is a single float
+    expression of them.
+
+    Scale: the calendar-bounded daily frame; each IRLS step is one
+    aggregate plus a 1-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc"))
+        .select(
+            "day",
+            F.datediff(F.col("day"), F.lit("1995-01-01")).cast("long").alias("t"),
+            "xc",
+        )
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(F.col("t").cast(_DEC)).alias("st"),
+        F.sum(F.col("xc").cast(_DEC)).alias("sx"),
+        F.sum((F.col("t") * F.col("xc")).cast(_DEC)).alias("stx"),
+        F.sum((F.col("t") * F.col("t")).cast(_DEC)).alias("stt"),
+    )
+    b0 = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")).cast(
+        "double"
+    ) / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    a0 = (F.col("sx").cast("double") - b0 * F.col("st").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    fit0 = mom.select(b0.alias("b0"), a0.alias("a0"))
+    res = daily.crossJoin(F.broadcast(fit0)).withColumn(
+        "ae",
+        F.round(
+            F.abs(F.col("xc").cast("double") - F.col("a0") - F.col("b0") * F.col("t"))
+        ).cast("long"),
+    )
+    grid = res.groupBy("ae").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = grid.agg(F.sum("cnt").alias("nn"))
+    wv = Window.partitionBy().orderBy("ae")
+    mad = (
+        grid.withColumn("cum", F.sum("cnt").over(wv))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.expr("(nn + 1) div 2"))
+        .orderBy("ae")
+        .limit(1)
+        .select((F.col("ae").cast("double") * HUBER_MAD_C).alias("s"))
+    )
+
+    def step(frame, a_col, b_col):
+        e = F.col("xc").cast("double") - F.col(a_col) - F.col(b_col) * F.col("t")
+        w = F.when(
+            F.abs(e) <= F.lit(HUBER_K) * F.col("s"), F.lit(1.0)
+        ).otherwise(F.lit(HUBER_K) * F.col("s") / F.abs(e))
+        wi = F.round(w * 1e6).cast("long")
+        wf = frame.withColumn("wi", wi)
+        agg = wf.agg(
+            F.sum(F.col("wi").cast(_DEC)).alias("sw"),
+            F.sum((F.col("wi") * F.col("t")).cast(_DEC)).alias("swt"),
+            F.sum((F.col("wi") * F.col("t") * F.col("t")).cast(_DEC)).alias("swtt"),
+            F.sum(F.col("wi").cast(_DEC) * F.col("xc").cast(_DEC)).alias("swx"),
+            F.sum(
+                (F.col("wi") * F.col("t")).cast(_DEC) * F.col("xc").cast(_DEC)
+            ).alias("swtx"),
+            F.sum(F.when(F.col("wi") < 1000000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_down"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        bh = (
+            F.col("sw") * F.col("swtx") - F.col("swt") * F.col("swx")
+        ).cast("double") / (
+            F.col("sw") * F.col("swtt") - F.col("swt") * F.col("swt")
+        ).cast("double")
+        ah = (F.col("swx").cast("double") - bh * F.col("swt").cast("double")) / F.col(
+            "sw"
+        ).cast("double")
+        return agg.select(
+            bh.alias("bh"), ah.alias("ah"), "n_down", "n_days"
+        )
+
+    base = res.crossJoin(F.broadcast(mad))
+    s1 = step(base, "a0", "b0")
+    base2 = (
+        daily.crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(s1.select(
+            F.col("bh").alias("b1"), F.col("ah").alias("a1"),
+            F.col("n_down").alias("nd1"),
+        )))
+    )
+    s2 = step(base2, "a1", "b1")
+    out = (
+        s2.crossJoin(F.broadcast(fit0))
+        .crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(s1.select(F.col("n_down").alias("nd1"))))
+    )
+    return out.select(
+        F.col("n_days"),
+        F.round(F.col("b0") / 100.0, 6).alias("ols_slope_usd"),
+        F.round(F.col("bh") / 100.0, 6).alias("huber_slope_usd"),
+        F.round(F.col("s") / 100.0, 2).alias("scale_mad_usd"),
+        F.round(
+            F.col("nd1").cast("double") / F.col("n_days").cast("double"), 4
+        ).alias("frac_downweighted"),
+    )
+
+
+ORACLES["huber_irls_trend"] = f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(datediff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+        FROM orders GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(t) AS HUGEINT) AS st,
+               CAST(sum(xc) AS HUGEINT) AS sx,
+               CAST(sum(t * xc) AS HUGEINT) AS stx,
+               CAST(sum(t * t) AS HUGEINT) AS stt
+        FROM daily
+    ),
+    fit0 AS (
+        SELECT CAST(n * stx - st * sx AS DOUBLE)
+                   / CAST(n * stt - st * st AS DOUBLE) AS b0,
+               (CAST(sx AS DOUBLE)
+                - CAST(n * stx - st * sx AS DOUBLE)
+                      / CAST(n * stt - st * st AS DOUBLE)
+                      * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS a0
+        FROM mom
+    ),
+    res AS (
+        SELECT day, t, xc,
+               CAST(round(abs(CAST(xc AS DOUBLE) - a0 - b0 * t)) AS BIGINT)
+                   AS ae
+        FROM daily CROSS JOIN fit0
+    ),
+    grid AS (SELECT ae, count(*) AS cnt FROM res GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS nn FROM grid),
+    mad AS (
+        SELECT CAST(ae AS DOUBLE) * {HUBER_MAD_C} AS s FROM (
+            SELECT ae, sum(cnt) OVER (ORDER BY ae) AS cum FROM grid
+        ), tot
+        WHERE cum >= (nn + 1) // 2
+        ORDER BY ae LIMIT 1
+    ),
+    w1 AS (
+        SELECT t, xc,
+               CAST(round(1e6 * (CASE WHEN abs(CAST(xc AS DOUBLE) - a0 - b0 * t)
+                                           <= {HUBER_K} * s
+                                      THEN 1.0
+                                      ELSE {HUBER_K} * s
+                                           / abs(CAST(xc AS DOUBLE)
+                                                 - a0 - b0 * t) END))
+                    AS HUGEINT) AS wi
+        FROM daily CROSS JOIN fit0 CROSS JOIN mad
+    ),
+    agg1 AS (
+        SELECT sum(wi) AS sw, sum(wi * t) AS swt, sum(wi * t * t) AS swtt,
+               sum(wi * xc) AS swx, sum(wi * t * xc) AS swtx,
+               CAST(sum(CASE WHEN wi < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM w1
+    ),
+    fit1 AS (
+        SELECT CAST(sw * swtx - swt * swx AS DOUBLE)
+                   / CAST(sw * swtt - swt * swt AS DOUBLE) AS b1,
+               (CAST(swx AS DOUBLE)
+                - CAST(sw * swtx - swt * swx AS DOUBLE)
+                      / CAST(sw * swtt - swt * swt AS DOUBLE)
+                      * CAST(swt AS DOUBLE)) / CAST(sw AS DOUBLE) AS a1,
+               n_down, n_days
+        FROM agg1
+    ),
+    w2 AS (
+        SELECT t, xc,
+               CAST(round(1e6 * (CASE WHEN abs(CAST(xc AS DOUBLE) - a1 - b1 * t)
+                                           <= {HUBER_K} * s
+                                      THEN 1.0
+                                      ELSE {HUBER_K} * s
+                                           / abs(CAST(xc AS DOUBLE)
+                                                 - a1 - b1 * t) END))
+                    AS HUGEINT) AS wi
+        FROM daily CROSS JOIN fit1 CROSS JOIN mad
+    ),
+    agg2 AS (
+        SELECT sum(wi) AS sw, sum(wi * t) AS swt, sum(wi * t * t) AS swtt,
+               sum(wi * xc) AS swx, sum(wi * t * xc) AS swtx
+        FROM w2
+    )
+    SELECT f1.n_days,
+           round(f0.b0 / 100.0, 6) AS ols_slope_usd,
+           round(CAST(a2.sw * a2.swtx - a2.swt * a2.swx AS DOUBLE)
+                 / CAST(a2.sw * a2.swtt - a2.swt * a2.swt AS DOUBLE)
+                 / 100.0, 6) AS huber_slope_usd,
+           round(m.s / 100.0, 2) AS scale_mad_usd,
+           round(CAST(f1.n_down AS DOUBLE) / CAST(f1.n_days AS DOUBLE), 4)
+               AS frac_downweighted
+    FROM agg2 a2 CROSS JOIN fit0 f0 CROSS JOIN mad m CROSS JOIN fit1 f1
+"""
+QUERIES["huber_irls_trend"] = huber_irls_trend

@@ -586,3 +586,271 @@ ORACLES["haar_energy_levels"] = """
     ORDER BY level
 """
 QUERIES["haar_energy_levels"] = haar_energy_levels
+
+
+import math as _m3  # noqa: E402
+
+THETA_ALPHA = 0.3
+THETA_H = 7
+# (1-alpha)^j literals for j = 0..119, Python-precomputed so NEITHER
+# engine evaluates pow() in the fold (pow is not correctly-rounded and a
+# 1-ulp divergence could land on a rounding boundary); terms beyond
+# j = 119 round to zero on the micro grid at any revenue scale
+_THETA_W = [(1.0 - THETA_ALPHA) ** j for j in range(120)]
+
+
+def theta_method_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method daily-revenue forecast for horizons 1..THETA_H via
+    the Hyndman-Billah equivalence: theta(0,2) = simple exponential
+    smoothing with drift b/2, fc_h = SES + (b/2)(h - 1 + 1/alpha)
+    (the (1-alpha)^n/alpha correction vanishes beyond the weight table).
+    Sits beside holt_forecast (level+trend SES) and seasonal_naive_mase
+    as the M3-winning baseline.
+
+    SES evaluates CLOSED-FORM: level = alpha * sum_j (1-alpha)^j
+    x_{n-j} — an exponentially-weighted sum, not a recursion — with the
+    weights inlined as Python literals and each term micro-rounded
+    before the decimal fold.  Weights below j=120 cover the level to
+    <1e-6 relative at any corpus scale (the calendar always holds >120
+    days); the OLS drift comes from exact decimal moments.
+
+    Scale: calendar-bounded daily frame; the SES fold touches the 120
+    most recent rows; horizons expand from a 7-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    wd = Window.partitionBy().orderBy(F.col("day").desc())
+    recent = (
+        daily.withColumn("j", F.row_number().over(wd) - 1)
+        .filter(F.col("j") <= 119)
+    )
+    warr = F.array(*[F.lit(w) for w in _THETA_W])
+    term = F.round(
+        F.lit(THETA_ALPHA)
+        * F.element_at(warr, F.col("j").cast("int") + 1)
+        * F.col("xc").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    level = recent.agg(F.sum(term).alias("lv")).select(
+        F.col("lv").cast("double").alias("level")
+    )
+    mom = daily.select(
+        F.datediff(F.col("day"), F.lit("1995-01-01")).cast("long").alias("t"),
+        "xc",
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("t").cast("decimal(38,0)")).alias("st"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("t") * F.col("xc")).cast("decimal(38,0)")).alias("stx"),
+        F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)")).alias("stt"),
+        F.max(F.col("t")).alias("tmax"),
+    )
+    b = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")).cast(
+        "double"
+    ) / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    a = (F.col("sx").cast("double") - b * F.col("st").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    fit = mom.select(
+        b.alias("b"), a.alias("a"), F.col("tmax").cast("double").alias("tmax")
+    )
+    hs = spark.range(1, THETA_H + 1).select(F.col("id").cast("int").alias("h"))
+    jj = hs.crossJoin(F.broadcast(level)).crossJoin(F.broadcast(fit))
+    theta = F.col("level") + F.col("b") / 2.0 * (
+        F.col("h") - 1.0 + 1.0 / THETA_ALPHA
+    )
+    trend = F.col("a") + F.col("b") * (F.col("tmax") + F.col("h"))
+    return jj.select(
+        "h",
+        F.round(F.col("level") / 100.0, 2).alias("ses_level"),
+        F.round(theta / 100.0, 2).alias("theta_forecast"),
+        F.round(trend / 100.0, 2).alias("trend_forecast"),
+    ).orderBy("h")
+
+
+def _theta_oracle() -> str:
+    wlist = ", ".join(repr(w) for w in _THETA_W)
+    return f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(datediff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+        FROM orders GROUP BY 1, 2
+    ),
+    recent AS (
+        SELECT xc, row_number() OVER (ORDER BY day DESC) - 1 AS j FROM daily
+        QUALIFY j <= 119
+    ),
+    lv AS (
+        SELECT CAST(sum(CAST(round({THETA_ALPHA} * ([{wlist}])[j + 1]
+                                    * CAST(xc AS DOUBLE), 6)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS level
+        FROM recent
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(t) AS HUGEINT) AS st, CAST(sum(xc) AS HUGEINT) AS sx,
+               CAST(sum(t * xc) AS HUGEINT) AS stx,
+               CAST(sum(t * t) AS HUGEINT) AS stt,
+               CAST(max(t) AS DOUBLE) AS tmax
+        FROM daily
+    ),
+    fit AS (
+        SELECT CAST(n * stx - st * sx AS DOUBLE)
+                   / CAST(n * stt - st * st AS DOUBLE) AS b,
+               (CAST(sx AS DOUBLE)
+                - CAST(n * stx - st * sx AS DOUBLE)
+                      / CAST(n * stt - st * st AS DOUBLE)
+                      * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+               tmax
+        FROM mom
+    ),
+    hs AS (SELECT unnest(range(1, {THETA_H + 1})) AS h)
+    SELECT CAST(h AS INTEGER) AS h,
+           round(level / 100.0, 2) AS ses_level,
+           round((level + b / 2.0 * (h - 1.0 + 1.0 / {THETA_ALPHA}))
+                 / 100.0, 2) AS theta_forecast,
+           round((a + b * (tmax + h)) / 100.0, 2) AS trend_forecast
+    FROM hs, lv, fit
+    ORDER BY h
+"""
+
+
+ORACLES["theta_method_forecast"] = _theta_oracle()
+QUERIES["theta_method_forecast"] = theta_method_forecast
+
+
+CROSTON_ALPHA = 0.2
+CROSTON_MOD = 97  # deterministic part sample
+_CROSTON_W = [(1.0 - CROSTON_ALPHA) ** j for j in range(120)]
+
+
+def croston_intermittent_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand on a deterministic part
+    sample (partkey % CROSTON_MOD == 0): SES over the NON-ZERO demand
+    sizes and SES over the inter-demand intervals, forecast rate =
+    size / interval — the right estimator where eoq_reorder_policy's
+    dense daily moments misread sparse demand as low demand.
+
+    Both SES folds use the closed exponentially-weighted form with
+    Python-literal weight tables (the theta convention) INCLUDING the
+    (1-alpha)^(m-1) * first-value initialization term (demand chains are
+    short, so the init genuinely matters here, unlike the daily series);
+    each term micro-rounds before the per-part decimal fold.  Parts with
+    fewer than 2 demand days are excluded (an interval SES needs one
+    gap), deterministically.
+
+    Scale: one lineitem reduce to the sampled (part x demand-day) frame;
+    per-part ordered windows on chains bounded by the part's order
+    count.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    dem = (
+        li.filter(F.col("l_partkey") % CROSTON_MOD == 0)
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_shipdate").alias("day"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("z"))
+    )
+    wp = Window.partitionBy("pk").orderBy("day")
+    wpd = Window.partitionBy("pk").orderBy(F.col("day").desc())
+    base = (
+        dem.withColumn("gap", F.datediff(F.col("day"), F.lag("day").over(wp)))
+        .withColumn("jd", F.row_number().over(wpd) - 1)
+        .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy("pk")))
+        .filter(F.col("m") >= 2)
+    )
+    warr = F.array(*[F.lit(w) for w in _CROSTON_W])
+
+    def wat(idx):  # weight table lookup, 0 beyond the table
+        return F.when(
+            idx <= 119, F.element_at(warr, idx.cast("int") + 1)
+        ).otherwise(F.lit(0.0))
+
+    # sizes: j = 0 (latest) .. m-1 (first); init term at j = m-1
+    z_term = F.round(
+        F.when(
+            F.col("jd") < F.col("m") - 1,
+            F.lit(CROSTON_ALPHA) * wat(F.col("jd")) * F.col("z").cast("double"),
+        ).otherwise(wat(F.col("m") - 1) * F.col("z").cast("double")),
+        6,
+    ).cast("decimal(38,6)")
+    # intervals: the m-1 gaps; gap row ranks jd = 0..m-2 (the first demand
+    # day has gap NULL and jd = m-1); init term at jd = m-2
+    g_term = F.round(
+        F.when(
+            F.col("jd") < F.col("m") - 2,
+            F.lit(CROSTON_ALPHA) * wat(F.col("jd")) * F.col("gap").cast("double"),
+        ).otherwise(wat(F.col("m") - 2) * F.col("gap").cast("double")),
+        6,
+    ).cast("decimal(38,6)")
+    agg = base.groupBy("pk").agg(
+        F.max("m").alias("m"),
+        F.sum(z_term).alias("sz"),
+        F.sum(F.when(F.col("gap").isNotNull(), g_term)).alias("sg"),
+    )
+    ses_z = F.col("sz").cast("double")
+    ses_g = F.col("sg").cast("double")
+    return agg.select(
+        F.col("pk").cast("bigint").alias("partkey"),
+        F.col("m").cast("long").alias("n_demands"),
+        F.round(ses_z, 4).alias("ses_size"),
+        F.round(ses_g, 4).alias("ses_interval_days"),
+        F.round(ses_z / ses_g, 6).alias("croston_daily_rate"),
+    ).orderBy("partkey")
+
+
+def _croston_oracle() -> str:
+    wlist = ", ".join(repr(w) for w in _CROSTON_W)
+
+    def wat(idx):
+        return f"(CASE WHEN {idx} <= 119 THEN ([{wlist}])[{idx} + 1] ELSE 0.0 END)"
+
+    return f"""
+    WITH dem AS (
+        SELECT l_partkey AS pk, l_shipdate AS day,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z
+        FROM lineitem WHERE l_partkey % {CROSTON_MOD} = 0
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT pk, z,
+               datediff('day', CAST(lag(day) OVER (PARTITION BY pk ORDER BY day)
+                                    AS DATE), CAST(day AS DATE)) AS gap,
+               row_number() OVER (PARTITION BY pk ORDER BY day DESC) - 1 AS jd,
+               count(*) OVER (PARTITION BY pk) AS m
+        FROM dem
+        QUALIFY m >= 2
+    ),
+    terms AS (
+        SELECT pk, m, gap,
+               CAST(round(CASE WHEN jd < m - 1
+                    THEN {CROSTON_ALPHA} * {wat('jd')} * CAST(z AS DOUBLE)
+                    ELSE {wat('(m - 1)')} * CAST(z AS DOUBLE) END, 6)
+                    AS DECIMAL(38,6)) AS z_term,
+               CAST(round(CASE WHEN jd < m - 2
+                    THEN {CROSTON_ALPHA} * {wat('jd')} * CAST(gap AS DOUBLE)
+                    ELSE {wat('(m - 2)')} * CAST(gap AS DOUBLE) END, 6)
+                    AS DECIMAL(38,6)) AS g_term
+        FROM base
+    ),
+    agg AS (
+        SELECT pk, max(m) AS m, sum(z_term) AS sz,
+               sum(CASE WHEN gap IS NOT NULL THEN g_term END) AS sg
+        FROM terms GROUP BY 1
+    )
+    SELECT CAST(pk AS BIGINT) AS partkey, CAST(m AS BIGINT) AS n_demands,
+           round(CAST(sz AS DOUBLE), 4) AS ses_size,
+           round(CAST(sg AS DOUBLE), 4) AS ses_interval_days,
+           round(CAST(sz AS DOUBLE) / CAST(sg AS DOUBLE), 6)
+               AS croston_daily_rate
+    FROM agg
+    ORDER BY partkey
+"""
+
+
+ORACLES["croston_intermittent_demand"] = _croston_oracle()
+QUERIES["croston_intermittent_demand"] = croston_intermittent_demand

@@ -321,3 +321,130 @@ def test_fleiss_kappa_matches_per_doc_formula(spark):
     assert row["p_bar"] == pytest.approx(pbar, abs=1e-5)
     assert row["p_chance"] == pytest.approx(pe, abs=1e-5)
     assert row["fleiss_kappa"] == pytest.approx(kappa, abs=1e-5)
+
+
+# ---- wave BC twins ----
+
+
+def test_wave_bc_ops_never_plan_cartesian(spark):
+    from cdc_streamming___v2_spark.operators.diagnostics_ext import (
+        huber_irls_trend,
+    )
+    from cdc_streamming___v2_spark.operators.timeseries_ext import (
+        croston_intermittent_demand,
+        theta_method_forecast,
+    )
+
+    for fn in (theta_method_forecast, croston_intermittent_demand,
+               huber_irls_trend):
+        p = _plan(spark, fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, fn.__name__
+
+
+def _ses_recursive(x, alpha):
+    """Literal SES recursion — the independent twin of the closed
+    exponentially-weighted form."""
+    lvl = x[0]
+    for v in x[1:]:
+        lvl = alpha * v + (1 - alpha) * lvl
+    return lvl
+
+
+def test_theta_matches_recursive_ses(spark):
+    from cdc_streamming___v2_spark.operators.timeseries_ext import (
+        THETA_ALPHA,
+        THETA_H,
+        theta_method_forecast,
+    )
+
+    rows = {r["h"]: r for r in theta_method_forecast(spark, SF_SMALL).collect()}
+    assert len(rows) == THETA_H
+    d = _daily_cents_ba(SF_SMALL)
+    x = d.to_numpy(float)
+    lvl = _ses_recursive(x, THETA_ALPHA) / 100.0
+    # closed form truncates weights below (1-a)^120 ~ 2e-19: sub-cent
+    assert rows[1]["ses_level"] == pytest.approx(lvl, abs=0.05)
+    t = (pd.to_datetime(d.index) - pd.Timestamp("1995-01-01")).days.to_numpy(
+        float)
+    b, a = np.polyfit(t, x, 1)
+    for h in range(1, THETA_H + 1):
+        theta = lvl + b / 100.0 / 2.0 * (h - 1 + 1 / THETA_ALPHA)
+        assert rows[h]["theta_forecast"] == pytest.approx(theta, abs=0.1), h
+        assert rows[h]["trend_forecast"] == pytest.approx(
+            (a + b * (t.max() + h)) / 100.0, abs=0.05), h
+    # drift: consecutive horizons differ by exactly b/2
+    for h in range(2, THETA_H + 1):
+        assert (rows[h]["theta_forecast"] - rows[h - 1]["theta_forecast"]
+                ) == pytest.approx(b / 200.0, abs=0.02)
+
+
+def test_croston_matches_recursive_ses(spark):
+    from cdc_streamming___v2_spark.operators.timeseries_ext import (
+        CROSTON_ALPHA,
+        CROSTON_MOD,
+        croston_intermittent_demand,
+    )
+
+    rows = {r["partkey"]: r
+            for r in croston_intermittent_demand(spark, SF_SMALL).collect()}
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate", "l_quantity"])
+    li = li[li["l_partkey"] % CROSTON_MOD == 0]
+    dem = li.groupby(["l_partkey", "l_shipdate"])["l_quantity"].sum()
+    checked = 0
+    for pk, g in dem.groupby(level=0):
+        g = g.sort_index()
+        if len(g) < 2:
+            assert pk not in rows
+            continue
+        days = pd.to_datetime(g.index.get_level_values(1))
+        z = g.to_numpy(float)
+        gaps = np.diff(days.values).astype("timedelta64[D]").astype(float)
+        sz = _ses_recursive(z, CROSTON_ALPHA)
+        sg = _ses_recursive(gaps, CROSTON_ALPHA)
+        got = rows[pk]
+        assert got["n_demands"] == len(g)
+        assert got["ses_size"] == pytest.approx(sz, abs=1e-3), pk
+        assert got["ses_interval_days"] == pytest.approx(sg, abs=1e-3), pk
+        assert got["croston_daily_rate"] == pytest.approx(sz / sg, abs=1e-4)
+        checked += 1
+    assert checked == len(rows) and checked > 0
+
+
+def test_huber_matches_statsmodels_free_irls(spark):
+    """Literal numpy fixed-scale IRLS loop (2 steps) with the same
+    micro-rounded weights."""
+    from cdc_streamming___v2_spark.operators.diagnostics_ext import (
+        HUBER_K,
+        HUBER_MAD_C,
+        huber_irls_trend,
+    )
+
+    row = huber_irls_trend(spark, SF_SMALL).collect()[0]
+    d = _daily_cents_ba(SF_SMALL)
+    x = d.to_numpy(float)
+    t = (pd.to_datetime(d.index) - pd.Timestamp("1995-01-01")).days.to_numpy(
+        float)
+    b, a = np.polyfit(t, x, 1)
+    ae = np.round(np.abs(x - a - b * t))
+    s = HUBER_MAD_C * np.sort(ae)[(len(ae) + 1) // 2 - 1]
+    bb, aa = b, a
+    n_down1 = None
+    for step in range(2):
+        e = np.abs(x - aa - bb * t)
+        w = np.round(np.where(e <= HUBER_K * s, 1.0, HUBER_K * s / e) * 1e6)
+        if step == 0:
+            n_down1 = int((w < 1e6).sum())
+        W = w
+        sw, swt, swtt = W.sum(), (W * t).sum(), (W * t * t).sum()
+        swx, swtx = (W * x).sum(), (W * t * x).sum()
+        bb = (sw * swtx - swt * swx) / (sw * swtt - swt * swt)
+        aa = (swx - bb * swt) / sw
+    assert row["n_days"] == len(x)
+    assert row["ols_slope_usd"] == pytest.approx(b / 100.0, abs=1e-4)
+    assert row["huber_slope_usd"] == pytest.approx(bb / 100.0, abs=1e-4)
+    assert row["scale_mad_usd"] == pytest.approx(s / 100.0, abs=0.02)
+    assert row["frac_downweighted"] == pytest.approx(
+        n_down1 / len(x), abs=1e-3)
+    # robustness sanity: some days must actually be downweighted
+    assert row["frac_downweighted"] > 0
