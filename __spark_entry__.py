@@ -99,6 +99,9 @@ _GATE_PRIORITY = (
     "theta_method_forecast",
     "croston_intermittent_demand",
     "huber_irls_trend",
+    "hill_tail_index",
+    "gumbel_block_maxima",
+    "lognormal_fit_orders",
     "sqlserver_cdc_roundtrip",
     "chow_break_test",
     "mahalanobis_outliers_2d",
@@ -387,7 +390,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 417
+_MIN_QUERIES = 420
 
 
 def _registry() -> tuple[dict, dict]:

@@ -389,6 +389,9 @@ HEADLINE = [
     "spectral_entropy_weekly",
     "fleiss_kappa_filters",
     "wal2json_envelope_roundtrip",
+    "theta_method_forecast",
+    "croston_intermittent_demand",
+    "huber_irls_trend",
 ]
 
 

@@ -733,3 +733,266 @@ ORACLES["amihud_illiquidity"] = """
     ORDER BY 1
 """
 QUERIES["amihud_illiquidity"] = amihud_illiquidity
+
+
+# ---------------------------------------------------------------------------
+# round-6 wave BD — extreme-value / tail tier
+# ---------------------------------------------------------------------------
+
+import math as _m  # noqa: E402
+
+HILL_K = 100  # tail order statistics entering the Hill estimator
+LN_SCALE = 1_000_000_000  # pico... nano grid for per-value ln folds
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over order values:
+    alpha_hat = k / sum_{i=1..k} (ln x_(i) - ln x_(k+1)) on the top
+    k+1 order statistics — the heavy-tail companion of pareto_frontier
+    (which ranks, but never fits a tail) and var_cvar_daily (which
+    measures the lower tail of returns; this fits the upper tail of
+    order sizes).
+
+    Determinism: the top-(k+1) frame is TakeOrderedAndProject (never a
+    full-frame window), and ties at the k-boundary cannot change the
+    result because only the VALUES enter the estimator.  Each ln(xc)
+    rounds to the 1e-9 grid independently, so the denominator
+    sum(ln x_i) - k*ln(x_min) is an exact integer difference; alpha is
+    ONE float division.
+
+    Scale: orders reduce via a k+1-row top-k; everything after runs on
+    the bounded frame.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("xc")
+    )
+    top = o.orderBy(F.col("xc").desc()).limit(HILL_K + 1)
+    w = Window.orderBy(F.col("xc").desc())
+    r = top.withColumn("rk", F.row_number().over(w))
+    lnv = F.round(F.log(F.col("xc").cast("double")) * LN_SCALE).cast(
+        "long"
+    ).cast(_DEC)
+    agg = r.select("rk", "xc", lnv.alias("lnv")).agg(
+        F.sum(F.when(F.col("rk") <= HILL_K, F.col("lnv"))).alias("sln"),
+        F.max(F.when(F.col("rk") == HILL_K + 1, F.col("lnv"))).alias("lnmin"),
+        F.max(F.when(F.col("rk") == HILL_K + 1, F.col("xc"))).alias("xmin"),
+    )
+    denom = (F.col("sln") - F.lit(HILL_K).cast(_DEC) * F.col("lnmin")).cast(
+        "double"
+    ) / float(LN_SCALE)
+    return agg.select(
+        F.lit(HILL_K).cast("long").alias("k"),
+        F.round(F.col("xmin").cast("double") / 100.0, 2).alias("xmin_usd"),
+        F.round(F.lit(float(HILL_K)) / denom, 6).alias("hill_alpha"),
+    )
+
+
+ORACLES["hill_tail_index"] = f"""
+    WITH top AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+        FROM orders ORDER BY xc DESC LIMIT {HILL_K + 1}
+    ),
+    r AS (
+        SELECT xc, row_number() OVER (ORDER BY xc DESC) AS rk,
+               CAST(round(ln(CAST(xc AS DOUBLE)) * {LN_SCALE}) AS HUGEINT)
+                   AS lnv
+        FROM top
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN rk <= {HILL_K} THEN lnv END) AS sln,
+               max(CASE WHEN rk = {HILL_K + 1} THEN lnv END) AS lnmin,
+               max(CASE WHEN rk = {HILL_K + 1} THEN xc END) AS xmin
+        FROM r
+    )
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           round(CAST(xmin AS DOUBLE) / 100.0, 2) AS xmin_usd,
+           round(CAST({HILL_K} AS DOUBLE)
+                 / (CAST(sln - {HILL_K} * lnmin AS DOUBLE) / {LN_SCALE}.0), 6)
+               AS hill_alpha
+    FROM agg
+"""
+QUERIES["hill_tail_index"] = hill_tail_index
+
+
+# Gumbel fit constants, Python-precomputed so neither engine evaluates
+# pi/sqrt/Euler-gamma (the theta weight-table convention)
+GUMBEL_SQRT6_PI = _m.sqrt(6.0) / _m.pi
+EULER_GAMMA = 0.5772156649015329
+GUMBEL_T = 12  # return period in blocks (months) -> annual return level
+GUMBEL_LL_T = _m.log(-_m.log(1.0 - 1.0 / GUMBEL_T))
+
+
+def gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) fit of MONTHLY maxima of daily revenue by the
+    method of moments: beta = s * sqrt(6)/pi, mu = mean - gamma*beta,
+    plus the 12-month return level mu - beta*ln(-ln(1 - 1/12)) — the
+    extreme-value companion of var_cvar_daily (historical tail pick;
+    this EXTRAPOLATES beyond observed maxima).  Blocks are calendar
+    months (every month has orders at all SFs; block maxima need
+    defined blocks, not complete ones — unlike friedman's ISO weeks).
+
+    Determinism: block maxima are exact cent integers; n, S1, S2 fold
+    in decimal(38,0); mean/variance/fit are single float expressions of
+    those integers with sqrt(6)/pi, Euler gamma, and ln(-ln(11/12))
+    inlined as Python literals (no engine pi/gamma).
+
+    Scale: one reduce to the calendar-bounded daily frame, one reduce
+    to ~84 monthly maxima, one 3-column moment fold.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    blocks = daily.groupBy(
+        F.date_format(F.col("day"), "yyyy-MM").alias("ym")
+    ).agg(F.max("xc").alias("mx"))
+    mom = blocks.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(F.col("mx").cast(_DEC)).alias("s1"),
+        F.sum((F.col("mx").cast(_DEC) * F.col("mx").cast(_DEC))).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    var = (n * s2 - s1 * s1) / (n * (n - 1.0))
+    beta = F.sqrt(var) * F.lit(GUMBEL_SQRT6_PI)
+    mu = mean - F.lit(EULER_GAMMA) * beta
+    rl = mu - beta * F.lit(GUMBEL_LL_T)
+    return mom.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(mu / 100.0, 2).alias("gumbel_mu_usd"),
+        F.round(beta / 100.0, 2).alias("gumbel_beta_usd"),
+        F.round(rl / 100.0, 2).alias("return_level_12mo_usd"),
+    )
+
+
+ORACLES["gumbel_block_maxima"] = f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+        FROM orders GROUP BY 1
+    ),
+    blocks AS (
+        SELECT strftime(CAST(day AS DATE), '%Y-%m') AS ym, max(xc) AS mx
+        FROM daily GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(mx) AS HUGEINT) AS s1,
+               sum(CAST(mx AS HUGEINT) * CAST(mx AS HUGEINT)) AS s2
+        FROM blocks
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - {EULER_GAMMA} * sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                    * {GUMBEL_SQRT6_PI!r}) / 100.0, 2) AS gumbel_mu_usd,
+           round(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 * {GUMBEL_SQRT6_PI!r} / 100.0, 2) AS gumbel_beta_usd,
+           round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - {EULER_GAMMA} * sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                    * {GUMBEL_SQRT6_PI!r}
+                  - sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                    * {GUMBEL_SQRT6_PI!r} * {GUMBEL_LL_T!r}) / 100.0, 2)
+               AS return_level_12mo_usd
+    FROM mom
+"""
+QUERIES["gumbel_block_maxima"] = gumbel_block_maxima
+
+
+def lognormal_fit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal MLE of the order-value distribution via ln-moments
+    (the MLE for lognormal IS the mean/variance of ln x): mu, sigma on
+    the dollar scale, the implied median exp(mu) and implied mean
+    exp(mu + sigma^2/2), and the actual mean beside it — the
+    distributional companion of beta_fit_discount (bounded support) and
+    weibull_gap_fit (waiting times); order SIZES are the classic
+    lognormal candidate, and implied-vs-actual mean is the fit audit.
+
+    Determinism: each ln(xc) rounds to the 1e-9 grid independently and
+    folds in decimal(38,0) (squares of the nano-lns stay < 1e21 per
+    term, far inside decimal(38)); mu/sigma/implied moments are single
+    float expressions; ln(100) (cents -> dollars shift) inlines as a
+    Python literal.
+
+    Scale: one map-side-combined 3-column fold over orders; no window,
+    no join.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("xc")
+    )
+    t = F.round(F.log(F.col("xc").cast("double")) * LN_SCALE).cast(
+        "long"
+    ).cast(_DEC)
+    mom = o.select(
+        t.alias("t"), F.col("xc").cast(_DEC).alias("x")
+    ).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("t").alias("s1"),
+        F.sum(F.col("t") * F.col("t")).alias("s2"),
+        F.sum("x").alias("sx"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    ln100 = _m.log(100.0)
+    mu = s1 / n / LN_SCALE - F.lit(ln100)
+    var = (n * s2 - s1 * s1) / (n * (n - 1.0)) / (LN_SCALE * LN_SCALE)
+    return mom.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(mu, 6).alias("mu_ln_usd"),
+        F.round(F.sqrt(var), 6).alias("sigma_ln"),
+        F.round(F.exp(mu), 2).alias("implied_median_usd"),
+        F.round(F.exp(mu + var / 2.0), 2).alias("implied_mean_usd"),
+        F.round(
+            F.col("sx").cast("double") / n / 100.0, 2
+        ).alias("actual_mean_usd"),
+    )
+
+
+ORACLES["lognormal_fit_orders"] = f"""
+    WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc FROM orders
+    ),
+    tt AS (
+        SELECT xc,
+               CAST(round(ln(CAST(xc AS DOUBLE)) * {LN_SCALE}) AS HUGEINT)
+                   AS t
+        FROM o
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(t) AS s1,
+               sum(t * t) AS s2,
+               CAST(sum(xc) AS HUGEINT) AS sx
+        FROM tt
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / {LN_SCALE}.0
+                 - {_m.log(100.0)!r}, 6) AS mu_ln_usd,
+           round(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                      / 1e18), 6) AS sigma_ln,
+           round(exp(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / {LN_SCALE}.0
+                     - {_m.log(100.0)!r}), 2) AS implied_median_usd,
+           round(exp(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / {LN_SCALE}.0
+                     - {_m.log(100.0)!r}
+                     + (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                       / 1e18 / 2.0), 2)
+               AS implied_mean_usd,
+           round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 2)
+               AS actual_mean_usd
+    FROM mom
+"""
+QUERIES["lognormal_fit_orders"] = lognormal_fit_orders

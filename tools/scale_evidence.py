@@ -271,6 +271,12 @@ RELATIONAL_QUERIES = [
     "wal2json_envelope_roundtrip",
     "grubbs_outlier_test",
     "bass_diffusion_fit",
+    # wave BC (theta/huber reduce to the calendar-bounded daily frame;
+    # croston to the sampled part x demand-day frame, chains bounded by
+    # per-part order counts)
+    "theta_method_forecast",
+    "croston_intermittent_demand",
+    "huber_irls_trend",
 ]
 
 
