@@ -1421,3 +1421,273 @@ ORACLES["huber_irls_trend"] = f"""
     FROM agg2 a2 CROSS JOIN fit0 f0 CROSS JOIN mad m CROSS JOIN fit1 f1
 """
 QUERIES["huber_irls_trend"] = huber_irls_trend
+
+
+# --------------------------------------------------------------------------
+# wave BE — ordinal association + directed information flow
+# --------------------------------------------------------------------------
+
+BAND_CENTS = 10_000_000  # 100k-USD order-value bands, capped at band 4
+
+
+def ordinal_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma, Somers' d (both directions) and Kendall
+    tau-b between order PRIORITY (ordinal 1-URGENT..5-LOW) and order
+    VALUE BAND (fixed 100k-USD bands) — the ordinal-x-ordinal
+    association row the engine lacks (kendall_tau_pairs ranks two
+    continuous daily series; this handles tied, banded categories,
+    where gamma/Somers/tau-b differ precisely in how they treat ties).
+
+    Everything reduces to the <=25-cell contingency table, and ALL pair
+    counts are exact integers computed from cell-count products folded
+    in decimal(38,0) (n1*n2 overflows int64 once cells pass ~3e9 rows):
+    C (concordant), D (discordant), Tx (tied on priority only), Ty
+    (tied on band only).  gamma = (C-D)/(C+D); d_band_given_pr =
+    (C-D)/(C+D+Ty); d_pr_given_band = (C-D)/(C+D+Tx); tau_b =
+    (C-D)/sqrt((C+D+Tx)(C+D+Ty)).  Four float divisions total.
+
+    Scale: one map-side-combined reduce to 25 cells; the pair pass is a
+    broadcast nested-loop over 25x25.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pr"),
+        F.least(
+            F.lit(4),
+            (F.round(F.col("o_totalprice") * 100).cast("long") / F.lit(BAND_CENTS))
+            .cast("long"),
+        ).alias("band"),
+    )
+    cells = o.groupBy("pr", "band").agg(F.count(F.lit(1)).cast(_DEC).alias("n"))
+    a = cells.select(
+        F.col("pr").alias("p1"), F.col("band").alias("b1"), F.col("n").alias("n1")
+    )
+    b = cells.select(
+        F.col("pr").alias("p2"), F.col("band").alias("b2"), F.col("n").alias("n2")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        (F.col("p2") > F.col("p1"))
+        | ((F.col("p2") == F.col("p1")) & (F.col("b2") > F.col("b1")))
+    )
+    prod = F.col("n1") * F.col("n2")
+    agg = pairs.agg(
+        F.sum(
+            F.when((F.col("p2") > F.col("p1")) & (F.col("b2") > F.col("b1")), prod)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("p2") > F.col("p1")) & (F.col("b2") < F.col("b1")), prod)
+        ).alias("d"),
+        F.sum(
+            F.when((F.col("p2") == F.col("p1")) & (F.col("b2") > F.col("b1")), prod)
+        ).alias("tx"),
+        F.sum(
+            F.when((F.col("p2") > F.col("p1")) & (F.col("b2") == F.col("b1")), prod)
+        ).alias("ty"),
+    )
+    c = F.col("c").cast("double")
+    d = F.col("d").cast("double")
+    tx = F.col("tx").cast("double")
+    ty = F.col("ty").cast("double")
+    return agg.select(
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.round((c - d) / (c + d), 6).alias("gk_gamma"),
+        F.round((c - d) / (c + d + ty), 6).alias("somers_d_band_given_pr"),
+        F.round((c - d) / (c + d + tx), 6).alias("somers_d_pr_given_band"),
+        F.round(
+            (c - d) / F.sqrt((c + d + tx) * (c + d + ty)), 6
+        ).alias("kendall_tau_b"),
+    )
+
+
+ORACLES["ordinal_concordance"] = f"""
+    WITH o AS (
+        SELECT CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS pr,
+               least(4, CAST(round(o_totalprice * 100) AS BIGINT)
+                        // {BAND_CENTS}) AS band
+        FROM orders
+    ),
+    cells AS (
+        SELECT pr, band, CAST(count(*) AS HUGEINT) AS n FROM o GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.pr AS p1, a.band AS b1, a.n AS n1,
+               b.pr AS p2, b.band AS b2, b.n AS n2
+        FROM cells a, cells b
+        WHERE b.pr > a.pr OR (b.pr = a.pr AND b.band > a.band)
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN p2 > p1 AND b2 > b1 THEN n1 * n2 END) AS c,
+               sum(CASE WHEN p2 > p1 AND b2 < b1 THEN n1 * n2 END) AS d,
+               sum(CASE WHEN p2 = p1 AND b2 > b1 THEN n1 * n2 END) AS tx,
+               sum(CASE WHEN p2 > p1 AND b2 = b1 THEN n1 * n2 END) AS ty
+        FROM pairs
+    )
+    SELECT CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           round(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE), 6) AS gk_gamma,
+           round(CAST(c - d AS DOUBLE) / CAST(c + d + ty AS DOUBLE), 6)
+               AS somers_d_band_given_pr,
+           round(CAST(c - d AS DOUBLE) / CAST(c + d + tx AS DOUBLE), 6)
+               AS somers_d_pr_given_band,
+           round(CAST(c - d AS DOUBLE)
+                 / sqrt(CAST(c + d + tx AS DOUBLE)
+                        * CAST(c + d + ty AS DOUBLE)), 6) AS kendall_tau_b
+    FROM agg
+"""
+QUERIES["ordinal_concordance"] = ordinal_concordance
+
+
+TE_SCALE = 1_000_000_000_000  # 1e-12 per-cell term grid
+
+
+def transfer_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 transfer entropy between the daily ORDER-COUNT series and
+    the daily REVENUE series, both quantized to terciles: TE(X->Y) =
+    (1/N) sum over (y_t, y_lag, x_lag) cells of
+    c3 * ln(c3 * c1(y_lag) / (c2(y_lag,x_lag) * c2(y_t,y_lag))) — the
+    DIRECTED companion of mutual_information and granger_leadlag
+    (Granger is linear; TE captures any lagged dependence on the
+    quantized grid).  Both directions reported; net > 0 means
+    order-count leads revenue beyond what revenue's own history gives.
+
+    Determinism: terciles are integer-div rank picks on the total order
+    (value, day); every cell/marginal count is an exact integer, each
+    of the <=27 per-cell terms is ONE float ln expression of four
+    integers rounded to the 1e-12 grid, and the fold sums integers in
+    decimal(38,0).
+
+    Scale: one reduce to the calendar-bounded daily frame (~2,400 rows
+    at ANY corpus size); ranks/lags on that bounded frame; marginals
+    from the 27-cell frame, never a rescan.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc"),
+        F.count(F.lit(1)).alias("oc"),
+    )
+    n = daily.count()  # scalar witness of a bounded frame (calendar days)
+    wx = Window.orderBy("xc", "day")
+    wo = Window.orderBy("oc", "day")
+    wd = Window.orderBy("day")
+    q = (
+        daily.withColumn(
+            "qy", ((F.row_number().over(wx) - 1) * 3 / F.lit(n)).cast("long")
+        )
+        .withColumn(
+            "qx", ((F.row_number().over(wo) - 1) * 3 / F.lit(n)).cast("long")
+        )
+        .select(
+            "day",
+            "qx",
+            "qy",
+            F.lag("qx").over(wd).alias("qxl"),
+            F.lag("qy").over(wd).alias("qyl"),
+        )
+        .filter(F.col("qxl").isNotNull())
+    )
+
+    def _te(df, tgt, tgt_lag, src_lag):
+        c3 = df.groupBy(
+            F.col(tgt).alias("t"),
+            F.col(tgt_lag).alias("tl"),
+            F.col(src_lag).alias("sl"),
+        ).agg(F.count(F.lit(1)).alias("c3"))
+        c1 = c3.groupBy("tl").agg(F.sum("c3").alias("c1"))
+        c2a = c3.groupBy("tl", "sl").agg(F.sum("c3").alias("c2a"))
+        c2b = c3.groupBy("t", "tl").agg(F.sum("c3").alias("c2b"))
+        tot = c3.agg(F.sum("c3").alias("nn"))
+        j = (
+            c3.join(F.broadcast(c1), "tl")
+            .join(F.broadcast(c2a), ["tl", "sl"])
+            .join(F.broadcast(c2b), ["t", "tl"])
+            .crossJoin(F.broadcast(tot))
+        )
+        term = F.round(
+            F.col("c3").cast("double")
+            * F.log(
+                F.col("c3").cast("double")
+                * F.col("c1").cast("double")
+                / (F.col("c2a").cast("double") * F.col("c2b").cast("double"))
+            )
+            * F.lit(TE_SCALE),
+        ).cast("long").cast(_DEC)
+        return j.agg(
+            (F.sum(term).cast("double") / F.lit(TE_SCALE) / F.max("nn")).alias(
+                "te"
+            ),
+            F.max("nn").alias("nn"),
+        )
+    xy = _te(q, "qy", "qyl", "qxl").select(
+        F.col("nn").alias("n_transitions"), F.round("te", 8).alias("te_count_to_revenue")
+    )
+    yx = _te(q, "qx", "qxl", "qyl").select(F.round("te", 8).alias("te_revenue_to_count"))
+    out = xy.crossJoin(F.broadcast(yx))
+    return out.select(
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        "te_count_to_revenue",
+        "te_revenue_to_count",
+        F.round(
+            F.col("te_count_to_revenue") - F.col("te_revenue_to_count"), 8
+        ).alias("te_net"),
+    )
+
+
+def _te_oracle() -> str:
+    te_cte = """
+    c3_{d} AS (
+        SELECT {t} AS t, {tl} AS tl, {sl} AS sl, count(*) AS c3
+        FROM lagged GROUP BY 1, 2, 3
+    ),
+    c1_{d} AS (SELECT tl, sum(c3) AS c1 FROM c3_{d} GROUP BY 1),
+    c2a_{d} AS (SELECT tl, sl, sum(c3) AS c2a FROM c3_{d} GROUP BY 1, 2),
+    c2b_{d} AS (SELECT t, tl, sum(c3) AS c2b FROM c3_{d} GROUP BY 1, 2),
+    tot_{d} AS (SELECT sum(c3) AS nn FROM c3_{d}),
+    te_{d} AS (
+        SELECT CAST(sum(CAST(round(CAST(c3 AS DOUBLE)
+                   * ln(CAST(c3 AS DOUBLE) * CAST(c1 AS DOUBLE)
+                        / (CAST(c2a AS DOUBLE) * CAST(c2b AS DOUBLE)))
+                   * {SCALE} ) AS BIGINT)) AS DOUBLE) / {SCALE}
+                   / (SELECT nn FROM tot_{d}) AS te,
+               (SELECT nn FROM tot_{d}) AS nn
+        FROM c3_{d}
+        JOIN c1_{d} USING (tl) JOIN c2a_{d} USING (tl, sl)
+        JOIN c2b_{d} USING (t, tl)
+    )"""
+    return (
+        """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc,
+               count(*) AS oc
+        FROM orders GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n FROM daily),
+    q AS (
+        SELECT day,
+               ((row_number() OVER (ORDER BY oc, day) - 1) * 3)
+                   // (SELECT n FROM n) AS qx,
+               ((row_number() OVER (ORDER BY xc, day) - 1) * 3)
+                   // (SELECT n FROM n) AS qy
+        FROM daily
+    ),
+    lagged AS (
+        SELECT qx, qy,
+               lag(qx) OVER (ORDER BY day) AS qxl,
+               lag(qy) OVER (ORDER BY day) AS qyl
+        FROM q
+        QUALIFY qxl IS NOT NULL
+    ),"""
+        + te_cte.format(d="xy", t="qy", tl="qyl", sl="qxl", SCALE=TE_SCALE)
+        + ","
+        + te_cte.format(d="yx", t="qx", tl="qxl", sl="qyl", SCALE=TE_SCALE)
+        + """
+    SELECT CAST(xy.nn AS BIGINT) AS n_transitions,
+           round(xy.te, 8) AS te_count_to_revenue,
+           round(yx.te, 8) AS te_revenue_to_count,
+           round(round(xy.te, 8) - round(yx.te, 8), 8) AS te_net
+    FROM te_xy xy, te_yx yx
+"""
+    )
+
+
+ORACLES["transfer_entropy_daily"] = _te_oracle()
+QUERIES["transfer_entropy_daily"] = transfer_entropy_daily
