@@ -1019,3 +1019,99 @@ ORACLES["wal2json_envelope_roundtrip"] = """
     GROUP BY 1
 """
 QUERIES["wal2json_envelope_roundtrip"] = wal2json_envelope_roundtrip
+
+
+def airbyte_record_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> Airbyte protocol RECORD/STATE JSON lines ->
+    parse_envelope_airbyte -> routed payload decode -> per-action
+    rollup (tenth-producer coverage).
+
+    Exercises the adapter contract:
+    - okey % 4 -> plain RECORD (no CDC columns, INSERT), CDC update
+      (``_ab_cdc_updated_at`` epoch millis, UPDATE-INSERT), CDC delete
+      (``_ab_cdc_deleted_at`` set, key-only data, DELETE), and a STATE
+      checkpoint message that must dead-letter (NULL action);
+    - ``_ab_cdc_*`` metadata keys drop at the routed from_json decode
+      (no table schema declares them);
+    - update_date from ``_ab_cdc_updated_at`` (epoch-millis wire form)
+      with the plain insert falling back to ``record.emitted_at``;
+    - ``record.stream`` routes; delete rows carry only the key.
+    """
+    from ..sources.cdc_schema import parse_envelope_airbyte
+
+    o = load_table(spark, sf_dir, "orders")
+    ms = (F.unix_timestamp(F.to_timestamp("o_orderdate")) * 1000).cast(
+        "long"
+    ).cast("string")
+    mode = F.col("o_orderkey") % 4
+    data_full = F.concat(
+        F.lit('{"o_orderkey":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"o_custkey":'), F.col("o_custkey").cast("string"),
+        F.lit(',"o_orderstatus":"'), F.col("o_orderstatus"),
+        F.lit('","o_totalprice":'), F.col("o_totalprice").cast("string"),
+    )
+    rec_plain = F.concat(
+        F.lit('{"type":"RECORD","record":{"stream":"orders_feed",'
+              '"namespace":"public","emitted_at":'), ms,
+        F.lit(',"data":'), data_full, F.lit("}}}"),
+    )
+    rec_upd = F.concat(
+        F.lit('{"type":"RECORD","record":{"stream":"orders_feed",'
+              '"namespace":"public","emitted_at":'), ms,
+        F.lit(',"data":'), data_full,
+        F.lit(',"_ab_cdc_updated_at":'), ms,
+        F.lit(',"_ab_cdc_deleted_at":null,"_ab_cdc_log_pos":77}}}'),
+    )
+    rec_del = F.concat(
+        F.lit('{"type":"RECORD","record":{"stream":"orders_feed",'
+              '"namespace":"public","emitted_at":'), ms,
+        F.lit(',"data":{"o_orderkey":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"_ab_cdc_updated_at":'), ms,
+        F.lit(',"_ab_cdc_deleted_at":'), ms, F.lit("}}}"),
+    )
+    state = F.lit(
+        '{"type":"STATE","state":{"data":{"cdc_state":{"lsn":12345}}}}'
+    )
+    line = (
+        F.when(mode == 0, rec_plain)
+        .when(mode == 1, rec_upd)
+        .when(mode == 2, rec_del)
+        .otherwise(state)
+    )
+    parsed = parse_envelope_airbyte(o.select(line.alias("value")))
+    routed = (
+        parsed.filter(F.col("action").isNotNull())
+        .filter(F.col("object") == "orders_feed")
+        .select(
+            "action",
+            F.to_timestamp("update_date_raw").alias("update_date"),
+            F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+        )
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("n_orderkeys"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
+ORACLES["airbyte_record_roundtrip"] = """
+    SELECT CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 'INSERT'
+               WHEN 1 THEN 'UPDATE-INSERT'
+               ELSE 'DELETE' END AS action,
+           count(*) AS n_rows,
+           count(*) AS n_orderkeys,
+           sum(CASE WHEN o_orderkey % 4 IN (0, 1) THEN 1 ELSE 0 END)
+               AS n_custkeys,
+           round(sum(CASE WHEN o_orderkey % 4 != 2
+                          THEN o_totalprice END), 2) AS revenue,
+           max(o_orderdate) AS last_update
+    FROM orders
+    WHERE o_orderkey % 4 <= 2
+    GROUP BY 1
+"""
+QUERIES["airbyte_record_roundtrip"] = airbyte_record_roundtrip

@@ -316,6 +316,9 @@ def parse_envelope_auto(
     - MongoDB change stream iff it has an ``operationType`` field;
     - wal2json v2 iff it has an ``action`` field (the single-letter
       logical-decoding verb);
+    - Airbyte iff it has ``$.record.stream`` (the protocol RECORD shape;
+      probed before the ``type`` checks because Airbyte messages also
+      carry a top-level ``type``);
     - Canal iff it has a ``type`` field AND ``$.data[0]`` resolves (data
       is an ARRAY — get_json_object's [0] path is null on objects);
     - Maxwell iff it has ``type`` + object-shaped ``data``;
@@ -361,6 +364,15 @@ def parse_envelope_auto(
         & ~is_mongo
         & F.get_json_object(line, "$.action").isNotNull()
     )
+    is_aby = (
+        ~is_dbz
+        & ~is_ogg
+        & ~is_dms
+        & ~is_mssql
+        & ~is_mongo
+        & ~is_w2j
+        & F.get_json_object(line, "$.record.stream").isNotNull()
+    )
     has_type = F.get_json_object(line, "$.type").isNotNull()
     is_canal = (
         ~is_dbz
@@ -369,6 +381,7 @@ def parse_envelope_auto(
         & ~is_mssql
         & ~is_mongo
         & ~is_w2j
+        & ~is_aby
         & has_type
         & F.get_json_object(line, "$.data[0]").isNotNull()
     )
@@ -379,13 +392,14 @@ def parse_envelope_auto(
         & ~is_mssql
         & ~is_mongo
         & ~is_w2j
+        & ~is_aby
         & ~is_canal
         & has_type
         & F.get_json_object(line, "$.data").isNotNull()
     )
     is_ds = (
         ~is_dbz & ~is_ogg & ~is_dms & ~is_mssql & ~is_mongo & ~is_w2j
-        & ~is_canal & ~is_maxwell
+        & ~is_aby & ~is_canal & ~is_maxwell
     )
     ds = parse_envelope(raw_lines.filter(is_ds), line_col)
     dz = parse_envelope_debezium(raw_lines.filter(is_dbz), line_col)
@@ -394,6 +408,7 @@ def parse_envelope_auto(
     ms = parse_envelope_sqlserver(raw_lines.filter(is_mssql), line_col)
     mg = parse_envelope_mongo(raw_lines.filter(is_mongo), line_col)
     w2 = parse_envelope_wal2json(raw_lines.filter(is_w2j), line_col)
+    ab = parse_envelope_airbyte(raw_lines.filter(is_aby), line_col)
     mx = parse_envelope_maxwell(raw_lines.filter(is_maxwell), line_col)
     cn = parse_envelope_canal(raw_lines.filter(is_canal), line_col)
     return (
@@ -403,6 +418,7 @@ def parse_envelope_auto(
         .unionByName(ms)
         .unionByName(mg)
         .unionByName(w2)
+        .unionByName(ab)
         .unionByName(mx)
         .unionByName(cn)
     )
@@ -724,4 +740,73 @@ def parse_envelope_wal2json(
             "payload_json"
         ),
         "raw",
+    )
+
+
+def parse_envelope_airbyte(
+    raw_lines: DataFrame,
+    line_col: str = "value",
+    default_table: str | None = None,
+) -> DataFrame:
+    """Airbyte protocol RECORD messages (the tenth producer) -> the
+    canonical envelope columns.  Airbyte is the dominant OSS ELT tool;
+    its CDC sources (Postgres/MySQL/MSSQL, Debezium underneath) ship
+    rows as protocol messages with documented CDC metadata columns.
+
+    Field mapping (the public Airbyte protocol:
+    ``{"type":"RECORD","record":{"stream","namespace","emitted_at",
+    "data":{...,"_ab_cdc_updated_at","_ab_cdc_deleted_at"}}}``):
+
+    - only ``type = "RECORD"`` lines with a ``record.data`` object carry
+      rows; STATE / LOG / TRACE / CATALOG messages -> NULL action ->
+      dead-letter (applying a STATE checkpoint as a row would corrupt
+      the table).
+    - action: ``_ab_cdc_deleted_at`` non-null -> DELETE;
+      ``_ab_cdc_updated_at`` present -> UPDATE-INSERT (Airbyte's CDC
+      dedup does not distinguish insert from update — the Datastream
+      UPDATE-INSERT semantic exactly); neither (full-refresh / non-CDC
+      incremental record) -> INSERT.
+    - payload = ``record.data`` verbatim; the ``_ab_cdc_*`` metadata
+      keys drop at the routed from_json decode because no table schema
+      declares them (the SQL Server ``__$`` precedent).
+    - update_date: ``_ab_cdc_updated_at`` in EITHER public wire form —
+      epoch millis (older connectors) or ISO-8601 string (newer) — via
+      a cast-probe coalesce; falls back to ``record.emitted_at`` (epoch
+      millis, always present on RECORD).
+    - object = ``record.stream`` (the catalog routing key), falling
+      back to ``default_table``.
+    """
+    line = F.col(line_col)
+    stream = F.get_json_object(line, "$.record.stream")
+    data = F.get_json_object(line, "$.record.data")
+    deleted = F.get_json_object(line, "$.record.data._ab_cdc_deleted_at")
+    updated = F.get_json_object(line, "$.record.data._ab_cdc_updated_at")
+    emitted = F.get_json_object(line, "$.record.emitted_at")
+    is_rec = F.get_json_object(line, "$.type") == F.lit("RECORD")
+    action = (
+        F.when(~is_rec | data.isNull(), F.lit(None).cast("string"))
+        .when(deleted.isNotNull(), F.lit("DELETE"))
+        .when(updated.isNotNull(), F.lit("UPDATE-INSERT"))
+        .otherwise(F.lit("INSERT"))
+    )
+
+    def _ts(c: Column) -> Column:
+        # try_cast/try_to_timestamp: ANSI mode is on; plain cast/parse
+        # would FAIL the stream on the other wire form (or on garbage)
+        # instead of falling through / dead-lettering
+        return F.coalesce(
+            F.timestamp_millis(c.try_cast("long")), F.try_to_timestamp(c)
+        )
+
+    ts = F.coalesce(_ts(updated), F.timestamp_millis(emitted.try_cast("long")))
+    return raw_lines.select(
+        F.coalesce(stream, F.lit(default_table).cast("string")).alias(
+            "object"
+        ),
+        action.alias("action"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSS").alias(
+            "update_date_raw"
+        ),
+        data.alias("payload_json"),
+        line.alias("raw"),
     )

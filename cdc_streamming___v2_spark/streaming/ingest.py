@@ -43,6 +43,7 @@ from ..sources.cdc_schema import (
     parse_envelope_mongo,
     parse_envelope_sqlserver,
     parse_envelope_wal2json,
+    parse_envelope_airbyte,
     parse_envelope_aws_dms,
     parse_envelope_canal,
     parse_envelope_debezium,
@@ -137,6 +138,8 @@ class CdcIngest:
             return parse_envelope_mongo(raw)
         if self.envelope_format == "wal2json":
             return parse_envelope_wal2json(raw)
+        if self.envelope_format == "airbyte":
+            return parse_envelope_airbyte(raw)
         if self.envelope_format == "auto":
             return parse_envelope_auto(raw)
         if self.envelope_format != "datastream":

@@ -1373,3 +1373,121 @@ def test_wal2json_e2e_ingest(spark, tmp_path_factory):
     assert by_action["UPDATE-INSERT"]["product_category_name"] == "hardware"
     assert by_action["DELETE"]["product_id"] == "p4"
     assert by_action["DELETE"]["product_photos_qty"] is None
+
+
+# ---------------------------------------------------------------------------
+# Airbyte protocol (tenth producer)
+# ---------------------------------------------------------------------------
+
+
+def _aby(data, emitted_ms, updated=None, deleted=None, stream="olist_produtos"):
+    d = dict(data)
+    if updated is not None:
+        d["_ab_cdc_updated_at"] = updated
+        d["_ab_cdc_deleted_at"] = deleted
+        d["_ab_cdc_log_pos"] = 42
+    rec = {"stream": stream, "namespace": "public",
+           "emitted_at": emitted_ms, "data": d}
+    return json.dumps({"type": "RECORD", "record": rec})
+
+
+ABY_LINES = [
+    # plain incremental record (no CDC columns): INSERT, ts from emitted_at
+    _aby(P3, 1704672000000),
+    # CDC update, epoch-millis wire form
+    _aby(P3_V2, 1704758400500, updated=1704758400000),
+    # CDC update, ISO-8601 wire form (newer connectors)
+    _aby(P3_V2, 1704790000000, updated="2024-01-09 12:00:00.250"),
+    # CDC delete: key-only data + deleted_at set
+    _aby({"product_id": "p3"}, 1704844800000,
+         updated=1704844800000, deleted=1704844800000),
+    # STATE checkpoint and LOG message: must dead-letter
+    '{"type":"STATE","state":{"data":{"cdc":{"lsn":9}}}}',
+    '{"type":"LOG","log":{"level":"INFO","message":"sync started"}}',
+]
+
+
+def test_airbyte_envelope_parses_and_dead_letters_control(spark):
+    from cdc_streamming___v2_spark.sources.cdc_schema import (
+        parse_envelope_airbyte,
+    )
+
+    df = spark.createDataFrame([(l,) for l in ABY_LINES], "value string")
+    rows = parse_envelope_airbyte(df).collect()
+    actions = [r["action"] for r in rows]
+    assert actions == ["INSERT", "UPDATE-INSERT", "UPDATE-INSERT",
+                       "DELETE", None, None]
+    # plain record: update_date falls back to emitted_at
+    assert rows[0]["update_date_raw"] == "2024-01-08 00:00:00.000"
+    # epoch-millis updated_at wins over emitted_at
+    assert rows[1]["update_date_raw"] == "2024-01-09 00:00:00.000"
+    # ISO-string updated_at parses too
+    assert rows[2]["update_date_raw"] == "2024-01-09 12:00:00.250"
+    p = json.loads(rows[1]["payload_json"])
+    assert p["product_category_name"] == "hardware"
+    assert p["_ab_cdc_log_pos"] == 42  # drops later at routed decode
+    # delete keeps the key only (plus CDC metadata)
+    pd_ = json.loads(rows[3]["payload_json"])
+    assert pd_["product_id"] == "p3"
+    assert "product_photos_qty" not in pd_
+    assert all(r["object"] == "olist_produtos" for r in rows[:4])
+
+
+def test_auto_dispatch_includes_airbyte(spark, tmp_path_factory):
+    """A mixed directory with all TEN producers' lines unifies under
+    envelope_format='auto'."""
+    root = tmp_path_factory.mktemp("cdc_mixed10")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "all.jsonl"), "w") as f:
+        f.write("\n".join(
+            [LINES[0], DBZ_LINES[0], MXW_LINES[0], CNL_LINES[0],
+             DMS_LINES[0], OGG_LINES[0], MSSQL_LINES[0], MONGO_LINES[0],
+             W2J_LINES[0], ABY_LINES[0]]
+        ) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="auto",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    # 1 ds + 1 dbz + 1 maxwell + 2 canal batched + 1 dms + 1 ogg
+    # + 1 sqlserver + 1 mongo + 1 wal2json + 1 airbyte
+    assert len(rows) == 11
+
+
+def test_airbyte_e2e_ingest(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc_aby_e2e")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "changes.jsonl"), "w") as f:
+        f.write("\n".join(ABY_LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="airbyte",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    assert len(rows) == 4  # STATE and LOG dead-lettered
+    inserts = [r for r in rows if r["action"] == "INSERT"]
+    deletes = [r for r in rows if r["action"] == "DELETE"]
+    updates = [r for r in rows if r["action"] == "UPDATE-INSERT"]
+    assert len(inserts) == 1 and len(deletes) == 1 and len(updates) == 2
+    assert inserts[0]["product_photos_qty"] == 5
+    assert all(u["product_category_name"] == "hardware" for u in updates)
+    # _ab_cdc_* metadata dropped at the routed decode
+    assert "_ab_cdc_log_pos" not in rows[0].asDict()
+    assert deletes[0]["product_id"] == "p3"
+    assert deletes[0]["product_photos_qty"] is None
