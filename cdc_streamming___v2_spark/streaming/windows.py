@@ -1000,3 +1000,85 @@ KMV_STREAM_OUTPUT_SCHEMA = T.StructType(
         T.StructField("mins", T.StringType()),
     ]
 )
+
+
+BF_STREAM_SHARDS = 4  # bit-space shards; state per shard <= BLOOM_M/4 bits
+
+BF_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bits", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+BF_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("bits", T.StringType()),
+    ]
+)
+
+
+def bloom_stream(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """Streaming Bloom filter: maintains the SAME bitset as the batch
+    op (operators/sketches.py bloom_prefilter) over a stream of set
+    keys — set-bit union is associative and arrival-order-independent,
+    so the decoded bitset EQUALS the batch ``bits`` frame exactly
+    (test-proven), and therefore the pass/true/false-positive counts of
+    any probe frame are identical between the two paths.
+
+    Sharding: keys explode to their BLOOM_K bit positions JVM-side with
+    the batch op's md5-salt family (no Python hashing); ``bit %
+    BF_STREAM_SHARDS`` routes each position to one state key whose
+    value is the sorted set-bit list for that shard — state is bounded
+    by BLOOM_M bits TOTAL regardless of stream length, and the shards
+    update in parallel.  Emissions are seq-stamped; ``bloom_stream_bits``
+    decodes max-seq rows back to the bit frame.
+    """
+    from ..operators.sketches import _bloom_bits
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bits_s, seq = state.get
+            cur = {int(b) for b in bits_s.split("|") if b}
+        else:
+            cur, seq = set(), 0
+        for pdf in pdfs:
+            cur.update(int(b) for b in pdf["bit"].to_numpy())
+        seq += 1
+        bits_s = "|".join(str(b) for b in sorted(cur))
+        state.update((bits_s, seq))
+        yield pd.DataFrame(
+            [(int(key[0]), seq, bits_s)], columns=["shard", "seq", "bits"]
+        )
+
+    cells = keys.select(
+        F.explode(_bloom_bits(F.col(key_col))).alias("bit")
+    ).select(
+        (F.col("bit") % BF_STREAM_SHARDS).cast("int").alias("shard"), "bit"
+    )
+    return cells.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=BF_STREAM_OUTPUT_SCHEMA,
+        stateStructType=BF_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def bloom_stream_bits(emitted: DataFrame) -> DataFrame:
+    """Decode the final streaming Bloom state: max-seq bit list per
+    shard, exploded to one ``bit`` row each — the exact twin of the
+    batch op's distinct-bits frame."""
+    from pyspark.sql import Window
+
+    wseq = Window.partitionBy("shard").orderBy(F.col("seq").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(wseq))
+        .filter((F.col("rn") == 1) & (F.col("bits") != ""))
+        .select(F.explode(F.split("bits", "\\|")).alias("b"))
+        .select(F.col("b").cast("int").alias("bit"))
+    )

@@ -714,3 +714,70 @@ def test_kmv_stream_equals_batch_sketch(spark, events_dir):
         for r in kmv_distinct(spark, SF_SMALL).collect()
     }
     assert got == batch
+
+
+@pytest.fixture(scope="module")
+def customer_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("customer_stream")
+    os.symlink(
+        os.path.join(SF_SMALL, "customer.parquet"),
+        os.path.join(d, "customer.parquet"),
+    )
+    return str(d)
+
+
+def test_bloom_stream_equals_batch_bits(spark, customer_dir):
+    """Set-bit union is associative and order-independent, so the
+    streaming Bloom bitset must EQUAL the batch bloom_prefilter's bits
+    frame exactly — and hence any probe's pass/false-positive verdicts
+    are identical between the paths."""
+    from cdc_streamming___v2_spark.operators.sketches import (
+        BLOOM_K,
+        _bloom_bits,
+        bloom_prefilter,
+    )
+
+    schema = spark.read.parquet(customer_dir).schema
+    keys = (
+        spark.readStream.schema(schema)
+        .parquet(customer_dir)
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").cast("string").alias("key"))
+    )
+    name = _run(W.bloom_stream(keys), mode="update")
+    emitted = spark.sql(f"select * from {name}")
+    got_bits = {
+        r["bit"] for r in W.bloom_stream_bits(emitted).collect()
+    }
+    c = spark.read.parquet(os.path.join(SF_SMALL, "customer.parquet"))
+    batch_bits = {
+        r["bit"]
+        for r in c.filter(F.col("c_acctbal") > 9000)
+        .select(
+            F.explode(
+                _bloom_bits(F.col("c_custkey").cast("string"))
+            ).alias("bit")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got_bits == batch_bits and got_bits
+    # identical bitset -> identical probe verdicts: recompute the batch
+    # op's pass count against the STREAMED bits and compare
+    o = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet"))
+    bits_df = W.bloom_stream_bits(emitted)
+    probed = o.select(
+        "o_orderkey",
+        F.explode(
+            _bloom_bits(F.col("o_custkey").cast("string"))
+        ).alias("bit"),
+    )
+    n_pass = (
+        probed.join(F.broadcast(bits_df), "bit")
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("h"))
+        .filter(F.col("h") == BLOOM_K)
+        .count()
+    )
+    batch_row = bloom_prefilter(spark, SF_SMALL).collect()[0]
+    assert n_pass == batch_row["n_bloom_pass"]
