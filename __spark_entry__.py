@@ -50,6 +50,7 @@ _MODULES = (
     "stats_ext",
     "diagnostics_ext",
     "finance_ext",
+    "agreement_ext",
     "timeseries_ext",
     "relational_ext",
     "tpch_extra",
@@ -66,6 +67,12 @@ _MODULES = (
 # (2) the 50 queries the r5 window just proved rotate to the back.  Tail
 # keeps module order.
 _GATE_PRIORITY = (
+    # round-7 window: the new-this-round operators lead (zero prior proof),
+    # then the never-driver-checked queue continues unchanged below
+    "krippendorff_alpha",
+    "lin_ccc",
+    "bland_altman",
+    "icc_oneway",
     "jarque_bera_test",
     "breusch_pagan_test",
     "arch_lm_test",
@@ -393,7 +400,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 423
+_MIN_QUERIES = 427
 
 
 def _registry() -> tuple[dict, dict]:
