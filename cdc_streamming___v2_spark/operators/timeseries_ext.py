@@ -854,3 +854,122 @@ def _croston_oracle() -> str:
 
 ORACLES["croston_intermittent_demand"] = _croston_oracle()
 QUERIES["croston_intermittent_demand"] = croston_intermittent_demand
+
+
+# --------------------------------------------------------------------------
+# Holt-Winters additive seasonal forecast (closed-form weight tables)
+# --------------------------------------------------------------------------
+
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.3, 0.05, 0.2
+HW_T = 60  # months 1995-01 .. 1999-12, present at every SF (orders span
+#            1995-01 .. 2001-08 with >= 1 order per month)
+HW_H = 12  # one full season of forecasts
+
+
+def _hw_weight_table() -> list[list[float]]:
+    """Coefficient of each of the HW_T monthly totals in forecast h,
+    obtained by running the (entirely LINEAR) additive Holt-Winters
+    recursion on unit vectors in plain Python — the theta/croston
+    closed-form pattern extended to the full 14-dimensional seasonal
+    state.  Init: l = mean(year 1), b = (mean(year 2) - mean(year 1))/12,
+    s_j = y_j - l for the 12 first-year months; recursion runs t=12..T-1;
+    fc_h = l_T + h*b_T + s[month (T-1+h) mod 12]."""
+    table: list[list[float]] = [[0.0] * HW_T for _ in range(HW_H)]
+    for u in range(HW_T):
+        y = [0.0] * HW_T
+        y[u] = 1.0
+        m1 = sum(y[:12]) / 12.0
+        m2 = sum(y[12:24]) / 12.0
+        lv = m1
+        tr = (m2 - m1) / 12.0
+        s = [y[j] - m1 for j in range(12)]
+        for t in range(12, HW_T):
+            prev_l = lv
+            lv = HW_ALPHA * (y[t] - s[t % 12]) + (1.0 - HW_ALPHA) * (lv + tr)
+            tr = HW_BETA * (lv - prev_l) + (1.0 - HW_BETA) * tr
+            s[t % 12] = HW_GAMMA * (y[t] - lv) + (1.0 - HW_GAMMA) * s[t % 12]
+        for h in range(1, HW_H + 1):
+            table[h - 1][u] = lv + h * tr + s[(HW_T - 1 + h) % 12]
+    return table
+
+
+_HW_W = _hw_weight_table()
+
+
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters forecast of monthly revenue for horizons
+    1..12 — the SEASONAL completion of holt_forecast (level+trend) and
+    theta_method_forecast (SES+drift), neither of which can carry the
+    12-month cycle weekday_seasonal_index shows exists.
+
+    The recursion never runs in either engine: additive HW is linear in
+    the observations, so each forecast is a fixed weighted sum of the 60
+    pinned monthly totals with the weights inlined as Python literals
+    (_hw_weight_table) — both engines fold round(w*cents, 6) terms in
+    decimal(38,6), so the result is hash-exact.
+
+    Scale: one groupBy of orders onto the 60-month grid; the weighted
+    fold runs on a 60 x 12 broadcast expansion.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    monthly = (
+        o.withColumn(
+            "t",
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1),
+        )
+        .filter((F.col("t") >= 0) & (F.col("t") < HW_T))
+        .groupBy("t")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+        )
+    )
+    warr = F.array(
+        *[F.array(*[F.lit(w) for w in row]) for row in _HW_W]
+    )
+    hs = spark.range(1, HW_H + 1).select(F.col("id").cast("int").alias("h"))
+    expanded = monthly.crossJoin(F.broadcast(hs))
+    term = F.round(
+        F.element_at(F.element_at(warr, F.col("h")), F.col("t").cast("int") + 1)
+        * F.col("xc").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    return (
+        expanded.groupBy("h")
+        .agg(F.sum(term).alias("fc"))
+        .select(
+            "h",
+            F.round(F.col("fc").cast("double") / 100.0, 2).alias("hw_forecast"),
+        )
+        .orderBy("h")
+    )
+
+
+def _hw_oracle() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in _HW_W
+    )
+    return f"""
+    WITH monthly AS (
+        SELECT (year(CAST(o_orderdate AS DATE)) - 1995) * 12
+               + month(CAST(o_orderdate AS DATE)) - 1 AS t,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+        FROM orders
+        WHERE (year(CAST(o_orderdate AS DATE)) - 1995) * 12
+              + month(CAST(o_orderdate AS DATE)) - 1 BETWEEN 0 AND {HW_T - 1}
+        GROUP BY 1
+    ),
+    hs AS (SELECT unnest(range(1, {HW_H + 1})) AS h),
+    terms AS (
+        SELECT h,
+               CAST(round([{rows}][h][t + 1] * CAST(xc AS DOUBLE), 6)
+                    AS DECIMAL(38,6)) AS term
+        FROM monthly, hs
+    )
+    SELECT CAST(h AS INTEGER) AS h,
+           round(CAST(sum(term) AS DOUBLE) / 100.0, 2) AS hw_forecast
+    FROM terms GROUP BY h ORDER BY h
+"""
+
+
+ORACLES["holt_winters_forecast"] = _hw_oracle()
+QUERIES["holt_winters_forecast"] = holt_winters_forecast
