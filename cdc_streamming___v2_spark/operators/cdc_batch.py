@@ -1115,3 +1115,98 @@ ORACLES["airbyte_record_roundtrip"] = """
     GROUP BY 1
 """
 QUERIES["airbyte_record_roundtrip"] = airbyte_record_roundtrip
+
+
+def dynamodb_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> DynamoDB Streams records (typed AttributeValue images)
+    -> parse_envelope_dynamodb -> routed payload decode -> per-action
+    rollup (eleventh-producer coverage).
+
+    Exercises the adapter contract:
+    - okey % 4 -> INSERT (full NewImage), MODIFY (NewImage,
+      UPDATE-INSERT), REMOVE under a KEYS_ONLY view (no OldImage — the
+      Keys fallback must recover the key, DELETE), and an unknown
+      eventName that must dead-letter (NULL action);
+    - type dispatch: N values emit raw numeric tokens (an untyped pivot
+      would null every numeric at the routed decode), S re-quotes,
+      BOOL / NULL / SS attributes flatten and then drop at the routed
+      from_json decode (no table schema declares them);
+    - ``ApproximateCreationDateTime`` epoch seconds -> update_date;
+    - the table name routes from inside ``eventSourceARN``.
+    """
+    from ..sources.cdc_schema import parse_envelope_dynamodb
+
+    o = load_table(spark, sf_dir, "orders")
+    secs = F.unix_timestamp(F.to_timestamp("o_orderdate")).cast("string")
+    mode = F.col("o_orderkey") % 4
+    arn = (
+        '"arn:aws:dynamodb:us-east-1:123456789012:table/orders_ddb/'
+        'stream/2026-01-01T00:00:00.000"'
+    )
+    img_full = F.concat(
+        F.lit('{"o_orderkey":{"N":"'), F.col("o_orderkey").cast("string"),
+        F.lit('"},"o_custkey":{"N":"'), F.col("o_custkey").cast("string"),
+        F.lit('"},"o_orderstatus":{"S":"'), F.col("o_orderstatus"),
+        F.lit('"},"o_totalprice":{"N":"'), F.col("o_totalprice").cast("string"),
+        F.lit('"},"ok":{"BOOL":true},"note":{"NULL":true},'
+              '"tags":{"SS":["a","b"]}}'),
+    )
+    keys_only = F.concat(
+        F.lit('{"o_orderkey":{"N":"'), F.col("o_orderkey").cast("string"),
+        F.lit('"}}'),
+    )
+    body = F.concat(
+        F.lit('{"eventID":"e1","eventSource":"aws:dynamodb",'
+              '"eventSourceARN":' + arn + ',"eventName":"'),
+        F.when(mode == 0, F.lit("INSERT"))
+        .when(mode == 1, F.lit("MODIFY"))
+        .when(mode == 2, F.lit("REMOVE"))
+        .otherwise(F.lit("PING")),
+        F.lit('","dynamodb":{"ApproximateCreationDateTime":'), secs,
+        F.lit(',"SequenceNumber":"111","StreamViewType":"'),
+        F.when(mode == 2, F.lit("KEYS_ONLY")).otherwise(
+            F.lit("NEW_AND_OLD_IMAGES")
+        ),
+        F.lit('","Keys":'), keys_only,
+        F.when(mode == 2, F.lit("")).otherwise(
+            F.concat(F.lit(',"NewImage":'), img_full)
+        ),
+        F.lit("}}"),
+    )
+    parsed = parse_envelope_dynamodb(o.select(body.alias("value")))
+    routed = (
+        parsed.filter(F.col("action").isNotNull())
+        .filter(F.col("object") == "orders_ddb")
+        .select(
+            "action",
+            F.to_timestamp("update_date_raw").alias("update_date"),
+            F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+        )
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("n_orderkeys"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
+ORACLES["dynamodb_stream_roundtrip"] = """
+    SELECT CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 'INSERT'
+               WHEN 1 THEN 'UPDATE-INSERT'
+               ELSE 'DELETE' END AS action,
+           count(*) AS n_rows,
+           count(*) AS n_orderkeys,
+           sum(CASE WHEN o_orderkey % 4 IN (0, 1) THEN 1 ELSE 0 END)
+               AS n_custkeys,
+           round(sum(CASE WHEN o_orderkey % 4 != 2
+                          THEN o_totalprice END), 2) AS revenue,
+           max(o_orderdate) AS last_update
+    FROM orders
+    WHERE o_orderkey % 4 <= 2
+    GROUP BY 1
+"""
+QUERIES["dynamodb_stream_roundtrip"] = dynamodb_stream_roundtrip

@@ -319,6 +319,8 @@ def parse_envelope_auto(
     - Airbyte iff it has ``$.record.stream`` (the protocol RECORD shape;
       probed before the ``type`` checks because Airbyte messages also
       carry a top-level ``type``);
+    - DynamoDB Streams iff it has ``eventName`` + a ``dynamodb`` body
+      (typed-AttributeValue images);
     - Canal iff it has a ``type`` field AND ``$.data[0]`` resolves (data
       is an ARRAY — get_json_object's [0] path is null on objects);
     - Maxwell iff it has ``type`` + object-shaped ``data``;
@@ -373,6 +375,17 @@ def parse_envelope_auto(
         & ~is_w2j
         & F.get_json_object(line, "$.record.stream").isNotNull()
     )
+    is_ddb = (
+        ~is_dbz
+        & ~is_ogg
+        & ~is_dms
+        & ~is_mssql
+        & ~is_mongo
+        & ~is_w2j
+        & ~is_aby
+        & F.get_json_object(line, "$.eventName").isNotNull()
+        & F.get_json_object(line, "$.dynamodb").isNotNull()
+    )
     has_type = F.get_json_object(line, "$.type").isNotNull()
     is_canal = (
         ~is_dbz
@@ -382,6 +395,7 @@ def parse_envelope_auto(
         & ~is_mongo
         & ~is_w2j
         & ~is_aby
+        & ~is_ddb
         & has_type
         & F.get_json_object(line, "$.data[0]").isNotNull()
     )
@@ -393,13 +407,14 @@ def parse_envelope_auto(
         & ~is_mongo
         & ~is_w2j
         & ~is_aby
+        & ~is_ddb
         & ~is_canal
         & has_type
         & F.get_json_object(line, "$.data").isNotNull()
     )
     is_ds = (
         ~is_dbz & ~is_ogg & ~is_dms & ~is_mssql & ~is_mongo & ~is_w2j
-        & ~is_aby & ~is_canal & ~is_maxwell
+        & ~is_aby & ~is_ddb & ~is_canal & ~is_maxwell
     )
     ds = parse_envelope(raw_lines.filter(is_ds), line_col)
     dz = parse_envelope_debezium(raw_lines.filter(is_dbz), line_col)
@@ -409,6 +424,7 @@ def parse_envelope_auto(
     mg = parse_envelope_mongo(raw_lines.filter(is_mongo), line_col)
     w2 = parse_envelope_wal2json(raw_lines.filter(is_w2j), line_col)
     ab = parse_envelope_airbyte(raw_lines.filter(is_aby), line_col)
+    dd = parse_envelope_dynamodb(raw_lines.filter(is_ddb), line_col)
     mx = parse_envelope_maxwell(raw_lines.filter(is_maxwell), line_col)
     cn = parse_envelope_canal(raw_lines.filter(is_canal), line_col)
     return (
@@ -419,6 +435,7 @@ def parse_envelope_auto(
         .unionByName(mg)
         .unionByName(w2)
         .unionByName(ab)
+        .unionByName(dd)
         .unionByName(mx)
         .unionByName(cn)
     )
@@ -809,4 +826,120 @@ def parse_envelope_airbyte(
         ),
         data.alias("payload_json"),
         line.alias("raw"),
+    )
+
+
+DYNAMODB_ACTIONS = (
+    ("INSERT", "INSERT"),
+    ("MODIFY", "UPDATE-INSERT"),
+    ("REMOVE", "DELETE"),
+)
+
+# a DynamoDB image parses as map<attr, map<TYPE, value>>: Spark's
+# from_json coerces BOOL true -> 'true' and set/list/map values to their
+# JSON text, which is exactly what the type-aware rebuild needs
+_DDB_IMAGE = "map<string,map<string,string>>"
+
+
+def parse_envelope_dynamodb(
+    raw_lines: DataFrame,
+    line_col: str = "value",
+    default_table: str | None = None,
+) -> DataFrame:
+    """DynamoDB Streams records (the eleventh producer) -> the canonical
+    envelope columns.
+
+    Field mapping (the public stream record shape: ``eventName`` INSERT /
+    MODIFY / REMOVE; ``dynamodb.NewImage`` / ``OldImage`` / ``Keys`` as
+    TYPED AttributeValue maps ``{"attr": {"N": "101"}}``;
+    ``ApproximateCreationDateTime`` epoch seconds, possibly fractional;
+    the table name inside ``eventSourceARN``):
+
+    - ``eventName`` via DYNAMODB_ACTIONS; anything else (e.g. a Kinesis
+      control record) -> NULL action -> dead-letter.
+    - payload: the typed AttributeValue map flattens to a plain JSON
+      object by TYPE dispatch — N/BOOL emit raw tokens (DynamoDB wire
+      numbers are strings, so an untyped pivot would null every numeric
+      at the routed decode: the wal2json lesson), NULL emits ``null``,
+      S/B re-quote with escaping, and set/list/map types (SS/NS/BS/L/M)
+      pass through as their JSON text (SS flattens to a plain string
+      array; nested L/M keep their typed inner form — documented
+      one-level flattening, they drop at a scalar routed decode).
+      INSERT/MODIFY use NewImage (falling back to Keys for KEYS_ONLY
+      stream views); REMOVE uses OldImage falling back to Keys — the
+      key-recoverable DELETE, the Mongo documentKey analog.
+    - ``ApproximateCreationDateTime`` (epoch seconds, fractional OK) ->
+      the canonical timestamp layout via try_cast (ANSI-safe).
+    - object = the ``table/<name>/`` segment of ``eventSourceARN``,
+      falling back to ``default_table``.
+    """
+    line = F.col(line_col)
+    parsed = raw_lines.select(
+        F.get_json_object(line, "$.eventName").alias("op"),
+        F.get_json_object(line, "$.eventSourceARN").alias("arn"),
+        F.get_json_object(
+            line, "$.dynamodb.ApproximateCreationDateTime"
+        ).alias("ts"),
+        F.get_json_object(line, "$.dynamodb.NewImage").alias("newimg"),
+        F.get_json_object(line, "$.dynamodb.OldImage").alias("oldimg"),
+        F.get_json_object(line, "$.dynamodb.Keys").alias("keys"),
+        line.alias("raw"),
+    )
+    action: Column = F.lit(None).cast("string")
+    for code, act in DYNAMODB_ACTIONS:
+        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+
+    def _esc(col: Column) -> Column:
+        return F.regexp_replace(
+            F.regexp_replace(col, "\\\\", "\\\\\\\\"), '"', '\\\\"'
+        )
+
+    def obj_of(img_json: Column) -> Column:
+        entries = F.filter(
+            F.map_entries(F.from_json(img_json, _DDB_IMAGE)),
+            lambda e: F.size(F.map_keys(e["value"])) > 0,
+        )
+
+        def pair(e):
+            t = F.map_keys(e["value"]).getItem(0)
+            v = F.map_values(e["value"]).getItem(0)
+            val = (
+                F.when(t == "NULL", F.lit("null"))
+                .when(t.isin("N", "BOOL"), v)
+                .when(
+                    t.isin("S", "B"),
+                    F.concat(F.lit('"'), _esc(v), F.lit('"')),
+                )
+                .otherwise(v)  # SS/NS/BS/L/M: coerced JSON text verbatim
+            )
+            return F.concat(F.lit('"'), _esc(e["key"]), F.lit('":'), val)
+
+        return F.when(
+            entries.isNotNull(),
+            F.concat(
+                F.lit("{"),
+                F.concat_ws(",", F.transform(entries, pair)),
+                F.lit("}"),
+            ),
+        )
+
+    update_raw = F.date_format(
+        F.timestamp_seconds(F.col("ts").try_cast("double")),
+        "yyyy-MM-dd HH:mm:ss.SSS",
+    )
+    payload = F.when(
+        F.col("op") == "REMOVE",
+        F.coalesce(obj_of(F.col("oldimg")), obj_of(F.col("keys"))),
+    ).otherwise(F.coalesce(obj_of(F.col("newimg")), obj_of(F.col("keys"))))
+    table = F.nullif(
+        F.regexp_extract(F.col("arn"), "table/([^/]+)", 1), F.lit("")
+    )
+    return parsed.select(
+        F.coalesce(table, F.lit(default_table).cast("string")).alias(
+            "object"
+        ),
+        action.alias("action"),
+        update_raw.alias("update_date_raw"),
+        payload.alias("payload_json"),
+        "raw",
     )

@@ -45,6 +45,7 @@ from ..sources.cdc_schema import (
     parse_envelope_wal2json,
     parse_envelope_airbyte,
     parse_envelope_aws_dms,
+    parse_envelope_dynamodb,
     parse_envelope_canal,
     parse_envelope_debezium,
     parse_envelope_maxwell,
@@ -140,6 +141,8 @@ class CdcIngest:
             return parse_envelope_wal2json(raw)
         if self.envelope_format == "airbyte":
             return parse_envelope_airbyte(raw)
+        if self.envelope_format == "dynamodb":
+            return parse_envelope_dynamodb(raw)
         if self.envelope_format == "auto":
             return parse_envelope_auto(raw)
         if self.envelope_format != "datastream":

@@ -1491,3 +1491,140 @@ def test_airbyte_e2e_ingest(spark, tmp_path_factory):
     assert "_ab_cdc_log_pos" not in rows[0].asDict()
     assert deletes[0]["product_id"] == "p3"
     assert deletes[0]["product_photos_qty"] is None
+
+
+# ---------------------------------------------------------------------------
+# DynamoDB Streams adapter (eleventh producer)
+# ---------------------------------------------------------------------------
+
+
+def _ddb_image(data):
+    def tv(v):
+        if isinstance(v, bool):
+            return {"BOOL": v}
+        if isinstance(v, (int, float)):
+            return {"N": str(v)}
+        return {"S": v}
+
+    return {k: tv(v) for k, v in data.items()}
+
+
+def _ddb(event, secs, new=None, old=None, keys=None,
+         table="olist_produtos", view="NEW_AND_OLD_IMAGES"):
+    body = {
+        "eventID": "ev1",
+        "eventName": event,
+        "eventSource": "aws:dynamodb",
+        "awsRegion": "us-east-1",
+        "dynamodb": {
+            "ApproximateCreationDateTime": secs,
+            "Keys": _ddb_image(keys or {"product_id": "p3"}),
+            "SequenceNumber": "111",
+            "SizeBytes": 99,
+            "StreamViewType": view,
+        },
+        "eventSourceARN": (
+            f"arn:aws:dynamodb:us-east-1:123456789012:table/{table}"
+            "/stream/2026-01-01T00:00:00.000"
+        ),
+    }
+    if new is not None:
+        body["dynamodb"]["NewImage"] = _ddb_image(new)
+    if old is not None:
+        body["dynamodb"]["OldImage"] = _ddb_image(old)
+    return json.dumps(body)
+
+
+DDB_LINES = [
+    _ddb("INSERT", 1704672000, new={**P3, "in_stock": True}),
+    _ddb("MODIFY", 1704758400.5, new=P3_V2, old=P3),
+    # REMOVE under KEYS_ONLY: no OldImage — Keys must recover the key
+    _ddb("REMOVE", 1704844800, view="KEYS_ONLY"),
+    # unknown eventName -> dead-letter
+    _ddb("PING", 1704931200, new=P3),
+]
+
+
+def test_dynamodb_envelope_parses_and_dead_letters_unknown(spark):
+    from cdc_streamming___v2_spark.sources.cdc_schema import (
+        parse_envelope_dynamodb,
+    )
+
+    df = spark.createDataFrame([(l,) for l in DDB_LINES], "value string")
+    rows = parse_envelope_dynamodb(df).collect()
+    assert [r["action"] for r in rows] == [
+        "INSERT", "UPDATE-INSERT", "DELETE", None,
+    ]
+    assert rows[0]["update_date_raw"] == "2024-01-08 00:00:00.000"
+    # fractional ApproximateCreationDateTime keeps its millis
+    assert rows[1]["update_date_raw"] == "2024-01-09 00:00:00.500"
+    p0 = json.loads(rows[0]["payload_json"])
+    # N values emit numeric JSON tokens, not strings
+    assert p0["product_photos_qty"] == 5 and p0["product_weight_g"] == 250.0
+    assert p0["product_id"] == "p3"
+    assert p0["in_stock"] is True  # BOOL flattens to a bare boolean
+    p1 = json.loads(rows[1]["payload_json"])
+    assert p1["product_category_name"] == "hardware"
+    # KEYS_ONLY delete recovers the key from Keys
+    p2 = json.loads(rows[2]["payload_json"])
+    assert p2 == {"product_id": "p3"}
+    assert all(r["object"] == "olist_produtos" for r in rows)
+
+
+def test_auto_dispatch_includes_dynamodb(spark, tmp_path_factory):
+    """A mixed directory with all ELEVEN producers' lines unifies under
+    envelope_format='auto'."""
+    root = tmp_path_factory.mktemp("cdc_mixed11")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "all.jsonl"), "w") as f:
+        f.write("\n".join(
+            [LINES[0], DBZ_LINES[0], MXW_LINES[0], CNL_LINES[0],
+             DMS_LINES[0], OGG_LINES[0], MSSQL_LINES[0], MONGO_LINES[0],
+             W2J_LINES[0], ABY_LINES[0], DDB_LINES[0]]
+        ) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="auto",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    # 1 ds + 1 dbz + 1 maxwell + 2 canal batched + 1 dms + 1 ogg
+    # + 1 sqlserver + 1 mongo + 1 wal2json + 1 airbyte + 1 dynamodb
+    assert len(rows) == 12
+
+
+def test_dynamodb_e2e_ingest(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc_ddb_e2e")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "changes.jsonl"), "w") as f:
+        f.write("\n".join(DDB_LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="dynamodb",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    assert len(rows) == 3  # PING dead-lettered
+    by_action = {r["action"]: r for r in rows}
+    assert set(by_action) == {"INSERT", "UPDATE-INSERT", "DELETE"}
+    assert by_action["INSERT"]["product_photos_qty"] == 5
+    assert by_action["UPDATE-INSERT"]["product_category_name"] == "hardware"
+    assert by_action["UPDATE-INSERT"]["product_weight_g"] == 260.0
+    # in_stock (BOOL) and SS-style extras drop at the routed decode
+    assert "in_stock" not in rows[0].asDict()
+    assert by_action["DELETE"]["product_id"] == "p3"
+    assert by_action["DELETE"]["product_photos_qty"] is None
