@@ -1082,3 +1082,130 @@ def bloom_stream_bits(emitted: DataFrame) -> DataFrame:
         .select(F.explode(F.split("bits", "\\|")).alias("b"))
         .select(F.col("b").cast("int").alias("bit"))
     )
+
+
+HLL_STREAM_SHARDS = 4  # bucket-space shards; state per shard <= 64 registers
+
+HLL_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("regs", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+HLL_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("regs", T.StringType()),
+    ]
+)
+
+
+def hll_stream(
+    events: DataFrame, key_col: str = "user_id", group_col: str = "event_type"
+) -> DataFrame:
+    """Streaming HyperLogLog: per-(group, bucket-shard) register-max
+    state whose decoded estimate EQUALS the batch operator's
+    (operators/sketches.py hll_distinct) register construction on the
+    same data — register max is associative and arrival-order-
+    independent, and bucket/rho compute JVM-side with the batch op's
+    exact md5 'hll' salt and bin()-length rho (no Python hashing), so
+    streaming/batch equality is exact, not approximate (test-proven).
+
+    State per (group, shard): at most HLL_M / HLL_STREAM_SHARDS = 64
+    'bucket:maxrho' entries serialized '|'-joined — bounded regardless
+    of stream length; the shards update in parallel.  Emissions are
+    seq-stamped; ``hll_stream_estimates`` decodes the max-seq row per
+    shard and folds the batch estimator formula.
+    """
+    from ..functions.texts import md5_hash_long
+    from ..operators.sketches import HLL_VBITS, HLL_VRANGE
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            regs_s, seq = state.get
+            cur = {
+                int(b): int(r)
+                for b, r in (e.split(":") for e in regs_s.split("|") if e)
+            }
+        else:
+            cur, seq = {}, 0
+        for pdf in pdfs:
+            for b, r in zip(
+                pdf["bucket"].to_numpy(np.int64), pdf["rho"].to_numpy(np.int64)
+            ):
+                b, r = int(b), int(r)
+                if r > cur.get(b, 0):
+                    cur[b] = r
+        seq += 1
+        regs_s = "|".join(f"{b}:{cur[b]}" for b in sorted(cur))
+        state.update((regs_s, seq))
+        yield pd.DataFrame(
+            [(key[0], key[1], seq, regs_s)],
+            columns=["event_type", "shard", "seq", "regs"],
+        )
+
+    h = md5_hash_long(F.col(key_col).cast("string"), "hll")
+    v = h % HLL_VRANGE
+    cells = events.select(
+        F.col(group_col).alias("event_type"),
+        F.floor(h / HLL_VRANGE).cast("int").alias("bucket"),
+        F.when(v == 0, HLL_VBITS + 1)
+        .otherwise(F.lit(HLL_VBITS + 1) - F.length(F.bin(v)))
+        .cast("int")
+        .alias("rho"),
+    ).withColumn(
+        "shard", (F.col("bucket") % HLL_STREAM_SHARDS).cast("int")
+    )
+    return cells.groupBy("event_type", "shard").applyInPandasWithState(
+        update,
+        outputStructType=HLL_STREAM_OUTPUT_SCHEMA,
+        stateStructType=HLL_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def hll_stream_estimates(emitted: DataFrame) -> DataFrame:
+    """Decode the final streaming HLL state: max-seq row per
+    (event_type, shard), registers exploded and folded through the
+    batch estimator (exact-integer harmonic sum, zero-register count,
+    no small-range correction — hll_distinct's formula verbatim)."""
+    from pyspark.sql import Window
+
+    from ..operators.sketches import HLL_EST_NUM, HLL_M, HLL_VBITS, HLL_VRANGE
+
+    wseq = Window.partitionBy("event_type", "shard").orderBy(
+        F.col("seq").desc()
+    )
+    final = (
+        emitted.withColumn("rn", F.row_number().over(wseq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.explode(F.split("regs", "\\|")).alias("e"),
+        )
+        .filter(F.col("e") != "")
+        .select(
+            "event_type",
+            F.split("e", ":").getItem(1).cast("int").alias("mj"),
+        )
+    )
+    g = final.groupBy("event_type").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), F.lit(HLL_VBITS + 1) - F.col("mj")))
+        .cast("long")
+        .alias("s_present"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_regs")
+    s = F.col("s_present") + zeros * F.lit(2 * HLL_VRANGE)
+    return g.select(
+        "event_type",
+        F.col("n_regs").cast("bigint").alias("n_regs"),
+        zeros.cast("bigint").alias("n_zero_regs"),
+        F.round(F.lit(HLL_EST_NUM) / s, 2).alias("hll_est"),
+    )

@@ -781,3 +781,139 @@ def test_bloom_stream_equals_batch_bits(spark, customer_dir):
     )
     batch_row = bloom_prefilter(spark, SF_SMALL).collect()[0]
     assert n_pass == batch_row["n_bloom_pass"]
+
+
+def test_hll_stream_equals_batch_registers(spark, events_dir):
+    """Register max is associative and order-independent, so the decoded
+    streaming HLL estimate must EQUAL the batch register construction
+    per group — exact equality, same md5 'hll' salt and bin()-length
+    rho."""
+    from cdc_streamming___v2_spark.functions.texts import md5_hash_long
+    from cdc_streamming___v2_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_VBITS,
+        HLL_VRANGE,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .select("event_type", "user_id")
+    )
+    name = _run(W.hll_stream(ev), mode="update")
+    emitted = spark.sql(f"select * from {name}")
+    got = {
+        (r["event_type"]): (r["n_regs"], r["n_zero_regs"], r["hll_est"])
+        for r in W.hll_stream_estimates(emitted).collect()
+    }
+
+    # batch twin over the identical data, identical expressions
+    b = _batch_events(spark).select("event_type", "user_id")
+    h = md5_hash_long(F.col("user_id").cast("string"), "hll")
+    v = h % HLL_VRANGE
+    regs = (
+        b.select(
+            "event_type",
+            F.floor(h / HLL_VRANGE).cast("int").alias("bucket"),
+            F.when(v == 0, HLL_VBITS + 1)
+            .otherwise(F.lit(HLL_VBITS + 1) - F.length(F.bin(v)))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    g = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), F.lit(HLL_VBITS + 1) - F.col("mj")))
+        .cast("long")
+        .alias("s_present"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_regs")
+    s = F.col("s_present") + zeros * F.lit(2 * HLL_VRANGE)
+    want = {
+        r["event_type"]: (r["n_regs"], r["n_zero_regs"], r["hll_est"])
+        for r in g.select(
+            "event_type",
+            F.col("n_regs").cast("bigint").alias("n_regs"),
+            zeros.cast("bigint").alias("n_zero_regs"),
+            F.round(F.lit(HLL_EST_NUM) / s, 2).alias("hll_est"),
+        ).collect()
+    }
+    assert got == want
+    # state is sharded: every (event_type, shard) combination emitted
+    shard_counts = (
+        emitted.groupBy("event_type")
+        .agg(F.countDistinct("shard").alias("ns"))
+        .collect()
+    )
+    assert all(r["ns"] == W.HLL_STREAM_SHARDS for r in shard_counts)
+
+
+def test_hll_stream_merges_across_microbatches(spark, tmp_path):
+    """Two maxFilesPerTrigger=1 micro-batches must merge register state:
+    the max-seq decode equals the all-data batch registers, and an
+    earlier emission exists (proof of statefulness)."""
+    ev = _batch_events(spark).select("event_id", "event_type", "user_id")
+    d = str(tmp_path / "split")
+    ev.filter("event_id % 2 = 0").write.parquet(os.path.join(d, "a.parquet"))
+    ev.filter("event_id % 2 = 1").write.parquet(os.path.join(d, "b.parquet"))
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+        .select("event_type", "user_id")
+    )
+    name = _run(W.hll_stream(stream), mode="update")
+    emitted = spark.sql(f"select * from {name}")
+    seqs = [r["seq"] for r in emitted.select("seq").distinct().collect()]
+    assert max(seqs) >= 2  # at least two state updates on some shard
+    est = {
+        r["event_type"]: r["hll_est"]
+        for r in W.hll_stream_estimates(emitted).collect()
+    }
+    # full-data streaming run over the unsplit directory agrees
+    full_ev = _batch_events(spark).select("event_type", "user_id")
+    # batch registers over all data
+    from cdc_streamming___v2_spark.functions.texts import md5_hash_long
+    from cdc_streamming___v2_spark.operators.sketches import (
+        HLL_EST_NUM,
+        HLL_M,
+        HLL_VBITS,
+        HLL_VRANGE,
+    )
+
+    h = md5_hash_long(F.col("user_id").cast("string"), "hll")
+    v = h % HLL_VRANGE
+    regs = (
+        full_ev.select(
+            "event_type",
+            F.floor(h / HLL_VRANGE).cast("int").alias("bucket"),
+            F.when(v == 0, HLL_VBITS + 1)
+            .otherwise(F.lit(HLL_VBITS + 1) - F.length(F.bin(v)))
+            .cast("int")
+            .alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    g = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), F.lit(HLL_VBITS + 1) - F.col("mj")))
+        .cast("long")
+        .alias("s_present"),
+    )
+    zeros = F.lit(HLL_M) - F.col("n_regs")
+    s = F.col("s_present") + zeros * F.lit(2 * HLL_VRANGE)
+    want = {
+        r["event_type"]: r["hll_est"]
+        for r in g.select(
+            "event_type",
+            F.round(F.lit(HLL_EST_NUM) / s, 2).alias("hll_est"),
+        ).collect()
+    }
+    assert est == want
