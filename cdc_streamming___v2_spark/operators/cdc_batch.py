@@ -270,29 +270,16 @@ def canal_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cdc_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-drift audit over a CDC stream: per (object, payload key),
-    how many records carry the key and its first/last event time — the
-    report an operator reads before approving a registry evolution
-    (pairs with SchemaRegistry.check_evolution, which enforces it).
-
-    Drift is synthesized deterministically from order age: records before
-    1995 ship a v1 payload (no o_totalprice — the column didn't exist
-    yet); 1995-96 ship v2; 1997+ add o_orderpriority (v3).  ``to_json``
-    omits null struct fields, so the conditional columns vanish from old
-    records exactly like a producer-side schema change.  The parse side
-    reads ONLY the raw JSON text via json_object_keys — schema-on-read
-    over heterogeneous payloads, no registry needed.
-
-    Scale: serialize and key-explode are narrow; the report is one
-    (object, key)-aggregation with map-side combine.  On a real stream
-    this runs over the dead-letter + history sample, never full history.
-    """
-    o = load_table(spark, sf_dir, "orders")
+def drift_order_lines(o: DataFrame) -> DataFrame:
+    """Deterministic drift corpus: Datastream-envelope JSON lines whose
+    payload schema evolves with order age (v1 < 1995 lacks o_totalprice,
+    v3 >= 1997 adds o_orderpriority; ``to_json`` omits nulls, so old
+    records genuinely lack the columns).  Shared by the batch drift
+    report and the streaming drift monitor's equality test."""
     year = F.year("o_orderdate")
     v2 = year >= 1995
     v3 = year >= 1997
-    lines = o.select(
+    return o.select(
         F.to_json(
             F.struct(
                 F.lit("orders_feed").alias("object"),
@@ -313,7 +300,28 @@ def cdc_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value")
     )
-    env = parse_envelope(lines)
+
+
+def cdc_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit over a CDC stream: per (object, payload key),
+    how many records carry the key and its first/last event time — the
+    report an operator reads before approving a registry evolution
+    (pairs with SchemaRegistry.check_evolution, which enforces it).
+
+    Drift is synthesized deterministically from order age: records before
+    1995 ship a v1 payload (no o_totalprice — the column didn't exist
+    yet); 1995-96 ship v2; 1997+ add o_orderpriority (v3).  ``to_json``
+    omits null struct fields, so the conditional columns vanish from old
+    records exactly like a producer-side schema change.  The parse side
+    reads ONLY the raw JSON text via json_object_keys — schema-on-read
+    over heterogeneous payloads, no registry needed.
+
+    Scale: serialize and key-explode are narrow; the report is one
+    (object, key)-aggregation with map-side combine.  On a real stream
+    this runs over the dead-letter + history sample, never full history.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    env = parse_envelope(drift_order_lines(o))
     keys = env.select(
         "object",
         F.to_timestamp("update_date_raw").alias("ts"),

@@ -1209,3 +1209,100 @@ def hll_stream_estimates(emitted: DataFrame) -> DataFrame:
         zeros.cast("bigint").alias("n_zero_regs"),
         F.round(F.lit(HLL_EST_NUM) / s, 2).alias("hll_est"),
     )
+
+
+DRIFT_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("first_s", T.StringType()),
+        T.StructField("last_s", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+DRIFT_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("object", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("first_s", T.StringType()),
+        T.StructField("last_s", T.StringType()),
+    ]
+)
+
+
+def schema_drift_stream(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """Streaming schema-drift monitor: the stateful twin of
+    operators/cdc_batch.py cdc_schema_drift_report — per (object,
+    payload key) the record count and first/last event time, maintained
+    incrementally over the live CDC stream so an operator sees a NEW
+    column (or one going stale) within a micro-batch of it appearing
+    instead of after a batch audit.
+
+    State per (object, key): (count, min_ts, max_ts) — all three merge
+    by sum/min/max, associative and arrival-order-independent, so the
+    max-seq decode EQUALS the batch report on the same lines exactly
+    (test-proven).  State is bounded by tables x schema width, not by
+    stream length.  Timestamps stay in the canonical
+    'yyyy-MM-dd HH:mm:ss[.SSS]' string layout, where lexicographic
+    min/max IS chronological min/max.
+    """
+    from ..sources.cdc_schema import parse_envelope
+
+    env = parse_envelope(lines, line_col)
+    keys = env.filter(F.col("payload_json").isNotNull()).select(
+        "object",
+        F.col("update_date_raw").alias("ts"),
+        F.explode(F.json_object_keys(F.col("payload_json"))).alias("key"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, first_s, last_s, seq = state.get
+        else:
+            n, first_s, last_s, seq = 0, None, None, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pdf["ts"].dropna()
+            n += len(pdf)
+            if len(ts):
+                lo, hi = ts.min(), ts.max()
+                first_s = lo if first_s is None else min(first_s, lo)
+                last_s = hi if last_s is None else max(last_s, hi)
+        seq += 1
+        state.update((n, first_s, last_s, seq))
+        yield pd.DataFrame(
+            [(key[0], key[1], seq, n, first_s, last_s)],
+            columns=["object", "key", "seq", "n", "first_s", "last_s"],
+        )
+
+    return keys.groupBy("object", "key").applyInPandasWithState(
+        update,
+        outputStructType=DRIFT_STREAM_OUTPUT_SCHEMA,
+        stateStructType=DRIFT_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def schema_drift_stream_report(emitted: DataFrame) -> DataFrame:
+    """Decode the final monitor state: max-seq row per (object, key),
+    shaped exactly like the batch report (n_records, first/last_seen)."""
+    from pyspark.sql import Window
+
+    wseq = Window.partitionBy("object", "key").orderBy(F.col("seq").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(wseq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "object",
+            "key",
+            F.col("n").cast("bigint").alias("n_records"),
+            F.to_timestamp("first_s").alias("first_seen"),
+            F.to_timestamp("last_s").alias("last_seen"),
+        )
+    )

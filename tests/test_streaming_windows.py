@@ -917,3 +917,46 @@ def test_hll_stream_merges_across_microbatches(spark, tmp_path):
         ).collect()
     }
     assert est == want
+
+
+def test_schema_drift_stream_equals_batch_report(spark, tmp_path):
+    """count/min/max merge associatively, so the monitor's max-seq decode
+    must EQUAL the batch drift report over the same lines — split into
+    two micro-batches to prove state merging."""
+    from cdc_streamming___v2_spark.operators.cdc_batch import (
+        cdc_schema_drift_report,
+        drift_order_lines,
+    )
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMALL, "orders")
+    lines = drift_order_lines(o).withColumn(
+        "half", (F.crc32(F.col("value")) % 2).cast("int")
+    )
+    d = str(tmp_path / "drift")
+    lines.filter("half = 0").select("value").write.text(os.path.join(d, "a"))
+    lines.filter("half = 1").select("value").write.text(os.path.join(d, "b"))
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .load(d)
+    )
+    name = _run(W.schema_drift_stream(stream), mode="update")
+    emitted = spark.sql(f"select * from {name}")
+    got = {
+        (r["object"], r["key"]): (
+            r["n_records"], r["first_seen"], r["last_seen"],
+        )
+        for r in W.schema_drift_stream_report(emitted).collect()
+    }
+    want = {
+        (r["object"], r["key"]): (
+            r["n_records"], r["first_seen"], r["last_seen"],
+        )
+        for r in cdc_schema_drift_report(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert ("orders_feed", "o_totalprice") in got  # drift keys present
+    # statefulness: some key saw both micro-batches
+    assert emitted.agg(F.max("seq")).first()[0] >= 2
