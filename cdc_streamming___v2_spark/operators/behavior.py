@@ -1835,3 +1835,371 @@ ORACLES["slope_one_predict"] = f"""
     ORDER BY custkey
 """
 QUERIES["slope_one_predict"] = slope_one_predict
+
+
+RMST_TAU = 14  # restriction horizon (days) for the RMST integral
+
+
+def rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau=14 days over kaplan_meier's
+    exact signup -> first-purchase curve — the single-number summary
+    clinicians/growth teams quote when median survival is undefined
+    (here: "expected purchase-free days in the first two weeks").
+
+    RMST(tau) = integral_0^tau S(t) dt of the step curve: each KM event
+    day contributes lag(surv, default 1) * (min(dur, tau) -
+    min(prev_dur, tau)), plus the tail surv_last * (tau - last event day
+    before tau).  The lag/cumsum run on the same observation-window-
+    bounded day frame as kaplan_meier; ln/exp on identical doubles agree
+    and 4dp rounding absorbs last-ulp noise.
+    """
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    per_user = (
+        signups.join(purchases, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.datediff(F.col("p_ts").cast("date"), F.col("s_ts").cast("date")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("s_ts").cast("date")))
+            .cast("long")
+            .alias("dur"),
+            F.col("p_ts").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    exits = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        F.sum("observed").cast("double").alias("d"),
+    )
+    total = exits.agg(F.sum("x").alias("n_total"))
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        exits.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum("x").over(w_prev), F.lit(0.0)),
+        )
+        .filter(F.col("d") > 0)
+        .withColumn(
+            "hit_zero",
+            F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(w_cum),
+        )
+        .withColumn(
+            "surv",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("d") < F.col("n_risk"),
+                            F.log(1.0 - F.col("d") / F.col("n_risk")),
+                        ).otherwise(F.lit(0.0))
+                    ).over(w_cum)
+                )
+            ),
+        )
+    )
+    w_ord = Window.orderBy("dur")
+    seg = curve.select(
+        "dur",
+        "surv",
+        F.coalesce(F.lag("surv").over(w_ord), F.lit(1.0)).alias("s_prev"),
+        F.coalesce(F.lag("dur").over(w_ord), F.lit(0).cast("long")).alias(
+            "d_prev"
+        ),
+    )
+    tau = F.lit(float(RMST_TAU))
+    width = F.least(F.col("dur").cast("double"), tau) - F.least(
+        F.col("d_prev").cast("double"), tau
+    )
+    # tail survival = surv at the LAST event day <= tau (struct-max =
+    # arg_max; if no event day falls inside tau, S = 1 through tau)
+    in_tau = F.col("dur") <= RMST_TAU
+    out = seg.agg(
+        F.sum(F.col("s_prev") * width).alias("body"),
+        F.max(
+            F.when(in_tau, F.struct(F.col("dur"), F.col("surv")))
+        ).alias("tail"),
+        F.sum(in_tau.cast("long")).alias("n_event_days"),
+    ).select(
+        "body",
+        F.coalesce(F.col("tail.surv"), F.lit(1.0)).alias("s_tail"),
+        F.coalesce(F.col("tail.dur"), F.lit(0).cast("long")).alias("d_tail"),
+        F.coalesce(F.col("n_event_days"), F.lit(0).cast("long")).alias(
+            "n_event_days"
+        ),
+    )
+    rmst = F.col("body") + F.col("s_tail") * (
+        F.lit(float(RMST_TAU)) - F.col("d_tail").cast("double")
+    )
+    return out.select(
+        F.lit(RMST_TAU).cast("int").alias("tau_days"),
+        F.round(rmst, 4).alias("rmst_days"),
+        F.round(rmst / RMST_TAU, 4).alias("rmst_share"),
+        F.col("n_event_days").cast("long").alias("n_event_days"),
+    )
+
+
+ORACLES["rmst_survival"] = f"""
+    WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    s AS (SELECT user_id, min(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+          GROUP BY 1),
+    per_user AS (
+        SELECT CAST(CASE WHEN p.p_ts IS NOT NULL
+                    THEN date_diff('day', CAST(s.s_ts AS DATE),
+                                   CAST(p.p_ts AS DATE))
+                    ELSE date_diff('day', CAST(s.s_ts AS DATE),
+                                   (SELECT h FROM h)) END AS BIGINT) AS dur,
+               CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ),
+    exits AS (
+        SELECT dur, CAST(count(*) AS DOUBLE) AS x,
+               CAST(sum(observed) AS DOUBLE) AS d
+        FROM per_user GROUP BY 1
+    ),
+    tot AS (SELECT sum(x) AS n_total FROM exits),
+    risk AS (
+        SELECT dur, x, d,
+               t.n_total - coalesce(sum(x) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0.0) AS n_risk
+        FROM exits CROSS JOIN tot t
+    ),
+    curve AS (
+        SELECT dur, n_risk, d,
+               CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                        OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) = 1
+                    THEN 0.0
+                    ELSE exp(sum(CASE WHEN d < n_risk
+                                      THEN ln(1.0 - d / n_risk)
+                                      ELSE 0.0 END)
+                             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW)) END AS surv
+        FROM risk WHERE d > 0
+    ),
+    seg AS (
+        SELECT dur, surv,
+               coalesce(lag(surv) OVER (ORDER BY dur), 1.0) AS s_prev,
+               coalesce(lag(dur) OVER (ORDER BY dur), 0) AS d_prev
+        FROM curve
+    ),
+    agg AS (
+        SELECT sum(s_prev * (least(CAST(dur AS DOUBLE), {RMST_TAU}.0)
+                             - least(CAST(d_prev AS DOUBLE), {RMST_TAU}.0)))
+                   AS body,
+               coalesce(arg_max(surv, dur)
+                        FILTER (WHERE dur <= {RMST_TAU}), 1.0) AS s_tail,
+               coalesce(max(dur) FILTER (WHERE dur <= {RMST_TAU}), 0)
+                   AS d_tail,
+               CAST(count(*) FILTER (WHERE dur <= {RMST_TAU}) AS BIGINT)
+                   AS n_event_days
+        FROM seg
+    )
+    SELECT CAST({RMST_TAU} AS INTEGER) AS tau_days,
+           round(body + s_tail * ({RMST_TAU}.0 - d_tail), 4) AS rmst_days,
+           round((body + s_tail * ({RMST_TAU}.0 - d_tail)) / {RMST_TAU},
+                 4) AS rmst_share,
+           n_event_days
+    FROM agg
+"""
+QUERIES["rmst_survival"] = rmst_survival
+
+
+def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence functions under COMPETING
+    risks: after signup, a user's first terminal event is either a
+    purchase (cause 1, conversion) or an error (cause 2, failure) —
+    whichever strikes first; neither -> right-censored at the horizon.
+    1 - KM per cause OVERSTATES both incidences because it treats the
+    rival cause as censoring; the CIF decomposition is the correct
+    competing-risks answer and satisfies CIF1 + CIF2 + S = 1 exactly
+    (test-pinned invariant).
+
+    CIF_k(t) = sum over event days t_i <= t of S(t_i-) * d_ki / n_i,
+    with S the ALL-cause KM.  Ties between causes on the same timestamp
+    resolve to purchase (struct-min on (ts, priority) — deterministic).
+    All windows run on the observation-window-bounded day frame; ln/exp
+    on identical doubles agree and 4dp rounding absorbs ulp noise.
+    """
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    terminal = (
+        e.filter(F.col("event_type").isin("purchase", "error"))
+        .join(signups, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .select(
+            "user_id",
+            "s_ts",
+            F.struct(
+                F.col("ts"),
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(2)
+                .alias("cause"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ev").alias("first_ev"), F.min("s_ts").alias("s_ts"))
+    )
+    per_user = (
+        signups.join(
+            terminal.select("user_id", "first_ev"), "user_id", "left"
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("first_ev").isNotNull(),
+                F.datediff(
+                    F.col("first_ev.ts").cast("date"),
+                    F.col("s_ts").cast("date"),
+                ),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("s_ts").cast("date")))
+            .cast("long")
+            .alias("dur"),
+            F.coalesce(F.col("first_ev.cause"), F.lit(0)).alias("cause"),
+        )
+    )
+    exits = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        F.sum((F.col("cause") == 1).cast("int")).cast("double").alias("d1"),
+        F.sum((F.col("cause") == 2).cast("int")).cast("double").alias("d2"),
+    )
+    total = exits.agg(F.sum("x").alias("n_total"))
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    d_all = F.col("d1") + F.col("d2")
+    risk = (
+        exits.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum("x").over(w_prev), F.lit(0.0)),
+        )
+        .filter(d_all > 0)
+    )
+    # S(t-): all-cause survival BEFORE the current day's events
+    hit_zero_prev = F.coalesce(
+        F.max((d_all >= F.col("n_risk")).cast("int")).over(w_prev), F.lit(0)
+    )
+    s_prev = F.when(hit_zero_prev == 1, F.lit(0.0)).otherwise(
+        F.exp(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        d_all < F.col("n_risk"),
+                        F.log(1.0 - d_all / F.col("n_risk")),
+                    ).otherwise(F.lit(0.0))
+                ).over(w_prev),
+                F.lit(0.0),
+            )
+        )
+    )
+    staged = risk.withColumn("s_prev", s_prev)
+    cif1 = F.sum(
+        F.col("s_prev") * F.col("d1") / F.col("n_risk")
+    ).over(w_cum)
+    cif2 = F.sum(
+        F.col("s_prev") * F.col("d2") / F.col("n_risk")
+    ).over(w_cum)
+    return staged.select(
+        F.col("dur").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d1").cast("long").alias("d_purchase"),
+        F.col("d2").cast("long").alias("d_error"),
+        F.round(cif1, 4).alias("cif_purchase"),
+        F.round(cif2, 4).alias("cif_error"),
+    ).orderBy("t_days")
+
+
+ORACLES["competing_risks_cif"] = """
+    WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+    s AS (SELECT user_id, min(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+    term AS (
+        SELECT e.user_id,
+               min(struct_pack(ts := e.ts,
+                               cause := CASE WHEN e.event_type = 'purchase'
+                                             THEN 1 ELSE 2 END)) AS fe
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type IN ('purchase', 'error') AND e.ts > s.s_ts
+        GROUP BY 1
+    ),
+    per_user AS (
+        SELECT CAST(CASE WHEN t.fe IS NOT NULL
+                    THEN date_diff('day', CAST(s.s_ts AS DATE),
+                                   CAST(t.fe.ts AS DATE))
+                    ELSE date_diff('day', CAST(s.s_ts AS DATE),
+                                   (SELECT h FROM h)) END AS BIGINT) AS dur,
+               coalesce(t.fe.cause, 0) AS cause
+        FROM s LEFT JOIN term t ON s.user_id = t.user_id
+    ),
+    exits AS (
+        SELECT dur, CAST(count(*) AS DOUBLE) AS x,
+               CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS d1,
+               CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS d2
+        FROM per_user GROUP BY 1
+    ),
+    tot AS (SELECT sum(x) AS n_total FROM exits),
+    risk0 AS (
+        SELECT dur, x, d1, d2,
+               t.n_total - coalesce(sum(x) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0.0) AS n_risk
+        FROM exits CROSS JOIN tot t
+    ),
+    risk AS (SELECT * FROM risk0 WHERE d1 + d2 > 0),
+    staged AS (
+        SELECT dur, n_risk, d1, d2,
+               CASE WHEN coalesce(max(CASE WHEN d1 + d2 >= n_risk
+                                           THEN 1 ELSE 0 END)
+                        OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0) = 1
+                    THEN 0.0
+                    ELSE exp(coalesce(sum(CASE WHEN d1 + d2 < n_risk
+                                      THEN ln(1.0 - (d1 + d2) / n_risk)
+                                      ELSE 0.0 END)
+                             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING), 0.0))
+                    END AS s_prev
+        FROM risk
+    )
+    SELECT dur AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d1 AS BIGINT) AS d_purchase,
+           CAST(d2 AS BIGINT) AS d_error,
+           round(sum(s_prev * d1 / n_risk) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cif_purchase,
+           round(sum(s_prev * d2 / n_risk) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cif_error
+    FROM staged
+    ORDER BY t_days
+"""
+QUERIES["competing_risks_cif"] = competing_risks_cif

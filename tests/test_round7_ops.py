@@ -60,3 +60,112 @@ def test_holt_winters_plan_no_cartesian_scan(spark):
     df = holt_winters_forecast(spark, SF_SMALL)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
+
+
+def _surv_frames():
+    e = pd.read_parquet(
+        f"{SF_SMALL}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    h = e["ts"].dt.date.max()
+    s = (
+        e[e["event_type"] == "signup"]
+        .groupby("user_id")["ts"]
+        .min()
+        .rename("s_ts")
+    )
+    return e, h, s
+
+
+def test_rmst_matches_step_integral(spark):
+    """Twin: build the KM curve per-user in pandas and integrate the step
+    function numerically (0.5-day grid would be approximate — instead
+    walk the exact steps)."""
+    from cdc_streamming___v2_spark.operators.behavior import (
+        RMST_TAU,
+        rmst_survival,
+    )
+
+    row = rmst_survival(spark, SF_SMALL).collect()[0]
+    e, h, s = _surv_frames()
+    p = e[e["event_type"] == "purchase"].merge(
+        s, left_on="user_id", right_index=True
+    )
+    p = p[p["ts"] > p["s_ts"]].groupby("user_id")["ts"].min().rename("p_ts")
+    pu = pd.DataFrame({"s_ts": s}).join(p, how="left")
+    dur = np.where(
+        pu["p_ts"].notna(),
+        (pu["p_ts"].dt.date - pu["s_ts"].dt.date).map(
+            lambda d: d.days if pd.notna(d) else -1
+        ),
+        [(h - d).days for d in pu["s_ts"].dt.date],
+    ).astype(int)
+    observed = pu["p_ts"].notna().to_numpy()
+    # KM walk
+    order = np.argsort(dur, kind="stable")
+    days = sorted(set(dur[observed]))
+    n_at_risk = len(dur)
+    surv, steps = 1.0, []
+    for t in days:
+        n_risk = (dur >= t).sum()
+        d = ((dur == t) & observed).sum()
+        surv *= 1.0 - d / n_risk
+        steps.append((t, surv))
+    # integrate to tau
+    rmst, prev_t, prev_s = 0.0, 0, 1.0
+    for t, sv in steps:
+        rmst += prev_s * (min(t, RMST_TAU) - min(prev_t, RMST_TAU))
+        prev_t, prev_s = t, sv
+    rmst += prev_s * (RMST_TAU - min(prev_t, RMST_TAU))
+    assert row["tau_days"] == RMST_TAU
+    assert abs(row["rmst_days"] - rmst) < 1e-3
+    assert abs(row["rmst_share"] - rmst / RMST_TAU) < 1e-3
+    assert 0.0 < row["rmst_days"] <= RMST_TAU
+
+
+def test_cif_matches_per_user_walk_and_sums_to_one(spark):
+    """Twin: Aalen-Johansen walk in plain Python + the CIF1 + CIF2 + S = 1
+    closure invariant at the last event day."""
+    from cdc_streamming___v2_spark.operators.behavior import (
+        competing_risks_cif,
+    )
+
+    rows = competing_risks_cif(spark, SF_SMALL).collect()
+    e, h, s = _surv_frames()
+    term = e[e["event_type"].isin(["purchase", "error"])].merge(
+        s, left_on="user_id", right_index=True
+    )
+    term = term[term["ts"] > term["s_ts"]].copy()
+    term["cause"] = np.where(term["event_type"] == "purchase", 1, 2)
+    # first terminal event with purchase priority on exact-ts ties
+    term = term.sort_values(["user_id", "ts", "cause"]).groupby("user_id").first()
+    pu = pd.DataFrame({"s_ts": s}).join(term[["ts", "cause"]], how="left")
+    dur = np.where(
+        pu["ts"].notna(),
+        [(t.date() - st.date()).days if pd.notna(t) else -1
+         for t, st in zip(pu["ts"], pu["s_ts"])],
+        [(h - d).days for d in pu["s_ts"].dt.date],
+    ).astype(int)
+    cause = pu["cause"].fillna(0).astype(int).to_numpy()
+    days = sorted(set(dur[cause > 0]))
+    surv, cif1, cif2 = 1.0, 0.0, 0.0
+    expect = {}
+    for t in days:
+        n_risk = (dur >= t).sum()
+        d1 = ((dur == t) & (cause == 1)).sum()
+        d2 = ((dur == t) & (cause == 2)).sum()
+        cif1 += surv * d1 / n_risk
+        cif2 += surv * d2 / n_risk
+        surv *= 1.0 - (d1 + d2) / n_risk
+        expect[t] = (n_risk, d1, d2, cif1, cif2)
+    assert len(rows) == len(days)
+    for r in rows:
+        n_risk, d1, d2, c1, c2 = expect[r["t_days"]]
+        assert r["n_risk"] == n_risk
+        assert (r["d_purchase"], r["d_error"]) == (d1, d2)
+        assert abs(r["cif_purchase"] - c1) < 1e-3
+        assert abs(r["cif_error"] - c2) < 1e-3
+    # closure: CIF1 + CIF2 + S(last) = 1 exactly (competing risks
+    # partition the probability space)
+    assert abs(cif1 + cif2 + surv - 1.0) < 1e-9
+    last = rows[-1]
+    assert abs(last["cif_purchase"] + last["cif_error"] + surv - 1.0) < 1e-3
