@@ -81,6 +81,8 @@ _GATE_PRIORITY = (
     "dynamodb_stream_roundtrip",
     "rmst_survival",
     "competing_risks_cif",
+    "gesd_outliers",
+    "panel_fe_trend",
     "jarque_bera_test",
     "breusch_pagan_test",
     "arch_lm_test",
@@ -408,7 +410,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 434
+_MIN_QUERIES = 436
 
 
 def _registry() -> tuple[dict, dict]:

@@ -1691,3 +1691,123 @@ def _te_oracle() -> str:
 
 ORACLES["transfer_entropy_daily"] = _te_oracle()
 QUERIES["transfer_entropy_daily"] = transfer_entropy_daily
+
+
+def panel_fe_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within (fixed-effects) estimator of the order-value time trend
+    with customer fixed effects, beside the pooled OLS slope — the
+    panel-data companion of simpson_reversal_detect and cmh_pooled_odds
+    (does the trend survive once stable between-customer level
+    differences are absorbed?).
+
+    slope_FE = sum_i (n_i*Sxy_i - Sx_i*Sy_i)/n_i
+             / sum_i (n_i*Sxx_i - Sx_i^2)/n_i — each customer's two
+    numerators are exact decimal(38,0) folds of day-index x cent
+    products; the ONE division per customer is pico-rounded (1e-6)
+    before the global decimal fold (the tukey_hsd within-SS pattern),
+    so both engines sum identical grids.  Pooled OLS comes from the
+    same global moments.  Customers with a single order contribute
+    exact zeros to both sums (n*Sxy - SxSy = 0), never a null.
+
+    Scale: one groupBy of orders on o_custkey; the global fold is a
+    second reduce over the customer frame.  No windows, no joins.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("yc"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("ni"),
+        F.sum(F.col("t").cast(_DEC)).alias("sx"),
+        F.sum(F.col("yc").cast(_DEC)).alias("sy"),
+        F.sum((F.col("t") * F.col("yc")).cast(_DEC)).alias("sxy"),
+        F.sum((F.col("t") * F.col("t")).cast(_DEC)).alias("sxx"),
+    )
+    num_i = F.round(
+        (F.col("ni") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        / F.col("ni").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    den_i = F.round(
+        (F.col("ni") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        / F.col("ni").cast("double"),
+        6,
+    ).cast("decimal(38,6)")
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(num_i).alias("fe_num"),
+        F.sum(den_i).alias("fe_den"),
+        F.sum("ni").alias("n"),
+        F.sum("sx").alias("gsx"),
+        F.sum("sy").alias("gsy"),
+        F.sum("sxy").alias("gsxy"),
+        F.sum("sxx").alias("gsxx"),
+    )
+    slope_fe = F.col("fe_num").cast("double") / F.col("fe_den").cast("double")
+    slope_pooled = (
+        F.col("n") * F.col("gsxy") - F.col("gsx") * F.col("gsy")
+    ).cast("double") / (
+        F.col("n") * F.col("gsxx") - F.col("gsx") * F.col("gsx")
+    ).cast("double")
+    return agg.select(
+        F.col("n_cust").cast("long").alias("n_customers"),
+        F.col("n").cast("long").alias("n_orders"),
+        # cents/day -> dollars/year for a readable magnitude
+        F.round(slope_fe * 365.25 / 100.0, 6).alias("fe_dollars_per_year"),
+        F.round(slope_pooled * 365.25 / 100.0, 6).alias(
+            "pooled_dollars_per_year"
+        ),
+        F.round((slope_fe - slope_pooled) * 365.25 / 100.0, 6).alias(
+            "fe_minus_pooled"
+        ),
+    )
+
+
+ORACLES["panel_fe_trend"] = """
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+        FROM orders
+    ),
+    per AS (
+        SELECT o_custkey, CAST(count(*) AS HUGEINT) AS ni,
+               CAST(sum(t) AS HUGEINT) AS sx,
+               CAST(sum(yc) AS HUGEINT) AS sy,
+               CAST(sum(CAST(t AS HUGEINT) * yc) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS sxx
+        FROM o GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cust,
+               sum(CAST(round(CAST(ni * sxy - sx * sy AS DOUBLE)
+                              / CAST(ni AS DOUBLE), 6)
+                        AS DECIMAL(38,6))) AS fe_num,
+               sum(CAST(round(CAST(ni * sxx - sx * sx AS DOUBLE)
+                              / CAST(ni AS DOUBLE), 6)
+                        AS DECIMAL(38,6))) AS fe_den,
+               sum(ni) AS n, sum(sx) AS gsx, sum(sy) AS gsy,
+               sum(sxy) AS gsxy, sum(sxx) AS gsxx
+        FROM per
+    )
+    SELECT n_cust AS n_customers, CAST(n AS BIGINT) AS n_orders,
+           round(CAST(fe_num AS DOUBLE) / CAST(fe_den AS DOUBLE)
+                 * 365.25 / 100.0, 6) AS fe_dollars_per_year,
+           round(CAST(n * gsxy - gsx * gsy AS DOUBLE)
+                 / CAST(n * gsxx - gsx * gsx AS DOUBLE)
+                 * 365.25 / 100.0, 6) AS pooled_dollars_per_year,
+           round((CAST(fe_num AS DOUBLE) / CAST(fe_den AS DOUBLE)
+                  - CAST(n * gsxy - gsx * gsy AS DOUBLE)
+                    / CAST(n * gsxx - gsx * gsx AS DOUBLE))
+                 * 365.25 / 100.0, 6) AS fe_minus_pooled
+    FROM agg
+"""
+QUERIES["panel_fe_trend"] = panel_fe_trend

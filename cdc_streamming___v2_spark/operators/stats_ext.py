@@ -5219,3 +5219,134 @@ ORACLES["bass_diffusion_fit"] = """
     FROM pq
 """
 QUERIES["bass_diffusion_fit"] = bass_diffusion_fit
+
+
+GESD_ROUNDS = 3
+
+
+def gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD screen (Rosner): THREE unrolled test rounds on
+    daily revenue, each removing the current argmax studentized
+    deviation and DOWNDATING the exact moments (n' = n-1, S' = S-x,
+    SSX' = SSX - x^2) instead of rescanning — the multiple-outlier
+    completion of grubbs_outlier_test, which masks secondary outliers
+    (a second spike inflates s and hides the first).
+
+    Determinism: every argmax is a (|n*x - S| desc, day asc)
+    TakeOrderedAndProject pick on exact decimal(38,0) deviations, so
+    ties cannot flip between engines; each R_i is a single float
+    expression of the round's exact moments.  The fixed screen
+    threshold R > 3.5 is the grubbs operating point (exact ESD lambdas
+    need t-quantiles neither engine exposes).
+
+    Scale: one reduce to the bounded daily frame; each round is a
+    1-row broadcast + one top-1 pick — a static 3-step DAG, no
+    iteration in either engine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast(_DEC)
+        .alias("x")
+    )
+    t = daily.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    remaining = daily
+    tops = []
+    for i in range(1, GESD_ROUNDS + 1):
+        dev = remaining.crossJoin(F.broadcast(t)).select(
+            "day", "x", "n", "s", "sxx",
+            F.abs(F.col("n") * F.col("x") - F.col("s")).alias("adev"),
+            (F.col("n") * F.col("x") - F.col("s") > 0).alias("above"),
+        )
+        top = dev.orderBy(F.col("adev").desc(), F.col("day").asc()).limit(1)
+        nd = F.col("n").cast("double")
+        r = (F.col("adev").cast("double") / nd) / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("s") * F.col("s")).cast(
+                "double"
+            )
+            / (nd * (nd - 1.0))
+        )
+        tops.append(
+            top.select(
+                F.lit(i).cast("int").alias("round"),
+                F.col("day").alias("removed_day"),
+                F.col("above").alias("above_mean"),
+                F.col("n").cast("long").alias("n_at_test"),
+                F.round(r, 4).alias("r_stat"),
+                (r > F.lit(3.5)).alias("flag_3p5"),
+            )
+        )
+        # downdate moments and shrink the frame for the next round
+        t = top.select(
+            (F.col("n") - 1).alias("n"),
+            (F.col("s") - F.col("x")).alias("s"),
+            (F.col("sxx") - F.col("x") * F.col("x")).alias("sxx"),
+        )
+        remaining = remaining.join(
+            F.broadcast(top.select(F.col("day"))), "day", "left_anti"
+        )
+    out = tops[0]
+    for tdf in tops[1:]:
+        out = out.unionAll(tdf)
+    return out.orderBy("round")
+
+
+ORACLES["gesd_outliers"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    t1 AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s,
+               sum(x * x) AS sxx
+        FROM daily
+    ),
+    top1 AS (
+        SELECT day, x, n, s, sxx, abs(n * x - s) AS adev,
+               n * x - s > 0 AS above
+        FROM daily, t1
+        ORDER BY adev DESC, day ASC LIMIT 1
+    ),
+    t2 AS (SELECT n - 1 AS n, s - x AS s, sxx - x * x AS sxx FROM top1),
+    top2 AS (
+        SELECT d.day, d.x, t.n, t.s, t.sxx, abs(t.n * d.x - t.s) AS adev,
+               t.n * d.x - t.s > 0 AS above
+        FROM daily d, t2 t
+        WHERE d.day NOT IN (SELECT day FROM top1)
+        ORDER BY adev DESC, d.day ASC LIMIT 1
+    ),
+    t3 AS (SELECT n - 1 AS n, s - x AS s, sxx - x * x AS sxx FROM top2),
+    top3 AS (
+        SELECT d.day, d.x, t.n, t.s, t.sxx, abs(t.n * d.x - t.s) AS adev,
+               t.n * d.x - t.s > 0 AS above
+        FROM daily d, t3 t
+        WHERE d.day NOT IN (SELECT day FROM top1)
+          AND d.day NOT IN (SELECT day FROM top2)
+        ORDER BY adev DESC, d.day ASC LIMIT 1
+    ),
+    u AS (
+        SELECT 1 AS rnd, * FROM top1
+        UNION ALL SELECT 2, * FROM top2
+        UNION ALL SELECT 3, * FROM top3
+    )
+    SELECT CAST(rnd AS INTEGER) AS round, day AS removed_day,
+           above AS above_mean,
+           CAST(n AS BIGINT) AS n_at_test,
+           round((CAST(adev AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * sxx - s * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
+                 4) AS r_stat,
+           (CAST(adev AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(CAST(n * sxx - s * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               > 3.5 AS flag_3p5
+    FROM u
+    ORDER BY round
+"""
+QUERIES["gesd_outliers"] = gesd_outliers

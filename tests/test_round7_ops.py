@@ -169,3 +169,71 @@ def test_cif_matches_per_user_walk_and_sums_to_one(spark):
     assert abs(cif1 + cif2 + surv - 1.0) < 1e-9
     last = rows[-1]
     assert abs(last["cif_purchase"] + last["cif_error"] + surv - 1.0) < 1e-3
+
+
+def test_gesd_matches_sequential_numpy(spark):
+    """Twin: actually remove the argmax and recompute moments from the
+    raw array each round (no downdating identity)."""
+    from cdc_streamming___v2_spark.operators.stats_ext import (
+        GESD_ROUNDS,
+        gesd_outliers,
+    )
+
+    rows = gesd_outliers(spark, SF_SMALL).collect()
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    daily = o.groupby(o["o_orderdate"].dt.date)["cents"].sum().sort_index()
+    days = list(daily.index)
+    x = daily.to_numpy().astype(float)
+    assert len(rows) == GESD_ROUNDS
+    for i, row in enumerate(rows, start=1):
+        n = len(x)
+        mu, sd = x.mean(), x.std(ddof=1)
+        r = np.abs(x - mu) / sd
+        j = int(np.argmax(r))  # unique-day grid: ties impossible except
+        # on exactly equal deviations; replicate the (dev desc, day asc)
+        # pick by taking the first index among maxima
+        maxdev = np.abs(x - mu).max()
+        cands = [k for k in range(n) if np.abs(x[k] - mu) == maxdev]
+        j = min(cands, key=lambda k: days[k])
+        assert row["round"] == i
+        assert row["removed_day"].date() == days[j] or str(
+            row["removed_day"]
+        ).startswith(str(days[j]))
+        assert row["n_at_test"] == n
+        assert abs(row["r_stat"] - r[j]) < 1e-3
+        assert row["above_mean"] == bool(x[j] > mu)
+        x = np.delete(x, j)
+        del days[j]
+
+
+def test_panel_fe_matches_demeaned_regression(spark):
+    """Twin: literally demean x and y within customer and run the pooled
+    regression on the demeaned arrays."""
+    from cdc_streamming___v2_spark.operators.diagnostics_ext import (
+        panel_fe_trend,
+    )
+
+    row = panel_fe_trend(spark, SF_SMALL).collect()[0]
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    t = (o["o_orderdate"] - pd.Timestamp("1995-01-01")).dt.days.astype(float)
+    y = np.round(o["o_totalprice"] * 100).astype(np.int64).astype(float)
+    g = o["o_custkey"]
+    tx = t - t.groupby(g).transform("mean")
+    ty = y - y.groupby(g).transform("mean")
+    slope_fe = (tx * ty).sum() / (tx * tx).sum()
+    slope_pooled = ((t - t.mean()) * (y - y.mean())).sum() / (
+        (t - t.mean()) ** 2
+    ).sum()
+    assert row["n_customers"] == g.nunique()
+    assert row["n_orders"] == len(o)
+    assert abs(row["fe_dollars_per_year"] - slope_fe * 365.25 / 100) < 1e-3
+    assert (
+        abs(row["pooled_dollars_per_year"] - slope_pooled * 365.25 / 100)
+        < 1e-3
+    )
