@@ -1190,3 +1190,211 @@ def _fleiss_oracle() -> str:
 
 ORACLES["fleiss_kappa_filters"] = _fleiss_oracle()
 QUERIES["fleiss_kappa_filters"] = fleiss_kappa_filters
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword-to-word ratio
+    (BPE-estimate tokens per whitespace word) and chars-per-token — THE
+    standard multilingual-tokenizer health metric (a fertility far above
+    the English baseline means the language pays more sequence length
+    for the same text, skewing both cost and mixture weights).  The
+    per-language companion of token_count (corpus totals) and
+    tokenizer_vocab_coverage (OOV mass).
+
+    All numerators/denominators are exact integer sums (word counts,
+    ceil(len/4) token estimates, char counts); the ratios are one float
+    division each, plus each language's fertility premium over the
+    corpus-wide rate.
+
+    Scale: pure column expressions inside the scan; one 4-row groupBy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = d.select(
+        "lang",
+        n_tokens_ws(t).alias("w"),
+        n_tokens_bpe_est(t).alias("b"),
+        F.length(t).alias("c"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("sw"),
+        F.sum("b").alias("sb"),
+        F.sum("c").alias("sc"),
+    )
+    tot = per.agg(
+        F.sum("w").alias("tw"), F.sum("b").alias("tb")
+    )
+    out = g.crossJoin(F.broadcast(tot))
+    fert = F.col("sb").cast("double") / F.col("sw").cast("double")
+    base = F.col("tb").cast("double") / F.col("tw").cast("double")
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sw").cast("long").alias("n_words"),
+        F.col("sb").cast("long").alias("n_tokens_est"),
+        F.round(fert, 4).alias("fertility"),
+        F.round(F.col("sc").cast("double") / F.col("sb").cast("double"), 4)
+        .alias("chars_per_token"),
+        F.round(fert / base, 4).alias("fertility_premium"),
+    ).orderBy("lang")
+
+
+ORACLES["tokenizer_fertility"] = """
+    WITH per AS (
+        SELECT lang,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS w,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS b,
+               CAST(length(text) AS BIGINT) AS c
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS sw, CAST(sum(b) AS BIGINT) AS sb,
+               CAST(sum(c) AS BIGINT) AS sc
+        FROM per GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(b) AS BIGINT) AS tb
+        FROM per
+    )
+    SELECT lang, n_docs, sw AS n_words, sb AS n_tokens_est,
+           round(sb * 1.0 / sw, 4) AS fertility,
+           round(sc * 1.0 / sb, 4) AS chars_per_token,
+           round((sb * 1.0 / sw) / (tb * 1.0 / tw), 4) AS fertility_premium
+    FROM g, tot
+    ORDER BY lang
+"""
+QUERIES["tokenizer_fertility"] = tokenizer_fertility
+
+
+YIELD_BINS = 20  # 0.05-wide probability buckets -> thresholds 0.00..0.95
+
+
+def quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration yield curve: for each quality-probability
+    threshold 0.00, 0.05, ..., 0.95, how many documents and how much
+    token mass SURVIVE the logistic quality filter (text_quality's
+    model verbatim) — the table a pipeline owner reads to pick the
+    operating point before a 100 TB filtering run (decile_gains_table's
+    pipeline-planning cousin, keyed by threshold instead of decile).
+
+    The per-doc probability rounds to 1e-6 (bit-identical doubles both
+    engines) and buckets once into its 0.05 bin (grid thresholds make
+    bucket membership EQUIVALENT to prob >= threshold — no per-threshold
+    rescan, no explode); the survive-counts are suffix sums over the
+    bounded 20-row bucket frame.
+
+    Scale: one projection inside the scan, one 20-row groupBy, and a
+    20x20 broadcast grid join — nothing beyond the bucket frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_words = n_tokens_ws(t)
+    sw_ratio = stopword_hits(t, EN_STOPWORDS) / n_words
+    z = (
+        F.lit(_QL_W["bias"])
+        + F.lit(_QL_W["n_words"]) * n_words
+        + F.lit(_QL_W["sw_ratio"]) * sw_ratio
+        + F.lit(_QL_W["punct"]) * punct_ratio(t)
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    per = d.select(
+        F.least(
+            F.floor(prob * YIELD_BINS).cast("int"), F.lit(YIELD_BINS - 1)
+        ).alias("b"),
+        n_tokens_bpe_est(t).alias("tok"),
+        n_tokens_ws(t).alias("w"),
+    )
+    buckets = per.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tok").alias("toks"),
+        F.sum("w").alias("words"),
+    )
+    grid = spark.range(0, YIELD_BINS).select(F.col("id").cast("int").alias("k"))
+    joined = grid.join(
+        F.broadcast(buckets), F.col("b") >= F.col("k"), "left"
+    ).groupBy("k").agg(
+        F.sum("n").alias("n_retained"),
+        F.sum("toks").alias("tok_retained"),
+        F.sum("words").alias("w_retained"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("tok").alias("tt")
+    )
+    out = joined.crossJoin(F.broadcast(tot))
+    return out.select(
+        F.round(F.col("k") / F.lit(float(YIELD_BINS)), 2).alias("threshold"),
+        F.coalesce(F.col("n_retained"), F.lit(0)).cast("long").alias(
+            "n_retained"
+        ),
+        F.round(
+            F.coalesce(F.col("n_retained"), F.lit(0))
+            / F.col("nt").cast("double"),
+            4,
+        ).alias("doc_share"),
+        F.round(
+            F.coalesce(F.col("tok_retained"), F.lit(0))
+            / F.col("tt").cast("double"),
+            4,
+        ).alias("token_share"),
+        F.round(
+            F.coalesce(F.col("w_retained"), F.lit(0))
+            / F.nullif(
+                F.coalesce(F.col("n_retained"), F.lit(0)).cast("double"),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("mean_words_retained"),
+    ).orderBy("threshold")
+
+
+def _yield_oracle() -> str:
+    z = f"""{_QL_W["bias"]}
+            + {_QL_W["n_words"]} * len({_WORDS})
+            + {_QL_W["sw_ratio"]} * ({_sw_hits(_WORDS, EN_STOPWORDS)} * 1.0
+                                     / len({_WORDS}))
+            + ({_QL_W["punct"]}) * (length(regexp_replace(text,
+                    '[^.,!?;:]', '', 'g')) * 1.0 / length(text))"""
+    return f"""
+    WITH per AS (
+        SELECT least(CAST(floor(round(1.0 / (1.0 + exp(-({z}))), 6)
+                                * {YIELD_BINS}) AS INTEGER),
+                     {YIELD_BINS - 1}) AS b,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok,
+               CAST(len({_WORDS}) AS BIGINT) AS w
+        FROM documents
+    ),
+    buckets AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(tok) AS BIGINT) AS toks,
+               CAST(sum(w) AS BIGINT) AS words
+        FROM per GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(0, {YIELD_BINS})) AS k),
+    joined AS (
+        SELECT k, sum(n) AS n_retained, sum(toks) AS tok_retained,
+               sum(words) AS w_retained
+        FROM grid LEFT JOIN buckets ON b >= k
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS nt,
+               CAST(sum(tok) AS BIGINT) AS tt
+        FROM per
+    )
+    SELECT round(k / {float(YIELD_BINS)}, 2) AS threshold,
+           CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+           round(coalesce(n_retained, 0) * 1.0 / nt, 4) AS doc_share,
+           round(coalesce(tok_retained, 0) * 1.0 / tt, 4) AS token_share,
+           round(coalesce(w_retained, 0)
+                 / nullif(CAST(coalesce(n_retained, 0) AS DOUBLE), 0.0),
+                 2) AS mean_words_retained
+    FROM joined, tot
+    ORDER BY threshold
+"""
+
+
+ORACLES["quality_yield_curve"] = _yield_oracle()
+QUERIES["quality_yield_curve"] = quality_yield_curve

@@ -237,3 +237,47 @@ def test_panel_fe_matches_demeaned_regression(spark):
         abs(row["pooled_dollars_per_year"] - slope_pooled * 365.25 / 100)
         < 1e-3
     )
+
+
+def test_tokenizer_fertility_matches_python_strings(spark):
+    import re as _re
+
+    from cdc_streamming___v2_spark.operators.text_analysis import (
+        tokenizer_fertility,
+    )
+
+    rows = {r["lang"]: r for r in tokenizer_fertility(spark, SF_SMALL).collect()}
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    agg = {}
+    for lang, text in zip(d["lang"], d["text"]):
+        w = len(_re.split(r"\s+", text.strip()))
+        b = -(-len(text) // 4)
+        n, sw, sb, sc = agg.get(lang, (0, 0, 0, 0))
+        agg[lang] = (n + 1, sw + w, sb + b, sc + len(text))
+    tw = sum(v[1] for v in agg.values())
+    tb = sum(v[2] for v in agg.values())
+    assert set(rows) == set(agg)
+    for lang, (n, sw, sb, sc) in agg.items():
+        r = rows[lang]
+        assert (r["n_docs"], r["n_words"], r["n_tokens_est"]) == (n, sw, sb)
+        assert abs(r["fertility"] - sb / sw) < 1e-3
+        assert abs(r["chars_per_token"] - sc / sb) < 1e-3
+        assert abs(r["fertility_premium"] - (sb / sw) / (tb / tw)) < 1e-3
+
+
+def test_yield_curve_is_monotone_and_anchored(spark):
+    from cdc_streamming___v2_spark.operators.text_analysis import (
+        quality_yield_curve,
+    )
+
+    rows = quality_yield_curve(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    assert rows[0]["threshold"] == 0.0
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    assert rows[0]["n_retained"] == len(d)  # threshold 0 keeps everything
+    assert abs(rows[0]["doc_share"] - 1.0) < 1e-9
+    assert abs(rows[0]["token_share"] - 1.0) < 1e-9
+    shares = [r["n_retained"] for r in rows]
+    assert all(a >= b for a, b in zip(shares, shares[1:]))  # monotone
+    toks = [r["token_share"] for r in rows]
+    assert all(a >= b for a, b in zip(toks, toks[1:]))
