@@ -392,6 +392,22 @@ HEADLINE = [
     "theta_method_forecast",
     "croston_intermittent_demand",
     "huber_irls_trend",
+    # round 7
+    "krippendorff_alpha",
+    "lin_ccc",
+    "bland_altman",
+    "icc_oneway",
+    "morans_i_acctbal",
+    "join_count_spatial",
+    "getis_ord_hotspots",
+    "holt_winters_forecast",
+    "dynamodb_stream_roundtrip",
+    "rmst_survival",
+    "competing_risks_cif",
+    "gesd_outliers",
+    "panel_fe_trend",
+    "tokenizer_fertility",
+    "quality_yield_curve",
 ]
 
 

@@ -2,10 +2,11 @@
 opaque ``binary`` columns with typed metadata, processed through
 Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is stubbed:
+The container has no full image/audio codecs, so decoding is tiered:
 ``decoder="fake"`` derives deterministic pseudo-metadata/features from the
-bytes (testable end-to-end); ``decoder="real"`` raises NotImplementedError
-at the exact point a PIL/ffmpeg call would go. Everything Spark-side —
+bytes (the oracle path); ``decoder="headers"`` does REAL stdlib container
+parsing (PNG/GIF/JPEG) + byte-histogram features; ``decoder="real"``
+resolves to PIL when installed, else headers. Everything Spark-side —
 schema, partitioning, UDF signatures, Arrow batch shapes — is real.
 
 Scale: mapInPandas streams Arrow record batches through Python; per-batch
@@ -100,7 +101,10 @@ def _byte_histogram_features(content: bytes) -> list[float]:
     for b in head:
         bins[b * FEATURE_DIM // 256] += 1
     n = len(head)
-    return [round(c / n, 6) for c in bins]
+    # HALF-UP at 6dp (not Python round's half-to-even): matches both
+    # engines' round() on the identical double c/n, so the share is
+    # oracle-reproducible (the moments_stream cents lesson)
+    return [int((c / n) * 1e6 + 0.5) / 1e6 for c in bins]
 
 
 def _parse_image_headers(
@@ -365,3 +369,101 @@ ORACLES = {
 QUERIES = {
     "multimodal_decode": multimodal_decode,
 }
+
+
+def media_byte_histogram(spark, sf_dir: str) -> DataFrame:
+    """Content-triage profile through the REAL (non-fake) decoder path:
+    decode_media(decoder='headers') runs the stdlib container parse plus
+    the byte-histogram feature kernel over every payload, and this query
+    value-checks BOTH against the oracle — the header parse by its
+    null-dimension count (text payloads are not PNG/GIF/JPEG, so all
+    dims must be null), the feature kernel by the per-kind mean byte
+    histogram (documents are ASCII, so bytes == characters and DuckDB
+    reproduces each 32-wide bin share with regexp char-class counts).
+
+    Per-doc shares are exact 6dp decimals (HALF-UP, both engines'
+    round()), so the per-kind mean folds in decimal(38,6) —
+    addition-order independent across partitions.
+
+    Scale: one Arrow mapInPandas pass (the decode), one k-row groupBy.
+    """
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs).select("media_id", "kind", "content")
+    dec = decode_media(media, "headers")
+    per = dec.select(
+        "kind",
+        F.col("width").isNull().cast("long").alias("no_dims"),
+        *[
+            F.element_at("features", i + 1)
+            .cast("decimal(38,6)")
+            .alias(f"b{i}")
+            for i in range(4)
+        ],
+        # ASCII corpus: bytes 128+ never occur; assert via the tail mass
+        sum(
+            F.element_at("features", i + 1) for i in range(4, FEATURE_DIM)
+        ).alias("tail_mass"),
+    )
+    return (
+        per.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.sum("no_dims").alias("n_unparsed"),
+            *[
+                F.round(
+                    F.sum(f"b{i}").cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias(f"mean_bin{i}")
+                for i in range(4)
+            ],
+            F.round(F.sum("tail_mass"), 6).alias("high_byte_mass"),
+        )
+        .orderBy("kind")
+    )
+
+
+QUERIES["media_byte_histogram"] = media_byte_histogram
+ORACLES["media_byte_histogram"] = """
+    WITH per AS (
+        SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+               substr(text, 1, 4096) AS head
+        FROM documents
+    ),
+    cnt AS (
+        SELECT kind, CAST(length(head) AS BIGINT) AS n,
+               CAST(length(head)
+                    - length(regexp_replace(head, '[\\x00-\\x1f]', '', 'g'))
+                    AS BIGINT) AS c0,
+               CAST(length(head)
+                    - length(regexp_replace(head, '[\\x20-\\x3f]', '', 'g'))
+                    AS BIGINT) AS c1,
+               CAST(length(head)
+                    - length(regexp_replace(head, '[\\x40-\\x5f]', '', 'g'))
+                    AS BIGINT) AS c2,
+               CAST(length(head)
+                    - length(regexp_replace(head, '[\\x60-\\x7f]', '', 'g'))
+                    AS BIGINT) AS c3
+        FROM per
+    ),
+    shares AS (
+        SELECT kind,
+               CAST(round(c0 * 1.0 / n, 6) AS DECIMAL(38,6)) AS b0,
+               CAST(round(c1 * 1.0 / n, 6) AS DECIMAL(38,6)) AS b1,
+               CAST(round(c2 * 1.0 / n, 6) AS DECIMAL(38,6)) AS b2,
+               CAST(round(c3 * 1.0 / n, 6) AS DECIMAL(38,6)) AS b3
+        FROM cnt
+    )
+    SELECT kind, CAST(count(*) AS BIGINT) AS n_media,
+           CAST(count(*) AS BIGINT) AS n_unparsed,
+           round(CAST(sum(b0) AS DOUBLE) / count(*), 6) AS mean_bin0,
+           round(CAST(sum(b1) AS DOUBLE) / count(*), 6) AS mean_bin1,
+           round(CAST(sum(b2) AS DOUBLE) / count(*), 6) AS mean_bin2,
+           round(CAST(sum(b3) AS DOUBLE) / count(*), 6) AS mean_bin3,
+           round(0.0, 6) AS high_byte_mass
+    FROM shares
+    GROUP BY kind
+    ORDER BY kind
+"""

@@ -277,6 +277,22 @@ RELATIONAL_QUERIES = [
     "theta_method_forecast",
     "croston_intermittent_demand",
     "huber_irls_trend",
+    # round-7 additions: lin_ccc/bland_altman join 10x orders to 10x
+    # lineitem on the replica-local orderkey; icc/holt-winters/gesd/
+    # panel-fe reduce orders to the customer panel, 60-month grid, daily
+    # frame, or per-customer moments; the dynamodb roundtrip maps 10x
+    # envelope lines; krippendorff/fertility/yield-curve scan the 10x
+    # suffix-sharded document corpus with bounded fold frames
+    "lin_ccc",
+    "bland_altman",
+    "icc_oneway",
+    "holt_winters_forecast",
+    "dynamodb_stream_roundtrip",
+    "gesd_outliers",
+    "panel_fe_trend",
+    "krippendorff_alpha",
+    "tokenizer_fertility",
+    "quality_yield_curve",
 ]
 
 
