@@ -736,3 +736,153 @@ ORACLES["event_study_did"] = f"""
     ORDER BY 1
 """
 QUERIES["event_study_did"] = event_study_did
+
+
+def ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE on psm_strata_ate's IDENTICAL
+    strata — the weighting member of the adjustment family (matching:
+    psm_caliper_att; stratification: psm_strata_ate; weighting: here),
+    plus the effective-sample-size diagnostics only weighting exposes
+    (ESS collapse is THE standard IPW failure signal).
+
+    With exact bucket propensities p_s = nt/n_s, the per-stratum IPW
+    folds are rationals: treated mass st * n_s / nt, control mass
+    sc * n_s / nc, and the weight sums telescope to N exactly on both
+    arms (so Horvitz-Thompson and Hajek coincide here — documented).
+    Each stratum contributes ONE pico-rounded exact division per fold
+    (the tukey pattern); ESS_t = N^2 / sum_s(n_s^2 / nt).
+
+    Scale: identical to psm_strata_ate — one scalar min/max broadcast,
+    one groupBy to <= 10 strata, folds on the stratum frame.
+    """
+    base = _spend_per_customer(spark, sf_dir).select(
+        (F.col("segment") == PSM_TREATED_SEGMENT).cast("int").alias("tr"),
+        F.col("score"),
+        F.col("y"),
+    )
+    bounds = base.groupBy().agg(
+        F.min("score").alias("mn"), F.max("score").alias("mx")
+    )
+    b = base.crossJoin(F.broadcast(bounds))
+    stratum = F.floor(
+        (F.col("score") - F.col("mn")).cast("decimal(38,0)")
+        * ATE_STRATA
+        / (F.col("mx") - F.col("mn") + 1).cast("decimal(38,0)")
+    ).cast("int")
+    cells = (
+        b.select(stratum.alias("s"), "tr", "y")
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("tr") == 1, 1).otherwise(0)).alias("nt"),
+            F.sum(F.when(F.col("tr") == 0, 1).otherwise(0)).alias("nc"),
+            F.sum(
+                F.when(F.col("tr") == 1, F.col("y")).otherwise(
+                    F.lit(0).cast(_DEC)
+                )
+            ).alias("st"),
+            F.sum(
+                F.when(F.col("tr") == 0, F.col("y")).otherwise(
+                    F.lit(0).cast(_DEC)
+                )
+            ).alias("sc"),
+        )
+        .filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    )
+    n_s = (F.col("nt") + F.col("nc")).cast(_DEC)
+
+    def pico(expr):
+        return F.round(expr, 6).cast("decimal(38,6)")
+
+    staged = cells.select(
+        "s",
+        "nt",
+        "nc",
+        pico(
+            (F.col("st") * n_s).cast("double") / F.col("nt").cast("double")
+        ).alias("wt_y"),
+        pico(
+            (F.col("sc") * n_s).cast("double") / F.col("nc").cast("double")
+        ).alias("wc_y"),
+        pico(
+            (n_s * n_s).cast("double") / F.col("nt").cast("double")
+        ).alias("wt_sq"),
+        pico(
+            (n_s * n_s).cast("double") / F.col("nc").cast("double")
+        ).alias("wc_sq"),
+        n_s.alias("n_s"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n_strata_used"),
+        F.sum("n_s").alias("n"),
+        F.sum("wt_y").alias("swt"),
+        F.sum("wc_y").alias("swc"),
+        F.sum("wt_sq").alias("sqt"),
+        F.sum("wc_sq").alias("sqc"),
+    )
+    nd = F.col("n").cast("double")
+    ate = (F.col("swt").cast("double") - F.col("swc").cast("double")) / nd
+    return agg.select(
+        F.col("n_strata_used").cast("long").alias("n_strata_used"),
+        F.col("n").cast("long").alias("n_common_support"),
+        F.round(ate / 100.0, 6).alias("ipw_ate_dollars"),
+        F.round(nd * nd / F.col("sqt").cast("double"), 2).alias(
+            "ess_treated"
+        ),
+        F.round(nd * nd / F.col("sqc").cast("double"), 2).alias(
+            "ess_control"
+        ),
+    )
+
+
+ORACLES["ipw_ate"] = f"""
+    WITH base AS ({_SPEND_SQL}),
+    tagged AS (
+        SELECT CASE WHEN segment = '{PSM_TREATED_SEGMENT}' THEN 1 ELSE 0 END
+                   AS tr,
+               score, y,
+               min(score) OVER () AS mn, max(score) OVER () AS mx
+        FROM base
+    ),
+    cells AS (
+        SELECT CAST(floor(CAST(score - mn AS HUGEINT) * {ATE_STRATA}
+                          / CAST(mx - mn + 1 AS HUGEINT)) AS INT) AS s,
+               CAST(sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS nt,
+               CAST(sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS nc,
+               CAST(sum(CASE WHEN tr = 1 THEN y ELSE 0 END) AS HUGEINT)
+                   AS st,
+               CAST(sum(CASE WHEN tr = 0 THEN y ELSE 0 END) AS HUGEINT)
+                   AS sc
+        FROM tagged GROUP BY 1
+    ),
+    kept AS (SELECT *, nt + nc AS n_s FROM cells WHERE nt > 0 AND nc > 0),
+    staged AS (
+        SELECT s, n_s,
+               CAST(round(CAST(st * n_s AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+                    AS DECIMAL(38,6)) AS wt_y,
+               CAST(round(CAST(sc * n_s AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+                    AS DECIMAL(38,6)) AS wc_y,
+               CAST(round(CAST(n_s * n_s AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+                    AS DECIMAL(38,6)) AS wt_sq,
+               CAST(round(CAST(n_s * n_s AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+                    AS DECIMAL(38,6)) AS wc_sq
+        FROM kept
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+               CAST(sum(n_s) AS HUGEINT) AS n,
+               sum(wt_y) AS swt, sum(wc_y) AS swc,
+               sum(wt_sq) AS sqt, sum(wc_sq) AS sqc
+        FROM staged
+    )
+    SELECT n_strata_used, CAST(n AS BIGINT) AS n_common_support,
+           round((CAST(swt AS DOUBLE) - CAST(swc AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0, 6) AS ipw_ate_dollars,
+           round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 / CAST(sqt AS DOUBLE), 2) AS ess_treated,
+           round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 / CAST(sqc AS DOUBLE), 2) AS ess_control
+    FROM agg
+"""
+QUERIES["ipw_ate"] = ipw_ate

@@ -281,3 +281,53 @@ def test_yield_curve_is_monotone_and_anchored(spark):
     assert all(a >= b for a, b in zip(shares, shares[1:]))  # monotone
     toks = [r["token_share"] for r in rows]
     assert all(a >= b for a, b in zip(toks, toks[1:]))
+
+
+def test_ipw_ate_matches_per_unit_weights(spark):
+    """Twin: per-UNIT IPW weights in pandas (1/p_s per treated, 1/(1-p_s)
+    per control) — the operator folds per-stratum aggregates instead."""
+    from cdc_streamming___v2_spark.operators.causal import (
+        ATE_STRATA,
+        PSM_TREATED_SEGMENT,
+        ipw_ate,
+    )
+
+    row = ipw_ate(spark, SF_SMALL).collect()[0]
+    c = pd.read_parquet(
+        f"{SF_SMALL}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    spend = (
+        np.round(o["o_totalprice"] * 100)
+        .astype(np.int64)
+        .groupby(o["o_custkey"])
+        .sum()
+    )
+    df = c.set_index("c_custkey")
+    df["y"] = spend.reindex(df.index).fillna(0).astype(np.int64)
+    df["score"] = np.round(df["c_acctbal"] * 100).astype(np.int64)
+    df["tr"] = (df["c_mktsegment"] == PSM_TREATED_SEGMENT).astype(int)
+    mn, mx = df["score"].min(), df["score"].max()
+    df["s"] = (
+        (df["score"] - mn) * ATE_STRATA // (mx - mn + 1)
+    ).astype(int)
+    # common support
+    g = df.groupby("s")["tr"].agg(["sum", "count"])
+    keep = g[(g["sum"] > 0) & (g["sum"] < g["count"])].index
+    d = df[df["s"].isin(keep)].copy()
+    p = d.groupby("s")["tr"].transform("mean")
+    w = np.where(d["tr"] == 1, 1 / p, 1 / (1 - p))
+    yt = (w * d["y"] * (d["tr"] == 1)).sum() / len(d)
+    yc = (w * d["y"] * (d["tr"] == 0)).sum() / len(d)
+    ate = (yt - yc) / 100
+    ess_t = w[d["tr"] == 1].sum() ** 2 / (w[d["tr"] == 1] ** 2).sum()
+    ess_c = w[d["tr"] == 0].sum() ** 2 / (w[d["tr"] == 0] ** 2).sum()
+    assert row["n_common_support"] == len(d)
+    assert abs(row["ipw_ate_dollars"] - ate) < 0.01
+    # ESS per arm: the operator reports N^2/sum(w^2) with sum(w)=N per
+    # arm (bucket propensities telescope) — same quantity
+    assert abs(row["ess_treated"] - ess_t) < 1.0
+    assert abs(row["ess_control"] - ess_c) < 1.0
