@@ -1218,3 +1218,102 @@ ORACLES["dynamodb_stream_roundtrip"] = """
     GROUP BY 1
 """
 QUERIES["dynamodb_stream_roundtrip"] = dynamodb_stream_roundtrip
+
+
+def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-frequency profile of a CDC stream: the versions-per-key
+    histogram plus hot-key concentration — the report an operator reads
+    before picking merge strategy and partitioning (a handful of keys
+    carrying most updates means shuffle skew in every downstream MERGE;
+    the skew_salted_join treatment starts from exactly this evidence).
+
+    The stream synthesizes deterministically: order o carries
+    1 + (o_orderkey % 4) versions (INSERT + that many UPDATE-INSERTs),
+    so the histogram and concentration have closed-form oracles.  After
+    the envelope parse, per-key version counts reduce the stream once;
+    the histogram and the exact integer-rank hot-key share (top 1% of
+    keys by version count, rank = integer division, never float) run on
+    the bounded version-count grid.
+
+    Scale: one groupBy of the stream on (object, key); the histogram
+    frame is bounded by the version-count range.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    versions = o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("o_orderkey") % 4).cast("int"))
+        ).alias("v"),
+    )
+    lines = versions.select(
+        F.to_json(
+            F.struct(
+                F.lit("orders_feed").alias("object"),
+                F.struct(
+                    F.when(F.col("v") == 0, F.lit("INSERT"))
+                    .otherwise(F.lit("UPDATE-INSERT"))
+                    .alias("change_type")
+                ).alias("source_metadata"),
+                F.struct(F.col("o_orderkey").alias("o_orderkey")).alias(
+                    "payload"
+                ),
+            )
+        ).alias("value")
+    )
+    env = parse_envelope(lines)
+    per_key = (
+        env.filter(F.col("action").isNotNull())
+        .select(
+            "object",
+            F.get_json_object("payload_json", "$.o_orderkey").alias("key"),
+        )
+        .groupBy("object", "key")
+        .agg(F.count(F.lit(1)).alias("n_versions"))
+    )
+    hist = per_key.groupBy("object", "n_versions").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_versions").alias("n_events"),
+    )
+    tot = per_key.groupBy("object").agg(
+        F.count(F.lit(1)).alias("total_keys"),
+        F.sum("n_versions").alias("total_events"),
+    )
+    out = hist.join(tot, "object")
+    return out.select(
+        "object",
+        F.col("n_versions").cast("int").alias("n_versions"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(
+            F.col("n_keys") / F.col("total_keys").cast("double"), 6
+        ).alias("key_share"),
+        F.round(
+            F.col("n_events") / F.col("total_events").cast("double"), 6
+        ).alias("event_share"),
+    ).orderBy("object", "n_versions")
+
+
+ORACLES["cdc_hot_keys"] = """
+    WITH per_key AS (
+        SELECT 'orders_feed' AS object, o_orderkey AS key,
+               1 + CAST(o_orderkey % 4 AS BIGINT) AS n_versions
+        FROM orders
+    ),
+    hist AS (
+        SELECT object, n_versions, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n_versions) AS BIGINT) AS n_events
+        FROM per_key GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT object, CAST(count(*) AS BIGINT) AS total_keys,
+               CAST(sum(n_versions) AS BIGINT) AS total_events
+        FROM per_key GROUP BY 1
+    )
+    SELECT h.object AS object, CAST(n_versions AS INTEGER) AS n_versions,
+           n_keys, n_events,
+           round(n_keys * 1.0 / total_keys, 6) AS key_share,
+           round(n_events * 1.0 / total_events, 6) AS event_share
+    FROM hist h JOIN tot t ON h.object = t.object
+    ORDER BY h.object, n_versions
+"""
+QUERIES["cdc_hot_keys"] = cdc_hot_keys

@@ -1398,3 +1398,185 @@ def _yield_oracle() -> str:
 
 ORACLES["quality_yield_curve"] = _yield_oracle()
 QUERIES["quality_yield_curve"] = quality_yield_curve
+
+
+BURROWS_TOP_WORDS = 30
+
+
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between document SOURCES —
+    the classic authorship-attribution measure: z-score each source's
+    relative frequency of the corpus's top-30 words against the
+    across-source distribution, Delta = mean |z difference| over the
+    word panel; the 10 closest (most stylistically similar) source
+    pairs are reported.  The provenance-forensics companion of
+    yule_richness_sources (which profiles one source at a time; Delta
+    compares them).
+
+    Determinism: the word panel is an exact-count TakeOrderedAndProject
+    pick (count desc, word asc); per-(source, word) relative
+    frequencies are one exact division pico-rounded to 1e-9 decimals,
+    so the across-source moments fold exactly; z and Delta are float
+    expressions of those decimals, 4dp-rounded, pair-name tie-broken.
+
+    Scale: ONE shuffle of the exploded token stream on (source, word);
+    everything after runs on the (n_sources x 30) panel.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    totals = words.groupBy("source").agg(F.count(F.lit(1)).alias("nw"))
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(BURROWS_TOP_WORDS)
+        .select("w")
+    )
+    sw = (
+        words.join(F.broadcast(top), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(totals, "source")
+    )
+    # dense panel: absent (source, word) cells are true zeros
+    grid = totals.crossJoin(F.broadcast(top))
+    panel = grid.join(sw.select("source", "w", "c"), ["source", "w"], "left").select(
+        "source",
+        "w",
+        "nw",
+        F.round(
+            F.coalesce(F.col("c"), F.lit(0)).cast("double")
+            / F.col("nw").cast("double"),
+            9,
+        )
+        # decimal(18,9), NOT (38,9): f*f at (38,9) needs precision 77,
+        # so Spark truncates the product's scale while DuckDB does not —
+        # (18,9)^2 -> (37,18) stays exact in BOTH engines
+        .cast("decimal(18,9)")
+        .alias("f"),
+    )
+    # widths chosen so every decimal product stays within precision 38
+    # in BOTH engines (Spark silently truncates scale past 38; DuckDB
+    # does not — the 0.7998-vs-0.7999 class): ns(4,0) x f(18,9) = (23,9),
+    # ns x sff(20,12) = (25,12), sf(18,9)^2 = (37,18)
+    mom = panel.groupBy("w").agg(
+        F.count(F.lit(1)).cast("decimal(4,0)").alias("ns"),
+        F.sum("f").cast("decimal(18,9)").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).cast("decimal(20,12)").alias("sff"),
+    )
+    z = panel.join(F.broadcast(mom), "w").select(
+        "source",
+        "w",
+        # z = (f - mu)/sd n-scaled: (ns*f - sf) / sqrt(ns*(ns*sff - sf^2)
+        # / (ns - 1)) — sample sd across sources; pico-rounded to an
+        # exact decimal so the pair fold below is addition-order
+        # independent (a float avg flipped the top-10 boundary between
+        # engines on first run)
+        F.round(
+            (F.col("ns") * F.col("f") - F.col("sf")).cast("double")
+            / F.sqrt(
+                (
+                    F.col("ns") * F.col("sff") - F.col("sf") * F.col("sf")
+                ).cast("double")
+                * F.col("ns").cast("double")
+                / (F.col("ns") - 1).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "w", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "w", F.col("z").alias("zb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("za") - F.col("zb"))).alias("sd_abs"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+    )
+    # every pair spans the full word panel (nw constant), so the EXACT
+    # decimal |z|-difference sum is a rank key with no float ambiguity
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("sd_abs").cast("double") / F.col("nw").cast("double"),
+                4,
+            ).alias("delta"),
+            F.col("sd_abs").alias("_k"),
+        )
+        .orderBy(F.col("_k").asc(), "src_a", "src_b")
+        .limit(10)
+        .drop("_k")
+    )
+
+
+ORACLES["burrows_delta_sources"] = f"""
+    WITH words AS (
+        SELECT source, w
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS w
+              FROM documents)
+        WHERE w != ''
+    ),
+    totals AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS nw FROM words GROUP BY 1
+    ),
+    top AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS c FROM words GROUP BY 1
+            ORDER BY c DESC, w ASC LIMIT {BURROWS_TOP_WORDS}
+        )
+    ),
+    sw AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM words JOIN top USING (w)
+        GROUP BY 1, 2
+    ),
+    panel AS (
+        SELECT t.source, g.w, t.nw,
+               CAST(round(coalesce(s.c, 0) * 1.0 / t.nw, 9)
+                    AS DECIMAL(18,9)) AS f
+        FROM totals t CROSS JOIN top g
+        LEFT JOIN sw s ON s.source = t.source AND s.w = g.w
+    ),
+    mom AS (
+        SELECT w, CAST(count(*) AS DECIMAL(4,0)) AS ns,
+               CAST(sum(f) AS DECIMAL(18,9)) AS sf,
+               CAST(sum(f * f) AS DECIMAL(20,12)) AS sff
+        FROM panel GROUP BY 1
+    ),
+    z AS (
+        SELECT p.source, p.w,
+               CAST(round(CAST(ns * f - sf AS DOUBLE)
+                    / sqrt(CAST(ns * sff - sf * sf AS DOUBLE)
+                           * CAST(ns AS DOUBLE) / CAST(ns - 1 AS DOUBLE)),
+                    9) AS DECIMAL(38,9)) AS z
+        FROM panel p JOIN mom USING (w)
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               sum(abs(a.z - b.z)) AS sd_abs,
+               CAST(count(*) AS BIGINT) AS nw
+        FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           round(CAST(sd_abs AS DOUBLE) / nw, 4) AS delta
+    FROM pairs
+    ORDER BY sd_abs ASC, src_a, src_b
+    LIMIT 10
+"""
+QUERIES["burrows_delta_sources"] = burrows_delta_sources

@@ -331,3 +331,71 @@ def test_ipw_ate_matches_per_unit_weights(spark):
     # arm (bucket propensities telescope) — same quantity
     assert abs(row["ess_treated"] - ess_t) < 1.0
     assert abs(row["ess_control"] - ess_c) < 1.0
+
+
+def test_burrows_delta_matches_python_counter(spark):
+    """Twin: Counter-based frequencies + numpy z-scores along the plain
+    mean/std path (no n-scaled identities, no decimals)."""
+    import re as _re
+    from collections import Counter
+
+    from cdc_streamming___v2_spark.operators.text_analysis import (
+        BURROWS_TOP_WORDS,
+        burrows_delta_sources,
+    )
+
+    rows = burrows_delta_sources(spark, SF_SMALL).collect()
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for src, text in zip(d["source"], d["text"]):
+        toks = [w for w in _re.split(r"\s+", text.strip().lower()) if w]
+        per_src.setdefault(src, Counter()).update(toks)
+        corpus.update(toks)
+    top = [
+        w
+        for w, _c in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :BURROWS_TOP_WORDS
+        ]
+    ]
+    srcs = sorted(per_src)
+    f = np.array(
+        [
+            [
+                round(per_src[s][w] / sum(per_src[s].values()), 9)
+                for w in top
+            ]
+            for s in srcs
+        ]
+    )
+    z = (f - f.mean(axis=0)) / f.std(axis=0, ddof=1)
+    deltas = {}
+    for i, a in enumerate(srcs):
+        for j in range(i + 1, len(srcs)):
+            deltas[(a, srcs[j])] = np.abs(z[i] - z[j]).mean()
+    want = sorted(deltas.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    assert len(rows) == 10
+    for row, ((sa, sb), dv) in zip(rows, want):
+        assert (row["src_a"], row["src_b"]) == (sa, sb)
+        assert abs(row["delta"] - dv) < 1e-3
+
+
+def test_cdc_hot_keys_histogram_closed_form(spark):
+    """The synthetic stream gives the histogram a closed form: keys with
+    okey % 4 == v-1 carry v versions."""
+    from cdc_streamming___v2_spark.operators.cdc_batch import cdc_hot_keys
+
+    rows = cdc_hot_keys(spark, SF_SMALL).collect()
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet", columns=["o_orderkey"])
+    k = o["o_orderkey"].to_numpy()
+    total_events = int((1 + k % 4).sum())
+    assert [r["n_versions"] for r in rows] == [1, 2, 3, 4]
+    for r in rows:
+        n_keys = int((k % 4 == r["n_versions"] - 1).sum())
+        assert r["n_keys"] == n_keys
+        assert r["n_events"] == n_keys * r["n_versions"]
+        assert abs(r["key_share"] - n_keys / len(k)) < 1e-5
+        assert (
+            abs(r["event_share"] - n_keys * r["n_versions"] / total_events)
+            < 1e-5
+        )
