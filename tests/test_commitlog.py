@@ -289,7 +289,10 @@ def test_read_changes_reports_deletes_on_remove_commit(spark, tmp_path):
     assert t.write_append(_frame(spark, 6, 9), txn="b1")       # v1
     # drop b1's files via the commit primitive (a retention/GDPR-style
     # file-level delete)
-    live_b1 = [f for f in t.snapshot_files() if "/b1/" in f or "b1" in f]
+    # match the txn DIRECTORY only — a bare "b1" substring can land
+    # inside another file's random uuid and silently widen the remove
+    # set (observed once as a suite-level flake)
+    live_b1 = [f for f in t.snapshot_files() if "/b1/" in f]
     assert live_b1
     assert t._commit("drop_b1", add=[], remove=live_b1)        # v2
     feed = t.read_changes(1, 2)
