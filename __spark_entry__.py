@@ -89,6 +89,9 @@ _GATE_PRIORITY = (
     "ipw_ate",
     "burrows_delta_sources",
     "cdc_hot_keys",
+    "unseen_vocabulary_estimate",
+    "capture_recapture_estimate",
+    "ddsketch_quantiles",
     "jarque_bera_test",
     "breusch_pagan_test",
     "arch_lm_test",
@@ -416,7 +419,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 442
+_MIN_QUERIES = 445
 
 
 def _registry() -> tuple[dict, dict]:

@@ -1597,3 +1597,78 @@ ORACLES["yule_richness_sources"] = f"""
     ORDER BY source
 """
 QUERIES["yule_richness_sources"] = yule_richness_sources
+
+
+def unseen_vocabulary_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much vocabulary has the corpus NOT seen yet?  Per language:
+    Chao1 richness (bias-corrected: V + F1(F1-1)/(2(F2+1)), defined even
+    with no doubletons) and the Good-Turing unseen-probability mass
+    F1/N — the collection-planning companion of heaps_law_fit (Heaps
+    extrapolates the growth curve; Chao1 bounds where it's heading, and
+    GT says how often the NEXT token will be novel).  Rule of thumb the
+    table encodes: stop collecting a language when gt_unseen_mass goes
+    small.
+
+    Everything is exact integer counts (token totals, distinct types,
+    hapax/doubleton counts) with one float division per output column.
+
+    Scale: ONE shuffle of the token stream on (lang, word); the
+    frequency-of-frequency reduce and everything after run on bounded
+    frames.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(words(F.lower(F.col("text")))).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = wc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c").alias("n"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    # compute the unseen term directly (v + est then -v would re-derive
+    # it through float cancellation and drift from the oracle)
+    est = f1 * (f1 - 1.0) / (2.0 * (F.col("f2").cast("double") + 1.0))
+    return agg.select(
+        "lang",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab_seen"),
+        F.col("f1").cast("long").alias("hapaxes"),
+        F.col("f2").cast("long").alias("doubletons"),
+        F.round(F.col("v") + est, 2).alias("chao1_richness"),
+        F.round(est, 2).alias("est_unseen_types"),
+        F.round(f1 / F.col("n").cast("double"), 6).alias("gt_unseen_mass"),
+    ).orderBy("lang")
+
+
+ORACLES["unseen_vocabulary_estimate"] = """
+    WITH toks AS (
+        SELECT lang, w FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w
+            FROM documents
+        ) WHERE w != ''
+    ),
+    wc AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM wc GROUP BY 1
+    )
+    SELECT lang, n AS n_tokens, v AS vocab_seen,
+           f1 AS hapaxes, f2 AS doubletons,
+           round(v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), 2)
+               AS chao1_richness,
+           round(f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), 2)
+               AS est_unseen_types,
+           round(f1 * 1.0 / n, 6) AS gt_unseen_mass
+    FROM agg
+    ORDER BY lang
+"""
+QUERIES["unseen_vocabulary_estimate"] = unseen_vocabulary_estimate

@@ -1362,3 +1362,100 @@ ORACLES["neyman_allocation"] = f"""
                AS proportional_n
     FROM tt ORDER BY segment
 """
+
+
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of a hidden population —
+    applied here as a DEDUP-RECALL audit: treat 1996 orderers and 1997
+    orderers as two independent 'detectors' of the active-customer
+    population; the overlap sizes the unseen mass exactly the way two
+    independent duplicate-detectors size undetected duplicates (the
+    standard recall-estimation trick when no ground truth exists).
+
+    Chapman N-hat = (n1+1)(n2+1)/(m+1) - 1 with
+    Var = (n1+1)(n2+1)(n1-m)(n2-m)/((m+1)^2 (m+2)); here ground truth
+    IS available (customers with any 1996-97 order), so the audit also
+    reports the estimator's realized error — the calibration companion
+    of minhash_estimator_calibration for the census method.
+
+    All inputs are exact integer counts from one reduce of orders;
+    the estimate/CI are single float expressions.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y")
+    ).filter(F.col("y").isin(1996, 1997))
+    per = o.groupBy("o_custkey").agg(
+        F.max((F.col("y") == 1996).cast("int")).alias("c1"),
+        F.max((F.col("y") == 1997).cast("int")).alias("c2"),
+    )
+    agg = per.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).alias("m"),
+        F.count(F.lit(1)).alias("true_n"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    est = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    var = (
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    se = F.sqrt(var)
+    truth = F.col("true_n").cast("double")
+    return agg.select(
+        F.col("n1").cast("long").alias("captured_1996"),
+        F.col("n2").cast("long").alias("captured_1997"),
+        F.col("m").cast("long").alias("recaptured_both"),
+        F.round(est, 2).alias("chapman_estimate"),
+        F.round(se, 2).alias("se"),
+        F.round(est - 1.96 * se, 2).alias("ci_low"),
+        F.round(est + 1.96 * se, 2).alias("ci_high"),
+        F.col("true_n").cast("long").alias("true_population"),
+        F.round((est - truth) / truth * 100.0, 4).alias("error_pct"),
+    )
+
+
+ORACLES["capture_recapture_estimate"] = """
+    WITH per AS (
+        SELECT o_custkey,
+               max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                        THEN 1 ELSE 0 END) AS c1,
+               max(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                        THEN 1 ELSE 0 END) AS c2
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+        GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1 * c2) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS true_n
+        FROM per
+    )
+    SELECT n1 AS captured_1996, n2 AS captured_1997, m AS recaptured_both,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 2)
+               AS chapman_estimate,
+           round(sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                      / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 2) AS se,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+                 - 1.96 * sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m)
+                               * (n2 - m)
+                               / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 2)
+               AS ci_low,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+                 + 1.96 * sqrt((n1 + 1.0) * (n2 + 1.0) * (n1 - m)
+                               * (n2 - m)
+                               / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 2)
+               AS ci_high,
+           true_n AS true_population,
+           round(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0 - true_n)
+                 / true_n * 100.0, 4) AS error_pct
+    FROM agg
+"""
+QUERIES["capture_recapture_estimate"] = capture_recapture_estimate

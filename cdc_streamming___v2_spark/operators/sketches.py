@@ -1398,3 +1398,135 @@ ORACLES["hll_intersection_estimate"] = f"""
     ORDER BY 1, 2
 """
 QUERIES["hll_intersection_estimate"] = hll_intersection_estimate
+
+
+DD_GAMMA = 1.02  # relative-accuracy parameter: alpha = (g-1)/(g+1) ~ 0.99%
+
+
+def ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch (Masson et al., VLDB'19) relative-error quantiles of
+    order totals — the RELATIVE-guarantee member of the sketch tier:
+    quantile_sketch's fixed-width histogram bounds ABSOLUTE rank error
+    and degrades on heavy tails, while DDSketch's log-spaced buckets
+    (index = ceil(log_gamma x)) guarantee every estimate within
+    (gamma-1)/(gamma+1) ~ 1% of the true VALUE at any scale — and the
+    audit columns report the realized error beside that guarantee.
+
+    Buckets are mergeable integer counters (~900 for cent values up to
+    6e7) — the canonical 100-TB shape.  The bucket index pico-rounds
+    ln(x)/ln(gamma) before ceil so a 1-ulp libm difference can't flip a
+    boundary; exact quantiles come from a cross-multiplied integer rank
+    pick on the distinct-cents grid (100*cum >= q*N).
+
+    Scale: one groupBy onto the bucket grid (map-side combined), one
+    exact-rank pass on the bounded distinct-cents frame for the audit.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    lng = 0.019802627296178876  # ln(1.02), Python literal (no engine log)
+    b = F.ceil(F.round(F.log(F.col("cents").cast("double")) / lng, 9))
+    buckets = o.groupBy(b.cast("long").alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = buckets.agg(F.sum("c").alias("n"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.crossJoin(F.broadcast(tot)).withColumn(
+        "cum", F.sum("c").over(w_cum)
+    )
+    qs = spark.createDataFrame(
+        [(50,), (90,), (99,)], "q int"
+    )
+    # smallest bucket with 100*cum >= q*n (exact integer test)
+    pick = (
+        cum.join(
+            F.broadcast(qs), 100 * F.col("cum") >= F.col("q") * F.col("n")
+        )
+        .groupBy("q")
+        .agg(F.min("b").alias("bq"), F.max("n").alias("n"))
+    )
+    # gamma^b as exp(b*ln gamma) with the ln literal: pow(double,double)
+    # is the least-consistent libm entry point across engines, exp/ln the
+    # most (the accepted KM/ln-fold class)
+    est = (
+        2.0
+        * F.exp(F.col("bq").cast("double") * lng)
+        / (1.0 + DD_GAMMA)
+    )
+    # exact quantiles: same integer rank test on the distinct-cents grid
+    grid = o.groupBy("cents").agg(F.count(F.lit(1)).alias("gc"))
+    gcum = grid.crossJoin(F.broadcast(tot)).withColumn(
+        "cum", F.sum("gc").over(Window.orderBy("cents").rowsBetween(
+            Window.unboundedPreceding, 0
+        ))
+    )
+    exact = (
+        gcum.join(
+            F.broadcast(qs), 100 * F.col("cum") >= F.col("q") * F.col("n")
+        )
+        .groupBy("q")
+        .agg(F.min("cents").alias("xq"))
+    )
+    out = pick.join(exact, "q")
+    estv = est / 100.0
+    exv = F.col("xq").cast("double") / 100.0
+    return out.select(
+        "q",
+        F.round(estv, 2).alias("dd_estimate"),
+        F.round(exv, 2).alias("exact_value"),
+        F.round(F.abs(estv - exv) / exv, 6).alias("rel_err"),
+        F.round(F.lit((DD_GAMMA - 1.0) / (DD_GAMMA + 1.0)), 6).alias(
+            "guarantee"
+        ),
+    ).orderBy("q")
+
+
+ORACLES["ddsketch_quantiles"] = f"""
+    WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    buckets AS (
+        SELECT CAST(ceil(round(ln(CAST(cents AS DOUBLE))
+                               / 0.019802627296178876, 9)) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM o GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM buckets),
+    cum AS (
+        SELECT b, c, n,
+               sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM buckets, tot
+    ),
+    qs AS (SELECT unnest([50, 90, 99]) AS q),
+    pick AS (
+        SELECT q, min(b) AS bq, max(n) AS n
+        FROM cum JOIN qs ON 100 * cum >= q * n
+        GROUP BY 1
+    ),
+    grid AS (SELECT cents, CAST(count(*) AS BIGINT) AS gc FROM o GROUP BY 1),
+    gcum AS (
+        SELECT cents, n,
+               sum(gc) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum
+        FROM grid, tot
+    ),
+    exact AS (
+        SELECT q, min(cents) AS xq
+        FROM gcum JOIN qs ON 100 * cum >= q * n
+        GROUP BY 1
+    )
+    SELECT p.q AS q,
+           round(2.0 * exp(CAST(bq AS DOUBLE) * 0.019802627296178876)
+                 / (1.0 + {DD_GAMMA}) / 100.0, 2) AS dd_estimate,
+           round(CAST(xq AS DOUBLE) / 100.0, 2) AS exact_value,
+           round(abs(2.0 * exp(CAST(bq AS DOUBLE) * 0.019802627296178876)
+                     / (1.0 + {DD_GAMMA}) / 100.0
+                     - CAST(xq AS DOUBLE) / 100.0)
+                 / (CAST(xq AS DOUBLE) / 100.0), 6) AS rel_err,
+           round(({DD_GAMMA} - 1.0) / ({DD_GAMMA} + 1.0), 6) AS guarantee
+    FROM pick p JOIN exact e ON p.q = e.q
+    ORDER BY q
+"""
+QUERIES["ddsketch_quantiles"] = ddsketch_quantiles

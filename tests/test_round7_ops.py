@@ -399,3 +399,83 @@ def test_cdc_hot_keys_histogram_closed_form(spark):
             abs(r["event_share"] - n_keys * r["n_versions"] / total_events)
             < 1e-5
         )
+
+
+def test_capture_recapture_matches_set_arithmetic(spark):
+    from cdc_streamming___v2_spark.operators.pipeline_ops import (
+        capture_recapture_estimate,
+    )
+
+    row = capture_recapture_estimate(spark, SF_SMALL).collect()[0]
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    y = o["o_orderdate"].dt.year
+    s1 = set(o.loc[y == 1996, "o_custkey"])
+    s2 = set(o.loc[y == 1997, "o_custkey"])
+    n1, n2, m = len(s1), len(s2), len(s1 & s2)
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    truth = len(s1 | s2)
+    assert (row["captured_1996"], row["captured_1997"]) == (n1, n2)
+    assert row["recaptured_both"] == m
+    assert abs(row["chapman_estimate"] - est) < 0.011
+    assert row["true_population"] == truth
+    assert row["ci_low"] < est < row["ci_high"]
+    assert abs(row["error_pct"] - (est - truth) / truth * 100) < 1e-2
+
+
+def test_unseen_vocab_matches_counter(spark):
+    import re as _re
+    from collections import Counter
+
+    from cdc_streamming___v2_spark.operators.corpus_ops import (
+        unseen_vocabulary_estimate,
+    )
+
+    rows = {
+        r["lang"]: r
+        for r in unseen_vocabulary_estimate(spark, SF_SMALL).collect()
+    }
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    per: dict[str, Counter] = {}
+    for lang, text in zip(d["lang"], d["text"]):
+        per.setdefault(lang, Counter()).update(
+            w for w in _re.split(r"\s+", text.strip().lower()) if w
+        )
+    assert set(rows) == set(per)
+    for lang, cnt in per.items():
+        r = rows[lang]
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        assert r["vocab_seen"] == len(cnt)
+        assert r["n_tokens"] == sum(cnt.values())
+        assert (r["hapaxes"], r["doubletons"]) == (f1, f2)
+        assert abs(
+            r["chao1_richness"] - (len(cnt) + f1 * (f1 - 1) / (2 * (f2 + 1)))
+        ) < 0.011
+        assert abs(r["gt_unseen_mass"] - f1 / sum(cnt.values())) < 1e-5
+
+
+def test_ddsketch_honors_relative_guarantee(spark):
+    """The whole point of the sketch: every estimate within
+    (gamma-1)/(gamma+1) of the exact value, checked against a numpy
+    exact-quantile twin."""
+    from cdc_streamming___v2_spark.operators.sketches import (
+        DD_GAMMA,
+        ddsketch_quantiles,
+    )
+
+    rows = ddsketch_quantiles(spark, SF_SMALL).collect()
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet", columns=["o_totalprice"])
+    cents = np.sort(np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64))
+    n = len(cents)
+    alpha = (DD_GAMMA - 1) / (DD_GAMMA + 1)
+    assert [r["q"] for r in rows] == [50, 90, 99]
+    for r in rows:
+        # exact = smallest value with 100*rank >= q*n
+        k = -(-r["q"] * n // 100)  # ceil
+        exact = cents[int(k) - 1] / 100
+        assert abs(r["exact_value"] - exact) < 0.011
+        assert r["rel_err"] <= alpha + 1e-9
+        assert abs(r["dd_estimate"] - exact) / exact <= alpha + 1e-6
+        assert abs(r["guarantee"] - alpha) < 1e-6
