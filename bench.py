@@ -408,6 +408,13 @@ HEADLINE = [
     "panel_fe_trend",
     "tokenizer_fertility",
     "quality_yield_curve",
+    "media_byte_histogram",
+    "ipw_ate",
+    "burrows_delta_sources",
+    "cdc_hot_keys",
+    "unseen_vocabulary_estimate",
+    "capture_recapture_estimate",
+    "ddsketch_quantiles",
 ]
 
 

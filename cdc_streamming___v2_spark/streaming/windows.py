@@ -1306,3 +1306,128 @@ def schema_drift_stream_report(emitted: DataFrame) -> DataFrame:
             F.to_timestamp("last_s").alias("last_seen"),
         )
     )
+
+
+MG_K = 16  # Misra-Gries counter budget per shard
+MG_SHARDS = 4
+
+MG_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("counters", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+MG_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("counters", T.StringType()),
+    ]
+)
+
+
+def misra_gries_stream(
+    events: DataFrame, key_col: str = "user_id", group_col: str = "event_type"
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: per-(group, key-shard) MG(k)
+    state — a DIFFERENT guarantee class from the exact-equality twins
+    (KMV/CMS/Bloom/HLL): MG is arrival-order-DEPENDENT, so no batch
+    equality is possible; what it guarantees instead is
+    true_count - n_shard/(k+1) <= estimate <= true_count, and every key
+    with true count > n_shard/(k+1) survives.  Sharding by key hash
+    keeps each key's whole mass in ONE shard, so the per-shard bound IS
+    the key's bound (no cross-shard error accumulation) — the honest
+    way to parallelize MG (test-pinned invariants).
+
+    State per (group, shard): at most MG_K 'key:count' counters plus the
+    processed-count n_seen that prices the bound — bounded regardless of
+    stream length.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            counters_s, n_seen, seq = state.get
+            cur = {
+                e.split(":", 1)[0]: int(e.rsplit(":", 1)[1])
+                for e in counters_s.split("|")
+                if e
+            }
+        else:
+            cur, n_seen, seq = {}, 0, 0
+        for pdf in pdfs:
+            for k in pdf["k"].astype(str):
+                n_seen += 1
+                if k in cur:
+                    cur[k] += 1
+                elif len(cur) < MG_K:
+                    cur[k] = 1
+                else:  # decrement-all step
+                    for c in list(cur):
+                        cur[c] -= 1
+                        if cur[c] == 0:
+                            del cur[c]
+        seq += 1
+        counters_s = "|".join(f"{k}:{cur[k]}" for k in sorted(cur))
+        state.update((counters_s, n_seen, seq))
+        yield pd.DataFrame(
+            [(key[0], key[1], seq, n_seen, counters_s)],
+            columns=["event_type", "shard", "seq", "n_seen", "counters"],
+        )
+
+    from ..functions.texts import md5_hash_long
+
+    cells = events.select(
+        F.col(group_col).alias("event_type"),
+        F.col(key_col).cast("string").alias("k"),
+        (md5_hash_long(F.col(key_col).cast("string"), "mg") % MG_SHARDS)
+        .cast("int")
+        .alias("shard"),
+    )
+    return cells.groupBy("event_type", "shard").applyInPandasWithState(
+        update,
+        outputStructType=MG_STREAM_OUTPUT_SCHEMA,
+        stateStructType=MG_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def misra_gries_stream_topk(emitted: DataFrame, topn: int = 10) -> DataFrame:
+    """Decode the final MG state: max-seq row per (group, shard),
+    counters exploded, global top-N per group by estimated count with
+    each key's shard-priced error bound n_shard/(MG_K + 1)."""
+    from pyspark.sql import Window
+
+    wseq = Window.partitionBy("event_type", "shard").orderBy(
+        F.col("seq").desc()
+    )
+    final = (
+        emitted.withColumn("rn", F.row_number().over(wseq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_seen",
+            F.explode(F.split("counters", "\\|")).alias("e"),
+        )
+        .filter(F.col("e") != "")
+        .select(
+            "event_type",
+            F.split("e", ":").getItem(0).alias("key"),
+            F.split("e", ":").getItem(1).cast("long").alias("est_count"),
+            (F.col("n_seen") / (MG_K + 1)).alias("max_undercount"),
+        )
+    )
+    wtop = Window.partitionBy("event_type").orderBy(
+        F.col("est_count").desc(), F.col("key").asc()
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= topn)
+        .orderBy("event_type", "rank")
+    )

@@ -960,3 +960,59 @@ def test_schema_drift_stream_equals_batch_report(spark, tmp_path):
     assert ("orders_feed", "o_totalprice") in got  # drift keys present
     # statefulness: some key saw both micro-batches
     assert emitted.agg(F.max("seq")).first()[0] >= 2
+
+
+def test_misra_gries_stream_guarantees(spark, events_dir):
+    """MG is order-dependent (no batch equality) — pin its GUARANTEES
+    instead: every estimate in [true - n_shard/(k+1), true], and every
+    key whose true count exceeds its shard's bound is present."""
+    import hashlib
+
+    schema = spark.read.parquet(events_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .select("event_type", "user_id")
+    )
+    name = _run(W.misra_gries_stream(ev), mode="update")
+    emitted = spark.sql(f"select * from {name}")
+    rows = W.misra_gries_stream_topk(emitted, topn=50).collect()
+    est = {(r["event_type"], r["key"]): r for r in rows}
+
+    b = _batch_events(spark).select("event_type", "user_id").collect()
+    true_counts: dict = {}
+    shard_n: dict = {}
+    for r in b:
+        k = str(r["user_id"])
+        sh = (
+            int(hashlib.md5(f"mg{k}".encode()).hexdigest()[:8], 16)
+            % W.MG_SHARDS
+        )
+        true_counts[(r["event_type"], k)] = (
+            true_counts.get((r["event_type"], k), 0) + 1
+        )
+        shard_n[(r["event_type"], sh)] = (
+            shard_n.get((r["event_type"], sh), 0) + 1
+        )
+
+    def bound(et, k):
+        sh = (
+            int(hashlib.md5(f"mg{k}".encode()).hexdigest()[:8], 16)
+            % W.MG_SHARDS
+        )
+        return shard_n[(et, sh)] / (W.MG_K + 1)
+
+    # estimates never exceed truth and undercount at most the bound
+    for (et, k), r in est.items():
+        t = true_counts[(et, k)]
+        assert r["est_count"] <= t
+        assert r["est_count"] >= t - bound(et, k) - 1e-9
+    # survivors: true count above the shard bound => present in state
+    # (check via the FULL decoded state, not the top-N cut)
+    full = {
+        (r["event_type"], r["key"])
+        for r in W.misra_gries_stream_topk(emitted, topn=10**6).collect()
+    }
+    for (et, k), t in true_counts.items():
+        if t > bound(et, k):
+            assert (et, k) in full, (et, k, t, bound(et, k))
