@@ -292,3 +292,134 @@ ORACLES = {
     "incremental_agg_maintain": _MV_ORACLE,
     "zorder_layout": _zorder_oracle(),
 }
+
+
+def partition_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor: for each CANDIDATE partition scheme of
+    lineitem (return flag, ship month, supplier), the group-size
+    distribution a planner reads before choosing table layout — group
+    count, the biggest partition's share (the straggler bound: one task
+    per partition means max_share caps parallel speedup), the exact
+    p50/p99 group sizes, and the p99/p50 skew ratio.  The advisory
+    companion of skew_diagnostics (which profiles ONE join key;
+    this compares layout candidates).
+
+    Exactness: group sizes are exact counts; p50/p99 are exact
+    order-statistic rank picks (integer-div ranks, row_number over the
+    bounded group-size frame); shares and ratios are single float
+    divisions rounded 6dp.
+
+    Scale: one groupBy per candidate over lineitem (map-side combined,
+    k = 3 scans that AQE can't fuse — acceptable for an offline
+    advisor); every window runs on a candidate's bounded group frame.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_suppkey"
+    )
+    cands = [
+        ("returnflag_linestatus",
+         F.concat_ws("|", "l_returnflag", "l_linestatus")),
+        ("ship_month", F.date_format("l_shipdate", "yyyy-MM")),
+        ("suppkey", F.col("l_suppkey").cast("string")),
+    ]
+    frames = []
+    for name, expr in cands:
+        g = li.groupBy(expr.alias("g")).agg(F.count(F.lit(1)).alias("c"))
+        frames.append(g.select(F.lit(name).alias("candidate"), "g", "c"))
+    sizes = frames[0].unionAll(frames[1]).unionAll(frames[2])
+    w_rank = Window.partitionBy("candidate").orderBy("c", "g")
+    ranked = sizes.withColumn("r", F.row_number().over(w_rank))
+    stats = ranked.groupBy("candidate").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("max_rows"),
+    )
+    # exact rank picks: lower p50 = rank ceil(n/2), p99 = rank ceil(99n/100)
+    picks = (
+        ranked.join(stats, "candidate")
+        .filter(
+            (F.col("r") == F.expr("(n_groups + 1) div 2"))
+            | (F.col("r") == F.expr("(99 * n_groups + 99) div 100"))
+        )
+        .groupBy("candidate")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("r") == F.expr("(n_groups + 1) div 2"), F.col("c")
+                )
+            ).alias("p50_rows"),
+            F.max(
+                F.when(
+                    F.col("r") == F.expr("(99 * n_groups + 99) div 100"),
+                    F.col("c"),
+                )
+            ).alias("p99_rows"),
+        )
+    )
+    out = stats.join(picks, "candidate")
+    return out.select(
+        "candidate",
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("total").cast("long").alias("total_rows"),
+        F.col("max_rows").cast("long").alias("max_rows"),
+        F.round(
+            F.col("max_rows") / F.col("total").cast("double"), 6
+        ).alias("max_share"),
+        F.col("p50_rows").cast("long").alias("p50_rows"),
+        F.col("p99_rows").cast("long").alias("p99_rows"),
+        F.round(
+            F.col("p99_rows") / F.col("p50_rows").cast("double"), 6
+        ).alias("p99_p50_ratio"),
+    ).orderBy("candidate")
+
+
+_SKEW_CAND_SQL = """
+        SELECT 'returnflag_linestatus' AS candidate,
+               concat_ws('|', l_returnflag, l_linestatus) AS g
+        FROM lineitem
+        UNION ALL
+        SELECT 'ship_month', strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+        FROM lineitem
+        UNION ALL
+        SELECT 'suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+"""
+
+ORACLES_partition_skew = f"""
+    WITH sizes AS (
+        SELECT candidate, g, CAST(count(*) AS BIGINT) AS c
+        FROM ({_SKEW_CAND_SQL})
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY candidate
+                                     ORDER BY c, g) AS r,
+               count(*) OVER (PARTITION BY candidate) AS n_groups,
+               sum(c) OVER (PARTITION BY candidate) AS total,
+               max(c) OVER (PARTITION BY candidate) AS max_rows
+        FROM sizes
+    ),
+    picks AS (
+        SELECT candidate,
+               min(CASE WHEN r = (n_groups + 1) // 2 THEN c END) AS p50_rows,
+               max(CASE WHEN r = (99 * n_groups + 99) // 100 THEN c END)
+                   AS p99_rows,
+               max(n_groups) AS n_groups, max(total) AS total,
+               max(max_rows) AS max_rows
+        FROM ranked
+        GROUP BY 1
+    )
+    SELECT candidate, CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(total AS BIGINT) AS total_rows,
+           CAST(max_rows AS BIGINT) AS max_rows,
+           round(max_rows * 1.0 / total, 6) AS max_share,
+           CAST(p50_rows AS BIGINT) AS p50_rows,
+           CAST(p99_rows AS BIGINT) AS p99_rows,
+           round(p99_rows * 1.0 / p50_rows, 6) AS p99_p50_ratio
+    FROM picks
+    ORDER BY candidate
+"""
+
+QUERIES["partition_skew_advisor"] = partition_skew_advisor
+ORACLES["partition_skew_advisor"] = ORACLES_partition_skew

@@ -479,3 +479,34 @@ def test_ddsketch_honors_relative_guarantee(spark):
         assert r["rel_err"] <= alpha + 1e-9
         assert abs(r["dd_estimate"] - exact) / exact <= alpha + 1e-6
         assert abs(r["guarantee"] - alpha) < 1e-6
+
+
+def test_partition_skew_advisor_matches_pandas(spark):
+    from cdc_streamming___v2_spark.operators.maintenance import (
+        partition_skew_advisor,
+    )
+
+    rows = {
+        r["candidate"]: r
+        for r in partition_skew_advisor(spark, SF_SMALL).collect()
+    }
+    li = pd.read_parquet(
+        f"{SF_SMALL}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_shipdate", "l_suppkey"],
+    )
+    cands = {
+        "returnflag_linestatus": li["l_returnflag"] + "|" + li["l_linestatus"],
+        "ship_month": li["l_shipdate"].dt.strftime("%Y-%m"),
+        "suppkey": li["l_suppkey"].astype(str),
+    }
+    for name, key in cands.items():
+        sizes = key.value_counts().sort_values().to_numpy()
+        n = len(sizes)
+        srt = np.sort(sizes)
+        r = rows[name]
+        assert r["n_groups"] == n
+        assert r["total_rows"] == len(li)
+        assert r["max_rows"] == int(srt[-1])
+        assert r["p50_rows"] == int(srt[(n + 1) // 2 - 1])
+        assert r["p99_rows"] == int(srt[-(-99 * n // 100) - 1])
+        assert abs(r["max_share"] - srt[-1] / len(li)) < 1e-6
