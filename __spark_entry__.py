@@ -58,15 +58,13 @@ _MODULES = (
 )
 
 # The driver's correctness gate evaluates ~50 queries per round in
-# registration order.  Round-6 rotation (the VERDICT r4 #2 policy,
-# continued): (0) the eight round-6 operators (zero prior proof:
-# sqlserver CDC roundtrip + waves AS/AT); (1) every registry query whose
-# driver record is still empty, oldest-unproven first — the round-5
-# restarted-session tier resumes exactly where the r5 window stopped
-# (t_closeness was the last checked entry), then the later r5 waves, the
-# 4 modified implementations, and the r1-only-proven relational tier;
-# (2) the 50 queries the r5 window just proved rotate to the back.  Tail
-# keeps module order.
+# registration order.  Round-7 rotation (the VERDICT r4 #2 policy,
+# continued): (0) the 23 round-7 operators (zero prior proof:
+# agreement/spatial/survival/census tiers, DynamoDB roundtrip, skew
+# advisor); (1) every registry query whose driver record is still
+# empty, oldest-unproven first — the queue resumes exactly where the r6
+# window will stop; (2) previously-proven queries keep rotating to the
+# back.  Tail keeps module order.
 _GATE_PRIORITY = (
     # round-7 window: the new-this-round operators lead (zero prior proof),
     # then the never-driver-checked queue continues unchanged below

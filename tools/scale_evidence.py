@@ -293,6 +293,17 @@ RELATIONAL_QUERIES = [
     "krippendorff_alpha",
     "tokenizer_fertility",
     "quality_yield_curve",
+    # round-7 session-2: burrows scans the 10x suffix-sharded corpus with
+    # a (sources x 30)-bounded panel; media histogram is one Arrow pass;
+    # hot-keys/capture/ddsketch/skew reduce 10x facts to bounded frames;
+    # unseen-vocab shuffles the token stream once on (lang, word)
+    "media_byte_histogram",
+    "burrows_delta_sources",
+    "cdc_hot_keys",
+    "unseen_vocabulary_estimate",
+    "capture_recapture_estimate",
+    "ddsketch_quantiles",
+    "partition_skew_advisor",
 ]
 
 
