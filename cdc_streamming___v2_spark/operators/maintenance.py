@@ -423,3 +423,219 @@ ORACLES_partition_skew = f"""
 
 QUERIES["partition_skew_advisor"] = partition_skew_advisor
 ORACLES["partition_skew_advisor"] = ORACLES_partition_skew
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key health across every star-schema edge: per edge, child
+    rows, ORPHANS (children whose parent key is missing — the signature
+    of out-of-order CDC apply: a lineitem change landing before its
+    order's insert), parents, and CHILDLESS parents (real business
+    signal: customers who never ordered).  The audit a CDC warehouse
+    runs after every backfill; pairs with fd_violations (functional
+    dependencies) on the constraint-audit shelf.
+
+    ONE declarative plan (a union of five 1-row edge aggregates — no
+    driver-side .count() loop; the first cut launched ~20 sequential
+    jobs and paid ~1 s of scheduling overhead each): per edge, a full
+    outer join of the distinct child keys (with multiplicities) against
+    the distinct parent keys, folded into the four counts with
+    conditional sums.  Parent sides broadcast where they are dims.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, ck, parent, pk):
+        ckeys = child.groupBy(F.col(ck).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        pkeys = parent.select(F.col(pk).alias("__k")).distinct().withColumn(
+            "__p", F.lit(1)
+        )
+        j = ckeys.join(pkeys, "__k", "full_outer")
+        return j.agg(
+            F.lit(name).alias("edge"),
+            F.sum(F.coalesce(F.col("__n"), F.lit(0))).alias("n_child"),
+            F.sum(
+                F.when(F.col("__p").isNull(), F.col("__n")).otherwise(0)
+            ).alias("n_orphans"),
+            F.sum(F.coalesce(F.col("__p"), F.lit(0))).alias("n_parents"),
+            F.sum(
+                F.when(F.col("__n").isNull() & F.col("__p").isNotNull(), 1)
+                .otherwise(0)
+            ).alias("n_childless"),
+        )
+
+    edges = [
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out.select(
+        "edge",
+        "n_child",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("n_child"), 6).alias(
+            "orphan_share"
+        ),
+        "n_parents",
+        "n_childless",
+        F.round(F.col("n_childless") / F.col("n_parents"), 6).alias(
+            "childless_share"
+        ),
+    ).orderBy("edge")
+
+
+ORACLES["referential_integrity_audit"] = """
+    WITH edges AS (
+        SELECT 'lineitem->orders' AS edge,
+               (SELECT count(*) FROM lineitem) AS n_child,
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                   AS n_orphans,
+               (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_parents,
+               (SELECT count(*) FROM (
+                    SELECT DISTINCT o_orderkey FROM orders
+                    WHERE o_orderkey NOT IN
+                          (SELECT l_orderkey FROM lineitem))) AS n_childless
+        UNION ALL
+        SELECT 'lineitem->part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+               (SELECT count(DISTINCT p_partkey) FROM part),
+               (SELECT count(*) FROM (
+                    SELECT DISTINCT p_partkey FROM part
+                    WHERE p_partkey NOT IN
+                          (SELECT l_partkey FROM lineitem)))
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)),
+               (SELECT count(DISTINCT s_suppkey) FROM supplier),
+               (SELECT count(*) FROM (
+                    SELECT DISTINCT s_suppkey FROM supplier
+                    WHERE s_suppkey NOT IN
+                          (SELECT l_suppkey FROM lineitem)))
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+               (SELECT count(DISTINCT c_custkey) FROM customer),
+               (SELECT count(*) FROM (
+                    SELECT DISTINCT c_custkey FROM customer
+                    WHERE c_custkey NOT IN
+                          (SELECT o_custkey FROM orders)))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer
+                WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+               (SELECT count(DISTINCT n_nationkey) FROM nation),
+               (SELECT count(*) FROM (
+                    SELECT DISTINCT n_nationkey FROM nation
+                    WHERE n_nationkey NOT IN
+                          (SELECT c_nationkey FROM customer)))
+    )
+    SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           round(n_orphans * 1.0 / n_child, 6) AS orphan_share,
+           CAST(n_parents AS BIGINT) AS n_parents,
+           CAST(n_childless AS BIGINT) AS n_childless,
+           round(n_childless * 1.0 / n_parents, 6) AS childless_share
+    FROM edges
+    ORDER BY edge
+"""
+QUERIES["referential_integrity_audit"] = referential_integrity_audit
+
+
+def key_candidate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over orders: for each candidate column
+    set, total vs distinct rows, duplicate mass, and the is_unique
+    verdict — the profiling step before declaring a MERGE key or a
+    bucketing column (a non-unique merge key silently fans out
+    updates).  Companion of fd_violations (which checks a DECLARED
+    dependency; this discovers candidates).
+
+    Exact integer counts; one aggregate per candidate (4 scans, an
+    offline profiler's cost).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cands = [
+        ("o_orderkey", [F.col("o_orderkey")]),
+        ("o_custkey", [F.col("o_custkey")]),
+        ("o_custkey+o_orderdate", [F.col("o_custkey"), F.col("o_orderdate")]),
+        ("o_orderdate", [F.col("o_orderdate")]),
+    ]
+    frames = []
+    for name, cols in cands:
+        g = o.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+        agg = g.agg(
+            F.lit(name).alias("candidate"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_rows"
+            ),
+        )
+        frames.append(agg)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out.select(
+        "candidate",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("dup_rows").cast("long").alias("dup_rows"),
+        (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+        F.round(F.col("n_distinct") / F.col("n_rows").cast("double"), 6)
+        .alias("uniqueness"),
+    ).orderBy("candidate")
+
+
+ORACLES["key_candidate_scan"] = """
+    WITH c1 AS (
+        SELECT 'o_orderkey' AS candidate, sum(c) AS n_rows,
+               count(*) AS n_distinct,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_rows
+        FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+    ),
+    c2 AS (
+        SELECT 'o_custkey', sum(c), count(*),
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+        FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)
+    ),
+    c3 AS (
+        SELECT 'o_custkey+o_orderdate', sum(c), count(*),
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+        FROM (SELECT count(*) AS c FROM orders
+              GROUP BY o_custkey, o_orderdate)
+    ),
+    c4 AS (
+        SELECT 'o_orderdate', sum(c), count(*),
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+        FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderdate)
+    ),
+    u AS (
+        SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+    )
+    SELECT candidate, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(dup_rows AS BIGINT) AS dup_rows,
+           n_rows = n_distinct AS is_unique,
+           round(n_distinct * 1.0 / n_rows, 6) AS uniqueness
+    FROM u
+    ORDER BY candidate
+"""
+QUERIES["key_candidate_scan"] = key_candidate_scan

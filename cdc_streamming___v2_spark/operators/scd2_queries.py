@@ -250,3 +250,66 @@ ORACLES = {
               END IS NOT NULL
     """,
 }
+
+
+BT_VALID_TS = "2024-01-10 00:00:00"  # valid-time axis pin
+BT_TXN_TS = "2024-01-15 00:00:00"  # transaction-time axis pin (= AS_OF_TS)
+
+
+def bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL point-in-time read: state per user as it was VALID at
+    BT_VALID_TS, using only what the system KNEW by BT_TXN_TS — the
+    two-axis generalization of scd2_as_of (one axis) that answers the
+    audit question single-axis SCD2 cannot: "what did we believe on the
+    15th about the world of the 10th?"  Late-arriving facts (recorded
+    after they became true) are the whole point: a fact recorded on the
+    14th with validity from the 9th IS visible here, while a correction
+    recorded on the 16th is not.
+
+    Valid time synthesizes deterministically as
+    ts - (event_id % 72) hours (every event became true 0-71 h before
+    the system recorded it — the classic late-fact shape).  Within the
+    two cuts the winner per user is the newest by (valid_from, ts,
+    event_id); tombstones hide the key exactly as in latest_state.
+
+    Scale: two pushdown-able cuts + the same single keyed window as
+    every SCD2 read.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "valid_from",
+        F.col("ts")
+        - F.make_interval(hours=(F.col("event_id") % 72).cast("int")),
+    )
+    cut = e.filter(
+        (F.col("ts") <= F.lit(BT_TXN_TS).cast("timestamp"))
+        & (F.col("valid_from") <= F.lit(BT_VALID_TS).cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("valid_from").desc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        cut.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", "event_id", "event_type", "valid_from", "ts", "value")
+    )
+
+
+ORACLES["bitemporal_as_of"] = f"""
+    SELECT user_id, event_id, event_type, valid_from, ts, value
+    FROM (
+        SELECT user_id, event_id, event_type, ts, value,
+               ts - to_hours(CAST(event_id % 72 AS BIGINT)) AS valid_from,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts - to_hours(CAST(event_id % 72 AS BIGINT))
+                            DESC, ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts <= TIMESTAMP '{BT_TXN_TS}'
+          AND ts - to_hours(CAST(event_id % 72 AS BIGINT))
+              <= TIMESTAMP '{BT_VALID_TS}'
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+"""
+QUERIES["bitemporal_as_of"] = bitemporal_as_of
