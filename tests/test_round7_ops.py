@@ -510,3 +510,70 @@ def test_partition_skew_advisor_matches_pandas(spark):
         assert r["p50_rows"] == int(srt[(n + 1) // 2 - 1])
         assert r["p99_rows"] == int(srt[-(-99 * n // 100) - 1])
         assert abs(r["max_share"] - srt[-1] / len(li)) < 1e-6
+
+
+def test_bitemporal_respects_both_axes(spark):
+    """Twin: per-user Python walk with both cuts + the axis-separation
+    property (a fact recorded after T or valid after V never appears)."""
+    from cdc_streamming___v2_spark.operators.scd2_queries import (
+        BT_TXN_TS,
+        BT_VALID_TS,
+        bitemporal_as_of,
+    )
+
+    rows = {r["user_id"]: r for r in bitemporal_as_of(spark, SF_SMALL).collect()}
+    e = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    e["valid_from"] = e["ts"] - pd.to_timedelta(e["event_id"] % 72, unit="h")
+    T = pd.Timestamp(BT_TXN_TS)
+    V = pd.Timestamp(BT_VALID_TS)
+    cut = e[(e["ts"] <= T) & (e["valid_from"] <= V)]
+    want = {}
+    for uid, g in cut.groupby("user_id"):
+        g = g.sort_values(
+            ["valid_from", "ts", "event_id"], ascending=False
+        ).iloc[0]
+        if g["event_type"] != "error":
+            want[uid] = (g["event_id"], g["event_type"])
+    assert {u: (r["event_id"], r["event_type"]) for u, r in rows.items()} == want
+    for r in rows.values():
+        assert r["ts"] <= T and r["valid_from"] <= V
+
+
+def test_referential_integrity_clean_schema_and_childless(spark):
+    from cdc_streamming___v2_spark.operators.maintenance import (
+        referential_integrity_audit,
+    )
+
+    rows = {r["edge"]: r for r in referential_integrity_audit(spark, SF_SMALL).collect()}
+    assert set(rows) == {
+        "lineitem->orders", "lineitem->part", "lineitem->supplier",
+        "orders->customer", "customer->nation",
+    }
+    # the synthetic star is referentially clean
+    assert all(r["n_orphans"] == 0 for r in rows.values())
+    # childless parents is a real signal: customers without orders
+    c = pd.read_parquet(f"{SF_SMALL}/customer.parquet", columns=["c_custkey"])
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet", columns=["o_custkey"])
+    childless = len(set(c["c_custkey"]) - set(o["o_custkey"]))
+    r = rows["orders->customer"]
+    assert r["n_childless"] == childless
+    assert r["n_parents"] == c["c_custkey"].nunique()
+    assert r["n_child"] == len(o)
+
+
+def test_key_candidate_scan_verdicts(spark):
+    from cdc_streamming___v2_spark.operators.maintenance import (
+        key_candidate_scan,
+    )
+
+    rows = {r["candidate"]: r for r in key_candidate_scan(spark, SF_SMALL).collect()}
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    assert rows["o_orderkey"]["is_unique"] is True
+    assert rows["o_orderkey"]["dup_rows"] == 0
+    assert rows["o_custkey"]["n_distinct"] == o["o_custkey"].nunique()
+    assert rows["o_orderdate"]["n_distinct"] == o["o_orderdate"].nunique()
+    combo = o.groupby(["o_custkey", "o_orderdate"]).size()
+    r = rows["o_custkey+o_orderdate"]
+    assert r["n_distinct"] == len(combo)
+    assert r["dup_rows"] == int(combo[combo > 1].sum())
+    assert r["is_unique"] == bool((combo == 1).all())
