@@ -415,6 +415,10 @@ HEADLINE = [
     "unseen_vocabulary_estimate",
     "capture_recapture_estimate",
     "ddsketch_quantiles",
+    "partition_skew_advisor",
+    "bitemporal_as_of",
+    "referential_integrity_audit",
+    "key_candidate_scan",
 ]
 
 

@@ -304,6 +304,8 @@ RELATIONAL_QUERIES = [
     "capture_recapture_estimate",
     "ddsketch_quantiles",
     "partition_skew_advisor",
+    "referential_integrity_audit",
+    "key_candidate_scan",
 ]
 
 
