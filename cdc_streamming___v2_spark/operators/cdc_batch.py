@@ -1317,3 +1317,95 @@ ORACLES["cdc_hot_keys"] = """
     ORDER BY h.object, n_versions
 """
 QUERIES["cdc_hot_keys"] = cdc_hot_keys
+
+
+def debezium_flat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> flattened Debezium (ExtractNewRecordState SMT) rows ->
+    parse_envelope_debezium_flat -> routed payload decode -> per-action
+    rollup (twelfth-producer coverage).
+
+    Exercises the documented SMT output shapes in one plan:
+    - okey % 4 = 0: add.fields=op,ts_ms,table row (__op = c, INSERT);
+    - okey % 4 = 1: delete.handling.mode=rewrite WITHOUT __op
+      (__deleted = "false" -> UPDATE-INSERT — the SMT can't distinguish
+      c from u in this mode);
+    - okey % 4 = 2: rewrite DELETE (__deleted = "true") carrying the
+      FULL last row image (keys always recoverable — revenue sums over
+      deletes too, unlike the tombstoning producers);
+    - okey % 4 = 3: plain SMT row with NO added metadata -> INSERT with
+      a NULL timestamp (indistinguishable from a snapshot insert);
+    - the __* metadata keys drop at the routed from_json decode.
+    """
+    from ..sources.cdc_schema import parse_envelope_debezium_flat
+
+    o = load_table(spark, sf_dir, "orders")
+    ms = (F.unix_timestamp(F.to_timestamp("o_orderdate")) * 1000).cast(
+        "long"
+    ).cast("string")
+    mode = F.col("o_orderkey") % 4
+    row_body = F.concat(
+        F.lit('"o_orderkey":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"o_custkey":'), F.col("o_custkey").cast("string"),
+        F.lit(',"o_orderstatus":"'), F.col("o_orderstatus"),
+        F.lit('","o_totalprice":'), F.col("o_totalprice").cast("string"),
+    )
+    meta_full = F.concat(
+        F.lit(',"__op":"c","__ts_ms":'), ms,
+        F.lit(',"__table":"orders_feed","__lsn":9911'),
+    )
+    meta_upd = F.concat(
+        F.lit(',"__deleted":"false","__ts_ms":'), ms,
+        F.lit(',"__table":"orders_feed"'),
+    )
+    meta_del = F.concat(
+        F.lit(',"__deleted":"true","__ts_ms":'), ms,
+        F.lit(',"__table":"orders_feed"'),
+    )
+    line = F.concat(
+        F.lit("{"),
+        row_body,
+        F.when(mode == 0, meta_full)
+        .when(mode == 1, meta_upd)
+        .when(mode == 2, meta_del)
+        .otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    parsed = parse_envelope_debezium_flat(
+        o.select(line.alias("value")), default_table="orders_feed"
+    )
+    routed = (
+        parsed.filter(F.col("action").isNotNull())
+        .filter(F.col("object") == "orders_feed")
+        .select(
+            "action",
+            F.to_timestamp("update_date_raw").alias("update_date"),
+            F.from_json("payload_json", _PAYLOAD_SCHEMA).alias("p"),
+        )
+    )
+    rows = routed.select("action", "update_date", "p.*")
+    return rows.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkeys"),
+        F.count("update_date").alias("n_timestamped"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max("update_date").alias("last_update"),
+    )
+
+
+ORACLES["debezium_flat_roundtrip"] = """
+    SELECT CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 'INSERT'
+               WHEN 1 THEN 'UPDATE-INSERT'
+               WHEN 2 THEN 'DELETE'
+               ELSE 'INSERT' END AS action,
+           count(*) AS n_rows,
+           count(*) AS n_custkeys,
+           sum(CASE WHEN o_orderkey % 4 <= 2 THEN 1 ELSE 0 END)
+               AS n_timestamped,
+           round(sum(o_totalprice), 2) AS revenue,
+           max(CASE WHEN o_orderkey % 4 <= 2 THEN o_orderdate END)
+               AS last_update
+    FROM orders
+    GROUP BY 1
+"""
+QUERIES["debezium_flat_roundtrip"] = debezium_flat_roundtrip

@@ -321,6 +321,10 @@ def parse_envelope_auto(
       carry a top-level ``type``);
     - DynamoDB Streams iff it has ``eventName`` + a ``dynamodb`` body
       (typed-AttributeValue images);
+    - flattened Debezium (ExtractNewRecordState SMT) iff it has a
+      ``__op`` or ``__deleted`` field (plain SMT rows WITHOUT added
+      metadata are indistinguishable from generic JSON and fall to the
+      Datastream path — documented);
     - Canal iff it has a ``type`` field AND ``$.data[0]`` resolves (data
       is an ARRAY — get_json_object's [0] path is null on objects);
     - Maxwell iff it has ``type`` + object-shaped ``data``;
@@ -386,6 +390,20 @@ def parse_envelope_auto(
         & F.get_json_object(line, "$.eventName").isNotNull()
         & F.get_json_object(line, "$.dynamodb").isNotNull()
     )
+    is_dbzf = (
+        ~is_dbz
+        & ~is_ogg
+        & ~is_dms
+        & ~is_mssql
+        & ~is_mongo
+        & ~is_w2j
+        & ~is_aby
+        & ~is_ddb
+        & (
+            F.get_json_object(line, "$.__op").isNotNull()
+            | F.get_json_object(line, "$.__deleted").isNotNull()
+        )
+    )
     has_type = F.get_json_object(line, "$.type").isNotNull()
     is_canal = (
         ~is_dbz
@@ -396,6 +414,7 @@ def parse_envelope_auto(
         & ~is_w2j
         & ~is_aby
         & ~is_ddb
+        & ~is_dbzf
         & has_type
         & F.get_json_object(line, "$.data[0]").isNotNull()
     )
@@ -408,13 +427,14 @@ def parse_envelope_auto(
         & ~is_w2j
         & ~is_aby
         & ~is_ddb
+        & ~is_dbzf
         & ~is_canal
         & has_type
         & F.get_json_object(line, "$.data").isNotNull()
     )
     is_ds = (
         ~is_dbz & ~is_ogg & ~is_dms & ~is_mssql & ~is_mongo & ~is_w2j
-        & ~is_aby & ~is_ddb & ~is_canal & ~is_maxwell
+        & ~is_aby & ~is_ddb & ~is_dbzf & ~is_canal & ~is_maxwell
     )
     ds = parse_envelope(raw_lines.filter(is_ds), line_col)
     dz = parse_envelope_debezium(raw_lines.filter(is_dbz), line_col)
@@ -425,6 +445,7 @@ def parse_envelope_auto(
     w2 = parse_envelope_wal2json(raw_lines.filter(is_w2j), line_col)
     ab = parse_envelope_airbyte(raw_lines.filter(is_aby), line_col)
     dd = parse_envelope_dynamodb(raw_lines.filter(is_ddb), line_col)
+    df_ = parse_envelope_debezium_flat(raw_lines.filter(is_dbzf), line_col)
     mx = parse_envelope_maxwell(raw_lines.filter(is_maxwell), line_col)
     cn = parse_envelope_canal(raw_lines.filter(is_canal), line_col)
     return (
@@ -436,6 +457,7 @@ def parse_envelope_auto(
         .unionByName(w2)
         .unionByName(ab)
         .unionByName(dd)
+        .unionByName(df_)
         .unionByName(mx)
         .unionByName(cn)
     )
@@ -942,4 +964,66 @@ def parse_envelope_dynamodb(
         update_raw.alias("update_date_raw"),
         payload.alias("payload_json"),
         "raw",
+    )
+
+
+def parse_envelope_debezium_flat(
+    raw_lines: DataFrame,
+    line_col: str = "value",
+    default_table: str | None = None,
+) -> DataFrame:
+    """Debezium records AFTER the ExtractNewRecordState SMT (the twelfth
+    producer shape) -> the canonical envelope columns.  Most Kafka
+    Connect deployments run this SMT, so consumers see the FLATTENED
+    row — the raw column fields at top level plus the metadata the SMT
+    is configured to add back (the documented public options):
+
+    - ``__op`` (add.fields=op): c/u/d/r -> the Debezium action map;
+      absent __op with ``__deleted`` present still resolves (the
+      delete.handling.mode=rewrite shape): __deleted true -> DELETE,
+      false -> UPDATE-INSERT (the SMT does not distinguish c from u
+      when only __deleted is added); neither field -> INSERT (plain
+      snapshot/stream row with drop.tombstones and no added fields is
+      indistinguishable from an insert — documented).
+    - ``__ts_ms`` (add.fields=ts_ms) -> the canonical timestamp.
+    - ``__table`` / ``__source_table`` (add.fields=table) -> routing,
+      falling back to ``default_table``.
+    - payload = the line itself; the ``__*`` metadata keys drop at the
+      routed from_json decode because no table schema declares them
+      (the SQL Server ``__$`` / Airbyte ``_ab_cdc_*`` precedent).
+    - rewrite-mode DELETES carry the full last row image (the SMT
+      rewrites instead of tombstoning), so keys are always recoverable;
+      actual Kafka tombstones arrive as null/empty lines and fall out
+      as NULL-action dead letters.
+    """
+    line = F.col(line_col)
+    op = F.get_json_object(line, "$.__op")
+    deleted = F.get_json_object(line, "$.__deleted")
+    action: Column = F.lit(None).cast("string")
+    for code, act in DEBEZIUM_ACTIONS:
+        action = F.when(op == code, F.lit(act)).otherwise(action)
+    action = F.when(op.isNotNull(), action).otherwise(
+        F.when(F.lower(deleted) == "true", F.lit("DELETE"))
+        .when(deleted.isNotNull(), F.lit("UPDATE-INSERT"))
+        .when(
+            F.get_json_object(line, "$").isNotNull(), F.lit("INSERT")
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    ts = F.timestamp_millis(
+        F.get_json_object(line, "$.__ts_ms").try_cast("long")
+    )
+    table = F.coalesce(
+        F.get_json_object(line, "$.__table"),
+        F.get_json_object(line, "$.__source_table"),
+        F.lit(default_table).cast("string"),
+    )
+    return raw_lines.select(
+        table.alias("object"),
+        action.alias("action"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSS").alias(
+            "update_date_raw"
+        ),
+        line.alias("payload_json"),
+        line.alias("raw"),
     )

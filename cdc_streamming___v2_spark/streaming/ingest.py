@@ -45,6 +45,7 @@ from ..sources.cdc_schema import (
     parse_envelope_wal2json,
     parse_envelope_airbyte,
     parse_envelope_aws_dms,
+    parse_envelope_debezium_flat,
     parse_envelope_dynamodb,
     parse_envelope_canal,
     parse_envelope_debezium,
@@ -143,6 +144,8 @@ class CdcIngest:
             return parse_envelope_airbyte(raw)
         if self.envelope_format == "dynamodb":
             return parse_envelope_dynamodb(raw)
+        if self.envelope_format == "debezium_flat":
+            return parse_envelope_debezium_flat(raw)
         if self.envelope_format == "auto":
             return parse_envelope_auto(raw)
         if self.envelope_format != "datastream":

@@ -1628,3 +1628,118 @@ def test_dynamodb_e2e_ingest(spark, tmp_path_factory):
     assert "in_stock" not in rows[0].asDict()
     assert by_action["DELETE"]["product_id"] == "p3"
     assert by_action["DELETE"]["product_photos_qty"] is None
+
+
+# ---------------------------------------------------------------------------
+# Flattened Debezium (ExtractNewRecordState SMT) adapter (twelfth producer)
+# ---------------------------------------------------------------------------
+
+
+def _dbzf(data, ms=None, op=None, deleted=None, table="olist_produtos"):
+    d = dict(data)
+    if op is not None:
+        d["__op"] = op
+    if deleted is not None:
+        d["__deleted"] = deleted
+    if ms is not None:
+        d["__ts_ms"] = ms
+    if op is not None or deleted is not None or ms is not None:
+        d["__table"] = table
+        d["__lsn"] = 424242
+    return json.dumps(d)
+
+
+DBZF_LINES = [
+    _dbzf(P3, 1704672000000, op="c"),                      # insert
+    _dbzf(P3_V2, 1704758400000, op="u"),                   # update
+    # rewrite mode without __op: deleted=false -> UPDATE-INSERT
+    _dbzf(P3_V2, 1704790000000, deleted="false"),
+    # rewrite DELETE carries the full last image
+    _dbzf(P3_V2, 1704844800000, deleted="true"),
+    # plain SMT row, no metadata: INSERT, null timestamp, default route
+    _dbzf(P3),
+]
+
+
+def test_debezium_flat_envelope_parses(spark):
+    from cdc_streamming___v2_spark.sources.cdc_schema import (
+        parse_envelope_debezium_flat,
+    )
+
+    df = spark.createDataFrame([(l,) for l in DBZF_LINES], "value string")
+    rows = parse_envelope_debezium_flat(
+        df, default_table="olist_produtos"
+    ).collect()
+    assert [r["action"] for r in rows] == [
+        "INSERT", "UPDATE-INSERT", "UPDATE-INSERT", "DELETE", "INSERT",
+    ]
+    assert rows[0]["update_date_raw"] == "2024-01-08 00:00:00.000"
+    assert rows[4]["update_date_raw"] is None  # plain row: no __ts_ms
+    assert all(r["object"] == "olist_produtos" for r in rows)
+    # rewrite delete keeps the full image
+    pd_ = json.loads(rows[3]["payload_json"])
+    assert pd_["product_category_name"] == "hardware"
+    assert pd_["__deleted"] == "true"  # drops later at routed decode
+
+
+def test_auto_dispatch_includes_debezium_flat(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc_mixed12")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "all.jsonl"), "w") as f:
+        f.write("\n".join(
+            [LINES[0], DBZ_LINES[0], MXW_LINES[0], CNL_LINES[0],
+             DMS_LINES[0], OGG_LINES[0], MSSQL_LINES[0], MONGO_LINES[0],
+             W2J_LINES[0], ABY_LINES[0], DDB_LINES[0], DBZF_LINES[0]]
+        ) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="auto",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    # 12 producers: ds + dbz + maxwell + 2 canal + dms + ogg + mssql
+    # + mongo + wal2json + airbyte + dynamodb + debezium-flat
+    assert len(rows) == 13
+
+
+def test_debezium_flat_e2e_ingest(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdc_dbzf_e2e")
+    in_dir, out_dir, ck_dir = (
+        str(root / "in"), str(root / "out"), str(root / "ck"),
+    )
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "changes.jsonl"), "w") as f:
+        f.write("\n".join(DBZF_LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ck_dir,
+        envelope_format="debezium_flat",
+    )
+    ing.run_available_single_pass()
+    rows = ing.history("olist_produtos").collect()
+    # the PLAIN SMT row carries no __table: on Kafka the TOPIC routes it,
+    # but a file stand-in has no topic, so strict ingest dead-letters it
+    # (callers that know the topic pass default_table to the adapter —
+    # covered by the unit test above)
+    assert len(rows) == 4
+    by_action = {}
+    for r in rows:
+        by_action.setdefault(r["action"], []).append(r)
+    assert len(by_action["INSERT"]) == 1
+    assert len(by_action["UPDATE-INSERT"]) == 2
+    assert len(by_action["DELETE"]) == 1
+    # __* metadata dropped at the routed decode
+    assert "__lsn" not in rows[0].asDict()
+    assert by_action["DELETE"][0]["product_category_name"] == "hardware"
+    dl = ing.dead_letter()
+    assert dl.count() == 1  # the routeless plain row, raw line preserved
