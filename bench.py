@@ -419,6 +419,7 @@ HEADLINE = [
     "bitemporal_as_of",
     "referential_integrity_audit",
     "key_candidate_scan",
+    "debezium_flat_roundtrip",
 ]
 
 

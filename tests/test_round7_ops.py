@@ -577,3 +577,75 @@ def test_key_candidate_scan_verdicts(spark):
     assert r["n_distinct"] == len(combo)
     assert r["dup_rows"] == int(combo[combo > 1].sum())
     assert r["is_unique"] == bool((combo == 1).all())
+
+
+def test_round7_remaining_ops_never_plan_cartesian(spark):
+    """Blanket plan audit for the round-7 ops not covered by their own
+    wave's plan test (broadcast scalar frames show as
+    BroadcastNestedLoopJoin, never CartesianProduct)."""
+    from cdc_streamming___v2_spark.operators.behavior import (
+        competing_risks_cif,
+        rmst_survival,
+    )
+    from cdc_streamming___v2_spark.operators.causal import ipw_ate
+    from cdc_streamming___v2_spark.operators.cdc_batch import (
+        cdc_hot_keys,
+        debezium_flat_roundtrip,
+        dynamodb_stream_roundtrip,
+    )
+    from cdc_streamming___v2_spark.operators.corpus_ops import (
+        unseen_vocabulary_estimate,
+    )
+    from cdc_streamming___v2_spark.operators.maintenance import (
+        key_candidate_scan,
+        partition_skew_advisor,
+        referential_integrity_audit,
+    )
+    from cdc_streamming___v2_spark.operators.multimodal import (
+        media_byte_histogram,
+    )
+    from cdc_streamming___v2_spark.operators.pipeline_ops import (
+        capture_recapture_estimate,
+    )
+    from cdc_streamming___v2_spark.operators.scd2_queries import (
+        bitemporal_as_of,
+    )
+    from cdc_streamming___v2_spark.operators.sketches import (
+        ddsketch_quantiles,
+    )
+    from cdc_streamming___v2_spark.operators.stats_ext import gesd_outliers
+    from cdc_streamming___v2_spark.operators.text_analysis import (
+        burrows_delta_sources,
+        quality_yield_curve,
+        tokenizer_fertility,
+    )
+    from cdc_streamming___v2_spark.operators.diagnostics_ext import (
+        panel_fe_trend,
+    )
+
+    ops = (
+        rmst_survival, competing_risks_cif, ipw_ate, cdc_hot_keys,
+        dynamodb_stream_roundtrip, debezium_flat_roundtrip,
+        unseen_vocabulary_estimate, key_candidate_scan,
+        partition_skew_advisor, referential_integrity_audit,
+        media_byte_histogram, capture_recapture_estimate,
+        bitemporal_as_of, ddsketch_quantiles, gesd_outliers,
+        burrows_delta_sources, quality_yield_curve, tokenizer_fertility,
+        panel_fe_trend,
+    )
+    for fn in ops:
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_bitemporal_pushes_cuts_to_scan(spark):
+    """Both temporal cuts must reach the scan as pushed filters (the
+    transaction-time cut is a plain ts predicate; the valid-time cut is
+    derived, so at minimum the plan must FILTER before the window)."""
+    from cdc_streamming___v2_spark.operators.scd2_queries import (
+        bitemporal_as_of,
+    )
+
+    plan = bitemporal_as_of(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    # the window sees a filtered child, never the raw scan
+    assert plan.index("Filter") < plan.index("Window")

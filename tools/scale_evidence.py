@@ -306,6 +306,7 @@ RELATIONAL_QUERIES = [
     "partition_skew_advisor",
     "referential_integrity_audit",
     "key_candidate_scan",
+    "debezium_flat_roundtrip",
 ]
 
 
