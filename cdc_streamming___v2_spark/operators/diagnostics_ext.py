@@ -1811,3 +1811,117 @@ ORACLES["panel_fe_trend"] = """
     FROM agg
 """
 QUERIES["panel_fe_trend"] = panel_fe_trend
+
+
+def cooks_distance_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's-distance influence screen on the daily-revenue OLS trend —
+    the INFLUENCE member of the regression battery (jarque_bera tests
+    residual shape, breusch_pagan their variance, durbin_watson their
+    correlation, chow their stability; none says WHICH days drive the
+    fit).  Top 10 days by D_i with leverage, residual, and the 4/n flag.
+
+    Exact machinery: with Dx = n*Sxx - Sx^2 and Nb = n*Sxy - Sx*Sy, the
+    residual numerator E_i = n*Dx*y_i - Dx*Sy + Nb*Sx - n*Nb*x_i and the
+    leverage numerator H_i = Dx + (n*x_i - Sx)^2 are EXACT decimal
+    integers over the common denominator n*Dx, so e_i / h_ii / s^2 / D_i
+    evaluate as identical double expressions of identical integers in
+    both engines (E_i^2 would overflow decimal(38) at bench scale — the
+    SSE instead folds via the moment identity
+    n*sum e^2 = (n*Syy - Sy^2) - Nb^2/Dx with Nb squared in double).
+
+    Scale: one reduce to the calendar-bounded daily frame, one 1-row
+    broadcast, one TakeOrderedAndProject top-10.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast(_DEC)
+        .alias("y")
+    ).withColumn(
+        "x",
+        F.datediff(F.col("day"), F.lit("1995-01-01")).cast("long").cast(_DEC),
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    j = daily.crossJoin(F.broadcast(mom))
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    nb = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    e_num = (
+        F.col("n") * dx * F.col("y")
+        - dx * F.col("sy")
+        + nb * F.col("sx")
+        - F.col("n") * nb * F.col("x")
+    ).cast("double")
+    h_num = (dx + (F.col("n") * F.col("x") - F.col("sx"))
+             * (F.col("n") * F.col("x") - F.col("sx"))).cast("double")
+    ndx = (F.col("n") * dx).cast("double")
+    nd = F.col("n").cast("double")
+    e = e_num / ndx
+    h = h_num / ndx
+    sse_n = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    ) - nb.cast("double") * nb.cast("double") / dx.cast("double")
+    s2 = sse_n / (nd * (nd - 2.0))
+    d = e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+    ranked = j.select(
+        "day",
+        F.round(e / 100.0, 2).alias("residual_dollars"),
+        F.round(h, 6).alias("leverage"),
+        F.round(d, 6).alias("cooks_d"),
+        (d > 4.0 / nd).alias("influential_4n"),
+    )
+    return ranked.orderBy(F.col("cooks_d").desc(), "day").limit(10)
+
+
+ORACLES["cooks_distance_screen"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS y,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS HUGEINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM daily
+    ),
+    j AS (
+        SELECT day, x, y, n, sx, sy, sxy, sxx, syy,
+               n * sxx - sx * sx AS dx,
+               n * sxy - sx * sy AS nb
+        FROM daily, mom
+    ),
+    terms AS (
+        SELECT day,
+               CAST(n * dx * y - dx * sy + nb * sx - n * nb * x AS DOUBLE)
+                   / CAST(n * dx AS DOUBLE) AS e,
+               CAST(dx + (n * x - sx) * (n * x - sx) AS DOUBLE)
+                   / CAST(n * dx AS DOUBLE) AS h,
+               (CAST(n * syy - sy * sy AS DOUBLE)
+                - CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                  / CAST(dx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 2.0)) AS s2,
+               CAST(n AS DOUBLE) AS nd
+        FROM j
+    )
+    SELECT day, round(e / 100.0, 2) AS residual_dollars,
+           round(h, 6) AS leverage,
+           round(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6)
+               AS cooks_d,
+           e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) > 4.0 / nd
+               AS influential_4n
+    FROM terms
+    ORDER BY round(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6)
+             DESC, day
+    LIMIT 10
+"""
+QUERIES["cooks_distance_screen"] = cooks_distance_screen

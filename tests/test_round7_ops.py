@@ -649,3 +649,38 @@ def test_bitemporal_pushes_cuts_to_scan(spark):
     plan = bitemporal_as_of(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     # the window sees a filtered child, never the raw scan
     assert plan.index("Filter") < plan.index("Window")
+
+
+def test_cooks_distance_matches_statsmodels_formula(spark):
+    """Twin: leverage/residual/D from plain numpy linear algebra (hat
+    matrix diagonal via the centered-x formula, lstsq residuals)."""
+    from cdc_streamming___v2_spark.operators.diagnostics_ext import (
+        cooks_distance_screen,
+    )
+
+    rows = cooks_distance_screen(spark, SF_SMALL).collect()
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    daily = o.groupby(o["o_orderdate"].dt.date)["cents"].sum().sort_index()
+    x = np.array(
+        [(d - pd.Timestamp("1995-01-01").date()).days for d in daily.index],
+        dtype=float,
+    )
+    y = daily.to_numpy().astype(float)
+    n = len(x)
+    X = np.column_stack([np.ones(n), x])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    e = y - X @ beta
+    h = 1 / n + (x - x.mean()) ** 2 / ((x - x.mean()) ** 2).sum()
+    s2 = (e**2).sum() / (n - 2)
+    D = e**2 * h / (2 * s2 * (1 - h) ** 2)
+    order = sorted(range(n), key=lambda i: (-round(D[i], 6), daily.index[i]))
+    assert len(rows) == 10
+    for row, i in zip(rows, order[:10]):
+        assert row["day"].date() == daily.index[i]
+        assert abs(row["cooks_d"] - D[i]) < 1e-4
+        assert abs(row["leverage"] - h[i]) < 1e-6
+        assert abs(row["residual_dollars"] - e[i] / 100) < 0.02
+        assert row["influential_4n"] == bool(D[i] > 4 / n)
