@@ -420,6 +420,8 @@ HEADLINE = [
     "referential_integrity_audit",
     "key_candidate_scan",
     "debezium_flat_roundtrip",
+    "cooks_distance_screen",
+    "late_data_profile",
 ]
 
 

@@ -206,3 +206,141 @@ ORACLES["latency_sla_report"] = f"""
     GROUP BY 1
 """
 QUERIES["latency_sla_report"] = latency_sla_report
+
+
+def late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-policy evidence: per event type, how much data arrives
+    OUT OF event-time ORDER and by how long — the table an operator
+    reads before choosing `withWatermark`'s delay (too short drops the
+    late tail; too long bloats state).  Arrival order is the event_id
+    sequence (the ingest log's append order); an event is late when its
+    ts precedes the per-USER running event-time maximum at its arrival.
+
+    Exactness: the running max is a per-user ordered window (keyed —
+    scale-safe, never a global sort); lateness buckets to whole hours
+    (bounded grid), so late share / mean lateness are exact integer
+    folds and the p95 is an exact integer-div rank pick on the bounded
+    hour-bucket frame (to-the-hour resolution, documented).
+
+    Scale: ONE shuffle of events on user_id for the window, one reduce
+    to (type, hour-bucket); everything after runs on the bounded grid.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = e.withColumn("prior_max", F.max("ts").over(w)).select(
+        "event_type",
+        F.when(
+            F.col("prior_max").isNotNull() & (F.col("ts") < F.col("prior_max")),
+            F.floor(
+                (
+                    F.col("prior_max").cast("long") - F.col("ts").cast("long")
+                ) / 3600
+            ).cast("long"),
+        ).alias("late_hours"),  # null = on time (or first arrival)
+    )
+    buckets = staged.groupBy(
+        "event_type", F.col("late_hours").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = buckets.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("h").isNotNull(), F.col("c")).otherwise(0)).alias(
+            "n_late"
+        ),
+        F.sum(
+            F.when(F.col("h").isNotNull(), F.col("h") * F.col("c")).otherwise(
+                0
+            )
+        ).alias("late_hr_sum"),
+        F.max("h").alias("max_late_hours"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late_cum = (
+        buckets.filter(F.col("h").isNotNull())
+        .withColumn("cum", F.sum("c").over(wcum))
+        .join(tot.select("event_type", "n_late"), "event_type")
+        # p95 of the LATE subset: smallest hour bucket with
+        # 100*cum >= 95*n_late (exact integer test)
+        .filter(100 * F.col("cum") >= 95 * F.col("n_late"))
+        .groupBy("event_type")
+        .agg(F.min("h").alias("p95_late_hours"))
+    )
+    out = tot.join(late_cum, "event_type", "left")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.round(F.col("n_late") / F.col("n").cast("double"), 6).alias(
+            "late_share"
+        ),
+        F.round(
+            F.col("late_hr_sum") / F.nullif(F.col("n_late"), F.lit(0)).cast(
+                "double"
+            ),
+            4,
+        ).alias("mean_late_hours"),
+        F.col("p95_late_hours").cast("long").alias("p95_late_hours"),
+        F.col("max_late_hours").cast("long").alias("max_late_hours"),
+    ).orderBy("event_type")
+
+
+ORACLES["late_data_profile"] = """
+    WITH staged AS (
+        SELECT event_type,
+               CASE WHEN prior_max IS NOT NULL AND ts < prior_max
+                    THEN CAST(floor(epoch(prior_max - ts) / 3600)
+                              AS BIGINT) END AS h
+        FROM (
+            SELECT event_type, ts,
+                   max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prior_max
+            FROM events
+        )
+    ),
+    buckets AS (
+        SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+        FROM staged GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, sum(c) AS n,
+               sum(CASE WHEN h IS NOT NULL THEN c ELSE 0 END) AS n_late,
+               sum(CASE WHEN h IS NOT NULL THEN h * c ELSE 0 END)
+                   AS late_hr_sum,
+               max(h) AS max_late_hours
+        FROM buckets GROUP BY 1
+    ),
+    cum AS (
+        SELECT b.event_type, b.h,
+               sum(b.c) OVER (PARTITION BY b.event_type ORDER BY b.h
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               t.n_late
+        FROM buckets b JOIN tot t ON b.event_type = t.event_type
+        WHERE b.h IS NOT NULL
+    ),
+    p95 AS (
+        SELECT event_type, min(h) AS p95_late_hours
+        FROM cum WHERE 100 * cum >= 95 * n_late
+        GROUP BY 1
+    )
+    SELECT t.event_type AS event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(n_late AS BIGINT) AS n_late,
+           round(n_late * 1.0 / n, 6) AS late_share,
+           round(late_hr_sum / nullif(CAST(n_late AS DOUBLE), 0.0), 4)
+               AS mean_late_hours,
+           p95_late_hours,
+           max_late_hours
+    FROM tot t LEFT JOIN p95 p ON t.event_type = p.event_type
+    ORDER BY t.event_type
+"""
+QUERIES["late_data_profile"] = late_data_profile

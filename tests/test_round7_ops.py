@@ -684,3 +684,39 @@ def test_cooks_distance_matches_statsmodels_formula(spark):
         assert abs(row["leverage"] - h[i]) < 1e-6
         assert abs(row["residual_dollars"] - e[i] / 100) < 0.02
         assert row["influential_4n"] == bool(D[i] > 4 / n)
+
+
+def test_late_data_profile_matches_per_user_walk(spark):
+    from cdc_streamming___v2_spark.operators.event_windows import (
+        late_data_profile,
+    )
+
+    rows = {r["event_type"]: r for r in late_data_profile(spark, SF_SMALL).collect()}
+    e = pd.read_parquet(
+        f"{SF_SMALL}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "ts"],
+    ).sort_values(["user_id", "event_id"])
+    lates: dict[str, list[int]] = {}
+    counts: dict[str, int] = {}
+    for _uid, g in e.groupby("user_id"):
+        prior = None
+        for _, r in g.iterrows():
+            counts[r["event_type"]] = counts.get(r["event_type"], 0) + 1
+            if prior is not None and r["ts"] < prior:
+                hrs = int((prior - r["ts"]).total_seconds() // 3600)
+                lates.setdefault(r["event_type"], []).append(hrs)
+            prior = r["ts"] if prior is None else max(prior, r["ts"])
+    for et, n in counts.items():
+        r = rows[et]
+        ls = sorted(lates.get(et, []))
+        assert r["n_events"] == n
+        assert r["n_late"] == len(ls)
+        assert abs(r["late_share"] - len(ls) / n) < 1e-6
+        if ls:
+            assert abs(r["mean_late_hours"] - sum(ls) / len(ls)) < 1e-3
+            assert r["max_late_hours"] == ls[-1]
+            # p95 = smallest bucket with 100*cum >= 95*n_late
+            k = next(
+                i for i in range(len(ls)) if 100 * (i + 1) >= 95 * len(ls)
+            )
+            assert r["p95_late_hours"] == ls[k]

@@ -307,6 +307,7 @@ RELATIONAL_QUERIES = [
     "referential_integrity_audit",
     "key_candidate_scan",
     "debezium_flat_roundtrip",
+    "cooks_distance_screen",
 ]
 
 
