@@ -422,6 +422,7 @@ HEADLINE = [
     "debezium_flat_roundtrip",
     "cooks_distance_screen",
     "late_data_profile",
+    "seasonal_esd_anomalies",
 ]
 
 

@@ -5350,3 +5350,155 @@ ORACLES["gesd_outliers"] = """
     ORDER BY round
 """
 QUERIES["gesd_outliers"] = gesd_outliers
+
+
+def seasonal_esd_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-ESD anomaly detection (the Twitter S-H-ESD shape):
+    deseasonalize daily revenue by subtracting each weekday's EXACT
+    lower-median level, then run gesd_outliers' three downdating ESD
+    rounds on the residuals — a raw-series ESD flags every summer
+    Monday instead of true anomalies; removing the weekly component
+    first is what makes the screen usable on seasonal operational
+    series.
+
+    Exactness: the per-weekday median is an integer-div rank pick on
+    each weekday's bounded day frame; residuals r = x - med(dow) are
+    exact integers, so each round's argmax is a (|n*r - S| desc, day)
+    top-1 pick on exact decimals and R_i a single float expression —
+    the gesd machinery verbatim on the deseasonalized grid.
+
+    Scale: one reduce to the calendar-bounded daily frame, 7-way
+    partitioned rank windows, then three 1-row-broadcast rounds.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    ).withColumn("dow", F.dayofweek("day"))
+    w_rank = Window.partitionBy("dow").orderBy("xc", "day")
+    ranked = daily.withColumn("r", F.row_number().over(w_rank)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy("dow"))
+    )
+    med = ranked.filter(F.col("r") == F.expr("(m + 1) div 2")).select(
+        "dow", F.col("xc").alias("med")
+    )
+    resid = daily.join(F.broadcast(med), "dow").select(
+        "day", "dow", (F.col("xc") - F.col("med")).cast(_DEC).alias("x")
+    )
+    t = resid.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    remaining = resid
+    tops = []
+    for i in range(1, GESD_ROUNDS + 1):
+        dev = remaining.crossJoin(F.broadcast(t)).select(
+            "day", "dow", "x", "n", "s", "sxx",
+            F.abs(F.col("n") * F.col("x") - F.col("s")).alias("adev"),
+            (F.col("n") * F.col("x") - F.col("s") > 0).alias("above"),
+        )
+        top = dev.orderBy(F.col("adev").desc(), F.col("day").asc()).limit(1)
+        nd = F.col("n").cast("double")
+        r = (F.col("adev").cast("double") / nd) / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("s") * F.col("s")).cast(
+                "double"
+            )
+            / (nd * (nd - 1.0))
+        )
+        tops.append(
+            top.select(
+                F.lit(i).cast("int").alias("round"),
+                F.col("day").alias("anomaly_day"),
+                F.col("dow").cast("int").alias("dow"),
+                F.round(F.col("x").cast("double") / 100.0, 2).alias(
+                    "residual_dollars"
+                ),
+                F.col("above").alias("above_seasonal"),
+                F.round(r, 4).alias("r_stat"),
+                (r > F.lit(3.5)).alias("flag_3p5"),
+            )
+        )
+        t = top.select(
+            (F.col("n") - 1).alias("n"),
+            (F.col("s") - F.col("x")).alias("s"),
+            (F.col("sxx") - F.col("x") * F.col("x")).alias("sxx"),
+        )
+        remaining = remaining.join(
+            F.broadcast(top.select(F.col("day"))), "day", "left_anti"
+        )
+    out = tops[0]
+    for tdf in tops[1:]:
+        out = out.unionAll(tdf)
+    return out.orderBy("round")
+
+
+ORACLES["seasonal_esd_anomalies"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS xc,
+               dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow
+        FROM orders GROUP BY 1, 3
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY dow ORDER BY xc, day)
+                   AS r,
+               count(*) OVER (PARTITION BY dow) AS m
+        FROM daily
+    ),
+    med AS (SELECT dow, xc AS med FROM ranked WHERE r = (m + 1) // 2),
+    resid AS (
+        SELECT d.day, d.dow, d.xc - m.med AS x
+        FROM daily d JOIN med m ON d.dow = m.dow
+    ),
+    t1 AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS s,
+               sum(x * x) AS sxx
+        FROM resid
+    ),
+    top1 AS (
+        SELECT day, dow, x, n, s, sxx, abs(n * x - s) AS adev,
+               n * x - s > 0 AS above
+        FROM resid, t1
+        ORDER BY adev DESC, day ASC LIMIT 1
+    ),
+    t2 AS (SELECT n - 1 AS n, s - x AS s, sxx - x * x AS sxx FROM top1),
+    top2 AS (
+        SELECT d.day, d.dow, d.x, t.n, t.s, t.sxx,
+               abs(t.n * d.x - t.s) AS adev, t.n * d.x - t.s > 0 AS above
+        FROM resid d, t2 t
+        WHERE d.day NOT IN (SELECT day FROM top1)
+        ORDER BY adev DESC, d.day ASC LIMIT 1
+    ),
+    t3 AS (SELECT n - 1 AS n, s - x AS s, sxx - x * x AS sxx FROM top2),
+    top3 AS (
+        SELECT d.day, d.dow, d.x, t.n, t.s, t.sxx,
+               abs(t.n * d.x - t.s) AS adev, t.n * d.x - t.s > 0 AS above
+        FROM resid d, t3 t
+        WHERE d.day NOT IN (SELECT day FROM top1)
+          AND d.day NOT IN (SELECT day FROM top2)
+        ORDER BY adev DESC, d.day ASC LIMIT 1
+    ),
+    u AS (
+        SELECT 1 AS rnd, * FROM top1
+        UNION ALL SELECT 2, * FROM top2
+        UNION ALL SELECT 3, * FROM top3
+    )
+    SELECT CAST(rnd AS INTEGER) AS round, day AS anomaly_day,
+           CAST(dow AS INTEGER) AS dow,
+           round(CAST(x AS DOUBLE) / 100.0, 2) AS residual_dollars,
+           above AS above_seasonal,
+           round((CAST(adev AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * sxx - s * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))), 4) AS r_stat,
+           (CAST(adev AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(CAST(n * sxx - s * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               > 3.5 AS flag_3p5
+    FROM u
+    ORDER BY round
+"""
+QUERIES["seasonal_esd_anomalies"] = seasonal_esd_anomalies

@@ -720,3 +720,41 @@ def test_late_data_profile_matches_per_user_walk(spark):
                 i for i in range(len(ls)) if 100 * (i + 1) >= 95 * len(ls)
             )
             assert r["p95_late_hours"] == ls[k]
+
+
+def test_seasonal_esd_matches_sequential_numpy(spark):
+    """Twin: weekday-median deseasonalize + literal remove-and-recompute
+    rounds in numpy (no downdating identity)."""
+    from cdc_streamming___v2_spark.operators.stats_ext import (
+        GESD_ROUNDS,
+        seasonal_esd_anomalies,
+    )
+
+    rows = seasonal_esd_anomalies(spark, SF_SMALL).collect()
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    daily = o.groupby(o["o_orderdate"].dt.date)["cents"].sum().sort_index()
+    days = list(daily.index)
+    x = daily.to_numpy().astype(np.int64)
+    dow = np.array([d.isoweekday() % 7 + 1 for d in days])  # Spark dayofweek
+    resid = x.astype(float).copy()
+    for w in np.unique(dow):
+        vals = np.sort(x[dow == w])
+        med = vals[(len(vals) + 1) // 2 - 1]
+        resid[dow == w] = x[dow == w] - med
+    assert len(rows) == GESD_ROUNDS
+    r_work, d_work = resid.copy(), list(days)
+    for i, row in enumerate(rows, start=1):
+        n = len(r_work)
+        mu, sd = r_work.mean(), r_work.std(ddof=1)
+        maxdev = np.abs(r_work - mu).max()
+        cands = [k for k in range(n) if np.abs(r_work[k] - mu) == maxdev]
+        j = min(cands, key=lambda k: d_work[k])
+        assert row["round"] == i
+        assert str(row["anomaly_day"]).startswith(str(d_work[j]))
+        assert abs(row["r_stat"] - abs(r_work[j] - mu) / sd) < 1e-3
+        assert abs(row["residual_dollars"] - r_work[j] / 100) < 0.011
+        r_work = np.delete(r_work, j)
+        del d_work[j]

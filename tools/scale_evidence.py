@@ -308,6 +308,7 @@ RELATIONAL_QUERIES = [
     "key_candidate_scan",
     "debezium_flat_roundtrip",
     "cooks_distance_screen",
+    "seasonal_esd_anomalies",
 ]
 
 
