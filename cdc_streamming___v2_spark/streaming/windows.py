@@ -1431,3 +1431,113 @@ def misra_gries_stream_topk(emitted: DataFrame, topn: int = 10) -> DataFrame:
         .filter(F.col("rank") <= topn)
         .orderBy("event_type", "rank")
     )
+
+
+DDS_STREAM_SHARDS = 4
+
+DDS_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("counters", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+DDS_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("counters", T.StringType()),
+    ]
+)
+
+
+def ddsketch_stream(rows: DataFrame, cents_col: str = "cents") -> DataFrame:
+    """Streaming DDSketch: per-bucket-shard log-gamma counter state whose
+    decoded quantile estimates EQUAL the batch operator's
+    (operators/sketches.py ddsketch_quantiles) bucket construction on
+    the same data — bucket counters are PURE SUMS (associative,
+    order-independent), and the bucket index computes JVM-side with the
+    batch op's exact pico-rounded ln-ratio expression, so streaming /
+    batch equality is exact (test-proven).
+
+    State per shard: at most ~900/DDS_STREAM_SHARDS 'bucket:count'
+    entries — bounded by the VALUE RANGE, not the stream length (the
+    relative-error guarantee's price is log-many buckets, which is the
+    whole point at 100 TB).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            counters_s, seq = state.get
+            cur = {
+                int(e.split(":")[0]): int(e.split(":")[1])
+                for e in counters_s.split("|")
+                if e
+            }
+        else:
+            cur, seq = {}, 0
+        for pdf in pdfs:
+            for b in pdf["b"].to_numpy(np.int64):
+                cur[int(b)] = cur.get(int(b), 0) + 1
+        seq += 1
+        counters_s = "|".join(f"{b}:{cur[b]}" for b in sorted(cur))
+        state.update((counters_s, seq))
+        yield pd.DataFrame(
+            [(key[0], seq, counters_s)],
+            columns=["shard", "seq", "counters"],
+        )
+
+    lng = 0.019802627296178876  # ln(1.02) — the batch op's literal
+    b = F.ceil(
+        F.round(F.log(F.col(cents_col).cast("double")) / lng, 9)
+    ).cast("long")
+    cells = rows.select(
+        b.alias("b"),
+        (b % DDS_STREAM_SHARDS).cast("int").alias("shard"),
+    )
+    return cells.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=DDS_STREAM_OUTPUT_SCHEMA,
+        stateStructType=DDS_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def ddsketch_stream_quantiles(emitted: DataFrame, qs=(50, 90, 99)) -> DataFrame:
+    """Decode the final streaming DDSketch: max-seq row per shard,
+    counters exploded and folded through the batch estimator (smallest
+    bucket with 100*cum >= q*n; estimate 2*gamma^b/(gamma+1))."""
+    from pyspark.sql import Window
+
+    from ..operators.sketches import DD_GAMMA
+
+    lng = 0.019802627296178876
+    wseq = Window.partitionBy("shard").orderBy(F.col("seq").desc())
+    buckets = (
+        emitted.withColumn("rn", F.row_number().over(wseq))
+        .filter(F.col("rn") == 1)
+        .select(F.explode(F.split("counters", "\\|")).alias("e"))
+        .filter(F.col("e") != "")
+        .select(
+            F.split("e", ":").getItem(0).cast("long").alias("b"),
+            F.split("e", ":").getItem(1).cast("long").alias("c"),
+        )
+    )
+    tot = buckets.agg(F.sum("c").alias("n"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.crossJoin(F.broadcast(tot)).withColumn(
+        "cum", F.sum("c").over(w_cum)
+    )
+    qdf = cum.sparkSession.createDataFrame([(q,) for q in qs], "q int")
+    pick = (
+        cum.join(F.broadcast(qdf), 100 * F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("b").alias("bq"))
+    )
+    est = 2.0 * F.exp(F.col("bq").cast("double") * lng) / (1.0 + DD_GAMMA)
+    return pick.select(
+        "q", F.round(est / 100.0, 2).alias("dd_estimate")
+    ).orderBy("q")

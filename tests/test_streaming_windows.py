@@ -1016,3 +1016,40 @@ def test_misra_gries_stream_guarantees(spark, events_dir):
     for (et, k), t in true_counts.items():
         if t > bound(et, k):
             assert (et, k) in full, (et, k, t, bound(et, k))
+
+
+def test_ddsketch_stream_equals_batch_buckets(spark, tmp_path):
+    """Bucket counters are pure sums, so the streaming DDSketch decode
+    must EQUAL the batch ddsketch_quantiles estimates on the same data —
+    two maxFilesPerTrigger micro-batches prove state merging."""
+    from cdc_streamming___v2_spark.operators.sketches import (
+        ddsketch_quantiles,
+    )
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    d = str(tmp_path / "split")
+    o.filter("o_orderkey % 2 = 0").write.parquet(os.path.join(d, "a.parquet"))
+    o.filter("o_orderkey % 2 = 1").write.parquet(os.path.join(d, "b.parquet"))
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    name = _run(W.ddsketch_stream(stream), mode="update")
+    emitted = spark.sql(f"select * from {name}")
+    assert emitted.agg(F.max("seq")).first()[0] >= 2  # stateful merge
+    got = {
+        r["q"]: r["dd_estimate"]
+        for r in W.ddsketch_stream_quantiles(emitted).collect()
+    }
+    want = {
+        r["q"]: r["dd_estimate"]
+        for r in ddsketch_quantiles(spark, SF_SMALL).collect()
+    }
+    assert got == want
