@@ -423,6 +423,7 @@ HEADLINE = [
     "cooks_distance_screen",
     "late_data_profile",
     "seasonal_esd_anomalies",
+    "copula_dependence_daily",
 ]
 
 

@@ -5502,3 +5502,138 @@ ORACLES["seasonal_esd_anomalies"] = """
     ORDER BY round
 """
 QUERIES["seasonal_esd_anomalies"] = seasonal_esd_anomalies
+
+
+COPULA_GRID = 10  # decile grid for the empirical copula
+
+
+def copula_dependence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schweizer-Wolff sigma between daily order COUNT and daily
+    REVENUE via the empirical copula on a decile grid — the
+    margin-free dependence measure that stays positive under NON-
+    monotone dependence where Pearson/Spearman cancel to zero; sits
+    beside spearman_daily (monotone) and transfer_entropy_daily
+    (directed) as the third dependence lens.
+
+    sigma ~ 12/G^2 * sum_ij |C(i/G, j/G) - (i/G)(j/G)| with
+    C(i/G, j/G) = (1/n) * #{days: rank_u <= i*n/G, rank_v <= j*n/G}.
+    Ranks are day-tiebroken row_numbers on the bounded daily frame;
+    decile membership is exact integer arithmetic
+    ((rank-1)*G div n + 1), the copula counts are a 10x10 bounded-grid
+    suffix of a broadcast inequality join, and sigma is one float fold
+    of exact integers (|n*G^2*C_cells - i*j*n| style cross products).
+
+    Scale: one reduce to the daily frame; all windows/joins on the
+    <= n-day / 100-cell frames.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"),
+    )
+    wu = Window.orderBy("cnt", "day")
+    wv = Window.orderBy("rev", "day")
+    ranked = daily.select(
+        "day",
+        F.row_number().over(wu).alias("ru"),
+        F.row_number().over(wv).alias("rv"),
+    )
+    n_row = ranked.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            (
+                (F.col("ru") - 1) * COPULA_GRID / F.col("n")
+            ).cast("long").alias("du"),
+            (
+                (F.col("rv") - 1) * COPULA_GRID / F.col("n")
+            ).cast("long").alias("dv"),
+        )
+        .groupBy("du", "dv")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = (
+        spark.range(1, COPULA_GRID + 1)
+        .select(F.col("id").cast("long").alias("i"))
+        .crossJoin(
+            spark.range(1, COPULA_GRID + 1).select(
+                F.col("id").cast("long").alias("j")
+            )
+        )
+    )
+    cop = (
+        grid.join(
+            F.broadcast(cells),
+            (F.col("du") < F.col("i")) & (F.col("dv") < F.col("j")),
+            "left",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("cc"))
+        .crossJoin(F.broadcast(n_row))
+    )
+    g2 = COPULA_GRID * COPULA_GRID
+    # |C - uv| with C = cc/n, uv = ij/G^2: exact integer inner term
+    # |G^2*cc - i*j*n| over the common denominator n*G^2
+    term = F.abs(
+        F.lit(g2) * F.coalesce(F.col("cc"), F.lit(0)) - F.col("i") * F.col("j") * F.col("n")
+    )
+    agg = cop.agg(
+        F.sum(term).alias("ts"), F.max("n").alias("n")
+    )
+    sigma = 12.0 * F.col("ts").cast("double") / (
+        F.lit(float(g2)) * F.col("n").cast("double") * F.lit(float(g2))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(COPULA_GRID).cast("int").alias("grid"),
+        F.round(sigma, 6).alias("sw_sigma"),
+    )
+
+
+ORACLES["copula_dependence_daily"] = f"""
+    WITH daily AS (
+        SELECT o_orderdate AS day, count(*) AS cnt,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT day,
+               row_number() OVER (ORDER BY cnt, day) AS ru,
+               row_number() OVER (ORDER BY rev, day) AS rv,
+               count(*) OVER () AS n
+        FROM daily
+    ),
+    cells AS (
+        -- // not /: DuckDB CAST(double AS BIGINT) ROUNDS where Spark's
+        -- long cast truncates (the integer-division class, 8th catch)
+        SELECT CAST((ru - 1) * {COPULA_GRID} // n AS BIGINT) AS du,
+               CAST((rv - 1) * {COPULA_GRID} // n AS BIGINT) AS dv,
+               CAST(count(*) AS BIGINT) AS c, max(n) AS n
+        FROM ranked GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT i, j FROM (SELECT unnest(range(1, {COPULA_GRID + 1})) AS i),
+                         (SELECT unnest(range(1, {COPULA_GRID + 1})) AS j)
+    ),
+    cop AS (
+        SELECT g.i, g.j, sum(c.c) AS cc, max(c.n) AS n
+        FROM grid g LEFT JOIN cells c ON c.du < g.i AND c.dv < g.j
+        GROUP BY 1, 2
+    ),
+    nn AS (SELECT max(n) AS n FROM cells),
+    agg AS (
+        SELECT sum(abs({COPULA_GRID * COPULA_GRID} * coalesce(cc, 0)
+                       - i * j * nn.n)) AS ts,
+               max(nn.n) AS n
+        FROM cop, nn
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST({COPULA_GRID} AS INTEGER) AS grid,
+           round(12.0 * CAST(ts AS DOUBLE)
+                 / ({COPULA_GRID * COPULA_GRID}.0 * CAST(n AS DOUBLE)
+                    * {COPULA_GRID * COPULA_GRID}.0), 6) AS sw_sigma
+    FROM agg
+"""
+QUERIES["copula_dependence_daily"] = copula_dependence_daily

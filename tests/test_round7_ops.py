@@ -758,3 +758,39 @@ def test_seasonal_esd_matches_sequential_numpy(spark):
         assert abs(row["residual_dollars"] - r_work[j] / 100) < 0.011
         r_work = np.delete(r_work, j)
         del d_work[j]
+
+
+def test_copula_sigma_matches_pandas_grid(spark):
+    from cdc_streamming___v2_spark.operators.stats_ext import (
+        COPULA_GRID,
+        copula_dependence_daily,
+    )
+
+    row = copula_dependence_daily(spark, SF_SMALL).collect()[0]
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    g = (
+        o.groupby(o["o_orderdate"].dt.date)
+        .agg(cnt=("cents", "size"), rev=("cents", "sum"))
+        .reset_index()
+    )
+    n = len(g)
+    ru_order = g.sort_values(["cnt", "o_orderdate"]).index
+    rv_order = g.sort_values(["rev", "o_orderdate"]).index
+    ru = np.empty(n, dtype=int)
+    rv = np.empty(n, dtype=int)
+    ru[ru_order] = np.arange(1, n + 1)
+    rv[rv_order] = np.arange(1, n + 1)
+    du, dv = (ru - 1) * COPULA_GRID // n, (rv - 1) * COPULA_GRID // n
+    G2 = COPULA_GRID * COPULA_GRID
+    ts = 0
+    for i in range(1, COPULA_GRID + 1):
+        for j in range(1, COPULA_GRID + 1):
+            cc = int(((du < i) & (dv < j)).sum())
+            ts += abs(G2 * cc - i * j * n)
+    sigma = 12 * ts / (G2 * n * G2)
+    assert row["n_days"] == n
+    assert abs(row["sw_sigma"] - sigma) < 1e-6
+    assert 0.0 <= row["sw_sigma"] <= 1.0

@@ -309,6 +309,7 @@ RELATIONAL_QUERIES = [
     "debezium_flat_roundtrip",
     "cooks_distance_screen",
     "seasonal_esd_anomalies",
+    "copula_dependence_daily",
 ]
 
 
