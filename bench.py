@@ -424,6 +424,7 @@ HEADLINE = [
     "late_data_profile",
     "seasonal_esd_anomalies",
     "copula_dependence_daily",
+    "distance_correlation_daily",
 ]
 
 

@@ -5637,3 +5637,165 @@ ORACLES["copula_dependence_daily"] = f"""
     FROM agg
 """
 QUERIES["copula_dependence_daily"] = copula_dependence_daily
+
+
+def distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szekely distance correlation between daily order count and daily
+    revenue — dCor = 0 IFF independent (unlike Pearson), making it the
+    definitive dependence screen beside copula_dependence_daily (grid
+    approximation) and spearman_daily (monotone only).  Pearson r is
+    reported alongside for the linear-vs-any-dependence contrast.
+
+    V-statistic form on exact integers: a_ij = |c_i - c_j|,
+    b_ij = |r_i - r_j| over the CALENDAR-BOUNDED day pair grid (a
+    broadcast nested-loop pair frame of ~n_days^2 rows — bounded by the
+    calendar squared, never by order volume);
+    dCov^2 = S1 + abar*bbar - 2*S3 with S1 = mean(ab),
+    S3 = (1/n^3) sum_i rowsum_a(i)*rowsum_b(i), and the same formula
+    with b=a / a=b gives the dVars.  Every sum folds in decimal(38,0)
+    (ab <= ~2e12 per pair); the S's and dCor are float expressions of
+    those exact moments.
+
+    Scale: one reduce to the daily frame; ONE bounded pair frame feeds
+    both the global and the per-row aggregates.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("r"),
+    )
+    a = daily.select(
+        F.col("day").alias("di"), F.col("c").alias("ci"), F.col("r").alias("ri")
+    )
+    b = daily.select(
+        F.col("day").alias("dj"), F.col("c").alias("cj"), F.col("r").alias("rj")
+    )
+    pairs = a.join(F.broadcast(b)).select(
+        "di",
+        F.abs(F.col("ci") - F.col("cj")).cast(_DEC).alias("ad"),
+        F.abs(F.col("ri") - F.col("rj")).cast(_DEC).alias("bd"),
+    )
+    glob = pairs.agg(
+        F.sum(F.col("ad") * F.col("bd")).alias("sab"),
+        F.sum("ad").alias("sa"),
+        F.sum("bd").alias("sb"),
+        F.sum(F.col("ad") * F.col("ad")).alias("saa"),
+        F.sum(F.col("bd") * F.col("bd")).alias("sbb"),
+    )
+    rows = pairs.groupBy("di").agg(
+        F.sum("ad").alias("ra"), F.sum("bd").alias("rb")
+    )
+    cross = rows.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).alias("rab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("raa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("rbb"),
+    )
+    j = glob.crossJoin(F.broadcast(cross))
+    nd = F.col("n").cast("double")
+    n2, n3 = nd * nd, nd * nd * nd
+
+    def dcov2(s1, sa, sb, s3):
+        return (
+            s1.cast("double") / n2
+            + (sa.cast("double") / n2) * (sb.cast("double") / n2)
+            - 2.0 * s3.cast("double") / n3
+        )
+
+    dxy = dcov2(F.col("sab"), F.col("sa"), F.col("sb"), F.col("rab"))
+    dxx = dcov2(F.col("saa"), F.col("sa"), F.col("sa"), F.col("raa"))
+    dyy = dcov2(F.col("sbb"), F.col("sb"), F.col("sb"), F.col("rbb"))
+    dcor = F.sqrt(dxy / F.sqrt(dxx * dyy))
+    # Pearson for contrast, from one more exact-moment pass
+    mom = daily.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("pn"),
+        F.sum(F.col("c").cast(_DEC)).alias("sc"),
+        F.sum(F.col("r").cast(_DEC)).alias("sr"),
+        F.sum((F.col("c") * F.col("r")).cast(_DEC)).alias("scr"),
+        F.sum((F.col("c") * F.col("c")).cast(_DEC)).alias("scc"),
+        F.sum((F.col("r") * F.col("r")).cast(_DEC)).alias("srr"),
+    )
+    out = j.crossJoin(F.broadcast(mom))
+    pr = (
+        (F.col("pn") * F.col("scr") - F.col("sc") * F.col("sr")).cast("double")
+        / F.sqrt(
+            (F.col("pn") * F.col("scc") - F.col("sc") * F.col("sc")).cast(
+                "double"
+            )
+            * (F.col("pn") * F.col("srr") - F.col("sr") * F.col("sr")).cast(
+                "double"
+            )
+        )
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.sqrt(dxy), 6).alias("dcov"),
+        F.round(dcor, 6).alias("dcor"),
+        F.round(pr, 6).alias("pearson_r"),
+    )
+
+
+ORACLES["distance_correlation_daily"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS c,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.day AS di,
+               CAST(abs(a.c - b.c) AS HUGEINT) AS ad,
+               CAST(abs(a.r - b.r) AS HUGEINT) AS bd
+        FROM daily a CROSS JOIN daily b
+    ),
+    g AS (
+        SELECT sum(ad * bd) AS sab, sum(ad) AS sa, sum(bd) AS sb,
+               sum(ad * ad) AS saa, sum(bd * bd) AS sbb
+        FROM pairs
+    ),
+    rows_ AS (
+        SELECT di, sum(ad) AS ra, sum(bd) AS rb FROM pairs GROUP BY 1
+    ),
+    cr AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(ra * rb) AS rab, sum(ra * ra) AS raa,
+               sum(rb * rb) AS rbb
+        FROM rows_
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS HUGEINT) AS pn,
+               CAST(sum(c) AS HUGEINT) AS sc, CAST(sum(r) AS HUGEINT) AS sr,
+               CAST(sum(CAST(c AS HUGEINT) * r) AS HUGEINT) AS scr,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc,
+               CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS srr
+        FROM daily
+    ),
+    parts AS (
+        SELECT CAST(n AS DOUBLE) AS nd, g.*, cr.*, mom.*
+        FROM g, cr, mom
+    ),
+    fin AS (
+        SELECT nd,
+               CAST(sab AS DOUBLE) / (nd * nd)
+               + (CAST(sa AS DOUBLE) / (nd * nd))
+                 * (CAST(sb AS DOUBLE) / (nd * nd))
+               - 2.0 * CAST(rab AS DOUBLE) / (nd * nd * nd) AS dxy,
+               CAST(saa AS DOUBLE) / (nd * nd)
+               + (CAST(sa AS DOUBLE) / (nd * nd))
+                 * (CAST(sa AS DOUBLE) / (nd * nd))
+               - 2.0 * CAST(raa AS DOUBLE) / (nd * nd * nd) AS dxx,
+               CAST(sbb AS DOUBLE) / (nd * nd)
+               + (CAST(sb AS DOUBLE) / (nd * nd))
+                 * (CAST(sb AS DOUBLE) / (nd * nd))
+               - 2.0 * CAST(rbb AS DOUBLE) / (nd * nd * nd) AS dyy,
+               CAST(pn * scr - sc * sr AS DOUBLE)
+               / sqrt(CAST(pn * scc - sc * sc AS DOUBLE)
+                      * CAST(pn * srr - sr * sr AS DOUBLE)) AS pr
+        FROM parts
+    )
+    SELECT CAST(nd AS BIGINT) AS n_days,
+           round(sqrt(dxy), 6) AS dcov,
+           round(sqrt(dxy / sqrt(dxx * dyy)), 6) AS dcor,
+           round(pr, 6) AS pearson_r
+    FROM fin
+"""
+QUERIES["distance_correlation_daily"] = distance_correlation_daily

@@ -794,3 +794,37 @@ def test_copula_sigma_matches_pandas_grid(spark):
     assert row["n_days"] == n
     assert abs(row["sw_sigma"] - sigma) < 1e-6
     assert 0.0 <= row["sw_sigma"] <= 1.0
+
+
+def test_distance_correlation_matches_double_centering(spark):
+    """Twin: the textbook double-centered matrix formulation in numpy
+    (A_ij B_ij mean), not the moment identity."""
+    from cdc_streamming___v2_spark.operators.stats_ext import (
+        distance_correlation_daily,
+    )
+
+    row = distance_correlation_daily(spark, SF_SMALL).collect()[0]
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    g = o.groupby(o["o_orderdate"].dt.date).agg(
+        c=("cents", "size"), r=("cents", "sum")
+    )
+    x = g["c"].to_numpy().astype(float)
+    y = g["r"].to_numpy().astype(float)
+    n = len(x)
+
+    def centered(v):
+        d = np.abs(v[:, None] - v[None, :])
+        return d - d.mean(axis=0)[None, :] - d.mean(axis=1)[:, None] + d.mean()
+
+    A, B = centered(x), centered(y)
+    dxy = (A * B).mean()
+    dcor = np.sqrt(dxy / np.sqrt((A * A).mean() * (B * B).mean()))
+    pr = np.corrcoef(x, y)[0, 1]
+    assert row["n_days"] == n
+    assert abs(row["dcov"] - np.sqrt(dxy)) < 1e-5
+    assert abs(row["dcor"] - dcor) < 1e-5
+    assert abs(row["pearson_r"] - pr) < 1e-5
+    assert 0.0 <= row["dcor"] <= 1.0

@@ -310,6 +310,7 @@ RELATIONAL_QUERIES = [
     "cooks_distance_screen",
     "seasonal_esd_anomalies",
     "copula_dependence_daily",
+    "distance_correlation_daily",
 ]
 
 
