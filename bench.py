@@ -425,6 +425,7 @@ HEADLINE = [
     "seasonal_esd_anomalies",
     "copula_dependence_daily",
     "distance_correlation_daily",
+    "seasonal_mann_kendall",
 ]
 
 

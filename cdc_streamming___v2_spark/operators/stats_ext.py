@@ -5799,3 +5799,129 @@ ORACLES["distance_correlation_daily"] = """
     FROM fin
 """
 QUERIES["distance_correlation_daily"] = distance_correlation_daily
+
+
+def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch-Slack) on daily ORDER revenue with
+    weekday seasons: S and the tie-corrected variance accumulate PER
+    WEEKDAY (pairs compare only like weekdays), so a strong weekly cycle
+    can't masquerade as — or mask — a real monotone trend the way it
+    does in the plain test; the trend-testing companion of
+    seasonal_esd_anomalies (which deseasonalizes for OUTLIERS, this for
+    TREND).
+
+    Exactness: per-weekday pair frames are bounded by (calendar/7)^2;
+    S_w and the tie terms are exact integers; total S, Var and the
+    continuity-corrected z are single float expressions of their sums.
+    Per-weekday S rows are emitted for the homogeneity read (a sign
+    flip across weekdays means the 'trend' is really a cycle change).
+
+    Scale: one reduce to the daily frame, 7 bounded equi-keyed pair
+    joins in one plan (join ON weekday, never a global cross).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    ).withColumn("w", F.dayofweek("day"))
+    a = daily.select(
+        F.col("w"), F.col("day").alias("da"), F.col("rev").alias("ra")
+    )
+    b = daily.select(
+        F.col("w"), F.col("day").alias("db"), F.col("rev").alias("rb")
+    )
+    per_w = (
+        a.join(b, "w")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("w")
+        .agg(
+            F.sum(F.signum(F.col("rb") - F.col("ra")).cast("long")).alias(
+                "s_w"
+            )
+        )
+    )
+    counts = daily.groupBy("w").agg(F.count(F.lit(1)).alias("m"))
+    ties = (
+        daily.groupBy("w", "rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("w")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+            ).alias("tcorr")
+        )
+    )
+    per = per_w.join(counts, "w").join(ties, "w")
+    md = F.col("m").cast("double")
+    var_w = (md * (md - 1) * (2.0 * md + 5) - F.col("tcorr").cast("double")) / 18.0
+    staged = per.select(
+        "w", "s_w", "m", var_w.alias("var_w")
+    )
+    tot = staged.agg(
+        F.sum("s_w").alias("s"),
+        F.sum("var_w").alias("var_s"),
+        F.sum("m").alias("n_days"),
+        F.min(F.signum(F.col("s_w").cast("double"))).alias("min_sign"),
+        F.max(F.signum(F.col("s_w").cast("double"))).alias("max_sign"),
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return tot.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("s_total"),
+        F.round(F.col("var_s"), 1).alias("var_s"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(F.col("s") > 0, F.lit("increasing"))
+        .when(F.col("s") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("no-trend"))
+        .alias("trend"),
+        ((F.col("min_sign") >= 0) | (F.col("max_sign") <= 0)).alias(
+            "homogeneous_sign"
+        ),
+    )
+
+
+ORACLES["seasonal_mann_kendall"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev,
+               dayofweek(CAST(o_orderdate AS DATE)) + 1 AS w
+        FROM orders GROUP BY 1, 3
+    ),
+    per_w AS (
+        SELECT a.w, sum(CAST(sign(b.rev - a.rev) AS BIGINT)) AS s_w
+        FROM daily a JOIN daily b ON a.w = b.w AND a.day < b.day
+        GROUP BY 1
+    ),
+    counts AS (SELECT w, count(*) AS m FROM daily GROUP BY 1),
+    ties AS (
+        SELECT w, sum(t * (t - 1) * (2 * t + 5)) AS tcorr
+        FROM (SELECT w, count(*) AS t FROM daily GROUP BY w, rev)
+        GROUP BY 1
+    ),
+    staged AS (
+        SELECT p.w, s_w, m,
+               (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1)
+                * (2.0 * CAST(m AS DOUBLE) + 5)
+                - CAST(tcorr AS DOUBLE)) / 18.0 AS var_w
+        FROM per_w p JOIN counts USING (w) JOIN ties USING (w)
+    ),
+    tot AS (
+        SELECT sum(s_w) AS s, sum(var_w) AS var_s, sum(m) AS n_days,
+               min(sign(s_w)) AS min_sign, max(sign(s_w)) AS max_sign
+        FROM staged
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s_total,
+           round(var_s, 1) AS var_s,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                      WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 4) AS z_stat,
+           CASE WHEN s > 0 THEN 'increasing'
+                WHEN s < 0 THEN 'decreasing'
+                ELSE 'no-trend' END AS trend,
+           (min_sign >= 0) OR (max_sign <= 0) AS homogeneous_sign
+    FROM tot
+"""
+QUERIES["seasonal_mann_kendall"] = seasonal_mann_kendall

@@ -828,3 +828,41 @@ def test_distance_correlation_matches_double_centering(spark):
     assert abs(row["dcor"] - dcor) < 1e-5
     assert abs(row["pearson_r"] - pr) < 1e-5
     assert 0.0 <= row["dcor"] <= 1.0
+
+
+def test_seasonal_mk_matches_per_weekday_loops(spark):
+    from cdc_streamming___v2_spark.operators.stats_ext import (
+        seasonal_mann_kendall,
+    )
+
+    row = seasonal_mann_kendall(spark, SF_SMALL).collect()[0]
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    daily = o.groupby(o["o_orderdate"].dt.date)["cents"].sum().sort_index()
+    days = list(daily.index)
+    x = daily.to_numpy()
+    dow = np.array([d.isoweekday() % 7 + 1 for d in days])
+    S, V, n_total, signs = 0, 0.0, 0, []
+    for w in np.unique(dow):
+        xs = x[dow == w]
+        m = len(xs)
+        s_w = 0
+        for i in range(m):
+            for j in range(i + 1, m):
+                s_w += int(np.sign(xs[j] - xs[i]))
+        _, t_counts = np.unique(xs, return_counts=True)
+        tcorr = sum(t * (t - 1) * (2 * t + 5) for t in t_counts)
+        S += s_w
+        V += (m * (m - 1) * (2 * m + 5) - tcorr) / 18.0
+        n_total += m
+        signs.append(np.sign(s_w))
+    z = (S - 1) / np.sqrt(V) if S > 0 else ((S + 1) / np.sqrt(V) if S < 0 else 0.0)
+    assert row["n_days"] == n_total
+    assert row["s_total"] == S
+    assert abs(row["var_s"] - V) < 0.51
+    assert abs(row["z_stat"] - z) < 1e-3
+    assert row["homogeneous_sign"] == bool(
+        min(signs) >= 0 or max(signs) <= 0
+    )

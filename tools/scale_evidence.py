@@ -311,6 +311,7 @@ RELATIONAL_QUERIES = [
     "seasonal_esd_anomalies",
     "copula_dependence_daily",
     "distance_correlation_daily",
+    "seasonal_mann_kendall",
 ]
 
 
