@@ -426,6 +426,8 @@ HEADLINE = [
     "copula_dependence_daily",
     "distance_correlation_daily",
     "seasonal_mann_kendall",
+    "lorenz_asymmetry",
+    "xbar_r_chart",
 ]
 
 

@@ -866,3 +866,90 @@ def test_seasonal_mk_matches_per_weekday_loops(spark):
     assert row["homogeneous_sign"] == bool(
         min(signs) >= 0 or max(signs) <= 0
     )
+
+
+def test_lorenz_asymmetry_matches_damgaard_weiner(spark):
+    from cdc_streamming___v2_spark.operators.analytics import (
+        lorenz_asymmetry,
+    )
+
+    row = lorenz_asymmetry(spark, SF_SMALL).collect()[0]
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    v = (
+        np.round(o["o_totalprice"] * 100)
+        .astype(np.int64)
+        .groupby(o["o_custkey"])
+        .sum()
+        .to_numpy()
+    )
+    v = np.sort(v)
+    n, total = len(v), v.sum()
+    mu = total / n
+    m = int((v < mu).sum())
+    lm = int(v[v < mu].sum())
+    x_m, x_m1 = v[m - 1], v[m]
+    delta = (mu - x_m) / (x_m1 - x_m)
+    S = (m + delta) / n + (lm + delta * x_m1) / total
+    assert row["n_customers"] == n
+    assert row["n_below_mean"] == m
+    assert abs(row["lorenz_asymmetry"] - S) < 1e-5
+    assert abs(row["f_mu"] - m / n) < 1e-6
+    assert abs(row["l_mu"] - lm / total) < 1e-6
+
+
+def test_xbar_r_chart_matches_pandas_weeks(spark):
+    from cdc_streamming___v2_spark.operators.analytics import (
+        XBARR_A2,
+        XBARR_D3,
+        XBARR_D4,
+        xbar_r_chart,
+    )
+
+    # sf0.001's calendar is too sparse for complete 7-day weeks (the
+    # operator is honestly empty there); test at sf0.01, the driver's
+    # comparison scale, where 15 complete weeks emit
+    sf = "/root/testdata/sf0.01"
+    rows = xbar_r_chart(spark, sf).collect()
+    o = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    daily = (
+        o.groupby(o["o_orderdate"].dt.date)["cents"].sum().reset_index()
+    )
+    daily.columns = ["day", "xc"]
+    # replicate the operator's (weekofyear, CALENDAR year) key — the
+    # New-Year-straddling ISO week splits and drops by design
+    iso = pd.to_datetime(daily["day"]).dt.isocalendar()
+    cal_year = pd.to_datetime(daily["day"]).dt.year
+    daily["wk"] = list(zip(cal_year, iso["week"]))
+    g = daily.groupby("wk").agg(
+        nd=("xc", "size"), s=("xc", "sum"), mx=("xc", "max"),
+        mn=("xc", "min"), start=("day", "min"),
+    )
+    g = g[g["nd"] == 7].copy()
+    g["xbar"] = g["s"] / 7.0
+    g["r"] = (g["mx"] - g["mn"]).astype(float)
+    xbb, rb = g["xbar"].mean(), g["r"].mean()
+
+    def sig(row):
+        if row["xbar"] > xbb + XBARR_A2 * rb:
+            return "xbar-high"
+        if row["xbar"] < xbb - XBARR_A2 * rb:
+            return "xbar-low"
+        if row["r"] > XBARR_D4 * rb:
+            return "range-high"
+        if row["r"] < XBARR_D3 * rb:
+            return "range-low"
+        return "in-control"
+
+    g["signal"] = g.apply(sig, axis=1)
+    want = g.sort_values("start", ascending=False).head(15)
+    assert len(rows) == len(want) == 15  # non-vacuous
+    for row, (_, w) in zip(rows, want.iterrows()):
+        assert row["week_start"].date() == w["start"]
+        assert row["signal"] == w["signal"]
+        assert abs(row["xbar_dollars"] - w["xbar"] / 100) < 0.011
+        assert abs(row["range_dollars"] - w["r"] / 100) < 0.011

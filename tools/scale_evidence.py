@@ -312,6 +312,8 @@ RELATIONAL_QUERIES = [
     "copula_dependence_daily",
     "distance_correlation_daily",
     "seasonal_mann_kendall",
+    "lorenz_asymmetry",
+    "xbar_r_chart",
 ]
 
 
