@@ -428,6 +428,7 @@ HEADLINE = [
     "seasonal_mann_kendall",
     "lorenz_asymmetry",
     "xbar_r_chart",
+    "record_highs_test",
 ]
 
 

@@ -9374,3 +9374,104 @@ ORACLES["xbar_r_chart"] = f"""
     ORDER BY week_start DESC LIMIT 15
 """
 QUERIES["xbar_r_chart"] = xbar_r_chart
+
+
+def record_highs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-value analysis of daily revenue: how many days set a new
+    ALL-TIME revenue high, against the exchangeability expectation — a
+    stationary exchangeable series produces E = H_n = sum 1/k records
+    with Var = H_n - H_n^(2) (records theory), so a record count far
+    above H_n is growth evidence that needs NO distributional
+    assumptions at all (the trend-test family's assumption-free
+    extreme member, beside mann_kendall's rank pairs).
+
+    Exactness: records compare exact integer cents against a prefix max
+    on the calendar-bounded daily frame (the one global window every
+    bounded-frame op uses); the harmonic sums fold as pico-rounded 1/k
+    terms in decimal(38,12) — identical grids both engines; z is one
+    float expression.
+
+    Scale: one reduce to the daily frame; the window and folds never
+    leave it.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc")
+    )
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_rank = Window.orderBy("day")
+    staged = daily.select(
+        "day",
+        "xc",
+        (F.col("xc") > F.coalesce(F.max("xc").over(w_prev), F.lit(-1)))
+        .cast("long")
+        .alias("is_record"),
+        F.row_number().over(w_rank).alias("k"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_record").alias("n_records"),
+        F.sum(
+            F.round(F.lit(1.0) / F.col("k"), 12).cast("decimal(38,12)")
+        ).alias("h1"),
+        F.sum(
+            F.round(
+                F.lit(1.0) / (F.col("k").cast("double") * F.col("k")), 12
+            ).cast("decimal(38,12)")
+        ).alias("h2"),
+    )
+    e = F.col("h1").cast("double")
+    var = e - F.col("h2").cast("double")
+    z = (F.col("n_records").cast("double") - e) / F.sqrt(var)
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("n_records").cast("long").alias("n_records"),
+        F.round(e, 4).alias("expected_records"),
+        F.round(z, 4).alias("z_stat"),
+        F.when(z > 1.96, F.lit("more-records-than-stationary"))
+        .when(z < -1.96, F.lit("fewer-records-than-stationary"))
+        .otherwise(F.lit("consistent-with-stationary"))
+        .alias("verdict"),
+    )
+
+
+ORACLES["record_highs_test"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS xc
+        FROM orders GROUP BY 1
+    ),
+    staged AS (
+        SELECT day, xc,
+               CASE WHEN xc > coalesce(max(xc) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS is_record,
+               row_number() OVER (ORDER BY day) AS k
+        FROM daily
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(is_record) AS BIGINT) AS n_records,
+               sum(CAST(round(1.0 / k, 12) AS DECIMAL(38,12))) AS h1,
+               sum(CAST(round(1.0 / (CAST(k AS DOUBLE) * k), 12)
+                        AS DECIMAL(38,12))) AS h2
+        FROM staged
+    )
+    SELECT n AS n_days, n_records,
+           round(CAST(h1 AS DOUBLE), 4) AS expected_records,
+           round((n_records - CAST(h1 AS DOUBLE))
+                 / sqrt(CAST(h1 AS DOUBLE) - CAST(h2 AS DOUBLE)), 4)
+               AS z_stat,
+           CASE WHEN (n_records - CAST(h1 AS DOUBLE))
+                     / sqrt(CAST(h1 AS DOUBLE) - CAST(h2 AS DOUBLE)) > 1.96
+                THEN 'more-records-than-stationary'
+                WHEN (n_records - CAST(h1 AS DOUBLE))
+                     / sqrt(CAST(h1 AS DOUBLE) - CAST(h2 AS DOUBLE)) < -1.96
+                THEN 'fewer-records-than-stationary'
+                ELSE 'consistent-with-stationary' END AS verdict
+    FROM agg
+"""
+QUERIES["record_highs_test"] = record_highs_test

@@ -953,3 +953,30 @@ def test_xbar_r_chart_matches_pandas_weeks(spark):
         assert row["signal"] == w["signal"]
         assert abs(row["xbar_dollars"] - w["xbar"] / 100) < 0.011
         assert abs(row["range_dollars"] - w["r"] / 100) < 0.011
+
+
+def test_record_highs_matches_python_walk(spark):
+    from cdc_streamming___v2_spark.operators.analytics import (
+        record_highs_test,
+    )
+
+    row = record_highs_test(spark, SF_SMALL).collect()[0]
+    o = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    daily = o.groupby(o["o_orderdate"].dt.date)["cents"].sum().sort_index()
+    x = daily.to_numpy()
+    n = len(x)
+    best, recs = -1, 0
+    for v in x:
+        if v > best:
+            recs += 1
+            best = v
+    h1 = sum(1.0 / k for k in range(1, n + 1))
+    h2 = sum(1.0 / (k * k) for k in range(1, n + 1))
+    z = (recs - h1) / np.sqrt(h1 - h2)
+    assert row["n_days"] == n
+    assert row["n_records"] == recs
+    assert abs(row["expected_records"] - h1) < 1e-3
+    assert abs(row["z_stat"] - z) < 1e-3

@@ -314,6 +314,7 @@ RELATIONAL_QUERIES = [
     "seasonal_mann_kendall",
     "lorenz_asymmetry",
     "xbar_r_chart",
+    "record_highs_test",
 ]
 
 
