@@ -58,66 +58,16 @@ _MODULES = (
 )
 
 # The driver's correctness gate evaluates ~50 queries per round in
-# registration order.  Round-7 rotation (the VERDICT r4 #2 policy,
-# continued): (0) the 23 round-7 operators (zero prior proof:
-# agreement/spatial/survival/census tiers, DynamoDB roundtrip, skew
-# advisor); (1) every registry query whose driver record is still
-# empty, oldest-unproven first — the queue resumes exactly where the r6
-# window will stop; (2) previously-proven queries keep rotating to the
-# back.  Tail keeps module order.
+# registration order.  Round-8 rotation (VERDICT r6 #1/#2: convert the
+# proof backlog before growing the registry): (0) the two r06 reds
+# (dynamodb/debezium_flat — oracle HUGEINT typing, now CAST to BIGINT)
+# lead so CORRECTNESS_r07 records the fix; (1) every query with no
+# driver record yet, oldest-unproven first; (2) all 287 ever-green
+# queries rotate to the back.  The list is the COMPLETE registry so the
+# window composition is fully pinned.
 _GATE_PRIORITY = (
-    # round-7 window: the new-this-round operators lead (zero prior proof),
-    # then the never-driver-checked queue continues unchanged below
-    "krippendorff_alpha",
-    "lin_ccc",
-    "bland_altman",
-    "icc_oneway",
-    "morans_i_acctbal",
-    "join_count_spatial",
-    "getis_ord_hotspots",
-    "holt_winters_forecast",
     "dynamodb_stream_roundtrip",
-    "rmst_survival",
-    "competing_risks_cif",
-    "gesd_outliers",
-    "panel_fe_trend",
-    "tokenizer_fertility",
-    "quality_yield_curve",
-    "media_byte_histogram",
-    "ipw_ate",
-    "burrows_delta_sources",
-    "cdc_hot_keys",
-    "unseen_vocabulary_estimate",
-    "capture_recapture_estimate",
-    "ddsketch_quantiles",
-    "partition_skew_advisor",
-    "bitemporal_as_of",
-    "referential_integrity_audit",
-    "key_candidate_scan",
     "debezium_flat_roundtrip",
-    "cooks_distance_screen",
-    "late_data_profile",
-    "seasonal_esd_anomalies",
-    "copula_dependence_daily",
-    "distance_correlation_daily",
-    "seasonal_mann_kendall",
-    "lorenz_asymmetry",
-    "xbar_r_chart",
-    "record_highs_test",
-    "jarque_bera_test",
-    "breusch_pagan_test",
-    "arch_lm_test",
-    "dickey_fuller_test",
-    "bartlett_test",
-    "mood_median_test",
-    "cliffs_delta_pairs",
-    "effect_size_pairs",
-    "partial_corr_daily",
-    "cronbach_alpha",
-    "brier_decomposition",
-    "hosmer_lemeshow",
-    "var_cvar_daily",
-    "sortino_sharpe_daily",
     "chain_ladder_ultimates",
     "theil_u2_forecast",
     "pettitt_changepoint",
@@ -288,6 +238,54 @@ _GATE_PRIORITY = (
     "bcubed_cluster_eval",
     "anderson_darling_drift",
     "rake_keywords",
+    "krippendorff_alpha",
+    "lin_ccc",
+    "bland_altman",
+    "icc_oneway",
+    "morans_i_acctbal",
+    "join_count_spatial",
+    "getis_ord_hotspots",
+    "holt_winters_forecast",
+    "rmst_survival",
+    "competing_risks_cif",
+    "gesd_outliers",
+    "panel_fe_trend",
+    "tokenizer_fertility",
+    "quality_yield_curve",
+    "media_byte_histogram",
+    "ipw_ate",
+    "burrows_delta_sources",
+    "cdc_hot_keys",
+    "unseen_vocabulary_estimate",
+    "capture_recapture_estimate",
+    "ddsketch_quantiles",
+    "partition_skew_advisor",
+    "bitemporal_as_of",
+    "referential_integrity_audit",
+    "key_candidate_scan",
+    "cooks_distance_screen",
+    "late_data_profile",
+    "seasonal_esd_anomalies",
+    "copula_dependence_daily",
+    "distance_correlation_daily",
+    "seasonal_mann_kendall",
+    "lorenz_asymmetry",
+    "xbar_r_chart",
+    "record_highs_test",
+    "jarque_bera_test",
+    "breusch_pagan_test",
+    "arch_lm_test",
+    "dickey_fuller_test",
+    "bartlett_test",
+    "mood_median_test",
+    "cliffs_delta_pairs",
+    "effect_size_pairs",
+    "partial_corr_daily",
+    "cronbach_alpha",
+    "brier_decomposition",
+    "hosmer_lemeshow",
+    "var_cvar_daily",
+    "sortino_sharpe_daily",
     "ngram_jaccard_pairs",
     "bpe_pair_counts",
     "embedding_near_dup",
@@ -388,6 +386,145 @@ _GATE_PRIORITY = (
     "mann_kendall_trend",
     "log_rank_test",
     "t_closeness",
+    "scd2_latest_state",
+    "scd2_as_of",
+    "scd2_join_as_of",
+    "scd2_snapshot_diff",
+    "sorted_neighborhood_pairs",
+    "blocking_quality",
+    "dedup_exact",
+    "fuzzy_match_parts",
+    "jaccard_prefix_join",
+    "minhash_signatures",
+    "minhash_near_dup",
+    "incremental_near_dup",
+    "simhash_fingerprint",
+    "simhash_hamming_pairs",
+    "fellegi_sunter_linkage",
+    "entity_resolution",
+    "dup_size_profile",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_topk",
+    "silhouette_score",
+    "mmr_diverse_topk",
+    "random_projection",
+    "hybrid_rrf_topk",
+    "pca_top_component",
+    "pagerank_nations",
+    "triangle_count",
+    "bfs_hops",
+    "degree_assortativity",
+    "recursive_reachability",
+    "table_stats",
+    "kmv_distinct",
+    "countmin_freq",
+    "bloom_prefilter",
+    "quantile_sketch",
+    "hll_distinct",
+    "hll_merge_groups",
+    "rolling_distinct_users",
+    "kmv_set_ops",
+    "gopher_repetition",
+    "doc_chunks",
+    "decontaminate",
+    "cluster_balanced_sample",
+    "dedup_clusters",
+    "dedup_keepers",
+    "embedding_quantize",
+    "stratified_sample",
+    "gapfill_daily_value",
+    "pii_scrub",
+    "dataset_split",
+    "priority_sample",
+    "mixture_weights",
+    "dsir_importance_weights",
+    "dup_spans",
+    "seq_packing",
+    "tfidf_top_terms",
+    "inverted_index",
+    "domain_cap",
+    "semantic_dedup",
+    "bm25_topk",
+    "source_boilerplate",
+    "zipf_fit",
+    "vocab_overlap_sources",
+    "asof_join_purchase_view",
+    "asof_tolerance_join",
+    "range_join_error_clicks",
+    "stats_agg",
+    "systematic_sample",
+    "token_count",
+    "text_quality",
+    "lm_bigram_quality",
+    "doc_novelty",
+    "lang_id",
+    "doc_fingerprint",
+    "quality_logit_score",
+    "char_entropy",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_agg",
+    "markov_transitions",
+    "market_basket",
+    "attribution_credit",
+    "session_path_analysis",
+    "kaplan_meier",
+    "ab_test_lift",
+    "cohort_ltv",
+    "cdc_envelope_roundtrip",
+    "sql_api_cte",
+    "commitlog_changes",
+    "cdc_merge_apply",
+    "skew_salted_join",
+    "incremental_agg_maintain",
+    "zorder_layout",
+    "funnel_conversion",
+    "retention_cohorts",
+    "time_range_moving_avg",
+    "locf_fill",
+    "price_histogram",
+    "time_rollup",
+    "pareto_frontier",
+    "activity_streaks",
+    "peak_concurrency",
+    "data_quality_checks",
+    "ewma_user_value",
+    "anomaly_days",
+    "equi_depth_histogram",
+    "interarrival_gaps",
+    "revenue_gini",
+    "trend_fit",
+    "mutual_information",
+    "winsorized_stats",
+    "k_anonymity",
+    "seasonality_strength",
+    "cusum_changepoint",
+    "chi2_drift",
+    "funnel_windowed",
+    "robust_mad_outliers",
+    "ks_drift",
+    "wow_growth",
+    "holt_forecast",
+    "acf_daily_revenue",
+    "benford_deviation",
+    "quantile_normalize",
+    "correlation_matrix",
+    "feature_matrix_daily",
+    "target_encoding",
+    "bootstrap_mean_ci",
+    "theil_sen_trend",
+    "rolling_correlation",
+    "burstiness",
+    "rfm_segmentation",
+    "variant_props_stats",
+    "array_funcs",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_supply_threshold",
+    "q21_waiting_suppliers",
 )
 
 

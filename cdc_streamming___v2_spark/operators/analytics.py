@@ -3952,7 +3952,8 @@ ORACLES["fifo_payment_allocation"] = """
         FROM o JOIN pay p ON o.custkey = p.custkey
     )
     SELECT custkey, o_orderkey, amount_c,
-           least(greatest(pool_c - cum_before, 0), amount_c) AS paid_c,
+           CAST(least(greatest(pool_c - cum_before, 0), amount_c)
+                AS BIGINT) AS paid_c,
            CASE WHEN least(greatest(pool_c - cum_before, 0), amount_c)
                      = amount_c THEN 'paid'
                 WHEN least(greatest(pool_c - cum_before, 0), amount_c) > 0

@@ -918,9 +918,9 @@ ORACLES["mongo_changestream_roundtrip"] = """
                ELSE 'DELETE' END AS action,
            count(*) AS n_rows,
            count(*) AS n_orderkeys,
-           sum(CASE WHEN o_orderkey % 5 IN (0, 2)
+           CAST(sum(CASE WHEN o_orderkey % 5 IN (0, 2)
                       OR (o_orderkey % 5 = 1 AND o_orderkey % 10 != 6)
-                    THEN 1 ELSE 0 END) AS n_custkeys,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_custkeys,
            round(sum(CASE WHEN o_orderkey % 5 != 3
                           THEN o_totalprice END), 2) AS revenue,
            max(o_orderdate) AS last_update
@@ -1017,8 +1017,8 @@ ORACLES["wal2json_envelope_roundtrip"] = """
                ELSE 'DELETE' END AS action,
            count(*) AS n_rows,
            count(*) AS n_orderkeys,
-           sum(CASE WHEN o_orderkey % 5 IN (0, 1) THEN 1 ELSE 0 END)
-               AS n_custkeys,
+           CAST(sum(CASE WHEN o_orderkey % 5 IN (0, 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_custkeys,
            round(sum(CASE WHEN o_orderkey % 5 != 2
                           THEN o_totalprice END), 2) AS revenue,
            max(o_orderdate) AS last_update
@@ -1113,8 +1113,8 @@ ORACLES["airbyte_record_roundtrip"] = """
                ELSE 'DELETE' END AS action,
            count(*) AS n_rows,
            count(*) AS n_orderkeys,
-           sum(CASE WHEN o_orderkey % 4 IN (0, 1) THEN 1 ELSE 0 END)
-               AS n_custkeys,
+           CAST(sum(CASE WHEN o_orderkey % 4 IN (0, 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_custkeys,
            round(sum(CASE WHEN o_orderkey % 4 != 2
                           THEN o_totalprice END), 2) AS revenue,
            max(o_orderdate) AS last_update
@@ -1208,8 +1208,8 @@ ORACLES["dynamodb_stream_roundtrip"] = """
                ELSE 'DELETE' END AS action,
            count(*) AS n_rows,
            count(*) AS n_orderkeys,
-           sum(CASE WHEN o_orderkey % 4 IN (0, 1) THEN 1 ELSE 0 END)
-               AS n_custkeys,
+           CAST(sum(CASE WHEN o_orderkey % 4 IN (0, 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_custkeys,
            round(sum(CASE WHEN o_orderkey % 4 != 2
                           THEN o_totalprice END), 2) AS revenue,
            max(o_orderdate) AS last_update
@@ -1400,8 +1400,8 @@ ORACLES["debezium_flat_roundtrip"] = """
                ELSE 'INSERT' END AS action,
            count(*) AS n_rows,
            count(*) AS n_custkeys,
-           sum(CASE WHEN o_orderkey % 4 <= 2 THEN 1 ELSE 0 END)
-               AS n_timestamped,
+           CAST(sum(CASE WHEN o_orderkey % 4 <= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_timestamped,
            round(sum(o_totalprice), 2) AS revenue,
            max(CASE WHEN o_orderkey % 4 <= 2 THEN o_orderdate END)
                AS last_update

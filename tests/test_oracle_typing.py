@@ -1,0 +1,77 @@
+"""Driver-canonicalization typing gate for the DuckDB oracles.
+
+Round-6 verdict root cause: the driver hashes the oracle side from a pandas
+frame, so a final column DuckDB types as HUGEINT (e.g. an un-CAST
+``sum(CASE WHEN ... THEN 1 ELSE 0 END)``) renders as float64 (``3750.0``)
+while the Spark twin's ``F.count()`` is int64 (``3750``) — a guaranteed
+hash mismatch even when every value is identical.  The local checker used
+to hash from ``fetchall()`` (native Python ints) and could not see the
+class; it now binds the relation and fails any oracle whose final column
+type is HUGEINT/UHUGEINT.  These tests pin both halves: the detector
+catches an injected offender, and the full 459-oracle registry is clean.
+
+No Spark session needed — DuckDB binding only.
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from cdc_streamming___v2_spark import TABLES
+from tools.check_correctness import driver_unsafe_columns
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_detector_flags_uncast_sum_case(con):
+    """An injected un-CAST sum(CASE...) final column must be flagged."""
+    bad = "SELECT sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n FROM orders"
+    assert driver_unsafe_columns(con, bad) == ["n"]
+    # sum(BIGINT) is HUGEINT too — also flagged
+    bad2 = "SELECT sum(o_orderkey) AS s FROM orders"
+    assert driver_unsafe_columns(con, bad2) == ["s"]
+
+
+def test_detector_passes_cast_and_count(con):
+    ok = """
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_even,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+    """
+    assert driver_unsafe_columns(con, ok) == []
+
+
+def test_detector_ignores_cte_internal_hugeint(con):
+    """HUGEINT inside a CTE is fine as long as the final output is CAST."""
+    ok = """
+        WITH t AS (SELECT sum(o_orderkey) AS s FROM orders)
+        SELECT CAST(s AS BIGINT) AS s FROM t
+    """
+    assert driver_unsafe_columns(con, ok) == []
+
+
+def test_registry_has_no_driver_unsafe_oracles(con):
+    """Every registered oracle's final relation types are driver-safe.
+
+    This is the invariant that makes the round-6 failure class
+    (dynamodb_stream_roundtrip / debezium_flat_roundtrip) unshippable.
+    """
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        unsafe = driver_unsafe_columns(con, sql)
+        if unsafe:
+            offenders[name] = unsafe
+    assert offenders == {}, (
+        f"oracles with HUGEINT/UHUGEINT final columns (driver hashes these "
+        f"as float64, Spark emits int64 -> hash mismatch): {offenders}"
+    )
