@@ -9198,9 +9198,15 @@ def lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = (F.col("s") - F.col("n") * F.col("x_m")).cast("double") / (
         F.col("n") * (F.col("x_m1") - F.col("x_m"))
     ).cast("double")
-    s_coef = (F.col("m").cast("double") + delta) / nd + (
+    s_raw = (F.col("m").cast("double") + delta) / nd + (
         F.col("lm").cast("double") + delta * F.col("x_m1").cast("double")
     ) / sd
+    # Degenerate frame (ADVICE r6): every value equals the mean -> no unit
+    # strictly below it, x_m is NULL and delta's null would propagate an
+    # all-null S with no signal.  The Lorenz curve of a perfectly equal
+    # population is the diagonal: S = 1, 'symmetric' -- emit that
+    # explicitly instead of null (oracle carries the same guard).
+    s_coef = F.when(F.col("x_m").isNull(), F.lit(1.0)).otherwise(s_raw)
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
         F.col("m").cast("long").alias("n_below_mean"),
@@ -9232,36 +9238,28 @@ ORACLES["lorenz_asymmetry"] = """
                min(CASE WHEN NOT (n * v < s) THEN v END) AS x_m1,
                max(n) AS n, max(s) AS s
         FROM per, tot
+    ),
+    sc AS (
+        SELECT n, m, lm, s,
+               CASE WHEN x_m IS NULL THEN 1.0
+                    ELSE (m + CAST(s - n * x_m AS DOUBLE)
+                              / CAST(n * (x_m1 - x_m) AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                         + (CAST(lm AS DOUBLE)
+                            + CAST(s - n * x_m AS DOUBLE)
+                              / CAST(n * (x_m1 - x_m) AS DOUBLE)
+                              * CAST(x_m1 AS DOUBLE))
+                           / CAST(s AS DOUBLE) END AS s_coef
+        FROM agg
     )
     SELECT CAST(n AS BIGINT) AS n_customers, m AS n_below_mean,
            round(m / CAST(n AS DOUBLE), 6) AS f_mu,
            round(CAST(lm AS DOUBLE) / CAST(s AS DOUBLE), 6) AS l_mu,
-           round((m + CAST(s - n * x_m AS DOUBLE)
-                      / CAST(n * (x_m1 - x_m) AS DOUBLE))
-                 / CAST(n AS DOUBLE)
-                 + (CAST(lm AS DOUBLE)
-                    + CAST(s - n * x_m AS DOUBLE)
-                      / CAST(n * (x_m1 - x_m) AS DOUBLE)
-                      * CAST(x_m1 AS DOUBLE))
-                   / CAST(s AS DOUBLE), 6) AS lorenz_asymmetry,
-           CASE WHEN (m + CAST(s - n * x_m AS DOUBLE)
-                          / CAST(n * (x_m1 - x_m) AS DOUBLE))
-                     / CAST(n AS DOUBLE)
-                     + (CAST(lm AS DOUBLE)
-                        + CAST(s - n * x_m AS DOUBLE)
-                          / CAST(n * (x_m1 - x_m) AS DOUBLE)
-                          * CAST(x_m1 AS DOUBLE)) / CAST(s AS DOUBLE) > 1.0
-                THEN 'whale-driven'
-                WHEN (m + CAST(s - n * x_m AS DOUBLE)
-                          / CAST(n * (x_m1 - x_m) AS DOUBLE))
-                     / CAST(n AS DOUBLE)
-                     + (CAST(lm AS DOUBLE)
-                        + CAST(s - n * x_m AS DOUBLE)
-                          / CAST(n * (x_m1 - x_m) AS DOUBLE)
-                          * CAST(x_m1 AS DOUBLE)) / CAST(s AS DOUBLE) < 1.0
-                THEN 'long-tail-driven'
+           round(s_coef, 6) AS lorenz_asymmetry,
+           CASE WHEN s_coef > 1.0 THEN 'whale-driven'
+                WHEN s_coef < 1.0 THEN 'long-tail-driven'
                 ELSE 'symmetric' END AS shape
-    FROM agg
+    FROM sc
 """
 QUERIES["lorenz_asymmetry"] = lorenz_asymmetry
 

@@ -677,6 +677,26 @@ def parse_envelope_mongo(
     )
 
 
+def _esc_json_string(col: Column) -> Column:
+    """Escape a decoded string value for re-embedding in rebuilt JSON.
+
+    Backslash and double-quote re-escape, and (ADVICE r6) every raw
+    control character U+0000-U+001F re-emits as \\u00XX: ``from_json``
+    decodes ``\\n``/``\\t``/... in the source envelope to REAL control
+    chars, and re-emitting them raw would make the rebuilt payload_json
+    invalid JSON that silently nulls at the routed permissive decode.
+    Backslash-escape runs first, so the control escapes never
+    double-escape.  Shared by the wal2json and DynamoDB rebuilders.
+    """
+    out = F.regexp_replace(
+        F.regexp_replace(col, "\\\\", "\\\\\\\\"), '"', '\\\\"'
+    )
+    for i in range(0x20):
+        out = F.regexp_replace(out, chr(i), "\\\\u%04x" % i)
+    return out
+
+
+
 WAL2JSON_ACTIONS = (
     ("I", "INSERT"),
     ("U", "UPDATE-INSERT"),
@@ -736,10 +756,7 @@ def parse_envelope_wal2json(
     for code, act in WAL2JSON_ACTIONS:
         action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
 
-    def _esc(col: Column) -> Column:
-        return F.regexp_replace(
-            F.regexp_replace(col, "\\\\", "\\\\\\\\"), '"', '\\\\"'
-        )
+    _esc = _esc_json_string
 
     def obj_of(arr_json: Column) -> Column:
         entries = F.from_json(arr_json, _W2J_COLS)
@@ -911,10 +928,7 @@ def parse_envelope_dynamodb(
     for code, act in DYNAMODB_ACTIONS:
         action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
 
-    def _esc(col: Column) -> Column:
-        return F.regexp_replace(
-            F.regexp_replace(col, "\\\\", "\\\\\\\\"), '"', '\\\\"'
-        )
+    _esc = _esc_json_string
 
     def obj_of(img_json: Column) -> Column:
         entries = F.filter(

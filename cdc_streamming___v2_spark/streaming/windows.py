@@ -1244,16 +1244,25 @@ def schema_drift_stream(lines: DataFrame, line_col: str = "value") -> DataFrame:
     by sum/min/max, associative and arrival-order-independent, so the
     max-seq decode EQUALS the batch report on the same lines exactly
     (test-proven).  State is bounded by tables x schema width, not by
-    stream length.  Timestamps stay in the canonical
-    'yyyy-MM-dd HH:mm:ss[.SSS]' string layout, where lexicographic
-    min/max IS chronological min/max.
+    stream length.  Timestamps normalize to the ONE fixed-width
+    'yyyy-MM-dd HH:mm:ss.SSS' layout before entering state, so
+    lexicographic min/max IS chronological min/max by construction.
     """
     from ..sources.cdc_schema import parse_envelope
 
     env = parse_envelope(lines, line_col)
+    # ADVICE r6: parse_envelope emits mixed 'ss' vs 'ss.SSS' layouts,
+    # which stay lexicographically chronological only by the accident
+    # '.' < digit.  Re-render to ONE fixed-width layout JVM-side before
+    # the string enters stream state, so lexicographic min/max is
+    # chronological by construction for any envelope layout (a future
+    # ISO-'T' or timezone-suffixed producer included).
+    ts_norm = F.date_format(
+        F.to_timestamp("update_date_raw"), "yyyy-MM-dd HH:mm:ss.SSS"
+    )
     keys = env.filter(F.col("payload_json").isNotNull()).select(
         "object",
-        F.col("update_date_raw").alias("ts"),
+        ts_norm.alias("ts"),
         F.explode(F.json_object_keys(F.col("payload_json"))).alias("key"),
     )
 
@@ -1361,7 +1370,19 @@ def misra_gries_stream(
         else:
             cur, n_seen, seq = {}, 0, 0
         for pdf in pdfs:
-            for k in pdf["k"].astype(str):
+            # Delimiter safety (ADVICE r6): state serializes counters as
+            # 'key:count' joined by '|', so a raw ':' in a key truncates
+            # on restore and a raw '|' corrupts the whole counter set.
+            # Percent-encode the three structural chars on arrival; the
+            # topk decoder reverses it, so emitted keys are the originals.
+            ks = (
+                pdf["k"]
+                .astype(str)
+                .str.replace("%", "%25", regex=False)
+                .str.replace(":", "%3A", regex=False)
+                .str.replace("|", "%7C", regex=False)
+            )
+            for k in ks:
                 n_seen += 1
                 if k in cur:
                     cur[k] += 1
@@ -1418,7 +1439,19 @@ def misra_gries_stream_topk(emitted: DataFrame, topn: int = 10) -> DataFrame:
         .filter(F.col("e") != "")
         .select(
             "event_type",
-            F.split("e", ":").getItem(0).alias("key"),
+            # reverse the arrival-side percent-encoding (%25 LAST so a
+            # literal '%25' in a key survives the roundtrip)
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.split("e", ":").getItem(0), "%3A", ":"
+                    ),
+                    "%7C",
+                    "|",
+                ),
+                "%25",
+                "%",
+            ).alias("key"),
             F.split("e", ":").getItem(1).cast("long").alias("est_count"),
             (F.col("n_seen") / (MG_K + 1)).alias("max_undercount"),
         )
@@ -1493,7 +1526,15 @@ def ddsketch_stream(rows: DataFrame, cents_col: str = "cents") -> DataFrame:
     b = F.ceil(
         F.round(F.log(F.col(cents_col).cast("double")) / lng, 9)
     ).cast("long")
-    cells = rows.select(
+    # Domain contract (ADVICE r6): DDSketch is defined on positive reals.
+    # F.log yields NULL for cents <= 0 and the update kernel's
+    # to_numpy(int64) would raise on it — a single non-positive value
+    # must not be a poison message that kills the streaming query, so
+    # filter the domain JVM-side before the stateful groupBy.  The batch
+    # twin parks such rows in a null bucket instead; the proven
+    # stream/batch equality is on the positive domain (order cents are
+    # always > 0), where both paths see identical rows.
+    cells = rows.filter(F.col(cents_col).cast("double") > 0).select(
         b.alias("b"),
         (b % DDS_STREAM_SHARDS).cast("int").alias("shard"),
     )

@@ -1743,3 +1743,48 @@ def test_debezium_flat_e2e_ingest(spark, tmp_path_factory):
     assert by_action["DELETE"][0]["product_category_name"] == "hardware"
     dl = ing.dead_letter()
     assert dl.count() == 1  # the routeless plain row, raw line preserved
+
+
+def test_rebuilt_payload_escapes_control_chars(spark):
+    """ADVICE r6: from_json decodes \\n/\\t in the source envelope to REAL
+    control chars; the string-rebuilt payload_json must re-escape them
+    (\\u00XX) or the routed permissive decode silently nulls the row.
+    Covers both string-rebuilding producers (DynamoDB + wal2json)."""
+    from pyspark.sql import functions as F
+
+    from cdc_streamming___v2_spark.sources.cdc_schema import (
+        parse_envelope_dynamodb,
+        parse_envelope_wal2json,
+    )
+
+    hairy = "line1\nline2\ttab\x01end"
+    ddb = {
+        "eventName": "INSERT",
+        "eventSourceARN": "arn:aws:dynamodb:r:1:table/orders/stream/x",
+        "dynamodb": {
+            "ApproximateCreationDateTime": 1700000000.5,
+            "NewImage": {"note": {"S": hairy}, "qty": {"N": "7"}},
+        },
+    }
+    df = spark.createDataFrame([(json.dumps(ddb),)], "value string")
+    payload = parse_envelope_dynamodb(df).collect()[0]["payload_json"]
+    assert json.loads(payload) == {"note": hairy, "qty": 7}
+    routed = (
+        spark.createDataFrame([(payload,)], "p string")
+        .select(F.from_json("p", "note string, qty long").alias("s"))
+        .collect()[0][0]
+    )
+    assert routed["note"] == hairy and routed["qty"] == 7
+
+    w2j = {
+        "action": "I",
+        "table": "orders",
+        "timestamp": "2024-01-01 00:00:00.000+00",
+        "columns": [
+            {"name": "c1", "type": "text", "value": "a\r\nb"},
+            {"name": "n", "type": "integer", "value": 5},
+        ],
+    }
+    df2 = spark.createDataFrame([(json.dumps(w2j),)], "value string")
+    payload2 = parse_envelope_wal2json(df2).collect()[0]["payload_json"]
+    assert json.loads(payload2) == {"c1": "a\r\nb", "n": 5}

@@ -980,3 +980,26 @@ def test_record_highs_matches_python_walk(spark):
     assert row["n_records"] == recs
     assert abs(row["expected_records"] - h1) < 1e-3
     assert abs(row["z_stat"] - z) < 1e-3
+
+
+def test_lorenz_asymmetry_degenerate_equal_totals(spark, tmp_path):
+    """ADVICE r6: a frame where every customer total equals the mean used
+    to propagate an all-null S (x_m null -> delta null); the guard must
+    emit the perfectly-equal-population answer S = 1, 'symmetric'."""
+    from cdc_streamming___v2_spark.operators.analytics import (
+        lorenz_asymmetry,
+    )
+
+    pd.DataFrame(
+        {
+            "o_custkey": [1, 2, 3, 4],
+            "o_totalprice": [10.0, 10.0, 10.0, 10.0],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    row = lorenz_asymmetry(spark, str(tmp_path)).collect()[0]
+    assert row["n_customers"] == 4
+    assert row["n_below_mean"] == 0
+    assert row["f_mu"] == 0.0
+    assert row["l_mu"] == 0.0
+    assert row["lorenz_asymmetry"] == 1.0
+    assert row["shape"] == "symmetric"

@@ -1053,3 +1053,78 @@ def test_ddsketch_stream_equals_batch_buckets(spark, tmp_path):
         for r in ddsketch_quantiles(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_misra_gries_stream_delimiter_keys_roundtrip(spark, tmp_path):
+    """ADVICE r6: keys containing the state delimiters ':' / '|' (and the
+    escape char '%') must survive state serialization + restore across
+    micro-batches and decode back to the ORIGINAL keys with exact counts
+    (few distinct keys < MG_K, so MG is exact here)."""
+    import pandas as pd
+
+    hairy = ["a:b", "c|d", "x:y|z", "p%3Aq", "plain", "100%"]
+    rows = []
+    for i, k in enumerate(hairy):
+        rows += [("purchase", k)] * (i + 1)
+    d = str(tmp_path / "mgkeys")
+    os.makedirs(d)
+    pd.DataFrame(rows, columns=["event_type", "k"]).iloc[::2].to_parquet(
+        os.path.join(d, "a.parquet")
+    )
+    pd.DataFrame(rows, columns=["event_type", "k"]).iloc[1::2].to_parquet(
+        os.path.join(d, "b.parquet")
+    )
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(d).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    name = _run(
+        W.misra_gries_stream(ev, key_col="k", group_col="event_type"),
+        mode="update",
+    )
+    emitted = spark.sql(f"select * from {name}")
+    assert emitted.agg(F.max("seq")).first()[0] >= 2  # state restored
+    got = {
+        r["key"]: r["est_count"]
+        for r in W.misra_gries_stream_topk(emitted, topn=100).collect()
+    }
+    assert got == {k: i + 1 for i, k in enumerate(hairy)}
+
+
+def test_ddsketch_stream_nonpositive_rows_are_not_poison(spark, tmp_path):
+    """ADVICE r6: a cents <= 0 row used to null F.log and kill the
+    streaming query inside the update kernel; the domain filter must
+    drop it and leave the positive-domain buckets equal to a batch
+    DDSketch of the positive rows only."""
+    import pandas as pd
+
+    d = str(tmp_path / "dds")
+    os.makedirs(d)
+    pd.DataFrame({"cents": [100, 250, -5, 999]}).to_parquet(
+        os.path.join(d, "a.parquet")
+    )
+    pd.DataFrame({"cents": [0, 4200, 77]}).to_parquet(
+        os.path.join(d, "b.parquet")
+    )
+    schema = spark.read.option("recursiveFileLookup", "true").parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    name = _run(W.ddsketch_stream(stream), mode="update")  # must not raise
+    emitted = spark.sql(f"select * from {name}")
+    # decode final per-shard counters -> total count == positive rows only
+    from pyspark.sql import Window as SqlWindow
+
+    wseq = SqlWindow.partitionBy("shard").orderBy(F.col("seq").desc())
+    final = (
+        emitted.withColumn("rn", F.row_number().over(wseq))
+        .filter("rn = 1")
+        .select(F.explode(F.split("counters", "\\|")).alias("e"))
+        .filter("e != ''")
+        .select(F.split("e", ":").getItem(1).cast("long").alias("c"))
+    )
+    assert final.agg(F.sum("c")).first()[0] == 5
