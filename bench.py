@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -628,6 +629,15 @@ def main() -> None:
         # paying JIT + host-load bursts)
         "degree_assortativity",
         "pca_top_component",
+        # r06 contended-run breaches (judge-verified: zero code changes
+        # behind them; solo-idle min-of-6 re-measures all within noise).
+        # Raw solo lists show the cold-first-repeat pattern (first run
+        # 2-4x the warm floor), so give them the third repeat too.
+        "revenue_peaks",
+        "markov_removal_attribution",
+        "best_revenue_run",
+        "stochastic_dominance_pairs",
+        "ranking_eval_bm25",
     }
 
     per_query: dict[str, float] = {}
@@ -689,6 +699,22 @@ def main() -> None:
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_results.json")
     with open(out_path, "w") as f:
+        f.write(json.dumps(result) + "\n")
+    # VERDICT r6 #5: bench_results.json is scratch (gitignored) and was
+    # overwritten each round, making round-over-round per-query
+    # comparison impossible.  Also write a round-stamped snapshot that
+    # gets committed: at bench time the driver has recorded rounds
+    # 1..N-1, so the current round is max(BENCH_r*)+1.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p)
+        if m:
+            rounds.append(int(m.group(1)))
+    snap = os.path.join(
+        here, f"bench_results_r{(max(rounds) + 1 if rounds else 1):02d}.json"
+    )
+    with open(snap, "w") as f:
         f.write(json.dumps(result) + "\n")
     compact = {
         "metric": "headline_queries_total_wall",

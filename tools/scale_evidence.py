@@ -99,6 +99,11 @@ QUERIES = [
     "hosmer_lemeshow",
     "dunning_g2_bigrams",
     "yule_richness_sources",
+    # round-8 (VERDICT r6 #8): bcubed reduces the recomputed
+    # dedup_clusters output to (cluster, class) contingency cells over
+    # the 10x shingle-disjoint corpus — cost dominated by the upstream
+    # banded clustering, which is the proven-linear family above
+    "bcubed_cluster_eval",
 ]
 
 # the event-log tier (round-5 wave 3): per-user ordered-window operators
@@ -315,6 +320,12 @@ RELATIONAL_QUERIES = [
     "lorenz_asymmetry",
     "xbar_r_chart",
     "record_highs_test",
+    # round-8 (VERDICT r6 #8): hits_bipartite builds its part<->customer
+    # edge projection from 10x lineitem joined to 10x orders on the
+    # replica-local orderkey (edges grow exactly 10x, linear); each HITS
+    # round is two edge-keyed aggregates + a scalar-broadcast
+    # max-normalization
+    "hits_bipartite",
 ]
 
 
