@@ -1004,7 +1004,12 @@ def ranking_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.retrieval import BM25_TOP  # noqa: F401 (doc anchor)
 
-    scored = bm25_scored(spark, sf_dir)
+    # materialize the scored frame once (the house localCheckpoint
+    # pattern): it feeds THREE consumers below (system top-K, ideal
+    # top-K, corpus relevant-count) and without the checkpoint each one
+    # re-runs the whole tokenize/TF/DF scoring pipeline — the dominant
+    # cost — from the parquet scan up
+    scored = bm25_scored(spark, sf_dir).localCheckpoint(eager=True)
     w = Window.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
     top = (
         scored.orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())
