@@ -315,6 +315,12 @@ def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.md5("span").alias("h"))
         .distinct()
+        # materialize once (round-8): the frame feeds BOTH per_span and
+        # the join below; AQE's ReusedExchange did not kick in at the 10x
+        # corpus (measured 5.1x ratio from the doubled explode+distinct),
+        # and the checkpointed frame is 32-byte hashes + doc_id, far
+        # cheaper to store than to recompute
+        .localCheckpoint(eager=True)
     )
     per_span = spans.groupBy("h").agg(
         F.count_distinct("doc_id").alias("n_docs")
@@ -542,20 +548,20 @@ def source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements ``doc_novelty`` (corpus-wide df) with the within-source
     df that actually isolates templating.
 
-    Scale: shingles explode via the Arrow kernel (narrow map); the
-    within-source df is one (source, shingle)-keyed aggregation — high
-    cardinality, skew-free — joined back on the same key. Same two-shuffle
-    shape as tfidf/doc_novelty.
+    Scale: ONE pass — the within-source df is a count over
+    Window.partitionBy(source, shingle) on the exploded frame (high
+    cardinality, skew-free), then the per-doc agg.  One shuffle total;
+    the earlier agg+join-back shape ran the Arrow shingle kernel TWICE
+    and measured 3.3x at the 10x corpus (round-8 evidence), same defect
+    as doc_novelty.
     """
     from ..sources.tables import exploded_shingles
 
     d = load_table(spark, sf_dir, "documents")
     sh = exploded_shingles(d, 3, keys=("doc_id", "source"))
-    df_src = sh.groupBy("source", "s").agg(
-        F.count(F.lit(1)).alias("df_src")  # shingles are per-doc distinct
-    )
+    wsh = Window.partitionBy("source", "s")
     return (
-        sh.join(df_src, ["source", "s"])
+        sh.withColumn("df_src", F.count(F.lit(1)).over(wsh))
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),

@@ -120,17 +120,22 @@ def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty / high mean-df, original text the reverse.  The selection
     signal diversity-aware corpus builders rank on next to quality.
 
-    Scale: one shingle-cardinality df agg joined back to the exploded
-    shingle frame (equi-join on the shingle), then a per-doc agg — the
-    same two-shuffle shape as tfidf_top_terms.
+    Scale: ONE pass — the per-shingle df is a count over
+    Window.partitionBy(shingle) on the exploded frame, then a per-doc
+    agg.  One shingle-keyed shuffle total; the earlier agg+join-back
+    shape ran the Arrow shingle kernel TWICE (the two consumers defeat
+    exchange reuse) and carried two extra shuffles — measured 2.7x at
+    the 10x corpus vs ~1x for single-pass peers (round-8 evidence).
     """
+    from pyspark.sql import Window
+
     from ..sources.tables import exploded_shingles
     from ..sources.tables import load_table as _lt
 
     sh = exploded_shingles(_lt(spark, sf_dir, "documents"))
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    wsh = Window.partitionBy("s")
     return (
-        sh.join(df_counts, "s")
+        sh.withColumn("df", F.count(F.lit(1)).over(wsh))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
@@ -507,11 +512,16 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbols unambiguous (no lookbehind regex, which RE2/DuckDB lacks).
 
     Scale: each round is (a) a narrow symbol-pair explode + one
-    pair-keyed count with map-side combine, (b) a 1-row argmax broadcast,
-    (c) a narrow string replace — a static 3-round DAG with per-round
-    shuffles bounded by the symbol-pair vocabulary, never data-sized
-    sorts.  The tie-break (max count, then lexicographically smallest
-    pair) is deterministic, so the oracle unrolls the identical rounds.
+    pair-keyed count with map-side combine, (b) a 1-row argmax collected
+    as a scalar witness (the pagerank max-normalization house pattern),
+    (c) a narrow literal string replace with the symbol stream
+    localCheckpointed per round — WITHOUT the checkpoint, round r's lazy
+    lineage re-ran the full scan + every earlier round's count/replace,
+    an O(rounds^2) recompute that measured a 14x cliff at the 10x corpus
+    (round-8 scale evidence); checkpointed, each round is one bounded
+    pair shuffle + one corpus-linear replace.  The tie-break (max count,
+    then lexicographically smallest pair) is deterministic, so the
+    oracle unrolls the identical rounds.
     """
     from ..functions.texts import words
     from ..sources.tables import fan_out
@@ -520,15 +530,25 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(words(F.col("text"))).alias("w")).filter(
         F.length("w") >= 2
     )
-    s = toks.select(
+    # Sennrich's own training trick: BPE depends only on word CONTENT, so
+    # train on the distinct-word frame weighted by multiplicity — pair
+    # counts become sum(wcnt) instead of count(*), identical by
+    # replication, and every per-round materialize/replace touches a
+    # VOCAB-sized frame instead of the corpus-sized token stream (the
+    # corpus-sized variant measured a 6x 10x-ratio even checkpointed;
+    # this is the scale-true shape).
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wcnt"))
+    s = wc.select(
         F.concat(
             F.regexp_replace(F.col("w"), "(.)", r"|$1"), F.lit("|")
-        ).alias("s")
+        ).alias("s"),
+        "wcnt",
     )
+    s = s.localCheckpoint(eager=True)
     merges = []
     for r in range(1, BPE_MERGE_ROUNDS + 1):
         pairs = (
-            s.select(F.split(F.col("s"), r"\|").alias("a"))
+            s.select(F.split(F.col("s"), r"\|").alias("a"), "wcnt")
             .filter(F.size("a") >= 4)  # >= 2 symbols (split adds '' ends)
             .select(
                 F.explode(
@@ -537,38 +557,31 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "concat('|', element_at(a, i), '|', "
                         "element_at(a, i + 1), '|'))"
                     )
-                ).alias("pair")
+                ).alias("pair"),
+                "wcnt",
             )
         )
-        pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
-        top1 = pc.agg(
+        pc = pairs.groupBy("pair").agg(F.sum("wcnt").alias("cnt"))
+        top = pc.agg(
             F.min_by(
                 F.struct(F.col("pair"), F.col("cnt")),
                 F.struct((-F.col("cnt")).alias("nc"), F.col("pair")),
             ).alias("m")
-        ).select(F.col("m.pair").alias("pair"), F.col("m.cnt").alias("cnt"))
-        merges.append(
-            top1.select(
-                F.lit(r).cast("int").alias("merge_round"),
-                F.replace(F.col("pair"), F.lit("|"), F.lit("")).alias(
-                    "merged_symbol"
-                ),
-                F.col("cnt").cast("bigint").alias("n_occurrences"),
-            )
-        )
-        merged_repl = F.concat(
-            F.lit("|"),
-            F.replace(F.col("pair"), F.lit("|"), F.lit("")),
-            F.lit("|"),
-        )
-        s = (
-            s.crossJoin(F.broadcast(top1))
-            .select(F.replace(F.col("s"), F.col("pair"), merged_repl).alias("s"))
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+        ).select(F.col("m.pair"), F.col("m.cnt")).collect()[0]
+        pair, cnt = top["pair"], top["cnt"]
+        merges.append((r, pair.replace("|", ""), int(cnt)))
+        if r < BPE_MERGE_ROUNDS:
+            s = s.select(
+                F.replace(
+                    F.col("s"),
+                    F.lit(pair),
+                    F.lit("|" + pair.replace("|", "") + "|"),
+                ).alias("s"),
+                "wcnt",
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_round int, merged_symbol string, n_occurrences bigint"
+    )
 
 
 def _bpe_merge_oracle() -> str:

@@ -329,6 +329,51 @@ RELATIONAL_QUERIES = [
 ]
 
 
+
+# Round-8 breadth batch (registry frozen; evidence coverage extended to
+# the heaviest not-yet-covered fact-bound queries, ranked by r07 bench
+# wall time).  All read replicated facts (orders/lineitem/events/
+# documents/embeddings); replica-local keys keep joins linear as above.
+COVERAGE_QUERIES = [
+    "bpe_merge_rounds",
+    "debezium_envelope_roundtrip",
+    "entity_resolution",
+    "lpa_communities",
+    "market_basket",
+    "peak_concurrency",
+    "aws_dms_envelope_roundtrip",
+    "rake_keywords",
+    "bootstrap_mean_ci",
+    "cramers_v_matrix",
+    "bellman_ford_cheapest",
+    "ipf_raking",
+    "skew_salted_join",
+    "harmonic_centrality",
+    "maxwell_envelope_roundtrip",
+    "commitlog_changes",
+    "k_core_peel",
+    "char_entropy",
+    "cdc_envelope_roundtrip",
+    "dup_spans",
+    "source_boilerplate",
+    "goldengate_envelope_roundtrip",
+    "adamic_adar_linkpred",
+    "hybrid_rrf_topk",
+    "naive_bayes_lang",
+    "doc_novelty",
+    "wasserstein_pairs",
+    "word_pmi_pairs",
+    "cdc_schema_drift_report",
+    "hurst_exponent",
+    "canal_envelope_roundtrip",
+    "dsir_importance_weights",
+    "bloom_prefilter",
+    "triangle_count",
+    "ranking_eval_bm25",
+    "lm_bigram_quality",
+]
+
+
 def build(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -434,7 +479,7 @@ def main() -> None:
             only = set(a.split("=", 1)[1].split(","))
 
     out: dict[str, dict] = {}
-    for name in QUERIES + RELATIONAL_QUERIES + EVENT_QUERIES:
+    for name in QUERIES + RELATIONAL_QUERIES + EVENT_QUERIES + COVERAGE_QUERIES:
         if only and name not in only:
             continue
         rec: dict[str, float] = {}
