@@ -159,21 +159,15 @@ def latency_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microsecond gaps (Spark ``percentile`` == DuckDB
     ``quantile_cont``), so the report is reproducible bit-for-bit.
 
-    Scale: one (type)-keyed lag window builds gaps; the percentile
-    aggregation is per type over its gap set — a single shuffle.
+    Scale: the day-bucketed exact lag (functions/events.py — the raw
+    per-type window was a 6-task corpus sort) builds gaps; the
+    percentile aggregation is per type over its gap set — a single
+    shuffle.
     """
-    from pyspark.sql import Window as W
+    from ..functions.events import typed_interarrival_gaps
 
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    gaps = (
-        e.withColumn("prev", F.lag(F.unix_micros(F.col("ts"))).over(w))
-        .filter(F.col("prev").isNotNull())
-        .select(
-            "event_type",
-            (F.unix_micros(F.col("ts")) - F.col("prev")).alias("gap_us"),
-        )
-    )
+    gaps = typed_interarrival_gaps(e, gap_col="gap_us")
     p = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
         F.percentile(F.col("gap_us"), F.lit(0.5)).alias("p50"),

@@ -179,6 +179,7 @@ EVENT_QUERIES = [
     "cliffs_delta_pairs",
     "effect_size_pairs",
     "hll_intersection_estimate",
+    "latency_sla_report",
 ]
 
 # corpus-bound wave-BB addition
@@ -371,6 +372,47 @@ COVERAGE_QUERIES = [
     "triangle_count",
     "ranking_eval_bm25",
     "lm_bigram_quality",
+    # round-8 breadth batch 2 (next 40 by r07 bench wall time)
+    "cdcgen_source_roundtrip",
+    "pagerank_nations",
+    "rfm_segmentation",
+    "countmin_freq",
+    "vocab_overlap_sources",
+    "decontaminate",
+    "term_burst_days",
+    "cohens_kappa_langid",
+    "simpson_reversal_detect",
+    "chi2_feature_select",
+    "winsorized_stats",
+    "bm25_topk",
+    "pca_top_component",
+    "retention_decay_fit",
+    "table_stats",
+    "join_count_spatial",
+    "competing_risks_cif",
+    "abc_classification",
+    "degree_assortativity",
+    "rolling_distinct_users",
+    "lttb_downsample",
+    "equi_depth_histogram",
+    "hhi_concentration",
+    "rmst_survival",
+    "exponential_gap_fit",
+    "blocking_quality",
+    "fellegi_sunter_linkage",
+    "weighted_median_price",
+    "funnel_step_significance",
+    "data_quality_checks",
+    "session_path_analysis",
+    "levene_variance_test",
+    "kaplan_meier",
+    "quantile_sketch",
+    "getis_ord_hotspots",
+    "morans_i_acctbal",
+    "heavy_hitters_topfreq",
+    "bfs_hops",
+    "revenue_gini",
+    "geo_grid_join",
 ]
 
 
