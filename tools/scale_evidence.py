@@ -180,6 +180,47 @@ EVENT_QUERIES = [
     "effect_size_pairs",
     "hll_intersection_estimate",
     "latency_sla_report",
+    # round-8 breadth batch 3
+    "fuzzy_match_parts",
+    "random_projection",
+    "holt_forecast",
+    "cosine_topk",
+    "bpe_pair_counts",
+    "top_customers",
+    "q10_returned_items",
+    "nelson_aalen_hazard",
+    "attribution_credit",
+    "ipw_ate",
+    "knn_label_predict",
+    "variance_changepoint",
+    "cohort_ltv",
+    "sorted_neighborhood_pairs",
+    "incremental_join_maintain",
+    "calibration_bins",
+    "zipf_fit",
+    "decile_gains_table",
+    "interarrival_gaps",
+    "seq_packing",
+    "kmv_distinct",
+    "scd2_join_as_of",
+    "anova_f_oneway",
+    "markov_transitions",
+    "multimodal_decode",
+    "cdc_merge_apply",
+    "skew_diagnostics",
+    "recursive_reachability",
+    "fd_violations",
+    "pareto_frontier",
+    "zorder_layout",
+    "funnel_conversion",
+    "activity_streaks",
+    "silhouette_score",
+    "interval_overlap_join",
+    "anderson_darling_drift",
+    "clustering_coefficient",
+    "price_elasticity_brand",
+    "scd2_latest_state",
+    "robust_mad_outliers",
 ]
 
 # corpus-bound wave-BB addition
@@ -413,6 +454,80 @@ COVERAGE_QUERIES = [
     "bfs_hops",
     "revenue_gini",
     "geo_grid_join",
+    # round-8 breadth batch 4 (remaining benched queries)
+    "theil_sen_trend",
+    "sax_symbols",
+    "tokenizer_vocab_coverage",
+    "welch_t_test",
+    "retention_cohorts",
+    "feature_hashing",
+    "stl_lite_decompose",
+    "incremental_agg_maintain",
+    "session_agg",
+    "market_beta_types",
+    "cusum_changepoint",
+    "twap_user_value",
+    "mutual_information",
+    "acf_daily_revenue",
+    "target_encoding",
+    "scd2_snapshot_diff",
+    "priority_sample",
+    "mann_kendall_trend",
+    "chi2_drift",
+    "golden_record",
+    "hll_merge_groups",
+    "kmv_set_ops",
+    "seasonal_naive_mase",
+    "seasonality_strength",
+    "range_join_error_clicks",
+    "benford_deviation",
+    "ab_test_lift",
+    "scd2_as_of",
+    "ks_drift",
+    "markov_next_event_accuracy",
+    "hll_distinct",
+    "wilson_rate_ci",
+    "q1_pricing_summary",
+    "gapfill_daily_value",
+    "late_data_profile",
+    "quantile_normalize",
+    "gopher_repetition",
+    "bitemporal_as_of",
+    "dup_size_profile",
+    "asof_join_purchase_view",
+    "inventory_clamped_balance",
+    "anomaly_days",
+    "tumbling_window_agg",
+    "ols_two_feature",
+    "q6_forecast_revenue",
+    "doc_chunks",
+    "correlation_matrix",
+    "sliding_window_agg",
+    "feature_matrix_daily",
+    "spearman_daily",
+    "ewma_user_value",
+    "l_diversity",
+    "asof_tolerance_join",
+    "wow_growth",
+    "trend_fit",
+    "json_funcs",
+    "mcnemar_quality_filters",
+    "dp_noisy_counts",
+    "k_anonymity",
+    "funnel_windowed",
+    "mixture_weights",
+    "rolling_correlation",
+    "extreme_value_fit",
+    "window_rank_lag",
+    "variant_props_stats",
+    "srm_check",
+    "text_quality",
+    "token_count",
+    "pii_scrub",
+    "quality_logit_score",
+    "dataset_split",
+    "burstiness",
+    "embedding_quantize",
 ]
 
 
