@@ -4381,7 +4381,10 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last.select(
         F.col("m").cast("int").alias("n_points"),
         F.round(F.exp(intercept), 4).alias("r0"),
-        F.round(b, 4).alias("decay_rate"),
+        # + 0.0 folds IEEE negative zero to +0.0 (a flat cohort curve at
+        # sf0.1 rounded to -0.0 in DuckDB vs 0.0 in Spark -> hash
+        # mismatch); exact no-op for every other value
+        (F.round(b, 4) + F.lit(0.0)).alias("decay_rate"),
         F.when(b > 0, F.round(F.lit(0.6931471805599453) / b, 2))
         .otherwise(F.lit(None).cast("double"))
         .alias("half_life_days"),
@@ -4435,7 +4438,7 @@ ORACLES["retention_decay_fit"] = """
     SELECT CAST(m AS INT) AS n_points,
            round(exp((sl - ((m * stl - st * sl) / (m * stt - st * st))
                       * st) / m), 4) AS r0,
-           round(-((m * stl - st * sl) / (m * stt - st * st)), 4)
+           round(-((m * stl - st * sl) / (m * stt - st * st)), 4) + 0.0
              AS decay_rate,
            CASE WHEN -((m * stl - st * sl) / (m * stt - st * st)) > 0
                 THEN round(ln(2.0) / (-((m * stl - st * sl)

@@ -528,6 +528,21 @@ COVERAGE_QUERIES = [
     "dataset_split",
     "burstiness",
     "embedding_quantize",
+    # round-8 batch 5: the remaining TPC-H shapes (not in bench HEADLINE)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q20_supply_threshold",
+    "q22_prospect_customers",
 ]
 
 
