@@ -3144,6 +3144,17 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Durations are integer epoch-microsecond differences (exact in both
     engines); users with a single event have zero span and are excluded.
+    Values are cents-exact (2-decimal domain), so BOTH weighted and plain
+    sums fold in integer cent-units as decimal(38,0) — order-independent
+    across partitions (a raw double sum drifted in the 8th significant
+    digit between engines at sf0.1 and flipped naive_avg's round(.,4)
+    on one user).  The final ratios round via exact integer HALF_UP
+    (floor((2a+b) div 2b), the _usd_halfup class): the exact rationals
+    land exactly on .xxxx5 midpoints (sf0.1 user 212's mean is exactly
+    44.94875), where rounding the double quotient diverges between
+    engines (Spark rounds the shortest decimal repr, DuckDB the binary
+    value).  All quantities are nonnegative (value >= 0 domain), so
+    away-from-zero equals the positive floor form.
 
     Scale: one lead() window per user partition (a single user-keyed
     shuffle), then a per-user aggregation — the locf_fill shape plus a
@@ -3152,45 +3163,66 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table as _lt
 
     e = _lt(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     w = Window.partitionBy("user_id").orderBy("us", "value")
     spans = e.withColumn("next_us", F.lead("us").over(w)).filter(
         F.col("next_us").isNotNull()
     )
+    dur = F.col("next_us") - F.col("us")
+    dec = "decimal(38,0)"
     return (
         spans.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
-            F.sum(F.col("value") * (F.col("next_us") - F.col("us"))).alias("wsum"),
-            F.sum(F.col("next_us") - F.col("us")).alias("span_us"),
-            F.avg("value").alias("plain_avg"),
+            F.sum((F.col("cents").cast(dec) * dur).cast(dec)).alias("wsum_c"),
+            F.sum(dur).alias("span_us"),
+            F.sum(F.col("cents").cast(dec)).alias("sum_c"),
+            F.count("cents").alias("n_vals"),
         )
         .select(
             "user_id",
             "n_intervals",
-            F.round(F.col("wsum") / F.col("span_us"), 4).alias("twap"),
-            F.round("plain_avg", 4).alias("naive_avg"),
-            F.round(F.col("span_us") / 3.6e9, 2).alias("span_hours"),
+            (F.expr(
+                "(wsum_c * 200 + CAST(span_us AS DECIMAL(38,0))) div "
+                "(CAST(span_us AS DECIMAL(38,0)) * 2)"
+            ).cast("double") / 1e4).alias("twap"),
+            (F.expr(
+                "(sum_c * 200 + CAST(n_vals AS DECIMAL(38,0))) div "
+                "(CAST(n_vals AS DECIMAL(38,0)) * 2)"
+            ).cast("double") / 1e4).alias("naive_avg"),
+            (F.expr(
+                "(CAST(span_us AS DECIMAL(38,0)) * 200 + 3600000000) div "
+                "CAST(7200000000 AS DECIMAL(38,0))"
+            ).cast("double") / 1e2).alias("span_hours"),
         )
     )
 
 
 ORACLES["twap_user_value"] = """
     WITH e AS (
-        SELECT user_id, epoch_us(ts) AS us, value FROM events
+        SELECT user_id, epoch_us(ts) AS us, value,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
     ),
     spans AS (
-        SELECT user_id, us, value,
+        SELECT user_id, us, value, cents,
                lead(us) OVER (PARTITION BY user_id
                               ORDER BY us, value) AS next_us
         FROM e
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
-           round(sum(value * (next_us - us)) / sum(next_us - us), 4) AS twap,
-           round(avg(value), 4) AS naive_avg,
-           round(sum(next_us - us) / 3.6e9, 2) AS span_hours
+           CAST((sum(CAST(cents AS HUGEINT) * (next_us - us)) * 200
+                 + sum(next_us - us))
+                // (sum(next_us - us) * 2) AS DOUBLE) / 1e4 AS twap,
+           CAST((sum(CAST(cents AS HUGEINT)) * 200 + count(cents))
+                // (count(cents) * 2) AS DOUBLE) / 1e4 AS naive_avg,
+           CAST((sum(CAST(next_us - us AS HUGEINT)) * 200 + 3600000000)
+                // 7200000000 AS DOUBLE) / 1e2 AS span_hours
     FROM spans WHERE next_us IS NOT NULL
     GROUP BY user_id
 """

@@ -611,14 +611,20 @@ def _scaled_und(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# edges0/und/nb are referenced several times by every consumer below;
+# DuckDB inlines CTEs by default, which re-evaluates the whole
+# lineitem-join edge construction PER REFERENCE — and per-iteration CTE
+# chains (lpa_communities' l1..l3) multiply the reference count
+# exponentially (observed: >80 GB temp-disk exhaustion at sf0.1).
+# MATERIALIZED pins each to one evaluation (hits_bipartite precedent).
 _SCALED_UND_SQL = f"""
-        edges0 AS ({_EDGES_SQL}),
+        edges0 AS MATERIALIZED ({_EDGES_SQL}),
         thr AS (SELECT count(*) // {BFS_THR_DIVISOR} AS thr FROM lineitem),
-        und AS (
+        und AS MATERIALIZED (
             SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
             FROM edges0, thr WHERE w >= thr.thr AND src <> dst
         ),
-        nb AS (SELECT u AS node, v AS nbr FROM und
+        nb AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und
                UNION ALL SELECT v, u FROM und)
 """
 
@@ -1174,7 +1180,13 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the edge list is a distinct (customer, part) projection of
     lineitem x orders (fact-sized, built once, materialized); each round
-    is two edge-keyed aggregate joins — the pagerank shape.
+    is two edge-keyed aggregate joins — the pagerank shape.  (Measured
+    alternative, rejected: caching the edge list twice pre-partitioned
+    by each join key to reuse InMemoryRelation outputPartitioning was
+    ~1.8x SLOWER end-to-end at sf0.1 — AQE already broadcasts the
+    entity-sized score frames, so the checkpointed edges never re-cross
+    the wire per round, and the two repartition+cache materializations
+    are pure added cost.)
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1380,16 +1392,11 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _modularity_oracle() -> str:
-    # und / nb / the final label frame are each referenced SEVERAL times
-    # below; DuckDB inlines CTEs by default, which re-evaluates the whole
-    # lineitem-join edge construction per reference (observed: temp-disk
-    # exhaustion at sf0.1) — MATERIALIZED pins each to one evaluation (the
-    # hits_bipartite oracle precedent)
-    und_sql = _SCALED_UND_SQL.replace(
-        "und AS (", "und AS MATERIALIZED (", 1
-    ).replace("nb AS (", "nb AS MATERIALIZED (", 1)
+    # edges0/und/nb MATERIALIZED markers now live in _SCALED_UND_SQL
+    # itself (every consumer needs them — lpa_communities reproduced the
+    # temp-disk exhaustion this oracle first hit at sf0.1)
     ctes = [
-        und_sql.strip(),
+        _SCALED_UND_SQL.strip(),
         "nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation)",
         "l0 AS (SELECT node, node AS label FROM nodes)",
     ]

@@ -315,3 +315,123 @@ def test_canal_parse_matches_python_model(spark, lines):
     )
     want = Counter(_cnl_model(lines))
     assert got == want
+
+
+# --- DynamoDB Streams adapter property ---------------------------------------
+#
+# Locks the typed AttributeValue flattening (N/BOOL raw tokens, NULL ->
+# null, S re-quoted) AND the round-6-advice escaping fix: attribute names
+# and S values drawn from full unicode INCLUDING control characters,
+# quotes and backslashes must survive parse -> rebuilt payload_json ->
+# json.loads, byte-for-byte equal to a pure-Python flattening model.
+
+from cdc_streamming___v2_spark.sources.cdc_schema import (  # noqa: E402
+    parse_envelope_dynamodb,
+)
+
+_ddb_attr_name = st.text(min_size=1, max_size=8)
+_ddb_value = st.one_of(
+    st.tuples(st.just("S"), st.text(max_size=10)),
+    st.tuples(
+        st.just("N"),
+        st.integers(-10**9, 10**9)
+        | st.floats(allow_nan=False, allow_infinity=False, width=32),
+    ),
+    st.tuples(st.just("BOOL"), st.booleans()),
+    st.tuples(st.just("NULL"), st.none()),
+)
+_ddb_image = st.dictionaries(_ddb_attr_name, _ddb_value, max_size=5)
+
+
+@st.composite
+def _ddb_record(draw):
+    event = draw(st.sampled_from(["INSERT", "MODIFY", "REMOVE", "PING"]))
+    image = draw(_ddb_image)
+    keys_only = draw(st.booleans())
+    secs = draw(st.integers(0, 2_000_000_000))
+
+    typed = {}
+    expected = {}
+    for k, (t, v) in image.items():
+        if t == "S":
+            typed[k] = {"S": v}
+            expected[k] = v
+        elif t == "N":
+            token = json.dumps(v)
+            typed[k] = {"N": token}  # DynamoDB wire numbers are strings
+            expected[k] = json.loads(token)
+        elif t == "BOOL":
+            typed[k] = {"BOOL": v}
+            expected[k] = v
+        else:
+            typed[k] = {"NULL": True}
+            expected[k] = None
+
+    ddb: dict = {
+        "ApproximateCreationDateTime": secs,
+        "SequenceNumber": "1",
+        "Keys": dict(list(typed.items())[:1]),
+    }
+    if not keys_only:
+        ddb["NewImage" if event != "REMOVE" else "OldImage"] = typed
+    rec = {
+        "eventID": "e1",
+        "eventSource": "aws:dynamodb",
+        "eventSourceARN": (
+            "arn:aws:dynamodb:us-east-1:1:table/t_prop/stream/2026"
+        ),
+        "eventName": event,
+        "dynamodb": ddb,
+    }
+    act = {
+        "INSERT": "INSERT",
+        "MODIFY": "UPDATE-INSERT",
+        "REMOVE": "DELETE",
+        "PING": None,  # dead-letter: action NULL but payload KEPT
+    }[event]
+    # the parser picks its image independently of the action: REMOVE ->
+    # OldImage else Keys, everything else -> NewImage else Keys
+    img = typed if not keys_only else ddb["Keys"]
+    want_payload = {
+        k: expected[k] for k in img  # img keys subset of typed keys
+    }
+    from datetime import datetime, timezone as _tz
+
+    ts = datetime.fromtimestamp(secs, tz=_tz.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.000"
+    )
+    return json.dumps(rec, ensure_ascii=False), act, want_payload, ts
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(recs=st.lists(_ddb_record(), min_size=1, max_size=8))
+def test_dynamodb_parse_matches_python_model(spark, recs):
+    df = spark.createDataFrame([(r[0],) for r in recs], "value string")
+    env = parse_envelope_dynamodb(df).collect()
+    got = Counter(
+        (
+            r["object"],
+            r["action"],
+            r["update_date_raw"],
+            json.dumps(json.loads(r["payload_json"]), sort_keys=True)
+            if r["payload_json"] is not None
+            else None,
+        )
+        for r in env
+    )
+    want = Counter(
+        (
+            "t_prop",
+            act,
+            ts,
+            json.dumps(payload, sort_keys=True)
+            if payload is not None
+            else None,
+        )
+        for _, act, payload, ts in recs
+    )
+    assert got == want

@@ -75,3 +75,59 @@ def test_registry_has_no_driver_unsafe_oracles(con):
         f"oracles with HUGEINT/UHUGEINT final columns (driver hashes these "
         f"as float64, Spark emits int64 -> hash mismatch): {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 follow-on: the checker's --pandas mode hashes BOTH sides from
+# pandas frames the way the driver does (DuckDB .df(); Spark rows -> frame),
+# so coercion classes that fetchall() hides surface locally.  Pin its
+# behavior: the HUGEINT class mismatches, and the verified-driver-safe
+# coercions (DECIMAL -> float64, DATE -> midnight datetime64, NULL -> NaN)
+# hash equal.
+# ---------------------------------------------------------------------------
+
+import datetime
+import decimal
+
+import pandas as pd
+
+from tools.check_correctness import pandas_table_hash
+
+
+def test_pandas_hash_flags_hugeint_vs_int64(con):
+    duck = con.execute(
+        "SELECT sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n "
+        "FROM orders"
+    ).df()
+    n = int(con.execute(
+        "SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0"
+    ).fetchone()[0])
+    spark_like = pd.DataFrame([(n,)], columns=["n"])
+    assert pandas_table_hash(spark_like) != pandas_table_hash(duck)
+    # and the CAST fix makes them equal
+    duck_ok = con.execute(
+        "SELECT CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n FROM orders"
+    ).df()
+    assert pandas_table_hash(spark_like) == pandas_table_hash(duck_ok)
+
+
+def test_pandas_hash_driver_safe_coercions(con):
+    duck = con.execute(
+        "SELECT CAST(3.5 AS DECIMAL(18,2)) AS x, DATE '1995-03-15' AS d, "
+        "CAST(NULL AS BIGINT) AS nb, CAST(42 AS BIGINT) AS i"
+    ).df()
+    spark_like = pd.DataFrame(
+        [(decimal.Decimal("3.50"), datetime.date(1995, 3, 15), None, 42)],
+        columns=["x", "d", "nb", "i"],
+    )
+    assert pandas_table_hash(spark_like) == pandas_table_hash(duck)
+
+
+def test_pandas_hash_negative_zero_class(con):
+    """IEEE -0.0 still mismatches +0.0 through the pandas path (the class
+    retention_decay_fit hit at sf0.1); the `+ 0.0` sign-fold convention is
+    what protects registered queries, not the hasher."""
+    duck = con.execute("SELECT -0.0::DOUBLE AS z").df()
+    spark_like = pd.DataFrame([(0.0,)], columns=["z"])
+    assert pandas_table_hash(spark_like) != pandas_table_hash(duck)

@@ -41,6 +41,68 @@ def _canon(v) -> str:
 _DRIVER_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT")
 
 
+def _canon_pd(v) -> str:
+    """Canonicalize a cell the way the driver's pandas path renders it.
+
+    The driver hashes both sides from pandas frames (DuckDB via ``.df()``,
+    Spark via a frame built from collected rows).  Two lossy coercions are
+    verified driver-safe and mirrored here: DECIMAL -> float (DuckDB ``.df()``
+    emits float64 for DECIMAL; media_byte_histogram carried one and passed
+    r06), and NULL-in-numeric -> NaN (both engines' frames coerce).  numpy
+    scalars unwrap to Python before reusing ``_canon`` so int64(3750) and
+    3750 hash identically.
+    """
+    import datetime
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return "\0NULL"  # pandas frames collapse NULL/NaN in float columns
+    if isinstance(v, decimal.Decimal):
+        return _canon(float(v))
+    if isinstance(v, pd.Timestamp):
+        return str(v.to_pydatetime())
+    if isinstance(v, datetime.datetime):
+        return str(v)
+    if isinstance(v, datetime.date):
+        # pandas has no date-only dtype: DuckDB DATE -> datetime64 midnight,
+        # so a Spark date canonicalizes to the same midnight rendering
+        return f"{v} 00:00:00"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon_pd(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_pd(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(
+                f"{k}:{_canon_pd(x)}" for k, x in sorted(v.items())
+            )
+            + "}"
+        )
+    return _canon(v)
+
+
+def pandas_table_hash(frame) -> str:
+    """Order-insensitive hash of a pandas frame via the driver's coercions."""
+    cols = sorted(frame.columns)
+    h = hashlib.sha256()
+    rows = sorted(
+        "|".join(_canon_pd(v) for v in row)
+        for row in frame[cols].itertuples(index=False, name=None)
+    )
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
 def driver_unsafe_columns(con, sql: str) -> list:
     """Final-output columns whose DuckDB type the driver canonicalizes lossily.
 
@@ -72,8 +134,12 @@ def table_hash(rows, colnames) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a not in ("--pandas", "--negzero")]
+    pd_mode = "--pandas" in sys.argv[1:]
+    negz_mode = "--negzero" in sys.argv[1:]
+    negz_hits: list[str] = []
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -119,18 +185,51 @@ def main() -> int:
             )
             continue
 
+        if negz_mode:
+            # latent-hazard lint: a cell that is exactly IEEE -0.0 on EITHER
+            # side hashes fine while both engines agree, but the agreement is
+            # data-dependent (retention_decay_fit flipped at sf0.1 only).
+            # Any signed expression that can round to zero should fold the
+            # sign with `+ 0.0` on both sides; this sweep finds the ones
+            # that haven't.
+            def _negz(rows):
+                return any(
+                    isinstance(v, float) and v == 0.0
+                    and math.copysign(1.0, v) < 0
+                    for r in rows for v in r
+                )
+
+            if _negz(srows) or _negz(drows):
+                negz_hits.append(name)
+                print(f"NEGZ  {name}: -0.0 present "
+                      f"(spark={_negz(srows)} duck={_negz(drows)})")
+
         ok_count = len(srows) == len(drows)
         ok_cols = sorted(scols) == sorted(dcols)
         sh = table_hash([tuple(r) for r in srows], scols)
         dh = table_hash(drows, dcols)
         ok_hash = sh == dh
-        status = "OK  " if (ok_count and ok_cols and ok_hash) else "FAIL"
+        ok_pd = True
+        pd_note = ""
+        if pd_mode and ok_cols:
+            # driver-faithful second path: both sides hashed from pandas
+            # frames (DuckDB .df(); Spark rows -> frame), so coercion
+            # classes that fetchall() hides (HUGEINT->float64, NULL/NaN
+            # folding) surface locally instead of in CORRECTNESS_r{N}.
+            import pandas as pd
+
+            dpdf = con.execute(oracles[name]).df()
+            spdf = pd.DataFrame([tuple(r) for r in srows], columns=scols)
+            ok_pd = pandas_table_hash(spdf) == pandas_table_hash(dpdf)
+            pd_note = f" pdhash={'ok' if ok_pd else 'MISMATCH'}"
+        status = "OK  " if (ok_count and ok_cols and ok_hash and ok_pd) else "FAIL"
         if status == "FAIL":
             failures.append(name)
         print(
             f"{status}  {name}: rows {len(srows)}/{len(drows)} "
             f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
-            f"hash={'ok' if ok_hash else 'MISMATCH'} [{time.time()-t0:.1f}s]"
+            f"hash={'ok' if ok_hash else 'MISMATCH'}{pd_note} "
+            f"[{time.time()-t0:.1f}s]"
         )
         if not ok_hash and ok_count and ok_cols:
             # print a few diffing rows to debug
@@ -143,6 +242,9 @@ def main() -> int:
             for r in list(dset - sset)[:3]:
                 print(f"      duck-only:  {r[:200]}")
 
+    if negz_mode:
+        print(f"negzero hits: {len(negz_hits)}"
+              + (f": {negz_hits}" if negz_hits else ""))
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

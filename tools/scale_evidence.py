@@ -543,6 +543,62 @@ COVERAGE_QUERIES = [
     "q19_disjunctive_join",
     "q20_supply_threshold",
     "q22_prospect_customers",
+    # round-8 batch 6 — REGISTRY COMPLETION: the final 48 queries without a
+    # measured 10x ratio (every remaining registry entry).  Mostly light
+    # relational / scalar-function / sampling shapes.  Queries that read
+    # ONLY dimension tables (customer/supplier/part/nation/region, which
+    # the scaled corpus deliberately keeps at sf0.1 — facts grow faster
+    # than dims) are expected to land at ratio ~1.0 by construction; that
+    # is the honest reading (dim-bound, constant under fact growth), not a
+    # measurement artifact.
+    "agg_distinct",
+    "airbyte_record_roundtrip",
+    "ann_ivf_topk",
+    "array_agg_sorted",
+    "array_funcs",
+    "case_when_agg",
+    "central_tendency",
+    "cluster_balanced_sample",
+    "cube_agg",
+    "date_funcs",
+    "doc_fingerprint",
+    "domain_cap",
+    "except_all_bags",
+    "grouping_sets_agg",
+    "gumbel_block_maxima",
+    "hill_tail_index",
+    "inverted_index",
+    "join_anti",
+    "join_outer_coalesce",
+    "join_semi",
+    "lang_id",
+    "locf_fill",
+    "lognormal_fit_orders",
+    "map_funcs",
+    "math_funcs",
+    "null_handling",
+    "ordinal_concordance",
+    "pivot_agg",
+    "price_histogram",
+    "regex_funcs",
+    "rollup_agg",
+    "set_ops_customers",
+    "set_ops_except",
+    "simhash_hamming_pairs",
+    "sql_api_cte",
+    "stats_agg",
+    "stratified_sample",
+    "string_funcs",
+    "systematic_sample",
+    "time_range_moving_avg",
+    "time_rollup",
+    "transfer_entropy_daily",
+    "union_all_agg",
+    "unpivot_metrics",
+    "window_frame_funcs",
+    "window_ntile_dist",
+    "window_topk_per_group",
+    "word_freq_topn",
 ]
 
 
