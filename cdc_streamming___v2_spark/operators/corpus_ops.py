@@ -1568,7 +1568,10 @@ def yule_richness_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast(_DEC).alias("n"),
         F.count(F.lit(1)).cast(_DEC).alias("v"),
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast(_DEC).alias("v1"),
-        F.sum((F.col("c") * F.col("c")).cast(_DEC)).alias("s2"),
+        # cast each factor BEFORE the square: a long c*c overflows int64
+        # once a single term passes ~3e9 occurrences in one source (the
+        # theil_u2 overflow class, caught at 10x under ANSI mode)
+        F.sum(F.col("c").cast(_DEC) * F.col("c").cast(_DEC)).alias("s2"),
     )
     n = F.col("n").cast("double")
     yk = 1e4 * (F.col("s2").cast("double") - n) / (n * n)

@@ -396,14 +396,16 @@ def theil_u2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("x7", F.lag("xc", 7).over(wn))
         .filter(F.col("x1").isNotNull() & F.col("x7").isNotNull())
     )
+    # each factor casts to decimal BEFORE the multiply (the oracle's
+    # CAST(... AS HUGEINT) * CAST(... AS HUGEINT) shape): squaring the
+    # long cent diffs first overflows int64 once daily totals reach
+    # ~1e9.5 cents (hit at 10x sf0.1 under ANSI mode)
+    d7 = (F.col("x7") - F.col("xc")).cast(_DEC)
+    d1 = (F.col("x1") - F.col("xc")).cast(_DEC)
     agg = fr.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
-        F.sum(
-            ((F.col("x7") - F.col("xc")) * (F.col("x7") - F.col("xc"))).cast(_DEC)
-        ).alias("num"),
-        F.sum(
-            ((F.col("x1") - F.col("xc")) * (F.col("x1") - F.col("xc"))).cast(_DEC)
-        ).alias("den"),
+        F.sum(d7 * d7).alias("num"),
+        F.sum(d1 * d1).alias("den"),
     )
     u2 = F.sqrt(F.col("num").cast("double") / F.col("den").cast("double"))
     return agg.select(

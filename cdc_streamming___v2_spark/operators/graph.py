@@ -105,7 +105,7 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pr_oracle() -> str:
     ctes = [
-        """edges AS (
+        """edges AS MATERIALIZED (
             SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
                    count(*) AS w
             FROM lineitem l
@@ -115,7 +115,7 @@ def _pr_oracle() -> str:
             GROUP BY 1, 2
         )""",
         """outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)""",
-        """ep AS (SELECT e.src, e.dst, e.w * 1.0 / o.ow AS p
+        """ep AS MATERIALIZED (SELECT e.src, e.dst, e.w * 1.0 / o.ow AS p
                   FROM edges e JOIN outw o ON e.src = o.src)""",
         """nodes AS (SELECT n_nationkey AS node FROM nation)""",
         f"""r0 AS (SELECT node, 1.0 / {PR_N} AS r FROM nodes)""",
@@ -219,11 +219,11 @@ def _tri_oracle() -> str:
             JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
         ),
-        und AS (
+        und AS MATERIALIZED (
             SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
             FROM edges WHERE src <> dst AND w >= {TRIANGLE_MIN_W}
         ),
-        tri AS (
+        tri AS MATERIALIZED (
             SELECT e1.u AS a, e1.v AS b, e2.v AS c
             FROM und e1
             JOIN und e2 ON e1.v = e2.u
@@ -310,7 +310,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bfs_oracle() -> str:
     return f"""
-        WITH RECURSIVE edges0 AS (
+        WITH RECURSIVE edges0 AS MATERIALIZED (
             SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
             FROM lineitem l
             JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -321,7 +321,7 @@ def _bfs_oracle() -> str:
         thr AS (
             SELECT count(*) // {BFS_THR_DIVISOR} AS thr FROM lineitem
         ),
-        und AS (
+        und AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (
                 SELECT src, dst FROM edges0, thr
                 WHERE w >= thr.thr AND src <> dst
@@ -389,7 +389,7 @@ _EDGES_SQL = """
 
 def _assort_oracle() -> str:
     return f"""
-    WITH e AS ({_EDGES_SQL}),
+    WITH e AS MATERIALIZED ({_EDGES_SQL}),
     outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS kout FROM e GROUP BY 1),
     ind AS (SELECT dst, CAST(count(*) AS DOUBLE) AS kin FROM e GROUP BY 1),
     j AS (SELECT o.kout, i.kin FROM e
@@ -455,7 +455,7 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recursive_reach_oracle() -> str:
     return f"""
-        WITH RECURSIVE edges0 AS (
+        WITH RECURSIVE edges0 AS MATERIALIZED (
             SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
             FROM lineitem l
             JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -466,7 +466,7 @@ def _recursive_reach_oracle() -> str:
         thr AS (
             SELECT count(*) // {BFS_THR_DIVISOR} AS thr FROM lineitem
         ),
-        und AS (
+        und AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (
                 SELECT src, dst FROM edges0, thr
                 WHERE w >= thr.thr AND src <> dst
@@ -557,14 +557,14 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cc_oracle() -> str:
     return f"""
         WITH edges AS ({_EDGES_SQL}),
-        und AS (
+        und AS MATERIALIZED (
             SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
             FROM edges WHERE src <> dst AND w >= {TRIANGLE_MIN_W}
         ),
         nb AS (SELECT u AS node, v AS nbr FROM und
                UNION ALL SELECT v, u FROM und),
         deg AS (SELECT node, count(*) AS deg FROM nb GROUP BY node),
-        tri AS (
+        tri AS MATERIALIZED (
             SELECT e1.u AS a, e1.v AS b, e2.v AS c
             FROM und e1
             JOIN und e2 ON e1.v = e2.u
@@ -1533,7 +1533,7 @@ def katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["katz_centrality"] = f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
         SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey

@@ -1472,7 +1472,11 @@ def hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = g.groupBy("grp").agg(
         F.sum("cnt").cast("decimal(38,0)").alias("ng"),
         F.sum("ny").cast("decimal(38,0)").alias("obs"),
-        F.sum(F.col("pi") * F.col("cnt")).cast("decimal(38,0)").alias("spi"),
+        # accumulate in decimal (pi<=1e4 basis points x group counts: the
+        # long SUM is the overflow risk at extreme scale, not the product)
+        F.sum(
+            F.col("pi").cast("decimal(38,0)") * F.col("cnt")
+        ).alias("spi"),
     )
     ok = (F.col("spi") > 0) & (F.col("spi") < F.col("ng") * 10000)
     term = (

@@ -153,7 +153,13 @@ def morans_i_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ny", "nx")
         .count()
-        .agg(F.sum(F.col("count") * F.col("count")).cast(_DEC).alias("sdeg2"))
+        # factors cast BEFORE multiply and the SUM accumulates in decimal:
+        # the long sum-of-squared-degrees overflows int64 first at scale
+        .agg(
+            F.sum(
+                F.col("count").cast(_DEC) * F.col("count").cast(_DEC)
+            ).alias("sdeg2")
+        )
     )
     out = pagg.crossJoin(F.broadcast(deg))
     nd = F.col("n").cast("double")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -144,9 +145,10 @@ def main() -> int:
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # multi-file table (the .scale corpora)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
