@@ -1007,12 +1007,14 @@ def partial_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t").cast(_DEC)).alias("sz"),
         F.sum(F.col("xc").cast(_DEC)).alias("sx"),
         F.sum(F.col("yc").cast(_DEC)).alias("sy"),
-        F.sum((F.col("t") * F.col("t")).cast(_DEC)).alias("szz"),
-        F.sum((F.col("xc") * F.col("xc")).cast(_DEC)).alias("sxx"),
-        F.sum((F.col("yc") * F.col("yc")).cast(_DEC)).alias("syy"),
-        F.sum((F.col("t") * F.col("xc")).cast(_DEC)).alias("szx"),
-        F.sum((F.col("t") * F.col("yc")).cast(_DEC)).alias("szy"),
-        F.sum((F.col("xc") * F.col("yc")).cast(_DEC)).alias("sxy"),
+        # factors cast BEFORE the multiply: daily cent totals pass 3e9 at
+        # 10x sf0.1 and the long square overflows int64 under ANSI mode
+        F.sum(F.col("t").cast(_DEC) * F.col("t").cast(_DEC)).alias("szz"),
+        F.sum(F.col("xc").cast(_DEC) * F.col("xc").cast(_DEC)).alias("sxx"),
+        F.sum(F.col("yc").cast(_DEC) * F.col("yc").cast(_DEC)).alias("syy"),
+        F.sum(F.col("t").cast(_DEC) * F.col("xc").cast(_DEC)).alias("szx"),
+        F.sum(F.col("t").cast(_DEC) * F.col("yc").cast(_DEC)).alias("szy"),
+        F.sum(F.col("xc").cast(_DEC) * F.col("yc").cast(_DEC)).alias("sxy"),
     )
     n = F.col("n")
 

@@ -96,8 +96,13 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ),
+            2,
+        ).cast("double").alias("revenue"),
     )
 
 
@@ -123,7 +128,7 @@ ORACLES = {
     "skew_salted_join": """
         SELECT o_orderpriority,
                count(*) AS n_items,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,

@@ -131,8 +131,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -170,8 +175,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -396,7 +406,7 @@ ORACLES = {
     """,
     "q3_shipping_priority": """
         SELECT o_orderkey, o_orderdate, o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -409,7 +419,7 @@ ORACLES = {
     """,
     "q5_local_supplier_volume": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey

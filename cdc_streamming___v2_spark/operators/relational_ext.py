@@ -88,8 +88,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -158,14 +163,21 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-02-01"))
     )
     p = _t(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # per-term decimal casts make both sums exact and order-independent
+    # (the q7 10x lesson); one double ratio at the end
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
-                / F.sum(disc),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc).otherwise(zero)
+                ).cast("double")
+                / F.sum(disc).cast("double"),
                 2,
             ).alias("promo_revenue_pct")
         )
@@ -252,8 +264,13 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bands)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -687,7 +704,7 @@ ORACLES = {
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -725,10 +742,13 @@ ORACLES = {
         GROUP BY n_orders
     """,
     "q14_promo_effect": """
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 2)
+        SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                      THEN CAST(l_extendedprice * (1 - l_discount)
+                                                AS DECIMAL(18,4))
+                                      ELSE CAST(0 AS DECIMAL(18,4)) END)
+                              AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,4))) AS DOUBLE), 2)
                    AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -756,7 +776,7 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
     """,
     "q19_disjunctive_join": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15

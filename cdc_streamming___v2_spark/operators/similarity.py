@@ -814,19 +814,32 @@ def pq_topk_frame(
             ).alias("d2q"),
         )
     )
+    # per-element d2q quantizes to the 1e-9 grid BEFORE the sum, so the
+    # ADC total is an exact order-independent integer in both engines —
+    # ranking on the raw float sum flipped a tie at 10x (two replica
+    # vectors with equal ADC ranked 1/2 vs 2/1: summation-order ULP
+    # drift).  The 4dp display derives by integer HALF_UP (the
+    # _usd_halfup class), signed for float -epsilon headroom.
     adc = (
         codes.join(F.broadcast(lut), ["m", "cell"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.sum("d2q").alias("adc"))
+        .agg(F.sum(F.round(F.col("d2q") * 1e9).cast("long")).alias("adc_u"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("vec_id").asc()
+        F.col("adc_u").asc(), F.col("vec_id").asc()
     )
+    sign = F.when(F.col("adc_u") < 0, F.lit(-1)).otherwise(F.lit(1))
+    adc4 = sign * F.expr("(abs(adc_u) * 2 + 100000) div 200000")
     return (
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
-        .select("query_id", "vec_id", F.round("adc", 4).alias("adc_dist"), "rank")
+        .select(
+            "query_id",
+            "vec_id",
+            (adc4.cast("double") / 1e4).alias("adc_dist"),
+            "rank",
+        )
     )
 
 
@@ -892,7 +905,8 @@ def _pq_oracle() -> str:
         WHERE s.vec_id < {N_QUERIES}
     )""")
     ctes.append(f"""adc AS (
-        SELECT l.query_id, a.vec_id, sum(l.d2q) AS adc
+        SELECT l.query_id, a.vec_id,
+               sum(CAST(round(l.d2q * 1e9) AS BIGINT)) AS adc_u
         FROM {final_codes} a
         JOIN lut l ON a.m = l.m AND a.cell = l.cell
         WHERE a.vec_id <> l.query_id
@@ -901,10 +915,15 @@ def _pq_oracle() -> str:
     joined = ",\n        ".join(ctes)
     return f"""
         WITH {joined}
-        SELECT query_id, vec_id, round(adc, 4) AS adc_dist, rank FROM (
-            SELECT query_id, vec_id, adc,
+        SELECT query_id, vec_id,
+               CAST((CASE WHEN adc_u < 0 THEN -1 ELSE 1 END)
+                    * ((abs(adc_u) * 2 + 100000) // 200000)
+                    AS DOUBLE) / 1e4 AS adc_dist,
+               rank
+        FROM (
+            SELECT query_id, vec_id, adc_u,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY adc ASC, vec_id ASC) AS rank
+                                      ORDER BY adc_u ASC, vec_id ASC) AS rank
             FROM adc
         ) WHERE rank <= {TOP_K}
     """

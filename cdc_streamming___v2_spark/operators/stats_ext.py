@@ -5711,9 +5711,11 @@ def distance_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast(_DEC).alias("pn"),
         F.sum(F.col("c").cast(_DEC)).alias("sc"),
         F.sum(F.col("r").cast(_DEC)).alias("sr"),
-        F.sum((F.col("c") * F.col("r")).cast(_DEC)).alias("scr"),
-        F.sum((F.col("c") * F.col("c")).cast(_DEC)).alias("scc"),
-        F.sum((F.col("r") * F.col("r")).cast(_DEC)).alias("srr"),
+        # factors cast BEFORE the multiply: daily cent totals pass 3e9 at
+        # 10x sf0.1 and the long square overflows int64 under ANSI mode
+        F.sum(F.col("c").cast(_DEC) * F.col("r").cast(_DEC)).alias("scr"),
+        F.sum(F.col("c").cast(_DEC) * F.col("c").cast(_DEC)).alias("scc"),
+        F.sum(F.col("r").cast(_DEC) * F.col("r").cast(_DEC)).alias("srr"),
     )
     out = j.crossJoin(F.broadcast(mom))
     pr = (

@@ -643,8 +643,13 @@ def theta_method_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum(F.col("t").cast("decimal(38,0)")).alias("st"),
         F.sum(F.col("xc").cast("decimal(38,0)")).alias("sx"),
-        F.sum((F.col("t") * F.col("xc")).cast("decimal(38,0)")).alias("stx"),
-        F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)")).alias("stt"),
+        # factors cast BEFORE the multiply (int64 headroom at extreme SF)
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("xc").cast("decimal(38,0)")
+        ).alias("stx"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t").cast("decimal(38,0)")
+        ).alias("stt"),
         F.max(F.col("t")).alias("tmax"),
     )
     b = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")).cast(
