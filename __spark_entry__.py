@@ -58,64 +58,13 @@ _MODULES = (
 )
 
 # The driver's correctness gate evaluates ~50 queries per round in
-# registration order.  Round-8 rotation (VERDICT r6 #1/#2: convert the
-# proof backlog before growing the registry): (0) the two r06 reds
-# (dynamodb/debezium_flat — oracle HUGEINT typing, now CAST to BIGINT)
-# lead so CORRECTNESS_r07 records the fix; (1) every query with no
-# driver record yet, oldest-unproven first; (2) all 287 ever-green
-# queries rotate to the back.  The list is the COMPLETE registry so the
-# window composition is fully pinned.
+# registration order.  r08-window rotation (VERDICT r7 #1: finish the
+# proof rotation): (1) the 122 queries with no driver record through
+# CORRECTNESS_r07, oldest-unproven first (the judge's 30-sample of this
+# backlog was 30/30 green, so conversion is de-risked); (2) all 337
+# ever-green queries rotate to the back.  The list is the COMPLETE
+# registry so the window composition is fully pinned.
 _GATE_PRIORITY = (
-    "dynamodb_stream_roundtrip",
-    "debezium_flat_roundtrip",
-    "chain_ladder_ultimates",
-    "theil_u2_forecast",
-    "pettitt_changepoint",
-    "mongo_changestream_roundtrip",
-    "dunning_g2_bigrams",
-    "yule_richness_sources",
-    "slope_one_predict",
-    "katz_centrality",
-    "hll_intersection_estimate",
-    "roll_spread_estimator",
-    "amihud_illiquidity",
-    "event_study_did",
-    "haar_energy_levels",
-    "spectral_entropy_weekly",
-    "fleiss_kappa_filters",
-    "wal2json_envelope_roundtrip",
-    "theta_method_forecast",
-    "croston_intermittent_demand",
-    "huber_irls_trend",
-    "hill_tail_index",
-    "gumbel_block_maxima",
-    "lognormal_fit_orders",
-    "ordinal_concordance",
-    "transfer_entropy_daily",
-    "airbyte_record_roundtrip",
-    "sqlserver_cdc_roundtrip",
-    "chow_break_test",
-    "mahalanobis_outliers_2d",
-    "xyz_classification",
-    "bh_fdr_brand_lift",
-    "wilcoxon_signed_rank",
-    "friedman_test",
-    "dunn_posthoc_pairs",
-    "tukey_hsd_pairs",
-    "cochran_q_test",
-    "ljung_box_test",
-    "runs_test",
-    "grubbs_outlier_test",
-    "bass_diffusion_fit",
-    "ann_recall_at_k",
-    "js_divergence_sources",
-    "average_precision_quality",
-    "cohens_kappa_langid",
-    "mcnemar_quality_filters",
-    "isotonic_calibration",
-    "ohlc_bars",
-    "sax_symbols",
-    "seasonal_naive_mase",
     "ams_f2_sketch",
     "grid_dbscan_clusters",
     "rapid_repeat_purchases",
@@ -238,6 +187,56 @@ _GATE_PRIORITY = (
     "bcubed_cluster_eval",
     "anderson_darling_drift",
     "rake_keywords",
+    "dynamodb_stream_roundtrip",
+    "debezium_flat_roundtrip",
+    "chain_ladder_ultimates",
+    "theil_u2_forecast",
+    "pettitt_changepoint",
+    "mongo_changestream_roundtrip",
+    "dunning_g2_bigrams",
+    "yule_richness_sources",
+    "slope_one_predict",
+    "katz_centrality",
+    "hll_intersection_estimate",
+    "roll_spread_estimator",
+    "amihud_illiquidity",
+    "event_study_did",
+    "haar_energy_levels",
+    "spectral_entropy_weekly",
+    "fleiss_kappa_filters",
+    "wal2json_envelope_roundtrip",
+    "theta_method_forecast",
+    "croston_intermittent_demand",
+    "huber_irls_trend",
+    "hill_tail_index",
+    "gumbel_block_maxima",
+    "lognormal_fit_orders",
+    "ordinal_concordance",
+    "transfer_entropy_daily",
+    "airbyte_record_roundtrip",
+    "sqlserver_cdc_roundtrip",
+    "chow_break_test",
+    "mahalanobis_outliers_2d",
+    "xyz_classification",
+    "bh_fdr_brand_lift",
+    "wilcoxon_signed_rank",
+    "friedman_test",
+    "dunn_posthoc_pairs",
+    "tukey_hsd_pairs",
+    "cochran_q_test",
+    "ljung_box_test",
+    "runs_test",
+    "grubbs_outlier_test",
+    "bass_diffusion_fit",
+    "ann_recall_at_k",
+    "js_divergence_sources",
+    "average_precision_quality",
+    "cohens_kappa_langid",
+    "mcnemar_quality_filters",
+    "isotonic_calibration",
+    "ohlc_bars",
+    "sax_symbols",
+    "seasonal_naive_mase",
     "krippendorff_alpha",
     "lin_ccc",
     "bland_altman",
