@@ -3143,7 +3143,12 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     sensor means), where the plain avg() over-weights bursts.
 
     Durations are integer epoch-microsecond differences (exact in both
-    engines); users with a single event have zero span and are excluded.
+    engines); users with a single event have zero span and are excluded,
+    as is the degenerate user whose events ALL share one microsecond
+    (span_us = 0 — the integer division would hard-error under ANSI /
+    DuckDB HUGEINT ``// 0`` where the old double division gave inf;
+    ADVICE r7).  The guard is the identical ``span_us > 0`` filter on
+    both sides.
     Values are cents-exact (2-decimal domain), so BOTH weighted and plain
     sums fold in integer cent-units as decimal(38,0) — order-independent
     across partitions (a raw double sum drifted in the 8th significant
@@ -3183,6 +3188,7 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cents").cast(dec)).alias("sum_c"),
             F.count("cents").alias("n_vals"),
         )
+        .filter(F.col("span_us") > 0)
         .select(
             "user_id",
             "n_intervals",
@@ -3225,6 +3231,7 @@ ORACLES["twap_user_value"] = """
                 // 7200000000 AS DOUBLE) / 1e2 AS span_hours
     FROM spans WHERE next_us IS NOT NULL
     GROUP BY user_id
+    HAVING sum(next_us - us) > 0
 """
 QUERIES["twap_user_value"] = twap_user_value
 

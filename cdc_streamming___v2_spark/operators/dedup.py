@@ -924,7 +924,8 @@ def _simhash_pairs_sql() -> str:
     )
     return f"""
         WITH bbv AS (
-            SELECT least(greatest(length(bin(count(*) - 1)) - 7, 4), 15)
+            SELECT least(greatest(
+                       length(bin(greatest(count(*), 2) - 1)) - 7, 4), 15)
                    AS bb
             FROM documents
         ),
@@ -991,7 +992,8 @@ def _emb_near_dup_oracle() -> str:
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         nb AS (SELECT LEAST({EMB_FP_MAX_BAND_BITS},
                             GREATEST({EMB_FP_BAND_BITS},
-                                     length(bin(count(*) - 1)) - 7))
+                                     length(bin(greatest(count(*), 2) - 1))
+                                     - 7))
                           AS band_bits
                FROM e),
         ef AS (SELECT vec_id, v, CAST({fp} AS BIGINT) AS fp FROM e),

@@ -314,3 +314,37 @@ def test_funnel_windowed_monotone_in_window(spark):
     assert r.n_conv_1d <= r.n_conv_7d <= r.n_conv_30d <= r.n_signup_users
     assert 0 <= r.rate_1d <= r.rate_7d <= r.rate_30d <= 1
     assert r.n_signup_users > 0
+
+
+def test_twap_zero_span_user_excluded(spark, tmp_path):
+    """ADVICE r7: a user whose events ALL share one microsecond has
+    span_us = 0; the integer-division TWAP would hard-error (ANSI divide
+    by zero / DuckDB HUGEINT // 0) where the old double division gave
+    inf.  The span_us > 0 guard must drop that user while leaving a
+    normal user's row intact."""
+    import pandas as pd
+
+    from cdc_streamming___v2_spark.operators.analytics import twap_user_value
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            # user 1: two events at the SAME microsecond (span 0);
+            # user 2: two readings an hour apart + a terminal event
+            "ts": [t0, t0, t0, t0 + pd.Timedelta(hours=1),
+                   t0 + pd.Timedelta(hours=2)],
+            "user_id": [1, 1, 2, 2, 2],
+            "event_type": ["view"] * 5,
+            "value": [10.0, 20.0, 10.0, 30.0, 0.0],
+            "props": ["{}"] * 5,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    rows = twap_user_value(spark, str(tmp_path)).collect()
+    assert [r["user_id"] for r in rows] == [2]
+    r = rows[0]
+    # user 2 holds 10.0 for 1h then 30.0 for 1h -> TWAP 20.0
+    assert r["n_intervals"] == 2
+    assert r["twap"] == 20.0
+    assert r["naive_avg"] == 20.0
+    assert r["span_hours"] == 2.0

@@ -131,3 +131,20 @@ def test_pandas_hash_negative_zero_class(con):
     duck = con.execute("SELECT -0.0::DOUBLE AS z").df()
     spark_like = pd.DataFrame([(0.0,)], columns=["z"])
     assert pandas_table_hash(spark_like) != pandas_table_hash(duck)
+
+
+def test_pandas_hash_null_timestamp_nat(con):
+    """A NULL timestamp from DuckDB .df() arrives as pd.NaT, which IS a
+    datetime instance — without the explicit NaT branch it canonicalized
+    to the string 'NaT' while the Spark-side None canonicalizes to the
+    NULL sentinel, a spurious pdhash MISMATCH for any nullable timestamp
+    column (ADVICE r7)."""
+    import datetime
+
+    duck = con.execute(
+        "SELECT CAST(NULL AS TIMESTAMP) AS t, TIMESTAMP '1995-03-15 12:00:00' AS u"
+    ).df()
+    spark_like = pd.DataFrame(
+        [(None, datetime.datetime(1995, 3, 15, 12, 0, 0))], columns=["t", "u"]
+    )
+    assert pandas_table_hash(spark_like) == pandas_table_hash(duck)

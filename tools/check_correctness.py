@@ -61,6 +61,11 @@ def _canon_pd(v) -> str:
 
     if v is None:
         return "\0NULL"
+    if v is pd.NaT:
+        # NULL timestamp from DuckDB .df(): NaT is a datetime instance, so
+        # without this it would canonicalize to the string 'NaT' while the
+        # Spark-side None canonicalizes to '\0NULL' (ADVICE r7)
+        return "\0NULL"
     if isinstance(v, np.generic):
         v = v.item()
     if isinstance(v, float) and math.isnan(v):
@@ -171,9 +176,21 @@ def main() -> int:
             continue
         try:
             unsafe = driver_unsafe_columns(con, oracles[name])
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            if pd_mode:
+                # --pandas is the driver-faithful path and the driver hashes
+                # only from frames, so fetch the oracle ONCE via .df() (the
+                # old flow ran every oracle twice — fetchall for the row-hash
+                # plus .df() for the pandas hash — doubling DuckDB cost on
+                # the expensive graph/ADC oracles; ADVICE r7).  drows is
+                # derived from the frame for the count/negzero paths only.
+                dpdf = con.execute(oracles[name]).df()
+                dcols = list(dpdf.columns)
+                drows = list(dpdf.itertuples(index=False, name=None))
+            else:
+                dpdf = None
+                cur = con.execute(oracles[name])
+                dcols = [d[0] for d in cur.description]
+                drows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -208,22 +225,26 @@ def main() -> int:
 
         ok_count = len(srows) == len(drows)
         ok_cols = sorted(scols) == sorted(dcols)
-        sh = table_hash([tuple(r) for r in srows], scols)
-        dh = table_hash(drows, dcols)
-        ok_hash = sh == dh
         ok_pd = True
         pd_note = ""
-        if pd_mode and ok_cols:
-            # driver-faithful second path: both sides hashed from pandas
-            # frames (DuckDB .df(); Spark rows -> frame), so coercion
-            # classes that fetchall() hides (HUGEINT->float64, NULL/NaN
-            # folding) surface locally instead of in CORRECTNESS_r{N}.
+        if pd_mode:
+            # driver-faithful path: both sides hashed from pandas frames
+            # (DuckDB .df(); Spark rows -> frame), so coercion classes that
+            # fetchall() hides (HUGEINT->float64, NULL/NaN folding) surface
+            # locally instead of in CORRECTNESS_r{N}.  The fetchall row-hash
+            # is NOT computed here: the oracle was fetched only as a frame,
+            # and the frame's numpy typing would make table_hash spurious.
             import pandas as pd
 
-            dpdf = con.execute(oracles[name]).df()
             spdf = pd.DataFrame([tuple(r) for r in srows], columns=scols)
-            ok_pd = pandas_table_hash(spdf) == pandas_table_hash(dpdf)
+            ok_hash = True
+            if ok_cols:
+                ok_pd = pandas_table_hash(spdf) == pandas_table_hash(dpdf)
             pd_note = f" pdhash={'ok' if ok_pd else 'MISMATCH'}"
+        else:
+            sh = table_hash([tuple(r) for r in srows], scols)
+            dh = table_hash(drows, dcols)
+            ok_hash = sh == dh
         status = "OK  " if (ok_count and ok_cols and ok_hash and ok_pd) else "FAIL"
         if status == "FAIL":
             failures.append(name)
@@ -233,7 +254,22 @@ def main() -> int:
             f"hash={'ok' if ok_hash else 'MISMATCH'}{pd_note} "
             f"[{time.time()-t0:.1f}s]"
         )
-        if not ok_hash and ok_count and ok_cols:
+        if not ok_pd and ok_count and ok_cols:
+            # pdhash mismatch: diff via the pandas canonicalization
+            csort = sorted(scols)
+            sset = {
+                "|".join(_canon_pd(v) for v in row)
+                for row in spdf[csort].itertuples(index=False, name=None)
+            }
+            dset = {
+                "|".join(_canon_pd(v) for v in row)
+                for row in dpdf[csort].itertuples(index=False, name=None)
+            }
+            for r in list(sset - dset)[:3]:
+                print(f"      spark-only: {r[:200]}")
+            for r in list(dset - sset)[:3]:
+                print(f"      duck-only:  {r[:200]}")
+        elif not ok_hash and ok_count and ok_cols:
             # print a few diffing rows to debug
             order_s = sorted(range(len(scols)), key=lambda i: scols[i])
             order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
