@@ -8328,18 +8328,22 @@ def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forensic near-duplicate-payment screen: pairs of orders from the
     SAME customer with amounts within $1,000 of each other placed within
     180 days — the AP double-billing audit.  Candidates come from a
-    (customer, amount-band, time-band) equi-join with the probe side
-    exploded to its +/-1 adjacent bands on BOTH band dimensions (the
-    geo_grid_join shape in 2-D), so pairing cost is (amount-band x
-    180-day-band) occupancy bounded: a customer whose order count grows
-    with the corpus — or a real skewed customer at 100x — pairs only
-    within same-or-adjacent amount AND time cells, never across their
-    full history (VERDICT r7 #2: the customer-x-amount-band key alone
-    went quadratic in per-customer order density, 4.57x at 10x).  The
-    ORACLE runs the brute-force per-customer pair join, so the hash
-    match proves the 2-D banding lossless (each band width >= its
-    tolerance, so any qualifying pair is at most one band apart on each
-    axis).
+    (customer, amount-band, time-band) equi-join — the geo_grid_join
+    shape in 2-D — so pairing cost is (amount-band x 180-day-band)
+    occupancy bounded: a customer whose order count grows with the
+    corpus — or a real skewed customer at 100x — pairs only within
+    same-or-adjacent amount AND time cells, never across their full
+    history (VERDICT r7 #2: the customer-x-amount-band key alone went
+    quadratic in per-customer order density, 4.57x at 10x).  The +/-1
+    neighborhood is covered with ONE explode per side — side a shifts
+    the AMOUNT band by {-1,0,+1}, side b shifts the TIME band by
+    {-1,0,+1} — which reaches every (d_amt, d_time) in {-1,0,1}^2
+    (a's exploded amount meets b's raw amount; b's exploded time meets
+    a's raw time) at 6N exploded rows instead of the 10N of a one-sided
+    3x3 explode.  The ORACLE runs the brute-force per-customer pair
+    join, so the hash match proves the 2-D banding lossless (each band
+    width >= its tolerance, so any qualifying pair is at most one band
+    apart on each axis).
 
     Exactness: amounts and gaps are integer cents/days end to end.
     """
@@ -8353,35 +8357,18 @@ def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     tband = F.floor(
         F.datediff(F.col("d"), F.lit("1992-01-01")) / DUP_PAY_WINDOW_DAYS
     ).cast("long")
-    # one generator per SELECT: explode the 3x3 (amount-band, time-band)
-    # neighborhood as structs in a single pass
-    cells = F.array(
-        *[
-            F.struct(
-                (band + i).alias("b"), (tband + t).alias("tb")
-            )
-            for i in (-1, 0, 1)
-            for t in (-1, 0, 1)
-        ]
-    )
     a = o.select(
         F.col("o_custkey").alias("ck"),
-        F.explode(cells).alias("cell"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("b"),
+        tband.alias("tb"),
         F.col("cents").alias("ca"),
         F.col("o_orderkey").alias("order_a"),
         F.col("d").alias("da"),
-    ).select(
-        "ck",
-        F.col("cell.b").alias("b"),
-        F.col("cell.tb").alias("tb"),
-        "ca",
-        "order_a",
-        "da",
     )
     b = o.select(
         F.col("o_custkey").alias("ck"),
         band.alias("b"),
-        tband.alias("tb"),
+        F.explode(F.array(tband - 1, tband, tband + 1)).alias("tb"),
         F.col("cents").alias("cb"),
         F.col("o_orderkey").alias("order_b"),
         F.col("d").alias("db"),

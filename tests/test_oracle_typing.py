@@ -148,3 +148,22 @@ def test_pandas_hash_null_timestamp_nat(con):
         [(None, datetime.datetime(1995, 3, 15, 12, 0, 0))], columns=["t", "u"]
     )
     assert pandas_table_hash(spark_like) == pandas_table_hash(duck)
+
+
+def test_baseline_current_pin_table_covers_headline():
+    """BASELINE.md's 'Current pins' table is the single operative
+    regression reference (VERDICT r7 #7): it must cover EXACTLY bench.py's
+    headline query set, one row each, with a parseable positive pin."""
+    import re
+
+    import bench
+
+    text = open("/root/repo/BASELINE.md").read()
+    section = text.split("## Current pins", 1)[1].split("## Pin history", 1)[0]
+    rows = re.findall(
+        r"^\| ([a-z0-9_]+) \| (\d+\.\d+) \|", section, re.MULTILINE
+    )
+    names = [n for n, _ in rows]
+    assert len(names) == len(set(names)), "duplicate pin rows"
+    assert set(names) == set(bench.HEADLINE)
+    assert all(float(v) > 0 for _, v in rows)
