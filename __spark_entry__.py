@@ -65,6 +65,10 @@ _MODULES = (
 # ever-green queries rotate to the back.  The list is the COMPLETE
 # registry so the window composition is fully pinned.
 _GATE_PRIORITY = (
+    # the one round-8 registry addition (VERDICT r7 #4: grown only after
+    # the rotation window was locked) leads so it lands INSIDE the next
+    # driver window, not behind it
+    "cdc_conformance_matrix",
     "ams_f2_sketch",
     "grid_dbscan_clusters",
     "rapid_repeat_purchases",
@@ -567,7 +571,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 459
+_MIN_QUERIES = 460
 
 
 def _registry() -> tuple[dict, dict]:

@@ -1409,3 +1409,113 @@ ORACLES["debezium_flat_roundtrip"] = """
     GROUP BY 1
 """
 QUERIES["debezium_flat_roundtrip"] = debezium_flat_roundtrip
+
+
+def cdc_conformance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dialect conformance matrix (VERDICT r7 #4b): the golden
+    canonical change set (sources/conformance.py — 5 operations over two
+    tables) rendered into all 12 producer wire formats, parsed in ONE
+    frame by the per-line auto dispatcher, payload-decoded, and grouped
+    by the full canonical row.  Every canonical operation must be
+    recovered from EVERY dialect: n_dialects = 12 on all 5 rows, which
+    the static-VALUES oracle pins — a wrong action map, a dropped
+    payload field, or a mis-parsed timestamp in ANY dialect breaks the
+    hash.  DELETEs are key-only in every rendering, so the decoded rows
+    are value-identical across dialects by construction.
+
+    Scale: a 60-row literal frame — the conformance contract itself is
+    fixed-size at every SF (expected 10x ratio ~1.0 by construction);
+    the per-dialect THROUGHPUT paths are exercised by the envelope
+    roundtrip queries over orders.  Wall cost (~5 s solo) is whole-stage
+    CODEGEN COMPILE of the auto dispatcher's 12-dialect union tree, not
+    data — constant, and the same compile any mixed-stream micro-batch
+    pays once per plan.
+    """
+    from ..sources.cdc_schema import parse_envelope_auto
+    from ..sources.conformance import RENDERERS, render
+
+    rows = [(d, ln) for d in sorted(RENDERERS) for ln in render(d)]
+    # repartition(1), NOT coalesce(1): the exchange breaks the
+    # LocalRelation lineage, without which Catalyst constant-folds the
+    # auto dispatcher's full 12-dialect expression tree driver-side in
+    # interpreted mode on every optimizer pass — measured 52 s for these
+    # 60 rows vs 2.6 s behind the exchange.  One partition because the
+    # frame is 60 literal rows.
+    src = spark.createDataFrame(
+        rows, "dialect string, value string"
+    ).repartition(1)
+    env = parse_envelope_auto(src)
+    # dialect recovers from the raw line via a literal map — joining env
+    # back to src would duplicate the dispatcher's expression tree on
+    # both join sides and double its codegen cost
+    dialect_of = F.create_map(
+        *[x for d, ln in rows for x in (F.lit(ln), F.lit(d))]
+    )
+    j = env.select(
+        dialect_of[F.col("raw")].alias("dialect"),
+        "object", "action", "update_date_raw", "payload_json",
+    )
+    payload = T.StructType(
+        [
+            T.StructField("product_id", T.StringType()),
+            T.StructField("product_category_name", T.StringType()),
+            T.StructField("product_photos_qty", T.LongType()),
+            T.StructField("product_weight_g", T.DoubleType()),
+            T.StructField("first_name", T.StringType()),
+            T.StructField("email", T.StringType()),
+        ]
+    )
+    canon = j.select(
+        "dialect",
+        "object",
+        "action",
+        F.unix_seconds(
+            F.col("update_date_raw").cast("timestamp")
+        ).alias("ts_epoch"),
+        F.from_json("payload_json", payload).alias("p"),
+    )
+    return (
+        canon.groupBy(
+            "object", "action", "ts_epoch",
+            F.col("p.product_id").alias("product_id"),
+            F.col("p.product_category_name").alias("category"),
+            F.col("p.product_photos_qty").alias("photos_qty"),
+            F.col("p.product_weight_g").alias("weight_g"),
+            F.col("p.first_name").alias("first_name"),
+            F.col("p.email").alias("email"),
+        )
+        .agg(
+            F.count_distinct("dialect").cast("bigint").alias("n_dialects"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .orderBy("object", "ts_epoch")
+    )
+
+
+QUERIES["cdc_conformance_matrix"] = cdc_conformance_matrix
+ORACLES["cdc_conformance_matrix"] = """
+    SELECT * FROM (VALUES
+        ('olist_produtos', 'INSERT', CAST(1704067200 AS BIGINT),
+         'p1', 'toys', CAST(2 AS BIGINT), 100.0,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(12 AS BIGINT), CAST(12 AS BIGINT)),
+        ('olist_produtos', 'INSERT', CAST(1704110400 AS BIGINT),
+         'p2', 'books', CAST(1 AS BIGINT), 80.0,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(12 AS BIGINT), CAST(12 AS BIGINT)),
+        ('olist_produtos', 'UPDATE-INSERT', CAST(1704153600 AS BIGINT),
+         'p1', 'games', CAST(3 AS BIGINT), 120.0,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(12 AS BIGINT), CAST(12 AS BIGINT)),
+        ('olist_produtos', 'DELETE', CAST(1704240000 AS BIGINT),
+         'p2', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(12 AS BIGINT), CAST(12 AS BIGINT)),
+        ('olist_users', 'INSERT', CAST(1704443400 AS BIGINT),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 'ana', 'a@x.com',
+         CAST(12 AS BIGINT), CAST(12 AS BIGINT))
+    ) AS t(object, action, ts_epoch, product_id, category, photos_qty,
+           weight_g, first_name, email, n_dialects, n_rows)
+    ORDER BY object, ts_epoch
+"""

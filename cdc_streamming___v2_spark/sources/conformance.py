@@ -1,0 +1,271 @@
+"""Golden CDC conformance corpus: ONE canonical change set rendered
+into every supported producer's public wire format (VERDICT r7 #4b).
+
+Shared by the tests (tests/golden/*.jsonl replayed through the
+single-pass ingest) and the registry query
+``cdc_conformance_matrix`` (operators/cdc_batch.py), which parses all
+renderings with the per-line auto dispatcher and proves cross-dialect
+equivalence under the DuckDB oracle.
+
+Wire shapes follow each parser's documented public contract
+(sources/cdc_schema.py docstrings; reference envelope per
+src/dataflow-cdc-stream.py:60-70).
+"""
+
+
+from __future__ import annotations
+
+import json
+
+
+# (table, action, epoch_seconds, full_payload, key_payload)
+P1 = {"product_id": "p1", "product_category_name": "toys",
+      "product_photos_qty": 2, "product_weight_g": 100.0}
+P1B = {"product_id": "p1", "product_category_name": "games",
+       "product_photos_qty": 3, "product_weight_g": 120.0}
+P2 = {"product_id": "p2", "product_category_name": "books",
+      "product_photos_qty": 1, "product_weight_g": 80.0}
+P2KEY = {"product_id": "p2"}
+ANA = {"first_name": "ana", "email": "a@x.com"}
+
+CHANGES = [
+    ("olist_produtos", "INSERT", 1704067200, P1, None),
+    ("olist_produtos", "UPDATE-INSERT", 1704153600, P1B, None),
+    ("olist_produtos", "INSERT", 1704110400, P2, None),
+    ("olist_produtos", "DELETE", 1704240000, None, P2KEY),
+    ("olist_users", "INSERT", 1704443400, ANA, None),
+]
+
+
+def _iso(ep: int) -> str:
+    import datetime
+
+    return (
+        datetime.datetime.fromtimestamp(ep, datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    )
+
+
+def _sql(ep: int, frac: str = "") -> str:
+    import datetime
+
+    s = datetime.datetime.fromtimestamp(
+        ep, datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+    return s + frac
+
+
+def _datastream(t, a, ep, p, k):
+    return json.dumps({
+        "object": t,
+        "source_timestamp": _iso(ep),
+        "source_metadata": {"change_type": a},
+        "payload": p if p is not None else k,
+    })
+
+
+_DBZ_OP = {"INSERT": "c", "UPDATE-INSERT": "u", "DELETE": "d"}
+
+
+def _debezium(t, a, ep, p, k):
+    return json.dumps({
+        "op": _DBZ_OP[a],
+        "ts_ms": ep * 1000,
+        "before": k if a == "DELETE" else None,
+        "after": p,
+        "source": {"db": "shop", "table": t},
+    })
+
+
+def _debezium_flat(t, a, ep, p, k):
+    row = dict(p if p is not None else k)
+    row.update({"__op": _DBZ_OP[a], "__ts_ms": ep * 1000, "__table": t})
+    return json.dumps(row)
+
+
+_MXW_TYPE = {"INSERT": "insert", "UPDATE-INSERT": "update",
+             "DELETE": "delete"}
+
+
+def _maxwell(t, a, ep, p, k):
+    return json.dumps({
+        "database": "shop", "table": t, "type": _MXW_TYPE[a], "ts": ep,
+        "data": p if p is not None else k,
+    })
+
+
+_CANAL_TYPE = {"INSERT": "INSERT", "UPDATE-INSERT": "UPDATE",
+               "DELETE": "DELETE"}
+
+
+def _canal(t, a, ep, p, k):
+    return json.dumps({
+        "database": "shop", "table": t, "type": _CANAL_TYPE[a],
+        "es": ep * 1000, "ts": ep * 1000 + 5,
+        "data": [p if p is not None else k],
+    })
+
+
+_MSSQL_OP = {"DELETE": 1, "INSERT": 2, "UPDATE-INSERT": 4}
+
+
+def _sqlserver(t, a, ep, p, k):
+    row = dict(p if p is not None else k)
+    row.update({
+        "__$operation": _MSSQL_OP[a],
+        "__$start_lsn": "00000025:00000448:0003",
+        "__$capture_instance": f"dbo_{t}",
+        "__$commit_time": _sql(ep),
+    })
+    return json.dumps(row)
+
+
+_DMS_OP = {"INSERT": "insert", "UPDATE-INSERT": "update",
+           "DELETE": "delete"}
+
+
+def _aws_dms(t, a, ep, p, k):
+    import datetime
+
+    ts = datetime.datetime.fromtimestamp(
+        ep, datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    return json.dumps({
+        "data": p if p is not None else k,
+        "metadata": {
+            "record-type": "data", "operation": _DMS_OP[a],
+            "timestamp": ts, "schema-name": "shop", "table-name": t,
+        },
+    })
+
+
+_OGG_OP = {"INSERT": "I", "UPDATE-INSERT": "U", "DELETE": "D"}
+
+
+def _goldengate(t, a, ep, p, k):
+    return json.dumps({
+        "op_type": _OGG_OP[a],
+        "op_ts": _sql(ep, ".000000"),
+        "table": f"SHOP.{t}",
+        "before": k if a == "DELETE" else None,
+        "after": p,
+    })
+
+
+_MONGO_OP = {"INSERT": "insert", "UPDATE-INSERT": "update",
+             "DELETE": "delete"}
+
+
+def _mongo(t, a, ep, p, k):
+    import datetime
+
+    wall = datetime.datetime.fromtimestamp(
+        ep, datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.000Z")  # relaxed-EJSON $date layout
+    doc = {
+        "operationType": _MONGO_OP[a],
+        "ns": {"db": "shop", "coll": t},
+        "wallTime": wall,
+        "documentKey": {"product_id": (p or k).get("product_id", "u1")},
+    }
+    if a != "DELETE":
+        doc["fullDocument"] = p  # updateLookup-style full image
+    return json.dumps(doc)
+
+
+_W2J_OP = {"INSERT": "I", "UPDATE-INSERT": "U", "DELETE": "D"}
+_W2J_TYPES = {
+    "product_id": "text", "product_category_name": "text",
+    "product_photos_qty": "integer", "product_weight_g": "numeric",
+    "first_name": "text", "email": "text",
+}
+
+
+def _w2j_cols(obj):
+    return [
+        {"name": n, "type": _W2J_TYPES[n], "value": v}
+        for n, v in obj.items()
+    ]
+
+
+def _wal2json(t, a, ep, p, k):
+    doc = {
+        "action": _W2J_OP[a], "schema": "public", "table": t,
+        # wal2json renders commit time with microseconds + numeric offset
+        "timestamp": _sql(ep, ".000000+00"),
+    }
+    if a == "DELETE":
+        doc["identity"] = _w2j_cols(k)
+    else:
+        doc["columns"] = _w2j_cols(p)
+    return json.dumps(doc)
+
+
+def _airbyte(t, a, ep, p, k):
+    data = dict(p if p is not None else k)
+    if a == "UPDATE-INSERT":
+        data["_ab_cdc_updated_at"] = ep * 1000
+    elif a == "DELETE":
+        data["_ab_cdc_updated_at"] = ep * 1000
+        data["_ab_cdc_deleted_at"] = ep * 1000
+    return json.dumps({
+        "type": "RECORD",
+        "record": {
+            "stream": t, "namespace": "public",
+            "emitted_at": ep * 1000, "data": data,
+        },
+    })
+
+
+def _ddb_attr(v):
+    if isinstance(v, bool):
+        return {"BOOL": v}
+    if isinstance(v, (int, float)):
+        return {"N": repr(v)}
+    return {"S": str(v)}
+
+
+_DDB_EVENT = {"INSERT": "INSERT", "UPDATE-INSERT": "MODIFY",
+              "DELETE": "REMOVE"}
+
+
+def _dynamodb(t, a, ep, p, k):
+    body = {"ApproximateCreationDateTime": ep,
+            "Keys": {n: _ddb_attr(v) for n, v in (k or
+                     {"product_id": (p or {}).get("product_id", "u1")}
+                     ).items()}}
+    if a == "DELETE":
+        body["OldImage"] = {n: _ddb_attr(v) for n, v in k.items()}
+    else:
+        body["NewImage"] = {n: _ddb_attr(v) for n, v in p.items()}
+    return json.dumps({
+        "eventName": _DDB_EVENT[a],
+        "eventSourceARN": (
+            f"arn:aws:dynamodb:us-east-1:123456789012:table/{t}"
+            "/stream/2024-01-01T00:00:00.000"
+        ),
+        "dynamodb": body,
+    })
+
+
+RENDERERS = {
+    "datastream": _datastream,
+    "debezium": _debezium,
+    "debezium_flat": _debezium_flat,
+    "maxwell": _maxwell,
+    "canal": _canal,
+    "sqlserver": _sqlserver,
+    "aws_dms": _aws_dms,
+    "goldengate": _goldengate,
+    "mongo": _mongo,
+    "wal2json": _wal2json,
+    "airbyte": _airbyte,
+    "dynamodb": _dynamodb,
+}
+
+
+def render(dialect: str) -> list[str]:
+    fn = RENDERERS[dialect]
+    return [fn(*c) for c in CHANGES]
+
+

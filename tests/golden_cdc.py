@@ -1,0 +1,28 @@
+"""Test-side shim for the golden CDC corpus: the renderers live in
+the package (sources/conformance.py) so the registry query
+cdc_conformance_matrix shares them; this module adds the on-disk
+golden-file management used by the conformance tests."""
+
+from __future__ import annotations
+
+import os
+
+from cdc_streamming___v2_spark.sources.conformance import (  # noqa: F401
+    CHANGES,
+    RENDERERS,
+    render,
+)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def write_golden() -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for dialect in RENDERERS:
+        with open(os.path.join(GOLDEN_DIR, f"{dialect}.jsonl"), "w") as f:
+            f.write("\n".join(render(dialect)) + "\n")
+
+
+if __name__ == "__main__":
+    write_golden()
+    print("wrote", len(RENDERERS), "golden files to", GOLDEN_DIR)

@@ -1,0 +1,152 @@
+"""CDC producer conformance corpus (VERDICT r7 #4b): the SAME canonical
+change set, rendered into every supported producer's public wire format
+(tests/golden/*.jsonl), replayed through the SINGLE-PASS streaming
+ingest — the end-to-end path (file source -> parse -> registry route ->
+enrich -> per-table sinks) — and required to land value-identical
+canonical history rows for every dialect.  Previously each dialect was
+unit-tested individually; this is the cross-dialect equivalence gate.
+
+Canonicalization in the assertion: payload columns and action must be
+IDENTICAL; update_date compares at timestamp value (the produtos
+registry declares update_date STRING, so each dialect's documented
+timestamp layout — second vs milli vs microsecond rendering of the same
+whole-second instant — is preserved verbatim in the sink and coerced
+here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_streamming___v2_spark.sources.registry import SchemaRegistry
+from cdc_streamming___v2_spark.streaming.ingest import CdcIngest
+
+from . import golden_cdc
+from .test_cdc_ingest import REGISTRY_DOC
+
+DIALECTS = sorted(golden_cdc.RENDERERS)
+
+EXPECT_PRODUTOS = {
+    ("p1", "toys", 2, 100.0, "INSERT", 1704067200),
+    ("p1", "games", 3, 120.0, "UPDATE-INSERT", 1704153600),
+    ("p2", "books", 1, 80.0, "INSERT", 1704110400),
+    ("p2", None, None, None, "DELETE", 1704240000),
+}
+EXPECT_USERS = {("ana", "a@x.com", "INSERT", 1704443400)}
+
+
+def test_golden_files_match_renderers():
+    """The committed corpus and the renderers cannot drift apart."""
+    for d in DIALECTS:
+        path = os.path.join(golden_cdc.GOLDEN_DIR, f"{d}.jsonl")
+        with open(path) as f:
+            lines = [ln for ln in f.read().splitlines() if ln]
+        assert lines == golden_cdc.render(d), f"{d} golden file drifted"
+        for ln in lines:
+            json.loads(ln)  # every golden line is valid JSON
+
+
+def _ingest(spark, tmp_path, lines, envelope_format):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    with open(os.path.join(in_dir, "changes.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        envelope_format=envelope_format,
+    )
+    ing.run_available_single_pass()
+    return ing
+
+
+def _canon_produtos(ing):
+    return {
+        (
+            r.product_id,
+            r.product_category_name,
+            r.product_photos_qty,
+            r.product_weight_g,
+            r.action,
+            r.ts,
+        )
+        for r in ing.history("olist_produtos")
+        .select(
+            "product_id", "product_category_name", "product_photos_qty",
+            "product_weight_g", "action",
+            F.unix_seconds(F.col("update_date").cast("timestamp")).alias("ts"),
+        )
+        .collect()
+    }
+
+
+def _canon_users(ing):
+    return {
+        (r.first_name, r.email, r.action, r.ts)
+        for r in ing.history("olist_users")
+        .select(
+            "first_name", "email", "action",
+            F.unix_seconds(F.col("update_date").cast("timestamp")).alias("ts"),
+        )
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("dialect", DIALECTS)
+def test_dialect_conformance_through_single_pass_ingest(
+    spark, tmp_path, dialect
+):
+    ing = _ingest(spark, tmp_path, golden_cdc.render(dialect), dialect)
+    assert _canon_produtos(ing) == EXPECT_PRODUTOS, dialect
+    assert _canon_users(ing) == EXPECT_USERS, dialect
+    # nothing dead-lettered: every golden line routed
+    assert ing.dead_letter().count() == 0, dialect
+
+
+def test_mixed_stream_auto_dispatch_conformance(spark, tmp_path):
+    """All twelve dialects interleaved in ONE stream, parsed with the
+    per-line auto dispatcher: each canonical row must appear exactly
+    once per dialect, and nothing may dead-letter."""
+    lines: list[str] = []
+    for d in DIALECTS:
+        lines.extend(golden_cdc.render(d))
+    ing = _ingest(spark, tmp_path, lines, "auto")
+    n = len(DIALECTS)
+    prod = (
+        ing.history("olist_produtos")
+        .groupBy(
+            "product_id", "product_category_name", "product_photos_qty",
+            "product_weight_g", "action",
+            F.unix_seconds(F.col("update_date").cast("timestamp")).alias("ts"),
+        )
+        .count()
+        .collect()
+    )
+    got = {
+        (
+            r.product_id, r.product_category_name, r.product_photos_qty,
+            r.product_weight_g, r.action, r.ts,
+        ): r["count"]
+        for r in prod
+    }
+    assert got == {k: n for k in EXPECT_PRODUTOS}
+    users = (
+        ing.history("olist_users")
+        .groupBy(
+            "first_name", "email", "action",
+            F.unix_seconds(F.col("update_date").cast("timestamp")).alias("ts"),
+        )
+        .count()
+        .collect()
+    )
+    assert {
+        (r.first_name, r.email, r.action, r.ts): r["count"] for r in users
+    } == {k: n for k in EXPECT_USERS}
+    assert ing.dead_letter().count() == 0

@@ -377,6 +377,10 @@ RELATIONAL_QUERIES = [
 # wall time).  All read replicated facts (orders/lineitem/events/
 # documents/embeddings); replica-local keys keep joins linear as above.
 COVERAGE_QUERIES = [
+    # round-8 registry addition: fixed-size conformance contract (60
+    # literal envelope lines at every SF) — expected ratio ~1.0 by
+    # construction; the per-dialect throughput paths are the roundtrips
+    "cdc_conformance_matrix",
     "bpe_merge_rounds",
     "debezium_envelope_roundtrip",
     "entity_resolution",
