@@ -105,13 +105,19 @@ JACCARD_DF_CAP = 100
 
 
 def _df_capped(sh: DataFrame, df_cap: int = JACCARD_DF_CAP) -> DataFrame:
-    keep = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("df"))
+    """Single-pass df-cap: count-over-window on the shingle key instead of
+    the old agg + join-back, which put the shingle build on BOTH sides of
+    a self-join and re-ran the explode kernel when exchange reuse didn't
+    fire (the source_boilerplate/doc_novelty lesson from the 10x audit —
+    round 8 applied it here).  One shingle-keyed exchange; the pair join
+    that always follows shuffles on the same key, so the exchange is
+    reusable downstream."""
+    w = Window.partitionBy("s")
+    return (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= df_cap)
-        .select("s")
+        .drop("df")
     )
-    return sh.join(keep, "s")
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
