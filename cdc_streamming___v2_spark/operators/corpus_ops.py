@@ -125,7 +125,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm and would make ranks engine-dependent at ties).
 
     Scale: (doc_id, term) then (term) aggregations — both high-cardinality
-    skew-free keys; the doc-count scalar and per-term df frame broadcast.
+    skew-free keys; the doc-count scalar broadcasts.  df is a count over
+    Window.partitionBy(term) ON the tf frame, not a term-agg joined back:
+    the join-back shape put the tokenize+explode+groupBy on both sides
+    (the _df_capped / bm25_scored multi-consumer recompute class, fixed
+    round 8), while the window computes df in the same pass.
     """
     docs = _docs(spark, sf_dir)
     tf = (
@@ -133,10 +137,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
+    wdf = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(n))
         .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
     )
@@ -794,15 +798,25 @@ def word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        greatest(element_at(a, i), element_at(a, j)) AS w2))))
     """)
     pairs = arr.select(F.explode(pair_expr).alias("p")).select("p.w1", "p.w2")
+    # co feeds BOTH the tp total and the pmi join, and uni feeds tt plus
+    # two broadcast builds — lazy recompute ran the pair explode twice
+    # and the token explode three times (the _df_capped / bm25_scored
+    # multi-consumer class, audited round 8).  Each is localCheckpointed
+    # once: uni is vocabulary-sized, co is the min-co-filtered
+    # collocation frame (vocab^2-bounded); tt/tp then derive from the
+    # materialized frames instead of fresh corpus scans.
     co = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .filter(F.col("c12") >= PMI_MIN_CO)
+        .localCheckpoint(eager=True)
     )
     toks = d.select(F.explode(words(F.col("text"))).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    uni = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
     totals = co.agg(F.sum("c12").cast("double").alias("tp")).crossJoin(
-        toks.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+        uni.agg(F.sum("c").cast("double").alias("tt"))
     )
     pmi_val = F.log(
         (F.col("c12") * F.col("tt") / F.col("tp"))
@@ -1460,14 +1474,20 @@ def dunning_g2_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     bigs = arr.select(F.explode(big_expr).alias("b")).select("b.w1", "b.w2")
-    co = (
+    # ONE bigram aggregation feeds everything: the raw exploded frame used
+    # to be consumed by co/left/right/tot separately, re-running the
+    # explode 4x (the _df_capped multi-consumer class, audited round 8).
+    # Marginals and the total are integer sums of c12 over the aggregated
+    # (vocab^2-bounded) frame — identical counts by construction.
+    cofull = (
         bigs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= G2_MIN_CO)
+        .localCheckpoint(eager=True)
     )
-    left = bigs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    right = bigs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    tot = bigs.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    co = cofull.filter(F.col("c12") >= G2_MIN_CO)
+    left = cofull.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = cofull.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = cofull.agg(F.sum("c12").cast("double").alias("nn"))
     # marginals are vocabulary-sized and grow with the corpus: join them
     # as ordinary equi-joins (AQE picks broadcast only while they fit) —
     # a forced broadcast was the 10x run's one super-linear cost
