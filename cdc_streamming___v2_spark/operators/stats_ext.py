@@ -1137,8 +1137,12 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell terms fold with an ORDER-PINNED cumulative sum per pair
     (cells per pair are level-product bounded).
 
-    Scale: the fact join runs ONCE; six narrow projections union into a
-    (pair, a, b) long frame whose aggregates are all level-bounded.
+    Scale: ONE pass over the fact join — each joined row explodes into
+    its six (pair, a, b) structs inside the scan stage (a 6-branch union
+    of projections of the same base, the previous shape, re-ran the
+    orders scan + joins per branch when exchange reuse didn't fire); the
+    level-bounded contingency frame is then materialized once, since
+    row/column margins, totals, and the term fold all consume it.
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_orderstatus"
@@ -1153,15 +1157,24 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    long = None
-    for pair, a, b in _CVM_PAIRS:
-        sel = base.select(
-            F.lit(pair).alias("pair"),
-            F.col(a).cast("string").alias("av"),
-            F.col(b).cast("string").alias("bv"),
-        )
-        long = sel if long is None else long.unionByName(sel)
-    cells = long.groupBy("pair", "av", "bv").agg(F.count(F.lit(1)).alias("o"))
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(pair).alias("pair"),
+                F.col(a).cast("string").alias("av"),
+                F.col(b).cast("string").alias("bv"),
+            )
+            for pair, a, b in _CVM_PAIRS
+        ]
+    )
+    long = base.select(F.explode(pair_structs).alias("p")).select(
+        "p.pair", "p.av", "p.bv"
+    )
+    cells = (
+        long.groupBy("pair", "av", "bv")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
     rtot = cells.groupBy("pair", "av").agg(F.sum("o").alias("rt"))
     ctot = cells.groupBy("pair", "bv").agg(F.sum("o").alias("ct"))
     ntot = cells.groupBy("pair").agg(
