@@ -1270,15 +1270,23 @@ def cdc_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("object", "key")
         .agg(F.count(F.lit(1)).alias("n_versions"))
     )
+    # ONE linear pipeline: per_key used to feed the histogram AND a
+    # separate per-object total, and the totals join put the FULL JSON
+    # serialize+parse lineage on both sides — the roundtrip ran twice
+    # (the multi-consumer recompute class audited round 8).  The totals
+    # are now sums over the version-grid histogram via a per-object
+    # window (a handful of rows per object), so the pipeline has a
+    # single consumer end to end.
+    from pyspark.sql import Window as _W
+
     hist = per_key.groupBy("object", "n_versions").agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("n_versions").alias("n_events"),
     )
-    tot = per_key.groupBy("object").agg(
-        F.count(F.lit(1)).alias("total_keys"),
-        F.sum("n_versions").alias("total_events"),
-    )
-    out = hist.join(tot, "object")
+    wobj = _W.partitionBy("object")
+    out = hist.withColumn(
+        "total_keys", F.sum("n_keys").over(wobj)
+    ).withColumn("total_events", F.sum("n_events").over(wobj))
     return out.select(
         "object",
         F.col("n_versions").cast("int").alias("n_versions"),
