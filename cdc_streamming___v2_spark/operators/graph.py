@@ -62,6 +62,11 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 — nations that absorb trade from many well-connected exporters
     rank highest."""
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # deliberately NOT checkpointed (measured round 8): the fixed-round
+    # power iteration compiles into one job where ReusedExchange already
+    # deduplicates the edge build across iterations — eager checkpoints
+    # on ep/outw ADDED blocking materialization passes (solo floor 0.96
+    # -> 2.29 s with them; reverted)
     edges = _trade_edges(spark, sf_dir)
     # transition probability: edge weight / source out-weight
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -171,13 +176,17 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     without changing the plan shape.
     """
     e = _trade_edges(spark, sf_dir).filter(F.col("w") >= TRIANGLE_MIN_W)
-    # undirected edge set, oriented low -> high, deduped
+    # undirected edge set, oriented low -> high, deduped; materialized
+    # once (measured round 8: 10x 2.70 -> 1.84 s with sf0.1 inside noise
+    # of the pin) — it sits on all THREE triangle self-join sides, and
+    # at 10x exchange reuse did not fully cover the references
     und = (
         e.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
@@ -274,6 +283,10 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(thr))
         .filter((F.col("w") >= F.col("thr")) & (F.col("src") != F.col("dst")))
     )
+    # deliberately NOT checkpointed (measured round 8): the fixed-round
+    # relaxation compiles into one job where exchange reuse already
+    # deduplicates the edge build — an eager checkpoint ADDED a blocking
+    # materialization pass (10x: 0.90 -> 2.14 s with it; reverted)
     und = (
         e.select("src", "dst")
         .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -355,7 +368,10 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over edges. The edge list itself comes from the same
     aggregated join pipeline as pagerank (never the raw fact table twice).
     """
-    e = _trade_edges(spark, sf_dir)
+    # materialized once: e feeds the two degree aggregates AND the
+    # correlation join — un-materialized, the 4-way lineitem edge build
+    # ran three times (the multi-consumer recompute class, round 8)
+    e = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("kout"))
     ind = e.groupBy("dst").agg(F.count(F.lit(1)).cast("double").alias("kin"))
     j = e.join(F.broadcast(outd), "src").join(F.broadcast(ind), "dst")
@@ -508,6 +524,10 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows for isolated nodes), so the output is dimension-sized.
     """
     e = _trade_edges(spark, sf_dir).filter(F.col("w") >= TRIANGLE_MIN_W)
+    # deliberately NOT checkpointed (measured round 8): the five und
+    # references compile into one job where ReusedExchange deduplicates
+    # the edge build — an eager checkpoint doubled the solo floor
+    # (0.50 pin -> 1.08 s with it; reverted)
     und = (
         e.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
@@ -603,11 +623,17 @@ def _scaled_und(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(thr))
         .filter((F.col("w") >= F.col("thr")) & (F.col("src") != F.col("dst")))
     )
+    # materialized here so EVERY consumer reuses one edge build — the
+    # nb unions / self-joins / anti-joins downstream reference und 2-5
+    # times each, and un-materialized each reference re-ran the 4-way
+    # lineitem join (the Spark-side twin of the DuckDB CTE-inlining
+    # lesson below)
     return (
         e.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
 
