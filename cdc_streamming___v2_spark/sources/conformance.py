@@ -269,3 +269,71 @@ def render(dialect: str) -> list[str]:
     return [fn(*c) for c in CHANGES]
 
 
+
+
+# Control / non-row records per dialect (transaction markers, DDL,
+# bootstrap phases, protocol STATE, truncates, unknown ops, corrupt
+# bytes).  Every one must land in the DEAD-LETTER sink — applying a
+# BEGIN marker or a STATE checkpoint as a row would corrupt the table —
+# both under the dialect's own parser AND through the auto dispatcher's
+# precedence chain (where a control line may legitimately fall through
+# to the Datastream branch; the contract is only that it dead-letters).
+CONTROLS: list[tuple[str, str]] = [
+    ("datastream", '{"this is not json'),
+    ("debezium", json.dumps({
+        "op": "t", "ts_ms": 1704067200000,
+        "source": {"db": "shop", "table": "olist_produtos"},
+    })),
+    ("debezium_flat", json.dumps({
+        "product_id": "p9", "__op": "x", "__ts_ms": 1704067200000,
+        "__table": "olist_produtos",
+    })),
+    ("maxwell", json.dumps({
+        "database": "shop", "table": "olist_produtos",
+        "type": "bootstrap-start", "ts": 1704067200,
+    })),
+    ("canal", json.dumps({
+        "database": "shop", "table": "olist_produtos", "type": "CREATE",
+        "es": 1704067200000, "ts": 1704067200005, "data": None,
+        "sql": "CREATE TABLE olist_produtos (...)",
+    })),
+    ("sqlserver", json.dumps({
+        "product_id": "p1", "__$operation": 3,
+        "__$capture_instance": "dbo_olist_produtos",
+        "__$commit_time": "2024-01-01 00:00:00",
+    })),
+    ("aws_dms", json.dumps({
+        "metadata": {"record-type": "control", "operation": "create-table",
+                     "timestamp": "2024-01-01T00:00:00.000000Z",
+                     "schema-name": "shop",
+                     "table-name": "olist_produtos"},
+    })),
+    ("goldengate", json.dumps({
+        "op_type": "T", "op_ts": "2024-01-01 00:00:00.000000",
+        "table": "SHOP.olist_produtos",
+    })),
+    ("mongo", json.dumps({
+        "operationType": "drop", "ns": {"db": "shop",
+                                        "coll": "olist_produtos"},
+        "wallTime": "2024-01-01T00:00:00.000Z",
+    })),
+    ("wal2json", json.dumps({"action": "B",
+                             "timestamp": "2024-01-01 00:00:00.000000+00"})),
+    ("wal2json", json.dumps({"action": "C",
+                             "timestamp": "2024-01-01 00:00:00.000000+00"})),
+    ("airbyte", json.dumps({"type": "STATE",
+                            "state": {"data": {"cursor": "42"}}})),
+    ("dynamodb", json.dumps({
+        "eventName": "PING",
+        "eventSourceARN": (
+            "arn:aws:dynamodb:us-east-1:123456789012:table/"
+            "olist_produtos/stream/2024-01-01T00:00:00.000"
+        ),
+        "dynamodb": {"ApproximateCreationDateTime": 1704067200,
+                     "Keys": {"product_id": {"S": "p1"}}},
+    })),
+]
+
+
+def controls_for(dialect: str) -> list[str]:
+    return [ln for d, ln in CONTROLS if d == dialect]

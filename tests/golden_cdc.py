@@ -9,7 +9,9 @@ import os
 
 from cdc_streamming___v2_spark.sources.conformance import (  # noqa: F401
     CHANGES,
+    CONTROLS,
     RENDERERS,
+    controls_for,
     render,
 )
 

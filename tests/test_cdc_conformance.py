@@ -150,3 +150,56 @@ def test_mixed_stream_auto_dispatch_conformance(spark, tmp_path):
         (r.first_name, r.email, r.action, r.ts): r["count"] for r in users
     } == {k: n for k in EXPECT_USERS}
     assert ing.dead_letter().count() == 0
+
+
+def test_dialect_controls_dead_letter_under_own_parser(spark, tmp_path):
+    """Every dialect's control/DDL/marker records must dead-letter under
+    that dialect's OWN parser while the data rows land untouched."""
+    for i, dialect in enumerate(DIALECTS):
+        ctl = golden_cdc.controls_for(dialect)
+        if not ctl:
+            continue
+        ing = _ingest(
+            spark, tmp_path / f"own{i}", golden_cdc.render(dialect) + ctl,
+            dialect,
+        )
+        assert _canon_produtos(ing) == EXPECT_PRODUTOS, dialect
+        assert _canon_users(ing) == EXPECT_USERS, dialect
+        assert ing.dead_letter().count() == len(ctl), dialect
+
+
+def test_mixed_stream_controls_dead_letter_under_auto(spark, tmp_path):
+    """All 12 dialects' data AND every control record interleaved in one
+    auto-dispatched stream: the dispatcher's precedence chain must not
+    misroute ANY control line into a valid row (a BEGIN marker applied
+    as a row corrupts the table) — canonical rows stay exactly 12x each
+    and the dead-letter sink holds exactly the control lines."""
+    lines: list[str] = []
+    for d in DIALECTS:
+        lines.extend(golden_cdc.render(d))
+    ctl = [ln for _, ln in golden_cdc.CONTROLS]
+    ing = _ingest(spark, tmp_path, lines + ctl, "auto")
+    n = len(DIALECTS)
+    prod = (
+        ing.history("olist_produtos")
+        .groupBy(
+            "product_id", "action",
+            F.unix_seconds(F.col("update_date").cast("timestamp")).alias("ts"),
+        )
+        .count()
+        .collect()
+    )
+    assert {(r.product_id, r.action, r.ts): r["count"] for r in prod} == {
+        (pid, act, ts): n
+        for (pid, _c, _q, _w, act, ts) in [
+            (t[0], t[1], t[2], t[3], t[4], t[5]) for t in EXPECT_PRODUTOS
+        ]
+    }
+    assert ing.history("olist_users").count() == n
+    assert ing.dead_letter().count() == len(ctl)
+
+
+def test_golden_controls_file_matches_corpus():
+    with open(os.path.join(golden_cdc.GOLDEN_DIR, "controls.jsonl")) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    assert lines == [ln for _, ln in golden_cdc.CONTROLS]
