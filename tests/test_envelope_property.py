@@ -435,3 +435,104 @@ def test_dynamodb_parse_matches_python_model(spark, recs):
         for _, act, payload, ts in recs
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# wal2json v2: property fuzz of the TYPE-AWARE value reconstruction
+# (numeric/boolean/json types re-emit raw tokens, everything else re-quotes
+# through _esc_json_string — the class the round-6 control-char fix and the
+# round-8 conformance corpus both guard).  Model: payload_json must
+# json-load to exactly the generated column dict; I/U read columns, D reads
+# identity; markers are covered by the unit tests.
+# ---------------------------------------------------------------------------
+
+from cdc_streamming___v2_spark.sources.cdc_schema import (  # noqa: E402
+    parse_envelope_wal2json,
+)
+
+_w2j_name = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=8,
+)
+_w2j_col = st.one_of(
+    st.tuples(st.just("text"), st.none() | st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=12)),
+    st.tuples(st.just("character varying"), st.none() | st.text(max_size=8)),
+    st.tuples(st.just("integer"), st.none() | st.integers(-10**12, 10**12)),
+    st.tuples(st.just("numeric"), st.none() | st.floats(
+        allow_nan=False, allow_infinity=False, width=32)),
+    st.tuples(st.just("boolean"), st.none() | st.booleans()),
+    st.tuples(st.just("jsonb"), st.none() | st.integers(0, 99)),
+)
+
+
+@st.composite
+def _w2j_record(draw):
+    op = draw(st.sampled_from(["I", "U", "D"]))
+    cols = draw(st.dictionaries(_w2j_name, _w2j_col, max_size=5))
+    arr = [
+        {"name": n, "type": t, "value": v} for n, (t, v) in cols.items()
+    ]
+    rec = {
+        "action": op,
+        "schema": "public",
+        "table": "t_w2j",
+        "timestamp": "2024-01-01 00:00:00.000000+00",
+    }
+    if op == "D":
+        rec["identity"] = arr
+    else:
+        rec["columns"] = arr
+    act = {"I": "INSERT", "U": "UPDATE-INSERT", "D": "DELETE"}[op]
+    want = {n: v for n, (t, v) in cols.items()}
+    return json.dumps(rec, ensure_ascii=False), act, want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(recs=st.lists(_w2j_record(), min_size=1, max_size=8))
+def test_wal2json_parse_matches_python_model(spark, recs):
+    df = spark.createDataFrame([(r[0],) for r in recs], "value string")
+    env = parse_envelope_wal2json(df).collect()
+
+    def canon_num(x):
+        # integer-valued floats load as int or float depending on the
+        # engine's token rendering; compare on value, not lexeme
+        if isinstance(x, bool):
+            return x
+        if isinstance(x, (int, float)):
+            return float(x)
+        return x
+
+    got = Counter(
+        (
+            r["object"],
+            r["action"],
+            r["update_date_raw"],
+            json.dumps(
+                {k: canon_num(v)
+                 for k, v in json.loads(r["payload_json"]).items()},
+                sort_keys=True,
+            )
+            if r["payload_json"] is not None
+            else None,
+        )
+        for r in env
+    )
+    want = Counter(
+        (
+            "t_w2j",
+            act,
+            "2024-01-01 00:00:00.000000",
+            json.dumps(
+                {k: canon_num(v) for k, v in payload.items()},
+                sort_keys=True,
+            ),
+        )
+        for _, act, payload in recs
+    )
+    assert got == want
