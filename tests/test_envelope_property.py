@@ -536,3 +536,186 @@ def test_wal2json_parse_matches_python_model(spark, recs):
         for _, act, payload in recs
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Mongo change streams: property fuzz of the three-way payload fallback
+# (fullDocument -> documentKey MERGED with updatedFields -> documentKey
+# alone) and the action map incl. DDL-ish dead-letters.  The merge is
+# text-level JSON surgery in the parser, so the model loads the result and
+# compares by VALUE (updatedFields win over key fields on collision, the
+# standard last-key-wins read).
+# ---------------------------------------------------------------------------
+
+from cdc_streamming___v2_spark.sources.cdc_schema import (  # noqa: E402
+    parse_envelope_mongo,
+)
+
+_mongo_scalar = st.one_of(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=8),
+    st.integers(-10**9, 10**9),
+    st.booleans(),
+    st.none(),
+)
+_mongo_fields = st.dictionaries(
+    st.text(min_size=1, max_size=6).filter(lambda s: s != "_id"),
+    _mongo_scalar,
+    max_size=4,
+)
+
+
+@st.composite
+def _mongo_event(draw):
+    op = draw(st.sampled_from(["insert", "update", "replace", "delete",
+                               "drop"]))
+    key = {"_id": draw(st.integers(0, 10**6))}
+    full = dict(key, **draw(_mongo_fields))
+    upd = draw(_mongo_fields)
+    has_full = op in ("insert", "replace") or (
+        op == "update" and draw(st.booleans())
+    )
+    secs = draw(st.integers(0, 2_000_000_000))
+    from datetime import datetime, timezone as _tz
+
+    wall = datetime.fromtimestamp(secs, tz=_tz.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.000Z"
+    )
+    doc: dict = {
+        "operationType": op,
+        "ns": {"db": "shop", "coll": "t_mongo"},
+        "documentKey": key,
+        "wallTime": wall,
+    }
+    if has_full:
+        doc["fullDocument"] = full
+    if op == "update":
+        doc["updateDescription"] = {"updatedFields": upd,
+                                    "removedFields": []}
+    act = {"insert": "INSERT", "update": "UPDATE-INSERT",
+           "replace": "UPDATE-INSERT", "delete": "DELETE",
+           "drop": None}[op]
+    if has_full:
+        want = full
+    elif op == "update":
+        want = dict(key, **upd) if upd else key
+    else:
+        want = key
+    ts = datetime.fromtimestamp(secs, tz=_tz.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.000"
+    )
+    return json.dumps(doc, ensure_ascii=False), act, want, ts
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=st.lists(_mongo_event(), min_size=1, max_size=8))
+def test_mongo_parse_matches_python_model(spark, events):
+    df = spark.createDataFrame([(e[0],) for e in events], "value string")
+    env = parse_envelope_mongo(df).collect()
+    got = Counter(
+        (
+            r["object"],
+            r["action"],
+            r["update_date_raw"],
+            json.dumps(json.loads(r["payload_json"]), sort_keys=True)
+            if r["payload_json"] is not None
+            else None,
+        )
+        for r in env
+    )
+    want = Counter(
+        ("t_mongo", act, ts, json.dumps(payload, sort_keys=True))
+        for _, act, payload, ts in events
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Airbyte protocol: property fuzz of the CDC-metadata action derivation
+# (_ab_cdc_deleted_at > _ab_cdc_updated_at > plain INSERT), the DUAL wire
+# forms of _ab_cdc_updated_at (epoch millis vs ISO-8601 string), the
+# emitted_at fallback, and the non-RECORD dead-letter class.
+# ---------------------------------------------------------------------------
+
+from cdc_streamming___v2_spark.sources.cdc_schema import (  # noqa: E402
+    parse_envelope_airbyte,
+)
+
+
+@st.composite
+def _airbyte_msg(draw):
+    from datetime import datetime, timezone as _tz
+
+    kind = draw(st.sampled_from(["record", "record", "record", "state"]))
+    if kind == "state":
+        return (
+            json.dumps({"type": "STATE", "state": {"data": {"c": 1}}}),
+            None,
+            None,
+            None,
+        )
+    secs = draw(st.integers(0, 2_000_000_000))
+    emitted_secs = draw(st.integers(0, 2_000_000_000))
+    data = dict(draw(_mongo_fields))
+    shape = draw(st.sampled_from(["insert", "upd_ms", "upd_iso", "delete"]))
+    iso = datetime.fromtimestamp(secs, tz=_tz.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.000000Z"
+    )
+    if shape == "upd_ms":
+        data["_ab_cdc_updated_at"] = secs * 1000
+        act, eff = "UPDATE-INSERT", secs
+    elif shape == "upd_iso":
+        data["_ab_cdc_updated_at"] = iso
+        act, eff = "UPDATE-INSERT", secs
+    elif shape == "delete":
+        data["_ab_cdc_updated_at"] = secs * 1000
+        data["_ab_cdc_deleted_at"] = secs * 1000
+        act, eff = "DELETE", secs
+    else:
+        act, eff = "INSERT", emitted_secs
+    msg = {
+        "type": "RECORD",
+        "record": {
+            "stream": "t_aby",
+            "namespace": "public",
+            "emitted_at": emitted_secs * 1000,
+            "data": data,
+        },
+    }
+    ts = datetime.fromtimestamp(eff, tz=_tz.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.000"
+    )
+    return json.dumps(msg, ensure_ascii=False), act, data, ts
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(msgs=st.lists(_airbyte_msg(), min_size=1, max_size=8))
+def test_airbyte_parse_matches_python_model(spark, msgs):
+    df = spark.createDataFrame([(m[0],) for m in msgs], "value string")
+    env = parse_envelope_airbyte(df).collect()
+    got = Counter(
+        (
+            r["action"],
+            r["update_date_raw"] if r["action"] is not None else None,
+            json.dumps(json.loads(r["payload_json"]), sort_keys=True)
+            if r["payload_json"] is not None and r["action"] is not None
+            else None,
+        )
+        for r in env
+    )
+    want = Counter(
+        (
+            act,
+            ts,
+            json.dumps(payload, sort_keys=True) if act is not None else None,
+        )
+        for _, act, payload, ts in msgs
+    )
+    assert got == want
