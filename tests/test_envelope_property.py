@@ -719,3 +719,232 @@ def test_airbyte_parse_matches_python_model(spark, msgs):
         for _, act, payload, ts in msgs
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-8 completion: hypothesis models for the remaining five dialects, so
+# ALL twelve wire formats are property-fuzzed. Shared scalar/dict strategies
+# reuse _mongo_fields (full-unicode names/values, nulls).
+# ---------------------------------------------------------------------------
+
+from cdc_streamming___v2_spark.sources.cdc_schema import (  # noqa: E402
+    parse_envelope_aws_dms,
+    parse_envelope_debezium,
+    parse_envelope_debezium_flat,
+    parse_envelope_goldengate,
+    parse_envelope_sqlserver,
+)
+
+
+def _fmt(secs, pat):
+    from datetime import datetime, timezone as _tz
+
+    return datetime.fromtimestamp(secs, tz=_tz.utc).strftime(pat)
+
+
+@st.composite
+def _dbz_record(draw):
+    op = draw(st.sampled_from(["c", "u", "d", "r", "t"]))
+    image = dict(draw(_mongo_fields), id=draw(st.integers(0, 10**6)))
+    secs = draw(st.integers(0, 2_000_000_000))
+    wrapped = draw(st.booleans())
+    rec = {
+        "op": op,
+        "ts_ms": secs * 1000,
+        "before": image if op == "d" else None,
+        "after": None if op == "d" else image,
+        "source": {"db": "shop", "table": "t_dbz"},
+    }
+    line = json.dumps(rec, ensure_ascii=False)
+    if wrapped:
+        line = '{"schema":{"type":"struct"},"payload":' + line + "}"
+    act = {"c": "INSERT", "u": "UPDATE-INSERT", "d": "DELETE",
+           "r": "INSERT", "t": None}[op]
+    return line, act, image, _fmt(secs, "%Y-%m-%d %H:%M:%S.000")
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(recs=st.lists(_dbz_record(), min_size=1, max_size=8))
+def test_debezium_parse_matches_python_model(spark, recs):
+    from cdc_streamming___v2_spark.sources.cdc_schema import (
+        parse_envelope_debezium,
+    )
+
+    df = spark.createDataFrame([(r[0],) for r in recs], "value string")
+    env = parse_envelope_debezium(df).collect()
+    got = Counter(
+        (
+            r["action"],
+            r["update_date_raw"] if r["action"] else None,
+            json.dumps(json.loads(r["payload_json"]), sort_keys=True)
+            if r["payload_json"] is not None and r["action"] else None,
+        )
+        for r in env
+    )
+    want = Counter(
+        (act, ts if act else None,
+         json.dumps(img, sort_keys=True) if act else None)
+        for _, act, img, ts in recs
+    )
+    assert got == want
+
+
+@st.composite
+def _dbz_flat_record(draw):
+    shape = draw(st.sampled_from(["op", "deleted_true", "deleted_false",
+                                  "plain"]))
+    row = dict(draw(_mongo_fields), id=draw(st.integers(0, 10**6)))
+    secs = draw(st.integers(0, 2_000_000_000))
+    wire = dict(row)
+    wire["__table"] = "t_flat"
+    wire["__ts_ms"] = secs * 1000
+    if shape == "op":
+        op = draw(st.sampled_from(["c", "u", "d", "r"]))
+        wire["__op"] = op
+        act = {"c": "INSERT", "u": "UPDATE-INSERT", "d": "DELETE",
+               "r": "INSERT"}[op]
+    elif shape == "deleted_true":
+        wire["__deleted"] = "true"
+        act = "DELETE"
+    elif shape == "deleted_false":
+        wire["__deleted"] = "false"
+        act = "UPDATE-INSERT"
+    else:
+        act = "INSERT"
+    return (json.dumps(wire, ensure_ascii=False), act, wire,
+            _fmt(secs, "%Y-%m-%d %H:%M:%S.000"))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(recs=st.lists(_dbz_flat_record(), min_size=1, max_size=8))
+def test_debezium_flat_parse_matches_python_model(spark, recs):
+    df = spark.createDataFrame([(r[0],) for r in recs], "value string")
+    env = parse_envelope_debezium_flat(df).collect()
+    got = Counter(
+        (r["object"], r["action"], r["update_date_raw"],
+         json.dumps(json.loads(r["payload_json"]), sort_keys=True))
+        for r in env
+    )
+    # payload = the whole line (the __* keys drop at the routed decode)
+    want = Counter(
+        ("t_flat", act, ts, json.dumps(wire, sort_keys=True))
+        for _, act, wire, ts in recs
+    )
+    assert got == want
+
+
+@st.composite
+def _mssql_record(draw):
+    op = draw(st.sampled_from([1, 2, 3, 4, 9]))
+    row = dict(draw(_mongo_fields), id=draw(st.integers(0, 10**6)))
+    secs = draw(st.integers(0, 2_000_000_000))
+    wire = dict(row)
+    wire["__$operation"] = op
+    wire["__$start_lsn"] = "00000025:00000448:0003"
+    wire["__$capture_instance"] = "dbo_t_mssql"
+    wire["__$commit_time"] = _fmt(secs, "%Y-%m-%d %H:%M:%S")
+    act = {1: "DELETE", 2: "INSERT", 4: "UPDATE-INSERT"}.get(op)
+    return (json.dumps(wire, ensure_ascii=False), act, wire,
+            wire["__$commit_time"])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(recs=st.lists(_mssql_record(), min_size=1, max_size=8))
+def test_sqlserver_parse_matches_python_model(spark, recs):
+    df = spark.createDataFrame([(r[0],) for r in recs], "value string")
+    env = parse_envelope_sqlserver(df).collect()
+    got = Counter(
+        (r["object"], r["action"],
+         r["update_date_raw"] if r["action"] else None,
+         json.dumps(json.loads(r["payload_json"]), sort_keys=True)
+         if r["action"] else None)
+        for r in env
+    )
+    want = Counter(
+        ("t_mssql", act, ts if act else None,
+         json.dumps(wire, sort_keys=True) if act else None)
+        for _, act, wire, ts in recs
+    )
+    assert got == want
+
+
+@st.composite
+def _dms_record(draw):
+    kind = draw(st.sampled_from(["data", "data", "data", "control"]))
+    op = draw(st.sampled_from(["insert", "update", "delete", "load"]))
+    row = dict(draw(_mongo_fields), id=draw(st.integers(0, 10**6)))
+    secs = draw(st.integers(0, 2_000_000_000))
+    iso = _fmt(secs, "%Y-%m-%dT%H:%M:%S.%fZ")
+    rec = {
+        "data": row if kind == "data" else None,
+        "metadata": {
+            "record-type": kind, "operation": op, "timestamp": iso,
+            "schema-name": "shop", "table-name": "t_dms",
+        },
+    }
+    act = ({"insert": "INSERT", "update": "UPDATE-INSERT",
+            "delete": "DELETE", "load": "INSERT"}[op]
+           if kind == "data" else None)
+    return (json.dumps(rec, ensure_ascii=False), act, row,
+            _fmt(secs, "%Y-%m-%d %H:%M:%S.000000"))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(recs=st.lists(_dms_record(), min_size=1, max_size=8))
+def test_aws_dms_parse_matches_python_model(spark, recs):
+    df = spark.createDataFrame([(r[0],) for r in recs], "value string")
+    env = parse_envelope_aws_dms(df).collect()
+    got = Counter(
+        (r["object"], r["action"],
+         r["update_date_raw"] if r["action"] else None,
+         json.dumps(json.loads(r["payload_json"]), sort_keys=True)
+         if r["action"] and r["payload_json"] is not None else None)
+        for r in env
+    )
+    want = Counter(
+        ("t_dms", act, ts if act else None,
+         json.dumps(row, sort_keys=True) if act else None)
+        for _, act, row, ts in recs
+    )
+    assert got == want
+
+
+@st.composite
+def _ogg_record(draw):
+    op = draw(st.sampled_from(["I", "U", "D", "T"]))
+    image = dict(draw(_mongo_fields), id=draw(st.integers(0, 10**6)))
+    secs = draw(st.integers(0, 2_000_000_000))
+    ts = _fmt(secs, "%Y-%m-%d %H:%M:%S.000000")
+    rec = {
+        "op_type": op, "op_ts": ts, "table": "SHOP.t_ogg",
+        "before": image if op == "D" else None,
+        "after": None if op == "D" else image,
+    }
+    act = {"I": "INSERT", "U": "UPDATE-INSERT", "D": "DELETE",
+           "T": None}[op]
+    return json.dumps(rec, ensure_ascii=False), act, image, ts
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(recs=st.lists(_ogg_record(), min_size=1, max_size=8))
+def test_goldengate_parse_matches_python_model(spark, recs):
+    df = spark.createDataFrame([(r[0],) for r in recs], "value string")
+    env = parse_envelope_goldengate(df).collect()
+    got = Counter(
+        (r["object"], r["action"],
+         r["update_date_raw"] if r["action"] else None,
+         json.dumps(json.loads(r["payload_json"]), sort_keys=True)
+         if r["action"] and r["payload_json"] is not None else None)
+        for r in env
+    )
+    want = Counter(
+        ("t_ogg", act, ts if act else None,
+         json.dumps(img, sort_keys=True) if act else None)
+        for _, act, img, ts in recs
+    )
+    assert got == want
