@@ -300,3 +300,55 @@ def test_read_changes_reports_deletes_on_remove_commit(spark, tmp_path):
     assert sorted(
         r.k for r in feed.filter(feed._change_type == "delete").collect()
     ) == [6, 7, 8]
+
+
+def test_commit_log_ingest_restart_with_new_files_exactly_once(
+    spark, tmp_path
+):
+    """Durability across a FORCED INGEST RESTART in commit-log mode
+    (round-8 twin of the state-store restart test): run the single-pass
+    commit-log ingest, throw the object away, drop new files, build a
+    FRESH CdcIngest on the same dirs, run again.  The restarted instance
+    must resume from the stream checkpoint (phase-1 files never re-read,
+    no duplicate rows through the manifest), append exactly the new
+    rows, and the log must show both transactions."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "batch1.jsonl"), "w") as f:
+        f.write("\n".join(LINES[:4]) + "\n")
+
+    def mk():
+        return CdcIngest(
+            spark=spark,
+            registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+            input_dir=in_dir,
+            output_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            commit_log=True,
+        )
+
+    ing1 = mk()
+    ing1.run_available_single_pass()
+    assert ing1.history("olist_produtos").count() == 4
+    del ing1
+
+    with open(os.path.join(in_dir, "batch2.jsonl"), "w") as f:
+        f.write("\n".join(LINES[4:5]) + "\n")  # the olist_users INSERT
+
+    ing2 = mk()  # a brand-new object: nothing carried over in memory
+    ing2.run_available_single_pass()
+
+    # phase-1 rows exactly once (no re-read, no manifest duplicates)
+    prod = ing2.history("olist_produtos")
+    assert prod.count() == 4
+    assert prod.select("product_id", "action").distinct().count() == 4
+    users = ing2.history("olist_users").collect()
+    assert [(r.first_name, r.email) for r in users] == [("ana", "a@x.com")]
+
+    # the users table's manifest records its (single) commit; produtos'
+    # log shows one txn from phase 1 and nothing new in phase 2
+    tbl = CommitLogTable(spark, os.path.join(str(tmp_path / "out"),
+                                             "produtos_cdc"))
+    log_files = os.listdir(os.path.join(tbl.path, LOG_DIR))
+    assert len([f for f in log_files if f.endswith(".json")]) >= 1
+    assert tbl.read().count() == 4
