@@ -58,66 +58,15 @@ _MODULES = (
 )
 
 # The driver's correctness gate evaluates ~50 queries per round in
-# registration order.  r08-window rotation (VERDICT r7 #1: finish the
-# proof rotation): (1) the 122 queries with no driver record through
-# CORRECTNESS_r07, oldest-unproven first (the judge's 30-sample of this
-# backlog was 30/30 green, so conversion is de-risked); (2) all 337
-# ever-green queries rotate to the back.  The list is the COMPLETE
+# registration order.  r09-window rotation (VERDICT r8 #1: the 73-query
+# backlog sat at positions 50-122, BEHIND the 50 just-proven r08 greens;
+# an unrotated window would re-prove greens): (1) queries added this
+# round lead so they land INSIDE the window; (2) the 73 queries with no
+# driver record through CORRECTNESS_r08, oldest-unproven first; (3) all
+# 387 ever-green queries rotate to the back.  The list is the COMPLETE
 # registry so the window composition is fully pinned.
 _GATE_PRIORITY = (
-    # the one round-8 registry addition (VERDICT r7 #4: grown only after
-    # the rotation window was locked) leads so it lands INSIDE the next
-    # driver window, not behind it
-    "cdc_conformance_matrix",
-    "ams_f2_sketch",
-    "grid_dbscan_clusters",
-    "rapid_repeat_purchases",
-    "market_beta_types",
-    "srm_check",
-    "heaps_law_fit",
-    "nmi_cluster_label_eval",
-    "item_cf_topk",
-    "info_gain_features",
-    "retention_decay_fit",
-    "hurst_exponent",
-    "variance_changepoint",
-    "funnel_step_significance",
-    "absorption_conversion_prob",
-    "anova_f_oneway",
-    "levene_variance_test",
-    "wilson_rate_ci",
-    "term_burst_days",
-    "aws_dms_envelope_roundtrip",
-    "cramers_v_matrix",
-    "ipf_raking",
-    "wasserstein_pairs",
-    "hits_bipartite",
-    "simpson_reversal_detect",
-    "decile_gains_table",
-    "latency_sla_report",
-    "markov_next_event_accuracy",
-    "extreme_value_fit",
-    "price_elasticity_brand",
-    "abc_classification",
-    "nelson_aalen_hazard",
-    "exponential_gap_fit",
-    "did_estimate",
-    "iv_wald_estimate",
-    "rdd_estimate",
-    "psm_caliper_att",
-    "kfold_cv_rmse",
-    "conformal_interval_coverage",
-    "recsys_eval_cf",
-    "sequential_patterns",
-    "transition_entropy_rate",
-    "woe_iv_binning",
-    "control_chart_days",
-    "littles_law_audit",
-    "newsvendor_stock_level",
-    "psm_strata_ate",
-    "ransac_spend_fit",
-    "ab_power_analysis",
-    "page_hinkley_drift",
+    # --- never driver-proven through r08 (73), oldest first ---
     "community_modularity",
     "neyman_allocation",
     "bandit_replay_greedy",
@@ -191,6 +140,57 @@ _GATE_PRIORITY = (
     "bcubed_cluster_eval",
     "anderson_darling_drift",
     "rake_keywords",
+    # --- ever-green through r08 (387), rotated to the back ---
+    "cdc_conformance_matrix",
+    "ams_f2_sketch",
+    "grid_dbscan_clusters",
+    "rapid_repeat_purchases",
+    "market_beta_types",
+    "srm_check",
+    "heaps_law_fit",
+    "nmi_cluster_label_eval",
+    "item_cf_topk",
+    "info_gain_features",
+    "retention_decay_fit",
+    "hurst_exponent",
+    "variance_changepoint",
+    "funnel_step_significance",
+    "absorption_conversion_prob",
+    "anova_f_oneway",
+    "levene_variance_test",
+    "wilson_rate_ci",
+    "term_burst_days",
+    "aws_dms_envelope_roundtrip",
+    "cramers_v_matrix",
+    "ipf_raking",
+    "wasserstein_pairs",
+    "hits_bipartite",
+    "simpson_reversal_detect",
+    "decile_gains_table",
+    "latency_sla_report",
+    "markov_next_event_accuracy",
+    "extreme_value_fit",
+    "price_elasticity_brand",
+    "abc_classification",
+    "nelson_aalen_hazard",
+    "exponential_gap_fit",
+    "did_estimate",
+    "iv_wald_estimate",
+    "rdd_estimate",
+    "psm_caliper_att",
+    "kfold_cv_rmse",
+    "conformal_interval_coverage",
+    "recsys_eval_cf",
+    "sequential_patterns",
+    "transition_entropy_rate",
+    "woe_iv_binning",
+    "control_chart_days",
+    "littles_law_audit",
+    "newsvendor_stock_level",
+    "psm_strata_ate",
+    "ransac_spend_fit",
+    "ab_power_analysis",
+    "page_hinkley_drift",
     "dynamodb_stream_roundtrip",
     "debezium_flat_roundtrip",
     "chain_ladder_ultimates",

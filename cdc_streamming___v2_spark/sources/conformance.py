@@ -156,6 +156,21 @@ _MONGO_OP = {"INSERT": "insert", "UPDATE-INSERT": "update",
              "DELETE": "delete"}
 
 
+def _natural_key(p, k):
+    """Identifying fields for key-only wire sections (Mongo documentKey,
+    DynamoDB Keys): the explicit key payload when the change carries one,
+    else the row's real identifier from the full payload — product_id for
+    product rows, email for user rows (ADVICE r8: never synthesize a key
+    field the table doesn't have, or the corpus misrepresents the wire)."""
+    if k:
+        return k
+    src = p or {}
+    for field in ("product_id", "email"):
+        if field in src:
+            return {field: src[field]}
+    raise ValueError(f"no identifying field in payload {sorted(src)}")
+
+
 def _mongo(t, a, ep, p, k):
     import datetime
 
@@ -166,7 +181,7 @@ def _mongo(t, a, ep, p, k):
         "operationType": _MONGO_OP[a],
         "ns": {"db": "shop", "coll": t},
         "wallTime": wall,
-        "documentKey": {"product_id": (p or k).get("product_id", "u1")},
+        "documentKey": _natural_key(p, k),
     }
     if a != "DELETE":
         doc["fullDocument"] = p  # updateLookup-style full image
@@ -231,9 +246,8 @@ _DDB_EVENT = {"INSERT": "INSERT", "UPDATE-INSERT": "MODIFY",
 
 def _dynamodb(t, a, ep, p, k):
     body = {"ApproximateCreationDateTime": ep,
-            "Keys": {n: _ddb_attr(v) for n, v in (k or
-                     {"product_id": (p or {}).get("product_id", "u1")}
-                     ).items()}}
+            "Keys": {n: _ddb_attr(v)
+                     for n, v in _natural_key(p, k).items()}}
     if a == "DELETE":
         body["OldImage"] = {n: _ddb_attr(v) for n, v in k.items()}
     else:

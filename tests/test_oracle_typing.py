@@ -13,6 +13,8 @@ catches an injected offender, and the full 459-oracle registry is clean.
 No Spark session needed — DuckDB binding only.
 """
 
+import os
+
 import duckdb
 import pytest
 
@@ -158,7 +160,8 @@ def test_baseline_current_pin_table_covers_headline():
 
     import bench
 
-    text = open("/root/repo/BASELINE.md").read()
+    baseline = os.path.join(os.path.dirname(__file__), "..", "BASELINE.md")
+    text = open(baseline).read()
     section = text.split("## Current pins", 1)[1].split("## Pin history", 1)[0]
     rows = re.findall(
         r"^\| ([a-z0-9_]+) \| (\d+\.\d+) \|", section, re.MULTILINE
@@ -167,3 +170,26 @@ def test_baseline_current_pin_table_covers_headline():
     assert len(names) == len(set(names)), "duplicate pin rows"
     assert set(names) == set(bench.HEADLINE)
     assert all(float(v) > 0 for _, v in rows)
+
+
+def test_bench_canary_pins_and_verdict_logic():
+    """The canary protocol (VERDICT r8 #5): pins must exist for both
+    canaries, and the verdict must flag a breach in EITHER probe —
+    a degradation burst can start mid-run or end before the post-probe."""
+    import bench
+
+    pins = bench._load_pins()
+    for name in bench.CANARIES:
+        assert name in pins and pins[name] > 0, f"no pin for canary {name}"
+
+    clean = {"verdict": "clean"}
+    degraded = {"verdict": "degraded"}
+    nopins = {"verdict": "no-pins"}
+    assert bench._canary_verdict(clean, clean) == "clean"
+    assert bench._canary_verdict(degraded, clean) == "degraded"
+    assert bench._canary_verdict(clean, degraded) == "degraded"
+    assert bench._canary_verdict(degraded, degraded) == "degraded"
+    assert bench._canary_verdict(nopins, nopins) == "no-pins"
+    # a half-missing pin table still reports the side that measured
+    assert bench._canary_verdict(nopins, clean) == "clean"
+    assert bench._canary_verdict(nopins, degraded) == "degraded"

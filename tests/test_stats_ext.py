@@ -9,7 +9,7 @@ import math
 from cdc_streamming___v2_spark.operators import stats_ext as SX
 from cdc_streamming___v2_spark.sources.tables import load_table
 
-from .conftest import SF_SMALL
+from .conftest import SF_MED, SF_SMALL
 
 
 def test_mann_whitney_pairs_and_bounds(spark):
@@ -334,6 +334,33 @@ def test_item_cf_topk_shape(spark):
     for (a, b), c in vals.items():
         if (b, a) in vals:
             assert abs(vals[(b, a)] - c) < 1e-9
+
+
+def test_item_cf_basket_cap_never_fires_on_bench_corpora(spark):
+    """ITEM_CF_MAX_BASKET is a worst-case fence only (ADVICE r8): if any
+    bench corpus ever grows a basket at/above the cap, item_cf_topk would
+    silently drop it and diverge from the uncapped definition.  Pin the
+    headroom so a testdata regeneration that trips the cap fails loudly
+    here instead of being absorbed."""
+    from pyspark.sql import functions as F
+
+    from cdc_streamming___v2_spark.operators import behavior as B
+    from cdc_streamming___v2_spark.sources.tables import load_table
+
+    for sf_dir in (SF_SMALL, SF_MED):
+        max_basket = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.max("k").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        assert max_basket < B.ITEM_CF_MAX_BASKET, (
+            f"{sf_dir}: max basket {max_basket} >= cap "
+            f"{B.ITEM_CF_MAX_BASKET}; item_cf_topk now drops baskets"
+        )
 
 
 # --- wave G: info gain, retention decay, Hurst -----------------------------

@@ -248,10 +248,15 @@ def main() -> int:
         status = "OK  " if (ok_count and ok_cols and ok_hash and ok_pd) else "FAIL"
         if status == "FAIL":
             failures.append(name)
+        # in pd_mode the fetchall row-hash is never computed (ok_hash is a
+        # bypass constant), so say "skipped" rather than implying it passed
+        hash_note = (
+            "skipped" if pd_mode else ("ok" if ok_hash else "MISMATCH")
+        )
         print(
             f"{status}  {name}: rows {len(srows)}/{len(drows)} "
             f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
-            f"hash={'ok' if ok_hash else 'MISMATCH'}{pd_note} "
+            f"hash={hash_note}{pd_note} "
             f"[{time.time()-t0:.1f}s]"
         )
         if not ok_pd and ok_count and ok_cols:
