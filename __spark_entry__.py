@@ -66,6 +66,9 @@ _MODULES = (
 # 387 ever-green queries rotate to the back.  The list is the COMPLETE
 # registry so the window composition is fully pinned.
 _GATE_PRIORITY = (
+    # the one round-9 registry addition (dead-letter replay lifecycle,
+    # VERDICT r8 #2) leads so it lands INSIDE the r09 driver window
+    "dead_letter_replay",
     # --- never driver-proven through r08 (73), oldest first ---
     "community_modularity",
     "neyman_allocation",
@@ -571,7 +574,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 460
+_MIN_QUERIES = 461
 
 
 def _registry() -> tuple[dict, dict]:

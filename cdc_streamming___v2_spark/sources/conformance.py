@@ -351,3 +351,35 @@ CONTROLS: list[tuple[str, str]] = [
 
 def controls_for(dialect: str) -> list[str]:
     return [ln for d, ln in CONTROLS if d == dialect]
+
+
+# Registry doc for conformance-corpus replays (mirrors the reference's
+# public data-stream.json shape, src/data-stream.json: produtos declares
+# update_date STRING, users TIMESTAMP — the reference's intentional
+# divergence both sink types must round-trip).
+CONFORMANCE_REGISTRY = {
+    "olist_produtos": {
+        "table_name": "produtos_cdc",
+        "schema": {
+            "fields": [
+                {"name": "product_id", "type": "STRING"},
+                {"name": "product_category_name", "type": "STRING"},
+                {"name": "product_photos_qty", "type": "INT64"},
+                {"name": "product_weight_g", "type": "FLOAT"},
+                {"name": "action", "type": "STRING"},
+                {"name": "update_date", "type": "STRING"},
+            ]
+        },
+    },
+    "olist_users": {
+        "table_name": "users_cdc",
+        "schema": {
+            "fields": [
+                {"name": "first_name", "type": "STRING"},
+                {"name": "email", "type": "STRING"},
+                {"name": "action", "type": "STRING"},
+                {"name": "update_date", "type": "TIMESTAMP"},
+            ]
+        },
+    },
+}

@@ -310,6 +310,21 @@ class CommitLogTable:
         df.write.mode("overwrite").parquet(os.path.join(self.path, subdir))
         return self._commit(txn, add=self._data_files(subdir), remove=[])
 
+    def write_replace(self, df: DataFrame, txn: str) -> bool:
+        """Exactly-once REPLACE: swap the whole snapshot for ``df`` in one
+        commit (add the new files + remove every live file atomically) —
+        the commit-log analogue of a transactional overwrite. Readers
+        before the commit see the old snapshot, after it the new one,
+        never a mix; a replayed txn is a no-op. Used by the dead-letter
+        replay (streaming/ingest.py): the re-driven rows leave the
+        quarantine table in the same commit that re-homes them."""
+        if txn in self.committed_txns():
+            return False
+        live = self.snapshot_files()
+        subdir = os.path.join(DATA_DIR, _safe(txn))
+        df.write.mode("overwrite").parquet(os.path.join(self.path, subdir))
+        return self._commit(txn, add=self._data_files(subdir), remove=live)
+
     def compact(
         self,
         txn: str,

@@ -1,0 +1,160 @@
+"""Dead-letter replay (VERDICT r8 #2): after a parser/config fix or a
+registry fix, quarantined rows are re-driven through the dispatcher into
+the canonical history tables idempotently — no hand-rolled one-off job.
+
+The golden conformance corpus is the fixture: a misconfigured ingest
+(wrong envelope format / missing registry table) quarantines rows the
+clean run lands; the replay after the fix must produce canonical tables
+VALUE-IDENTICAL to the never-misconfigured run, leave genuinely-dead
+control records quarantined, and no-op on a second invocation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cdc_streamming___v2_spark.sources.registry import SchemaRegistry
+from cdc_streamming___v2_spark.streaming.ingest import CdcIngest
+
+from . import golden_cdc
+from .test_cdc_conformance import (
+    EXPECT_PRODUTOS,
+    EXPECT_USERS,
+    _canon_produtos,
+    _canon_users,
+)
+from .test_cdc_ingest import REGISTRY_DOC
+
+
+def _write_lines(tmp_path, lines):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir, exist_ok=True)
+    with open(os.path.join(in_dir, "changes.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return in_dir
+
+
+def _make_ingest(spark, tmp_path, in_dir, registry_doc, fmt, **mode):
+    return CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(registry_doc),
+        input_dir=in_dir,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        envelope_format=fmt,
+        **mode,
+    )
+
+
+MODES = [
+    {},
+    {"transactional": True},
+    {"commit_log": True},
+]
+
+
+@pytest.mark.parametrize(
+    "mode", MODES, ids=["plain", "transactional", "commit_log"]
+)
+def test_wrong_envelope_then_replay_matches_clean_run(
+    spark, tmp_path, mode
+):
+    """GoldenGate wire records ingested by a datastream-configured job
+    all quarantine (no ``object`` field); replaying with the corrected
+    dialect must land the exact canonical rows of a clean run, drain the
+    quarantine, and a second replay must be a no-op."""
+    lines = golden_cdc.render("goldengate")
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(
+        spark, tmp_path, in_dir, REGISTRY_DOC, "datastream", **mode
+    )
+    ing.run_available_single_pass()
+
+    # misconfigured: every line quarantined, nothing canonical
+    assert ing.dead_letter().count() == len(lines)
+    assert ing.history("olist_produtos").count() == 0
+
+    stats = ing.replay_dead_letters(envelope_format="goldengate")
+    assert stats["replayed"] == len(lines)
+    assert stats["requarantined"] == 0
+    assert stats["tables"] == {"produtos_cdc": 4, "users_cdc": 1}
+
+    assert _canon_produtos(ing) == EXPECT_PRODUTOS
+    assert _canon_users(ing) == EXPECT_USERS
+    assert ing.dead_letter().count() == 0
+
+    # idempotence: an immediate re-run finds nothing parseable
+    again = ing.replay_dead_letters(envelope_format="goldengate")
+    assert again["replayed"] == 0
+    assert _canon_produtos(ing) == EXPECT_PRODUTOS
+    assert ing.history("olist_users").count() == 1
+
+
+def test_registry_fix_then_replay_lands_only_missing_table(
+    spark, tmp_path
+):
+    """Rows for an unregistered table quarantine; after the registry
+    gains the table, replay lands ONLY those rows — already-canonical
+    tables gain nothing (no duplicates)."""
+    partial = {"olist_produtos": REGISTRY_DOC["olist_produtos"]}
+    lines = golden_cdc.render("datastream")
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(spark, tmp_path, in_dir, partial, "datastream")
+    ing.run_available_single_pass()
+
+    assert _canon_produtos(ing) == EXPECT_PRODUTOS
+    assert ing.dead_letter().count() == 1  # the users INSERT
+    produtos_before = ing.history("olist_produtos").count()
+
+    # the fix: registry now knows olist_users
+    ing.registry = SchemaRegistry.from_dict(REGISTRY_DOC)
+    stats = ing.replay_dead_letters()
+    assert stats["replayed"] == 1
+    assert stats["tables"] == {"users_cdc": 1}
+
+    assert _canon_users(ing) == EXPECT_USERS
+    assert ing.history("olist_produtos").count() == produtos_before
+    assert ing.dead_letter().count() == 0
+
+
+def test_controls_stay_quarantined_through_replay(spark, tmp_path):
+    """Negative-control records (truncates, heartbeats, DDL...) must
+    survive a replay in quarantine — only now-parseable rows move."""
+    lines = golden_cdc.render("goldengate") + golden_cdc.controls_for(
+        "goldengate"
+    )
+    n_controls = len(golden_cdc.controls_for("goldengate"))
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(
+        spark, tmp_path, in_dir, REGISTRY_DOC, "datastream"
+    )
+    ing.run_available_single_pass()
+    assert ing.dead_letter().count() == len(lines)
+
+    stats = ing.replay_dead_letters(envelope_format="goldengate")
+    assert stats["replayed"] == len(lines) - n_controls
+    assert stats["requarantined"] == n_controls
+    assert _canon_produtos(ing) == EXPECT_PRODUTOS
+    assert _canon_users(ing) == EXPECT_USERS
+    # the survivors are exactly the control lines, raw preserved
+    survivors = {r.raw for r in ing.dead_letter().collect()}
+    assert survivors == set(golden_cdc.controls_for("goldengate"))
+
+    # still-dead remainder no-ops forever after
+    again = ing.replay_dead_letters(envelope_format="goldengate")
+    assert again["replayed"] == 0
+    assert ing.dead_letter().count() == n_controls
+
+
+def test_replay_on_empty_or_missing_quarantine_is_noop(spark, tmp_path):
+    lines = golden_cdc.render("datastream")
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(
+        spark, tmp_path, in_dir, REGISTRY_DOC, "datastream"
+    )
+    # before any ingest: no dead-letter dir at all
+    assert ing.replay_dead_letters() == {
+        "replayed": 0, "requarantined": 0, "tables": {}
+    }

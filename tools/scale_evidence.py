@@ -381,6 +381,11 @@ COVERAGE_QUERIES = [
     # literal envelope lines at every SF) — expected ratio ~1.0 by
     # construction; the per-dialect throughput paths are the roundtrips
     "cdc_conformance_matrix",
+    # round-9 registry addition: dead-letter replay lifecycle over the
+    # fixed 73-line conformance corpus — same fixed-size-by-construction
+    # expectation (ratio ~1.0); replay throughput is live ingest's own
+    # narrow parse/route plan, benched by cdc_ingest
+    "dead_letter_replay",
     "bpe_merge_rounds",
     "debezium_envelope_roundtrip",
     "entity_resolution",
