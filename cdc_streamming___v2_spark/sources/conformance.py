@@ -192,6 +192,7 @@ _W2J_OP = {"INSERT": "I", "UPDATE-INSERT": "U", "DELETE": "D"}
 _W2J_TYPES = {
     "product_id": "text", "product_category_name": "text",
     "product_photos_qty": "integer", "product_weight_g": "numeric",
+    "product_length_cm": "numeric",
     "first_name": "text", "email": "text",
 }
 
@@ -281,6 +282,30 @@ RENDERERS = {
 def render(dialect: str) -> list[str]:
     fn = RENDERERS[dialect]
     return [fn(*c) for c in CHANGES]
+
+
+# Schema-evolution phase (VERDICT r8 #6): the producer starts emitting a
+# NEW column (ALTER TABLE ADD COLUMN product_length_cm upstream) after
+# the steady-state change set above.  Rendered per dialect like CHANGES,
+# replayed mid-stream in the golden e2e (tests/test_cdc_conformance.py):
+# pre-add history rows must project NULL for the column, post-add rows
+# must carry it — in every wire format, under the auto dispatcher.
+P1C = {"product_id": "p1", "product_category_name": "games",
+       "product_photos_qty": 3, "product_weight_g": 120.0,
+       "product_length_cm": 30.0}
+P3 = {"product_id": "p3", "product_category_name": "sports",
+      "product_photos_qty": 4, "product_weight_g": 60.0,
+      "product_length_cm": 45.0}
+
+EVOLUTION_CHANGES = [
+    ("olist_produtos", "UPDATE-INSERT", 1704499200, P1C, None),
+    ("olist_produtos", "INSERT", 1704585600, P3, None),
+]
+
+
+def render_evolution(dialect: str) -> list[str]:
+    fn = RENDERERS[dialect]
+    return [fn(*c) for c in EVOLUTION_CHANGES]
 
 
 
@@ -383,3 +408,15 @@ CONFORMANCE_REGISTRY = {
         },
     },
 }
+
+
+def evolved_registry() -> dict:
+    """CONFORMANCE_REGISTRY after the upstream ALTER TABLE ADD COLUMN
+    (product_length_cm FLOAT) that EVOLUTION_CHANGES starts emitting —
+    the safe add-column successor SchemaRegistry.check_evolution admits."""
+    import copy
+
+    doc = copy.deepcopy(CONFORMANCE_REGISTRY)
+    fields = doc["olist_produtos"]["schema"]["fields"]
+    fields.insert(4, {"name": "product_length_cm", "type": "FLOAT"})
+    return doc

@@ -203,3 +203,82 @@ def test_golden_controls_file_matches_corpus():
     with open(os.path.join(golden_cdc.GOLDEN_DIR, "controls.jsonl")) as f:
         lines = [ln for ln in f.read().splitlines() if ln]
     assert lines == [ln for _, ln in golden_cdc.CONTROLS]
+
+
+def test_golden_evolution_file_matches_renderers():
+    with open(os.path.join(golden_cdc.GOLDEN_DIR, "evolution.jsonl")) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    assert lines == golden_cdc.evolution_lines()
+    for ln in lines:
+        json.loads(ln)
+
+
+def test_schema_evolution_mid_stream_all_dialects(spark, tmp_path):
+    """Golden schema-evolution replay (VERDICT r8 #6): the steady-state
+    12-dialect corpus streams under registry v1; the registry file then
+    gains product_length_cm (safe ADD COLUMN) WHILE THE STREAM RUNS and
+    every dialect starts emitting the column (golden/evolution.jsonl).
+    Pre-add history rows must project NULL for the column, post-add rows
+    must carry the per-dialect values — all through the auto dispatcher
+    with hot reload, no restart."""
+    from cdc_streamming___v2_spark.sources.conformance import (
+        CONFORMANCE_REGISTRY,
+        evolved_registry,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    reg_path = str(tmp_path / "data-stream.json")
+    with open(reg_path, "w") as f:
+        json.dump(CONFORMANCE_REGISTRY, f)
+    phase1 = [ln for d in DIALECTS for ln in golden_cdc.render(d)]
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write("\n".join(phase1) + "\n")
+
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_file(reg_path),
+        input_dir=in_dir,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        envelope_format="auto",
+        registry_path=reg_path,
+        hot_reload=True,
+    )
+    n = len(DIALECTS)
+    q = ing.start_single_pass()
+    try:
+        q.processAllAvailable()
+        assert ing.history("olist_produtos").count() == 4 * n
+
+        # the upstream ALTER TABLE lands: registry file evolves, producers
+        # start emitting the new column — while the stream is running
+        with open(reg_path, "w") as f:
+            json.dump(evolved_registry(), f)
+        with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+            f.write("\n".join(golden_cdc.evolution_lines()) + "\n")
+        q.processAllAvailable()
+    finally:
+        ing.stop()
+
+    hist = ing.history("olist_produtos").withColumn(
+        "ts", F.unix_seconds(F.col("update_date").cast("timestamp"))
+    )
+    # pre-add rows: NULL-padded on read, none rewritten
+    pre = hist.filter(F.col("ts") < 1704499200)
+    assert pre.count() == 4 * n
+    assert pre.filter("product_length_cm IS NOT NULL").count() == 0
+    # post-add rows: every dialect carries the column's typed value
+    post = {
+        (r.product_id, r.action, r.ts, r.product_length_cm): r["cnt"]
+        for r in hist.filter(F.col("ts") >= 1704499200)
+        .groupBy("product_id", "action", "ts", "product_length_cm")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert post == {
+        ("p1", "UPDATE-INSERT", 1704499200, 30.0): n,
+        ("p3", "INSERT", 1704585600, 45.0): n,
+    }
+    # users untouched by the produtos evolution
+    assert ing.history("olist_users").count() == n
