@@ -67,6 +67,13 @@ def _dead_letter_schema():
 
 DEAD_LETTER_SCHEMA = _dead_letter_schema()
 
+# every wire dialect _parse_lines dispatches on (= the CLI surface)
+_ENVELOPE_FORMATS = (
+    "datastream", "debezium", "debezium_flat", "maxwell", "canal",
+    "sqlserver", "aws_dms", "goldengate", "mongo", "wal2json",
+    "airbyte", "dynamodb", "auto",
+)
+
 
 @dataclass
 class CdcIngest:
@@ -676,12 +683,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source-format", choices=["file", "kafka", "kafka-mock"],
                    default="file")
     p.add_argument("--envelope-format",
-                   choices=["datastream", "debezium", "maxwell", "canal",
-                            "auto"],
+                   choices=_ENVELOPE_FORMATS,
                    default="datastream",
                    help="CDC record envelope: datastream (reference style), "
-                   "debezium (op/before/after/ts_ms/source.table), or auto "
-                   "(per-line dispatch for mixed streams)")
+                   "one of the other producer dialects, or auto (per-line "
+                   "dispatch for mixed streams)")
     p.add_argument("--kafka-option", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="repeatable; e.g. kafka.bootstrap.servers=..., "
@@ -700,6 +706,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--hot-reload", action="store_true",
                    help="single-pass: pick up registry file edits (new "
                    "tables / added columns) mid-stream")
+    p.add_argument("--replay-dead-letters", action="store_true",
+                   help="instead of ingesting: re-drive the quarantined "
+                   "dead-letter rows through the (fixed) dispatcher into "
+                   "the canonical tables, idempotently, then exit")
     p.add_argument("--cpus", default=None,
                    help="local[N] cores (default: SPARK_GRAFT_CPUS or all)")
     args = p.parse_args(argv)
@@ -735,6 +745,12 @@ def main(argv: list[str] | None = None) -> int:
         registry_path=args.registry,
         hot_reload=args.hot_reload,
     )
+    if args.replay_dead_letters:
+        import json as _json
+
+        stats = ingest.replay_dead_letters()
+        print(_json.dumps(stats), flush=True)
+        return 0
     if args.trigger == "available-now":
         if args.mode == "single-pass":
             ingest.run_available_single_pass()

@@ -582,6 +582,48 @@ def test_cli_runner_end_to_end(tmp_path):
     assert produtos and users and dead
 
 
+def test_cli_replay_dead_letters(tmp_path, capsys):
+    """--replay-dead-letters: the CLI twin of the operator — ingest a
+    misconfigured stream (mixed-dialect lines under a registry missing
+    olist_users), fix the registry FILE, re-invoke with the flag; the
+    quarantined rows land and the stats line prints as JSON."""
+    from cdc_streamming___v2_spark.streaming.ingest import main
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    reg_path = str(tmp_path / "data-stream.json")
+    partial = {"olist_produtos": REGISTRY_DOC["olist_produtos"]}
+    with open(reg_path, "w") as f:
+        json.dump(partial, f)
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write("\n".join(LINES) + "\n")
+
+    rc = main([
+        "--input-dir", in_dir,
+        "--registry", reg_path,
+        "--output-dir", out_dir,
+        "--trigger", "available-now",
+    ])
+    assert rc == 0
+    # the fix: registry file gains the missing table
+    with open(reg_path, "w") as f:
+        json.dump(REGISTRY_DOC, f)
+    rc = main([
+        "--input-dir", in_dir,
+        "--registry", reg_path,
+        "--output-dir", out_dir,
+        "--replay-dead-letters",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["tables"].get("users_cdc", 0) >= 1
+
+    import glob
+    users = glob.glob(os.path.join(out_dir, "users_cdc", "**", "*.parquet"),
+                      recursive=True)
+    assert users
+
+
 def test_cli_rejects_bad_flag_combo(tmp_path):
     from cdc_streamming___v2_spark.streaming.ingest import main
 
