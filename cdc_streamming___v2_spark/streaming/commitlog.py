@@ -205,6 +205,53 @@ class CommitLogTable:
                 n += 1
         return n
 
+    def vacuum(self, keep_last: int = 1) -> int:
+        """VACUUM data files: delete every file under ``data/`` that no
+        retained snapshot references — the companion to ``compact`` (whose
+        removed files stay on disk for time travel until vacuumed) and to
+        ``vacuum_log`` (which prunes the LOG; this prunes the DATA).
+
+        ``keep_last`` = how many trailing versions stay time-travelable
+        (1 = current snapshot only). Uncommitted garbage — torn files from
+        a crashed writer whose txn never replayed — is unreferenced by
+        every snapshot and so is swept too. Version-based retention is
+        safe under this table's single-writer-per-table contract (class
+        docstring): the one writer is the caller, so no in-flight write
+        can lose files the way a wall-clock retention race could. Reads
+        at vacuumed-away versions fail loudly at ``read()`` (the listed
+        files are gone), same retention trade as Delta's VACUUM.
+        Returns the number of files deleted."""
+        v_cur = self.version()
+        if v_cur < 0:
+            return 0
+        keep: set[str] = set()
+        for v in range(max(0, v_cur - keep_last + 1), v_cur + 1):
+            try:
+                keep.update(p for p, _ in self.snapshot_entries(v))
+            except ValueError:
+                continue  # version already log-vacuumed away
+        data_root = os.path.join(self.path, DATA_DIR)
+        if not os.path.isdir(data_root):
+            return 0
+        removed = 0
+        for dirpath, _, names in os.walk(data_root):
+            for nm in names:
+                full = os.path.join(dirpath, nm)
+                rel = os.path.relpath(full, self.path)
+                if nm.endswith(".parquet") and rel not in keep:
+                    os.remove(full)
+                    removed += 1
+        # sweep dirs left holding only write markers (_SUCCESS, .crc)
+        for dirpath, _dirnames, _names in os.walk(data_root, topdown=False):
+            if dirpath == data_root:
+                continue
+            leftover = os.listdir(dirpath)
+            if all(n.startswith(("_", ".")) for n in leftover):
+                for n in leftover:
+                    os.remove(os.path.join(dirpath, n))
+                os.rmdir(dirpath)
+        return removed
+
     def _try_commit(
         self, txn: str, add: list[str], remove: list[str], stats: dict
     ) -> bool:

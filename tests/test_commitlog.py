@@ -352,3 +352,50 @@ def test_commit_log_ingest_restart_with_new_files_exactly_once(
     log_files = os.listdir(os.path.join(tbl.path, LOG_DIR))
     assert len([f for f in log_files if f.endswith(".json")]) >= 1
     assert tbl.read().count() == 4
+
+
+def test_vacuum_data_files_after_compaction(spark, tmp_path):
+    """VACUUM sweeps data files no retained snapshot references: after a
+    compaction, keep_last=1 deletes the pre-compaction files (and any
+    uncommitted orphan), the current read is intact, and time travel to
+    the vacuumed version fails loudly at read()."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.write_append(_frame(spark, 0, 5).repartition(4), txn="b0")
+    t.write_append(_frame(spark, 5, 9).repartition(4), txn="b1")
+    old_files = t.snapshot_files()
+    # an orphan from a crashed writer whose txn never replayed
+    _frame(spark, 100, 105).write.parquet(
+        os.path.join(t.path, DATA_DIR, "orphan")
+    )
+    assert t.compact(txn="opt-1")
+    removed = t.vacuum(keep_last=1)
+    assert removed >= len(old_files) + 1  # old snapshot + orphan parquet
+    for rel in old_files:
+        assert not os.path.exists(os.path.join(t.path, rel))
+    assert not os.path.exists(os.path.join(t.path, DATA_DIR, "orphan"))
+    # current snapshot intact, values identical
+    assert sorted(r.k for r in t.read().collect()) == list(range(9))
+    # idempotence bookkeeping untouched (txn set lives in the LOG)
+    assert not t.write_append(_frame(spark, 0, 5), txn="b0")
+    # vacuumed-away version: loud failure, not silent empties
+    with pytest.raises(Exception):
+        t.read(version=1).count()
+    # a second vacuum is a no-op
+    assert t.vacuum(keep_last=1) == 0
+
+
+def test_vacuum_keep_last_retains_time_travel_window(spark, tmp_path):
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.write_append(_frame(spark, 0, 5), txn="b0")     # v0
+    t.write_append(_frame(spark, 5, 9), txn="b1")     # v1
+    assert t.compact(txn="opt-1")                     # v2
+    # keep the last TWO versions: v1's files are still referenced
+    removed_2 = t.vacuum(keep_last=2)
+    assert t.read(version=1).count() == 9
+    assert t.read(version=2).count() == 9
+    # shrinking the window afterwards sweeps v1's files too
+    removed_1 = t.vacuum(keep_last=1)
+    assert removed_1 > 0 and removed_2 >= 0
+    assert t.read().count() == 9
+    with pytest.raises(Exception):
+        t.read(version=1).count()
