@@ -576,6 +576,49 @@ class CdcIngest:
             "tables": tables,
         }
 
+    def maintain(
+        self, max_files: int = 16, keep_last: int = 1,
+        zorder_by: dict[str, list[str]] | None = None,
+    ) -> dict:
+        """Small-file maintenance for commit-log sinks: every history
+        table (and the dead-letter table) whose live snapshot exceeds
+        ``max_files`` is compacted in one atomic add+remove commit, then
+        vacuumed down to ``keep_last`` time-travelable versions.  A
+        streaming ingest appends one file set per micro-batch, so file
+        count grows with uptime — this is the OPTIMIZE+VACUUM companion
+        the Delta/Iceberg world runs on a schedule.  ``zorder_by`` maps
+        table_name -> cluster columns for multi-column data skipping on
+        the rewrite.  The compaction txn id derives from the table's
+        current version, so a crashed-and-rerun maintain() is a no-op on
+        tables it already compacted (txn replay) and simply resumes the
+        rest.  Commit-log mode only: plain/transactional sinks have no
+        manifest, so an in-place rewrite could never be atomic — callers
+        get a loud error instead of a torn table."""
+        if not self.commit_log:
+            raise ValueError("maintain() requires commit_log=True sinks")
+        from .commitlog import CommitLogTable
+
+        report: dict[str, dict] = {}
+        tables = [s.table_name for s in self.registry] + ["_dead_letter"]
+        for name in tables:
+            path = os.path.join(self.output_dir, name)
+            t = CommitLogTable(self.spark, path)
+            n_live = len(t.snapshot_files())
+            if n_live <= max_files:
+                continue
+            v = t.version()
+            t.compact(
+                txn=f"maint-{v}",
+                zorder_by=(zorder_by or {}).get(name),
+            )
+            swept = t.vacuum(keep_last=keep_last)
+            report[name] = {
+                "files_before": n_live,
+                "files_after": len(t.snapshot_files()),
+                "vacuumed": swept,
+            }
+        return report
+
     def _maybe_reload_registry(self) -> None:
         """Hot-swap the registry when its backing file changed (driver-side,
         once per micro-batch). Unsafe evolutions raise — failing the stream

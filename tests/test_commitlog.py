@@ -399,3 +399,58 @@ def test_vacuum_keep_last_retains_time_travel_window(spark, tmp_path):
     assert t.read().count() == 9
     with pytest.raises(Exception):
         t.read(version=1).count()
+
+
+def test_ingest_maintain_compacts_and_vacuums_commit_log_sinks(
+    spark, tmp_path
+):
+    """CdcIngest.maintain(): after several micro-batches each table holds
+    one file set per batch; maintain compacts tables over the threshold
+    into one file, vacuums the old files, keeps values identical, and a
+    re-run is a no-op (txn derived from the table version)."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=in_dir,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        commit_log=True,
+    )
+    # 3 micro-batches (one run per file drop: availableNow drains all
+    # current input, so drop files between runs)
+    for i in range(3):
+        with open(os.path.join(in_dir, f"b{i}.jsonl"), "w") as f:
+            f.write("\n".join(LINES) + "\n")
+        ing.run_available_single_pass()
+    before = ing.history("olist_produtos").count()
+    t = CommitLogTable(
+        spark, os.path.join(str(tmp_path / "out"), "produtos_cdc")
+    )
+    assert len(t.snapshot_files()) >= 3
+
+    report = ing.maintain(max_files=1)
+    assert "produtos_cdc" in report
+    assert report["produtos_cdc"]["files_after"] == 1
+    assert report["produtos_cdc"]["vacuumed"] > 0
+    assert ing.history("olist_produtos").count() == before
+    # value identity through the rewrite
+    assert (
+        ing.history("olist_produtos")
+        .groupBy("product_id").count().collect()
+    )
+    # already-compacted tables skip on re-run (below threshold now)
+    assert ing.maintain(max_files=1) == {}
+
+
+def test_ingest_maintain_requires_commit_log(spark, tmp_path):
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(REGISTRY_DOC),
+        input_dir=str(tmp_path / "in"),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    with pytest.raises(ValueError, match="commit_log"):
+        ing.maintain()
