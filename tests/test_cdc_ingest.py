@@ -1830,3 +1830,21 @@ def test_rebuilt_payload_escapes_control_chars(spark):
     df2 = spark.createDataFrame([(json.dumps(w2j),)], "value string")
     payload2 = parse_envelope_wal2json(df2).collect()[0]["payload_json"]
     assert json.loads(payload2) == {"c1": "a\r\nb", "n": 5}
+
+
+def test_cli_envelope_choices_all_dispatch(spark):
+    """Every --envelope-format choice must resolve in _parse_lines (a
+    stale CLI list was how 8 dialects went CLI-invisible through r8)."""
+    from cdc_streamming___v2_spark.streaming.ingest import (
+        _ENVELOPE_FORMATS,
+        CdcIngest,
+    )
+
+    src = spark.createDataFrame([("{}",)], "value string")
+    for fmt in _ENVELOPE_FORMATS:
+        env = CdcIngest._parse_lines(src, fmt)
+        assert {"object", "action", "payload_json", "raw"} <= set(
+            env.columns
+        ), fmt
+    with pytest.raises(ValueError, match="unknown envelope_format"):
+        CdcIngest._parse_lines(src, "nope")
