@@ -684,8 +684,14 @@ def main() -> None:
     ).count()
 
     # canary probe BEFORE the timed passes (VERDICT r8 #5): if the host is
-    # inside a degradation window, say so in the artifact up front
-    pins = _load_pins()
+    # inside a degradation window, say so in the artifact up front.  The
+    # pin table is sf0.1-specific — at any other SF the probe still runs
+    # (walls recorded) but the verdict is honestly "no-pins".
+    pins = (
+        _load_pins()
+        if sf_dir.rstrip("/").endswith("sf0.1")
+        else {}
+    )
     canary_pre = _canary_probe(qs, spark, sf_dir, pins)
 
     # Best-of-N wall time per query: this container shares a host whose
