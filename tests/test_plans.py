@@ -865,3 +865,43 @@ def test_supply_chain_wave_plans(spark):
         assert "CartesianProduct" not in p, fn.__name__
     p = _plan(spark, A5.supply_risk_hhi(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in p
+
+
+def test_replay_routing_is_narrow_single_exchange(spark, tmp_path):
+    """The dead-letter replay routes rows through _route_table exactly
+    like live ingest: the per-table write plan must be NARROW — one
+    Exchange (the partition co-location repartition), no join, no
+    aggregate — so replay throughput scales linearly with quarantine
+    size at any cluster width."""
+    import json as _json
+    import os
+
+    from cdc_streamming___v2_spark.sources.registry import SchemaRegistry
+    from cdc_streamming___v2_spark.streaming.ingest import CdcIngest
+    from .test_cdc_ingest import REGISTRY_DOC, LINES
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "b.jsonl"), "w") as f:
+        f.write("\n".join(LINES) + "\n")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_dict(
+            {"olist_produtos": REGISTRY_DOC["olist_produtos"]}
+        ),
+        input_dir=in_dir,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    ing.run_available_single_pass()  # users rows quarantine
+
+    dl = ing.dead_letter()
+    env = CdcIngest._parse_lines(
+        dl.selectExpr("raw as value"), "datastream"
+    )
+    spec = SchemaRegistry.from_dict(REGISTRY_DOC).get("olist_users")
+    routed = ing._route_table(env, spec)
+    p = _plan(spark, routed)
+    assert "Join" not in p and "Aggregate" not in p
+    # exactly the co-location repartition, nothing else wide
+    assert p.count("Exchange") <= 2  # formatted lists tree + detail
