@@ -468,6 +468,26 @@ class CdcIngest:
         dl_dir = os.path.join(self.output_dir, "_dead_letter")
         if not os.path.exists(dl_dir):
             return {"replayed": 0, "requarantined": 0, "tables": {}}
+        # Per-table writeStream sinks (start()/run_available) own their
+        # directories through a _spark_metadata transaction log: files
+        # appended outside that protocol are INVISIBLE to readers, and
+        # swapping the quarantine directory would orphan the log — a
+        # silent-data-loss shape, so refuse loudly instead.  Replay is
+        # supported for the single-pass sink layouts (plain /
+        # transactional / commit-log), which every documented production
+        # configuration uses.
+        sink_dirs = [dl_dir] + [
+            os.path.join(self.output_dir, s.table_name)
+            for s in self.registry
+        ]
+        for d in sink_dirs:
+            if os.path.exists(os.path.join(d, "_spark_metadata")):
+                raise ValueError(
+                    f"{d} is a streaming file-sink table (_spark_metadata "
+                    "log) — dead-letter replay supports single-pass sinks "
+                    "only; re-ingest with mode single-pass, or drain the "
+                    "per-table streams and migrate the sinks first"
+                )
         self._maybe_reload_registry()
 
         # snapshot: the swap in step 3 rewrites the files this frame reads

@@ -158,3 +158,19 @@ def test_replay_on_empty_or_missing_quarantine_is_noop(spark, tmp_path):
     assert ing.replay_dead_letters() == {
         "replayed": 0, "requarantined": 0, "tables": {}
     }
+
+
+def test_replay_refuses_streaming_file_sink_layout(spark, tmp_path):
+    """Per-table writeStream sinks own their dirs via a _spark_metadata
+    log; files appended outside it are invisible to readers and a dir
+    swap would orphan the log. Replay must refuse loudly, not lose data
+    silently."""
+    lines = golden_cdc.render("datastream")
+    in_dir = _write_lines(tmp_path, lines)
+    partial = {"olist_produtos": REGISTRY_DOC["olist_produtos"]}
+    ing = _make_ingest(spark, tmp_path, in_dir, partial, "datastream")
+    ing.run_available()  # per-table mode -> _spark_metadata sinks
+    assert ing.dead_letter().count() == 1
+    ing.registry = SchemaRegistry.from_dict(REGISTRY_DOC)
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        ing.replay_dead_letters()
