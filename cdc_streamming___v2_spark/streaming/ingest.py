@@ -773,6 +773,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="instead of ingesting: re-drive the quarantined "
                    "dead-letter rows through the (fixed) dispatcher into "
                    "the canonical tables, idempotently, then exit")
+    p.add_argument("--maintain", action="store_true",
+                   help="instead of ingesting: OPTIMIZE+VACUUM every "
+                   "commit-log sink over --maintain-max-files live files, "
+                   "then exit (requires --commit-log)")
+    p.add_argument("--maintain-max-files", type=int, default=16)
     p.add_argument("--cpus", default=None,
                    help="local[N] cores (default: SPARK_GRAFT_CPUS or all)")
     args = p.parse_args(argv)
@@ -813,6 +818,12 @@ def main(argv: list[str] | None = None) -> int:
 
         stats = ingest.replay_dead_letters()
         print(_json.dumps(stats), flush=True)
+        return 0
+    if args.maintain:
+        import json as _json
+
+        report = ingest.maintain(max_files=args.maintain_max_files)
+        print(_json.dumps(report), flush=True)
         return 0
     if args.trigger == "available-now":
         if args.mode == "single-pass":

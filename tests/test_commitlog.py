@@ -454,3 +454,29 @@ def test_ingest_maintain_requires_commit_log(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="commit_log"):
         ing.maintain()
+
+
+def test_cli_maintain_mode(spark, tmp_path, capsys):
+    """--maintain: the CLI twin of CdcIngest.maintain for scheduled ops."""
+    import json as _json
+
+    from cdc_streamming___v2_spark.streaming.ingest import main
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    reg_path = str(tmp_path / "data-stream.json")
+    import json
+
+    with open(reg_path, "w") as f:
+        json.dump(REGISTRY_DOC, f)
+    base = [
+        "--input-dir", in_dir, "--registry", reg_path,
+        "--output-dir", out_dir, "--commit-log",
+    ]
+    for i in range(3):
+        with open(os.path.join(in_dir, f"b{i}.jsonl"), "w") as f:
+            f.write("\n".join(LINES) + "\n")
+        assert main(base + ["--trigger", "available-now"]) == 0
+    assert main(base + ["--maintain", "--maintain-max-files", "1"]) == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["produtos_cdc"]["files_after"] == 1
