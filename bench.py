@@ -758,13 +758,15 @@ def main() -> None:
         sum(sorted(t)[len(t) // 2] for t in repeats.values()), 3
     )
 
-    # ...and AFTER them: a burst that started mid-run shows up here
-    canary_post = _canary_probe(qs, spark, sf_dir, pins)
-
     cdc_runs = [_bench_cdc_ingest(spark, sf_dir) for _ in range(3)]
     cdc_wall, cdc_rows = min(cdc_runs, key=lambda t: t[0])
     cdc_kafka = _bench_cdc_ingest_kafka_format(spark, sf_dir)
     cdc_debezium = _bench_cdc_ingest_debezium(spark, sf_dir)
+
+    # ...and AFTER everything timed — INCLUDING the cdc ingest runs, so
+    # the throughput figures sit inside the canary-guarded window too —
+    # a burst that started mid-run shows up here
+    canary_post = _canary_probe(qs, spark, sf_dir, pins)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     cdc_ingest = {

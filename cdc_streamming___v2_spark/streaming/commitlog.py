@@ -205,7 +205,7 @@ class CommitLogTable:
                 n += 1
         return n
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(self, keep_last: int = 1, min_age_seconds: float = 3600) -> int:
         """VACUUM data files: delete every file under ``data/`` that no
         retained snapshot references — the companion to ``compact`` (whose
         removed files stay on disk for time travel until vacuumed) and to
@@ -214,13 +214,17 @@ class CommitLogTable:
         ``keep_last`` = how many trailing versions stay time-travelable
         (1 = current snapshot only). Uncommitted garbage — torn files from
         a crashed writer whose txn never replayed — is unreferenced by
-        every snapshot and so is swept too. Version-based retention is
-        safe under this table's single-writer-per-table contract (class
-        docstring): the one writer is the caller, so no in-flight write
-        can lose files the way a wall-clock retention race could. Reads
-        at vacuumed-away versions fail loudly at ``read()`` (the listed
-        files are gone), same retention trade as Delta's VACUUM.
-        Returns the number of files deleted."""
+        every snapshot and so is swept too, but only once it is older
+        than ``min_age_seconds`` (mtime): a writer commits AFTER its data
+        files land, so a concurrent in-flight append's files are briefly
+        unreferenced-but-live — the age floor is what keeps a scheduled
+        vacuum from racing it (the same wall-clock retention trade
+        Delta's VACUUM makes; the version-based part alone would only be
+        safe if the vacuum caller IS the single writer). Reads at
+        vacuumed-away versions fail loudly at ``read()`` (the listed
+        files are gone). Returns the number of files deleted."""
+        import time as _time
+
         v_cur = self.version()
         if v_cur < 0:
             return 0
@@ -233,20 +237,31 @@ class CommitLogTable:
         data_root = os.path.join(self.path, DATA_DIR)
         if not os.path.isdir(data_root):
             return 0
+        cutoff = _time.time() - min_age_seconds
         removed = 0
         for dirpath, _, names in os.walk(data_root):
             for nm in names:
                 full = os.path.join(dirpath, nm)
                 rel = os.path.relpath(full, self.path)
-                if nm.endswith(".parquet") and rel not in keep:
+                if (
+                    nm.endswith(".parquet")
+                    and rel not in keep
+                    and os.path.getmtime(full) <= cutoff
+                ):
                     os.remove(full)
                     removed += 1
-        # sweep dirs left holding only write markers (_SUCCESS, .crc)
-        for dirpath, _dirnames, _names in os.walk(data_root, topdown=False):
+        # sweep dirs left holding only write markers (_SUCCESS, .crc) —
+        # files only; an in-flight writer's _temporary SUBDIR means the
+        # dir is still in use and stays
+        for dirpath, dirnames, _names in os.walk(data_root, topdown=False):
             if dirpath == data_root:
                 continue
             leftover = os.listdir(dirpath)
-            if all(n.startswith(("_", ".")) for n in leftover):
+            if all(
+                n.startswith(("_", "."))
+                and os.path.isfile(os.path.join(dirpath, n))
+                for n in leftover
+            ):
                 for n in leftover:
                     os.remove(os.path.join(dirpath, n))
                 os.rmdir(dirpath)

@@ -67,12 +67,25 @@ def _dead_letter_schema():
 
 DEAD_LETTER_SCHEMA = _dead_letter_schema()
 
-# every wire dialect _parse_lines dispatches on (= the CLI surface)
-_ENVELOPE_FORMATS = (
-    "datastream", "debezium", "debezium_flat", "maxwell", "canal",
-    "sqlserver", "aws_dms", "goldengate", "mongo", "wal2json",
-    "airbyte", "dynamodb", "auto",
-)
+# ONE mapping drives both the _parse_lines dispatch and the CLI choices —
+# a hand-maintained second list is how 8 dialects went CLI-invisible
+# through round 8
+_ENVELOPE_PARSERS = {
+    "datastream": parse_envelope,
+    "debezium": parse_envelope_debezium,
+    "debezium_flat": parse_envelope_debezium_flat,
+    "maxwell": parse_envelope_maxwell,
+    "canal": parse_envelope_canal,
+    "sqlserver": parse_envelope_sqlserver,
+    "aws_dms": parse_envelope_aws_dms,
+    "goldengate": parse_envelope_goldengate,
+    "mongo": parse_envelope_mongo,
+    "wal2json": parse_envelope_wal2json,
+    "airbyte": parse_envelope_airbyte,
+    "dynamodb": parse_envelope_dynamodb,
+    "auto": parse_envelope_auto,
+}
+_ENVELOPE_FORMATS = tuple(_ENVELOPE_PARSERS)
 
 
 @dataclass
@@ -149,35 +162,12 @@ class CdcIngest:
     def _parse_lines(raw: DataFrame, envelope_format: str) -> DataFrame:
         """Envelope dispatch over a ``value: string`` frame — batch or
         streaming; the parsers are pure column expressions either way."""
-        if envelope_format == "debezium":
-            return parse_envelope_debezium(raw)
-        if envelope_format == "maxwell":
-            return parse_envelope_maxwell(raw)
-        if envelope_format == "canal":
-            return parse_envelope_canal(raw)
-        if envelope_format == "aws_dms":
-            return parse_envelope_aws_dms(raw)
-        if envelope_format == "goldengate":
-            return parse_envelope_goldengate(raw)
-        if envelope_format == "sqlserver":
-            return parse_envelope_sqlserver(raw)
-        if envelope_format == "mongo":
-            return parse_envelope_mongo(raw)
-        if envelope_format == "wal2json":
-            return parse_envelope_wal2json(raw)
-        if envelope_format == "airbyte":
-            return parse_envelope_airbyte(raw)
-        if envelope_format == "dynamodb":
-            return parse_envelope_dynamodb(raw)
-        if envelope_format == "debezium_flat":
-            return parse_envelope_debezium_flat(raw)
-        if envelope_format == "auto":
-            return parse_envelope_auto(raw)
-        if envelope_format != "datastream":
+        parser = _ENVELOPE_PARSERS.get(envelope_format)
+        if parser is None:
             raise ValueError(
                 f"unknown envelope_format: {envelope_format!r}"
             )
-        return parse_envelope(raw)
+        return parser(raw)
 
     def _raw_lines(self) -> DataFrame:
         """One NDJSON envelope line per row, column ``value: string``.
@@ -457,17 +447,47 @@ class CdcIngest:
 
         The replay id derives from the quarantine CONTENT (an
         order-independent sum over per-line hashes — one scalar agg, no
-        driver-side row collection), so a crash-and-rerun recomputes the
-        SAME id and the per-table idempotence guards hold across restarts.
+        driver-side row collection) SALTED with the replay GENERATION —
+        the count of completed quarantine swaps (tomb directories /
+        ``replay-dl-*`` txns), which only advances when a swap lands.  A
+        crash-and-rerun therefore recomputes the SAME id (same content,
+        same generation: per-table idempotence guards hold), while a
+        LATER replay of byte-identical content — the same source file
+        re-ingested after a full drain — gets a FRESH id and really
+        lands (the generation advanced with the first drain's swap).
+        The tombs/txns are idempotence bookkeeping: do not delete them.
+
+        Still-dead rows keep their ORIGINAL quarantine rows (including
+        the first-seen ``dead_letter_at``) — age-based triage stays
+        truthful across replays.
 
         Scale: one narrow parse pass over the quarantine + the same
-        per-table narrow routing as live ingest; no joins, no shuffle
-        except the partition co-location repartition every sink write
-        already does. Returns per-table appended counts + the remainder.
+        per-table narrow routing as live ingest; the only join is the
+        broadcast-sized semi-join that carries the original rows of the
+        still-dead remainder. Returns per-table appended counts + the
+        remainder.
         """
         dl_dir = os.path.join(self.output_dir, "_dead_letter")
         if not os.path.exists(dl_dir):
-            return {"replayed": 0, "requarantined": 0, "tables": {}}
+            # a crash between the swap's two renames leaves the remainder
+            # in the staging dir and NO _dead_letter — complete the swap
+            # instead of misreporting an empty quarantine
+            stagings = [
+                d for d in os.listdir(self.output_dir)
+                if d.startswith("_dead_letter_staging_")
+            ] if os.path.isdir(self.output_dir) else []
+            if len(stagings) == 1 and not self.commit_log:
+                os.rename(
+                    os.path.join(self.output_dir, stagings[0]), dl_dir
+                )
+            elif stagings:
+                raise ValueError(
+                    f"quarantine missing but {len(stagings)} staging dirs "
+                    f"exist under {self.output_dir} — manual recovery "
+                    f"needed: rename the correct one to _dead_letter"
+                )
+            else:
+                return {"replayed": 0, "requarantined": 0, "tables": {}}
         # Per-table writeStream sinks (start()/run_available) own their
         # directories through a _spark_metadata transaction log: files
         # appended outside that protocol are INVISIBLE to readers, and
@@ -508,17 +528,26 @@ class CdcIngest:
             F.col("object").isin(known) & F.col("action").isNotNull()
         )
         n_good = good.count()
-        still = self._dead_letters(env)
         if n_good == 0:
             return {
                 "replayed": 0,
                 "requarantined": dl.count(),
                 "tables": {},
             }
+        # still-dead remainder = the ORIGINAL quarantine rows whose raw
+        # line still fails (parse is deterministic per raw value, so the
+        # good/still partition is by value); semi-join keeps first-seen
+        # dead_letter_at and the original object column intact
+        still_raws = self._dead_letters(env).select("raw").distinct()
+        remainder = dl.join(F.broadcast(still_raws), "raw", "left_semi").select(
+            "object", "raw", "dead_letter_at"
+        )
 
         # content-derived replay id: order-independent additive hash over
         # the quarantined lines (bounded scalar agg, deterministic across
-        # crash/re-run while the quarantine is unchanged)
+        # crash/re-run while the quarantine is unchanged), salted with the
+        # completed-swap generation so byte-identical content replayed
+        # AGAIN later gets a fresh id (see docstring)
         rid_row = dl.agg(
             F.sum(
                 F.conv(F.substring(F.sha2(F.col("raw"), 256), 1, 15), 16, 10)
@@ -526,7 +555,11 @@ class CdcIngest:
             ).alias("s"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
-        replay_id = int(rid_row["s"] or 0) % (1 << 62) ^ int(rid_row["n"])
+        generation = self._replay_generation(dl_dir)
+        replay_id = (
+            (int(rid_row["s"] or 0) ^ int(rid_row["n"]))
+            + generation * 0x9E3779B97F4A7C15
+        ) % (1 << 62)
 
         tables: dict[str, int] = {}
         for spec in self.registry:
@@ -563,24 +596,24 @@ class CdcIngest:
             from .commitlog import CommitLogTable
 
             CommitLogTable(self.spark, dl_dir).write_replace(
-                still.repartition(1), txn=f"replay-dl-{replay_id}"
+                remainder.repartition(1), txn=f"replay-dl-{replay_id}"
             )
         else:
             if self.transactional:
                 # keep the batch=<id> layout subsequent micro-batches write
-                remainder = still.withColumn(
+                out_rows = remainder.withColumn(
                     "batch", F.lit(replay_id).cast("long")
                 )
                 part_cols = ["batch"]
             else:
-                remainder = still
+                out_rows = remainder
                 part_cols = []
             staging = os.path.join(
                 self.output_dir, f"_dead_letter_staging_{replay_id}"
             )
             # repartition(1): a zero-row frame still emits one
             # schema-bearing file, keeping the swapped sink readable
-            remainder.repartition(1).write.mode("overwrite").partitionBy(
+            out_rows.repartition(1).write.mode("overwrite").partitionBy(
                 *part_cols
             ).parquet(staging)
             tomb = os.path.join(
@@ -596,9 +629,30 @@ class CdcIngest:
             "tables": tables,
         }
 
+    def _replay_generation(self, dl_dir: str) -> int:
+        """How many quarantine swaps have COMPLETED — the tomb count in
+        plain/transactional mode, the ``replay-dl-*`` txn count in
+        commit-log mode. Advances exactly when a swap lands, so it is
+        stable across a crash-and-rerun of an in-flight replay and fresh
+        for a genuinely new one."""
+        if self.commit_log:
+            from .commitlog import CommitLogTable
+
+            return sum(
+                1
+                for t in CommitLogTable(self.spark, dl_dir).committed_txns()
+                if t.startswith("replay-dl-")
+            )
+        return sum(
+            1
+            for d in os.listdir(self.output_dir)
+            if d.startswith("_dead_letter_replayed_")
+        )
+
     def maintain(
         self, max_files: int = 16, keep_last: int = 1,
         zorder_by: dict[str, list[str]] | None = None,
+        min_age_seconds: float = 3600,
     ) -> dict:
         """Small-file maintenance for commit-log sinks: every history
         table (and the dead-letter table) whose live snapshot exceeds
@@ -631,7 +685,12 @@ class CdcIngest:
                 txn=f"maint-{v}",
                 zorder_by=(zorder_by or {}).get(name),
             )
-            swept = t.vacuum(keep_last=keep_last)
+            # min_age_seconds guards files of a CONCURRENT in-flight
+            # append (written before their commit) from a scheduled
+            # maintain run racing the live stream
+            swept = t.vacuum(
+                keep_last=keep_last, min_age_seconds=min_age_seconds
+            )
             report[name] = {
                 "files_before": n_live,
                 "files_after": len(t.snapshot_files()),
@@ -778,6 +837,10 @@ def main(argv: list[str] | None = None) -> int:
                    "commit-log sink over --maintain-max-files live files, "
                    "then exit (requires --commit-log)")
     p.add_argument("--maintain-max-files", type=int, default=16)
+    p.add_argument("--maintain-min-age", type=float, default=3600,
+                   help="VACUUM age floor in seconds: unreferenced files "
+                   "younger than this survive (protects a concurrent "
+                   "in-flight append's not-yet-committed files)")
     p.add_argument("--cpus", default=None,
                    help="local[N] cores (default: SPARK_GRAFT_CPUS or all)")
     args = p.parse_args(argv)
@@ -822,7 +885,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.maintain:
         import json as _json
 
-        report = ingest.maintain(max_files=args.maintain_max_files)
+        report = ingest.maintain(
+            max_files=args.maintain_max_files,
+            min_age_seconds=args.maintain_min_age,
+        )
         print(_json.dumps(report), flush=True)
         return 0
     if args.trigger == "available-now":

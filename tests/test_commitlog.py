@@ -368,7 +368,7 @@ def test_vacuum_data_files_after_compaction(spark, tmp_path):
         os.path.join(t.path, DATA_DIR, "orphan")
     )
     assert t.compact(txn="opt-1")
-    removed = t.vacuum(keep_last=1)
+    removed = t.vacuum(keep_last=1, min_age_seconds=0)
     assert removed >= len(old_files) + 1  # old snapshot + orphan parquet
     for rel in old_files:
         assert not os.path.exists(os.path.join(t.path, rel))
@@ -381,7 +381,7 @@ def test_vacuum_data_files_after_compaction(spark, tmp_path):
     with pytest.raises(Exception):
         t.read(version=1).count()
     # a second vacuum is a no-op
-    assert t.vacuum(keep_last=1) == 0
+    assert t.vacuum(keep_last=1, min_age_seconds=0) == 0
 
 
 def test_vacuum_keep_last_retains_time_travel_window(spark, tmp_path):
@@ -390,11 +390,11 @@ def test_vacuum_keep_last_retains_time_travel_window(spark, tmp_path):
     t.write_append(_frame(spark, 5, 9), txn="b1")     # v1
     assert t.compact(txn="opt-1")                     # v2
     # keep the last TWO versions: v1's files are still referenced
-    removed_2 = t.vacuum(keep_last=2)
+    removed_2 = t.vacuum(keep_last=2, min_age_seconds=0)
     assert t.read(version=1).count() == 9
     assert t.read(version=2).count() == 9
     # shrinking the window afterwards sweeps v1's files too
-    removed_1 = t.vacuum(keep_last=1)
+    removed_1 = t.vacuum(keep_last=1, min_age_seconds=0)
     assert removed_1 > 0 and removed_2 >= 0
     assert t.read().count() == 9
     with pytest.raises(Exception):
@@ -430,7 +430,7 @@ def test_ingest_maintain_compacts_and_vacuums_commit_log_sinks(
     )
     assert len(t.snapshot_files()) >= 3
 
-    report = ing.maintain(max_files=1)
+    report = ing.maintain(max_files=1, min_age_seconds=0)
     assert "produtos_cdc" in report
     assert report["produtos_cdc"]["files_after"] == 1
     assert report["produtos_cdc"]["vacuumed"] > 0
@@ -441,7 +441,7 @@ def test_ingest_maintain_compacts_and_vacuums_commit_log_sinks(
         .groupBy("product_id").count().collect()
     )
     # already-compacted tables skip on re-run (below threshold now)
-    assert ing.maintain(max_files=1) == {}
+    assert ing.maintain(max_files=1, min_age_seconds=0) == {}
 
 
 def test_ingest_maintain_requires_commit_log(spark, tmp_path):
@@ -477,6 +477,6 @@ def test_cli_maintain_mode(spark, tmp_path, capsys):
         with open(os.path.join(in_dir, f"b{i}.jsonl"), "w") as f:
             f.write("\n".join(LINES) + "\n")
         assert main(base + ["--trigger", "available-now"]) == 0
-    assert main(base + ["--maintain", "--maintain-max-files", "1"]) == 0
+    assert main(base + ["--maintain", "--maintain-max-files", "1", "--maintain-min-age", "0"]) == 0
     report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["produtos_cdc"]["files_after"] == 1

@@ -174,3 +174,81 @@ def test_replay_refuses_streaming_file_sink_layout(spark, tmp_path):
     ing.registry = SchemaRegistry.from_dict(REGISTRY_DOC)
     with pytest.raises(ValueError, match="_spark_metadata"):
         ing.replay_dead_letters()
+
+
+@pytest.mark.parametrize(
+    "mode", MODES, ids=["plain", "transactional", "commit_log"]
+)
+def test_identical_content_replayed_again_really_lands(
+    spark, tmp_path, mode
+):
+    """The replay id is salted with the completed-swap generation: the
+    SAME source lines re-ingested after a full drain must land AGAIN
+    (a content-only id would collide with the first replay's txn/batch
+    guards — skipping the writes while reporting success)."""
+    lines = golden_cdc.render("goldengate")
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(
+        spark, tmp_path, in_dir, REGISTRY_DOC, "datastream", **mode
+    )
+    ing.run_available_single_pass()
+    first = ing.replay_dead_letters(envelope_format="goldengate")
+    assert first["replayed"] == len(lines)
+
+    # the SAME lines arrive again under the same misconfiguration
+    with open(os.path.join(in_dir, "again.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    ing.run_available_single_pass()
+    assert ing.dead_letter().count() == len(lines)
+
+    second = ing.replay_dead_letters(envelope_format="goldengate")
+    assert second["replayed"] == len(lines)
+    assert second["replay_id"] != first["replay_id"]
+    assert ing.history("olist_produtos").count() == 8
+    assert ing.history("olist_users").count() == 2
+    assert ing.dead_letter().count() == 0
+
+
+def test_replay_preserves_original_dead_letter_at(spark, tmp_path):
+    """Still-dead rows keep their FIRST-SEEN quarantine timestamp across
+    replays — age-based triage must stay truthful."""
+    lines = golden_cdc.render("goldengate") + golden_cdc.controls_for(
+        "goldengate"
+    )
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(
+        spark, tmp_path, in_dir, REGISTRY_DOC, "datastream"
+    )
+    ing.run_available_single_pass()
+    before = {
+        r.raw: r.dead_letter_at for r in ing.dead_letter().collect()
+    }
+    ing.replay_dead_letters(envelope_format="goldengate")
+    after = {
+        r.raw: r.dead_letter_at for r in ing.dead_letter().collect()
+    }
+    assert set(after) == set(golden_cdc.controls_for("goldengate"))
+    for raw, ts in after.items():
+        assert ts == before[raw], "dead_letter_at was re-stamped"
+
+
+def test_replay_completes_a_crashed_swap(spark, tmp_path):
+    """A crash between the swap's two renames leaves the rows in the
+    staging dir and NO _dead_letter; the next replay must complete the
+    swap and proceed instead of misreporting an empty quarantine."""
+    lines = golden_cdc.render("goldengate")
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(
+        spark, tmp_path, in_dir, REGISTRY_DOC, "datastream"
+    )
+    ing.run_available_single_pass()
+    # simulate the torn state: quarantine content sits in a staging dir
+    out = str(tmp_path / "out")
+    os.rename(
+        os.path.join(out, "_dead_letter"),
+        os.path.join(out, "_dead_letter_staging_99"),
+    )
+    stats = ing.replay_dead_letters(envelope_format="goldengate")
+    assert stats["replayed"] == len(lines)
+    assert _canon_produtos(ing) == EXPECT_PRODUTOS
+    assert ing.dead_letter().count() == 0
