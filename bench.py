@@ -444,7 +444,16 @@ HEADLINE = [
 # (~0.3/0.5s pins), stable (single-digit-percent repeat spread on an idle
 # host), and plan-diverse (a sketch agg + a sorted window scan).
 CANARIES = ("kmv_distinct", "revenue_gini")
-CANARY_DEGRADED_X = 1.5  # observed noise signature: canaries at 1.4-1.5x
+# Thresholds are PER PROBE POSITION, because the pins are only reachable
+# in a deeply-warmed JVM: measured in a fresh session (one q1 + Arrow
+# warmup), the canaries sit 2.2-2.7x pins even after 8 repetitions
+# (kmv 1.42 -> 0.50 over 8 runs vs pin 0.261), while the same canaries
+# read ~1.0x at the END of a full bench run in the same session.  The
+# pre-probe therefore flags only genuinely-degraded hosts (real windows
+# measured 4-10x fresh); the post-probe, fully warmed, holds the tight
+# bound (the r8 degradation signature was 1.4-1.5x warm).
+CANARY_DEGRADED_X = 1.5       # post-probe (warmed) threshold
+CANARY_PRE_DEGRADED_X = 3.0   # pre-probe (fresh-session) threshold
 CANARY_REPEATS = 3
 
 
@@ -466,7 +475,10 @@ def _load_pins() -> dict[str, float]:
     }
 
 
-def _canary_probe(qs, spark, sf_dir: str, pins: dict[str, float]) -> dict:
+def _canary_probe(
+    qs, spark, sf_dir: str, pins: dict[str, float],
+    threshold: float = CANARY_DEGRADED_X,
+) -> dict:
     """Run the canaries CANARY_REPEATS times each; compare min wall to the
     pin.  min (not median) so only a burst covering ALL repeats flags —
     matching how the headline stat absorbs noise."""
@@ -494,9 +506,10 @@ def _canary_probe(qs, spark, sf_dir: str, pins: dict[str, float]) -> dict:
         if x_pin is not None:
             worst = max(worst, x_pin)
     probe["worst_x_pin"] = round(worst, 3) if worst else None
+    probe["threshold_x"] = threshold
     probe["verdict"] = (
         "no-pins" if not worst
-        else ("degraded" if worst >= CANARY_DEGRADED_X else "clean")
+        else ("degraded" if worst >= threshold else "clean")
     )
     return probe
 
@@ -692,7 +705,9 @@ def main() -> None:
         if sf_dir.rstrip("/").endswith("sf0.1")
         else {}
     )
-    canary_pre = _canary_probe(qs, spark, sf_dir, pins)
+    canary_pre = _canary_probe(
+        qs, spark, sf_dir, pins, threshold=CANARY_PRE_DEGRADED_X
+    )
 
     # Best-of-N wall time per query: this container shares a host whose
     # load we can't see (observed: loadavg 4 with zero processes of ours
@@ -766,7 +781,7 @@ def main() -> None:
     # ...and AFTER everything timed — INCLUDING the cdc ingest runs, so
     # the throughput figures sit inside the canary-guarded window too —
     # a burst that started mid-run shows up here
-    canary_post = _canary_probe(qs, spark, sf_dir, pins)
+    canary_post = _canary_probe(qs, spark, sf_dir, pins)  # warmed: tight bound
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     cdc_ingest = {
@@ -789,7 +804,6 @@ def main() -> None:
         "cdc_ingest_debezium": cdc_debezium,
         "canary_verdict": {
             "verdict": _canary_verdict(canary_pre, canary_post),
-            "threshold_x": CANARY_DEGRADED_X,
             "pre": canary_pre,
             "post": canary_post,
         },

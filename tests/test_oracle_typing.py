@@ -181,6 +181,10 @@ def test_bench_canary_pins_and_verdict_logic():
     pins = bench._load_pins()
     for name in bench.CANARIES:
         assert name in pins and pins[name] > 0, f"no pin for canary {name}"
+    # the pre-probe runs in a fresh session where the canaries sit
+    # 2.2-2.7x pins even after repeated warm runs (measured), so its
+    # threshold must be materially looser than the warmed post-probe's
+    assert bench.CANARY_PRE_DEGRADED_X > bench.CANARY_DEGRADED_X >= 1.0
 
     clean = {"verdict": "clean"}
     degraded = {"verdict": "degraded"}
