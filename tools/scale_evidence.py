@@ -766,6 +766,13 @@ def main() -> None:
     if only and os.path.exists(path):
         with open(path) as f:
             result = json.load(f)
+        # a re-measure refreshes timings but must not silently drop the
+        # row's annotation (the zero-unannotated->2x invariant rides on
+        # these notes)
+        for name, rec in out.items():
+            old = result["queries"].get(name)
+            if isinstance(old, dict) and "note" in old and "note" not in rec:
+                rec["note"] = old["note"]
         result["queries"].update(out)
     else:
         result = {
