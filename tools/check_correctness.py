@@ -143,6 +143,22 @@ def main() -> int:
     argv = [a for a in sys.argv[1:] if a not in ("--pandas", "--negzero")]
     pd_mode = "--pandas" in sys.argv[1:]
     negz_mode = "--negzero" in sys.argv[1:]
+    # --log=PATH: ALSO write each status line to a file, line-buffered.
+    # Spark's progress bars garble stdout (14 of 461 lines lost in one
+    # full-gate run), so grepping stdout under-counts; the log file is
+    # the clean record.
+    log_path = None
+    for a in list(argv):
+        if a.startswith("--log="):
+            log_path = a.split("=", 1)[1]
+            argv.remove(a)
+    log_f = open(log_path, "w", buffering=1) if log_path else None
+
+    def emit(line: str) -> None:
+        print(line)
+        if log_f:
+            log_f.write(line + "\n")
+
     negz_hits: list[str] = []
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -168,11 +184,11 @@ def main() -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
+            emit(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
+            emit(f"ROWS  {name}: {len(srows)} rows (no oracle) "
+                 f"[{time.time()-t0:.1f}s]")
             continue
         try:
             unsafe = driver_unsafe_columns(con, oracles[name])
@@ -193,7 +209,7 @@ def main() -> int:
                 drows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
+            emit(f"FAIL  {name}: duckdb error: {e}")
             continue
         if unsafe:
             failures.append(name)
@@ -253,7 +269,7 @@ def main() -> int:
         hash_note = (
             "skipped" if pd_mode else ("ok" if ok_hash else "MISMATCH")
         )
-        print(
+        emit(
             f"{status}  {name}: rows {len(srows)}/{len(drows)} "
             f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
             f"hash={hash_note}{pd_note} "
@@ -288,7 +304,9 @@ def main() -> int:
     if negz_mode:
         print(f"negzero hits: {len(negz_hits)}"
               + (f": {negz_hits}" if negz_hits else ""))
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    emit(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if log_f:
+        log_f.close()
     return 1 if failures else 0
 
 
