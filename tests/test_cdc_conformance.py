@@ -213,14 +213,19 @@ def test_golden_evolution_file_matches_renderers():
         json.loads(ln)
 
 
-def test_schema_evolution_mid_stream_all_dialects(spark, tmp_path):
+@pytest.mark.parametrize(
+    "mode", [{}, {"commit_log": True}], ids=["plain", "commit_log"]
+)
+def test_schema_evolution_mid_stream_all_dialects(spark, tmp_path, mode):
     """Golden schema-evolution replay (VERDICT r8 #6): the steady-state
     12-dialect corpus streams under registry v1; the registry file then
     gains product_length_cm (safe ADD COLUMN) WHILE THE STREAM RUNS and
     every dialect starts emitting the column (golden/evolution.jsonl).
     Pre-add history rows must project NULL for the column, post-add rows
     must carry the per-dialect values — all through the auto dispatcher
-    with hot reload, no restart."""
+    with hot reload, no restart; under BOTH the plain parquet sink and
+    the manifest commit-log sink (read-side NULL projection there comes
+    from the explicit snapshot-read schema over old files)."""
     from cdc_streamming___v2_spark.sources.conformance import (
         CONFORMANCE_REGISTRY,
         evolved_registry,
@@ -244,6 +249,7 @@ def test_schema_evolution_mid_stream_all_dialects(spark, tmp_path):
         envelope_format="auto",
         registry_path=reg_path,
         hot_reload=True,
+        **mode,
     )
     n = len(DIALECTS)
     q = ing.start_single_pass()
