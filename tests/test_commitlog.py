@@ -480,3 +480,28 @@ def test_cli_maintain_mode(spark, tmp_path, capsys):
     assert main(base + ["--maintain", "--maintain-max-files", "1", "--maintain-min-age", "0"]) == 0
     report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["produtos_cdc"]["files_after"] == 1
+
+
+def test_read_changes_over_write_replace_commit(spark, tmp_path):
+    """write_replace is one add+remove commit (the dead-letter replay's
+    quarantine swap): the change feed across it must be the NET row
+    delta — rows present in both snapshots cancel (bag semantics), so
+    applying the feed to the old snapshot reconstructs the new one."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    assert t.write_append(_frame(spark, 0, 6), txn="b0")     # v0
+    assert t.write_replace(_frame(spark, 3, 5), txn="swap")  # v1
+    assert sorted(r.k for r in t.read().collect()) == [3, 4]
+    feed = t.read_changes(0, 1)
+    # {0..5} -> {3,4}: net deletes are the dropped rows, 3/4 cancel
+    assert sorted(
+        r.k for r in feed.filter(feed._change_type == "delete").collect()
+    ) == [0, 1, 2, 5]
+    assert feed.filter(feed._change_type == "insert").count() == 0
+    # reconstruction: v0 snapshot + feed == v1 snapshot
+    v0 = t.read(version=0)
+    deletes = feed.filter(feed._change_type == "delete").select("k", "v")
+    rebuilt = v0.exceptAll(deletes)
+    assert sorted(r.k for r in rebuilt.collect()) == [3, 4]
+    # replace replay is a no-op, snapshot unchanged
+    assert not t.write_replace(_frame(spark, 0, 1), txn="swap")
+    assert sorted(r.k for r in t.read().collect()) == [3, 4]
