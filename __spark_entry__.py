@@ -58,67 +58,23 @@ _MODULES = (
 )
 
 # The driver's correctness gate evaluates ~50 queries per round in
-# registration order.  r09-window rotation (VERDICT r8 #1: the 73-query
-# backlog sat at positions 50-122, BEHIND the 50 just-proven r08 greens;
-# an unrotated window would re-prove greens): (1) queries added this
-# round lead so they land INSIDE the window; (2) the 73 queries with no
-# driver record through CORRECTNESS_r08, oldest-unproven first; (3) all
-# 387 ever-green queries rotate to the back.  The list is the COMPLETE
-# registry so the window composition is fully pinned.
+# registration order.  The list is the COMPLETE registry so the window
+# composition is fully pinned; each round rotates never-proven and
+# oldest-proven queries to the front, behind the round's additions.
 _GATE_PRIORITY = (
-    # the one round-9 registry addition (dead-letter replay lifecycle,
-    # VERDICT r8 #2) leads so it lands INSIDE the r09 driver window
-    "dead_letter_replay",
-    # --- never driver-proven through r08 (73), oldest first ---
-    "community_modularity",
-    "neyman_allocation",
-    "bandit_replay_greedy",
-    "cdcgen_source_roundtrip",
-    "logistic_newton_fit",
-    "adaboost_stumps",
-    "cox_ph_fit",
-    "shapley_attribution",
-    "cuped_variance_reduction",
-    "qini_uplift_curve",
-    "sprt_replay",
-    "poisson_rate_model",
-    "jackknife_ci",
-    "james_stein_shrinkage",
-    "poisson_mixture_em",
-    "revenue_waterfall",
-    "boxplot_stats",
-    "weekday_seasonal_index",
-    "debezium_envelope_roundtrip",
-    "cdc_schema_drift_report",
-    "clustering_coefficient",
-    "adamic_adar_linkpred",
-    "lpa_communities",
-    "naive_bayes_lang",
-    "knn_label_predict",
-    "feature_hashing",
-    "chi2_feature_select",
-    "heavy_hitters_topfreq",
-    "word_pmi_pairs",
-    "tokenizer_vocab_coverage",
-    "bpe_merge_rounds",
-    "l_diversity",
-    "dp_noisy_counts",
-    "lttb_downsample",
-    "geo_grid_join",
-    "interval_overlap_join",
-    "welch_t_test",
-    "twap_user_value",
-    "inventory_clamped_balance",
-    "skew_diagnostics",
-    "ols_two_feature",
-    "incremental_join_maintain",
-    "bellman_ford_cheapest",
-    "weighted_median_price",
-    "golden_record",
-    "classifier_eval_langid",
-    "auc_roc_quality",
-    "calibration_bins",
-    "psi_drift",
+    # r10-window rotation (VERDICT r9 #1/#2, SURVEY §21.11 plan): (1) the
+    # four round-10 registry additions lead so they land INSIDE the
+    # driver window (schema-evolution ADD COLUMN / widening / drop
+    # lifecycles + commit-log change feed); (2) the 24 queries never
+    # driver-proven through CORRECTNESS_r09 (r9 positions 50-73);
+    # (3) queries whose newest record predates r9 (oldest proof first);
+    # (4) the 50 just-proven r9-window greens rotate to the back.  After
+    # a green r10 window the cumulative driver record reads 465/465 —
+    # the complete registry.
+    "schema_evolution_add_column",
+    "schema_evolution_widening",
+    "schema_evolution_column_drop",
+    "commitlog_change_feed",
     "k_core_peel",
     "interval_coalesce_islands",
     "max_drawdown_user",
@@ -143,7 +99,6 @@ _GATE_PRIORITY = (
     "bcubed_cluster_eval",
     "anderson_darling_drift",
     "rake_keywords",
-    # --- ever-green through r08 (387), rotated to the back ---
     "cdc_conformance_matrix",
     "ams_f2_sketch",
     "grid_dbscan_clusters",
@@ -531,6 +486,56 @@ _GATE_PRIORITY = (
     "q16_supplier_part_count",
     "q20_supply_threshold",
     "q21_waiting_suppliers",
+    "dead_letter_replay",
+    "community_modularity",
+    "neyman_allocation",
+    "bandit_replay_greedy",
+    "cdcgen_source_roundtrip",
+    "logistic_newton_fit",
+    "adaboost_stumps",
+    "cox_ph_fit",
+    "shapley_attribution",
+    "cuped_variance_reduction",
+    "qini_uplift_curve",
+    "sprt_replay",
+    "poisson_rate_model",
+    "jackknife_ci",
+    "james_stein_shrinkage",
+    "poisson_mixture_em",
+    "revenue_waterfall",
+    "boxplot_stats",
+    "weekday_seasonal_index",
+    "debezium_envelope_roundtrip",
+    "cdc_schema_drift_report",
+    "clustering_coefficient",
+    "adamic_adar_linkpred",
+    "lpa_communities",
+    "naive_bayes_lang",
+    "knn_label_predict",
+    "feature_hashing",
+    "chi2_feature_select",
+    "heavy_hitters_topfreq",
+    "word_pmi_pairs",
+    "tokenizer_vocab_coverage",
+    "bpe_merge_rounds",
+    "l_diversity",
+    "dp_noisy_counts",
+    "lttb_downsample",
+    "geo_grid_join",
+    "interval_overlap_join",
+    "welch_t_test",
+    "twap_user_value",
+    "inventory_clamped_balance",
+    "skew_diagnostics",
+    "ols_two_feature",
+    "incremental_join_maintain",
+    "bellman_ford_cheapest",
+    "weighted_median_price",
+    "golden_record",
+    "classifier_eval_langid",
+    "auc_roc_quality",
+    "calibration_bins",
+    "psi_drift",
 )
 
 
@@ -574,7 +579,7 @@ def _gate_order(queries: dict) -> list[str]:
 # a floor below the true count could silently lose one query).  A test
 # (tests/test_entry.py) asserts len(queries()) == _MIN_QUERIES, so any
 # add/remove must touch both or the suite goes red.
-_MIN_QUERIES = 461
+_MIN_QUERIES = 465
 
 
 def _registry() -> tuple[dict, dict]:

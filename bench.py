@@ -809,6 +809,13 @@ def main() -> None:
             "verdict": _canary_verdict(canary_pre, canary_post),
             "pre": canary_pre,
             "post": canary_post,
+            # the pre-probe runs these 1+CANARY_REPEATS times before the
+            # timed passes, so their headline mins are measured warmer
+            # than other queries'; their pins are recorded under this
+            # same protocol (re-pinned r10) so pin comparisons are
+            # apples-to-apples — flagged here for artifact readers
+            # (ADVICE r9)
+            "prewarmed_by_pre_probe": list(CANARIES),
         },
     }
     # fold in the 10x scale-evidence record when tools/scale_evidence.py

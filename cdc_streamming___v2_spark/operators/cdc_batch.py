@@ -1700,3 +1700,521 @@ ORACLES["dead_letter_replay"] = """
            photos_qty, weight_g, email, n)
     ORDER BY stage, sink, ts_epoch
 """
+
+
+def schema_evolution_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mid-stream ADD COLUMN conformance (VERDICT r9 #2): the
+    full 12-dialect golden corpus streams under registry v1; the registry
+    file then gains product_length_cm (the safe add-column successor
+    SchemaRegistry.check_evolution admits) WHILE THE STREAM RUNS, and
+    every dialect starts emitting the column
+    (sources/conformance.py EVOLUTION_CHANGES). The oracle pins:
+
+    - pre-add history rows = 48 (4 canonical produtos ops x 12 dialects),
+      ALL projecting NULL for the new column (old files are never
+      rewritten — the read schema projects);
+    - post-add rows carry the per-dialect typed values, VALUE-identical
+      across all 12 dialects (n_dialects = 12 on both canonical
+      evolution ops) — through the real hot-reload path + auto
+      dispatcher + sinks, not a pure parse.
+
+    Scalar-witness pattern: the cycle runs in a temp dir at query-build
+    time; its BOUNDED result (4 rows) snapshots into a literal frame.
+    Nothing scales with SF. Reference: the reference re-reads
+    data-stream.json per record (src/dataflow-cdc-stream.py:71-76) but
+    has no safe-evolution validation at all.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.conformance import (
+        CONFORMANCE_REGISTRY,
+        RENDERERS,
+        evolved_registry,
+        render,
+        render_evolution,
+    )
+    from ..sources.registry import SchemaRegistry
+    from ..streaming.ingest import CdcIngest
+
+    work = tempfile.mkdtemp(prefix="evo_add_")
+    try:
+        dialects = sorted(RENDERERS)
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        reg_path = os.path.join(work, "data-stream.json")
+        with open(reg_path, "w") as f:
+            json.dump(CONFORMANCE_REGISTRY, f)
+        with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+            f.write(
+                "\n".join(ln for d in dialects for ln in render(d)) + "\n"
+            )
+        ing = CdcIngest(
+            spark=spark,
+            registry=SchemaRegistry.from_file(reg_path),
+            input_dir=in_dir,
+            output_dir=os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ck"),
+            envelope_format="auto",
+            registry_path=reg_path,
+            hot_reload=True,
+        )
+        q = ing.start_single_pass()
+        try:
+            q.processAllAvailable()
+            with open(reg_path, "w") as f:
+                json.dump(evolved_registry(), f)
+            with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+                f.write(
+                    "\n".join(
+                        ln for d in dialects for ln in render_evolution(d)
+                    )
+                    + "\n"
+                )
+            q.processAllAvailable()
+        finally:
+            ing.stop()
+        hist = ing.history("olist_produtos").withColumn(
+            "ts", F.unix_seconds(F.col("update_date").cast("timestamp"))
+        )
+        pre = hist.filter(F.col("ts") < 1704499200)
+        rows = [
+            ("pre_rows", None, None, None, pre.count()),
+            (
+                "pre_null_projected", None, None, None,
+                pre.filter(F.col("product_length_cm").isNull()).count(),
+            ),
+        ] + [
+            (
+                "post", r["product_id"], r["ts"], r["product_length_cm"],
+                r["n"],
+            )
+            for r in hist.filter(F.col("ts") >= 1704499200)
+            .groupBy("product_id", "ts", "product_length_cm")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "stage string, rec_key string, ts_epoch long, length_cm double, "
+        "n long",
+    ).orderBy("stage", "ts_epoch")
+
+
+QUERIES["schema_evolution_add_column"] = schema_evolution_add_column
+ORACLES["schema_evolution_add_column"] = """
+    SELECT * FROM (VALUES
+        ('post', 'p1', CAST(1704499200 AS BIGINT), 30.0,
+         CAST(12 AS BIGINT)),
+        ('post', 'p3', CAST(1704585600 AS BIGINT), 45.0,
+         CAST(12 AS BIGINT)),
+        ('pre_null_projected', CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+         CAST(48 AS BIGINT)),
+        ('pre_rows', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(48 AS BIGINT))
+    ) AS t(stage, rec_key, ts_epoch, length_cm, n)
+    ORDER BY stage, ts_epoch
+"""
+
+
+# Diverse 3-dialect subset for the widening/drop lifecycles: the
+# per-dialect WIRE decoding is already proven by cdc_conformance_matrix
+# and schema_evolution_add_column (all 12); widening/drop semantics are
+# registry/sink-side and dialect-independent, so three structurally
+# different encodings (nested Debezium, flat Maxwell, DynamoDB
+# AttributeValue) witness the cross-dialect claim at a quarter the
+# dispatcher cost.
+_EVO_DIALECTS = ("debezium", "dynamodb", "maxwell")
+
+
+def schema_evolution_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mid-stream TYPE WIDENING (VERDICT r9 #6): the corpus
+    streams under a registry declaring product_photos_qty INT32 /
+    product_weight_g FLOAT32; the registry then widens both to
+    INT64/FLOAT64 while the stream runs, and producers emit a value
+    outside the 32-bit domain (5_000_000_000). Old history files keep
+    their narrow PHYSICAL types — Spark 4's parquet reader up-converts
+    them at scan time (sources/registry.py SAFE_WIDENINGS, measured:
+    int32->int64 / float32->float64 read fine; int64->double raises and
+    stays rejected). The oracle pins the pre-widening values read back
+    exactly under the widened schema AND the 64-bit value landing per
+    dialect.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.conformance import (
+        CONFORMANCE_REGISTRY,
+        narrow_registry,
+        render,
+        render_widening,
+    )
+    from ..sources.registry import SchemaRegistry
+    from ..streaming.ingest import CdcIngest
+
+    work = tempfile.mkdtemp(prefix="evo_wide_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        reg_path = os.path.join(work, "data-stream.json")
+        with open(reg_path, "w") as f:
+            json.dump(narrow_registry(), f)
+        with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+            f.write(
+                "\n".join(
+                    ln for d in _EVO_DIALECTS for ln in render(d)
+                ) + "\n"
+            )
+        ing = CdcIngest(
+            spark=spark,
+            registry=SchemaRegistry.from_file(reg_path),
+            input_dir=in_dir,
+            output_dir=os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ck"),
+            envelope_format="auto",
+            registry_path=reg_path,
+            hot_reload=True,
+        )
+        q = ing.start_single_pass()
+        try:
+            q.processAllAvailable()
+            narrow_types = dict(ing.history("olist_produtos").dtypes)
+            with open(reg_path, "w") as f:
+                json.dump(CONFORMANCE_REGISTRY, f)
+            with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+                f.write(
+                    "\n".join(
+                        ln for d in _EVO_DIALECTS
+                        for ln in render_widening(d)
+                    ) + "\n"
+                )
+            q.processAllAvailable()
+        finally:
+            ing.stop()
+        hist = ing.history("olist_produtos")
+        wide_types = dict(hist.dtypes)
+        rows = [
+            (
+                "dtype_pre_narrow", None,
+                f"{narrow_types['product_photos_qty']}/"
+                f"{narrow_types['product_weight_g']}",
+                None, None, 1,
+            ),
+            (
+                "dtype_post_wide", None,
+                f"{wide_types['product_photos_qty']}/"
+                f"{wide_types['product_weight_g']}",
+                None, None, 1,
+            ),
+        ] + [
+            (
+                "rows", r["product_id"], r["action"],
+                r["product_photos_qty"], r["product_weight_g"], r["n"],
+            )
+            for r in hist.groupBy(
+                "product_id", "action", "product_photos_qty",
+                "product_weight_g",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "stage string, rec_key string, action string, photos_qty long, "
+        "weight_g double, n long",
+    ).orderBy("stage", "rec_key", "action", "photos_qty")
+
+
+QUERIES["schema_evolution_widening"] = schema_evolution_widening
+ORACLES["schema_evolution_widening"] = """
+    SELECT * FROM (VALUES
+        ('dtype_post_wide', CAST(NULL AS VARCHAR), 'bigint/double',
+         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)),
+        ('dtype_pre_narrow', CAST(NULL AS VARCHAR), 'int/float',
+         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)),
+        ('rows', 'p1', 'INSERT', CAST(2 AS BIGINT), 100.0,
+         CAST(3 AS BIGINT)),
+        ('rows', 'p1', 'UPDATE-INSERT', CAST(3 AS BIGINT), 120.0,
+         CAST(3 AS BIGINT)),
+        ('rows', 'p2', 'DELETE', CAST(NULL AS BIGINT),
+         CAST(NULL AS DOUBLE), CAST(3 AS BIGINT)),
+        ('rows', 'p2', 'INSERT', CAST(1 AS BIGINT), 80.0,
+         CAST(3 AS BIGINT)),
+        ('rows', 'p4', 'INSERT', CAST(5000000000 AS BIGINT), 123.5,
+         CAST(3 AS BIGINT))
+    ) AS t(stage, rec_key, action, photos_qty, weight_g, n)
+    ORDER BY stage, rec_key, action, photos_qty
+"""
+
+
+def schema_evolution_column_drop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end mid-stream DROP COLUMN + tombstone lifecycle
+    (VERDICT r9 #6): product_weight_g is dropped from the registry while
+    the stream runs (opt-in allow_column_drops). Old files keep the data
+    physically; reads project it away; the drop lands in
+    _schema_tombstones.json. A later re-add as STRING — unreadable over
+    the buried DOUBLE files — must be REFUSED via the tombstone, while a
+    re-add under the original type is admitted and resurfaces the buried
+    values. The oracle pins every lifecycle stage as a scalar witness.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.conformance import (
+        CONFORMANCE_REGISTRY,
+        dropped_registry,
+        readded_registry,
+        render,
+        render_drop,
+    )
+    from ..sources.registry import SchemaRegistry
+    from ..streaming.ingest import CdcIngest
+
+    work = tempfile.mkdtemp(prefix="evo_drop_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        out_dir = os.path.join(work, "out")
+        reg_path = os.path.join(work, "data-stream.json")
+        with open(reg_path, "w") as f:
+            json.dump(CONFORMANCE_REGISTRY, f)
+        with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+            f.write(
+                "\n".join(
+                    ln for d in _EVO_DIALECTS for ln in render(d)
+                ) + "\n"
+            )
+        ing = CdcIngest(
+            spark=spark,
+            registry=SchemaRegistry.from_file(reg_path),
+            input_dir=in_dir,
+            output_dir=out_dir,
+            checkpoint_dir=os.path.join(work, "ck"),
+            envelope_format="auto",
+            registry_path=reg_path,
+            hot_reload=True,
+            allow_column_drops=True,
+        )
+        q = ing.start_single_pass()
+        try:
+            q.processAllAvailable()
+            with open(reg_path, "w") as f:
+                json.dump(dropped_registry(), f)
+            with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+                f.write(
+                    "\n".join(
+                        ln for d in _EVO_DIALECTS for ln in render_drop(d)
+                    ) + "\n"
+                )
+            q.processAllAvailable()
+        finally:
+            ing.stop()
+        hist = ing.history("olist_produtos")
+        dropped_projected = int("product_weight_g" not in hist.columns)
+        n_post_drop = hist.count()
+        with open(os.path.join(out_dir, "_schema_tombstones.json")) as f:
+            tomb_ok = int(
+                json.load(f)
+                == {"olist_produtos.product_weight_g": "double"}
+            )
+
+        # a third batch of input so the re-add attempts each fire a
+        # micro-batch (hot reload is checked per batch); the STRING
+        # attempt fails BEFORE committing it, so the FLOAT run consumes
+        # the same batch and its reload lands
+        with open(os.path.join(in_dir, "b3.jsonl"), "w") as f:
+            f.write(
+                "\n".join(
+                    ln for d in _EVO_DIALECTS for ln in render_drop(d)
+                ) + "\n"
+            )
+        with open(reg_path, "w") as f:
+            json.dump(readded_registry("STRING"), f)
+        refused = 0
+        try:
+            q2 = ing.start_single_pass()
+            q2.processAllAvailable()
+        except Exception as e:  # noqa: BLE001
+            refused = int("tombstoned" in str(e))
+        finally:
+            ing.stop()
+
+        with open(reg_path, "w") as f:
+            json.dump(readded_registry("FLOAT"), f)
+        q3 = ing.start_single_pass()
+        try:
+            q3.processAllAvailable()
+        finally:
+            ing.stop()
+        hist3 = ing.history("olist_produtos")
+        resurfaced = (
+            hist3.filter(
+                "product_id = 'p1' AND product_weight_g = 100.0"
+            ).count()
+        )
+        rows = [
+            ("drop_projected_on_read", dropped_projected),
+            ("post_drop_rows", n_post_drop),
+            ("tombstone_recorded", tomb_ok),
+            ("readd_string_refused", refused),
+            ("readd_float_resurfaces_p1", resurfaced),
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "stage string, n long").orderBy(
+        "stage"
+    )
+
+
+QUERIES["schema_evolution_column_drop"] = schema_evolution_column_drop
+ORACLES["schema_evolution_column_drop"] = """
+    SELECT * FROM (VALUES
+        ('drop_projected_on_read', CAST(1 AS BIGINT)),
+        ('post_drop_rows', CAST(15 AS BIGINT)),
+        ('readd_float_resurfaces_p1', CAST(3 AS BIGINT)),
+        ('readd_string_refused', CAST(1 AS BIGINT)),
+        ('tombstone_recorded', CAST(1 AS BIGINT))
+    ) AS t(stage, n)
+    ORDER BY stage
+"""
+
+
+def commitlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed net-delta semantics over the commit-log sink
+    (VERDICT r9 #2; semantics pinned in commit 0242b37): orders split
+    into three txn appends by o_orderkey % 3, with a compaction between
+    the second and third. The oracle (computed straight from orders)
+    pins:
+
+    - feed(v0->v1) = exactly the second append's rows as inserts;
+    - feed(v1->v2) = EMPTY: a compaction rewrites the same rows into new
+      files, and the add-side/remove-side bags cancel (net-delta, not
+      file-delta);
+    - feed(v0->v3) = both later appends as inserts, no deletes — the
+      compaction stays invisible across the span;
+    - reconstruction: v0 snapshot + feed(v0->v3) == v3 snapshot == all
+      of orders (the CDF contract: applying the feed reproduces the
+      target snapshot exactly).
+
+    Scale: the feed between versions reads only files ADDED or REMOVED
+    between them — never the table; at 100 TB an adjacent-version feed
+    touches one commit's files. Sums are DECIMAL(18,2)-exact, cast to
+    DOUBLE only for the final column.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.commitlog import CommitLogTable
+
+    work = tempfile.mkdtemp(prefix="cdf_")
+    try:
+        t = CommitLogTable(spark, os.path.join(work, "t"))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        bucket = F.col("o_orderkey") % 3
+        t.write_append(orders.filter(bucket == 0), txn="b0")  # v0
+        t.write_append(orders.filter(bucket == 1), txn="b1")  # v1
+        t.compact(txn="c")                                    # v2
+        t.write_append(orders.filter(bucket == 2), txn="b2")  # v3
+
+        def _summarize(df):
+            return df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                ).cast("double").alias("s"),
+            ).collect()[0]
+
+        sch = t.read().schema
+        rows = []
+        f03 = t.read_changes(0, 3)
+        for stage, feed in [
+            ("feed_v0_v1", t.read_changes(0, 1)),
+            ("feed_v0_v3", f03),
+        ]:
+            for r in (
+                feed.groupBy("_change_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(
+                        F.sum(
+                            F.col("o_totalprice").cast("decimal(18,2)")
+                        ), 2
+                    ).cast("double").alias("s"),
+                )
+                .collect()
+            ):
+                rows.append((stage, r["_change_type"], r["n"], r["s"]))
+        # the compaction feed must be EMPTY — witnessed, not assumed
+        rows.append(
+            (
+                "feed_v1_v2", "net_empty",
+                t.read_changes(1, 2, schema=sch).count(), 0.0,
+            )
+        )
+        snap0 = t.read(version=0)
+        ins = f03.filter("_change_type = 'insert'").drop(
+            "_change_type", "_commit_version"
+        )
+        dels = f03.filter("_change_type = 'delete'").drop(
+            "_change_type", "_commit_version"
+        )
+        recon = snap0.unionByName(ins).exceptAll(dels)
+        for stage, df in [
+            ("recon_v0_plus_feed", recon),
+            ("snapshot_v3", t.read(version=3)),
+        ]:
+            r = _summarize(df)
+            rows.append((stage, "all", r["n"], r["s"]))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "stage string, change_type string, n_rows long, sum_price double",
+    ).orderBy("stage", "change_type")
+
+
+QUERIES["commitlog_change_feed"] = commitlog_change_feed
+ORACLES["commitlog_change_feed"] = """
+    WITH b AS (
+        SELECT o_orderkey % 3 AS bkt, o_totalprice FROM orders
+    )
+    SELECT 'feed_v0_v1' AS stage, 'insert' AS change_type,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_price
+    FROM b WHERE bkt = 1
+    UNION ALL
+    SELECT 'feed_v0_v3', 'insert', count(*),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE)
+    FROM b WHERE bkt IN (1, 2)
+    UNION ALL
+    SELECT 'feed_v1_v2', 'net_empty', 0, 0.0
+    UNION ALL
+    SELECT 'recon_v0_plus_feed', 'all', count(*),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE)
+    FROM b
+    UNION ALL
+    SELECT 'snapshot_v3', 'all', count(*),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE)
+    FROM b
+    ORDER BY stage, change_type
+"""

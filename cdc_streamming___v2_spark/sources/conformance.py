@@ -308,6 +308,47 @@ def render_evolution(dialect: str) -> list[str]:
     return [fn(*c) for c in EVOLUTION_CHANGES]
 
 
+# Type-widening phase (VERDICT r9 #6): the source ALTERs
+# product_photos_qty from a 32-bit int to a 64-bit int (and weight from
+# float32 to float64) and starts emitting values outside the old domain.
+# History files written pre-widening keep their narrow physical types;
+# Spark's parquet reader up-converts them under the widened read schema
+# (sources/registry.py SAFE_WIDENINGS, measured).  Wire decoding is
+# dialect-independent here (the per-dialect paths are proven by the
+# conformance matrix), so the golden file still renders every dialect but
+# the lifecycle query replays a 3-dialect diverse subset.
+P4_WIDE = {"product_id": "p4", "product_category_name": "appliances",
+           "product_photos_qty": 5000000000,
+           "product_weight_g": 123.5}
+
+WIDENING_CHANGES = [
+    ("olist_produtos", "INSERT", 1704672000, P4_WIDE, None),
+]
+
+
+def render_widening(dialect: str) -> list[str]:
+    fn = RENDERERS[dialect]
+    return [fn(*c) for c in WIDENING_CHANGES]
+
+
+# Column-drop phase (VERDICT r9 #6): the source DROPs product_weight_g;
+# producers stop emitting it.  Old files retain the column physically —
+# reads under the successor registry project it away; the drop is
+# tombstoned so a later re-add under a type the buried data can't be
+# read as (e.g. STRING over DOUBLE files) is refused.
+P5_NOWEIGHT = {"product_id": "p5", "product_category_name": "home",
+               "product_photos_qty": 7}
+
+DROP_CHANGES = [
+    ("olist_produtos", "INSERT", 1704758400, P5_NOWEIGHT, None),
+]
+
+
+def render_drop(dialect: str) -> list[str]:
+    fn = RENDERERS[dialect]
+    return [fn(*c) for c in DROP_CHANGES]
+
+
 
 
 # Control / non-row records per dialect (transaction markers, DDL,
@@ -419,4 +460,43 @@ def evolved_registry() -> dict:
     doc = copy.deepcopy(CONFORMANCE_REGISTRY)
     fields = doc["olist_produtos"]["schema"]["fields"]
     fields.insert(4, {"name": "product_length_cm", "type": "FLOAT"})
+    return doc
+
+
+def narrow_registry() -> dict:
+    """CONFORMANCE_REGISTRY with the NARROW starting types of the
+    widening lifecycle: product_photos_qty INT32, product_weight_g
+    FLOAT32 (engine-extension types, sources/registry.py)."""
+    import copy
+
+    doc = copy.deepcopy(CONFORMANCE_REGISTRY)
+    for f in doc["olist_produtos"]["schema"]["fields"]:
+        if f["name"] == "product_photos_qty":
+            f["type"] = "INT32"
+        elif f["name"] == "product_weight_g":
+            f["type"] = "FLOAT32"
+    return doc
+
+
+def dropped_registry() -> dict:
+    """CONFORMANCE_REGISTRY after DROP COLUMN product_weight_g — the
+    opt-in drop successor (allow_column_drops)."""
+    import copy
+
+    doc = copy.deepcopy(CONFORMANCE_REGISTRY)
+    fields = doc["olist_produtos"]["schema"]["fields"]
+    doc["olist_produtos"]["schema"]["fields"] = [
+        f for f in fields if f["name"] != "product_weight_g"
+    ]
+    return doc
+
+
+def readded_registry(bq_type: str) -> dict:
+    """dropped_registry() with product_weight_g re-ADDED under
+    ``bq_type`` — 'FLOAT' (the buried physical type, admissible) or an
+    incompatible type like 'STRING' (must be refused via tombstone)."""
+    doc = dropped_registry()
+    doc["olist_produtos"]["schema"]["fields"].insert(
+        3, {"name": "product_weight_g", "type": bq_type}
+    )
     return doc

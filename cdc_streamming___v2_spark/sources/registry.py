@@ -32,6 +32,38 @@ BQ_TO_SPARK: dict[str, T.DataType] = {
     "TIMESTAMP": T.TimestampType(),
     "BOOL": T.BooleanType(),
     "BOOLEAN": T.BooleanType(),
+    # engine extensions beyond BigQuery's vocabulary: narrow physical
+    # types a source system may start with, so the registry can express
+    # the WIDENING evolutions below (BigQuery itself has no 32-bit types)
+    "INT32": T.IntegerType(),
+    "FLOAT32": T.FloatType(),
+}
+
+# Value-preserving type widenings safe for an append-only parquet history
+# read with an explicit schema: old files keep their narrow physical type
+# and the parquet reader up-converts at scan time. This is EXACTLY the
+# set Spark 4's vectorized reader supports (measured here on 4.1.2:
+# int32->int64 / float32->float64 / int32->double read fine; int64->double
+# raises PARQUET_COLUMN_DATA_TYPE_MISMATCH — so INT64->FLOAT64 is NOT
+# safe and stays rejected).
+SAFE_WIDENINGS: set[tuple[T.DataType, T.DataType]] = {
+    (T.IntegerType(), T.LongType()),
+    (T.FloatType(), T.DoubleType()),
+    (T.IntegerType(), T.DoubleType()),
+}
+
+
+def is_safe_widening(old: T.DataType, new: T.DataType) -> bool:
+    return (old, new) in SAFE_WIDENINGS
+
+
+# simpleString -> DataType, for tombstone entries (which persist as JSON)
+_SIMPLE_TO_SPARK: dict[str, T.DataType] = {
+    t.simpleString(): t
+    for t in (
+        T.StringType(), T.IntegerType(), T.LongType(), T.FloatType(),
+        T.DoubleType(), T.TimestampType(), T.BooleanType(),
+    )
 }
 
 # Columns the engine adds to every history row (reference py:66-67).
@@ -97,7 +129,12 @@ class SchemaRegistry:
     def object_names(self) -> list[str]:
         return list(self._tables)
 
-    def check_evolution(self, new: "SchemaRegistry") -> None:
+    def check_evolution(
+        self,
+        new: "SchemaRegistry",
+        allow_column_drops: bool = False,
+        tombstones: dict[str, str] | None = None,
+    ) -> dict[str, str]:
         """Validate that ``new`` is a safe successor registry for history
         tables already written under ``self`` (the ALTER TABLE story the
         reference's static registry has no answer to).
@@ -107,14 +144,31 @@ class SchemaRegistry:
         - add a table (new object) — trivially safe;
         - add a column — old files simply project NULL for it (the same
           "absent field" semantics the CDC envelope already has);
-        - anything else — dropping a table/column, changing a column's
-          type, or renaming a sink table — would silently corrupt or
-          orphan existing history, so it is rejected here, BEFORE a
-          stream restart starts writing mixed-schema files.
+        - WIDEN a column's type along ``SAFE_WIDENINGS`` (int32->int64,
+          float32->float64, int32->float64) — old files keep their narrow
+          physical type; Spark 4's parquet reader up-converts at scan
+          time (measured; int64->double is NOT supported and stays
+          rejected);
+        - DROP a column, only when ``allow_column_drops=True`` (opt-in:
+          an accidental drop must fail loudly by default) — old files
+          retain the data physically, reads project it away. The drop is
+          returned as a TOMBSTONE entry ``{"obj.col": old_type}`` the
+          caller must persist: re-ADDING a tombstoned column later with a
+          type the buried physical data can't be read as (not equal, not
+          a safe widening of it) is rejected via ``tombstones``, because
+          the old files still contain the column under its original type
+          and an explicit-schema scan over them would fail;
+        - anything else — dropping a table, a non-widening type change,
+          or renaming a sink table — would silently corrupt or orphan
+          existing history, so it is rejected here, BEFORE a stream
+          restart starts writing mixed-schema files.
 
-        Raises ``ValueError`` listing every violation.
+        Raises ``ValueError`` listing every violation; returns the newly
+        dropped columns as tombstones to merge-and-persist.
         """
         problems: list[str] = []
+        dropped: dict[str, str] = {}
+        ts = tombstones or {}
         for obj, old_spec in self._tables.items():
             new_spec = new.get(obj)
             if new_spec is None:
@@ -125,17 +179,38 @@ class SchemaRegistry:
                     f"{obj}: sink renamed {old_spec.table_name!r} -> "
                     f"{new_spec.table_name!r} (orphans existing history)"
                 )
+            old_fields = {f.name: f.dataType for f in old_spec.schema.fields}
             new_fields = {f.name: f.dataType for f in new_spec.schema.fields}
-            for f in old_spec.schema.fields:
-                if f.name not in new_fields:
-                    problems.append(f"{obj}.{f.name}: column dropped")
-                elif new_fields[f.name] != f.dataType:
+            for name, old_t in old_fields.items():
+                if name not in new_fields:
+                    if allow_column_drops and name not in ENGINE_COLUMNS:
+                        dropped[f"{obj}.{name}"] = old_t.simpleString()
+                    else:
+                        problems.append(f"{obj}.{name}: column dropped")
+                elif new_fields[name] != old_t and not is_safe_widening(
+                    old_t, new_fields[name]
+                ):
                     problems.append(
-                        f"{obj}.{f.name}: type changed "
-                        f"{f.dataType.simpleString()} -> "
-                        f"{new_fields[f.name].simpleString()}"
+                        f"{obj}.{name}: type changed "
+                        f"{old_t.simpleString()} -> "
+                        f"{new_fields[name].simpleString()} (not a safe "
+                        f"parquet widening)"
+                    )
+            for name, new_t in new_fields.items():
+                key = f"{obj}.{name}"
+                if name in old_fields or key not in ts:
+                    continue
+                buried = _SIMPLE_TO_SPARK.get(ts[key])
+                if buried is not None and buried != new_t and not (
+                    is_safe_widening(buried, new_t)
+                ):
+                    problems.append(
+                        f"{key}: re-added as {new_t.simpleString()} but "
+                        f"history files hold it as {ts[key]} (tombstoned "
+                        f"drop) — reads over old files would fail"
                     )
         if problems:
             raise ValueError(
                 "unsafe registry evolution: " + "; ".join(problems)
             )
+        return dropped

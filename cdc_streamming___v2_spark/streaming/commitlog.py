@@ -243,28 +243,34 @@ class CommitLogTable:
             for nm in names:
                 full = os.path.join(dirpath, nm)
                 rel = os.path.relpath(full, self.path)
-                if (
-                    nm.endswith(".parquet")
-                    and rel not in keep
-                    and os.path.getmtime(full) <= cutoff
-                ):
-                    os.remove(full)
-                    removed += 1
+                if nm.endswith(".parquet") and rel not in keep:
+                    # two maintain runs racing: a file the sibling already
+                    # swept is the desired end state, not an error — skip
+                    # (ADVICE r9: getmtime/remove between walk and delete)
+                    try:
+                        if os.path.getmtime(full) <= cutoff:
+                            os.remove(full)
+                            removed += 1
+                    except FileNotFoundError:
+                        continue
         # sweep dirs left holding only write markers (_SUCCESS, .crc) —
         # files only; an in-flight writer's _temporary SUBDIR means the
         # dir is still in use and stays
         for dirpath, dirnames, _names in os.walk(data_root, topdown=False):
             if dirpath == data_root:
                 continue
-            leftover = os.listdir(dirpath)
-            if all(
-                n.startswith(("_", "."))
-                and os.path.isfile(os.path.join(dirpath, n))
-                for n in leftover
-            ):
-                for n in leftover:
-                    os.remove(os.path.join(dirpath, n))
-                os.rmdir(dirpath)
+            try:
+                leftover = os.listdir(dirpath)
+                if all(
+                    n.startswith(("_", "."))
+                    and os.path.isfile(os.path.join(dirpath, n))
+                    for n in leftover
+                ):
+                    for n in leftover:
+                        os.remove(os.path.join(dirpath, n))
+                    os.rmdir(dirpath)
+            except FileNotFoundError:
+                continue  # sibling vacuum already swept this dir
         return removed
 
     def _try_commit(
@@ -372,20 +378,39 @@ class CommitLogTable:
         df.write.mode("overwrite").parquet(os.path.join(self.path, subdir))
         return self._commit(txn, add=self._data_files(subdir), remove=[])
 
-    def write_replace(self, df: DataFrame, txn: str) -> bool:
-        """Exactly-once REPLACE: swap the whole snapshot for ``df`` in one
-        commit (add the new files + remove every live file atomically) —
-        the commit-log analogue of a transactional overwrite. Readers
-        before the commit see the old snapshot, after it the new one,
-        never a mix; a replayed txn is a no-op. Used by the dead-letter
-        replay (streaming/ingest.py): the re-driven rows leave the
-        quarantine table in the same commit that re-homes them."""
+    def write_replace(
+        self, df: DataFrame, txn: str, remove: list[str] | None = None
+    ) -> bool:
+        """Exactly-once REPLACE: swap files out for ``df`` in one commit
+        (add the new files + remove the old ones atomically) — the
+        commit-log analogue of a transactional overwrite. Readers before
+        the commit see the old snapshot, after it the new one, never a
+        mix; a replayed txn is a no-op.
+
+        ``remove=None`` replaces EVERY live file. An explicit ``remove``
+        list replaces exactly those files, so rows APPENDED concurrently
+        (new files committed after the caller snapshotted) survive the
+        swap — the dead-letter replay (streaming/ingest.py) passes its
+        pinned snapshot here so a row quarantined mid-replay is never
+        silently dropped (ADVICE r9). Files in ``remove`` that are no
+        longer live raise: the caller's snapshot was already replaced by
+        someone else, and committing would double-remove."""
         if txn in self.committed_txns():
             return False
         live = self.snapshot_files()
+        if remove is None:
+            remove = live
+        else:
+            gone = sorted(set(remove) - set(live))
+            if gone:
+                raise ValueError(
+                    f"write_replace txn={txn}: {len(gone)} file(s) in the "
+                    f"remove set are no longer live (e.g. {gone[0]}) — "
+                    "snapshot superseded by a concurrent replace/compact"
+                )
         subdir = os.path.join(DATA_DIR, _safe(txn))
         df.write.mode("overwrite").parquet(os.path.join(self.path, subdir))
-        return self._commit(txn, add=self._data_files(subdir), remove=live)
+        return self._commit(txn, add=self._data_files(subdir), remove=remove)
 
     def compact(
         self,

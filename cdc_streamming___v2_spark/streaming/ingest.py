@@ -29,6 +29,7 @@ backpressure at high log rates.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -66,6 +67,59 @@ def _dead_letter_schema():
 
 
 DEAD_LETTER_SCHEMA = _dead_letter_schema()
+
+# dead-letter replay swap-in-flight marker (plain/transactional modes):
+# written before the two-rename swap, removed after the tomb is sealed —
+# _recover_replay_swap completes a crashed swap from it
+_REPLAY_SIDECAR = "_dead_letter_replay_inflight.json"
+
+
+def _parquet_relpaths(root: str) -> list[str]:
+    """Sorted relpaths of every .parquet under ``root`` (the file-level
+    quarantine snapshot the replay pins; [] for a missing dir)."""
+    out = []
+    if os.path.isdir(root):
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(dirpath, n), root)
+                    )
+    return sorted(out)
+
+
+def _move_fresh_parquet(tomb: str, staging: str, inventory: set) -> int:
+    """Move parquet files under ``tomb`` that are NOT in the pinned
+    ``inventory`` (rows a concurrent ingest quarantined after the replay
+    snapshot) into ``staging``, preserving relative layout (plain mode:
+    root part files; transactional mode: batch=N subdirs). Spark part
+    file names embed task UUIDs, so collisions cannot occur."""
+    moved = 0
+    for rel in _parquet_relpaths(tomb):
+        if rel in inventory:
+            continue
+        dst = os.path.join(staging, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(os.path.join(tomb, rel), dst)
+        moved += 1
+    return moved
+
+
+def _truncate_tomb(tomb: str) -> None:
+    """Seal a replay tomb down to an empty directory: only its NAME is
+    load-bearing (generation counting), so keeping the pre-swap parquet
+    copy forever is unbounded disk growth (ADVICE r9)."""
+    import shutil
+
+    for n in os.listdir(tomb):
+        p = os.path.join(tomb, n)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
 
 # ONE mapping drives both the _parse_lines dispatch and the CLI choices —
 # a hand-maintained second list is how 8 dialects went CLI-invisible
@@ -137,6 +191,13 @@ class CdcIngest:
     # in the dead-letter sink (append-only semantics, nothing re-routes).
     registry_path: str | None = None
     hot_reload: bool = False
+    # opt-in: admit registry evolutions that DROP a column (old history
+    # files keep the data physically; reads project it away). The drop is
+    # tombstoned in ``output_dir/_schema_tombstones.json`` so a later
+    # re-add under a type the buried files can't be read as is refused
+    # (SchemaRegistry.check_evolution). Off by default: an accidental
+    # drop must fail the stream loudly.
+    allow_column_drops: bool = False
     max_files_per_trigger: int | None = None
     partition_by_day: bool = True
     # "day" | "month": pick so a partition holds file-sized row counts.
@@ -461,6 +522,20 @@ class CdcIngest:
         the first-seen ``dead_letter_at``) — age-based triage stays
         truthful across replays.
 
+        Concurrency (ADVICE r9): the replay set is pinned at FILE level
+        when the quarantine is snapshotted — the swap removes exactly
+        those files, so rows quarantined by a concurrently running
+        ingest AFTER the snapshot survive it (commit-log mode: the
+        replace commit lists the pinned files and raises if they were
+        superseded; plain/transactional mode: files that appeared after
+        the snapshot are carried over into the swapped-in quarantine
+        before the tomb is sealed). The recommended operating mode is
+        still SINGLE-WRITER — drain or stop the ingest stream first —
+        because a writer that recreates ``_dead_letter`` in the
+        microseconds between the swap's two renames fails the replay
+        loudly (rename onto an existing dir); nothing is ever silently
+        lost either way.
+
         Scale: one narrow parse pass over the quarantine + the same
         per-table narrow routing as live ingest; the only join is the
         broadcast-sized semi-join that carries the original rows of the
@@ -468,10 +543,12 @@ class CdcIngest:
         remainder.
         """
         dl_dir = os.path.join(self.output_dir, "_dead_letter")
+        self._recover_replay_swap(dl_dir)
         if not os.path.exists(dl_dir):
-            # a crash between the swap's two renames leaves the remainder
-            # in the staging dir and NO _dead_letter — complete the swap
-            # instead of misreporting an empty quarantine
+            # a crash between the swap's two renames (from a pre-sidecar
+            # tree) leaves the remainder in the staging dir and NO
+            # _dead_letter — complete the swap instead of misreporting an
+            # empty quarantine
             stagings = [
                 d for d in os.listdir(self.output_dir)
                 if d.startswith("_dead_letter_staging_")
@@ -510,8 +587,24 @@ class CdcIngest:
                 )
         self._maybe_reload_registry()
 
-        # snapshot: the swap in step 3 rewrites the files this frame reads
-        dl = self.dead_letter().localCheckpoint(eager=True)
+        # snapshot pinned at FILE level: the swap in step 3 removes exactly
+        # these files, so a concurrent ingest's post-snapshot quarantine
+        # appends (new files) are never part of the replay set and never
+        # removed by the swap (ADVICE r9)
+        if self.commit_log:
+            from .commitlog import CommitLogTable
+
+            dl_snapshot_files = CommitLogTable(
+                self.spark, dl_dir
+            ).snapshot_files()
+        else:
+            dl_snapshot_files = _parquet_relpaths(dl_dir)
+        if dl_snapshot_files:
+            dl = self.spark.read.schema(DEAD_LETTER_SCHEMA).parquet(
+                *[os.path.join(dl_dir, f) for f in dl_snapshot_files]
+            ).localCheckpoint(eager=True)
+        else:
+            dl = self.spark.createDataFrame([], DEAD_LETTER_SCHEMA)
         fmt = envelope_format or self.envelope_format
         # materialize the re-parse ONCE: env feeds the good-row routing,
         # the still-dead remainder, AND per-table counts — without this
@@ -591,12 +684,16 @@ class CdcIngest:
                     sink
                 )
 
-        # step 3: swap the quarantine down to the still-dead remainder
+        # step 3: swap the quarantine down to the still-dead remainder —
+        # removing exactly the pinned snapshot files, so concurrent
+        # appends survive
         if self.commit_log:
             from .commitlog import CommitLogTable
 
             CommitLogTable(self.spark, dl_dir).write_replace(
-                remainder.repartition(1), txn=f"replay-dl-{replay_id}"
+                remainder.repartition(1),
+                txn=f"replay-dl-{replay_id}",
+                remove=dl_snapshot_files,
             )
         else:
             if self.transactional:
@@ -619,8 +716,28 @@ class CdcIngest:
             tomb = os.path.join(
                 self.output_dir, f"_dead_letter_replayed_{replay_id}"
             )
+            # sidecar written BEFORE the swap: a crash at any point below
+            # is completed by _recover_replay_swap on the next call
+            sidecar = os.path.join(self.output_dir, _REPLAY_SIDECAR)
+            with open(sidecar, "w") as f:
+                json.dump(
+                    {
+                        "replay_id": replay_id,
+                        "inventory": list(dl_snapshot_files),
+                    },
+                    f,
+                )
             os.rename(dl_dir, tomb)
+            # files a concurrent ingest quarantined AFTER the snapshot are
+            # not in the inventory — carry them into the new quarantine
+            # instead of entombing them (ADVICE r9)
+            _move_fresh_parquet(tomb, staging, set(dl_snapshot_files))
             os.rename(staging, dl_dir)
+            # the tomb is generation bookkeeping only — its NAME counts;
+            # keeping the full pre-swap parquet copy forever is unbounded
+            # disk growth (ADVICE r9), so seal it empty
+            _truncate_tomb(tomb)
+            os.remove(sidecar)
 
         return {
             "replayed": n_good,
@@ -628,6 +745,41 @@ class CdcIngest:
             "replay_id": replay_id,
             "tables": tables,
         }
+
+    def _recover_replay_swap(self, dl_dir: str) -> None:
+        """Complete a replay swap that crashed mid-flight (sidecar
+        present). The sidecar is written before the two-rename swap and
+        removed after the tomb is sealed, so its presence pins exactly
+        which files were the replay's snapshot:
+
+        - quarantine missing + staging present: finish the swap (carry
+          any post-snapshot files out of the tomb, rename staging in);
+        - quarantine present: the swap finished (or never started) —
+          housekeeping only (seal the tomb, drop the sidecar).
+        """
+        sidecar = os.path.join(self.output_dir, _REPLAY_SIDECAR)
+        if not os.path.exists(sidecar):
+            return
+        with open(sidecar) as f:
+            doc = json.load(f)
+        rid = doc["replay_id"]
+        inventory = set(doc["inventory"])
+        tomb = os.path.join(self.output_dir, f"_dead_letter_replayed_{rid}")
+        staging = os.path.join(
+            self.output_dir, f"_dead_letter_staging_{rid}"
+        )
+        if not os.path.exists(dl_dir):
+            if not os.path.isdir(staging):
+                raise ValueError(
+                    f"replay sidecar {sidecar} present, quarantine and "
+                    f"staging both missing — manual recovery needed"
+                )
+            if os.path.isdir(tomb):
+                _move_fresh_parquet(tomb, staging, inventory)
+            os.rename(staging, dl_dir)
+        if os.path.isdir(tomb):
+            _truncate_tomb(tomb)
+        os.remove(sidecar)
 
     def _replay_generation(self, dl_dir: str) -> int:
         """How many quarantine swaps have COMPLETED — the tomb count in
@@ -708,9 +860,40 @@ class CdcIngest:
         if mtime == self._registry_mtime:
             return
         new = SchemaRegistry.from_file(self.registry_path)
-        self.registry.check_evolution(new)  # raises on unsafe change
+        dropped = self.registry.check_evolution(  # raises on unsafe change
+            new,
+            allow_column_drops=self.allow_column_drops,
+            tombstones=self._load_tombstones(),
+        )
+        if dropped:
+            self._persist_tombstones(dropped)
         self.registry = new
         self._registry_mtime = mtime
+
+    # -- drop tombstones -------------------------------------------------
+
+    @property
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.output_dir, "_schema_tombstones.json")
+
+    def _load_tombstones(self) -> dict[str, str]:
+        try:
+            with open(self._tombstone_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _persist_tombstones(self, dropped: dict[str, str]) -> None:
+        """Merge newly dropped columns into the sink-side tombstone file
+        (``{"object.column": original_simple_type}``): the record of what
+        the buried parquet files still physically hold, consulted when a
+        later evolution re-adds one of these names."""
+        merged = {**self._load_tombstones(), **dropped}
+        os.makedirs(self.output_dir, exist_ok=True)
+        tmp = self._tombstone_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=0, sort_keys=True)
+        os.replace(tmp, self._tombstone_path)
 
     def stop(self) -> None:
         for q in self._queries:
@@ -827,11 +1010,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="single-pass: manifest commit-log sinks")
     p.add_argument("--hot-reload", action="store_true",
                    help="single-pass: pick up registry file edits (new "
-                   "tables / added columns) mid-stream")
+                   "tables / added columns / safe type widenings) "
+                   "mid-stream")
+    p.add_argument("--allow-column-drops", action="store_true",
+                   help="admit hot-reload evolutions that DROP a column "
+                   "(tombstoned in _schema_tombstones.json; re-adds under "
+                   "an incompatible type are refused). Off by default: "
+                   "an accidental drop fails the stream loudly")
     p.add_argument("--replay-dead-letters", action="store_true",
                    help="instead of ingesting: re-drive the quarantined "
                    "dead-letter rows through the (fixed) dispatcher into "
-                   "the canonical tables, idempotently, then exit")
+                   "the canonical tables, idempotently, then exit. "
+                   "Run single-writer (drain/stop the ingest stream "
+                   "first); rows quarantined by a concurrent writer "
+                   "survive the replay's swap, but the swap itself can "
+                   "fail loudly if it races the writer")
     p.add_argument("--maintain", action="store_true",
                    help="instead of ingesting: OPTIMIZE+VACUUM every "
                    "commit-log sink over --maintain-max-files live files, "
@@ -875,6 +1068,7 @@ def main(argv: list[str] | None = None) -> int:
         partition_granularity=args.partition_granularity,
         registry_path=args.registry,
         hot_reload=args.hot_reload,
+        allow_column_drops=args.allow_column_drops,
     )
     if args.replay_dead_letters:
         import json as _json

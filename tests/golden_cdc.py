@@ -10,11 +10,15 @@ import os
 from cdc_streamming___v2_spark.sources.conformance import (  # noqa: F401
     CHANGES,
     CONTROLS,
+    DROP_CHANGES,
     EVOLUTION_CHANGES,
     RENDERERS,
+    WIDENING_CHANGES,
     controls_for,
     render,
+    render_drop,
     render_evolution,
+    render_widening,
 )
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
@@ -29,6 +33,18 @@ def evolution_lines() -> list[str]:
     ]
 
 
+def widening_lines() -> list[str]:
+    """Type-widening phase: every dialect's rendering of
+    WIDENING_CHANGES (a value outside the pre-widening 32-bit domain)."""
+    return [ln for d in sorted(RENDERERS) for ln in render_widening(d)]
+
+
+def drop_lines() -> list[str]:
+    """Column-drop phase: every dialect's rendering of DROP_CHANGES
+    (producers stop emitting the dropped column)."""
+    return [ln for d in sorted(RENDERERS) for ln in render_drop(d)]
+
+
 def write_golden() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for dialect in RENDERERS:
@@ -36,6 +52,10 @@ def write_golden() -> None:
             f.write("\n".join(render(dialect)) + "\n")
     with open(os.path.join(GOLDEN_DIR, "evolution.jsonl"), "w") as f:
         f.write("\n".join(evolution_lines()) + "\n")
+    with open(os.path.join(GOLDEN_DIR, "evolution_widening.jsonl"), "w") as f:
+        f.write("\n".join(widening_lines()) + "\n")
+    with open(os.path.join(GOLDEN_DIR, "evolution_drop.jsonl"), "w") as f:
+        f.write("\n".join(drop_lines()) + "\n")
 
 
 if __name__ == "__main__":

@@ -288,3 +288,169 @@ def test_schema_evolution_mid_stream_all_dialects(spark, tmp_path, mode):
     }
     # users untouched by the produtos evolution
     assert ing.history("olist_users").count() == n
+
+
+@pytest.mark.parametrize(
+    "mode", [{}, {"commit_log": True}], ids=["plain", "commit_log"]
+)
+def test_schema_evolution_type_widening_mid_stream(spark, tmp_path, mode):
+    """Golden type-widening replay (VERDICT r9 #6): the steady-state
+    corpus streams under a registry declaring product_photos_qty INT32 /
+    product_weight_g FLOAT32; the registry then widens both (INT64 /
+    FLOAT64) WHILE THE STREAM RUNS and producers start emitting a value
+    outside the 32-bit domain (golden/evolution_widening.jsonl).
+    Pre-widening files keep their narrow physical types and must read
+    back exactly under the widened schema (Spark 4 parquet up-convert,
+    SAFE_WIDENINGS); the post-widening row must carry the 64-bit value —
+    under both sink providers."""
+    from cdc_streamming___v2_spark.sources.conformance import (
+        CONFORMANCE_REGISTRY,
+        narrow_registry,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    reg_path = str(tmp_path / "data-stream.json")
+    with open(reg_path, "w") as f:
+        json.dump(narrow_registry(), f)
+    phase1 = [ln for d in DIALECTS for ln in golden_cdc.render(d)]
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write("\n".join(phase1) + "\n")
+
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_file(reg_path),
+        input_dir=in_dir,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        envelope_format="auto",
+        registry_path=reg_path,
+        hot_reload=True,
+        **mode,
+    )
+    n = len(DIALECTS)
+    q = ing.start_single_pass()
+    try:
+        q.processAllAvailable()
+        hist1 = ing.history("olist_produtos")
+        assert hist1.count() == 4 * n
+        assert dict(hist1.dtypes)["product_photos_qty"] == "int"
+        assert dict(hist1.dtypes)["product_weight_g"] == "float"
+
+        # the upstream ALTER widens both columns; producers emit a
+        # value > 2^31 — mid-stream, no restart
+        with open(reg_path, "w") as f:
+            json.dump(CONFORMANCE_REGISTRY, f)
+        with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+            f.write("\n".join(golden_cdc.widening_lines()) + "\n")
+        q.processAllAvailable()
+    finally:
+        ing.stop()
+
+    hist = ing.history("olist_produtos")
+    assert dict(hist.dtypes)["product_photos_qty"] == "bigint"
+    assert dict(hist.dtypes)["product_weight_g"] == "double"
+    assert hist.count() == 5 * n
+    # pre-widening rows read exactly under the widened schema
+    old = {
+        (r.product_id, r.product_photos_qty, r.product_weight_g)
+        for r in hist.filter("product_id <> 'p4'").collect()
+    }
+    assert old == {
+        ("p1", 2, 100.0), ("p1", 3, 120.0), ("p2", 1, 80.0),
+        ("p2", None, None),
+    }
+    # the 64-bit value landed in every dialect's rendering
+    wide = hist.filter("product_id = 'p4'")
+    assert wide.count() == n
+    assert {r.product_photos_qty for r in wide.collect()} == {5000000000}
+
+
+@pytest.mark.parametrize(
+    "mode", [{}, {"commit_log": True}], ids=["plain", "commit_log"]
+)
+def test_schema_evolution_column_drop_and_tombstone(spark, tmp_path, mode):
+    """Golden column-drop replay (VERDICT r9 #6): DROP COLUMN
+    product_weight_g lands mid-stream under allow_column_drops — old
+    files keep the data physically, reads project it away, the drop is
+    tombstoned; a later re-add as STRING (unreadable over the buried
+    DOUBLE files) must fail the stream loudly, while a re-add under the
+    original type is admitted."""
+    from cdc_streamming___v2_spark.sources.conformance import (
+        CONFORMANCE_REGISTRY,
+        dropped_registry,
+        readded_registry,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    reg_path = str(tmp_path / "data-stream.json")
+    with open(reg_path, "w") as f:
+        json.dump(CONFORMANCE_REGISTRY, f)
+    phase1 = [ln for d in DIALECTS for ln in golden_cdc.render(d)]
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write("\n".join(phase1) + "\n")
+
+    out = str(tmp_path / "out")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_file(reg_path),
+        input_dir=in_dir,
+        output_dir=out,
+        checkpoint_dir=str(tmp_path / "ck"),
+        envelope_format="auto",
+        registry_path=reg_path,
+        hot_reload=True,
+        allow_column_drops=True,
+        **mode,
+    )
+    n = len(DIALECTS)
+    q = ing.start_single_pass()
+    try:
+        q.processAllAvailable()
+        assert ing.history("olist_produtos").count() == 4 * n
+
+        with open(reg_path, "w") as f:
+            json.dump(dropped_registry(), f)
+        with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+            f.write("\n".join(golden_cdc.drop_lines()) + "\n")
+        q.processAllAvailable()
+    finally:
+        ing.stop()
+
+    hist = ing.history("olist_produtos")
+    assert "product_weight_g" not in hist.columns
+    assert hist.count() == 5 * n
+    assert hist.filter("product_id = 'p5'").count() == n
+    with open(os.path.join(out, "_schema_tombstones.json")) as f:
+        assert json.load(f) == {
+            "olist_produtos.product_weight_g": "double"
+        }
+
+    # re-add under an incompatible type: refused via the tombstone
+    with open(reg_path, "w") as f:
+        json.dump(readded_registry("STRING"), f)
+    with open(os.path.join(in_dir, "b3.jsonl"), "w") as f:
+        f.write("\n".join(golden_cdc.drop_lines()) + "\n")
+    with pytest.raises(Exception, match="tombstoned"):
+        try:
+            q2 = ing.start_single_pass()
+            q2.processAllAvailable()
+        finally:
+            ing.stop()
+
+    # re-add under the buried physical type: admitted
+    with open(reg_path, "w") as f:
+        json.dump(readded_registry("FLOAT"), f)
+    q3 = ing.start_single_pass()
+    try:
+        q3.processAllAvailable()
+    finally:
+        ing.stop()
+    hist3 = ing.history("olist_produtos")
+    assert dict(hist3.dtypes)["product_weight_g"] == "double"
+    # pre-drop rows surface their buried values again after the re-add
+    assert (
+        hist3.filter("product_id = 'p1' AND product_weight_g = 100.0")
+        .count() == n
+    )

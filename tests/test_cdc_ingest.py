@@ -1848,3 +1848,75 @@ def test_cli_envelope_choices_all_dispatch(spark):
         ), fmt
     with pytest.raises(ValueError, match="unknown envelope_format"):
         CdcIngest._parse_lines(src, "nope")
+
+
+def test_registry_evolution_safe_widenings_and_boundary():
+    """SAFE_WIDENINGS admits exactly what Spark 4's parquet reader
+    up-converts (measured): int32->int64, float32->float64,
+    int32->float64. int64->float64 is NOT readable over old files and
+    stays rejected."""
+    import copy
+
+    base = {
+        "t": {"table_name": "t_cdc", "schema": {"fields": [
+            {"name": "a", "type": "INT32"},
+            {"name": "b", "type": "FLOAT32"},
+            {"name": "c", "type": "INT64"},
+        ]}},
+    }
+    old = SchemaRegistry.from_dict(base)
+    wide = copy.deepcopy(base)
+    wide["t"]["schema"]["fields"][0]["type"] = "INT64"
+    wide["t"]["schema"]["fields"][1]["type"] = "FLOAT64"
+    assert old.check_evolution(SchemaRegistry.from_dict(wide)) == {}
+
+    int32_to_double = copy.deepcopy(base)
+    int32_to_double["t"]["schema"]["fields"][0]["type"] = "FLOAT64"
+    assert old.check_evolution(
+        SchemaRegistry.from_dict(int32_to_double)) == {}
+
+    bad = copy.deepcopy(base)
+    bad["t"]["schema"]["fields"][2]["type"] = "FLOAT64"  # int64->double
+    with pytest.raises(ValueError, match="not a safe parquet widening"):
+        old.check_evolution(SchemaRegistry.from_dict(bad))
+
+
+def test_registry_evolution_drop_opt_in_and_tombstone_readd():
+    """Drops are rejected by default, admitted-and-tombstoned under
+    allow_column_drops; a tombstoned column re-added under a type the
+    buried files can't be read as is refused, while the original type
+    (or a safe widening of it) is admitted."""
+    import copy
+
+    base = {
+        "t": {"table_name": "t_cdc", "schema": {"fields": [
+            {"name": "a", "type": "INT32"},
+            {"name": "b", "type": "STRING"},
+        ]}},
+    }
+    old = SchemaRegistry.from_dict(base)
+    dropped = copy.deepcopy(base)
+    dropped["t"]["schema"]["fields"] = [
+        f for f in dropped["t"]["schema"]["fields"] if f["name"] != "a"
+    ]
+    new = SchemaRegistry.from_dict(dropped)
+    with pytest.raises(ValueError, match="column dropped"):
+        old.check_evolution(new)
+    assert old.check_evolution(new, allow_column_drops=True) == {
+        "t.a": "int"
+    }
+
+    after_drop = SchemaRegistry.from_dict(dropped)
+    readd_bad = copy.deepcopy(dropped)
+    readd_bad["t"]["schema"]["fields"].append(
+        {"name": "a", "type": "STRING"})
+    with pytest.raises(ValueError, match="tombstoned"):
+        after_drop.check_evolution(
+            SchemaRegistry.from_dict(readd_bad), tombstones={"t.a": "int"}
+        )
+    readd_widened = copy.deepcopy(dropped)
+    readd_widened["t"]["schema"]["fields"].append(
+        {"name": "a", "type": "INT64"})
+    assert after_drop.check_evolution(
+        SchemaRegistry.from_dict(readd_widened), tombstones={"t.a": "int"}
+    ) == {}

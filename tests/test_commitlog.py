@@ -505,3 +505,60 @@ def test_read_changes_over_write_replace_commit(spark, tmp_path):
     # replace replay is a no-op, snapshot unchanged
     assert not t.write_replace(_frame(spark, 0, 1), txn="swap")
     assert sorted(r.k for r in t.read().collect()) == [3, 4]
+
+
+def test_write_replace_with_pinned_remove_preserves_concurrent_append(
+    spark, tmp_path
+):
+    """ADVICE r9 (replay concurrency): an explicit remove list replaces
+    exactly the caller's snapshot — a row appended between the snapshot
+    and the replace commit survives."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.write_append(spark.createDataFrame([Row(k=1)]), txn="a")
+    pinned = t.snapshot_files()
+    # concurrent writer lands after the snapshot
+    t.write_append(spark.createDataFrame([Row(k=2)]), txn="b")
+    t.write_replace(
+        spark.createDataFrame([Row(k=9)]), txn="swap", remove=pinned
+    )
+    assert sorted(r.k for r in t.read().collect()) == [2, 9]
+
+
+def test_write_replace_superseded_snapshot_raises(spark, tmp_path):
+    """Remove entries no longer live mean the snapshot was already
+    replaced — committing would double-remove, so it must raise."""
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.write_append(spark.createDataFrame([Row(k=1)]), txn="a")
+    pinned = t.snapshot_files()
+    t.compact(txn="c")  # rewrites the snapshot: pinned files now dead
+    with pytest.raises(ValueError, match="no longer live"):
+        t.write_replace(
+            spark.createDataFrame([Row(k=9)]), txn="swap", remove=pinned
+        )
+
+
+def test_vacuum_survives_concurrently_deleted_file(spark, tmp_path):
+    """ADVICE r9: two maintain runs racing — a candidate deleted between
+    os.walk and getmtime/remove is skipped, not a FileNotFoundError
+    abort."""
+    import os as _os
+
+    t = CommitLogTable(spark, str(tmp_path / "t"))
+    t.write_append(spark.createDataFrame([Row(k=1)]), txn="a")
+    t.compact(txn="c")  # old file now unreferenced
+    real_getmtime = _os.path.getmtime
+    live = set(t.snapshot_files())
+
+    def racy_getmtime(path):
+        rel = _os.path.relpath(path, str(tmp_path / "t"))
+        if rel not in live and _os.path.exists(path):
+            _os.remove(path)  # the sibling vacuum wins the race
+        return real_getmtime(path)
+
+    _os.path.getmtime = racy_getmtime
+    try:
+        removed = t.vacuum(keep_last=1, min_age_seconds=0)
+    finally:
+        _os.path.getmtime = real_getmtime
+    assert removed == 0  # sibling swept it; this run skipped cleanly
+    assert [r.k for r in t.read().collect()] == [1]

@@ -252,3 +252,119 @@ def test_replay_completes_a_crashed_swap(spark, tmp_path):
     assert stats["replayed"] == len(lines)
     assert _canon_produtos(ing) == EXPECT_PRODUTOS
     assert ing.dead_letter().count() == 0
+
+
+@pytest.mark.parametrize(
+    "mode", MODES, ids=["plain", "transactional", "commit_log"]
+)
+def test_rows_quarantined_mid_replay_survive_the_swap(
+    spark, tmp_path, mode
+):
+    """ADVICE r9: the replay set is pinned at FILE level when the
+    quarantine is snapshotted — rows a concurrently running ingest
+    quarantines AFTER the snapshot must survive the swap (pre-fix they
+    were silently dropped: plain mode entombed the whole dir, commit-log
+    write_replace removed every live file)."""
+    from cdc_streamming___v2_spark.streaming import ingest as ing_mod
+
+    lines = golden_cdc.render("goldengate")
+    fresh_lines = golden_cdc.controls_for("goldengate")[:3]
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(
+        spark, tmp_path, in_dir, REGISTRY_DOC, "datastream", **mode
+    )
+    ing.run_available_single_pass()
+    assert ing.dead_letter().count() == len(lines)
+
+    # inject the concurrent writer at the one point that is AFTER the
+    # snapshot and BEFORE the swap: _replay_generation
+    real_gen = CdcIngest._replay_generation
+    fired = []
+
+    def gen_and_append(self, dl_dir):
+        if not fired:
+            fired.append(True)
+            with open(os.path.join(in_dir, "late.jsonl"), "w") as f:
+                f.write("\n".join(fresh_lines) + "\n")
+            self.run_available_single_pass()
+        return real_gen(self, dl_dir)
+
+    CdcIngest._replay_generation = gen_and_append
+    try:
+        stats = ing.replay_dead_letters(envelope_format="goldengate")
+    finally:
+        CdcIngest._replay_generation = real_gen
+
+    # the pinned snapshot replayed; the late rows are still quarantined
+    assert stats["replayed"] == len(lines)
+    assert _canon_produtos(ing) == EXPECT_PRODUTOS
+    left = sorted(r.raw for r in ing.dead_letter().collect())
+    assert left == sorted(fresh_lines), "late-quarantined rows were lost"
+
+
+def test_replay_tomb_is_sealed_empty(spark, tmp_path):
+    """ADVICE r9: tombs are generation bookkeeping only — after a
+    completed swap they hold no data files (unbounded disk growth
+    otherwise), yet still advance the generation count."""
+    lines = golden_cdc.render("goldengate")
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(
+        spark, tmp_path, in_dir, REGISTRY_DOC, "datastream"
+    )
+    ing.run_available_single_pass()
+    first = ing.replay_dead_letters(envelope_format="goldengate")
+    out = str(tmp_path / "out")
+    tombs = [
+        d for d in os.listdir(out)
+        if d.startswith("_dead_letter_replayed_")
+    ]
+    assert len(tombs) == 1
+    assert os.listdir(os.path.join(out, tombs[0])) == []
+
+    # generation still advances off the sealed tomb: identical content
+    # re-ingested gets a FRESH id (the test_identical_content guarantee)
+    with open(os.path.join(in_dir, "again.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    ing.run_available_single_pass()
+    second = ing.replay_dead_letters(envelope_format="goldengate")
+    assert second["replay_id"] != first["replay_id"]
+    assert ing.history("olist_produtos").count() == 8
+
+
+def test_sidecar_recovery_completes_crashed_swap(spark, tmp_path):
+    """A crash between the sidecar write and the tomb seal is completed
+    by the next replay call from the sidecar alone — including carrying
+    a concurrent writer's post-snapshot file out of the tomb."""
+    import json as _json
+
+    lines = golden_cdc.render("goldengate")
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(
+        spark, tmp_path, in_dir, REGISTRY_DOC, "datastream"
+    )
+    ing.run_available_single_pass()
+    out = str(tmp_path / "out")
+    dl = os.path.join(out, "_dead_letter")
+    inventory = sorted(
+        os.path.relpath(os.path.join(dp, n), dl)
+        for dp, _, ns in os.walk(dl) for n in ns if n.endswith(".parquet")
+    )
+    # fabricate the torn state: snapshot renamed to tomb (with one EXTRA
+    # post-snapshot file inside), remainder in staging, sidecar present
+    staging = os.path.join(out, "_dead_letter_staging_77")
+    spark.createDataFrame(
+        [], "object string, raw string, dead_letter_at timestamp"
+    ).repartition(1).write.parquet(staging)
+    tomb = os.path.join(out, "_dead_letter_replayed_77")
+    os.rename(dl, tomb)
+    with open(os.path.join(out, "_dead_letter_replay_inflight.json"), "w") as f:
+        _json.dump({"replay_id": 77, "inventory": inventory}, f)
+
+    stats = ing.replay_dead_letters(envelope_format="goldengate")
+    # recovery: staging (empty remainder) became the quarantine, the
+    # inventoried files were entombed and sealed, so nothing replays
+    assert stats["replayed"] == 0
+    assert os.listdir(tomb) == []
+    assert not os.path.exists(
+        os.path.join(out, "_dead_letter_replay_inflight.json")
+    )
