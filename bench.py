@@ -432,6 +432,87 @@ HEADLINE = [
     "record_highs_test",
 ]
 
+# r10 (VERDICT r9 #5): the registry queries previously OUTSIDE the
+# headline set — fundamentals, even-numbered TPC-H variants, and the CDC
+# lifecycle queries — join the bench so no registry query is invisible to
+# the per-round regression gate. HEADLINE_R9 preserves the 396-query set
+# every pre-r10 total was measured over; bench_results carries the total
+# over that subset too ("value_r9set") so round-over-round totals stay
+# comparable across the boundary.
+HEADLINE_R9 = list(HEADLINE)
+HEADLINE += [
+    "agg_distinct",
+    "airbyte_record_roundtrip",
+    "ann_ivf_topk",
+    "array_agg_sorted",
+    "array_funcs",
+    "case_when_agg",
+    "cdc_conformance_matrix",
+    "central_tendency",
+    "cluster_balanced_sample",
+    "commitlog_change_feed",
+    "cube_agg",
+    "date_funcs",
+    "dead_letter_replay",
+    "doc_fingerprint",
+    "domain_cap",
+    "except_all_bags",
+    "grouping_sets_agg",
+    "gumbel_block_maxima",
+    "hill_tail_index",
+    "inverted_index",
+    "join_anti",
+    "join_outer_coalesce",
+    "join_semi",
+    "lang_id",
+    "locf_fill",
+    "lognormal_fit_orders",
+    "map_funcs",
+    "math_funcs",
+    "minhash_signatures",
+    "null_handling",
+    "ordinal_concordance",
+    "pivot_agg",
+    "price_histogram",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q20_supply_threshold",
+    "q22_prospect_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "regex_funcs",
+    "rollup_agg",
+    "schema_evolution_add_column",
+    "schema_evolution_column_drop",
+    "schema_evolution_widening",
+    "set_ops_customers",
+    "set_ops_except",
+    "simhash_hamming_pairs",
+    "sql_api_cte",
+    "stats_agg",
+    "stratified_sample",
+    "string_funcs",
+    "systematic_sample",
+    "time_range_moving_avg",
+    "time_rollup",
+    "transfer_entropy_daily",
+    "union_all_agg",
+    "unpivot_metrics",
+    "window_frame_funcs",
+    "window_ntile_dist",
+    "window_topk_per_group",
+    "word_freq_topn",
+]
+
+
 
 # --- host-noise canary protocol (VERDICT r8 #5) ---------------------------
 # This container shares a host with invisible neighbors; degradation
@@ -796,6 +877,12 @@ def main() -> None:
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        # total over the pre-r10 396-query headline set, for
+        # round-over-round comparability across the r10 extension
+        "value_r9set": round(
+            sum(v for n, v in per_query.items() if n in set(HEADLINE_R9)),
+            3,
+        ),
         "value_median": total_median,
         "unit": "sec",
         "queries": per_query,

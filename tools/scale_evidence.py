@@ -611,8 +611,13 @@ COVERAGE_QUERIES = [
 ]
 
 
-def build(spark) -> None:
+def build(spark, scale_dir: str = SCALE_DIR, replicas: int = REPLICAS) -> None:
+    """Build the replicated corpus at ``scale_dir`` with ``replicas``
+    copies — the same replica-local-key recipe at any factor (the 10x
+    evidence corpus and the r10 30x probe corpus share it)."""
     from pyspark.sql import functions as F
+
+    SCALE_DIR, REPLICAS = scale_dir, replicas  # noqa: N806 (local shadow)
 
     os.makedirs(os.path.dirname(SCALE_DIR), exist_ok=True)
     if os.path.exists(SCALE_DIR):
@@ -697,6 +702,60 @@ def main() -> None:
     from cdc_streamming___v2_spark.session import get_spark
 
     spark = get_spark("scale_evidence")
+
+    # --replicas=N --probe=q1,q2: one-off deeper-scale probe (VERDICT r9
+    # #7) — build an Nx corpus with the same replica-local-key recipe,
+    # measure just the listed queries at sf0.1 vs Nx, and record a
+    # probe_{N}x section in bench_sf1.json (the 10x record is untouched).
+    probe_replicas = None
+    probe_queries = None
+    for a in sys.argv[1:]:
+        if a.startswith("--replicas="):
+            probe_replicas = int(a.split("=", 1)[1])
+        elif a.startswith("--probe="):
+            probe_queries = a.split("=", 1)[1].split(",")
+    if probe_replicas and probe_queries:
+        import pandas as _pd  # noqa: F401
+
+        probe_dir = os.path.join(ROOT, ".scale", f"sf1x{probe_replicas}")
+        if "--rebuild" in sys.argv or not os.path.exists(probe_dir):
+            build(spark, probe_dir, probe_replicas)
+            print("probe corpus built at", probe_dir, flush=True)
+        qs = entrymod.queries()
+        spark.range(1024).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
+        qs["q1_pricing_summary"](spark, SRC).count()
+        probe_out: dict[str, dict] = {}
+        for name in probe_queries:
+            rec: dict = {}
+            for label, sf_dir in (
+                ("sf0.1", SRC), (f"sf1x{probe_replicas}", probe_dir)
+            ):
+                times = []
+                for _ in range(2):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    times.append(round(time.time() - t0, 3))
+                rec[label] = min(times)
+                rec[f"{label}_repeats"] = times
+            rec["ratio"] = round(
+                rec[f"sf1x{probe_replicas}"] / rec["sf0.1"], 2
+            )
+            probe_out[name] = rec
+            print(json.dumps({name: rec}), flush=True)
+        path = os.path.join(ROOT, "bench_sf1.json")
+        with open(path) as f:
+            result = json.load(f)
+        result.setdefault(f"probe_{probe_replicas}x", {})[
+            "queries"
+        ] = probe_out
+        result[f"probe_{probe_replicas}x"]["replicas"] = probe_replicas
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1)
+        print("WROTE bench_sf1.json (probe section)", flush=True)
+        return
+
     if "--rebuild" in sys.argv or not os.path.exists(SCALE_DIR):
         build(spark)
         print("scaled corpus built at", SCALE_DIR, flush=True)
