@@ -451,6 +451,7 @@ HEADLINE += [
     "central_tendency",
     "cluster_balanced_sample",
     "commitlog_change_feed",
+    "commitlog_compact_vacuum",
     "cube_agg",
     "date_funcs",
     "dead_letter_replay",

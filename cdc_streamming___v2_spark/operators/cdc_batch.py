@@ -2218,3 +2218,100 @@ ORACLES["commitlog_change_feed"] = """
     FROM b
     ORDER BY stage, change_type
 """
+
+
+def commitlog_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE+VACUUM lifecycle over the commit-log sink (the r9
+    ``--maintain`` path's semantic core, previously only test-proven):
+    orders lands in five single-file txn appends (o_orderkey % 5), then
+    one compaction rewrites the snapshot, then VACUUM sweeps the
+    unreferenced originals. The oracle (computed straight from orders)
+    pins:
+
+    - rows and DECIMAL-exact revenue IDENTICAL before/after compaction
+      and after vacuum (a rewrite must never change the table);
+    - file counts 5 -> 1 (the small-file problem solved);
+    - time travel to the pre-compaction version still works BEFORE
+      vacuum (row count at v4 == full table);
+    - vacuum removes exactly the five entombed originals, and a
+      replayed compaction txn is a no-op (idempotence).
+
+    Scale: compaction reads the live snapshot once and writes
+    ``target_partitions`` files; vacuum walks only the table's data dir.
+    At 100 TB this runs per-table on a schedule exactly like Delta's
+    OPTIMIZE+VACUUM; the change-feed interplay (a compaction nets to an
+    EMPTY feed) is pinned by commitlog_change_feed.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.commitlog import CommitLogTable
+
+    work = tempfile.mkdtemp(prefix="clcv_")
+    try:
+        t = CommitLogTable(spark, os.path.join(work, "t"))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        for k in range(5):
+            t.write_append(
+                orders.filter(F.col("o_orderkey") % 5 == k).repartition(1),
+                txn=f"b{k}",
+            )
+
+        def _agg(df):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+                ).cast("double").alias("s"),
+            ).collect()[0]
+            return r["n"], r["s"]
+
+        n_pre, s_pre = _agg(t.read())
+        files_pre = len(t.snapshot_files())
+        t.compact(txn="maint-4")
+        n_post, s_post = _agg(t.read())
+        files_post = len(t.snapshot_files())
+        time_travel_n = t.read(version=4).count()
+        replay_noop = int(t.compact(txn="maint-4") is False)
+        swept = t.vacuum(keep_last=1, min_age_seconds=0)
+        n_final, s_final = _agg(t.read())
+        rows = [
+            ("pre_compact", files_pre, n_pre, s_pre),
+            ("post_compact", files_post, n_post, s_post),
+            ("time_travel_v4_rows", None, time_travel_n, None),
+            ("compact_txn_replay_noop", None, replay_noop, None),
+            ("post_vacuum", files_post, n_final, s_final),
+            ("vacuum_swept_files", None, swept, None),
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "stage string, n_files long, n_rows long, sum_price double"
+    ).orderBy("stage")
+
+
+QUERIES["commitlog_compact_vacuum"] = commitlog_compact_vacuum
+ORACLES["commitlog_compact_vacuum"] = """
+    WITH a AS (
+        SELECT count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS s
+        FROM orders
+    )
+    SELECT 'compact_txn_replay_noop' AS stage, CAST(NULL AS BIGINT) AS n_files,
+           CAST(1 AS BIGINT) AS n_rows, CAST(NULL AS DOUBLE) AS sum_price
+    UNION ALL
+    SELECT 'post_compact', 1, n, s FROM a
+    UNION ALL
+    SELECT 'post_vacuum', 1, n, s FROM a
+    UNION ALL
+    SELECT 'pre_compact', 5, n, s FROM a
+    UNION ALL
+    SELECT 'time_travel_v4_rows', NULL, n, NULL FROM a
+    UNION ALL
+    SELECT 'vacuum_swept_files', NULL, 5, NULL
+    ORDER BY stage
+"""
