@@ -386,6 +386,14 @@ COVERAGE_QUERIES = [
     # expectation (ratio ~1.0); replay throughput is live ingest's own
     # narrow parse/route plan, benched by cdc_ingest
     "dead_letter_replay",
+    # round-10 registry additions: the three evolution lifecycles replay
+    # fixed golden corpora (ratio ~1.0 by construction); the two
+    # commit-log queries derive from orders and scale with the facts
+    "schema_evolution_add_column",
+    "schema_evolution_widening",
+    "schema_evolution_column_drop",
+    "commitlog_change_feed",
+    "commitlog_compact_vacuum",
     "bpe_merge_rounds",
     "debezium_envelope_roundtrip",
     "entity_resolution",
