@@ -452,6 +452,7 @@ HEADLINE += [
     "cluster_balanced_sample",
     "commitlog_change_feed",
     "commitlog_compact_vacuum",
+    "streaming_watermark_execution",
     "cube_agg",
     "date_funcs",
     "dead_letter_replay",

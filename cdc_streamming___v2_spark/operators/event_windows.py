@@ -338,3 +338,140 @@ ORACLES["late_data_profile"] = """
     ORDER BY t.event_type
 """
 QUERIES["late_data_profile"] = late_data_profile
+
+
+def streaming_watermark_execution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL streaming execution of the watermarked tumbling window — not
+    the batch twin: events split chronologically into three parquet
+    files at the epoch-micros terciles and replayed as THREE
+    micro-batches through a genuine Structured Streaming query (file
+    source, maxFilesPerTrigger=1, mtime-ordered, availableNow), with
+    every ``event_id % 7 == 0`` row from the first two files
+    re-delivered in the THIRD file as a LATE duplicate.
+    ``withWatermark('ts', '1 hour')`` + 1-day tumbling windows in APPEND
+    mode make the engine itself decide, and the DuckDB oracle recomputes
+    the engine's measured semantics arithmetically from the events
+    table:
+
+    - a late duplicate delivered in batch 3 survives iff its day-window
+      was still live when the batch ran — empirically (Spark 4.1.2, and
+      pinned here): window end > max(file1.ts) - 1h, the watermark
+      OPERATIVE DURING batch 2, which is the eviction boundary batch 3
+      sees (state eviction trails the data by one batch: a window
+      closes at the end of the first batch that RUNS under a watermark
+      past its end);
+    - duplicates for already-evicted windows are dropped — their
+      emitted counts stay base-only;
+    - append mode emits exactly the windows whose end is at or below
+      the FINAL watermark (max(all ts) - 1h); the trailing day stays
+      unemitted at stream end.
+
+    This is the registry's only query that runs a real multi-batch
+    stream over the SF corpus (the CDC lifecycle queries stream fixed
+    golden corpora; tumbling/sliding/session aggs are batch twins).
+
+    Scale: one pass to split + write, one streaming pass to aggregate;
+    state is one count per live day-window — watermark eviction bounds
+    it exactly as it would a 100 TB/day production stream.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="swe_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+        b = ev.agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        ).collect()[0]
+        t1 = F.timestamp_micros(
+            F.lit(b["mn"] + (b["mx"] - b["mn"]) // 3)
+        )
+        t2 = F.timestamp_micros(
+            F.lit(b["mn"] + 2 * (b["mx"] - b["mn"]) // 3)
+        )
+        f1 = ev.filter(F.col("ts") <= t1)
+        f2 = ev.filter((F.col("ts") > t1) & (F.col("ts") <= t2))
+        late = ev.filter(
+            (F.col("ts") <= t2) & (F.col("event_id") % 7 == 0)
+        )
+        f3 = ev.filter(F.col("ts") > t2).unionByName(late)
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i, part in enumerate([f1, f2, f3]):
+            d = os.path.join(work, f"w{i}")
+            part.coalesce(1).write.parquet(d)
+            src = [
+                n for n in os.listdir(d) if n.endswith(".parquet")
+            ][0]
+            dst = os.path.join(in_dir, f"{chr(97 + i)}.parquet")
+            os.rename(os.path.join(d, src), dst)
+            os.utime(dst, (1000 * (i + 1),) * 2)  # replay order
+
+        qn = f"swe_{os.path.basename(work).split('_')[-1]}"
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.col("window.start").alias("win_start"), "n_rows")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            (r["win_start"], r["n_rows"])
+            for r in spark.table(qn).collect()
+        ]
+        spark.catalog.dropTempView(qn)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "win_start timestamp, n_rows long"
+    ).orderBy("win_start")
+
+
+QUERIES["streaming_watermark_execution"] = streaming_watermark_execution
+ORACLES["streaming_watermark_execution"] = """
+    WITH e AS (SELECT event_id, ts FROM events),
+    b AS (
+        SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM e
+    ),
+    s AS (
+        SELECT make_timestamp(mn + (mx - mn) // 3) AS t1,
+               make_timestamp(mn + 2 * (mx - mn) // 3) AS t2
+        FROM b
+    ),
+    f1 AS (SELECT * FROM e WHERE ts <= (SELECT t1 FROM s)),
+    wm1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM f1),
+    wm3 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),
+    late_ok AS (
+        SELECT * FROM e
+        WHERE ts <= (SELECT t2 FROM s)
+          AND event_id % 7 = 0
+          AND CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+              > (SELECT w FROM wm1)
+    ),
+    allr AS (
+        SELECT ts FROM e UNION ALL SELECT ts FROM late_ok
+    ),
+    agg AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+               count(*) AS n_rows
+        FROM allr GROUP BY 1
+    )
+    SELECT win_start, n_rows FROM agg
+    WHERE win_start + INTERVAL 1 DAY <= (SELECT w FROM wm3)
+    ORDER BY win_start
+"""

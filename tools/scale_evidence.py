@@ -394,6 +394,7 @@ COVERAGE_QUERIES = [
     "schema_evolution_column_drop",
     "commitlog_change_feed",
     "commitlog_compact_vacuum",
+    "streaming_watermark_execution",
     "bpe_merge_rounds",
     "debezium_envelope_roundtrip",
     "entity_resolution",
