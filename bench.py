@@ -453,6 +453,7 @@ HEADLINE += [
     "commitlog_change_feed",
     "commitlog_compact_vacuum",
     "streaming_watermark_execution",
+    "streaming_session_merge_execution",
     "cube_agg",
     "date_funcs",
     "dead_letter_replay",

@@ -475,3 +475,135 @@ ORACLES["streaming_watermark_execution"] = """
     WHERE win_start + INTERVAL 1 DAY <= (SELECT w FROM wm3)
     ORDER BY win_start
 """
+
+
+def streaming_session_merge_execution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL streaming execution of watermarked SESSION windows with
+    cross-batch state merging: events split chronologically at the
+    epoch-micros midpoint into two mtime-ordered files replayed as two
+    micro-batches (file source, maxFilesPerTrigger=1, availableNow);
+    ``F.session_window('ts', '30 minutes')`` per user under
+    ``withWatermark('ts', '1 hour')`` in APPEND mode. Sessions that
+    STRADDLE the file boundary exist as open state after batch 1 and
+    must MERGE with batch 2's rows — a per-key stateful merge no batch
+    twin exercises (session_agg covers the same gap semantics
+    batch-side).
+
+    The DuckDB oracle recomputes the full emitted set with the
+    gaps-and-islands construction plus the engine's measured emission
+    rule (verified exactly at sf0.01 before pinning: 9525 of 9549
+    sessions): a session emits iff last_event_ts + gap <= max(all ts) -
+    1h (the final watermark); trailing still-open sessions never emit
+    at stream end. Full-set hash parity — one wrong merge, count, or
+    boundary breaks it.
+
+    Scale: session state is per-open-session and bounded by watermark
+    eviction; the memory sink here is the correctness harness's
+    collection point (production writes a file sink), sized by the
+    emitted-session count, not raw events.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="ssw_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        b = ev.agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        ).collect()[0]
+        split = F.timestamp_micros(F.lit((b["mn"] + b["mx"]) // 2))
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        parts = [
+            ev.filter(F.col("ts") <= split),
+            ev.filter(F.col("ts") > split),
+        ]
+        for i, part in enumerate(parts):
+            d = os.path.join(work, f"w{i}")
+            part.coalesce(1).write.parquet(d)
+            src = [
+                n for n in os.listdir(d) if n.endswith(".parquet")
+            ][0]
+            dst = os.path.join(in_dir, f"{chr(97 + i)}.parquet")
+            os.rename(os.path.join(d, src), dst)
+            os.utime(dst, (1000 * (i + 1),) * 2)  # replay order
+
+        qn = f"ssw_{os.path.basename(work).split('_')[-1]}"
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("sess_start"),
+                F.col("session_window.end").alias("sess_end"),
+                "n_events",
+            )
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(qn).collect()
+        spark.catalog.dropTempView(qn)
+        rows = [
+            (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"])
+            for r in out
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, sess_start timestamp, sess_end timestamp, "
+        "n_events long",
+    ).orderBy("user_id", "sess_start")
+
+
+QUERIES["streaming_session_merge_execution"] = (
+    streaming_session_merge_execution
+)
+ORACLES["streaming_session_merge_execution"] = """
+    WITH e AS (SELECT user_id, ts FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e),
+    marks AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) IS NULL
+                    OR ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                    ) > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    isl AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts
+               ) AS sid
+        FROM marks
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               min(ts) AS sess_start,
+               max(ts) + INTERVAL 30 MINUTE AS sess_end,
+               count(*) AS n_events
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, sess_start, sess_end, n_events
+    FROM sess
+    WHERE sess_end <= (SELECT w FROM wm)
+    ORDER BY user_id, sess_start
+"""

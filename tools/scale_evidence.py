@@ -395,6 +395,7 @@ COVERAGE_QUERIES = [
     "commitlog_change_feed",
     "commitlog_compact_vacuum",
     "streaming_watermark_execution",
+    "streaming_session_merge_execution",
     "bpe_merge_rounds",
     "debezium_envelope_roundtrip",
     "entity_resolution",
