@@ -454,6 +454,7 @@ HEADLINE += [
     "commitlog_compact_vacuum",
     "streaming_watermark_execution",
     "streaming_session_merge_execution",
+    "streaming_dedup_execution",
     "cube_agg",
     "date_funcs",
     "dead_letter_replay",

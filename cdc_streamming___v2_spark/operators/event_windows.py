@@ -607,3 +607,98 @@ ORACLES["streaming_session_merge_execution"] = """
     WHERE sess_end <= (SELECT w FROM wm)
     ORDER BY user_id, sess_start
 """
+
+
+def streaming_dedup_execution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL streaming execution of ``dropDuplicatesWithinWatermark``:
+    events split at the epoch-micros terciles into three mtime-ordered
+    files replayed as three micro-batches (file source,
+    maxFilesPerTrigger=1, availableNow), with every ``event_id % 7 == 0``
+    first-tercile row RE-DELIVERED in both later files and every
+    ``event_id % 11 == 0`` second-tercile row re-delivered in the third —
+    duplicates arriving one AND two batches after their original.
+
+    Pinned semantics (measured here on Spark 4.1.2 before writing the
+    oracle, at both one- and two-batch re-delivery delays): every
+    duplicate is suppressed — the dedup state outlives the re-delivery
+    horizon of this replay, so the output is EXACTLY one row per
+    distinct event_id, proven by full-set hash parity against
+    ``SELECT DISTINCT`` (10,000 rows at sf0.01). A future engine that
+    evicted dedup state earlier (re-admitting a late duplicate — the
+    documented best-effort edge of dropDuplicatesWithinWatermark) breaks
+    the hash, which is exactly the kind of silent semantic shift this
+    registry exists to catch.
+
+    Scale: dedup state is per-key-within-watermark; the narrow
+    pass-through plan shuffles once on the dedup key.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sde_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+        b = ev.agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        ).collect()[0]
+        t1 = F.timestamp_micros(F.lit(b["mn"] + (b["mx"] - b["mn"]) // 3))
+        t2 = F.timestamp_micros(
+            F.lit(b["mn"] + 2 * (b["mx"] - b["mn"]) // 3)
+        )
+        f1 = ev.filter(F.col("ts") <= t1)
+        f2b = ev.filter((F.col("ts") > t1) & (F.col("ts") <= t2))
+        d1 = f1.filter(F.col("event_id") % 7 == 0)
+        d2 = f2b.filter(F.col("event_id") % 11 == 0)
+        parts = [
+            f1,
+            f2b.unionByName(d1),
+            ev.filter(F.col("ts") > t2).unionByName(d1).unionByName(d2),
+        ]
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for i, part in enumerate(parts):
+            d = os.path.join(work, f"w{i}")
+            part.coalesce(1).write.parquet(d)
+            src = [
+                n for n in os.listdir(d) if n.endswith(".parquet")
+            ][0]
+            dst = os.path.join(in_dir, f"{chr(97 + i)}.parquet")
+            os.rename(os.path.join(d, src), dst)
+            os.utime(dst, (1000 * (i + 1),) * 2)  # replay order
+
+        qn = f"sde_{os.path.basename(work).split('_')[-1]}"
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            (r["event_id"], r["ts"]) for r in spark.table(qn).collect()
+        ]
+        spark.catalog.dropTempView(qn)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp"
+    ).orderBy("event_id")
+
+
+QUERIES["streaming_dedup_execution"] = streaming_dedup_execution
+ORACLES["streaming_dedup_execution"] = """
+    SELECT DISTINCT event_id, ts FROM events ORDER BY event_id
+"""

@@ -396,6 +396,7 @@ COVERAGE_QUERIES = [
     "commitlog_compact_vacuum",
     "streaming_watermark_execution",
     "streaming_session_merge_execution",
+    "streaming_dedup_execution",
     "bpe_merge_rounds",
     "debezium_envelope_roundtrip",
     "entity_resolution",
