@@ -455,6 +455,8 @@ HEADLINE += [
     "streaming_watermark_execution",
     "streaming_session_merge_execution",
     "streaming_dedup_execution",
+    "cdc_checkpoint_restart",
+    "registry_hot_add_table",
     "cube_agg",
     "date_funcs",
     "dead_letter_replay",

@@ -2315,3 +2315,216 @@ ORACLES["commitlog_compact_vacuum"] = """
     SELECT 'vacuum_swept_files', NULL, 5, NULL
     ORDER BY stage
 """
+
+
+def cdc_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ACROSS A RESTART, end-to-end in the driver gate (the
+    delivery guarantee SURVEY §2.A op 12 claims, previously only
+    test-proven): the goldengate golden corpus ingests under a
+    commit-log sink; the ingest OBJECT is then discarded — a
+    crash/redeploy — and a brand-new ``CdcIngest`` over the SAME
+    checkpoint + output dirs drains a second batch (the evolution ops,
+    goldengate-rendered, decoded under the v1 registry so the new
+    column is simply absent). The oracle pins:
+
+    - after the restart each canonical op sits in history EXACTLY once
+      (phase-1 files are offset-committed in the checkpoint, so a
+      re-scan would double them; commit-log txn ids would additionally
+      no-op a replayed micro-batch);
+    - a third drain with NO new input changes nothing (idempotent
+      catch-up — counts identical);
+    - users history untouched by the produtos-only second batch.
+
+    Scalar-witness pattern over the fixed golden corpus; nothing scales
+    with SF.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.conformance import (
+        CONFORMANCE_REGISTRY,
+        render,
+        render_evolution,
+    )
+    from ..sources.registry import SchemaRegistry
+    from ..streaming.ingest import CdcIngest
+
+    work = tempfile.mkdtemp(prefix="ckr_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+            f.write("\n".join(render("goldengate")) + "\n")
+
+        def make_ingest():
+            return CdcIngest(
+                spark=spark,
+                registry=SchemaRegistry.from_dict(CONFORMANCE_REGISTRY),
+                input_dir=in_dir,
+                output_dir=os.path.join(work, "out"),
+                checkpoint_dir=os.path.join(work, "ck"),
+                envelope_format="goldengate",
+                commit_log=True,
+            )
+
+        ing1 = make_ingest()
+        ing1.run_available_single_pass()
+        n_p1 = ing1.history("olist_produtos").count()
+
+        # crash/redeploy: a NEW object, same checkpoint; new input lands
+        with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+            f.write("\n".join(render_evolution("goldengate")) + "\n")
+        ing2 = make_ingest()
+        ing2.run_available_single_pass()
+
+        # idempotent catch-up: nothing new to drain
+        ing3 = make_ingest()
+        ing3.run_available_single_pass()
+
+        hist = ing3.history("olist_produtos")
+        canon = [
+            ("op", r["product_id"], r["action"], r["ts"], r["n"])
+            for r in hist.groupBy(
+                F.col("product_id"),
+                F.col("action"),
+                F.unix_seconds(
+                    F.col("update_date").cast("timestamp")
+                ).alias("ts"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        rows = [
+            ("phase1_rows", None, None, None, n_p1),
+            ("final_rows", None, None, None, hist.count()),
+            ("users_rows", None, None, None,
+             ing3.history("olist_users").count()),
+            *canon,
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "stage string, rec_key string, action string, ts_epoch long, "
+        "n long",
+    ).orderBy("stage", "ts_epoch", "rec_key")
+
+
+QUERIES["cdc_checkpoint_restart"] = cdc_checkpoint_restart
+ORACLES["cdc_checkpoint_restart"] = """
+    SELECT * FROM (VALUES
+        ('final_rows', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(6 AS BIGINT)),
+        ('op', 'p1', 'INSERT', CAST(1704067200 AS BIGINT),
+         CAST(1 AS BIGINT)),
+        ('op', 'p2', 'INSERT', CAST(1704110400 AS BIGINT),
+         CAST(1 AS BIGINT)),
+        ('op', 'p1', 'UPDATE-INSERT', CAST(1704153600 AS BIGINT),
+         CAST(1 AS BIGINT)),
+        ('op', 'p2', 'DELETE', CAST(1704240000 AS BIGINT),
+         CAST(1 AS BIGINT)),
+        ('op', 'p1', 'UPDATE-INSERT', CAST(1704499200 AS BIGINT),
+         CAST(1 AS BIGINT)),
+        ('op', 'p3', 'INSERT', CAST(1704585600 AS BIGINT),
+         CAST(1 AS BIGINT)),
+        ('phase1_rows', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(4 AS BIGINT)),
+        ('users_rows', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(stage, rec_key, action, ts_epoch, n)
+    ORDER BY stage, ts_epoch, rec_key
+"""
+
+
+def registry_hot_add_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-reload NEW-TABLE routing in the driver gate (reference
+    behavior: registry edits take effect mid-stream because it re-reads
+    data-stream.json per record, src/dataflow-cdc-stream.py:71-76; the
+    engine reproduces it at one stat() per micro-batch): the datastream
+    golden corpus streams under a registry that knows ONLY
+    olist_produtos — the users op quarantines as unmapped. The registry
+    FILE then gains olist_users while the stream runs, and the users op
+    arrives again. The oracle pins:
+
+    - pre-reload: 4 produtos rows routed, 1 row quarantined;
+    - post-reload: the NEW users op routes (1 history row); the
+      EARLIER quarantined copy STAYS in the dead letter — append-only
+      semantics, nothing re-routes retroactively (that drain is the
+      dead-letter replay's job, pinned by dead_letter_replay);
+    - produtos unaffected by the registry edit.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.conformance import CONFORMANCE_REGISTRY, render
+    from ..sources.registry import SchemaRegistry
+    from ..streaming.ingest import CdcIngest
+
+    work = tempfile.mkdtemp(prefix="hat_")
+    try:
+        produtos_only = {
+            "olist_produtos": CONFORMANCE_REGISTRY["olist_produtos"]
+        }
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        reg_path = os.path.join(work, "data-stream.json")
+        with open(reg_path, "w") as f:
+            json.dump(produtos_only, f)
+        lines = render("datastream")
+        with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        ing = CdcIngest(
+            spark=spark,
+            registry=SchemaRegistry.from_file(reg_path),
+            input_dir=in_dir,
+            output_dir=os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ck"),
+            envelope_format="datastream",
+            registry_path=reg_path,
+            hot_reload=True,
+        )
+        q = ing.start_single_pass()
+        try:
+            q.processAllAvailable()
+            pre = (
+                ing.history("olist_produtos").count(),
+                ing.dead_letter().count(),
+            )
+            with open(reg_path, "w") as f:
+                json.dump(CONFORMANCE_REGISTRY, f)
+            users_line = [
+                ln for ln in lines if "olist_users" in ln
+            ]
+            with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+                f.write("\n".join(users_line) + "\n")
+            q.processAllAvailable()
+        finally:
+            ing.stop()
+        rows = [
+            ("pre_produtos", pre[0]),
+            ("pre_dead_letter", pre[1]),
+            ("post_users", ing.history("olist_users").count()),
+            ("post_dead_letter", ing.dead_letter().count()),
+            ("post_produtos", ing.history("olist_produtos").count()),
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "stage string, n long").orderBy(
+        "stage"
+    )
+
+
+QUERIES["registry_hot_add_table"] = registry_hot_add_table
+ORACLES["registry_hot_add_table"] = """
+    SELECT * FROM (VALUES
+        ('post_dead_letter', CAST(1 AS BIGINT)),
+        ('post_produtos', CAST(4 AS BIGINT)),
+        ('post_users', CAST(1 AS BIGINT)),
+        ('pre_dead_letter', CAST(1 AS BIGINT)),
+        ('pre_produtos', CAST(4 AS BIGINT))
+    ) AS t(stage, n)
+    ORDER BY stage
+"""

@@ -397,6 +397,8 @@ COVERAGE_QUERIES = [
     "streaming_watermark_execution",
     "streaming_session_merge_execution",
     "streaming_dedup_execution",
+    "cdc_checkpoint_restart",
+    "registry_hot_add_table",
     "bpe_merge_rounds",
     "debezium_envelope_roundtrip",
     "entity_resolution",
