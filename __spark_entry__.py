@@ -62,15 +62,14 @@ _MODULES = (
 # composition is fully pinned; each round rotates never-proven and
 # oldest-proven queries to the front, behind the round's additions.
 _GATE_PRIORITY = (
-    # r10-window rotation (VERDICT r9 #1/#2, SURVEY §21.11 plan): (1) the
-    # four round-10 registry additions lead so they land INSIDE the
-    # driver window (schema-evolution ADD COLUMN / widening / drop
-    # lifecycles + commit-log change feed); (2) the 24 queries never
-    # driver-proven through CORRECTNESS_r09 (r9 positions 50-73);
-    # (3) queries whose newest record predates r9 (oldest proof first);
-    # (4) the 50 just-proven r9-window greens rotate to the back.  After
-    # a green r10 window the cumulative driver record reads 465/465 —
-    # the complete registry.
+    # Rotation invariant (no hardcoded counts — they rot per round):
+    # (1) the current round's registry ADDITIONS lead, so they land
+    # inside the ~50-query driver window; (2) any never-driver-proven
+    # queries next; (3) the remainder ordered oldest-proof-first, so
+    # every proof is periodically refreshed; (4) the just-proven window
+    # rotates to the back.  The registry is fully driver-proven
+    # cumulatively; `_MIN_QUERIES` (tests/test_behavior.py) pins the
+    # exact registry size.
     "schema_evolution_add_column",
     "schema_evolution_widening",
     "schema_evolution_column_drop",

@@ -269,8 +269,13 @@ class CommitLogTable:
                     for n in leftover:
                         os.remove(os.path.join(dirpath, n))
                     os.rmdir(dirpath)
-            except FileNotFoundError:
-                continue  # sibling vacuum already swept this dir
+            except OSError:
+                # sibling vacuum already swept this dir (FileNotFoundError)
+                # OR a concurrent writer landed a file/_temporary subdir
+                # between our listdir and the rmdir (ENOTEMPTY) — both are
+                # the same "someone else raced us" end state the file
+                # sweep above tolerates; skip, never abort the maintain run
+                continue
         return removed
 
     def _try_commit(

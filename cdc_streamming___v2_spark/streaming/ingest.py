@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -680,8 +681,8 @@ class CdcIngest:
                     ).parquet(staging)
                     os.rename(staging, final)
             else:
-                routed.write.mode("append").partitionBy(*part_cols).parquet(
-                    sink
+                self._plain_replay_append(
+                    routed, sink, part_cols, replay_id
                 )
 
         # step 3: swap the quarantine down to the still-dead remainder —
@@ -738,6 +739,9 @@ class CdcIngest:
             # disk growth (ADVICE r9), so seal it empty
             _truncate_tomb(tomb)
             os.remove(sidecar)
+            # the swap landed -> generation advanced -> this replay_id is
+            # retired; its plain-mode delivery markers are dead weight now
+            self._sweep_replay_markers(replay_id)
 
         return {
             "replayed": n_good,
@@ -779,7 +783,111 @@ class CdcIngest:
             os.rename(staging, dl_dir)
         if os.path.isdir(tomb):
             _truncate_tomb(tomb)
+        if os.path.exists(dl_dir) and not os.path.isdir(tomb):
+            # crash AFTER the sidecar write but BEFORE the first rename:
+            # the swap never started (no tomb, quarantine intact).  The
+            # remainder staging dir written just before the sidecar is an
+            # orphan — a retry rebuilds it in overwrite mode, but without
+            # a retry it would live forever (ADVICE r10).  Same for the
+            # plain-mode per-table delivery stagings.  The per-table
+            # ``.done`` markers MUST survive this branch: the retry
+            # recomputes the same replay_id (content + generation both
+            # unchanged) and the markers are exactly what makes its
+            # step-2 delivery idempotent.
+            if os.path.isdir(staging):
+                shutil.rmtree(staging)
+            self._sweep_replay_stagings(rid)
+        if os.path.isdir(tomb):
+            # the swap COMPLETED (crash was between seal and sidecar
+            # removal) — this replay_id is retired; finish the tail
+            # housekeeping the crashed run never reached
+            self._sweep_replay_stagings(rid)
+            self._sweep_replay_markers(rid)
         os.remove(sidecar)
+
+    def _plain_replay_append(
+        self,
+        routed: DataFrame,
+        sink: str,
+        part_cols: list,
+        replay_id: int,
+    ) -> None:
+        """Idempotent replay delivery for PLAIN-mode sinks (ADVICE r10).
+
+        ``mode('append')`` has no txn/batch guard, so a crash between a
+        completed delivery and the quarantine swap would re-append the
+        same routed rows on retry (the retry recomputes the SAME
+        replay_id while the swap hasn't landed).  Instead: write to a
+        staging dir (``overwrite`` — idempotent), move the parquet files
+        into the sink under ``replay-<id>-``-prefixed names, then drop a
+        per-replay ``.done`` marker inside the sink.  Retry semantics:
+
+        - marker present: this table's delivery landed — skip entirely;
+        - marker absent: sweep any ``replay-<id>-*`` leftovers of a
+          half-finished move (file boundaries can differ between runs,
+          so a partial old move must not mix with a new one), then
+          re-stage and re-move.
+
+        The marker leads with ``_`` so parquet readers ignore it; it is
+        swept once the quarantine swap lands and the id retires.
+        """
+        marker = os.path.join(sink, f"_replay_{replay_id}.done")
+        if os.path.exists(marker):
+            return
+        prefix = f"replay-{replay_id}-"
+        if os.path.isdir(sink):
+            for dirpath, _dirs, names in os.walk(sink):
+                for nm in names:
+                    if nm.startswith(prefix):
+                        try:
+                            os.remove(os.path.join(dirpath, nm))
+                        except FileNotFoundError:
+                            pass
+        staging = os.path.join(
+            self.output_dir,
+            f"_replay_staging_{replay_id}_{os.path.basename(sink)}",
+        )
+        routed.write.mode("overwrite").partitionBy(*part_cols).parquet(
+            staging
+        )
+        os.makedirs(sink, exist_ok=True)
+        for dirpath, _dirs, names in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            for nm in names:
+                if not nm.endswith(".parquet"):
+                    continue
+                tgt_dir = sink if rel == "." else os.path.join(sink, rel)
+                os.makedirs(tgt_dir, exist_ok=True)
+                os.rename(
+                    os.path.join(dirpath, nm),
+                    os.path.join(tgt_dir, prefix + nm),
+                )
+        shutil.rmtree(staging)
+        with open(marker, "w") as f:
+            f.write("")
+
+    def _sweep_replay_markers(self, replay_id: int) -> None:
+        """Drop the plain-mode per-table ``.done`` markers for a RETIRED
+        replay id (the swap landed; generation advanced; a future replay
+        of even byte-identical content gets a fresh id)."""
+        nm = f"_replay_{replay_id}.done"
+        for spec in self.registry:
+            p = os.path.join(self.output_dir, spec.table_name, nm)
+            if os.path.exists(p):
+                os.remove(p)
+
+    def _sweep_replay_stagings(self, replay_id: int) -> None:
+        """Remove per-table plain-mode delivery staging dirs for
+        ``replay_id`` — overwrite-mode rebuilds make them safe to drop at
+        any crash point."""
+        if not os.path.isdir(self.output_dir):
+            return
+        pref = f"_replay_staging_{replay_id}_"
+        for d in os.listdir(self.output_dir):
+            if d.startswith(pref):
+                shutil.rmtree(
+                    os.path.join(self.output_dir, d), ignore_errors=True
+                )
 
     def _replay_generation(self, dl_dir: str) -> int:
         """How many quarantine swaps have COMPLETED — the tomb count in

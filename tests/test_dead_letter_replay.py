@@ -368,3 +368,88 @@ def test_sidecar_recovery_completes_crashed_swap(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(out, "_dead_letter_replay_inflight.json")
     )
+
+
+def test_plain_mode_crash_retry_does_not_duplicate(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: a crash AFTER plain-mode step-2 delivery but BEFORE
+    the quarantine swap must not double-append on retry.  The retry
+    recomputes the same replay_id; the per-table ``.done`` markers make
+    its delivery a no-op, and the orphaned remainder staging dir left by
+    the crash is swept by recovery instead of living forever."""
+    lines = golden_cdc.render("goldengate")
+    in_dir = _write_lines(tmp_path, lines)
+    ing = _make_ingest(
+        spark, tmp_path, in_dir, REGISTRY_DOC, "datastream"
+    )
+    ing.run_available_single_pass()
+    assert ing.dead_letter().count() == len(lines)
+    out = str(tmp_path / "out")
+
+    # crash injection: deliveries + staging + sidecar all land, then the
+    # process dies at the swap's FIRST rename (dl_dir -> tomb)
+    real_rename = os.rename
+
+    def dying_rename(src, dst):
+        if os.path.basename(src) == "_dead_letter":
+            raise RuntimeError("injected crash before first swap rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ing.replay_dead_letters(envelope_format="goldengate")
+    monkeypatch.undo()
+
+    # torn state: canonical rows delivered, markers present, sidecar +
+    # remainder staging orphaned, quarantine untouched
+    assert _canon_produtos(ing) == EXPECT_PRODUTOS
+    assert os.path.exists(
+        os.path.join(out, "_dead_letter_replay_inflight.json")
+    )
+    assert any(
+        d.startswith("_dead_letter_staging_") for d in os.listdir(out)
+    )
+    assert any(
+        n.startswith("_replay_") and n.endswith(".done")
+        for n in os.listdir(os.path.join(out, "produtos_cdc"))
+    )
+
+    # retry: must complete WITHOUT duplicating the delivered rows
+    stats = ing.replay_dead_letters(envelope_format="goldengate")
+    assert stats["replayed"] == len(lines)
+    assert _canon_produtos(ing) == EXPECT_PRODUTOS
+    assert _canon_users(ing) == EXPECT_USERS
+    assert ing.history("olist_produtos").count() == 4
+    assert ing.history("olist_users").count() == 1
+    assert ing.dead_letter().count() == 0
+    # housekeeping: no orphan staging dirs, markers retired with the id
+    assert not any(
+        d.startswith(("_dead_letter_staging_", "_replay_staging_"))
+        for d in os.listdir(out)
+    )
+    assert not any(
+        n.endswith(".done")
+        for n in os.listdir(os.path.join(out, "produtos_cdc"))
+    )
+
+
+def test_plain_append_sweeps_half_finished_move(spark, tmp_path):
+    """Marker absent + ``replay-<id>-*`` files already in the sink =
+    a move that died halfway; a re-delivery must sweep them (file
+    boundaries differ between runs) and land exactly one copy."""
+    ing = _make_ingest(
+        spark, tmp_path, _write_lines(tmp_path, ["{}"]),
+        REGISTRY_DOC, "datastream",
+    )
+    sink = str(tmp_path / "out" / "t")
+    df = spark.range(10).withColumnRenamed("id", "v")
+    ing._plain_replay_append(df, sink, [], 42)
+    assert spark.read.parquet(sink).count() == 10
+    # simulate the crash: marker lost, files remain
+    os.remove(os.path.join(sink, "_replay_42.done"))
+    ing._plain_replay_append(df, sink, [], 42)
+    assert spark.read.parquet(sink).count() == 10
+    # marker present -> true no-op
+    ing._plain_replay_append(df, sink, [], 42)
+    assert spark.read.parquet(sink).count() == 10

@@ -630,19 +630,17 @@ def build(spark, scale_dir: str = SCALE_DIR, replicas: int = REPLICAS) -> None:
     evidence corpus and the r10 30x probe corpus share it)."""
     from pyspark.sql import functions as F
 
-    SCALE_DIR, REPLICAS = scale_dir, replicas  # noqa: N806 (local shadow)
-
-    os.makedirs(os.path.dirname(SCALE_DIR), exist_ok=True)
-    if os.path.exists(SCALE_DIR):
-        shutil.rmtree(SCALE_DIR)
-    os.makedirs(SCALE_DIR)
+    os.makedirs(os.path.dirname(scale_dir), exist_ok=True)
+    if os.path.exists(scale_dir):
+        shutil.rmtree(scale_dir)
+    os.makedirs(scale_dir)
     for name in "region nation customer supplier part".split():
         os.symlink(
             os.path.join(SRC, f"{name}.parquet"),
-            os.path.join(SCALE_DIR, f"{name}.parquet"),
+            os.path.join(scale_dir, f"{name}.parquet"),
         )
 
-    reps = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("k")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("k")
 
     # 10x fact tables: orderkeys offset per replica so every orderkey join
     # (incl. q21's within-order self-joins) stays within its replica
@@ -651,13 +649,13 @@ def build(spark, scale_dir: str = SCALE_DIR, replicas: int = REPLICAS) -> None:
     o.select("*", reps).withColumn(
         "o_orderkey", F.col("o_orderkey") + F.col("k").cast("long") * F.lit(KEY_OFF)
     ).drop("k").repartition(32).write.parquet(
-        os.path.join(SCALE_DIR, "orders.parquet")
+        os.path.join(scale_dir, "orders.parquet")
     )
     li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
     li.select("*", reps).withColumn(
         "l_orderkey", F.col("l_orderkey") + F.col("k").cast("long") * F.lit(KEY_OFF)
     ).drop("k").repartition(32).write.parquet(
-        os.path.join(SCALE_DIR, "lineitem.parquet")
+        os.path.join(scale_dir, "lineitem.parquet")
     )
     # 10x events: user ids offset per replica (per-user windows stay within
     # replica -> linear), event ids offset by an EVEN constant so the
@@ -670,7 +668,7 @@ def build(spark, scale_dir: str = SCALE_DIR, replicas: int = REPLICAS) -> None:
         "user_id",
         F.col("user_id") + F.col("k").cast("long") * F.lit(10_000_000),
     ).drop("k").repartition(16).write.parquet(
-        os.path.join(SCALE_DIR, "events.parquet")
+        os.path.join(scale_dir, "events.parquet")
     )
 
     d = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
@@ -691,7 +689,7 @@ def build(spark, scale_dir: str = SCALE_DIR, replicas: int = REPLICAS) -> None:
         )
     )
     scaled_docs.repartition(16).write.parquet(
-        os.path.join(SCALE_DIR, "documents.parquet")
+        os.path.join(scale_dir, "documents.parquet")
     )
 
     e = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
@@ -706,7 +704,7 @@ def build(spark, scale_dir: str = SCALE_DIR, replicas: int = REPLICAS) -> None:
         "label",
     )
     scaled_emb.repartition(8).write.parquet(
-        os.path.join(SCALE_DIR, "embeddings.parquet")
+        os.path.join(scale_dir, "embeddings.parquet")
     )
 
 
