@@ -896,6 +896,17 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: vocabulary = one token-keyed count + TakeOrderedAndProject;
     coverage = broadcast (V-row) left-semi flag + two-level aggregation
     (doc, then source) — no shuffle beyond the token count.
+
+    Plan note (r11, the VERDICT r10 bench-breach investigation): the
+    corpus IS tokenized twice (once per consumer of ``toks``).  The
+    single-pass alternative — pre-aggregate to per-(doc_id, source, w)
+    counts and derive both vocab and coverage from the compact frame —
+    measured 1.3-1.9x SLOWER interleaved at sf0.1 (6 reps: 1.03-2.03 s
+    vs 0.58-1.43 s here): the (doc, word)-keyed shuffle costs more than
+    the second regex pass, which is cheap and pipeline-local.  Kept the
+    double-tokenize plan; the r9/r10 in-bench breaches tracked the host
+    canaries 1:1 (solo floors 0.48-0.51 s while kmv/gini canaries read
+    the same 1.45-1.6x of their pins — canary-normalized ~1.0x).
     """
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", "source", F.explode(words(F.col("text"))).alias("w"))

@@ -192,7 +192,7 @@ _W2J_OP = {"INSERT": "I", "UPDATE-INSERT": "U", "DELETE": "D"}
 _W2J_TYPES = {
     "product_id": "text", "product_category_name": "text",
     "product_photos_qty": "integer", "product_weight_g": "numeric",
-    "product_length_cm": "numeric",
+    "product_length_cm": "numeric", "category": "text",
     "first_name": "text", "email": "text",
 }
 
@@ -349,6 +349,52 @@ def render_drop(dialect: str) -> list[str]:
     return [fn(*c) for c in DROP_CHANGES]
 
 
+# Column-RENAME phase (VERDICT r10 #3): the source RENAMEs
+# product_category_name -> category (the remaining MySQL ALTER class a
+# CDC pipeline hits).  On the WIRE a rename is observable only as the
+# field-name flip in data records — from the document diff alone,
+# drop(a)+add(b) and rename(a→b) are indistinguishable — so identity is
+# carried by the ``renamed_from`` declaration on the new registry field
+# (the Avro schema-resolution ALIAS pattern; the registry file is the
+# single source of schema truth, as in the reference's data-stream.json).
+# Dialects that DO emit a dedicated DDL event for the rename (Canal
+# ALTER sql, Maxwell table-alter) send it as a CONTROL record — those
+# must dead-letter, never apply (RENAME_CONTROLS below).
+#
+# P6 emits the NEW name.  P7 is the transition-window witness: a LAGGING
+# producer still emitting the OLD name AFTER the registry rename — the
+# ``renamed_from`` parse fallback must land its value under ``category``.
+P6_RENAMED = {"product_id": "p6", "category": "puzzles",
+              "product_photos_qty": 2, "product_weight_g": 310.0}
+P7_LAGGING = {"product_id": "p7", "product_category_name": "garden",
+              "product_photos_qty": 1, "product_weight_g": 95.0}
+
+RENAME_CHANGES = [
+    ("olist_produtos", "INSERT", 1704844800, P6_RENAMED, None),
+    ("olist_produtos", "INSERT", 1704931200, P7_LAGGING, None),
+]
+
+RENAME_CONTROLS: list[str] = [
+    json.dumps({
+        "database": "shop", "table": "olist_produtos", "type": "ALTER",
+        "es": 1704844800000, "ts": 1704844800005, "data": None,
+        "sql": ("ALTER TABLE olist_produtos RENAME COLUMN "
+                "product_category_name TO category"),
+    }),
+    json.dumps({
+        "database": "shop", "table": "olist_produtos",
+        "type": "table-alter", "ts": 1704844800,
+        "old": {"column": "product_category_name"},
+        "def": {"column": "category"},
+    }),
+]
+
+
+def render_rename(dialect: str) -> list[str]:
+    fn = RENDERERS[dialect]
+    return [fn(*c) for c in RENAME_CHANGES]
+
+
 
 
 # Control / non-row records per dialect (transaction markers, DDL,
@@ -488,6 +534,22 @@ def dropped_registry() -> dict:
     doc["olist_produtos"]["schema"]["fields"] = [
         f for f in fields if f["name"] != "product_weight_g"
     ]
+    return doc
+
+
+def renamed_registry() -> dict:
+    """CONFORMANCE_REGISTRY after RENAME COLUMN product_category_name TO
+    category: the new field carries ``renamed_from`` (Avro-alias
+    pattern) so ``SchemaRegistry.check_evolution_full`` admits it as a
+    rename — identity and data continuity preserved — instead of
+    treating the diff as an (unsound) drop+add."""
+    import copy
+
+    doc = copy.deepcopy(CONFORMANCE_REGISTRY)
+    for f in doc["olist_produtos"]["schema"]["fields"]:
+        if f["name"] == "product_category_name":
+            f["name"] = "category"
+            f["renamed_from"] = "product_category_name"
     return doc
 
 

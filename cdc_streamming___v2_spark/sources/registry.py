@@ -16,7 +16,7 @@ broadcast needed for a handful of table schemas).
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import types as T
 
@@ -72,11 +72,19 @@ ENGINE_COLUMNS = ("action", "update_date")
 
 @dataclass(frozen=True)
 class TableSpec:
-    """One registered source object."""
+    """One registered source object.
+
+    ``renames`` maps new column name -> immediate predecessor name, from
+    the registry document's per-field ``renamed_from`` declarations (the
+    Avro-alias pattern: a schema rename is declared ON the new field, so
+    the reader can tell a RENAME from an unrelated drop+add — which is
+    otherwise indistinguishable from the document diff alone).
+    """
 
     object_name: str
     table_name: str
     schema: T.StructType  # full sink schema incl. action/update_date
+    renames: dict = field(default_factory=dict)  # new name -> old name
 
     @property
     def payload_schema(self) -> T.StructType:
@@ -100,10 +108,16 @@ class SchemaRegistry:
                 T.StructField(f["name"], BQ_TO_SPARK[f["type"].upper()], True)
                 for f in entry["schema"]["fields"]
             ]
+            renames = {
+                f["name"]: f["renamed_from"]
+                for f in entry["schema"]["fields"]
+                if f.get("renamed_from")
+            }
             tables[obj_name] = TableSpec(
                 object_name=obj_name,
                 table_name=entry["table_name"],
                 schema=T.StructType(fields),
+                renames=renames,
             )
         return cls(tables)
 
@@ -134,6 +148,7 @@ class SchemaRegistry:
         new: "SchemaRegistry",
         allow_column_drops: bool = False,
         tombstones: dict[str, str] | None = None,
+        renames: dict[str, str] | None = None,
     ) -> dict[str, str]:
         """Validate that ``new`` is a safe successor registry for history
         tables already written under ``self`` (the ALTER TABLE story the
@@ -164,11 +179,58 @@ class SchemaRegistry:
           restart starts writing mixed-schema files.
 
         Raises ``ValueError`` listing every violation; returns the newly
-        dropped columns as tombstones to merge-and-persist.
+        dropped columns as tombstones to merge-and-persist (a RENAME also
+        buries its old name — see ``check_evolution_full`` for the rename
+        continuity map that pairs with these tombstones).
+        """
+        dropped, _renamed = self.check_evolution_full(
+            new,
+            allow_column_drops=allow_column_drops,
+            tombstones=tombstones,
+            renames=renames,
+        )
+        return dropped
+
+    def check_evolution_full(
+        self,
+        new: "SchemaRegistry",
+        allow_column_drops: bool = False,
+        tombstones: dict[str, str] | None = None,
+        renames: dict[str, str] | None = None,
+    ) -> tuple[dict[str, str], dict[str, str]]:
+        """``check_evolution`` plus the admitted-rename map.
+
+        A column RENAME is declared ON the new field via ``renamed_from``
+        in the registry document (the Avro schema-resolution alias
+        pattern: from the document diff alone, drop(a)+add(b) and
+        rename(a→b) are indistinguishable — the declaration is what
+        carries identity).  Admission rules:
+
+        - the predecessor must exist in the old schema, must be RETIRED
+          by the rename (still present = a copy/alias, rejected), must
+          not be an engine column, and at most one new field may claim
+          it;
+        - the new type must equal the old or be a safe parquet widening
+          of it (history files physically hold the OLD name at the OLD
+          type — an unsafe type under the new name would sever them);
+        - the old name is tombstoned exactly like a drop (the buried
+          files still hold it), and additionally may NEVER be re-added:
+          unlike a dropped column, renamed-away data is LIVE under its
+          new name — re-introducing the old name would double-expose the
+          buried values and corrupt read continuity.
+
+        Returns ``(tombstones_to_merge, renames_to_merge)`` where the
+        second maps ``"obj.new_name" -> old_name``; the caller persists
+        both sink-side so history reads can coalesce the buried
+        predecessor columns (and chains of them) into the current name.
+        ``renames`` is the previously persisted map, consulted for the
+        re-add rejection above.
         """
         problems: list[str] = []
         dropped: dict[str, str] = {}
+        renamed: dict[str, str] = {}
         ts = tombstones or {}
+        rn = renames or {}
         for obj, old_spec in self._tables.items():
             new_spec = new.get(obj)
             if new_spec is None:
@@ -181,8 +243,48 @@ class SchemaRegistry:
                 )
             old_fields = {f.name: f.dataType for f in old_spec.schema.fields}
             new_fields = {f.name: f.dataType for f in new_spec.schema.fields}
+
+            # -- rename admissions (declared on the new fields) ---------
+            admitted: dict[str, str] = {}  # old name -> new name
+            for b, a in (new_spec.renames or {}).items():
+                if a == b or a not in old_fields or b not in new_fields:
+                    continue  # inert alias (Avro semantics: no match)
+                if a in ENGINE_COLUMNS:
+                    problems.append(
+                        f"{obj}.{b}: renamed_from engine column {a!r}"
+                    )
+                    continue
+                if a in new_fields:
+                    problems.append(
+                        f"{obj}.{b}: renamed_from {a!r} but {a!r} is "
+                        f"still present — a rename must retire the old "
+                        f"name (a live-column copy is not an evolution)"
+                    )
+                    continue
+                if a in admitted:
+                    problems.append(
+                        f"{obj}: both {admitted[a]!r} and {b!r} declare "
+                        f"renamed_from {a!r} — ambiguous"
+                    )
+                    continue
+                old_t, new_t = old_fields[a], new_fields[b]
+                if new_t != old_t and not is_safe_widening(old_t, new_t):
+                    problems.append(
+                        f"{obj}.{b}: renamed from {a!r} with unsafe type "
+                        f"change {old_t.simpleString()} -> "
+                        f"{new_t.simpleString()} (history files hold "
+                        f"{a!r} as {old_t.simpleString()}; only equal or "
+                        f"safe-widened types keep them readable)"
+                    )
+                    continue
+                admitted[a] = b
+                dropped[f"{obj}.{a}"] = old_t.simpleString()
+                renamed[f"{obj}.{b}"] = a
+
             for name, old_t in old_fields.items():
                 if name not in new_fields:
+                    if name in admitted:
+                        continue  # retired by a rename; data lives on
                     if allow_column_drops and name not in ENGINE_COLUMNS:
                         dropped[f"{obj}.{name}"] = old_t.simpleString()
                     else:
@@ -196,9 +298,26 @@ class SchemaRegistry:
                         f"{new_fields[name].simpleString()} (not a safe "
                         f"parquet widening)"
                     )
+
+            # names retired by a rename — persisted chains plus this
+            # round's admissions — may never come back (see docstring)
+            pref = obj + "."
+            live_preds = {
+                old for key, old in rn.items() if key.startswith(pref)
+            } | set(admitted)
             for name, new_t in new_fields.items():
                 key = f"{obj}.{name}"
-                if name in old_fields or key not in ts:
+                if name in old_fields:
+                    continue
+                if name in live_preds:
+                    problems.append(
+                        f"{key}: re-added but this name was renamed away "
+                        f"— its history is live under the successor "
+                        f"column; re-introducing it would double-expose "
+                        f"the buried values"
+                    )
+                    continue
+                if key not in ts:
                     continue
                 buried = _SIMPLE_TO_SPARK.get(ts[key])
                 if buried is not None and buried != new_t and not (
@@ -213,4 +332,4 @@ class SchemaRegistry:
             raise ValueError(
                 "unsafe registry evolution: " + "; ".join(problems)
             )
-        return dropped
+        return dropped, renamed

@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.cdc_schema import (
@@ -286,8 +287,34 @@ class CdcIngest:
         routed = env.filter(
             (F.col("object") == spec.object_name) & F.col("action").isNotNull()
         )
-        payload = F.from_json(F.col("payload_json"), spec.payload_schema)
-        cols = [payload.getField(f.name).alias(f.name) for f in spec.payload_schema]
+        # rename transition window: after a column rename lands in the
+        # registry, in-flight envelopes may still carry the OLD field
+        # name (the producer's DDL and the registry edit are not atomic).
+        # The ``renamed_from`` declaration on the new field (Avro-alias
+        # pattern) tells us the fallback: parse BOTH names and coalesce —
+        # the new name wins, the predecessor fills the tail.
+        names = {f.name for f in spec.payload_schema}
+        aliases = {
+            b: a
+            for b, a in (spec.renames or {}).items()
+            if b in names and a not in names
+        }
+        parse_schema = spec.payload_schema
+        if aliases:
+            parse_schema = T.StructType([
+                *parse_schema.fields,
+                *[
+                    T.StructField(a, spec.payload_schema[b].dataType, True)
+                    for b, a in aliases.items()
+                ],
+            ])
+        payload = F.from_json(F.col("payload_json"), parse_schema)
+        cols = []
+        for f in spec.payload_schema:
+            v = payload.getField(f.name)
+            if f.name in aliases:
+                v = F.coalesce(v, payload.getField(aliases[f.name]))
+            cols.append(v.alias(f.name))
         for name in ENGINE_COLUMNS:
             sink_field = spec.schema[name]
             if name == "action":
@@ -968,13 +995,17 @@ class CdcIngest:
         if mtime == self._registry_mtime:
             return
         new = SchemaRegistry.from_file(self.registry_path)
-        dropped = self.registry.check_evolution(  # raises on unsafe change
+        # raises on unsafe change
+        dropped, renamed = self.registry.check_evolution_full(
             new,
             allow_column_drops=self.allow_column_drops,
             tombstones=self._load_tombstones(),
+            renames=self._load_renames(),
         )
         if dropped:
             self._persist_tombstones(dropped)
+        if renamed:
+            self._persist_renames(renamed)
         self.registry = new
         self._registry_mtime = mtime
 
@@ -1003,6 +1034,43 @@ class CdcIngest:
             json.dump(merged, f, indent=0, sort_keys=True)
         os.replace(tmp, self._tombstone_path)
 
+    # -- rename continuity ------------------------------------------------
+
+    @property
+    def _renames_path(self) -> str:
+        return os.path.join(self.output_dir, "_schema_renames.json")
+
+    def _load_renames(self) -> dict[str, str]:
+        try:
+            with open(self._renames_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _persist_renames(self, renamed: dict[str, str]) -> None:
+        """Merge admitted renames into the sink-side rename map
+        (``{"object.new_name": old_name}``): the read-continuity record —
+        history files written before the rename physically hold the OLD
+        name (at the tombstoned type), and ``history()`` coalesces the
+        chain of buried predecessors into the current column."""
+        merged = {**self._load_renames(), **renamed}
+        os.makedirs(self.output_dir, exist_ok=True)
+        tmp = self._renames_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=0, sort_keys=True)
+        os.replace(tmp, self._renames_path)
+
+    def _rename_chain(self, obj: str, name: str,
+                      renames: dict[str, str]) -> list[str]:
+        """Buried predecessor names of ``obj.name``, most recent first
+        (rename a→b→c yields ``["b", "a"]`` for c)."""
+        chain: list[str] = []
+        cur = name
+        while f"{obj}.{cur}" in renames and len(chain) < 64:
+            cur = renames[f"{obj}.{cur}"]
+            chain.append(cur)
+        return chain
+
     def stop(self) -> None:
         for q in self._queries:
             q.stop()
@@ -1014,25 +1082,93 @@ class CdcIngest:
         spec = self.registry.get(object_name)
         if spec is None:
             raise KeyError(object_name)
+        # rename continuity: files written before a column rename
+        # physically hold the buried PREDECESSOR name(s) at their
+        # tombstoned type — extend the explicit read schema with them and
+        # coalesce each chain into the current column (old file: current
+        # name reads NULL, predecessor carries the value; new file: the
+        # reverse — exactly one leg is ever non-null because admission
+        # retires the old name and forbids its re-add)
+        chains, extra = self._continuity_fields(spec)
         if self.commit_log:
             from .commitlog import CommitLogTable
 
-            return CommitLogTable(
+            df = CommitLogTable(
                 self.spark, os.path.join(self.output_dir, spec.table_name)
             ).read(
-                _with_partition_col(
+                T.StructType([
+                    *_with_partition_col(
+                        spec,
+                        self._partition_col
+                        if self.partition_by_day else None,
+                    ).fields,
+                    *extra,
+                ])
+            )
+            return self._apply_continuity(df, spec, chains, extra)
+        df = self.spark.read.schema(
+            T.StructType([
+                *_with_partition_col(
                     spec,
                     self._partition_col if self.partition_by_day else None,
-                )
-            )
-        df = self.spark.read.schema(
-            _with_partition_col(
-                spec,
-                self._partition_col if self.partition_by_day else None,
-                batch_col=self.transactional,
-            )
+                    batch_col=self.transactional,
+                ).fields,
+                *extra,
+            ])
         ).parquet(os.path.join(self.output_dir, spec.table_name))
+        df = self._apply_continuity(df, spec, chains, extra)
         return df.drop("batch") if self.transactional else df
+
+    def _continuity_fields(
+        self, spec: TableSpec
+    ) -> tuple[dict[str, list[str]], list]:
+        """Per current-column buried-predecessor chains + the extra
+        StructFields (predecessor name at its tombstoned physical type)
+        a continuity read must request."""
+        renames = self._load_renames()
+        if not renames:
+            return {}, []
+        from ..sources.registry import _SIMPLE_TO_SPARK
+
+        ts = self._load_tombstones()
+        chains: dict[str, list[str]] = {}
+        extra = []
+        for f in spec.schema.fields:
+            chain = self._rename_chain(spec.object_name, f.name, renames)
+            if not chain:
+                continue
+            chains[f.name] = chain
+            for pred in chain:
+                buried = _SIMPLE_TO_SPARK.get(
+                    ts.get(f"{spec.object_name}.{pred}", ""), f.dataType
+                )
+                extra.append(T.StructField(pred, buried, True))
+        return chains, extra
+
+    @staticmethod
+    def _apply_continuity(
+        df: DataFrame, spec: TableSpec,
+        chains: dict[str, list[str]], extra: list,
+    ) -> DataFrame:
+        if not chains:
+            return df
+        buried = {f.name for f in extra}
+        cols = []
+        for name in df.columns:
+            if name in buried:
+                continue
+            f_chain = chains.get(name)
+            if f_chain:
+                tgt = spec.schema[name].dataType
+                cols.append(
+                    F.coalesce(
+                        F.col(name),
+                        *[F.col(p).cast(tgt) for p in f_chain],
+                    ).alias(name)
+                )
+            else:
+                cols.append(F.col(name))
+        return df.select(*cols)
 
     def dead_letter(self) -> DataFrame:
         if self.commit_log:

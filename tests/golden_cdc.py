@@ -12,12 +12,15 @@ from cdc_streamming___v2_spark.sources.conformance import (  # noqa: F401
     CONTROLS,
     DROP_CHANGES,
     EVOLUTION_CHANGES,
+    RENAME_CHANGES,
+    RENAME_CONTROLS,
     RENDERERS,
     WIDENING_CHANGES,
     controls_for,
     render,
     render_drop,
     render_evolution,
+    render_rename,
     render_widening,
 )
 
@@ -45,6 +48,16 @@ def drop_lines() -> list[str]:
     return [ln for d in sorted(RENDERERS) for ln in render_drop(d)]
 
 
+def rename_lines() -> list[str]:
+    """Column-rename phase: every dialect's rendering of RENAME_CHANGES
+    (new-name record + the lagging old-name transition witness), plus
+    the dialect DDL control records a rename emits on some wires — those
+    must dead-letter."""
+    return [
+        ln for d in sorted(RENDERERS) for ln in render_rename(d)
+    ] + RENAME_CONTROLS
+
+
 def write_golden() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for dialect in RENDERERS:
@@ -56,6 +69,8 @@ def write_golden() -> None:
         f.write("\n".join(widening_lines()) + "\n")
     with open(os.path.join(GOLDEN_DIR, "evolution_drop.jsonl"), "w") as f:
         f.write("\n".join(drop_lines()) + "\n")
+    with open(os.path.join(GOLDEN_DIR, "evolution_rename.jsonl"), "w") as f:
+        f.write("\n".join(rename_lines()) + "\n")
 
 
 if __name__ == "__main__":

@@ -460,3 +460,158 @@ def test_schema_evolution_column_drop_and_tombstone(spark, tmp_path, mode):
         hist3.filter("product_id = 'p1' AND product_weight_g = 100.0")
         .count() == n
     )
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [{}, {"transactional": True}, {"commit_log": True}],
+    ids=["plain", "transactional", "commit_log"]
+)
+def test_schema_evolution_column_rename_mid_stream(spark, tmp_path, mode):
+    """Golden column-rename replay (VERDICT r10 #3): RENAME COLUMN
+    product_category_name TO category lands mid-stream, declared via
+    ``renamed_from`` on the new registry field (the Avro-alias pattern —
+    from the document diff alone a rename is indistinguishable from
+    drop+add).  Old files keep the OLD name physically; reads coalesce
+    the buried predecessor into the new column (continuity).  A lagging
+    producer still emitting the old name lands via the parse fallback.
+    DDL control records for the rename dead-letter.  Re-introducing the
+    renamed-away name is refused loudly.  A SECOND rename then proves
+    chain continuity (a→b→c reads the original buried values)."""
+    from cdc_streamming___v2_spark.sources.conformance import (
+        CONFORMANCE_REGISTRY,
+        RENAME_CONTROLS,
+        renamed_registry,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    reg_path = str(tmp_path / "data-stream.json")
+    with open(reg_path, "w") as f:
+        json.dump(CONFORMANCE_REGISTRY, f)
+    phase1 = [ln for d in DIALECTS for ln in golden_cdc.render(d)]
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        f.write("\n".join(phase1) + "\n")
+
+    out = str(tmp_path / "out")
+    ing = CdcIngest(
+        spark=spark,
+        registry=SchemaRegistry.from_file(reg_path),
+        input_dir=in_dir,
+        output_dir=out,
+        checkpoint_dir=str(tmp_path / "ck"),
+        envelope_format="auto",
+        registry_path=reg_path,
+        hot_reload=True,
+        **mode,
+    )
+    n = len(DIALECTS)
+    q = ing.start_single_pass()
+    try:
+        q.processAllAvailable()
+        assert ing.history("olist_produtos").count() == 4 * n
+        dl_before = ing.dead_letter().count()
+
+        # the upstream RENAME lands: registry declares category with
+        # renamed_from; producers flip names (p6) — except one lagging
+        # producer still on the old name (p7); DDL controls ride along
+        with open(reg_path, "w") as f:
+            json.dump(renamed_registry(), f)
+        with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+            f.write("\n".join(golden_cdc.rename_lines()) + "\n")
+        q.processAllAvailable()
+    finally:
+        ing.stop()
+
+    hist = ing.history("olist_produtos")
+    assert "category" in hist.columns
+    assert "product_category_name" not in hist.columns
+    assert hist.count() == 6 * n
+    # continuity: pre-rename rows read their buried old-name values
+    # under the NEW column
+    cat = {
+        (r.product_id, r.action, r.category): r["cnt"]
+        for r in hist.groupBy("product_id", "action", "category")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert cat == {
+        ("p1", "INSERT", "toys"): n,
+        ("p1", "UPDATE-INSERT", "games"): n,
+        ("p2", "INSERT", "books"): n,
+        ("p2", "DELETE", None): n,       # key-only DELETE: blank row
+        ("p6", "INSERT", "puzzles"): n,  # new-name producer
+        ("p7", "INSERT", "garden"): n,   # lagging old-name producer
+    }
+    # the rename DDL control records dead-lettered, never applied
+    assert ing.dead_letter().count() == dl_before + len(RENAME_CONTROLS)
+    with open(os.path.join(out, "_schema_renames.json")) as f:
+        assert json.load(f) == {
+            "olist_produtos.category": "product_category_name"
+        }
+    with open(os.path.join(out, "_schema_tombstones.json")) as f:
+        assert json.load(f) == {
+            "olist_produtos.product_category_name": "string"
+        }
+
+    # re-introducing the renamed-away name: refused loudly (unlike a
+    # dropped column, the data is LIVE under its successor)
+    bad = renamed_registry()
+    bad["olist_produtos"]["schema"]["fields"].insert(
+        2, {"name": "product_category_name", "type": "STRING"}
+    )
+    with open(reg_path, "w") as f:
+        json.dump(bad, f)
+    # trigger line for the refused batch: a USERS record, so its later
+    # legitimate replay (the refused batch never commits its offset)
+    # leaves the produtos assertions below untouched
+    with open(os.path.join(in_dir, "b3.jsonl"), "w") as f:
+        f.write(golden_cdc.render("datastream")[4] + "\n")
+    with pytest.raises(Exception, match="renamed away"):
+        try:
+            q2 = ing.start_single_pass()
+            q2.processAllAvailable()
+        finally:
+            ing.stop()
+
+    # SECOND rename (category -> product_category): chain continuity
+    chained = renamed_registry()
+    for fld in chained["olist_produtos"]["schema"]["fields"]:
+        if fld["name"] == "category":
+            fld["name"] = "product_category"
+            fld["renamed_from"] = "category"
+    with open(reg_path, "w") as f:
+        json.dump(chained, f)
+    from cdc_streamming___v2_spark.sources.conformance import RENDERERS
+    p8 = RENDERERS["datastream"](
+        "olist_produtos", "INSERT", 1705017600,
+        {"product_id": "p8", "product_category": "decor",
+         "product_photos_qty": 9, "product_weight_g": 50.0}, None,
+    )
+    with open(os.path.join(in_dir, "b4.jsonl"), "w") as f:
+        f.write(p8 + "\n")
+    q3 = ing.start_single_pass()
+    try:
+        q3.processAllAvailable()
+    finally:
+        ing.stop()
+    hist3 = ing.history("olist_produtos")
+    assert "product_category" in hist3.columns
+    assert hist3.count() == 6 * n + 1
+    chain_vals = {
+        (r.product_id, r.product_category): r["cnt"]
+        for r in hist3.filter("action = 'INSERT'")
+        .groupBy("product_id", "product_category")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert chain_vals == {
+        ("p1", "toys"): n,      # buried two renames deep
+        ("p2", "books"): n,
+        ("p6", "puzzles"): n,   # buried one rename deep
+        ("p7", "garden"): n,
+        ("p8", "decor"): 1,     # current name
+    }
+    with open(os.path.join(out, "_schema_renames.json")) as f:
+        assert json.load(f) == {
+            "olist_produtos.category": "product_category_name",
+            "olist_produtos.product_category": "category",
+        }

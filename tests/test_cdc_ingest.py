@@ -1920,3 +1920,83 @@ def test_registry_evolution_drop_opt_in_and_tombstone_readd():
     assert after_drop.check_evolution(
         SchemaRegistry.from_dict(readd_widened), tombstones={"t.a": "int"}
     ) == {}
+
+
+def test_registry_evolution_rename_admission_rules():
+    """Column RENAME (VERDICT r10 #3): declared via ``renamed_from`` on
+    the new field (Avro-alias pattern).  Admitted without
+    allow_column_drops when the old name is retired and the type is
+    equal or safely widened; the old name is tombstoned AND recorded in
+    the rename map; copies, ambiguous double-claims, engine columns,
+    unsafe types, and re-introducing a renamed-away name are refused."""
+    def reg(fields):
+        return SchemaRegistry.from_dict({
+            "t": {"table_name": "t_cdc", "schema": {"fields": fields}}
+        })
+
+    eng = [{"name": "action", "type": "STRING"},
+           {"name": "update_date", "type": "STRING"}]
+    base = reg([{"name": "a", "type": "INT32"},
+                {"name": "x", "type": "STRING"}, *eng])
+
+    # plain rename, same canonical type family is NOT required — widening
+    # through the rename is admitted (a INT32 -> b INT64)
+    ren = reg([{"name": "b", "type": "INT64", "renamed_from": "a"},
+               {"name": "x", "type": "STRING"}, *eng])
+    assert base.check_evolution_full(ren) == (
+        {"t.a": "int"}, {"t.b": "a"}
+    )
+    # wrapper keeps the tombstones-only contract
+    assert base.check_evolution(ren) == {"t.a": "int"}
+
+    # unsafe type through the rename: refused
+    with pytest.raises(ValueError, match="unsafe type change"):
+        base.check_evolution_full(
+            reg([{"name": "b", "type": "STRING", "renamed_from": "a"},
+                 {"name": "x", "type": "STRING"}, *eng])
+        )
+
+    # old name still present: a copy, not a rename
+    with pytest.raises(ValueError, match="still present"):
+        base.check_evolution_full(
+            reg([{"name": "a", "type": "INT32"},
+                 {"name": "b", "type": "INT32", "renamed_from": "a"},
+                 {"name": "x", "type": "STRING"}, *eng])
+        )
+
+    # two fields claiming the same predecessor: ambiguous
+    with pytest.raises(ValueError, match="ambiguous"):
+        base.check_evolution_full(
+            reg([{"name": "b", "type": "INT32", "renamed_from": "a"},
+                 {"name": "c", "type": "INT32", "renamed_from": "a"},
+                 {"name": "x", "type": "STRING"}, *eng])
+        )
+
+    # engine columns can never be renamed
+    with pytest.raises(ValueError, match="engine column"):
+        base.check_evolution_full(
+            reg([{"name": "a", "type": "INT32"},
+                 {"name": "x", "type": "STRING"},
+                 {"name": "when", "type": "STRING",
+                  "renamed_from": "update_date"},
+                 {"name": "action", "type": "STRING"}])
+        )
+
+    # re-introducing a renamed-away name (persisted map context): refused
+    cur = reg([{"name": "b", "type": "INT64"},
+               {"name": "x", "type": "STRING"}, *eng])
+    readd = reg([{"name": "b", "type": "INT64"},
+                 {"name": "a", "type": "INT32"},
+                 {"name": "x", "type": "STRING"}, *eng])
+    with pytest.raises(ValueError, match="renamed away"):
+        cur.check_evolution_full(
+            readd, tombstones={"t.a": "int"}, renames={"t.b": "a"}
+        )
+
+    # inert alias (Avro semantics): renamed_from with no matching old
+    # column is a plain ADD
+    inert = reg([{"name": "a", "type": "INT32"},
+                 {"name": "x", "type": "STRING"},
+                 {"name": "z", "type": "STRING",
+                  "renamed_from": "never_was"}, *eng])
+    assert base.check_evolution_full(inert) == ({}, {})

@@ -164,3 +164,63 @@ def test_check_evolution_matches_model(
             new_reg, allow_column_drops=allow_drops, tombstones=tombstones
         )
         assert dropped == expect_dropped
+
+
+@settings(
+    max_examples=120, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    tables=base_tables,
+    new_type=st.sampled_from(TYPES),
+    keep_old=st.booleans(),
+    data=st.data(),
+)
+def test_check_evolution_rename_matches_model(
+    tables, new_type, keep_old, data
+):
+    """Rename arm (VERDICT r10 #3): a successor field declaring
+    ``renamed_from`` over a random base registry must be admitted iff
+    the old name is retired AND the new type equals or safely widens the
+    old — producing exactly one tombstone (the buried old name) and one
+    rename-map entry; otherwise rejected with the documented message."""
+    import copy
+
+    obj = data.draw(st.sampled_from(sorted(tables)))
+    src = data.draw(st.sampled_from(sorted(tables[obj]["cols"])))
+    dst = f"renamed_{src}"
+    old_c = _CANON[tables[obj]["cols"][src]]
+    new_c = _CANON[new_type]
+
+    new_tables = copy.deepcopy(tables)
+    expect_problems = []
+    if keep_old:
+        expect_problems.append("still present")
+    else:
+        del new_tables[obj]["cols"][src]
+        if old_c != new_c and (old_c, new_c) not in _WIDEN_OK:
+            expect_problems.append("unsafe type change")
+
+    old_reg = SchemaRegistry.from_dict(_doc(tables))
+    new_doc = _doc(new_tables)
+    new_doc[obj]["schema"]["fields"].insert(
+        0, {"name": dst, "type": new_type, "renamed_from": src}
+    )
+    new_reg = SchemaRegistry.from_dict(new_doc)
+
+    if expect_problems:
+        with pytest.raises(ValueError) as exc:
+            old_reg.check_evolution_full(new_reg)
+        for frag in expect_problems:
+            assert frag in str(exc.value)
+    else:
+        dropped, renamed = old_reg.check_evolution_full(new_reg)
+        assert dropped == {f"{obj}.{src}": old_c}
+        assert renamed == {f"{obj}.{dst}": src}
+        # and the declaration is required: without it the same diff is
+        # an (indistinguishable) drop+add, rejected by default
+        del new_doc[obj]["schema"]["fields"][0]["renamed_from"]
+        with pytest.raises(ValueError, match="column dropped"):
+            SchemaRegistry.from_dict(_doc(tables)).check_evolution_full(
+                SchemaRegistry.from_dict(new_doc)
+            )
