@@ -457,6 +457,9 @@ HEADLINE += [
     "streaming_dedup_execution",
     "cdc_checkpoint_restart",
     "registry_hot_add_table",
+    # r11 additions
+    "schema_evolution_rename",
+    "streaming_interval_join_execution",
     "cube_agg",
     "date_funcs",
     "dead_letter_replay",

@@ -702,3 +702,174 @@ QUERIES["streaming_dedup_execution"] = streaming_dedup_execution
 ORACLES["streaming_dedup_execution"] = """
     SELECT DISTINCT event_id, ts FROM events ORDER BY event_id
 """
+
+
+def streaming_interval_join_execution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL streaming execution of the stream-stream INTERVAL JOIN
+    (streaming/windows.interval_join_streams) — the fourth stateful
+    class promoted from batch-twin-only to a genuine multi-micro-batch
+    run (VERDICT r10 #4): errors and clicks are each split at the
+    GLOBAL epoch-micros terciles into three mtime-ordered files and
+    replayed as paired micro-batches (two file sources, each
+    maxFilesPerTrigger=1, availableNow); leftOuter join with both sides
+    watermarked 1h and the click bounded to the error's preceding
+    10-minute interval ``[e_ts - 10m, e_ts)``.
+
+    Pinned semantics (MEASURED here on Spark 4.1.2 before writing the
+    oracle — sf0.01: 2,006 emitted rows = 6 matched + 2,000 nulls, 8
+    tail errors withheld):
+
+    - every batch-truth pair emits, none twice: chronological replay
+      keeps a pair's two legs at most one file apart, and 1h watermark
+      state eviction never outruns a 10-minute join interval — full
+      inner-set parity;
+    - a null-padded row for a matchless error emits iff
+      ``e_ts <= least(max(error ts), max(click ts)) - 1h`` — the GLOBAL
+      watermark is the MIN across both inputs
+      (multipleWatermarkPolicy=min, the default pinned here), and only
+      once it passes the error's interval end can the engine prove no
+      matching click can still arrive; the availableNow final flush
+      batch runs under this final watermark, so no one-batch trailing
+      remains at stream end.  Errors above that line stay in state,
+      unemitted — correctness over completeness at the stream tail.
+
+    The oracle recomputes both rules arithmetically from the events
+    table; a future engine that emitted tail nulls eagerly (the
+    documented at-least-once temptation) or combined watermarks with
+    max breaks the row count and the hash.
+
+    Scale: join state is per-key rows within the watermark horizon on
+    both sides — eviction bounds it exactly as it would an unbounded
+    production stream; no collect beyond the memory-sink parity
+    harness (the result set itself).  State partitioning is sized to
+    the state (a stream-stream join keeps FOUR state stores per shuffle
+    partition, so partition count multiplies store-init + commit cost
+    per micro-batch): measured at sf0.1, 32 partitions ran 18-21 s vs
+    6.4-7.0 s at 8 and ~5.1 s at 4 for identical results — the query
+    scopes 8 for this corpus scale (restored after), exactly the knob a
+    production deployment sizes UP as per-partition state grows.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="sij_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        b = ev.agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        ).collect()[0]
+        t1 = F.timestamp_micros(F.lit(b["mn"] + (b["mx"] - b["mn"]) // 3))
+        t2 = F.timestamp_micros(
+            F.lit(b["mn"] + 2 * (b["mx"] - b["mn"]) // 3)
+        )
+        for side, etype in (("err", "error"), ("clk", "click")):
+            sdf = ev.filter(F.col("event_type") == etype).select(
+                "event_id", "user_id", "ts"
+            )
+            parts = [
+                sdf.filter(F.col("ts") <= t1),
+                sdf.filter((F.col("ts") > t1) & (F.col("ts") <= t2)),
+                sdf.filter(F.col("ts") > t2),
+            ]
+            in_dir = os.path.join(work, side)
+            os.makedirs(in_dir)
+            for i, part in enumerate(parts):
+                d = os.path.join(work, f"{side}_w{i}")
+                part.coalesce(1).write.parquet(d)
+                src = [
+                    n for n in os.listdir(d) if n.endswith(".parquet")
+                ][0]
+                dst = os.path.join(in_dir, f"{chr(97 + i)}.parquet")
+                os.rename(os.path.join(d, src), dst)
+                os.utime(dst, (1000 * (i + 1),) * 2)  # replay order
+
+        from ..streaming.windows import interval_join_streams
+
+        schema = "event_id long, user_id long, ts timestamp"
+        errs = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "err"))
+        )
+        clks = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "clk"))
+        )
+        j = interval_join_streams(
+            errs, clks, window_minutes=10, watermark="1 hour",
+            how="leftOuter",
+        )
+        qn = f"sij_{os.path.basename(work).split('_')[-1]}"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                j.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qn)
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        rows = [
+            (r["user_id"], r["error_id"], r["e_ts"], r["click_id"],
+             r["c_ts"])
+            for r in spark.table(qn).collect()
+        ]
+        spark.catalog.dropTempView(qn)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, error_id long, e_ts timestamp, "
+        "click_id long, c_ts timestamp",
+    ).orderBy("error_id", "click_id")
+
+
+QUERIES["streaming_interval_join_execution"] = (
+    streaming_interval_join_execution
+)
+ORACLES["streaming_interval_join_execution"] = """
+    WITH e AS (
+        SELECT user_id, event_id AS error_id, ts AS e_ts
+        FROM events WHERE event_type = 'error'
+    ),
+    c AS (
+        SELECT user_id, event_id AS click_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+        SELECT least((SELECT max(e_ts) FROM e),
+                     (SELECT max(c_ts) FROM c))
+               - INTERVAL 1 HOUR AS w
+    ),
+    pairs AS (
+        SELECT e.user_id, e.error_id, e.e_ts, c.click_id, c.c_ts
+        FROM e JOIN c
+          ON e.user_id = c.user_id
+         AND c.c_ts >= e.e_ts - INTERVAL 10 MINUTES
+         AND c.c_ts < e.e_ts
+    ),
+    nulls AS (
+        SELECT e.user_id, e.error_id, e.e_ts,
+               CAST(NULL AS BIGINT) AS click_id,
+               CAST(NULL AS TIMESTAMP) AS c_ts
+        FROM e
+        WHERE e.error_id NOT IN (SELECT error_id FROM pairs)
+          AND e.e_ts <= (SELECT w FROM wm)
+    )
+    SELECT * FROM pairs
+    UNION ALL
+    SELECT * FROM nulls
+    ORDER BY error_id, click_id
+"""
