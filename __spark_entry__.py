@@ -70,60 +70,10 @@ _GATE_PRIORITY = (
     # rotates to the back.  The registry is fully driver-proven
     # cumulatively; `_MIN_QUERIES` (tests/test_behavior.py) pins the
     # exact registry size.
-    # r11 additions lead the window
+    # r11 order: 2 additions, then the oldest-proven (their newest
+    # records predate the r10 window), then the 50 r10-proven greens.
     "schema_evolution_rename",
     "streaming_interval_join_execution",
-    # r10 window rotates behind them
-    "schema_evolution_add_column",
-    "schema_evolution_widening",
-    "schema_evolution_column_drop",
-    "commitlog_change_feed",
-    "commitlog_compact_vacuum",
-    "streaming_watermark_execution",
-    "streaming_session_merge_execution",
-    "streaming_dedup_execution",
-    "cdc_checkpoint_restart",
-    "registry_hot_add_table",
-    "k_core_peel",
-    "interval_coalesce_islands",
-    "max_drawdown_user",
-    "stl_lite_decompose",
-    "hhi_concentration",
-    "fd_violations",
-    "containment_near_dup",
-    "nearest_centroid_classify",
-    "winnowing_pairs",
-    "spearman_daily",
-    "quality_ensemble_vote",
-    "compaction_bin_packing",
-    "event_run_lengths",
-    "fifo_payment_allocation",
-    "harmonic_centrality",
-    "maxwell_envelope_roundtrip",
-    "canal_envelope_roundtrip",
-    "decision_stump_train",
-    "readability_scores",
-    "asof_nearest_join",
-    "ranking_eval_bm25",
-    "bcubed_cluster_eval",
-    "anderson_darling_drift",
-    "rake_keywords",
-    "cdc_conformance_matrix",
-    "ams_f2_sketch",
-    "grid_dbscan_clusters",
-    "rapid_repeat_purchases",
-    "market_beta_types",
-    "srm_check",
-    "heaps_law_fit",
-    "nmi_cluster_label_eval",
-    "item_cf_topk",
-    "info_gain_features",
-    "retention_decay_fit",
-    "hurst_exponent",
-    "variance_changepoint",
-    "funnel_step_significance",
-    "absorption_conversion_prob",
-    "anova_f_oneway",
     "levene_variance_test",
     "wilson_rate_ci",
     "term_burst_days",
@@ -545,6 +495,56 @@ _GATE_PRIORITY = (
     "auc_roc_quality",
     "calibration_bins",
     "psi_drift",
+    "schema_evolution_add_column",
+    "schema_evolution_widening",
+    "schema_evolution_column_drop",
+    "commitlog_change_feed",
+    "commitlog_compact_vacuum",
+    "streaming_watermark_execution",
+    "streaming_session_merge_execution",
+    "streaming_dedup_execution",
+    "cdc_checkpoint_restart",
+    "registry_hot_add_table",
+    "k_core_peel",
+    "interval_coalesce_islands",
+    "max_drawdown_user",
+    "stl_lite_decompose",
+    "hhi_concentration",
+    "fd_violations",
+    "containment_near_dup",
+    "nearest_centroid_classify",
+    "winnowing_pairs",
+    "spearman_daily",
+    "quality_ensemble_vote",
+    "compaction_bin_packing",
+    "event_run_lengths",
+    "fifo_payment_allocation",
+    "harmonic_centrality",
+    "maxwell_envelope_roundtrip",
+    "canal_envelope_roundtrip",
+    "decision_stump_train",
+    "readability_scores",
+    "asof_nearest_join",
+    "ranking_eval_bm25",
+    "bcubed_cluster_eval",
+    "anderson_darling_drift",
+    "rake_keywords",
+    "cdc_conformance_matrix",
+    "ams_f2_sketch",
+    "grid_dbscan_clusters",
+    "rapid_repeat_purchases",
+    "market_beta_types",
+    "srm_check",
+    "heaps_law_fit",
+    "nmi_cluster_label_eval",
+    "item_cf_topk",
+    "info_gain_features",
+    "retention_decay_fit",
+    "hurst_exponent",
+    "variance_changepoint",
+    "funnel_step_significance",
+    "absorption_conversion_prob",
+    "anova_f_oneway",
 )
 
 

@@ -440,6 +440,26 @@ HEADLINE = [
 # over that subset too ("value_r9set") so round-over-round totals stay
 # comparable across the boundary.
 HEADLINE_R9 = list(HEADLINE)
+
+# CDC lifecycle tier (VERDICT r10 #5): these queries replay FIXED golden
+# corpora through real streaming restarts — their cost is stream-startup
+# + state-machine witnesses and does NOT scale with SF (10x ratios
+# ~0.9-1.1 in bench_sf1.json).  bench_results reports their subtotal as
+# ``value_lifecycle`` and the complement as ``value_sf_scaling`` so the
+# SF-scaling headline stays interpretable without dropping a single
+# semantics witness from the gate.  (commitlog_change_feed /
+# commitlog_compact_vacuum are NOT here: they derive from orders and
+# scale with SF.)
+LIFECYCLE = {
+    "schema_evolution_add_column",
+    "schema_evolution_widening",
+    "schema_evolution_column_drop",
+    "schema_evolution_rename",
+    "dead_letter_replay",
+    "cdc_conformance_matrix",
+    "cdc_checkpoint_restart",
+    "registry_hot_add_table",
+}
 HEADLINE += [
     "agg_distinct",
     "airbyte_record_roundtrip",
@@ -605,6 +625,135 @@ def _canary_probe(
         else ("degraded" if worst >= threshold else "clean")
     )
     return probe
+
+
+MID_PROBE_EVERY = 100  # timed runs between mid-bench canary probes
+# Last-third vs first-third mid-probe ratio ramp that flags `drift`: the
+# canaries' warmed single-run repeat spread is single-digit-percent on an
+# idle host (see above), the r8 genuine-burst signature is 1.4-1.5x warm,
+# and the r10 close measured a monotone ~13% diffuse-load drift ACROSS
+# canary-clean runs that the pre/post bracket probes can never see
+# (SURVEY §22.15 — they bracket the run but never sample DURING it).
+# 1.25 sits above the spread, below the burst band, and would have caught
+# a within-run ramp of the r10 shape.
+DRIFT_RAMP_X = 1.25
+
+
+def _mid_probe(qs, spark, sf_dir: str, pins: dict, at_run: int,
+               t_start: float) -> dict:
+    """One cheap canary pair DURING the timed passes (VERDICT r10 #2):
+    a single run of each canary (the JVM is deeply warmed by this point,
+    so no warm-in needed), summarized as the mean x-pin of the pair so
+    one canary's single-run noise is damped by the other's."""
+    walls = {}
+    for name in CANARIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        walls[name] = round(time.time() - t0, 3)
+    ratios = [walls[n] / pins[n] for n in CANARIES if pins.get(n)]
+    return {
+        "at_run": at_run,
+        "elapsed_s": round(time.time() - t_start, 1),
+        "walls_s": walls,
+        "x_pin_mean": (
+            round(sum(ratios) / len(ratios), 3) if ratios else None
+        ),
+    }
+
+
+def _drift_report(mid_probes: list, post: dict, total_runs: int) -> dict:
+    """Least-squares slope + first-third/last-third ramp over the
+    mid-bench probe series (post-probe folded in as the final point).
+    Verdict `drift` when the ramp exceeds DRIFT_RAMP_X or any warmed
+    probe breaches the degraded threshold — the instrument the pre/post
+    bracket lacks: a load ramp that starts after the pre-probe and ends
+    before the post-probe inflates every per-query min yet reads
+    'clean' at both brackets."""
+    series = [
+        (p["at_run"], p["x_pin_mean"])
+        for p in mid_probes
+        if p.get("x_pin_mean")
+    ]
+    post_x = post.get("worst_x_pin")
+    if post.get("verdict") != "no-pins" and post_x:
+        # use the post probe's per-canary mins (min-of-3, tighter than a
+        # single run) as the closing point of the series
+        xs = [
+            post[n]["x_pin"] for n in CANARIES
+            if isinstance(post.get(n), dict) and post[n].get("x_pin")
+        ]
+        if xs:
+            series.append(
+                (total_runs, round(sum(xs) / len(xs), 3))
+            )
+    if len(series) < 3:
+        return {
+            "verdict": "insufficient-probes",
+            "n_probes": len(series),
+        }
+    n = len(series)
+    mx = sum(x for x, _ in series) / n
+    my = sum(y for _, y in series) / n
+    denom = sum((x - mx) ** 2 for x, _ in series) or 1.0
+    slope = sum((x - mx) * (y - my) for x, y in series) / denom
+    third = max(1, n // 3)
+    ys = [y for _, y in series]
+    first = sum(ys[:third]) / third
+    last = sum(ys[-third:]) / third
+    ramp = round(last / first, 3) if first else None
+    return {
+        "verdict": (
+            "drift"
+            if (ramp and ramp >= DRIFT_RAMP_X)
+            or max(ys) >= CANARY_DEGRADED_X
+            else "stable"
+        ),
+        "n_probes": n,
+        "slope_x_per_100_runs": round(slope * 100, 4),
+        "first_third_x": round(first, 3),
+        "last_third_x": round(last, 3),
+        "ramp_x": ramp,
+        "ramp_threshold_x": DRIFT_RAMP_X,
+        "min_x": round(min(ys), 3),
+        "max_x": round(max(ys), 3),
+    }
+
+
+def _drift_normalized_watchlist(
+    repeats: dict, repeat_pos: dict, mid_probes: list,
+    pins: dict, per_query: dict,
+) -> dict:
+    """For every query on the judge's >1.2x-and->0.4s watch rule, the
+    x-pin ratio NORMALIZED by the nearest mid-probe's host ratio — so a
+    query whose inflation tracks the canaries 1:1 (host, not plan) reads
+    ~1.0 normalized, while a genuine plan regression stays >1 after
+    normalization (VERDICT r10 #2: judge the watch list against the
+    nearest probe's ratio instead of a flat pin)."""
+    pts = sorted(
+        (p["at_run"], p["x_pin_mean"])
+        for p in mid_probes
+        if p.get("x_pin_mean")
+    )
+    if not pts:
+        return {}
+    out = {}
+    for name, walls in repeats.items():
+        pin = pins.get(name)
+        if not pin or not walls:
+            continue
+        raw = per_query[name] / pin
+        if raw <= 1.2 or (per_query[name] - pin) <= 0.4:
+            continue
+        norm = []
+        for w, pos in zip(walls, repeat_pos.get(name, [])):
+            ratio = min(pts, key=lambda t: abs(t[0] - pos))[1]
+            norm.append(w / max(ratio, 1e-9))
+        if norm:
+            out[name] = {
+                "x_pin_raw": round(raw, 3),
+                "x_pin_drift_normalized": round(min(norm) / pin, 3),
+            }
+    return out
 
 
 def _canary_verdict(pre: dict, post: dict) -> str:
@@ -850,15 +999,36 @@ def main() -> None:
     # Repeat counts are unchanged: 2 per query, +1 third pass for the
     # spiky set.  Headline stat stays min (SURVEY §10 r3); raw lists
     # recorded so min AND median are auditable (ADVICE r3).
+    # Mid-bench canary probes every MID_PROBE_EVERY timed runs
+    # (VERDICT r10 #2): the pre/post brackets never sample DURING the
+    # passes, so a load ramp contained between them inflates every
+    # per-query min yet brackets 'clean' — the probes make the drift
+    # visible and give the watch list a normalization reference.
     per_query: dict[str, float] = {}
     repeats: dict[str, list[float]] = {name: [] for name in run}
+    repeat_pos: dict[str, list[int]] = {name: [] for name in run}
+    mid_probes: list[dict] = []
+    run_counter = 0
+    t_passes0 = time.time()
     for pass_no in range(3):
         for name in run:
             if pass_no == 2 and name not in spiky:
                 continue
+            if (
+                pins
+                and run_counter > 0
+                and run_counter % MID_PROBE_EVERY == 0
+            ):
+                mid_probes.append(
+                    _mid_probe(
+                        qs, spark, sf_dir, pins, run_counter, t_passes0
+                    )
+                )
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             repeats[name].append(round(time.time() - t0, 3))
+            repeat_pos[name].append(run_counter)
+            run_counter += 1
     for name in run:
         per_query[name] = round(min(repeats[name]), 3)
     total = round(sum(per_query.values()), 3)
@@ -875,6 +1045,15 @@ def main() -> None:
     # the throughput figures sit inside the canary-guarded window too —
     # a burst that started mid-run shows up here
     canary_post = _canary_probe(qs, spark, sf_dir, pins)  # warmed: tight bound
+    drift = _drift_report(mid_probes, canary_post, run_counter)
+    bracket = _canary_verdict(canary_pre, canary_post)
+    # degraded (a bracket breached) > drift (mid-run ramp the brackets
+    # missed) > clean; no-pins passes through
+    overall_canary = (
+        "drift"
+        if bracket == "clean" and drift.get("verdict") == "drift"
+        else bracket
+    )
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     cdc_ingest = {
@@ -893,6 +1072,14 @@ def main() -> None:
             3,
         ),
         "value_median": total_median,
+        # headline composition (VERDICT r10 #5): lifecycle = fixed-corpus
+        # stream-restart witnesses (SF-independent); sf_scaling = the rest
+        "value_lifecycle": round(
+            sum(v for n, v in per_query.items() if n in LIFECYCLE), 3
+        ),
+        "value_sf_scaling": round(
+            sum(v for n, v in per_query.items() if n not in LIFECYCLE), 3
+        ),
         "unit": "sec",
         "queries": per_query,
         "query_repeats": repeats,
@@ -902,9 +1089,14 @@ def main() -> None:
         "cdc_ingest_kafka_format": cdc_kafka,
         "cdc_ingest_debezium": cdc_debezium,
         "canary_verdict": {
-            "verdict": _canary_verdict(canary_pre, canary_post),
+            "verdict": overall_canary,
             "pre": canary_pre,
             "post": canary_post,
+            "mid_probes": mid_probes,
+            "drift": drift,
+            "watchlist_drift_normalized": _drift_normalized_watchlist(
+                repeats, repeat_pos, mid_probes, pins, per_query
+            ),
             # the pre-probe runs these 1+CANARY_REPEATS times before the
             # timed passes, so their headline mins are measured warmer
             # than other queries'; their pins are recorded under this
@@ -954,7 +1146,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(per_query),
         "cdc_ingest_rows_per_s": cdc_ingest["rows_per_s"],
-        "canary_verdict": _canary_verdict(canary_pre, canary_post),
+        "canary_verdict": overall_canary,
         "queries_path": "bench_results.json",
     }
     print(json.dumps(compact), flush=True)
