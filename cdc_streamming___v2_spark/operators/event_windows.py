@@ -8,12 +8,40 @@ lag/gaps-and-islands construction (identical window-function SQL).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 
 SESSION_GAP_MIN = 30
+
+# State-store partition count for the real-streaming execution queries.
+# Stateful operators keep one store (four for a stream-stream join) PER
+# SHUFFLE PARTITION, and every micro-batch pays store init + commit per
+# partition — for these bounded replays that fixed cost dwarfs the data.
+# Measured solo at sf0.1, min-of-3 (r11 optimization round, guide §2):
+#   streaming_interval_join_execution  32: 18-21 s   8: 6.4-7.0 s
+#   streaming_watermark_execution      32: 5.36 s    8: 3.23 s   4: 3.00 s
+#   streaming_session_merge_execution  32: 5.64 s    8: 4.09 s   4: 3.90 s
+#   streaming_dedup_execution          32: 5.12 s    8: 3.78 s   4: 3.65 s
+# 8 holds nearly all of the win with parallel headroom; identical results
+# (watermark semantics are global per batch, not per partition).  This is
+# exactly the knob a production deployment sizes UP as per-partition
+# state grows.
+STREAM_EXEC_SHUFFLE_PARTITIONS = "8"
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: str):
+    """Temporarily set spark.sql.shuffle.partitions (restored after)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,15 +449,18 @@ def streaming_watermark_execution(
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .select(F.col("window.start").alias("win_start"), "n_rows")
         )
-        q = (
-            stream.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qn)
-            .option("checkpointLocation", os.path.join(work, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _scoped_shuffle_partitions(
+            spark, STREAM_EXEC_SHUFFLE_PARTITIONS
+        ):
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qn)
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rows = [
             (r["win_start"], r["n_rows"])
             for r in spark.table(qn).collect()
@@ -547,15 +578,18 @@ def streaming_session_merge_execution(
                 "n_events",
             )
         )
-        q = (
-            stream.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qn)
-            .option("checkpointLocation", os.path.join(work, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _scoped_shuffle_partitions(
+            spark, STREAM_EXEC_SHUFFLE_PARTITIONS
+        ):
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qn)
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = spark.table(qn).collect()
         spark.catalog.dropTempView(qn)
         rows = [
@@ -678,15 +712,18 @@ def streaming_dedup_execution(
             .withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
-        q = (
-            stream.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qn)
-            .option("checkpointLocation", os.path.join(work, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _scoped_shuffle_partitions(
+            spark, STREAM_EXEC_SHUFFLE_PARTITIONS
+        ):
+            q = (
+                stream.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(qn)
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rows = [
             (r["event_id"], r["ts"]) for r in spark.table(qn).collect()
         ]
@@ -807,9 +844,9 @@ def streaming_interval_join_execution(
             how="leftOuter",
         )
         qn = f"sij_{os.path.basename(work).split('_')[-1]}"
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
+        with _scoped_shuffle_partitions(
+            spark, STREAM_EXEC_SHUFFLE_PARTITIONS
+        ):
             q = (
                 j.writeStream.outputMode("append")
                 .format("memory")
@@ -819,8 +856,6 @@ def streaming_interval_join_execution(
                 .start()
             )
             q.awaitTermination()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         rows = [
             (r["user_id"], r["error_id"], r["e_ts"], r["click_id"],
              r["c_ts"])
