@@ -1753,6 +1753,10 @@ def slope_one_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # materialize the ratings matrix: five consumers (both deviation
+    # self-join sides, the sample's three uses) would each re-run the
+    # lineitem x orders join+aggregate — measured r11: 52 Exchanges in
+    # the unmaterialized plan; (customer x brand) ~25 rows per customer
     r = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -1760,6 +1764,7 @@ def slope_one_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("u"), F.col("p_brand").alias("b")
         )
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("rq"))
+        .localCheckpoint(eager=True)
     )
     x = r.select("u", F.col("b").alias("tgt"), F.col("rq").alias("rt"))
     y = r.select("u", F.col("b").alias("src"), F.col("rq").alias("rs"))

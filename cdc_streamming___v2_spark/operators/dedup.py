@@ -1651,8 +1651,14 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = counts.withColumn(
         "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
     ).select("bkt", "off")
-    ranked = in_rank.join(F.broadcast(offsets), "bkt").select(
-        "p_name", (F.col("off") + F.col("r_in")).alias("rk")
+    # materialize the rank dictionary: five consumers below (both edge
+    # endpoints, both label->name joins, the singleton union) would each
+    # re-expand the two-pass window/offset tree — measured r11: 76
+    # Exchanges in the unmaterialized plan; entity-dictionary-sized frame
+    ranked = (
+        in_rank.join(F.broadcast(offsets), "bkt")
+        .select("p_name", (F.col("off") + F.col("r_in")).alias("rk"))
+        .localCheckpoint(eager=True)
     )
 
     edges = (
@@ -1682,7 +1688,9 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("member", "entity")
     )
-    # singletons (names untouched by any match) resolve to themselves
+    # singletons (names untouched by any match) resolve to themselves;
+    # materialized because both the size aggregate and the final join
+    # consume it (one recompute would redo the match-edge joins)
     full = (
         ranked.select(F.col("p_name").alias("member"))
         .join(ent, "member", "left")
@@ -1690,6 +1698,7 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "member",
             F.coalesce("entity", "member").alias("entity"),
         )
+        .localCheckpoint(eager=True)
     )
     sizes = full.groupBy("entity").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")

@@ -979,7 +979,16 @@ def nmi_cluster_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _grid_assignments(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     j = a.join(e, "vec_id")
-    cont = j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("nij"))
+    # materialize the contingency frame: it is bounded (clusters x labels,
+    # dozens of rows) yet feeds FOUR consumers (ci/lj/tot/mi_f), each of
+    # which would otherwise re-expand the entire grid-DBSCAN assignment
+    # DAG — measured r11: the unmaterialized plan was 3,782 lines with
+    # 290 Exchanges / 80 SortMergeJoins; checkpointed it is ~60 lines
+    cont = (
+        j.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .localCheckpoint(eager=True)
+    )
     ci = cont.groupBy("cluster").agg(F.sum("nij").alias("ni"))
     lj = cont.groupBy("label").agg(F.sum("nij").alias("nj"))
     tot = cont.agg(F.sum("nij").alias("n"))

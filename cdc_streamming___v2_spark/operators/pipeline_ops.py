@@ -1192,7 +1192,15 @@ def bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cls",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cl"),
     )
-    cell = asg.groupBy("cl", "cls").agg(F.count(F.lit(1)).alias("n"))
+    # materialize the contingency cells: three consumers (cs/ls/t) would
+    # each re-expand the MinHash-cluster DAG + ground-truth join behind
+    # asg (measured r11: 28 Exchanges / 10 SortMergeJoins in the
+    # unmaterialized plan); bounded by distinct (cluster, class) pairs
+    cell = (
+        asg.groupBy("cl", "cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     cs = cell.groupBy("cl").agg(F.sum("n").alias("nc"))
     ls = cell.groupBy("cls").agg(F.sum("n").alias("nl"))
     t = (
