@@ -97,6 +97,11 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / PR_N)
                 ).alias("r"),
             )
+            # deliberately NOT per-round checkpointed either (measured
+            # r11): with ep/outw lazy, each round's eager cut re-executes
+            # the edge build as a separate job (cross-job plans cannot
+            # share ReusedExchange) — solo 1.04 -> 2.74 s; reverted. The
+            # 270-Exchange unrolled plan is the cheaper evil here.
         )
     return (
         r.join(n, r.node == n.n_nationkey)
@@ -310,6 +315,11 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = (
             dist.join(relaxed, "node", "left")
             .select("node", F.least("d", "nd").cast("int").alias("d"))
+            # dist is deliberately NOT per-round checkpointed either
+            # (measured r11): with und lazy, each round's eager cut
+            # re-executes the edge build as a separate job (cross-job
+            # plans cannot share ReusedExchange) — solo 0.65 -> 2.40 s;
+            # reverted. Same verdict as the und checkpoint above.
         )
     return (
         dist.join(n, dist.node == n.n_nationkey)
@@ -790,6 +800,12 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
+            # per-round lineage cut: each round references lab TWICE
+            # (votes + carry-forward), so the un-truncated tree doubles
+            # per round (measured r11: 2,378-line / 130-Exchange plan for
+            # a node-sized frame; checkpointed: ~1s faster solo, plan
+            # collapses to the single-round shape)
+            .localCheckpoint(eager=True)
         )
     size = lab.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
@@ -905,6 +921,9 @@ def bellman_ford_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = (
             dist.join(relaxed, "node", "left")
             .select("node", F.least("d", "dr").alias("d"))
+            # per-round lineage cut on the node-sized distance vector
+            # (referenced twice per round — relaxation + carry-forward)
+            .localCheckpoint(eager=True)
         )
     return (
         dist.join(n, dist.node == n.n_nationkey)
@@ -1013,6 +1032,11 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select("node")
+            # alive is deliberately NOT per-round checkpointed (measured
+            # r11): the peel rounds run over the already-checkpointed nb,
+            # so the unrolled 252-Exchange plan executes in one job with
+            # exchange reuse; four eager cuts ADDED blocking round-trips
+            # (solo 1.37 -> 1.70 s) — reverted.
         )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
@@ -1103,6 +1127,9 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(step)
             .groupBy("src", "dst")
             .agg(F.min("d").alias("d"))
+            # per-round lineage cut on the bounded pair frame (referenced
+            # twice per round — carry-forward + frontier step)
+            .localCheckpoint(eager=True)
         )
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
@@ -1369,6 +1396,10 @@ def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
+            # per-round lineage cut — see lpa_communities (same loop;
+            # unchecked here the plan measured 3,863 lines / 252
+            # Exchanges / 80 SortMergeJoins for a node-sized frame)
+            .localCheckpoint(eager=True)
         )
     m_edges = und.groupBy().agg(F.count(F.lit(1)).alias("m"))
     lu = lab.select(F.col("node").alias("u"), F.col("label").alias("cu"))
