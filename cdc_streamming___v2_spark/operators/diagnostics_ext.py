@@ -95,6 +95,10 @@ def _trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal moments; the residual rounds once to dollars (a ~1e-7
     relative grid here) so downstream power sums are exact integers."""
     o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    # materialize the calendar-bounded daily frame once: both the OLS
+    # moment aggregate and the residual projection consume it, so
+    # un-truncated every _trend_residuals caller re-ran the orders
+    # aggregate twice (r11 lineage-cut pass)
     daily = (
         o.groupBy(F.col("o_orderdate").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc"))
@@ -103,6 +107,7 @@ def _trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("day"), F.lit("1995-01-01")).cast("long").alias("t"),
             "xc",
         )
+        .localCheckpoint(eager=True)
     )
     mom = daily.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
@@ -1229,6 +1234,9 @@ def huber_irls_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate plus a 1-row broadcast.
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    # materialize the calendar-bounded daily frame once: it feeds the OLS
+    # moments, the residual/MAD grid, and both IRLS steps (measured r11:
+    # 1,665-line / 146-Exchange / 42-SortMergeJoin plan un-truncated)
     daily = (
         o.groupBy(F.col("o_orderdate").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc"))
@@ -1237,6 +1245,7 @@ def huber_irls_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("day"), F.lit("1995-01-01")).cast("long").alias("t"),
             "xc",
         )
+        .localCheckpoint(eager=True)
     )
     mom = daily.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
@@ -1251,7 +1260,12 @@ def huber_irls_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     a0 = (F.col("sx").cast("double") - b0 * F.col("st").cast("double")) / F.col(
         "n"
     ).cast("double")
-    fit0 = mom.select(b0.alias("b0"), a0.alias("a0"))
+    # 1-row lineage cuts (fit0 / mad / s1 below): each is referenced 2-3
+    # times downstream and would re-expand its aggregate tree per
+    # reference (plan stayed at 102 Exchanges with only the daily cut)
+    fit0 = mom.select(b0.alias("b0"), a0.alias("a0")).localCheckpoint(
+        eager=True
+    )
     res = daily.crossJoin(F.broadcast(fit0)).withColumn(
         "ae",
         F.round(
@@ -1268,6 +1282,7 @@ def huber_irls_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ae")
         .limit(1)
         .select((F.col("ae").cast("double") * HUBER_MAD_C).alias("s"))
+        .localCheckpoint(eager=True)
     )
 
     def step(frame, a_col, b_col):
@@ -1303,7 +1318,7 @@ def huber_irls_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     base = res.crossJoin(F.broadcast(mad))
-    s1 = step(base, "a0", "b0")
+    s1 = step(base, "a0", "b0").localCheckpoint(eager=True)
     base2 = (
         daily.crossJoin(F.broadcast(mad))
         .crossJoin(F.broadcast(s1.select(

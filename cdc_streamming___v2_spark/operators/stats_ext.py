@@ -5257,11 +5257,15 @@ def gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration in either engine.
     """
     o = load_table(spark, sf_dir, "orders")
+    # materialize the calendar-bounded daily frame once: every downdating
+    # round references it (directly and through the remaining chain), and
+    # each 1-row top pick below is an eager action — without this cut the
+    # fact aggregate re-executes per round (measured r11: 90-Exchange plan)
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast(_DEC)
         .alias("x")
-    )
+    ).localCheckpoint(eager=True)
     t = daily.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
         F.sum("x").alias("s"),
@@ -5275,7 +5279,14 @@ def gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n") * F.col("x") - F.col("s")).alias("adev"),
             (F.col("n") * F.col("x") - F.col("s") > 0).alias("above"),
         )
-        top = dev.orderBy(F.col("adev").desc(), F.col("day").asc()).limit(1)
+        # 1-row lineage cut: top is referenced three times per round
+        # (report row, moment downdate, anti-join), so the un-truncated
+        # tree doubles per round over the whole upstream
+        top = (
+            dev.orderBy(F.col("adev").desc(), F.col("day").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
         nd = F.col("n").cast("double")
         r = (F.col("adev").cast("double") / nd) / F.sqrt(
             (F.col("n") * F.col("sxx") - F.col("s") * F.col("s")).cast(
@@ -5396,9 +5407,13 @@ def seasonal_esd_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ranked.filter(F.col("r") == F.expr("(m + 1) div 2")).select(
         "dow", F.col("xc").alias("med")
     )
+    # materialize the calendar-bounded residual frame once (see
+    # gesd_outliers: the three eager top-1 rounds below would otherwise
+    # re-execute the aggregate + median windows per round — measured r11:
+    # 210-Exchange plan)
     resid = daily.join(F.broadcast(med), "dow").select(
         "day", "dow", (F.col("xc") - F.col("med")).cast(_DEC).alias("x")
-    )
+    ).localCheckpoint(eager=True)
     t = resid.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
         F.sum("x").alias("s"),
@@ -5412,7 +5427,12 @@ def seasonal_esd_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("n") * F.col("x") - F.col("s")).alias("adev"),
             (F.col("n") * F.col("x") - F.col("s") > 0).alias("above"),
         )
-        top = dev.orderBy(F.col("adev").desc(), F.col("day").asc()).limit(1)
+        # 1-row lineage cut per round — see gesd_outliers
+        top = (
+            dev.orderBy(F.col("adev").desc(), F.col("day").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
         nd = F.col("n").cast("double")
         r = (F.col("adev").cast("double") / nd) / F.sqrt(
             (F.col("n") * F.col("sxx") - F.col("s") * F.col("s")).cast(
