@@ -758,18 +758,26 @@ def grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["nx", "ny"],
     ).select("doc_a", "doc_b")
     labels, _rounds = connected_components(spark, edges)
+    # core_lab is grid-bounded and consumed three times (n_cells,
+    # core_pts, border_pts) — materialize once; and BROADCAST it (and
+    # core) into the point-side joins: a checkpointed frame loses its
+    # size estimate, so without the hint the planner shuffled the
+    # point frame into SortMergeJoins (r11 plan: 20 SMJ). The grid side
+    # is bounded by value-range/eps at any corpus size — broadcasting it
+    # is the 100 TB plan: the fact-sized point frame never shuffles.
     core_lab = core.join(
         labels.select(F.col("node").alias("k"), F.col("label").alias("cluster")),
         "k",
-    )
+    ).localCheckpoint(eager=True)
     n_cells = core_lab.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_core_cells")
     )
     core_pts = pts.join(
-        core_lab.select("cx", "cy", "cluster"), ["cx", "cy"]
+        F.broadcast(core_lab.select("cx", "cy", "cluster")), ["cx", "cy"]
     ).select("vec_id", "cluster")
     non_core_pts = pts.join(
-        core.select("cx", "cy", F.lit(1).alias("is_core")), ["cx", "cy"], "left"
+        F.broadcast(core.select("cx", "cy", F.lit(1).alias("is_core"))),
+        ["cx", "cy"], "left",
     ).filter(F.col("is_core").isNull()).select("vec_id", "cx", "cy")
     border_pts = (
         non_core_pts.crossJoin(F.broadcast(offs))
@@ -779,25 +787,30 @@ def grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cy") + F.col("dy")).alias("ny"),
         )
         .join(
-            core_lab.select(
+            F.broadcast(core_lab.select(
                 F.col("cx").alias("nx"), F.col("cy").alias("ny"), "cluster"
-            ),
+            )),
             ["nx", "ny"],
         )
         .groupBy("vec_id")
         .agg(F.min("cluster").alias("cluster"))
     )
     assigned = core_pts.union(border_pts.select("vec_id", "cluster"))
+    # cluster-bounded; materialized because the noise row below derives
+    # n_assigned from it algebraically (sum of per-cluster counts ==
+    # count of assigned) instead of re-running the whole assignment union
     sizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points")
-    )
+    ).localCheckpoint(eager=True)
     clusters = n_cells.join(sizes, "cluster", "left").select(
         F.col("cluster").cast("bigint").alias("cluster"),
         "n_core_cells",
         F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
     )
     totals = pts.agg(F.count(F.lit(1)).alias("n_all")).crossJoin(
-        assigned.agg(F.count(F.lit(1)).alias("n_assigned"))
+        sizes.agg(
+            F.coalesce(F.sum("n_points"), F.lit(0)).alias("n_assigned")
+        )
     )
     noise = totals.select(
         F.lit(-1).cast("bigint").alias("cluster"),
@@ -929,15 +942,19 @@ def _grid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["nx", "ny"],
     ).select("doc_a", "doc_b")
     labels, _rounds = connected_components(spark, edges)
+    # grid-bounded, consumed twice; broadcast into the point-side joins
+    # so the fact-sized point frame never shuffles (see
+    # grid_dbscan_clusters — same r11 fix, 20 SMJ removed there)
     core_lab = core.join(
         labels.select(F.col("node").alias("k"), F.col("label").alias("cluster")),
         "k",
-    )
+    ).localCheckpoint(eager=True)
     core_pts = pts.join(
-        core_lab.select("cx", "cy", "cluster"), ["cx", "cy"]
+        F.broadcast(core_lab.select("cx", "cy", "cluster")), ["cx", "cy"]
     ).select("vec_id", "cluster")
     non_core_pts = pts.join(
-        core.select("cx", "cy", F.lit(1).alias("is_core")), ["cx", "cy"], "left"
+        F.broadcast(core.select("cx", "cy", F.lit(1).alias("is_core"))),
+        ["cx", "cy"], "left",
     ).filter(F.col("is_core").isNull()).select("vec_id", "cx", "cy")
     border_pts = (
         non_core_pts.crossJoin(F.broadcast(offs))
@@ -947,9 +964,9 @@ def _grid_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cy") + F.col("dy")).alias("ny"),
         )
         .join(
-            core_lab.select(
+            F.broadcast(core_lab.select(
                 F.col("cx").alias("nx"), F.col("cy").alias("ny"), "cluster"
-            ),
+            )),
             ["nx", "ny"],
         )
         .groupBy("vec_id")
