@@ -288,7 +288,12 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .event_windows import session_agg
 
-    sess = session_agg(spark, sf_dir).select("sess_start", "sess_end")
+    # materialize the session frame once: it feeds both boundary-point
+    # branches and the session count (3 consumers), each of which would
+    # re-run the full sessionization windows (r11 lineage-cut pass)
+    sess = session_agg(spark, sf_dir).select(
+        "sess_start", "sess_end"
+    ).localCheckpoint(eager=True)
     pts = sess.select(
         F.col("sess_start").alias("t"), F.lit(1).alias("d")
     ).unionAll(sess.select(F.col("sess_end").alias("t"), F.lit(0).alias("d")))
@@ -331,7 +336,7 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("end_off")
             - F.col("c_ends_prev")
         ).alias("active"),
-    )
+    ).localCheckpoint(eager=True)  # consumed by the peak agg AND the argmin filter
     peak = act.agg(F.max("active").alias("peak_concurrency"))
     n_sess = sess.agg(F.count("*").alias("n_sessions"))
     return (

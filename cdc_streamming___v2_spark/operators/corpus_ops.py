@@ -246,9 +246,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (threshold compared on the UNROUNDED sim; both engines compute the
     identical left-to-right IEEE dot product).
     """
+    # materialize the clustered corpus once: three consumers (both
+    # self-join sides + the final keep join) would each re-run the whole
+    # Lloyd assignment chain (r11: 66-Exchange plan, 3x the k-means work)
     cells = kmeans_relabel(_embeddings(spark, sf_dir)).select(
         "vec_id", F.col("label").alias("cell"), "v"
-    )
+    ).localCheckpoint(eager=True)
     a = cells.alias("a")
     b = cells.select(
         F.col("cell").alias("b_cell"),

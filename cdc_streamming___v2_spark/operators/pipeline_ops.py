@@ -409,7 +409,12 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from . import similarity as _sim
 
-    e = _sim.kmeans_relabel(_sim._embeddings(spark, sf_dir))
+    # materialize the (vec_id, label) assignment once: both the size
+    # aggregate and the keep filter consume it, each otherwise re-running
+    # the whole Lloyd chain (r11: 68-Exchange plan, 2x the k-means work)
+    e = _sim.kmeans_relabel(_sim._embeddings(spark, sf_dir)).select(
+        "vec_id", "label"
+    ).localCheckpoint(eager=True)
     sizes = e.groupBy("label").agg(F.count("*").alias("n_cluster"))
     u = md5_hash_long(F.col("vec_id").cast("string"), "cbs") / F.lit(2.0**32)
     kept = (

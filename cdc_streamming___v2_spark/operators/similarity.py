@@ -291,7 +291,14 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's random labels), learned cells put genuinely-near vectors in
     the probed cells, lifting recall over label-cells at identical probe
     cost (asserted in tests)."""
-    return ivf_topk_frame(kmeans_relabel(_embeddings(spark, sf_dir)))
+    # materialize the Lloyd output once: ivf_topk_frame consumes its
+    # input three times (centroids, query side, candidate side), each of
+    # which would re-run the whole k-means chain (r11: 70-Exchange plan)
+    return ivf_topk_frame(
+        kmeans_relabel(_embeddings(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )
+    )
 
 
 RP_DIM = 16  # Johnson-Lindenstrauss target dimensionality
