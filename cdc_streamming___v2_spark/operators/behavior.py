@@ -901,12 +901,17 @@ def absorption_conversion_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
+    # the lineage cut belongs HERE, on the state-bounded bigram counts:
+    # totals is consumed both by q and by the FINAL report join, so with
+    # only q checkpointed (the pre-r11 shape) the final join re-ran the
+    # whole user-keyed lag window over events a second time
     bigrams = (
         e.withColumn("nxt", F.lead("event_type").over(w))
         .filter(F.col("nxt").isNotNull())
         .filter(F.col("event_type") != ABSORB_STATE)
         .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     totals = bigrams.groupBy("src").agg(F.sum("c").alias("n"))
     q = (
@@ -919,6 +924,12 @@ def absorption_conversion_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
         .select("src", "dst", "q")
+        # ...and q stays materialized too (cheap — one tiny job over the
+        # materialized bigrams): the ABSORB_ROUNDS round actions each
+        # reference q_trans/q_pur, and with q lazy every round re-built
+        # the totals join (measured r11: 2.88 -> 3.61 s with only the
+        # bigrams cut; both cuts restore the floor and drop the final
+        # join's second window pass)
         .localCheckpoint(eager=True)
     )
     states = q.select(F.col("src").alias("state")).distinct()
