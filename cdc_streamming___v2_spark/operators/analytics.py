@@ -2605,19 +2605,24 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    # lineage cuts between the chained rank passes: _two_pass_rank
+    # references its input TWICE (in-bucket rank + bucket counts), so the
+    # uncut r->f->m chain expanded per_cust 8x (measured r11: 98-Exchange
+    # plan); each stage is customer-sized
+    per_cust = per_cust.localCheckpoint(eager=True)
     n = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     r = _two_pass_rank(
         per_cust,
         F.floor(F.col("recency_days") / RFM_R_BUCKET_DAYS).cast("long"),
         [F.col("recency_days").asc(), F.col("o_custkey").asc()],
         out="r_rk",
-    )
+    ).localCheckpoint(eager=True)
     f = _two_pass_rank(
         r,
         (-F.col("frequency")).cast("long"),
         [F.col("frequency").desc(), F.col("o_custkey").asc()],
         out="f_rk",
-    )
+    ).localCheckpoint(eager=True)
     m = _two_pass_rank(
         f,
         (-F.floor(F.col("monetary") / RFM_M_BUCKET)).cast("long"),

@@ -1458,8 +1458,10 @@ def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the name vocabulary, orders below row count); the all-pairs DENOMINATOR
     is computed arithmetically (n*(n-1)/2), never materialized.
     """
+    # dictionary-sized, consumed three times (count, truth side, SNM side)
     names = (
         load_table(spark, sf_dir, "part").select("p_name").distinct()
+        .localCheckpoint(eager=True)
     )
     n_total = names.agg(F.count(F.lit(1)).cast("long").alias("n"))
 
@@ -1473,6 +1475,8 @@ def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
         ).alias("lb"),
     )
+    # consumed by the found join AND its own count — un-cut, the
+    # banded Levenshtein sweep ran twice (r11: 84-Exchange plan)
     truth = (
         probe.join(
             lb.select(F.col("p_name").alias("name_b"), "lb"), "lb"
@@ -1481,6 +1485,7 @@ def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("name_a", "name_b") <= SNM_MAX_LEV)
         .select("name_a", "name_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     # --- SNM candidates: the rank-band join, pre-lev filter ---
@@ -1505,6 +1510,7 @@ def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"), F.col("rk").alias("rk_b"),
         band.alias("band"),
     )
+    # consumed by the found join AND its own count — rank-band-bounded
     cand = (
         left.join(right, "band")
         .filter(
@@ -1512,6 +1518,7 @@ def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rk_b") - F.col("rk_a") <= SNM_WINDOW)
         )
         .select("name_a", "name_b")
+        .localCheckpoint(eager=True)
     )
 
     found = cand.join(truth, ["name_a", "name_b"])

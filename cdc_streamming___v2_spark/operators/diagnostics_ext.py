@@ -1600,6 +1600,10 @@ def transfer_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("qy").over(wd).alias("qyl"),
         )
         .filter(F.col("qxl").isNotNull())
+        # calendar-bounded; consumed by BOTH transfer directions, whose
+        # 27-cell contingency trees each re-expand it ~5x (c3 feeds
+        # c1/c2a/c2b/tot/j) — measured r11: 58-Exchange plan un-cut
+        .localCheckpoint(eager=True)
     )
 
     def _te(df, tgt, tgt_lag, src_lag):

@@ -237,10 +237,14 @@ def chain_ladder_ultimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("age"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
+    # materialize the (month x age) triangle once: cohorts, the as-of
+    # diagonal, and the dense grid all consume it, each otherwise
+    # re-running the fact join (measured r11: 86-Exchange plan)
     tri = (
         j.filter((F.col("age") >= 0) & (F.col("age") <= CL_MAX_AGE))
         .groupBy("cm", "age")
         .agg(F.sum(F.col("cents").cast(_DEC)).alias("inc"))
+        .localCheckpoint(eager=True)
     )
     ages = spark.range(CL_MAX_AGE + 1).select(F.col("id").cast("int").alias("a"))
     cohorts = tri.select("cm").distinct()
@@ -262,10 +266,13 @@ def chain_ladder_ultimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wc = Window.partitionBy("cm").orderBy("a")
+    # cum is consumed four times (both adjacent-factor self-join sides,
+    # the diagonal groupBy and its join-back) — triangle-bounded frame
     cum = (
         dense.withColumn("c", F.sum("inc").over(wc))
         .crossJoin(F.broadcast(asof))
         .withColumn("observed", F.add_months(F.col("cm"), F.col("a")) <= F.col("asof"))
+        .localCheckpoint(eager=True)
     )
     # age-to-age factors from adjacent observed columns with positive base
     adj = (

@@ -1633,9 +1633,12 @@ def simpson_reversal_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
         )
     )
+    # materialize the (segment x region) cell frame once: seg and both
+    # pair sides of strata AND agree consume it — five re-expansions of
+    # the fact join+aggregate otherwise (measured r11: 92-Exchange plan)
     cell = base.groupBy("c_mktsegment", "r_name").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
-    )
+    ).localCheckpoint(eager=True)
     seg = cell.groupBy("c_mktsegment").agg(
         F.sum("n").alias("n"), F.sum("k").alias("k")
     )

@@ -982,10 +982,13 @@ def term_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.texts import words
 
     d = load_table(spark, sf_dir, "documents")
+    # calendar-bounded and consumed three times (count row, index, grid
+    # cross) — un-cut, each reference re-scanned the events table
     days = (
         load_table(spark, sf_dir, "events")
         .select(F.col("ts").cast("date").alias("day"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_days_row = days.agg(F.count(F.lit(1)).alias("nd"))
     toks = (
@@ -997,10 +1000,13 @@ def term_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wday = Window.orderBy("day")
     day_idx = days.withColumn("day_idx", F.row_number().over(wday) - 1)
+    # vocabulary-x-days bounded, consumed by vocab AND the grid join —
+    # un-cut, both re-ran the token explode (r11: 72-Exchange plan)
     counts = (
         toks.join(F.broadcast(day_idx), "day_idx")
         .groupBy("w", "day")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
     vocab = counts.select("w").distinct()
     grid = (
@@ -1447,18 +1453,29 @@ def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    totals = words.groupBy("source").agg(F.count(F.lit(1)).alias("nw"))
+    # ONE explode pass: totals, the word panel, and the per-(source,
+    # word) counts all fold from the same (source, word) count frame —
+    # un-factored, each of the three ran its own pass over the exploded
+    # token stream (measured r11: 86-Exchange plan). wcount is
+    # vocabulary-x-sources bounded, so the lineage cut is cheap.
+    wcount = (
+        words.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c0"))
+        .localCheckpoint(eager=True)
+    )
+    totals = wcount.groupBy("source").agg(
+        F.sum("c0").cast("bigint").alias("nw")
+    )
     top = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        wcount.groupBy("w")
+        .agg(F.sum("c0").alias("c"))
         .orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(BURROWS_TOP_WORDS)
         .select("w")
     )
     sw = (
-        words.join(F.broadcast(top), "w")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+        wcount.join(F.broadcast(top), "w")
+        .select("source", "w", F.col("c0").alias("c"))
         .join(totals, "source")
     )
     # dense panel: absent (source, word) cells are true zeros
