@@ -141,7 +141,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = _shingles(spark, sf_dir).select(
         "doc_id", md5_hash_long(F.col("s")).alias("s")
     )
-    pairs = _jaccard_pairs(_df_capped(hashed))
+    # materialize the capped shingle frame once: _jaccard_pairs consumes
+    # it three times (sizes + both self-join sides), each otherwise
+    # re-running the shingle kernel + df-cap window (the
+    # jaccard_prefix_join r10 precedent; r11: 28-Exchange plan un-cut)
+    pairs = _jaccard_pairs(_df_capped(hashed).localCheckpoint(eager=True))
     return pairs.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -1807,7 +1811,9 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = _shingles(spark, sf_dir).select(
         "doc_id", md5_hash_long(F.col("s")).alias("s")
     )
-    capped = _df_capped(hashed)
+    # three consumers (sizes + both ordered-pair sides) — same cut as
+    # ngram_jaccard_pairs / the jaccard_prefix_join r10 precedent
+    capped = _df_capped(hashed).localCheckpoint(eager=True)
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = capped.alias("a"), capped.alias("b")
     common = (
@@ -1915,7 +1921,10 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "h")
         .distinct()
     )
-    capped = _df_capped(picked.withColumnRenamed("h", "s"))
+    # both self-join sides re-ran the winnow window un-cut
+    capped = _df_capped(
+        picked.withColumnRenamed("h", "s")
+    ).localCheckpoint(eager=True)
     a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
