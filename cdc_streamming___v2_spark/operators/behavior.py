@@ -61,7 +61,12 @@ def market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic top-N: order by pair count desc, then keys.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # four consumers (total, per-part counts, both self-join sides) —
+    # un-cut, each re-ran the fact scan + distinct (r11: 26-Exchange
+    # plan); narrow 2-column frame
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
     # scalar total as a broadcast 1-row frame: keeps the whole query one DAG
     # (no driver-side count() action blocking plan reuse)
     tot = op.agg(

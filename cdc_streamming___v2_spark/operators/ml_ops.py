@@ -74,11 +74,17 @@ def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_c")
     )
     n_docs = d.count()
-    vocab_n = toks.select("w").distinct().count()
-    # token counts per (class, token) and totals per class
+    # token counts per (class, token) and totals per class — materialized
+    # once (class x vocab bounded): the vocabulary size, the class totals
+    # and the likelihood table all fold from it, and the vocab count no
+    # longer needs its own pass over the exploded token stream (r11:
+    # three token passes -> two; 26-Exchange plan un-cut)
     wc = toks.groupBy(F.col("lang").alias("c"), "w").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
+    # every token row carries a lang, so distinct w over (c, w) counts ==
+    # distinct w over the raw stream
+    vocab_n = wc.select("w").distinct().count()
     tot_c = wc.groupBy("c").agg(F.sum("cnt").alias("tok_c"))
     ll = (
         wc.join(tot_c, "c")

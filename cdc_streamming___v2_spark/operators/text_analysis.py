@@ -86,10 +86,14 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "w")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # consumed three times (bigram counts, unigram counts, scoring join)
+    # — un-cut, the explode + lead window executed per consumer (r11:
+    # 28-Exchange plan)
     bg = (
         toks.withColumn("w2", F.lead("w").over(wdoc))
         .filter(F.col("w2").isNotNull())
         .select("doc_id", F.col("w").alias("w1"), "w2")
+        .localCheckpoint(eager=True)
     )
     c_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
     c_ug = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cug"))
@@ -840,11 +844,15 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     ).withColumn("phrase_id", F.sum("start").over(run))
+    # ph feeds phrases, occ, and the scoring join; phrases feeds occ and
+    # the scoring join — un-cut, the explode + two run windows executed
+    # three times (measured r11: 26-Exchange plan)
+    ph = ph.localCheckpoint(eager=True)
     phrases = ph.groupBy("doc_id", "phrase_id").agg(
         F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "w")))
                     .getField("w")).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
-    )
+    ).localCheckpoint(eager=True)
     occ = ph.join(phrases, ["doc_id", "phrase_id"]).select("w", "plen")
     wstats = occ.groupBy("w").agg(
         F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
