@@ -678,10 +678,14 @@ def vocab_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is word-keyed (vocabulary cardinality, skew-free) and emits one
     row per source pair — source cardinality is dimension-sized.
     """
+    # vocabulary-bounded and consumed three times (sizes + both pair
+    # sides) — un-cut, each re-ran the explode + distinct (r11:
+    # 28-Exchange plan)
     sw = (
         _docs(spark, sf_dir)
         .select("source", F.explode(words(F.col("text"))).alias("w"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sw.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     a = sw.select(F.col("source").alias("source_a"), "w")

@@ -78,7 +78,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     g = e.groupBy(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=True)
     types = g.select("event_type").distinct()
     a = types.select(F.col("event_type").alias("ta"))
     b = types.select(F.col("event_type").alias("tb"))
@@ -97,7 +97,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = j.groupBy("ta", "tb", "cv").agg(
         F.sum(F.when(F.col("side") == "a", F.col("cnt")).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("side") == "b", F.col("cnt")).otherwise(0)).alias("nb"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("ta", "tb").orderBy("cv").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -1479,7 +1479,7 @@ def wasserstein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     g = e.groupBy(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=True)
     types = g.select("event_type").distinct()
     a = types.select(F.col("event_type").alias("ta"))
     b = types.select(F.col("event_type").alias("tb"))
@@ -1498,7 +1498,7 @@ def wasserstein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = j.groupBy("ta", "tb", "cv").agg(
         F.sum(F.when(F.col("side") == "a", F.col("cnt")).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("side") == "b", F.col("cnt")).otherwise(0)).alias("nb"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("ta", "tb").orderBy("cv").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -3207,7 +3207,7 @@ def _pair_cum_grid(spark: SparkSession, sf_dir: str):
     e = load_table(spark, sf_dir, "events")
     g = e.groupBy(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ).agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=True)
     types = g.select("event_type").distinct()
     a = types.select(F.col("event_type").alias("ta"))
     b = types.select(F.col("event_type").alias("tb"))
@@ -3226,7 +3226,7 @@ def _pair_cum_grid(spark: SparkSession, sf_dir: str):
     pv = j.groupBy("ta", "tb", "cv").agg(
         F.sum(F.when(F.col("side") == "a", F.col("cnt")).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("side") == "b", F.col("cnt")).otherwise(0)).alias("nb"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("ta", "tb").orderBy("cv").rowsBetween(
         Window.unboundedPreceding, 0
     )
