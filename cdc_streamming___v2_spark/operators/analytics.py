@@ -4377,6 +4377,12 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat or improving curve has no half-life).
     """
     e = load_table(spark, sf_dir, "events")
+    # first_seen and act are each consumed twice, but localCheckpoint cuts
+    # at both were measured SLOWER solo (r11: 0.876 -> 1.098 s min-of-3,
+    # stable canaries): the duplicate consumers share identical aggregate
+    # subtrees, so runtime ReusedExchange already dedupes them within the
+    # one job and the two eager cuts only added blocking round-trips.
+    # Deliberately left lazy.
     first_seen = e.groupBy("user_id").agg(
         F.min(F.col("ts").cast("date")).alias("cd")
     )
@@ -5988,6 +5994,10 @@ def theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "x")
+        # rev is consumed twice (seg + the term pass), but a
+        # localCheckpoint cut measured SLOWER solo (r11: 0.576 -> 0.661 s
+        # min-of-3, stable canaries): ReusedExchange already dedupes the
+        # identical reduce subtree within the one job.  Left lazy.
     )
     seg = rev.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
@@ -7650,6 +7660,11 @@ def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "x")
+        # rev is consumed twice (seg + the term pass), but a
+        # localCheckpoint cut measured SLOWER solo (r11: 0.685 -> 0.845 s
+        # min-of-3, stable canaries): ReusedExchange already dedupes the
+        # identical reduce subtree within the one job (the
+        # theil_inequality finding).  Left lazy.
     )
     seg = rev.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("ng"), F.sum("x").alias("xg")
@@ -8162,6 +8177,11 @@ def _spend_tiers(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
                   .cast("decimal(38,0)")).alias("rev")
         )
     )
+    # b feeds the bucket counts, the total, AND the ranked join, but a
+    # localCheckpoint cut measured SLOWER for the two-year migration
+    # matrix (r11: 1.081 -> 1.310 s min-of-5, stable canaries):
+    # ReusedExchange dedupes the identical year-filtered reduce within
+    # the one job, and the cut serialized two eager jobs ahead of it.
     b = rev.withColumn(
         "bkt", F.floor(F.col("rev").cast("double") / F.lit(LORENZ_BUCKET * 100))
         .cast("long")

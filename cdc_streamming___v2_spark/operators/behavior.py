@@ -344,10 +344,14 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_ts").isNotNull().cast("int").alias("observed"),
         )
     )
+    # localCheckpoint (r11): exits feeds the total aggregate AND the curve,
+    # and each reference re-ran the events->per_user fact chain (the join
+    # inputs differ, so runtime exchange reuse cannot dedupe); the frame is
+    # day-cardinality (observation window, ~30 rows), so the cut is free.
     exits = per_user.groupBy("dur").agg(
         F.count(F.lit(1)).cast("double").alias("x"),
         F.sum("observed").cast("double").alias("d"),
-    )
+    ).localCheckpoint(eager=True)
     total = exits.agg(F.sum("x").alias("n_total"))
     w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
@@ -1930,10 +1934,12 @@ def rmst_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_ts").isNotNull().cast("int").alias("observed"),
         )
     )
+    # day-cardinality cut: exits feeds total AND the curve (kaplan_meier
+    # r11 pattern) — without it the events->per_user chain ran twice.
     exits = per_user.groupBy("dur").agg(
         F.count(F.lit(1)).cast("double").alias("x"),
         F.sum("observed").cast("double").alias("d"),
-    )
+    ).localCheckpoint(eager=True)
     total = exits.agg(F.sum("x").alias("n_total"))
     w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
@@ -2133,11 +2139,13 @@ def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("first_ev.cause"), F.lit(0)).alias("cause"),
         )
     )
+    # day-cardinality cut (kaplan_meier r11 pattern): exits feeds total
+    # AND the risk frame — the events->per_user chain otherwise ran twice.
     exits = per_user.groupBy("dur").agg(
         F.count(F.lit(1)).cast("double").alias("x"),
         F.sum((F.col("cause") == 1).cast("int")).cast("double").alias("d1"),
         F.sum((F.col("cause") == 2).cast("int")).cast("double").alias("d2"),
-    )
+    ).localCheckpoint(eager=True)
     total = exits.agg(F.sum("x").alias("n_total"))
     w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)

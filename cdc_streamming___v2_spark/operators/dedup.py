@@ -430,8 +430,14 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus×shingles exchange plus a DISK_ONLY persist to amortize it;
     dropped entirely), and the verify step array_intersects the per-doc
     arrays joined to candidates only.
+
+    The kernel frame is localCheckpointed ONCE (r11): it feeds both
+    band-join sides and both verify-set projections, and each reference
+    re-ran the Arrow shingling pass (the join inputs differ, so runtime
+    exchange reuse cannot dedupe them) — the jaccard_prefix_join r10
+    shingle-frame precedent, corpus-bounded (one row per doc).
     """
-    kernel = _minhash_kernel(spark, sf_dir)
+    kernel = _minhash_kernel(spark, sf_dir).localCheckpoint(eager=True)
     sets = kernel.select("doc_id", "sa")
     bands = _minhash_bands(kernel)
     a, b = bands.alias("a"), bands.alias("b")
@@ -491,8 +497,11 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality.  Output: (new_id, corpus_id, jaccard >= threshold), exact
     jaccard verified on candidate pairs only, same contract as
     minhash_near_dup.
+
+    Kernel localCheckpointed once (r11): four consumers (index/probe band
+    sides + both verify-set slices) each re-ran the Arrow shingling pass.
     """
-    kernel = _minhash_kernel(spark, sf_dir)
+    kernel = _minhash_kernel(spark, sf_dir).localCheckpoint(eager=True)
     is_new = F.col("doc_id") % INCR_MOD == 0
     k_new, k_old = kernel.filter(is_new), kernel.filter(~is_new)
     sets_n = k_new.select("doc_id", "sa")
@@ -1337,9 +1346,12 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = counts.withColumn(
         "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
     ).select("bkt", "off")
+    # dictionary-sized cut (r11): ranked feeds BOTH band-join sides (and
+    # names itself fed the rank + the bucket counts) — un-cut, the
+    # distinct-name build + rank decomposition ran twice per consumer.
     ranked = in_rank.join(F.broadcast(offsets), "bkt").select(
         "p_name", (F.col("off") + F.col("r_in")).alias("rk")
-    )
+    ).localCheckpoint(eager=True)
     band = (F.col("rk") / (SNM_WINDOW + 1)).cast("long")
     left = ranked.select(
         F.col("p_name").alias("name_a"),
@@ -2006,8 +2018,13 @@ def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: candidates come from the SAME band-bucket equi-join as
     minhash_near_dup (never all-pairs); everything downstream is
     candidate-cardinality.
+
+    Kernel localCheckpointed once (r11): six consumers (band self-join
+    sides, both signature slices, both shingle-set slices) each re-ran
+    the Arrow shingling pass — the most multiply-consumed kernel in the
+    dedup tier.
     """
-    kernel = _minhash_kernel(spark, sf_dir)
+    kernel = _minhash_kernel(spark, sf_dir).localCheckpoint(eager=True)
     sets = kernel.select("doc_id", "sa")
     bands = _minhash_bands(kernel)
     a, b = bands.alias("a"), bands.alias("b")

@@ -661,6 +661,12 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
     )
+    # A single-pass restructure (fold both the median and the per-type
+    # table from one materialized (event_type x vc) grid) was measured
+    # SLOWER solo (r11: 0.729 -> 0.968 s min-of-3, stable canaries): the
+    # two passes here are narrow map-side-combined reduces that pipeline
+    # off the page cache, while the restructure paid an extra exchange on
+    # the wider grid plus an eager round-trip.  Kept the two-pass shape.
     grid = ev.groupBy("vc").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     tot = grid.agg(F.sum("cnt").alias("nn"))
     wv = Window.partitionBy().orderBy("vc")

@@ -750,6 +750,12 @@ def pq_topk_frame(
     table of exact query-to-centroid distances, and each corpus vector
     costs PQ_M table lookups + adds instead of an EMBED_DIM-wide kernel.
     """
+    # corpus-bounded cut (r11, the ivf_topk_frame precedent): subs feeds
+    # every Lloyd round's encode, the initial codebook AND the query LUT —
+    # un-cut, the embedding explode re-ran once per reference (534-line
+    # plan).  The per-round codebook cut below keeps the unrolled rounds
+    # from doubling the plan per iteration (upstream subs is materialized,
+    # so each cut is a tiny PQ_M x PQ_K job — the fab8b9a adoption rule).
     subs = (
         e.select(
             "vec_id",
@@ -763,6 +769,7 @@ def pq_topk_frame(
             ).alias("m", "sv"),
         )
         .withColumn("sx", dot(F.col("sv"), F.col("sv")))
+        .localCheckpoint(eager=True)
     )
     cent = subs.filter(F.col("vec_id") < PQ_K).select(
         "m",
@@ -800,6 +807,7 @@ def pq_topk_frame(
                     F.transform("pairs", lambda p: p.getField("cx")).alias("cv"),
                 )
                 .withColumn("cc", dot(F.col("cv"), F.col("cv")))
+                .localCheckpoint(eager=True)
             )
     # ADC lookup table: exact distance from each query SUBVECTOR to every
     # centroid of its subspace — n_queries x PQ_M x PQ_K rows, broadcast

@@ -450,12 +450,14 @@ def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_ts").isNotNull().cast("long").alias("observed"),
         )
     )
+    # day-cardinality cut (kaplan_meier r11 pattern): day feeds totals AND
+    # the risk frame — the events->per_user chain otherwise ran twice.
     day = per_user.groupBy("dur").agg(
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("x0"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("x1"),
         F.sum(F.when(F.col("grp") == 0, F.col("observed")).otherwise(0)).alias("d0"),
         F.sum(F.when(F.col("grp") == 1, F.col("observed")).otherwise(0)).alias("d1"),
-    )
+    ).localCheckpoint(eager=True)
     totals = day.agg(
         F.sum("x0").alias("t0"), F.sum("x1").alias("t1")
     )
@@ -604,6 +606,12 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # cell is consumed 5x (groups/levels/glob/n_total/grid join), but a
+    # localCheckpoint cut was measured SLOWER solo (r11: 0.625 -> 0.814 s
+    # min-of-3, stable canaries): the five consumers share the identical
+    # groupBy subtree, so runtime ReusedExchange already dedupes the fact
+    # reduce within the one job, and the eager cut only added a blocking
+    # round-trip.  Deliberately left lazy.
     cell = j.groupBy("c_mktsegment", "c_nationkey", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -2151,9 +2159,11 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_ts").isNotNull().cast("long").alias("observed"),
         )
     )
+    # day-cardinality cut (kaplan_meier r11 pattern): day feeds tot AND
+    # the hazard frame — the events->per_user chain otherwise ran twice.
     day = per_user.groupBy("dur").agg(
         F.count(F.lit(1)).alias("x"), F.sum("observed").alias("d")
-    )
+    ).localCheckpoint(eager=True)
     tot = day.agg(F.sum("x").alias("n_total"))
     w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)

@@ -284,6 +284,10 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
     )
     wd = Window.orderBy("day")
+    # indexed is consumed twice (segstat + the cumdev window), but a
+    # localCheckpoint cut measured SLOWER solo (r11: 0.966 -> 1.219 s
+    # min-of-3, stable canaries): ReusedExchange already dedupes the
+    # identical daily-aggregate + rank subtree within the one job.  Lazy.
     indexed = daily.withColumn("idx", F.row_number().over(wd) - 1)
     sizes = spark.createDataFrame(
         [(n,) for n in HURST_SIZES], "n int"
@@ -490,6 +494,12 @@ def haar_energy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x")
     )
     wn = Window.partitionBy().orderBy("day")
+    # each cascade level feeds BOTH the level energy aggregate and the
+    # next level's input (776-line un-cut plan), but per-level
+    # localCheckpoint cuts measured SLOWER solo (r11: 0.789 -> 1.003 s
+    # min-of-3, stable canaries): the duplicated subtrees are identical,
+    # so ReusedExchange dedupes them at runtime and the 4 eager cuts only
+    # serialized blocking round-trips.  Deliberately left lazy.
     cur = daily.select(
         (F.row_number().over(wn) - 1).alias("i"), F.col("x").alias("s")
     )

@@ -409,14 +409,31 @@ def test_bpe_pair_counts_topk_is_take_ordered(spark):
 
 def test_ngram_jaccard_shuffles_hashed_shingle_keys(spark):
     """VERDICT r4 #5: the shingle self-join must key on 64-bit md5 longs,
-    not raw shingle strings — the join/sort columns carry 8-byte keys."""
+    not raw shingle strings — the join/sort columns carry 8-byte keys.
+
+    Since the r11 lineage cut, the md5 hashing lives inside the
+    materialized (localCheckpointed) shingle frame, so the final plan
+    starts at an ExistingRDD scan: assert the md5 lowering on the
+    pre-cut frame, and that the pair join in the final plan keys on the
+    LONG shingle column (attribute ids carry the L type suffix)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cdc_streamming___v2_spark.functions.texts import md5_hash_long
     from cdc_streamming___v2_spark.operators import dedup as D
 
-    df = D.ngram_jaccard_pairs(spark, SF_SMALL)
-    p = _plan(spark, df)
-    # the hashed key expression must appear in the plan; conv(substring(
-    # md5(...))) is the md5_hash_long lowering
-    assert "md5" in p and "conv" in p
+    hashed = D._shingles(spark, SF_SMALL).select(
+        "doc_id", md5_hash_long(F.col("s")).alias("s")
+    )
+    p_pre = _plan(spark, hashed)
+    # conv(substring(md5(...))) is the md5_hash_long lowering
+    assert "md5" in p_pre and "conv" in p_pre
+    p = _plan(spark, D.ngram_jaccard_pairs(spark, SF_SMALL))
+    assert "Scan ExistingRDD" in p  # the materialized shingle frame
+    # the self-join keys on the long shingle attribute (L type suffix),
+    # rendered either as key lists or as an equality condition
+    assert re.search(r"keys \[1\]: \[s#\d+L\]|s#\d+L = s#\d+L", p), p[:2000]
 
 
 def test_round5_ops_never_plan_cartesian(spark):
