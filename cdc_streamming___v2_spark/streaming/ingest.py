@@ -470,20 +470,45 @@ class CdcIngest:
                 self.spark, os.path.join(self.output_dir, table)
             ).write_append(routed, txn=f"batch-{batch_id}")
 
+        def _publish_one(batch: DataFrame, spec: TableSpec | None,
+                         batch_id: int) -> None:
+            if self.commit_log:
+                _publish_commit_log(batch, spec, batch_id)
+            elif self.transactional:
+                _publish_atomic(batch, spec, batch_id)
+            else:
+                _append_plain(batch, spec)
+
         def _write_batch(batch: DataFrame, batch_id: int) -> None:
             self._maybe_reload_registry()
             marker = os.path.join(self.checkpoint_dir, "_batches", str(batch_id))
             if os.path.exists(marker):
                 return
             batch.persist()
+            # materialize the cache ONCE before fanning out so concurrent
+            # sink jobs don't race to compute (and double-parse) the
+            # envelope batch
+            batch.count()
             try:
-                for spec in [*self.registry, None]:  # None = dead-letter sink
-                    if self.commit_log:
-                        _publish_commit_log(batch, spec, batch_id)
-                    elif self.transactional:
-                        _publish_atomic(batch, spec, batch_id)
-                    else:
-                        _append_plain(batch, spec)
+                # per-sink publishes are independent Spark jobs over the
+                # cached batch (disjoint table/dead-letter dirs; commit-log
+                # tables are single-writer PER TABLE): overlap them from a
+                # small driver pool so each tiny write's job+commit
+                # overhead back-fills the others' idle tail (guide-§2.6
+                # shape; measured r11 — see OPTIMIZATION_r11.md).  Failures
+                # propagate via future.result(), so a failed sink still
+                # fails the batch BEFORE the marker is written — the
+                # crash-replay contract is unchanged.
+                from concurrent.futures import ThreadPoolExecutor
+
+                specs = [*self.registry, None]  # None = dead-letter sink
+                with ThreadPoolExecutor(max_workers=min(4, len(specs))) as pool:
+                    futs = [
+                        pool.submit(_publish_one, batch, spec, batch_id)
+                        for spec in specs
+                    ]
+                    for f in futs:
+                        f.result()
             finally:
                 batch.unpersist()
             os.makedirs(os.path.dirname(marker), exist_ok=True)
