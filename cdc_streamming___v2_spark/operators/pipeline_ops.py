@@ -327,12 +327,19 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, a broadcast Bloom filter of eval shingles (operators/
     sketches.py machinery) gives the same plan with a verify pass.
     """
-    d = exploded_shingles(
-        load_table(spark, sf_dir, "documents"), DECON_SHINGLE_N
-    )
+    # filter each side BEFORE the Arrow shingle kernel (r11): doc_id
+    # passes through the kernel unchanged, but Spark cannot push a filter
+    # below an opaque mapInPandas, so filtering the exploded frame ran the
+    # full-corpus Python pass TWICE (once per side, py4 plan).  Split
+    # first: 1/97 + 96/97 corpus passes instead of 2.0.  Same rows out.
+    docs = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
-    ev = d.filter(is_eval).select("s").distinct()
-    train = d.filter(~is_eval)
+    ev = (
+        exploded_shingles(docs.filter(is_eval), DECON_SHINGLE_N)
+        .select("s")
+        .distinct()
+    )
+    train = exploded_shingles(docs.filter(~is_eval), DECON_SHINGLE_N)
     return (
         train.join(F.broadcast(ev), "s")
         # word_shingles is per-doc distinct, so count(*) == distinct shingles
