@@ -755,7 +755,13 @@ def embedding_near_dup_frame(
 
     band_bits = n_bits // n_bands
     e = e.withColumn("nrm", norm(F.col("v")))
-    eb = e.withColumn("fp", _emb_fingerprint(F.col("v"), n_bits))
+    # vector-cardinality cut (r11): the interpreted-HOF fingerprint
+    # (n_bits x dim fold-dots per vector) feeds BOTH band self-join
+    # sides; materializing it once guarantees one fingerprint pass
+    # regardless of whether runtime exchange reuse fires.
+    eb = e.withColumn("fp", _emb_fingerprint(F.col("v"), n_bits)).localCheckpoint(
+        eager=True
+    )
     band_mask = (1 << band_bits) - 1
     bands = eb.select(
         "vec_id",
