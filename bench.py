@@ -639,12 +639,38 @@ MID_PROBE_EVERY = 100  # timed runs between mid-bench canary probes
 DRIFT_RAMP_X = 1.25
 
 
+def _cpu_sample() -> tuple[float, float] | None:
+    """(busy_jiffies, steal_jiffies) from /proc/stat — r12: the r11/r12
+    canary elevations needed ATTRIBUTION (hypervisor steal vs JVM state);
+    deltas between samples give the steal share of wanted cycles during
+    each probe interval."""
+    try:
+        f = open("/proc/stat").readline().split()
+        u, n, s = int(f[1]), int(f[2]), int(f[3])
+        steal = int(f[8]) if len(f) > 8 else 0
+        return (float(u + n + s), float(steal))
+    except Exception:
+        return None
+
+
+def _steal_share(prev, cur) -> float | None:
+    """Steal share of wanted cycles between two _cpu_sample()s."""
+    if not prev or not cur:
+        return None
+    busy = cur[0] - prev[0]
+    steal = cur[1] - prev[1]
+    want = busy + steal
+    return round(steal / want, 4) if want > 0 else None
+
+
 def _mid_probe(qs, spark, sf_dir: str, pins: dict, at_run: int,
-               t_start: float) -> dict:
+               t_start: float, cpu_prev=None) -> dict:
     """One cheap canary pair DURING the timed passes (VERDICT r10 #2):
     a single run of each canary (the JVM is deeply warmed by this point,
     so no warm-in needed), summarized as the mean x-pin of the pair so
-    one canary's single-run noise is damped by the other's."""
+    one canary's single-run noise is damped by the other's.  r12: also
+    records the hypervisor steal share since the previous sample, so an
+    elevated probe self-attributes (steal vs JVM/GC state)."""
     walls = {}
     for name in CANARIES:
         t0 = time.time()
@@ -658,6 +684,7 @@ def _mid_probe(qs, spark, sf_dir: str, pins: dict, at_run: int,
         "x_pin_mean": (
             round(sum(ratios) / len(ratios), 3) if ratios else None
         ),
+        "steal_share_since_prev": _steal_share(cpu_prev, _cpu_sample()),
     }
 
 
@@ -1010,6 +1037,7 @@ def main() -> None:
     mid_probes: list[dict] = []
     run_counter = 0
     t_passes0 = time.time()
+    cpu_last = _cpu_sample()
     for pass_no in range(3):
         for name in run:
             if pass_no == 2 and name not in spiky:
@@ -1021,9 +1049,11 @@ def main() -> None:
             ):
                 mid_probes.append(
                     _mid_probe(
-                        qs, spark, sf_dir, pins, run_counter, t_passes0
+                        qs, spark, sf_dir, pins, run_counter, t_passes0,
+                        cpu_prev=cpu_last,
                     )
                 )
+                cpu_last = _cpu_sample()
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             repeats[name].append(round(time.time() - t0, 3))
@@ -1062,9 +1092,25 @@ def main() -> None:
         "rows_per_s": round(cdc_rows / cdc_wall),
         "repeat_walls_s": [round(w, 3) for w, _ in cdc_runs],
     }
+    # drift-normalized headline (VERDICT r11 #1 fallback): the host never
+    # reads canary-clean under sustained load (hypervisor steal + JVM-state
+    # ramp — see steal_share in the probes), so alongside the RAW total,
+    # report total / (mean mid-probe x-pin): what the run would have
+    # totaled at pin-time host speed.  The raw `value` is untouched; this
+    # is an ADDITIONAL diagnostic, never a substitute.
+    probe_xs = [
+        p["x_pin_mean"] for p in mid_probes if p.get("x_pin_mean")
+    ]
+    host_x = (
+        round(sum(probe_xs) / len(probe_xs), 3) if probe_xs else None
+    )
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,
+        "value_drift_normalized": (
+            round(total / host_x, 3) if host_x else None
+        ),
+        "host_x_pin_mean": host_x,
         # total over the pre-r10 396-query headline set, for
         # round-over-round comparability across the r10 extension
         "value_r9set": round(
@@ -1119,16 +1165,27 @@ def main() -> None:
     # front-truncated the final line in r1-r3 -> "parsed": null), so the
     # flushed FINAL stdout line is a compact summary that always fits
     # (VERDICT r3 #2).
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_results.json")
-    with open(out_path, "w") as f:
-        f.write(json.dumps(result) + "\n")
+    here = os.path.dirname(os.path.abspath(__file__))
+    # r12 (VERDICT r11 #7): the driver benches the SAME round at two core
+    # counts and the second run overwrote bench_results.json before the
+    # per-query comparator read it (PERF_r11 came back with n_common=0).
+    # The per-query record now ALSO lands at a core-count-distinct path,
+    # and queries_path points THERE; bench_results.json is still written
+    # for back-compat with older tooling.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
+    result["cpus"] = int(cpus) if str(cpus).isdigit() else None
+    scratch_c = f"bench_results_c{cpus}.json"
+    for fname in ("bench_results.json", scratch_c):
+        with open(os.path.join(here, fname), "w") as f:
+            f.write(json.dumps(result) + "\n")
     # VERDICT r6 #5: bench_results.json is scratch (gitignored) and was
     # overwritten each round, making round-over-round per-query
     # comparison impossible.  Also write a round-stamped snapshot that
     # gets committed: at bench time the driver has recorded rounds
-    # 1..N-1, so the current round is max(BENCH_r*)+1.
-    here = os.path.dirname(os.path.abspath(__file__))
+    # 1..N-1, so the current round is max(BENCH_r*)+1.  If that snapshot
+    # already exists (a second run within the same round, e.g. the
+    # driver's low-core scaling pass), suffix the core count instead of
+    # overwriting it (VERDICT r11 #7).
     rounds = []
     for p in os.listdir(here):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p)
@@ -1137,6 +1194,8 @@ def main() -> None:
     snap = os.path.join(
         here, f"bench_results_r{(max(rounds) + 1 if rounds else 1):02d}.json"
     )
+    if os.path.exists(snap):
+        snap = snap[:-len(".json")] + f"_c{cpus}.json"
     with open(snap, "w") as f:
         f.write(json.dumps(result) + "\n")
     compact = {
@@ -1147,7 +1206,12 @@ def main() -> None:
         "n_queries": len(per_query),
         "cdc_ingest_rows_per_s": cdc_ingest["rows_per_s"],
         "canary_verdict": overall_canary,
-        "queries_path": "bench_results.json",
+        "value_drift_normalized": result["value_drift_normalized"],
+        "cpus": result["cpus"],
+        # core-count-distinct per-query record (VERDICT r11 #7: a second
+        # same-round run at another core count no longer clobbers the
+        # first's per-query data before the comparator reads it)
+        "queries_path": scratch_c,
     }
     print(json.dumps(compact), flush=True)
 

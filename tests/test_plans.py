@@ -414,19 +414,16 @@ def test_ngram_jaccard_shuffles_hashed_shingle_keys(spark):
     Since the r11 lineage cut, the md5 hashing lives inside the
     materialized (localCheckpointed) shingle frame, so the final plan
     starts at an ExistingRDD scan: assert the md5 lowering on the
-    pre-cut frame, and that the pair join in the final plan keys on the
-    LONG shingle column (attribute ids carry the L type suffix)."""
+    OPERATOR-OWNED pre-cut frame (dedup._hashed_shingles — the exact
+    frame ngram_jaccard_pairs materializes, so dropping md5_hash_long
+    from the operator fails here; ADVICE r11), and that the pair join
+    in the final plan keys on the LONG shingle column (attribute ids
+    carry the L type suffix)."""
     import re
 
-    from pyspark.sql import functions as F
-
-    from cdc_streamming___v2_spark.functions.texts import md5_hash_long
     from cdc_streamming___v2_spark.operators import dedup as D
 
-    hashed = D._shingles(spark, SF_SMALL).select(
-        "doc_id", md5_hash_long(F.col("s")).alias("s")
-    )
-    p_pre = _plan(spark, hashed)
+    p_pre = _plan(spark, D._hashed_shingles(spark, SF_SMALL))
     # conv(substring(md5(...))) is the md5_hash_long lowering
     assert "md5" in p_pre and "conv" in p_pre
     p = _plan(spark, D.ngram_jaccard_pairs(spark, SF_SMALL))

@@ -1,7 +1,11 @@
 """Dump .explain("formatted") for named queries to plans/<tag>/<q>_<suffix>.txt.
 
 Usage: python tools/dump_plans.py --suffix=before q1 q2 ...
-Plan shape is host-load insensitive, so this can run any time.
+Plan SHAPE is host-load insensitive, so this can run any time — but note
+that building a query frame is not always free: operators that call
+localCheckpoint(eager=True) at DataFrame-construction time execute their
+full upstream Spark jobs (Arrow shingle kernels, Lloyd rounds, streaming
+lifecycle cycles) before the plan is dumped (ADVICE r11).
 """
 
 from __future__ import annotations

@@ -1,7 +1,12 @@
 """Plan-shape audit: for each named query (default: all), print one JSON
 line with plan statistics — formatted-plan line count, Exchange count,
 SortMergeJoin count, BroadcastHashJoin count, Python-eval nodes, scans.
-Planning only (no job execution), so it is host-load tolerant.
+The stats are host-load tolerant (plan shape, not timing), but building
+a frame is NOT always execution-free: operators that call
+localCheckpoint(eager=True) at construction time run their upstream
+Spark jobs (Arrow shingle kernels, Lloyd rounds, streaming lifecycle
+cycles) before the plan exists — with no query names given this builds
+ALL queries and therefore executes every such job (ADVICE r11).
 
 Usage: python tools/plan_stats.py [query ...] [--min-lines=N]
 """
