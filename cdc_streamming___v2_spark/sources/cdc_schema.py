@@ -25,6 +25,25 @@ from pyspark.sql import functions as F
 # Canonical envelope columns extracted from the raw line.
 ENVELOPE_COLS = ("object", "action", "update_date_raw", "payload_json", "raw")
 
+# Column-expression memo (r12): every parser's projection is an UNBOUND
+# expression tree parameterized only by (line_col, default_table) — but
+# building it costs hundreds-to-thousands of py4j round-trips (measured
+# 3-6 s for the 12-dialect auto dispatcher, paid at EVERY stream start /
+# replay / conformance probe: the dominant cost of the CDC lifecycle
+# queries).  Column objects are immutable and reusable across DataFrames
+# within a JVM, so each parser builds its column lists ONCE per process
+# and every later call is two .select()s over cached expressions.  The
+# cache is keyed per-parser+args; a worst-case concurrent double-build
+# is harmless (last write wins, both values equivalent).
+_COL_MEMO: dict = {}
+
+
+def _memo_cols(key, build):
+    cols = _COL_MEMO.get(key)
+    if cols is None:
+        cols = _COL_MEMO[key] = build()
+    return cols
+
 
 def parse_envelope(raw_lines: DataFrame, line_col: str = "value") -> DataFrame:
     """Raw text lines -> envelope columns. Malformed lines yield nulls
@@ -32,23 +51,33 @@ def parse_envelope(raw_lines: DataFrame, line_col: str = "value") -> DataFrame:
     reference instead re-raises and retries the bundle forever
     (src/dataflow-cdc-stream.py:99-100); dead-lettering is strictly better.
     """
-    line = F.col(line_col)
     # json_tuple parses the line ONCE for all four top-level fields (vs one
     # full re-parse per get_json_object call); nested objects come out as
     # their raw JSON text, which is exactly what the routing design needs
     # for payload. Only source_metadata (a tiny string) needs a second
     # parse for change_type. Malformed lines yield nulls all the way.
-    return raw_lines.select(
-        F.json_tuple(line, "object", "source_timestamp", "source_metadata", "payload")
-        .alias("object", "update_date_raw", "meta_json", "payload_json"),
-        line.alias("raw"),
-    ).select(
-        "object",
-        F.get_json_object(F.col("meta_json"), "$.change_type").alias("action"),
-        "update_date_raw",
-        "payload_json",
-        "raw",
-    )
+    def build():
+        line = F.col(line_col)
+        s1 = [
+            F.json_tuple(
+                line, "object", "source_timestamp", "source_metadata",
+                "payload",
+            ).alias("object", "update_date_raw", "meta_json", "payload_json"),
+            line.alias("raw"),
+        ]
+        s2 = [
+            "object",
+            F.get_json_object(F.col("meta_json"), "$.change_type").alias(
+                "action"
+            ),
+            "update_date_raw",
+            "payload_json",
+            "raw",
+        ]
+        return s1, s2
+
+    s1, s2 = _memo_cols(("ds", line_col), build)
+    return raw_lines.select(*s1).select(*s2)
 
 
 # Debezium op codes -> the engine's canonical action vocabulary (the one
@@ -96,32 +125,37 @@ def parse_envelope_debezium(
     All JVM-side json expressions; malformed lines yield nulls (routed to
     dead-letter), never a stream failure.
     """
-    line = F.col(line_col)
-    body = F.coalesce(F.get_json_object(line, "$.payload"), line)
-    parsed = raw_lines.select(
-        F.json_tuple(body, "op", "ts_ms", "before", "after").alias(
-            "op", "ts_ms", "before", "after"
-        ),
-        F.get_json_object(body, "$.source.table").alias("object"),
-        line.alias("raw"),
-    )
-    action: Column = F.lit(None).cast("string")
-    for code, act in DEBEZIUM_ACTIONS:
-        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
-    update_raw = F.date_format(
-        F.timestamp_millis(F.col("ts_ms").cast("long")),
-        "yyyy-MM-dd HH:mm:ss.SSS",
-    )
-    payload = F.when(
-        F.col("op") == "d", F.coalesce(F.col("after"), F.col("before"))
-    ).otherwise(F.col("after"))
-    return parsed.select(
-        "object",
-        action.alias("action"),
-        update_raw.alias("update_date_raw"),
-        payload.alias("payload_json"),
-        "raw",
-    )
+    def build():
+        line = F.col(line_col)
+        body = F.coalesce(F.get_json_object(line, "$.payload"), line)
+        s1 = [
+            F.json_tuple(body, "op", "ts_ms", "before", "after").alias(
+                "op", "ts_ms", "before", "after"
+            ),
+            F.get_json_object(body, "$.source.table").alias("object"),
+            line.alias("raw"),
+        ]
+        action: Column = F.lit(None).cast("string")
+        for code, act in DEBEZIUM_ACTIONS:
+            action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+        update_raw = F.date_format(
+            F.timestamp_millis(F.col("ts_ms").cast("long")),
+            "yyyy-MM-dd HH:mm:ss.SSS",
+        )
+        payload = F.when(
+            F.col("op") == "d", F.coalesce(F.col("after"), F.col("before"))
+        ).otherwise(F.col("after"))
+        s2 = [
+            "object",
+            action.alias("action"),
+            update_raw.alias("update_date_raw"),
+            payload.alias("payload_json"),
+            "raw",
+        ]
+        return s1, s2
+
+    s1, s2 = _memo_cols(("dbz", line_col), build)
+    return raw_lines.select(*s1).select(*s2)
 
 
 # Maxwell type values -> canonical actions.  bootstrap-insert is the
@@ -154,27 +188,34 @@ def parse_envelope_maxwell(
       (second precision is Maxwell's contract).
     - ``table`` -> object (registry routing key).
     """
-    line = F.col(line_col)
-    parsed = raw_lines.select(
-        F.json_tuple(line, "table", "type", "ts", "data").alias(
-            "object", "mtype", "ts_s", "payload_json"
-        ),
-        line.alias("raw"),
-    )
-    action: Column = F.lit(None).cast("string")
-    for code, act in MAXWELL_ACTIONS:
-        action = F.when(F.col("mtype") == code, F.lit(act)).otherwise(action)
-    update_raw = F.date_format(
-        F.timestamp_seconds(F.col("ts_s").cast("long")),
-        "yyyy-MM-dd HH:mm:ss",
-    )
-    return parsed.select(
-        "object",
-        action.alias("action"),
-        update_raw.alias("update_date_raw"),
-        "payload_json",
-        "raw",
-    )
+    def build():
+        line = F.col(line_col)
+        s1 = [
+            F.json_tuple(line, "table", "type", "ts", "data").alias(
+                "object", "mtype", "ts_s", "payload_json"
+            ),
+            line.alias("raw"),
+        ]
+        action: Column = F.lit(None).cast("string")
+        for code, act in MAXWELL_ACTIONS:
+            action = F.when(F.col("mtype") == code, F.lit(act)).otherwise(
+                action
+            )
+        update_raw = F.date_format(
+            F.timestamp_seconds(F.col("ts_s").cast("long")),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+        s2 = [
+            "object",
+            action.alias("action"),
+            update_raw.alias("update_date_raw"),
+            "payload_json",
+            "raw",
+        ]
+        return s1, s2
+
+    s1, s2 = _memo_cols(("maxwell", line_col), build)
+    return raw_lines.select(*s1).select(*s2)
 
 
 CANAL_ACTIONS = (
@@ -203,29 +244,36 @@ def parse_envelope_canal(
     db execute time; ``ts`` is only Canal's processing time) ->
     update_date_raw, ``table`` -> object.
     """
-    line = F.col(line_col)
-    parsed = raw_lines.select(
-        F.json_tuple(line, "table", "type", "es", "data").alias(
-            "object", "ctype", "es_ms", "data_raw"
-        ),
-        line.alias("raw"),
-    )
-    action: Column = F.lit(None).cast("string")
-    for code, act in CANAL_ACTIONS:
-        action = F.when(F.col("ctype") == code, F.lit(act)).otherwise(action)
-    update_raw = F.date_format(
-        F.timestamp_millis(F.col("es_ms").cast("long")),
-        "yyyy-MM-dd HH:mm:ss.SSS",
-    )
-    return parsed.select(
-        "object",
-        action.alias("action"),
-        update_raw.alias("update_date_raw"),
-        F.explode_outer(F.from_json(F.col("data_raw"), "array<string>")).alias(
-            "payload_json"
-        ),
-        "raw",
-    )
+    def build():
+        line = F.col(line_col)
+        s1 = [
+            F.json_tuple(line, "table", "type", "es", "data").alias(
+                "object", "ctype", "es_ms", "data_raw"
+            ),
+            line.alias("raw"),
+        ]
+        action: Column = F.lit(None).cast("string")
+        for code, act in CANAL_ACTIONS:
+            action = F.when(F.col("ctype") == code, F.lit(act)).otherwise(
+                action
+            )
+        update_raw = F.date_format(
+            F.timestamp_millis(F.col("es_ms").cast("long")),
+            "yyyy-MM-dd HH:mm:ss.SSS",
+        )
+        s2 = [
+            "object",
+            action.alias("action"),
+            update_raw.alias("update_date_raw"),
+            F.explode_outer(
+                F.from_json(F.col("data_raw"), "array<string>")
+            ).alias("payload_json"),
+            "raw",
+        ]
+        return s1, s2
+
+    s1, s2 = _memo_cols(("canal", line_col), build)
+    return raw_lines.select(*s1).select(*s2)
 
 
 # SQL Server CDC __$operation codes -> canonical actions.  1 = delete,
@@ -270,33 +318,38 @@ def parse_envelope_sqlserver(
       stripped (capture instances default to ``schema_table``), falling
       back to ``default_table`` for single-table exports.
     """
-    line = F.col(line_col)
-    parsed = raw_lines.select(
-        F.json_tuple(
-            line,
-            "__$operation",
-            "__$capture_instance",
-            "__$commit_time",
-            "tran_end_time",
-        ).alias("op", "capture", "commit_ts", "tran_ts"),
-        line.alias("raw"),
-    )
-    action: Column = F.lit(None).cast("string")
-    for code, act in MSSQL_ACTIONS:
-        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
-    obj = F.coalesce(
-        F.regexp_replace(F.col("capture"), "^dbo_", ""),
-        F.lit(default_table).cast("string"),
-    )
-    return parsed.select(
-        obj.alias("object"),
-        action.alias("action"),
-        F.coalesce(F.col("commit_ts"), F.col("tran_ts")).alias(
-            "update_date_raw"
-        ),
-        F.col("raw").alias("payload_json"),
-        "raw",
-    )
+    def build():
+        line = F.col(line_col)
+        s1 = [
+            F.json_tuple(
+                line,
+                "__$operation",
+                "__$capture_instance",
+                "__$commit_time",
+                "tran_end_time",
+            ).alias("op", "capture", "commit_ts", "tran_ts"),
+            line.alias("raw"),
+        ]
+        action: Column = F.lit(None).cast("string")
+        for code, act in MSSQL_ACTIONS:
+            action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+        obj = F.coalesce(
+            F.regexp_replace(F.col("capture"), "^dbo_", ""),
+            F.lit(default_table).cast("string"),
+        )
+        s2 = [
+            obj.alias("object"),
+            action.alias("action"),
+            F.coalesce(F.col("commit_ts"), F.col("tran_ts")).alias(
+                "update_date_raw"
+            ),
+            F.col("raw").alias("payload_json"),
+            "raw",
+        ]
+        return s1, s2
+
+    s1, s2 = _memo_cols(("mssql", line_col, default_table), build)
+    return raw_lines.select(*s1).select(*s2)
 
 
 def parse_envelope_auto(
@@ -331,123 +384,67 @@ def parse_envelope_auto(
     - everything else takes the Datastream path (whose unknown-field
       lines null out and dead-letter).
 
-    Plan shape: four filtered narrow projections of the same source,
+    Plan shape: filtered narrow projections of the same source,
     unioned — no shuffle, no join; each row is json-parsed by exactly one
     branch plus the cheap probes.  In single-pass ingest the downstream
     per-table routing persists the unioned envelope batch, so the source
-    is still scanned once per micro-batch."""
-    line = F.col(line_col)
-    is_dbz = (
-        F.get_json_object(line, "$.op").isNotNull()
-        | F.get_json_object(line, "$.payload.op").isNotNull()
+    is still scanned once per micro-batch.
+
+    First-match-wins is expressed as ``probe_k AND NOT probe_1 ... AND
+    NOT probe_{k-1}`` over the RAW probes (r12): algebraically identical
+    to the previous nested-flag form (each old flag was
+    ``~flag_prev & probe``, and De Morgan reduces the negation chain to
+    raw-probe negations), but the expression tree is O(n^2) small instead
+    of doubling per dialect — the old form embedded a COPY of every
+    earlier flag, ~2^12 probe duplicates by the last branch, which
+    dominated plan build/analysis time for every stream start."""
+
+    def build_flags():
+        line = F.col(line_col)
+
+        def has(path: str) -> Column:
+            return F.get_json_object(line, path).isNotNull()
+
+        probes = [
+            ("dbz", has("$.op") | has("$.payload.op")),
+            ("ogg", has("$.op_type")),
+            ("dms", has("$.metadata.operation")),
+            ("mssql", has("$.__$operation")),
+            ("mongo", has("$.operationType")),
+            ("w2j", has("$.action")),
+            ("aby", has("$.record.stream")),
+            ("ddb", has("$.eventName") & has("$.dynamodb")),
+            ("dbzf", has("$.__op") | has("$.__deleted")),
+            ("canal", has("$.type") & has("$.data[0]")),
+            ("maxwell", has("$.type") & has("$.data")),
+        ]
+        flags = {}
+        none_before = None
+        for tag, probe in probes:
+            flags[tag] = probe if none_before is None else (
+                none_before & probe
+            )
+            none_before = (
+                ~probe if none_before is None else (none_before & ~probe)
+            )
+        flags["ds"] = none_before
+        return flags
+
+    flags = _memo_cols(("auto-flags", line_col), build_flags)
+    ds = parse_envelope(raw_lines.filter(flags["ds"]), line_col)
+    dz = parse_envelope_debezium(raw_lines.filter(flags["dbz"]), line_col)
+    og = parse_envelope_goldengate(raw_lines.filter(flags["ogg"]), line_col)
+    dm = parse_envelope_aws_dms(raw_lines.filter(flags["dms"]), line_col)
+    ms = parse_envelope_sqlserver(raw_lines.filter(flags["mssql"]), line_col)
+    mg = parse_envelope_mongo(raw_lines.filter(flags["mongo"]), line_col)
+    w2 = parse_envelope_wal2json(raw_lines.filter(flags["w2j"]), line_col)
+    ab = parse_envelope_airbyte(raw_lines.filter(flags["aby"]), line_col)
+    dd = parse_envelope_dynamodb(raw_lines.filter(flags["ddb"]), line_col)
+    df_ = parse_envelope_debezium_flat(
+        raw_lines.filter(flags["dbzf"]), line_col
     )
-    is_ogg = (
-        ~is_dbz & F.get_json_object(line, "$.op_type").isNotNull()
-    )
-    is_dms = (
-        ~is_dbz
-        & ~is_ogg
-        & F.get_json_object(line, "$.metadata.operation").isNotNull()
-    )
-    is_mssql = (
-        ~is_dbz
-        & ~is_ogg
-        & ~is_dms
-        & F.get_json_object(line, "$.__$operation").isNotNull()
-    )
-    is_mongo = (
-        ~is_dbz
-        & ~is_ogg
-        & ~is_dms
-        & ~is_mssql
-        & F.get_json_object(line, "$.operationType").isNotNull()
-    )
-    is_w2j = (
-        ~is_dbz
-        & ~is_ogg
-        & ~is_dms
-        & ~is_mssql
-        & ~is_mongo
-        & F.get_json_object(line, "$.action").isNotNull()
-    )
-    is_aby = (
-        ~is_dbz
-        & ~is_ogg
-        & ~is_dms
-        & ~is_mssql
-        & ~is_mongo
-        & ~is_w2j
-        & F.get_json_object(line, "$.record.stream").isNotNull()
-    )
-    is_ddb = (
-        ~is_dbz
-        & ~is_ogg
-        & ~is_dms
-        & ~is_mssql
-        & ~is_mongo
-        & ~is_w2j
-        & ~is_aby
-        & F.get_json_object(line, "$.eventName").isNotNull()
-        & F.get_json_object(line, "$.dynamodb").isNotNull()
-    )
-    is_dbzf = (
-        ~is_dbz
-        & ~is_ogg
-        & ~is_dms
-        & ~is_mssql
-        & ~is_mongo
-        & ~is_w2j
-        & ~is_aby
-        & ~is_ddb
-        & (
-            F.get_json_object(line, "$.__op").isNotNull()
-            | F.get_json_object(line, "$.__deleted").isNotNull()
-        )
-    )
-    has_type = F.get_json_object(line, "$.type").isNotNull()
-    is_canal = (
-        ~is_dbz
-        & ~is_ogg
-        & ~is_dms
-        & ~is_mssql
-        & ~is_mongo
-        & ~is_w2j
-        & ~is_aby
-        & ~is_ddb
-        & ~is_dbzf
-        & has_type
-        & F.get_json_object(line, "$.data[0]").isNotNull()
-    )
-    is_maxwell = (
-        ~is_dbz
-        & ~is_ogg
-        & ~is_dms
-        & ~is_mssql
-        & ~is_mongo
-        & ~is_w2j
-        & ~is_aby
-        & ~is_ddb
-        & ~is_dbzf
-        & ~is_canal
-        & has_type
-        & F.get_json_object(line, "$.data").isNotNull()
-    )
-    is_ds = (
-        ~is_dbz & ~is_ogg & ~is_dms & ~is_mssql & ~is_mongo & ~is_w2j
-        & ~is_aby & ~is_ddb & ~is_dbzf & ~is_canal & ~is_maxwell
-    )
-    ds = parse_envelope(raw_lines.filter(is_ds), line_col)
-    dz = parse_envelope_debezium(raw_lines.filter(is_dbz), line_col)
-    og = parse_envelope_goldengate(raw_lines.filter(is_ogg), line_col)
-    dm = parse_envelope_aws_dms(raw_lines.filter(is_dms), line_col)
-    ms = parse_envelope_sqlserver(raw_lines.filter(is_mssql), line_col)
-    mg = parse_envelope_mongo(raw_lines.filter(is_mongo), line_col)
-    w2 = parse_envelope_wal2json(raw_lines.filter(is_w2j), line_col)
-    ab = parse_envelope_airbyte(raw_lines.filter(is_aby), line_col)
-    dd = parse_envelope_dynamodb(raw_lines.filter(is_ddb), line_col)
-    df_ = parse_envelope_debezium_flat(raw_lines.filter(is_dbzf), line_col)
-    mx = parse_envelope_maxwell(raw_lines.filter(is_maxwell), line_col)
-    cn = parse_envelope_canal(raw_lines.filter(is_canal), line_col)
+    mx = parse_envelope_maxwell(raw_lines.filter(flags["maxwell"]), line_col)
+    cn = parse_envelope_canal(raw_lines.filter(flags["canal"]), line_col)
     return (
         ds.unionByName(dz)
         .unionByName(og)
@@ -505,34 +502,44 @@ def parse_envelope_aws_dms(
       update_date_raw as ``yyyy-MM-dd HH:mm:ss.SSSSSS``.
     - ``metadata.table-name`` -> object (registry routing key).
     """
-    line = F.col(line_col)
-    parsed = raw_lines.select(
-        F.json_tuple(line, "data", "metadata").alias("payload_json", "meta"),
-        line.alias("raw"),
-    ).select(
-        "payload_json",
-        "raw",
-        F.json_tuple(
-            F.col("meta"), "record-type", "operation", "timestamp",
-            "table-name",
-        ).alias("rtype", "op", "ts_iso", "object"),
-    )
-    action: Column = F.lit(None).cast("string")
-    for code, act in AWS_DMS_ACTIONS:
-        action = F.when(
-            (F.col("rtype") == "data") & (F.col("op") == code), F.lit(act)
-        ).otherwise(action)
-    update_raw = F.date_format(
-        F.to_timestamp(F.col("ts_iso"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
-        "yyyy-MM-dd HH:mm:ss.SSSSSS",
-    )
-    return parsed.select(
-        "object",
-        action.alias("action"),
-        update_raw.alias("update_date_raw"),
-        "payload_json",
-        "raw",
-    )
+    def build():
+        line = F.col(line_col)
+        s1 = [
+            F.json_tuple(line, "data", "metadata").alias(
+                "payload_json", "meta"
+            ),
+            line.alias("raw"),
+        ]
+        s2 = [
+            "payload_json",
+            "raw",
+            F.json_tuple(
+                F.col("meta"), "record-type", "operation", "timestamp",
+                "table-name",
+            ).alias("rtype", "op", "ts_iso", "object"),
+        ]
+        action: Column = F.lit(None).cast("string")
+        for code, act in AWS_DMS_ACTIONS:
+            action = F.when(
+                (F.col("rtype") == "data") & (F.col("op") == code), F.lit(act)
+            ).otherwise(action)
+        update_raw = F.date_format(
+            F.to_timestamp(
+                F.col("ts_iso"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+            ),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        )
+        s3 = [
+            "object",
+            action.alias("action"),
+            update_raw.alias("update_date_raw"),
+            "payload_json",
+            "raw",
+        ]
+        return s1, s2, s3
+
+    s1, s2, s3 = _memo_cols(("dms", line_col), build)
+    return raw_lines.select(*s1).select(*s2).select(*s3)
 
 
 OGG_ACTIONS = (
@@ -560,23 +567,28 @@ def parse_envelope_goldengate(
     - object = ``table`` with the schema prefix stripped
       (``substring_index(table, '.', -1)``), the registry routing key.
     """
-    line = F.col(line_col)
-    parsed = raw_lines.select(
-        F.json_tuple(
-            line, "table", "op_type", "op_ts", "before", "after"
-        ).alias("tbl", "op", "ts", "before", "after"),
-        line.alias("raw"),
-    )
-    action: Column = F.lit(None).cast("string")
-    for code, act in OGG_ACTIONS:
-        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
-    return parsed.select(
-        F.substring_index(F.col("tbl"), ".", -1).alias("object"),
-        action.alias("action"),
-        F.col("ts").alias("update_date_raw"),
-        F.coalesce(F.col("after"), F.col("before")).alias("payload_json"),
-        "raw",
-    )
+    def build():
+        line = F.col(line_col)
+        s1 = [
+            F.json_tuple(
+                line, "table", "op_type", "op_ts", "before", "after"
+            ).alias("tbl", "op", "ts", "before", "after"),
+            line.alias("raw"),
+        ]
+        action: Column = F.lit(None).cast("string")
+        for code, act in OGG_ACTIONS:
+            action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+        s2 = [
+            F.substring_index(F.col("tbl"), ".", -1).alias("object"),
+            action.alias("action"),
+            F.col("ts").alias("update_date_raw"),
+            F.coalesce(F.col("after"), F.col("before")).alias("payload_json"),
+            "raw",
+        ]
+        return s1, s2
+
+    s1, s2 = _memo_cols(("ogg", line_col), build)
+    return raw_lines.select(*s1).select(*s2)
 
 
 MONGO_ACTIONS = (
@@ -617,64 +629,76 @@ def parse_envelope_mongo(
       coalesced; fallback ``clusterTime.$timestamp.t`` epoch seconds.
     - object = ``ns.coll`` (fallback ``default_table``).
     """
-    line = F.col(line_col)
-    parsed = raw_lines.select(
-        F.json_tuple(
-            line,
-            "operationType",
-            "ns",
-            "fullDocument",
-            "updateDescription",
-            "documentKey",
-            "wallTime",
-            "clusterTime",
-        ).alias("op", "ns", "full", "upd", "key", "wall", "cluster"),
-        line.alias("raw"),
-    )
-    action: Column = F.lit(None).cast("string")
-    for code, act in MONGO_ACTIONS:
-        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
-    wall_iso = F.coalesce(
-        F.get_json_object(F.col("wall"), "$['$date']"), F.col("wall")
-    )
-    wall_ts = F.coalesce(
-        F.to_timestamp(wall_iso, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
-        F.to_timestamp(wall_iso),
-    )
-    cluster_ts = F.from_unixtime(
-        F.get_json_object(F.col("cluster"), "$['$timestamp'].t").cast("long")
-    )
-    update_raw = F.coalesce(
-        F.date_format(wall_ts, "yyyy-MM-dd HH:mm:ss.SSS"), cluster_ts
-    )
-    return parsed.select(
-        F.coalesce(
-            F.get_json_object(F.col("ns"), "$.coll"),
-            F.lit(default_table).cast("string"),
-        ).alias("object"),
-        action.alias("action"),
-        update_raw.alias("update_date_raw"),
-        F.coalesce(
-            F.col("full"),
-            F.when(
-                F.get_json_object(F.col("upd"), "$.updatedFields").isNull()
-                | (F.get_json_object(F.col("upd"), "$.updatedFields") == "{}"),
-                F.col("key"),
-            ).otherwise(
-                F.concat(
-                    F.regexp_replace(F.col("key"), "\\}\\s*$", ""),
-                    F.lit(","),
-                    F.regexp_replace(
-                        F.get_json_object(F.col("upd"), "$.updatedFields"),
-                        "^\\s*\\{",
-                        "",
+    def build():
+        line = F.col(line_col)
+        s1 = [
+            F.json_tuple(
+                line,
+                "operationType",
+                "ns",
+                "fullDocument",
+                "updateDescription",
+                "documentKey",
+                "wallTime",
+                "clusterTime",
+            ).alias("op", "ns", "full", "upd", "key", "wall", "cluster"),
+            line.alias("raw"),
+        ]
+        action: Column = F.lit(None).cast("string")
+        for code, act in MONGO_ACTIONS:
+            action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+        wall_iso = F.coalesce(
+            F.get_json_object(F.col("wall"), "$['$date']"), F.col("wall")
+        )
+        wall_ts = F.coalesce(
+            F.to_timestamp(wall_iso, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            F.to_timestamp(wall_iso),
+        )
+        cluster_ts = F.from_unixtime(
+            F.get_json_object(F.col("cluster"), "$['$timestamp'].t").cast(
+                "long"
+            )
+        )
+        update_raw = F.coalesce(
+            F.date_format(wall_ts, "yyyy-MM-dd HH:mm:ss.SSS"), cluster_ts
+        )
+        s2 = [
+            F.coalesce(
+                F.get_json_object(F.col("ns"), "$.coll"),
+                F.lit(default_table).cast("string"),
+            ).alias("object"),
+            action.alias("action"),
+            update_raw.alias("update_date_raw"),
+            F.coalesce(
+                F.col("full"),
+                F.when(
+                    F.get_json_object(F.col("upd"), "$.updatedFields").isNull()
+                    | (
+                        F.get_json_object(F.col("upd"), "$.updatedFields")
+                        == "{}"
                     ),
-                )
-            ),
-            F.col("key"),
-        ).alias("payload_json"),
-        "raw",
-    )
+                    F.col("key"),
+                ).otherwise(
+                    F.concat(
+                        F.regexp_replace(F.col("key"), "\\}\\s*$", ""),
+                        F.lit(","),
+                        F.regexp_replace(
+                            F.get_json_object(
+                                F.col("upd"), "$.updatedFields"
+                            ),
+                            "^\\s*\\{",
+                            "",
+                        ),
+                    )
+                ),
+                F.col("key"),
+            ).alias("payload_json"),
+            "raw",
+        ]
+        return s1, s2
+
+    s1, s2 = _memo_cols(("mongo", line_col, default_table), build)
+    return raw_lines.select(*s1).select(*s2)
 
 
 def _esc_json_string(col: Column) -> Column:
@@ -745,58 +769,65 @@ def parse_envelope_wal2json(
     - object = ``table`` (v2 keeps ``schema`` in its own field — no
       prefix stripping needed), falling back to ``default_table``.
     """
-    line = F.col(line_col)
-    parsed = raw_lines.select(
-        F.json_tuple(
-            line, "action", "table", "timestamp", "columns", "identity"
-        ).alias("op", "tbl", "ts", "cols", "ident"),
-        line.alias("raw"),
-    )
-    action: Column = F.lit(None).cast("string")
-    for code, act in WAL2JSON_ACTIONS:
-        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+    def build():
+        line = F.col(line_col)
+        s1 = [
+            F.json_tuple(
+                line, "action", "table", "timestamp", "columns", "identity"
+            ).alias("op", "tbl", "ts", "cols", "ident"),
+            line.alias("raw"),
+        ]
+        action: Column = F.lit(None).cast("string")
+        for code, act in WAL2JSON_ACTIONS:
+            action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
 
-    _esc = _esc_json_string
+        _esc = _esc_json_string
 
-    def obj_of(arr_json: Column) -> Column:
-        entries = F.from_json(arr_json, _W2J_COLS)
+        def obj_of(arr_json: Column) -> Column:
+            entries = F.from_json(arr_json, _W2J_COLS)
 
-        def pair(c):
-            raw_ok = F.lower(c["type"]).rlike(_W2J_RAW_TYPES)
-            val = (
-                F.when(c["value"].isNull(), F.lit("null"))
-                .when(raw_ok, c["value"])
-                .otherwise(F.concat(F.lit('"'), _esc(c["value"]), F.lit('"')))
+            def pair(c):
+                raw_ok = F.lower(c["type"]).rlike(_W2J_RAW_TYPES)
+                val = (
+                    F.when(c["value"].isNull(), F.lit("null"))
+                    .when(raw_ok, c["value"])
+                    .otherwise(
+                        F.concat(F.lit('"'), _esc(c["value"]), F.lit('"'))
+                    )
+                )
+                return F.concat(F.lit('"'), _esc(c["name"]), F.lit('":'), val)
+
+            return F.when(
+                entries.isNotNull(),
+                F.concat(
+                    F.lit("{"),
+                    F.concat_ws(",", F.transform(entries, pair)),
+                    F.lit("}"),
+                ),
             )
-            return F.concat(F.lit('"'), _esc(c["name"]), F.lit('":'), val)
 
-        return F.when(
-            entries.isNotNull(),
-            F.concat(
-                F.lit("{"),
-                F.concat_ws(",", F.transform(entries, pair)),
-                F.lit("}"),
-            ),
+        ts = F.coalesce(
+            F.to_timestamp(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSSX"),
+            F.to_timestamp(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSX"),
+            F.to_timestamp(F.col("ts")),
         )
+        s2 = [
+            F.coalesce(
+                F.col("tbl"), F.lit(default_table).cast("string")
+            ).alias("object"),
+            action.alias("action"),
+            F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "update_date_raw"
+            ),
+            F.coalesce(obj_of(F.col("cols")), obj_of(F.col("ident"))).alias(
+                "payload_json"
+            ),
+            "raw",
+        ]
+        return s1, s2
 
-    ts = F.coalesce(
-        F.to_timestamp(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSSX"),
-        F.to_timestamp(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSX"),
-        F.to_timestamp(F.col("ts")),
-    )
-    return parsed.select(
-        F.coalesce(F.col("tbl"), F.lit(default_table).cast("string")).alias(
-            "object"
-        ),
-        action.alias("action"),
-        F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-            "update_date_raw"
-        ),
-        F.coalesce(obj_of(F.col("cols")), obj_of(F.col("ident"))).alias(
-            "payload_json"
-        ),
-        "raw",
-    )
+    s1, s2 = _memo_cols(("w2j", line_col, default_table), build)
+    return raw_lines.select(*s1).select(*s2)
 
 
 def parse_envelope_airbyte(
@@ -832,40 +863,46 @@ def parse_envelope_airbyte(
     - object = ``record.stream`` (the catalog routing key), falling
       back to ``default_table``.
     """
-    line = F.col(line_col)
-    stream = F.get_json_object(line, "$.record.stream")
-    data = F.get_json_object(line, "$.record.data")
-    deleted = F.get_json_object(line, "$.record.data._ab_cdc_deleted_at")
-    updated = F.get_json_object(line, "$.record.data._ab_cdc_updated_at")
-    emitted = F.get_json_object(line, "$.record.emitted_at")
-    is_rec = F.get_json_object(line, "$.type") == F.lit("RECORD")
-    action = (
-        F.when(~is_rec | data.isNull(), F.lit(None).cast("string"))
-        .when(deleted.isNotNull(), F.lit("DELETE"))
-        .when(updated.isNotNull(), F.lit("UPDATE-INSERT"))
-        .otherwise(F.lit("INSERT"))
-    )
-
-    def _ts(c: Column) -> Column:
-        # try_cast/try_to_timestamp: ANSI mode is on; plain cast/parse
-        # would FAIL the stream on the other wire form (or on garbage)
-        # instead of falling through / dead-lettering
-        return F.coalesce(
-            F.timestamp_millis(c.try_cast("long")), F.try_to_timestamp(c)
+    def build():
+        line = F.col(line_col)
+        stream = F.get_json_object(line, "$.record.stream")
+        data = F.get_json_object(line, "$.record.data")
+        deleted = F.get_json_object(line, "$.record.data._ab_cdc_deleted_at")
+        updated = F.get_json_object(line, "$.record.data._ab_cdc_updated_at")
+        emitted = F.get_json_object(line, "$.record.emitted_at")
+        is_rec = F.get_json_object(line, "$.type") == F.lit("RECORD")
+        action = (
+            F.when(~is_rec | data.isNull(), F.lit(None).cast("string"))
+            .when(deleted.isNotNull(), F.lit("DELETE"))
+            .when(updated.isNotNull(), F.lit("UPDATE-INSERT"))
+            .otherwise(F.lit("INSERT"))
         )
 
-    ts = F.coalesce(_ts(updated), F.timestamp_millis(emitted.try_cast("long")))
-    return raw_lines.select(
-        F.coalesce(stream, F.lit(default_table).cast("string")).alias(
-            "object"
-        ),
-        action.alias("action"),
-        F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSS").alias(
-            "update_date_raw"
-        ),
-        data.alias("payload_json"),
-        line.alias("raw"),
-    )
+        def _ts(c: Column) -> Column:
+            # try_cast/try_to_timestamp: ANSI mode is on; plain cast/parse
+            # would FAIL the stream on the other wire form (or on garbage)
+            # instead of falling through / dead-lettering
+            return F.coalesce(
+                F.timestamp_millis(c.try_cast("long")), F.try_to_timestamp(c)
+            )
+
+        ts = F.coalesce(
+            _ts(updated), F.timestamp_millis(emitted.try_cast("long"))
+        )
+        return [
+            F.coalesce(stream, F.lit(default_table).cast("string")).alias(
+                "object"
+            ),
+            action.alias("action"),
+            F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                "update_date_raw"
+            ),
+            data.alias("payload_json"),
+            line.alias("raw"),
+        ]
+
+    cols = _memo_cols(("aby", line_col, default_table), build)
+    return raw_lines.select(*cols)
 
 
 DYNAMODB_ACTIONS = (
@@ -912,73 +949,80 @@ def parse_envelope_dynamodb(
     - object = the ``table/<name>/`` segment of ``eventSourceARN``,
       falling back to ``default_table``.
     """
-    line = F.col(line_col)
-    parsed = raw_lines.select(
-        F.get_json_object(line, "$.eventName").alias("op"),
-        F.get_json_object(line, "$.eventSourceARN").alias("arn"),
-        F.get_json_object(
-            line, "$.dynamodb.ApproximateCreationDateTime"
-        ).alias("ts"),
-        F.get_json_object(line, "$.dynamodb.NewImage").alias("newimg"),
-        F.get_json_object(line, "$.dynamodb.OldImage").alias("oldimg"),
-        F.get_json_object(line, "$.dynamodb.Keys").alias("keys"),
-        line.alias("raw"),
-    )
-    action: Column = F.lit(None).cast("string")
-    for code, act in DYNAMODB_ACTIONS:
-        action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
+    def build():
+        line = F.col(line_col)
+        s1 = [
+            F.get_json_object(line, "$.eventName").alias("op"),
+            F.get_json_object(line, "$.eventSourceARN").alias("arn"),
+            F.get_json_object(
+                line, "$.dynamodb.ApproximateCreationDateTime"
+            ).alias("ts"),
+            F.get_json_object(line, "$.dynamodb.NewImage").alias("newimg"),
+            F.get_json_object(line, "$.dynamodb.OldImage").alias("oldimg"),
+            F.get_json_object(line, "$.dynamodb.Keys").alias("keys"),
+            line.alias("raw"),
+        ]
+        action: Column = F.lit(None).cast("string")
+        for code, act in DYNAMODB_ACTIONS:
+            action = F.when(F.col("op") == code, F.lit(act)).otherwise(action)
 
-    _esc = _esc_json_string
+        _esc = _esc_json_string
 
-    def obj_of(img_json: Column) -> Column:
-        entries = F.filter(
-            F.map_entries(F.from_json(img_json, _DDB_IMAGE)),
-            lambda e: F.size(F.map_keys(e["value"])) > 0,
-        )
-
-        def pair(e):
-            t = F.map_keys(e["value"]).getItem(0)
-            v = F.map_values(e["value"]).getItem(0)
-            val = (
-                F.when(t == "NULL", F.lit("null"))
-                .when(t.isin("N", "BOOL"), v)
-                .when(
-                    t.isin("S", "B"),
-                    F.concat(F.lit('"'), _esc(v), F.lit('"')),
-                )
-                .otherwise(v)  # SS/NS/BS/L/M: coerced JSON text verbatim
+        def obj_of(img_json: Column) -> Column:
+            entries = F.filter(
+                F.map_entries(F.from_json(img_json, _DDB_IMAGE)),
+                lambda e: F.size(F.map_keys(e["value"])) > 0,
             )
-            return F.concat(F.lit('"'), _esc(e["key"]), F.lit('":'), val)
 
-        return F.when(
-            entries.isNotNull(),
-            F.concat(
-                F.lit("{"),
-                F.concat_ws(",", F.transform(entries, pair)),
-                F.lit("}"),
-            ),
+            def pair(e):
+                t = F.map_keys(e["value"]).getItem(0)
+                v = F.map_values(e["value"]).getItem(0)
+                val = (
+                    F.when(t == "NULL", F.lit("null"))
+                    .when(t.isin("N", "BOOL"), v)
+                    .when(
+                        t.isin("S", "B"),
+                        F.concat(F.lit('"'), _esc(v), F.lit('"')),
+                    )
+                    .otherwise(v)  # SS/NS/BS/L/M: coerced JSON text verbatim
+                )
+                return F.concat(F.lit('"'), _esc(e["key"]), F.lit('":'), val)
+
+            return F.when(
+                entries.isNotNull(),
+                F.concat(
+                    F.lit("{"),
+                    F.concat_ws(",", F.transform(entries, pair)),
+                    F.lit("}"),
+                ),
+            )
+
+        update_raw = F.date_format(
+            F.timestamp_seconds(F.col("ts").try_cast("double")),
+            "yyyy-MM-dd HH:mm:ss.SSS",
         )
+        payload = F.when(
+            F.col("op") == "REMOVE",
+            F.coalesce(obj_of(F.col("oldimg")), obj_of(F.col("keys"))),
+        ).otherwise(
+            F.coalesce(obj_of(F.col("newimg")), obj_of(F.col("keys")))
+        )
+        table = F.nullif(
+            F.regexp_extract(F.col("arn"), "table/([^/]+)", 1), F.lit("")
+        )
+        s2 = [
+            F.coalesce(table, F.lit(default_table).cast("string")).alias(
+                "object"
+            ),
+            action.alias("action"),
+            update_raw.alias("update_date_raw"),
+            payload.alias("payload_json"),
+            "raw",
+        ]
+        return s1, s2
 
-    update_raw = F.date_format(
-        F.timestamp_seconds(F.col("ts").try_cast("double")),
-        "yyyy-MM-dd HH:mm:ss.SSS",
-    )
-    payload = F.when(
-        F.col("op") == "REMOVE",
-        F.coalesce(obj_of(F.col("oldimg")), obj_of(F.col("keys"))),
-    ).otherwise(F.coalesce(obj_of(F.col("newimg")), obj_of(F.col("keys"))))
-    table = F.nullif(
-        F.regexp_extract(F.col("arn"), "table/([^/]+)", 1), F.lit("")
-    )
-    return parsed.select(
-        F.coalesce(table, F.lit(default_table).cast("string")).alias(
-            "object"
-        ),
-        action.alias("action"),
-        update_raw.alias("update_date_raw"),
-        payload.alias("payload_json"),
-        "raw",
-    )
+    s1, s2 = _memo_cols(("ddb", line_col, default_table), build)
+    return raw_lines.select(*s1).select(*s2)
 
 
 def parse_envelope_debezium_flat(
@@ -1010,34 +1054,38 @@ def parse_envelope_debezium_flat(
       actual Kafka tombstones arrive as null/empty lines and fall out
       as NULL-action dead letters.
     """
-    line = F.col(line_col)
-    op = F.get_json_object(line, "$.__op")
-    deleted = F.get_json_object(line, "$.__deleted")
-    action: Column = F.lit(None).cast("string")
-    for code, act in DEBEZIUM_ACTIONS:
-        action = F.when(op == code, F.lit(act)).otherwise(action)
-    action = F.when(op.isNotNull(), action).otherwise(
-        F.when(F.lower(deleted) == "true", F.lit("DELETE"))
-        .when(deleted.isNotNull(), F.lit("UPDATE-INSERT"))
-        .when(
-            F.get_json_object(line, "$").isNotNull(), F.lit("INSERT")
+    def build():
+        line = F.col(line_col)
+        op = F.get_json_object(line, "$.__op")
+        deleted = F.get_json_object(line, "$.__deleted")
+        action: Column = F.lit(None).cast("string")
+        for code, act in DEBEZIUM_ACTIONS:
+            action = F.when(op == code, F.lit(act)).otherwise(action)
+        action = F.when(op.isNotNull(), action).otherwise(
+            F.when(F.lower(deleted) == "true", F.lit("DELETE"))
+            .when(deleted.isNotNull(), F.lit("UPDATE-INSERT"))
+            .when(
+                F.get_json_object(line, "$").isNotNull(), F.lit("INSERT")
+            )
+            .otherwise(F.lit(None).cast("string"))
         )
-        .otherwise(F.lit(None).cast("string"))
-    )
-    ts = F.timestamp_millis(
-        F.get_json_object(line, "$.__ts_ms").try_cast("long")
-    )
-    table = F.coalesce(
-        F.get_json_object(line, "$.__table"),
-        F.get_json_object(line, "$.__source_table"),
-        F.lit(default_table).cast("string"),
-    )
-    return raw_lines.select(
-        table.alias("object"),
-        action.alias("action"),
-        F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSS").alias(
-            "update_date_raw"
-        ),
-        line.alias("payload_json"),
-        line.alias("raw"),
-    )
+        ts = F.timestamp_millis(
+            F.get_json_object(line, "$.__ts_ms").try_cast("long")
+        )
+        table = F.coalesce(
+            F.get_json_object(line, "$.__table"),
+            F.get_json_object(line, "$.__source_table"),
+            F.lit(default_table).cast("string"),
+        )
+        return [
+            table.alias("object"),
+            action.alias("action"),
+            F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                "update_date_raw"
+            ),
+            line.alias("payload_json"),
+            line.alias("raw"),
+        ]
+
+    cols = _memo_cols(("dbzf", line_col, default_table), build)
+    return raw_lines.select(*cols)
