@@ -1350,7 +1350,14 @@ def ransac_spend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _spend_per_customer(spark, sf_dir).select("k", "score", "y")
     w = Window.orderBy("score", "k")
-    pts = base.withColumn("rn", F.row_number().over(w))
+    # materialize the numbered dimension frame once: n_row/p1/p2 project
+    # it three different ways and the scoring pass re-read base — 4
+    # customer scans in the r12 before plan (duplicates differ
+    # pre-exchange, the winning r11-§13 class); solo A/B at matched
+    # canaries 1.54/1.60 -> 1.29/1.39 s (r12)
+    pts = base.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     n_row = pts.groupBy().agg(F.max("rn").alias("n"))
     cand = (
         spark.range(RANSAC_CANDIDATES)
@@ -1383,7 +1390,9 @@ def ransac_spend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("a", F.col("y1").cast("double") - F.col("b") * F.col("x1").cast("double"))
         .select("c", "a", "b")
     )
-    scored = base.crossJoin(F.broadcast(lines))  # 32-row broadcast
+    scored = pts.select("k", "score", "y").crossJoin(
+        F.broadcast(lines)
+    )  # 32-row broadcast; pts rows == base rows, so values are identical
     resid_ok = (
         F.abs(F.col("y").cast("double") - (F.col("a") + F.col("b") * F.col("score").cast("double")))
         <= RANSAC_TOL_CENTS
