@@ -567,6 +567,10 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .corpus_ops import bm25_scored
 
+    # r12 audit: the plan's two embeddings scans are the query-vector and
+    # corpus sides of cosine_topk_frame (inherent, not duplicate work);
+    # each ranker reduces to a 50-row frame before any window, and the
+    # 50x50 outer-join SMJ is trivially cheap. No cut available.
     lex_top = (
         bm25_scored(spark, sf_dir)
         .orderBy(F.col("score_raw").desc(), F.col("doc_id").asc())

@@ -1178,6 +1178,9 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = base.select(F.explode(pair_structs).alias("p")).select(
         "p.pair", "p.av", "p.bv"
     )
+    # r12 audit: the single-explode-pass + this checkpoint already hold
+    # (16-Exchange plan, one orders scan); margins/totals/term-fold all
+    # consume the materialized cell frame. No further cut available.
     cells = (
         long.groupBy("pair", "av", "bv")
         .agg(F.count(F.lit(1)).alias("o"))

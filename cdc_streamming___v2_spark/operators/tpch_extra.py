@@ -73,6 +73,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The min-equality join is partkey-partitioned on both sides, so it
     colocates with the per-part min without a third shuffle.
     """
+    # r12 audit: asia_supply feeds both the per-part min and the
+    # min-equality join, but the duplicate subtrees are IDENTICAL up to
+    # the (partkey, suppkey) exchange, so runtime ReusedExchange dedupes
+    # the lineitem pass (the r11-§13 losing class for a cut), and the
+    # frame is supply-cardinality (NOT bounded) — an eager checkpoint
+    # would materialize a fact-scale frame for no saved pass. Left as is.
     li = _t(spark, sf_dir, "lineitem")
     supply = li.groupBy(
         F.col("l_partkey").alias("sp_partkey"),
