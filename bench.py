@@ -1173,7 +1173,9 @@ def main() -> None:
     # and queries_path points THERE; bench_results.json is still written
     # for back-compat with older tooling.
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count())
-    result["cpus"] = int(cpus) if str(cpus).isdigit() else None
+    if not str(cpus).isdigit():  # e.g. "*" (all cores)
+        cpus = str(os.cpu_count())
+    result["cpus"] = int(cpus)
     scratch_c = f"bench_results_c{cpus}.json"
     for fname in ("bench_results.json", scratch_c):
         with open(os.path.join(here, fname), "w") as f:
